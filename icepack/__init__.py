@@ -1,0 +1,15 @@
+"""icepack — a PySpark-native lakehouse analytics engine.
+
+Capability surface of the reference (`jrkinley/snowflake-apache-iceberg`,
+an Iceberg-on-Snowflake documentation repo) rebuilt Spark-first:
+
+- ``icepack.queries``  — the relational / window / streaming / LLM-ext
+  operator battery (DataFrame + SQL, oracle-checked);
+- ``icepack.table``    — the Iceberg-style table layer (snapshots, time
+  travel, hidden partitioning, ACID commits, DML, maintenance);
+- ``icepack.streaming``— Structured-Streaming ingestion into tables.
+"""
+
+from __future__ import annotations
+
+__version__ = "0.1.0"

@@ -1,0 +1,426 @@
+"""LLM-data-pipeline extension operators (SURVEY.md §2.13).
+
+Dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), embedding
+similarity search (brute-force + bucketed ANN), text analysis
+(tokens/quality/fingerprint), and multimodal-column plumbing — all over
+the ``documents`` / ``embeddings`` fixtures.
+
+Portability tricks for the DuckDB oracle:
+- hashes go through ``md5`` (identical hex in both engines) and string
+  ``MIN`` (lexicographic in both) — never engine-native hash functions;
+- array indexing is 1-based in DuckDB and 0-based in Spark SQL ``[]``;
+  both sides are written index-explicit;
+- cosine/norm math casts float→double *before* multiplying and rounds
+  the output, so float-order noise can't flip the value hash.
+
+Scale: every operator is a pure DataFrame pipeline (shuffle on
+shingle/band/bucket keys).  Pair generation is always blocked (LSH
+bands, IVF buckets) — never an unblocked O(n²) cross join — except the
+explicitly-bounded brute-force baselines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from . import query
+
+#: Spark-side 3-word shingle expression over a `words` array column.
+_SHINGLES = (
+    "array_distinct(transform(sequence(1, greatest(size(words) - 2, 0)),"
+    " i -> concat_ws(' ', words[i-1], words[i], words[i+1])))"
+)
+
+
+def _doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return (
+        d.withColumn("words", F.split("text", " "))
+        .withColumn("shingles", F.expr(_SHINGLES))
+        .select("doc_id", "lang", "shingles")
+    )
+
+
+#: DuckDB-side shingle CTE (same trigram set, 1-based indexing).
+_SQL_SHINGLES = """
+    WITH sh_tbl AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+    )
+"""
+
+
+@query(
+    "x1_exact_dedup",
+    oracle="""
+    SELECT doc_id, lang, dup_key FROM (
+      SELECT doc_id, lang, substr(text, 1, 12) AS dup_key,
+             ROW_NUMBER() OVER (PARTITION BY substr(text, 1, 12)
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def x1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup, keep-first: hash-partition on the dup key, rank,
+    keep rn=1.  One shuffle on the key; at 100 TB the key would be
+    xxhash64(full text) — here a 12-char prefix so the fixture actually
+    contains duplicates."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf, "documents")
+    w = W.partitionBy("dup_key").orderBy("doc_id")
+    return (
+        d.withColumn("dup_key", F.substring("text", 1, 12))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "dup_key")
+    )
+
+
+@query(
+    "x2_jaccard_pairs",
+    oracle=_SQL_SHINGLES
+    + """
+    , ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_tbl),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_tbl),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common), 4) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) >= 0.8
+    """,
+)
+def x2_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard near-dup: explode distinct shingles, self-join on
+    the shingle (inverted-index blocking — pairs are only generated for
+    docs sharing a shingle), count commons, Jaccard ≥ 0.8.
+
+    At 100 TB the shingle join would first drop ultra-frequent shingles
+    (stop-shingles) to bound bucket sizes; the MinHash variant below is
+    the designed scale path."""
+    sh = _doc_shingles(spark, sf)
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jac >= 0.8)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _minhash_cols() -> list:
+    """8 MinHash signatures: per seed, MIN over shingles of
+    md5(seed|shingle) — string min of hex digests, portable."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}") for s in range(8)
+    ]
+
+
+@query(
+    "x3_minhash_lsh",
+    oracle=_SQL_SHINGLES
+    + """
+    , ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_tbl),
+    mh AS (
+      SELECT doc_id,
+             MIN(md5('0|' || sh)) AS h0, MIN(md5('1|' || sh)) AS h1,
+             MIN(md5('2|' || sh)) AS h2, MIN(md5('3|' || sh)) AS h3,
+             MIN(md5('4|' || sh)) AS h4, MIN(md5('5|' || sh)) AS h5,
+             MIN(md5('6|' || sh)) AS h6, MIN(md5('7|' || sh)) AS h7
+      FROM ex GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 || h1 AS bkey FROM mh UNION ALL
+      SELECT doc_id, 1 AS band, h2 || h3 AS bkey FROM mh UNION ALL
+      SELECT doc_id, 2 AS band, h4 || h5 AS bkey FROM mh UNION ALL
+      SELECT doc_id, 3 AS band, h6 || h7 AS bkey FROM mh
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """,
+)
+def x3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash + LSH banding (8 hashes, 4 bands × 2 rows): candidate
+    pairs are docs colliding on any band key.  This is the 100 TB dedup
+    path: cost is O(docs × shingles) + a join on band keys (bounded
+    buckets), never O(n²)."""
+    sh = _doc_shingles(spark, sf)
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    mh = ex.groupBy("doc_id").agg(*_minhash_cols())
+    bands = mh.select(
+        "doc_id",
+        F.expr(
+            "stack(4, 0, concat(h0, h1), 1, concat(h2, h3),"
+            " 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bkey)"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+@query("x4_simhash")
+def x4_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """48-bit SimHash over word md5s (no oracle: bit-twiddling isn't
+    worth porting to SQL; invariants are pytest-checked — identical
+    word multisets hash identically, near-identical docs land within
+    small Hamming distance).  Fully distributed: explode words, one
+    conditional-sum aggregation per bit, recombine."""
+    d = load(spark, sf, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    # 48-bit word hash from the first 12 hex chars of md5 (fits a long)
+    h = F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long")
+    words = words.withColumn("h", h)
+    bit_sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+            for j in range(48)
+        ]
+    )
+    sim = None
+    for j in range(48):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# --- embedding similarity ---------------------------------------------------
+
+#: dot(a, b) over 64-dim float lists, computed in double, both engines.
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "x5_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             {_SQL_DOT.format(a='e.embedding', b='q.qv')}
+             / (sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})) AS cos
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, label, ROUND(cos, 4) AS cos_sim
+    FROM scored
+    ORDER BY ROUND(cos, 6) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def x5_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact baseline): broadcast the
+    1-row query vector, score with JVM-side higher-order functions
+    (zip_with/aggregate — no Python in the loop), TakeOrderedAndProject
+    for the top-k.  Scales linearly; the bucketed ANN variant below is
+    the sub-linear path."""
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = e.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        "label",
+        (
+            _dot(F.col("embedding"), F.col("qv"))
+            / (
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            )
+        ).alias("cos"),
+    )
+    return (
+        scored.orderBy(F.round("cos", 6).desc(), F.asc("vec_id"))
+        .select("vec_id", "label", F.round("cos", 4).alias("cos_sim"))
+        .limit(10)
+    )
+
+
+@query(
+    "x6_ann_bucketed",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             CAST(embedding[1] > 0 AS INT) * 2 + CAST(embedding[2] > 0 AS INT) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+    scored AS (
+      SELECT b.vec_id, b.label,
+             {_SQL_DOT.format(a='b.embedding', b='q.qv')}
+             / (sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')})
+                * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})) AS cos
+      FROM b JOIN q ON b.bucket = q.qb
+    )
+    SELECT vec_id, label, ROUND(cos, 4) AS cos_sim
+    FROM scored ORDER BY ROUND(cos, 6) DESC, vec_id LIMIT 5
+    """,
+)
+def x6_ann_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer (sign of the first two dims →
+    4 cells) assigns every vector to a bucket; search only the query's
+    bucket.  At 100 TB the quantizer would be k-means centroids and the
+    table partitioned by bucket so a probe touches one partition."""
+    e = load(spark, sf, "embeddings")
+    bucket = (F.element_at("embedding", 1) > 0).cast("int") * 2 + (
+        F.element_at("embedding", 2) > 0
+    ).cast("int")
+    b = e.withColumn("bucket", bucket)
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    )
+    scored = b.join(F.broadcast(q), b.bucket == q.qb).select(
+        "vec_id",
+        "label",
+        (
+            _dot(F.col("embedding"), F.col("qv"))
+            / (
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+            )
+        ).alias("cos"),
+    )
+    return (
+        scored.orderBy(F.round("cos", 6).desc(), F.asc("vec_id"))
+        .select("vec_id", "label", F.round("cos", 4).alias("cos_sim"))
+        .limit(5)
+    )
+
+
+@query(
+    "x7_text_quality",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(len(w)), 4) AS avg_tokens,
+           ROUND(AVG(CAST(len(list_filter(w, x -> x IN ('the', 'data', 'a')))
+                       AS DOUBLE) / len(w)), 4) AS avg_stop_ratio,
+           ROUND(AVG(CAST(len(list_distinct(w)) AS DOUBLE) / len(w)), 4)
+             AS avg_uniq_ratio
+    FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+    GROUP BY lang
+    """,
+)
+def x7_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring: token count, stopword ratio, distinct-token
+    ratio — per-language aggregates.  All higher-order array functions,
+    zero Python."""
+    d = load(spark, sf, "documents").withColumn("w", F.split("text", " "))
+    n = F.size("w")
+    stop = F.size(F.filter("w", lambda x: x.isin("the", "data", "a")))
+    uniq = F.size(F.array_distinct("w"))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(n), 4).alias("avg_tokens"),
+        F.round(F.avg(stop.cast("double") / n), 4).alias("avg_stop_ratio"),
+        F.round(F.avg(uniq.cast("double") / n), 4).alias("avg_uniq_ratio"),
+    )
+
+
+@query(
+    "x8_fingerprint",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS fingerprint,
+           COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+    FROM documents GROUP BY 1
+    """,
+)
+def x8_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct word set —
+    docs with identical vocabularies collide (a cheap container-level
+    dedup signal)."""
+    d = load(spark, sf, "documents")
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " ")))))
+    return d.groupBy(fp.alias("fingerprint")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc")
+    )
+
+
+@query(
+    "x9_binary_meta",
+    oracle="""
+    SELECT lang, COUNT(*) AS n,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(MAX(strlen(text)) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY lang
+    """,
+)
+def x9_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: treat payloads as opaque bytes + typed
+    metadata.  Here text→utf8 bytes stands in for image/audio blobs;
+    the decode/feature UDF pipeline lives in
+    icepack/multimodal.py (mapInPandas over binary columns, stubbed
+    decode)."""
+    d = load(spark, sf, "documents")
+    blob = F.encode("text", "utf-8")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.octet_length(blob)).cast("bigint").alias("total_bytes"),
+        F.max(F.octet_length(blob)).cast("bigint").alias("max_bytes"),
+    )
+
+
+@query(
+    "x10_doc_embedding_join",
+    oracle=f"""
+    SELECT e.label, COUNT(*) AS n_docs,
+           ROUND(AVG(d.n_chars), 2) AS avg_chars,
+           ROUND(AVG(sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})), 4)
+             AS avg_norm
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY e.label
+    """,
+)
+def x10_doc_embedding_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal join: text table ⋈ vector table on the shared id."""
+    d = load(spark, sf, "documents")
+    e = load(spark, sf, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(norm), 4).alias("avg_norm"),
+        )
+    )

@@ -1,0 +1,938 @@
+"""Relational operator battery (SURVEY.md §2.2-2.7).
+
+Each entry is an idiomatic-Catalyst DataFrame (or SQL) program plus a
+DuckDB oracle.  Conventions for oracle-hash stability:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are ``ROUND``-ed on both sides (summation order may
+  differ between engines in the low bits);
+- ``SUM`` over integers is cast to BIGINT in DuckDB (it widens to
+  HUGEINT by default, Spark stays at long);
+- double→int conversions go through explicit ``floor`` (Spark casts
+  truncate, DuckDB casts round — never rely on cast rounding);
+- window orderings always include a unique tiebreak column.
+
+Scale notes are inline: which side broadcasts, where the shuffle is,
+and why the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..io import load, register_views
+from . import query
+
+# ---------------------------------------------------------------------------
+# §2.2 scans / projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p1_pruned_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity > 45
+    """,
+)
+def p1_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Projection + filter; Catalyst pushes both into the parquet scan
+    (PushedFilters + 3-column ReadSchema — verified in tests/test_plans.py),
+    so at 100 TB only matching row groups of 3 columns are read."""
+    li = load(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+@query(
+    "p3_time_range",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    GROUP BY event_type
+    """,
+)
+def p3_time_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-aligned range predicate (docs/09:104-127): with the
+    icepack layer this range also prunes day(ts) manifests."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-20").cast("timestamp_ntz"))
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@query(
+    "p4_like",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n
+    FROM part
+    WHERE p_type LIKE '%AND%' OR p_name LIKE 'part-1%'
+    GROUP BY p_brand
+    """,
+)
+def p4_like(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-selective LIKE (the docs' documented anti-pattern: no
+    min/max pruning possible; full scan, filter evaluated in codegen)."""
+    p = load(spark, sf, "part")
+    return (
+        p.filter(F.col("p_type").like("%AND%") | F.col("p_name").like("part-1%"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "p5_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    """,
+)
+def p5_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """VARIANT-style path extraction ``payload:k::INT``
+    (docs/12-lakehouse-patterns.md:96-104) via get_json_object."""
+    ev = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+@query(
+    "p6_null_handling",
+    oracle="""
+    SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+           COUNT(*) AS n,
+           COUNT(c.c_custkey) AS n_matched
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+      ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def p6_null_handling(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL construction via left-join miss + coalesce/isnull counting
+    (fixtures themselves have no NULLs)."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").filter(F.col("c_acctbal") > 5000)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
+        .agg(F.count("*").alias("n"), F.count("c_custkey").alias("n_matched"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_inner_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j1_inner_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-fact equi-join on the natural key.  At 100 TB this is a
+    shuffle join on l_orderkey/o_orderkey — both sides co-partition on
+    the same key, AQE handles skew; bucketing both tables by orderkey
+    would eliminate the shuffle entirely (see icepack clustering)."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "j2_left_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def j2_left_join(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    return (
+        c.join(li, c.c_custkey == li.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "j2_full_outer",
+    oracle="""
+    SELECT COALESCE(c.k, e.k) AS k,
+           COALESCE(c.n_orders, 0) AS n_orders,
+           COALESCE(e.n_events, 0) AS n_events
+    FROM (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY 1) e
+      ON c.k = e.k
+    """,
+)
+def j2_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Full-outer over partially-overlapping key domains (custkey 0..10N
+    vs user_id 0..N)."""
+    o = load(spark, sf, "orders").groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("n_orders")
+    )
+    e = load(spark, sf, "events").groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("n_events")
+    )
+    return o.join(e, "k", "full_outer").select(
+        F.col("k"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+@query(
+    "j3_broadcast_star",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def j3_broadcast_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Star-schema join: every dimension is explicitly broadcast, so the
+    100 TB fact table is scanned exactly once with zero shuffle before
+    the final (tiny) aggregation — verified BroadcastHashJoin in
+    tests/test_plans.py."""
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
+    "j4_semi_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1998-01-01'
+    )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j4_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS as left_semi: no row duplication, the orders side is
+    reduced before the join (docs/10 orphan-detection uses the anti
+    twin)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "j4_anti_join",
+    oracle="""
+    SELECT p.p_brand, COUNT(*) AS n_unsold
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_partkey = p.p_partkey
+        AND l.l_shipdate < TIMESTAMP '1995-07-01'
+    )
+    GROUP BY p.p_brand
+    """,
+)
+def j4_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp_ntz")
+    )
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_anti")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_unsold"))
+    )
+
+
+@query(
+    "j5_range_join",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_parts,
+           ROUND(AVG(p.p_retailprice), 2) AS avg_price
+    FROM part p
+    JOIN region r
+      ON p.p_retailprice >= 900 + r.r_regionkey * 20
+     AND p.p_retailprice <  920 + r.r_regionkey * 20
+    GROUP BY r.r_name
+    """,
+)
+def j5_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta (band) join: non-equi condition forces a nested-loop
+    strategy; keeping the band table broadcast-small (5 rows) makes it
+    BroadcastNestedLoopJoin — the only sane plan at 100 TB."""
+    p = load(spark, sf, "part")
+    r = load(spark, sf, "region")
+    cond = (p.p_retailprice >= 900 + r.r_regionkey * 20) & (
+        p.p_retailprice < 920 + r.r_regionkey * 20
+    )
+    return (
+        p.join(F.broadcast(r), cond)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_parts"), F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+    )
+
+
+@query(
+    "j7_asof_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             TIMESTAMP '1995-01-01' + to_days(CAST(event_id % 2400 AS INT)) AS mts
+      FROM events
+    )
+    SELECT e.event_id, e.user_id, MAX(o.o_orderdate) AS asof_date
+    FROM e
+    LEFT JOIN orders o
+      ON o.o_custkey = e.user_id AND o.o_orderdate <= e.mts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def j7_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (nearest prior order per event) via the scalable
+    union+window pattern: one shuffle on the key, last(ignorenulls) over
+    an ordered frame — no range-join row explosion, unlike the
+    join-and-aggregate formulation the oracle uses.  Events are mapped
+    into the orders' date domain to make the as-of nontrivial."""
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestampadd(DAY, CAST(event_id % 2400 AS INT), TIMESTAMP_NTZ '1995-01-01')"
+        ).alias("mts"),
+    )
+    o = load(spark, sf, "orders")
+    # union probes and quotes; quotes sort first on ties (kind 0 < 1)
+    quotes = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("o_orderdate").alias("odate"),
+    )
+    probes = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("mts").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.lit(None).cast("timestamp_ntz").alias("odate"),
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "kind")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    merged = quotes.unionByName(probes).withColumn(
+        "asof_date", F.last("odate", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        "event_id", F.col("k").alias("user_id"), "asof_date"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_groupby_count",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a1_groupby_count(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.countDistinct("o_custkey").alias("n_customers")
+    )
+
+
+@query(
+    "a4_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a4_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 (the flagship): partial aggregation map-side reduces the
+    100 TB scan to <10 groups per task before the single tiny shuffle."""
+    li = load(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a5_scalar_subquery",
+    oracle="""
+    SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate > (SELECT MAX(l_shipdate) - INTERVAL 90 DAY FROM lineitem)
+    """,
+)
+def a5_scalar_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """High-water-mark incremental pattern (docs/12:94-104): scalar
+    subquery over the same table — the core of bronze→silver
+    incremental loads."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        WHERE l_shipdate > (SELECT MAX(l_shipdate) - INTERVAL 90 DAY FROM lineitem)
+        """
+    )
+
+
+@query(
+    "a6_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a6_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_rf"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_ls"),
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "a6_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_st, GROUPING(o_orderpriority) AS g_pr,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a6_cube(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_st"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_pr"),
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "a6_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def a6_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "a3_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           (ABS(approx_count_distinct(l_orderkey) - COUNT(DISTINCT l_orderkey))
+             <= 0.1 * COUNT(DISTINCT l_orderkey)) AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a3_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL sketches differ across engines, so the oracle-stable output
+    is the *tolerance check*: approx within 10% of exact.  At 100 TB
+    approx_count_distinct replaces the expensive exact two-phase
+    distinct with a fixed-size mergeable sketch."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.abs(F.approx_count_distinct("l_orderkey", 0.02) - F.countDistinct("l_orderkey"))
+            <= 0.1 * F.countDistinct("l_orderkey")
+        ).alias("approx_ok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def w1_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k per group: the rank window prunes to k rows per partition
+    (Spark pushes a WindowGroupLimit at planning time), so only k rows
+    per group survive the shuffle."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "w2_lag_gap",
+    oracle="""
+    SELECT c_mktsegment, ROUND(AVG(gap_days), 3) AS avg_gap_days, COUNT(*) AS n_gaps
+    FROM (
+      SELECT c.c_mktsegment,
+             date_diff('day',
+                       LAG(o.o_orderdate) OVER (PARTITION BY o.o_custkey
+                                                ORDER BY o.o_orderdate, o.o_orderkey),
+                       o.o_orderdate) AS gap_days
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) WHERE gap_days IS NOT NULL
+    GROUP BY c_mktsegment
+    """,
+)
+def w2_lag_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """lag() over a totally-ordered per-key frame (tiebreak on the
+    unique orderkey keeps both engines deterministic)."""
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("gap_days", F.datediff("o_orderdate", F.lag("o_orderdate").over(w)))
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy("c_mktsegment").agg(
+        F.round(F.avg("gap_days"), 3).alias("avg_gap_days"), F.count("*").alias("n_gaps")
+    )
+
+
+@query(
+    "w3_running_sum",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW), 2) AS run_spend
+    FROM orders
+    """,
+)
+def w3_running_sum(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("run_spend")
+    )
+
+
+@query(
+    "w3_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', TIMESTAMP '1990-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+    FROM orders
+    """,
+)
+def w3_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE frame over a day offset: value-defined frames are
+    deterministic even under order ties (the frame is a function of the
+    value, not the row position)."""
+    o = load(spark, sf, "orders")
+    day_off = F.datediff("o_orderdate", F.lit("1990-01-01").cast("timestamp_ntz"))
+    w = W.partitionBy("o_custkey").orderBy(day_off).rangeBetween(-30, 0)
+    return o.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sorts / limits / set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o2_top_n",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def o2_top_n(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-N compiles to TakeOrderedAndProject: each task keeps
+    its local top-10, the driver merges — no global sort at 100 TB."""
+    o = load(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query(
+    "o3_union_all",
+    oracle="""
+    SELECT tier, o_orderstatus, COUNT(*) AS n FROM (
+      SELECT 'hot' AS tier, o_orderstatus FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      UNION ALL
+      SELECT 'cold' AS tier, o_orderstatus FROM orders
+      WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ) GROUP BY tier, o_orderstatus
+    """,
+)
+def o3_union_all(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot+cold hybrid view (docs/12:169-172) as unionByName."""
+    o = load(spark, sf, "orders")
+    cut = F.lit("1999-01-01").cast("timestamp_ntz")
+    hot = o.filter(F.col("o_orderdate") >= cut).select(
+        F.lit("hot").alias("tier"), "o_orderstatus"
+    )
+    cold = o.filter(F.col("o_orderdate") < cut).select(
+        F.lit("cold").alias("tier"), "o_orderstatus"
+    )
+    return hot.unionByName(cold).groupBy("tier", "o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@query(
+    "o4_intersect",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def o4_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    return y95.intersect(y96)
+
+
+@query(
+    "o4_except",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def o4_except(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    ).select(F.col("o_custkey").alias("custkey"))
+    # subtract == SQL EXCEPT (distinct set semantics); exceptAll would be
+    # the multiset variant and diverges whenever a key repeats on the left
+    return y95.subtract(y96)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f1_date_trunc",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY 1
+    """,
+)
+def f1_date_trunc(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("order_month"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+    )
+
+
+@query(
+    "f2_date_parts",
+    oracle="""
+    SELECT CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS m,
+           CAST(dayofmonth(ts) AS BIGINT) AS d, CAST(hour(ts) AS BIGINT) AS h,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2, 3, 4
+    """,
+)
+def f2_date_parts(spark: SparkSession, sf: str) -> DataFrame:
+    """The year/month/day/hour partition transforms (docs/07:44-52) as
+    scalar extraction."""
+    ev = load(spark, sf, "events")
+    return ev.groupBy(
+        F.year("ts").cast("bigint").alias("y"),
+        F.month("ts").cast("bigint").alias("m"),
+        F.dayofmonth("ts").cast("bigint").alias("d"),
+        F.hour("ts").cast("bigint").alias("h"),
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "f3_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + to_days(30) AS due_ts,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k
+    FROM orders
+    WHERE o_orderdate + to_days(30) < TIMESTAMP '1996-01-01'
+    """,
+)
+def f3_date_arith(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    due = F.expr("timestampadd(DAY, 30, o_orderdate)")
+    return (
+        o.withColumn("due_ts", due)
+        .filter(F.col("due_ts") < F.lit("1996-01-01").cast("timestamp_ntz"))
+        .select(
+            "o_orderkey",
+            "due_ts",
+            F.datediff(F.lit("2000-01-01").cast("timestamp_ntz"), F.col("o_orderdate"))
+            .cast("bigint")
+            .alias("days_to_y2k"),
+        )
+    )
+
+
+@query(
+    "f4_casts",
+    oracle="""
+    SELECT CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           TRY_CAST(p_type AS INTEGER) IS NULL AS bad_cast_null,
+           CAST(p_size AS VARCHAR) AS size_str,
+           COUNT(*) AS n
+    FROM part GROUP BY 1, 2, 3
+    """,
+)
+def f4_casts(spark: SparkSession, sf: str) -> DataFrame:
+    """Casts incl. try_cast; double→int goes through explicit floor
+    (Spark cast truncates, DuckDB cast rounds — never rely on it)."""
+    p = load(spark, sf, "part")
+    return p.groupBy(
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.expr("try_cast(p_type AS int)").isNull().alias("bad_cast_null"),
+        F.col("p_size").cast("string").alias("size_str"),
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "f5_strings",
+    oracle="""
+    SELECT substr(p_name, 1, 6) AS name_prefix,
+           upper(p_brand) AS brand_upper,
+           CAST(length(p_type) AS BIGINT) AS type_len,
+           starts_with(p_name, 'part-1') AS is_p1,
+           COUNT(*) AS n
+    FROM part GROUP BY 1, 2, 3, 4
+    """,
+)
+def f5_strings(spark: SparkSession, sf: str) -> DataFrame:
+    """String family incl. the truncate(W) transform (prefix
+    grouping)."""
+    p = load(spark, sf, "part")
+    return p.groupBy(
+        F.substring("p_name", 1, 6).alias("name_prefix"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_type").cast("bigint").alias("type_len"),
+        F.col("p_name").startswith("part-1").alias("is_p1"),
+    ).agg(F.count("*").alias("n"))
+
+
+@query(
+    "f6_bucket_mod",
+    oracle="""
+    SELECT o_custkey % 16 AS bucket, COUNT(*) AS n,
+           COUNT(DISTINCT o_custkey) AS n_keys
+    FROM orders GROUP BY 1
+    """,
+)
+def f6_bucket_mod(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable bucket transform (modulo).  The icepack layer's real
+    bucket(N) uses xxhash64 (engine-internal, tested via pytest) —
+    xxhash64 isn't reproducible in DuckDB so the oracle checks the
+    modulo variant."""
+    o = load(spark, sf, "orders")
+    return o.groupBy(F.pmod("o_custkey", F.lit(16)).alias("bucket")).agg(
+        F.count("*").alias("n"), F.countDistinct("o_custkey").alias("n_keys")
+    )
+
+
+@query(
+    "f8_explode_words",
+    oracle="""
+    SELECT lang, word, COUNT(*) AS n
+    FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY lang, word
+    HAVING COUNT(*) >= 5
+    """,
+)
+def f8_explode_words(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return (
+        d.select("lang", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+    )
+
+
+@query(
+    "f9_math",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount), 2)), 2) AS net_revenue,
+           ROUND(AVG(ABS(l_quantity - 25)), 4) AS avg_abs_dev,
+           ROUND(SUM(sqrt(l_extendedprice)), 2) AS sum_sqrt,
+           ROUND(SUM(pow(l_discount, 2)), 4) AS sum_disc_sq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def f9_math(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)), 2).alias(
+            "net_revenue"
+        ),
+        F.round(F.avg(F.abs(F.col("l_quantity") - 25)), 4).alias("avg_abs_dev"),
+        F.round(F.sum(F.sqrt("l_extendedprice")), 2).alias("sum_sqrt"),
+        F.round(F.sum(F.pow("l_discount", F.lit(2))), 4).alias("sum_disc_sq"),
+    )

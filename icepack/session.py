@@ -1,0 +1,71 @@
+"""SparkSession construction and runtime-conf normalization.
+
+The driver may hand us an already-built SparkSession, so everything the
+engine *requires* must be settable at runtime via ``spark.conf.set`` —
+see :func:`ensure_confs`.  ``get_session`` is used by our own tests and
+``bench.py``.
+
+Scale note: these confs are tuned for the local[`SPARK_GRAFT_CPUS`]
+test harness; on a real cluster the same code runs unchanged — AQE
+handles shuffle-partition sizing and skew, and
+``spark.sql.files.maxPartitionBytes`` keeps scan tasks ~128MB so a
+100 TB table fans out to ~800k well-sized tasks instead of a few huge
+ones.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime (non-static) SQL confs the engine relies on.  All of these are
+#: settable on a live session.
+RUNTIME_CONFS: dict[str, str] = {
+    # fixture events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
+    # reader rejects by default; read as long (ns since epoch) and convert
+    # (see icepack.io.load_events).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp semantics vs the DuckDB oracle (naive UTC).
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow transfer for pandas UDFs / toPandas on the ext operators.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # runtime re-planning: partition coalescing, skew-join splitting,
+    # broadcast conversion — the 100TB safety nets.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to a (possibly externally built) session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf may be static/locked
+            pass
+    return spark
+
+
+def get_session(app: str = "icepack", cpus: int | None = None) -> SparkSession:
+    """Build the local test/bench session.
+
+    local[N] = one JVM, N executor threads.  Shuffle partitions match the
+    core count (not the 200 default) so tiny local shuffles don't pay
+    200-task overhead; on a cluster AQE coalescing makes the initial
+    number mostly irrelevant.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return ensure_confs(spark)
