@@ -1,0 +1,78 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <float>}
+
+Each query executes its FULL plan via the noop sink (no collect —
+result sizes don't skew timing, and nothing funnels through the
+driver, mirroring cluster execution).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from icepack.queries import all_queries  # noqa: E402
+from icepack.session import get_session  # noqa: E402
+
+#: headline set: one per operator family, heaviest-per-family first.
+HEADLINE = [
+    "a4_tpch_q1",
+    "j1_inner_join",
+    "j3_broadcast_star",
+    "j7_asof_join",
+    "w1_topk_per_group",
+    "w3_running_sum",
+    "a6_cube",
+    "st1_tumbling_window",
+    "st3_session_window",
+    "x2_jaccard_pairs",
+    "x3_minhash_lsh",
+    "x5_cosine_topk",
+    "x1_exact_dedup",
+    "p1_pruned_scan",
+    "f8_explode_words",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_session("icepack-bench")
+    qs = all_queries()
+
+    # warmup: session/JIT/codegen init, excluded from timing
+    qs["a4_tpch_q1"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,7 +35,12 @@ _SHINGLES = (
 
 
 def _doc_shingles(spark: SparkSession, sf: str) -> DataFrame:
-    d = load(spark, sf, "documents")
+    # documents arrives as one small parquet file = ONE scan partition;
+    # fan out before the CPU-heavy shingle derivation (at 100 TB the scan
+    # itself is already parallel and this repartition is a no-op cost-wise)
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return (
         d.withColumn("words", F.split("text", " "))
         .withColumn("shingles", F.expr(_SHINGLES))
@@ -118,8 +123,10 @@ def x2_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # per-doc sizes are dimension-tiny next to the pair table: broadcast
+    # both lookups so pair scoring adds zero shuffles
+    sa = F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")))
     jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return (
         pairs.join(sa, "id_a")
@@ -176,17 +183,25 @@ def x3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
             " 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bkey)"
         ),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    # pair generation per bucket via collect_list, not a self-join: the
+    # minhash pipeline executes ONCE, and LSH bucket sizes are bounded
+    # (that's the point of banding), so the in-bucket pair expansion is
+    # small.  ids arrive sorted → id_a < id_b by construction.
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ids) - 1),"
+                " i -> transform(slice(ids, i + 1, size(ids) - i),"
+                " y -> struct(ids[i-1] AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 @query("x4_simhash")
@@ -196,7 +211,9 @@ def x4_simhash(spark: SparkSession, sf: str) -> DataFrame:
     word multisets hash identically, near-identical docs land within
     small Hamming distance).  Fully distributed: explode words, one
     conditional-sum aggregation per bit, recombine."""
-    d = load(spark, sf, "documents")
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     # 48-bit word hash from the first 12 hex chars of md5 (fits a long)
     h = F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long")
