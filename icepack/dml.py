@@ -1,0 +1,204 @@
+"""DML: copy-on-write DELETE/UPDATE/MERGE and merge-on-read deletes
+(SURVEY.md §2.8, docs/08-acid-transactions.md).
+
+Copy-on-write (the default, docs/08:99-110): manifest pruning finds the
+*hit files* whose stats may match the predicate; only those files are
+rewritten without the affected rows; the commit atomically replaces
+exactly those files.  Untouched files are carried forward — at 100 TB a
+point delete rewrites a handful of files, not the table.
+
+Merge-on-read (docs/08:112-116): DELETE writes a small equality-delete
+file (distinct identifier-column values of the deleted rows); the read
+path anti-joins it (broadcast — delete files are small by design) and
+compaction (maintenance.py) folds deletes back into data files.
+
+MERGE (docs/08:133-141, docs/12:107-126): source is full-outer-joined
+to the *pruned* target slice on the merge keys; rows branch into
+keep / update / delete / insert; hit files are replaced and inserts
+appended in ONE snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .expr import Expr, In
+from .manifest import DataFile, harvest_stats
+from .metadata import Snapshot
+
+#: max distinct source keys collected for target-file pruning in MERGE;
+#: above this the merge scans all target files (still correct).
+MERGE_PRUNE_MAX_KEYS = 100_000
+
+
+def source_col(name: str) -> Column:
+    """Reference a SOURCE column inside a merge() update expression."""
+    return F.col(f"_s_{name}")
+
+
+def target_col(name: str) -> Column:
+    """Reference a TARGET column inside a merge() update expression."""
+    return F.col(f"_t_{name}")
+
+
+def delete(table, predicate: Expr, mode: str | None = None) -> Snapshot:
+    """DELETE FROM t WHERE pred."""
+    mode = mode or table.meta.properties.get("write.delete.mode", "copy-on-write")
+    if mode == "merge-on-read":
+        return _delete_mor(table, predicate)
+    return _delete_cow(table, predicate)
+
+
+def _delete_cow(table, predicate: Expr) -> Snapshot:
+    hit, _ = table.plan_files(predicate)
+    if not hit:
+        return table._commit_snapshot("delete", [])
+    remaining = table._read_files(hit).filter(~predicate.to_column())
+    new_entries = table._write_data_files(remaining)
+    return table._commit_snapshot("delete", new_entries, {f.path for f in hit})
+
+
+def _delete_mor(table, predicate: Expr) -> Snapshot:
+    """Equality-delete file: distinct identifier-column tuples of the
+    matching rows.  Identifier columns come from the table property
+    ``identifier-field-names`` (comma-separated) or default to the
+    predicate's referenced columns."""
+    ident = table.meta.properties.get("identifier-field-names")
+    eq_cols = (
+        [c.strip() for c in ident.split(",")]
+        if ident
+        else sorted(predicate.references())
+    )
+    hit, _ = table.plan_files(predicate)
+    if not hit:
+        return table._commit_snapshot("delete", [])
+    keys = (
+        table._read_files(hit)
+        .filter(predicate.to_column())
+        .select(*eq_cols)
+        .distinct()
+    )
+    ddir = os.path.join(table.location, "data", f"deletes-{uuid.uuid4().hex}")
+    keys.coalesce(1).write.parquet(ddir)
+    entries = []
+    for fname in sorted(os.listdir(ddir)):
+        if not fname.endswith(".parquet"):
+            continue
+        path = os.path.join(ddir, fname)
+        nrows, size, stats = harvest_stats(path)
+        if nrows == 0:
+            continue
+        entries.append(
+            DataFile(
+                path=path,
+                status="added",
+                partition={},
+                spec_id=table.meta.default_spec_id,
+                schema_id=table.meta.current_schema_id,
+                record_count=nrows,
+                file_size_bytes=size,
+                stats=stats,
+                content="equality-deletes",
+                equality_columns=list(eq_cols),
+            )
+        )
+    return table._commit_snapshot("delete", entries)
+
+
+def update(table, predicate: Expr, assignments: dict[str, Column]) -> Snapshot:
+    """UPDATE t SET col = expr WHERE pred (docs/08:120-129): rewrite
+    only the hit files, branching per row with when(pred, new)."""
+    hit, _ = table.plan_files(predicate)
+    if not hit:
+        return table._commit_snapshot("overwrite", [])
+    df = table._read_files(hit)
+    pred = predicate.to_column()
+    cols = []
+    for f in table.meta.schema.fields:
+        if f.name in assignments:
+            new = assignments[f.name]
+            if not isinstance(new, Column):
+                new = F.expr(str(new))
+            cols.append(
+                F.when(pred, new.cast(f.spark_type())).otherwise(F.col(f.name)).alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    rewritten = df.select(*cols)
+    new_entries = table._write_data_files(rewritten)
+    return table._commit_snapshot("overwrite", new_entries, {f.path for f in hit})
+
+
+def merge(
+    table,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, Column] | None = None,
+    when_matched_delete: bool = False,
+    when_not_matched_insert: bool = True,
+) -> Snapshot:
+    """MERGE INTO target USING source ON keys (docs/08:133-141).
+
+    Target-side pruning: if the source's distinct key set is small, it
+    becomes an IN predicate over the merge keys so manifest stats skip
+    untouched files — the standard "prune target by source keys" MERGE
+    optimization.  All branches resolve in one full-outer join and one
+    snapshot."""
+    schema = table.meta.schema
+    names = [f.name for f in schema.fields]
+    src = source.select(*names)
+
+    predicate = None
+    if len(on) == 1:
+        key_rows = src.select(on[0]).distinct().limit(MERGE_PRUNE_MAX_KEYS + 1).collect()
+        if len(key_rows) <= MERGE_PRUNE_MAX_KEYS:
+            predicate = In(on[0], [r[0] for r in key_rows])
+    hit, _ = table.plan_files(predicate)
+
+    tgt = table._read_files(hit)
+    t = tgt.select(*[F.col(c).alias(f"_t_{c}") for c in names]).withColumn(
+        "_t_exists", F.lit(True)
+    )
+    s = src.select(*[F.col(c).alias(f"_s_{c}") for c in names]).withColumn(
+        "_s_exists", F.lit(True)
+    )
+    cond = None
+    for k in on:
+        c = F.col(f"_t_{k}") == F.col(f"_s_{k}")
+        cond = c if cond is None else cond & c
+    joined = t.join(s, cond, "full_outer")
+    matched = F.col("_t_exists").isNotNull() & F.col("_s_exists").isNotNull()
+    t_only = F.col("_t_exists").isNotNull() & F.col("_s_exists").isNull()
+    s_only = F.col("_t_exists").isNull() & F.col("_s_exists").isNotNull()
+
+    branches = []
+    # target-only rows always survive unchanged
+    keep = joined.filter(t_only).select(*[F.col(f"_t_{c}").alias(c) for c in names])
+    branches.append(keep)
+    if when_matched_delete:
+        pass  # matched rows dropped
+    else:
+        upd_cols = []
+        for f in schema.fields:
+            c = f.name
+            if when_matched_update and c in when_matched_update:
+                new = when_matched_update[c]
+                if not isinstance(new, Column):
+                    new = F.expr(str(new))
+                upd_cols.append(new.cast(f.spark_type()).alias(c))
+            else:
+                upd_cols.append(F.col(f"_t_{c}").alias(c))
+        branches.append(joined.filter(matched).select(*upd_cols))
+    if when_not_matched_insert:
+        branches.append(
+            joined.filter(s_only).select(*[F.col(f"_s_{c}").alias(c) for c in names])
+        )
+    result = branches[0]
+    for b in branches[1:]:
+        result = result.unionByName(b)
+    new_entries = table._write_data_files(result)
+    return table._commit_snapshot("overwrite", new_entries, {f.path for f in hit})

@@ -1,0 +1,181 @@
+"""Maintenance operations (SURVEY.md §2.10,
+docs/10-maintenance-operations.md): compaction, clustering rewrite,
+manifest rewrite, snapshot expiration, orphan cleanup.
+
+All data movement is distributed Spark; the metadata edits are
+driver-side JSON commits through the same CAS path as DML, so
+maintenance is snapshot-isolated from readers exactly like writes.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from .manifest import manifest_summary, read_manifest, read_manifest_list, write_manifest, write_manifest_list
+from .metadata import Snapshot, TableMetadata
+
+
+def compact(table, target_file_size: int = 128 * 1024 * 1024, cluster_by: list[str] | None = None) -> Snapshot:
+    """ALTER ICEBERG TABLE ... COMPACT DATA [TARGET_FILE_SIZE]
+    (docs/10:33-49, docs/02:90-95) + optional CLUSTER BY rewrite
+    (docs/09:156-168): read all live data (merge-on-read deletes are
+    folded in — restoring read health, docs/10:123), repartition to the
+    target file size, optionally range-cluster + sort within partitions
+    for tighter per-file min/max bounds, rewrite, and replace
+    everything in one ``replace`` snapshot."""
+    files = table.live_files(content="all")
+    if not files:
+        return table._commit_snapshot("replace", [])
+    total_bytes = sum(f.file_size_bytes for f in files if f.content == "data")
+    n_out = max(1, -(-total_bytes // target_file_size))  # ceil
+    df = table.toDF()  # deletes applied
+    if cluster_by:
+        df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(*cluster_by)
+    else:
+        df = df.repartition(n_out)
+    new_entries = table._write_data_files(df)
+    return table._commit_snapshot("replace", new_entries, {f.path for f in files})
+
+
+def rewrite_manifests(table) -> Snapshot:
+    """REWRITE MANIFESTS (docs/10:80-95): coalesce all manifest entries
+    of the current snapshot into one manifest; data files untouched."""
+    meta = table.meta
+    prev = meta.current_snapshot
+    entries = table.live_files(content="all")
+    name = write_manifest(table._mdir, entries)
+    mlist = write_manifest_list(
+        table._mdir, prev.snapshot_id if prev else 0, [name], [manifest_summary(entries)]
+    )
+    snap = Snapshot(
+        snapshot_id=(prev.snapshot_id if prev else 0) + 1,
+        parent_snapshot_id=prev.snapshot_id if prev else None,
+        timestamp_ms=int(time.time() * 1000),
+        operation="replace",
+        manifest_list=mlist,
+        schema_id=meta.current_schema_id,
+        sequence_number=meta.last_sequence_number,
+        summary={"rewritten-manifests": "all"},
+    )
+    new_meta = TableMetadata(
+        table_uuid=meta.table_uuid, location=meta.location,
+        last_column_id=meta.last_column_id, schemas=meta.schemas,
+        current_schema_id=meta.current_schema_id,
+        partition_specs=meta.partition_specs, default_spec_id=meta.default_spec_id,
+        snapshots=meta.snapshots + [snap], current_snapshot_id=snap.snapshot_id,
+        properties=meta.properties, last_sequence_number=meta.last_sequence_number,
+    )
+    table._write_version(table._version + 1, new_meta)
+    return snap
+
+
+def expire_snapshots(
+    table, older_than_ms: int | None = None, retain_last: int = 1, dry_run: bool = False
+) -> dict:
+    """EXPIRE SNAPSHOTS (docs/05:101-119, docs/10:53-78): drop snapshot
+    entries older than the cutoff while always retaining the current
+    snapshot and the ``retain_last`` most recent; physically delete
+    manifests/manifest-lists/data files reachable ONLY from expired
+    snapshots (reachability = set difference, computed over manifest
+    file lists).  Default cutoff honors the table property
+    ``DATA_RETENTION_TIME_IN_DAYS`` (docs/01:155)."""
+    meta = table.meta
+    if older_than_ms is None:
+        days = float(meta.properties.get("DATA_RETENTION_TIME_IN_DAYS", 1))
+        older_than_ms = int(time.time() * 1000 - days * 86400_000)
+    ordered = sorted(meta.snapshots, key=lambda s: s.timestamp_ms)
+    keep_ids = {s.snapshot_id for s in ordered[-max(retain_last, 1):]}
+    if meta.current_snapshot_id is not None:
+        keep_ids.add(meta.current_snapshot_id)
+    kept = [s for s in meta.snapshots if s.snapshot_id in keep_ids or s.timestamp_ms >= older_than_ms]
+    expired = [s for s in meta.snapshots if s not in kept]
+    if not expired:
+        return {"expired": 0, "deleted_files": 0}
+
+    def reachable(snaps):
+        mls, mans, datas = set(), set(), set()
+        for s in snaps:
+            mls.add(s.manifest_list)
+            for m in read_manifest_list(table._mdir, s.manifest_list):
+                mans.add(m["manifest-path"])
+                for e in read_manifest(table._mdir, m["manifest-path"]):
+                    datas.add(e.path)
+        return mls, mans, datas
+
+    keep_mls, keep_mans, keep_datas = reachable(kept)
+    exp_mls, exp_mans, exp_datas = reachable(expired)
+    doomed_files = exp_datas - keep_datas
+    if not dry_run:
+        meta_new = TableMetadata(
+            table_uuid=meta.table_uuid, location=meta.location,
+            last_column_id=meta.last_column_id, schemas=meta.schemas,
+            current_schema_id=meta.current_schema_id,
+            partition_specs=meta.partition_specs, default_spec_id=meta.default_spec_id,
+            snapshots=kept, current_snapshot_id=meta.current_snapshot_id,
+            properties=meta.properties, last_sequence_number=meta.last_sequence_number,
+        )
+        table._write_version(table._version + 1, meta_new)
+        for p in doomed_files:
+            _rm(p)
+        for m in exp_mans - keep_mans:
+            _rm(os.path.join(table._mdir, m))
+        for ml in exp_mls - keep_mls:
+            _rm(os.path.join(table._mdir, ml))
+    return {"expired": len(expired), "deleted_files": len(doomed_files)}
+
+
+def remove_orphan_files(table, older_than_ms: int | None = None, dry_run: bool = False) -> list[str]:
+    """REMOVE ORPHAN FILES (docs/10:97-111): files under data/ not
+    referenced by ANY snapshot, older than the cutoff (default 24h —
+    in-flight commits may have written files not yet referenced)."""
+    if older_than_ms is None:
+        older_than_ms = int(time.time() * 1000) - 86400_000
+    referenced: set[str] = set()
+    for s in table.meta.snapshots:
+        for m in read_manifest_list(table._mdir, s.manifest_list):
+            for e in read_manifest(table._mdir, m["manifest-path"]):
+                referenced.add(e.path)
+    orphans = []
+    for p in _glob.glob(os.path.join(table.location, "data", "**", "*.parquet"), recursive=True):
+        if p not in referenced and os.path.getmtime(p) * 1000 < older_than_ms:
+            orphans.append(p)
+    if not dry_run:
+        for p in orphans:
+            _rm(p)
+    return sorted(orphans)
+
+
+def table_health(table) -> dict:
+    """The reference's table-health checklist
+    (docs/10-maintenance-operations.md:115-123) as a report."""
+    files = table.live_files(content="all")
+    data = [f for f in files if f.content == "data"]
+    dels = [f for f in files if f.content != "data"]
+    n = len(data)
+    avg = (sum(f.file_size_bytes for f in data) / n) if n else 0
+    snap_count = len(table.meta.snapshots)
+    man_count = 0
+    if table.meta.current_snapshot:
+        man_count = len(read_manifest_list(table._mdir, table.meta.current_snapshot.manifest_list))
+    return {
+        "file_count": n,
+        "avg_file_size_bytes": int(avg),
+        "snapshot_count": snap_count,
+        "manifest_count": man_count,
+        "delete_file_ratio": (len(dels) / n) if n else 0.0,
+        "needs_compaction": n > 10_000 or (0 < avg < 100 * 1024 * 1024 and n > 1),
+        "needs_expire": snap_count > 100,
+        "needs_manifest_rewrite": man_count > 100,
+        "needs_delete_compaction": n > 0 and len(dels) / n > 0.10,
+    }
+
+
+def _rm(path: str) -> None:
+    try:
+        os.remove(path)
+    except FileNotFoundError:
+        pass

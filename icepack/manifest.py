@@ -1,0 +1,200 @@
+"""Manifests, manifest lists, and per-file statistics.
+
+The reference tracks data files in Avro manifests with per-column
+min/max/null-count stats (docs/03-metadata-management.md:94-109,
+docs/01-table-format-architecture.md:91-99); one manifest list per
+snapshot summarizes manifests with partition ranges
+(docs/03-metadata-management.md:77-92).
+
+Our realization (stdlib-only, no Avro dependency):
+- manifest file  = JSONL, one ``DataFile`` entry per line
+  (``metadata/manifest-<uuid>.jsonl``);
+- manifest list  = JSON array of manifest descriptors
+  (``metadata/snap-<snapshot-id>.manifest-list.json``).
+
+Stats are harvested from the Parquet footers the writer already
+produced (``pyarrow.parquet.ParquetFile.metadata``) — a pure metadata
+read, no data scan.  Driver-side loop here; at warehouse scale the
+same harvest runs distributed (mapPartitions over file paths), and
+manifests are themselves readable as DataFrames (spark.read.json) for
+the metadata tables.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow.parquet as pq
+
+
+def _enc(v):
+    """JSON-encode a stats/partition value order-preservingly."""
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return None  # binary bounds: not tracked (keep-file semantics)
+    if isinstance(v, float) and (v != v):  # NaN
+        return None
+    return v
+
+
+@dataclass
+class DataFile:
+    path: str  # absolute path
+    status: str  # added | existing | deleted
+    partition: dict  # {partition-field-name: value}
+    spec_id: int
+    schema_id: int
+    record_count: int
+    file_size_bytes: int
+    stats: dict = field(default_factory=dict)  # {col: {min,max,nulls}}
+    sequence_number: int = 0
+    #: "data" or "equality-deletes" (merge-on-read delete files,
+    #: docs/08-acid-transactions.md:112-116,167-187)
+    content: str = "data"
+    #: for equality-delete files: the identifier columns whose values
+    #: the file contains
+    equality_columns: list = field(default_factory=list)
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "status": self.status,
+            "partition": self.partition,
+            "spec-id": self.spec_id,
+            "schema-id": self.schema_id,
+            "record-count": self.record_count,
+            "file-size-bytes": self.file_size_bytes,
+            "stats": self.stats,
+            "sequence-number": self.sequence_number,
+            "content": self.content,
+            "equality-columns": self.equality_columns,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(
+            d["path"],
+            d["status"],
+            d.get("partition", {}),
+            d.get("spec-id", 0),
+            d.get("schema-id", 0),
+            d["record-count"],
+            d["file-size-bytes"],
+            d.get("stats", {}),
+            d.get("sequence-number", 0),
+            d.get("content", "data"),
+            d.get("equality-columns", []),
+        )
+
+
+def harvest_stats(path: str) -> tuple[int, int, dict]:
+    """(record_count, file_size, per-column {min,max,nulls}) from the
+    parquet footer.  Missing/undecodable stats → column omitted (the
+    pruner keeps files with unknown stats)."""
+    md = pq.ParquetFile(path).metadata
+    ncols = md.num_columns
+    agg: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(ncols):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name:  # nested: no flat stats
+                continue
+            s = c.statistics
+            if s is None:
+                agg[name] = {"min": None, "max": None, "nulls": None}
+                continue
+            cur = agg.setdefault(name, {"min": None, "max": None, "nulls": 0})
+            if s.has_min_max:
+                cur["min"] = _merge(cur["min"], _enc(s.min), take_min=True)
+                cur["max"] = _merge(cur["max"], _enc(s.max), take_min=False)
+            else:
+                cur["min"], cur["max"] = None, None
+            if cur["nulls"] is not None:
+                cur["nulls"] = (cur["nulls"] or 0) + (s.null_count or 0)
+    return md.num_rows, os.path.getsize(path), agg
+
+
+def _merge(old, new, take_min: bool):
+    if new is None:
+        return old
+    if old is None:
+        return new
+    try:
+        return min(old, new) if take_min else max(old, new)
+    except TypeError:
+        return None
+
+
+# -- manifest IO ------------------------------------------------------------
+
+
+def write_manifest(metadata_dir: str, entries: list[DataFile]) -> str:
+    """Write one manifest (JSONL); returns path relative to metadata dir."""
+    name = f"manifest-{uuid.uuid4().hex}.jsonl"
+    path = os.path.join(metadata_dir, name)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for e in entries:
+            f.write(json.dumps(e.to_json()) + "\n")
+    os.rename(tmp, path)
+    return name
+
+
+def read_manifest(metadata_dir: str, name: str) -> list[DataFile]:
+    with open(os.path.join(metadata_dir, name)) as f:
+        return [DataFile.from_json(json.loads(line)) for line in f if line.strip()]
+
+
+def write_manifest_list(
+    metadata_dir: str, snapshot_id: int, manifest_names: list[str], manifests_meta: list[dict]
+) -> str:
+    name = f"snap-{snapshot_id}.manifest-list.json"
+    path = os.path.join(metadata_dir, name)
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(
+            [
+                {"manifest-path": m, **meta}
+                for m, meta in zip(manifest_names, manifests_meta)
+            ],
+            f,
+            indent=1,
+        )
+    os.rename(tmp, path)
+    return name
+
+
+def read_manifest_list(metadata_dir: str, name: str) -> list[dict]:
+    with open(os.path.join(metadata_dir, name)) as f:
+        return json.load(f)
+
+
+def manifest_summary(entries: list[DataFile]) -> dict:
+    """Partition-range + count summary stored in the manifest list
+    (phase-1 pruning input, docs/09-query-performance.md:19-31)."""
+    parts: dict[str, dict] = {}
+    added = existing = deleted = 0
+    for e in entries:
+        if e.status == "added":
+            added += 1
+        elif e.status == "deleted":
+            deleted += 1
+        else:
+            existing += 1
+        for k, v in e.partition.items():
+            cur = parts.setdefault(k, {"min": None, "max": None})
+            cur["min"] = _merge(cur["min"], _enc(v), take_min=True)
+            cur["max"] = _merge(cur["max"], _enc(v), take_min=False)
+    return {
+        "added-files": added,
+        "existing-files": existing,
+        "deleted-files": deleted,
+        "partition-summaries": parts,
+    }

@@ -1,0 +1,305 @@
+"""Table metadata model: schemas (stable column IDs), partition specs,
+snapshots — the JSON metadata tree of the Iceberg-style table layer.
+
+Mirrors the reference's metadata-file structure
+(docs/01-table-format-architecture.md:67-80,
+docs/03-metadata-management.md:53-75): format-version, table-uuid,
+schemas[] with current-schema-id, partition-specs[] with
+default-spec-id, snapshots[] with current-snapshot-id, properties.
+Columns are tracked by stable IDs, not names
+(docs/06-schema-evolution.md:55-73): rename keeps the ID, drop retires
+it, add allocates a fresh one — so data files written under any schema
+version remain readable under the current one (ID-based projection in
+icepack/scan.py).
+
+Everything here is driver-side pure Python: metadata files are a few
+KB of JSON; the data path never touches this module.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+FORMAT_VERSION = 1
+
+# -- type serde: Spark type <-> compact string ------------------------------
+
+_ATOMIC = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "timestamp_ntz": T.TimestampNTZType(),
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+}
+
+#: permitted widenings (docs/06-schema-evolution.md:138-152), keyed by
+#: Spark simpleString names (LongType.simpleString() == "bigint")
+PROMOTIONS = {
+    ("int", "bigint"),
+    ("int", "long"),
+    ("float", "double"),
+    ("int", "double"),
+}
+
+
+def type_to_str(t: T.DataType) -> str:
+    return t.simpleString()
+
+
+def type_from_str(s: str) -> T.DataType:
+    if s in _ATOMIC:
+        return _ATOMIC[s]
+    # decimal(p,s), array<...>, map<...>, struct<...>
+    return T._parse_datatype_string(s)
+
+
+@dataclass
+class NestedField:
+    id: int
+    name: str
+    type: str  # compact string form
+    required: bool = False
+
+    def spark_type(self) -> T.DataType:
+        return type_from_str(self.type)
+
+    def to_json(self) -> dict:
+        return {"id": self.id, "name": self.name, "type": self.type, "required": self.required}
+
+    @staticmethod
+    def from_json(d: dict) -> "NestedField":
+        return NestedField(d["id"], d["name"], d["type"], d.get("required", False))
+
+
+@dataclass
+class IceSchema:
+    schema_id: int
+    fields: list[NestedField]
+
+    def to_struct(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(f.name, f.spark_type(), not f.required) for f in self.fields]
+        )
+
+    def field_by_name(self, name: str) -> NestedField | None:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        return None
+
+    def field_by_id(self, fid: int) -> NestedField | None:
+        for f in self.fields:
+            if f.id == fid:
+                return f
+        return None
+
+    def to_json(self) -> dict:
+        return {"schema-id": self.schema_id, "fields": [f.to_json() for f in self.fields]}
+
+    @staticmethod
+    def from_json(d: dict) -> "IceSchema":
+        return IceSchema(d["schema-id"], [NestedField.from_json(f) for f in d["fields"]])
+
+    @staticmethod
+    def from_struct(struct: T.StructType, schema_id: int = 0, first_id: int = 1) -> "IceSchema":
+        fields = []
+        fid = first_id
+        for sf in struct.fields:
+            fields.append(NestedField(fid, sf.name, type_to_str(sf.dataType), not sf.nullable))
+            fid += 1
+        return IceSchema(schema_id, fields)
+
+
+@dataclass
+class PartitionField:
+    source_id: int  # column id in the schema
+    field_id: int  # partition field id (1000+)
+    transform: str  # identity | year | month | day | hour | bucket[N] | truncate[W]
+    name: str  # partition column name, e.g. "ts_day"
+
+    def to_json(self) -> dict:
+        return {
+            "source-id": self.source_id,
+            "field-id": self.field_id,
+            "transform": self.transform,
+            "name": self.name,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "PartitionField":
+        return PartitionField(d["source-id"], d["field-id"], d["transform"], d["name"])
+
+
+@dataclass
+class PartitionSpec:
+    spec_id: int
+    fields: list[PartitionField]
+
+    def to_json(self) -> dict:
+        return {"spec-id": self.spec_id, "fields": [f.to_json() for f in self.fields]}
+
+    @staticmethod
+    def from_json(d: dict) -> "PartitionSpec":
+        return PartitionSpec(d["spec-id"], [PartitionField.from_json(f) for f in d["fields"]])
+
+    @property
+    def is_unpartitioned(self) -> bool:
+        return not self.fields
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    parent_snapshot_id: int | None
+    timestamp_ms: int
+    operation: str  # append | overwrite | delete | replace
+    manifest_list: str  # path relative to table location
+    schema_id: int
+    sequence_number: int
+    summary: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "snapshot-id": self.snapshot_id,
+            "parent-snapshot-id": self.parent_snapshot_id,
+            "timestamp-ms": self.timestamp_ms,
+            "operation": self.operation,
+            "manifest-list": self.manifest_list,
+            "schema-id": self.schema_id,
+            "sequence-number": self.sequence_number,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            d["snapshot-id"],
+            d.get("parent-snapshot-id"),
+            d["timestamp-ms"],
+            d["operation"],
+            d["manifest-list"],
+            d["schema-id"],
+            d["sequence-number"],
+            d.get("summary", {}),
+        )
+
+
+@dataclass
+class TableMetadata:
+    table_uuid: str
+    location: str
+    last_column_id: int
+    schemas: list[IceSchema]
+    current_schema_id: int
+    partition_specs: list[PartitionSpec]
+    default_spec_id: int
+    snapshots: list[Snapshot]
+    current_snapshot_id: int | None
+    properties: dict
+    last_sequence_number: int = 0
+    last_updated_ms: int = 0
+    format_version: int = FORMAT_VERSION
+
+    # -- accessors ----------------------------------------------------------
+
+    @property
+    def schema(self) -> IceSchema:
+        return next(s for s in self.schemas if s.schema_id == self.current_schema_id)
+
+    def schema_by_id(self, sid: int) -> IceSchema:
+        return next(s for s in self.schemas if s.schema_id == sid)
+
+    @property
+    def spec(self) -> PartitionSpec:
+        return next(s for s in self.partition_specs if s.spec_id == self.default_spec_id)
+
+    def spec_by_id(self, sid: int) -> PartitionSpec:
+        return next(s for s in self.partition_specs if s.spec_id == sid)
+
+    @property
+    def current_snapshot(self) -> Snapshot | None:
+        if self.current_snapshot_id is None:
+            return None
+        return next(s for s in self.snapshots if s.snapshot_id == self.current_snapshot_id)
+
+    def snapshot_by_id(self, sid: int) -> Snapshot | None:
+        for s in self.snapshots:
+            if s.snapshot_id == sid:
+                return s
+        return None
+
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot | None:
+        """Latest snapshot with timestamp-ms <= requested
+        (docs/05-snapshots-time-travel.md:57-79)."""
+        eligible = [s for s in self.snapshots if s.timestamp_ms <= timestamp_ms]
+        return max(eligible, key=lambda s: s.timestamp_ms) if eligible else None
+
+    # -- serde --------------------------------------------------------------
+
+    def to_json(self) -> dict:
+        return {
+            "format-version": self.format_version,
+            "table-uuid": self.table_uuid,
+            "location": self.location,
+            "last-column-id": self.last_column_id,
+            "last-sequence-number": self.last_sequence_number,
+            "last-updated-ms": self.last_updated_ms,
+            "schemas": [s.to_json() for s in self.schemas],
+            "current-schema-id": self.current_schema_id,
+            "partition-specs": [s.to_json() for s in self.partition_specs],
+            "default-spec-id": self.default_spec_id,
+            "snapshots": [s.to_json() for s in self.snapshots],
+            "current-snapshot-id": self.current_snapshot_id,
+            "properties": self.properties,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "TableMetadata":
+        return TableMetadata(
+            table_uuid=d["table-uuid"],
+            location=d["location"],
+            last_column_id=d["last-column-id"],
+            schemas=[IceSchema.from_json(s) for s in d["schemas"]],
+            current_schema_id=d["current-schema-id"],
+            partition_specs=[PartitionSpec.from_json(s) for s in d["partition-specs"]],
+            default_spec_id=d["default-spec-id"],
+            snapshots=[Snapshot.from_json(s) for s in d["snapshots"]],
+            current_snapshot_id=d["current-snapshot-id"],
+            properties=d.get("properties", {}),
+            last_sequence_number=d.get("last-sequence-number", 0),
+            last_updated_ms=d.get("last-updated-ms", 0),
+            format_version=d.get("format-version", FORMAT_VERSION),
+        )
+
+    def dumps(self) -> str:
+        return json.dumps(self.to_json(), indent=1)
+
+    @staticmethod
+    def loads(s: str) -> "TableMetadata":
+        return TableMetadata.from_json(json.loads(s))
+
+    @staticmethod
+    def new(location: str, schema: IceSchema, spec: PartitionSpec, properties: dict | None = None) -> "TableMetadata":
+        return TableMetadata(
+            table_uuid=str(uuid.uuid4()),
+            location=location,
+            last_column_id=max((f.id for f in schema.fields), default=0),
+            schemas=[schema],
+            current_schema_id=schema.schema_id,
+            partition_specs=[spec],
+            default_spec_id=spec.spec_id,
+            snapshots=[],
+            current_snapshot_id=None,
+            properties=dict(properties or {}),
+            last_updated_ms=int(time.time() * 1000),
+        )

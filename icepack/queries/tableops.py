@@ -1,10 +1,224 @@
-"""Icepack table-layer round-trip queries (SURVEY.md §2.8-2.10).
+"""Icepack table-layer round-trips as driver-checkable queries
+(SURVEY.md §2.1, §2.8-2.10).
 
-Filled in with the M2/M3 milestones: each entry creates a temp icepack
-table from fixture slices, exercises a table-format capability
-(append/time-travel/DML/evolution/maintenance), and returns the final
-table content so the DuckDB oracle can recompute the expected state
-from the original parquet.
+Each entry creates a scratch icepack table under /tmp from fixture
+slices, exercises a table-format capability (append / time travel /
+COW & MOR DML / merge / schema evolution / hidden-partition pruning /
+compaction+expiry), and returns the resulting table content — which
+the DuckDB oracle recomputes directly from the original parquet.  So
+the *whole* write→commit→plan→read lifecycle is value-checked, not
+just row-counted.  Scratch dirs must outlive the returned (lazy)
+DataFrame, so they are not cleaned up eagerly.
 """
 
 from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..expr import col
+from ..io import load
+from ..table import IceTable
+from . import query
+
+_ORDER_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+
+def _scratch() -> str:
+    return tempfile.mkdtemp(prefix="icepack-q-")
+
+
+@query(
+    "ice1_create_append_read",
+    oracle=f"SELECT {_ORDER_COLS} FROM orders WHERE o_orderkey % 2 = 0",
+)
+def ice1_create_append_read(spark: SparkSession, sf: str) -> DataFrame:
+    """S3+S6+S1: create → append → full scan returns exactly what went in."""
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(spark, _scratch(), orders.schema)
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    return t.toDF()
+
+
+@query(
+    "ice2_time_travel",
+    oracle=f"SELECT {_ORDER_COLS} FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'",
+)
+def ice2_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """S8: two appends; AT(first snapshot) reproduces the first slice."""
+    orders = load(spark, sf, "orders")
+    early = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    late = orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+    t = IceTable.create(spark, _scratch(), orders.schema)
+    s1 = t.append(early)
+    t.append(late)
+    return t.toDF(snapshot=t.as_of(snapshot_id=s1.snapshot_id))
+
+
+@query(
+    "ice3_delete_cow",
+    oracle=f"SELECT {_ORDER_COLS} FROM orders WHERE o_orderstatus <> 'F'",
+)
+def ice3_delete_cow(spark: SparkSession, sf: str) -> DataFrame:
+    """D2: copy-on-write DELETE rewrites only hit files."""
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(spark, _scratch(), orders.schema)
+    t.append(orders)
+    t.delete(col("o_orderstatus") == "F")
+    return t.toDF()
+
+
+@query(
+    "ice4_update",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(SUM(CASE WHEN o_orderstatus = 'O'
+                          THEN o_totalprice * 1.1 ELSE o_totalprice END), 2) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def ice4_update(spark: SparkSession, sf: str) -> DataFrame:
+    """D4: UPDATE ... SET price = price*1.1 WHERE status='O'."""
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(spark, _scratch(), orders.schema)
+    t.append(orders)
+    t.update(col("o_orderstatus") == "O", {"o_totalprice": F.col("o_totalprice") * 1.1})
+    return t.toDF().groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+    )
+
+
+@query(
+    "ice5_merge",
+    oracle=f"""
+    WITH tgt AS (SELECT {_ORDER_COLS} FROM orders WHERE o_orderkey % 2 = 0),
+    src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, 1.0 AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT * FROM src
+    UNION ALL
+    SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    """,
+)
+def ice5_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """D5: MERGE — matched rows take source values, unmatched source
+    rows insert, all in one snapshot."""
+    from ..dml import source_col
+
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(spark, _scratch(), orders.schema)
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn("o_totalprice", F.lit(1.0))
+    t.merge(
+        src,
+        on=["o_orderkey"],
+        when_matched_update={c: source_col(c) for c in orders.columns if c != "o_orderkey"},
+    )
+    return t.toDF()
+
+
+@query(
+    "ice6_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_name AS customer_name, c_nationkey, c_acctbal,
+           c_mktsegment, CAST(NULL AS VARCHAR) AS tier
+    FROM customer
+    """,
+)
+def ice6_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """M8: rename + add column; files written before the evolution read
+    under the new schema via stable column IDs."""
+    c = load(spark, sf, "customer")
+    t = IceTable.create(spark, _scratch(), c.schema)
+    t.append(c)
+    t.rename_column("c_name", "customer_name")
+    t.add_column("tier", "string")
+    return t.toDF()
+
+
+@query(
+    "ice7_hidden_partition_prune",
+    oracle="""
+    SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15'
+    """,
+)
+def ice7_hidden_partition_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """T1/T2: day(ts) hidden partitioning — the query filters the
+    natural ts column only; the planner prunes day partitions
+    (pruning effectiveness is asserted in tests/test_table.py)."""
+    ev = load(spark, sf, "events").select("event_id", "event_type", "ts", "value")
+    t = IceTable.create(spark, _scratch(), ev.schema, partition_by=[("ts", "day")])
+    t.append(ev)
+    return t.toDF(
+        (col("ts") >= "2024-01-10") & (col("ts") < "2024-01-15")
+    )
+
+
+@query(
+    "ice8_metadata_tables",
+    oracle="""
+    SELECT CAST(2 AS BIGINT) AS n_snapshots, CAST(4 AS BIGINT) AS n_files,
+           CAST(2 AS BIGINT) AS n_manifests, CAST(1 AS BIGINT) AS n_current
+    """,
+)
+def ice8_metadata_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """S9/S10: snapshots/files/manifests metadata relations; the oracle
+    is the structural invariant (2 appends × 2 files, incremental
+    manifests, one current snapshot)."""
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(spark, _scratch(), orders.schema)
+    t.append(orders.filter("o_orderkey % 2 = 0").repartition(2))
+    t.append(orders.filter("o_orderkey % 2 = 1").repartition(2))
+    snaps = t.snapshots().count()
+    files = t.files().count()
+    mans = t.manifests().count()
+    cur = t.history().filter("is_current").count()
+    return spark.createDataFrame(
+        [(snaps, files, mans, cur)],
+        "n_snapshots long, n_files long, n_manifests long, n_current long",
+    )
+
+
+@query(
+    "ice9_compact_expire",
+    oracle=f"SELECT {_ORDER_COLS} FROM orders",
+)
+def ice9_compact_expire(spark: SparkSession, sf: str) -> DataFrame:
+    """M1+M3: fragmented appends → compact → expire old snapshots; the
+    current content is bit-identical to the input."""
+    import time as _time
+
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(spark, _scratch(), orders.schema)
+    for i in range(4):
+        t.append(orders.filter(F.col("o_orderkey") % 4 == i).repartition(3))
+    t.compact(target_file_size=128 * 1024 * 1024)
+    t.expire_snapshots(older_than_ms=int(_time.time() * 1000) + 60_000, retain_last=1)
+    return t.toDF()
+
+
+@query(
+    "ice10_mor_delete",
+    oracle="""
+    SELECT event_id, event_type, value FROM events WHERE value <= 100.0
+    """,
+)
+def ice10_mor_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """D3: merge-on-read DELETE — the equality-delete file is applied
+    at read time (anti-join), no data rewrite."""
+    ev = load(spark, sf, "events").select("event_id", "event_type", "value")
+    t = IceTable.create(
+        spark,
+        _scratch(),
+        ev.schema,
+        properties={"write.delete.mode": "merge-on-read", "identifier-field-names": "event_id"},
+    )
+    t.append(ev)
+    t.delete(col("value") > 100.0)
+    return t.toDF()

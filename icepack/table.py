@@ -1,0 +1,726 @@
+"""IceTable — the Iceberg-style table built natively on PySpark.
+
+Realizes the reference's 5-level metadata tree
+(docs/01-table-format-architecture.md:9-46) on any filesystem Spark
+can read:
+
+    <location>/metadata/version-hint.json         (catalog pointer)
+    <location>/metadata/v<N>.metadata.json        (table metadata)
+    <location>/metadata/snap-<id>.manifest-list.json
+    <location>/metadata/manifest-<uuid>.jsonl
+    <location>/data/<commit-uuid>/[_p_k=v/...]*.parquet   (immutable)
+
+Commits are optimistic-concurrency CAS
+(docs/08-acid-transactions.md:52-78): the writer of ``v<N+1>`` wins via
+O_EXCL exclusive file creation (atomic on POSIX); losers re-read the
+new base, re-validate, and retry.  Data files are never mutated — every
+operation writes new files and a new snapshot; old snapshots remain
+readable for time travel (docs/05-snapshots-time-travel.md).
+
+Read path (docs/09-query-performance.md:17-55): snapshot → manifest
+list (phase-1 partition pruning on partition summaries) → manifests
+(phase-2 file pruning on column min/max/null stats) → a plain
+``spark.read.parquet`` DataFrame over the surviving files (phase-3
+row-group pruning is the stock vectorized Parquet reader).  Everything
+downstream of ``toDF()`` is stock Catalyst — joins/aggs/windows over
+IceTables use the relational battery unchanged.
+
+Scale: metadata ops are driver-side JSON (a few KB per commit); every
+data movement is a distributed Spark job.  File counts per commit
+follow the write's partitioning; compaction (maintenance.py) enforces
+the reference's file-size health targets (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+import time
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import transforms as tr
+from .expr import AlwaysTrue, Expr, partition_tuple_matches, project_to_partition
+from .manifest import (
+    DataFile,
+    harvest_stats,
+    manifest_summary,
+    read_manifest,
+    read_manifest_list,
+    write_manifest,
+    write_manifest_list,
+)
+from .metadata import (
+    PROMOTIONS,
+    IceSchema,
+    NestedField,
+    PartitionField,
+    PartitionSpec,
+    Snapshot,
+    TableMetadata,
+    type_to_str,
+)
+from .session import ensure_confs
+
+_PART_PREFIX = "_p_"
+
+
+class CommitConflict(Exception):
+    """Another writer committed the same version first."""
+
+
+def _snapshot_id() -> int:
+    return uuid.uuid4().int >> 80  # 48-bit id
+
+
+class IceTable:
+    """Handle to one icepack table (catalog entry S2-S4)."""
+
+    def __init__(self, spark: SparkSession, location: str, meta: TableMetadata):
+        self.spark = ensure_confs(spark)
+        self.location = os.path.abspath(location)
+        self.meta = meta
+
+    # -- catalog ------------------------------------------------------------
+
+    @property
+    def _mdir(self) -> str:
+        return os.path.join(self.location, "metadata")
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        location: str,
+        schema: T.StructType,
+        partition_by: list[tuple[str, str]] | None = None,
+        properties: dict | None = None,
+    ) -> "IceTable":
+        """CREATE ICEBERG TABLE (docs/01:182-205): write v1 metadata.
+
+        ``partition_by``: ordered [(source_column, transform)] pairs,
+        e.g. ``[("event_type", "identity"), ("ts", "day")]``.
+        """
+        location = os.path.abspath(location)
+        mdir = os.path.join(location, "metadata")
+        os.makedirs(mdir, exist_ok=True)
+        ice_schema = IceSchema.from_struct(schema)
+        pfields = []
+        for i, (src, transform) in enumerate(partition_by or []):
+            f = ice_schema.field_by_name(src)
+            if f is None:
+                raise ValueError(f"partition source column {src!r} not in schema")
+            tr.parse(transform)  # validate
+            suffix = transform.split("[")[0]
+            name = src if transform == "identity" else f"{src}_{suffix}"
+            pfields.append(PartitionField(f.id, 1000 + i, transform, name))
+        meta = TableMetadata.new(location, ice_schema, PartitionSpec(0, pfields), properties)
+        table = IceTable(spark, location, meta)
+        table._write_version(1, meta)
+        return table
+
+    @staticmethod
+    def load(spark: SparkSession, location: str) -> "IceTable":
+        location = os.path.abspath(location)
+        t = IceTable(spark, location, None)  # type: ignore[arg-type]
+        t.refresh()
+        return t
+
+    def refresh(self) -> "IceTable":
+        """REFRESH (docs/11:174-183): re-read the version pointer; probe
+        past a stale hint (hint update is best-effort after commit)."""
+        version = 0
+        hint = os.path.join(self._mdir, "version-hint.json")
+        if os.path.exists(hint):
+            with open(hint) as f:
+                version = json.load(f)["version"]
+        while os.path.exists(os.path.join(self._mdir, f"v{version + 1}.metadata.json")):
+            version += 1
+        if version == 0:
+            raise FileNotFoundError(f"no icepack table at {self.location}")
+        with open(os.path.join(self._mdir, f"v{version}.metadata.json")) as f:
+            self.meta = TableMetadata.loads(f.read())
+        self._version = version
+        return self
+
+    # -- commit (D7: optimistic CAS) ---------------------------------------
+
+    def _write_version(self, version: int, meta: TableMetadata) -> None:
+        """Exclusive-create v<version>; first writer wins (POSIX O_EXCL
+        — the version-check-and-rename race the survey flags is avoided
+        because creation itself is the check)."""
+        meta.last_updated_ms = int(time.time() * 1000)
+        path = os.path.join(self._mdir, f"v{version}.metadata.json")
+        try:
+            with open(path, "x") as f:
+                f.write(meta.dumps())
+        except FileExistsError as e:
+            raise CommitConflict(f"version {version} already committed") from e
+        # best-effort pointer update (atomic rename; stale is fine — refresh probes)
+        hint_tmp = os.path.join(self._mdir, f".hint-{uuid.uuid4().hex}")
+        with open(hint_tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.rename(hint_tmp, os.path.join(self._mdir, "version-hint.json"))
+        self._version = version
+        self.meta = meta
+
+    def _commit_snapshot(
+        self,
+        operation: str,
+        new_entries: list[DataFile],
+        replaced_paths: set[str] | None = None,
+        max_retries: int = 5,
+    ) -> Snapshot:
+        """Build snapshot = (previous live files ∖ replaced) ∪ new, then
+        CAS.  On conflict: reload, re-validate, retry from the new base
+        (append vs append always merges, docs/08:71-78; replace/delete
+        conflicts abort if the replaced set changed underneath).
+
+        Manifests are INCREMENTAL: an append reuses the previous
+        snapshot's manifests untouched and adds one new manifest for the
+        new files — commit metadata cost is O(new files), not O(table),
+        which is what keeps a 100 TB table (millions of files) at <100
+        manifests with cheap commits.  DML rewrites only the manifests
+        that actually contain replaced files."""
+        replaced_paths = replaced_paths or set()
+        for _ in range(max_retries):
+            prev = self.meta.current_snapshot
+            seq = self.meta.last_sequence_number + 1
+            manifests: list[str] = []
+            summaries: list[dict] = []
+            total_files = 0
+            seen_replaced: set[str] = set()
+            if prev is not None:
+                for m in read_manifest_list(self._mdir, prev.manifest_list):
+                    entries = read_manifest(self._mdir, m["manifest-path"])
+                    hit = [e for e in entries if e.path in replaced_paths]
+                    if not hit:
+                        manifests.append(m["manifest-path"])
+                        summaries.append(
+                            {k: v for k, v in m.items() if k != "manifest-path"}
+                        )
+                        total_files += len(entries)
+                        continue
+                    seen_replaced.update(e.path for e in hit)
+                    kept = [
+                        DataFile(
+                            e.path, "existing", e.partition, e.spec_id, e.schema_id,
+                            e.record_count, e.file_size_bytes, e.stats,
+                            e.sequence_number, e.content, e.equality_columns,
+                        )
+                        for e in entries
+                        if e.path not in replaced_paths
+                    ]
+                    if kept:
+                        manifests.append(write_manifest(self._mdir, kept))
+                        summaries.append(manifest_summary(kept))
+                        total_files += len(kept)
+            if not replaced_paths <= seen_replaced and replaced_paths:
+                raise CommitConflict(
+                    "files to replace no longer live (concurrent delete/compact)"
+                )
+            for e in new_entries:
+                e.sequence_number = seq
+            if new_entries:
+                manifests.append(write_manifest(self._mdir, new_entries))
+                summaries.append(manifest_summary(new_entries))
+                total_files += len(new_entries)
+            sid = _snapshot_id()
+            mlist = write_manifest_list(self._mdir, sid, manifests, summaries)
+            snap = Snapshot(
+                snapshot_id=sid,
+                parent_snapshot_id=prev.snapshot_id if prev else None,
+                timestamp_ms=int(time.time() * 1000),
+                operation=operation,
+                manifest_list=mlist,
+                schema_id=self.meta.current_schema_id,
+                sequence_number=seq,
+                summary={
+                    "added-data-files": str(len(new_entries)),
+                    "removed-data-files": str(len(replaced_paths)),
+                    "total-data-files": str(total_files),
+                    "added-records": str(sum(e.record_count for e in new_entries)),
+                },
+            )
+            meta = self.meta
+            new_meta = TableMetadata(
+                table_uuid=meta.table_uuid,
+                location=meta.location,
+                last_column_id=meta.last_column_id,
+                schemas=meta.schemas,
+                current_schema_id=meta.current_schema_id,
+                partition_specs=meta.partition_specs,
+                default_spec_id=meta.default_spec_id,
+                snapshots=meta.snapshots + [snap],
+                current_snapshot_id=sid,
+                properties=meta.properties,
+                last_sequence_number=seq,
+            )
+            try:
+                self._write_version(self._version + 1, new_meta)
+                return snap
+            except CommitConflict:
+                self.refresh()  # new base; loop re-validates and retries
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
+    # -- write path (S6 append, D1) ----------------------------------------
+
+    def _partition_columns(self) -> list[tuple[PartitionField, tr.Transform]]:
+        spec, schema = self.meta.spec, self.meta.schema
+        out = []
+        for pf in spec.fields:
+            out.append((pf, tr.parse(pf.transform)))
+        return out
+
+    def _write_data_files(self, df: DataFrame) -> list[DataFile]:
+        """Write immutable parquet under data/<commit-uuid>/, hidden
+        partition columns materialized as directory keys; harvest
+        footer stats into manifest entries."""
+        schema, spec = self.meta.schema, self.meta.spec
+        names = [f.name for f in schema.fields]
+        df = df.select(*names)  # enforce column order/presence
+        commit_dir = os.path.join(self.location, "data", uuid.uuid4().hex)
+        pcols = self._partition_columns()
+        part_names = []
+        for pf, t in pcols:
+            src = self.meta.schema.field_by_id(pf.source_id).name
+            df = df.withColumn(_PART_PREFIX + pf.name, t.spark_column(F.col(src)))
+            part_names.append(_PART_PREFIX + pf.name)
+        writer = df.write.mode("error")
+        if part_names:
+            writer = writer.partitionBy(*part_names)
+        writer.parquet(commit_dir)
+        return self._collect_entries(commit_dir, spec, schema)
+
+    def _collect_entries(self, commit_dir: str, spec, schema) -> list[DataFile]:
+        entries = []
+        for path in sorted(
+            _glob.glob(os.path.join(commit_dir, "**", "*.parquet"), recursive=True)
+        ):
+            partition = {}
+            rel = os.path.relpath(path, commit_dir)
+            for comp in rel.split(os.sep)[:-1]:
+                if "=" in comp and comp.startswith(_PART_PREFIX):
+                    k, v = comp.split("=", 1)
+                    partition[k[len(_PART_PREFIX):]] = _decode_part(urllib.parse.unquote(v))
+            nrows, size, stats = harvest_stats(path)
+            if nrows == 0:
+                continue
+            entries.append(
+                DataFile(
+                    path=path,
+                    status="added",
+                    partition=partition,
+                    spec_id=spec.spec_id,
+                    schema_id=schema.schema_id,
+                    record_count=nrows,
+                    file_size_bytes=size,
+                    stats=stats,
+                )
+            )
+        return entries
+
+    def append(self, df: DataFrame) -> Snapshot:
+        """INSERT/append (docs/08-acid-transactions.md:84-96)."""
+        return self._commit_snapshot("append", self._write_data_files(df))
+
+    def overwrite_all(self, df: DataFrame) -> Snapshot:
+        """INSERT OVERWRITE: replace the whole table in one snapshot."""
+        live = {f.path for f in self.live_files()}
+        return self._commit_snapshot("overwrite", self._write_data_files(df), live)
+
+    # -- read path (S1/S8/T2, scan planning §3.1) --------------------------
+
+    def live_files(
+        self, snapshot: Snapshot | None = None, content: str = "data"
+    ) -> list[DataFile]:
+        """Live file entries of a snapshot; ``content`` selects "data",
+        "equality-deletes", or "all"."""
+        snap = snapshot or self.meta.current_snapshot
+        if snap is None:
+            return []
+        out = []
+        for m in read_manifest_list(self._mdir, snap.manifest_list):
+            for e in read_manifest(self._mdir, m["manifest-path"]):
+                if e.status != "deleted" and (content == "all" or e.content == content):
+                    out.append(e)
+        return out
+
+    def plan_files(
+        self, predicate: Expr | None = None, snapshot: Snapshot | None = None
+    ) -> tuple[list[DataFile], dict]:
+        """Manifest-list partition pruning (phase 1) + per-file stats
+        pruning (phase 2).  Returns (files, pruning report).  Always a
+        superset of matching files — Spark re-applies the full filter."""
+        snap = snapshot or self.meta.current_snapshot
+        if snap is None:
+            return [], {"files_total": 0, "files_scanned": 0}
+        schema = self.meta.schema_by_id(snap.schema_id)
+        if predicate is not None:
+            files = []
+            total = 0
+            # cache projections per spec (partition evolution T4: each file
+            # is pruned under the spec it was written with)
+            proj: dict[int, Expr] = {}
+            for m in read_manifest_list(self._mdir, snap.manifest_list):
+                entries = read_manifest(self._mdir, m["manifest-path"])
+                for e in entries:
+                    if e.status == "deleted" or e.content != "data":
+                        continue
+                    total += 1
+                    if e.spec_id not in proj:
+                        spec = self.meta.spec_by_id(e.spec_id)
+                        proj[e.spec_id] = project_to_partition(
+                            predicate, spec, schema, self.spark
+                        )
+                    # phase 1: partition-tuple check
+                    if e.partition and not partition_tuple_matches(
+                        proj[e.spec_id], e.partition
+                    ):
+                        continue
+                    # phase 2: per-file column stats check
+                    if not predicate.may_match_file(e.stats, e.record_count):
+                        continue
+                    files.append(e)
+            return files, {"files_total": total, "files_scanned": len(files)}
+        files = self.live_files(snap)
+        return files, {"files_total": len(files), "files_scanned": len(files)}
+
+    def _read_files(self, files: list[DataFile]) -> DataFrame:
+        """Read a set of data files under the CURRENT schema.  Per-file
+        schema-ID reconciliation (docs/06-schema-evolution.md:75-91):
+        files from old schema versions are renamed/cast/padded by
+        column ID before unionByName, so renames and widenings are
+        metadata-only."""
+        current = self.meta.schema
+        if not files:
+            return self.spark.createDataFrame([], current.to_struct())
+        by_schema: dict[int, list[DataFile]] = {}
+        for f in files:
+            by_schema.setdefault(f.schema_id, []).append(f)
+        parts = []
+        for sid, group in sorted(by_schema.items()):
+            old = self.meta.schema_by_id(sid)
+            df = self.spark.read.schema(old.to_struct()).parquet(*[f.path for f in group])
+            cols = []
+            for cf in current.fields:
+                of = old.field_by_id(cf.id)
+                if of is None:  # column added after these files were written
+                    cols.append(F.lit(None).cast(cf.spark_type()).alias(cf.name))
+                else:  # rename and/or widen by stable ID
+                    cols.append(F.col(of.name).cast(cf.spark_type()).alias(cf.name))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def toDF(
+        self, predicate: Expr | None = None, snapshot: Snapshot | None = None
+    ) -> DataFrame:
+        """Table scan → plain DataFrame (full read lifecycle §3.1).
+        Merge-on-read equality deletes are applied sequence-correctly:
+        a delete file affects only data files with a strictly lower
+        sequence number, so rows re-inserted after the delete survive."""
+        snap = snapshot or self.meta.current_snapshot
+        current = self.meta.schema
+        if snap is None:
+            return self.spark.createDataFrame([], current.to_struct())
+        files, _ = self.plan_files(predicate, snap)
+        deletes = self.live_files(snap, content="equality-deletes")
+        if not deletes:
+            out = self._read_files(files)
+        else:
+            # group data files by the set of delete files that apply
+            groups: dict[tuple, list[DataFile]] = {}
+            for f in files:
+                applicable = tuple(
+                    sorted(d.path for d in deletes if f.sequence_number < d.sequence_number)
+                )
+                groups.setdefault(applicable, []).append(f)
+            parts = []
+            for applicable, group in sorted(groups.items()):
+                df = self._read_files(group)
+                by_cols: dict[tuple, list[str]] = {}
+                for d in deletes:
+                    if d.path in applicable:
+                        by_cols.setdefault(tuple(d.equality_columns), []).append(d.path)
+                for eq_cols, paths in sorted(by_cols.items()):
+                    dels = self.spark.read.parquet(*paths).select(*eq_cols).distinct()
+                    df = df.join(F.broadcast(dels), on=list(eq_cols), how="left_anti")
+                parts.append(df)
+            out = parts[0] if parts else self.spark.createDataFrame([], current.to_struct())
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if predicate is not None:
+            out = out.filter(predicate.to_column())  # full filter, always
+        return out
+
+    # -- time travel (S8) ---------------------------------------------------
+
+    def as_of(self, snapshot_id: int | None = None, timestamp_ms: int | None = None) -> Snapshot:
+        """SELECT ... AT(SNAPSHOT => id | TIMESTAMP => ts)
+        (docs/05-snapshots-time-travel.md:57-72)."""
+        if snapshot_id is not None:
+            snap = self.meta.snapshot_by_id(snapshot_id)
+            if snap is None:
+                raise ValueError(f"unknown snapshot {snapshot_id}")
+            return snap
+        if timestamp_ms is not None:
+            snap = self.meta.snapshot_as_of(timestamp_ms)
+            if snap is None:
+                raise ValueError(f"no snapshot at or before {timestamp_ms}")
+            return snap
+        raise ValueError("pass snapshot_id or timestamp_ms")
+
+    # -- metadata tables (S9/S10) ------------------------------------------
+
+    def snapshots(self) -> DataFrame:
+        """ICEBERG_TABLE_SNAPSHOTS (docs/03-metadata-management.md:161-181)."""
+        rows = [
+            (
+                s.snapshot_id,
+                s.parent_snapshot_id,
+                s.timestamp_ms,
+                s.operation,
+                s.manifest_list,
+                s.sequence_number,
+                json.dumps(s.summary),
+            )
+            for s in self.meta.snapshots
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, committed_at_ms long, operation string,"
+            " manifest_list string, sequence_number long, summary string",
+        )
+
+    def files(self, snapshot: Snapshot | None = None) -> DataFrame:
+        """my_table$FILES (docs/10-maintenance-operations.md:127-140)."""
+        rows = [
+            (
+                f.path,
+                json.dumps(f.partition),
+                f.record_count,
+                f.file_size_bytes,
+                f.schema_id,
+                f.spec_id,
+                f.sequence_number,
+            )
+            for f in self.live_files(snapshot)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, partition string, record_count long, file_size_bytes long,"
+            " schema_id int, spec_id int, sequence_number long",
+        )
+
+    def manifests(self) -> DataFrame:
+        snap = self.meta.current_snapshot
+        rows = []
+        if snap:
+            for m in read_manifest_list(self._mdir, snap.manifest_list):
+                rows.append(
+                    (
+                        m["manifest-path"],
+                        m.get("added-files", 0),
+                        m.get("existing-files", 0),
+                        m.get("deleted-files", 0),
+                        json.dumps(m.get("partition-summaries", {})),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "manifest_path string, added_files int, existing_files int,"
+            " deleted_files int, partition_summaries string",
+        )
+
+    def history(self) -> DataFrame:
+        rows = [
+            (s.timestamp_ms, s.snapshot_id, s.parent_snapshot_id,
+             s.snapshot_id == self.meta.current_snapshot_id)
+            for s in sorted(self.meta.snapshots, key=lambda s: s.timestamp_ms)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "committed_at_ms long, snapshot_id long, parent_id long, is_current boolean",
+        )
+
+    def describe(self) -> dict:
+        """DESCRIBE / SYSTEM$GET_ICEBERG_TABLE_INFORMATION
+        (docs/03-metadata-management.md:163-171)."""
+        m = self.meta
+        return {
+            "location": self.location,
+            "table-uuid": m.table_uuid,
+            "format-version": m.format_version,
+            "metadata-version": self._version,
+            "current-snapshot-id": m.current_snapshot_id,
+            "schema": [f.to_json() for f in m.schema.fields],
+            "partition-spec": [f.to_json() for f in m.spec.fields],
+            "properties": m.properties,
+            "snapshot-count": len(m.snapshots),
+        }
+
+    # -- DML / maintenance delegates ---------------------------------------
+
+    def delete(self, predicate, mode: str | None = None):
+        from . import dml
+
+        return dml.delete(self, predicate, mode)
+
+    def update(self, predicate, assignments: dict):
+        from . import dml
+
+        return dml.update(self, predicate, assignments)
+
+    def merge(self, source: DataFrame, on: list[str], **kwargs):
+        from . import dml
+
+        return dml.merge(self, source, on, **kwargs)
+
+    def compact(self, target_file_size: int = 128 * 1024 * 1024, cluster_by=None):
+        from . import maintenance
+
+        return maintenance.compact(self, target_file_size, cluster_by)
+
+    def rewrite_manifests(self):
+        from . import maintenance
+
+        return maintenance.rewrite_manifests(self)
+
+    def expire_snapshots(self, older_than_ms=None, retain_last: int = 1, dry_run=False):
+        from . import maintenance
+
+        return maintenance.expire_snapshots(self, older_than_ms, retain_last, dry_run)
+
+    def remove_orphan_files(self, older_than_ms=None, dry_run=False):
+        from . import maintenance
+
+        return maintenance.remove_orphan_files(self, older_than_ms, dry_run)
+
+    def health(self) -> dict:
+        from . import maintenance
+
+        return maintenance.table_health(self)
+
+    # -- schema evolution (M8, docs/06-schema-evolution.md) -----------------
+
+    def _evolve(self, new_fields: list[NestedField], last_column_id: int) -> None:
+        meta = self.meta
+        new_schema = IceSchema(meta.current_schema_id + 1, new_fields)
+        new_meta = TableMetadata(
+            table_uuid=meta.table_uuid,
+            location=meta.location,
+            last_column_id=last_column_id,
+            schemas=meta.schemas + [new_schema],
+            current_schema_id=new_schema.schema_id,
+            partition_specs=meta.partition_specs,
+            default_spec_id=meta.default_spec_id,
+            snapshots=meta.snapshots,
+            current_snapshot_id=meta.current_snapshot_id,
+            properties=meta.properties,
+            last_sequence_number=meta.last_sequence_number,
+        )
+        for _ in range(5):
+            try:
+                self._write_version(self._version + 1, new_meta)
+                return
+            except CommitConflict:
+                self.refresh()
+                new_meta.snapshots = self.meta.snapshots
+                new_meta.current_snapshot_id = self.meta.current_snapshot_id
+        raise CommitConflict("schema evolution failed after retries")
+
+    def add_column(self, name: str, dtype: T.DataType | str, after: str | None = None) -> None:
+        """ADD COLUMN [AFTER pos] — metadata only, fresh column ID; old
+        files read NULL (docs/06:20-27)."""
+        if self.meta.schema.field_by_name(name):
+            raise ValueError(f"column {name} exists")
+        ts = dtype if isinstance(dtype, str) else type_to_str(dtype)
+        nid = self.meta.last_column_id + 1
+        fields = list(self.meta.schema.fields)
+        nf = NestedField(nid, name, ts, required=False)
+        if after is None:
+            fields.append(nf)
+        else:
+            idx = next(i for i, f in enumerate(fields) if f.name == after)
+            fields.insert(idx + 1, nf)
+        self._evolve(fields, nid)
+
+    def drop_column(self, name: str) -> None:
+        """DROP COLUMN — ID retired, never reused (docs/06:33-37)."""
+        fields = [f for f in self.meta.schema.fields if f.name != name]
+        if len(fields) == len(self.meta.schema.fields):
+            raise ValueError(f"no column {name}")
+        self._evolve(fields, self.meta.last_column_id)
+
+    def rename_column(self, name: str, new_name: str) -> None:
+        """RENAME — same ID, data files untouched (docs/06:29-31)."""
+        fields = [
+            NestedField(f.id, new_name if f.name == name else f.name, f.type, f.required)
+            for f in self.meta.schema.fields
+        ]
+        self._evolve(fields, self.meta.last_column_id)
+
+    def widen_column(self, name: str, new_type: T.DataType | str) -> None:
+        """Type widening int→long, float→double etc. (docs/06:39-44,138-152)."""
+        ts = new_type if isinstance(new_type, str) else type_to_str(new_type)
+        # normalize spellings ("long" vs "bigint") through the parser
+        from .metadata import type_from_str
+
+        fields = []
+        for f in self.meta.schema.fields:
+            if f.name == name:
+                same = type_from_str(f.type) == type_from_str(ts)
+                widen_ok = (f.type, ts) in PROMOTIONS or (
+                    type_from_str(f.type).simpleString(),
+                    type_from_str(ts).simpleString(),
+                ) in PROMOTIONS
+                if not same and not widen_ok:
+                    raise ValueError(f"illegal promotion {f.type} → {ts} (docs/06:146-152)")
+                fields.append(NestedField(f.id, f.name, ts, f.required))
+            else:
+                fields.append(f)
+        self._evolve(fields, self.meta.last_column_id)
+
+    def update_spec(self, partition_by: list[tuple[str, str]]) -> None:
+        """Partition evolution (docs/07-partitioning.md:117-129): new
+        spec applies to new writes; existing files keep their spec."""
+        schema = self.meta.schema
+        pfields = []
+        base = max((pf.field_id for s in self.meta.partition_specs for pf in s.fields), default=999)
+        for i, (src, transform) in enumerate(partition_by):
+            f = schema.field_by_name(src)
+            if f is None:
+                raise ValueError(f"partition source {src!r} not in schema")
+            tr.parse(transform)
+            suffix = transform.split("[")[0]
+            name = src if transform == "identity" else f"{src}_{suffix}"
+            pfields.append(PartitionField(f.id, base + 1 + i, transform, name))
+        new_spec = PartitionSpec(max(s.spec_id for s in self.meta.partition_specs) + 1, pfields)
+        meta = self.meta
+        new_meta = TableMetadata(
+            table_uuid=meta.table_uuid, location=meta.location,
+            last_column_id=meta.last_column_id, schemas=meta.schemas,
+            current_schema_id=meta.current_schema_id,
+            partition_specs=meta.partition_specs + [new_spec],
+            default_spec_id=new_spec.spec_id, snapshots=meta.snapshots,
+            current_snapshot_id=meta.current_snapshot_id, properties=meta.properties,
+            last_sequence_number=meta.last_sequence_number,
+        )
+        self._write_version(self._version + 1, new_meta)
+
+
+def _decode_part(v: str):
+    """Directory partition values arrive as strings; keep ints as ints."""
+    if v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        return v

@@ -1,0 +1,125 @@
+"""Partition transforms (docs/07-partitioning.md:42-52,
+docs/01-table-format-architecture.md:111-120): identity, year, month,
+day, hour, bucket[N], truncate[W].
+
+Each transform supplies:
+- ``spark_column(col)`` — the Column materialized as the hidden
+  partition column at write time (``_p_<name>`` directory key);
+- ``apply(value)`` — the same transform applied to a Python literal on
+  the driver, used by hidden-partitioning predicate projection
+  (docs/07-partitioning.md:19-40): a filter on the *natural* column is
+  mapped onto the partition value domain to prune manifests;
+- ``monotone`` — whether ranges map to ranges (True for time/truncate
+  transforms → full range pruning; bucket supports equality only).
+
+Partition values are JSON-encoded order-preservingly: months as
+"yyyy-MM", days as "yyyy-MM-dd", hours as "yyyy-MM-dd-HH" (lexical =
+chronological), years/buckets as ints, truncate as the prefix.
+
+bucket[N] hashes with ``pmod(xxhash64(col), N)``.  xxhash64 is Spark's
+JVM implementation; driver-side ``apply`` for bucket therefore runs a
+one-row Spark job (cached) rather than risking a subtly-different
+Python reimplementation.  Note: Iceberg-spec bucket is murmur3_x86_32
+— our tables are self-consistent but not byte-compatible with external
+Iceberg writers (documented gap, SURVEY.md §2.7 F6).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+_BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
+_TRUNC_RE = re.compile(r"^truncate\[(\d+)\]$")
+
+_bucket_cache: dict[tuple, int] = {}
+
+
+def _to_dt(v) -> _dt.datetime:
+    if isinstance(v, _dt.datetime):
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
+    if isinstance(v, str):
+        return _dt.datetime.fromisoformat(v)
+    raise TypeError(f"not a timestamp literal: {v!r}")
+
+
+@dataclass
+class Transform:
+    name: str  # full transform string, e.g. "day" or "bucket[16]"
+
+    @property
+    def kind(self) -> str:
+        return self.name.split("[")[0]
+
+    @property
+    def param(self) -> int | None:
+        m = _BUCKET_RE.match(self.name) or _TRUNC_RE.match(self.name)
+        return int(m.group(1)) if m else None
+
+    @property
+    def monotone(self) -> bool:
+        return self.kind in ("identity", "year", "month", "day", "hour", "truncate")
+
+    def spark_column(self, col: Column | str) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        k = self.kind
+        if k == "identity":
+            return c
+        if k == "year":
+            return F.year(c)
+        if k == "month":
+            return F.date_format(c, "yyyy-MM")
+        if k == "day":
+            return F.date_format(c, "yyyy-MM-dd")
+        if k == "hour":
+            return F.date_format(c, "yyyy-MM-dd-HH")
+        if k == "bucket":
+            return F.pmod(F.xxhash64(c), F.lit(self.param))
+        if k == "truncate":
+            # prefix truncation (string semantics; integral columns are
+            # stringified first — order-preserving for fixed-width keys)
+            return F.substring(c.cast("string"), 1, self.param)
+        raise ValueError(f"unknown transform {self.name}")
+
+    def apply(self, value, spark: SparkSession | None = None):
+        """Driver-side transform of a literal (for predicate projection)."""
+        k = self.kind
+        if k == "identity":
+            return value
+        if k == "year":
+            return _to_dt(value).year
+        if k == "month":
+            return _to_dt(value).strftime("%Y-%m")
+        if k == "day":
+            return _to_dt(value).strftime("%Y-%m-%d")
+        if k == "hour":
+            return _to_dt(value).strftime("%Y-%m-%d-%H")
+        if k == "truncate":
+            return str(value)[: self.param]
+        if k == "bucket":
+            if spark is None:
+                return None  # caller keeps the file (no pruning)
+            key = (repr(value), self.param)
+            if key not in _bucket_cache:
+                row = (
+                    spark.createDataFrame([(value,)], ["v"])
+                    .select(F.pmod(F.xxhash64("v"), F.lit(self.param)).alias("b"))
+                    .first()
+                )
+                _bucket_cache[key] = row["b"]
+            return _bucket_cache[key]
+        raise ValueError(f"unknown transform {self.name}")
+
+
+def parse(name: str) -> Transform:
+    if name in ("identity", "year", "month", "day", "hour") or _BUCKET_RE.match(
+        name
+    ) or _TRUNC_RE.match(name):
+        return Transform(name)
+    raise ValueError(f"unknown transform {name!r}")

@@ -1,0 +1,130 @@
+"""DML invariants: COW delete/update/merge vs DataFrame-computed
+expectations; MOR equality deletes incl. sequence semantics
+(docs/08-acid-transactions.md)."""
+
+from pyspark.sql import functions as F
+
+from icepack.catalog import Catalog
+from icepack.dml import source_col
+from icepack.expr import col
+from icepack.io import load
+
+from tests.conftest import SF_DIR, rows_sorted
+
+
+def _orders_table(spark, warehouse, name="db.o", **props):
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table(name, orders.schema, properties=props or None)
+    t.append(orders)
+    return t, orders
+
+
+def test_cow_delete(spark, warehouse):
+    t, orders = _orders_table(spark, warehouse)
+    t.delete(col("o_orderstatus") == "F")
+    assert rows_sorted(t.toDF()) == rows_sorted(orders.filter("o_orderstatus <> 'F'"))
+    # deleted data still reachable via time travel
+    first = min(t.meta.snapshots, key=lambda s: s.sequence_number)
+    assert t.toDF(snapshot=first).count() == orders.count()
+
+
+def test_cow_delete_prunes_rewrite(spark, warehouse):
+    """Only files that may contain matches are rewritten."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.o", orders.schema, partition_by=[("o_orderdate", "year")])
+    t.append(orders)
+    before = {f.path for f in t.live_files()}
+    t.delete((col("o_orderdate") >= "1995-01-01") & (col("o_orderdate") < "1996-01-01"))
+    after = {f.path for f in t.live_files()}
+    assert before & after, "files outside the predicate partitions must be carried over"
+    assert rows_sorted(t.toDF()) == rows_sorted(
+        orders.filter("o_orderdate >= '1996-01-01' OR o_orderdate < '1995-01-01'")
+    )
+
+
+def test_update(spark, warehouse):
+    t, orders = _orders_table(spark, warehouse)
+    t.update(col("o_orderstatus") == "O", {"o_totalprice": F.col("o_totalprice") * 1.1})
+    expected = orders.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice") * 1.1).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    got = t.toDF().agg(F.round(F.sum("o_totalprice"), 2)).first()[0]
+    want = expected.agg(F.round(F.sum("o_totalprice"), 2)).first()[0]
+    assert got == want
+    assert t.toDF().count() == orders.count()
+
+
+def test_merge_upsert(spark, warehouse):
+    """matched → update, not matched → insert, single snapshot."""
+    t, orders = _orders_table(spark, warehouse)
+    n_snaps = len(t.meta.snapshots)
+    src = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.lit(1.0))
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 5 == 0).withColumn("o_totalprice", F.lit(2.0))
+        )
+    )
+    t.merge(src, on=["o_orderkey"], when_matched_update={"o_totalprice": source_col("o_totalprice")})
+    assert len(t.meta.snapshots) == n_snaps + 1
+    df = t.toDF()
+    n_ins = orders.filter(F.col("o_orderkey") % 3 == 0).count()
+    assert df.count() == orders.count() + n_ins
+    assert df.filter("o_orderkey >= 1000000").count() == n_ins
+    n_upd = orders.filter(F.col("o_orderkey") % 5 == 0).count()
+    assert df.filter("o_totalprice = 2.0").count() == n_upd
+
+
+def test_merge_matched_delete(spark, warehouse):
+    t, orders = _orders_table(spark, warehouse)
+    src = orders.filter(F.col("o_orderkey") % 2 == 0)
+    t.merge(src, on=["o_orderkey"], when_matched_delete=True, when_not_matched_insert=False)
+    assert rows_sorted(t.toDF()) == rows_sorted(orders.filter("o_orderkey % 2 = 1"))
+
+
+def test_mor_delete_and_reinsert(spark, warehouse):
+    """MOR: delete writes a delete file; re-inserted keys with HIGHER
+    sequence numbers survive (sequence-correct read merge)."""
+    cat = Catalog(spark, warehouse)
+    ev = load(spark, SF_DIR, "events")
+    t = cat.create_table(
+        "db.ev", ev.schema,
+        properties={"write.delete.mode": "merge-on-read", "identifier-field-names": "event_id"},
+    )
+    t.append(ev)
+    t.delete(col("value") > 100.0)
+    expected = ev.filter("value <= 100.0")
+    assert t.toDF().count() == expected.count()
+    assert len(t.live_files(content="equality-deletes")) == 1
+    # re-insert a slice of the deleted keys: must NOT be re-deleted
+    back = ev.filter("value > 200.0")
+    assert back.count() > 0
+    t.append(back)
+    assert t.toDF().count() == expected.count() + back.count()
+    # compaction folds deletes in and clears delete files
+    t.compact()
+    assert len(t.live_files(content="equality-deletes")) == 0
+    assert t.toDF().count() == expected.count() + back.count()
+
+
+def test_mor_equals_cow(spark, warehouse):
+    """Read-time equivalence of the two delete modes (docs/08:104-116)."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    a = cat.create_table("db.cow", orders.schema)
+    a.append(orders)
+    b = cat.create_table(
+        "db.mor", orders.schema,
+        properties={"write.delete.mode": "merge-on-read", "identifier-field-names": "o_orderkey"},
+    )
+    b.append(orders)
+    pred = col("o_totalprice") > 300000.0
+    a.delete(pred)
+    b.delete(pred)
+    assert rows_sorted(a.toDF()) == rows_sorted(b.toDF())

@@ -1,0 +1,125 @@
+"""Maintenance: compaction, clustering, manifest rewrite, snapshot
+expiry, orphan cleanup (docs/10-maintenance-operations.md,
+docs/05-snapshots-time-travel.md:101-119)."""
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from icepack.catalog import Catalog
+from icepack.expr import col
+from icepack.io import load
+
+from tests.conftest import SF_DIR, rows_sorted
+
+
+def _future_ms():
+    return int(time.time() * 1000) + 60_000
+
+
+def test_compact_preserves_and_shrinks(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.o", orders.schema)
+    for i in range(6):  # many tiny commits → small-file problem
+        t.append(orders.filter(F.col("o_orderkey") % 6 == i).repartition(4))
+    assert len(t.live_files()) >= 20
+    before = rows_sorted(t.toDF())
+    snap = t.compact(target_file_size=64 * 1024 * 1024)
+    assert snap.operation == "replace"
+    assert len(t.live_files()) < 6
+    assert rows_sorted(t.toDF()) == before
+
+
+def test_cluster_by_tightens_bounds(spark, warehouse):
+    """CLUSTER BY rewrite (docs/09:156-168): after range-clustering on
+    o_orderkey a point predicate hits fewer files."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.o", orders.schema)
+    t.append(orders.repartition(8))  # random layout: every file spans full key range
+    pred = col("o_orderkey") < 100
+    _, before = t.plan_files(pred)
+    assert before["files_scanned"] == before["files_total"]
+    # tiny target so the ~50KB fixture still splits into several files
+    t.compact(target_file_size=8 * 1024, cluster_by=["o_orderkey"])
+    _, after = t.plan_files(pred)
+    assert after["files_total"] > 1
+    assert after["files_scanned"] < after["files_total"]
+    assert rows_sorted(t.toDF(pred)) == rows_sorted(orders.filter("o_orderkey < 100"))
+
+
+def test_rewrite_manifests(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.o", orders.schema)
+    for i in range(5):
+        t.append(orders.filter(F.col("o_orderkey") % 5 == i).coalesce(1))
+    assert t.manifests().count() == 5
+    before = rows_sorted(t.toDF())
+    t.rewrite_manifests()
+    assert t.manifests().count() == 1
+    assert rows_sorted(t.toDF()) == before
+
+
+def test_expire_snapshots(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.o", orders.schema)
+    t.append(orders.filter("o_orderkey % 2 = 0"))
+    t.append(orders.filter("o_orderkey % 2 = 1"))
+    t.delete(col("o_orderstatus") == "F")  # rewrites files → old ones expire-able
+    n_before = t.toDF().count()
+    paths_before = set()
+    for s in t.meta.snapshots:
+        paths_before |= {f.path for f in t.live_files(s)}
+    r = t.expire_snapshots(older_than_ms=_future_ms(), retain_last=1)
+    assert r["expired"] == 2 and r["deleted_files"] > 0
+    assert len(t.meta.snapshots) == 1
+    assert t.toDF().count() == n_before  # current stays readable (docs/05:115-119)
+    live = {f.path for f in t.live_files()}
+    for p in paths_before - live:
+        assert not os.path.exists(p)
+
+
+def test_retention_property_default(spark, warehouse):
+    """DATA_RETENTION_TIME_IN_DAYS=0 → everything but current expires."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table(
+        "db.o", orders.schema, properties={"DATA_RETENTION_TIME_IN_DAYS": "0"}
+    )
+    t.append(orders.filter("o_orderkey % 2 = 0"))
+    t.append(orders.filter("o_orderkey % 2 = 1"))
+    time.sleep(0.05)
+    r = t.expire_snapshots()
+    assert r["expired"] == 1
+    assert t.toDF().count() == orders.count()
+
+
+def test_remove_orphans(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.o", orders.schema)
+    t.append(orders)
+    orphan_dir = os.path.join(t.location, "data", "stray")
+    os.makedirs(orphan_dir)
+    orphan = os.path.join(orphan_dir, "stray.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    found = t.remove_orphan_files(older_than_ms=_future_ms(), dry_run=True)
+    assert found == [orphan] and os.path.exists(orphan)
+    t.remove_orphan_files(older_than_ms=_future_ms())
+    assert not os.path.exists(orphan)
+    assert t.toDF().count() == orders.count()
+
+
+def test_health_report(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.o", orders.schema)
+    t.append(orders.repartition(4))
+    h = t.health()
+    assert h["file_count"] == 4 and h["snapshot_count"] == 1
+    assert h["needs_compaction"]  # tiny files

@@ -1,0 +1,87 @@
+"""Structured-Streaming ingestion + stateful operators (SURVEY.md
+§2.11): file-source stream → icepack sink; watermarked windows; stream
+dedup."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from icepack.catalog import Catalog
+from icepack.io import load
+from icepack.streaming import dedup_within_watermark, tumbling_counts, write_stream_to_table
+
+from tests.conftest import SF_DIR, rows_sorted
+
+
+def _event_stream(spark, tmp_path, parts=3):
+    """Materialize events as N files and open them as a file-source
+    stream (one micro-batch per trigger)."""
+    ev = load(spark, SF_DIR, "events")
+    src = str(tmp_path / "stream-src")
+    ev.repartition(parts).write.parquet(src)
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    return ev, stream
+
+
+def test_stream_ingest_into_table(spark, tmp_path, warehouse):
+    """foreachBatch sink: each micro-batch = one snapshot commit; final
+    table content == batch content (docs/12:211-236)."""
+    ev, stream = _event_stream(spark, tmp_path)
+    cat = Catalog(spark, warehouse)
+    t = cat.create_table("db.ev", ev.schema, partition_by=[("ts", "day")])
+    q = write_stream_to_table(
+        stream, t, str(tmp_path / "ckpt"), trigger_available_now=True, coalesce_to=1
+    )
+    q.awaitTermination(120)
+    t.refresh()
+    assert rows_sorted(t.toDF()) == rows_sorted(ev)
+    assert len(t.meta.snapshots) >= 2  # batch-level snapshot isolation
+    ops = {s.operation for s in t.meta.snapshots}
+    assert ops == {"append"}
+
+
+def test_streaming_tumbling_equals_batch(spark, tmp_path):
+    """The same window expression under a streaming query and as a
+    batch aggregate agree (complete output mode, memory sink)."""
+    ev, stream = _event_stream(spark, tmp_path)
+    agg = tumbling_counts(stream, window="1 hour", watermark="10 years")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT window_start, event_type, n FROM tumbling_test")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "event_type", "n")
+    )
+    assert rows_sorted(got) == rows_sorted(want)
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """A doubled stream deduped on event_id collapses to one copy."""
+    ev = load(spark, SF_DIR, "events")
+    src = str(tmp_path / "dup-src")
+    ev.coalesce(1).write.parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # duplicate files
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    dedup = dedup_within_watermark(stream, ["event_id"], watermark="10 years")
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(*) AS n FROM dedup_test").first()["n"]
+    assert n == ev.count()

@@ -1,0 +1,141 @@
+"""Table core: create/append/scan round-trips, time travel, pruning,
+concurrent-commit CAS (SURVEY.md §5.3)."""
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from icepack.catalog import Catalog
+from icepack.expr import col
+from icepack.io import load
+from icepack.table import IceTable
+
+from tests.conftest import SF_DIR, rows_sorted
+
+
+def test_create_append_roundtrip(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.orders", orders.schema)
+    t.append(orders)
+    assert rows_sorted(t.toDF()) == rows_sorted(orders)
+    # reload from disk sees the same
+    t2 = cat.load_table("db.orders")
+    assert t2.toDF().count() == orders.count()
+    assert t2.meta.table_uuid == t.meta.table_uuid
+
+
+def test_create_duplicate_fails(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    cat.create_table("db.orders", orders.schema)
+    with pytest.raises(ValueError):
+        cat.create_table("db.orders", orders.schema)
+
+
+def test_time_travel(spark, warehouse):
+    """append → append → as_of(first) reproduces the first slice
+    (docs/05-snapshots-time-travel.md)."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    t = cat.create_table("db.o", orders.schema)
+    s1 = t.append(a)
+    t.append(b)
+    assert t.toDF().count() == orders.count()
+    assert rows_sorted(t.toDF(snapshot=t.as_of(snapshot_id=s1.snapshot_id))) == rows_sorted(a)
+    # timestamp-based travel picks the same snapshot
+    assert t.as_of(timestamp_ms=s1.timestamp_ms).snapshot_id == s1.snapshot_id
+
+
+def test_partition_pruning_correct_and_effective(spark, warehouse):
+    """Metamorphic: pruned scan ≡ full filter; and pruning actually
+    skips files (hidden partitioning T2)."""
+    cat = Catalog(spark, warehouse)
+    ev = load(spark, SF_DIR, "events")
+    t = cat.create_table(
+        "db.ev", ev.schema, partition_by=[("event_type", "identity"), ("ts", "day")]
+    )
+    t.append(ev)
+    pred = (col("ts") >= "2024-01-05") & (col("ts") < "2024-01-08") & (
+        col("event_type") == "click"
+    )
+    expected = ev.filter(
+        (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-08")
+        & (F.col("event_type") == "click")
+    )
+    assert rows_sorted(t.toDF(pred)) == rows_sorted(expected)
+    _, report = t.plan_files(pred)
+    assert report["files_scanned"] < report["files_total"]
+
+
+def test_stats_file_pruning(spark, warehouse):
+    """Unpartitioned table still prunes on per-file min/max stats
+    (phase-2, docs/09:33-44)."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.o", orders.schema)
+    # write in orderkey ranges so files have tight disjoint bounds
+    t.append(orders.filter("o_orderkey < 500").coalesce(1))
+    t.append(orders.filter("o_orderkey >= 500 and o_orderkey < 1000").coalesce(1))
+    t.append(orders.filter("o_orderkey >= 1000").coalesce(1))
+    pred = col("o_orderkey") < 100
+    files, report = t.plan_files(pred)
+    assert report["files_scanned"] == 1 and report["files_total"] == 3
+    assert rows_sorted(t.toDF(pred)) == rows_sorted(orders.filter("o_orderkey < 100"))
+
+
+def test_concurrent_append_cas_merges(spark, warehouse):
+    """Two writers with independent handles both commit; CAS retry
+    merges appends (docs/08-acid-transactions.md:54-78)."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    cat.create_table("db.o", orders.schema)
+    h1 = IceTable.load(spark, cat._loc("db.o"))
+    h2 = IceTable.load(spark, cat._loc("db.o"))
+    a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    errs = []
+
+    def w(handle, df):
+        try:
+            handle.append(df)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=w, args=(h1, a))
+    t2 = threading.Thread(target=w, args=(h2, b))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    final = IceTable.load(spark, cat._loc("db.o"))
+    assert final.toDF().count() == orders.count()
+    assert len(final.meta.snapshots) == 2
+
+
+def test_metadata_tables(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.o", orders.schema)
+    t.append(orders.repartition(2))
+    t.append(orders.repartition(1))
+    assert t.snapshots().count() == 2
+    assert t.files().count() == 3
+    assert t.manifests().count() == 2  # incremental: one per append
+    h = t.history().collect()
+    assert h[-1]["is_current"]
+    d = t.describe()
+    assert d["snapshot-count"] == 2 and d["current-snapshot-id"] is not None
+
+
+def test_incremental_manifest_reuse(spark, warehouse):
+    """Append must NOT rewrite prior manifests (O(new) commits)."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.o", orders.schema)
+    t.append(orders.coalesce(1))
+    m1 = {r["manifest_path"] for r in t.manifests().collect()}
+    t.append(orders.coalesce(1))
+    m2 = {r["manifest_path"] for r in t.manifests().collect()}
+    assert m1 < m2  # previous manifest referenced untouched
