@@ -417,6 +417,138 @@ def x9_binary_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x11_token_regex",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(MAX(len(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT)
+             AS max_tokens
+    FROM documents GROUP BY lang
+    """,
+)
+def x11_token_regex(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish regex tokenization (word/number pieces) — token counting
+    entirely in JVM regexp, no Python."""
+    d = load(spark, sf, "documents")
+    toks = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0))
+    return d.groupBy("lang").agg(
+        F.sum(toks).cast("bigint").alias("n_tokens"),
+        F.max(toks).cast("bigint").alias("max_tokens"),
+    )
+
+
+@query(
+    "x12_lang_id",
+    oracle="""
+    SELECT lang,
+           CASE
+             WHEN len(list_filter(string_split(text, ' '),
+                      w -> w IN ('the', 'data', 'query'))) * 5
+                  >= len(string_split(text, ' ')) THEN 'en-like'
+             ELSE 'other'
+           END AS predicted,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def x12_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID heuristic: n-gram/stopword evidence ratio → label.
+    (A real LID model swaps in as a pandas_udf over the same shape; the
+    classification plumbing — per-doc score → label → distribution —
+    is what's exercised.)"""
+    d = load(spark, sf, "documents").withColumn("w", F.split("text", " "))
+    hits = F.size(F.filter("w", lambda x: x.isin("the", "data", "query")))
+    pred = F.when(hits * 5 >= F.size("w"), F.lit("en-like")).otherwise(F.lit("other"))
+    return d.groupBy("lang", pred.alias("predicted")).agg(F.count("*").alias("n"))
+
+
+@query(
+    "x13_embedding_neardup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST(embedding[1] > 0 AS INT) * 2 + CAST(embedding[2] > 0 AS INT) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+             / (sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')})), 4) AS cos_sim
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+          / (sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')})
+             * sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')})) > 0.5
+    """,
+)
+def x13_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup with LSH-style blocking: pairs are
+    generated only within sign-buckets (the 100 TB-safe shape — an
+    unblocked O(n²) cross join never happens), then exact-scored."""
+    e = load(spark, sf, "embeddings")
+    bucket = (F.element_at("embedding", 1) > 0).cast("int") * 2 + (
+        F.element_at("embedding", 2) > 0
+    ).cast("int")
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    a2, b2 = b.alias("a"), b.alias("b")
+    pair = a2.join(
+        b2, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.sqrt(_dot(F.col("a.embedding"), F.col("a.embedding")))
+        * F.sqrt(_dot(F.col("b.embedding"), F.col("b.embedding")))
+    )
+    return pair.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(cos, 4).alias("cos_sim"),
+    ).filter(F.col("cos_sim") > 0.5)
+
+
+@query(
+    "x14_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                              BETWEEN 10 AND 90
+                         THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS sum_mid_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def x14_variant_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VARIANT path (docs/12:96-104): parse_json →
+    variant_get with a typed path — the engine-native semi-structured
+    column, vs. the string-based get_json_object in p5."""
+    ev = load(spark, sf, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    mid = F.when(k.between(10, 90), k).otherwise(F.lit(0))
+    return ev.groupBy("event_type").agg(
+        F.sum(mid).cast("bigint").alias("sum_mid_k"), F.count("*").alias("n")
+    )
+
+
+@query("x15_multimodal_features")
+def x15_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """X5 plumbing end-to-end: pack text as opaque binary payloads,
+    Arrow-batched mapInPandas feature extraction, aggregate per mime.
+    Rows-only check (the byte-stat features aren't SQL-reproducible);
+    determinism + shape invariants are pytest-covered
+    (tests/test_multimodal.py)."""
+    from ..multimodal import attach_binary_payload, extract_features
+
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    feats = extract_features(attach_binary_payload(d))
+    return feats.groupBy("mime", "byte_entropy_bucket").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
+    )
+
+
+@query(
     "x10_doc_embedding_join",
     oracle=f"""
     SELECT e.label, COUNT(*) AS n_docs,

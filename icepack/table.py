@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import transforms as tr
-from .expr import AlwaysTrue, Expr, partition_tuple_matches, project_to_partition
+from .expr import Expr, partition_tuple_matches, project_to_partition
 from .manifest import (
     DataFile,
     harvest_stats,

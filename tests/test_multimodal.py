@@ -1,0 +1,63 @@
+"""Multimodal plumbing: binary payload columns + mapInPandas stages
+(SURVEY.md §2.13 X5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from icepack.io import load
+from icepack.multimodal import (
+    attach_binary_payload,
+    decode_image,
+    extract_features,
+    sample_frames,
+)
+
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return attach_binary_payload(load(spark, SF_DIR, "documents"))
+
+
+def test_payload_schema(spark):
+    df = _docs(spark)
+    types = dict(df.dtypes)
+    assert types["payload"] == "binary"
+    assert types["media"].startswith("struct<mime:string,n_bytes:bigint")
+    row = df.select("media.n_bytes", F.octet_length("payload").alias("n")).first()
+    assert row["n_bytes"] == row["n"]
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc", fake=False)
+
+
+def test_feature_extraction_distributed(spark):
+    df = _docs(spark).repartition(4)
+    feats = extract_features(df)
+    rows = feats.collect()
+    assert len(rows) == df.count()
+    byid = {r["doc_id"]: r for r in rows}
+    # deterministic: recompute one row driver-side
+    sample = df.select("doc_id", "payload").first()
+    blob = bytes(sample["payload"])
+    assert byid[sample["doc_id"]]["n_bytes"] == len(blob)
+    assert byid[sample["doc_id"]]["byte_mean"] == round(sum(blob) / len(blob), 4)
+    assert 0 <= byid[sample["doc_id"]]["byte_entropy_bucket"] < 16
+
+
+def test_frame_sampling_one_to_many(spark):
+    df = _docs(spark)
+    frames = sample_frames(df, every_n_bytes=64)
+    n_docs = df.count()
+    assert frames.count() > n_docs  # one row in → many out
+    # frame counts match ceil(n_bytes/64) exactly
+    got = frames.groupBy("doc_id").agg(F.count("*").alias("n_frames"))
+    want = df.select("doc_id", F.ceil(F.col("media.n_bytes") / 64).cast("long").alias("n_frames"))
+    joined = got.alias("g").join(want.alias("w"), "doc_id")
+    assert joined.filter(F.col("g.n_frames") != F.col("w.n_frames")).count() == 0
+    # reassembling frames reproduces the payload byte length
+    total = frames.agg(F.sum(F.octet_length("frame_bytes"))).first()[0]
+    want_total = df.agg(F.sum("media.n_bytes")).first()[0]
+    assert total == want_total

@@ -2,7 +2,6 @@
 §2.11): file-source stream → icepack sink; watermarked windows; stream
 dedup."""
 
-import os
 
 from pyspark.sql import functions as F
 
