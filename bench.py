@@ -40,6 +40,9 @@ HEADLINE = [
     "x1_exact_dedup",
     "p1_pruned_scan",
     "f8_explode_words",
+    # table-layer lifecycle: create→append→(prune/delete)→scan
+    "ice1_create_append_read",
+    "ice7_hidden_partition_prune",
 ]
 
 

@@ -115,24 +115,26 @@ def x2_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     (stop-shingles) to bound bucket sizes; the MinHash variant below is
     the designed scale path."""
     sh = _doc_shingles(spark, sf)
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    # carry each doc's shingle-set size THROUGH the explode so pair rows
+    # already hold |A| and |B| — no size-lookup joins, and the shingle
+    # pipeline is computed for the two join inputs only
+    ex = sh.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    )
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count("*").alias("common"))
     )
-    # per-doc sizes are dimension-tiny next to the pair table: broadcast
-    # both lookups so pair scoring adds zero shuffles
-    sa = F.broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a")))
-    sb = F.broadcast(sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b")))
     jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(jac >= 0.8)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    return pairs.filter(jac >= 0.8).select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
     )
 
 

@@ -204,6 +204,25 @@ def ice9_compact_expire(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ice11_incremental_read",
+    oracle="""
+    SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE ts >= TIMESTAMP '2024-02-01'
+    """,
+)
+def ice11_incremental_read(spark: SparkSession, sf: str) -> DataFrame:
+    """ST6: bronze→silver incremental pipeline via the changelog scan —
+    after processing snapshot 1, ``changes(since)`` returns exactly the
+    rows appended after it, reading only the new files."""
+    ev = load(spark, sf, "events").select("event_id", "event_type", "ts", "value")
+    cut = F.lit("2024-02-01").cast("timestamp_ntz")
+    t = IceTable.create(spark, _scratch(), ev.schema)
+    s1 = t.append(ev.filter(F.col("ts") < cut))
+    t.append(ev.filter(F.col("ts") >= cut))
+    return t.changes(since_snapshot_id=s1.snapshot_id)
+
+
+@query(
     "ice10_mor_delete",
     oracle="""
     SELECT event_id, event_type, value FROM events WHERE value <= 100.0

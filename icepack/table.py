@@ -460,6 +460,37 @@ class IceTable:
             out = out.filter(predicate.to_column())  # full filter, always
         return out
 
+    def changes(
+        self, since_snapshot_id: int | None = None, predicate: Expr | None = None
+    ) -> DataFrame:
+        """Incremental (changelog) scan — the bronze→silver pattern
+        (docs/12-lakehouse-patterns.md:94-104) without manual
+        high-water-mark bookkeeping: rows from data files committed
+        AFTER the given snapshot (by commit sequence number).  An
+        incremental consumer stores the snapshot id it last processed
+        and reads only the delta; at 100 TB this reads the new files
+        only, never rescanning the table.  Append-only semantics:
+        replaced/rewritten files (compaction, DML) surface as new
+        sequence numbers — consumers needing exactly-once row deltas
+        should run between maintenance windows (documented limitation).
+        """
+        base_seq = -1
+        if since_snapshot_id is not None:
+            snap = self.meta.snapshot_by_id(since_snapshot_id)
+            if snap is None:
+                raise ValueError(f"unknown snapshot {since_snapshot_id}")
+            base_seq = snap.sequence_number
+        files = [
+            f
+            for f in self.live_files(content="data")
+            if f.sequence_number > base_seq
+            and (predicate is None or predicate.may_match_file(f.stats, f.record_count))
+        ]
+        out = self._read_files(files)
+        if predicate is not None:
+            out = out.filter(predicate.to_column())
+        return out
+
     # -- time travel (S8) ---------------------------------------------------
 
     def as_of(self, snapshot_id: int | None = None, timestamp_ms: int | None = None) -> Snapshot:

@@ -1,0 +1,105 @@
+"""Scale-pattern helpers: incremental/changelog reads, salted
+aggregation/joins for skew, bucketed co-located joins (SURVEY.md §4)."""
+
+from pyspark.sql import functions as F
+
+from icepack.catalog import Catalog
+from icepack.expr import col
+from icepack.io import load
+from icepack.skew import salted_agg, salted_shuffle_join
+
+from tests.conftest import SF_DIR, rows_sorted
+
+
+# -- incremental reads -------------------------------------------------------
+
+
+def test_changes_reads_only_new_files(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.o", orders.schema)
+    s1 = t.append(orders.filter("o_orderkey % 3 = 0"))
+    t.append(orders.filter("o_orderkey % 3 = 1"))
+    s3 = t.append(orders.filter("o_orderkey % 3 = 2"))
+    # delta since first commit = commits 2+3
+    got = t.changes(since_snapshot_id=s1.snapshot_id)
+    want = orders.filter("o_orderkey % 3 != 0")
+    assert rows_sorted(got) == rows_sorted(want)
+    # delta since latest = empty; full history = everything
+    assert t.changes(since_snapshot_id=s3.snapshot_id).count() == 0
+    assert t.changes().count() == orders.count()
+
+
+def test_changes_with_predicate_prunes(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.o", orders.schema)
+    s1 = t.append(orders.filter("o_orderkey < 750").coalesce(1))
+    t.append(orders.filter("o_orderkey >= 750").coalesce(1))
+    got = t.changes(since_snapshot_id=s1.snapshot_id, predicate=col("o_orderkey") >= 1000)
+    assert rows_sorted(got) == rows_sorted(orders.filter("o_orderkey >= 1000"))
+
+
+# -- skew helpers ------------------------------------------------------------
+
+
+def test_salted_agg_equals_plain(spark):
+    ev = load(spark, SF_DIR, "events")
+    plain = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+    salted = salted_agg(
+        ev,
+        ["event_type"],
+        aggs=[F.count("*").alias("n"), F.sum("value").alias("v")],
+        combines=[F.sum("n").alias("n"), F.round(F.sum("v"), 2).alias("v")],
+    )
+    assert rows_sorted(plain) == rows_sorted(salted)
+
+
+def test_salted_join_equals_plain(spark):
+    # simulate skew: every lineitem of one hot order replicated
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+    o = o.withColumnRenamed("o_orderkey", "l_orderkey")
+    plain = li.join(o, "l_orderkey", "inner")
+    salted = salted_shuffle_join(li, o, "l_orderkey", salt=4)
+    assert sorted(plain.columns) == sorted(salted.columns)
+    assert rows_sorted(plain.select(*sorted(plain.columns))) == rows_sorted(
+        salted.select(*sorted(plain.columns))
+    )
+
+
+# -- bucketed co-located join ------------------------------------------------
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """bucketBy on both sides of the join key removes the Exchange
+    under the SortMergeJoin — the zero-shuffle co-located join the
+    survey prescribes for repeated 100 TB fact-fact joins."""
+    li = load(spark, SF_DIR, "lineitem")
+    o = load(spark, SF_DIR, "orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    (li.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+       .option("path", str(tmp_path / "b_li")).saveAsTable("b_lineitem"))
+    (o.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+       .option("path", str(tmp_path / "b_o")).saveAsTable("b_orders"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a sort-merge join: broadcast would bypass bucketed reads
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        joined.count()  # finalize the adaptive plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan
+        # and it's still correct
+        want = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert joined.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
