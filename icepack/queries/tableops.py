@@ -223,6 +223,40 @@ def ice11_incremental_read(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ice12_sql_over_table",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def ice12_sql_over_table(spark: SparkSession, sf: str) -> DataFrame:
+    """S2 (analyzer side): icepack tables registered as views are
+    first-class spark.sql citizens — a SQL join across two icepack
+    tables resolves through the session catalog and runs on stock
+    Catalyst."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    to = IceTable.create(spark, _scratch(), orders.schema)
+    to.append(orders)
+    tc = IceTable.create(spark, _scratch(), customer.schema)
+    tc.append(customer)
+    to.toDF().createOrReplaceTempView("ice_orders")
+    tc.toDF().createOrReplaceTempView("ice_customer")
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM ice_orders o JOIN ice_customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderdate >= TIMESTAMP_NTZ '1998-01-01'
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+@query(
     "ice10_mor_delete",
     oracle="""
     SELECT event_id, event_type, value FROM events WHERE value <= 100.0
