@@ -113,6 +113,29 @@ def test_mor_delete_and_reinsert(spark, warehouse):
     assert t.toDF().count() == expected.count() + back.count()
 
 
+def test_conflicting_deletes_abort(spark, warehouse):
+    """Two writers deleting overlapping files: the loser's CAS retry
+    must ABORT (its replaced files are gone), never silently resurrect
+    them (docs/08-acid-transactions.md:54-78 — only appends auto-merge)."""
+    import pytest
+
+    from icepack.table import CommitConflict, IceTable
+
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    cat.create_table("db.o", orders.schema)
+    h1 = IceTable.load(spark, cat._loc("db.o"))
+    h1.append(orders)
+    h2 = IceTable.load(spark, cat._loc("db.o"))
+    h1.delete(col("o_orderstatus") == "F")
+    # h2 plans against the stale base; its hit files were just rewritten
+    with pytest.raises(CommitConflict):
+        h2.delete(col("o_orderstatus") == "P")
+    # the first delete's result is intact
+    final = IceTable.load(spark, cat._loc("db.o"))
+    assert rows_sorted(final.toDF()) == rows_sorted(orders.filter("o_orderstatus <> 'F'"))
+
+
 def test_mor_equals_cow(spark, warehouse):
     """Read-time equivalence of the two delete modes (docs/08:104-116)."""
     cat = Catalog(spark, warehouse)
