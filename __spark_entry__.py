@@ -23,11 +23,11 @@ from icepack.queries import all_oracles, all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1, the reference's gold-layer aggregate
-    shape) on /root/testdata/sf0.001; driver checks rows>0."""
-    from icepack.queries.relational import a4_tpch_q1
+    """Flagship query (the reference's gold-layer join-aggregate,
+    SURVEY.md M0) on /root/testdata/sf0.001; driver checks rows>0."""
+    from icepack.queries.relational import a0_gold_daily
 
-    return a4_tpch_q1(spark, "/root/testdata/sf0.001")
+    return a0_gold_daily(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

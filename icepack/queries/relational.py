@@ -457,6 +457,51 @@ def a4_tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "a0_gold_daily",
+    oracle="""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS order_month,
+           c.c_mktsegment,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+    """,
+)
+def a0_gold_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """The gold-layer aggregate the reference builds its lakehouse
+    around (docs/12-lakehouse-patterns.md:107-126), on TPC-H-ish
+    fixtures: fact⋈fact⋈dim with a date-range filter, monthly rollup
+    per segment.  Customer broadcasts; the lineitem⋈orders shuffle is
+    the one unavoidable wide dependency."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    c = load(spark, sf, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("order_month"),
+            "c_mktsegment",
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@query(
     "a5_scalar_subquery",
     oracle="""
     SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
@@ -557,6 +602,51 @@ def a3_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
             F.abs(F.approx_count_distinct("l_orderkey", 0.02) - F.countDistinct("l_orderkey"))
             <= 0.1 * F.countDistinct("l_orderkey")
         ).alias("approx_ok")
+    )
+
+
+@query(
+    "a7_stat_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+           ROUND(quantile_cont(l_quantity, 0.5), 2) AS median_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a7_stat_aggs(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregate family (stddev/variance/correlation/
+    covariance/median) — engine-parity surface beyond plain SUM/AVG."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("median_qty"),
+    )
+
+
+@query(
+    "a8_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a8_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT (gold-layer reporting shape): explicit value list keeps it
+    a single pass — no extra distinct-values job at 100 TB."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
     )
 
 

@@ -257,6 +257,63 @@ def ice12_sql_over_table(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ice13_medallion",
+    oracle="""
+    WITH silver AS (
+      SELECT DISTINCT ON (event_id) event_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      ORDER BY event_id
+    )
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM silver GROUP BY 1, 2
+    """,
+)
+def ice13_medallion(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's medallion pattern end-to-end
+    (docs/12-lakehouse-patterns.md): bronze = raw append (day-
+    partitioned icepack table); silver = dedup + VARIANT extraction
+    into a second table; gold = daily aggregates.  Every layer is an
+    icepack table; the oracle recomputes the gold result straight from
+    the raw fixture."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf, "events")
+    bronze = IceTable.create(spark, _scratch(), ev.schema, partition_by=[("ts", "day")])
+    bronze.append(ev)
+
+    w = W.partitionBy("event_id").orderBy("ts", "event_id")
+    silver_df = (
+        bronze.toDF()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+    )
+    silver = IceTable.create(spark, _scratch(), silver_df.schema)
+    silver.append(silver_df)
+
+    gold_df = (
+        silver.toDF()
+        .groupBy(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("k").cast("bigint").alias("sum_k"))
+    )
+    gold = IceTable.create(spark, _scratch(), gold_df.schema)
+    gold.append(gold_df)
+    return gold.toDF()
+
+
+@query(
     "ice10_mor_delete",
     oracle="""
     SELECT event_id, event_type, value FROM events WHERE value <= 100.0
