@@ -30,6 +30,12 @@ def compact(table, target_file_size: int = 128 * 1024 * 1024, cluster_by: list[s
     files = table.live_files(content="all")
     if not files:
         return table._commit_snapshot("replace", [])
+    if cluster_by is None:
+        # CLUSTER BY persisted as a table property (docs/09:156-168):
+        # auto-clustering re-applies it on every compaction
+        prop = table.meta.properties.get("write.sort-order")
+        if prop:
+            cluster_by = [c.strip() for c in prop.split(",")]
     total_bytes = sum(f.file_size_bytes for f in files if f.content == "data")
     n_out = max(1, -(-total_bytes // target_file_size))  # ceil
     df = table.toDF()  # deletes applied
