@@ -140,6 +140,49 @@ def p6_null_handling(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "p5_from_json_struct",
+    oracle="""
+    SELECT event_type,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def p5_from_json_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed JSON parsing (from_json with an explicit schema → struct
+    column) — the schema-on-read half of the VARIANT story, vs. the
+    path-extraction half in p5/x14."""
+    ev = load(spark, sf, "events")
+    parsed = ev.withColumn("j", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.min("j.k").cast("bigint").alias("min_k"),
+        F.max("j.k").cast("bigint").alias("max_k"),
+    )
+
+
+@query(
+    "a3_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           (ABS(approx_quantile(l_extendedprice, 0.5)
+                - quantile_cont(l_extendedprice, 0.5))
+              <= 0.05 * quantile_cont(l_extendedprice, 0.5)) AS approx_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a3_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based quantiles (the 100 TB path for medians): engines'
+    sketches differ, so the oracle-stable output is the tolerance check
+    — approx within 5% of exact, in both engines."""
+    li = load(spark, sf, "lineitem")
+    approx = F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+    exact = F.expr("percentile(l_extendedprice, 0.5)")
+    return li.groupBy("l_returnflag").agg(
+        (F.abs(approx - exact) <= 0.05 * exact).alias("approx_ok")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.3 joins
 # ---------------------------------------------------------------------------
