@@ -13,3 +13,21 @@ an Iceberg-on-Snowflake documentation repo) rebuilt Spark-first:
 from __future__ import annotations
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy exports: importing icepack must not drag pyspark in before
+    # the caller has a session (and keeps the driver contract light)
+    if name == "IceTable":
+        from .table import IceTable
+
+        return IceTable
+    if name == "Catalog":
+        from .catalog import Catalog
+
+        return Catalog
+    if name == "col":
+        from .expr import col
+
+        return col
+    raise AttributeError(name)

@@ -57,9 +57,51 @@ def _delete_cow(table, predicate: Expr) -> Snapshot:
     hit, _ = table.plan_files(predicate)
     if not hit:
         return table._commit_snapshot("delete", [])
-    remaining = table._read_files(hit).filter(~predicate.to_column())
-    new_entries = table._write_data_files(remaining)
+    # fast path: files whose stats PROVE every row matches are dropped
+    # without being read — a partition-aligned delete (e.g. dropping old
+    # days) is metadata-only regardless of table size
+    full = [
+        f
+        for f in hit
+        if predicate.all_match_file(f.stats, f.record_count)
+        or (
+            f.partition
+            and _partition_all_match(table, predicate, f)
+        )
+    ]
+    full_paths = {f.path for f in full}
+    partial = [f for f in hit if f.path not in full_paths]
+    new_entries = []
+    if partial:
+        remaining = table._read_files(partial).filter(~predicate.to_column())
+        new_entries = table._write_data_files(remaining)
     return table._commit_snapshot("delete", new_entries, {f.path for f in hit})
+
+
+def _partition_all_match(table, predicate: Expr, f) -> bool:
+    """A file also fully matches when its partition tuple alone proves
+    it: e.g. day(ts)='2024-01-03' under pred ts >= '2024-01-03' AND
+    ts < '2024-01-04' — true for identity partitions; for truncating
+    transforms only when the predicate covers the whole partition,
+    which the tuple-as-point check below captures for closed ranges
+    aligned to the transform granularity.  We only use the partition
+    values as exact column stats when the transform is identity (a
+    partition value then IS the column value for every row)."""
+    spec = table.meta.spec_by_id(f.spec_id)
+    schema = table.meta.schema_by_id(f.schema_id)
+    stats = {}
+    for pf in spec.fields:
+        if pf.transform == "identity" and pf.name in f.partition:
+            src = schema.field_by_id(pf.source_id)
+            v = f.partition[pf.name]
+            if src is not None and v is not None:
+                stats[src.name] = {"min": v, "max": v, "nulls": 0}
+    if not stats:
+        return False
+    # merge with (narrower) file stats where present
+    merged = dict(f.stats)
+    merged.update(stats)
+    return predicate.all_match_file(merged, f.record_count)
 
 
 def _delete_mor(table, predicate: Expr) -> Snapshot:

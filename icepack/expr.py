@@ -95,6 +95,13 @@ class Expr:
         """True unless the file's stats prove no row matches."""
         return True
 
+    def all_match_file(self, stats: dict, record_count: int) -> bool:
+        """True only if the stats PROVE every row matches (the dual of
+        may_match): lets DELETE drop whole files without reading them
+        (partition-aligned deletes at 100 TB = metadata-only).
+        Conservative default: False."""
+        return False
+
     def references(self) -> set[str]:
         return set()
 
@@ -103,6 +110,9 @@ class Expr:
 class AlwaysTrue(Expr):
     def to_column(self) -> Column:
         return F.lit(True)
+
+    def all_match_file(self, stats: dict, record_count: int) -> bool:
+        return True
 
 
 @dataclass
@@ -202,6 +212,32 @@ class Cmp(Expr):
         return True if r is None else bool(r)
 
 
+    def all_match_file(self, stats: dict, record_count: int) -> bool:
+        s = stats.get(self.name)
+        if not s:
+            return False
+        lo, hi, nulls = s.get("min"), s.get("max"), s.get("nulls", 0)
+        if lo is None or hi is None or nulls is None or nulls > 0:
+            return False  # NULLs never satisfy a comparison
+        v = self.value
+        if self.op == "<":
+            r = _lt(hi, v)
+        elif self.op == "<=":
+            r = _le(hi, v)
+        elif self.op == ">":
+            r = _lt(v, lo)
+        elif self.op == ">=":
+            r = _le(v, lo)
+        elif self.op == "=":
+            r = _eq(lo, hi) and _eq(lo, v)
+        elif self.op == "!=":
+            a, b = _lt(hi, v), _lt(v, lo)
+            r = (a or b) if (a is not None and b is not None) else None
+        else:
+            return False
+        return bool(r) if r is not None else False
+
+
 @dataclass
 class In(Expr):
     name: str
@@ -215,6 +251,11 @@ class In(Expr):
 
     def may_match_file(self, stats: dict, record_count: int) -> bool:
         return any(Cmp(self.name, "=", v).may_match_file(stats, record_count) for v in self.values)
+
+    def all_match_file(self, stats: dict, record_count: int) -> bool:
+        return any(
+            Cmp(self.name, "=", v).all_match_file(stats, record_count) for v in self.values
+        )
 
 
 @dataclass
@@ -236,6 +277,10 @@ class IsNull(Expr):
             return True
         return s.get("nulls", 0) > 0
 
+    def all_match_file(self, stats: dict, record_count: int) -> bool:
+        s = stats.get(self.name)
+        return bool(s) and s.get("nulls") == record_count
+
 
 @dataclass
 class NotNull(Expr):
@@ -255,6 +300,10 @@ class NotNull(Expr):
         if not s:
             return True
         return s.get("nulls", 0) < record_count
+
+    def all_match_file(self, stats: dict, record_count: int) -> bool:
+        s = stats.get(self.name)
+        return bool(s) and s.get("nulls") == 0
 
 
 @dataclass
@@ -276,6 +325,11 @@ class And(Expr):
             stats, record_count
         )
 
+    def all_match_file(self, stats: dict, record_count: int) -> bool:
+        return self.left.all_match_file(stats, record_count) and self.right.all_match_file(
+            stats, record_count
+        )
+
 
 @dataclass
 class Or(Expr):
@@ -293,6 +347,13 @@ class Or(Expr):
 
     def may_match_file(self, stats: dict, record_count: int) -> bool:
         return self.left.may_match_file(stats, record_count) or self.right.may_match_file(
+            stats, record_count
+        )
+
+    def all_match_file(self, stats: dict, record_count: int) -> bool:
+        # sufficient, not necessary (a disjunction can cover a file
+        # jointly without either side covering it alone) — conservative
+        return self.left.all_match_file(stats, record_count) or self.right.all_match_file(
             stats, record_count
         )
 

@@ -55,6 +55,49 @@ def write_stream_to_table(
     return writer.start()
 
 
+def write_stream_upsert(
+    stream_df: DataFrame,
+    table: IceTable,
+    keys: list[str],
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming UPSERT sink: each micro-batch MERGEs into the table on
+    ``keys`` (matched → take the batch's values, unmatched → insert) —
+    the CDC-apply pattern (docs/12-lakehouse-patterns.md:107-126 run
+    continuously).  One snapshot per batch; late re-deliveries of the
+    same key overwrite idempotently, so the sink tolerates at-least-
+    once sources."""
+    from .dml import source_col
+
+    value_cols = None
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        nonlocal value_cols
+        if value_cols is None:
+            value_cols = [c for c in batch_df.columns if c not in keys]
+        # last-writer-wins within the batch: one row per key
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in value_cols])
+        deduped = (
+            batch_df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        )
+        table.refresh()
+        table.merge(
+            deduped,
+            on=keys,
+            when_matched_update={c: source_col(c) for c in value_cols},
+        )
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def _with_event_time(df: DataFrame) -> DataFrame:
     """Watermarks require TIMESTAMP (not NTZ) event time; under the
     engine's forced-UTC session the cast is value-preserving."""

@@ -113,6 +113,33 @@ def test_mor_delete_and_reinsert(spark, warehouse):
     assert t.toDF().count() == expected.count() + back.count()
 
 
+def test_partition_aligned_delete_is_metadata_only(spark, warehouse):
+    """Deleting whole days from a day-partitioned table must DROP the
+    files, writing nothing new (100 TB partition expiry = metadata
+    commit, no data I/O)."""
+    cat = Catalog(spark, warehouse)
+    ev = load(spark, SF_DIR, "events")
+    t = cat.create_table("db.ev", ev.schema, partition_by=[("ts", "day")])
+    t.append(ev)
+    snap = t.delete((col("ts") >= "2024-01-02") & (col("ts") < "2024-01-04"))
+    assert snap.summary["added-data-files"] == "0"  # nothing rewritten
+    assert int(snap.summary["removed-data-files"]) >= 2  # whole days dropped
+    want = ev.filter("ts < '2024-01-02' OR ts >= '2024-01-04'")
+    assert rows_sorted(t.toDF()) == rows_sorted(want)
+
+
+def test_unaligned_delete_still_rewrites(spark, warehouse):
+    """A predicate cutting through a partition rewrites that file."""
+    cat = Catalog(spark, warehouse)
+    ev = load(spark, SF_DIR, "events")
+    t = cat.create_table("db.ev", ev.schema, partition_by=[("ts", "day")])
+    t.append(ev)
+    snap = t.delete((col("ts") >= "2024-01-02") & (col("ts") < "2024-01-03 12:00:00"))
+    assert int(snap.summary["added-data-files"]) >= 1  # half-day rewritten
+    want = ev.filter("ts < '2024-01-02' OR ts >= '2024-01-03 12:00:00'")
+    assert rows_sorted(t.toDF()) == rows_sorted(want)
+
+
 def test_conflicting_deletes_abort(spark, warehouse):
     """Two writers deleting overlapping files: the loser's CAS retry
     must ABORT (its replaced files are gone), never silently resurrect

@@ -44,6 +44,27 @@ def test_stream_ingest_into_table(spark, tmp_path, warehouse):
     assert ops == {"append"}
 
 
+def test_stream_upsert_idempotent(spark, tmp_path, warehouse):
+    """CDC-apply: streaming the SAME data twice (at-least-once source)
+    leaves exactly one row per key — merge-per-batch is idempotent."""
+    from icepack.streaming import write_stream_upsert
+
+    ev = load(spark, SF_DIR, "events")
+    src = str(tmp_path / "upsert-src")
+    ev.coalesce(1).write.parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # duplicate delivery
+    stream = (
+        spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    cat = Catalog(spark, warehouse)
+    t = cat.create_table("db.ev", ev.schema)
+    q = write_stream_upsert(stream, t, ["event_id"], str(tmp_path / "ckpt-upsert"))
+    q.awaitTermination(180)
+    t.refresh()
+    assert t.toDF().count() == ev.count()
+    assert t.toDF().select("event_id").distinct().count() == ev.count()
+
+
 def test_streaming_tumbling_equals_batch(spark, tmp_path):
     """The same window expression under a streaming query and as a
     batch aggregate agree (complete output mode, memory sink)."""
