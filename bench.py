@@ -25,6 +25,7 @@ from icepack.session import get_session  # noqa: E402
 
 #: headline set: one per operator family, heaviest-per-family first.
 HEADLINE = [
+    "a0_gold_daily",
     "a4_tpch_q1",
     "j1_inner_join",
     "j3_broadcast_star",
@@ -37,6 +38,7 @@ HEADLINE = [
     "x2_jaccard_pairs",
     "x3_minhash_lsh",
     "x5_cosine_topk",
+    "x13_embedding_neardup",
     "x1_exact_dedup",
     "p1_pruned_scan",
     "f8_explode_words",

@@ -258,6 +258,30 @@ def _dot(a, b):
     )
 
 
+def _pair_cosine_pandas():
+    """Arrow-vectorized cosine for the pair-scoring hot path: the
+    Catalyst higher-order lambda interprets per element (slow at
+    O(pairs·dim)), and unrolling the sum overflows JIT method limits —
+    a numpy pandas_udf is the designed slow-path escape (Arrow batch
+    in, one vectorized einsum, Arrow batch out).  Self-contained
+    closure: no module-global references (executors may lack the
+    package on sys.path)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a, b):  # type: ignore[misc]
+        import numpy as np
+        import pandas as pd
+
+        A = np.asarray(a.tolist(), dtype=np.float64)
+        B = np.asarray(b.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / den)
+
+    return cos
+
+
 @query(
     "x5_cosine_topk",
     oracle=f"""
@@ -501,23 +525,16 @@ def x13_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     ).cast("int")
     # precompute each vector's norm ONCE before pairing — recomputing
     # self-norms per pair is O(pairs·dim) wasted work (measured ~10×)
-    b = e.select(
-        "vec_id",
-        "embedding",
-        bucket.alias("bucket"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-    )
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
     a2, b2 = b.alias("a"), b.alias("b")
     pair = a2.join(
         b2, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
     )
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.norm") * F.col("b.norm")
-    )
+    cos_udf = _pair_cosine_pandas()
     # filter on the UNROUNDED cosine (matching the oracle's WHERE);
     # rounding is presentation only
     return (
-        pair.withColumn("cos", cos)
+        pair.withColumn("cos", cos_udf(F.col("a.embedding"), F.col("b.embedding")))
         .filter(F.col("cos") > 0.5)
         .select(
             F.col("a.vec_id").alias("id_a"),
