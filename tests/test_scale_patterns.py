@@ -40,6 +40,30 @@ def test_changes_with_predicate_prunes(spark, warehouse):
     assert rows_sorted(got) == rows_sorted(orders.filter("o_orderkey >= 1000"))
 
 
+def test_diff_between_snapshots(spark, warehouse):
+    """Row-level CDC: an UPDATE surfaces as delete+insert; untouched
+    rows (their files cancel out) never appear."""
+    from pyspark.sql import functions as F2
+
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.o", orders.schema, partition_by=[("o_orderdate", "year")])
+    s1 = t.append(orders)
+    t.update(col("o_orderstatus") == "F", {"o_totalprice": F.lit(0.0)})
+    d = t.diff(s1.snapshot_id)
+    n_f = orders.filter("o_orderstatus = 'F'").count()
+    assert d.filter("_change_type = 'insert'").count() == n_f
+    assert d.filter("_change_type = 'delete'").count() == n_f
+    assert d.filter("_change_type = 'insert' AND o_totalprice != 0.0").count() == 0
+    # appends diff as pure inserts
+    s2 = t.meta.current_snapshot
+    extra = orders.limit(7).withColumn("o_orderkey", F2.col("o_orderkey") + 9_000_000)
+    t.append(extra)
+    d2 = t.diff(s2.snapshot_id)
+    assert d2.count() == 7
+    assert {r["_change_type"] for r in d2.collect()} == {"insert"}
+
+
 # -- skew helpers ------------------------------------------------------------
 
 
