@@ -1052,7 +1052,7 @@ def f8_explode_words(spark: SparkSession, sf: str) -> DataFrame:
     "f9_math",
     oracle="""
     SELECT l_returnflag,
-           ROUND(SUM(ROUND(l_extendedprice * (1 - l_discount), 2)), 2) AS net_revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
            ROUND(AVG(ABS(l_quantity - 25)), 4) AS avg_abs_dev,
            ROUND(SUM(sqrt(l_extendedprice)), 2) AS sum_sqrt,
            ROUND(SUM(pow(l_discount, 2)), 4) AS sum_disc_sq
@@ -1060,9 +1060,13 @@ def f8_explode_words(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def f9_math(spark: SparkSession, sf: str) -> DataFrame:
+    """NOTE: never ROUND inside a SUM for oracle-compared queries —
+    per-row half-boundary rounding disagrees across engines (Spark
+    rounds the shortest decimal repr, DuckDB the raw binary) and the
+    disagreements accumulate; round once, after aggregation."""
     li = load(spark, sf, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
             "net_revenue"
         ),
         F.round(F.avg(F.abs(F.col("l_quantity") - 25)), 4).alias("avg_abs_dev"),

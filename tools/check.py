@@ -51,11 +51,14 @@ def rows_equal(a, b):
         if len(ra) != len(rb):
             return False
         for x, y in zip(ra, rb):
+            # near-exact: the driver value-hashes, so anything beyond
+            # absolute 1e-6 would fail there; a LOOSE relative tolerance
+            # once hid a real 0.1 drift on 1e9-magnitude sums
             if isinstance(x, float) and isinstance(y, (int, float)):
-                if not math.isclose(x, float(y), rel_tol=1e-9, abs_tol=1e-9):
+                if not math.isclose(x, float(y), rel_tol=1e-12, abs_tol=1e-6):
                     return False
             elif isinstance(y, float) and isinstance(x, (int, float)):
-                if not math.isclose(float(x), y, rel_tol=1e-9, abs_tol=1e-9):
+                if not math.isclose(float(x), y, rel_tol=1e-12, abs_tol=1e-6):
                     return False
             elif x != y:
                 if str(x) != str(y):
