@@ -802,6 +802,65 @@ def w3_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "w1_rank_family",
+    oracle="""
+    SELECT o_orderkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def w1_rank_family(spark: SparkSession, sf: str) -> DataFrame:
+    """The full ranking family (rank/dense_rank/ntile/percent_rank/
+    cume_dist) over a totally-ordered frame."""
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "a5_correlated_subquery",
+    oracle="""
+    SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o.o_totalprice > 2 * (
+      SELECT AVG(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def a5_correlated_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar subquery (orders beating 2× their customer's
+    average) — Catalyst decorrelates it into an aggregate + join, which
+    is exactly the plan you'd hand-write at 100 TB."""
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS price
+        FROM orders o
+        WHERE o.o_totalprice > 2 * (
+          SELECT AVG(o2.o_totalprice) FROM orders o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.6 sorts / limits / set ops
 # ---------------------------------------------------------------------------
