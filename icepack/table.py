@@ -290,6 +290,14 @@ class IceTable:
             src = self.meta.schema.field_by_id(pf.source_id).name
             df = df.withColumn(_PART_PREFIX + pf.name, t.spark_column(F.col(src)))
             part_names.append(_PART_PREFIX + pf.name)
+        if part_names and self.meta.properties.get("write.distribution-mode", "hash") == "hash":
+            # hash-distribute by partition values before partitionBy:
+            # otherwise every task writes a file into every partition it
+            # touches (tasks × partitions tiny files — the small-file
+            # anti-pattern, docs/09:130-147; measured 32×).  One shuffle
+            # per append buys one well-sized file per partition; set the
+            # property to "none" to skip for pre-clustered inputs.
+            df = df.repartition(*[F.col(c) for c in part_names])
         writer = df.write.mode("error")
         if part_names:
             writer = writer.partitionBy(*part_names)
