@@ -207,7 +207,7 @@ def ice9_compact_expire(spark: SparkSession, sf: str) -> DataFrame:
     "ice11_incremental_read",
     oracle="""
     SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
-    FROM events WHERE ts >= TIMESTAMP '2024-02-01'
+    FROM events WHERE ts >= TIMESTAMP '2024-01-15'
     """,
 )
 def ice11_incremental_read(spark: SparkSession, sf: str) -> DataFrame:
@@ -215,7 +215,10 @@ def ice11_incremental_read(spark: SparkSession, sf: str) -> DataFrame:
     after processing snapshot 1, ``changes(since)`` returns exactly the
     rows appended after it, reading only the new files."""
     ev = load(spark, sf, "events").select("event_id", "event_type", "ts", "value")
-    cut = F.lit("2024-02-01").cast("timestamp_ntz")
+    # events span 2024-01-01..30 at every SF; mid-range cut keeps
+    # BOTH appends non-empty (an out-of-range cut once made this test
+    # pass vacuously with two empty sides)
+    cut = F.lit("2024-01-15").cast("timestamp_ntz")
     t = IceTable.create(spark, _scratch(), ev.schema)
     s1 = t.append(ev.filter(F.col("ts") < cut))
     t.append(ev.filter(F.col("ts") >= cut))

@@ -118,7 +118,10 @@ def main() -> int:
                 diffs = [(x, y) for x, y in zip(na, nb) if x != y][:3]
                 msgs.append(f"values differ, e.g. {diffs}")
         if ok:
-            print(f"PASS {name}: {len(srows)} rows ({dt:.1f}s)")
+            # a 0-row match is vacuous — both sides empty proves nothing
+            # (an out-of-range date literal once made ice11 pass this way)
+            tag = " [EMPTY — vacuous pass!]" if len(srows) == 0 else ""
+            print(f"PASS {name}: {len(srows)} rows ({dt:.1f}s){tag}")
             n_pass += 1
         else:
             print(f"FAIL {name}: " + "; ".join(msgs))
