@@ -53,7 +53,13 @@ def _cmp_norm(a, b):
     return na, nb
 
 
+def _isnan(v) -> bool:
+    return isinstance(v, float) and v != v
+
+
 def _lt(a, b):
+    if _isnan(a) or _isnan(b):
+        return None  # NaN bounds are garbage: unknown, never prune
     a, b = _cmp_norm(a, b)
     try:
         return a < b
@@ -62,6 +68,8 @@ def _lt(a, b):
 
 
 def _le(a, b):
+    if _isnan(a) or _isnan(b):
+        return None
     a, b = _cmp_norm(a, b)
     try:
         return a <= b
