@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
-from . import query
+from . import REGISTRY, query
 
 def _shingle_rows(spark: SparkSession, sf: str, distinct: bool) -> DataFrame:
     """(doc_id, sh) rows of 3-word shingles — and, when ``distinct``,
@@ -584,6 +584,66 @@ def x15_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return feats.groupBy("mime", "byte_entropy_bucket").agg(
         F.count("*").alias("n"),
         F.round(F.avg("byte_mean"), 4).alias("avg_byte_mean"),
+    )
+
+
+_SQL_BAND_EDGES = (
+    _SQL_SHINGLES
+    + """
+    , ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_tbl),
+    mh AS (
+      SELECT doc_id,
+             MIN(md5('0|' || sh)) AS h0, MIN(md5('1|' || sh)) AS h1,
+             MIN(md5('2|' || sh)) AS h2, MIN(md5('3|' || sh)) AS h3,
+             MIN(md5('4|' || sh)) AS h4, MIN(md5('5|' || sh)) AS h5,
+             MIN(md5('6|' || sh)) AS h6, MIN(md5('7|' || sh)) AS h7
+      FROM ex GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, h0 || h1 AS bkey FROM mh UNION ALL
+      SELECT doc_id, 1 AS band, h2 || h3 AS bkey FROM mh UNION ALL
+      SELECT doc_id, 2 AS band, h4 || h5 AS bkey FROM mh UNION ALL
+      SELECT doc_id, 3 AS band, h6 || h7 AS bkey FROM mh
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+"""
+)
+
+
+@query(
+    "x16_dedup_clusters",
+    # the walk CTE is recursive → the whole WITH list needs RECURSIVE
+    oracle=_SQL_BAND_EDGES.replace("WITH sh_tbl", "WITH RECURSIVE sh_tbl", 1)
+    + """
+    , edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    walk(id, label) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.id
+    )
+    SELECT id AS doc_id, MIN(label) AS cluster FROM walk GROUP BY id
+    """,
+)
+def x16_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate-CLUSTER assignment: MinHash/LSH candidate pairs →
+    connected components (iterative min-label propagation,
+    icepack/dedup.py) → one cluster id per near-dup group; the dedup
+    survivor is then min(doc_id) per cluster.  The oracle computes the
+    same components with a recursive CTE over the identical md5-band
+    edges."""
+    from ..dedup import connected_components
+
+    pairs = REGISTRY["x3_minhash_lsh"](spark, sf)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("cluster")
     )
 
 

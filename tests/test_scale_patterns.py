@@ -64,6 +64,36 @@ def test_diff_between_snapshots(spark, warehouse):
     assert {r["_change_type"] for r in d2.collect()} == {"insert"}
 
 
+def test_connected_components(spark):
+    """Min-label propagation over a crafted graph: a 5-chain (diameter
+    stress), a triangle, and an isolated edge resolve to their
+    component minimums."""
+    from icepack.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5),  # chain 1-5
+         (10, 11), (11, 12), (10, 12),    # triangle
+         (20, 21)],                        # pair
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_diameter_guard(spark):
+    """Non-convergence within max_iter raises instead of returning
+    wrong clusters."""
+    import pytest
+
+    from icepack.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError):
+        connected_components(chain, max_iter=2)
+
+
 # -- skew helpers ------------------------------------------------------------
 
 
