@@ -648,6 +648,51 @@ def x16_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x17_tfidf_terms",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT lang, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    docfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS n_docs FROM words GROUP BY 1),
+    total AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.lang, tf.w AS term,
+             tf.tf * ln(CAST(total.n AS DOUBLE) / docfreq.n_docs) AS score
+      FROM tf JOIN docfreq ON tf.w = docfreq.w CROSS JOIN total
+    ),
+    ranked AS (
+      SELECT lang, term, score,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY ROUND(score, 6) DESC, term) AS rn
+      FROM scored
+    )
+    SELECT lang, term, ROUND(score, 4) AS tfidf, rn FROM ranked WHERE rn <= 5
+    """,
+)
+def x17_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF top-5 terms per language: term frequency per (lang, term)
+    × inverse document frequency — the classic content-signature
+    operator.  The doc-frequency table is dimension-small → broadcast;
+    ranking ties break on the term for cross-engine determinism."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf, "documents")
+    total = d.count()  # scalar; at 100 TB use a broadcast 1-row agg
+    words = d.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    tf = words.groupBy("lang", "w").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("w").agg(F.countDistinct("doc_id").alias("n_docs"))
+    tfidf = F.col("tf") * F.log(F.lit(float(total)) / F.col("n_docs"))
+    win = W.partitionBy("lang").orderBy(F.round(tfidf, 6).desc(), F.asc("w"))
+    return (
+        tf.join(F.broadcast(df_), "w")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 5)
+        .select("lang", F.col("w").alias("term"), F.round(tfidf, 4).alias("tfidf"), "rn")
+    )
+
+
+@query(
     "x10_doc_embedding_join",
     oracle=f"""
     SELECT e.label, COUNT(*) AS n_docs,
