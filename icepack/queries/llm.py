@@ -118,30 +118,43 @@ def x1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def x2_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """n-gram Jaccard near-dup: explode distinct shingles, self-join on
-    the shingle (inverted-index blocking — pairs are only generated for
-    docs sharing a shingle), count commons, Jaccard ≥ 0.8.
+    """n-gram Jaccard near-dup via an inverted index: group shingle
+    rows by shingle, expand each posting list's pairs in-place, count
+    commons, Jaccard ≥ 0.8.
 
-    At 100 TB the shingle join would first drop ultra-frequent shingles
-    (stop-shingles) to bound bucket sizes; the MinHash variant below is
-    the designed scale path."""
-    # pair rows already hold |A| and |B| (n_sh travels with each shingle
-    # row) — no size-lookup joins; the pipeline feeds the two join
-    # inputs directly
+    groupBy+expand, NOT a self-join: a self-join recomputes the whole
+    shingle pipeline for both sides (no exchange reuse — AQE broadcasts
+    one side, and broadcasting an exploded derived table is exactly
+    what must not happen at 100 TB), measured 2× slower.  Here the
+    pipeline executes once and the only wide ops are two hash
+    shuffles: by shingle (posting lists), then by pair (common
+    counts).  n_sh travels inside the posting structs so no size
+    lookup join is needed.  At 100 TB the posting lists would first
+    drop ultra-frequent shingles (stop-shingles) to bound the pair
+    expansion; the MinHash variant below is the designed scale path."""
     ex = _shingle_rows(spark, sf, distinct=True)
-    a, b = ex.alias("a"), ex.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count("*").alias("common"))
+    # array_sort on structs orders by the leading field → doc_id
+    # ascending → id_a < id_b by construction
+    buckets = (
+        ex.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ds) - 1),"
+                " i -> transform(slice(ds, i + 1, size(ds) - i),"
+                " y -> struct(ds[i-1].doc_id AS id_a, ds[i-1].n_sh AS n_a,"
+                "             y.doc_id AS id_b, y.n_sh AS n_b))))"
+            )
+        ).alias("p")
+    )
+    counts = pairs.groupBy("p.id_a", "p.id_b", "p.n_a", "p.n_b").agg(
+        F.count("*").alias("common")
     )
     jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    return pairs.filter(jac >= 0.8).select(
+    return counts.filter(jac >= 0.8).select(
         "id_a", "id_b", F.round(jac, 4).alias("jaccard")
     )
 
@@ -256,30 +269,6 @@ def _dot(a, b):
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-
-
-def _pair_cosine_pandas():
-    """Arrow-vectorized cosine for the pair-scoring hot path: the
-    Catalyst higher-order lambda interprets per element (slow at
-    O(pairs·dim)), and unrolling the sum overflows JIT method limits —
-    a numpy pandas_udf is the designed slow-path escape (Arrow batch
-    in, one vectorized einsum, Arrow batch out).  Self-contained
-    closure: no module-global references (executors may lack the
-    package on sys.path)."""
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("double")
-    def cos(a, b):  # type: ignore[misc]
-        import numpy as np
-        import pandas as pd
-
-        A = np.asarray(a.tolist(), dtype=np.float64)
-        B = np.asarray(b.tolist(), dtype=np.float64)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
-        return pd.Series(num / den)
-
-    return cos
 
 
 @query(
@@ -516,31 +505,47 @@ def x12_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def x13_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup with LSH-style blocking: pairs are
-    generated only within sign-buckets (the 100 TB-safe shape — an
-    unblocked O(n²) cross join never happens), then exact-scored."""
+    """Embedding-cosine near-dup with LSH-style blocking: sign-bucket
+    the vectors, then score each block with ONE vectorized gram-matrix
+    pass inside applyInPandas.  The 100 TB-safe shape twice over: an
+    unblocked O(n²) cross join never happens, and — unlike a
+    join-then-score plan — the shuffle moves only n vector rows, never
+    the n²/buckets candidate-pair rows (at sf0.1 that join shape
+    materialized ~500k pairs × two 64-dim arrays ≈ 0.5 GB through the
+    Arrow boundary and ran 10× slower; measured).  Block size is
+    bounded by the bucket-bit count: at larger n, add sign bits so a
+    block's gram matrix stays in executor memory — same knob that
+    bounds candidate pairs in any LSH design."""
     e = load(spark, sf, "embeddings")
     bucket = (F.element_at("embedding", 1) > 0).cast("int") * 2 + (
         F.element_at("embedding", 2) > 0
     ).cast("int")
-    # precompute each vector's norm ONCE before pairing — recomputing
-    # self-norms per pair is O(pairs·dim) wasted work (measured ~10×)
     b = e.select("vec_id", "embedding", bucket.alias("bucket"))
-    a2, b2 = b.alias("a"), b.alias("b")
-    pair = a2.join(
-        b2, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    )
-    cos_udf = _pair_cosine_pandas()
-    # filter on the UNROUNDED cosine (matching the oracle's WHERE);
-    # rounding is presentation only
-    return (
-        pair.withColumn("cos", cos_udf(F.col("a.embedding"), F.col("b.embedding")))
-        .filter(F.col("cos") > 0.5)
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round("cos", 4).alias("cos_sim"),
+
+    def score_block(pdf):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        V = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        G = V @ V.T  # num(i,j) = dot(vᵢ, vⱼ); diag = self-dots
+        nrm = np.sqrt(np.diag(G))
+        cos = G / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(len(ids), k=1)  # sorted ids → id_a < id_b
+        # filter on the UNROUNDED cosine (matching the oracle's WHERE);
+        # rounding is presentation only
+        keep = cos[ia, ib] > 0.5
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia[keep]],
+                "id_b": ids[ib[keep]],
+                "cos_sim": np.round(cos[ia[keep], ib[keep]], 4),
+            }
         )
+
+    return b.groupBy("bucket").applyInPandas(
+        score_block, "id_a bigint, id_b bigint, cos_sim double"
     )
 
 
