@@ -722,3 +722,68 @@ def x10_doc_embedding_join(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.avg(norm), 4).alias("avg_norm"),
         )
     )
+
+
+@query(
+    "x18_hash_sample",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substring(md5('sample42|' || CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END
+    """,
+)
+def x18_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling — the reproducible
+    train/holdout selector a training-data pipeline needs (rand()
+    resamples differently per run and per retry; a content hash never
+    does).  Keep probability is a lexicographic threshold on the first
+    hex byte of a salted md5: 'en' (over-represented) keeps ~25%
+    (< '40'), every other lang ~75% (< 'c0').  Pure narrow plan: the
+    predicate evaluates at the scan — no shuffle, no state, and the
+    same rows are kept at any cluster size or retry."""
+    d = load(spark, sf, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("sample42|"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    keep = h < F.when(F.col("lang") == "en", "40").otherwise("c0")
+    return d.filter(keep).select("doc_id", "lang", "source")
+
+
+@query(
+    "x19_weighted_mix",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, lang FROM documents
+      WHERE lang <> 'en'
+         OR substring(md5('mix42|' || CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+    ),
+    mixed AS (
+      SELECT doc_id, lang FROM kept
+      UNION ALL SELECT doc_id, lang FROM kept WHERE lang IN ('zh', 'de')
+      UNION ALL SELECT doc_id, lang FROM kept WHERE lang = 'zh'
+    )
+    SELECT lang, COUNT(*) AS n_mixed, COUNT(DISTINCT doc_id) AS n_unique
+    FROM mixed GROUP BY lang
+    """,
+)
+def x19_weighted_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted dataset mixing for a training corpus: downsample the
+    over-represented stratum (en → deterministic 50% hash sample) and
+    upsample the rare ones (zh ×3, de ×2) by repeating rows.  The
+    repeat is explode(sequence(1, k)) — per-row fan-out on executors,
+    never a driver loop — and the downsample is the same
+    scan-evaluated hash threshold as x18, so the whole mix is a
+    narrow plan until the final count aggregation.  Epoch-stable:
+    identical output on every run/retry at any parallelism."""
+    d = load(spark, sf, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("mix42|"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    kept = d.filter((F.col("lang") != "en") | (h < "80"))
+    rep = (
+        F.when(F.col("lang") == "zh", 3).when(F.col("lang") == "de", 2).otherwise(1)
+    )
+    mixed = kept.withColumn("copy", F.explode(F.sequence(F.lit(1), rep)))
+    return mixed.groupBy("lang").agg(
+        F.count("*").alias("n_mixed"), F.countDistinct("doc_id").alias("n_unique")
+    )
