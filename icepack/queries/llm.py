@@ -53,8 +53,16 @@ def _shingle_rows(spark: SparkSession, sf: str, distinct: bool) -> DataFrame:
         .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("sh"))
     )
     if distinct:
-        sh = sh.distinct().withColumn(
-            "n_sh", F.count("*").over(W.partitionBy("doc_id"))
+        # NOT .distinct() + count window: those re-shuffle by (doc_id,
+        # sh) and then AGAIN by doc_id (3 exchanges total).  The stream
+        # is already hash-partitioned by doc_id, so a groupBy(doc_id)
+        # collapses to a partial-only aggregate — dedup + per-doc count
+        # with zero additional exchanges (per-doc shingle lists are
+        # bounded by document length, so collect_list is safe).
+        sh = (
+            sh.groupBy("doc_id")
+            .agg(F.array_distinct(F.collect_list("sh")).alias("shs"))
+            .select("doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh"))
         )
     return sh
 
