@@ -128,3 +128,65 @@ def dedup_within_watermark(stream_df: DataFrame, keys: list[str], watermark: str
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(keys)
     )
+
+
+def sessionize_with_state(stream_df: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    sessionization with an explicit (start, last, n) state tuple.
+
+    Unlike the built-in ``session_window`` aggregate (ST3), the state
+    transition is user code — the extension point for operators Spark
+    lacks (per-entity accumulators, CEP-ish patterns).  A session
+    CLOSES when a later event for the same key arrives more than
+    ``gap_seconds`` after the previous one; closed sessions are emitted
+    (append mode) and the open tail stays in the state store.  Closure
+    depends only on event times, never on micro-batch boundaries, so
+    output is deterministic under any batch slicing — the pytest
+    invariant replays the same events split across files and checks
+    the emitted sessions against a batch ``session_window`` twin.
+
+    Scale: state is 3 longs per key, partitioned by the grouping key
+    across executors (RocksDB-backed state store on a real cluster);
+    per-invocation work is one sort of that key's batch rows."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values()
+        secs = (ts.astype("int64") // 1_000_000_000).tolist()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = n = None
+        closed: list[tuple[int, int, int]] = []
+        for t in secs:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last > gap_seconds:
+                closed.append((start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = max(last, t), n + 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(closed),
+                    "session_start": pd.to_datetime([c[0] for c in closed], unit="s"),
+                    "session_end": pd.to_datetime([c[1] for c in closed], unit="s"),
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return (
+        _with_event_time(stream_df)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            "event_type string, session_start timestamp, session_end timestamp, n_events long",
+            "start long, last long, n long",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -105,3 +105,51 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     n = spark.sql("SELECT count(*) AS n FROM dedup_test").first()["n"]
     assert n == ev.count()
+
+
+def test_sessionize_with_state(spark, tmp_path):
+    """Custom applyInPandasWithState sessionizer: closed sessions match
+    a batch session_window twin over the pre-closure rows.  The final
+    per-key row (+2 days) closes every earlier session but stays open
+    itself, so exactly the twin's sessions are emitted."""
+    import datetime as dt
+
+    from icepack.streaming import sessionize_with_state
+
+    base = dt.datetime(2024, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    phase1 = [
+        ("a", 0), ("a", 60), ("a", 120),       # a session 1
+        ("a", 3600), ("a", 3660),              # a session 2
+        ("b", 0),                              # b session 1
+        ("b", 5000), ("b", 5030),              # b session 2
+    ]
+    closer = [("a", 200_000), ("b", 200_000)]  # +2.3 days: closes all
+    rows = [(k, base + s * sec) for k, s in phase1 + closer]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    src = str(tmp_path / "sess-src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        sessionize_with_state(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT event_type, session_start, session_end, n_events FROM sessions_out"
+    )
+    phase1_df = spark.createDataFrame(
+        [(k, base + s * sec) for k, s in phase1], "event_type string, ts timestamp"
+    )
+    want = (
+        phase1_df.groupBy(F.session_window("ts", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+        .select("event_type", "session_start", "session_end", "n_events")
+    )
+    assert rows_sorted(got) == rows_sorted(want)
+    assert got.count() == 4
