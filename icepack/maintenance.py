@@ -67,13 +67,8 @@ def rewrite_manifests(table) -> Snapshot:
         sequence_number=meta.last_sequence_number,
         summary={"rewritten-manifests": "all"},
     )
-    new_meta = TableMetadata(
-        table_uuid=meta.table_uuid, location=meta.location,
-        last_column_id=meta.last_column_id, schemas=meta.schemas,
-        current_schema_id=meta.current_schema_id,
-        partition_specs=meta.partition_specs, default_spec_id=meta.default_spec_id,
-        snapshots=meta.snapshots + [snap], current_snapshot_id=snap.snapshot_id,
-        properties=meta.properties, last_sequence_number=meta.last_sequence_number,
+    new_meta = meta.copy_with(
+        snapshots=meta.snapshots + [snap], current_snapshot_id=snap.snapshot_id
     )
     table._write_version(table._version + 1, new_meta)
     return snap
@@ -97,6 +92,9 @@ def expire_snapshots(
     keep_ids = {s.snapshot_id for s in ordered[-max(retain_last, 1):]}
     if meta.current_snapshot_id is not None:
         keep_ids.add(meta.current_snapshot_id)
+    # named refs pin their snapshots (docs/05:141-158 — tags mark
+    # releases/audits; a branch head must stay readable)
+    keep_ids |= {r["snapshot-id"] for r in meta.refs.values()}
     kept = [s for s in meta.snapshots if s.snapshot_id in keep_ids or s.timestamp_ms >= older_than_ms]
     expired = [s for s in meta.snapshots if s not in kept]
     if not expired:
@@ -116,14 +114,7 @@ def expire_snapshots(
     exp_mls, exp_mans, exp_datas = reachable(expired)
     doomed_files = exp_datas - keep_datas
     if not dry_run:
-        meta_new = TableMetadata(
-            table_uuid=meta.table_uuid, location=meta.location,
-            last_column_id=meta.last_column_id, schemas=meta.schemas,
-            current_schema_id=meta.current_schema_id,
-            partition_specs=meta.partition_specs, default_spec_id=meta.default_spec_id,
-            snapshots=kept, current_snapshot_id=meta.current_snapshot_id,
-            properties=meta.properties, last_sequence_number=meta.last_sequence_number,
-        )
+        meta_new = meta.copy_with(snapshots=kept)
         table._write_version(table._version + 1, meta_new)
         for p in doomed_files:
             _rm(p)

@@ -209,6 +209,11 @@ class TableMetadata:
     last_sequence_number: int = 0
     last_updated_ms: int = 0
     format_version: int = FORMAT_VERSION
+    #: named refs (Iceberg v2, docs/05-snapshots-time-travel.md:141-158):
+    #: {name: {"snapshot-id": int, "type": "tag" | "branch"}}.  The main
+    #: lineage is implicit (current-snapshot-id); refs never move unless
+    #: explicitly advanced (branch commit / fast-forward).
+    refs: dict = field(default_factory=dict)
 
     # -- accessors ----------------------------------------------------------
 
@@ -244,6 +249,19 @@ class TableMetadata:
         eligible = [s for s in self.snapshots if s.timestamp_ms <= timestamp_ms]
         return max(eligible, key=lambda s: s.timestamp_ms) if eligible else None
 
+    def ref(self, name: str) -> dict:
+        if name not in self.refs:
+            raise ValueError(f"unknown ref {name!r} (have: {sorted(self.refs)})")
+        return self.refs[name]
+
+    def copy_with(self, **overrides) -> "TableMetadata":
+        """New metadata version = previous + overrides; every field not
+        overridden carries forward (so adding a metadata field can never
+        be silently dropped by a commit path)."""
+        import dataclasses
+
+        return dataclasses.replace(self, **overrides)
+
     # -- serde --------------------------------------------------------------
 
     def to_json(self) -> dict:
@@ -261,6 +279,7 @@ class TableMetadata:
             "snapshots": [s.to_json() for s in self.snapshots],
             "current-snapshot-id": self.current_snapshot_id,
             "properties": self.properties,
+            "refs": self.refs,
         }
 
     @staticmethod
@@ -279,6 +298,7 @@ class TableMetadata:
             last_sequence_number=d.get("last-sequence-number", 0),
             last_updated_ms=d.get("last-updated-ms", 0),
             format_version=d.get("format-version", FORMAT_VERSION),
+            refs=d.get("refs", {}),
         )
 
     def dumps(self) -> str:

@@ -335,3 +335,27 @@ def ice10_mor_delete(spark: SparkSession, sf: str) -> DataFrame:
     t.append(ev)
     t.delete(col("value") > 100.0)
     return t.toDF()
+
+
+@query(
+    "ice14_refs_rollback",
+    oracle=f"SELECT {_ORDER_COLS} FROM orders WHERE o_orderstatus = 'F'",
+)
+def ice14_refs_rollback(spark: SparkSession, sf: str) -> DataFrame:
+    """Refs (docs/05:141-172): tag the good state, write a branch
+    lineage that never touches main, roll main back to the tag.  The
+    final read must equal the tagged snapshot exactly — proving tags
+    resolve, branch commits isolate, and rollback restores without
+    erasing history (asserted via the snapshot count in pytest;
+    here the scan itself is the oracle-checked surface)."""
+    orders = load(spark, sf, "orders")
+    good = orders.filter(F.col("o_orderstatus") == "F")
+    bad = orders.filter(F.col("o_orderstatus") != "F")
+    t = IceTable.create(spark, _scratch(), orders.schema)
+    s1 = t.append(good)
+    t.create_tag("validated", s1.snapshot_id)
+    t.create_branch("experiment")
+    t.append(bad, branch="experiment")  # never reaches main
+    t.append(bad)  # the bad main commit
+    t.rollback(t.as_of(ref="validated").snapshot_id)
+    return t.toDF()

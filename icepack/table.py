@@ -174,6 +174,7 @@ class IceTable:
         new_entries: list[DataFile],
         replaced_paths: set[str] | None = None,
         max_retries: int = 5,
+        branch: str | None = None,
     ) -> Snapshot:
         """Build snapshot = (previous live files ∖ replaced) ∪ new, then
         CAS.  On conflict: reload, re-validate, retry from the new base
@@ -188,7 +189,13 @@ class IceTable:
         that actually contain replaced files."""
         replaced_paths = replaced_paths or set()
         for _ in range(max_retries):
-            prev = self.meta.current_snapshot
+            if branch is not None:
+                r = self.meta.ref(branch)
+                if r["type"] != "branch":
+                    raise ValueError(f"ref {branch!r} is a tag, not a branch")
+                prev = self.meta.snapshot_by_id(r["snapshot-id"])
+            else:
+                prev = self.meta.current_snapshot
             seq = self.meta.last_sequence_number + 1
             manifests: list[str] = []
             summaries: list[dict] = []
@@ -247,19 +254,18 @@ class IceTable:
                 },
             )
             meta = self.meta
-            new_meta = TableMetadata(
-                table_uuid=meta.table_uuid,
-                location=meta.location,
-                last_column_id=meta.last_column_id,
-                schemas=meta.schemas,
-                current_schema_id=meta.current_schema_id,
-                partition_specs=meta.partition_specs,
-                default_spec_id=meta.default_spec_id,
-                snapshots=meta.snapshots + [snap],
-                current_snapshot_id=sid,
-                properties=meta.properties,
-                last_sequence_number=seq,
-            )
+            if branch is not None:
+                new_meta = meta.copy_with(
+                    snapshots=meta.snapshots + [snap],
+                    last_sequence_number=seq,
+                    refs={**meta.refs, branch: {"snapshot-id": sid, "type": "branch"}},
+                )
+            else:
+                new_meta = meta.copy_with(
+                    snapshots=meta.snapshots + [snap],
+                    current_snapshot_id=sid,
+                    last_sequence_number=seq,
+                )
             try:
                 self._write_version(self._version + 1, new_meta)
                 return snap
@@ -340,9 +346,11 @@ class IceTable:
             )
         return entries
 
-    def append(self, df: DataFrame) -> Snapshot:
-        """INSERT/append (docs/08-acid-transactions.md:84-96)."""
-        return self._commit_snapshot("append", self._write_data_files(df))
+    def append(self, df: DataFrame, branch: str | None = None) -> Snapshot:
+        """INSERT/append (docs/08-acid-transactions.md:84-96); with
+        ``branch``, the commit advances that ref only (docs/05:150-158 —
+        e.g. an audit lineage validated before fast-forwarding main)."""
+        return self._commit_snapshot("append", self._write_data_files(df), branch=branch)
 
     def overwrite_all(self, df: DataFrame) -> Snapshot:
         """INSERT OVERWRITE: replace the whole table in one snapshot."""
@@ -544,9 +552,16 @@ class IceTable:
 
     # -- time travel (S8) ---------------------------------------------------
 
-    def as_of(self, snapshot_id: int | None = None, timestamp_ms: int | None = None) -> Snapshot:
-        """SELECT ... AT(SNAPSHOT => id | TIMESTAMP => ts)
-        (docs/05-snapshots-time-travel.md:57-72)."""
+    def as_of(
+        self,
+        snapshot_id: int | None = None,
+        timestamp_ms: int | None = None,
+        ref: str | None = None,
+    ) -> Snapshot:
+        """SELECT ... AT(SNAPSHOT => id | TIMESTAMP => ts) — or a named
+        tag/branch ref (docs/05-snapshots-time-travel.md:57-72,141-158)."""
+        if ref is not None:
+            snapshot_id = self.meta.ref(ref)["snapshot-id"]
         if snapshot_id is not None:
             snap = self.meta.snapshot_by_id(snapshot_id)
             if snap is None:
@@ -557,7 +572,105 @@ class IceTable:
             if snap is None:
                 raise ValueError(f"no snapshot at or before {timestamp_ms}")
             return snap
-        raise ValueError("pass snapshot_id or timestamp_ms")
+        raise ValueError("pass snapshot_id, timestamp_ms, or ref")
+
+    # -- refs: tags, branches, rollback (docs/05:141-172) ------------------
+
+    def _set_ref(self, name: str, snapshot_id: int | None, ref_type: str) -> None:
+        sid = snapshot_id if snapshot_id is not None else self.meta.current_snapshot_id
+        if sid is None or self.meta.snapshot_by_id(sid) is None:
+            raise ValueError(f"cannot ref nonexistent snapshot {sid}")
+        refs = {**self.meta.refs, name: {"snapshot-id": sid, "type": ref_type}}
+        self._write_version(self._version + 1, self.meta.copy_with(refs=refs))
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """Tag = immutable named snapshot (docs/05:143-148: mark
+        releases/audits/backups).  Metadata-only commit; the tagged
+        snapshot is pinned against expiry."""
+        if name in self.meta.refs:
+            raise ValueError(f"ref {name!r} exists")
+        self._set_ref(name, snapshot_id, "tag")
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> None:
+        """Branch = named movable lineage (docs/05:150-158).  Writes via
+        ``append(df, branch=name)`` advance only the branch ref; main is
+        untouched until ``fast_forward``."""
+        if name in self.meta.refs:
+            raise ValueError(f"ref {name!r} exists")
+        self._set_ref(name, snapshot_id, "branch")
+
+    def drop_ref(self, name: str) -> None:
+        refs = dict(self.meta.refs)
+        refs.pop(name, None)
+        self._write_version(self._version + 1, self.meta.copy_with(refs=refs))
+
+    def refs(self) -> DataFrame:
+        """Metadata relation of named refs (name, type, snapshot_id)."""
+        rows = [(n, r["type"], r["snapshot-id"]) for n, r in sorted(self.meta.refs.items())]
+        return self.spark.createDataFrame(
+            rows if rows else [], "name string, type string, snapshot_id long"
+        )
+
+    def rollback(self, snapshot_id: int) -> Snapshot:
+        """Rollback (docs/05:160-168): a NEW snapshot pointing at the
+        old state's manifest list — history is preserved, time travel to
+        the bad snapshots still works, and the rollback itself is one
+        atomic CAS commit.  Manifest lists are immutable, so the new
+        snapshot shares the target's file set byte-for-byte."""
+        target = self.meta.snapshot_by_id(snapshot_id)
+        if target is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        for _ in range(5):
+            meta = self.meta
+            prev = meta.current_snapshot
+            snap = Snapshot(
+                snapshot_id=_snapshot_id(),
+                parent_snapshot_id=prev.snapshot_id if prev else None,
+                timestamp_ms=int(time.time() * 1000),
+                operation="rollback",
+                manifest_list=target.manifest_list,
+                schema_id=target.schema_id,
+                sequence_number=meta.last_sequence_number + 1,
+                summary={"rolled-back-to": str(snapshot_id)},
+            )
+            new_meta = meta.copy_with(
+                snapshots=meta.snapshots + [snap],
+                current_snapshot_id=snap.snapshot_id,
+                last_sequence_number=snap.sequence_number,
+            )
+            try:
+                self._write_version(self._version + 1, new_meta)
+                return snap
+            except CommitConflict:
+                self.refresh()
+        raise CommitConflict("rollback failed after retries")
+
+    def fast_forward(self, branch: str) -> None:
+        """Fast-forward main to a branch head (docs/05:170-172) —
+        allowed only when main's current snapshot is an ancestor of the
+        branch head (the 'apply changes without full merge' fast path;
+        anything else needs a real merge)."""
+        r = self.meta.ref(branch)
+        if r["type"] != "branch":
+            raise ValueError(f"ref {branch!r} is not a branch")
+        head_id = r["snapshot-id"]
+        cur = self.meta.current_snapshot_id
+        if cur is not None:  # empty main fast-forwards to anything
+            walk = head_id
+            seen = set()
+            while walk is not None and walk not in seen:
+                if walk == cur:
+                    break
+                seen.add(walk)
+                s = self.meta.snapshot_by_id(walk)
+                walk = s.parent_snapshot_id if s else None
+            else:
+                raise ValueError(
+                    f"main is not an ancestor of branch {branch!r}; cannot fast-forward"
+                )
+        self._write_version(
+            self._version + 1, self.meta.copy_with(current_snapshot_id=head_id)
+        )
 
     # -- metadata tables (S9/S10) ------------------------------------------
 
@@ -695,18 +808,10 @@ class IceTable:
     def _evolve(self, new_fields: list[NestedField], last_column_id: int) -> None:
         meta = self.meta
         new_schema = IceSchema(meta.current_schema_id + 1, new_fields)
-        new_meta = TableMetadata(
-            table_uuid=meta.table_uuid,
-            location=meta.location,
+        new_meta = meta.copy_with(
             last_column_id=last_column_id,
             schemas=meta.schemas + [new_schema],
             current_schema_id=new_schema.schema_id,
-            partition_specs=meta.partition_specs,
-            default_spec_id=meta.default_spec_id,
-            snapshots=meta.snapshots,
-            current_snapshot_id=meta.current_snapshot_id,
-            properties=meta.properties,
-            last_sequence_number=meta.last_sequence_number,
         )
         for _ in range(5):
             try:
@@ -786,14 +891,9 @@ class IceTable:
             pfields.append(PartitionField(f.id, base + 1 + i, transform, name))
         new_spec = PartitionSpec(max(s.spec_id for s in self.meta.partition_specs) + 1, pfields)
         meta = self.meta
-        new_meta = TableMetadata(
-            table_uuid=meta.table_uuid, location=meta.location,
-            last_column_id=meta.last_column_id, schemas=meta.schemas,
-            current_schema_id=meta.current_schema_id,
+        new_meta = meta.copy_with(
             partition_specs=meta.partition_specs + [new_spec],
-            default_spec_id=new_spec.spec_id, snapshots=meta.snapshots,
-            current_snapshot_id=meta.current_snapshot_id, properties=meta.properties,
-            last_sequence_number=meta.last_sequence_number,
+            default_spec_id=new_spec.spec_id,
         )
         self._write_version(self._version + 1, new_meta)
 
