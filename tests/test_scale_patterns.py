@@ -157,3 +157,43 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+# -- iterative algorithms (k-means IVF training, x20) ------------------------
+
+
+def test_kmeans_ivf_invariants(spark):
+    """Lloyd's k-means (x20): every vector lands in exactly one cluster
+    (count conservation), the result is run-to-run deterministic, and
+    total inertia is monotonically non-increasing across iterations."""
+    import numpy as np
+
+    from icepack.io import load
+    from icepack.queries.llm import x20_kmeans_ivf
+
+    e = load(spark, SF_DIR, "embeddings")
+    out1 = rows_sorted(x20_kmeans_ivf(spark, SF_DIR))
+    out2 = rows_sorted(x20_kmeans_ivf(spark, SF_DIR))
+    assert out1 == out2  # deterministic seeds + fixed iterations
+    # tuples keep DataFrame column order (cluster, n_vectors, avg_sqdist)
+    assert sum(r[1] for r in out1) == e.count()
+
+    # monotone inertia: recompute assignments per iteration count
+    def inertia(iters):
+        V = np.asarray(
+            [r["embedding"] for r in e.orderBy("vec_id").collect()], dtype=np.float64
+        )
+        C = V[:4].copy()
+        for _ in range(iters):
+            d2 = (
+                (V * V).sum(axis=1, keepdims=True) - 2.0 * (V @ C.T) + (C * C).sum(axis=1)
+            )
+            idx = d2.argmin(axis=1)
+            total = d2[np.arange(len(idx)), idx].sum()
+            for k in range(4):
+                if (idx == k).any():
+                    C[k] = V[idx == k].mean(axis=0)
+        return total
+
+    i1, i2, i3 = inertia(1), inertia(2), inertia(3)
+    assert i1 >= i2 - 1e-9 and i2 >= i3 - 1e-9
