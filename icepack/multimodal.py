@@ -154,3 +154,43 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame(out, columns=["doc_id", "frame_no", "frame_bytes"])
 
     return df.select("doc_id", "payload").mapInPandas(_sample, schema=schema)
+
+
+def resize_grid(df: DataFrame) -> DataFrame:
+    """'Resize' stage: decode (stub) → average-pool the 2×2 pixel grid
+    to 1×1 — the image-downsample shape (shrink before featurization so
+    downstream stages move fewer bytes).  Chained mapInPandas: decode
+    and pool happen in ONE Arrow pass, no intermediate materialization."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("pooled", T.DoubleType()),
+        ]
+    )
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def _decode(b):  # mirrors decode_image(fake=True); pickled by value
+            b = b or b"\x00"
+            s = sum(b)
+            return [[b[0], b[len(b) // 3]], [b[(2 * len(b)) // 3], s % 256]]
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                grid = _decode(blob)
+                flat = [v for row in grid for v in row]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "out_w": 1,
+                        "out_h": 1,
+                        "pooled": round(sum(flat) / len(flat), 4),
+                    }
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "pooled"])
+
+    return df.select("doc_id", "payload").mapInPandas(_resize, schema=schema)

@@ -61,3 +61,16 @@ def test_frame_sampling_one_to_many(spark):
     total = frames.agg(F.sum(F.octet_length("frame_bytes"))).first()[0]
     want_total = df.agg(F.sum("media.n_bytes")).first()[0]
     assert total == want_total
+
+def test_resize_grid_matches_decoder(spark):
+    """resize = avg-pool of the stub-decoded grid, verified against a
+    driver-side recomputation for every row."""
+    from icepack.io import load
+    from icepack.multimodal import attach_binary_payload, decode_image, resize_grid
+
+    d = attach_binary_payload(load(spark, SF_DIR, "documents").limit(20))
+    got = {r["doc_id"]: r["pooled"] for r in resize_grid(d).collect()}
+    for r in d.select("doc_id", "payload").collect():
+        grid = decode_image(bytes(r["payload"]), fake=True)
+        flat = [v for row in grid for v in row]
+        assert got[r["doc_id"]] == round(sum(flat) / len(flat), 4)
