@@ -7,10 +7,11 @@ rewritten without the affected rows; the commit atomically replaces
 exactly those files.  Untouched files are carried forward — at 100 TB a
 point delete rewrites a handful of files, not the table.
 
-Merge-on-read (docs/08:112-116): DELETE writes a small equality-delete
-file (distinct identifier-column values of the deleted rows); the read
-path anti-joins it (broadcast — delete files are small by design) and
-compaction (maintenance.py) folds deletes back into data files.
+Merge-on-read (docs/08:112-116): DELETE writes a small delete file —
+equality (distinct identifier-column values) or position ((file_path,
+row-ordinal) pairs, docs/08:167-187); the read path anti-joins it
+(broadcast — delete files are small by design) and compaction
+(maintenance.py) folds deletes back into data files.
 
 MERGE (docs/08:133-141, docs/12:107-126): source is full-outer-joined
 to the *pruned* target slice on the merge keys; rows branch into
@@ -105,25 +106,45 @@ def _partition_all_match(table, predicate: Expr, f) -> bool:
 
 
 def _delete_mor(table, predicate: Expr) -> Snapshot:
-    """Equality-delete file: distinct identifier-column tuples of the
-    matching rows.  Identifier columns come from the table property
-    ``identifier-field-names`` (comma-separated) or default to the
-    predicate's referenced columns."""
-    ident = table.meta.properties.get("identifier-field-names")
-    eq_cols = (
-        [c.strip() for c in ident.split(",")]
-        if ident
-        else sorted(predicate.references())
-    )
+    """Merge-on-read DELETE: write a small delete file instead of
+    rewriting data (docs/08:112-116,167-187).  The table property
+    ``write.delete.mor.strategy`` picks the flavor:
+
+    - ``equality`` (default): distinct identifier-column tuples of the
+      matching rows.  Identifier columns come from the table property
+      ``identifier-field-names`` (comma-separated) or default to the
+      predicate's referenced columns.
+    - ``position``: (file_path, pos) pairs of the matching rows, the
+      Iceberg v2 position-delete form.  ``pos`` is the parquet reader's
+      own row ordinal (``_metadata.row_index``) so it is exact without
+      any identifier columns — point deletes on tables with no natural
+      key, and immune to later re-inserts of identical rows.
+    """
+    strategy = table.meta.properties.get("write.delete.mor.strategy", "equality")
     hit, _ = table.plan_files(predicate)
     if not hit:
         return table._commit_snapshot("delete", [])
-    keys = (
-        table._read_files(hit)
-        .filter(predicate.to_column())
-        .select(*eq_cols)
-        .distinct()
-    )
+    if strategy == "position":
+        keys = (
+            table._read_files(hit, with_pos=True)
+            .filter(predicate.to_column())
+            .select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+        )
+        content, eq_cols = "position-deletes", []
+    else:
+        ident = table.meta.properties.get("identifier-field-names")
+        eq_cols = (
+            [c.strip() for c in ident.split(",")]
+            if ident
+            else sorted(predicate.references())
+        )
+        keys = (
+            table._read_files(hit)
+            .filter(predicate.to_column())
+            .select(*eq_cols)
+            .distinct()
+        )
+        content = "equality-deletes"
     ddir = os.path.join(table.location, "data", f"deletes-{uuid.uuid4().hex}")
     keys.coalesce(1).write.parquet(ddir)
     entries = []
@@ -144,7 +165,7 @@ def _delete_mor(table, predicate: Expr) -> Snapshot:
                 record_count=nrows,
                 file_size_bytes=size,
                 stats=stats,
-                content="equality-deletes",
+                content=content,
                 equality_columns=list(eq_cols),
             )
         )

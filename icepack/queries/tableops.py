@@ -338,6 +338,37 @@ def ice10_mor_delete(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ice15_mor_position_delete",
+    oracle="""
+    SELECT event_id, event_type, value FROM events WHERE value <= 100.0
+    UNION ALL
+    SELECT event_id, event_type, value FROM events WHERE value > 250.0
+    """,
+)
+def ice15_mor_position_delete(spark: SparkSession, sf: str) -> DataFrame:
+    """D3 (position form, docs/08:167-187): DELETE writes (file_path,
+    pos) pairs keyed on the parquet reader's own row ordinal; the scan
+    anti-joins them per file.  Rows re-appended AFTER the delete land
+    in new files, so — unlike an equality delete — identical key
+    values survive: the final state is the kept rows plus the
+    re-inserted slice of the deleted ones."""
+    ev = load(spark, sf, "events").select("event_id", "event_type", "value")
+    t = IceTable.create(
+        spark,
+        _scratch(),
+        ev.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(ev)
+    t.delete(col("value") > 100.0)
+    t.append(ev.filter(F.col("value") > 250.0))  # same event_ids come back
+    return t.toDF()
+
+
+@query(
     "ice14_refs_rollback",
     oracle=f"SELECT {_ORDER_COLS} FROM orders WHERE o_orderstatus = 'F'",
 )

@@ -363,7 +363,7 @@ class IceTable:
         self, snapshot: Snapshot | None = None, content: str = "data"
     ) -> list[DataFile]:
         """Live file entries of a snapshot; ``content`` selects "data",
-        "equality-deletes", or "all"."""
+        "equality-deletes", "position-deletes", or "all"."""
         snap = snapshot or self.meta.current_snapshot
         if snap is None:
             return []
@@ -414,15 +414,26 @@ class IceTable:
         files = self.live_files(snap)
         return files, {"files_total": len(files), "files_scanned": len(files)}
 
-    def _read_files(self, files: list[DataFile]) -> DataFrame:
+    def _read_files(self, files: list[DataFile], with_pos: bool = False) -> DataFrame:
         """Read a set of data files under the CURRENT schema.  Per-file
         schema-ID reconciliation (docs/06-schema-evolution.md:75-91):
         files from old schema versions are renamed/cast/padded by
         column ID before unionByName, so renames and widenings are
-        metadata-only."""
+        metadata-only.
+
+        ``with_pos`` appends ``_file``/``_pos`` columns from Spark's
+        hidden ``_metadata`` struct (file path URI + row ordinal within
+        the file) — the (file_path, pos) identity Iceberg position
+        deletes are keyed on.  Computed by the parquet reader itself,
+        so it is stable across reads and free of shuffles."""
         current = self.meta.schema
         if not files:
-            return self.spark.createDataFrame([], current.to_struct())
+            df = self.spark.createDataFrame([], current.to_struct())
+            if with_pos:
+                df = df.withColumn("_file", F.lit(None).cast("string")).withColumn(
+                    "_pos", F.lit(None).cast("long")
+                )
+            return df
         by_schema: dict[int, list[DataFile]] = {}
         for f in files:
             by_schema.setdefault(f.schema_id, []).append(f)
@@ -437,6 +448,9 @@ class IceTable:
                     cols.append(F.lit(None).cast(cf.spark_type()).alias(cf.name))
                 else:  # rename and/or widen by stable ID
                     cols.append(F.col(of.name).cast(cf.spark_type()).alias(cf.name))
+            if with_pos:
+                cols.append(F.col("_metadata.file_path").alias("_file"))
+                cols.append(F.col("_metadata.row_index").alias("_pos"))
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -447,15 +461,19 @@ class IceTable:
         self, predicate: Expr | None = None, snapshot: Snapshot | None = None
     ) -> DataFrame:
         """Table scan → plain DataFrame (full read lifecycle §3.1).
-        Merge-on-read equality deletes are applied sequence-correctly:
-        a delete file affects only data files with a strictly lower
-        sequence number, so rows re-inserted after the delete survive."""
+        Merge-on-read deletes (equality AND position) are applied
+        sequence-correctly: a delete file affects only data files with
+        a strictly lower sequence number, so rows re-inserted after
+        the delete survive.  Position deletes additionally key on the
+        (file_path, pos) identity so they can never touch other files."""
         snap = snapshot or self.meta.current_snapshot
         current = self.meta.schema
         if snap is None:
             return self.spark.createDataFrame([], current.to_struct())
         files, _ = self.plan_files(predicate, snap)
-        deletes = self.live_files(snap, content="equality-deletes")
+        deletes = [
+            e for e in self.live_files(snap, content="all") if e.content.endswith("-deletes")
+        ]
         if not deletes:
             out = self._read_files(files)
         else:
@@ -468,10 +486,25 @@ class IceTable:
                 groups.setdefault(applicable, []).append(f)
             parts = []
             for applicable, group in sorted(groups.items()):
-                df = self._read_files(group)
+                by_path = {d.path: d for d in deletes}
+                pos_paths = [
+                    p for p in applicable if by_path[p].content == "position-deletes"
+                ]
+                df = self._read_files(group, with_pos=bool(pos_paths))
+                if pos_paths:
+                    dels = (
+                        self.spark.read.parquet(*pos_paths)
+                        .select("file_path", "pos")
+                        .distinct()
+                    )
+                    df = df.join(
+                        F.broadcast(dels),
+                        (df["_file"] == dels["file_path"]) & (df["_pos"] == dels["pos"]),
+                        "left_anti",
+                    ).drop("_file", "_pos")
                 by_cols: dict[tuple, list[str]] = {}
                 for d in deletes:
-                    if d.path in applicable:
+                    if d.path in applicable and d.content == "equality-deletes":
                         by_cols.setdefault(tuple(d.equality_columns), []).append(d.path)
                 for eq_cols, paths in sorted(by_cols.items()):
                     dels = self.spark.read.parquet(*paths).select(*eq_cols).distinct()
@@ -538,8 +571,10 @@ class IceTable:
         only_new = [f for p, f in new_files.items() if p not in old_files]
         # NOTE: equality-delete files are snapshot-scoped; apply each
         # side's deletes by scanning through toDF when MOR is in play
-        if self.live_files(old_snap, "equality-deletes") or self.live_files(
-            new_snap, "equality-deletes"
+        if any(
+            e.content.endswith("-deletes")
+            for s in (old_snap, new_snap)
+            for e in self.live_files(s, "all")
         ):
             old_df = self.toDF(snapshot=old_snap)
             new_df = self.toDF(snapshot=new_snap)

@@ -113,6 +113,50 @@ def test_mor_delete_and_reinsert(spark, warehouse):
     assert t.toDF().count() == expected.count() + back.count()
 
 
+def test_mor_position_delete(spark, warehouse):
+    """Position deletes key on (file_path, row ordinal): reads fold
+    them in, identical rows re-appended later survive (they live in
+    new files), and compaction clears the delete files."""
+    cat = Catalog(spark, warehouse)
+    ev = load(spark, SF_DIR, "events")
+    t = cat.create_table(
+        "db.evpos", ev.schema,
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.delete.mor.strategy": "position"},
+    )
+    t.append(ev)
+    t.delete(col("value") > 100.0)
+    expected = ev.filter("value <= 100.0")
+    assert t.toDF().count() == expected.count()
+    assert len(t.live_files(content="position-deletes")) == 1
+    # re-append the EXACT deleted rows: position deletes must not
+    # touch them (equality deletes would wrongly re-delete these)
+    back = ev.filter("value > 100.0")
+    t.append(back)
+    assert t.toDF().count() == expected.count() + back.count()
+    t.compact()
+    assert len(t.live_files(content="position-deletes")) == 0
+    assert t.toDF().count() == expected.count() + back.count()
+
+
+def test_mor_position_equals_cow(spark, warehouse):
+    """Read-time equivalence of position-MOR and COW deletes."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    a = cat.create_table("db.cow2", orders.schema)
+    a.append(orders)
+    b = cat.create_table(
+        "db.morpos", orders.schema,
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.delete.mor.strategy": "position"},
+    )
+    b.append(orders)
+    pred = col("o_totalprice") > 300000.0
+    a.delete(pred)
+    b.delete(pred)
+    assert rows_sorted(a.toDF()) == rows_sorted(b.toDF())
+
+
 def test_partition_aligned_delete_is_metadata_only(spark, warehouse):
     """Deleting whole days from a day-partitioned table must DROP the
     files, writing nothing new (100 TB partition expiry = metadata
