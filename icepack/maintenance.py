@@ -19,14 +19,30 @@ from .manifest import manifest_summary, read_manifest, read_manifest_list, write
 from .metadata import Snapshot, TableMetadata
 
 
-def compact(table, target_file_size: int = 128 * 1024 * 1024, cluster_by: list[str] | None = None) -> Snapshot:
+def compact(
+    table,
+    target_file_size: int = 128 * 1024 * 1024,
+    cluster_by: list[str] | None = None,
+    cluster_strategy: str | None = None,
+) -> Snapshot:
     """ALTER ICEBERG TABLE ... COMPACT DATA [TARGET_FILE_SIZE]
     (docs/10:33-49, docs/02:90-95) + optional CLUSTER BY rewrite
     (docs/09:156-168): read all live data (merge-on-read deletes are
     folded in — restoring read health, docs/10:123), repartition to the
     target file size, optionally range-cluster + sort within partitions
     for tighter per-file min/max bounds, rewrite, and replace
-    everything in one ``replace`` snapshot."""
+    everything in one ``replace`` snapshot.
+
+    ``cluster_strategy`` (or table property ``write.sort-order.strategy``):
+
+    - ``linear`` (default): lexicographic ``repartitionByRange`` —
+      tight bounds on the FIRST cluster column, the rest only within
+      ties.  Right when one column dominates the predicates.
+    - ``zorder``: interleave the bits of all cluster columns and range-
+      partition on the Z-value — every file becomes a small hyper-cube
+      in the key space, so min/max pruning stays effective on EACH
+      column independently (multi-dimensional point/range workloads).
+    """
     files = table.live_files(content="all")
     if not files:
         return table._commit_snapshot("replace", [])
@@ -36,15 +52,56 @@ def compact(table, target_file_size: int = 128 * 1024 * 1024, cluster_by: list[s
         prop = table.meta.properties.get("write.sort-order")
         if prop:
             cluster_by = [c.strip() for c in prop.split(",")]
+    if cluster_strategy is None:
+        cluster_strategy = table.meta.properties.get("write.sort-order.strategy", "linear")
     total_bytes = sum(f.file_size_bytes for f in files if f.content == "data")
     n_out = max(1, -(-total_bytes // target_file_size))  # ceil
     df = table.toDF()  # deletes applied
-    if cluster_by:
+    if cluster_by and cluster_strategy == "zorder" and len(cluster_by) > 1:
+        df = (
+            df.withColumn("_z", _zvalue(df, cluster_by))
+            .repartitionByRange(n_out, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+    elif cluster_by:
         df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(*cluster_by)
     else:
         df = df.repartition(n_out)
     new_entries = table._write_data_files(df)
     return table._commit_snapshot("replace", new_entries, {f.path for f in files})
+
+
+def _zvalue(df, cols: list[str], bits: int = 12):
+    """Z-order (Morton) value of ``cols`` as a single LONG column.
+
+    Each column is min/max-normalized into a ``bits``-wide integer grid
+    (one tiny global agg — a driver-side scalar per column, never a
+    window over the data, which would serialize 100 TB through one
+    partition), then the grid coordinates' bits are interleaved with a
+    pure JVM-side expression tree — no UDF, stays inside whole-stage
+    codegen.  Numeric / date / timestamp columns only (strings have no
+    meaningful linear order for interleaving; pre-hash them to a
+    number first if needed)."""
+    bits = min(bits, 62 // len(cols))
+    aggs = []
+    for c in cols:
+        d = F.col(c).cast("double")
+        aggs += [F.min(d).alias(f"mn_{c}"), F.max(d).alias(f"mx_{c}")]
+    row = df.agg(*aggs).first()
+    k = len(cols)
+    z = None
+    for j, c in enumerate(cols):
+        mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
+        span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
+        scaled = F.floor(
+            (F.col(c).cast("double") - F.lit(mn or 0.0)) / F.lit(span) * ((1 << bits) - 1)
+        ).cast("long")
+        scaled = F.coalesce(scaled, F.lit(0))
+        for i in range(bits):
+            term = F.shiftleft(F.shiftright(scaled, i).bitwiseAND(F.lit(1)), i * k + j)
+            z = term if z is None else z + term
+    return z
 
 
 def rewrite_manifests(table) -> Snapshot:

@@ -813,10 +813,15 @@ class IceTable:
 
         return dml.merge(self, source, on, **kwargs)
 
-    def compact(self, target_file_size: int = 128 * 1024 * 1024, cluster_by=None):
+    def compact(
+        self,
+        target_file_size: int = 128 * 1024 * 1024,
+        cluster_by=None,
+        cluster_strategy=None,
+    ):
         from . import maintenance
 
-        return maintenance.compact(self, target_file_size, cluster_by)
+        return maintenance.compact(self, target_file_size, cluster_by, cluster_strategy)
 
     def rewrite_manifests(self):
         from . import maintenance

@@ -50,6 +50,43 @@ def test_cluster_by_tightens_bounds(spark, warehouse):
     assert rows_sorted(t.toDF(pred)) == rows_sorted(orders.filter("o_orderkey < 100"))
 
 
+def _avg_norm_range(t, column):
+    """Mean per-file (max-min)/domain of a column — 1.0 means every
+    file spans the whole domain (no pruning power), small means tight."""
+    files = [f for f in t.live_files() if column in f.stats]
+    lo = min(f.stats[column]["min"] for f in files)
+    hi = max(f.stats[column]["max"] for f in files)
+    dom = (hi - lo) or 1
+    return sum((f.stats[column]["max"] - f.stats[column]["min"]) / dom for f in files) / len(files)
+
+
+def test_zorder_tightens_bounds_on_both_columns(spark, warehouse):
+    """Z-order clustering: per-file bounds must be tight on BOTH
+    cluster columns; linear clustering is tight only on the first."""
+    cat = Catalog(spark, warehouse)
+    li = load(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    lin = cat.create_table("db.lin", li.schema)
+    lin.append(li.repartition(8))
+    lin.compact(target_file_size=8 * 1024, cluster_by=["l_partkey", "l_suppkey"])
+    zo = cat.create_table("db.zo", li.schema)
+    zo.append(li.repartition(8))
+    zo.compact(
+        target_file_size=8 * 1024,
+        cluster_by=["l_partkey", "l_suppkey"],
+        cluster_strategy="zorder",
+    )
+    assert len(zo.live_files()) > 3
+    assert rows_sorted(zo.toDF()) == rows_sorted(li)
+    # linear: first column tight, second column useless (~full domain)
+    assert _avg_norm_range(lin, "l_partkey") < 0.5
+    assert _avg_norm_range(lin, "l_suppkey") > 0.8
+    # zorder: BOTH columns substantially tighter than the full domain
+    assert _avg_norm_range(zo, "l_partkey") < 0.7
+    assert _avg_norm_range(zo, "l_suppkey") < 0.7
+
+
 def test_rewrite_manifests(spark, warehouse):
     cat = Catalog(spark, warehouse)
     orders = load(spark, SF_DIR, "orders")
