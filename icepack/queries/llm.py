@@ -27,9 +27,14 @@ from pyspark.sql import functions as F
 from ..io import load
 from . import REGISTRY, query
 
-def _shingle_rows(spark: SparkSession, sf: str, distinct: bool) -> DataFrame:
+def _shingle_rows(
+    spark: SparkSession, sf: str, distinct: bool, carry: tuple = ()
+) -> DataFrame:
     """(doc_id, sh) rows of 3-word shingles — and, when ``distinct``,
-    the per-doc distinct-shingle count ``n_sh``.
+    the per-doc distinct-shingle count ``n_sh``.  ``carry`` names
+    per-doc columns to thread through the pipeline (cheaper than a
+    join-back against documents, which would broadcast a corpus-sized
+    side at scale).
 
     Built as posexplode(words) + lead() windows rather than
     explode(transform(...)): a generator whose child is an expensive
@@ -44,13 +49,13 @@ def _shingle_rows(spark: SparkSession, sf: str, distinct: bool) -> DataFrame:
     d = load(spark, sf, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    we = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    we = d.select("doc_id", *carry, F.posexplode(F.split("text", " ")).alias("pos", "w"))
     win = W.partitionBy("doc_id").orderBy("pos")
     sh = (
         we.withColumn("w1", F.lead("w", 1).over(win))
         .withColumn("w2", F.lead("w", 2).over(win))
         .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "w", "w1", "w2").alias("sh"))
+        .select("doc_id", *carry, F.concat_ws(" ", "w", "w1", "w2").alias("sh"))
     )
     if distinct:
         # NOT .distinct() + count window: those re-shuffle by (doc_id,
@@ -60,9 +65,11 @@ def _shingle_rows(spark: SparkSession, sf: str, distinct: bool) -> DataFrame:
         # with zero additional exchanges (per-doc shingle lists are
         # bounded by document length, so collect_list is safe).
         sh = (
-            sh.groupBy("doc_id")
+            sh.groupBy("doc_id", *carry)
             .agg(F.array_distinct(F.collect_list("sh")).alias("shs"))
-            .select("doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("sh"))
+            .select(
+                "doc_id", *carry, F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")
+            )
         )
     return sh
 
@@ -164,6 +171,108 @@ def x2_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return counts.filter(jac >= 0.8).select(
         "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+@query(
+    "x21_repetition_ratio",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    g AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(w) < 3 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(list_transform(
+                               range(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE)
+                           / (len(w) - 2)
+             END AS rep
+      FROM t
+    )
+    SELECT lang,
+           ROUND(AVG(rep), 4) AS avg_rep,
+           ROUND(MAX(rep), 4) AS max_rep,
+           COUNT(*) FILTER (rep > 0.05) AS n_repetitive
+    FROM g GROUP BY lang
+    """,
+)
+def x21_repetition_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition (a Gopher/RefinedWeb-style quality
+    rule): fraction of a doc's word-trigrams that are duplicates of an
+    earlier trigram in the SAME doc.  Everything per-row is
+    higher-order array functions (transform/sequence/array_distinct) —
+    zero shuffles and zero Python until the tiny per-lang aggregate, so
+    at 100 TB this is a single codegen'd scan pass."""
+    d = load(spark, sf, "documents").withColumn("w", F.split("text", " "))
+    n = F.size("w")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("w", i), F.element_at("w", i + 1), F.element_at("w", i + 2)
+        ),
+    )
+    # CaseWhen evaluates the matched branch only, guarding the
+    # sequence() call against n<3 (where 1-based indexing would fail)
+    rep = F.when(n < 3, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(grams)).cast("double") / (n - 2)
+    )
+    return (
+        d.withColumn("rep", rep)
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("rep"), 4).alias("avg_rep"),
+            F.round(F.max("rep"), 4).alias("max_rep"),
+            F.sum((F.col("rep") > 0.05).cast("long")).alias("n_repetitive"),
+        )
+    )
+
+
+@query(
+    "x22_contamination",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents)
+    ),
+    ev AS (SELECT doc_id, s FROM sh WHERE source = 'src0'),
+    tr AS (SELECT doc_id, s FROM sh WHERE source <> 'src0')
+    SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS common
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def x22_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination screen: flag training docs sharing ≥3
+    distinct word-trigrams with any doc of the held-out set (source
+    'src0' stands in for an eval benchmark).
+
+    Same inverted-index shape as x2: ONE shingle pipeline, postings
+    split into eval/train in-place per shingle, train×eval pairs
+    emitted only within a posting list — never a self-join of the
+    derived shingle table (which would run the pipeline twice and
+    broadcast an exploded relation), and never an unblocked cross
+    join.  At 100 TB the eval side is a fixed benchmark suite, so
+    posting lists stay tiny on the eval axis and the pair expansion
+    is bounded by eval hits, not corpus size."""
+    sh = _shingle_rows(spark, sf, distinct=True, carry=("source",))
+    buckets = (
+        sh.groupBy("sh")
+        .agg(
+            F.collect_list(F.when(F.col("source") == "src0", F.col("doc_id"))).alias("evs"),
+            F.collect_list(F.when(F.col("source") != "src0", F.col("doc_id"))).alias("trs"),
+        )
+        .filter((F.size("evs") > 0) & (F.size("trs") > 0))
+    )
+    pairs = buckets.select(F.explode("trs").alias("train_id"), "evs").select(
+        "train_id", F.explode("evs").alias("eval_id")
+    )
+    return (
+        pairs.groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= 3)
     )
 
 
