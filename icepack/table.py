@@ -305,6 +305,14 @@ class IceTable:
             # property to "none" to skip for pre-clustered inputs.
             df = df.repartition(*[F.col(c) for c in part_names])
         writer = df.write.mode("error")
+        # Iceberg-style per-column bloom filters (point-lookup file
+        # skipping inside the parquet reader — complements min/max
+        # stats, which are useless for high-cardinality equality keys)
+        bloom_prefix = "write.parquet.bloom-filter-enabled.column."
+        for prop, val in self.meta.properties.items():
+            if prop.startswith(bloom_prefix) and str(val).lower() == "true":
+                column = prop[len(bloom_prefix):]
+                writer = writer.option(f"parquet.bloom.filter.enabled#{column}", "true")
         if part_names:
             writer = writer.partitionBy(*part_names)
         writer.parquet(commit_dir)
@@ -768,6 +776,71 @@ class IceTable:
             "manifest_path string, added_files int, existing_files int,"
             " deleted_files int, partition_summaries string",
         )
+
+    def partitions(self, snapshot: Snapshot | None = None) -> DataFrame:
+        """The ``$PARTITIONS`` metadata relation (docs/07:164-173):
+        per-partition file/row/byte totals, computed from manifest
+        entries alone — no data files are opened."""
+        agg: dict[str, list] = {}
+        for f in self.live_files(snapshot):
+            key = json.dumps(f.partition, sort_keys=True)
+            a = agg.setdefault(key, [0, 0, 0])
+            a[0] += 1
+            a[1] += f.record_count
+            a[2] += f.file_size_bytes
+        rows = [(k, *v) for k, v in sorted(agg.items())]
+        return self.spark.createDataFrame(
+            rows,
+            "partition string, file_count long, record_count long, total_bytes long",
+        )
+
+    def count(self, predicate: Expr | None = None) -> int:
+        """SELECT COUNT(*) answered from manifest metadata when
+        provably exact: no delete files in play, and every candidate
+        file either fully matches the predicate (stats-proven) or
+        can't match at all.  Only the unprovable remainder is scanned —
+        at 100 TB an unfiltered COUNT(*) or a partition-aligned count
+        touches zero data bytes."""
+        snap = self.meta.current_snapshot
+        if snap is None:
+            return 0
+        if any(
+            e.content.endswith("-deletes") for e in self.live_files(snap, content="all")
+        ):
+            return self.toDF(predicate).count()
+        if predicate is None:
+            return sum(f.record_count for f in self.live_files(snap))
+        may, _ = self.plan_files(predicate, snap)
+        proven = [
+            f
+            for f in may
+            if predicate.all_match_file(f.stats, f.record_count)
+        ]
+        proven_paths = {f.path for f in proven}
+        rest = [f for f in may if f.path not in proven_paths]
+        total = sum(f.record_count for f in proven)
+        if rest:
+            total += self._read_files(rest).filter(predicate.to_column()).count()
+        return total
+
+    def set_properties(self, **props: str) -> None:
+        """ALTER TABLE ... SET TBLPROPERTIES: metadata-only commit; a
+        value of None unsets the key.  Same CAS+retry as schema
+        evolution — a property edit racing a concurrent append rebases
+        onto the new snapshot list."""
+        for _ in range(5):
+            merged = dict(self.meta.properties)
+            for k, v in props.items():
+                if v is None:
+                    merged.pop(k, None)
+                else:
+                    merged[k] = str(v)
+            try:
+                self._write_version(self._version + 1, self.meta.copy_with(properties=merged))
+                return
+            except CommitConflict:
+                self.refresh()
+        raise CommitConflict("set_properties failed after retries")
 
     def history(self) -> DataFrame:
         rows = [

@@ -139,3 +139,72 @@ def test_incremental_manifest_reuse(spark, warehouse):
     t.append(orders.coalesce(1))
     m2 = {r["manifest_path"] for r in t.manifests().collect()}
     assert m1 < m2  # previous manifest referenced untouched
+
+
+def test_partitions_metadata_table(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    ev = load(spark, SF_DIR, "events")
+    t = cat.create_table(
+        "db.evp", ev.schema, partition_by=[("event_type", "identity")]
+    )
+    t.append(ev)
+    parts = {r["partition"]: r for r in t.partitions().collect()}
+    n_types = ev.select("event_type").distinct().count()
+    assert len(parts) == n_types
+    assert sum(r["record_count"] for r in parts.values()) == ev.count()
+    assert all(r["file_count"] >= 1 and r["total_bytes"] > 0 for r in parts.values())
+
+
+def test_metadata_only_count(spark, warehouse):
+    """COUNT(*) and stats-proven filtered counts come from manifests;
+    unprovable predicates still count exactly via a partial scan."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.oc", orders.schema)
+    t.append(orders.repartition(4))
+    assert t.count() == orders.count()
+    pred = col("o_totalprice") > 100000.0  # unprovable: scans remainder
+    assert t.count(pred) == orders.filter("o_totalprice > 100000.0").count()
+    # after a MOR delete the fast path must disable itself
+    t2 = cat.create_table(
+        "db.oc2", orders.schema,
+        properties={"write.delete.mode": "merge-on-read",
+                    "identifier-field-names": "o_orderkey"},
+    )
+    t2.append(orders)
+    t2.delete(col("o_orderstatus") == "F")
+    assert t2.count() == orders.filter("o_orderstatus <> 'F'").count()
+
+
+def test_set_properties(spark, warehouse):
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.op", orders.schema)
+    v = t._version
+    t.set_properties(**{"write.sort-order": "o_orderkey", "tmp.key": "1"})
+    t.set_properties(**{"tmp.key": None})
+    assert t.meta.properties["write.sort-order"] == "o_orderkey"
+    assert "tmp.key" not in t.meta.properties
+    assert t._version == v + 2
+    # a fresh load sees the committed properties
+    assert IceTable.load(spark, cat._loc("db.op")).meta.properties[
+        "write.sort-order"
+    ] == "o_orderkey"
+
+
+def test_bloom_filter_write_option(spark, warehouse):
+    """The bloom-filter table property must reach the parquet writer:
+    same data, bloom-enabled file is measurably larger (the filter
+    bytes are embedded in the file)."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders").coalesce(1)
+    plain = cat.create_table("db.nb", orders.schema)
+    plain.append(orders)
+    bloomy = cat.create_table(
+        "db.wb", orders.schema,
+        properties={"write.parquet.bloom-filter-enabled.column.o_orderkey": "true"},
+    )
+    bloomy.append(orders)
+    size = lambda t: sum(f.file_size_bytes for f in t.live_files())
+    assert size(bloomy) > size(plain) + 1024
+    assert rows_sorted(bloomy.toDF()) == rows_sorted(plain.toDF())
