@@ -385,6 +385,57 @@ def j5_range_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "j5_interval_bin_join",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             TIMESTAMP '1995-01-01' + to_days(CAST(event_id % 2400 AS INT)) AS mts
+      FROM events
+    )
+    SELECT CAST(date_trunc('month', e.mts) AS TIMESTAMP) AS m,
+           COUNT(*) AS n_matches,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM e JOIN orders o
+      ON e.mts >= o.o_orderdate AND e.mts < o.o_orderdate + INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+)
+def j5_interval_bin_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-interval join where BOTH sides are fact-sized — the
+    case j5's broadcast nested loop cannot handle at 100 TB.  Because
+    interval width is bounded (7 days), each interval overlaps at most
+    2 week-bins: explode intervals into their bins, equi-join points on
+    the bin, then apply the exact range as a residual filter.  The plan
+    is a plain hash join on the bin key — shuffle-partitionable, AQE-
+    skew-splittable — instead of an O(n·m) nested loop."""
+    W = 7  # bin width = max interval width, in days
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        F.expr(
+            "timestamp'1995-01-01' + make_interval(0,0,0,cast(event_id % 2400 as int),0,0,0)"
+        ).alias("mts"),
+    )
+    pts = ev.withColumn(
+        "pd", F.datediff(F.to_date("mts"), F.lit("1995-01-01").cast("date"))
+    ).withColumn("bin", F.floor(F.col("pd") / W))
+    o = load(spark, sf, "orders").withColumn(
+        "ds", F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    )
+    iv = o.withColumn(
+        "bin", F.explode(F.sequence(F.floor(F.col("ds") / W), F.floor((F.col("ds") + W - 1) / W)))
+    )
+    return (
+        pts.join(iv, "bin")
+        .filter((F.col("pd") >= F.col("ds")) & (F.col("pd") < F.col("ds") + W))
+        .groupBy(F.date_trunc("month", "mts").cast("timestamp_ntz").alias("m"))
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@query(
     "j7_asof_join",
     oracle="""
     WITH e AS (
