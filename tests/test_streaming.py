@@ -3,6 +3,8 @@
 dedup."""
 
 
+import os
+
 from pyspark.sql import functions as F
 
 from icepack.catalog import Catalog
@@ -153,3 +155,46 @@ def test_sessionize_with_state(spark, tmp_path):
     )
     assert rows_sorted(got) == rows_sorted(want)
     assert got.count() == 4
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """ST4: append-mode windowed agg with a 1-hour watermark — a row
+    arriving behind the watermark must be DROPPED, not re-open its
+    (already finalized) window."""
+    src = str(tmp_path / "late-src")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "ts string, k string").select(
+            F.to_timestamp("ts").alias("ts"), "k"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_batch("b1", [("2024-01-01 10:00:00", "a"), ("2024-01-01 15:00:00", "a")])
+    schema = "ts timestamp, k string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "k")
+        .count()
+        .select(F.col("window.start").alias("ws"), "k", "count")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch1: watermark advances to 14:00
+        # batch2: one LATE row (10:30 < watermark) + one fresh row
+        write_batch("b2", [("2024-01-01 10:30:00", "a"), ("2024-01-01 16:00:00", "a")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["ws"].strftime("%H:%M"), r["k"]): r["count"]
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # the 10:00 window was finalized with ONE row; the late 10:30 row
+    # must not appear anywhere (would be count=2 or a second emission)
+    assert got == {("10:00", "a"): 1}
