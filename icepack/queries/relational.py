@@ -907,6 +907,82 @@ def a4_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "a4_tpch_q17",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def a4_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue).  The correlated AVG
+    subquery is decorrelated by hand into ONE per-part aggregate joined
+    back — the aggregate and the probe share the l_partkey hash
+    partitioning, and the brand filter shrinks the probe before the
+    join.  Never evaluate a correlated subquery per row at 100 TB."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "a4_tpch_q22",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY n.n_name
+    """,
+)
+def a4_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 (global-sales-opportunity, adapted: fixtures carry no
+    c_phone so grouping is by nation, and every customer has SOME order
+    so the lapse test is "no order since 1998").  The scalar average is
+    computed once (tiny driver value), the NOT EXISTS is a left-anti
+    join against orders' key column only — the anti side ships just
+    o_custkey through its shuffle, and the rich customer columns never
+    move twice."""
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a")).first()["a"]
+    )
+    o_keys = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    return (
+        c.filter(F.col("c_acctbal") > avg_bal)
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@query(
     "a5_scalar_subquery",
     oracle="""
     SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
