@@ -770,6 +770,64 @@ def x16_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "x23_dedup_keep_best",
+    oracle=_SQL_BAND_EDGES.replace("WITH sh_tbl", "WITH RECURSIVE sh_tbl", 1)
+    + """
+    , edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    walk(id, label) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.id
+    ),
+    assign AS (SELECT id AS doc_id, MIN(label) AS cluster FROM walk GROUP BY id),
+    ranked AS (
+      SELECT a.cluster, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY a.cluster
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY a.cluster) AS n_members
+      FROM assign a JOIN documents d ON a.doc_id = d.doc_id
+    )
+    SELECT cluster, n_members, doc_id AS keep_id, n_chars AS keep_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def x23_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """The dedup POLICY step: given near-dup clusters (x16), pick the
+    canonical survivor per cluster — here "longest copy wins" (common
+    for web corpora: truncated mirrors lose), doc_id as tiebreak.
+    The cluster map is joined to documents on doc_id (hash join on the
+    natural key — NOT broadcast: the map scales with the duplicate
+    count, i.e. with the corpus); ranking reuses the cluster hash
+    partitioning for its window."""
+    from pyspark.sql import Window as W
+
+    from ..dedup import connected_components
+
+    pairs = REGISTRY["x3_minhash_lsh"](spark, sf)
+    assign = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("cluster")
+    )
+    d = load(spark, sf, "documents").select("doc_id", "n_chars")
+    win = W.partitionBy("cluster").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        assign.join(d, "doc_id")
+        .withColumn("rn", F.row_number().over(win))
+        .withColumn("n_members", F.count("*").over(W.partitionBy("cluster")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster",
+            "n_members",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_chars"),
+        )
+    )
+
+
+@query(
     "x17_tfidf_terms",
     oracle="""
     WITH words AS (
