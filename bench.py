@@ -27,6 +27,7 @@ from icepack.session import get_session  # noqa: E402
 HEADLINE = [
     "a0_gold_daily",
     "a4_tpch_q1",
+    "a4_tpch_q5",
     "j1_inner_join",
     "j3_broadcast_star",
     "j7_asof_join",
@@ -39,6 +40,7 @@ HEADLINE = [
     "x3_minhash_lsh",
     "x5_cosine_topk",
     "x13_embedding_neardup",
+    "x22_contamination",
     "x1_exact_dedup",
     "p1_pruned_scan",
     "f8_explode_words",
