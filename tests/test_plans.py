@@ -63,3 +63,32 @@ def test_whole_stage_codegen_everywhere(spark):
     # codegen stages print as "*(N) Operator" in the executed plan
     assert "*(1)" in final and "*(2)" in final
     assert "Batched: true" in _plan(spark, "a4_tpch_q1")
+
+
+def test_interval_bin_join_is_hash_join(spark):
+    """The binned interval join must be an equi hash/merge join on the
+    bin key — never a nested loop (the whole point of binning)."""
+    plan = _plan(spark, "j5_interval_bin_join")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
+
+
+def test_tpch_q5_broadcasts_fixed_dims(spark):
+    """nation/region (fixed cardinality at any SF) broadcast; the
+    fact-fact join may shuffle."""
+    plan = _plan(spark, "a4_tpch_q5")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_scans_lineitem_once(spark):
+    """Q18 is written so the HAVING pre-aggregate IS the output
+    aggregate — the dominant fact table must appear in exactly one
+    scan node, not the literal SQL's two."""
+    plan = _plan(spark, "a4_tpch_q18")
+    # each distinct scan node prints its Location once in the details
+    assert plan.count("lineitem.parquet") == 1
