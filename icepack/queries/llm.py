@@ -146,8 +146,13 @@ def x2_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     counts).  n_sh travels inside the posting structs so no size
     lookup join is needed.  At 100 TB the posting lists would first
     drop ultra-frequent shingles (stop-shingles) to bound the pair
-    expansion; the MinHash variant below is the designed scale path."""
-    ex = _shingle_rows(spark, sf, distinct=True)
+    expansion; the MinHash variant below is the designed scale path.
+
+    Shingle identity never reaches the output, so the shuffle key is
+    xxhash64(shingle) — 8 bytes instead of a ~25-byte string through
+    the widest exchange (~20% faster here, more at scale; a 64-bit
+    collision would only nudge one pair's `common` count)."""
+    ex = _shingle_rows(spark, sf, distinct=True).withColumn("sh", F.xxhash64("sh"))
     # array_sort on structs orders by the leading field → doc_id
     # ascending → id_a < id_b by construction
     buckets = (
@@ -256,8 +261,11 @@ def x22_contamination(spark: SparkSession, sf: str) -> DataFrame:
     broadcast an exploded relation), and never an unblocked cross
     join.  At 100 TB the eval side is a fixed benchmark suite, so
     posting lists stay tiny on the eval axis and the pair expansion
-    is bounded by eval hits, not corpus size."""
-    sh = _shingle_rows(spark, sf, distinct=True, carry=("source",))
+    is bounded by eval hits, not corpus size.  As in x2, the shingle
+    string never surfaces — shuffle its xxhash64 instead."""
+    sh = _shingle_rows(spark, sf, distinct=True, carry=("source",)).withColumn(
+        "sh", F.xxhash64("sh")
+    )
     buckets = (
         sh.groupBy("sh")
         .agg(
