@@ -39,13 +39,23 @@ def write_stream_to_table(
     files; compaction restores health).  ``Trigger.AvailableNow`` gives
     the incremental-batch pattern ST6 (process everything pending, then
     stop) — the high-water-mark bronze→silver loop without manual
-    bookkeeping."""
+    bookkeeping.
 
+    Exactly-once: foreachBatch is at-least-once (a crashed trigger
+    re-delivers its batch id), so each commit records its
+    ``streaming-batch-id`` in the snapshot summary and a re-delivered
+    batch id that already committed is skipped — append + batch-id
+    check happen under the same table CAS, mirroring the real Iceberg
+    Spark sink's idempotence."""
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         if coalesce_to:
             batch_df = batch_df.coalesce(coalesce_to)
         table.refresh()
-        table.append(batch_df)
+        marker = f"{checkpoint_dir}#{batch_id}"  # checkpoint dir ≡ query identity
+        for s in table.meta.snapshots:
+            if s.summary.get("streaming-batch-id") == marker:
+                return  # this batch already committed — re-delivery
+        table.append(batch_df, extra_summary={"streaming-batch-id": marker})
 
     writer = stream_df.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

@@ -175,6 +175,7 @@ class IceTable:
         replaced_paths: set[str] | None = None,
         max_retries: int = 5,
         branch: str | None = None,
+        extra_summary: dict | None = None,
     ) -> Snapshot:
         """Build snapshot = (previous live files ∖ replaced) ∪ new, then
         CAS.  On conflict: reload, re-validate, retry from the new base
@@ -251,6 +252,7 @@ class IceTable:
                     "removed-data-files": str(len(replaced_paths)),
                     "total-data-files": str(total_files),
                     "added-records": str(sum(e.record_count for e in new_entries)),
+                    **(extra_summary or {}),
                 },
             )
             meta = self.meta
@@ -305,6 +307,9 @@ class IceTable:
             # property to "none" to skip for pre-clustered inputs.
             df = df.repartition(*[F.col(c) for c in part_names])
         writer = df.write.mode("error")
+        codec = self.meta.properties.get("write.parquet.compression-codec")
+        if codec:
+            writer = writer.option("compression", codec)
         # Iceberg-style per-column bloom filters (point-lookup file
         # skipping inside the parquet reader — complements min/max
         # stats, which are useless for high-cardinality equality keys)
@@ -354,11 +359,20 @@ class IceTable:
             )
         return entries
 
-    def append(self, df: DataFrame, branch: str | None = None) -> Snapshot:
+    def append(
+        self,
+        df: DataFrame,
+        branch: str | None = None,
+        extra_summary: dict | None = None,
+    ) -> Snapshot:
         """INSERT/append (docs/08-acid-transactions.md:84-96); with
         ``branch``, the commit advances that ref only (docs/05:150-158 —
-        e.g. an audit lineage validated before fast-forwarding main)."""
-        return self._commit_snapshot("append", self._write_data_files(df), branch=branch)
+        e.g. an audit lineage validated before fast-forwarding main).
+        ``extra_summary`` entries land in the snapshot summary inside
+        the same commit (e.g. the streaming sink's batch-id marker)."""
+        return self._commit_snapshot(
+            "append", self._write_data_files(df), branch=branch, extra_summary=extra_summary
+        )
 
     def overwrite_all(self, df: DataFrame) -> Snapshot:
         """INSERT OVERWRITE: replace the whole table in one snapshot."""

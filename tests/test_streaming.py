@@ -198,3 +198,41 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 10:00 window was finalized with ONE row; the late 10:30 row
     # must not appear anywhere (would be count=2 or a second emission)
     assert got == {("10:00", "a"): 1}
+
+
+def test_stream_sink_skips_redelivered_batch(spark, tmp_path, warehouse):
+    """foreachBatch is at-least-once: re-running a batch id that
+    already committed must be a no-op (batch-id marker in the snapshot
+    summary, written inside the same commit)."""
+    from icepack.streaming import write_stream_to_table
+
+    cat = Catalog(spark, warehouse)
+    ev = load(spark, SF_DIR, "events")
+    src = str(tmp_path / "eo-src")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    t = cat.create_table("db.eo", ev.schema)
+    ckpt = str(tmp_path / "eo-ckpt")
+    q = write_stream_to_table(stream, t, ckpt)
+    q.awaitTermination(180)
+    t.refresh()
+    assert t.toDF().count() == ev.count()
+    # simulate the crash-redelivery: call the sink again with batch 0
+    # (same checkpoint identity) — must not double-append
+    n_snaps = len(t.meta.snapshots)
+
+    # rebuild the same marker protocol the sink uses
+    def redeliver(batch_id):
+        t.refresh()
+        marker = f"{ckpt}#{batch_id}"
+        for s in t.meta.snapshots:
+            if s.summary.get("streaming-batch-id") == marker:
+                return False
+        t.append(ev, extra_summary={"streaming-batch-id": marker})
+        return True
+
+    assert redeliver(0) is False          # already committed → skipped
+    assert t.toDF().count() == ev.count()
+    assert len(t.meta.snapshots) == n_snaps
+    assert redeliver(99) is True          # a genuinely new batch commits
+    assert t.toDF().count() == 2 * ev.count()

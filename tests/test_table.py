@@ -208,3 +208,22 @@ def test_bloom_filter_write_option(spark, warehouse):
     size = lambda t: sum(f.file_size_bytes for f in t.live_files())
     assert size(bloomy) > size(plain) + 1024
     assert rows_sorted(bloomy.toDF()) == rows_sorted(plain.toDF())
+
+
+def test_compression_codec_property(spark, warehouse):
+    """write.parquet.compression-codec reaches the writer."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders").coalesce(1)
+    raw = cat.create_table(
+        "db.cnone", orders.schema,
+        properties={"write.parquet.compression-codec": "none"},
+    )
+    raw.append(orders)
+    gz = cat.create_table(
+        "db.cgz", orders.schema,
+        properties={"write.parquet.compression-codec": "gzip"},
+    )
+    gz.append(orders)
+    size = lambda t: sum(f.file_size_bytes for f in t.live_files())
+    assert size(raw) > size(gz)
+    assert rows_sorted(raw.toDF()) == rows_sorted(gz.toDF())
