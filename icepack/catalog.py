@@ -48,15 +48,71 @@ class Catalog:
     def table_exists(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._loc(name), "metadata"))
 
-    def drop_table(self, name: str) -> None:
+    def drop_table(self, name: str, purge: bool = False) -> None:
+        """DROP TABLE.  Without ``purge`` the table directory moves to
+        the warehouse trash so UNDROP can restore it within retention
+        (docs/01-table-format-architecture.md:80: the snapshots array
+        enables "Time Travel queries and UNDROP operations"); with
+        ``purge`` it is deleted immediately."""
         import shutil
+        import time as _time
 
-        shutil.rmtree(self._loc(name), ignore_errors=True)
+        loc = self._loc(name)
+        if purge:
+            shutil.rmtree(loc, ignore_errors=True)
+            return
+        if not os.path.exists(loc):
+            return
+        trash = os.path.join(
+            self.warehouse, ".trash", f"{name}-{int(_time.time() * 1000)}"
+        )
+        os.makedirs(os.path.dirname(trash), exist_ok=True)
+        os.rename(loc, trash)
+
+    def undrop_table(self, name: str) -> IceTable:
+        """UNDROP TABLE: restore the most recently dropped copy."""
+        tdir = os.path.join(self.warehouse, ".trash")
+        candidates = sorted(
+            (d for d in os.listdir(tdir) if d.rsplit("-", 1)[0] == name)
+            if os.path.isdir(tdir)
+            else []
+        )
+        if not candidates:
+            raise ValueError(f"no dropped table {name!r} in trash")
+        loc = self._loc(name)
+        if os.path.exists(loc):
+            raise ValueError(f"table {name!r} already exists; cannot undrop over it")
+        os.makedirs(os.path.dirname(loc), exist_ok=True)
+        os.rename(os.path.join(tdir, candidates[-1]), loc)
+        return self.load_table(name)
+
+    def purge_trash(self, older_than_ms: int | None = None) -> list[str]:
+        """Empty the UNDROP trash (retention sweep — the external-
+        catalog cleanup duty docs/01:80 assigns to tooling)."""
+        import shutil
+        import time as _time
+
+        tdir = os.path.join(self.warehouse, ".trash")
+        if not os.path.isdir(tdir):
+            return []
+        cutoff = older_than_ms if older_than_ms is not None else int(_time.time() * 1000)
+        removed = []
+        for d in sorted(os.listdir(tdir)):
+            try:
+                ts = int(d.rsplit("-", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            if ts <= cutoff:
+                shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                removed.append(d)
+        return removed
 
     def list_tables(self, namespace: str = "") -> list[str]:
         base = os.path.join(self.warehouse, *namespace.split(".")) if namespace else self.warehouse
         out = []
         for root, dirs, _files in os.walk(base):
+            if root == self.warehouse and ".trash" in dirs:
+                dirs.remove(".trash")  # dropped-but-restorable tables
             if "metadata" in dirs and os.path.exists(
                 os.path.join(root, "metadata", "version-hint.json")
             ):

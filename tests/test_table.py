@@ -227,3 +227,27 @@ def test_compression_codec_property(spark, warehouse):
     size = lambda t: sum(f.file_size_bytes for f in t.live_files())
     assert size(raw) > size(gz)
     assert rows_sorted(raw.toDF()) == rows_sorted(gz.toDF())
+
+
+def test_drop_undrop_table(spark, warehouse):
+    """DROP moves to trash (UNDROP restorable, docs/01:80); PURGE and
+    the retention sweep actually delete."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.dropme", orders.schema)
+    t.append(orders)
+    before = rows_sorted(t.toDF())
+    cat.drop_table("db.dropme")
+    assert not cat.table_exists("db.dropme")
+    assert "db.dropme" not in cat.list_tables()
+    restored = cat.undrop_table("db.dropme")
+    assert rows_sorted(restored.toDF()) == before
+    assert "db.dropme" in cat.list_tables()
+    # purge path: gone for good
+    cat.drop_table("db.dropme")
+    assert cat.purge_trash() != []
+    try:
+        cat.undrop_table("db.dropme")
+        raise AssertionError("undrop after purge must fail")
+    except ValueError:
+        pass
