@@ -986,53 +986,17 @@ def x20_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
     iteration count is fixed — invariants (monotone inertia, count
     conservation, run-to-run stability) are pytest-checked
     (tests/test_scale_patterns.py); no SQL oracle — k-means is
-    iterative, beyond a single DuckDB statement (rows-only check)."""
-    import numpy as np
-
-    from pyspark.sql.functions import pandas_udf
+    iterative, beyond a single DuckDB statement (rows-only check).
+    Training/search live in ``icepack/ann.py`` (``train_ivf`` /
+    ``ivf_topk``, recall invariants in tests/test_ann.py)."""
+    from ..ann import assigner, train_ivf
 
     K, ITERS = 4, 3
     e = load(spark, sf, "embeddings").select("vec_id", "embedding")
-    cents = np.asarray(
-        [r["embedding"] for r in e.orderBy("vec_id").limit(K).collect()],
-        dtype=np.float64,
-    )
-
-    def assigner(C):
-        @pandas_udf("cluster int, sqdist double")
-        def assign(emb):  # type: ignore[misc]
-            import numpy as np
-            import pandas as pd
-
-            V = np.asarray(emb.tolist(), dtype=np.float64)
-            # squared distance via the expansion ||v||² - 2v·c + ||c||²
-            d2 = (
-                (V * V).sum(axis=1, keepdims=True)
-                - 2.0 * (V @ C.T)
-                + (C * C).sum(axis=1)
-            )
-            idx = d2.argmin(axis=1)  # ties → lowest index
-            return pd.DataFrame(
-                {"cluster": idx.astype("int32"), "sqdist": d2[np.arange(len(idx)), idx]}
-            )
-
-        return assign
-
-    for it in range(ITERS):
-        a = e.withColumn("a", assigner(cents)("embedding"))
-        if it == ITERS - 1:
-            break
-        rows = (
-            a.select(F.col("a.cluster").alias("cluster"), F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("cluster", "pos")
-            .agg(F.avg("v").alias("m"))
-            .collect()
-        )
-        nxt = cents.copy()  # empty clusters keep their old centroid
-        for r in rows:
-            nxt[r["cluster"], r["pos"]] = r["m"]
-        cents = nxt
-
+    # ITERS-1 centroid updates + one final assignment pass ≡ the
+    # original inline loop's "assign, then update unless last" shape
+    cents = train_ivf(e, K, ITERS - 1)
+    a = e.withColumn("a", assigner(cents)("embedding"))
     return a.groupBy(F.col("a.cluster").alias("cluster")).agg(
         F.count("*").alias("n_vectors"),
         F.round(F.avg("a.sqdist"), 2).alias("avg_sqdist"),
