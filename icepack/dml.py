@@ -172,9 +172,21 @@ def _delete_mor(table, predicate: Expr) -> Snapshot:
     return table._commit_snapshot("delete", entries)
 
 
-def update(table, predicate: Expr, assignments: dict[str, Column]) -> Snapshot:
-    """UPDATE t SET col = expr WHERE pred (docs/08:120-129): rewrite
-    only the hit files, branching per row with when(pred, new)."""
+def update(
+    table, predicate: Expr, assignments: dict[str, Column], mode: str | None = None
+) -> Snapshot:
+    """UPDATE t SET col = expr WHERE pred (docs/08:120-129).
+
+    Copy-on-write (default): rewrite only the hit files, branching per
+    row with when(pred, new).  Merge-on-read (``write.update.mode`` =
+    ``merge-on-read``): write position-delete entries for the matched
+    rows plus new data files carrying their updated values — ONE
+    snapshot, no rewrite of unmatched rows; both entry sets share the
+    commit's sequence number, so the delete masks only the old copies
+    (docs/08:112-116 applied to UPDATE)."""
+    mode = mode or table.meta.properties.get("write.update.mode", "copy-on-write")
+    if mode == "merge-on-read":
+        return _update_mor(table, predicate, assignments)
     hit, _ = table.plan_files(predicate)
     if not hit:
         return table._commit_snapshot("overwrite", [])
@@ -194,6 +206,53 @@ def update(table, predicate: Expr, assignments: dict[str, Column]) -> Snapshot:
     rewritten = df.select(*cols)
     new_entries = table._write_data_files(rewritten)
     return table._commit_snapshot("overwrite", new_entries, {f.path for f in hit})
+
+
+def _update_mor(table, predicate: Expr, assignments: dict[str, Column]) -> Snapshot:
+    """MOR UPDATE: the matched rows' (file_path, pos) identities become
+    a position-delete file; their updated values are appended as new
+    data files.  Hit files are scanned twice (once per output) — still
+    strictly less I/O than a COW rewrite whenever the hit files are
+    mostly unmatched rows."""
+    hit, _ = table.plan_files(predicate)
+    if not hit:
+        return table._commit_snapshot("overwrite", [])
+    matched = table._read_files(hit, with_pos=True).filter(predicate.to_column())
+    keys = matched.select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+    ddir = os.path.join(table.location, "data", f"deletes-{uuid.uuid4().hex}")
+    keys.coalesce(1).write.parquet(ddir)
+    entries = []
+    for fname in sorted(os.listdir(ddir)):
+        if not fname.endswith(".parquet"):
+            continue
+        path = os.path.join(ddir, fname)
+        nrows, size, stats = harvest_stats(path)
+        if nrows == 0:
+            continue
+        entries.append(
+            DataFile(
+                path=path,
+                status="added",
+                partition={},
+                spec_id=table.meta.default_spec_id,
+                schema_id=table.meta.current_schema_id,
+                record_count=nrows,
+                file_size_bytes=size,
+                stats=stats,
+                content="position-deletes",
+            )
+        )
+    cols = []
+    for f in table.meta.schema.fields:
+        if f.name in assignments:
+            new = assignments[f.name]
+            if not isinstance(new, Column):
+                new = F.expr(str(new))
+            cols.append(new.cast(f.spark_type()).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    entries += table._write_data_files(matched.select(*cols))
+    return table._commit_snapshot("overwrite", entries)
 
 
 def merge(

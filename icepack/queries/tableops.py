@@ -369,6 +369,30 @@ def ice15_mor_position_delete(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ice16_mor_update",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN value > 100.0 THEN 0.0 ELSE value END AS value
+    FROM events
+    """,
+)
+def ice16_mor_update(spark: SparkSession, sf: str) -> DataFrame:
+    """D4 merge-on-read: UPDATE = position-delete of the matched rows
+    + append of their updated copies, one snapshot, unmatched rows
+    untouched on disk."""
+    ev = load(spark, sf, "events").select("event_id", "event_type", "value")
+    t = IceTable.create(
+        spark,
+        _scratch(),
+        ev.schema,
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    t.append(ev)
+    t.update(col("value") > 100.0, {"value": F.lit(0.0)})
+    return t.toDF()
+
+
+@query(
     "ice14_refs_rollback",
     oracle=f"SELECT {_ORDER_COLS} FROM orders WHERE o_orderstatus = 'F'",
 )

@@ -890,10 +890,10 @@ class IceTable:
 
         return dml.delete(self, predicate, mode)
 
-    def update(self, predicate, assignments: dict):
+    def update(self, predicate, assignments: dict, mode: str | None = None):
         from . import dml
 
-        return dml.update(self, predicate, assignments)
+        return dml.update(self, predicate, assignments, mode)
 
     def merge(self, source: DataFrame, on: list[str], **kwargs):
         from . import dml

@@ -222,3 +222,27 @@ def test_mor_equals_cow(spark, warehouse):
     a.delete(pred)
     b.delete(pred)
     assert rows_sorted(a.toDF()) == rows_sorted(b.toDF())
+
+
+def test_mor_update_equals_cow(spark, warehouse):
+    """MOR UPDATE (position-delete + append, one snapshot) reads back
+    identical to the COW rewrite; compaction folds it away."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    pred = col("o_orderstatus") == "F"
+    a = cat.create_table("db.ucow", orders.schema)
+    a.append(orders)
+    a.update(pred, {"o_totalprice": F.lit(0.0)})
+    b = cat.create_table(
+        "db.umor", orders.schema,
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    b.append(orders)
+    snaps_before = len(b.meta.snapshots)
+    b.update(pred, {"o_totalprice": F.lit(0.0)})
+    assert len(b.meta.snapshots) == snaps_before + 1  # ONE snapshot
+    assert len(b.live_files(content="position-deletes")) == 1
+    assert rows_sorted(a.toDF()) == rows_sorted(b.toDF())
+    b.compact()
+    assert len(b.live_files(content="position-deletes")) == 0
+    assert rows_sorted(a.toDF()) == rows_sorted(b.toDF())
