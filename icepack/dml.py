@@ -145,6 +145,14 @@ def _delete_mor(table, predicate: Expr) -> Snapshot:
             .distinct()
         )
         content = "equality-deletes"
+    return table._commit_snapshot(
+        "delete", _write_delete_entries(table, keys, content, eq_cols)
+    )
+
+
+def _write_delete_entries(table, keys: DataFrame, content: str, eq_cols=()) -> list[DataFile]:
+    """Write a delete file (equality or position) and return its
+    manifest entries.  Delete files are small by design → coalesce(1)."""
     ddir = os.path.join(table.location, "data", f"deletes-{uuid.uuid4().hex}")
     keys.coalesce(1).write.parquet(ddir)
     entries = []
@@ -169,7 +177,65 @@ def _delete_mor(table, predicate: Expr) -> Snapshot:
                 equality_columns=list(eq_cols),
             )
         )
-    return table._commit_snapshot("delete", entries)
+    return entries
+
+
+def _merge_mor(
+    table,
+    source: DataFrame,
+    on: list[str],
+    when_matched_update: dict[str, Column] | None,
+    when_matched_delete: bool,
+    when_not_matched_insert: bool,
+) -> Snapshot:
+    """MOR MERGE: matched target rows become position-delete entries;
+    their updated values (unless when_matched_delete) and the unmatched
+    source rows are appended — one snapshot, no hit-file rewrite."""
+    schema = table.meta.schema
+    names = [f.name for f in schema.fields]
+    src = source.select(*names)
+
+    predicate = None
+    if len(on) == 1:
+        key_rows = src.select(on[0]).distinct().limit(MERGE_PRUNE_MAX_KEYS + 1).collect()
+        if len(key_rows) <= MERGE_PRUNE_MAX_KEYS:
+            predicate = In(on[0], [r[0] for r in key_rows])
+    hit, _ = table.plan_files(predicate)
+
+    tgt = table._read_files(hit, with_pos=True)
+    s = src.select(*[F.col(c).alias(f"_s_{c}") for c in names])
+    cond = None
+    for k in on:
+        c = F.col(k) == F.col(f"_s_{k}")
+        cond = c if cond is None else cond & c
+    matched = tgt.join(s, cond, "inner")
+
+    entries = _write_delete_entries(
+        table,
+        matched.select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos")),
+        "position-deletes",
+    )
+    new_rows = None
+    if not when_matched_delete:
+        upd_cols = []
+        for f in schema.fields:
+            c = f.name
+            if when_matched_update and c in when_matched_update:
+                new = when_matched_update[c]
+                if not isinstance(new, Column):
+                    new = F.expr(str(new))
+                upd_cols.append(new.cast(f.spark_type()).alias(c))
+            else:
+                upd_cols.append(F.col(c))
+        new_rows = matched.select(*upd_cols)
+    if when_not_matched_insert:
+        anti = s.join(tgt.select(*on), cond, "left_anti").select(
+            *[F.col(f"_s_{c}").alias(c) for c in names]
+        )
+        new_rows = anti if new_rows is None else new_rows.unionByName(anti)
+    if new_rows is not None:
+        entries += table._write_data_files(new_rows)
+    return table._commit_snapshot("overwrite", entries)
 
 
 def update(
@@ -218,30 +284,11 @@ def _update_mor(table, predicate: Expr, assignments: dict[str, Column]) -> Snaps
     if not hit:
         return table._commit_snapshot("overwrite", [])
     matched = table._read_files(hit, with_pos=True).filter(predicate.to_column())
-    keys = matched.select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
-    ddir = os.path.join(table.location, "data", f"deletes-{uuid.uuid4().hex}")
-    keys.coalesce(1).write.parquet(ddir)
-    entries = []
-    for fname in sorted(os.listdir(ddir)):
-        if not fname.endswith(".parquet"):
-            continue
-        path = os.path.join(ddir, fname)
-        nrows, size, stats = harvest_stats(path)
-        if nrows == 0:
-            continue
-        entries.append(
-            DataFile(
-                path=path,
-                status="added",
-                partition={},
-                spec_id=table.meta.default_spec_id,
-                schema_id=table.meta.current_schema_id,
-                record_count=nrows,
-                file_size_bytes=size,
-                stats=stats,
-                content="position-deletes",
-            )
-        )
+    entries = _write_delete_entries(
+        table,
+        matched.select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos")),
+        "position-deletes",
+    )
     cols = []
     for f in table.meta.schema.fields:
         if f.name in assignments:
@@ -262,6 +309,7 @@ def merge(
     when_matched_update: dict[str, Column] | None = None,
     when_matched_delete: bool = False,
     when_not_matched_insert: bool = True,
+    mode: str | None = None,
 ) -> Snapshot:
     """MERGE INTO target USING source ON keys (docs/08:133-141).
 
@@ -269,7 +317,20 @@ def merge(
     becomes an IN predicate over the merge keys so manifest stats skip
     untouched files — the standard "prune target by source keys" MERGE
     optimization.  All branches resolve in one full-outer join and one
-    snapshot."""
+    snapshot.
+
+    Copy-on-write (default) rewrites the hit files; merge-on-read
+    (``write.merge.mode`` = ``merge-on-read``) writes position-delete
+    entries for the matched target rows plus ONE append of updated ∪
+    inserted rows — unmatched target rows are never rewritten, so a
+    narrow CDC batch against a wide 100 TB table moves only the
+    changed rows plus tiny delete files."""
+    mode = mode or table.meta.properties.get("write.merge.mode", "copy-on-write")
+    if mode == "merge-on-read":
+        return _merge_mor(
+            table, source, on, when_matched_update, when_matched_delete,
+            when_not_matched_insert,
+        )
     schema = table.meta.schema
     names = [f.name for f in schema.fields]
     src = source.select(*names)

@@ -246,3 +246,43 @@ def test_mor_update_equals_cow(spark, warehouse):
     b.compact()
     assert len(b.live_files(content="position-deletes")) == 0
     assert rows_sorted(a.toDF()) == rows_sorted(b.toDF())
+
+
+def test_mor_merge_equals_cow(spark, warehouse):
+    """MOR MERGE (position-deletes + one append) must read back
+    identical to the COW merge for the same upsert."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    src = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.lit(1.0))
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000)
+        .unionByName(
+            orders.filter(F.col("o_orderkey") % 5 == 0).withColumn("o_totalprice", F.lit(2.0))
+        )
+    )
+    a = cat.create_table("db.mcow", orders.schema)
+    a.append(orders)
+    a.merge(src, on=["o_orderkey"], when_matched_update={"o_totalprice": source_col("o_totalprice")})
+    b = cat.create_table(
+        "db.mmor", orders.schema,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    b.append(orders)
+    n_snaps = len(b.meta.snapshots)
+    b.merge(src, on=["o_orderkey"], when_matched_update={"o_totalprice": source_col("o_totalprice")})
+    assert len(b.meta.snapshots) == n_snaps + 1
+    assert len(b.live_files(content="position-deletes")) == 1
+    assert rows_sorted(a.toDF()) == rows_sorted(b.toDF())
+    # matched-delete branch too
+    c = cat.create_table(
+        "db.mmor2", orders.schema,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    c.append(orders)
+    half = orders.filter(F.col("o_orderkey") % 2 == 0)
+    c.merge(half, on=["o_orderkey"], when_matched_delete=True, when_not_matched_insert=False)
+    assert rows_sorted(c.toDF()) == rows_sorted(orders.filter("o_orderkey % 2 = 1"))
+    c.compact()
+    assert len(c.live_files(content="position-deletes")) == 0
+    assert rows_sorted(c.toDF()) == rows_sorted(orders.filter("o_orderkey % 2 = 1"))
