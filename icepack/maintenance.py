@@ -24,6 +24,7 @@ def compact(
     target_file_size: int = 128 * 1024 * 1024,
     cluster_by: list[str] | None = None,
     cluster_strategy: str | None = None,
+    where=None,
 ) -> Snapshot:
     """ALTER ICEBERG TABLE ... COMPACT DATA [TARGET_FILE_SIZE]
     (docs/10:33-49, docs/02:90-95) + optional CLUSTER BY rewrite
@@ -42,7 +43,15 @@ def compact(
       partition on the Z-value — every file becomes a small hyper-cube
       in the key space, so min/max pruning stays effective on EACH
       column independently (multi-dimensional point/range workloads).
-    """
+
+    ``where`` (an ``icepack.expr`` predicate) scopes the rewrite to the
+    files whose stats/partitions may match — `ALTER ... COMPACT DATA
+    WHERE partition = ...` (docs/03-metadata-management.md:192-195):
+    maintain one hot partition of a 100 TB table without touching the
+    rest.  Scoped runs fold the applicable MOR deletes into the
+    rewritten files (their new sequence number outranks the delete
+    files) but keep the delete files alive for the untouched rest;
+    only a full compaction retires them."""
     files = table.live_files(content="all")
     if not files:
         return table._commit_snapshot("replace", [])
@@ -54,6 +63,27 @@ def compact(
             cluster_by = [c.strip() for c in prop.split(",")]
     if cluster_strategy is None:
         cluster_strategy = table.meta.properties.get("write.sort-order.strategy", "linear")
+    if where is not None:
+        hit, _ = table.plan_files(where)
+        deletes = [f for f in files if f.content.endswith("-deletes")]
+        if not hit:
+            return table._commit_snapshot("replace", [])
+        total_bytes = sum(f.file_size_bytes for f in hit)
+        n_out = max(1, -(-total_bytes // target_file_size))
+        df = table._read_with_deletes(hit, deletes)
+        if cluster_by and cluster_strategy == "zorder" and len(cluster_by) > 1:
+            df = (
+                df.withColumn("_z", _zvalue(df, cluster_by))
+                .repartitionByRange(n_out, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif cluster_by:
+            df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(*cluster_by)
+        else:
+            df = df.repartition(n_out)
+        new_entries = table._write_data_files(df)
+        return table._commit_snapshot("replace", new_entries, {f.path for f in hit})
     total_bytes = sum(f.file_size_bytes for f in files if f.content == "data")
     n_out = max(1, -(-total_bytes // target_file_size))  # ceil
     df = table.toDF()  # deletes applied

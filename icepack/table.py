@@ -496,47 +496,56 @@ class IceTable:
         deletes = [
             e for e in self.live_files(snap, content="all") if e.content.endswith("-deletes")
         ]
-        if not deletes:
-            out = self._read_files(files)
-        else:
-            # group data files by the set of delete files that apply
-            groups: dict[tuple, list[DataFile]] = {}
-            for f in files:
-                applicable = tuple(
-                    sorted(d.path for d in deletes if f.sequence_number < d.sequence_number)
-                )
-                groups.setdefault(applicable, []).append(f)
-            parts = []
-            for applicable, group in sorted(groups.items()):
-                by_path = {d.path: d for d in deletes}
-                pos_paths = [
-                    p for p in applicable if by_path[p].content == "position-deletes"
-                ]
-                df = self._read_files(group, with_pos=bool(pos_paths))
-                if pos_paths:
-                    dels = (
-                        self.spark.read.parquet(*pos_paths)
-                        .select("file_path", "pos")
-                        .distinct()
-                    )
-                    df = df.join(
-                        F.broadcast(dels),
-                        (df["_file"] == dels["file_path"]) & (df["_pos"] == dels["pos"]),
-                        "left_anti",
-                    ).drop("_file", "_pos")
-                by_cols: dict[tuple, list[str]] = {}
-                for d in deletes:
-                    if d.path in applicable and d.content == "equality-deletes":
-                        by_cols.setdefault(tuple(d.equality_columns), []).append(d.path)
-                for eq_cols, paths in sorted(by_cols.items()):
-                    dels = self.spark.read.parquet(*paths).select(*eq_cols).distinct()
-                    df = df.join(F.broadcast(dels), on=list(eq_cols), how="left_anti")
-                parts.append(df)
-            out = parts[0] if parts else self.spark.createDataFrame([], current.to_struct())
-            for p in parts[1:]:
-                out = out.unionByName(p)
+        out = self._read_with_deletes(files, deletes)
         if predicate is not None:
             out = out.filter(predicate.to_column())  # full filter, always
+        return out
+
+    def _read_with_deletes(
+        self, files: list[DataFile], deletes: list[DataFile]
+    ) -> DataFrame:
+        """Read data files with the applicable MOR delete files merged
+        in (the sequence-correct anti-joins) — shared by the scan path
+        and scoped compaction."""
+        current = self.meta.schema
+        if not deletes:
+            return self._read_files(files)
+        # group data files by the set of delete files that apply
+        groups: dict[tuple, list[DataFile]] = {}
+        for f in files:
+            applicable = tuple(
+                sorted(d.path for d in deletes if f.sequence_number < d.sequence_number)
+            )
+            groups.setdefault(applicable, []).append(f)
+        parts = []
+        for applicable, group in sorted(groups.items()):
+            by_path = {d.path: d for d in deletes}
+            pos_paths = [
+                p for p in applicable if by_path[p].content == "position-deletes"
+            ]
+            df = self._read_files(group, with_pos=bool(pos_paths))
+            if pos_paths:
+                dels = (
+                    self.spark.read.parquet(*pos_paths)
+                    .select("file_path", "pos")
+                    .distinct()
+                )
+                df = df.join(
+                    F.broadcast(dels),
+                    (df["_file"] == dels["file_path"]) & (df["_pos"] == dels["pos"]),
+                    "left_anti",
+                ).drop("_file", "_pos")
+            by_cols: dict[tuple, list[str]] = {}
+            for d in deletes:
+                if d.path in applicable and d.content == "equality-deletes":
+                    by_cols.setdefault(tuple(d.equality_columns), []).append(d.path)
+            for eq_cols, paths in sorted(by_cols.items()):
+                dels = self.spark.read.parquet(*paths).select(*eq_cols).distinct()
+                df = df.join(F.broadcast(dels), on=list(eq_cols), how="left_anti")
+            parts.append(df)
+        out = parts[0] if parts else self.spark.createDataFrame([], current.to_struct())
+        for p in parts[1:]:
+            out = out.unionByName(p)
         return out
 
     def changes(
@@ -905,10 +914,13 @@ class IceTable:
         target_file_size: int = 128 * 1024 * 1024,
         cluster_by=None,
         cluster_strategy=None,
+        where=None,
     ):
         from . import maintenance
 
-        return maintenance.compact(self, target_file_size, cluster_by, cluster_strategy)
+        return maintenance.compact(
+            self, target_file_size, cluster_by, cluster_strategy, where
+        )
 
     def rewrite_manifests(self):
         from . import maintenance

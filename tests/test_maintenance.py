@@ -160,3 +160,42 @@ def test_health_report(spark, warehouse):
     h = t.health()
     assert h["file_count"] == 4 and h["snapshot_count"] == 1
     assert h["needs_compaction"]  # tiny files
+
+
+def test_scoped_compaction(spark, warehouse):
+    """COMPACT ... WHERE (docs/03:192-195): only matching partitions
+    rewrite; untouched files keep their paths; MOR delete files stay
+    alive for the rest of the table and reads stay correct."""
+    cat = Catalog(spark, warehouse)
+    ev = load(spark, SF_DIR, "events")
+    t = cat.create_table(
+        "db.evs", ev.schema,
+        partition_by=[("event_type", "identity")],
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.delete.mor.strategy": "position"},
+    )
+    # several commits → several small files per partition
+    for i in range(3):
+        t.append(ev.filter(F.col("event_id") % 3 == i))
+    t.delete(col("value") > 150.0)  # MOR: applies across all partitions
+    want = rows_sorted(t.toDF())
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    target, rest = types[0], types[1:]
+    untouched_before = {
+        f.path for f in t.live_files() if f.partition.get("event_type") in rest
+    }
+    n_target_before = len(
+        [f for f in t.live_files() if f.partition.get("event_type") == target]
+    )
+    t.compact(target_file_size=64 * 1024 * 1024, where=(col("event_type") == target))
+    live = t.live_files()
+    # target partition collapsed; everything else byte-identical
+    assert len([f for f in live if f.partition.get("event_type") == target]) < n_target_before
+    assert untouched_before <= {f.path for f in live}
+    # delete files survive a scoped compaction (still needed elsewhere)
+    assert len(t.live_files(content="position-deletes")) == 1
+    assert rows_sorted(t.toDF()) == want
+    # and a FULL compaction retires them
+    t.compact()
+    assert len(t.live_files(content="position-deletes")) == 0
+    assert rows_sorted(t.toDF()) == want
