@@ -352,13 +352,40 @@ def x3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("p.id_a", "p.id_b").distinct()
 
 
-@query("x4_simhash")
+_X4_BIT_SUMS = ",\n             ".join(
+    f"SUM(((h >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(48)
+)
+_X4_RECOMBINE = "\n           + ".join(
+    f"(CASE WHEN b{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)" for j in range(48)
+)
+
+
+@query(
+    "x4_simhash",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 12))::BIGINT AS h
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             {_X4_BIT_SUMS}
+      FROM words GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({_X4_RECOMBINE} AS BIGINT) AS simhash
+    FROM bits
+    """,
+)
 def x4_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """48-bit SimHash over word md5s (no oracle: bit-twiddling isn't
-    worth porting to SQL; invariants are pytest-checked — identical
-    word multisets hash identically, near-identical docs land within
-    small Hamming distance).  Fully distributed: explode words, one
-    conditional-sum aggregation per bit, recombine."""
+    """48-bit SimHash over word md5s — the md5 hex prefix makes the
+    hash portable, so the whole bit-twiddle has an exact DuckDB oracle
+    (generated column-per-bit SQL).  Invariants additionally
+    pytest-checked: identical word multisets hash identically,
+    near-identical docs land within small Hamming distance.  Fully
+    distributed: explode words, one conditional-sum aggregation per
+    bit, recombine."""
     d = load(spark, sf, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
