@@ -284,6 +284,62 @@ def x22_contamination(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "x24_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, lang, unnest(string_split_regex(text, '')) AS c FROM documents
+    ),
+    cc AS (SELECT doc_id, lang, c, COUNT(*) AS n FROM chars WHERE c <> '' GROUP BY 1, 2, 3),
+    tot AS (SELECT doc_id, SUM(n) AS total FROM cc GROUP BY 1),
+    per_doc AS (
+      SELECT cc.doc_id, cc.lang,
+             ROUND(-SUM((n / total) * log2(n / total)), 6) AS h
+      FROM cc JOIN tot ON cc.doc_id = tot.doc_id GROUP BY 1, 2
+    )
+    SELECT lang,
+           ROUND(AVG(h), 4) AS avg_entropy,
+           ROUND(MIN(h), 4) AS min_entropy,
+           COUNT(*) FILTER (h < 3.8) AS n_low_entropy
+    FROM per_doc GROUP BY lang
+    """,
+)
+def x24_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/boilerplate detector (low entropy = repeated or
+    templated text, abnormally high = random noise).  Char counts
+    aggregate in one (doc_id, char) shuffle; the per-doc entropy is a
+    higher-order `aggregate` over the collected count list (stays in
+    the doc_id partitioning — no window, no second wide exchange), and
+    only the tiny per-lang rollup shuffles again."""
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    chars = d.select("doc_id", "lang", F.explode(F.split("text", "")).alias("c")).filter(
+        F.col("c") != ""
+    )
+    cc = chars.groupBy("doc_id", "lang", "c").agg(F.count("*").alias("n"))
+    per_doc = cc.groupBy("doc_id", "lang").agg(
+        F.collect_list("n").alias("ns"), F.sum("n").alias("total")
+    )
+    p = lambda n: n.cast("double") / F.col("total")
+    h = F.round(
+        -F.aggregate(
+            "ns", F.lit(0.0), lambda acc, n: acc + p(n) * F.log2(p(n))
+        ),
+        6,
+    )
+    return (
+        per_doc.withColumn("h", h)
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("h"), 4).alias("avg_entropy"),
+            F.round(F.min("h"), 4).alias("min_entropy"),
+            F.sum((F.col("h") < 3.8).cast("long")).alias("n_low_entropy"),
+        )
+    )
+
+
 def _minhash_cols() -> list:
     """8 MinHash signatures: per seed, MIN over shingles of
     md5(seed|shingle) — string min of hex digests, portable."""
