@@ -783,6 +783,100 @@ def a4_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "a4_tpch_q8",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def a4_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (national market share, adapted to fixture domains):
+    an 8-way join where every dimension filter (region, part type,
+    date range) is applied BEFORE its join so the two fact shuffles
+    see minimum rows; both nation aliases and region broadcast; the
+    share is one conditional aggregation, not two scans."""
+    p = load(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    c = load(spark, sf, "customer")
+    s = load(spark, sf, "supplier")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "a4_tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def a4_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution, adapted: no o_comment filter
+    in the fixtures).  The double aggregation: per-customer order
+    counts (left join keeps zero-order customers), then the histogram
+    of those counts — the second groupBy's input is one row per
+    customer, so the wide work is only the first join+agg."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
     "a4_tpch_q10",
     oracle="""
     SELECT c.c_custkey, c.c_name,
