@@ -393,6 +393,32 @@ def ice16_mor_update(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "ice17_zorder_compact",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey, l_quantity FROM lineitem
+    WHERE l_partkey < 50 AND l_suppkey < 20
+    """,
+)
+def ice17_zorder_compact(spark: SparkSession, sf: str) -> DataFrame:
+    """O5/M6 z-order: compact with multi-column bit-interleaved
+    clustering, then scan with a predicate on BOTH cluster columns —
+    content must be exactly the source rows (clustering is a layout
+    change, never a semantic one), while the layout now prunes on
+    either column (asserted via file stats in pytest)."""
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    t = IceTable.create(spark, _scratch(), li.schema)
+    t.append(li)
+    t.compact(
+        target_file_size=4 * 1024 * 1024,
+        cluster_by=["l_partkey", "l_suppkey"],
+        cluster_strategy="zorder",
+    )
+    return t.toDF((col("l_partkey") < 50) & (col("l_suppkey") < 20))
+
+
+@query(
     "ice14_refs_rollback",
     oracle=f"SELECT {_ORDER_COLS} FROM orders WHERE o_orderstatus = 'F'",
 )
