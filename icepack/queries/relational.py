@@ -642,6 +642,40 @@ def a4_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "a4_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def a4_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking, adapted: the fixtures carry
+    no commit/receipt dates, so the EXISTS tests for a returned line).
+    EXISTS compiles to a left-semi join — the probe side is the
+    date-filtered quarter of orders, the build side ships only
+    lineitem's key column after its pushed returnflag filter."""
+    o = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey"
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
     "a4_tpch_q5",
     oracle="""
     SELECT n.n_name,
