@@ -218,6 +218,51 @@ def j1_inner_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "j2_right_join",
+    oracle="""
+    SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j2_right_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Right outer join (J2): every nation survives even with zero
+    suppliers.  Catalyst plans it as the mirrored left-outer with the
+    small side broadcast."""
+    s = load(spark, sf, "supplier")
+    n = load(spark, sf, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
+
+
+@query(
+    "o1_global_sort",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def o1_global_sort(spark: SparkSession, sf: str) -> DataFrame:
+    """Global ORDER BY (O1): a range-partitioned sort (sampled range
+    boundaries → per-partition sorts), NOT a single-partition funnel —
+    the only globally-sorted output shape that scales.  The driver's
+    value-hash is order-insensitive, so correctness rides on content;
+    the plan shape is the point (RangePartitioning, no
+    Exchange SinglePartition — pinned in tests/test_plans.py)."""
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return o.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    ).orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+
+
+@query(
     "j2_left_join",
     oracle="""
     SELECT c.c_custkey, c.c_mktsegment, COUNT(o.o_orderkey) AS n_orders,

@@ -92,3 +92,9 @@ def test_q18_scans_lineitem_once(spark):
     plan = _plan(spark, "a4_tpch_q18")
     # each distinct scan node prints its Location once in the details
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_global_sort_is_range_partitioned(spark):
+    plan = _plan(spark, "o1_global_sort")
+    assert "rangepartitioning" in plan.lower()
+    assert "Exchange SinglePartition" not in plan
