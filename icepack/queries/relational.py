@@ -1160,6 +1160,137 @@ def a4_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "a4_tpch_q15",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def a4_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier).  The revenue "view" is one partial+final
+    hash aggregate over the quarter's lineitem slice; its output is
+    supplier-cardinality (tiny next to the fact), so the scalar MAX and
+    the equality probe are both broadcast joins against that aggregate —
+    the 100 TB fact is scanned exactly once.  Revenue is rounded BEFORE
+    the max-equality compare on both sides so float summation-order
+    noise can't flip which supplier wins."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "a4_tpch_q9",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS profit
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+)
+def a4_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit, adapted: fixtures carry no
+    partsupp, so profit omits the ps_supplycost * l_quantity term and
+    the name filter matches the fixture's color-word naming ('%red%' for TPC-H's '%green%')).  supplier,
+    part and nation are key-complete dims — all three broadcast, so the
+    only shuffle is lineitem⋈orders on l_orderkey, then the group-by
+    re-shuffles the (nation, year) aggregate, which is tiny after
+    partial aggregation."""
+    li = load(spark, sf, "lineitem")
+    s = load(spark, sf, "supplier")
+    p = load(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    o = load(spark, sf, "orders")
+    n = load(spark, sf, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("profit")
+        )
+    )
+
+
+@query(
+    "a4_tpch_q19",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1  AND 11 AND p.p_size BETWEEN 1 AND 5)
+       OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
+       OR (p.p_brand = 'Brand#3'  AND l.l_quantity BETWEEN 20 AND 30 AND p.p_size BETWEEN 1 AND 15)
+    """,
+)
+def a4_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, adapted: fixtures carry no
+    p_container / l_shipmode / l_shipinstruct, so the disjunction keeps
+    the brand + quantity + size arms).  The OR-of-conjuncts references
+    both sides, so it can't be a join key — but part broadcasts, the
+    per-arm part predicates (brand, size) are pushed below the join,
+    and the quantity range l_quantity BETWEEN 1 AND 30 (the union of
+    the arms) is pushed into the lineitem scan, so the fact rows that
+    enter the nested-loop residual are already range-pruned."""
+    p = load(spark, sf, "part").filter(
+        (
+            (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+        )
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15))
+    )
+    li = load(spark, sf, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    arm = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(arm)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
     "a5_scalar_subquery",
     oracle="""
     SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
