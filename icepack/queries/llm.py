@@ -1084,3 +1084,37 @@ def x20_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         F.round(F.avg("a.sqdist"), 2).alias("avg_sqdist"),
     )
+
+
+@query(
+    "x25_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(substr(a.text, 1, 256), substr(b.text, 1, 256)) AS dist,
+           levenshtein(substr(a.text, 1, 256), substr(b.text, 1, 256)) <= 2 AS is_dup
+    FROM documents a
+    JOIN documents b
+      ON substr(a.text, 1, 24) = substr(b.text, 1, 24) AND a.doc_id < b.doc_id
+    """,
+)
+def x25_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance verification stage for near-dup candidates:
+    prefix blocking (24-char block key) bounds the O(n²) self-join to
+    within-block pairs, and the O(len²) Levenshtein runs only on those
+    candidates, capped at the first 256 chars.  This is the cheap
+    exact-verify pass that sits downstream of MinHash/LSH blocking at
+    100 TB — the quadratic work is confined to bucket-local survivors,
+    and the block key is an equi-join key so the pairing is a plain
+    hash shuffle, never a cross join."""
+    d = load(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, 256).alias("t"),
+        F.substring("text", 1, 24).alias("blk"),
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"), "blk")
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"), "blk")
+    dist = F.levenshtein("ta", "tb")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist"), (dist <= 2).alias("is_dup"))
+    )

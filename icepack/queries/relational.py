@@ -1878,3 +1878,179 @@ def f9_math(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum(F.sqrt("l_extendedprice")), 2).alias("sum_sqrt"),
         F.round(F.sum(F.pow("l_discount", F.lit(2))), 4).alias("sum_disc_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# second-wave additions: ordered listagg, FILTER aggregation, ntile,
+# date-spine gap fill, unpivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a9_listagg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def a9_listagg(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / STRING_AGG parity).
+    ``collect_list`` order is partition-arrival nondeterministic in a
+    distributed shuffle, so the list is ``sort_array``-ed before the
+    join — the ONLY way an ordered listagg is reproducible at 100 TB
+    (never rely on implicit row order surviving an exchange)."""
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@query(
+    "a10_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+           ROUND(SUM(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0.0 END), 2)
+             AS taxed_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a10_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTER-clause / conditional aggregation: N different filtered
+    measures in ONE scan + one partial/final hash agg — the pattern
+    that replaces N self-joined subqueries (each a full rescan at
+    100 TB) with branch-free conditional sums inside codegen."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("l_discount") > 0.05).alias("n_disc"),
+        F.count_if(F.col("l_quantity") > 25).alias("n_bulk"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(0.0)),
+            2,
+        ).alias("taxed_price"),
+    )
+
+
+@query(
+    "w4_ntile",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           ntile(4)       OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def w4_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution windows (ntile / percent_rank / cume_dist): one
+    range shuffle per partition key, all three functions share the
+    single sorted window pass.  The ordering carries the unique
+    c_custkey tiebreak so ranks are deterministic across engines."""
+    c = load(spark, sf, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "f10_date_spine",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ), daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 2) AS total_price
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1995-04-01'
+      GROUP BY 1
+    )
+    SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
+           COALESCE(d.total_price, 0.0) AS total_price
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def f10_date_spine(spark: SparkSession, sf: str) -> DataFrame:
+    """Date-spine gap fill (time-series reporting): generate the
+    calendar with ``sequence``+``explode`` (a few hundred rows on the
+    driver side of the plan — broadcast), left-join the day-grained
+    aggregate onto it, zero-fill the holes.  The fact aggregation is
+    the only shuffle; the spine never causes one."""
+    o = load(spark, sf, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr("sequence(DATE '1995-01-01', DATE '1995-03-31', interval 1 day)")
+        ).alias("day")
+    )
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_price", F.lit(0.0)).alias("total_price"),
+    )
+
+
+@query(
+    "o6_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT c_mktsegment,
+             ROUND(AVG(c_acctbal), 2) AS avg_bal,
+             ROUND(MAX(c_acctbal), 2) AS max_bal,
+             ROUND(MIN(c_acctbal), 2) AS min_bal
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, 'avg_bal' AS metric, avg_bal AS value FROM agg
+    UNION ALL
+    SELECT c_mktsegment, 'max_bal' AS metric, max_bal AS value FROM agg
+    UNION ALL
+    SELECT c_mktsegment, 'min_bal' AS metric, min_bal AS value FROM agg
+    """,
+)
+def o6_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT (wide→long, the inverse of a8_pivot): computed on the
+    post-aggregate relation so the melt is a zero-shuffle projection —
+    unpivot BEFORE aggregating would triple the exchanged rows."""
+    c = load(spark, sf, "customer")
+    agg = c.groupBy("c_mktsegment").agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+    )
+    return agg.unpivot(
+        ids=["c_mktsegment"],
+        values=["avg_bal", "max_bal", "min_bal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
