@@ -56,13 +56,30 @@ def compact(
     if not files:
         return table._commit_snapshot("replace", [])
     if cluster_by is None:
-        # CLUSTER BY persisted as a table property (docs/09:156-168):
-        # auto-clustering re-applies it on every compaction
-        prop = table.meta.properties.get("write.sort-order")
-        if prop:
-            cluster_by = [c.strip() for c in prop.split(",")]
+        # auto-clustering re-applies the table's declared order on
+        # every compaction (docs/09:156-168): first-class metadata sort
+        # order (replace_sort_order) wins; the legacy
+        # ``write.sort-order`` property is the fallback spelling
+        mo = table.meta.sort_order
+        if mo.fields:
+            schema = table.meta.schema
+            cluster_by = [
+                f.name + (" desc" if sf_.direction == "desc" else "")
+                for sf_ in mo.fields
+                if (f := schema.field_by_id(sf_.source_id)) is not None
+            ]
+        else:
+            prop = table.meta.properties.get("write.sort-order")
+            if prop:
+                cluster_by = [c.strip() for c in prop.split(",")]
     if cluster_strategy is None:
         cluster_strategy = table.meta.properties.get("write.sort-order.strategy", "linear")
+    # each cluster col may carry a direction suffix ("o_totalprice desc")
+    cnames = [c.split()[0] for c in cluster_by] if cluster_by else []
+    ccols = [
+        F.col(c.split()[0]).desc() if c.lower().endswith(" desc") else F.col(c.split()[0])
+        for c in (cluster_by or [])
+    ]
     if where is not None:
         hit, _ = table.plan_files(where)
         deletes = [f for f in files if f.content.endswith("-deletes")]
@@ -73,13 +90,13 @@ def compact(
         df = table._read_with_deletes(hit, deletes)
         if cluster_by and cluster_strategy == "zorder" and len(cluster_by) > 1:
             df = (
-                df.withColumn("_z", _zvalue(df, cluster_by))
+                df.withColumn("_z", _zvalue(df, cnames))
                 .repartitionByRange(n_out, "_z")
                 .sortWithinPartitions("_z")
                 .drop("_z")
             )
         elif cluster_by:
-            df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(*cluster_by)
+            df = df.repartitionByRange(n_out, *ccols).sortWithinPartitions(*ccols)
         else:
             df = df.repartition(n_out)
         new_entries = table._write_data_files(df)
@@ -89,13 +106,13 @@ def compact(
     df = table.toDF()  # deletes applied
     if cluster_by and cluster_strategy == "zorder" and len(cluster_by) > 1:
         df = (
-            df.withColumn("_z", _zvalue(df, cluster_by))
+            df.withColumn("_z", _zvalue(df, cnames))
             .repartitionByRange(n_out, "_z")
             .sortWithinPartitions("_z")
             .drop("_z")
         )
     elif cluster_by:
-        df = df.repartitionByRange(n_out, *cluster_by).sortWithinPartitions(*cluster_by)
+        df = df.repartitionByRange(n_out, *ccols).sortWithinPartitions(*ccols)
     else:
         df = df.repartition(n_out)
     new_entries = table._write_data_files(df)
@@ -132,6 +149,42 @@ def _zvalue(df, cols: list[str], bits: int = 12):
             term = F.shiftleft(F.shiftright(scaled, i).bitwiseAND(F.lit(1)), i * k + j)
             z = term if z is None else z + term
     return z
+
+
+def rewrite_position_deletes(table) -> Snapshot | None:
+    """Consolidate position-delete files (docs/10:112-123: delete files
+    should stay under 10% of data files — every MOR read pays one
+    broadcast anti-join per delete-file group).  All live position
+    tombstones are unioned, de-duplicated, stripped of entries whose
+    target data file is no longer live, and rewritten as ONE delete
+    file; the data files are untouched.  Safe without sequence
+    bookkeeping because a position delete names its target
+    (file_path, pos) explicitly — a newer sequence number can never
+    widen its blast radius.  Equality deletes are left alone (their
+    application is sequence-ordered); a full ``compact()`` retires
+    those."""
+    live = table.live_files(content="all")
+    pos = [f for f in live if f.content == "position-deletes"]
+    if len(pos) <= 1:
+        return None
+    from .dml import _write_delete_entries
+
+    spark = table.spark
+    live_data = spark.createDataFrame(
+        [(f.path,) for f in live if f.content == "data"], "_norm string"
+    )
+    # tombstones carry _metadata.file_path URIs (file:///...); manifest
+    # paths are plain FS paths — normalize before the liveness semi-join
+    keys = (
+        spark.read.parquet(*[f.path for f in pos])
+        .select("file_path", "pos")
+        .distinct()
+        .withColumn("_norm", F.regexp_replace(F.col("file_path"), "^file:/*", "/"))
+        .join(live_data, "_norm", "left_semi")
+        .drop("_norm")
+    )
+    entries = _write_delete_entries(table, keys, "position-deletes")
+    return table._commit_snapshot("replace", entries, {f.path for f in pos})
 
 
 def rewrite_manifests(table) -> Snapshot:

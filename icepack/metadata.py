@@ -195,6 +195,48 @@ class Snapshot:
 
 
 @dataclass
+class SortField:
+    """One column of a sort order (Iceberg `sort-orders` spec shape:
+    source column ID + direction + null ordering; transform fixed at
+    identity — transform sorts can reuse the partition transforms)."""
+
+    source_id: int
+    direction: str = "asc"  # "asc" | "desc"
+    null_order: str = "nulls-first"
+
+    def to_json(self) -> dict:
+        return {
+            "source-id": self.source_id,
+            "direction": self.direction,
+            "null-order": self.null_order,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "SortField":
+        return SortField(d["source-id"], d.get("direction", "asc"), d.get("null-order", "nulls-first"))
+
+
+@dataclass
+class SortOrder:
+    """Named write order (docs/03-metadata-management.md:53-75 lists
+    sort orders among the metadata-file fields).  order_id 0 is the
+    Iceberg-reserved "unsorted" order."""
+
+    order_id: int
+    fields: list[SortField] = field(default_factory=list)
+
+    def to_json(self) -> dict:
+        return {"order-id": self.order_id, "fields": [f.to_json() for f in self.fields]}
+
+    @staticmethod
+    def from_json(d: dict) -> "SortOrder":
+        return SortOrder(d["order-id"], [SortField.from_json(f) for f in d.get("fields", [])])
+
+
+UNSORTED_ORDER = SortOrder(0, [])
+
+
+@dataclass
 class TableMetadata:
     table_uuid: str
     location: str
@@ -214,8 +256,20 @@ class TableMetadata:
     #: lineage is implicit (current-snapshot-id); refs never move unless
     #: explicitly advanced (branch commit / fast-forward).
     refs: dict = field(default_factory=dict)
+    #: write sort orders (docs/03-metadata-management.md:53-75); id 0 =
+    #: unsorted.  The default order is applied by the append write path
+    #: and re-applied by compaction (auto-clustering, docs/09:156-168).
+    sort_orders: list = field(default_factory=lambda: [UNSORTED_ORDER])
+    default_sort_order_id: int = 0
 
     # -- accessors ----------------------------------------------------------
+
+    @property
+    def sort_order(self) -> SortOrder:
+        for o in self.sort_orders:
+            if o.order_id == self.default_sort_order_id:
+                return o
+        return UNSORTED_ORDER
 
     @property
     def schema(self) -> IceSchema:
@@ -280,6 +334,8 @@ class TableMetadata:
             "current-snapshot-id": self.current_snapshot_id,
             "properties": self.properties,
             "refs": self.refs,
+            "sort-orders": [o.to_json() for o in self.sort_orders],
+            "default-sort-order-id": self.default_sort_order_id,
         }
 
     @staticmethod
@@ -299,6 +355,9 @@ class TableMetadata:
             last_updated_ms=d.get("last-updated-ms", 0),
             format_version=d.get("format-version", FORMAT_VERSION),
             refs=d.get("refs", {}),
+            sort_orders=[SortOrder.from_json(o) for o in d.get("sort-orders", [])]
+            or [UNSORTED_ORDER],
+            default_sort_order_id=d.get("default-sort-order-id", 0),
         )
 
     def dumps(self) -> str:

@@ -440,3 +440,22 @@ def ice14_refs_rollback(spark: SparkSession, sf: str) -> DataFrame:
     t.append(bad)  # the bad main commit
     t.rollback(t.as_of(ref="validated").snapshot_id)
     return t.toDF()
+
+
+@query(
+    "ice18_sorted_write",
+    oracle=f"SELECT {_ORDER_COLS} FROM orders",
+)
+def ice18_sorted_write(spark: SparkSession, sf: str) -> DataFrame:
+    """WRITE ORDERED BY (metadata sort order + range-distributed
+    append, docs/03:53-75 + docs/09:156-168): declare the order, append
+    a deliberately shuffled input, and read back — contents are
+    value-identical to the source while the files land as disjoint
+    sorted slices of the key space (pruning invariants pinned in
+    tests/test_sort_order.py)."""
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(spark, _scratch(), orders.schema)
+    t.replace_sort_order("o_orderdate", "o_orderkey")
+    t.set_properties(**{"write.distribution-mode": "range"})
+    t.append(orders.repartition(8))
+    return t.toDF()

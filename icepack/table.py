@@ -298,6 +298,7 @@ class IceTable:
             src = self.meta.schema.field_by_id(pf.source_id).name
             df = df.withColumn(_PART_PREFIX + pf.name, t.spark_column(F.col(src)))
             part_names.append(_PART_PREFIX + pf.name)
+        sort_cols = self._sort_columns()
         if part_names and self.meta.properties.get("write.distribution-mode", "hash") == "hash":
             # hash-distribute by partition values before partitionBy:
             # otherwise every task writes a file into every partition it
@@ -306,6 +307,20 @@ class IceTable:
             # per append buys one well-sized file per partition; set the
             # property to "none" to skip for pre-clustered inputs.
             df = df.repartition(*[F.col(c) for c in part_names])
+        elif sort_cols and self.meta.properties.get("write.distribution-mode") == "range":
+            # WRITE ORDERED BY + range distribution: files become
+            # disjoint slices of the sort key space, so min/max file
+            # pruning on that key approaches partition-grade selectivity
+            # without a partition spec (docs/09:156-168).  The explicit
+            # partition count keeps the incoming parallelism (and
+            # disables AQE's coalesce, which would fold a small append
+            # into one file and erase the disjoint layout)
+            df = df.repartitionByRange(max(1, df.rdd.getNumPartitions()), *sort_cols)
+        if sort_cols:
+            # Iceberg write order: task-local sort — every data file is
+            # internally ordered and carries tight min/max bounds for
+            # the sort columns, whatever the distribution above chose
+            df = df.sortWithinPartitions(*([F.col(c) for c in part_names] + sort_cols))
         writer = df.write.mode("error")
         codec = self.meta.properties.get("write.parquet.compression-codec")
         if codec:
@@ -846,6 +861,69 @@ class IceTable:
             total += self._read_files(rest).filter(predicate.to_column()).count()
         return total
 
+    def _sort_columns(self) -> list:
+        """Default sort order resolved to Spark sort Columns (by stable
+        column ID, so renames don't break the order)."""
+        cols = []
+        for sf_ in self.meta.sort_order.fields:
+            f = self.meta.schema.field_by_id(sf_.source_id)
+            if f is None:  # column dropped after the order was set
+                continue
+            c = F.col(f.name).desc() if sf_.direction == "desc" else F.col(f.name).asc()
+            cols.append(c)
+        return cols
+
+    def replace_sort_order(self, *cols: str) -> None:
+        """ALTER TABLE ... WRITE ORDERED BY (metadata sort order,
+        docs/03-metadata-management.md:53-75).  Each col is a name with
+        an optional direction suffix (``"o_orderdate"``,
+        ``"o_totalprice DESC"``); no cols → back to unsorted.  The
+        default order is applied by every subsequent append (task-local
+        sort; add table property ``write.distribution-mode=range`` for
+        globally disjoint file bounds) and re-applied by compaction.
+        Metadata-only commit, same CAS+retry as set_properties."""
+        from .metadata import SortField, SortOrder
+
+        fields = []
+        for spec in cols:
+            parts = spec.split()
+            name = parts[0]
+            direction = parts[1].lower() if len(parts) > 1 else "asc"
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"bad direction in sort spec {spec!r}")
+            f = self.meta.schema.field_by_name(name)
+            if f is None:
+                raise ValueError(f"unknown sort column {name!r}")
+            fields.append(SortField(f.id, direction))
+        for _ in range(5):
+            orders = list(self.meta.sort_orders)
+            if not fields:
+                new_id = 0
+            else:
+                existing = next(
+                    (
+                        o.order_id
+                        for o in orders
+                        if [(f.source_id, f.direction) for f in o.fields]
+                        == [(f.source_id, f.direction) for f in fields]
+                    ),
+                    None,
+                )
+                if existing is not None:
+                    new_id = existing
+                else:
+                    new_id = max(o.order_id for o in orders) + 1
+                    orders = orders + [SortOrder(new_id, fields)]
+            try:
+                self._write_version(
+                    self._version + 1,
+                    self.meta.copy_with(sort_orders=orders, default_sort_order_id=new_id),
+                )
+                return
+            except CommitConflict:
+                self.refresh()
+        raise CommitConflict("replace_sort_order failed after retries")
+
     def set_properties(self, **props: str) -> None:
         """ALTER TABLE ... SET TBLPROPERTIES: metadata-only commit; a
         value of None unsets the key.  Same CAS+retry as schema
@@ -888,11 +966,17 @@ class IceTable:
             "current-snapshot-id": m.current_snapshot_id,
             "schema": [f.to_json() for f in m.schema.fields],
             "partition-spec": [f.to_json() for f in m.spec.fields],
+            "sort-order": [f.to_json() for f in m.sort_order.fields],
             "properties": m.properties,
             "snapshot-count": len(m.snapshots),
         }
 
     # -- DML / maintenance delegates ---------------------------------------
+
+    def rewrite_position_deletes(self):
+        from . import maintenance
+
+        return maintenance.rewrite_position_deletes(self)
 
     def delete(self, predicate, mode: str | None = None):
         from . import dml

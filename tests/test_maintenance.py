@@ -199,3 +199,28 @@ def test_scoped_compaction(spark, warehouse):
     t.compact()
     assert len(t.live_files(content="position-deletes")) == 0
     assert rows_sorted(t.toDF()) == want
+
+
+def test_rewrite_position_deletes_consolidates(spark, warehouse):
+    """rewrite_position_deletes (docs/10:112-123 delete-ratio health):
+    N small position-delete files collapse into one, dead tombstones
+    (targets no longer live) are dropped, and reads are unchanged."""
+    cat = Catalog(spark, warehouse)
+    ev = load(spark, SF_DIR, "events")
+    t = cat.create_table(
+        "db.evrw", ev.schema,
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.delete.mor.strategy": "position"},
+    )
+    t.append(ev)
+    t.delete(col("value") > 150.0)
+    t.delete(col("event_type") == "click")
+    t.delete(col("user_id") < 100)
+    assert len(t.live_files(content="position-deletes")) == 3
+    expected = rows_sorted(t.toDF())
+    snap = t.rewrite_position_deletes()
+    assert snap is not None
+    assert len(t.live_files(content="position-deletes")) == 1
+    assert rows_sorted(t.toDF()) == expected
+    # idempotent: a single consolidated file is left alone
+    assert t.rewrite_position_deletes() is None
