@@ -132,3 +132,35 @@ def st5_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique"))
     )
+
+
+@query(
+    "st7_stream_join",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.value AS amount
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def st7_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """ST7 batch twin: the SAME watermarked click→purchase attribution
+    join ``icepack.streaming.stream_stream_join`` runs under a real
+    two-stream query (tests/test_streaming.py::
+    test_stream_stream_join_equals_batch) — here over batch frames so
+    DuckDB can value-check the join semantics."""
+    from ..streaming import stream_stream_join
+
+    ev = load(spark, sf, "events")
+    return stream_stream_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )

@@ -200,3 +200,57 @@ def sessionize_with_state(stream_df: DataFrame, gap_seconds: int = 1800) -> Data
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    watermark: str = "1 hour",
+    band_seconds: int = 3600,
+) -> DataFrame:
+    """ST7: watermarked stream-stream inner join — attribute each
+    purchase to a same-user click in the preceding ``band_seconds``.
+
+    Both inputs are watermarked and the join condition carries an
+    explicit time band, so Spark can bound the join state on BOTH
+    sides (click state expires once no purchase within the band can
+    still arrive; purchase state symmetrically) — without the band the
+    state store grows forever at 100 TB/day stream rates.  The join
+    itself is a state-store hash join keyed on user_id; at scale the
+    key space shards across `spark.sql.shuffle.partitions` state
+    stores."""
+    c = (
+        _with_event_time(clicks)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        _with_event_time(purchases)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {band_seconds} SECONDS")
+        )
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "amount",
+    )

@@ -236,3 +236,33 @@ def test_stream_sink_skips_redelivered_batch(spark, tmp_path, warehouse):
     assert len(t.meta.snapshots) == n_snaps
     assert redeliver(99) is True          # a genuinely new batch commits
     assert t.toDF().count() == 2 * ev.count()
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """ST7: the watermarked click→purchase attribution join under a
+    real two-stream query matches the identical batch join."""
+    from icepack.streaming import stream_stream_join
+
+    ev = load(spark, SF_DIR, "events")
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks_b = ev.filter("event_type = 'click'")
+    purch_b = ev.filter("event_type = 'purchase'")
+    clicks_b.coalesce(2).write.parquet(csrc)
+    purch_b.coalesce(2).write.parquet(psrc)
+    joined = stream_stream_join(
+        spark.readStream.schema(ev.schema).parquet(csrc),
+        spark.readStream.schema(ev.schema).parquet(psrc),
+        watermark="10 years",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssj_test")
+    want = stream_stream_join(clicks_b, purch_b)  # same fn over batch DFs
+    assert got.count() > 0
+    assert rows_sorted(got) == rows_sorted(want)
