@@ -2054,3 +2054,58 @@ def o6_unpivot(spark: SparkSession, sf: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "j8_salted_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def j8_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-safe salted shuffle join (docs/09:170-181 "join keys need
+    good distribution"): the left side is salted into 8 sub-keys and
+    the right side replicated across the salt domain, so a hot orderkey
+    spreads over 8 reducers instead of funneling into one task.
+    Row-equivalent to the plain inner join (the oracle proves it);
+    reach for this when the right side is too big to broadcast and the
+    skew appears after other operators, where AQE's skew split can't
+    see it."""
+    from ..skew import salted_shuffle_join
+
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = load(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    return salted_shuffle_join(li, o, "l_orderkey", salt=8).select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice"
+    )
+
+
+@query(
+    "a11_salted_agg",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a11_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase salted aggregation for power-law keys: partials over
+    (key, salt) spread a hot key across 16 tasks, then a tiny second
+    aggregate combines the partials.  Result-identical to the plain
+    groupBy (the oracle proves it) — the insurance policy for 100 TB
+    group-bys whose hottest key would otherwise own one straggler
+    task."""
+    from ..skew import salted_agg
+
+    ev = load(spark, sf, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        aggs=[F.count("*").alias("n"), F.sum("value").alias("v")],
+        combines=[F.sum("n").alias("n"), F.sum("v").alias("v")],
+    )
+    return out.select("event_type", "n", F.round("v", 2).alias("sum_value"))
