@@ -1118,3 +1118,50 @@ def x25_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", dist.alias("dist"), (dist <= 2).alias("is_dup"))
     )
+
+
+@query(
+    "x26_quality_filter",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id,
+             n_chars,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+               / GREATEST(length(text), 1) AS digit_ratio,
+             length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0
+               / GREATEST(length(text), 1) AS upper_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           concat_ws(',',
+             CASE WHEN n_chars < 200 THEN 'short' END,
+             CASE WHEN digit_ratio > 0.2 THEN 'digits' END,
+             CASE WHEN upper_ratio > 0.3 THEN 'shouty' END) AS reasons,
+           (n_chars >= 200 AND digit_ratio <= 0.2 AND upper_ratio <= 0.3) AS keep
+    FROM sig
+    """,
+)
+def x26_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality gate with an audit trail: every doc gets a
+    keep/drop decision PLUS the list of failed rules (concat_ws skips
+    the NULL arms on both engines), so a 100 TB filtering run can
+    report per-rule drop rates and be re-run with one rule relaxed
+    without recomputing the signals.  One scan, zero shuffles, all
+    JVM-side regex — the decision column pattern every production
+    data-quality pipeline needs."""
+    d = load(spark, sf, "documents")
+    ln = F.greatest(F.length("text"), F.lit(1))
+    digit_ratio = F.length(F.regexp_replace("text", "[^0-9]", "")) / ln
+    upper_ratio = F.length(F.regexp_replace("text", "[^A-Z]", "")) / ln
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.when(F.col("n_chars") < 200, "short"),
+            F.when(digit_ratio > 0.2, "digits"),
+            F.when(upper_ratio > 0.3, "shouty"),
+        ).alias("reasons"),
+        (
+            (F.col("n_chars") >= 200) & (digit_ratio <= 0.2) & (upper_ratio <= 0.3)
+        ).alias("keep"),
+    )

@@ -459,3 +459,32 @@ def ice18_sorted_write(spark: SparkSession, sf: str) -> DataFrame:
     t.set_properties(**{"write.distribution-mode": "range"})
     t.append(orders.repartition(8))
     return t.toDF()
+
+
+@query(
+    "ice19_partition_evolution",
+    oracle=f"""
+    SELECT {_ORDER_COLS} FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+      AND o_orderdate <  TIMESTAMP '1998-06-01'
+    """,
+)
+def ice19_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """T4 partition evolution (docs/07:117-129): the first slice lands
+    under month(o_orderdate) partitioning, the spec then evolves to
+    (year(o_orderdate), bucket[4](o_custkey)) WITHOUT rewriting old
+    files, the second slice lands under the new spec, and one
+    predicate scan reads across both layouts — old files pruned under
+    the old spec, new under the new (spec-id per manifest)."""
+    orders = load(spark, sf, "orders")
+    cut = F.lit("1997-06-01").cast("timestamp_ntz")
+    t = IceTable.create(
+        spark, _scratch(), orders.schema, partition_by=[("o_orderdate", "month")]
+    )
+    t.append(orders.filter(F.col("o_orderdate") < cut))
+    t.update_spec([("o_orderdate", "year"), ("o_custkey", "bucket[4]")])
+    t.append(orders.filter(F.col("o_orderdate") >= cut))
+    return t.toDF(
+        (col("o_orderdate") >= "1997-06-01 00:00:00")
+        & (col("o_orderdate") < "1998-06-01 00:00:00")
+    )
