@@ -1165,3 +1165,102 @@ def x26_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_chars") >= 200) & (digit_ratio <= 0.2) & (upper_ratio <= 0.3)
         ).alias("keep"),
     )
+
+
+# --- random-hyperplane LSH ANN ----------------------------------------------
+
+import hashlib as _hashlib
+
+#: 4 fixed hyperplanes × 64 dims, derived from md5 so both engines see
+#: the exact same literals (seeded-Gaussian equivalent, frozen).
+_LSH_PLANES = [
+    [
+        round(
+            int(_hashlib.md5(f"lshplane|{p}|{j}".encode()).hexdigest()[:8], 16)
+            / 0xFFFFFFFF
+            * 2
+            - 1,
+            6,
+        )
+        for j in range(64)
+    ]
+    for p in range(4)
+]
+
+
+def _lsh_sql_bucket(col: str) -> str:
+    terms = []
+    for p, plane in enumerate(_LSH_PLANES):
+        lit = "[" + ", ".join(repr(w) for w in plane) + "]"
+        dot = _SQL_DOT.format(a=col, b=lit)
+        terms.append(f"CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(terms)
+
+
+@query(
+    "x27_lsh_ann",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {_lsh_sql_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+    scored AS (
+      SELECT b.vec_id, b.label,
+             {_SQL_DOT.format(a='b.embedding', b='q.qv')}
+             / (sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')})
+                * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})) AS cos
+      FROM b, q
+      WHERE bit_count(xor(b.bucket, q.qb)) <= 1 AND b.vec_id <> 0
+    )
+    SELECT vec_id, label, ROUND(cos, 4) AS cos_sim
+    FROM scored ORDER BY ROUND(cos, 6) DESC, vec_id LIMIT 10
+    """,
+)
+def x27_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane (sign-projection) LSH ANN with Hamming-1
+    multi-probe — the data-OBLIVIOUS scale path next to data-aware IVF
+    (x6/x20): 4 fixed hyperplanes give a 16-cell signature; a probe
+    searches the query's cell plus its 4 Hamming-1 neighbors (~5/16 of
+    the table) and brute-forces cosine only inside them.  Hyperplanes
+    are frozen md5-derived literals, so the DuckDB oracle computes the
+    identical buckets — no engine-native randomness anywhere.  Plan
+    shape: the bucket is a narrow per-row expression (at 100 TB: write
+    it as a partition column so a probe is partition pruning, exactly
+    like the IVF cluster id), the 1-row query side broadcasts into a
+    trivially cheap nested-loop on bit_count(xor)<=1, and the finish is
+    TakeOrderedAndProject — no global sort, no unblocked self-join.
+    Recall is geometry-dependent (the fixture's true neighbors sit at
+    cos≈0.3, where sign bits agree only ~55% — measured in
+    tests/test_ann.py, which also pins probe-all ≡ brute force); IVF's
+    trained centroids recall far better on such data, which is exactly
+    the documented trade between the two paths."""
+    return _lsh_topk(spark, sf, radius=1)
+
+
+def _lsh_topk(spark: SparkSession, sf: str, radius: int) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    bucket = None
+    for p, plane in enumerate(_LSH_PLANES):
+        arr = F.array(*[F.lit(w) for w in plane])
+        bit = (_dot(F.col("embedding"), arr) > 0).cast("int") * (1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    b = e.withColumn("bucket", bucket)
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cand = b.join(
+        F.broadcast(q),
+        F.bit_count(F.col("bucket").bitwiseXOR(F.col("qb"))) <= radius,
+    ).filter(F.col("vec_id") != 0)
+    cos = _dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        cand.select("vec_id", "label", cos.alias("cos"))
+        .orderBy(F.round("cos", 6).desc(), F.asc("vec_id"))
+        .select("vec_id", "label", F.round("cos", 4).alias("cos_sim"))
+        .limit(10)
+    )
