@@ -488,3 +488,33 @@ def ice19_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
         (col("o_orderdate") >= "1997-06-01 00:00:00")
         & (col("o_orderdate") < "1998-06-01 00:00:00")
     )
+
+
+@query(
+    "ice20_wap",
+    oracle=f"SELECT {_ORDER_COLS} FROM orders WHERE o_custkey IS NOT NULL",
+)
+def ice20_wap(spark: SparkSession, sf: str) -> DataFrame:
+    """Write-audit-publish over refs (the docs/05:149-172 audit-branch
+    diagram made executable): stage the incoming batch on an ``audit``
+    branch — main readers never see it — run the audit against the
+    branch head, then publish with a metadata-only ``fast_forward`` of
+    main.  A failed audit would just ``drop_ref`` the branch: no data
+    file is ever deleted or rewritten either way, and the publish is
+    one atomic CAS, so downstream consumers flip from none-of-it to
+    all-of-it with nothing in between."""
+    orders = load(spark, sf, "orders")
+    seed = orders.filter(F.col("o_orderstatus") == "F")
+    incoming = orders.filter(F.col("o_orderstatus") != "F")
+    t = IceTable.create(spark, _scratch(), orders.schema)
+    t.append(seed)
+    t.create_branch("audit")
+    t.append(incoming, branch="audit")
+    staged = t.toDF(snapshot=t.as_of(ref="audit"))
+    # the audit: no NULL join keys may be published (limit(1) → the
+    # check short-circuits; only a 0/1 count crosses to the driver)
+    if staged.filter(F.col("o_custkey").isNull()).limit(1).count() > 0:
+        t.drop_ref("audit")
+        raise ValueError("audit failed: NULL o_custkey staged")
+    t.fast_forward("audit")
+    return t.toDF()
