@@ -518,3 +518,37 @@ def ice20_wap(spark: SparkSession, sf: str) -> DataFrame:
         raise ValueError("audit failed: NULL o_custkey staged")
     t.fast_forward("audit")
     return t.toDF()
+
+
+@query(
+    "ice21_query_history",
+    oracle="""
+    WITH d AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS total FROM events),
+         r AS (SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS hit FROM events
+               WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-15')
+    SELECT 1 AS seq, FALSE AS pruned,
+           CAST(total AS INT) AS partitions_scanned,
+           CAST(total AS INT) AS partitions_total
+    FROM d
+    UNION ALL
+    SELECT 2, TRUE, CAST(hit AS INT), CAST(total AS INT) FROM r, d
+    """,
+)
+def ice21_query_history(spark: SparkSession, sf: str) -> DataFrame:
+    """QUERY_HISTORY monitoring (docs/09:183-194): a full scan then a
+    hidden-partition-pruned scan of a day(ts)-partitioned table, read
+    back through ``table.query_history()`` — the oracle pins the
+    pruning-effectiveness arithmetic itself (the pruned scan touches
+    exactly the days in range; the full scan touches every day), which
+    is the docs' partitions_scanned ≪ partitions_total health check."""
+    ev = load(spark, sf, "events").select("event_id", "event_type", "ts", "value")
+    t = IceTable.create(spark, _scratch(), ev.schema, partition_by=[("ts", "day")])
+    t.append(ev)
+    t.toDF()  # scan 1: no predicate
+    t.toDF((col("ts") >= "2024-01-10") & (col("ts") < "2024-01-15"))  # scan 2
+    return t.query_history().select(
+        "seq",
+        F.col("predicate").isNotNull().alias("pruned"),
+        "partitions_scanned",
+        "partitions_total",
+    )

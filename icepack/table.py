@@ -78,6 +78,25 @@ def _snapshot_id() -> int:
     return uuid.uuid4().int >> 80  # 48-bit id
 
 
+def _scan_report(all_entries: list, scanned: list) -> dict:
+    """Pruning-effectiveness record for one scan plan — the per-query
+    metrics the reference monitors via QUERY_HISTORY
+    (docs/09-query-performance.md:183-194): partitions/files/bytes
+    scanned vs total."""
+
+    def _parts(entries):
+        return {tuple(sorted(e.partition.items())) for e in entries if e.partition}
+
+    return {
+        "files_total": len(all_entries),
+        "files_scanned": len(scanned),
+        "partitions_total": len(_parts(all_entries)),
+        "partitions_scanned": len(_parts(scanned)),
+        "bytes_total": sum(e.file_size_bytes for e in all_entries),
+        "bytes_scanned": sum(e.file_size_bytes for e in scanned),
+    }
+
+
 class IceTable:
     """Handle to one icepack table (catalog entry S2-S4)."""
 
@@ -85,6 +104,9 @@ class IceTable:
         self.spark = ensure_confs(spark)
         self.location = os.path.abspath(location)
         self.meta = meta
+        #: per-scan pruning metrics, appended by toDF (session-scoped,
+        #: like the QUERY_HISTORY the docs monitor — docs/09:183-194)
+        self._scan_log: list[dict] = []
 
     # -- catalog ------------------------------------------------------------
 
@@ -419,11 +441,11 @@ class IceTable:
         superset of matching files — Spark re-applies the full filter."""
         snap = snapshot or self.meta.current_snapshot
         if snap is None:
-            return [], {"files_total": 0, "files_scanned": 0}
+            return [], _scan_report([], [])
         schema = self.meta.schema_by_id(snap.schema_id)
         if predicate is not None:
             files = []
-            total = 0
+            all_entries = []
             # cache projections per spec (partition evolution T4: each file
             # is pruned under the spec it was written with)
             proj: dict[int, Expr] = {}
@@ -432,7 +454,7 @@ class IceTable:
                 for e in entries:
                     if e.status == "deleted" or e.content != "data":
                         continue
-                    total += 1
+                    all_entries.append(e)
                     if e.spec_id not in proj:
                         spec = self.meta.spec_by_id(e.spec_id)
                         proj[e.spec_id] = project_to_partition(
@@ -447,9 +469,9 @@ class IceTable:
                     if not predicate.may_match_file(e.stats, e.record_count):
                         continue
                     files.append(e)
-            return files, {"files_total": total, "files_scanned": len(files)}
+            return files, _scan_report(all_entries, files)
         files = self.live_files(snap)
-        return files, {"files_total": len(files), "files_scanned": len(files)}
+        return files, _scan_report(files, files)
 
     def _read_files(self, files: list[DataFile], with_pos: bool = False) -> DataFrame:
         """Read a set of data files under the CURRENT schema.  Per-file
@@ -507,7 +529,15 @@ class IceTable:
         current = self.meta.schema
         if snap is None:
             return self.spark.createDataFrame([], current.to_struct())
-        files, _ = self.plan_files(predicate, snap)
+        files, report = self.plan_files(predicate, snap)
+        self._scan_log.append(
+            {
+                "seq": len(self._scan_log) + 1,
+                "predicate": str(predicate) if predicate is not None else None,
+                "snapshot_id": snap.snapshot_id,
+                **report,
+            }
+        )
         deletes = [
             e for e in self.live_files(snap, content="all") if e.content.endswith("-deletes")
         ]
@@ -952,6 +982,30 @@ class IceTable:
         return self.spark.createDataFrame(
             rows,
             "committed_at_ms long, snapshot_id long, parent_id long, is_current boolean",
+        )
+
+    def query_history(self) -> DataFrame:
+        """QUERY_HISTORY-style monitoring relation
+        (docs/09-query-performance.md:183-194): one row per toDF scan
+        of this table handle with partitions/files/bytes scanned vs
+        total — the pruning-effectiveness signal the docs' health
+        checklist watches (partitions_scanned ≪ partitions_total).
+        Session-scoped, like INFORMATION_SCHEMA.QUERY_HISTORY."""
+        rows = [
+            (
+                r["seq"], r["predicate"], r["snapshot_id"],
+                r["partitions_scanned"], r["partitions_total"],
+                r["files_scanned"], r["files_total"],
+                r["bytes_scanned"], r["bytes_total"],
+            )
+            for r in self._scan_log
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "seq int, predicate string, snapshot_id long,"
+            " partitions_scanned int, partitions_total int,"
+            " files_scanned int, files_total int,"
+            " bytes_scanned long, bytes_total long",
         )
 
     def describe(self) -> dict:

@@ -87,6 +87,27 @@ def test_stats_file_pruning(spark, warehouse):
     assert rows_sorted(t.toDF(pred)) == rows_sorted(orders.filter("o_orderkey < 100"))
 
 
+def test_query_history_records_pruning(spark, warehouse):
+    """query_history (docs/09:183-194): one row per scan, with the
+    pruned scan showing files/bytes/partitions scanned < total."""
+    cat = Catalog(spark, warehouse)
+    orders = load(spark, SF_DIR, "orders")
+    t = cat.create_table("db.qh", orders.schema)
+    t.append(orders.filter("o_orderkey < 1000").coalesce(1))
+    t.append(orders.filter("o_orderkey >= 1000").coalesce(1))
+    t.toDF()
+    t.toDF(col("o_orderkey") < 100)
+    h = {r["seq"]: r for r in t.query_history().collect()}
+    assert len(h) == 2
+    full, pruned = h[1], h[2]
+    assert full["predicate"] is None
+    assert full["files_scanned"] == full["files_total"] == 2
+    assert full["bytes_scanned"] == full["bytes_total"] > 0
+    assert pruned["predicate"] is not None
+    assert pruned["files_scanned"] == 1 < pruned["files_total"] == 2
+    assert 0 < pruned["bytes_scanned"] < pruned["bytes_total"]
+
+
 def test_concurrent_append_cas_merges(spark, warehouse):
     """Two writers with independent handles both commit; CAS retry
     merges appends (docs/08-acid-transactions.md:54-78)."""
