@@ -552,3 +552,33 @@ def ice21_query_history(spark: SparkSession, sf: str) -> DataFrame:
         "partitions_scanned",
         "partitions_total",
     )
+
+
+@query(
+    "ice22_cdc_diff",
+    oracle=f"""
+    SELECT {_ORDER_COLS}, 'delete' AS _change_type
+    FROM orders WHERE o_orderstatus IN ('F', 'O')
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority,
+           'insert' AS _change_type
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def ice22_cdc_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level CDC between snapshots (``table.diff``, the changes
+    view over time travel): after a COW DELETE and an UPDATE, the diff
+    against the pre-DML snapshot surfaces the deleted rows as
+    ``delete`` and each update as its delete+insert pair.  Files
+    common to both snapshots cancel at the FILE level and are never
+    read — only the symmetric difference of the file sets is scanned,
+    so adjacent-snapshot CDC on a 100 TB table costs ~one commit's
+    worth of I/O, and the exceptAll pair cancels rewritten-but-
+    unchanged rows inside the hit files."""
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(spark, _scratch(), orders.schema)
+    s1 = t.append(orders)
+    t.delete(col("o_orderstatus") == "F")
+    t.update(col("o_orderstatus") == "O", {"o_totalprice": F.col("o_totalprice") * 1.1})
+    return t.diff(s1.snapshot_id)
