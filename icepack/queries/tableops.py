@@ -582,3 +582,58 @@ def ice22_cdc_diff(spark: SparkSession, sf: str) -> DataFrame:
     t.delete(col("o_orderstatus") == "F")
     t.update(col("o_orderstatus") == "O", {"o_totalprice": F.col("o_totalprice") * 1.1})
     return t.diff(s1.snapshot_id)
+
+
+@query(
+    "ice23_orphan_cleanup",
+    oracle=f"SELECT {_ORDER_COLS} FROM orders WHERE o_orderkey % 3 = 0",
+)
+def ice23_orphan_cleanup(spark: SparkSession, sf: str) -> DataFrame:
+    """M4 REMOVE ORPHAN FILES (docs/10:97-111) through the contract
+    surface: plant a stray parquet under data/ (a crashed writer's
+    leftover — written, never committed), sweep with the reachability
+    check over EVERY snapshot, and prove the sweep took exactly the
+    stray while the committed content reads back untouched."""
+    import os as _os
+    import time as _time
+
+    from ..maintenance import remove_orphan_files
+
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(spark, _scratch(), orders.schema)
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    stray = _os.path.join(t.location, "data", "stray-uncommitted.parquet")
+    orders.limit(5).coalesce(1).write.mode("overwrite").parquet(stray + ".d")
+    part = next(
+        p for p in _os.listdir(stray + ".d") if p.endswith(".parquet")
+    )
+    _os.rename(_os.path.join(stray + ".d", part), stray)
+    removed = remove_orphan_files(
+        t, older_than_ms=int(_time.time() * 1000) + 60_000
+    )
+    if [_os.path.basename(p) for p in removed] != ["stray-uncommitted.parquet"]:
+        raise AssertionError(f"orphan sweep took the wrong files: {removed}")
+    return t.toDF()
+
+
+@query(
+    "ice24_rewrite_manifests",
+    oracle=f"SELECT {_ORDER_COLS} FROM orders",
+)
+def ice24_rewrite_manifests(spark: SparkSession, sf: str) -> DataFrame:
+    """M2 REWRITE MANIFESTS (docs/10:80-95): four fragmented appends
+    leave four manifests; the rewrite coalesces them into one — a
+    metadata-only commit (operation=replace, zero data files moved) —
+    and the scan afterwards is value-identical to the input."""
+    from ..maintenance import rewrite_manifests
+
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(spark, _scratch(), orders.schema)
+    for i in range(4):
+        t.append(orders.filter(F.col("o_orderkey") % 4 == i))
+    before = t.manifests().count()
+    rewrite_manifests(t)
+    after = t.manifests().count()
+    if not (after == 1 < before):
+        raise AssertionError(f"manifest rewrite: {before} -> {after}")
+    return t.toDF()
