@@ -187,13 +187,14 @@ def _merge_mor(
     when_matched_update: dict[str, Column] | None,
     when_matched_delete: bool,
     when_not_matched_insert: bool,
+    when_matched_delete_condition: Column | None = None,
 ) -> Snapshot:
     """MOR MERGE: matched target rows become position-delete entries;
     their updated values (unless when_matched_delete) and the unmatched
     source rows are appended — one snapshot, no hit-file rewrite."""
     schema = table.meta.schema
     names = [f.name for f in schema.fields]
-    src = source.select(*names)
+    src = source.select(*names, *[c for c in source.columns if c not in names])
 
     predicate = None
     if len(on) == 1:
@@ -203,7 +204,7 @@ def _merge_mor(
     hit, _ = table.plan_files(predicate)
 
     tgt = table._read_files(hit, with_pos=True)
-    s = src.select(*[F.col(c).alias(f"_s_{c}") for c in names])
+    s = src.select(*[F.col(c).alias(f"_s_{c}") for c in src.columns])
     cond = None
     for k in on:
         c = F.col(k) == F.col(f"_s_{k}")
@@ -216,7 +217,16 @@ def _merge_mor(
         "position-deletes",
     )
     new_rows = None
-    if not when_matched_delete:
+    if not when_matched_delete or when_matched_delete_condition is not None:
+        survivors = matched
+        if when_matched_delete_condition is not None:
+            # expose _t_-prefixed aliases so the condition sees the
+            # same column names as in the COW path (target_col helper)
+            survivors = matched.select(
+                "*", *[F.col(c).alias(f"_t_{c}") for c in names]
+            ).filter(
+                ~F.coalesce(when_matched_delete_condition.cast("boolean"), F.lit(False))
+            )
         upd_cols = []
         for f in schema.fields:
             c = f.name
@@ -227,7 +237,7 @@ def _merge_mor(
                 upd_cols.append(new.cast(f.spark_type()).alias(c))
             else:
                 upd_cols.append(F.col(c))
-        new_rows = matched.select(*upd_cols)
+        new_rows = survivors.select(*upd_cols)
     if when_not_matched_insert:
         anti = s.join(tgt.select(*on), cond, "left_anti").select(
             *[F.col(f"_s_{c}").alias(c) for c in names]
@@ -310,6 +320,7 @@ def merge(
     when_matched_delete: bool = False,
     when_not_matched_insert: bool = True,
     mode: str | None = None,
+    when_matched_delete_condition: Column | None = None,
 ) -> Snapshot:
     """MERGE INTO target USING source ON keys (docs/08:133-141).
 
@@ -329,11 +340,11 @@ def merge(
     if mode == "merge-on-read":
         return _merge_mor(
             table, source, on, when_matched_update, when_matched_delete,
-            when_not_matched_insert,
+            when_not_matched_insert, when_matched_delete_condition,
         )
     schema = table.meta.schema
     names = [f.name for f in schema.fields]
-    src = source.select(*names)
+    src = source.select(*names, *[c for c in source.columns if c not in names])
 
     predicate = None
     if len(on) == 1:
@@ -346,7 +357,7 @@ def merge(
     t = tgt.select(*[F.col(c).alias(f"_t_{c}") for c in names]).withColumn(
         "_t_exists", F.lit(True)
     )
-    s = src.select(*[F.col(c).alias(f"_s_{c}") for c in names]).withColumn(
+    s = src.select(*[F.col(c).alias(f"_s_{c}") for c in src.columns]).withColumn(
         "_s_exists", F.lit(True)
     )
     cond = None
@@ -362,9 +373,18 @@ def merge(
     # target-only rows always survive unchanged
     keep = joined.filter(t_only).select(*[F.col(f"_t_{c}").alias(c) for c in names])
     branches.append(keep)
-    if when_matched_delete:
-        pass  # matched rows dropped
+    if when_matched_delete and when_matched_delete_condition is None:
+        pass  # all matched rows dropped
     else:
+        m = joined.filter(matched)
+        if when_matched_delete_condition is not None:
+            # WHEN MATCHED AND <cond> THEN DELETE (docs/08:136): a NULL
+            # condition means the branch is NOT taken (SQL semantics),
+            # so the survivor filter must treat NULL as keep
+            m = m.filter(
+                ~F.coalesce(when_matched_delete_condition.cast("boolean"), F.lit(False))
+            )
+        joined_matched = m
         upd_cols = []
         for f in schema.fields:
             c = f.name
@@ -375,7 +395,7 @@ def merge(
                 upd_cols.append(new.cast(f.spark_type()).alias(c))
             else:
                 upd_cols.append(F.col(f"_t_{c}").alias(c))
-        branches.append(joined.filter(matched).select(*upd_cols))
+        branches.append(joined_matched.select(*upd_cols))
     if when_not_matched_insert:
         branches.append(
             joined.filter(s_only).select(*[F.col(f"_s_{c}").alias(c) for c in names])

@@ -637,3 +637,50 @@ def ice24_rewrite_manifests(spark: SparkSession, sf: str) -> DataFrame:
     if not (after == 1 < before):
         raise AssertionError(f"manifest rewrite: {before} -> {after}")
     return t.toDF()
+
+
+@query(
+    "ice25_sql_surface",
+    oracle="""
+    WITH cur AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderstatus <> 'F'
+    )
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(price), 2) AS revenue
+    FROM cur GROUP BY o_orderstatus
+    """,
+)
+def ice25_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's DECLARED surface is Snowflake-dialect SQL — this
+    entry runs the docs' own statement lifecycle verbatim through the
+    ``icepack.sql.IceSQL`` front-end (CREATE ICEBERG TABLE →
+    INSERT..SELECT → UPDATE → DELETE → SELECT), each statement routed
+    onto the table layer with the same predicate pruning as the Python
+    API.  The full dialect battery (PARTITION BY transforms, MERGE with
+    conditional matched-DELETE, AT() time travel, maintenance ALTERs,
+    $METADATA relations, DROP/UNDROP) is pinned in tests/test_sql.py."""
+    from ..sql import IceSQL
+
+    isql = IceSQL(spark, _scratch())
+    load(spark, sf, "orders").createOrReplaceTempView("orders_src")
+    isql.sql(
+        """
+        CREATE ICEBERG TABLE db.ord (
+            o_orderkey      BIGINT NOT NULL,
+            o_custkey       BIGINT,
+            o_orderstatus   VARCHAR(1),
+            o_totalprice    DOUBLE,
+            o_orderdate     TIMESTAMP_NTZ,
+            o_orderpriority VARCHAR(15)
+        )
+        """
+    )
+    isql.sql("INSERT INTO db.ord SELECT * FROM orders_src")
+    isql.sql("UPDATE db.ord SET o_totalprice = o_totalprice * 1.1 WHERE o_orderstatus = 'O'")
+    isql.sql("DELETE FROM db.ord WHERE o_orderstatus = 'F'")
+    return isql.sql(
+        "SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue "
+        "FROM ord GROUP BY o_orderstatus"
+    )
