@@ -292,6 +292,11 @@ _BEFORE = re.compile(
     r"\s+BEFORE\s*\(\s*(?:STATEMENT|SNAPSHOT)\s*=>\s*([^)]+?)\s*\)"
 )
 _META_REL = re.compile(r"(?i)\b([A-Za-z_][\w.]*)\$(SNAPSHOTS|FILES|MANIFESTS|PARTITIONS|HISTORY|REFS)\b")
+#: docs/03:174-181 table functions: TABLE(INFORMATION_SCHEMA.ICEBERG_TABLE_FILES('t'))
+_INFO_SCHEMA = re.compile(
+    r"(?i)\bTABLE\s*\(\s*INFORMATION_SCHEMA\s*\.\s*ICEBERG_TABLE_"
+    r"(SNAPSHOTS|MANIFESTS|FILES)\s*\(\s*'([^']+)'\s*\)\s*\)"
+)
 
 
 class IceSQL:
@@ -579,7 +584,7 @@ class IceSQL:
                 r"(?i)ALTER\s+COLUMN\s+([\w$]+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.*)$", rest
             )
             return t.widen_column(am.group(1), _map_type(am.group(2)))
-        if u.startswith("COMPACT DATA"):
+        if u.startswith("COMPACT"):  # docs write both COMPACT and COMPACT DATA
             am = re.search(r"(?i)TARGET_FILE_SIZE(?:_BYTES)?\s*=\s*(\d+)", rest)
             wm = re.search(r"(?i)\sWHERE\s+(.*)$", rest, re.DOTALL)
             return maintenance.compact(
@@ -588,8 +593,8 @@ class IceSQL:
                 where=parse_predicate(wm.group(1)) if wm else None,
             )
         if u.startswith("EXPIRE SNAPSHOTS"):
-            om = re.search(r"(?i)OLDER_THAN\s*(?:=>|=)\s*(?:TIMESTAMP\s*)?'([^']+)'", rest)
-            rm = re.search(r"(?i)RETAIN_LAST\s*(?:=>|=)\s*(\d+)", rest)
+            om = re.search(r"(?i)OLDER_THAN\s*(?:=>|=)?\s*(?:TIMESTAMP\s*)?'([^']+)'", rest)
+            rm = re.search(r"(?i)RETAIN[_\s]LAST\s*(?:=>|=)?\s*(\d+)", rest)
             older = None
             if om:
                 import datetime as _dt
@@ -681,6 +686,25 @@ class IceSQL:
             return self._fresh_view(df, rel.lower())
 
         s = _META_REL.sub(_meta, s)
+
+        def _info(m: re.Match) -> str:
+            rel, name = m.group(1).upper(), m.group(2)
+            t = self._table(self._resolve_name(name))
+            df = {"SNAPSHOTS": t.snapshots, "MANIFESTS": t.manifests, "FILES": t.files}[rel]()
+            return self._fresh_view(df, rel.lower())
+
+        s = _INFO_SCHEMA.sub(_info, s)
+
+        # SYSTEM$GET_ICEBERG_TABLE_INFORMATION('t') (docs/03:171)
+        im = re.fullmatch(
+            r"(?i)SELECT\s+SYSTEM\$GET_ICEBERG_TABLE_INFORMATION\s*\(\s*'([^']+)'\s*\)\s*",
+            s,
+        )
+        if im:
+            d = self._table(self._resolve_name(im.group(1))).describe()
+            return self.spark.createDataFrame(
+                [(k, str(v)) for k, v in d.items()], "property string, value string"
+            )
 
         # 3. plain icepack table names → temp views; delegate
         self._register_tables(s)

@@ -143,10 +143,19 @@ def test_maintenance_alters(isql):
     after = isql.sql("SELECT COUNT(*) AS n FROM db.items$FILES").collect()[0]["n"]
     assert after < before
     isql.sql("ALTER ICEBERG TABLE db.items REWRITE MANIFESTS")
-    isql.sql("ALTER ICEBERG TABLE db.items EXPIRE SNAPSHOTS RETAIN_LAST = 1")
+    # docs/03:205-206 spelling (RETAIN LAST, no =)
+    isql.sql("ALTER ICEBERG TABLE db.items EXPIRE SNAPSHOTS RETAIN LAST 1")
     assert isql.sql("SELECT COUNT(*) AS n FROM items").collect()[0]["n"] == 6
     assert isql.sql("SELECT COUNT(*) AS n FROM db.items$SNAPSHOTS").collect()[0]["n"] == 1
     isql.sql("ALTER ICEBERG TABLE db.items REMOVE ORPHAN FILES")
+    # docs/03:187 bare-COMPACT spelling and table functions (docs/03:171-181)
+    isql.sql("ALTER ICEBERG TABLE db.items COMPACT")
+    n = isql.sql(
+        "SELECT COUNT(*) AS n FROM TABLE(INFORMATION_SCHEMA.ICEBERG_TABLE_FILES('db.items'))"
+    ).collect()[0]["n"]
+    assert n >= 1
+    info = isql.sql("SELECT SYSTEM$GET_ICEBERG_TABLE_INFORMATION('db.items')")
+    assert info.filter("property = 'location'").count() == 1
 
 
 def test_mor_property_switch(isql):
