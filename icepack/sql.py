@@ -320,17 +320,23 @@ class IceSQL:
         df.createOrReplaceTempView(vn)
         return vn
 
-    def _register_tables(self, stmt: str) -> None:
+    def _register_tables(self, stmt: str) -> str:
         """Expose every catalog table referenced in the statement to
-        spark.sql under both its dotted-flattened and last-component
-        names (the docs use unqualified names)."""
+        spark.sql under its dotted-flattened and last-component names,
+        and flatten dotted references (``bronze.events_raw`` →
+        ``bronze_events_raw`` temp view) so the docs' namespaced names
+        resolve.  Returns the (possibly rewritten) statement."""
         for name in self.catalog.list_tables():
-            short = name.split(".")[-1]
-            if re.search(rf"(?i)\b({re.escape(name.replace('.', '_'))}|{re.escape(short)})\b", stmt):
+            flat, short = name.replace(".", "_"), name.split(".")[-1]
+            pat = rf"(?i)\b({re.escape(name)}|{re.escape(flat)}|{re.escape(short)})\b"
+            if re.search(pat, stmt):
                 df = self._table(name).toDF()
-                df.createOrReplaceTempView(name.replace(".", "_"))
+                df.createOrReplaceTempView(flat)
                 if short != name:
                     df.createOrReplaceTempView(short)
+                if "." in name:
+                    stmt = re.sub(rf"(?i)\b{re.escape(name)}\b", flat, stmt)
+        return stmt
 
     def _resolve_name(self, name: str) -> str:
         """Accept dotted, flattened, or last-component table names."""
@@ -433,13 +439,17 @@ class IceSQL:
         name, cols, rest = m.group(1), m.group(3), m.group(4).strip()
         t = self._table(self._resolve_name(name))
         names = [f.name for f in t.meta.schema.fields]
+        target = _split_top(cols) if cols else names
         if re.match(r"(?i)VALUES\b", rest):
-            target = _split_top(cols) if cols else names
             df = self.spark.sql(f"SELECT * FROM {rest} AS _v({', '.join(target)})")
         else:
+            # ANSI: INSERT INTO ... SELECT maps POSITIONALLY
             df = self._select(rest)
-            if cols:
-                df = df.toDF(*_split_top(cols))
+            if len(df.columns) != len(target):
+                raise ValueError(
+                    f"INSERT column count mismatch: {len(df.columns)} vs {len(target)}"
+                )
+            df = df.toDF(*target)
         # align to schema: missing columns NULL, everything cast
         out = df.select(
             *[
@@ -528,8 +538,14 @@ class IceSQL:
             )
             if not_matched:
                 kwargs["when_not_matched_insert"] = True
-                if ins_cols and ins_vals:
-                    names = _split_top(ins_cols)
+                if ins_vals:
+                    # docs/12:121-125 write INSERT VALUES (...) with no
+                    # column list → positional against the target schema
+                    names = (
+                        _split_top(ins_cols)
+                        if ins_cols
+                        else [f.name for f in t.meta.schema.fields]
+                    )
                     vals = _split_top(ins_vals)
                     for n, v in zip(names, vals):
                         v = re.sub(rf"(?i)\b{salias}\.([\w$]+)", r"\1", v)
@@ -636,7 +652,37 @@ class IceSQL:
 
     # -- SELECT (delegation with resolution) --------------------------------
 
+    @staticmethod
+    def _rewrite_variant_paths(s: str) -> str:
+        """Snowflake VARIANT path extraction (docs/12:96-104):
+        ``payload:a.b::TYPE`` → ``CAST(get_json_object(payload, '$.a.b')
+        AS type)``; ``::MAP(K, V)`` → typed ``from_json``.  ``::`` casts
+        themselves are Spark-native and left alone; string literals are
+        protected from rewriting."""
+        parts = re.split(r"('(?:[^']|'')*')", s)  # odd indices = literals
+
+        def repl(m: re.Match) -> str:
+            colv, path, typ = m.group(1), m.group(2), m.group(3)
+            get = f"get_json_object({colv}, '$.{path}')"
+            if not typ:
+                return get
+            mm = re.fullmatch(r"(?i)MAP\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)", typ)
+            if mm:
+                return (
+                    f"from_json({get}, 'map<{mm.group(1).lower()},{mm.group(2).lower()}>')"
+                )
+            return f"CAST({get} AS {typ})"
+
+        pat = re.compile(
+            r"\b([A-Za-z_]\w*):(?!:)([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)"
+            r"(?:::([A-Za-z_]+(?:\(\s*\w+\s*,\s*\w+\s*\))?))?"
+        )
+        for i in range(0, len(parts), 2):
+            parts[i] = pat.sub(repl, parts[i])
+        return "".join(parts)
+
     def _select(self, s: str) -> DataFrame:
+        s = self._rewrite_variant_paths(s)
         # 1. time-travel clauses → snapshot-pinned temp views
         def _at(m: re.Match) -> str:
             kw, name, alias, kind, val = m.groups()
@@ -707,7 +753,7 @@ class IceSQL:
             )
 
         # 3. plain icepack table names → temp views; delegate
-        self._register_tables(s)
+        s = self._register_tables(s)
         return self.spark.sql(s)
 
 

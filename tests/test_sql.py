@@ -222,3 +222,90 @@ def test_predicate_parser_matches_python_expr(spark):
     assert rows_sorted(df.filter(p.to_column())) == rows_sorted(df.filter(q.to_column()))
     # and the file-stats evaluation agrees on a no-stats file (keep)
     assert p.may_match_file({}, 10) and q.may_match_file({}, 10)
+
+
+def test_medallion_pipeline_docs_sql(isql):
+    """The docs/12:94-126 bronze→silver→gold pipeline nearly verbatim:
+    VARIANT path extraction with ::TYPE casts, incremental high-water
+    filter, and the gold MERGE upsert with positional INSERT VALUES."""
+    isql.sql(
+        "CREATE ICEBERG TABLE bronze.events_raw (payload VARIANT, ingested_at TIMESTAMP_NTZ)"
+    )
+    isql.sql(
+        """INSERT INTO bronze.events_raw VALUES
+        ('{"event_id": 1, "event_type": "click", "user_id": 7, "event_time": "2024-01-01 10:00:00"}', TIMESTAMP '2024-01-01 10:00:01'),
+        ('{"event_id": 2, "event_type": "click", "user_id": 8, "event_time": "2024-01-01 11:00:00"}', TIMESTAMP '2024-01-01 11:00:01'),
+        ('{"event_id": 3, "event_type": "view",  "user_id": 7, "event_time": "2024-01-01 12:00:00"}', TIMESTAMP '2024-01-01 12:00:01')"""
+    )
+    isql.sql(
+        "CREATE ICEBERG TABLE silver.events_cleaned "
+        "(event_id BIGINT, event_type VARCHAR(32), user_id BIGINT, event_time TIMESTAMP_NTZ)"
+    )
+    silver_insert = """
+        INSERT INTO silver.events_cleaned
+        SELECT
+          payload:event_id::BIGINT,
+          payload:event_type::STRING,
+          payload:user_id::BIGINT,
+          payload:event_time::TIMESTAMP_NTZ
+        FROM bronze.events_raw
+        WHERE payload:event_time::TIMESTAMP_NTZ
+              > (SELECT COALESCE(MAX(event_time), TIMESTAMP '1970-01-01')
+                 FROM silver.events_cleaned)
+    """
+    isql.sql(silver_insert)
+    assert isql.sql("SELECT COUNT(*) AS n FROM silver.events_cleaned").collect()[0]["n"] == 3
+    # re-running moves nothing (high-water filter)
+    isql.sql(silver_insert)
+    assert isql.sql("SELECT COUNT(*) AS n FROM silver.events_cleaned").collect()[0]["n"] == 3
+
+    isql.sql(
+        "CREATE ICEBERG TABLE gold.daily_event_summary "
+        "(event_date DATE, event_type VARCHAR(32), event_count BIGINT, unique_users BIGINT)"
+    )
+    gold_merge = """
+        MERGE INTO gold.daily_event_summary AS target
+        USING (
+          SELECT
+            DATE(event_time) as event_date,
+            event_type,
+            COUNT(*) as event_count,
+            COUNT(DISTINCT user_id) as unique_users
+          FROM silver.events_cleaned
+          WHERE DATE(event_time) = DATE '2024-01-01'
+          GROUP BY 1, 2
+        ) AS source
+        ON target.event_date = source.event_date
+           AND target.event_type = source.event_type
+        WHEN MATCHED THEN UPDATE SET
+          event_count = source.event_count,
+          unique_users = source.unique_users
+        WHEN NOT MATCHED THEN INSERT VALUES (
+          source.event_date, source.event_type,
+          source.event_count, source.unique_users
+        )
+    """
+    isql.sql(gold_merge)
+    got = {
+        (str(r["event_date"]), r["event_type"]): (r["event_count"], r["unique_users"])
+        for r in isql.sql("SELECT * FROM gold.daily_event_summary").collect()
+    }
+    assert got == {
+        ("2024-01-01", "click"): (2, 2),
+        ("2024-01-01", "view"): (1, 1),
+    }
+    # late event arrives → silver increment → gold MERGE updates in place
+    isql.sql(
+        """INSERT INTO bronze.events_raw VALUES
+        ('{"event_id": 4, "event_type": "click", "user_id": 9, "event_time": "2024-01-01 13:00:00"}', TIMESTAMP '2024-01-01 13:00:01')"""
+    )
+    isql.sql(silver_insert)
+    isql.sql(gold_merge)
+    got = {
+        (str(r["event_date"]), r["event_type"]): (r["event_count"], r["unique_users"])
+        for r in isql.sql("SELECT * FROM gold.daily_event_summary").collect()
+    }
+    assert got == {
+        ("2024-01-01", "click"): (3, 3),
+        ("2024-01-01", "view"): (1, 1),
+    }
