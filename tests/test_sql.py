@@ -309,3 +309,61 @@ def test_medallion_pipeline_docs_sql(isql):
         ("2024-01-01", "click"): (3, 3),
         ("2024-01-01", "view"): (1, 1),
     }
+
+
+def test_docs_create_statements_verbatim(isql):
+    """The reference's own CREATE ICEBERG TABLE statements, character
+    for character (docs/01:182-205 OTel; docs/07:87-115)."""
+    t = isql.sql("""
+        CREATE OR REPLACE ICEBERG TABLE otel_traces (
+            trace_id            VARCHAR(32)   NOT NULL,
+            span_id             VARCHAR(16)   NOT NULL,
+            parent_span_id      VARCHAR(16),
+            trace_state         VARCHAR(512),
+            span_name           VARCHAR(256)  NOT NULL,
+            span_kind           VARCHAR(20),
+            start_time          TIMESTAMP_NTZ NOT NULL,
+            end_time            TIMESTAMP_NTZ NOT NULL,
+            duration_ms         INT,
+            status_code         VARCHAR(10),
+            status_message      VARCHAR(1024),
+            service_name        VARCHAR(256)  NOT NULL,
+            service_namespace   VARCHAR(256),
+            service_version     VARCHAR(64),
+            resource_attributes VARIANT,
+            span_attributes     VARIANT,
+            events              VARIANT,
+            links               VARIANT
+        )
+        CATALOG         = 'SNOWFLAKE'
+        EXTERNAL_VOLUME = 'otel_traces_vol'
+        BASE_LOCATION   = 'traces/'
+        PARTITION BY (DATE(start_time), service_name)
+    """)
+    assert len(t.meta.schema.fields) == 18
+    assert [pf.transform for pf in t.meta.spec.fields] == ["day", "identity"]
+    assert t.meta.properties.get("external_volume") == "otel_traces_vol"
+
+    t2 = isql.sql("""
+        CREATE ICEBERG TABLE user_events (
+          user_id BIGINT,
+          event_time TIMESTAMP,
+          event_data VARIANT
+        )
+          CATALOG = 'SNOWFLAKE'
+          EXTERNAL_VOLUME = 'my_vol'
+          BASE_LOCATION = 'user_events/'
+          PARTITION BY (BUCKET(16, user_id), DATE(event_time))
+    """)
+    assert [pf.transform for pf in t2.meta.spec.fields] == ["bucket[16]", "day"]
+    t3 = isql.sql("""
+        CREATE ICEBERG TABLE orders2 (
+          order_id BIGINT,
+          order_date DATE,
+          region STRING,
+          amount DECIMAL(10,2)
+        )
+          PARTITION BY (region, order_date)
+    """)
+    assert dict((f.name, f.type) for f in t3.meta.schema.fields)["amount"] == "decimal(10,2)"
+    assert [pf.transform for pf in t3.meta.spec.fields] == ["identity", "identity"]
