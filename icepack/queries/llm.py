@@ -1264,3 +1264,90 @@ def _lsh_topk(spark: SparkSession, sf: str, radius: int) -> DataFrame:
         .select("vec_id", "label", F.round("cos", 4).alias("cos_sim"))
         .limit(10)
     )
+
+
+@query(
+    "x28_sequence_pack",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    packed AS (
+      SELECT source, n_tok,
+             CAST(FLOOR((SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 2048.0) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens,
+           ROUND(SUM(n_tok) / 2048.0, 4) AS fill
+    FROM packed GROUP BY source, bin
+    """,
+)
+def x28_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for training: assign documents to fixed
+    token-budget bins (2048 tokens) by running token count, the
+    next-fit policy every packing pipeline starts from.  Bin identity
+    is a *function of the running sum*, so it needs no driver loop and
+    no stateful UDF — one window per shard.  Packing is per `source`
+    shard (PARTITION BY), which is exactly how it distributes at
+    100 TB: each shard packs independently inside its own partition, no
+    global coordination, and the bin counter restarts per shard so ids
+    never collide across executors.  The doc_id order is the
+    deterministic tiebreak both engines share."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf, "documents")
+    n_tok = F.size(F.split("text", " "))
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    toks = d.select("doc_id", "source", n_tok.alias("n_tok"))
+    packed = toks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(2048.0)),
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+        F.round(F.sum("n_tok") / 2048.0, 4).alias("fill"),
+    )
+
+
+@query(
+    "x29_vocab_stats",
+    oracle="""
+    WITH words AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT lang, w, COUNT(*) AS n FROM words GROUP BY 1, 2)
+    SELECT lang,
+           SUM(n) AS n_tokens,
+           COUNT(*) AS n_types,
+           ROUND(COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS ttr,
+           ROUND(COUNT(*) FILTER (n = 1) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS hapax_ratio
+    FROM tf GROUP BY lang
+    """,
+)
+def x29_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary health per language: token count, distinct
+    types, type-token ratio, and the hapax-legomenon ratio (share of
+    words seen exactly once — collapsing hapax ratio flags synthetic or
+    templated text; an exploding one flags OCR noise).  Two hash
+    aggregations, both with map-side partials: (lang, word) counts,
+    then the per-lang rollup — the exact shape a 100 TB vocabulary scan
+    wants, with no window and no collect."""
+    d = load(spark, sf, "documents")
+    words = d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+    tf = words.groupBy("lang", "w").agg(F.count("*").alias("n"))
+    return tf.groupBy("lang").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.round(F.count("*") / F.sum("n"), 6).alias("ttr"),
+        F.round(
+            F.sum((F.col("n") == 1).cast("long")) / F.count("*"), 6
+        ).alias("hapax_ratio"),
+    )

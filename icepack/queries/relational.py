@@ -1580,6 +1580,41 @@ def w1_rank_family(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "w5_value_windows",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price,
+           ROUND(LAST_VALUE(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+             AS last_price,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+             AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def w5_value_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Value windows (first_value / last_value / nth_value): each
+    customer's first, last, and second order price attached to every
+    order row.  last/nth use an unbounded-following frame — the default
+    frame would stop at CURRENT ROW and silently return the running
+    last, a classic window-frame bug both engines agree on here.  The
+    unique orderkey tiebreak keeps the frame total-ordered."""
+    o = load(spark, sf, "orders")
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = wo.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(wo), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(wfull), 2).alias("second_price"),
+    )
+
+
+@query(
     "a5_correlated_subquery",
     oracle="""
     SELECT o.o_orderkey, ROUND(o.o_totalprice, 2) AS price
