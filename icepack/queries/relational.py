@@ -2144,3 +2144,65 @@ def a11_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
         combines=[F.sum("n").alias("n"), F.sum("v").alias("v")],
     )
     return out.select("event_type", "n", F.round("v", 2).alias("sum_value"))
+
+
+@query(
+    "j9_null_safe_join",
+    oracle="""
+    WITH c AS (SELECT NULLIF(c_nationkey % 5, 0) AS k FROM customer),
+         s AS (SELECT NULLIF(s_nationkey % 5, 0) AS k FROM supplier)
+    SELECT c.k AS bucket, COUNT(*) AS n_pairs
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY c.k
+    """,
+)
+def j9_null_safe_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping.  EqualNullSafe is a
+    legal hash-join key in Spark, so this stays a broadcast/shuffle
+    HASH join — no nested-loop penalty and no COALESCE-to-sentinel hack
+    (which would corrupt real sentinel values at 100 TB).  NULLs are
+    injected deterministically via NULLIF so both engines build the
+    identical key distribution."""
+    c = load(spark, sf, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("ck")
+    )
+    s = load(spark, sf, "supplier").select(
+        F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("sk")
+    )
+    return (
+        c.join(F.broadcast(s), c.ck.eqNullSafe(s.sk))
+        .groupBy(F.col("ck").alias("bucket"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "o7_nulls_ordering",
+    oracle="""
+    SELECT o_orderkey, price FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                  ELSE ROUND(o_totalprice, 2) END AS price
+      FROM orders
+    ) ORDER BY price DESC NULLS FIRST, o_orderkey
+    LIMIT 500
+    """,
+)
+def o7_nulls_ordering(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit NULLS FIRST placement under a descending top-N: the
+    null-price rows (injected on a deterministic key pattern) must beat
+    every real price into the limited output — engines default this
+    differently (Spark DESC = NULLS LAST), so the modifier is load-
+    bearing, not cosmetic.  Shape stays TakeOrderedAndProject: per-
+    partition top-500 then a single merge of 500-row heads, never a
+    global sort."""
+    o = load(spark, sf, "orders")
+    price = F.when(F.col("o_orderkey") % 97 == 0, F.lit(None)).otherwise(
+        F.round("o_totalprice", 2)
+    )
+    return (
+        o.select("o_orderkey", price.alias("price"))
+        .orderBy(F.col("price").desc_nulls_first(), F.asc("o_orderkey"))
+        .limit(500)
+    )
