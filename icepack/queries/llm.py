@@ -1351,3 +1351,65 @@ def x29_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.sum((F.col("n") == 1).cast("long")) / F.count("*"), 6
         ).alias("hapax_ratio"),
     )
+
+
+@query(
+    "x30_embedding_outliers",
+    oracle="""
+    WITH pos AS (
+      SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    cent AS (SELECT label, i, AVG(v) AS c FROM pos GROUP BY 1, 2),
+    cnorm AS (SELECT label, sqrt(SUM(c * c)) AS nc FROM cent GROUP BY 1),
+    per_vec AS (
+      SELECT p.label, p.vec_id,
+             SUM(p.v * c.c) AS dot, sqrt(SUM(p.v * p.v)) AS nv
+      FROM pos p JOIN cent c ON p.label = c.label AND p.i = c.i
+      GROUP BY 1, 2
+    )
+    SELECT v.vec_id, v.label,
+           ROUND(v.dot / (v.nv * n.nc), 4) AS cos_centroid,
+           v.dot / (v.nv * n.nc) < 0.2 AS is_outlier
+    FROM per_vec v JOIN cnorm n ON v.label = n.label
+    """,
+)
+def x30_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space outlier scoring (the SemDeDup/data-pruning
+    primitive): per label cluster, cosine of every vector against its
+    cluster centroid; far-from-centroid rows are candidate mislabels or
+    noise to drop before training.
+
+    This is the grouped-map `applyInPandas` surface (SURVEY §2.12): one
+    Arrow batch per label group, numpy does a (n × d) mean + matmul per
+    group — semantics a per-row expression can't reach (every row needs
+    its whole group's centroid) without materializing the centroid join
+    the oracle spells out.  Scale: state is one d-dim centroid per
+    group held inside its task; groups shard across executors by the
+    groupBy key, so 100 TB of vectors needs only that the *largest
+    single group* fit one executor — the same contract as any grouped
+    aggregation.  Float order: numpy float64 row-order reductions vs
+    the oracle's per-position SUMs agree to ~1e-12, far inside the
+    round(4)."""
+    import pandas as pd
+
+    def _score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        m = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        c = m.mean(axis=0)
+        cos = (m @ c) / (np.linalg.norm(m, axis=1) * np.linalg.norm(c))
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "cos_centroid": np.round(cos, 4),
+                "is_outlier": cos < 0.2,
+            }
+        )
+
+    e = load(spark, sf, "embeddings")
+    return e.groupBy("label").applyInPandas(
+        _score, schema="vec_id long, label int, cos_centroid double, is_outlier boolean"
+    )
