@@ -98,3 +98,26 @@ def test_global_sort_is_range_partitioned(spark):
     plan = _plan(spark, "o1_global_sort")
     assert "rangepartitioning" in plan.lower()
     assert "Exchange SinglePartition" not in plan
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """EqualNullSafe must stay a hash join (it is a legal equi-join
+    key) — never the nested-loop a coalesce-free rewrite would force."""
+    plan = _plan(spark, "j9_null_safe_join")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_nulls_first_top_n_no_global_sort(spark):
+    plan = _plan(spark, "o7_nulls_ordering")
+    assert "TakeOrderedAndProject" in plan
+    assert "NULLS FIRST" in plan
+
+
+def test_sequence_pack_single_window_pass(spark):
+    """The packing bin must come from ONE running-sum window (one
+    shuffle by shard), not a per-bin self-join or a second exchange."""
+    plan = _plan(spark, "x28_sequence_pack")
+    assert plan.count("Window") >= 1
+    # exactly two exchanges: shard window + final groupBy
+    assert plan.count("Exchange") <= 2
