@@ -340,33 +340,46 @@ def x24_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _minhash_cols() -> list:
-    """8 MinHash signatures: per seed, MIN over shingles of
-    md5(seed|shingle) — string min of hex digests, portable."""
-    return [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("sh")))).alias(f"h{s}") for s in range(8)
-    ]
+#: one-base-hash MinHash (datasketch-style): H = 28-bit md5 prefix per
+#: shingle, then 8 affine permutations (A[s]*H + B[s]) mod M.  ONE md5
+#: per shingle instead of 8 — the Spark pipeline and the DuckDB oracle
+#: are both generated from these constants.
+_MH_A = [769, 1031, 1543, 2053, 3079, 6151, 12289, 24593]
+_MH_B = [
+    12582917, 25165843, 50331653, 100663319,
+    201326611, 402653189, 805306457, 1610612741,
+]
+_MH_M = 2147483647
+
+_SQL_MINHASH_BANDS = (
+    _SQL_SHINGLES
+    + """
+    , ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_tbl),
+    hv AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 7))::BIGINT AS h FROM ex),
+    mh AS (
+      SELECT doc_id,
+             """
+    + ",\n             ".join(
+        f"MIN(({a} * h + {b}) % {_MH_M}) AS h{s}"
+        for s, (a, b) in enumerate(zip(_MH_A, _MH_B))
+    )
+    + """
+      FROM hv GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, CAST(h0 AS VARCHAR) || '_' || CAST(h1 AS VARCHAR) AS bkey FROM mh UNION ALL
+      SELECT doc_id, 1 AS band, CAST(h2 AS VARCHAR) || '_' || CAST(h3 AS VARCHAR) AS bkey FROM mh UNION ALL
+      SELECT doc_id, 2 AS band, CAST(h4 AS VARCHAR) || '_' || CAST(h5 AS VARCHAR) AS bkey FROM mh UNION ALL
+      SELECT doc_id, 3 AS band, CAST(h6 AS VARCHAR) || '_' || CAST(h7 AS VARCHAR) AS bkey FROM mh
+    )
+"""
+)
 
 
 @query(
     "x3_minhash_lsh",
-    oracle=_SQL_SHINGLES
+    oracle=_SQL_MINHASH_BANDS
     + """
-    , ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_tbl),
-    mh AS (
-      SELECT doc_id,
-             MIN(md5('0|' || sh)) AS h0, MIN(md5('1|' || sh)) AS h1,
-             MIN(md5('2|' || sh)) AS h2, MIN(md5('3|' || sh)) AS h3,
-             MIN(md5('4|' || sh)) AS h4, MIN(md5('5|' || sh)) AS h5,
-             MIN(md5('6|' || sh)) AS h6, MIN(md5('7|' || sh)) AS h7
-      FROM ex GROUP BY doc_id
-    ),
-    bands AS (
-      SELECT doc_id, 0 AS band, h0 || h1 AS bkey FROM mh UNION ALL
-      SELECT doc_id, 1 AS band, h2 || h3 AS bkey FROM mh UNION ALL
-      SELECT doc_id, 2 AS band, h4 || h5 AS bkey FROM mh UNION ALL
-      SELECT doc_id, 3 AS band, h6 || h7 AS bkey FROM mh
-    )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -376,15 +389,46 @@ def x3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash + LSH banding (8 hashes, 4 bands × 2 rows): candidate
     pairs are docs colliding on any band key.  This is the 100 TB dedup
     path: cost is O(docs × shingles) + a join on band keys (bounded
-    buckets), never O(n²)."""
-    # duplicates are harmless under MIN, so skip the distinct shuffle
-    ex = _shingle_rows(spark, sf, distinct=False)
-    mh = ex.groupBy("doc_id").agg(*_minhash_cols())
+    buckets), never O(n²).
+
+    The signature is computed entirely PER ROW — shingle array via
+    transform(sequence), ONE md5 per shingle to a 28-bit base hash,
+    then the 8 signature mins as affine permutations of that base
+    (the standard one-base-hash MinHash, cf. datasketch) — so the
+    pre-band pipeline has ZERO shuffles (the explode + groupBy(doc_id)
+    spelling shuffles every shingle row twice; measured ~2× slower
+    steady-state here and unboundedly worse at scale).  CollapseProject
+    keeps the shared hash array materialized once per row, not once
+    per seed (non-cheap expression referenced 8×, so Catalyst won't
+    inline it).  Docs with <3 words have no shingles and drop out,
+    matching the oracle's empty unnest."""
+    d = load(spark, sf, "documents").withColumn("w", F.split("text", " "))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("w", i), F.element_at("w", i + 1), F.element_at("w", i + 2)
+        ),
+    )
+    base = F.transform(
+        shingles, lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long")
+    )
+    docs = d.filter(F.size("w") >= 3).select("doc_id", base.alias("hv"))
+
+    def _seed_min(s: int):
+        # NOT `lambda x, s=s`: pyspark reads lambda arity, and a 2-arg
+        # lambda becomes an (element, index) lambda — the default arg
+        # would silently bind the index Column, not the seed
+        a, b = _MH_A[s], _MH_B[s]
+        return F.array_min(
+            F.transform("hv", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_M))
+        ).alias(f"h{s}")
+
+    mh = docs.select("doc_id", *[_seed_min(s) for s in range(8)])
     bands = mh.select(
         "doc_id",
         F.expr(
-            "stack(4, 0, concat(h0, h1), 1, concat(h2, h3),"
-            " 2, concat(h4, h5), 3, concat(h6, h7)) AS (band, bkey)"
+            "stack(4, 0, concat(h0, '_', h1), 1, concat(h2, '_', h3),"
+            " 2, concat(h4, '_', h5), 3, concat(h6, '_', h7)) AS (band, bkey)"
         ),
     )
     # pair generation per bucket via collect_list, not a self-join: the
@@ -801,24 +845,9 @@ def x15_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _SQL_BAND_EDGES = (
-    _SQL_SHINGLES
+    _SQL_MINHASH_BANDS
     + """
-    , ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_tbl),
-    mh AS (
-      SELECT doc_id,
-             MIN(md5('0|' || sh)) AS h0, MIN(md5('1|' || sh)) AS h1,
-             MIN(md5('2|' || sh)) AS h2, MIN(md5('3|' || sh)) AS h3,
-             MIN(md5('4|' || sh)) AS h4, MIN(md5('5|' || sh)) AS h5,
-             MIN(md5('6|' || sh)) AS h6, MIN(md5('7|' || sh)) AS h7
-      FROM ex GROUP BY doc_id
-    ),
-    bands AS (
-      SELECT doc_id, 0 AS band, h0 || h1 AS bkey FROM mh UNION ALL
-      SELECT doc_id, 1 AS band, h2 || h3 AS bkey FROM mh UNION ALL
-      SELECT doc_id, 2 AS band, h4 || h5 AS bkey FROM mh UNION ALL
-      SELECT doc_id, 3 AS band, h6 || h7 AS bkey FROM mh
-    ),
-    pairs AS (
+    , pairs AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
