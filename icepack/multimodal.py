@@ -194,3 +194,59 @@ def resize_grid(df: DataFrame) -> DataFrame:
             yield _pd.DataFrame(rows, columns=["doc_id", "out_w", "out_h", "pooled"])
 
     return df.select("doc_id", "payload").mapInPandas(_resize, schema=schema)
+
+
+def checksum_payloads(df: DataFrame) -> DataFrame:
+    """``mapInArrow`` integrity pass: per-blob CRC32 + byte length,
+    computed directly on the Arrow buffers (SURVEY §2.12's arrow-native
+    table-function surface).  Unlike the pandas stages above, the
+    payload bytes are never copied into Python objects: offsets are
+    read from the Arrow offsets buffer and ``zlib.crc32`` consumes a
+    ``memoryview`` slice of the shared data buffer — the right shape
+    for a 100 TB "verify every blob" sweep where per-value ``bytes``
+    materialization would double memory traffic.  Verified against
+    Spark's JVM-side ``crc32`` in tests/test_multimodal.py."""
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("crc32", T.LongType()),
+        ]
+    )
+
+    def _crc(batches):
+        import numpy as _np
+        import pyarrow as _pa
+        import zlib as _zlib
+
+        for rb in batches:
+            doc = rb.column(0)
+            arr = rb.column(1)
+            n = len(arr)
+            odtype = _np.int64 if _pa.types.is_large_binary(arr.type) else _np.int32
+            offs = _np.frombuffer(arr.buffers()[1], dtype=odtype)[
+                arr.offset : arr.offset + n + 1
+            ]
+            data = memoryview(arr.buffers()[2])
+            valid = (
+                _np.ones(n, dtype=bool)
+                if arr.null_count == 0
+                else arr.is_valid().to_numpy(zero_copy_only=False)
+            )
+            lens, crcs = [], []
+            for i in range(n):
+                if valid[i]:
+                    s, e = int(offs[i]), int(offs[i + 1])
+                    lens.append(e - s)
+                    crcs.append(_zlib.crc32(data[s:e]))
+                else:
+                    lens.append(0)
+                    crcs.append(_zlib.crc32(b""))
+            yield _pa.RecordBatch.from_arrays(
+                [doc, _pa.array(lens, _pa.int64()), _pa.array(crcs, _pa.int64())],
+                names=["doc_id", "n_bytes", "crc32"],
+            )
+
+    return df.select("doc_id", "payload").mapInArrow(_crc, schema=out_schema)

@@ -1442,3 +1442,66 @@ def x30_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
     return e.groupBy("label").applyInPandas(
         _score, schema="vec_id long, label int, cos_centroid double, is_outlier boolean"
     )
+
+
+@query(
+    "x31_jaccard_stopshingles",
+    oracle=_SQL_SHINGLES
+    + """
+    , ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_tbl),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_tbl),
+    kept AS (
+      SELECT doc_id, sh FROM ex
+      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 16
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b,
+           ROUND(CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common), 4)
+             AS jaccard_lb
+    FROM pairs p
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE CAST(p.common AS DOUBLE) / (sa.n_sh + sb.n_sh - p.common) >= 0.8
+    """,
+)
+def x31_jaccard_stopshingles(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB spelling of exact n-gram Jaccard (x2's documented
+    pre-step made concrete): posting lists longer than 16 docs are
+    stop-shingles — boilerplate n-grams whose pair expansion is
+    quadratic in list length while contributing almost nothing to a
+    high-Jaccard decision — and are dropped BEFORE pair generation.
+    `common` is then a lower bound, so the reported score is a
+    conservative `jaccard_lb` (the denominator keeps the full shingle
+    counts): no false positives versus x2 at the 0.8 threshold, and
+    the worst-case bucket cost is capped at 16·15/2 pairs per shingle
+    regardless of corpus size — the difference between a bounded and
+    an unbounded shuffle at 100 TB.  Same inverted-index shape as x2
+    (one pipeline, hashed 8-byte shuffle keys, in-place pair
+    expansion); the cap is just a filter on posting-list size."""
+    ex = _shingle_rows(spark, sf, distinct=True).withColumn("sh", F.xxhash64("sh"))
+    buckets = (
+        ex.groupBy("sh")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= 16))
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ds) - 1),"
+                " i -> transform(slice(ds, i + 1, size(ds) - i),"
+                " y -> struct(ds[i-1].doc_id AS id_a, ds[i-1].n_sh AS n_a,"
+                "             y.doc_id AS id_b, y.n_sh AS n_b))))"
+            )
+        ).alias("p")
+    )
+    counts = pairs.groupBy("p.id_a", "p.id_b", "p.n_a", "p.n_b").agg(
+        F.count("*").alias("common")
+    )
+    jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return counts.filter(jac >= 0.8).select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard_lb")
+    )

@@ -74,3 +74,21 @@ def test_resize_grid_matches_decoder(spark):
         grid = decode_image(bytes(r["payload"]), fake=True)
         flat = [v for row in grid for v in row]
         assert got[r["doc_id"]] == round(sum(flat) / len(flat), 4)
+
+
+def test_checksum_payloads_matches_jvm_crc32(spark):
+    """The mapInArrow zero-copy CRC must agree byte-for-byte with
+    Spark's built-in crc32 (JVM, codegen) on the same payloads."""
+    from pyspark.sql import functions as F
+
+    from icepack.io import load
+    from icepack.multimodal import attach_binary_payload, checksum_payloads
+
+    d = attach_binary_payload(load(spark, SF_DIR, "documents"))
+    ours = checksum_payloads(d)
+    jvm = d.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.crc32("payload").alias("crc32"),
+    )
+    assert ours.exceptAll(jvm).count() == 0 and jvm.exceptAll(ours).count() == 0
