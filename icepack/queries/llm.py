@@ -1505,3 +1505,60 @@ def x31_jaccard_stopshingles(spark: SparkSession, sf: str) -> DataFrame:
     return counts.filter(jac >= 0.8).select(
         "id_a", "id_b", F.round(jac, 4).alias("jaccard_lb")
     )
+
+
+@query(
+    "x32_bigram_entropy",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT lang, w[i] AS w1, w[i+1] AS w2, COUNT(*) AS n
+      FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+      GROUP BY 1, 2, 3
+    ),
+    uni AS (SELECT lang, w1, SUM(n) AS n1 FROM bg GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(n) AS nt FROM bg GROUP BY 1)
+    SELECT bg.lang,
+           ROUND(-SUM((bg.n / tot.nt) * log2(CAST(bg.n AS DOUBLE) / uni.n1)), 4)
+             AS cond_entropy,
+           CAST(SUM(bg.n) AS BIGINT) AS n_bigrams
+    FROM bg
+    JOIN uni ON bg.lang = uni.lang AND bg.w1 = uni.w1
+    JOIN tot ON bg.lang = tot.lang
+    GROUP BY bg.lang
+    """,
+)
+def x32_bigram_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram conditional entropy H(w2|w1) per language — the language-
+    model-shaped quality signal (a KenLM-style filter's cheapest
+    stand-in): templated/repetitive corpora show collapsing conditional
+    entropy, shuffled-word noise shows H(w2|w1) ≈ H(w2).  Bigram rows
+    come from the posexplode + lead window (same rationale as the
+    shingle pipeline: a generator over a derived array re-evaluates it
+    per output row), then two hash aggregates and a broadcast-sized
+    join of the per-(lang,w1) totals.  Everything shuffles on
+    (lang, word) keys — vocabulary-sized, not corpus-sized, exactly
+    what survives 100 TB."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    we = d.select("doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "w"))
+    win = W.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        we.withColumn("w2", F.lead("w", 1).over(win))
+        .filter(F.col("w2").isNotNull())
+        .select("lang", F.col("w").alias("w1"), "w2")
+    )
+    bg = pairs.groupBy("lang", "w1", "w2").agg(F.count("*").alias("n"))
+    uni = bg.groupBy("lang", "w1").agg(F.sum("n").alias("n1"))
+    tot = bg.groupBy("lang").agg(F.sum("n").alias("nt"))
+    j = bg.join(F.broadcast(uni), ["lang", "w1"]).join(F.broadcast(tot), "lang")
+    h = -F.sum((F.col("n") / F.col("nt")) * F.log2(F.col("n").cast("double") / F.col("n1")))
+    return j.groupBy("lang").agg(
+        F.round(h, 4).alias("cond_entropy"),
+        F.sum("n").cast("bigint").alias("n_bigrams"),
+    )

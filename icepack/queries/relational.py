@@ -2206,3 +2206,69 @@ def o7_nulls_ordering(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("price").desc_nulls_first(), F.asc("o_orderkey"))
         .limit(500)
     )
+
+
+@query(
+    "a12_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.v_ts
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts >= c.c_ts
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT CAST(v.v_ts AS DATE) AS cohort_day,
+           COUNT(*) AS n_view_users,
+           COUNT(c.user_id) AS n_click_users,
+           COUNT(p.user_id) AS n_purchase_users,
+           ROUND(COUNT(p.user_id) / CAST(COUNT(*) AS DOUBLE), 4) AS conversion
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    GROUP BY 1
+    """,
+)
+def a12_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): each later stage must
+    happen at-or-after the user's earlier stage, cohorted by first-view
+    day.  ONE shuffle: events group to their user, the per-user event
+    list is scanned with higher-order array functions (filter /
+    array_min) to walk the stage sequence in-place — versus the
+    oracle's spelling of three self-joins, each a full shuffle of the
+    fact table.  Per-task state is one user's events (the same bound
+    any sessionizer assumes); a pathological single user is AQE
+    skew-split territory, not a plan change."""
+    ev = load(spark, sf, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("es")
+    )
+
+    def stage_min(evtype, not_before):
+        hits = F.filter(
+            "es",
+            lambda e: (e["event_type"] == evtype)
+            & (e["ts"] >= not_before if not_before is not None else F.lit(True)),
+        )
+        return F.array_min(F.transform(hits, lambda e: e["ts"]))
+
+    staged = (
+        per_user.withColumn("v_ts", stage_min("view", None))
+        .withColumn("c_ts", stage_min("click", F.col("v_ts")))
+        .withColumn("p_ts", stage_min("purchase", F.col("c_ts")))
+        .filter(F.col("v_ts").isNotNull())
+    )
+    return staged.groupBy(F.to_date("v_ts").alias("cohort_day")).agg(
+        F.count("*").alias("n_view_users"),
+        F.count("c_ts").alias("n_click_users"),
+        F.count("p_ts").alias("n_purchase_users"),
+        F.round(F.count("p_ts") / F.count("*"), 4).alias("conversion"),
+    )
