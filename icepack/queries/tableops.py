@@ -684,3 +684,58 @@ def ice25_sql_surface(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS revenue "
         "FROM ord GROUP BY o_orderstatus"
     )
+
+
+@query(
+    "ice26_incremental_dedup",
+    oracle="""
+    WITH existing AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+    keyed AS (
+      SELECT doc_id, lang, substr(text, 1, 12) AS k
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    dedup_in AS (
+      SELECT doc_id, lang, k FROM (
+        SELECT keyed.*, ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+        FROM keyed
+      ) WHERE rn = 1
+    ),
+    new_clean AS (
+      SELECT d.doc_id, d.lang FROM dedup_in d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM existing e WHERE substr(e.text, 1, 12) = d.k
+      )
+    ),
+    final AS (
+      SELECT lang FROM existing UNION ALL SELECT lang FROM new_clean
+    )
+    SELECT lang, COUNT(*) AS n_docs FROM final GROUP BY lang
+    """,
+)
+def ice26_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """The incremental-corpus pattern every training pipeline runs
+    nightly, on the table layer end to end: an icepack documents table
+    holds the accepted corpus; a new batch is deduped WITHIN itself
+    (keep-first per key) and AGAINST the live table (anti join on the
+    dup key), and only the survivors are appended — one atomic
+    snapshot.  The corpus side projects just its key column out of the
+    table scan (column pruning reaches the parquet), and at 100 TB the
+    anti join shuffles (key, doc_id) pairs, never document text.
+    Returned state is the final table's per-lang counts, so the oracle
+    checks the whole lifecycle, not just the join."""
+    docs = load(spark, sf, "documents")
+    t = IceTable.create(spark, _scratch(), docs.schema)
+    t.append(docs.filter(F.col("doc_id") % 2 == 0))
+
+    from pyspark.sql import Window
+
+    key = F.substring("text", 1, 12)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).withColumn("k", key)
+    w = Window.partitionBy("k").orderBy("doc_id")
+    dedup_in = (
+        incoming.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    corpus_keys = t.toDF().select(key.alias("k"))
+    survivors = dedup_in.join(corpus_keys, "k", "left_anti").drop("k")
+    t.append(survivors)
+    return t.toDF().groupBy("lang").agg(F.count("*").alias("n_docs"))
