@@ -121,3 +121,13 @@ def test_sequence_pack_single_window_pass(spark):
     assert plan.count("Window") >= 1
     # exactly two exchanges: shard window + final groupBy
     assert plan.count("Exchange") <= 2
+
+
+def test_funnel_single_data_shuffle(spark):
+    """The ordered funnel walks stages inside the per-user array: no
+    self-joins (the naive spelling shuffles the fact table 3×) — just
+    the user groupBy plus the tiny cohort aggregate."""
+    plan = _plan(spark, "a12_funnel")
+    assert "Join" not in plan
+    # "Exchange (N)" matches tree nodes once (details print "(N) Exchange")
+    assert plan.count("Exchange (") <= 2
