@@ -12,6 +12,7 @@ network service; out of scope offline, the seam is this class.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
@@ -125,3 +126,74 @@ class Catalog:
         half of catalog resolution)."""
         df = self.load_table(name).toDF()
         df.createOrReplaceTempView(view_name or name.replace(".", "_"))
+
+    # -- named catalog objects (docs/01:174-180, docs/04:58-93) -------------
+    #
+    # EXTERNAL VOLUME and CATALOG INTEGRATION are Snowflake's named
+    # binding objects between tables and storage / external catalogs.
+    # Offline they are persisted property bags the DDL can create, list
+    # and describe, and that CREATE ICEBERG TABLE resolves by name —
+    # the exact API seam where a networked implementation (S3 volume,
+    # Glue/REST catalog client) would plug in.
+
+    def _objects_dir(self, kind: str) -> str:
+        return os.path.join(self.warehouse, "_objects", kind)
+
+    def _put_object(self, kind: str, name: str, props: dict, replace: bool) -> dict:
+        d = self._objects_dir(kind)
+        os.makedirs(d, exist_ok=True)
+        p = os.path.join(d, f"{name}.json")
+        if os.path.exists(p) and not replace:
+            raise ValueError(f"{kind} {name!r} exists")
+        with open(p, "w") as f:
+            json.dump(props, f, indent=2, sort_keys=True)
+        return props
+
+    def _get_object(self, kind: str, name: str) -> dict:
+        p = os.path.join(self._objects_dir(kind), f"{name}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"unknown {kind} {name!r}")
+        with open(p) as f:
+            return json.load(f)
+
+    def _list_objects(self, kind: str) -> list[str]:
+        d = self._objects_dir(kind)
+        if not os.path.isdir(d):
+            return []
+        return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
+    def create_external_volume(
+        self, name: str, storage_locations: list[dict], replace: bool = False
+    ) -> dict:
+        """CREATE EXTERNAL VOLUME (docs/01:174-180): ``storage_locations``
+        is a list of dicts (NAME / STORAGE_PROVIDER / STORAGE_BASE_URL /
+        role ARNs...)."""
+        return self._put_object(
+            "external_volumes",
+            name,
+            {"name": name, "storage_locations": storage_locations},
+            replace,
+        )
+
+    def get_external_volume(self, name: str) -> dict:
+        return self._get_object("external_volumes", name)
+
+    def list_external_volumes(self) -> list[str]:
+        return self._list_objects("external_volumes")
+
+    def create_catalog_integration(
+        self, name: str, properties: dict, replace: bool = False
+    ) -> dict:
+        """CREATE CATALOG INTEGRATION (docs/04:58-93): Glue/REST
+        connection property bag (CATALOG_SOURCE, CATALOG_URI, ...).
+        Stored and resolvable; the networked client behind it is out of
+        scope offline (SURVEY §2.1 S5)."""
+        return self._put_object(
+            "catalog_integrations", name, {"name": name, **properties}, replace
+        )
+
+    def get_catalog_integration(self, name: str) -> dict:
+        return self._get_object("catalog_integrations", name)
+
+    def list_catalog_integrations(self) -> list[str]:
+        return self._list_objects("catalog_integrations")

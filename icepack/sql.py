@@ -355,6 +355,31 @@ class IceSQL:
         u = s.upper()
         if u.startswith("CREATE") and re.match(r"(?i)CREATE(\s+OR\s+REPLACE)?\s+ICEBERG\s+TABLE", s):
             return self._create(s)
+        if re.match(r"(?i)CREATE(\s+OR\s+REPLACE)?\s+EXTERNAL\s+VOLUME", s):
+            return self._create_external_volume(s)
+        if re.match(r"(?i)CREATE(\s+OR\s+REPLACE)?\s+CATALOG\s+INTEGRATION", s):
+            return self._create_catalog_integration(s)
+        if re.match(r"(?i)SHOW\s+EXTERNAL\s+VOLUMES", s):
+            return self.spark.createDataFrame(
+                [(v,) for v in self.catalog.list_external_volumes()], "name string"
+            )
+        if re.match(r"(?i)SHOW\s+CATALOG\s+INTEGRATIONS", s):
+            return self.spark.createDataFrame(
+                [(v,) for v in self.catalog.list_catalog_integrations()], "name string"
+            )
+        if re.match(r"(?i)DESCRIBE\s+EXTERNAL\s+VOLUME", s):
+            v = self.catalog.get_external_volume(s.split()[-1])
+            rows = [
+                (f"storage_location[{i}].{k}", str(val))
+                for i, loc in enumerate(v["storage_locations"])
+                for k, val in loc.items()
+            ]
+            return self.spark.createDataFrame(rows, "property string, value string")
+        if re.match(r"(?i)DESCRIBE\s+CATALOG\s+INTEGRATION", s):
+            v = self.catalog.get_catalog_integration(s.split()[-1])
+            return self.spark.createDataFrame(
+                [(k, str(val)) for k, val in v.items()], "property string, value string"
+            )
         if u.startswith("INSERT"):
             return self._insert(s)
         if u.startswith("DELETE"):
@@ -384,6 +409,47 @@ class IceSQL:
             )
         # everything else (SELECT, WITH, ...) → resolve + delegate
         return self._select(s)
+
+    # -- CREATE EXTERNAL VOLUME / CATALOG INTEGRATION -----------------------
+
+    @staticmethod
+    def _parse_kv(body: str) -> dict:
+        """KEY = 'value' | KEY = BARE  pairs (Snowflake object DDL)."""
+        # findall yields '' (not None) for the non-participating branch
+        return {
+            k.upper(): (q or bare)
+            for k, q, bare in re.findall(
+                r"(?i)\b(\w+)\s*=\s*(?:'([^']*)'|([\w.\-:/]+))", body
+            )
+            if k.upper() != "STORAGE_LOCATIONS"
+        }
+
+    def _create_external_volume(self, s: str):
+        """docs/01:174-180 verbatim: STORAGE_LOCATIONS = ((...), ...)."""
+        m = re.match(
+            r"(?i)CREATE(\s+OR\s+REPLACE)?\s+EXTERNAL\s+VOLUME\s+([\w.]+)\s*(.*)",
+            s,
+            re.DOTALL,
+        )
+        replace, name, rest = bool(m.group(1)), m.group(2), m.group(3)
+        lm = re.search(r"(?i)STORAGE_LOCATIONS\s*=\s*\(", rest)
+        locations = []
+        if lm:
+            body, _ = _balanced(rest, lm.end() - 1)
+            locations = [self._parse_kv(g) for g in re.findall(r"\(([^()]*)\)", body)]
+        return self.catalog.create_external_volume(name, locations, replace=replace)
+
+    def _create_catalog_integration(self, s: str):
+        """docs/04:58-93 verbatim: Glue / Iceberg-REST property bags."""
+        m = re.match(
+            r"(?i)CREATE(\s+OR\s+REPLACE)?\s+CATALOG\s+INTEGRATION\s+([\w.]+)\s*(.*)",
+            s,
+            re.DOTALL,
+        )
+        replace, name, rest = bool(m.group(1)), m.group(2), m.group(3)
+        return self.catalog.create_catalog_integration(
+            name, self._parse_kv(rest), replace=replace
+        )
 
     # -- CREATE -------------------------------------------------------------
 

@@ -367,3 +367,55 @@ def test_docs_create_statements_verbatim(isql):
     """)
     assert dict((f.name, f.type) for f in t3.meta.schema.fields)["amount"] == "decimal(10,2)"
     assert [pf.transform for pf in t3.meta.spec.fields] == ["identity", "identity"]
+
+
+def test_docs_external_volume_and_catalog_integration_verbatim(isql):
+    """The reference's named-object DDL, character for character
+    (docs/01:174-180 external volume; docs/04:58-93 Glue and REST
+    catalog integrations) — created, listed, and describable."""
+    isql.sql("""
+        CREATE OR REPLACE EXTERNAL VOLUME otel_traces_vol
+        STORAGE_LOCATIONS = ((
+            NAME            = 's3_otel_data'
+            STORAGE_PROVIDER = 'S3'
+            STORAGE_BASE_URL = 's3://my-data-lake/otel/'
+            STORAGE_AWS_ROLE_ARN = 'arn:aws:iam::123456789012:role/snowflake-iceberg-role'
+        ))
+    """)
+    vol = isql.catalog.get_external_volume("otel_traces_vol")
+    assert vol["storage_locations"][0]["STORAGE_BASE_URL"] == "s3://my-data-lake/otel/"
+
+    isql.sql("""
+        CREATE CATALOG INTEGRATION glue_catalog
+          CATALOG_SOURCE = GLUE
+          CATALOG_NAMESPACE = 'my_glue_database'
+          TABLE_FORMAT = ICEBERG
+          GLUE_AWS_ROLE_ARN = 'arn:aws:iam::123456789:role/glue-role'
+          GLUE_CATALOG_ID = '123456789'
+          ENABLED = TRUE
+    """)
+    isql.sql("""
+        CREATE CATALOG INTEGRATION rest_catalog
+          CATALOG_SOURCE = ICEBERG_REST
+          TABLE_FORMAT = ICEBERG
+          CATALOG_URI = 'https://my-catalog.example.com/api'
+          WAREHOUSE = 'my_warehouse'
+          ENABLED = TRUE
+    """)
+    glue = isql.catalog.get_catalog_integration("glue_catalog")
+    assert glue["CATALOG_SOURCE"] == "GLUE" and glue["ENABLED"] == "TRUE"
+    names = {r["name"] for r in isql.sql("SHOW CATALOG INTEGRATIONS").collect()}
+    assert names == {"glue_catalog", "rest_catalog"}
+    assert [r["name"] for r in isql.sql("SHOW EXTERNAL VOLUMES").collect()] == [
+        "otel_traces_vol"
+    ]
+    props = {
+        r["property"]: r["value"]
+        for r in isql.sql("DESCRIBE EXTERNAL VOLUME otel_traces_vol").collect()
+    }
+    assert props["storage_location[0].STORAGE_PROVIDER"] == "S3"
+    d = {
+        r["property"]: r["value"]
+        for r in isql.sql("DESCRIBE CATALOG INTEGRATION rest_catalog").collect()
+    }
+    assert d["CATALOG_URI"] == "https://my-catalog.example.com/api"
