@@ -481,6 +481,24 @@ class IceSQL:
             t.append(df)
             return t
         if not rest.startswith("("):
+            # docs/04:69-72,86-93: columnless CREATE linking an externally-
+            # cataloged table via CATALOG_TABLE_NAME.  Validate the named
+            # objects, then stop at the documented offline seam.
+            lm = re.findall(
+                r"(?i)\b(CATALOG|EXTERNAL_VOLUME|CATALOG_TABLE_NAME)\s*=\s*'([^']*)'",
+                rest,
+            )
+            link = {k.upper(): v for k, v in lm}
+            if "CATALOG_TABLE_NAME" in link:
+                if "CATALOG" in link:
+                    self.catalog.get_catalog_integration(link["CATALOG"])  # must exist
+                if "EXTERNAL_VOLUME" in link:
+                    self.catalog.get_external_volume(link["EXTERNAL_VOLUME"])
+                raise NotImplementedError(
+                    "externally-cataloged tables need a Glue/REST network client "
+                    "(offline seam: Catalog.get_catalog_integration); "
+                    f"validated integration {link.get('CATALOG')!r}"
+                )
             raise ValueError(f"expected column list in {s[:60]!r}")
         body, end = _balanced(rest, 0)
         # trailing clauses (CATALOG=, EXTERNAL_VOLUME=, BASE_LOCATION=,

@@ -419,3 +419,30 @@ def test_docs_external_volume_and_catalog_integration_verbatim(isql):
         for r in isql.sql("DESCRIBE CATALOG INTEGRATION rest_catalog").collect()
     }
     assert d["CATALOG_URI"] == "https://my-catalog.example.com/api"
+
+
+def test_docs_catalog_linked_table_stops_at_seam(isql):
+    """docs/04's columnless CREATE (link to an externally-cataloged
+    table) parses, validates its named objects, and stops with the
+    documented offline-seam error — an unknown integration fails the
+    validation step instead."""
+    import pytest
+
+    isql.sql("""
+        CREATE CATALOG INTEGRATION glue_cat2
+          CATALOG_SOURCE = GLUE
+          TABLE_FORMAT = ICEBERG
+          ENABLED = TRUE
+    """)
+    with pytest.raises(NotImplementedError, match="offline seam"):
+        isql.sql("""
+            CREATE ICEBERG TABLE my_table
+              CATALOG = 'glue_cat2'
+              CATALOG_TABLE_NAME = 'source_table'
+        """)
+    with pytest.raises(ValueError, match="unknown catalog_integrations"):
+        isql.sql("""
+            CREATE ICEBERG TABLE my_table
+              CATALOG = 'nope'
+              CATALOG_TABLE_NAME = 'source_table'
+        """)
