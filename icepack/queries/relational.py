@@ -2272,3 +2272,65 @@ def a12_funnel(spark: SparkSession, sf: str) -> DataFrame:
         F.count("p_ts").alias("n_purchase_users"),
         F.round(F.count("p_ts") / F.count("*"), 4).alias("conversion"),
     )
+
+
+@query(
+    "a13_skyline",
+    oracle="""
+    SELECT p.p_partkey, ROUND(p.p_retailprice, 2) AS price, p.p_size AS psize
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def a13_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """Skyline / Pareto frontier (cheapest price at every size level —
+    cf. 'Integration of Skyline Queries into Spark SQL', EDBT 2023):
+    parts not dominated by any other part on (min price, max size).
+
+    Two-phase distributed algorithm: phase 1 prunes each partition to a
+    LOCAL skyline superset with a sort + linear running-max scan inside
+    ``mapInPandas`` (skyline is distributive, so no skyline point is
+    ever dropped locally); phase 2 resolves exactly with the dominance
+    anti-join over the tiny survivor set.  The naive spelling — the
+    oracle's NOT EXISTS — is an O(n²) self-join of the FULL table;
+    here the quadratic step only ever sees survivors (≈ frontier-sized
+    per partition), which is what makes the operator feasible at
+    100 TB."""
+    import pandas as pd
+
+    pts = load(spark, sf, "part").select("p_partkey", "p_retailprice", "p_size")
+
+    def local_prune(batches):
+        for pdf in batches:
+            pdf = pdf.sort_values(
+                ["p_retailprice", "p_size"], ascending=[True, False], kind="mergesort"
+            )
+            best = None
+            keep = []
+            for size in pdf["p_size"]:
+                k = best is None or size >= best
+                keep.append(k)
+                if best is None or size > best:
+                    best = size
+            yield pdf[pd.Series(keep, index=pdf.index)]
+
+    cand = pts.mapInPandas(local_prune, schema=pts.schema)
+    c, q = cand.alias("c"), cand.alias("q")
+    dominated = (
+        (F.col("q.p_retailprice") <= F.col("c.p_retailprice"))
+        & (F.col("q.p_size") >= F.col("c.p_size"))
+        & (
+            (F.col("q.p_retailprice") < F.col("c.p_retailprice"))
+            | (F.col("q.p_size") > F.col("c.p_size"))
+        )
+    )
+    sky = c.join(q, dominated, "left_anti")
+    return sky.select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").alias("psize"),
+    )
