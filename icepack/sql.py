@@ -308,6 +308,10 @@ class IceSQL:
         self.spark = spark
         self.catalog = Catalog(spark, warehouse)
         self._viewn = 0
+        #: CREATE VIEW definitions, name → SQL text.  Re-resolved on
+        #: every read so views track their base tables' current
+        #: snapshots (session-scoped, like temp views).
+        self._views: dict[str, str] = {}
 
     # -- helpers ------------------------------------------------------------
 
@@ -397,9 +401,28 @@ class IceSQL:
                 [(k, str(v)) for k, v in d.items()], "property string, value string"
             )
         if re.match(r"(?i)SHOW\s+ICEBERG\s+TABLES", s):
-            return self.spark.createDataFrame(
-                [(t,) for t in self.catalog.list_tables()], "name string"
-            )
+            lm = re.search(r"(?i)\bLIKE\s+'([^']*)'", s)
+            names = self.catalog.list_tables()
+            if lm:
+                pat = re.compile(
+                    "^" + lm.group(1).replace("%", ".*").replace("_", ".") + "$",
+                    re.IGNORECASE,
+                )
+                names = [n for n in names if pat.match(n) or pat.match(n.split(".")[-1])]
+            return self.spark.createDataFrame([(t,) for t in names], "name string")
+        if re.match(r"(?i)SHOW\s+PARAMETERS", s):
+            return self._show_parameters(s)
+        if re.match(r"(?i)CREATE(\s+OR\s+REPLACE)?\s+VIEW", s):
+            return self._create_view(s)
+        if re.match(r"(?i)CREATE(\s+OR\s+REPLACE)?\s+TASK", s):
+            return self._create_task(s)
+        if re.match(r"(?i)ALTER\s+TASK", s):
+            m = re.match(r"(?i)ALTER\s+TASK\s+([\w.]+)\s+(RESUME|SUSPEND)", s)
+            t = self.catalog._get_object("tasks", m.group(1))
+            t["state"] = "started" if m.group(2).upper() == "RESUME" else "suspended"
+            return self.catalog._put_object("tasks", m.group(1), t, replace=True)
+        if re.match(r"(?i)EXECUTE\s+TASK", s):
+            return self._execute_task(s.split()[-1])
         if re.match(r"(?i)UNDROP\s+ICEBERG\s+TABLE", s):
             return self.catalog.undrop_table(s.split()[-1])
         if re.match(r"(?i)DROP\s+ICEBERG\s+TABLE", s):
@@ -836,9 +859,78 @@ class IceSQL:
                 [(k, str(v)) for k, v in d.items()], "property string, value string"
             )
 
-        # 3. plain icepack table names → temp views; delegate
+        # 3. CREATE VIEW references → re-materialize (views track their
+        # base tables' CURRENT snapshots) and flatten dotted names
+        for vname, vsql in list(self._views.items()):
+            flat = vname.replace(".", "_")
+            pat = rf"(?i)\b({re.escape(vname)}|{re.escape(flat)})\b"
+            if re.search(pat, s):
+                self._select(vsql).createOrReplaceTempView(flat)
+                s = re.sub(pat, flat, s)
+
+        # 4. plain icepack table names → temp views; delegate
         s = self._register_tables(s)
         return self.spark.sql(s)
+
+    # -- views / tasks / parameters (docs/12:169-186, docs/10:174-183,
+    #    docs/05:94) ---------------------------------------------------------
+
+    def _create_view(self, s: str):
+        m = re.match(
+            r"(?i)CREATE(\s+OR\s+REPLACE)?\s+VIEW\s+([\w.]+)\s+AS\s+(.*)", s, re.DOTALL
+        )
+        name, body = m.group(2), m.group(3).strip()
+        self._select(body)  # validate eagerly (names resolve, SQL parses)
+        self._views[name] = body
+        return None
+
+    def _create_task(self, s: str):
+        """CREATE TASK ... SCHEDULE = '...' AS <body>: stored, not
+        scheduled — the engine has no daemon (SURVEY §2.10 M7); EXECUTE
+        TASK runs the body on demand, which is what an external
+        scheduler would invoke on the CRON tick."""
+        m = re.match(
+            r"(?i)CREATE(\s+OR\s+REPLACE)?\s+TASK\s+([\w.]+)\s+(.*?)\bAS\b(.*)",
+            s,
+            re.DOTALL,
+        )
+        replace, name, head, body = m.groups()
+        props = self._parse_kv(re.sub(r"(?i)SCHEDULE\s*=\s*'[^']*'", "", head))
+        sm = re.search(r"(?i)SCHEDULE\s*=\s*'([^']*)'", head)
+        task = {
+            "name": name,
+            "schedule": sm.group(1) if sm else None,
+            "body": body.strip(),
+            "state": "suspended",  # Snowflake tasks start suspended
+            **{k.lower(): v for k, v in props.items()},
+        }
+        return self.catalog._put_object("tasks", name, task, replace=bool(replace))
+
+    def _execute_task(self, name: str):
+        task = self.catalog._get_object("tasks", name)
+        body = task["body"].strip().rstrip(";")
+        bm = re.match(r"(?i)^BEGIN\b(.*)\bEND$", body, re.DOTALL)
+        stmts = (bm.group(1) if bm else body).split(";")
+        results = [self.sql(st) for st in stmts if st.strip()]
+        return results[-1] if results else None
+
+    def _show_parameters(self, s: str):
+        """SHOW PARAMETERS [LIKE 'pat'] IN TABLE t (docs/05:94)."""
+        m = re.match(
+            r"(?i)SHOW\s+PARAMETERS(?:\s+LIKE\s+'([^']*)')?\s+IN\s+TABLE\s+([\w.]+)", s
+        )
+        like, name = m.group(1), m.group(2)
+        t = self._table(self._resolve_name(name))
+        params = {"DATA_RETENTION_TIME_IN_DAYS": "1"}  # Snowflake default
+        params.update({k.upper(): str(v) for k, v in t.meta.properties.items()})
+        if like:
+            pat = re.compile(
+                "^" + like.replace("%", ".*").replace("_", ".") + "$", re.IGNORECASE
+            )
+            params = {k: v for k, v in params.items() if pat.match(k)}
+        return self.spark.createDataFrame(
+            sorted(params.items()), "key string, value string"
+        )
 
 
 def _balanced(s: str, start: int) -> tuple[str, int]:

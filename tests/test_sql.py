@@ -446,3 +446,52 @@ def test_docs_catalog_linked_table_stops_at_seam(isql):
               CATALOG = 'nope'
               CATALOG_TABLE_NAME = 'source_table'
         """)
+
+
+def test_docs_hybrid_view_and_maintenance_task_verbatim(isql):
+    """docs/12:169-172 (hybrid UNION ALL view — tracks base-table
+    changes on every read), docs/10:174-183 (CREATE TASK + ALTER TASK
+    RESUME; EXECUTE runs the body on demand — the engine stores tasks,
+    an external scheduler owns the CRON tick), docs/05:94
+    (SHOW PARAMETERS LIKE ... IN TABLE)."""
+    isql.sql("CREATE ICEBERG TABLE native.recent_events (id INT, v DOUBLE)")
+    isql.sql("CREATE ICEBERG TABLE iceberg.historical_events (id INT, v DOUBLE)")
+    isql.sql("INSERT INTO native.recent_events VALUES (1, 1.0), (2, 2.0)")
+    isql.sql("INSERT INTO iceberg.historical_events VALUES (10, 10.0)")
+
+    isql.sql("""
+        CREATE VIEW analytics.all_events AS
+        SELECT * FROM native.recent_events
+        UNION ALL
+        SELECT * FROM iceberg.historical_events
+    """)
+    assert isql.sql("SELECT COUNT(*) AS n FROM analytics.all_events").collect()[0].n == 3
+    # views are not frozen snapshots: new rows appear on the next read
+    isql.sql("INSERT INTO iceberg.historical_events VALUES (11, 11.0)")
+    assert isql.sql("SELECT COUNT(*) AS n FROM analytics.all_events").collect()[0].n == 4
+
+    isql.sql("CREATE ICEBERG TABLE my_table (id INT, v DOUBLE)")
+    isql.sql("INSERT INTO my_table VALUES (1, 1.0), (2, 2.0)")
+    isql.sql("""
+        CREATE TASK iceberg_maintenance_task
+          WAREHOUSE = maintenance_wh
+          SCHEDULE = 'USING CRON 0 2 * * 0 America/Los_Angeles'
+        AS
+          ALTER ICEBERG TABLE my_table COMPACT DATA
+    """)
+    task = isql.catalog._get_object("tasks", "iceberg_maintenance_task")
+    assert task["state"] == "suspended" and "CRON 0 2" in task["schedule"]
+    isql.sql("ALTER TASK iceberg_maintenance_task RESUME")
+    assert (
+        isql.catalog._get_object("tasks", "iceberg_maintenance_task")["state"]
+        == "started"
+    )
+    before = len(isql.sql("SELECT * FROM my_table$SNAPSHOTS").collect())
+    isql.sql("EXECUTE TASK iceberg_maintenance_task")
+    after = len(isql.sql("SELECT * FROM my_table$SNAPSHOTS").collect())
+    assert after == before + 1  # the compaction committed a snapshot
+
+    rows = isql.sql(
+        "SHOW PARAMETERS LIKE 'DATA_RETENTION%' IN TABLE my_table"
+    ).collect()
+    assert [(r.key, r.value) for r in rows] == [("DATA_RETENTION_TIME_IN_DAYS", "1")]
