@@ -312,6 +312,8 @@ class IceSQL:
         #: every read so views track their base tables' current
         #: snapshots (session-scoped, like temp views).
         self._views: dict[str, str] = {}
+        #: USE DATABASE default namespace for unqualified names
+        self._database: str | None = None
 
     # -- helpers ------------------------------------------------------------
 
@@ -357,7 +359,9 @@ class IceSQL:
     def sql(self, stmt: str):
         s = stmt.strip().rstrip(";").strip()
         u = s.upper()
-        if u.startswith("CREATE") and re.match(r"(?i)CREATE(\s+OR\s+REPLACE)?\s+ICEBERG\s+TABLE", s):
+        if u.startswith("CREATE") and re.match(
+            r"(?i)CREATE(\s+OR\s+REPLACE)?\s+(ICEBERG\s+)?TABLE\b", s
+        ):
             return self._create(s)
         if re.match(r"(?i)CREATE(\s+OR\s+REPLACE)?\s+EXTERNAL\s+VOLUME", s):
             return self._create_external_volume(s)
@@ -394,6 +398,34 @@ class IceSQL:
             return self._merge(s)
         if re.match(r"(?i)ALTER\s+ICEBERG\s+TABLE", s):
             return self._alter(s)
+        if re.match(r"(?i)CREATE\s+DATABASE", s):
+            # docs/04:100-101: database optionally linked to a catalog
+            # integration — the namespace half of catalog-linked mode
+            m = re.match(
+                r"(?i)CREATE\s+DATABASE\s+([\w]+)(?:\s+CATALOG\s*=\s*'([^']*)')?", s
+            )
+            name, integ = m.group(1), m.group(2)
+            if integ:
+                self.catalog.get_catalog_integration(integ)  # must exist
+            return self.catalog._put_object(
+                "databases", name, {"name": name, "catalog": integ}, replace=True
+            )
+        if re.match(r"(?i)USE\s+DATABASE", s):
+            name = s.split()[-1]
+            self.catalog._get_object("databases", name)  # must exist
+            self._database = name
+            return None
+        if re.match(r"(?i)DESCRIBE\s+TABLE\b", s):
+            # docs/03:168: column structure (vs DESCRIBE ICEBERG TABLE's
+            # properties view)
+            t = self._table(self._resolve_name(s.split()[-1]))
+            return self.spark.createDataFrame(
+                [
+                    (f.name, f.type, "Y" if not f.required else "N")
+                    for f in t.meta.schema.fields
+                ],
+                "name string, type string, nullable string",
+            )
         if re.match(r"(?i)DESCRIBE\s+ICEBERG\s+TABLE", s):
             name = s.split()[-1]
             d = self._table(self._resolve_name(name)).describe()
@@ -478,11 +510,29 @@ class IceSQL:
 
     def _create(self, s: str):
         m = re.match(
-            r"(?i)CREATE(\s+OR\s+REPLACE)?\s+ICEBERG\s+TABLE(\s+IF\s+NOT\s+EXISTS)?\s+([\w.]+)\s*(.*)",
+            r"(?i)CREATE(\s+OR\s+REPLACE)?\s+(ICEBERG\s+)?TABLE(\s+IF\s+NOT\s+EXISTS)?\s+([\w.]+)\s*(.*)",
             s,
             re.DOTALL,
         )
-        replace, if_not_exists, name, rest = m.group(1), m.group(2), m.group(3), m.group(4).strip()
+        replace, iceberg, if_not_exists, name, rest = (
+            m.group(1),
+            bool(m.group(2)),
+            m.group(3),
+            m.group(4),
+            m.group(5).strip(),
+        )
+        if "." not in name and self._database:
+            name = f"{self._database}.{name}"  # USE DATABASE default
+        # plain CREATE TABLE (docs/12:151-156 'native' hot table): same
+        # table layer, marked native; CLUSTER BY → clustering property
+        extra_props: dict[str, str] = {} if iceberg else {"table_type": "native"}
+        cm = re.search(r"(?i)\bCLUSTER\s+BY\s*\(", rest)
+        if cm:
+            body, _end = _balanced(rest, cm.end() - 1)
+            extra_props["cluster_by"] = ",".join(
+                f"{c}:{tr}" for c, tr in _parse_partition_by(body)
+            )
+            rest = rest[: cm.start()] + rest[_end:]
         if self.catalog.table_exists(name):
             if if_not_exists:
                 return self._table(name)
@@ -501,6 +551,8 @@ class IceSQL:
         if am:
             df = self._select(rest[am.start() + 2 :].strip())
             t = self.catalog.create_table(name, df.schema, partition_by=partition_by)
+            if extra_props:
+                t.set_properties(**extra_props)
             t.append(df)
             return t
         if not rest.startswith("("):
@@ -533,8 +585,9 @@ class IceSQL:
 
         schema = _parse_datatype_string(_parse_columns(body))
         t = self.catalog.create_table(name, schema, partition_by=partition_by)
-        if props:
-            t.set_properties(**{k.lower(): v for k, v in props.items()})
+        merged = {**{k.lower(): v for k, v in props.items()}, **extra_props}
+        if merged:
+            t.set_properties(**merged)
         return t
 
     # -- INSERT -------------------------------------------------------------

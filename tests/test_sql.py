@@ -495,3 +495,39 @@ def test_docs_hybrid_view_and_maintenance_task_verbatim(isql):
         "SHOW PARAMETERS LIKE 'DATA_RETENTION%' IN TABLE my_table"
     ).collect()
     assert [(r.key, r.value) for r in rows] == [("DATA_RETENTION_TIME_IN_DAYS", "1")]
+
+
+def test_docs_database_native_table_and_describe(isql):
+    """docs/04:100-107 (catalog-linked CREATE DATABASE + USE DATABASE:
+    unqualified creates land in the database namespace), docs/12:151-156
+    (plain CREATE TABLE ... CLUSTER BY — the 'native' hot table — on
+    the same table layer), docs/03:168 (DESCRIBE TABLE structure)."""
+    isql.sql("""
+        CREATE CATALOG INTEGRATION glue_catalog
+          CATALOG_SOURCE = GLUE
+          TABLE_FORMAT = ICEBERG
+          ENABLED = TRUE
+    """)
+    isql.sql("CREATE DATABASE my_glue_db CATALOG = 'glue_catalog'")
+    isql.sql("USE DATABASE my_glue_db")
+    isql.sql("""
+        CREATE ICEBERG TABLE new_table (
+          id INT,
+          value STRING
+        )
+    """)
+    assert isql.catalog.table_exists("my_glue_db.new_table")
+
+    isql.sql("""
+        CREATE TABLE native.recent_events (
+          event_id BIGINT,
+          event_time TIMESTAMP,
+          data VARIANT
+        ) CLUSTER BY (DATE(event_time))
+    """)
+    t = isql.catalog.load_table("native.recent_events")
+    assert t.meta.properties["table_type"] == "native"
+    assert t.meta.properties["cluster_by"] == "event_time:day"
+
+    rows = {r["name"]: r["type"] for r in isql.sql("DESCRIBE TABLE new_table").collect()}
+    assert rows == {"id": "int", "value": "string"}
