@@ -116,7 +116,9 @@ def extract_features(df: DataFrame, fake_decode: bool = True) -> DataFrame:
                         "doc_id": doc_id,
                         "mime": mime,
                         "n_bytes": n,
-                        "byte_mean": round(mean, 4),
+                        # raw double — round once, after aggregation
+                        # (round-inside-agg is the float-drift gotcha)
+                        "byte_mean": mean,
                         "byte_entropy_bucket": int(sum(flat)) % 16,
                     }
                 )

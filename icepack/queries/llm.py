@@ -825,13 +825,40 @@ def x14_variant_json(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("x15_multimodal_features")
+@query(
+    "x15_multimodal_features",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split_regex(text, '')) AS ch FROM documents
+    ),
+    sums AS (
+      SELECT doc_id, SUM(ord(ch)) AS bsum, COUNT(*) AS n
+      FROM chars WHERE ch <> '' GROUP BY doc_id
+    ),
+    feats AS (
+      SELECT s.doc_id,
+             s.bsum / s.n AS byte_mean,
+             CAST(
+               ord(substr(d.text, 1, 1))
+               + ord(substr(d.text, CAST(s.n // 3 AS INT) + 1, 1))
+               + ord(substr(d.text, CAST((2 * s.n) // 3 AS INT) + 1, 1))
+               + (s.bsum % 256)
+             AS BIGINT) % 16 AS bucket
+      FROM sums s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT 'text/plain' AS mime, CAST(bucket AS INT) AS byte_entropy_bucket,
+           COUNT(*) AS n, ROUND(AVG(byte_mean), 4) AS avg_byte_mean
+    FROM feats GROUP BY bucket
+    """,
+)
 def x15_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """X5 plumbing end-to-end: pack text as opaque binary payloads,
     Arrow-batched mapInPandas feature extraction, aggregate per mime.
-    Rows-only check (the byte-stat features aren't SQL-reproducible);
-    determinism + shape invariants are pytest-covered
-    (tests/test_multimodal.py)."""
+    The oracle recomputes the byte statistics from the characters
+    (the fixture corpus is pure ASCII, so ord(char) == payload byte —
+    the fake-decode grid is [b0, b(n//3), b(2n//3), sum%256]);
+    determinism + shape invariants are additionally pytest-covered
+    (tests/test_multimodal.py, incl. the JVM-crc32 pin)."""
     from ..multimodal import attach_binary_payload, extract_features
 
     d = load(spark, sf, "documents").repartition(
