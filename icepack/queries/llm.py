@@ -1336,7 +1336,7 @@ def _lsh_topk(spark: SparkSession, sf: str, radius: int) -> DataFrame:
       FROM toks
     )
     SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens,
-           ROUND(SUM(n_tok) / 2048.0, 4) AS fill
+           SUM(n_tok) / 2048.0 AS fill
     FROM packed GROUP BY source, bin
     """,
 )
@@ -1368,7 +1368,10 @@ def x28_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     return packed.groupBy("source", "bin").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("bin_tokens"),
-        F.round(F.sum("n_tok") / 2048.0, 4).alias("fill"),
+        # exact: integer / 2^11 is representable bit-for-bit in both
+        # engines; a ROUND here would sit on half-ulp boundaries
+        # (64/2048 = .03125) where HALF_UP vs half-even diverge.
+        (F.sum("n_tok") / F.lit(2048.0)).alias("fill"),
     )
 
 
@@ -1382,9 +1385,10 @@ def x28_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     SELECT lang,
            SUM(n) AS n_tokens,
            COUNT(*) AS n_types,
-           ROUND(COUNT(*) / CAST(SUM(n) AS DOUBLE), 6) AS ttr,
-           ROUND(COUNT(*) FILTER (n = 1) / CAST(COUNT(*) AS DOUBLE), 6)
-             AS hapax_ratio
+           CAST(COUNT(*) * 1000000 AS BIGINT) // CAST(SUM(n) AS BIGINT)
+             AS ttr_ppm,
+           CAST(COUNT(*) FILTER (n = 1) * 1000000 AS BIGINT) // COUNT(*)
+             AS hapax_ppm
     FROM tf GROUP BY lang
     """,
 )
@@ -1399,13 +1403,20 @@ def x29_vocab_stats(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     words = d.select("lang", F.explode(F.split("text", " ")).alias("w"))
     tf = words.groupBy("lang", "w").agg(F.count("*").alias("n"))
+    # ratios as integer parts-per-million: BIGINT multiply + integer
+    # divide is bit-exact in both engines, unlike ROUND on a double
+    # quotient whose *1e6 step can land on a different side of the
+    # rounding boundary per engine.
     return tf.groupBy("lang").agg(
         F.sum("n").alias("n_tokens"),
         F.count("*").alias("n_types"),
-        F.round(F.count("*") / F.sum("n"), 6).alias("ttr"),
-        F.round(
-            F.sum((F.col("n") == 1).cast("long")) / F.count("*"), 6
-        ).alias("hapax_ratio"),
+        F.expr("CAST(count(*) * 1000000 AS BIGINT) DIV sum(n)").alias(
+            "ttr_ppm"
+        ),
+        F.expr(
+            "CAST(sum(CAST(n = 1 AS BIGINT)) * 1000000 AS BIGINT)"
+            " DIV count(*)"
+        ).alias("hapax_ppm"),
     )
 
 
