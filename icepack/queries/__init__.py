@@ -91,6 +91,13 @@ PRIORITY: list[str] = [
     # fixed this round — need fresh hash evidence
     "x28_sequence_pack",
     "x29_vocab_stats",
+    # new this round
+    "x33_doc_chunking",
+    "x34_chunk_dedup",
+    "x35_train_split",
+    "x36_minhash_estimate",
+    "a14_cohort_retention",
+    "a15_sessionize_gap",
     # TPC-H battery
     "a4_tpch_q1",
     "a4_tpch_q3",

@@ -376,6 +376,37 @@ _SQL_MINHASH_BANDS = (
 )
 
 
+def _seed_min(s: int):
+    # NOT `lambda x, s=s`: pyspark reads lambda arity, and a 2-arg
+    # lambda becomes an (element, index) lambda — the default arg
+    # would silently bind the index Column, not the seed
+    a, b = _MH_A[s], _MH_B[s]
+    return F.array_min(
+        F.transform("hv", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_M))
+    ).alias(f"h{s}")
+
+
+def _minhash_sigs(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, h0..h7) MinHash signatures — the shared front half of
+    the LSH dedup path (x3) and the estimate-vs-exact audit (x36).
+    Computed entirely per row: shingle array via transform(sequence),
+    ONE md5 per shingle to a 28-bit base hash, then the 8 signature
+    mins as affine permutations of that base — zero shuffles before
+    banding."""
+    d = load(spark, sf, "documents").withColumn("w", F.split("text", " "))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("w", i), F.element_at("w", i + 1), F.element_at("w", i + 2)
+        ),
+    )
+    base = F.transform(
+        shingles, lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long")
+    )
+    docs = d.filter(F.size("w") >= 3).select("doc_id", base.alias("hv"))
+    return docs.select("doc_id", *[_seed_min(s) for s in range(8)])
+
+
 @query(
     "x3_minhash_lsh",
     oracle=_SQL_MINHASH_BANDS
@@ -402,28 +433,7 @@ def x3_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     per seed (non-cheap expression referenced 8×, so Catalyst won't
     inline it).  Docs with <3 words have no shingles and drop out,
     matching the oracle's empty unnest."""
-    d = load(spark, sf, "documents").withColumn("w", F.split("text", " "))
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size("w") - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at("w", i), F.element_at("w", i + 1), F.element_at("w", i + 2)
-        ),
-    )
-    base = F.transform(
-        shingles, lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long")
-    )
-    docs = d.filter(F.size("w") >= 3).select("doc_id", base.alias("hv"))
-
-    def _seed_min(s: int):
-        # NOT `lambda x, s=s`: pyspark reads lambda arity, and a 2-arg
-        # lambda becomes an (element, index) lambda — the default arg
-        # would silently bind the index Column, not the seed
-        a, b = _MH_A[s], _MH_B[s]
-        return F.array_min(
-            F.transform("hv", lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MH_M))
-        ).alias(f"h{s}")
-
-    mh = docs.select("doc_id", *[_seed_min(s) for s in range(8)])
+    mh = _minhash_sigs(spark, sf)
     bands = mh.select(
         "doc_id",
         F.expr(
@@ -1599,4 +1609,243 @@ def x32_bigram_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return j.groupBy("lang").agg(
         F.round(h, 4).alias("cond_entropy"),
         F.sum("n").cast("bigint").alias("n_bigrams"),
+    )
+
+
+@query(
+    "x33_doc_chunking",
+    oracle="""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    starts AS (
+      SELECT doc_id, source, w, unnest(range(1, len(w) + 1, 96)) AS s FROM w
+    )
+    SELECT doc_id, source,
+           CAST((s - 1) // 96 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(w, s, least(s + 127, len(w)))) AS BIGINT) AS n_tok,
+           md5(array_to_string(list_slice(w, s, least(s + 127, len(w))), ' '))
+             AS chunk_md5
+    FROM starts
+    """,
+)
+def x33_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-window chunking for training/RAG prep: 128-token chunks
+    on a 96-token stride (32-token overlap), one row per chunk with a
+    content fingerprint.  Pure per-row array work — transform(sequence)
+    builds every chunk inside its document's row, so the operator is a
+    ZERO-shuffle scan pass: at 100 TB it is embarrassingly parallel and
+    the output shards exactly like its input.  The md5 fingerprint is
+    the portable join key downstream chunk-level dedup uses."""
+    d = load(spark, sf, "documents").withColumn("w", F.split("text", " "))
+    chunks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr("transform(sequence(1, size(w), 96), s -> slice(w, s, 128))")
+        ).alias("chunk_idx", "cw"),
+    )
+    return chunks.select(
+        "doc_id",
+        "source",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("cw").cast("long").alias("n_tok"),
+        F.md5(F.concat_ws(" ", "cw")).alias("chunk_md5"),
+    )
+
+
+@query(
+    "x34_chunk_dedup",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    c AS (SELECT doc_id, w, unnest(range(1, len(w) + 1, 64)) AS s FROM w),
+    h AS (
+      SELECT doc_id, CAST((s - 1) // 64 AS BIGINT) AS chunk_idx,
+             md5(array_to_string(list_slice(w, s, least(s + 63, len(w))), ' ')) AS h
+      FROM c
+    )
+    SELECT h AS chunk_md5, COUNT(*) AS n_copies,
+           MIN(doc_id) AS keep_doc,
+           MIN(doc_id * 1000 + chunk_idx) AS keep_key
+    FROM h GROUP BY h HAVING COUNT(*) > 1
+    """,
+)
+def x34_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-document (chunk-level) dedup: 64-token disjoint chunks,
+    fingerprinted and grouped; groups with >1 copy report the canonical
+    survivor (lowest (doc_id, chunk_idx) — encoded as doc_id*1000+idx,
+    valid while docs stay under 1000 chunks; the fixture maxes at ~2).
+    This catches boilerplate shared across documents that whole-doc
+    dedup (x1) misses.  One hash shuffle on the 16-byte fingerprint —
+    the exact shape of the cross-shard dedup pass at 100 TB, where the
+    key is a hash, never the chunk text itself."""
+    d = load(spark, sf, "documents").withColumn("w", F.split("text", " "))
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(1, size(w), 64), s -> slice(w, s, 64))")
+        ).alias("chunk_idx", "cw"),
+    )
+    h = chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5(F.concat_ws(" ", "cw")).alias("chunk_md5"),
+    )
+    return (
+        h.groupBy("chunk_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc"),
+            F.min(F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("keep_key"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query(
+    "x35_train_split",
+    oracle="""
+    WITH t AS (
+      SELECT CASE
+               WHEN substring(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 2)
+                    < '0d' THEN 'test'
+               WHEN substring(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 2)
+                    < '1a' THEN 'val'
+               ELSE 'train'
+             END AS split,
+             lang,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM t GROUP BY 1, 2
+    """,
+)
+def x35_train_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment by salted content-free
+    hash of the stable doc_id (~5% test, ~5% val by md5-prefix range):
+    the split a document lands in never depends on which shard or
+    executor processed it, survives re-runs and table growth, and needs
+    no global state — the property a 100 TB pipeline needs so that
+    re-processing a partition can't leak eval docs into train.  Output
+    is the per-split per-language doc/token census used to audit split
+    balance."""
+    d = load(spark, sf, "documents")
+    pfx = F.substring(
+        F.md5(F.concat(F.lit("split42|"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    split = (
+        F.when(pfx < "0d", "test").when(pfx < "1a", "val").otherwise("train")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "x36_minhash_estimate",
+    oracle=_SQL_MINHASH_BANDS
+    + """
+    , pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    sim AS (
+      SELECT p.id_a, p.id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) AS common,
+             len(sa.shingles) + len(sb.shingles) AS tot,
+             (CAST(ma.h0 = mb.h0 AS INT) + CAST(ma.h1 = mb.h1 AS INT)
+            + CAST(ma.h2 = mb.h2 AS INT) + CAST(ma.h3 = mb.h3 AS INT)
+            + CAST(ma.h4 = mb.h4 AS INT) + CAST(ma.h5 = mb.h5 AS INT)
+            + CAST(ma.h6 = mb.h6 AS INT) + CAST(ma.h7 = mb.h7 AS INT)) / 8.0
+               AS est_jaccard
+      FROM pairs p
+      JOIN sh_tbl sa ON sa.doc_id = p.id_a
+      JOIN sh_tbl sb ON sb.doc_id = p.id_b
+      JOIN mh ma ON ma.doc_id = p.id_a
+      JOIN mh mb ON mb.doc_id = p.id_b
+    )
+    SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+           CAST(common AS DOUBLE) / (tot - common) AS jaccard,
+           est_jaccard
+    FROM sim
+    """,
+)
+def x36_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-quality audit: for every LSH candidate pair, the MinHash
+    signature estimate (matching components / 8) next to the exact
+    shingle-set Jaccard — the calibration table that tells you whether
+    the band/row configuration is recalling the right similarity range
+    before you trust it on 100 TB.  The exact verify join touches only
+    candidate pairs (bounded by banding), never all pairs: candidates
+    broadcast into the signature and shingle-set lookups.  All output
+    math is exact in both engines: integer set sizes, one
+    correctly-rounded double division, and eighths."""
+    mh = _minhash_sigs(spark, sf)
+    bands = mh.select(
+        "doc_id",
+        F.expr(
+            "stack(4, 0, concat(h0, '_', h1), 1, concat(h2, '_', h3),"
+            " 2, concat(h4, '_', h5), 3, concat(h6, '_', h7)) AS (band, bkey)"
+        ),
+    )
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ids) - 1),"
+                " i -> transform(slice(ids, i + 1, size(ids) - i),"
+                " y -> struct(ids[i-1] AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b").distinct()
+
+    d = load(spark, sf, "documents").withColumn("w", F.split("text", " "))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("w", i), F.element_at("w", i + 1), F.element_at("w", i + 2)
+        ),
+    )
+    shs = d.filter(F.size("w") >= 3).select(
+        "doc_id", F.array_distinct(shingles).alias("shingles")
+    )
+
+    a_sig = mh.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(8)]
+    )
+    b_sig = mh.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(8)]
+    )
+    est = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(8)
+    ) / F.lit(8.0)
+    j = (
+        F.broadcast(pairs)
+        .join(a_sig, "id_a")
+        .join(b_sig, "id_b")
+        .join(shs.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sa")), "id_a")
+        .join(shs.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sb")), "id_b")
+    )
+    common = F.size(F.array_intersect("sa", "sb"))
+    tot = F.size("sa") + F.size("sb")
+    return j.select(
+        "id_a",
+        "id_b",
+        common.cast("long").alias("common"),
+        (common.cast("double") / (tot - common).cast("double")).alias("jaccard"),
+        est.alias("est_jaccard"),
     )

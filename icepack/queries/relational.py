@@ -2334,3 +2334,95 @@ def a13_skyline(spark: SparkSession, sf: str) -> DataFrame:
         F.round("p_retailprice", 2).alias("price"),
         F.col("p_size").alias("psize"),
     )
+
+
+@query(
+    "a14_cohort_retention",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    first AS (SELECT user_id, MIN(d) AS cohort_day FROM ud GROUP BY 1)
+    SELECT f.cohort_day,
+           date_diff('day', f.cohort_day, ud.d) AS k,
+           COUNT(*) AS n_users
+    FROM ud JOIN first f ON ud.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_day, ud.d) <= 7
+    GROUP BY 1, 2
+    """,
+)
+def a14_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by first-active day,
+    counted on each of the next 7 days they return.  ONE shuffle: the
+    distinct user-day set groups to its user, and the per-user day
+    array yields (cohort, k) pairs in-place with higher-order functions
+    — versus the oracle's spelling of a groupBy plus a join back
+    through the fact table (two wide exchanges of event-scale data).
+    Per-task state is one user's distinct active days (bounded by the
+    date range, not event volume), and the final (cohort_day, k) rollup
+    aggregates partially map-side."""
+    ev = load(spark, sf, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    per_user = ev.groupBy("user_id").agg(F.collect_set("d").alias("ds"))
+    ks = per_user.select(
+        F.array_min("ds").alias("cohort_day"),
+        F.explode(
+            F.expr("transform(ds, d -> datediff(d, array_min(ds)))")
+        ).alias("k"),
+    )
+    return (
+        ks.filter(F.col("k") <= 7)
+        .groupBy("cohort_day", "k")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "a15_sessionize_gap",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN date_diff('second',
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) > 1800
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM o
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS sess_start, MAX(ts) AS sess_end
+    FROM s GROUP BY 1, 2
+    """,
+)
+def a15_sessionize_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity boundary) as the
+    manual window composition: lag to detect gaps, running sum of
+    boundaries to number sessions, then per-session rollup.  This is
+    the portable spelling of what `session_window` (st3) does natively
+    — kept separate because real pipelines need the explicit form the
+    moment session identity must join back to rows.  One shuffle
+    partitions events by user; both windows and the final groupBy reuse
+    that partitioning (no second exchange), which is exactly how it
+    holds at 100 TB: per-user state only, power-law users split by AQE
+    skew handling at the aggregation."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load(spark, sf, "events").select("user_id", "event_id", "ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    s = ev.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+    )
