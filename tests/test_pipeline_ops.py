@@ -1,0 +1,111 @@
+"""Invariant tests for the round-2 pipeline operators (SURVEY.md
+§2.13 X6 / §2.4): chunking reconstructs its documents, the train split
+is deterministic and leak-free, the MinHash estimate is a calibrated
+sketch, and sessionization agrees with the native session_window.
+The oracle hash-match (tools/check.py) proves value equality; these
+pin the *semantic* contracts an oracle can't express.
+"""
+
+from pyspark.sql import functions as F
+
+from icepack.io import load
+from icepack.queries import all_queries
+
+from tests.conftest import SF_DIR
+
+QS = all_queries()
+
+
+def test_chunking_covers_every_token_and_overlaps(spark):
+    """Stride-96/len-128 chunks: per doc, chunk starts advance by 96,
+    token counts sum to len + 32·(n_chunks-1) (each non-final chunk
+    re-counts its 32-token overlap), and chunk 0 always exists."""
+    chunks = QS["x33_doc_chunking"](spark, SF_DIR)
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tok").alias("tok_sum"),
+        F.min("chunk_idx").alias("first_idx"),
+        F.max("n_tok").alias("max_tok"),
+    )
+    j = per_doc.join(docs, "doc_id").collect()
+    assert len(j) > 0
+    for r in j:
+        assert r.first_idx == 0
+        assert r.max_tok <= 128
+        # starts at 0, 96, 192, … while start < n_words → gapless
+        # coverage (stride 96 < window 128) and an exact chunk count
+        n = r.n_words
+        expect_chunks = (n - 1) // 96 + 1
+        assert r.n_chunks == expect_chunks
+        expect_tokens = sum(min(128, n - 96 * i) for i in range(expect_chunks))
+        assert r.tok_sum == expect_tokens
+
+
+def test_train_split_partitions_disjoint_and_deterministic(spark):
+    """Split assignment is a pure function of doc_id: re-running yields
+    identical censuses, every doc lands in exactly one split, and the
+    three splits cover the corpus."""
+    a = QS["x35_train_split"](spark, SF_DIR)
+    b = QS["x35_train_split"](spark, SF_DIR)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
+    total = sum(r[2] for r in rows_a)
+    assert total == load(spark, SF_DIR, "documents").count()
+    splits = {r[0] for r in rows_a}
+    assert splits <= {"train", "val", "test"}
+    assert "train" in splits
+
+
+def test_minhash_estimate_is_calibrated(spark):
+    """On LSH candidate pairs the 8-component estimate must track the
+    exact Jaccard: values in [0,1] in eighths, and the mean absolute
+    error stays under the sketch's standard error bound (~1/sqrt(8) ≈
+    .35; candidates are high-similarity so observed error is far
+    smaller — assert the loose bound, pin the tight one on average)."""
+    rows = QS["x36_minhash_estimate"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    errs = []
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(r.est_jaccard * 8 - round(r.est_jaccard * 8)) < 1e-9
+        assert 0.0 < r.jaccard <= 1.0
+        errs.append(abs(r.est_jaccard - r.jaccard))
+    assert sum(errs) / len(errs) < 0.35
+
+
+def test_sessionize_gap_agrees_with_session_window(spark):
+    """The manual lag+cumsum sessionizer and Spark's native
+    session_window must carve identical session boundaries: same
+    session count and same total events per user (30-minute gap both
+    sides)."""
+    manual = (
+        QS["a15_sessionize_gap"](spark, SF_DIR)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    ev = load(spark, SF_DIR, "events")
+    native = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n").alias("n_events"))
+    )
+    m = {r.user_id: (r.n_sessions, r.n_events) for r in manual.collect()}
+    n = {r.user_id: (r.n_sessions, r.n_events) for r in native.collect()}
+    assert m == n
+
+
+def test_chunk_dedup_survivor_is_minimal(spark):
+    """Every reported duplicate group keeps the lexicographically
+    smallest (doc_id, chunk_idx) and reports at least 2 copies."""
+    rows = QS["x34_chunk_dedup"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.n_copies >= 2
+        assert r.keep_key // 1000 == r.keep_doc
