@@ -98,6 +98,9 @@ PRIORITY: list[str] = [
     "x36_minhash_estimate",
     "a14_cohort_retention",
     "a15_sessionize_gap",
+    "x37_unigram_surprisal",
+    "x38_ngram_novelty",
+    "a16_stickiness",
     # TPC-H battery
     "a4_tpch_q1",
     "a4_tpch_q3",

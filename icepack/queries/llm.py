@@ -1849,3 +1849,88 @@ def x36_minhash_estimate(spark: SparkSession, sf: str) -> DataFrame:
         (common.cast("double") / (tot - common).cast("double")).alias("jaccard"),
         est.alias("est_jaccard"),
     )
+
+
+@query(
+    "x37_unigram_surprisal",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    uni AS (SELECT w, COUNT(*) AS n FROM words GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM uni)
+    SELECT wd.doc_id, wd.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           ROUND(-AVG(log2(CAST(u.n AS DOUBLE) / t.t)), 4) AS surprisal
+    FROM words wd JOIN uni u ON wd.w = u.w CROSS JOIN tot t
+    GROUP BY 1, 2
+    """,
+)
+def x37_unigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM surprisal per document (the CCNet-style quality
+    signal): score every doc by the mean -log2 P(word) under the
+    corpus's own unigram distribution — templated/repetitive text
+    scores low, lexically rich or noisy text scores high, and the
+    score is the standard cheap proxy before a real LM pass.
+
+    Shape at 100 TB: one token-count aggregation builds the LM (vocab-
+    sized, ≪ corpus — Zipf), which then BROADCASTS into the scoring
+    join, so the corpus itself is touched by exactly two scan passes
+    and one map-side join; the per-doc rollup partially aggregates
+    map-side.  The corpus total rides along as a literal via a 1-row
+    cross join, never a driver collect inside the plan."""
+    d = load(spark, sf, "documents")
+    words = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    uni = words.groupBy("w").agg(F.count("*").alias("n"))
+    tot = uni.agg(F.sum("n").cast("double").alias("t"))
+    scored = words.join(F.broadcast(uni), "w").join(F.broadcast(tot))
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_tok"),
+        F.round(-F.avg(F.log2(F.col("n").cast("double") / F.col("t"))), 4).alias(
+            "surprisal"
+        ),
+    )
+
+
+@query(
+    "x38_ngram_novelty",
+    oracle=_SQL_SHINGLES
+    + """
+    , ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_tbl),
+    first AS (SELECT sh, MIN(doc_id) AS fd FROM ex GROUP BY 1)
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sh,
+           CAST(SUM(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel,
+           CAST(SUM(CASE WHEN f.fd = e.doc_id THEN 1 ELSE 0 END)
+                * 1000000 AS BIGINT) // COUNT(*) AS novelty_ppm
+    FROM ex e JOIN first f ON e.sh = f.sh
+    GROUP BY 1
+    """,
+)
+def x38_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus novelty curve: per document, the fraction of its distinct
+    trigrams whose FIRST corpus occurrence (by doc_id order) is this
+    document.  Curation uses this to spot when additional data stops
+    contributing new n-grams — the marginal-value signal behind
+    dataset mixing decisions.  Two hash shuffles on an 8-byte hashed
+    shingle key (first-occurrence min, then the join back), both
+    map-side-combinable; the shingle string itself never shuffles.
+    Ratio is exact integer ppm (the x29 lesson: never cross-engine
+    ROUND a double quotient)."""
+    sh = _shingle_rows(spark, sf, distinct=True).withColumn(
+        "sh", F.xxhash64("sh")
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("fd"))
+    j = sh.join(first, "sh")
+    novel = F.sum((F.col("fd") == F.col("doc_id")).cast("long"))
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh"),
+        novel.alias("novel"),
+        F.expr(
+            "CAST(sum(CAST(fd = doc_id AS BIGINT)) * 1000000 AS BIGINT)"
+            " DIV count(*)"
+        ).alias("novelty_ppm"),
+    )

@@ -2426,3 +2426,57 @@ def a15_sessionize_gap(spark: SparkSession, sf: str) -> DataFrame:
         F.min("ts").alias("sess_start"),
         F.max("ts").alias("sess_end"),
     )
+
+
+@query(
+    "a16_stickiness",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY 1),
+    contrib AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+                                         CAST(d AS TIMESTAMP) + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS win_day
+      FROM ud
+    ),
+    wau AS (
+      SELECT win_day AS d, COUNT(DISTINCT user_id) AS wau
+      FROM contrib GROUP BY 1
+    )
+    SELECT dau.d, dau.dau, wau.wau,
+           CAST(dau.dau * 1000000 AS BIGINT) // wau.wau AS stickiness_ppm
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def a16_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / trailing-7-day-WAU stickiness per day.  The exact rolling
+    COUNT(DISTINCT) is computed contribution-style: each (user, day)
+    row fans out to the ≤7 window days it supports, then one
+    countDistinct per window day — an equi-shuffle on the day key with
+    a fixed ×7 expansion, instead of a sliding self-join.  At 100 TB
+    the same shape swaps countDistinct for HLL sketch merge
+    (approx_count_distinct, a3) — per-day sketches union across the
+    window at O(sketch) cost; the exact form here doubles as that
+    path's oracle.  Ratio as integer ppm (exact in both engines)."""
+    ev = load(spark, sf, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("win_day"),
+    )
+    wau = contrib.groupBy(F.col("win_day").alias("d")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            "d",
+            "dau",
+            "wau",
+            F.expr("CAST(dau * 1000000 AS BIGINT) DIV wau").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )

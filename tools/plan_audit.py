@@ -24,7 +24,14 @@ from icepack.session import get_session  # noqa: E402
 SF_DIR = "/root/testdata/sf0.001"
 
 #: queries where a nested-loop/broadcast-NLJ is the intended strategy
-NLJ_OK = {"j5_range_join", "x5_cosine_topk", "x6_ann_bucketed", "x27_lsh_ann"}
+NLJ_OK = {
+    "j5_range_join",
+    "x5_cosine_topk",
+    "x6_ann_bucketed",
+    "x27_lsh_ann",
+    # 1-row broadcast cross join attaching the corpus-total scalar
+    "x37_unigram_surprisal",
+}
 #: queries where a single-partition exchange is inherent (global top-k)
 SINGLE_OK = {"o2_top_n"}
 
