@@ -101,6 +101,7 @@ PRIORITY: list[str] = [
     "x37_unigram_surprisal",
     "x38_ngram_novelty",
     "a16_stickiness",
+    "x39_kmeans_assign",
     # TPC-H battery
     "a4_tpch_q1",
     "a4_tpch_q3",

@@ -1934,3 +1934,70 @@ def x38_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
             " DIV count(*)"
         ).alias("novelty_ppm"),
     )
+
+
+#: squared L2 over 64-dim float lists, computed in double with the same
+#: left-to-right fold in both engines (list_sum ≡ F.aggregate order).
+_SQL_SQDIST = (
+    "list_sum(list_transform(range(1, 65),"
+    " i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+
+
+@query(
+    "x39_kmeans_assign",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4
+    ),
+    cand AS (
+      SELECT e.vec_id, e.label, c.cid,
+             {_SQL_SQDIST.format(a='e.embedding', b='c.cv')} AS dist
+      FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, label, cid AS cluster, ROUND(dist, 4) AS sq_dist
+    FROM cand
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY ROUND(dist, 6), cid) = 1
+    """,
+)
+def x39_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """The assignment leg of the IVF/k-means family, oracle-checked:
+    every vector to its nearest of K=4 frozen centroids (the K lowest
+    vec_ids — the same deterministic seeds x20's Lloyd training uses).
+    This gives the otherwise rows-only iterative path (x20) an exactly
+    verified single step: distances fold left-to-right in double in
+    both engines, ordering rounds to 6 places first so last-ulp fold
+    noise can't flip an argmin, ties break to the lowest cluster.
+    Shape at scale: the K×dim centroid table broadcasts; assignment is
+    a map-only pass over the vectors (the window's vec_id partition is
+    K rows wide), so cost is one scan — no vector ever shuffles."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf, "embeddings")
+    cents = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "cv",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = e.crossJoin(F.broadcast(cents)).withColumn("dist", diff2)
+    w = W.partitionBy("vec_id").orderBy(F.round("dist", 6), "cid")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").alias("cluster"),
+            F.round("dist", 4).alias("sq_dist"),
+        )
+    )

@@ -254,3 +254,112 @@ def stream_stream_join(
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
         "amount",
     )
+
+
+def record_breakers_v2(stream_df: DataFrame) -> DataFrame:
+    """Running high-water-mark detector on the Spark 4 arbitrary-state
+    API (``transformWithStateInPandas`` — the successor of
+    ``applyInPandasWithState`` with typed, composable state): per-key
+    state is ONE double (a typed ValueState).
+
+    GATED: the state-v2 Python driver worker needs ``protobuf`` at
+    runtime, which this container lacks — calling this raises from
+    Spark's runner init.  :func:`record_breakers` below is the same
+    operator on the v1 ``applyInPandasWithState`` API and is the
+    tested path; this variant documents the v2 shape so the swap is
+    one call-site rename where protobuf exists."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _Breakers(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._mx = handle.getValueState("mx", "mx double")
+
+        def handleInputRows(self, key, rows, timerValues):  # type: ignore[no-untyped-def]
+            import pandas as pd
+
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            mx = self._mx.get()[0] if self._mx.exists() else None
+            out = []
+            for r in pdf.itertuples(index=False):
+                if mx is None or r.value > mx:
+                    out.append((r.event_id, r.ts, r.value, mx))
+                    mx = r.value
+            self._mx.update((mx,))
+            if out:
+                yield pd.DataFrame(
+                    {
+                        "event_type": [key[0]] * len(out),
+                        "event_id": [o[0] for o in out],
+                        "ts": [o[1] for o in out],
+                        "value": [o[2] for o in out],
+                        "prev_record": [o[3] for o in out],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        _with_event_time(stream_df)
+        .groupBy("event_type")
+        .transformWithStateInPandas(
+            _Breakers(),
+            "event_type string, event_id long, ts timestamp, value double,"
+            " prev_record double",
+            "Append",
+            "None",
+        )
+    )
+
+
+def record_breakers(stream_df: DataFrame) -> DataFrame:
+    """Running high-water-mark detector (working v1-API path): per
+    event_type, emit exactly the events whose ``value`` strictly
+    exceeds every earlier value for that key, carrying the record they
+    broke.  Rows inside a batch are processed in (ts, event_id) order,
+    so output is deterministic under any time-ordered batch slicing —
+    pytest replays a two-file stream against a batch window twin.
+
+    Scale: state is one double per key in the state store (RocksDB on
+    a cluster); each micro-batch does one local sort of its own rows
+    per key — no shuffle beyond the groupBy key partitioning every
+    stateful operator requires."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        mx = state.get[0] if state.exists else None
+        out = []
+        for r in pdf.itertuples(index=False):
+            if mx is None or r.value > mx:
+                out.append((r.event_id, r.ts, r.value, mx))
+                mx = r.value
+        state.update((float(mx),))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]] * len(out),
+                    "event_id": [o[0] for o in out],
+                    "ts": [o[1] for o in out],
+                    "value": [o[2] for o in out],
+                    "prev_record": [o[3] for o in out],
+                }
+            )
+
+    return (
+        _with_event_time(stream_df)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fn,
+            "event_type string, event_id long, ts timestamp, value double,"
+            " prev_record double",
+            "mx double",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -266,3 +266,59 @@ def test_stream_stream_join_equals_batch(spark, tmp_path):
     want = stream_stream_join(clicks_b, purch_b)  # same fn over batch DFs
     assert got.count() > 0
     assert rows_sorted(got) == rows_sorted(want)
+
+
+def test_record_breakers_matches_batch_twin(spark, tmp_path):
+    """transformWithStateInPandas running-max detector: streamed
+    record-breaker set equals the batch window twin (prev-row max per
+    key), including the broken-record value, across a two-file
+    time-ordered replay."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from icepack.streaming import record_breakers
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    vals = {"a": [1.0, 3.0, 2.0, 5.0, 5.0, 7.0], "b": [4.0, 2.0, 6.0, 6.5, 1.0, 9.0]}
+    eid = 0
+    for k, vs in vals.items():
+        for i, v in enumerate(vs):
+            rows.append((eid, k, base + dt.timedelta(minutes=i), v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    src = str(tmp_path / "rb-src")
+    # two files split by time: later events in the second file
+    df.filter("ts < '2024-01-01 00:03:00'").coalesce(1).write.parquet(src)
+    df.filter("ts >= '2024-01-01 00:03:00'").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        record_breakers(stream)
+        .writeStream.format("memory")
+        .queryName("rb_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.event_id, r.value, r.prev_record)
+        for r in spark.table("rb_out").collect()
+    }
+    w = W.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    twin = (
+        df.withColumn("prev_record", F.max("value").over(w))
+        .filter(F.col("prev_record").isNull() | (F.col("value") > F.col("prev_record")))
+    )
+    want = {
+        (r.event_type, r.event_id, r.value, r.prev_record) for r in twin.collect()
+    }
+    assert got == want and len(want) >= 6
