@@ -82,6 +82,8 @@ PRIORITY: list[str] = [
     "ice24_rewrite_manifests",
     "ice25_sql_surface",
     "ice26_incremental_dedup",
+    "ice27_scd2",
+    "ice28_json_ingest",
     # streaming batch twins
     "st1_tumbling_window",
     "st2_sliding_window",

@@ -739,3 +739,109 @@ def ice26_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     survivors = dedup_in.join(corpus_keys, "k", "left_anti").drop("k")
     t.append(survivors)
     return t.toDF().groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "ice27_scd2",
+    oracle="""
+    WITH upd AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0)
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal AS bal,
+           CAST(1 AS BIGINT) AS version,
+           CASE WHEN u.c_custkey IS NULL THEN CAST(NULL AS BIGINT)
+                ELSE CAST(2 AS BIGINT) END AS valid_to,
+           u.c_custkey IS NULL AS is_current
+    FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal + 100.0 AS bal,
+           CAST(2 AS BIGINT) AS version, CAST(NULL AS BIGINT) AS valid_to,
+           true AS is_current
+    FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+    """,
+)
+def ice27_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 on the table layer (the
+    guide's 'CDC/SCD2 without Delta' pattern, done with our own MERGE):
+    a CDC batch against a dimension closes each matched CURRENT row
+    (merge keyed on (key, is_current) flips the flag and stamps
+    valid_to) and appends the new version — history preserved, exactly
+    one row current per key.  Two commits (close, insert) mirror the
+    engine's one-statement-one-snapshot contract (D6); time travel to
+    the pre-batch snapshot recovers the pre-CDC dimension for free.
+    Scale: MERGE prunes target files by the source key set, so a
+    narrow CDC batch against a wide dimension rewrites only hit files
+    (or, under merge-on-read, only delete files + changed rows)."""
+    from ..dml import merge
+
+    cust = load(spark, sf, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_acctbal").alias("bal"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    t = IceTable.create(spark, _scratch(), cust.schema)
+    t.append(cust)
+    upd = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            (F.col("c_acctbal") + 100.0).alias("bal"),
+            F.lit(2).cast("long").alias("version"),
+            F.lit(None).cast("long").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    # close the matched current rows…
+    merge(
+        t,
+        upd,
+        on=["c_custkey", "is_current"],
+        when_matched_update={
+            "is_current": F.lit(False),
+            "valid_to": F.lit(2).cast("long"),
+        },
+        when_not_matched_insert=False,
+    )
+    # …then insert the new versions
+    t.append(upd)
+    return t.toDF()
+
+
+@query(
+    "ice28_json_ingest",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1
+    """,
+)
+def ice28_json_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """S12-adjacent source breadth: a JSON-lines drop (the classic
+    bronze landing format) ingested with an EXPLICIT schema — never
+    inferSchema in a pipeline — into an icepack table, then aggregated
+    off the table.  The doubles round-trip bit-exactly through JSON
+    (shortest-repr write, exact parse), which the oracle's sum over
+    the original parquet verifies.  Scale: schema-on-read JSON scans
+    parallelize per file split like any text source; the append
+    commits once regardless of source format, so format choice never
+    touches the table-layer contract."""
+    scratch = _scratch()
+    ev = load(spark, sf, "events").select("event_id", "event_type", "value")
+    jdir = scratch + "/json-src"
+    ev.write.json(jdir)
+    src = spark.read.schema("event_id long, event_type string, value double").json(
+        jdir
+    )
+    t = IceTable.create(spark, scratch + "/tbl", src.schema)
+    t.append(src)
+    return (
+        t.toDF()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
