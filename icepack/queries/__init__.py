@@ -104,6 +104,8 @@ PRIORITY: list[str] = [
     "x38_ngram_novelty",
     "a16_stickiness",
     "x39_kmeans_assign",
+    "x40_pq_encode",
+    "x41_stratified_fixed_n",
     # TPC-H battery
     "a4_tpch_q1",
     "a4_tpch_q3",

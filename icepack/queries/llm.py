@@ -2001,3 +2001,116 @@ def x39_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
             F.round("dist", 4).alias("sq_dist"),
         )
     )
+
+
+def _sql_sub_sqdist(vec: str, cent: str, s: int) -> str:
+    """Squared L2 over subspace s (16 dims, 1-based), left-to-right fold."""
+    lo = s * 16 + 1
+    return (
+        f"list_sum(list_transform(range({lo}, {lo + 16}),"
+        f" i -> (CAST({vec}[i] AS DOUBLE) - CAST({cent}[i] AS DOUBLE))"
+        f" * (CAST({vec}[i] AS DOUBLE) - CAST({cent}[i] AS DOUBLE))))"
+    )
+
+
+_X40_BITS = ",\n             ".join(
+    f"CASE WHEN ROUND({_sql_sub_sqdist('e.embedding', 'c.c1', s)}, 6)"
+    f" < ROUND({_sql_sub_sqdist('e.embedding', 'c.c0', s)}, 6)"
+    f" THEN 1 ELSE 0 END AS b{s}"
+    for s in range(4)
+)
+
+
+@query(
+    "x40_pq_encode",
+    oracle=f"""
+    WITH c AS (
+      SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0) AS c0,
+             (SELECT embedding FROM embeddings WHERE vec_id = 1) AS c1
+    ),
+    bits AS (
+      SELECT e.vec_id, e.label,
+             {_X40_BITS}
+      FROM embeddings e CROSS JOIN c
+    )
+    SELECT vec_id, label,
+           CAST(b0 * 8 + b1 * 4 + b2 * 2 + b3 AS BIGINT) AS pq_code
+    FROM bits
+    """,
+)
+def x40_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization encoding, the building block of
+    billion-scale ANN indexes (IVF-PQ): the 64-dim vector splits into
+    4 subspaces of 16 dims, each assigned to its nearest codebook
+    centroid (a frozen 2-entry codebook per subspace — the embeddings
+    of the two lowest vec_ids), packing the vector into a 4-bit code.
+    Real systems train 256-entry codebooks with k-means (x20's
+    machinery); the frozen codebook keeps this leg exactly
+    oracle-checkable with the x39 determinism rules (left-to-right
+    double folds, round-before-argmin, tie to centroid 0).
+    Scale: codebooks broadcast (1-row cross join); encoding is a
+    map-only scan pass — each vector compresses 64×4 bytes to ≤1 byte
+    of code without shuffling anything."""
+    e = load(spark, sf, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("c0"))
+        .crossJoin(e.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("c1")))
+    )
+
+    def sub_sqdist(cent: str, s: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice("embedding", s * 16 + 1, 16),
+                F.slice(cent, s * 16 + 1, 16),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = [
+        F.when(
+            F.round(sub_sqdist("c1", s), 6) < F.round(sub_sqdist("c0", s), 6), 1
+        ).otherwise(0)
+        for s in range(4)
+    ]
+    code = (bits[0] * 8 + bits[1] * 4 + bits[2] * 2 + bits[3]).cast("long")
+    return e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", code.alias("pq_code")
+    )
+
+
+@query(
+    "x41_stratified_fixed_n",
+    oracle="""
+    SELECT doc_id, lang, rn FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('fix42|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def x41_stratified_fixed_n(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size stratified sample: exactly min(20, |stratum|) docs
+    per language, chosen by a salted-hash order so the sample is
+    deterministic, uniform within each stratum, and stable under
+    corpus growth *of other strata* — the balanced-eval-set
+    complement to x18's Bernoulli-style proportional sampler.
+    Scale: one shuffle on the stratum key; WindowGroupLimit pushes
+    the rank-≤-20 cut below the sort, so each task keeps a 20-row
+    heap rather than sorting its stratum."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("fix42|"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )

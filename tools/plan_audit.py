@@ -31,6 +31,8 @@ NLJ_OK = {
     "x27_lsh_ann",
     # 1-row broadcast cross join attaching the corpus-total scalar
     "x37_unigram_surprisal",
+    # 1-row broadcast cross joins attaching the frozen PQ codebooks
+    "x40_pq_encode",
 }
 #: queries where a single-partition exchange is inherent (global top-k)
 SINGLE_OK = {"o2_top_n"}
