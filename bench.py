@@ -44,6 +44,7 @@ HEADLINE = [
     "x1_exact_dedup",
     "x28_sequence_pack",
     "x30_embedding_outliers",
+    "x42_training_pipeline",
     "p1_pruned_scan",
     "f8_explode_words",
     # table-layer lifecycle: create→append→(prune/delete)→scan

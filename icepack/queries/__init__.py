@@ -106,6 +106,7 @@ PRIORITY: list[str] = [
     "x39_kmeans_assign",
     "x40_pq_encode",
     "x41_stratified_fixed_n",
+    "x42_training_pipeline",
     # TPC-H battery
     "a4_tpch_q1",
     "a4_tpch_q3",

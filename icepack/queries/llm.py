@@ -2119,3 +2119,98 @@ def x41_stratified_fixed_n(spark: SparkSession, sf: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 20)
     )
+
+
+@query(
+    "x42_training_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w FROM documents
+    ),
+    q AS (
+      SELECT * FROM base
+      WHERE len(w) BETWEEN 30 AND 1000
+        AND len(list_distinct(w)) * 10 > len(w) * 3
+    ),
+    dedup AS (
+      SELECT doc_id, lang, w FROM (
+        SELECT doc_id, lang, w,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM q
+      ) WHERE rn = 1
+    ),
+    sp AS (
+      SELECT doc_id, lang, w,
+             CASE
+               WHEN substring(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 2)
+                    < '0d' THEN 'test'
+               WHEN substring(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 2)
+                    < '1a' THEN 'val'
+               ELSE 'train'
+             END AS split
+      FROM dedup
+    ),
+    chunks AS (
+      SELECT split, lang, doc_id, w, unnest(range(1, len(w) + 1, 96)) AS s
+      FROM sp
+    )
+    SELECT split, lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(len(list_slice(w, s, least(s + 127, len(w))))) AS BIGINT)
+             AS n_tokens
+    FROM chunks GROUP BY 1, 2
+    """,
+)
+def x42_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The training-data pipeline end to end as ONE composed Catalyst
+    plan — the capstone the individual operators build toward: quality
+    gate (length band + integer-exact distinct-word ratio, x26-style)
+    → exact dedup keep-first on the content hash (x1) → deterministic
+    salted-hash split assignment (x35) → 128/96 context-window
+    chunking (x33) → per-(split, lang) doc/chunk/token census.
+
+    One plan means Catalyst sees the whole pipeline: the quality
+    filter runs inside the scan stage, dedup is the single wide
+    shuffle (16-byte content hash), and split/chunk/census run
+    map-side on its output — at 100 TB the corpus crosses the network
+    exactly once.  Every stage boundary is integer- or hash-exact, so
+    the composition is oracle-checked end to end, not just per
+    stage."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf, "documents").withColumn("w", F.split("text", " "))
+    n = F.size("w")
+    q = d.filter(
+        n.between(30, 1000)
+        & (F.size(F.array_distinct("w")) * 10 > n * 3)
+    )
+    dd = (
+        q.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    pfx = F.substring(
+        F.md5(F.concat(F.lit("split42|"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    sp = dd.withColumn(
+        "split",
+        F.when(pfx < "0d", "test").when(pfx < "1a", "val").otherwise("train"),
+    )
+    chunks = sp.select(
+        "split",
+        "lang",
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w), 96), s -> size(slice(w, s, 128)))")
+        ).alias("chunk_tok"),
+    )
+    return chunks.groupBy("split", "lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum("chunk_tok").cast("bigint").alias("n_tokens"),
+    )
