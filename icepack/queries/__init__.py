@@ -107,6 +107,8 @@ PRIORITY: list[str] = [
     "x40_pq_encode",
     "x41_stratified_fixed_n",
     "x42_training_pipeline",
+    "a17_exact_median",
+    "f11_calendar",
     # TPC-H battery
     "a4_tpch_q1",
     "a4_tpch_q3",

@@ -2485,3 +2485,57 @@ def a16_stickiness(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "a17_exact_median",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+           ROUND(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY 1
+    """,
+)
+def a17_exact_median(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT interpolated percentiles per group (both engines define
+    quantile_cont/percentile as linear interpolation on the sorted
+    values, so the results agree to rounding).  The exact form needs
+    the group's values materialized — right for dimension-sized groups
+    and reconciliation jobs; the streaming/100 TB path is the t-digest
+    style sketch in a3_approx_percentile, whose error this exact twin
+    bounds in tests."""
+    c = load(spark, sf, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("median_bal"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90_bal"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "f11_calendar",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(quarter(o_orderdate) AS INT) AS q,
+           CAST(isodow(o_orderdate) AS INT) AS dow_iso,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def f11_calendar(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-function parity battery: quarter, ISO day-of-week, ISO
+    week number, month end.  Dialect traps are normalized explicitly —
+    Spark's dayofweek() is 1=Sunday while DuckDB's isodow is 1=Monday,
+    so the Spark side uses weekday()+1 (0=Monday + 1 ≡ isodow); both
+    engines' weekofyear are ISO weeks.  Pure per-row expressions —
+    zero-shuffle scan pass with the filter pushed to parquet."""
+    o = load(spark, sf, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        F.to_date("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("dow_iso"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.last_day("o_orderdate").alias("month_end"),
+    )

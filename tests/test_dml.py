@@ -286,3 +286,72 @@ def test_mor_merge_equals_cow(spark, warehouse):
     c.compact()
     assert len(c.live_files(content="position-deletes")) == 0
     assert rows_sorted(c.toDF()) == rows_sorted(orders.filter("o_orderkey % 2 = 1"))
+
+
+def test_scd2_two_batches_history(spark, warehouse):
+    """Two consecutive CDC batches through the SCD2 composition (MERGE
+    close + append): history keeps every version, exactly one current
+    row per key, and valid_to chains versions without gaps."""
+    from pyspark.sql import functions as F
+
+    from icepack.dml import merge
+    from icepack.io import load
+    from icepack.table import IceTable
+
+    from tests.conftest import SF_DIR
+
+    cust = load(spark, SF_DIR, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit(1).cast("long").alias("version"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    t = IceTable.create(spark, warehouse, cust.schema)
+    t.append(cust)
+
+    def cdc(version, keys_mod):
+        return (
+            load(spark, SF_DIR, "customer")
+            .filter(F.col("c_custkey") % keys_mod == 0)
+            .select(
+                "c_custkey",
+                (F.col("c_acctbal") + 100.0 * version).alias("bal"),
+                F.lit(version).cast("long").alias("version"),
+                F.lit(None).cast("long").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            )
+        )
+
+    for version, keys_mod in [(2, 10), (3, 20)]:
+        batch = cdc(version, keys_mod)
+        merge(
+            t,
+            batch,
+            on=["c_custkey", "is_current"],
+            when_matched_update={
+                "is_current": F.lit(False),
+                "valid_to": F.lit(version).cast("long"),
+            },
+            when_not_matched_insert=False,
+        )
+        t.append(batch)
+
+    hist = t.toDF()
+    n_cust = load(spark, SF_DIR, "customer").count()
+    # one current row per key, and every key has one
+    cur = hist.filter("is_current")
+    assert cur.count() == n_cust
+    assert cur.select("c_custkey").distinct().count() == n_cust
+    # keys touched twice have 3 versions chained 1→2→3
+    thrice = hist.filter(F.col("c_custkey") % 20 == 0)
+    per_key = thrice.groupBy("c_custkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_current").cast("int")).alias("n_cur"),
+        F.max("version").alias("maxv"),
+    )
+    rows = per_key.collect()
+    assert rows and all(r.n == 3 and r.n_cur == 1 and r.maxv == 3 for r in rows)
+    # closed rows carry the closing batch's version stamp
+    closed = hist.filter(~F.col("is_current") & (F.col("c_custkey") % 20 == 0))
+    assert {(r.version, r.valid_to) for r in closed.collect()} == {(1, 2), (2, 3)}
