@@ -416,6 +416,58 @@ class IceTable:
         live = {f.path for f in self.live_files()}
         return self._commit_snapshot("overwrite", self._write_data_files(df), live)
 
+    def add_files(self, paths: list[str]) -> Snapshot:
+        """Register existing parquet files as table data WITHOUT
+        rewriting or moving them — the Iceberg migration path: parquet
+        is engine-neutral (docs/11-multi-engine-compatibility.md:31-42),
+        a table is metadata over files, so adopting foreign files is a
+        metadata-only commit.  Footer stats are harvested exactly like
+        native writes, so min/max file pruning works immediately; the
+        files keep their external location (orphan cleanup only scans
+        the table directory, so adopted files are never collected).
+
+        Requires an unpartitioned current spec: partition tuples for
+        foreign files cannot be derived safely (no transform was
+        applied at write time).  Every table column must exist in each
+        file's footer — extra file columns are ignored by the
+        name-based read projection."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        spec, schema = self.meta.spec, self.meta.schema
+        if spec.fields:
+            raise ValueError(
+                "add_files requires an unpartitioned table; compact() after "
+                "adoption to re-layout, or append() to apply the spec"
+            )
+        names = {f.name for f in schema.fields}
+        paths = sorted(os.path.abspath(p) for p in paths)
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as pool:
+            harvested = list(pool.map(harvest_stats, paths))
+        import pyarrow.parquet as _pq
+
+        entries = []
+        for path, (nrows, size, stats) in zip(paths, harvested):
+            missing = names - set(_pq.read_schema(path).names)
+            if missing:
+                raise ValueError(
+                    f"file {path} lacks table columns {sorted(missing)}"
+                )
+            if nrows == 0:
+                continue
+            entries.append(
+                DataFile(
+                    path=path,
+                    status="added",
+                    partition={},
+                    spec_id=spec.spec_id,
+                    schema_id=schema.schema_id,
+                    record_count=nrows,
+                    file_size_bytes=size,
+                    stats=stats,
+                )
+            )
+        return self._commit_snapshot("append", entries)
+
     # -- read path (S1/S8/T2, scan planning §3.1) --------------------------
 
     def live_files(

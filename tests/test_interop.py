@@ -53,3 +53,68 @@ def test_duckdb_reads_time_travel_snapshot(spark, warehouse):
     assert _duck_rows(paths, "o_orderkey") == _spark_rows(
         t.toDF(snapshot=old), "o_orderkey"
     )
+
+
+def test_add_files_adopts_duckdb_parquet(spark, warehouse, tmp_path):
+    """docs/11 migration path: parquet written by ANOTHER ENGINE
+    (DuckDB COPY TO) is adopted via add_files as a metadata-only
+    commit — rows readable, footer stats prune, time travel sees the
+    adoption as a normal snapshot, and native appends coexist."""
+    import os
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from icepack.expr import col
+    from icepack.table import IceTable
+
+    from tests.conftest import SF_DIR
+
+    ext = str(tmp_path / "ext")
+    os.makedirs(ext)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (SELECT o_orderkey, o_totalprice FROM '{SF_DIR}/orders.parquet'
+              WHERE o_orderkey <= 500 ORDER BY o_orderkey)
+        TO '{ext}/low.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (SELECT o_orderkey, o_totalprice FROM '{SF_DIR}/orders.parquet'
+              WHERE o_orderkey > 500 ORDER BY o_orderkey)
+        TO '{ext}/high.parquet' (FORMAT PARQUET)
+        """
+    )
+    base = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = IceTable.create(spark, warehouse, base.schema)
+    s1 = t.add_files([f"{ext}/low.parquet", f"{ext}/high.parquet"])
+    got = t.toDF()
+    assert got.count() == base.count()
+    import pytest as _pt
+
+    assert got.agg(F.sum("o_totalprice")).collect()[0][0] == _pt.approx(
+        base.agg(F.sum("o_totalprice")).collect()[0][0], rel=1e-12
+    )
+    # footer stats from the foreign files drive min/max pruning
+    files, report = t.plan_files(col("o_orderkey") <= 100)
+    assert len(files) == 1 and files[0].path.endswith("low.parquet")
+    assert report["files_total"] == 2
+    # native append coexists; time travel isolates the adoption
+    t.append(base.withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000))
+    assert t.toDF().count() == 2 * base.count()
+    assert t.toDF(snapshot=t.as_of(snapshot_id=s1.snapshot_id)).count() == base.count()
+    # partitioned tables refuse adoption (no derivable partition tuple)
+    t2 = IceTable.create(
+        spark,
+        str(tmp_path / "wh2"),
+        base.schema,
+        partition_by=[("o_orderkey", "bucket[4]")],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t2.add_files([f"{ext}/low.parquet"])
