@@ -84,6 +84,7 @@ PRIORITY: list[str] = [
     "ice26_incremental_dedup",
     "ice27_scd2",
     "ice28_json_ingest",
+    "ice29_add_files",
     # streaming batch twins
     "st1_tumbling_window",
     "st2_sliding_window",

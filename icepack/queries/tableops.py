@@ -845,3 +845,30 @@ def ice28_json_ingest(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "ice29_add_files",
+    oracle=f"""
+    SELECT {_ORDER_COLS} FROM orders WHERE o_orderkey <= 700
+    UNION ALL
+    SELECT {_ORDER_COLS} FROM orders WHERE o_orderkey > 700
+    """,
+)
+def ice29_add_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Migration path (docs/11): parquet files written OUTSIDE the
+    table layer are adopted with add_files — a metadata-only commit
+    (no rewrite, no move) that harvests footer stats so pruning works
+    immediately.  The scan of the adopted table must return exactly
+    the external files' rows."""
+    scratch = _scratch()
+    orders = load(spark, sf, "orders")
+    ext = scratch + "/external"
+    orders.filter("o_orderkey <= 700").coalesce(1).write.parquet(ext + "/low")
+    orders.filter("o_orderkey > 700").coalesce(1).write.parquet(ext + "/high")
+    import glob as _g
+
+    paths = sorted(_g.glob(ext + "/*/*.parquet"))
+    t = IceTable.create(spark, scratch + "/tbl", orders.schema)
+    t.add_files(paths)
+    return t.toDF()
