@@ -110,6 +110,7 @@ PRIORITY: list[str] = [
     "x42_training_pipeline",
     "a17_exact_median",
     "f11_calendar",
+    "a18_gapfill_lerp",
     # TPC-H battery
     "a4_tpch_q1",
     "a4_tpch_q3",

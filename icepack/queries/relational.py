@@ -2539,3 +2539,124 @@ def f11_calendar(spark: SparkSession, sf: str) -> DataFrame:
         F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
         F.last_day("o_orderdate").alias("month_end"),
     )
+
+
+@query(
+    "a18_gapfill_lerp",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               / (COUNT(*) * 100.0) AS v
+      FROM events WHERE event_id % 7 = 0
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
+    ),
+    spine AS (
+      SELECT b.event_type,
+             CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                         CAST(d1 AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds b
+    ),
+    joined AS (
+      SELECT s.event_type, s.d, daily.v
+      FROM spine s LEFT JOIN daily
+        ON daily.event_type = s.event_type AND daily.d = s.d
+    ),
+    filled AS (
+      SELECT event_type, d, v,
+             last_value(v IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER w_prev AS pd,
+             first_value(v IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER w_next AS nd
+      FROM joined
+      WINDOW
+        w_prev AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, d,
+           v IS NOT NULL AS observed,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * date_diff('day', pd, d)
+                       / CAST(date_diff('day', pd, nd) AS DOUBLE)
+           END AS v_filled
+    FROM filled
+    """,
+)
+def a18_gapfill_lerp(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap fill with linear interpolation (the hypertable
+    resampling primitive): sparse daily averages per key are densified
+    onto a per-key calendar spine (sequence+explode — f10's pattern),
+    then holes fill by interpolating between the nearest observed
+    neighbors, found with frame-bounded last/first IGNORE NULLS
+    windows.  Ends clamp to the nearest observation.
+
+    One shuffle partitions by key; the spine join and both windows
+    reuse it.  Per-key state is the key's date range — the operator's
+    cost is O(days), independent of raw event volume, which is what a
+    100 TB event table needs from its downsampling pass.  The fixture
+    values are cent-granular, so the daily mean is an exact-integer
+    ratio and the whole fill — lerp included — is bit-deterministic in
+    both engines with no rounding anywhere."""
+    ev = load(spark, sf, "events").filter(F.col("event_id") % 7 == 0)
+    # exact arithmetic end to end: values are cent-granular, so the
+    # daily mean is a ratio of exact integers and every downstream
+    # double op (lerp included) is correctly rounded on identical
+    # inputs in both engines — no cross-engine ROUND anywhere
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            / (F.count("*") * F.lit(100.0))
+        ).alias("v")
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("d"),
+        )
+    )
+    j = spine.join(daily, ["event_type", "d"], "left")
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    f = (
+        j.withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("pd", F.last(obs_d, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nd", F.first(obs_d, ignorenulls=True).over(wn))
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        "d", "pd"
+    ) / F.datediff("nd", "pd").cast("double")
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(lerp)
+    )
+    return f.select(
+        "event_type",
+        "d",
+        F.col("v").isNotNull().alias("observed"),
+        filled.alias("v_filled"),
+    )
