@@ -111,6 +111,7 @@ PRIORITY: list[str] = [
     "a17_exact_median",
     "f11_calendar",
     "a18_gapfill_lerp",
+    "a19_copurchase",
     # TPC-H battery
     "a4_tpch_q1",
     "a4_tpch_q3",

@@ -2660,3 +2660,52 @@ def a18_gapfill_lerp(spark: SparkSession, sf: str) -> DataFrame:
         F.col("v").isNotNull().alias("observed"),
         filled.alias("v_filled"),
     )
+
+
+@query(
+    "a19_copurchase",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+)
+def a19_copurchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence (the support-counting kernel of
+    association mining): part pairs appearing together in ≥3 orders.
+    Pair generation is blocked PER ORDER — one groupBy collects the
+    order's distinct parts (basket-sized arrays), pairs expand inside
+    the row, and the only other exchange is the pair-count rollup.
+    The oracle spells the same thing as a self-join; at 100 TB that
+    self-join re-shuffles the full fact table twice, while the basket
+    form shuffles it once and expansion stays O(basket²) per order —
+    baskets are bounded (AQE skew-split is the backstop for a
+    pathological mega-order)."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") > 1)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ps) - 1),"
+                " i -> transform(slice(ps, i + 1, size(ps) - i),"
+                " y -> struct(ps[i-1] AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 3)
+    )
