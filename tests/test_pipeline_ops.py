@@ -109,3 +109,33 @@ def test_chunk_dedup_survivor_is_minimal(spark):
     for r in rows:
         assert r.n_copies >= 2
         assert r.keep_key // 1000 == r.keep_doc
+
+
+def test_fast_lsh_finds_all_exact_duplicates(spark):
+    """The xxhash64 production LSH path (icepack.dedup): identical
+    texts have identical signatures, so every exact-duplicate pair
+    MUST collide in every band — recall 1.0 on exact dups, run-to-run
+    deterministic, and ids ordered a < b."""
+    from icepack.dedup import lsh_candidate_pairs
+    from icepack.io import load
+
+    # the fixtures have no exact text duplicates — construct them:
+    # every (doc, shifted copy) pair is ground truth the LSH MUST find
+    base = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 100_000)
+    )
+    pairs = lsh_candidate_pairs(docs).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert all(a < b for a, b in got)
+    want = {
+        (r.doc_id, r.doc_id + 100_000)
+        for r in base.filter(F.size(F.split("text", " ")) >= 3).collect()
+    }
+    assert want and want <= got
+    # deterministic
+    again = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(docs).collect()}
+    assert got == again
+    # 16-hash / 8-band config keeps exact-dup recall too
+    wide = lsh_candidate_pairs(docs, num_hashes=16, bands=8)
+    assert {(r.id_a, r.id_b) for r in wide.collect()} >= want
