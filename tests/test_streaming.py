@@ -322,3 +322,60 @@ def test_record_breakers_matches_batch_twin(spark, tmp_path):
         (r.event_type, r.event_id, r.value, r.prev_record) for r in twin.collect()
     }
     assert got == want and len(want) >= 6
+
+
+def test_record_breakers_state_survives_restart(spark, tmp_path):
+    """State-store durability: run the detector over batch 1 with a
+    checkpoint, STOP the query, land batch 2, restart from the same
+    checkpoint — the per-key running max must carry across the restart
+    (no re-emission, no reset), matching the batch twin over the full
+    history."""
+    import datetime as dt
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from icepack.streaming import record_breakers
+
+    base = dt.datetime(2024, 1, 1)
+    schema = "event_id long, event_type string, ts timestamp, value double"
+    src = str(tmp_path / "rbr-src")
+    ckpt = str(tmp_path / "rbr-ckpt")
+
+    batch1 = [(0, "a", base, 5.0), (1, "a", base + dt.timedelta(minutes=1), 3.0)]
+    # 4.0 is under the carried max 5.0 → must NOT re-emit after restart;
+    # 9.0 breaks it
+    batch2 = [
+        (2, "a", base + dt.timedelta(minutes=2), 4.0),
+        (3, "a", base + dt.timedelta(minutes=3), 9.0),
+    ]
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        got: set = set()
+
+        def sink(bdf, _bid):
+            got.update(
+                (r.event_id, r.value, r.prev_record) for r in bdf.collect()
+            )
+
+        q = (
+            record_breakers(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    first = run_batch(batch1)
+    assert first == {(0, 5.0, None)}
+    second = run_batch(batch2)
+    # only the genuine new record emits after restart, breaking the
+    # max carried in the state store
+    assert second == {(3, 9.0, 5.0)}
