@@ -112,6 +112,7 @@ PRIORITY: list[str] = [
     "f11_calendar",
     "a18_gapfill_lerp",
     "a19_copurchase",
+    "a20_share_of_total",
     # TPC-H battery
     "a4_tpch_q1",
     "a4_tpch_q3",

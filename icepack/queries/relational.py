@@ -2709,3 +2709,55 @@ def a19_copurchase(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= 3)
     )
+
+
+@query(
+    "a20_share_of_total",
+    oracle="""
+    WITH seg AS (
+      SELECT date_trunc('month', o.o_orderdate) AS m, c.c_mktsegment,
+             ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT CAST(m AS TIMESTAMP) AS order_month, c_mktsegment, rev,
+           ROUND(rev / SUM(rev) OVER (PARTITION BY m), 6) AS share
+    FROM seg
+    """,
+)
+def a20_share_of_total(spark: SparkSession, sf: str) -> DataFrame:
+    """Ratio-to-report: each segment's share of its month's revenue via
+    an unframed window SUM over the aggregate — the two-level rollup
+    every BI layer asks for without a self-join back to the totals.
+    The window partitions by the month key the aggregation just
+    shuffled on, so it reuses that exchange (no extra wide op).
+    Cross-engine determinism: the share divides the ROUNDED segment
+    revenues; the window total's fold order is engine-internal, so the
+    share rounds to 6 places (drift ~1e-16 can't reach the boundary)."""
+    li = load(spark, sf, "lineitem")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    seg = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias(
+                "order_month"
+            ),
+            "c_mktsegment",
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("rev")
+        )
+    )
+    w = W.partitionBy("order_month")
+    return seg.select(
+        "order_month",
+        "c_mktsegment",
+        "rev",
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
+    )
