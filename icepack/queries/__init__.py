@@ -113,6 +113,7 @@ PRIORITY: list[str] = [
     "a18_gapfill_lerp",
     "a19_copurchase",
     "a20_share_of_total",
+    "o8_histogram",
     # TPC-H battery
     "a4_tpch_q1",
     "a4_tpch_q3",

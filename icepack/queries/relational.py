@@ -2761,3 +2761,37 @@ def a20_share_of_total(spark: SparkSession, sf: str) -> DataFrame:
         "rev",
         F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
     )
+
+
+@query(
+    "o8_histogram",
+    oracle="""
+    SELECT CAST((CAST(round(o_totalprice * 100) AS BIGINT) - 0)
+                // 2500000 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def o8_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width histogram (25k-wide price bins): binning is exact
+    integer arithmetic on cent-granular values — `(cents // width)`
+    can't disagree across engines the way float width_bucket edges
+    can.  One map-side-combining aggregation on a derived integer key;
+    the same shape computes any profiling histogram at 100 TB, where
+    the cardinality of the groupBy is the bin count, not the row
+    count."""
+    o = load(spark, sf, "orders")
+    return (
+        o.withColumn(
+            "bin",
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 2500000"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
