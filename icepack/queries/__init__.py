@@ -114,6 +114,7 @@ PRIORITY: list[str] = [
     "a19_copurchase",
     "a20_share_of_total",
     "o8_histogram",
+    "x43_pii_scan",
     # TPC-H battery
     "a4_tpch_q1",
     "a4_tpch_q3",

@@ -2214,3 +2214,65 @@ def x42_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_chunks"),
         F.sum("chunk_tok").cast("bigint").alias("n_tokens"),
     )
+
+
+#: PII detector patterns — deliberately simple enough to mean the same
+#: thing in Java regex (Spark) and RE2 (DuckDB): no lookarounds, no
+#: backrefs.
+PII_PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phones": r"\d{3}[-.]\d{3}[-.]\d{4}",
+    "ipv4s": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row PII hit counts for every pattern in :data:`PII_PATTERNS`
+    (adds one ``n_<kind>`` column per pattern).  Pure per-row
+    ``regexp_extract_all`` — a zero-shuffle scan pass, which is the
+    only acceptable shape for a 100 TB pre-training redaction sweep.
+    Redaction itself is ``regexp_replace`` with the same patterns;
+    counting first is how pipelines budget the rewrite."""
+    out = df
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(text_col, F.lit(pat), F.lit(0))).cast(
+                "long"
+            ),
+        )
+    return out
+
+
+@query(
+    "x43_pii_scan",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))) AS BIGINT)
+             AS n_emails,
+           CAST(SUM(len(regexp_extract_all(text,
+             '\\d{3}[-.]\\d{3}[-.]\\d{4}'))) AS BIGINT) AS n_phones,
+           CAST(SUM(len(regexp_extract_all(text,
+             '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}'))) AS BIGINT)
+             AS n_ipv4s
+    FROM documents GROUP BY 1
+    """,
+)
+def x43_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """PII exposure census per source shard: email/phone/IPv4 pattern
+    hits summed per source — the audit that decides whether a shard
+    needs the redaction rewrite before training.  The fixture corpus
+    is synthetic plain words, so every count is zero HERE — the
+    detection machinery itself is proven by
+    tests/test_pipeline_ops.py::test_pii_scan_detects_injected_pii,
+    which plants known PII and checks exact hits.  Scan shape:
+    per-row regexp (zero shuffles) + one tiny rollup."""
+    d = pii_counts(load(spark, sf, "documents"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_emails").alias("n_emails"),
+        F.sum("n_phones").alias("n_phones"),
+        F.sum("n_ipv4s").alias("n_ipv4s"),
+    )

@@ -139,3 +139,30 @@ def test_fast_lsh_finds_all_exact_duplicates(spark):
     # 16-hash / 8-band config keeps exact-dup recall too
     wide = lsh_candidate_pairs(docs, num_hashes=16, bands=8)
     assert {(r.id_a, r.id_b) for r in wide.collect()} >= want
+
+
+def test_pii_scan_detects_injected_pii(spark):
+    """Plant known PII into fixture docs and require exact hit counts
+    from the same pii_counts machinery the x43 census uses (which is
+    all-zeros on the clean synthetic corpus)."""
+    from icepack.queries.llm import pii_counts
+
+    docs = load(spark, SF_DIR, "documents").limit(10)
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" contact alice@example.com or bob.smith@corp.co.uk"),
+            F.lit(" call 555-867-5309 from 10.0.0.1"),
+        ),
+    )
+    got = pii_counts(planted).agg(
+        F.sum("n_emails").alias("e"),
+        F.sum("n_phones").alias("p"),
+        F.sum("n_ipv4s").alias("i"),
+    ).collect()[0]
+    assert (got.e, got.p, got.i) == (20, 10, 10)
+    clean = pii_counts(docs).agg(
+        F.sum("n_emails") + F.sum("n_phones") + F.sum("n_ipv4s")
+    ).collect()[0][0]
+    assert clean == 0
