@@ -85,6 +85,7 @@ PRIORITY: list[str] = [
     "ice27_scd2",
     "ice28_json_ingest",
     "ice29_add_files",
+    "ice30_csv_ingest",
     # streaming batch twins
     "st1_tumbling_window",
     "st2_sliding_window",

@@ -872,3 +872,46 @@ def ice29_add_files(spark: SparkSession, sf: str) -> DataFrame:
     t = IceTable.create(spark, scratch + "/tbl", orders.schema)
     t.add_files(paths)
     return t.toDF()
+
+
+@query(
+    "ice30_csv_ingest",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events WHERE event_id % 2 = 0 GROUP BY 1
+    """,
+)
+def ice30_csv_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Source breadth, CSV leg (with ice28's JSON leg this completes
+    the landing-format matrix): a headered CSV drop read with an
+    EXPLICIT schema — never inferSchema — into an icepack table.
+    Doubles survive the text round-trip bit-exactly (shortest-repr
+    write, exact parse), verified by the oracle's sum over the
+    original parquet.  The table layer stays parquet-only (the
+    reference's own storage restriction,
+    docs/02-parquet-data-storage.md:3-15): format conversion happens
+    exactly once, at ingest."""
+    scratch = _scratch()
+    ev = (
+        load(spark, sf, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    cdir = scratch + "/csv-src"
+    ev.write.option("header", True).csv(cdir)
+    src = (
+        spark.read.option("header", True)
+        .schema("event_id long, event_type string, value double")
+        .csv(cdir)
+    )
+    t = IceTable.create(spark, scratch + "/tbl", src.schema)
+    t.append(src)
+    return (
+        t.toDF()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )
