@@ -131,3 +131,51 @@ def test_funnel_single_data_shuffle(spark):
     assert "Join" not in plan
     # "Exchange (N)" matches tree nodes once (details print "(N) Exchange")
     assert plan.count("Exchange (") <= 2
+
+
+def test_contamination_broadcasts_eval_suite(spark):
+    """x22's train corpus must never shuffle: the eval shingle set
+    broadcasts, and the only hash-partitioned exchanges belong to the
+    shingle pipeline's doc repartition and the final pair rollup —
+    no Exchange keyed on the shingle hash."""
+    plan = _plan(spark, "x22_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(sh" not in plan
+
+
+def test_stratified_fixed_n_uses_group_limit(spark):
+    """x41's rank-≤-20 cut must push below the sort (per-task 20-row
+    heap, not a full stratum sort)."""
+    plan = _plan(spark, "x41_stratified_fixed_n")
+    assert "WindowGroupLimit" in plan
+
+
+def test_q5_supplier_side_broadcasts(spark):
+    """The composite supplier⋈nation⋈region side is dim-sized at any
+    SF: it must broadcast rather than fall to a sort-merge join that
+    shuffles the enriched fact."""
+    plan = _plan(spark, "a4_tpch_q5")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_pq_encode_is_map_only(spark):
+    """x40: beyond the two 1-row codebook broadcasts, encoding adds no
+    exchange — each vector compresses where it is scanned."""
+    plan = _plan(spark, "x40_pq_encode")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_training_pipeline_corpus_shuffles_once(spark):
+    """x42: exactly three exchanges — the dedup shuffle on the content
+    hash (the only one carrying corpus text) plus the census's
+    two-phase COUNT DISTINCT pair, which move only ids and counts.
+    The keep-first row_number must push down as WindowGroupLimit (a
+    per-task 1-row heap per content hash, not a full sort)."""
+    plan = _plan(spark, "x42_training_pipeline")
+    tree = plan.split("(1) ")[0]
+    assert tree.count("Exchange") == 3
+    assert "WindowGroupLimit" in plan
+    assert "md5" in plan
