@@ -47,6 +47,12 @@ def assigner(C: np.ndarray):
             - 2.0 * (V @ C.T)
             + (C * C).sum(axis=1)
         )
+        # round before argmin: numpy's pairwise summation and a SQL
+        # engine's sequential fold differ in the last ulp — collapsing
+        # to 6 places makes the assignment (and x20's oracle replay of
+        # it) engine-independent; argmin's first-minimum rule is the
+        # lowest-cluster tiebreak
+        d2 = np.round(d2, 6)
         idx = d2.argmin(axis=1)
         return pd.DataFrame(
             {"cluster": idx.astype("int32"), "sqdist": d2[np.arange(len(idx)), idx]}
@@ -72,7 +78,9 @@ def train_ivf(e: DataFrame, k: int = 4, iters: int = 3) -> np.ndarray:
                 F.posexplode("embedding").alias("pos", "v"),
             )
             .groupBy("cluster", "pos")
-            .agg(F.avg("v").alias("m"))
+            # round the update: the JVM's fold order and any oracle
+            # replay's fold order agree at 6 places (drift ~1e-13)
+            .agg(F.round(F.avg("v"), 6).alias("m"))
             .collect()
         )
         nxt = cents.copy()

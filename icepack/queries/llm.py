@@ -1126,7 +1126,57 @@ def x19_weighted_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("x20_kmeans_ivf")
+def _km_round_sql() -> str:
+    """Unrolled Lloyd's k-means oracle (K=4, 2 updates + final
+    assignment) — the SAME rounding discipline as icepack.ann:
+    centroid updates ROUND(AVG, 6), assignment orders on ROUND(dist, 6)
+    with lowest-cid ties, so the iterative Spark pipeline and this
+    single DuckDB statement replay identical trajectories."""
+    parts = ["""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    epos AS (
+      SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM e
+    ),
+    c0 AS (
+      SELECT vec_id AS cid, generate_subscripts(v, 1) AS pos, unnest(v) AS cval
+      FROM e WHERE vec_id < 4
+    )"""]
+    prev = "c0"
+    for n in (1, 2, 3):
+        parts.append(f""",
+    d{n} AS (
+      SELECT ep.vec_id, c.cid,
+             SUM((ep.val - c.cval) * (ep.val - c.cval)) AS dist
+      FROM epos ep JOIN {prev} c ON ep.pos = c.pos
+      GROUP BY 1, 2
+    ),
+    a{n} AS (
+      SELECT vec_id, cid, ROUND(dist, 6) AS rdist FROM d{n}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY ROUND(dist, 6), cid) = 1
+    )""")
+        if n < 3:
+            parts.append(f""",
+    u{n} AS (
+      SELECT a.cid, ep.pos, ROUND(AVG(ep.val), 6) AS cval
+      FROM a{n} a JOIN epos ep ON ep.vec_id = a.vec_id
+      GROUP BY 1, 2
+    ),
+    c{n} AS (
+      SELECT p.cid, p.pos, COALESCE(u.cval, p.cval) AS cval
+      FROM {prev} p LEFT JOIN u{n} u ON u.cid = p.cid AND u.pos = p.pos
+    )""")
+            prev = f"c{n}"
+    parts.append("""
+    SELECT CAST(cid AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           ROUND(AVG(rdist), 2) AS avg_sqdist
+    FROM a3 GROUP BY 1
+    """)
+    return "".join(parts)
+
+
+@query("x20_kmeans_ivf", oracle=_km_round_sql())
 def x20_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF coarse-quantizer TRAINING: distributed Lloyd's k-means over
     the embedding column (the centroids x6's docstring promises at
@@ -1139,10 +1189,14 @@ def x20_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
     lowest vec_ids, ties break to the lowest cluster index, and
     iteration count is fixed — invariants (monotone inertia, count
     conservation, run-to-run stability) are pytest-checked
-    (tests/test_scale_patterns.py); no SQL oracle — k-means is
-    iterative, beyond a single DuckDB statement (rows-only check).
-    Training/search live in ``icepack/ann.py`` (``train_ivf`` /
-    ``ivf_topk``, recall invariants in tests/test_ann.py)."""
+    (tests/test_scale_patterns.py).  ORACLE-CHECKED despite being
+    iterative: the fixed 3-assignment trajectory unrolls into one
+    DuckDB statement (``_km_round_sql``), and both sides share the
+    rounding discipline (centroid updates ROUND(avg, 6), assignment on
+    ROUND(dist, 6), lowest-cid ties) that makes the trajectories
+    engine-independent.  Training/search live in ``icepack/ann.py``
+    (``train_ivf`` / ``ivf_topk``, recall invariants in
+    tests/test_ann.py)."""
     from ..ann import assigner, train_ivf
 
     K, ITERS = 4, 3
