@@ -59,6 +59,16 @@ def type_to_str(t: T.DataType) -> str:
 def type_from_str(s: str) -> T.DataType:
     if s in _ATOMIC:
         return _ATOMIC[s]
+    if s == "time":
+        # Iceberg `time` primitive (docs/06-schema-evolution.md:94-110):
+        # microseconds since midnight.  Spark 4.1 has a TimeType but its
+        # parquet writer rejects it (UNSUPPORTED_TIME_TYPE), so the
+        # runtime representation is LongType micros — the same physical
+        # encoding Iceberg uses on disk.  The field's metadata type
+        # string stays "time" (NestedField.type is stored verbatim), so
+        # the logical type round-trips through metadata while every
+        # engine reads the column as int64 micros.
+        return T.LongType()
     # decimal(p,s), array<...>, map<...>, struct<...>
     return T._parse_datatype_string(s)
 

@@ -48,75 +48,30 @@ def load_all_modules() -> None:
 
 
 #: Names the driver should evaluate first.  The correctness harness
-#: walks ``queries()`` in iteration order with a bounded budget (round 1
-#: stopped after exactly the first 50 entries), so this list front-loads
-#: one representative of every operator family plus entries that still
-#: lack hash-match evidence; everything else follows in registration
-#: order.  Rotate per round to accumulate coverage.
+#: walks ``queries()`` in iteration order with a bounded budget (~50
+#: entries per round), so this STATIC list front-loads what most needs
+#: fresh hash evidence; everything else follows in registration order.
+#: The ordering is deliberately a source-code constant — updated by hand
+#: each round from the published CORRECTNESS_r*.json — so library
+#: iteration order never depends on untracked files in the environment
+#: (same input -> same order, everywhere).
+#:
+#: Round-3 snapshot: first the 4 queries sampled-but-not-green in
+#: r01/r02 (x28/x29/a15 carried a now-fixed oracle type bug; x20 was
+#: r01 ``no_oracle`` and has since gained an exact oracle), then the 62
+#: queries no driver round has sampled yet, then a regression re-sample
+#: of evidenced representatives of each operator family so prior greens
+#: can't silently rot.
 PRIORITY: list[str] = [
-    "a0_gold_daily",
-    # table layer (the genuinely novel code — SURVEY §2.8-2.10)
-    "ice1_create_append_read",
-    "ice2_time_travel",
-    "ice5_merge",
-    "ice7_hidden_partition_prune",
-    "ice3_delete_cow",
-    "ice4_update",
-    "ice6_schema_evolution",
-    "ice8_metadata_tables",
-    "ice9_compact_expire",
-    "ice10_mor_delete",
-    "ice11_incremental_read",
-    "ice12_sql_over_table",
-    "ice13_medallion",
-    "ice14_refs_rollback",
-    "ice15_mor_position_delete",
-    "ice16_mor_update",
-    "ice17_zorder_compact",
-    "ice18_sorted_write",
-    "ice19_partition_evolution",
-    "ice20_wap",
-    "ice21_query_history",
-    "ice22_cdc_diff",
-    "ice23_orphan_cleanup",
-    "ice24_rewrite_manifests",
-    "ice25_sql_surface",
-    "ice26_incremental_dedup",
-    "ice27_scd2",
-    "ice28_json_ingest",
-    "ice29_add_files",
-    "ice30_csv_ingest",
-    # streaming batch twins
-    "st1_tumbling_window",
-    "st2_sliding_window",
-    "st3_session_window",
-    "st5_dedup",
-    "st7_stream_join",
-    # fixed this round — need fresh hash evidence
+    # sampled in r01/r02 but not green — fixed, need fresh evidence
     "x28_sequence_pack",
     "x29_vocab_stats",
-    # new this round
-    "x33_doc_chunking",
-    "x34_chunk_dedup",
-    "x35_train_split",
-    "x36_minhash_estimate",
-    "a14_cohort_retention",
     "a15_sessionize_gap",
-    "x37_unigram_surprisal",
-    "x38_ngram_novelty",
-    "a16_stickiness",
-    "x39_kmeans_assign",
-    "x40_pq_encode",
-    "x41_stratified_fixed_n",
+    "x20_kmeans_ivf",
+    # never driver-sampled (62) — accumulate coverage
     "x42_training_pipeline",
-    "a17_exact_median",
-    "f11_calendar",
-    "a18_gapfill_lerp",
-    "a19_copurchase",
-    "a20_share_of_total",
-    "o8_histogram",
     "x43_pii_scan",
-    # TPC-H battery
+    "a1_groupby_count",
     "a4_tpch_q1",
     "a4_tpch_q3",
     "a4_tpch_q4",
@@ -133,10 +88,6 @@ PRIORITY: list[str] = [
     "a4_tpch_q18",
     "a4_tpch_q19",
     "a4_tpch_q22",
-    # joins / windows / aggs / sorts / functions not yet hash-checked
-    "j8_salted_join",
-    "j9_null_safe_join",
-    "a1_groupby_count",
     "a3_approx_distinct",
     "a5_scalar_subquery",
     "a5_correlated_subquery",
@@ -150,6 +101,12 @@ PRIORITY: list[str] = [
     "a11_salted_agg",
     "a12_funnel",
     "a13_skyline",
+    "a17_exact_median",
+    "a18_gapfill_lerp",
+    "a19_copurchase",
+    "a20_share_of_total",
+    "j8_salted_join",
+    "j9_null_safe_join",
     "w1_topk_per_group",
     "w1_rank_family",
     "w2_lag_gap",
@@ -163,6 +120,7 @@ PRIORITY: list[str] = [
     "o4_except",
     "o6_unpivot",
     "o7_nulls_ordering",
+    "o8_histogram",
     "f1_date_trunc",
     "f2_date_parts",
     "f3_date_arith",
@@ -172,44 +130,28 @@ PRIORITY: list[str] = [
     "f8_explode_words",
     "f9_math",
     "f10_date_spine",
+    "f11_calendar",
+    # evidenced regression re-sample — one per operator family
+    "a0_gold_daily",
+    "ice1_create_append_read",
+    "ice2_time_travel",
+    "ice5_merge",
+    "ice7_hidden_partition_prune",
+    "ice13_medallion",
+    "ice22_cdc_diff",
+    "st1_tumbling_window",
+    "st5_dedup",
+    "x1_exact_dedup",
+    "x3_minhash_lsh",
+    "x5_cosine_topk",
+    "x22_contamination",
 ]
 
 
-def _evidenced() -> set[str]:
-    """Query names already hash-matched in a prior round's
-    ``CORRECTNESS_r*.json`` (written by the driver next to this repo).
-    Used to auto-rotate the evaluation order: entries still lacking
-    evidence go first, so a bounded per-round correctness budget
-    accumulates full coverage across rounds."""
-    import glob
-    import json
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    seen: set[str] = set()
-    try:
-        for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-            with open(path) as f:
-                for name, rec in json.load(f).items():
-                    if isinstance(rec, dict) and rec.get("hash_match") is True:
-                        seen.add(name)
-    except Exception:
-        return set()
-    return seen
-
-
 def _ordered(d: dict[str, object]) -> dict[str, object]:
-    seen = _evidenced()
     prio = [n for n in PRIORITY if n in d]
     rest = [n for n in d if n not in set(prio)]
-    # within each tier, unevidenced entries first (stable order)
-    order = (
-        [n for n in prio if n not in seen]
-        + [n for n in rest if n not in seen]
-        + [n for n in prio if n in seen]
-        + [n for n in rest if n in seen]
-    )
-    return {n: d[n] for n in order}
+    return {n: d[n] for n in prio + rest}
 
 
 def all_queries() -> dict[str, QueryFn]:

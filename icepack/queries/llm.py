@@ -1009,7 +1009,9 @@ def x23_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
                                 ORDER BY ROUND(score, 6) DESC, term) AS rn
       FROM scored
     )
-    SELECT lang, term, ROUND(score, 4) AS tfidf, rn FROM ranked WHERE rn <= 5
+    SELECT lang, term, ROUND(score, 4) AS tfidf,
+           CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 5
     """,
 )
 def x17_tfidf_terms(spark: SparkSession, sf: str) -> DataFrame:
@@ -1215,7 +1217,8 @@ def x20_kmeans_ivf(spark: SparkSession, sf: str) -> DataFrame:
     "x25_edit_distance",
     oracle="""
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           levenshtein(substr(a.text, 1, 256), substr(b.text, 1, 256)) AS dist,
+           CAST(levenshtein(substr(a.text, 1, 256), substr(b.text, 1, 256))
+                AS INTEGER) AS dist,
            levenshtein(substr(a.text, 1, 256), substr(b.text, 1, 256)) <= 2 AS is_dup
     FROM documents a
     JOIN documents b
@@ -1404,8 +1407,9 @@ def _lsh_topk(spark: SparkSession, sf: str, radius: int) -> DataFrame:
                         / 2048.0) AS BIGINT) AS bin
       FROM toks
     )
-    SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens,
-           SUM(n_tok) / 2048.0 AS fill
+    SELECT source, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           CAST(SUM(n_tok) AS BIGINT) / 2048.0 AS fill
     FROM packed GROUP BY source, bin
     """,
 )
@@ -1452,7 +1456,7 @@ def x28_sequence_pack(spark: SparkSession, sf: str) -> DataFrame:
     ),
     tf AS (SELECT lang, w, COUNT(*) AS n FROM words GROUP BY 1, 2)
     SELECT lang,
-           SUM(n) AS n_tokens,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
            COUNT(*) AS n_types,
            CAST(COUNT(*) * 1000000 AS BIGINT) // CAST(SUM(n) AS BIGINT)
              AS ttr_ppm,
@@ -1723,19 +1727,20 @@ def x33_doc_chunking(spark: SparkSession, sf: str) -> DataFrame:
     )
     SELECT h AS chunk_md5, COUNT(*) AS n_copies,
            MIN(doc_id) AS keep_doc,
-           MIN(doc_id * 1000 + chunk_idx) AS keep_key
+           MIN({'d': doc_id, 'c': chunk_idx}).c AS keep_chunk
     FROM h GROUP BY h HAVING COUNT(*) > 1
     """,
 )
 def x34_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Sub-document (chunk-level) dedup: 64-token disjoint chunks,
     fingerprinted and grouped; groups with >1 copy report the canonical
-    survivor (lowest (doc_id, chunk_idx) — encoded as doc_id*1000+idx,
-    valid while docs stay under 1000 chunks; the fixture maxes at ~2).
-    This catches boilerplate shared across documents that whole-doc
-    dedup (x1) misses.  One hash shuffle on the 16-byte fingerprint —
-    the exact shape of the cross-shard dedup pass at 100 TB, where the
-    key is a hash, never the chunk text itself."""
+    survivor — the lexicographically lowest (doc_id, chunk_idx) pair,
+    taken as a struct MIN so it is exact for any chunk count (no
+    packed-integer encoding to overflow or collide).  This catches
+    boilerplate shared across documents that whole-doc dedup (x1)
+    misses.  One hash shuffle on the 16-byte fingerprint — the exact
+    shape of the cross-shard dedup pass at 100 TB, where the key is a
+    hash, never the chunk text itself."""
     d = load(spark, sf, "documents").withColumn("w", F.split("text", " "))
     chunks = d.select(
         "doc_id",
@@ -1753,7 +1758,9 @@ def x34_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_copies"),
             F.min("doc_id").alias("keep_doc"),
-            F.min(F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("keep_key"),
+            F.min(F.struct("doc_id", "chunk_idx"))
+            .getField("chunk_idx")
+            .alias("keep_chunk"),
         )
         .filter(F.col("n_copies") > 1)
     )
@@ -2144,7 +2151,7 @@ def x40_pq_encode(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "x41_stratified_fixed_n",
     oracle="""
-    SELECT doc_id, lang, rn FROM (
+    SELECT doc_id, lang, CAST(rn AS INTEGER) AS rn FROM (
       SELECT doc_id, lang,
              ROW_NUMBER() OVER (
                PARTITION BY lang

@@ -1452,7 +1452,8 @@ def a8_pivot(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "w1_topk_per_group",
     oracle="""
-    SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           CAST(rn AS INTEGER) AS rn
     FROM (
       SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
@@ -1988,7 +1989,7 @@ def a10_conditional_agg(spark: SparkSession, sf: str) -> DataFrame:
     "w4_ntile",
     oracle="""
     SELECT c_custkey, c_mktsegment,
-           ntile(4)       OVER w AS quartile,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
            ROUND(percent_rank() OVER w, 6) AS pct_rank,
            ROUND(cume_dist()    OVER w, 6) AS cume
     FROM customer
@@ -2347,7 +2348,7 @@ def a13_skyline(spark: SparkSession, sf: str) -> DataFrame:
     WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
     first AS (SELECT user_id, MIN(d) AS cohort_day FROM ud GROUP BY 1)
     SELECT f.cohort_day,
-           date_diff('day', f.cohort_day, ud.d) AS k,
+           CAST(date_diff('day', f.cohort_day, ud.d) AS INTEGER) AS k,
            COUNT(*) AS n_users
     FROM ud JOIN first f ON ud.user_id = f.user_id
     WHERE date_diff('day', f.cohort_day, ud.d) <= 7
@@ -2396,8 +2397,9 @@ def a14_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     ),
     s AS (
       SELECT user_id, event_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM o
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -263,11 +263,21 @@ def record_breakers_v2(stream_df: DataFrame) -> DataFrame:
     state is ONE double (a typed ValueState).
 
     GATED: the state-v2 Python driver worker needs ``protobuf`` at
-    runtime, which this container lacks — calling this raises from
-    Spark's runner init.  :func:`record_breakers` below is the same
-    operator on the v1 ``applyInPandasWithState`` API and is the
-    tested path; this variant documents the v2 shape so the swap is
-    one call-site rename where protobuf exists."""
+    runtime.  Where it is missing this raises a clear ImportError at
+    call time (fail-fast, rather than an opaque crash from Spark's
+    runner init mid-stream).  :func:`record_breakers` below is the
+    same operator on the v1 ``applyInPandasWithState`` API and is the
+    always-tested path; this variant is exercised by a skippable
+    pytest (tests/test_streaming.py) whenever protobuf is present, so
+    the swap is one call-site rename where it exists."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "record_breakers_v2 requires the 'protobuf' package "
+            "(transformWithStateInPandas state-v2 worker protocol); "
+            "use record_breakers() — same semantics on the v1 API"
+        ) from e
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -310,7 +320,7 @@ def record_breakers_v2(stream_df: DataFrame) -> DataFrame:
             "event_type string, event_id long, ts timestamp, value double,"
             " prev_record double",
             "Append",
-            "None",
+            "none",  # TimeModes string: no timers used
         )
     )
 

@@ -118,7 +118,7 @@ class IceTable:
     def create(
         spark: SparkSession,
         location: str,
-        schema: T.StructType,
+        schema: "T.StructType | IceSchema",
         partition_by: list[tuple[str, str]] | None = None,
         properties: dict | None = None,
     ) -> "IceTable":
@@ -126,11 +126,21 @@ class IceTable:
 
         ``partition_by``: ordered [(source_column, transform)] pairs,
         e.g. ``[("event_type", "identity"), ("ts", "day")]``.
+
+        ``schema`` may be a Spark StructType, or an :class:`IceSchema`
+        directly for Iceberg logical types with no native Spark
+        counterpart — e.g. a ``time`` field (micros since midnight),
+        which runs as LongType at the Spark layer while the metadata
+        keeps the ``time`` annotation.
         """
         location = os.path.abspath(location)
         mdir = os.path.join(location, "metadata")
         os.makedirs(mdir, exist_ok=True)
-        ice_schema = IceSchema.from_struct(schema)
+        ice_schema = (
+            schema
+            if isinstance(schema, IceSchema)
+            else IceSchema.from_struct(schema)
+        )
         pfields = []
         for i, (src, transform) in enumerate(partition_by or []):
             f = ice_schema.field_by_name(src)
@@ -429,8 +439,12 @@ class IceTable:
         Requires an unpartitioned current spec: partition tuples for
         foreign files cannot be derived safely (no transform was
         applied at write time).  Every table column must exist in each
-        file's footer — extra file columns are ignored by the
-        name-based read projection."""
+        file's footer with a compatible type (exact match or a permitted
+        widening, file narrower than table) — extra file columns are
+        ignored by the name-based read projection.  The input list is
+        deduplicated, and a path already live in the table is rejected:
+        adopting it again would double-count its rows in a metadata-only
+        commit."""
         from concurrent.futures import ThreadPoolExecutor
 
         spec, schema = self.meta.spec, self.meta.schema
@@ -440,18 +454,45 @@ class IceTable:
                 "adoption to re-layout, or append() to apply the spec"
             )
         names = {f.name for f in schema.fields}
-        paths = sorted(os.path.abspath(p) for p in paths)
+        paths = sorted({os.path.abspath(p) for p in paths})
+        already = {f.path for f in self.live_files()} & set(paths)
+        if already:
+            raise ValueError(
+                f"paths already live in table at {self.location}: {sorted(already)}"
+            )
         with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as pool:
             harvested = list(pool.map(harvest_stats, paths))
         import pyarrow.parquet as _pq
 
+        from pyspark.sql.pandas.types import from_arrow_type
+
+        # timestamp vs timestamp_ntz differ only in session-tz
+        # interpretation; name-based parquet read coerces them, so
+        # adoption treats the pair as compatible (both directions)
+        _TS_PAIR = {("timestamp", "timestamp_ntz"), ("timestamp_ntz", "timestamp")}
+
         entries = []
         for path, (nrows, size, stats) in zip(paths, harvested):
-            missing = names - set(_pq.read_schema(path).names)
+            fschema = _pq.read_schema(path)
+            missing = names - set(fschema.names)
             if missing:
                 raise ValueError(
                     f"file {path} lacks table columns {sorted(missing)}"
                 )
+            for f in schema.fields:
+                have = from_arrow_type(
+                    fschema.field(f.name).type, prefer_timestamp_ntz=True
+                ).simpleString()
+                want = f.spark_type().simpleString()
+                if (
+                    have != want
+                    and (have, want) not in PROMOTIONS
+                    and (have, want) not in _TS_PAIR
+                ):
+                    raise ValueError(
+                        f"file {path} column {f.name!r} has type {have}, "
+                        f"incompatible with table type {want}"
+                    )
             if nrows == 0:
                 continue
             entries.append(

@@ -76,3 +76,53 @@ def test_mixed_schema_files_union(spark, warehouse):
     total = df.agg(F.round(F.sum("balance"), 2)).first()[0]
     want = round(2 * c.agg(F.sum("c_acctbal")).first()[0], 2)
     assert abs(total - want) < 0.05
+
+
+def test_time_primitive_longtype_micros_roundtrip(spark, tmp_path):
+    """Iceberg `time` primitive (docs/06-schema-evolution.md:94-110):
+    Spark's parquet writer has no usable TIME type, so the schema layer
+    maps `time` -> LongType micros-since-midnight while the table
+    metadata keeps the `time` annotation verbatim.  Pin the full loop:
+    create with a time column, append, read back exact micros, metadata
+    string survives reload, min/max pruning works on the column, and
+    the written parquet stays engine-neutral (DuckDB reads int64)."""
+    import duckdb
+
+    from icepack.expr import col
+    from icepack.metadata import IceSchema, NestedField, type_from_str
+    from icepack.table import IceTable
+    from pyspark.sql import types as T
+
+    assert type_from_str("time") == T.LongType()
+    schema = IceSchema(
+        0,
+        [
+            NestedField(1, "id", "bigint", True),
+            NestedField(2, "wake", "time", False),
+        ],
+    )
+    t = IceTable.create(spark, str(tmp_path / "t"), schema)
+    # metadata keeps the logical annotation, runtime struct is long
+    assert t.meta.schema.field_by_name("wake").type == "time"
+    assert t.meta.schema.to_struct()["wake"].dataType == T.LongType()
+    us = lambda h, m, s: (h * 3600 + m * 60 + s) * 1_000_000  # noqa: E731
+    rows = [(1, us(6, 30, 0)), (2, us(12, 0, 15)), (3, us(23, 59, 59))]
+    t.append(spark.createDataFrame(rows, t.meta.schema.to_struct()))
+    assert sorted(tuple(r) for r in t.toDF().collect()) == sorted(rows)
+    # annotation survives a cold reload from disk
+    t2 = IceTable.load(spark, str(tmp_path / "t"))
+    assert t2.meta.schema.field_by_name("wake").type == "time"
+    # footer stats prune on the shim column like any long
+    t2.append(spark.createDataFrame([(4, us(1, 0, 0))], t.meta.schema.to_struct()))
+    files, report = t2.plan_files(col("wake") < us(2, 0, 0))
+    assert report["files_total"] > 1 and len(files) == 1
+    # engine-neutral: DuckDB sees plain int64 micros
+    paths = [f.path for f in t2.live_files()]
+    got = duckdb.sql(
+        f"SELECT wake FROM read_parquet({paths!r}) ORDER BY wake"
+    ).fetchall()
+    assert [g[0] for g in got] == sorted(r[1] for r in rows + [(4, us(1, 0, 0))])
+    # schema evolution can add a time column too
+    t2.add_column("alarm", "time")
+    assert t2.meta.schema.field_by_name("alarm").type == "time"
+    assert t2.toDF().schema["alarm"].dataType == T.LongType()

@@ -118,3 +118,64 @@ def test_add_files_adopts_duckdb_parquet(spark, warehouse, tmp_path):
 
     with _pytest.raises(ValueError):
         t2.add_files([f"{ext}/low.parquet"])
+
+def test_add_files_rejects_dup_and_incompatible(spark, warehouse, tmp_path):
+    """Adoption guards: the input list is deduplicated (one commit, no
+    double count), a path already live in the table is rejected (a
+    second metadata-only adoption would double-count rows), and a file
+    whose same-named column carries an incompatible type is rejected at
+    adoption time instead of failing or coercing at read time.  Widening
+    (file INT -> table BIGINT) stays allowed."""
+    import os
+
+    import duckdb
+    import pytest
+
+    from icepack.table import IceTable
+
+    from tests.conftest import SF_DIR
+
+    ext = str(tmp_path / "ext")
+    os.makedirs(ext)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (SELECT o_orderkey, o_totalprice FROM '{SF_DIR}/orders.parquet'
+              WHERE o_orderkey <= 500)
+        TO '{ext}/a.parquet' (FORMAT PARQUET)
+        """
+    )
+    base = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{ext}/a.parquet'"
+    ).fetchone()[0]
+    t = IceTable.create(spark, warehouse, base.schema)
+    # same path twice in ONE call: deduplicated, counted once
+    t.add_files([f"{ext}/a.parquet", f"{ext}/a.parquet"])
+    assert t.toDF().count() == n
+    # re-adopting a live path: refused
+    with pytest.raises(ValueError, match="already live"):
+        t.add_files([f"{ext}/a.parquet"])
+    assert t.toDF().count() == n
+    # same column name, incompatible type (VARCHAR vs DOUBLE): refused
+    con.execute(
+        f"""
+        COPY (SELECT o_orderkey, CAST(o_totalprice AS VARCHAR) AS o_totalprice
+              FROM '{SF_DIR}/orders.parquet' WHERE o_orderkey > 500)
+        TO '{ext}/bad.parquet' (FORMAT PARQUET)
+        """
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        t.add_files([f"{ext}/bad.parquet"])
+    # widening file INT -> table BIGINT is a permitted promotion
+    con.execute(
+        f"""
+        COPY (SELECT CAST(o_orderkey AS INTEGER) AS o_orderkey, o_totalprice
+              FROM '{SF_DIR}/orders.parquet' WHERE o_orderkey > 500)
+        TO '{ext}/narrow.parquet' (FORMAT PARQUET)
+        """
+    )
+    t.add_files([f"{ext}/narrow.parquet"])
+    assert t.toDF().count() == base.count()

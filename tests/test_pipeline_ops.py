@@ -104,11 +104,34 @@ def test_sessionize_gap_agrees_with_session_window(spark):
 
 def test_chunk_dedup_survivor_is_minimal(spark):
     """Every reported duplicate group keeps the lexicographically
-    smallest (doc_id, chunk_idx) and reports at least 2 copies."""
+    smallest (doc_id, chunk_idx) and reports at least 2 copies.  The
+    survivor doc is the struct-min's doc component by construction, so
+    keep_doc + keep_chunk must itself be a member of the group — check
+    it against an independent recomputation of group membership."""
     rows = QS["x34_chunk_dedup"](spark, SF_DIR).collect()
+    assert rows, "fixture corpus must contain duplicate chunks"
+    d = load(spark, SF_DIR, "documents").withColumn("w", F.split("text", " "))
+    members = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.expr("transform(sequence(1, size(w), 64), s -> slice(w, s, 64))")
+            ).alias("chunk_idx", "cw"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.md5(F.concat_ws(" ", "cw")).alias("chunk_md5"),
+        )
+        .collect()
+    )
+    by_md5: dict[str, list[tuple[int, int]]] = {}
+    for m in members:
+        by_md5.setdefault(m.chunk_md5, []).append((m.doc_id, m.chunk_idx))
     for r in rows:
         assert r.n_copies >= 2
-        assert r.keep_key // 1000 == r.keep_doc
+        grp = by_md5[r.chunk_md5]
+        assert (r.keep_doc, r.keep_chunk) == min(grp)
 
 
 def test_fast_lsh_finds_all_exact_duplicates(spark):

@@ -379,3 +379,47 @@ def test_record_breakers_state_survives_restart(spark, tmp_path):
     # only the genuine new record emits after restart, breaking the
     # max carried in the state store
     assert second == {(3, 9.0, 5.0)}
+
+
+def test_record_breakers_v2_gate(spark, tmp_path):
+    """State-v2 variant: without protobuf it must fail fast with a
+    clear ImportError naming the dependency (not an opaque runner
+    crash mid-stream); with protobuf present it must produce the same
+    record-breaker set as the v1 path's batch twin."""
+    import datetime as dt
+
+    from icepack.streaming import record_breakers_v2
+
+    rows = [
+        (0, "a", dt.datetime(2024, 1, 1, 0, 0), 1.0),
+        (1, "a", dt.datetime(2024, 1, 1, 0, 1), 3.0),
+        (2, "a", dt.datetime(2024, 1, 1, 0, 2), 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    src = str(tmp_path / "rb2-src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        import pytest
+
+        with pytest.raises(ImportError, match="protobuf"):
+            record_breakers_v2(stream)
+        return
+    q = (
+        record_breakers_v2(stream)
+        .writeStream.format("memory")
+        .queryName("rb2_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.value, r.prev_record)
+        for r in spark.table("rb2_out").collect()
+    }
+    assert got == {(0, 1.0, None), (1, 3.0, 1.0)}

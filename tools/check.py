@@ -66,6 +66,65 @@ def rows_equal(a, b):
     return True
 
 
+# DuckDB result types the driver's value-hash treats differently from
+# the Spark value even when every cell is numerically identical.  An
+# oracle must never produce these — cast in the SQL instead.
+BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "TIMESTAMP_NS", "TIME")
+
+
+def duck_col_types(con, sql: str) -> dict[str, str]:
+    """Bind (don't execute) the oracle and return {col: duckdb_type}."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+def spark_to_duck(dt: str) -> str | None:
+    """Canonical DuckDB spelling of a Spark dtype; None = don't compare
+    (complex type with no stable 1:1 mapping — banned-type scan still
+    applies)."""
+    dt = dt.strip().lower()
+    simple = {
+        "bigint": "BIGINT",
+        "int": "INTEGER",
+        "smallint": "SMALLINT",
+        "tinyint": "TINYINT",
+        "double": "DOUBLE",
+        "float": "FLOAT",
+        "string": "VARCHAR",
+        "boolean": "BOOLEAN",
+        "date": "DATE",
+        "timestamp": "TIMESTAMP",
+        "timestamp_ntz": "TIMESTAMP",
+        "binary": "BLOB",
+    }
+    if dt in simple:
+        return simple[dt]
+    if dt.startswith("decimal(") and dt.endswith(")"):
+        return "DECIMAL" + dt[7:]
+    if dt.startswith("array<") and dt.endswith(">"):
+        inner = spark_to_duck(dt[6:-1])
+        return None if inner is None else inner + "[]"
+    return None
+
+
+def type_mismatches(scols_dtypes: dict[str, str], dtypes: dict[str, str]):
+    """Exact Arrow-level fidelity check: banned oracle types always fail;
+    mapped Spark types must match the DuckDB spelling exactly."""
+    msgs = []
+    for col, dty in dtypes.items():
+        base = dty.split("(")[0].strip().rstrip("[]").strip()
+        if base in BANNED_DUCK_TYPES:
+            msgs.append(f"{col}: oracle type {dty} is driver-hash-hostile")
+            continue
+        sdt = scols_dtypes.get(col)
+        if sdt is None:
+            continue  # column-name mismatch reported separately
+        want = spark_to_duck(sdt)
+        if want is not None and dty.upper() != want.upper():
+            msgs.append(f"{col}: spark {sdt} -> expect {want}, oracle {dty}")
+    return msgs
+
+
 def main() -> int:
     filters = sys.argv[1:]
     spark = get_session("check")
@@ -108,6 +167,15 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             ok = False
             msgs.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        try:
+            tmsgs = type_mismatches(
+                dict(sdf.dtypes), duck_col_types(con, oracles[name])
+            )
+        except Exception as e:  # DESCRIBE should always bind; surface if not
+            tmsgs = [f"DESCRIBE failed: {e}"]
+        if tmsgs:
+            ok = False
+            msgs.append("types: " + "; ".join(tmsgs))
         if len(srows) != len(drows):
             ok = False
             msgs.append(f"rowcount spark={len(srows)} duck={len(drows)}")
