@@ -71,18 +71,30 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    # Two timed iterations, keep the min: single-shot timings on a
+    # Three timed iterations, keep the min: single-shot timings on a
     # shared box jitter 2-4× from GC pauses / compile stragglers (the
-    # full plan still executes end-to-end both times — min-of-N is the
-    # standard steady-state estimator, not a cache artifact).
+    # full plan still executes end-to-end every time — min-of-N is the
+    # standard steady-state estimator, not a cache artifact).  n=3
+    # (raised from 2) so a round-over-round delta is attributable to a
+    # plan change rather than one unlucky run.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.time()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             dt = round(time.time() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+
+    # Streaming-ingest leg (docs/12:211-236 bronze pattern): events as a
+    # bounded multi-batch file stream through the foreachBatch snapshot
+    # sink, timed end-to-end, with committed file sizes reported so the
+    # docs/02:84-88 small-file behavior is MEASURED per round, not just
+    # asserted in pytest.  Run once (a streaming query has fixed
+    # per-batch overhead that min-of-N would hide, and its cost is
+    # dominated by commit count, not data volume).
+    st_time, st_files = _bench_stream_ingest(spark, sf_dir)
+    timings["st0_stream_ingest"] = st_time
 
     total = round(sum(timings.values()), 3)
     print(
@@ -93,10 +105,61 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "stream_files": st_files,
             }
         )
     )
     spark.stop()
+
+
+def _bench_stream_ingest(spark, sf_dir: str) -> tuple[float, dict]:
+    """Bronze streaming ingest at bench scale: land events as 8 parquet
+    files, replay them as an AvailableNow stream (2 files/trigger = 4
+    micro-batches = 4 snapshot commits), coalesce each batch to one
+    file per commit (the docs' streaming file-sizing guidance).
+
+    Returns (seconds, file-size stats).  Scale note: at sf0.1 each
+    commit lands ~1/4 of events (~single-digit MB); the 64-128 MB
+    production band (docs/02:84-88) is reached by the same sink when a
+    trigger accumulates ~100× the rows — file size scales with batch
+    size, and compaction (ice9/M1) restores health for any residue."""
+    import shutil
+    import tempfile
+
+    from icepack.io import load
+    from icepack.streaming import write_stream_to_table
+    from icepack.table import IceTable
+
+    base = tempfile.mkdtemp(prefix="bench-stream-")
+    try:
+        ev = load(spark, sf_dir, "events")
+        src = os.path.join(base, "src")
+        ev.repartition(8).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+        )
+        table = IceTable.create(spark, os.path.join(base, "tbl"), schema)
+        t0 = time.time()
+        q = write_stream_to_table(
+            stream, table, os.path.join(base, "ckpt"), coalesce_to="auto"
+        )
+        q.awaitTermination(600)
+        dt = round(time.time() - t0, 3)
+        table.refresh()
+        sizes = sorted(f.file_size_bytes for f in table.live_files())
+        stats = {
+            "n_files": len(sizes),
+            "n_commits": len(table.meta.snapshots),
+            "min_bytes": sizes[0],
+            "mean_bytes": int(sum(sizes) / len(sizes)),
+            "max_bytes": sizes[-1],
+        }
+        return dt, stats
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 if __name__ == "__main__":

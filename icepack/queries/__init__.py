@@ -68,6 +68,8 @@ PRIORITY: list[str] = [
     "x29_vocab_stats",
     "a15_sessionize_gap",
     "x20_kmeans_ivf",
+    # new in r03
+    "ice31_mor_pipeline",
     # never driver-sampled (62) — accumulate coverage
     "x42_training_pipeline",
     "x43_pii_scan",

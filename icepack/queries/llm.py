@@ -2238,9 +2238,18 @@ def x42_training_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     exactly once.  Every stage boundary is integer- or hash-exact, so
     the composition is oracle-checked end to end, not just per
     stage."""
+    return pipeline_census(load(spark, sf, "documents"))
+
+
+def pipeline_census(docs: DataFrame) -> DataFrame:
+    """The x42 pipeline body over ANY documents-shaped DataFrame
+    (doc_id, lang, text): quality gate → exact dedup → split → chunk →
+    census.  Factored out so the composition can also run over an
+    icepack TABLE read (ice31 proves the same plan is MOR-transparent:
+    delete files merge at scan time below the whole pipeline)."""
     from pyspark.sql import Window as W
 
-    d = load(spark, sf, "documents").withColumn("w", F.split("text", " "))
+    d = docs.withColumn("w", F.split("text", " "))
     n = F.size("w")
     q = d.filter(
         n.between(30, 1000)

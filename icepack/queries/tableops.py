@@ -915,3 +915,80 @@ def ice30_csv_ingest(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "ice31_mor_pipeline",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w
+      FROM documents WHERE lang <> 'de'
+    ),
+    q AS (
+      SELECT * FROM base
+      WHERE len(w) BETWEEN 30 AND 1000
+        AND len(list_distinct(w)) * 10 > len(w) * 3
+    ),
+    dedup AS (
+      SELECT doc_id, lang, w FROM (
+        SELECT doc_id, lang, w,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM q
+      ) WHERE rn = 1
+    ),
+    sp AS (
+      SELECT doc_id, lang, w,
+             CASE
+               WHEN substring(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 2)
+                    < '0d' THEN 'test'
+               WHEN substring(md5('split42|' || CAST(doc_id AS VARCHAR)), 1, 2)
+                    < '1a' THEN 'val'
+               ELSE 'train'
+             END AS split
+      FROM dedup
+    ),
+    chunks AS (
+      SELECT split, lang, doc_id, w, unnest(range(1, len(w) + 1, 96)) AS s
+      FROM sp
+    )
+    SELECT split, lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(len(list_slice(w, s, least(s + 127, len(w))))) AS BIGINT)
+             AS n_tokens
+    FROM chunks GROUP BY 1, 2
+    """,
+)
+def ice31_mor_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The x42 training-data pipeline composed OVER a live
+    merge-on-read table: documents land in an icepack table, a
+    MOR DELETE drops one language as an equality-delete file (no data
+    rewrite — the deleted rows are still physically present in the
+    data files), then the full quality→dedup→split→chunk→census
+    pipeline runs on the table read.
+
+    What this pins: the MOR merge (anti-join against the delete file)
+    happens at SCAN level, underneath the entire composed Catalyst
+    plan — operators above the read never see deleted rows and never
+    know the table is MOR.  At 100 TB this is the everyday shape:
+    pipelines consume tables with in-flight deletes (GDPR erasure,
+    retraction feeds) without waiting for compaction, paying one
+    broadcast-sized anti-join at the scan instead of a table rewrite.
+    The oracle is the x42 SQL with the deleted language filtered at
+    base — equality by construction iff the delete file is applied
+    exactly."""
+    from .llm import pipeline_census
+
+    docs = load(spark, sf, "documents")
+    t = IceTable.create(
+        spark,
+        _scratch(),
+        docs.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "identifier-field-names": "doc_id",
+        },
+    )
+    t.append(docs)
+    t.delete(col("lang") == "de")
+    return pipeline_census(t.toDF())

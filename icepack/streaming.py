@@ -25,21 +25,38 @@ from pyspark.sql.streaming import StreamingQuery
 from .table import IceTable
 
 
+#: default streaming target file size: top of the 64-128 MB band the
+#: docs recommend for streaming commits (docs/02-parquet-data-storage.md:
+#: 84-88) — smaller than the 512 MB batch-write default because a
+#: streaming table compacts continuously and over-large targets make
+#: every commit coalesce to 1 task.
+STREAM_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
 def write_stream_to_table(
     stream_df: DataFrame,
     table: IceTable,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
-    coalesce_to: int | None = None,
+    coalesce_to: int | str | None = "auto",
 ) -> StreamingQuery:
     """Stream → icepack sink via foreachBatch append.
 
     ``coalesce_to`` bounds files-per-commit (streaming file sizing,
     docs/02-parquet-data-storage.md:84-88: many tiny commits → small
-    files; compaction restores health).  ``Trigger.AvailableNow`` gives
-    the incremental-batch pattern ST6 (process everything pending, then
-    stop) — the high-water-mark bronze→silver loop without manual
-    bookkeeping.
+    files; compaction restores health).  The default ``"auto"`` sizes
+    each commit's file count from the batch's estimated bytes —
+    observed bytes-per-row of the table's live files (footer truth, no
+    sampling) × batch rows ÷ the ``write.target-file-size-bytes``
+    table property (streaming default 128 MB) — so a small batch
+    commits ONE file while a huge backlog batch splits into ~target-
+    sized files instead of funneling through one task.  The first
+    batch into an empty table has no bytes-per-row evidence and keeps
+    its natural partitioning — the 2nd commit onward is sized.  Pass
+    an int to pin the file count, or None to keep Spark's layout.
+    ``Trigger.AvailableNow`` gives the incremental-batch pattern ST6
+    (process everything pending, then stop) — the high-water-mark
+    bronze→silver loop without manual bookkeeping.
 
     Exactly-once: foreachBatch is at-least-once (a crashed trigger
     re-delivers its batch id), so each commit records its
@@ -47,14 +64,40 @@ def write_stream_to_table(
     batch id that already committed is skipped — append + batch-id
     check happen under the same table CAS, mirroring the real Iceberg
     Spark sink's idempotence."""
+    import math
+
+    def _auto_file_count(batch_df: DataFrame) -> int | None:
+        live = table.live_files()
+        nbytes = sum(f.file_size_bytes for f in live)
+        nrows = sum(f.record_count for f in live)
+        if nrows == 0:
+            return None  # no evidence yet — first commit learns it
+        target = int(
+            table.meta.properties.get(
+                "write.target-file-size-bytes", STREAM_TARGET_FILE_BYTES
+            )
+        )
+        est = batch_df.count() * (nbytes / nrows)
+        return max(1, math.ceil(est / target))
+
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if coalesce_to:
-            batch_df = batch_df.coalesce(coalesce_to)
         table.refresh()
         marker = f"{checkpoint_dir}#{batch_id}"  # checkpoint dir ≡ query identity
         for s in table.meta.snapshots:
             if s.summary.get("streaming-batch-id") == marker:
                 return  # this batch already committed — re-delivery
+        n = _auto_file_count(batch_df) if coalesce_to == "auto" else coalesce_to
+        if n:
+            have = batch_df.rdd.getNumPartitions()
+            if n < have:
+                # shrink: coalesce merges tasks without a shuffle
+                batch_df = batch_df.coalesce(n)
+            elif n > have:
+                # grow: a backlog batch arriving in few partitions would
+                # otherwise write files far over target — one round-robin
+                # shuffle splits it into ~target-sized files (coalesce
+                # cannot raise the partition count)
+                batch_df = batch_df.repartition(n)
         table.append(batch_df, extra_summary={"streaming-batch-id": marker})
 
     writer = stream_df.writeStream.foreachBatch(_sink).option(

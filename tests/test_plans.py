@@ -179,3 +179,15 @@ def test_training_pipeline_corpus_shuffles_once(spark):
     assert tree.count("Exchange") == 3
     assert "WindowGroupLimit" in plan
     assert "md5" in plan
+
+
+def test_mor_pipeline_applies_deletes_below_composition(spark):
+    """ice31: the equality-delete anti-join must sit at scan level as a
+    BROADCAST anti-join (delete files are tiny vs the corpus — a
+    shuffle there would re-key the whole table before the pipeline even
+    starts), and composing the full x42 pipeline on top must not add
+    joins: one anti-join, dedup window's single wide shuffle, zero
+    sort-merge joins."""
+    plan = _plan(spark, "ice31_mor_pipeline")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan

@@ -423,3 +423,49 @@ def test_record_breakers_v2_gate(spark, tmp_path):
         for r in spark.table("rb2_out").collect()
     }
     assert got == {(0, 1.0, None), (1, 3.0, 1.0)}
+
+
+def test_stream_sink_auto_file_sizing(spark, tmp_path):
+    """coalesce_to='auto': each commit's file count is estimated batch
+    bytes / write.target-file-size-bytes, learned from the live files'
+    observed bytes-per-row.  With a deliberately tiny target the second
+    batch must split into multiple ~target-sized files; with the
+    default 128 MB target a small batch commits exactly one file."""
+    from icepack.streaming import write_stream_to_table
+    from icepack.table import IceTable
+
+    # incompressible payload (~130 B/row) so parquet size tracks rows
+    df = spark.range(0, 20000).selectExpr(
+        "id AS event_id",
+        "concat(md5(cast(id AS string)), md5(cast(id + 7 AS string)),"
+        " md5(cast(id + 13 AS string)), md5(cast(id + 29 AS string))) AS payload",
+    )
+    src = str(tmp_path / "src")
+    df.filter("event_id < 10000").coalesce(1).write.parquet(src)
+    df.filter("event_id >= 10000").coalesce(1).write.mode("append").parquet(src)
+
+    def run(location, props):
+        t = IceTable.create(spark, location, df.schema, properties=props)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = write_stream_to_table(
+            stream, t, location + "-ckpt", coalesce_to="auto"
+        )
+        q.awaitTermination(120)
+        t.refresh()
+        return t
+
+    # tiny 8 KB target: batch 2 (10k rows, ~100+ KB parquet) must split
+    t = run(str(tmp_path / "small"), {"write.target-file-size-bytes": 8192})
+    per_commit = [s.summary.get("added-data-files") for s in t.meta.snapshots]
+    assert t.toDF().count() == 20000
+    assert int(per_commit[-1]) > 1, per_commit
+    # default target: every commit lands exactly one file after the
+    # first (which keeps its natural single-task layout here anyway)
+    t2 = run(str(tmp_path / "dflt"), None)
+    per_commit2 = [int(s.summary.get("added-data-files")) for s in t2.meta.snapshots]
+    assert t2.toDF().count() == 20000
+    assert per_commit2[-1] == 1, per_commit2
