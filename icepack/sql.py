@@ -948,13 +948,20 @@ class IceSQL:
             re.DOTALL,
         )
         replace, name, head, body = m.groups()
+        am = re.search(r"(?i)\bAFTER\s+([\w.]+)", head)
+        head = re.sub(r"(?i)\bAFTER\s+[\w.]+", "", head)
         props = self._parse_kv(re.sub(r"(?i)SCHEDULE\s*=\s*'[^']*'", "", head))
         sm = re.search(r"(?i)SCHEDULE\s*=\s*'([^']*)'", head)
+        if sm:  # validate the schedule at CREATE time, not first tick
+            from .scheduler import Schedule
+
+            Schedule(sm.group(1))
         task = {
             "name": name,
             "schedule": sm.group(1) if sm else None,
             "body": body.strip(),
             "state": "suspended",  # Snowflake tasks start suspended
+            **({"after": am.group(1)} if am else {}),
             **{k.lower(): v for k, v in props.items()},
         }
         return self.catalog._put_object("tasks", name, task, replace=bool(replace))

@@ -1,0 +1,198 @@
+"""REST catalog protocol (SURVEY.md S5): client + table commit seam
+against an in-process loopback server implementing the same public
+Iceberg-REST subset — namespaces, table lifecycle, and the pointer-CAS
+commit endpoint with its 409-on-stale-base contract.
+
+The server below is a test double for a real Glue/REST service: an
+in-memory {(namespace, table): metadata-location} map behind a lock.
+What these tests pin is everything an offline sandbox CAN verify about
+external-catalog mode: protocol shapes, CAS semantics, conflict-retry
+through the inherited _commit_snapshot loop, and that a second client
+(another "engine", docs/11-multi-engine-compatibility.md:16-29) sees
+exactly the committed state.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from icepack.restcat import RestCatalog, RestCatalogClient
+from icepack.table import CommitConflict
+
+
+class _State:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.namespaces: dict[str, dict] = {}
+        self.tables: dict[tuple[str, str], str] = {}  # -> metadata-location
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: _State  # set per-server
+
+    def log_message(self, *a):  # silence test output
+        pass
+
+    def _send(self, status: int, payload: dict | None = None):
+        body = json.dumps(payload or {}).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        return json.loads(self.rfile.read(n)) if n else {}
+
+    def do_GET(self):
+        st, parts = self.state, self.path.strip("/").split("/")
+        # /v1/config | /v1/namespaces | /v1/namespaces/{ns}/tables
+        # /v1/namespaces/{ns}/tables/{t}
+        if parts[1:] == ["config"]:
+            return self._send(200, {"defaults": {}, "overrides": {}})
+        if parts[1:] == ["namespaces"]:
+            return self._send(
+                200, {"namespaces": [ns.split(".") for ns in st.namespaces]}
+            )
+        if len(parts) == 4 and parts[3] == "tables":
+            ns = parts[2]
+            ids = [
+                {"namespace": ns.split("."), "name": t}
+                for (n, t) in st.tables
+                if n == ns
+            ]
+            return self._send(200, {"identifiers": ids})
+        if len(parts) == 5 and parts[3] == "tables":
+            loc = st.tables.get((parts[2], parts[4]))
+            if loc is None:
+                return self._send(404, {"error": "no such table"})
+            return self._send(200, {"metadata-location": loc})
+        self._send(404, {"error": f"bad path {self.path}"})
+
+    def do_POST(self):
+        st, parts = self.state, self.path.strip("/").split("/")
+        body = self._body()
+        if parts[1:] == ["namespaces"]:
+            ns = ".".join(body["namespace"])
+            with st.lock:
+                if ns in st.namespaces:
+                    return self._send(409, {"error": "namespace exists"})
+                st.namespaces[ns] = body.get("properties", {})
+            return self._send(200, {"namespace": body["namespace"]})
+        if len(parts) == 4 and parts[3] == "register":
+            ns, name = parts[2], body["name"]
+            with st.lock:
+                if (ns, name) in st.tables:
+                    return self._send(409, {"error": "table exists"})
+                st.tables[(ns, name)] = body["metadata-location"]
+            return self._send(200, {"metadata-location": body["metadata-location"]})
+        if len(parts) == 5 and parts[3] == "tables":
+            ns, name = parts[2], parts[4]
+            want = None
+            for r in body.get("requirements", []):
+                if r.get("type") == "assert-metadata-location":
+                    want = r.get("metadata-location")
+            new = body["metadata-location"]
+            with st.lock:  # the CAS the whole protocol exists to provide
+                cur = st.tables.get((ns, name))
+                if cur != want:
+                    return self._send(
+                        409,
+                        {"error": f"stale base: current={cur!r} asserted={want!r}"},
+                    )
+                st.tables[(ns, name)] = new
+            return self._send(200, {"metadata-location": new})
+        self._send(404, {"error": f"bad path {self.path}"})
+
+    def do_DELETE(self):
+        st, parts = self.state, self.path.strip("/").split("/")
+        if len(parts) == 5 and parts[3] == "tables":
+            with st.lock:
+                if st.tables.pop((parts[2], parts[4]), None) is None:
+                    return self._send(404, {"error": "no such table"})
+            return self._send(200, {})
+        self._send(404, {"error": f"bad path {self.path}"})
+
+
+@pytest.fixture()
+def server():
+    state = _State()
+    handler = type("H", (_Handler,), {"state": state})
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{srv.server_port}", state
+    srv.shutdown()
+    th.join(5)
+
+
+def test_protocol_surface(server):
+    url, _ = server
+    c = RestCatalogClient(url)
+    assert c.config() == {"defaults": {}, "overrides": {}}
+    assert c.list_namespaces() == []
+    c.create_namespace("lake")
+    assert c.list_namespaces() == ["lake"]
+    with pytest.raises(CommitConflict):
+        c.create_namespace("lake")
+    assert c.list_tables("lake") == []
+    with pytest.raises(FileNotFoundError):
+        c.load_table("lake", "nope")
+
+
+def test_table_lifecycle_and_second_client_visibility(spark, server, tmp_path):
+    url, _ = server
+    cat = RestCatalog(spark, str(tmp_path / "wh"), RestCatalogClient(url), "lake")
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    t = cat.create_table("orders", df.schema)
+    assert cat.list_tables() == ["orders"]
+    t.append(df)
+    # a SECOND client (fresh connection — another engine in docs/11
+    # terms) resolves the pointer through the service and sees the data
+    cat2 = RestCatalog(spark, str(tmp_path / "wh"), RestCatalogClient(url), "lake")
+    t2 = cat2.load_table("orders")
+    assert t2.toDF().count() == 100
+    assert [r.v for r in t2.toDF().orderBy("id").limit(3).collect()] == [0, 2, 4]
+    # snapshots/time travel work through the REST commit path
+    t.append(df.selectExpr("id + 100 AS id", "id AS v"))
+    t2.refresh()
+    assert t2.toDF().count() == 200
+    first = t2.meta.snapshots[0]
+    assert t2.toDF(snapshot=t2.as_of(snapshot_id=first.snapshot_id)).count() == 100
+    cat.drop_table("orders")
+    assert cat.list_tables() == []
+
+
+def test_concurrent_commit_cas_retry(spark, server, tmp_path):
+    """Two writers on the SAME base: first CAS wins at the service, the
+    second gets 409, and the inherited retry loop re-bases and merges —
+    both appends land (append vs append always merges, docs/08:71-78)."""
+    url, _ = server
+    cat = RestCatalog(spark, str(tmp_path / "wh"), RestCatalogClient(url), "lake")
+    df = spark.range(0, 50).selectExpr("id", "id AS v")
+    cat.create_table("t", df.schema)
+    a = cat.load_table("t")
+    b = cat.load_table("t")  # same base version as a
+    a.append(df)
+    b.append(df.selectExpr("id + 50 AS id", "v"))  # stale base -> 409 -> retry
+    assert cat.load_table("t").toDF().count() == 100
+    snaps = cat.load_table("t").meta.snapshots
+    assert len(snaps) == 2  # both commits present, linear history
+
+
+def test_stale_base_without_retry_is_409(server, tmp_path):
+    """Protocol-level: a raw commit against a stale previous location
+    must 409 — the exact contract engines build their retry on."""
+    url, _ = server
+    c = RestCatalogClient(url)
+    c.create_namespace("lake")
+    c.register_table("lake", "t", "/meta/v1.json")
+    c.commit_table("lake", "t", "/meta/v2.json", "/meta/v1.json")
+    with pytest.raises(CommitConflict):
+        c.commit_table("lake", "t", "/meta/v3.json", "/meta/v1.json")
+    assert c.load_table("lake", "t")["metadata-location"] == "/meta/v2.json"

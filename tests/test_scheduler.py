@@ -1,0 +1,142 @@
+"""Task scheduler (SURVEY.md M7, docs/10-maintenance-operations.md:
+174-183): deterministic-clock tests for both public schedule forms,
+RESUME/SUSPEND gating, AFTER task graphs, failure isolation, and an
+end-to-end maintenance tick that actually compacts a table.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from icepack.scheduler import Schedule, ScheduleError, TaskScheduler
+from icepack.sql import IceSQL
+
+
+def ms(*args) -> int:
+    return int(dt.datetime(*args, tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+
+def test_schedule_parsing_and_next_fire():
+    s = Schedule("5 MINUTES")
+    assert s.next_after(ms(2024, 1, 1, 0, 0)) == ms(2024, 1, 1, 0, 5)
+    c = Schedule("USING CRON 0 2 * * * UTC")  # daily 02:00
+    assert c.next_after(ms(2024, 1, 1, 0, 0)) == ms(2024, 1, 1, 2, 0)
+    assert c.next_after(ms(2024, 1, 1, 2, 0)) == ms(2024, 1, 2, 2, 0)
+    q = Schedule("USING CRON */15 * * * * UTC")
+    assert q.next_after(ms(2024, 1, 1, 0, 7)) == ms(2024, 1, 1, 0, 15)
+    wk = Schedule("USING CRON 30 3 * * 1 UTC")  # Mondays 03:30
+    # 2024-01-01 is a Monday
+    assert wk.next_after(ms(2024, 1, 1, 3, 30)) == ms(2024, 1, 8, 3, 30)
+    # IANA timezone: 02:00 LA = 09:00 UTC in summer (DST), 10:00 in winter
+    la = Schedule("USING CRON 0 2 * * * America/Los_Angeles")
+    assert la.next_after(ms(2024, 6, 1, 0, 0)) == ms(2024, 6, 1, 9, 0)
+    assert la.next_after(ms(2024, 1, 1, 0, 0)) == ms(2024, 1, 1, 10, 0)
+    with pytest.raises(ScheduleError):
+        Schedule("USING CRON 0 2 * * * Mars/Olympus_Mons")
+    with pytest.raises(ScheduleError):
+        Schedule("whenever")
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return IceSQL(spark, str(tmp_path / "wh"))
+
+
+def _mk_table(engine, name="t1"):
+    engine.sql(
+        f"CREATE ICEBERG TABLE {name} (id BIGINT, v DOUBLE)"
+    )
+    engine.sql(f"INSERT INTO {name} VALUES (1, 1.0), (2, 2.0)")
+    return name
+
+
+def test_interval_task_runs_and_reschedules(engine):
+    _mk_table(engine)
+    engine.sql(
+        "CREATE TASK tick SCHEDULE = '10 MINUTE' AS INSERT INTO t1 VALUES (99, 9.9)"
+    )
+    sch = TaskScheduler(engine)
+    t0 = ms(2024, 6, 1, 12, 0)
+    assert sch.run_due(t0) == []  # suspended: never runs
+    engine.sql("ALTER TASK tick RESUME")
+    assert sch.run_due(t0) == ["tick"]  # first tick after resume: due
+    assert sch.run_due(t0 + 60_000) == []  # not due again yet
+    assert sch.run_due(t0 + 600_000) == ["tick"]  # interval elapsed
+    n = engine.sql("SELECT COUNT(*) AS n FROM t1").collect()[0].n
+    assert n == 4  # 2 seed rows + 2 scheduled inserts
+    task = engine.catalog._get_object("tasks", "tick")
+    assert task["last_run_ms"] == t0 + 600_000
+    assert task["next_run_ms"] == t0 + 1_200_000
+    engine.sql("ALTER TASK tick SUSPEND")
+    assert sch.run_due(t0 + 1_300_000) == []
+
+
+def test_cron_task_waits_for_matching_instant(engine):
+    _mk_table(engine)
+    engine.sql(
+        "CREATE TASK nightly SCHEDULE = 'USING CRON 0 2 * * * UTC' "
+        "AS INSERT INTO t1 VALUES (7, 7.0)"
+    )
+    engine.sql("ALTER TASK nightly RESUME")
+    sch = TaskScheduler(engine)
+    assert sch.run_due(ms(2024, 6, 1, 1, 59)) == []  # resumed but not 02:00
+    assert sch.run_due(ms(2024, 6, 1, 2, 0)) == ["nightly"]
+    assert sch.run_due(ms(2024, 6, 1, 2, 5)) == []  # fired; next is tomorrow
+    assert sch.run_due(ms(2024, 6, 2, 2, 0)) == ["nightly"]
+
+
+def test_after_graph_cascades_in_order(engine):
+    _mk_table(engine)
+    engine.sql(
+        "CREATE TASK root SCHEDULE = '1 MINUTE' AS INSERT INTO t1 VALUES (10, 1.0)"
+    )
+    engine.sql("CREATE TASK child AFTER root AS INSERT INTO t1 VALUES (11, 1.1)")
+    engine.sql(
+        "CREATE TASK grandchild AFTER child AS INSERT INTO t1 VALUES (12, 1.2)"
+    )
+    for t in ("root", "child", "grandchild"):
+        engine.sql(f"ALTER TASK {t} RESUME")
+    sch = TaskScheduler(engine)
+    assert sch.run_due(ms(2024, 6, 1, 0, 0)) == ["root", "child", "grandchild"]
+    # suspend the middle: the chain stops there (Snowflake graph rule)
+    engine.sql("ALTER TASK child SUSPEND")
+    assert sch.run_due(ms(2024, 6, 1, 0, 1)) == ["root"]
+
+
+def test_failing_task_records_error_and_does_not_block(engine):
+    _mk_table(engine)
+    engine.sql("CREATE TASK bad SCHEDULE = '1 MINUTE' AS INSERT INTO missing VALUES (1)")
+    engine.sql("CREATE TASK good SCHEDULE = '1 MINUTE' AS INSERT INTO t1 VALUES (5, 5.0)")
+    engine.sql("ALTER TASK bad RESUME")
+    engine.sql("ALTER TASK good RESUME")
+    sch = TaskScheduler(engine)
+    ran = sch.run_due(ms(2024, 6, 1, 0, 0))
+    assert set(ran) == {"bad", "good"}
+    assert "last_error" in engine.catalog._get_object("tasks", "bad")
+    assert "last_error" not in engine.catalog._get_object("tasks", "good")
+    # the bad task is rescheduled, not hot-looped: not due 1 s later
+    assert sch.run_due(ms(2024, 6, 1, 0, 0) + 1000) == []
+
+
+def test_maintenance_tick_compacts_for_real(engine, spark):
+    """The docs/10 auto-maintenance story end to end: many small
+    appends, a nightly OPTIMIZE task, one scheduler tick — file count
+    drops and row content is unchanged."""
+    engine.sql("CREATE ICEBERG TABLE m (id BIGINT, v DOUBLE)")
+    for i in range(5):
+        engine.sql(f"INSERT INTO m VALUES ({i}, {i}.5)")
+    t = engine.catalog.load_table("m")
+    before = len(t.live_files())
+    assert before >= 5
+    engine.sql(
+        "CREATE TASK opt SCHEDULE = 'USING CRON 0 3 * * * UTC' AS ALTER ICEBERG TABLE m COMPACT DATA"
+    )
+    engine.sql("ALTER TASK opt RESUME")
+    ran = TaskScheduler(engine).run_due(ms(2024, 6, 1, 3, 0))
+    assert ran == ["opt"]
+    t.refresh()
+    assert len(t.live_files()) < before
+    got = sorted((r.id, r.v) for r in t.toDF().collect())
+    assert got == [(i, i + 0.5) for i in range(5)]
