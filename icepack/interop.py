@@ -1,0 +1,158 @@
+"""Multi-engine snapshot export (SURVEY.md docs/11 parity,
+docs/11-multi-engine-compatibility.md:16-42).
+
+The docs' interop story is that an Iceberg table is READABLE BY ANY
+ENGINE because the table is just metadata over parquet.  The inbound
+direction already exists (``add_files`` adopts DuckDB-written parquet,
+tests/test_interop.py); this module is the outbound direction:
+:func:`duckdb_snapshot_sql` renders any snapshot — including one with
+live merge-on-read delete files and schema-evolved (renamed/widened)
+columns — as ONE self-contained DuckDB SQL string over the raw storage
+files.  No icepack code runs on the consumer side: the SQL embeds the
+file lists, the per-schema-version column mappings (Iceberg's
+ID-based evolution, docs/06:75-91), and the sequence-number-scoped
+delete anti-joins (docs/08:167-187).  What Spark's scan path does with
+DataFrames, the export does with SQL — same semantics, second engine.
+
+Correspondence (kept in lockstep with table.py `_read_with_deletes`):
+- position deletes:  Spark joins on (``_metadata.file_path``,
+  ``_metadata.row_index``); the SQL uses ``filename=true,
+  file_row_number=true`` and re-prefixes ``file:`` to match the
+  stored ``file:/abs/path`` URI form.
+- equality deletes: anti-join on the delete file's equality columns,
+  null-safe (``IS NOT DISTINCT FROM``), matching Spark's null-safe
+  ``left_anti`` on column names.
+- sequencing: a delete file applies only to data files with a LOWER
+  commit sequence number — rows appended after the delete never match.
+"""
+
+from __future__ import annotations
+
+from .table import IceTable
+from .metadata import Snapshot
+
+
+def _sql_list(paths: list[str]) -> str:
+    inner = ", ".join("'" + p.replace("'", "''") + "'" for p in paths)
+    return f"[{inner}]"
+
+
+def _ident(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def duckdb_snapshot_sql(
+    table: IceTable, snapshot: Snapshot | None = None
+) -> str:
+    """Render a snapshot as one DuckDB query over the raw parquet files.
+
+    Returns SQL producing exactly ``table.toDF(snapshot=...)`` —
+    row-for-row, current-schema column names — runnable by any DuckDB
+    (or, with trivial dialect swaps, Trino/ClickHouse) that can reach
+    the storage paths."""
+    snap = snapshot or table.meta.current_snapshot
+    current = table.meta.schema
+    data = table.live_files(snap, content="data")
+    deletes = [
+        f
+        for f in table.live_files(snap, content="all")
+        if f.content in ("equality-deletes", "position-deletes")
+    ]
+    if not data:
+        cols = ", ".join(
+            f"NULL AS {_ident(f.name)}" for f in current.fields
+        )
+        return f"SELECT {cols} WHERE FALSE"
+
+    # group data files exactly like the Spark scan: by (schema version,
+    # set of applicable delete files)
+    groups: dict[tuple[int, tuple[str, ...]], list] = {}
+    for f in data:
+        applicable = tuple(
+            sorted(
+                d.path for d in deletes if f.sequence_number < d.sequence_number
+            )
+        )
+        groups.setdefault((f.schema_id, applicable), []).append(f)
+    by_path = {d.path: d for d in deletes}
+
+    parts = []
+    for (sid, applicable), group in sorted(groups.items()):
+        old = table.meta.schema_by_id(sid)
+        sel = []
+        for cf in current.fields:
+            of = old.field_by_id(cf.id)
+            duck_type = _duck_type(cf.spark_type().simpleString())
+            if of is None:  # column added after these files were written
+                sel.append(f"CAST(NULL AS {duck_type}) AS {_ident(cf.name)}")
+            elif of.name != cf.name or of.type != cf.type:
+                # ID-based rename and/or widening: metadata-only in
+                # Iceberg, a SELECT alias/cast for any other engine
+                sel.append(
+                    f"CAST({_ident(of.name)} AS {duck_type}) AS {_ident(cf.name)}"
+                )
+            else:
+                sel.append(_ident(cf.name))
+        pos_paths = [
+            p for p in applicable if by_path[p].content == "position-deletes"
+        ]
+        need_pos = bool(pos_paths)
+        opts = ", filename=true, file_row_number=true" if need_pos else ""
+        q = (
+            f"SELECT {', '.join(sel)}\n"
+            f"FROM read_parquet({_sql_list([f.path for f in group])}{opts}) AS d"
+        )
+        conds = []
+        if pos_paths:
+            conds.append(
+                "NOT EXISTS (SELECT 1 FROM "
+                f"read_parquet({_sql_list(pos_paths)}) AS pd\n"
+                # Spark's _metadata.file_path URI form is 'file:/abs/path'
+                "    WHERE pd.file_path = 'file:' || d.filename"
+                " AND pd.pos = d.file_row_number)"
+            )
+        eq_groups: dict[tuple[str, ...], list[str]] = {}
+        for p in applicable:
+            d = by_path[p]
+            if d.content == "equality-deletes":
+                eq_groups.setdefault(tuple(d.equality_columns), []).append(p)
+        for eq_cols, paths in sorted(eq_groups.items()):
+            on = " AND ".join(
+                f"ed.{_ident(c)} IS NOT DISTINCT FROM d.{_ident(c)}"
+                for c in eq_cols
+            )
+            conds.append(
+                "NOT EXISTS (SELECT 1 FROM "
+                f"read_parquet({_sql_list(paths)}) AS ed\n    WHERE {on})"
+            )
+        if conds:
+            q += "\nWHERE " + "\n  AND ".join(conds)
+        parts.append(q)
+    return "\nUNION ALL BY NAME\n".join(parts)
+
+
+def _duck_type(spark_simple: str) -> str:
+    """DuckDB spelling of a Spark simpleString type (scalar subset used
+    by table schemas; extend as schemas grow)."""
+    s = spark_simple.lower()
+    m = {
+        "bigint": "BIGINT",
+        "int": "INTEGER",
+        "smallint": "SMALLINT",
+        "tinyint": "TINYINT",
+        "double": "DOUBLE",
+        "float": "FLOAT",
+        "string": "VARCHAR",
+        "boolean": "BOOLEAN",
+        "date": "DATE",
+        "timestamp": "TIMESTAMP",
+        "timestamp_ntz": "TIMESTAMP",
+        "binary": "BLOB",
+    }
+    if s in m:
+        return m[s]
+    if s.startswith("decimal"):
+        return "DECIMAL" + s[7:]
+    if s.startswith("array<"):
+        return _duck_type(s[6:-1]) + "[]"
+    raise NotImplementedError(f"no DuckDB mapping for type {spark_simple!r}")

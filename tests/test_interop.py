@@ -179,3 +179,81 @@ def test_add_files_rejects_dup_and_incompatible(spark, warehouse, tmp_path):
     )
     t.add_files([f"{ext}/narrow.parquet"])
     assert t.toDF().count() == base.count()
+
+
+def test_duckdb_snapshot_export_mor_and_evolution(spark, warehouse, tmp_path):
+    """Outbound interop (docs/11:16-42): duckdb_snapshot_sql renders a
+    snapshot as one self-contained DuckDB query.  Exercises the full
+    gauntlet in one table history: equality MOR delete (applies only to
+    earlier-sequence files), a post-delete append (must NOT be
+    deleted), a column rename (ID-based mapping per schema version),
+    and a post-rename append — DuckDB must return row-for-row what
+    Spark's scan returns, at head AND at a time-travel snapshot."""
+    import duckdb
+
+    from icepack.expr import col
+    from icepack.interop import duckdb_snapshot_sql
+    from icepack.table import IceTable
+
+    df = spark.range(0, 1000).selectExpr("id", "CAST(id % 7 AS DOUBLE) AS grp")
+    t = IceTable.create(
+        spark,
+        warehouse,
+        df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "identifier-field-names": "id",
+        },
+    )
+    t.append(df)
+    s1 = t.delete(col("grp") == 3.0)  # equality-delete file, no rewrite
+    # re-insert some ids whose grp was deleted: HIGHER sequence than the
+    # delete -> must survive in every engine
+    t.append(spark.range(0, 10).selectExpr("id + 2000 AS id", "CAST(3 AS DOUBLE) AS grp"))
+    t.rename_column("grp", "bucket")  # metadata-only evolution
+    t.append(spark.range(0, 5).selectExpr("id + 5000 AS id", "CAST(9 AS DOUBLE) AS bucket"))
+
+    def rows(x):
+        return sorted((r[0], r[1]) for r in x)
+
+    con = duckdb.connect()
+    got_head = con.execute(duckdb_snapshot_sql(t)).fetchall()
+    want_head = [(r.id, r.bucket) for r in t.toDF().collect()]
+    assert rows(got_head) == rows(want_head)
+    assert any(b == 3.0 for _, b in got_head)  # re-inserts survived
+    assert not any(b == 3.0 and i < 1000 for i, b in got_head)  # originals gone
+    # time travel: export the post-delete snapshot (pre-rename column set
+    # reconciles to the CURRENT schema names, same as Spark's scan)
+    snap = t.as_of(snapshot_id=s1.snapshot_id)
+    got_tt = con.execute(duckdb_snapshot_sql(t, snap)).fetchall()
+    want_tt = [(r.id, r.bucket) for r in t.toDF(snapshot=snap).collect()]
+    assert rows(got_tt) == rows(want_tt) and len(got_tt) > 0
+
+
+def test_duckdb_snapshot_export_position_deletes(spark, warehouse):
+    """Position-delete form: (file_path, row ordinal) anti-join must
+    reproduce Spark's result through DuckDB's filename/file_row_number
+    — the trickiest identity to keep engine-portable."""
+    import duckdb
+
+    from icepack.expr import col
+    from icepack.interop import duckdb_snapshot_sql
+    from icepack.table import IceTable
+
+    df = spark.range(0, 500).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    t = IceTable.create(
+        spark,
+        warehouse,
+        df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df)
+    t.delete(col("v") >= 400.0)
+    con = duckdb.connect()
+    got = con.execute(duckdb_snapshot_sql(t)).fetchall()
+    want = [(r.id, r.v) for r in t.toDF().collect()]
+    assert sorted(got) == sorted(want)
+    assert len(got) == 400
