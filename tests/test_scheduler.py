@@ -140,3 +140,57 @@ def test_maintenance_tick_compacts_for_real(engine, spark):
     assert len(t.live_files()) < before
     got = sorted((r.id, r.v) for r in t.toDF().collect())
     assert got == [(i, i + 0.5) for i in range(5)]
+
+
+def test_cron_next_fire_properties():
+    """Property check (hypothesis): for random cron subsets and random
+    instants, next_after is strictly in the future, lands on a matching
+    instant in the schedule's timezone, and there is no EARLIER
+    matching minute after the input — i.e. it is the true infimum."""
+    import datetime as dtm
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def field(lo, hi):
+        return st.one_of(
+            st.just("*"),
+            st.sampled_from([f"*/{s}" for s in (2, 5, 15)]),
+            st.lists(
+                st.integers(lo, hi), min_size=1, max_size=3, unique=True
+            ).map(lambda xs: ",".join(map(str, sorted(xs)))),
+        )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        mi=field(0, 59),
+        hr=field(0, 23),
+        tz=st.sampled_from(["UTC", "America/Los_Angeles", "Asia/Tokyo"]),
+        t0=st.integers(
+            int(dtm.datetime(2024, 1, 1, tzinfo=dtm.timezone.utc).timestamp()),
+            int(dtm.datetime(2025, 12, 31, tzinfo=dtm.timezone.utc).timestamp()),
+        ),
+    )
+    def check(mi, hr, tz, t0):
+        s = Schedule(f"USING CRON {mi} {hr} * * * {tz}")
+        t0_ms = t0 * 1000
+        nxt = s.next_after(t0_ms)
+        assert nxt > t0_ms
+        local = dtm.datetime.fromtimestamp(nxt / 1000, tz=s.tz)
+        assert local.second == 0 and local.microsecond == 0
+        assert s.minute is None or local.minute in s.minute
+        assert s.hour is None or local.hour in s.hour
+        # infimum: every whole minute strictly between t0 and nxt fails
+        t = dtm.datetime.fromtimestamp(t0_ms / 1000, tz=s.tz).replace(
+            second=0, microsecond=0
+        ) + dtm.timedelta(minutes=1)
+        probes = 0
+        while int(t.timestamp() * 1000) < nxt and probes < 2000:
+            assert not (
+                (s.minute is None or t.minute in s.minute)
+                and (s.hour is None or t.hour in s.hour)
+            )
+            t += dtm.timedelta(minutes=1)
+            probes += 1
+
+    check()

@@ -33,6 +33,13 @@ NLJ_OK = {
     "x37_unigram_surprisal",
     # 1-row broadcast cross joins attaching the frozen PQ codebooks
     "x40_pq_encode",
+    # phase-2 dominance anti-join runs over the LOCAL-skyline survivor
+    # set only (frontier-sized per partition, broadcast side tiny by
+    # construction) — the full table never enters the NLJ
+    "a13_skyline",
+    # K=4 centroid table broadcasts under a cross join: K rows per
+    # vector, map-only assignment — bounded by K, not data size
+    "x39_kmeans_assign",
 }
 #: queries where a single-partition exchange is inherent (global top-k)
 SINGLE_OK = {"o2_top_n"}
