@@ -375,6 +375,27 @@ class IceSQL:
             return self.spark.createDataFrame(
                 [(v,) for v in self.catalog.list_catalog_integrations()], "name string"
             )
+        if re.match(r"(?i)SHOW\s+TASKS", s):
+            # scheduler-maintained run state surfaces here (docs/10:174-183)
+            rows = []
+            for n in self.catalog._list_objects("tasks"):
+                t = self.catalog._get_object("tasks", n)
+                rows.append(
+                    (
+                        n,
+                        t.get("state"),
+                        t.get("schedule"),
+                        t.get("after"),
+                        t.get("last_run_ms"),
+                        t.get("next_run_ms"),
+                        t.get("last_error"),
+                    )
+                )
+            return self.spark.createDataFrame(
+                rows,
+                "name string, state string, schedule string, after string,"
+                " last_run_ms long, next_run_ms long, last_error string",
+            )
         if re.match(r"(?i)DESCRIBE\s+EXTERNAL\s+VOLUME", s):
             v = self.catalog.get_external_volume(s.split()[-1])
             rows = [

@@ -194,3 +194,16 @@ def test_cron_next_fire_properties():
             probes += 1
 
     check()
+
+
+def test_show_tasks_surfaces_scheduler_state(engine):
+    _mk_table(engine)
+    engine.sql("CREATE TASK a SCHEDULE = '5 MINUTE' AS INSERT INTO t1 VALUES (1, 1.0)")
+    engine.sql("CREATE TASK b AFTER a AS INSERT INTO t1 VALUES (2, 2.0)")
+    engine.sql("ALTER TASK a RESUME")
+    TaskScheduler(engine).run_due(ms(2024, 6, 1, 0, 0))
+    rows = {r.name: r for r in engine.sql("SHOW TASKS").collect()}
+    assert rows["a"].state == "started" and rows["a"].schedule == "5 MINUTE"
+    assert rows["a"].last_run_ms == ms(2024, 6, 1, 0, 0)
+    assert rows["a"].next_run_ms == ms(2024, 6, 1, 0, 5)
+    assert rows["b"].after == "a" and rows["b"].state == "suspended"
