@@ -257,3 +257,33 @@ def test_duckdb_snapshot_export_position_deletes(spark, warehouse):
     want = [(r.id, r.v) for r in t.toDF().collect()]
     assert sorted(got) == sorted(want)
     assert len(got) == 400
+
+
+def test_duckdb_snapshot_export_added_column_and_partitioned(spark, warehouse):
+    """Export must NULL-pad files written before an ADD COLUMN (ID-based
+    evolution) and read hidden-partitioned tables (partition values are
+    directory keys; source columns stay in the files)."""
+    import duckdb
+
+    from icepack.interop import duckdb_snapshot_sql
+    from icepack.table import IceTable
+
+    df = spark.range(0, 300).selectExpr(
+        "id", "CAST(id % 10 AS DOUBLE) AS v"
+    )
+    t = IceTable.create(
+        spark, warehouse, df.schema, partition_by=[("id", "bucket[4]")]
+    )
+    t.append(df)
+    t.add_column("tag", "string")
+    t.append(
+        spark.range(0, 10).selectExpr(
+            "id + 1000 AS id", "CAST(0 AS DOUBLE) AS v", "'new' AS tag"
+        )
+    )
+    con = duckdb.connect()
+    got = con.execute(duckdb_snapshot_sql(t)).fetchall()
+    want = [(r.id, r.v, r.tag) for r in t.toDF().collect()]
+    assert sorted(got, key=str) == sorted(want, key=str)
+    assert sum(1 for *_, tag in got if tag is None) == 300
+    assert sum(1 for *_, tag in got if tag == "new") == 10
