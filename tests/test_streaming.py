@@ -469,3 +469,96 @@ def test_stream_sink_auto_file_sizing(spark, tmp_path):
     per_commit2 = [int(s.summary.get("added-data-files")) for s in t2.meta.snapshots]
     assert t2.toDF().count() == 20000
     assert per_commit2[-1] == 1, per_commit2
+
+
+def test_realtime_medallion_stream_to_gold(spark, tmp_path, warehouse):
+    """docs/12 'Real-Time Lakehouse' pattern end to end: raw events
+    stream into BRONZE (append sink, one snapshot per batch), a second
+    streaming query upserts per-user running totals into SILVER (MERGE
+    sink via foreachBatch), and a batch GOLD aggregate over silver must
+    equal computing the same rollup directly over all raw events —
+    streaming+batch unified over the same tables, the docs' claim."""
+    from pyspark.sql import functions as F
+
+    from icepack.dml import source_col
+    from icepack.streaming import write_stream_to_table
+
+    cat = Catalog(spark, warehouse)
+    ev = load(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    src = str(tmp_path / "rt-src")
+    ev.repartition(3).write.parquet(src)
+    schema = ev.schema
+    bronze = cat.create_table("rt.bronze", schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q1 = write_stream_to_table(stream, bronze, str(tmp_path / "ck-bronze"))
+    q1.awaitTermination(180)
+    bronze.refresh()
+    assert bronze.toDF().count() == ev.count()
+    assert len(bronze.meta.snapshots) >= 2  # batch-level snapshots
+
+    # silver: per-user totals maintained by a MERGE-per-batch sink,
+    # fed by the bronze table's files replayed as a stream
+    silver = cat.create_table(
+        "rt.silver",
+        spark.createDataFrame([], "user_id long, n long, total double").schema,
+    )
+    bsrc = str(tmp_path / "bronze-mirror")
+    bronze.toDF().write.parquet(bsrc)
+
+    def upsert_batch(bdf, batch_id):
+        silver.refresh()
+        silver.merge(
+            bdf,
+            on=["user_id"],
+            when_matched_update={
+                "n": source_col("n"),
+                "total": source_col("total"),
+            },
+        )
+
+    totals = (
+        spark.readStream.schema(schema)
+        .parquet(bsrc)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    q2 = (
+        totals.writeStream.outputMode("complete")
+        .foreachBatch(upsert_batch)
+        .option("checkpointLocation", str(tmp_path / "ck-silver"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+    silver.refresh()
+    # gold: rollup over silver == direct rollup over raw events
+    gold = (
+        silver.toDF()
+        .agg(
+            F.count("*").alias("users"),
+            F.sum("n").alias("events"),
+            F.round(F.sum("total"), 6).alias("value"),
+        )
+        .collect()[0]
+    )
+    direct = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .agg(
+            F.count("*").alias("users"),
+            F.sum("n").alias("events"),
+            F.round(F.sum("t"), 6).alias("value"),
+        )
+        .collect()[0]
+    )
+    assert (gold.users, gold.events, gold.value) == (
+        direct.users,
+        direct.events,
+        direct.value,
+    )
