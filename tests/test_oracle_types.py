@@ -56,3 +56,16 @@ def test_no_driver_hostile_oracle_types(con):
         "oracle columns with driver-hash-hostile DuckDB types "
         "(CAST them in the oracle SQL): " + "; ".join(bad)
     )
+
+
+def test_priority_names_resolve():
+    """Every PRIORITY entry must name a registered query (a typo would
+    silently drop it from the driver's bounded sample) and carry no
+    duplicates (double entries waste sample budget)."""
+    from icepack.queries import PRIORITY, all_queries
+
+    qs = all_queries()
+    missing = [n for n in PRIORITY if n not in qs]
+    assert not missing, f"PRIORITY names not in registry: {missing}"
+    dupes = [n for n in set(PRIORITY) if PRIORITY.count(n) > 1]
+    assert not dupes, f"duplicate PRIORITY entries: {dupes}"
