@@ -196,3 +196,38 @@ def test_stale_base_without_retry_is_409(server, tmp_path):
     with pytest.raises(CommitConflict):
         c.commit_table("lake", "t", "/meta/v3.json", "/meta/v1.json")
     assert c.load_table("lake", "t")["metadata-location"] == "/meta/v2.json"
+
+
+def test_threaded_concurrent_commits_through_service(spark, server, tmp_path):
+    """True thread race: two RestTable handles append SIMULTANEOUSLY
+    through the HTTP service.  Whatever interleaving occurs, the
+    catalog CAS must serialize the commits: both appends land, history
+    is linear, no rows lost (the REST twin of the local O_EXCL race in
+    tests/test_table.py::test_concurrent_append_cas_merges)."""
+    import threading
+
+    url, _ = server
+    cat = RestCatalog(spark, str(tmp_path / "wh"), RestCatalogClient(url), "lake")
+    df = spark.range(0, 200).selectExpr("id", "id AS v")
+    cat.create_table("race", df.schema)
+    h1, h2 = cat.load_table("race"), cat.load_table("race")
+    a = df.filter("id % 2 = 0")
+    b = df.filter("id % 2 = 1")
+    errs = []
+
+    def w(handle, part):
+        try:
+            handle.append(part)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=w, args=(h1, a))
+    t2 = threading.Thread(target=w, args=(h2, b))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    final = cat.load_table("race")
+    assert final.toDF().count() == 200
+    assert len(final.meta.snapshots) == 2
+    # parent chain is linear: second snapshot's parent is the first
+    s1, s2 = final.meta.snapshots
+    assert s2.parent_snapshot_id == s1.snapshot_id
