@@ -268,7 +268,16 @@ def expire_snapshots(
 def remove_orphan_files(table, older_than_ms: int | None = None, dry_run: bool = False) -> list[str]:
     """REMOVE ORPHAN FILES (docs/10:97-111): files under data/ not
     referenced by ANY snapshot, older than the cutoff (default 24h —
-    in-flight commits may have written files not yet referenced)."""
+    in-flight commits may have written files not yet referenced).
+
+    Also sweeps superseded ``v<N>-<uuid>.metadata.json`` documents:
+    REST-cataloged commits (restcat.py) write a uniquely-named metadata
+    doc per attempt and the catalog CAS picks the winner, so a lost
+    race leaves an unreferenced doc behind.  Only the current pointer
+    (``table._metadata_location``) is live — history travels inside
+    each doc, so older ones past the cutoff are safe to collect.
+    Plain ``v<N>.metadata.json`` versions (local-pointer tables probe
+    them on refresh) are never touched."""
     if older_than_ms is None:
         older_than_ms = int(time.time() * 1000) - 86400_000
     referenced: set[str] = set()
@@ -279,6 +288,10 @@ def remove_orphan_files(table, older_than_ms: int | None = None, dry_run: bool =
     orphans = []
     for p in _glob.glob(os.path.join(table.location, "data", "**", "*.parquet"), recursive=True):
         if p not in referenced and os.path.getmtime(p) * 1000 < older_than_ms:
+            orphans.append(p)
+    current_doc = getattr(table, "_metadata_location", None)
+    for p in _glob.glob(os.path.join(table._mdir, "v*-*.metadata.json")):
+        if p != current_doc and os.path.getmtime(p) * 1000 < older_than_ms:
             orphans.append(p)
     if not dry_run:
         for p in orphans:

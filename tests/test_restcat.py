@@ -231,3 +231,32 @@ def test_threaded_concurrent_commits_through_service(spark, server, tmp_path):
     # parent chain is linear: second snapshot's parent is the first
     s1, s2 = final.meta.snapshots
     assert s2.parent_snapshot_id == s1.snapshot_id
+
+
+def test_orphan_sweep_collects_lost_race_metadata_docs(spark, server, tmp_path):
+    """A commit attempt that loses the catalog CAS leaves its uniquely-
+    named metadata doc behind; remove_orphan_files must collect docs
+    older than the cutoff while keeping the CURRENT pointer doc —
+    local-pointer version files are untouched."""
+    import os
+    import time
+
+    from icepack.maintenance import remove_orphan_files
+
+    url, _ = server
+    cat = RestCatalog(spark, str(tmp_path / "wh"), RestCatalogClient(url), "lake")
+    df = spark.range(0, 10).selectExpr("id", "id AS v")
+    t = cat.create_table("orph", df.schema)
+    t.append(df)
+    # forge a lost-race doc: uniquely named, never referenced
+    loser = os.path.join(t._mdir, "v2-deadbeefdeadbeefdeadbeefdeadbeef.metadata.json")
+    with open(loser, "w") as f:
+        f.write(t.meta.dumps())
+    old = time.time() - 100_000
+    os.utime(loser, (old, old))
+    removed = remove_orphan_files(t, older_than_ms=int(time.time() * 1000) - 200_000_000)
+    assert removed == []  # everything younger than a strict cutoff survives
+    removed = remove_orphan_files(t)
+    assert loser in removed and not os.path.exists(loser)
+    assert os.path.exists(t._metadata_location)  # current pointer kept
+    assert t.toDF().count() == 10  # table unharmed
