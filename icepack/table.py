@@ -679,7 +679,19 @@ class IceTable:
                     by_cols.setdefault(tuple(d.equality_columns), []).append(d.path)
             for eq_cols, paths in sorted(by_cols.items()):
                 dels = self.spark.read.parquet(*paths).select(*eq_cols).distinct()
-                df = df.join(F.broadcast(dels), on=list(eq_cols), how="left_anti")
+                # Iceberg equality-delete semantics: field-by-field
+                # equality with null == null (spec "Equality Delete
+                # Files"), so the anti-join must be NULL-SAFE — a plain
+                # column-name join would let a NULL-keyed delete match
+                # nothing and resurrect the row
+                dside = dels
+                for c in eq_cols:
+                    dside = dside.withColumnRenamed(c, f"_del_{c}")
+                cond = None
+                for c in eq_cols:
+                    piece = df[c].eqNullSafe(dside[f"_del_{c}"])
+                    cond = piece if cond is None else cond & piece
+                df = df.join(F.broadcast(dside), cond, "left_anti")
             parts.append(df)
         out = parts[0] if parts else self.spark.createDataFrame([], current.to_struct())
         for p in parts[1:]:

@@ -355,3 +355,35 @@ def test_scd2_two_batches_history(spark, warehouse):
     # closed rows carry the closing batch's version stamp
     closed = hist.filter(~F.col("is_current") & (F.col("c_custkey") % 20 == 0))
     assert {(r.version, r.valid_to) for r in closed.collect()} == {(1, 2), (2, 3)}
+
+
+def test_mor_equality_delete_null_key_is_null_safe(spark, warehouse):
+    """Iceberg equality-delete semantics: null matches null.  A delete
+    whose key tuple contains NULL must remove the NULL-keyed rows (a
+    null-unsafe join would silently resurrect them), and the DuckDB
+    snapshot export must agree row-for-row."""
+    import duckdb
+
+    from icepack.expr import col
+    from icepack.interop import duckdb_snapshot_sql
+    from icepack.table import IceTable
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None), (5, "c")],
+        "id long, k string",
+    )
+    t = IceTable.create(
+        spark,
+        warehouse,
+        df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "identifier-field-names": "k",
+        },
+    )
+    t.append(df)
+    t.delete(col("k").is_null())
+    got = sorted((r.id, r.k) for r in t.toDF().collect())
+    assert got == [(1, "a"), (3, "b"), (5, "c")]
+    duck = sorted(duckdb.connect().execute(duckdb_snapshot_sql(t)).fetchall())
+    assert duck == got
