@@ -111,15 +111,27 @@ def duckdb_snapshot_sql(
                 "    WHERE pd.file_path = 'file:' || d.filename"
                 " AND pd.pos = d.file_row_number)"
             )
-        eq_groups: dict[tuple[str, ...], list[str]] = {}
+        # equality deletes key on FIELD IDs: the delete file stores the
+        # names current at delete time; the data side `d` exposes this
+        # GROUP's schema-version names — resolve both through the id.
+        # A field the group's files predate reads as NULL on the data
+        # side (null-safe compare handles it).
+        eq_groups: dict[tuple, list[str]] = {}
         for p in applicable:
-            d = by_path[p]
-            if d.content == "equality-deletes":
-                eq_groups.setdefault(tuple(d.equality_columns), []).append(p)
-        for eq_cols, paths in sorted(eq_groups.items()):
+            dd = by_path[p]
+            if dd.content == "equality-deletes":
+                dschema = table.meta.schema_by_id(dd.schema_id)
+                resolved = []
+                for c in dd.equality_columns:
+                    f_old = dschema.field_by_name(c)
+                    f_grp = old.field_by_id(f_old.id) if f_old else None
+                    resolved.append((c, f_grp.name if f_grp else None))
+                eq_groups.setdefault(tuple(resolved), []).append(p)
+        for eq_map, paths in sorted(eq_groups.items()):
             on = " AND ".join(
-                f"ed.{_ident(c)} IS NOT DISTINCT FROM d.{_ident(c)}"
-                for c in eq_cols
+                f"ed.{_ident(dc)} IS NOT DISTINCT FROM "
+                + (f"d.{_ident(gc)}" if gc is not None else "NULL")
+                for dc, gc in eq_map
             )
             conds.append(
                 "NOT EXISTS (SELECT 1 FROM "

@@ -673,25 +673,50 @@ class IceTable:
                     (df["_file"] == dels["file_path"]) & (df["_pos"] == dels["pos"]),
                     "left_anti",
                 ).drop("_file", "_pos")
-            by_cols: dict[tuple, list[str]] = {}
+            # Equality deletes are keyed by FIELD ID, not name (Iceberg
+            # spec): a delete file stores the column names current at
+            # delete time, while _read_files reconciles data to the
+            # CURRENT schema — resolve each delete column through its
+            # schema version's field id to the current name, so a key
+            # column renamed after the delete still applies.
+            by_cols: dict[tuple, list] = {}
             for d in deletes:
                 if d.path in applicable and d.content == "equality-deletes":
-                    by_cols.setdefault(tuple(d.equality_columns), []).append(d.path)
-            for eq_cols, paths in sorted(by_cols.items()):
-                dels = self.spark.read.parquet(*paths).select(*eq_cols).distinct()
+                    dschema = self.meta.schema_by_id(d.schema_id)
+                    resolved = []
+                    for c in d.equality_columns:
+                        f_old = dschema.field_by_name(c)
+                        f_cur = current.field_by_id(f_old.id) if f_old else None
+                        if f_cur is None:
+                            raise ValueError(
+                                f"equality-delete file {d.path} keys on "
+                                f"{c!r} (field dropped from the current "
+                                "schema); compact to materialize the "
+                                "deletes before dropping the column"
+                            )
+                        resolved.append((c, f_cur.name))
+                    by_cols.setdefault(tuple(resolved), []).append(d.path)
+            for eq_map, paths in sorted(by_cols.items()):
+                dels = (
+                    self.spark.read.parquet(*paths)
+                    .select(
+                        *[
+                            F.col(old).alias(f"_del_{cur}")
+                            for old, cur in eq_map
+                        ]
+                    )
+                    .distinct()
+                )
                 # Iceberg equality-delete semantics: field-by-field
                 # equality with null == null (spec "Equality Delete
                 # Files"), so the anti-join must be NULL-SAFE — a plain
                 # column-name join would let a NULL-keyed delete match
                 # nothing and resurrect the row
-                dside = dels
-                for c in eq_cols:
-                    dside = dside.withColumnRenamed(c, f"_del_{c}")
                 cond = None
-                for c in eq_cols:
-                    piece = df[c].eqNullSafe(dside[f"_del_{c}"])
+                for _old, cur in eq_map:
+                    piece = df[cur].eqNullSafe(dels[f"_del_{cur}"])
                     cond = piece if cond is None else cond & piece
-                df = df.join(F.broadcast(dside), cond, "left_anti")
+                df = df.join(F.broadcast(dels), cond, "left_anti")
             parts.append(df)
         out = parts[0] if parts else self.spark.createDataFrame([], current.to_struct())
         for p in parts[1:]:

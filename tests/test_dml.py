@@ -387,3 +387,39 @@ def test_mor_equality_delete_null_key_is_null_safe(spark, warehouse):
     assert got == [(1, "a"), (3, "b"), (5, "c")]
     duck = sorted(duckdb.connect().execute(duckdb_snapshot_sql(t)).fetchall())
     assert duck == got
+
+
+def test_mor_equality_delete_survives_key_rename(spark, warehouse):
+    """Equality deletes key on FIELD IDS (Iceberg spec): renaming the
+    key column AFTER a MOR delete must not break the scan nor
+    resurrect the deleted rows — and the DuckDB export must agree."""
+    import duckdb
+
+    from icepack.expr import col
+    from icepack.interop import duckdb_snapshot_sql
+    from icepack.table import IceTable
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "b")], "id long, k string"
+    )
+    t = IceTable.create(
+        spark,
+        warehouse,
+        df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "identifier-field-names": "k",
+        },
+    )
+    t.append(df)
+    t.delete(col("k") == "b")
+    t.rename_column("k", "key")
+    got = sorted((r.id, r.key) for r in t.toDF().collect())
+    assert got == [(1, "a"), (3, "c")]
+    # post-rename appends coexist: new file schema has `key`, the old
+    # delete still applies only to the pre-delete files
+    t.append(spark.createDataFrame([(9, "b")], "id long, key string"))
+    got = sorted((r.id, r.key) for r in t.toDF().collect())
+    assert got == [(1, "a"), (3, "c"), (9, "b")]
+    duck = sorted(duckdb.connect().execute(duckdb_snapshot_sql(t)).fetchall())
+    assert duck == got
