@@ -423,3 +423,34 @@ def test_mor_equality_delete_survives_key_rename(spark, warehouse):
     assert got == [(1, "a"), (3, "c"), (9, "b")]
     duck = sorted(duckdb.connect().execute(duckdb_snapshot_sql(t)).fetchall())
     assert duck == got
+
+
+def test_mor_equality_delete_survives_key_widening(spark, warehouse):
+    """Widening the key column (int -> bigint) after an equality delete:
+    the delete file holds int values, reconciled data holds bigint —
+    the ID-resolved null-safe join must still remove exactly the
+    deleted keys, in Spark and in the DuckDB export."""
+    import duckdb
+
+    from icepack.expr import col
+    from icepack.interop import duckdb_snapshot_sql
+    from icepack.table import IceTable
+
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id long, k int")
+    t = IceTable.create(
+        spark,
+        warehouse,
+        df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "identifier-field-names": "k",
+        },
+    )
+    t.append(df)
+    t.delete(col("k") == 20)
+    t.widen_column("k", "bigint")
+    t.append(spark.createDataFrame([(9, 20)], "id long, k long"))
+    got = sorted((r.id, r.k) for r in t.toDF().collect())
+    assert got == [(1, 10), (3, 30), (9, 20)]
+    duck = sorted(duckdb.connect().execute(duckdb_snapshot_sql(t)).fetchall())
+    assert duck == got
