@@ -74,7 +74,7 @@ def _delete_cow(table, predicate: Expr) -> Snapshot:
     partial = [f for f in hit if f.path not in full_paths]
     new_entries = []
     if partial:
-        remaining = table._read_files(partial).filter(~predicate.to_column())
+        remaining = table._read_visible(partial).filter(~predicate.to_column())
         new_entries = table._write_data_files(remaining)
     return table._commit_snapshot("delete", new_entries, {f.path for f in hit})
 
@@ -126,7 +126,7 @@ def _delete_mor(table, predicate: Expr) -> Snapshot:
         return table._commit_snapshot("delete", [])
     if strategy == "position":
         keys = (
-            table._read_files(hit, with_pos=True)
+            table._read_visible(hit, with_pos=True)
             .filter(predicate.to_column())
             .select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
         )
@@ -139,7 +139,7 @@ def _delete_mor(table, predicate: Expr) -> Snapshot:
             else sorted(predicate.references())
         )
         keys = (
-            table._read_files(hit)
+            table._read_visible(hit)
             .filter(predicate.to_column())
             .select(*eq_cols)
             .distinct()
@@ -203,7 +203,7 @@ def _merge_mor(
             predicate = In(on[0], [r[0] for r in key_rows])
     hit, _ = table.plan_files(predicate)
 
-    tgt = table._read_files(hit, with_pos=True)
+    tgt = table._read_visible(hit, with_pos=True)
     s = src.select(*[F.col(c).alias(f"_s_{c}") for c in src.columns])
     cond = None
     for k in on:
@@ -266,7 +266,7 @@ def update(
     hit, _ = table.plan_files(predicate)
     if not hit:
         return table._commit_snapshot("overwrite", [])
-    df = table._read_files(hit)
+    df = table._read_visible(hit)
     pred = predicate.to_column()
     cols = []
     for f in table.meta.schema.fields:
@@ -293,7 +293,7 @@ def _update_mor(table, predicate: Expr, assignments: dict[str, Column]) -> Snaps
     hit, _ = table.plan_files(predicate)
     if not hit:
         return table._commit_snapshot("overwrite", [])
-    matched = table._read_files(hit, with_pos=True).filter(predicate.to_column())
+    matched = table._read_visible(hit, with_pos=True).filter(predicate.to_column())
     entries = _write_delete_entries(
         table,
         matched.select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos")),
@@ -353,7 +353,7 @@ def merge(
             predicate = In(on[0], [r[0] for r in key_rows])
     hit, _ = table.plan_files(predicate)
 
-    tgt = table._read_files(hit)
+    tgt = table._read_visible(hit)
     t = tgt.select(*[F.col(c).alias(f"_t_{c}") for c in names]).withColumn(
         "_t_exists", F.lit(True)
     )

@@ -639,15 +639,31 @@ class IceTable:
             out = out.filter(predicate.to_column())  # full filter, always
         return out
 
+    def _read_visible(
+        self, files: list[DataFile], with_pos: bool = False
+    ) -> DataFrame:
+        """Read a file subset with the TABLE'S live delete files
+        applied — the view every DML operation must start from.  A DML
+        that reads hit files raw resurrects rows masked by earlier MOR
+        deletes (its rewrite/append re-materializes them past the old
+        delete's sequence number).  ``with_pos`` keeps ``_file``/
+        ``_pos`` for ops that write position deletes for matched rows."""
+        dels = self.live_files(content="all")
+        return self._read_with_deletes(
+            files, [d for d in dels if d.content != "data"], with_pos=with_pos
+        )
+
     def _read_with_deletes(
-        self, files: list[DataFile], deletes: list[DataFile]
+        self, files: list[DataFile], deletes: list[DataFile], with_pos: bool = False
     ) -> DataFrame:
         """Read data files with the applicable MOR delete files merged
-        in (the sequence-correct anti-joins) — shared by the scan path
-        and scoped compaction."""
+        in (the sequence-correct anti-joins) — shared by the scan path,
+        scoped compaction, and (via _read_visible) every DML read.
+        ``with_pos`` retains the ``_file``/``_pos`` identity columns in
+        the output."""
         current = self.meta.schema
         if not deletes:
-            return self._read_files(files)
+            return self._read_files(files, with_pos=with_pos)
         # group data files by the set of delete files that apply
         groups: dict[tuple, list[DataFile]] = {}
         for f in files:
@@ -661,7 +677,7 @@ class IceTable:
             pos_paths = [
                 p for p in applicable if by_path[p].content == "position-deletes"
             ]
-            df = self._read_files(group, with_pos=bool(pos_paths))
+            df = self._read_files(group, with_pos=with_pos or bool(pos_paths))
             if pos_paths:
                 dels = (
                     self.spark.read.parquet(*pos_paths)
@@ -672,7 +688,9 @@ class IceTable:
                     F.broadcast(dels),
                     (df["_file"] == dels["file_path"]) & (df["_pos"] == dels["pos"]),
                     "left_anti",
-                ).drop("_file", "_pos")
+                )
+                if not with_pos:
+                    df = df.drop("_file", "_pos")
             # Equality deletes are keyed by FIELD ID, not name (Iceberg
             # spec): a delete file stores the column names current at
             # delete time, while _read_files reconciles data to the
@@ -718,7 +736,9 @@ class IceTable:
                     cond = piece if cond is None else cond & piece
                 df = df.join(F.broadcast(dels), cond, "left_anti")
             parts.append(df)
-        out = parts[0] if parts else self.spark.createDataFrame([], current.to_struct())
+        if not parts:
+            return self._read_files([], with_pos=with_pos)
+        out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out

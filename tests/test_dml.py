@@ -454,3 +454,66 @@ def test_mor_equality_delete_survives_key_widening(spark, warehouse):
     assert got == [(1, 10), (3, 30), (9, 20)]
     duck = sorted(duckdb.connect().execute(duckdb_snapshot_sql(t)).fetchall())
     assert duck == got
+
+
+def test_dml_never_resurrects_mor_deleted_rows(spark, warehouse):
+    """Every DML must operate on the VISIBLE table (live deletes
+    applied), not raw files: an UPDATE/MERGE/COW-DELETE overlapping a
+    previously MOR-deleted row must not re-materialize it past the old
+    delete's sequence number."""
+    from pyspark.sql import functions as F
+
+    from icepack.dml import source_col
+    from icepack.expr import col
+    from icepack.table import IceTable
+
+    def mk(wh, **props):
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+            "id long, k string, v double",
+        ).coalesce(1)  # ONE data file: deleted + surviving rows co-located
+        t = IceTable.create(
+            spark,
+            str(wh),
+            df.schema,
+            properties={"identifier-field-names": "id", **props},
+        )
+        t.append(df)
+        t.delete(col("id") == 2, mode="merge-on-read")
+        return t
+
+    # MOR UPDATE touching all rows: row 2 must stay gone
+    t = mk(warehouse + "-u", **{"write.update.mode": "merge-on-read"})
+    t.update(col("v") > 0.0, {"v": F.col("v") * 10})
+    assert sorted((r.id, r.v) for r in t.toDF().collect()) == [(1, 10.0), (3, 30.0)]
+
+    # COW UPDATE: same invariant through the rewrite path
+    t = mk(warehouse + "-uc")
+    t.update(col("v") > 0.0, {"v": F.col("v") * 10})
+    assert sorted((r.id, r.v) for r in t.toDF().collect()) == [(1, 10.0), (3, 30.0)]
+
+    # COW DELETE of a different predicate rewriting the shared file
+    t = mk(warehouse + "-d")
+    t.delete(col("k") == "c")
+    assert sorted((r.id, r.k) for r in t.toDF().collect()) == [(1, "a")]
+
+    # MERGE (COW): deleted row is NOT a match target; a source row for
+    # its key INSERTS fresh (standard MERGE semantics), matched row 3
+    # updates, row 1 unmatched-target survives
+    t = mk(warehouse + "-m")
+    src = spark.createDataFrame([(2, "B", 20.0), (3, "C", 30.0)], "id long, k string, v double")
+    t.merge(src, on=["id"], when_matched_update={"k": source_col("k"), "v": source_col("v")})
+    assert sorted((r.id, r.k, r.v) for r in t.toDF().collect()) == [
+        (1, "a", 1.0),
+        (2, "B", 20.0),
+        (3, "C", 30.0),
+    ]
+
+    # MERGE (MOR): same semantics through position-delete + append
+    t = mk(warehouse + "-mm", **{"write.merge.mode": "merge-on-read"})
+    t.merge(src, on=["id"], when_matched_update={"k": source_col("k"), "v": source_col("v")})
+    assert sorted((r.id, r.k, r.v) for r in t.toDF().collect()) == [
+        (1, "a", 1.0),
+        (2, "B", 20.0),
+        (3, "C", 30.0),
+    ]
