@@ -269,15 +269,24 @@ class RestCatalog:
         return t
 
     def load_table(self, name: str) -> RestTable:
+        # the metadata DOCUMENT is the source of truth for where the
+        # table's storage lives (its `location` field) — a client must
+        # not assume the table sits under its own warehouse root (a
+        # linked table created by another engine usually doesn't)
+        loc = self.client.load_table(self.namespace, name)["metadata-location"]
+        with open(loc) as f:
+            meta = TableMetadata.loads(f.read())
         t = RestTable(
             self.spark,
-            self._loc(name),
-            None,  # type: ignore[arg-type]
+            meta.location,
+            meta,
             self.client,
             self.namespace,
             name,
+            metadata_location=loc,
         )
-        return t.refresh()
+        t._version = int(os.path.basename(loc).split("-", 1)[0][1:])
+        return t
 
     def table_exists(self, name: str) -> bool:
         return name in self.client.list_tables(self.namespace)

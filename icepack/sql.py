@@ -308,6 +308,10 @@ class IceSQL:
         self.spark = spark
         self.catalog = Catalog(spark, warehouse)
         self._viewn = 0
+        #: tables linked from an external REST catalog (docs/04:77-93):
+        #: resolved through the integration's CATALOG_URI, addressed by
+        #: their local alias like any other table
+        self._linked: dict[str, IceTable] = {}
         #: CREATE VIEW definitions, name → SQL text.  Re-resolved on
         #: every read so views track their base tables' current
         #: snapshots (session-scoped, like temp views).
@@ -318,6 +322,8 @@ class IceSQL:
     # -- helpers ------------------------------------------------------------
 
     def _table(self, name: str) -> IceTable:
+        if name in self._linked:
+            return self._linked[name].refresh()
         return self.catalog.load_table(name)
 
     def _fresh_view(self, df: DataFrame, hint: str) -> str:
@@ -332,7 +338,7 @@ class IceSQL:
         and flatten dotted references (``bronze.events_raw`` →
         ``bronze_events_raw`` temp view) so the docs' namespaced names
         resolve.  Returns the (possibly rewritten) statement."""
-        for name in self.catalog.list_tables():
+        for name in list(self.catalog.list_tables()) + list(self._linked):
             flat, short = name.replace(".", "_"), name.split(".")[-1]
             pat = rf"(?i)\b({re.escape(name)}|{re.escape(flat)}|{re.escape(short)})\b"
             if re.search(pat, stmt):
@@ -346,7 +352,7 @@ class IceSQL:
 
     def _resolve_name(self, name: str) -> str:
         """Accept dotted, flattened, or last-component table names."""
-        tables = self.catalog.list_tables()
+        tables = list(self.catalog.list_tables()) + list(self._linked)
         if name in tables:
             return name
         for t in tables:
@@ -586,14 +592,36 @@ class IceSQL:
             )
             link = {k.upper(): v for k, v in lm}
             if "CATALOG_TABLE_NAME" in link:
+                integ = {}
                 if "CATALOG" in link:
-                    self.catalog.get_catalog_integration(link["CATALOG"])  # must exist
+                    integ = self.catalog.get_catalog_integration(link["CATALOG"])
                 if "EXTERNAL_VOLUME" in link:
                     self.catalog.get_external_volume(link["EXTERNAL_VOLUME"])
+                uri = integ.get("CATALOG_URI")
+                source = str(integ.get("CATALOG_SOURCE", "")).upper()
+                if uri and ("REST" in source or not source):
+                    # docs/04:77-93: resolve the table through the
+                    # Iceberg REST protocol client (restcat.py) and
+                    # address it locally under the CREATE's name
+                    from .restcat import RestCatalog, RestCatalogClient
+
+                    ref = link["CATALOG_TABLE_NAME"]
+                    ns, _, tbl = ref.rpartition(".")
+                    ns = ns or str(integ.get("CATALOG_NAMESPACE", "default"))
+                    rc = RestCatalog(
+                        self.spark,
+                        self.catalog.warehouse,
+                        RestCatalogClient(uri),
+                        ns,
+                    )
+                    t = rc.load_table(tbl)
+                    self._linked[name] = t
+                    return t
                 raise NotImplementedError(
-                    "externally-cataloged tables need a Glue/REST network client "
-                    "(offline seam: Catalog.get_catalog_integration); "
-                    f"validated integration {link.get('CATALOG')!r}"
+                    "Glue-cataloged tables need an AWS client (offline seam: "
+                    "Catalog.get_catalog_integration); REST integrations "
+                    "resolve when CATALOG_URI is set — validated integration "
+                    f"{link.get('CATALOG')!r}"
                 )
             raise ValueError(f"expected column list in {s[:60]!r}")
         body, end = _balanced(rest, 0)

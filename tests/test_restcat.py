@@ -260,3 +260,39 @@ def test_orphan_sweep_collects_lost_race_metadata_docs(spark, server, tmp_path):
     assert loser in removed and not os.path.exists(loser)
     assert os.path.exists(t._metadata_location)  # current pointer kept
     assert t.toDF().count() == 10  # table unharmed
+
+
+def test_sql_create_iceberg_table_from_rest_catalog(spark, server, tmp_path):
+    """docs/04:77-93 end to end through the SQL surface: CREATE CATALOG
+    INTEGRATION with a live CATALOG_URI, then the docs' columnless
+    CREATE ICEBERG TABLE ... CATALOG_TABLE_NAME links the externally-
+    cataloged table — after which it SELECTs and INSERTs like any local
+    table, with writes committing through the service CAS."""
+    from icepack.sql import IceSQL
+
+    url, _ = server
+    # seed a table in the external catalog (the "other engine")
+    cat = RestCatalog(spark, str(tmp_path / "extwh"), RestCatalogClient(url), "ns")
+    seed = spark.range(0, 40).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    cat.create_table("source_table", seed.schema).append(seed)
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql(f"""
+        CREATE CATALOG INTEGRATION rest_live
+          CATALOG_SOURCE = ICEBERG_REST
+          TABLE_FORMAT = ICEBERG
+          CATALOG_URI = '{url}'
+          ENABLED = TRUE
+    """)
+    isql.sql("""
+        CREATE ICEBERG TABLE my_table
+          CATALOG = 'rest_live'
+          CATALOG_TABLE_NAME = 'ns.source_table'
+    """)
+    n = isql.sql("SELECT COUNT(*) AS n FROM my_table").collect()[0].n
+    assert n == 40
+    isql.sql("INSERT INTO my_table VALUES (100, 0.5)")
+    # the write went through the service: the ORIGINAL client sees it
+    assert cat.load_table("source_table").toDF().count() == 41
+    total = isql.sql("SELECT SUM(v) AS s FROM my_table").collect()[0].s
+    assert total == sum(float(i) for i in range(40)) + 0.5

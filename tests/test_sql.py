@@ -440,6 +440,21 @@ def test_docs_catalog_linked_table_stops_at_seam(isql):
               CATALOG = 'glue_cat2'
               CATALOG_TABLE_NAME = 'source_table'
         """)
+    # REST integrations DO resolve (restcat.py) — a dead URI must fail
+    # at the network layer, not with the seam error
+    isql.sql("""
+        CREATE CATALOG INTEGRATION rest_cat2
+          CATALOG_SOURCE = ICEBERG_REST
+          TABLE_FORMAT = ICEBERG
+          CATALOG_URI = 'http://127.0.0.1:9'
+          ENABLED = TRUE
+    """)
+    with pytest.raises(Exception, match="(?i)connection|refused|urlopen"):
+        isql.sql("""
+            CREATE ICEBERG TABLE my_table
+              CATALOG = 'rest_cat2'
+              CATALOG_TABLE_NAME = 'ns.source_table'
+        """)
     with pytest.raises(ValueError, match="unknown catalog_integrations"):
         isql.sql("""
             CREATE ICEBERG TABLE my_table
