@@ -296,3 +296,31 @@ def test_sql_create_iceberg_table_from_rest_catalog(spark, server, tmp_path):
     assert cat.load_table("source_table").toDF().count() == 41
     total = isql.sql("SELECT SUM(v) AS s FROM my_table").collect()[0].s
     assert total == sum(float(i) for i in range(40)) + 0.5
+
+
+def test_sql_dml_on_rest_linked_table(spark, server, tmp_path):
+    """DELETE/UPDATE through the SQL surface on a REST-linked table:
+    every DML commit goes through the service CAS and is visible to
+    the originating client, with the full snapshot history intact."""
+    from icepack.sql import IceSQL
+
+    url, _ = server
+    cat = RestCatalog(spark, str(tmp_path / "ext"), RestCatalogClient(url), "ns")
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "id long, k string, v double"
+    )
+    cat.create_table("src", df.schema).append(df)
+    isql = IceSQL(spark, str(tmp_path / "local"))
+    isql.sql(
+        f"CREATE CATALOG INTEGRATION rc CATALOG_SOURCE = ICEBERG_REST"
+        f" CATALOG_URI = '{url}' ENABLED = TRUE"
+    )
+    isql.sql("CREATE ICEBERG TABLE lt CATALOG = 'rc' CATALOG_TABLE_NAME = 'ns.src'")
+    isql.sql("DELETE FROM lt WHERE k = 'b'")
+    isql.sql("UPDATE lt SET v = v * 10 WHERE id = 3")
+    want = [(1, "a", 1.0), (3, "c", 30.0)]
+    got = sorted((r.id, r.k, r.v) for r in isql.sql("SELECT * FROM lt").collect())
+    assert got == want
+    t = cat.load_table("src")
+    assert sorted((r.id, r.k, r.v) for r in t.toDF().collect()) == want
+    assert [s.operation for s in t.meta.snapshots] == ["append", "delete", "overwrite"]
