@@ -70,6 +70,7 @@ PRIORITY: list[str] = [
     "x20_kmeans_ivf",
     # new in r03
     "ice31_mor_pipeline",
+    "ice32_rest_catalog",
     # never driver-sampled (62) — accumulate coverage
     "x42_training_pipeline",
     "x43_pii_scan",

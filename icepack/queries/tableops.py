@@ -992,3 +992,49 @@ def ice31_mor_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     t.append(docs)
     t.delete(col("lang") == "de")
     return pipeline_census(t.toDF())
+
+
+@query(
+    "ice32_rest_catalog",
+    oracle=f"""
+    SELECT {_ORDER_COLS} FROM orders
+    WHERE o_orderkey % 2 = 0 AND o_orderstatus <> 'F'
+    """,
+)
+def ice32_rest_catalog(spark: SparkSession, sf: str) -> DataFrame:
+    """S5 end to end, self-contained: an in-process loopback service
+    speaking the Iceberg REST catalog protocol (icepack/restcat.py —
+    config/namespaces/load/commit with the 409-on-stale-base CAS), an
+    external client seeding a table through it, the docs/04:77-93
+    columnless CREATE ICEBERG TABLE ... CATALOG_TABLE_NAME linking form
+    resolving that table over HTTP, and a DELETE whose commit goes
+    through the service pointer swap.  Returns the linked table's final
+    state — value-checked against the plain-SQL oracle, so the whole
+    external-catalog path (protocol, pointer CAS, linked DML) lands in
+    the driver's correctness evidence, not just pytest."""
+    from ..restcat import RestCatalog, RestCatalogClient, loopback_catalog_server
+    from ..sql import IceSQL
+
+    url, shutdown = loopback_catalog_server()
+    try:
+        scratch = _scratch()
+        orders = load(spark, sf, "orders")
+        ext = RestCatalog(
+            spark, scratch + "/ext", RestCatalogClient(url), "ns"
+        )
+        ext.create_table("src", orders.schema).append(
+            orders.filter(F.col("o_orderkey") % 2 == 0)
+        )
+        isql = IceSQL(spark, scratch + "/local")
+        isql.sql(
+            "CREATE CATALOG INTEGRATION rc CATALOG_SOURCE = ICEBERG_REST"
+            f" CATALOG_URI = '{url}' ENABLED = TRUE"
+        )
+        isql.sql(
+            "CREATE ICEBERG TABLE linked CATALOG = 'rc'"
+            " CATALOG_TABLE_NAME = 'ns.src'"
+        )
+        isql.sql("DELETE FROM linked WHERE o_orderstatus = 'F'")
+        return isql.sql("SELECT * FROM linked")
+    finally:
+        shutdown()

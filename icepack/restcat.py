@@ -296,3 +296,102 @@ class RestCatalog:
 
     def drop_table(self, name: str) -> None:
         self.client.drop_table(self.namespace, name)
+
+
+def loopback_catalog_server():
+    """Start an in-process loopback HTTP server speaking the same REST
+    subset the client does, on an ephemeral 127.0.0.1 port.  Returns
+    ``(base_url, shutdown)``.
+
+    This is the offline stand-in for a real catalog service: it holds
+    {(namespace, table) -> metadata-location} in memory behind a lock
+    and implements the CAS commit contract (409 on a stale base).  Used
+    by the ice32 driver query so external-catalog mode is exercised
+    end to end in any environment; tests/test_restcat.py pins the
+    protocol against an independent second implementation."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    namespaces: dict[str, dict] = {}
+    tables: dict[tuple[str, str], str] = {}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # noqa: N802
+            pass
+
+        def _send(self, status, payload=None):
+            body = json.dumps(payload or {}).encode()
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _body(self):
+            n = int(self.headers.get("Content-Length") or 0)
+            return json.loads(self.rfile.read(n)) if n else {}
+
+        def do_GET(self):  # noqa: N802
+            parts = self.path.strip("/").split("/")
+            if parts[1:] == ["config"]:
+                return self._send(200, {"defaults": {}, "overrides": {}})
+            if parts[1:] == ["namespaces"]:
+                return self._send(
+                    200, {"namespaces": [n.split(".") for n in namespaces]}
+                )
+            if len(parts) == 4 and parts[3] == "tables":
+                ids = [
+                    {"namespace": parts[2].split("."), "name": t}
+                    for (n, t) in tables
+                    if n == parts[2]
+                ]
+                return self._send(200, {"identifiers": ids})
+            if len(parts) == 5 and parts[3] == "tables":
+                loc = tables.get((parts[2], parts[4]))
+                if loc is None:
+                    return self._send(404, {"error": "no such table"})
+                return self._send(200, {"metadata-location": loc})
+            self._send(404, {"error": self.path})
+
+        def do_POST(self):  # noqa: N802
+            parts = self.path.strip("/").split("/")
+            body = self._body()
+            if parts[1:] == ["namespaces"]:
+                ns = ".".join(body["namespace"])
+                with lock:
+                    if ns in namespaces:
+                        return self._send(409, {"error": "namespace exists"})
+                    namespaces[ns] = body.get("properties", {})
+                return self._send(200, {"namespace": body["namespace"]})
+            if len(parts) == 5 and parts[3] == "tables":
+                key = (parts[2], parts[4])
+                want = None
+                for r in body.get("requirements", []):
+                    if r.get("type") == "assert-metadata-location":
+                        want = r.get("metadata-location")
+                with lock:
+                    if tables.get(key) != want:
+                        return self._send(409, {"error": "stale base"})
+                    tables[key] = body["metadata-location"]
+                return self._send(200, {"metadata-location": body["metadata-location"]})
+            self._send(404, {"error": self.path})
+
+        def do_DELETE(self):  # noqa: N802
+            parts = self.path.strip("/").split("/")
+            if len(parts) == 5 and parts[3] == "tables":
+                with lock:
+                    if tables.pop((parts[2], parts[4]), None) is None:
+                        return self._send(404, {"error": "no such table"})
+                return self._send(200, {})
+            self._send(404, {"error": self.path})
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+
+    def shutdown():
+        srv.shutdown()
+        th.join(5)
+
+    return f"http://127.0.0.1:{srv.server_port}", shutdown
