@@ -71,6 +71,8 @@ PRIORITY: list[str] = [
     # new in r03
     "ice31_mor_pipeline",
     "ice32_rest_catalog",
+    "ice33_orc_ingest",
+    "x44_pii_redact",
     # never driver-sampled (62) — accumulate coverage
     "x42_training_pipeline",
     "x43_pii_scan",

@@ -2346,3 +2346,71 @@ def x43_pii_scan(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_phones").alias("n_phones"),
         F.sum("n_ipv4s").alias("n_ipv4s"),
     )
+
+
+@query(
+    "x44_pii_redact",
+    oracle=r"""
+    WITH red AS (
+      SELECT source, text,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\d{3}[-.]\d{3}[-.]\d{4}', '<PHONE>', 'g'),
+               '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS rtext
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rtext <> text THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_redacted,
+           CAST(SUM(len(regexp_extract_all(rtext, '<EMAIL>'))
+                  + len(regexp_extract_all(rtext, '<PHONE>'))
+                  + len(regexp_extract_all(rtext, '<IP>'))) AS BIGINT)
+             AS n_redactions,
+           CAST(SUM(len(regexp_extract_all(rtext,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))) AS BIGINT)
+             AS residual_hits
+    FROM red GROUP BY source
+    """,
+)
+def x44_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
+    """The redaction pass x43's census budgets for: rewrite every PII
+    span (email -> <EMAIL>, phone -> <PHONE>, IPv4 -> <IP>) and emit
+    the per-source audit a compliance pipeline records — docs touched,
+    spans replaced, and residual email hits AFTER redaction (the
+    self-check column; nonzero means a pattern regressed).  Chained
+    regexp_replace is a zero-shuffle scan pass over the corpus (the
+    only acceptable shape at 100 TB); patterns are the same
+    lookaround-free set as x43 so Java regex and RE2 agree span for
+    span.  Redaction order (email, phone, IP) is part of the contract:
+    both engines apply the same chain, so overlapping candidates
+    resolve identically."""
+    d = load(spark, sf, "documents")
+    r = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col("text"), PII_PATTERNS["emails"], "<EMAIL>"
+            ),
+            PII_PATTERNS["phones"],
+            "<PHONE>",
+        ),
+        PII_PATTERNS["ipv4s"],
+        "<IP>",
+    )
+    red = d.select("source", "text", r.alias("rtext"))
+    n_marks = (
+        F.size(F.regexp_extract_all("rtext", F.lit("<EMAIL>"), F.lit(0)))
+        + F.size(F.regexp_extract_all("rtext", F.lit("<PHONE>"), F.lit(0)))
+        + F.size(F.regexp_extract_all("rtext", F.lit("<IP>"), F.lit(0)))
+    )
+    residual = F.size(
+        F.regexp_extract_all("rtext", F.lit(PII_PATTERNS["emails"]), F.lit(0))
+    )
+    return red.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("rtext") != F.col("text")).cast("int"))
+        .cast("bigint")
+        .alias("docs_redacted"),
+        F.sum(n_marks).cast("bigint").alias("n_redactions"),
+        F.sum(residual).cast("bigint").alias("residual_hits"),
+    )

@@ -1038,3 +1038,45 @@ def ice32_rest_catalog(spark: SparkSession, sf: str) -> DataFrame:
         return isql.sql("SELECT * FROM linked")
     finally:
         shutdown()
+
+
+@query(
+    "ice33_orc_ingest",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total
+    FROM events WHERE event_id % 3 = 0 GROUP BY event_type
+    """,
+)
+def ice33_orc_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Bronze landing from ORC (docs/11-multi-engine-compatibility.md:
+    31-42 — engines land data in whatever columnar format their
+    upstream uses; Spark reads ORC natively, no extra jar): write an
+    ORC drop zone, read it back with an EXPLICIT schema, ingest into an
+    icepack table — the table layer itself stays parquet-only
+    (docs/02-parquet-data-storage.md:3-15), so the format conversion
+    happens exactly once, at ingest, completing the JSON (ice28) / CSV
+    (ice30) / ORC landing matrix.  Doubles survive ORC bit-exactly
+    (same IEEE754 binary layout), verified by the oracle's sum over the
+    original parquet."""
+    scratch = _scratch()
+    ev = (
+        load(spark, sf, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select("event_id", "event_type", "value")
+    )
+    odir = scratch + "/orc-src"
+    ev.write.orc(odir)
+    src = (
+        spark.read.schema("event_id long, event_type string, value double")
+        .orc(odir)
+    )
+    t = IceTable.create(spark, scratch + "/tbl", src.schema)
+    t.append(src)
+    return (
+        t.toDF()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+    )

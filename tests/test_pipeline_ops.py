@@ -189,3 +189,46 @@ def test_pii_scan_detects_injected_pii(spark):
         F.sum("n_emails") + F.sum("n_phones") + F.sum("n_ipv4s")
     ).collect()[0][0]
     assert clean == 0
+
+
+def test_pii_redaction_rewrites_injected_spans(spark):
+    """x44's redaction chain on planted PII: every injected span must be
+    replaced by its placeholder, the audit counts must match the plant
+    exactly, and a second pass over the redacted text must find zero
+    residual PII (the fixture corpus is clean, so this injection is the
+    only real proof the rewrite works)."""
+    from icepack.queries.llm import PII_PATTERNS
+
+    docs = load(spark, SF_DIR, "documents").limit(10)
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" contact alice@example.com or bob.smith@corp.co.uk"),
+            F.lit(" call 555-867-5309 from 10.0.0.1"),
+        ),
+    )
+    r = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_PATTERNS["emails"], "<EMAIL>"),
+            PII_PATTERNS["phones"],
+            "<PHONE>",
+        ),
+        PII_PATTERNS["ipv4s"],
+        "<IP>",
+    )
+    red = planted.select(r.alias("rtext"))
+    marks = red.agg(
+        F.sum(F.size(F.regexp_extract_all("rtext", F.lit("<EMAIL>"), F.lit(0)))).alias("e"),
+        F.sum(F.size(F.regexp_extract_all("rtext", F.lit("<PHONE>"), F.lit(0)))).alias("p"),
+        F.sum(F.size(F.regexp_extract_all("rtext", F.lit("<IP>"), F.lit(0)))).alias("i"),
+    ).collect()[0]
+    assert (marks.e, marks.p, marks.i) == (20, 10, 10)
+    residual = red.agg(
+        F.sum(
+            F.size(F.regexp_extract_all("rtext", F.lit(PII_PATTERNS["emails"]), F.lit(0)))
+            + F.size(F.regexp_extract_all("rtext", F.lit(PII_PATTERNS["phones"]), F.lit(0)))
+            + F.size(F.regexp_extract_all("rtext", F.lit(PII_PATTERNS["ipv4s"]), F.lit(0)))
+        )
+    ).collect()[0][0]
+    assert residual == 0
