@@ -191,3 +191,13 @@ def test_mor_pipeline_applies_deletes_below_composition(spark):
     plan = _plan(spark, "ice31_mor_pipeline")
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pii_redact_is_single_scan_pass(spark):
+    """x44: chained regexp_replace must stay one scan + one aggregation
+    — no joins, exactly one exchange (the source groupBy), and no
+    Python in the plan (regexp_replace is JVM-side)."""
+    plan = _plan(spark, "x44_pii_redact")
+    assert "Join" not in plan
+    assert plan.count("Exchange (") <= 1
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
