@@ -56,66 +56,14 @@ def load_all_modules() -> None:
 #: iteration order never depends on untracked files in the environment
 #: (same input -> same order, everywhere).
 #:
-#: Round-3 snapshot: first the 4 queries sampled-but-not-green in
-#: r01/r02 (x28/x29/a15 carried a now-fixed oracle type bug; x20 was
-#: r01 ``no_oracle`` and has since gained an exact oracle), then the 62
-#: queries no driver round has sampled yet, then a regression re-sample
-#: of evidenced representatives of each operator family so prior greens
-#: can't silently rot.
+#: Round-4 snapshot: first the 20 queries no driver round (r01–r03) has
+#: ever sampled — the only §2 rows still without driver hash evidence —
+#: then the queries new in round 4, then a regression re-sample of
+#: evidenced representatives of each operator family so prior greens
+#: can't silently rot.  (Cumulative driver evidence entering r04:
+#: 144/164 sampled, 144/144 green.)
 PRIORITY: list[str] = [
-    # sampled in r01/r02 but not green — fixed, need fresh evidence
-    "x28_sequence_pack",
-    "x29_vocab_stats",
-    "a15_sessionize_gap",
-    "x20_kmeans_ivf",
-    # new in r03
-    "ice31_mor_pipeline",
-    "ice32_rest_catalog",
-    "ice33_orc_ingest",
-    "x44_pii_redact",
-    # never driver-sampled (62) — accumulate coverage
-    "x42_training_pipeline",
-    "x43_pii_scan",
-    "a1_groupby_count",
-    "a4_tpch_q1",
-    "a4_tpch_q3",
-    "a4_tpch_q4",
-    "a4_tpch_q5",
-    "a4_tpch_q6",
-    "a4_tpch_q7",
-    "a4_tpch_q8",
-    "a4_tpch_q9",
-    "a4_tpch_q10",
-    "a4_tpch_q13",
-    "a4_tpch_q14",
-    "a4_tpch_q15",
-    "a4_tpch_q17",
-    "a4_tpch_q18",
-    "a4_tpch_q19",
-    "a4_tpch_q22",
-    "a3_approx_distinct",
-    "a5_scalar_subquery",
-    "a5_correlated_subquery",
-    "a6_rollup",
-    "a6_cube",
-    "a6_grouping_sets",
-    "a7_stat_aggs",
-    "a8_pivot",
-    "a9_listagg",
-    "a10_conditional_agg",
-    "a11_salted_agg",
-    "a12_funnel",
-    "a13_skyline",
-    "a17_exact_median",
-    "a18_gapfill_lerp",
-    "a19_copurchase",
-    "a20_share_of_total",
-    "j8_salted_join",
-    "j9_null_safe_join",
-    "w1_topk_per_group",
-    "w1_rank_family",
-    "w2_lag_gap",
-    "w3_running_sum",
+    # never driver-sampled in r01–r03 (20) — close evidence to 164/164
     "w3_range_frame",
     "w4_ntile",
     "w5_value_windows",
@@ -136,20 +84,41 @@ PRIORITY: list[str] = [
     "f9_math",
     "f10_date_spine",
     "f11_calendar",
-    # evidenced regression re-sample — one per operator family
+    # new in r04 — need first-time evidence
+    "ice34_scheduled_compaction",
+    "ice35_multi_stmt_txn",
+    "ice36_glue_catalog",
+    # evidenced regression re-sample — representatives per family
     "a0_gold_daily",
+    "a1_groupby_count",
+    "a4_tpch_q1",
+    "a4_tpch_q5",
+    "a4_tpch_q18",
+    "a6_grouping_sets",
+    "a12_funnel",
+    "a15_sessionize_gap",
+    "j8_salted_join",
+    "w1_topk_per_group",
+    "w3_running_sum",
     "ice1_create_append_read",
     "ice2_time_travel",
     "ice5_merge",
     "ice7_hidden_partition_prune",
+    "ice10_mor_delete",
     "ice13_medallion",
     "ice22_cdc_diff",
+    "ice31_mor_pipeline",
+    "ice32_rest_catalog",
     "st1_tumbling_window",
     "st5_dedup",
     "x1_exact_dedup",
     "x3_minhash_lsh",
     "x5_cosine_topk",
+    "x20_kmeans_ivf",
     "x22_contamination",
+    "x28_sequence_pack",
+    "x42_training_pipeline",
+    "x44_pii_redact",
 ]
 
 
