@@ -99,12 +99,20 @@ class Schedule:
             second=0, microsecond=0
         ) + _dt.timedelta(minutes=1)
         for _ in range(366 * 24 * 60):
+            dom_ok = self.dom is None or t.day in self.dom
+            dow_ok = self.dow is None or (t.weekday() + 1) % 7 in self.dow
+            if self.dom is not None and self.dow is not None:
+                # standard cron (and Snowflake's scheduler) OR the two
+                # day fields when BOTH are restricted: "0 0 1 * 1" fires
+                # on the 1st AND on every Monday, not only Monday-the-1st
+                day_ok = dom_ok or dow_ok
+            else:
+                day_ok = dom_ok and dow_ok
             if (
                 (self.minute is None or t.minute in self.minute)
                 and (self.hour is None or t.hour in self.hour)
-                and (self.dom is None or t.day in self.dom)
+                and day_ok
                 and (self.mon is None or t.month in self.mon)
-                and (self.dow is None or (t.weekday() + 1) % 7 in self.dow)
             ):
                 return int(t.timestamp() * 1000)
             t += _dt.timedelta(minutes=1)
@@ -130,33 +138,38 @@ class TaskScheduler:
 
     def run_due(self, now_ms: int) -> list[str]:
         """Execute every resumed task due at ``now_ms``; then cascade
-        AFTER-children of tasks that ran (depth-first through the task
-        graph, each child at most once).  Returns executed names in
+        AFTER-children of tasks that ran SUCCESSFULLY (depth-first
+        through the task graph, each child at most once — Snowflake task
+        graphs halt at a failed predecessor).  Returns executed names in
         execution order.  A failing body records ``last_error`` and
         does not block siblings (matching managed-service behavior);
         its next run is still advanced so one bad task can't hot-loop."""
         tasks = self._tasks()
         ran: list[str] = []
 
-        def _execute(name: str, task: dict) -> None:
+        def _execute(name: str, task: dict) -> bool:
             task["last_run_ms"] = now_ms
             sched = task.get("schedule")
             if sched:
                 task["next_run_ms"] = Schedule(sched).next_after(now_ms)
+            ok = True
             try:
                 self.engine._execute_task(name)
                 task.pop("last_error", None)
             except Exception as e:  # noqa: BLE001 — recorded, not raised
                 task["last_error"] = f"{type(e).__name__}: {e}"
+                ok = False
             self.catalog._put_object("tasks", name, task, replace=True)
             ran.append(name)
-            for child, ct in tasks.items():
-                if (
-                    child not in ran
-                    and ct.get("state") == "started"
-                    and ct.get("after") == name
-                ):
-                    _execute(child, ct)
+            if ok:
+                for child, ct in tasks.items():
+                    if (
+                        child not in ran
+                        and ct.get("state") == "started"
+                        and ct.get("after") == name
+                    ):
+                        _execute(child, ct)
+            return ok
 
         for name, task in tasks.items():
             if task.get("state") != "started" or task.get("after"):
@@ -166,10 +179,18 @@ class TaskScheduler:
                 continue  # EXECUTE TASK only
             nxt = task.get("next_run_ms")
             if nxt is None:
-                # first tick after RESUME: interval tasks are due now,
-                # cron tasks wait for their first matching instant
+                # First tick after RESUME: interval tasks are due now;
+                # cron tasks get their next matching instant computed
+                # from THIS tick and PERSISTED even when not yet due, so
+                # a coarse outer loop (a 5-min k8s CronJob, the module
+                # docstring's own example) catches the fire on a later
+                # tick via the nxt <= now_ms comparison instead of
+                # having to land within a minute of the cron instant.
                 s = Schedule(sched)
                 nxt = now_ms if s.kind == "interval" else s.next_after(now_ms - 60_000)
+                if nxt > now_ms:
+                    task["next_run_ms"] = nxt
+                    self.catalog._put_object("tasks", name, task, replace=True)
             if name not in ran and nxt <= now_ms:
                 _execute(name, task)
         return ran

@@ -87,6 +87,67 @@ def test_cron_task_waits_for_matching_instant(engine):
     assert sch.run_due(ms(2024, 6, 2, 2, 0)) == ["nightly"]
 
 
+def test_cron_dom_dow_or_semantics():
+    """Standard cron (and Snowflake) OR the day-of-month and day-of-week
+    fields when BOTH are restricted: '0 0 1 * 1' fires on the 1st AND on
+    every Monday — not only when the 1st falls on a Monday."""
+    s = Schedule("USING CRON 0 0 1 * 1 UTC")
+    # 2024-01-29 is a Monday; the next match is Feb 1st (a Thursday) via
+    # the dom leg.  AND semantics would skip to 2024-04-01 (Monday the
+    # 1st) — three months late.
+    assert s.next_after(ms(2024, 1, 29, 0, 0)) == ms(2024, 2, 1, 0, 0)
+    # ...and the dow leg still fires on a plain Monday mid-month
+    assert s.next_after(ms(2024, 2, 1, 0, 0)) == ms(2024, 2, 5, 0, 0)
+    # single-restricted fields keep AND semantics
+    only_dom = Schedule("USING CRON 0 0 15 * * UTC")
+    assert only_dom.next_after(ms(2024, 1, 1, 0, 0)) == ms(2024, 1, 15, 0, 0)
+
+
+def test_cron_first_fire_persisted_for_coarse_ticks(engine):
+    """A 'USING CRON' task resumed between fires must persist its
+    next_run_ms on the FIRST tick after RESUME, so an outer loop coarser
+    than one minute (e.g. a 5-min k8s CronJob) still catches the fire on
+    a later tick — instead of recomputing next_after(now-60s) forever
+    and only firing if a tick lands within a minute of the instant."""
+    _mk_table(engine)
+    engine.sql(
+        "CREATE TASK nightly SCHEDULE = 'USING CRON 0 2 * * * UTC' "
+        "AS INSERT INTO t1 VALUES (7, 7.0)"
+    )
+    engine.sql("ALTER TASK nightly RESUME")
+    sch = TaskScheduler(engine)
+    # first tick lands at 01:03 — not due, but 02:00 gets persisted
+    assert sch.run_due(ms(2024, 6, 1, 1, 3)) == []
+    task = engine.catalog._get_object("tasks", "nightly")
+    assert task["next_run_ms"] == ms(2024, 6, 1, 2, 0)
+    # next tick is COARSE: 02:04, four minutes past the instant — with
+    # the old recompute-each-tick logic this would be missed forever
+    assert sch.run_due(ms(2024, 6, 1, 2, 4)) == ["nightly"]
+    # and the fire rescheduled to tomorrow from the executed tick
+    task = engine.catalog._get_object("tasks", "nightly")
+    assert task["next_run_ms"] == ms(2024, 6, 2, 2, 0)
+
+
+def test_after_child_halts_when_parent_fails(engine):
+    """Snowflake task graphs halt at a failed predecessor: a child whose
+    AFTER parent errored must NOT run, and the parent records the
+    error."""
+    _mk_table(engine)
+    engine.sql(
+        "CREATE TASK badroot SCHEDULE = '1 MINUTE' AS INSERT INTO missing VALUES (1)"
+    )
+    engine.sql("CREATE TASK kid AFTER badroot AS INSERT INTO t1 VALUES (50, 5.0)")
+    engine.sql("ALTER TASK badroot RESUME")
+    engine.sql("ALTER TASK kid RESUME")
+    sch = TaskScheduler(engine)
+    assert sch.run_due(ms(2024, 6, 1, 0, 0)) == ["badroot"]
+    assert "last_error" in engine.catalog._get_object("tasks", "badroot")
+    # the child never executed: no row 50, no last_run_ms
+    n = engine.sql("SELECT COUNT(*) AS n FROM t1 WHERE id = 50").collect()[0].n
+    assert n == 0
+    assert "last_run_ms" not in engine.catalog._get_object("tasks", "kid")
+
+
 def test_after_graph_cascades_in_order(engine):
     _mk_table(engine)
     engine.sql(
