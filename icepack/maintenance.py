@@ -277,9 +277,18 @@ def remove_orphan_files(table, older_than_ms: int | None = None, dry_run: bool =
     (``table._metadata_location``) is live — history travels inside
     each doc, so older ones past the cutoff are safe to collect.
     Plain ``v<N>.metadata.json`` versions (local-pointer tables probe
-    them on refresh) are never touched."""
+    them on refresh) are never touched.
+
+    The handle is refreshed against its catalog FIRST: a stale handle's
+    ``_metadata_location`` may lag the catalog's CURRENT pointer, and
+    sweeping with the stale value would delete the doc the catalog
+    points at — bricking the table.  Handles with no
+    ``_metadata_location`` at all (e.g. a plain ``IceTable.load`` opened
+    on a REST-cataloged location) skip the doc sweep entirely: they
+    cannot know which doc the catalog considers live."""
     if older_than_ms is None:
         older_than_ms = int(time.time() * 1000) - 86400_000
+    table.refresh()
     referenced: set[str] = set()
     for s in table.meta.snapshots:
         for m in read_manifest_list(table._mdir, s.manifest_list):
@@ -290,9 +299,10 @@ def remove_orphan_files(table, older_than_ms: int | None = None, dry_run: bool =
         if p not in referenced and os.path.getmtime(p) * 1000 < older_than_ms:
             orphans.append(p)
     current_doc = getattr(table, "_metadata_location", None)
-    for p in _glob.glob(os.path.join(table._mdir, "v*-*.metadata.json")):
-        if p != current_doc and os.path.getmtime(p) * 1000 < older_than_ms:
-            orphans.append(p)
+    if current_doc is not None:
+        for p in _glob.glob(os.path.join(table._mdir, "v*-*.metadata.json")):
+            if p != current_doc and os.path.getmtime(p) * 1000 < older_than_ms:
+                orphans.append(p)
     if not dry_run:
         for p in orphans:
             _rm(p)

@@ -262,6 +262,38 @@ def test_orphan_sweep_collects_lost_race_metadata_docs(spark, server, tmp_path):
     assert t.toDF().count() == 10  # table unharmed
 
 
+def test_orphan_sweep_refreshes_stale_handle(spark, server, tmp_path):
+    """A RestTable handle stale by more than the cutoff must NOT treat
+    the catalog's CURRENT pointer doc as an orphan: remove_orphan_files
+    refreshes the handle against the catalog first, so the sweep
+    collects the handle's superseded doc — never the live one."""
+    import os
+    import time
+
+    from icepack.maintenance import remove_orphan_files
+
+    url, _ = server
+    cat = RestCatalog(spark, str(tmp_path / "wh"), RestCatalogClient(url), "lake")
+    df = spark.range(0, 10).selectExpr("id", "id AS v")
+    stale = cat.create_table("staleorph", df.schema)
+    stale.append(df)
+    old_doc = stale._metadata_location
+    # a SECOND handle advances the catalog pointer past the first
+    fresh = cat.load_table("staleorph")
+    fresh.append(spark.range(10, 20).selectExpr("id", "id AS v"))
+    live_doc = fresh._metadata_location
+    assert old_doc != live_doc
+    # age every metadata doc past the cutoff, then sweep via the STALE
+    # handle with a future cutoff — the worst case the advice describes
+    for p in os.listdir(stale._mdir):
+        full = os.path.join(stale._mdir, p)
+        os.utime(full, (time.time() - 100_000, time.time() - 100_000))
+    removed = remove_orphan_files(stale, older_than_ms=int(time.time() * 1000) + 10_000)
+    assert os.path.exists(live_doc), "sweep deleted the catalog's CURRENT doc"
+    assert old_doc in removed and not os.path.exists(old_doc)
+    assert cat.load_table("staleorph").toDF().count() == 20
+
+
 def test_sql_create_iceberg_table_from_rest_catalog(spark, server, tmp_path):
     """docs/04:77-93 end to end through the SQL surface: CREATE CATALOG
     INTEGRATION with a live CATALOG_URI, then the docs' columnless
