@@ -78,6 +78,23 @@ def _snapshot_id() -> int:
     return uuid.uuid4().int >> 80  # 48-bit id
 
 
+def build_partition_spec(
+    ice_schema: IceSchema, partition_by: list[tuple[str, str]] | None
+) -> PartitionSpec:
+    """Build spec 0 from ordered [(source_column, transform)] pairs —
+    shared by local CREATE and the REST createTable request path."""
+    pfields = []
+    for i, (src, transform) in enumerate(partition_by or []):
+        f = ice_schema.field_by_name(src)
+        if f is None:
+            raise ValueError(f"partition source column {src!r} not in schema")
+        tr.parse(transform)  # validate
+        suffix = transform.split("[")[0]
+        name = src if transform == "identity" else f"{src}_{suffix}"
+        pfields.append(PartitionField(f.id, 1000 + i, transform, name))
+    return PartitionSpec(0, pfields)
+
+
 def _scan_report(all_entries: list, scanned: list) -> dict:
     """Pruning-effectiveness record for one scan plan — the per-query
     metrics the reference monitors via QUERY_HISTORY
@@ -141,16 +158,8 @@ class IceTable:
             if isinstance(schema, IceSchema)
             else IceSchema.from_struct(schema)
         )
-        pfields = []
-        for i, (src, transform) in enumerate(partition_by or []):
-            f = ice_schema.field_by_name(src)
-            if f is None:
-                raise ValueError(f"partition source column {src!r} not in schema")
-            tr.parse(transform)  # validate
-            suffix = transform.split("[")[0]
-            name = src if transform == "identity" else f"{src}_{suffix}"
-            pfields.append(PartitionField(f.id, 1000 + i, transform, name))
-        meta = TableMetadata.new(location, ice_schema, PartitionSpec(0, pfields), properties)
+        spec = build_partition_spec(ice_schema, partition_by)
+        meta = TableMetadata.new(location, ice_schema, spec, properties)
         table = IceTable(spark, location, meta)
         table._write_version(1, meta)
         return table

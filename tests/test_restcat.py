@@ -1,21 +1,30 @@
 """REST catalog protocol (SURVEY.md S5): client + table commit seam
 against an in-process loopback server implementing the same public
-Iceberg-REST subset — namespaces, table lifecycle, and the pointer-CAS
-commit endpoint with its 409-on-stale-base contract.
+Iceberg-REST subset — namespaces, table lifecycle (createTable /
+loadTable / updateTable), and the spec's CommitTableRequest contract:
+UpdateRequirements validated against current metadata (409 on any
+failed assert), MetadataUpdate actions applied by the SERVER, which
+writes each new metadata document and answers with
+{metadata-location, metadata}.
 
-The server below is a test double for a real Glue/REST service: an
-in-memory {(namespace, table): metadata-location} map behind a lock.
+The server below is a test double for a real REST service and is
+deliberately INDEPENDENT of icepack's metadata classes: it validates
+requirements and applies updates directly on the raw metadata JSON.
 What these tests pin is everything an offline sandbox CAN verify about
-external-catalog mode: protocol shapes, CAS semantics, conflict-retry
-through the inherited _commit_snapshot loop, and that a second client
-(another "engine", docs/11-multi-engine-compatibility.md:16-29) sees
-exactly the committed state.
+external-catalog mode: wire shapes, requirement semantics,
+conflict-retry through the inherited _commit_snapshot loop, and that a
+second client (another "engine", docs/11-multi-engine-compatibility.md:
+16-29) sees exactly the committed state.
 """
 
 from __future__ import annotations
 
+import copy
 import json
+import os
 import threading
+import time
+import uuid as _uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import pytest
@@ -29,6 +38,138 @@ class _State:
         self.lock = threading.Lock()
         self.namespaces: dict[str, dict] = {}
         self.tables: dict[tuple[str, str], str] = {}  # -> metadata-location
+
+
+def _check_reqs_json(doc: dict | None, reqs: list[dict]) -> str | None:
+    """Requirement validation straight off the metadata JSON — a second
+    implementation, independent of icepack.restcat.check_requirements."""
+    for r in reqs:
+        t = r.get("type")
+        if t == "assert-create":
+            if doc is not None:
+                return "table exists"
+        elif doc is None:
+            return "no such table"
+        elif t == "assert-table-uuid":
+            if doc["table-uuid"] != r.get("uuid"):
+                return "uuid mismatch"
+        elif t == "assert-ref-snapshot-id":
+            name = r.get("ref")
+            if name == "main":
+                cur = doc.get("current-snapshot-id")
+            else:
+                cur = (doc.get("refs", {}).get(name) or {}).get("snapshot-id")
+            if cur != r.get("snapshot-id"):
+                return f"ref {name!r} moved"
+        elif t == "assert-current-schema-id":
+            if doc["current-schema-id"] != r.get("current-schema-id"):
+                return "current schema changed"
+        elif t == "assert-last-assigned-field-id":
+            if doc["last-column-id"] != r.get("last-assigned-field-id"):
+                return "last column changed"
+        elif t == "assert-default-spec-id":
+            if doc["default-spec-id"] != r.get("default-spec-id"):
+                return "default spec changed"
+        elif t == "assert-default-sort-order-id":
+            if doc.get("default-sort-order-id", 0) != r.get("default-sort-order-id"):
+                return "default sort order changed"
+        else:
+            return f"unsupported requirement {t!r}"
+    return None
+
+
+def _apply_updates_json(doc: dict, updates: list[dict]) -> dict:
+    """MetadataUpdate application on raw JSON."""
+    d = copy.deepcopy(doc)
+    for u in updates:
+        a = u.get("action")
+        if a == "set-location":
+            d["location"] = u["location"]
+        elif a == "add-schema":
+            d["schemas"].append(u["schema"])
+            d["last-column-id"] = max(d["last-column-id"], u.get("last-column-id", 0))
+        elif a == "set-current-schema":
+            d["current-schema-id"] = u["schema-id"]
+        elif a == "add-spec":
+            d["partition-specs"].append(u["spec"])
+        elif a == "set-default-spec":
+            d["default-spec-id"] = u["spec-id"]
+        elif a == "add-sort-order":
+            d.setdefault("sort-orders", []).append(u["sort-order"])
+        elif a == "set-default-sort-order":
+            d["default-sort-order-id"] = u["sort-order-id"]
+        elif a == "add-snapshot":
+            d["snapshots"].append(u["snapshot"])
+            d["last-sequence-number"] = max(
+                d.get("last-sequence-number", 0),
+                u["snapshot"].get("sequence-number", 0),
+            )
+        elif a == "remove-snapshots":
+            gone = set(u["snapshot-ids"])
+            d["snapshots"] = [
+                s for s in d["snapshots"] if s["snapshot-id"] not in gone
+            ]
+        elif a == "set-snapshot-ref":
+            if u["ref-name"] == "main":
+                d["current-snapshot-id"] = u["snapshot-id"]
+            else:
+                d.setdefault("refs", {})[u["ref-name"]] = {
+                    "snapshot-id": u["snapshot-id"],
+                    "type": u.get("type", "branch"),
+                }
+        elif a == "remove-snapshot-ref":
+            if u["ref-name"] == "main":
+                d["current-snapshot-id"] = None
+            else:
+                d.get("refs", {}).pop(u["ref-name"], None)
+        elif a == "set-properties":
+            d.setdefault("properties", {}).update(u["updates"])
+        elif a == "remove-properties":
+            for k in u["removals"]:
+                d.get("properties", {}).pop(k, None)
+        else:
+            raise ValueError(f"unsupported action {a!r}")
+    return d
+
+
+def _new_doc_json(body: dict) -> dict:
+    """Initial metadata JSON for a CreateTableRequest."""
+    schema = body["schema"]
+    spec = body.get("partition-spec") or {"spec-id": 0, "fields": []}
+    return {
+        "format-version": 2,
+        "table-uuid": str(_uuid.uuid4()),
+        "location": body["location"],
+        "last-column-id": max([f["id"] for f in schema.get("fields", [])] + [0]),
+        "last-sequence-number": 0,
+        "last-updated-ms": int(time.time() * 1000),
+        "schemas": [schema],
+        "current-schema-id": schema.get("schema-id", 0),
+        "partition-specs": [spec],
+        "default-spec-id": spec.get("spec-id", 0),
+        "snapshots": [],
+        "current-snapshot-id": None,
+        "properties": body.get("properties", {}),
+        "refs": {},
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": 0,
+    }
+
+
+def _write_doc_json(doc: dict, version: int) -> str:
+    mdir = os.path.join(doc["location"], "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"v{version}-{_uuid.uuid4().hex}.metadata.json")
+    with open(path, "x") as f:
+        json.dump(doc, f)
+    return path
+
+
+def _doc_version(loc: str) -> int:
+    try:
+        return int(os.path.basename(loc).split("-", 1)[0].lstrip("v"))
+    except ValueError:
+        return 0
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -71,7 +212,9 @@ class _Handler(BaseHTTPRequestHandler):
             loc = st.tables.get((parts[2], parts[4]))
             if loc is None:
                 return self._send(404, {"error": "no such table"})
-            return self._send(200, {"metadata-location": loc})
+            with open(loc) as f:
+                doc = json.load(f)
+            return self._send(200, {"metadata-location": loc, "metadata": doc})
         self._send(404, {"error": f"bad path {self.path}"})
 
     def do_POST(self):
@@ -91,22 +234,38 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._send(409, {"error": "table exists"})
                 st.tables[(ns, name)] = body["metadata-location"]
             return self._send(200, {"metadata-location": body["metadata-location"]})
+        if len(parts) == 4 and parts[3] == "tables":
+            # createTable: SERVER builds + persists the v1 document
+            ns, name = parts[2], body["name"]
+            with st.lock:
+                if (ns, name) in st.tables:
+                    return self._send(409, {"error": "table exists"})
+                doc = _new_doc_json(body)
+                loc = _write_doc_json(doc, 1)
+                st.tables[(ns, name)] = loc
+            return self._send(200, {"metadata-location": loc, "metadata": doc})
         if len(parts) == 5 and parts[3] == "tables":
+            # updateTable: CommitTableRequest — validate, apply, persist
             ns, name = parts[2], parts[4]
-            want = None
-            for r in body.get("requirements", []):
-                if r.get("type") == "assert-metadata-location":
-                    want = r.get("metadata-location")
-            new = body["metadata-location"]
             with st.lock:  # the CAS the whole protocol exists to provide
-                cur = st.tables.get((ns, name))
-                if cur != want:
-                    return self._send(
-                        409,
-                        {"error": f"stale base: current={cur!r} asserted={want!r}"},
-                    )
-                st.tables[(ns, name)] = new
-            return self._send(200, {"metadata-location": new})
+                cur_loc = st.tables.get((ns, name))
+                cur = None
+                if cur_loc is not None:
+                    with open(cur_loc) as f:
+                        cur = json.load(f)
+                err = _check_reqs_json(cur, body.get("requirements", []))
+                if err is not None:
+                    return self._send(409, {"error": err})
+                if cur is None:
+                    return self._send(404, {"error": "no such table"})
+                try:
+                    new = _apply_updates_json(cur, body.get("updates", []))
+                except ValueError as e:
+                    return self._send(400, {"error": str(e)})
+                new["last-updated-ms"] = int(time.time() * 1000)
+                loc = _write_doc_json(new, _doc_version(cur_loc) + 1)
+                st.tables[(ns, name)] = loc
+            return self._send(200, {"metadata-location": loc, "metadata": new})
         self._send(404, {"error": f"bad path {self.path}"})
 
     def do_DELETE(self):
@@ -185,17 +344,49 @@ def test_concurrent_commit_cas_retry(spark, server, tmp_path):
     assert len(snaps) == 2  # both commits present, linear history
 
 
-def test_stale_base_without_retry_is_409(server, tmp_path):
-    """Protocol-level: a raw commit against a stale previous location
-    must 409 — the exact contract engines build their retry on."""
+def test_failed_requirement_is_409(server, tmp_path):
+    """Protocol-level CommitTableRequest contract: a commit whose
+    UpdateRequirement does not hold against current metadata must 409 —
+    the exact contract engines build their retry on — and a passing
+    commit returns the server-written {metadata-location, metadata}."""
     url, _ = server
     c = RestCatalogClient(url)
     c.create_namespace("lake")
-    c.register_table("lake", "t", "/meta/v1.json")
-    c.commit_table("lake", "t", "/meta/v2.json", "/meta/v1.json")
+    schema = {
+        "schema-id": 0,
+        "fields": [{"id": 1, "name": "id", "type": "long", "required": True}],
+    }
+    created = c.create_table("lake", "t", str(tmp_path / "t"), schema)
+    meta = created["metadata"]
+    assert meta["table-uuid"] and meta["current-snapshot-id"] is None
+    assert os.path.exists(created["metadata-location"])  # server persisted it
+    ok = c.commit_table(
+        "lake",
+        "t",
+        [
+            {"type": "assert-table-uuid", "uuid": meta["table-uuid"]},
+            {"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": None},
+        ],
+        [{"action": "set-properties", "updates": {"owner": "etl"}}],
+    )
+    assert ok["metadata"]["properties"]["owner"] == "etl"
+    assert ok["metadata-location"] != created["metadata-location"]
+    # requirement that no longer holds -> 409
     with pytest.raises(CommitConflict):
-        c.commit_table("lake", "t", "/meta/v3.json", "/meta/v1.json")
-    assert c.load_table("lake", "t")["metadata-location"] == "/meta/v2.json"
+        c.commit_table(
+            "lake",
+            "t",
+            [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 12345}],
+            [{"action": "set-properties", "updates": {"owner": "hacker"}}],
+        )
+    with pytest.raises(CommitConflict):
+        c.commit_table(
+            "lake",
+            "t",
+            [{"type": "assert-table-uuid", "uuid": "not-the-uuid"}],
+            [],
+        )
+    assert c.load_table("lake", "t")["metadata-location"] == ok["metadata-location"]
 
 
 def test_threaded_concurrent_commits_through_service(spark, server, tmp_path):
@@ -231,6 +422,41 @@ def test_threaded_concurrent_commits_through_service(spark, server, tmp_path):
     # parent chain is linear: second snapshot's parent is the first
     s1, s2 = final.meta.snapshots
     assert s2.parent_snapshot_id == s1.snapshot_id
+
+
+def test_metadata_updates_round_trip_through_service(spark, server, tmp_path):
+    """Every MetadataUpdate family the diff engine emits survives the
+    server applying it to ITS copy of the metadata: schema evolution
+    (add-schema/set-current-schema), named refs (set-snapshot-ref /
+    remove-snapshot-ref), snapshot expiry (remove-snapshots), and
+    properties — the client adopts the server's result each commit, so
+    any application drift would surface as data loss here."""
+    url, _ = server
+    cat = RestCatalog(spark, str(tmp_path / "wh"), RestCatalogClient(url), "lake")
+    df = spark.range(0, 30).selectExpr("id", "CAST(id AS DOUBLE) AS v")
+    t = cat.create_table("rt", df.schema)
+    t.append(df)
+    t.add_column("note", "string")  # add-schema + set-current-schema
+    assert [f.name for f in t.meta.schema.fields] == ["id", "v", "note"]
+    t.append(
+        spark.range(30, 40).selectExpr(
+            "id", "CAST(id AS DOUBLE) AS v", "CAST('x' AS STRING) AS note"
+        )
+    )
+    t.create_tag("before-expire", t.meta.current_snapshot_id)  # set-snapshot-ref
+    t.set_properties(retention="long")  # set-properties
+    first = t.meta.snapshots[0].snapshot_id
+    t.expire_snapshots(older_than_ms=int(time.time() * 1000) + 10_000)
+    # a fresh second client sees the full composite state via the service
+    t2 = RestCatalog(spark, str(tmp_path / "wh"), RestCatalogClient(url), "lake").load_table("rt")
+    assert t2.toDF().count() == 40
+    assert [f.name for f in t2.meta.schema.fields] == ["id", "v", "note"]
+    assert t2.meta.properties["retention"] == "long"
+    assert "before-expire" in t2.meta.refs
+    assert t2.meta.snapshot_by_id(first) is None  # remove-snapshots applied
+    t.drop_ref("before-expire")  # remove-snapshot-ref
+    t2.refresh()
+    assert "before-expire" not in t2.meta.refs
 
 
 def test_orphan_sweep_collects_lost_race_metadata_docs(spark, server, tmp_path):
