@@ -1080,3 +1080,53 @@ def ice33_orc_ingest(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total"),
         )
     )
+
+
+@query(
+    "ice34_scheduled_compaction",
+    oracle=f"SELECT {_ORDER_COLS} FROM orders WHERE o_orderkey % 2 = 1",
+)
+def ice34_scheduled_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """M7 end to end as CORRECTNESS evidence (docs/10-maintenance-
+    operations.md:174-183): fragment a table with six small appends,
+    CREATE TASK with a nightly CRON schedule, RESUME it, and drive one
+    deterministic scheduler tick at the scheduled instant — the task
+    body's ALTER ICEBERG TABLE ... COMPACT DATA must actually shrink
+    the file count, SHOW TASKS must surface the run (state, last_run_ms,
+    no error), and the compacted content must hash-match the plain-SQL
+    oracle.  Raises (driver err) if the scheduled run didn't happen or
+    didn't compact, so a silent scheduler regression can't stay green."""
+    import datetime as _dt
+
+    from ..scheduler import TaskScheduler
+    from ..sql import IceSQL
+
+    isql = IceSQL(spark, _scratch())
+    orders = load(spark, sf, "orders").filter(F.col("o_orderkey") % 2 == 1)
+    orders.createOrReplaceTempView("ice34_src")
+    isql.sql("CREATE ICEBERG TABLE frag AS SELECT * FROM ice34_src WHERE 1 = 0")
+    for i in range(6):
+        isql.sql(
+            f"INSERT INTO frag SELECT * FROM ice34_src WHERE o_orderkey % 12 = {2 * i + 1}"
+        )
+    t = isql.catalog.load_table("frag")
+    before = len(t.live_files())
+    isql.sql(
+        "CREATE TASK nightly_opt SCHEDULE = 'USING CRON 0 3 * * * UTC' "
+        "AS ALTER ICEBERG TABLE frag COMPACT DATA"
+    )
+    isql.sql("ALTER TASK nightly_opt RESUME")
+    tick = int(
+        _dt.datetime(2024, 6, 1, 3, 0, tzinfo=_dt.timezone.utc).timestamp() * 1000
+    )
+    ran = TaskScheduler(isql).run_due(tick)
+    if ran != ["nightly_opt"]:
+        raise RuntimeError(f"scheduled task did not run at its instant: {ran}")
+    st = {r.name: r for r in isql.sql("SHOW TASKS").collect()}["nightly_opt"]
+    if st.last_run_ms != tick or getattr(st, "last_error", None):
+        raise RuntimeError(f"task state wrong after tick: {st}")
+    t.refresh()
+    after = len(t.live_files())
+    if not (after < before):
+        raise RuntimeError(f"compaction did not shrink files: {before} -> {after}")
+    return t.toDF()
