@@ -1130,3 +1130,56 @@ def ice34_scheduled_compaction(spark: SparkSession, sf: str) -> DataFrame:
     if not (after < before):
         raise RuntimeError(f"compaction did not shrink files: {before} -> {after}")
     return t.toDF()
+
+
+@query(
+    "ice35_multi_stmt_txn",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 100.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def ice35_multi_stmt_txn(spark: SparkSession, sf: str) -> DataFrame:
+    """D6 as driver evidence (docs/08-acid-transactions.md:143-165,
+    managed-table mode): BEGIN; INSERT; INSERT; UPDATE; COMMIT through
+    IceSQL, staged on a hidden WAP branch (icepack/txn.py) and
+    fast-forwarded atomically.  An OUTSIDE reader (separate catalog
+    handle) probes between statements and must see ZERO transaction
+    effects until COMMIT — the query raises (driver err) on any
+    atomicity breach, and the committed content is value-checked
+    against the plain-SQL oracle."""
+    from ..sql import IceSQL
+
+    wh = _scratch()
+    isql = IceSQL(spark, wh)
+    outside = IceSQL(spark, wh)
+    orders = load(spark, sf, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    ).createOrReplaceTempView("ice35_src")
+    isql.sql(
+        "CREATE ICEBERG TABLE txn_orders AS SELECT * FROM ice35_src WHERE 1 = 0"
+    )
+    isql.sql("BEGIN")
+    isql.sql(
+        "INSERT INTO txn_orders SELECT * FROM ice35_src WHERE o_orderkey % 6 = 0"
+    )
+    mid1 = outside.sql("SELECT COUNT(*) AS n FROM txn_orders").collect()[0].n
+    isql.sql(
+        "INSERT INTO txn_orders SELECT * FROM ice35_src WHERE o_orderkey % 6 = 3"
+    )
+    isql.sql(
+        "UPDATE txn_orders SET o_totalprice = o_totalprice + 100.0"
+        " WHERE o_orderstatus = 'F'"
+    )
+    mid2 = outside.sql("SELECT COUNT(*) AS n FROM txn_orders").collect()[0].n
+    if mid1 != 0 or mid2 != 0:
+        raise RuntimeError(
+            f"atomicity breach: outside reader saw {mid1}/{mid2} staged rows"
+        )
+    isql.sql("COMMIT")
+    return outside.sql(
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM txn_orders"
+    )

@@ -318,13 +318,40 @@ class IceSQL:
         self._views: dict[str, str] = {}
         #: USE DATABASE default namespace for unqualified names
         self._database: str | None = None
+        #: active multi-statement transaction (docs/08:143-165, managed
+        #: tables only): {table name -> TxnTable staging handle}; None =
+        #: autocommit
+        self._txn: "dict[str, object] | None" = None
+        self._txn_id: str | None = None
 
     # -- helpers ------------------------------------------------------------
 
     def _table(self, name: str) -> IceTable:
+        if self._txn is not None and name in self._txn:
+            return self._txn[name]  # read-your-writes inside BEGIN..COMMIT
         if name in self._linked:
             return self._linked[name].refresh()
         return self.catalog.load_table(name)
+
+    def _dml_table(self, name: str) -> IceTable:
+        """Resolve a DML target: inside a transaction, writes stage on
+        the table's hidden branch via a TxnTable handle; linked
+        (externally-cataloged) tables are autocommit only
+        (docs/08-acid-transactions.md:150-165)."""
+        if self._txn is None:
+            return self._table(name)
+        if name in self._linked:
+            raise ValueError(
+                "multi-statement transactions are not supported for "
+                "externally-cataloged tables (autocommit only, docs/08)"
+            )
+        if name not in self._txn:
+            from .txn import TxnTable
+
+            self._txn[name] = TxnTable.from_table(
+                self.catalog.load_table(name), f"__txn_{self._txn_id}"
+            )
+        return self._txn[name]
 
     def _fresh_view(self, df: DataFrame, hint: str) -> str:
         self._viewn += 1
@@ -360,11 +387,65 @@ class IceSQL:
                 return t
         raise ValueError(f"unknown iceberg table {name!r}")
 
+    # -- multi-statement transactions (D6, docs/08:143-165) -----------------
+
+    def _txn_begin(self):
+        if self._txn is not None:
+            raise ValueError("transaction already in progress (no nesting)")
+        import uuid as _uuid
+
+        self._txn = {}
+        self._txn_id = _uuid.uuid4().hex[:8]
+
+    def _txn_commit(self):
+        """Publish every staged table: fast-forward main to its branch
+        head (one CAS per table — readers see none or all of that
+        table's statements), then drop the branches.  On any failure
+        the remaining tables' staged branches are discarded so nothing
+        half-staged leaks into later statements."""
+        if self._txn is None:
+            raise ValueError("COMMIT outside a transaction")
+        handles, self._txn, self._txn_id = self._txn, None, None
+        applied = set()
+        try:
+            for name, h in handles.items():
+                h.txn_apply()
+                applied.add(name)
+        except BaseException:
+            for name, h in handles.items():
+                if name not in applied:
+                    try:
+                        h.txn_discard()
+                    except Exception:  # noqa: BLE001 — best-effort cleanup
+                        pass
+            raise
+
+    def _txn_rollback(self):
+        if self._txn is None:
+            raise ValueError("ROLLBACK outside a transaction")
+        handles, self._txn, self._txn_id = self._txn, None, None
+        for h in handles.values():
+            h.txn_discard()
+
     # -- entry point --------------------------------------------------------
 
     def sql(self, stmt: str):
         s = stmt.strip().rstrip(";").strip()
         u = s.upper()
+        if re.match(r"(?i)^BEGIN(\s+(TRANSACTION|WORK))?$", s):
+            return self._txn_begin()
+        if re.match(r"(?i)^COMMIT(\s+WORK)?$", s):
+            return self._txn_commit()
+        if re.match(r"(?i)^ROLLBACK(\s+WORK)?$", s):
+            return self._txn_rollback()
+        if self._txn is not None and not re.match(
+            r"(?i)^(INSERT|DELETE|UPDATE|MERGE|SELECT|WITH|SHOW|DESCRIBE)\b", s
+        ):
+            raise ValueError(
+                "only DML and queries are allowed inside a multi-statement "
+                "transaction; DDL and maintenance are autocommit "
+                "(docs/08-acid-transactions.md:143-165)"
+            )
         if u.startswith("CREATE") and re.match(
             r"(?i)CREATE(\s+OR\s+REPLACE)?\s+(ICEBERG\s+)?TABLE\b", s
         ):
@@ -646,7 +727,7 @@ class IceSQL:
             r"(?i)INSERT\s+INTO\s+([\w.]+)\s*(\(([^)]*)\))?\s*(.*)", s, re.DOTALL
         )
         name, cols, rest = m.group(1), m.group(3), m.group(4).strip()
-        t = self._table(self._resolve_name(name))
+        t = self._dml_table(self._resolve_name(name))
         names = [f.name for f in t.meta.schema.fields]
         target = _split_top(cols) if cols else names
         if re.match(r"(?i)VALUES\b", rest):
@@ -674,7 +755,7 @@ class IceSQL:
 
     def _delete(self, s: str):
         m = re.match(r"(?i)DELETE\s+FROM\s+([\w.]+)(\s+WHERE\s+(.*))?$", s, re.DOTALL)
-        t = self._table(self._resolve_name(m.group(1)))
+        t = self._dml_table(self._resolve_name(m.group(1)))
         pred = parse_predicate(m.group(3) or "")
         return t.delete(pred)
 
@@ -682,7 +763,7 @@ class IceSQL:
         m = re.match(
             r"(?i)UPDATE\s+([\w.]+)\s+SET\s+(.*?)(\s+WHERE\s+(.*))?$", s, re.DOTALL
         )
-        t = self._table(self._resolve_name(m.group(1)))
+        t = self._dml_table(self._resolve_name(m.group(1)))
         assignments = {}
         for a in _split_top(m.group(2)):
             am = re.match(r"([\w$]+)\s*=\s*(.*)", a.strip(), re.DOTALL)
@@ -704,7 +785,7 @@ class IceSQL:
             raise ValueError("unsupported MERGE form")
         tname, talias, src_sql, salias, on_sql, clauses = m.groups()
         talias, salias = talias or "t", salias or "s"
-        t = self._table(self._resolve_name(tname))
+        t = self._dml_table(self._resolve_name(tname))
         if src_sql.startswith("("):
             src = self._select(src_sql[1:-1].strip())
         else:
