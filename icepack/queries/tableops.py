@@ -1183,3 +1183,51 @@ def ice35_multi_stmt_txn(spark: SparkSession, sf: str) -> DataFrame:
     return outside.sql(
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM txn_orders"
     )
+
+
+@query(
+    "ice36_glue_catalog",
+    oracle=f"""
+    SELECT {_ORDER_COLS} FROM orders
+    WHERE o_orderkey % 2 = 1 AND o_orderpriority <> '1-URGENT'
+    """,
+)
+def ice36_glue_catalog(spark: SparkSession, sf: str) -> DataFrame:
+    """S5 Glue half, end to end and self-contained (docs/04-catalog-
+    systems.md:58-76): an in-process loopback speaking the AWS Glue
+    Data Catalog JSON-1.1 dialect (icepack/gluecat.py — GetTable/
+    CreateTable/UpdateTable with the VersionId optimistic lock), an
+    external client seeding a table through it, the docs' CREATE
+    CATALOG INTEGRATION ... CATALOG_SOURCE = GLUE + columnless CREATE
+    ICEBERG TABLE ... CATALOG_TABLE_NAME link, and a DELETE whose
+    commit swaps the Glue pointer under the version lock.  Mirrors
+    ice32 so BOTH documented external-catalog protocols carry driver
+    correctness evidence."""
+    from ..gluecat import GlueCatalog, GlueCatalogClient, loopback_glue_server
+    from ..sql import IceSQL
+
+    endpoint, shutdown = loopback_glue_server()
+    try:
+        scratch = _scratch()
+        orders = load(spark, sf, "orders")
+        ext = GlueCatalog(
+            spark, scratch + "/ext", GlueCatalogClient(endpoint), "gdb"
+        )
+        ext.create_table("src", orders.schema).append(
+            orders.filter(F.col("o_orderkey") % 2 == 1)
+        )
+        isql = IceSQL(spark, scratch + "/local")
+        isql.sql(
+            "CREATE CATALOG INTEGRATION glue_catalog"
+            " CATALOG_SOURCE = GLUE CATALOG_NAMESPACE = 'gdb'"
+            " TABLE_FORMAT = ICEBERG"
+            f" GLUE_ENDPOINT = '{endpoint}' ENABLED = TRUE"
+        )
+        isql.sql(
+            "CREATE ICEBERG TABLE linked CATALOG = 'glue_catalog'"
+            " CATALOG_TABLE_NAME = 'gdb.src'"
+        )
+        isql.sql("DELETE FROM linked WHERE o_orderpriority = '1-URGENT'")
+        return isql.sql("SELECT * FROM linked")
+    finally:
+        shutdown()

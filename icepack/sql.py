@@ -698,10 +698,39 @@ class IceSQL:
                     t = rc.load_table(tbl)
                     self._linked[name] = t
                     return t
+                if "GLUE" in source:
+                    # docs/04:58-76: resolve through the Glue Data
+                    # Catalog protocol client (gluecat.py).  The
+                    # endpoint comes from GLUE_ENDPOINT (the AWS SDK's
+                    # standard endpoint override) — real AWS would add
+                    # SigV4 in the client transport.
+                    endpoint = integ.get("GLUE_ENDPOINT") or uri
+                    if not endpoint:
+                        raise NotImplementedError(
+                            "GLUE integration needs GLUE_ENDPOINT (offline "
+                            "loopback) or network AWS access — validated "
+                            f"integration {link.get('CATALOG')!r}"
+                        )
+                    from .gluecat import GlueCatalog, GlueCatalogClient
+
+                    ref = link["CATALOG_TABLE_NAME"]
+                    db, _, tbl = ref.rpartition(".")
+                    db = db or str(integ.get("CATALOG_NAMESPACE", "default"))
+                    gc = GlueCatalog(
+                        self.spark,
+                        self.catalog.warehouse,
+                        GlueCatalogClient(
+                            endpoint,
+                            catalog_id=integ.get("GLUE_CATALOG_ID"),
+                        ),
+                        db,
+                    )
+                    t = gc.load_table(tbl)
+                    self._linked[name] = t
+                    return t
                 raise NotImplementedError(
-                    "Glue-cataloged tables need an AWS client (offline seam: "
-                    "Catalog.get_catalog_integration); REST integrations "
-                    "resolve when CATALOG_URI is set — validated integration "
+                    "external integration needs CATALOG_URI (REST) or "
+                    "GLUE_ENDPOINT (Glue) — validated integration "
                     f"{link.get('CATALOG')!r}"
                 )
             raise ValueError(f"expected column list in {s[:60]!r}")

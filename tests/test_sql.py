@@ -423,9 +423,10 @@ def test_docs_external_volume_and_catalog_integration_verbatim(isql):
 
 def test_docs_catalog_linked_table_stops_at_seam(isql):
     """docs/04's columnless CREATE (link to an externally-cataloged
-    table) parses, validates its named objects, and stops with the
-    documented offline-seam error — an unknown integration fails the
-    validation step instead."""
+    table) parses, validates its named objects, and — for a GLUE
+    integration with NO endpoint (real AWS unreachable offline) —
+    stops with the documented endpoint-seam error; an endpointed Glue
+    integration resolves via gluecat.py (tests/test_gluecat.py)."""
     import pytest
 
     isql.sql("""
@@ -434,7 +435,7 @@ def test_docs_catalog_linked_table_stops_at_seam(isql):
           TABLE_FORMAT = ICEBERG
           ENABLED = TRUE
     """)
-    with pytest.raises(NotImplementedError, match="offline seam"):
+    with pytest.raises(NotImplementedError, match="GLUE_ENDPOINT"):
         isql.sql("""
             CREATE ICEBERG TABLE my_table
               CATALOG = 'glue_cat2'
