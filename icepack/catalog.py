@@ -18,13 +18,22 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
+from .storage import MetadataStore, store_for
 from .table import IceTable
 
 
 class Catalog:
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(
+        self, spark: SparkSession, warehouse: str, store: MetadataStore | None = None
+    ):
+        #: metadata store for table metadata and named catalog objects
+        #: (storage.py); local FS by default.  Directory-tree operations
+        #: (trash/undrop, namespace walks) stay local-FS — a networked
+        #: catalog (restcat.py, gluecat.py) replaces this class, not
+        #: this store.
+        self.store = store_for(warehouse, store)
         self.spark = spark
-        self.warehouse = os.path.abspath(warehouse)
+        self.warehouse = self.store.canonical(warehouse)
         os.makedirs(self.warehouse, exist_ok=True)
 
     def _loc(self, name: str) -> str:
@@ -39,15 +48,20 @@ class Catalog:
         properties: dict | None = None,
     ) -> IceTable:
         loc = self._loc(name)
-        if os.path.exists(os.path.join(loc, "metadata", "v1.metadata.json")):
+        if self.store.exists(self.store.join(loc, "metadata", "v1.metadata.json")):
             raise ValueError(f"table {name} already exists")
-        return IceTable.create(self.spark, loc, schema, partition_by, properties)
+        return IceTable.create(
+            self.spark, loc, schema, partition_by, properties, store=self.store
+        )
 
     def load_table(self, name: str) -> IceTable:
-        return IceTable.load(self.spark, self._loc(name))
+        return IceTable.load(self.spark, self._loc(name), store=self.store)
 
     def table_exists(self, name: str) -> bool:
-        return os.path.exists(os.path.join(self._loc(name), "metadata"))
+        mdir = self.store.join(self._loc(name), "metadata")
+        return self.store.exists(mdir) or self.store.exists(
+            self.store.join(mdir, "v1.metadata.json")
+        )
 
     def drop_table(self, name: str, purge: bool = False) -> None:
         """DROP TABLE.  Without ``purge`` the table directory moves to
@@ -141,26 +155,25 @@ class Catalog:
 
     def _put_object(self, kind: str, name: str, props: dict, replace: bool) -> dict:
         d = self._objects_dir(kind)
-        os.makedirs(d, exist_ok=True)
-        p = os.path.join(d, f"{name}.json")
-        if os.path.exists(p) and not replace:
+        self.store.mkdirs(d)
+        p = self.store.join(d, f"{name}.json")
+        if self.store.exists(p) and not replace:
             raise ValueError(f"{kind} {name!r} exists")
-        with open(p, "w") as f:
-            json.dump(props, f, indent=2, sort_keys=True)
+        self.store.write_json_atomic(p, props)
         return props
 
     def _get_object(self, kind: str, name: str) -> dict:
-        p = os.path.join(self._objects_dir(kind), f"{name}.json")
-        if not os.path.exists(p):
+        p = self.store.join(self._objects_dir(kind), f"{name}.json")
+        if not self.store.exists(p):
             raise ValueError(f"unknown {kind} {name!r}")
-        with open(p) as f:
-            return json.load(f)
+        return self.store.read_json(p)
 
     def _list_objects(self, kind: str) -> list[str]:
         d = self._objects_dir(kind)
-        if not os.path.isdir(d):
-            return []
-        return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+        return sorted(
+            os.path.basename(p)[:-5]
+            for p in self.store.glob(self.store.join(d, "*.json"))
+        )
 
     def create_external_volume(
         self, name: str, storage_locations: list[dict], replace: bool = False

@@ -193,9 +193,10 @@ def rewrite_manifests(table) -> Snapshot:
     meta = table.meta
     prev = meta.current_snapshot
     entries = table.live_files(content="all")
-    name = write_manifest(table._mdir, entries)
+    name = write_manifest(table._mdir, entries, store=table.store)
     mlist = write_manifest_list(
-        table._mdir, prev.snapshot_id if prev else 0, [name], [manifest_summary(entries)]
+        table._mdir, prev.snapshot_id if prev else 0, [name],
+        [manifest_summary(entries)], store=table.store,
     )
     snap = Snapshot(
         snapshot_id=(prev.snapshot_id if prev else 0) + 1,
@@ -244,9 +245,9 @@ def expire_snapshots(
         mls, mans, datas = set(), set(), set()
         for s in snaps:
             mls.add(s.manifest_list)
-            for m in read_manifest_list(table._mdir, s.manifest_list):
+            for m in read_manifest_list(table._mdir, s.manifest_list, store=table.store):
                 mans.add(m["manifest-path"])
-                for e in read_manifest(table._mdir, m["manifest-path"]):
+                for e in read_manifest(table._mdir, m["manifest-path"], store=table.store):
                     datas.add(e.path)
         return mls, mans, datas
 
@@ -259,9 +260,9 @@ def expire_snapshots(
         for p in doomed_files:
             _rm(p)
         for m in exp_mans - keep_mans:
-            _rm(os.path.join(table._mdir, m))
+            table.store.delete(table.store.join(table._mdir, m))
         for ml in exp_mls - keep_mls:
-            _rm(os.path.join(table._mdir, ml))
+            table.store.delete(table.store.join(table._mdir, ml))
     return {"expired": len(expired), "deleted_files": len(doomed_files)}
 
 
@@ -291,22 +292,25 @@ def remove_orphan_files(table, older_than_ms: int | None = None, dry_run: bool =
     table.refresh()
     referenced: set[str] = set()
     for s in table.meta.snapshots:
-        for m in read_manifest_list(table._mdir, s.manifest_list):
-            for e in read_manifest(table._mdir, m["manifest-path"]):
+        for m in read_manifest_list(table._mdir, s.manifest_list, store=table.store):
+            for e in read_manifest(table._mdir, m["manifest-path"], store=table.store):
                 referenced.add(e.path)
-    orphans = []
+    orphans = []  # data files: swept via the local/Hadoop FS Spark wrote to
     for p in _glob.glob(os.path.join(table.location, "data", "**", "*.parquet"), recursive=True):
         if p not in referenced and os.path.getmtime(p) * 1000 < older_than_ms:
             orphans.append(p)
+    doc_orphans = []  # metadata docs: swept through the metadata store
     current_doc = getattr(table, "_metadata_location", None)
     if current_doc is not None:
-        for p in _glob.glob(os.path.join(table._mdir, "v*-*.metadata.json")):
-            if p != current_doc and os.path.getmtime(p) * 1000 < older_than_ms:
-                orphans.append(p)
+        for p in table.store.glob(table.store.join(table._mdir, "v*-*.metadata.json")):
+            if p != current_doc and table.store.mtime_ms(p) < older_than_ms:
+                doc_orphans.append(p)
     if not dry_run:
         for p in orphans:
             _rm(p)
-    return sorted(orphans)
+        for p in doc_orphans:
+            table.store.delete(p)
+    return sorted(orphans + doc_orphans)
 
 
 def table_health(table) -> dict:
@@ -320,7 +324,7 @@ def table_health(table) -> dict:
     snap_count = len(table.meta.snapshots)
     man_count = 0
     if table.meta.current_snapshot:
-        man_count = len(read_manifest_list(table._mdir, table.meta.current_snapshot.manifest_list))
+        man_count = len(read_manifest_list(table._mdir, table.meta.current_snapshot.manifest_list, store=table.store))
     return {
         "file_count": n,
         "avg_file_size_bytes": int(avg),

@@ -30,6 +30,8 @@ from dataclasses import dataclass, field
 
 import pyarrow.parquet as pq
 
+from .storage import LOCAL, MetadataStore
+
 
 def _enc(v):
     """JSON-encode a stats/partition value order-preservingly."""
@@ -135,45 +137,53 @@ def _merge(old, new, take_min: bool):
 # -- manifest IO ------------------------------------------------------------
 
 
-def write_manifest(metadata_dir: str, entries: list[DataFile]) -> str:
-    """Write one manifest (JSONL); returns path relative to metadata dir."""
+def write_manifest(
+    metadata_dir: str, entries: list[DataFile], store: MetadataStore = LOCAL
+) -> str:
+    """Write one manifest (JSONL); returns path relative to metadata dir.
+
+    Manifests are immutable and uniquely named, so a plain atomic PUT
+    (``replace_text``) suffices — no CAS needed below the version doc."""
     name = f"manifest-{uuid.uuid4().hex}.jsonl"
-    path = os.path.join(metadata_dir, name)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        for e in entries:
-            f.write(json.dumps(e.to_json()) + "\n")
-    os.rename(tmp, path)
+    store.replace_text(
+        store.join(metadata_dir, name),
+        "".join(json.dumps(e.to_json()) + "\n" for e in entries),
+    )
     return name
 
 
-def read_manifest(metadata_dir: str, name: str) -> list[DataFile]:
-    with open(os.path.join(metadata_dir, name)) as f:
-        return [DataFile.from_json(json.loads(line)) for line in f if line.strip()]
+def read_manifest(
+    metadata_dir: str, name: str, store: MetadataStore = LOCAL
+) -> list[DataFile]:
+    text = store.read_text(store.join(metadata_dir, name))
+    return [DataFile.from_json(json.loads(line)) for line in text.splitlines() if line.strip()]
 
 
 def write_manifest_list(
-    metadata_dir: str, snapshot_id: int, manifest_names: list[str], manifests_meta: list[dict]
+    metadata_dir: str,
+    snapshot_id: int,
+    manifest_names: list[str],
+    manifests_meta: list[dict],
+    store: MetadataStore = LOCAL,
 ) -> str:
     name = f"snap-{snapshot_id}.manifest-list.json"
-    path = os.path.join(metadata_dir, name)
-    tmp = path + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(
+    store.replace_text(
+        store.join(metadata_dir, name),
+        json.dumps(
             [
                 {"manifest-path": m, **meta}
                 for m, meta in zip(manifest_names, manifests_meta)
             ],
-            f,
             indent=1,
-        )
-    os.rename(tmp, path)
+        ),
+    )
     return name
 
 
-def read_manifest_list(metadata_dir: str, name: str) -> list[dict]:
-    with open(os.path.join(metadata_dir, name)) as f:
-        return json.load(f)
+def read_manifest_list(
+    metadata_dir: str, name: str, store: MetadataStore = LOCAL
+) -> list[dict]:
+    return json.loads(store.read_text(store.join(metadata_dir, name)))
 
 
 def manifest_summary(entries: list[DataFile]) -> dict:

@@ -66,6 +66,7 @@ from .metadata import (
     type_to_str,
 )
 from .session import ensure_confs
+from .storage import MetadataStore, store_for
 
 _PART_PREFIX = "_p_"
 
@@ -117,9 +118,19 @@ def _scan_report(all_entries: list, scanned: list) -> dict:
 class IceTable:
     """Handle to one icepack table (catalog entry S2-S4)."""
 
-    def __init__(self, spark: SparkSession, location: str, meta: TableMetadata):
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        meta: TableMetadata,
+        store: MetadataStore | None = None,
+    ):
         self.spark = ensure_confs(spark)
-        self.location = os.path.abspath(location)
+        #: metadata I/O seam (storage.py) — local FS by default; an
+        #: object-store adapter swaps in here without touching the
+        #: table logic (docs/01:101-124)
+        self.store = store_for(location, store)
+        self.location = self.store.canonical(location)
         self.meta = meta
         #: per-scan pruning metrics, appended by toDF (session-scoped,
         #: like the QUERY_HISTORY the docs monitor — docs/09:183-194)
@@ -129,7 +140,7 @@ class IceTable:
 
     @property
     def _mdir(self) -> str:
-        return os.path.join(self.location, "metadata")
+        return self.store.join(self.location, "metadata")
 
     @staticmethod
     def create(
@@ -138,6 +149,7 @@ class IceTable:
         schema: "T.StructType | IceSchema",
         partition_by: list[tuple[str, str]] | None = None,
         properties: dict | None = None,
+        store: MetadataStore | None = None,
     ) -> "IceTable":
         """CREATE ICEBERG TABLE (docs/01:182-205): write v1 metadata.
 
@@ -150,9 +162,9 @@ class IceTable:
         which runs as LongType at the Spark layer while the metadata
         keeps the ``time`` annotation.
         """
-        location = os.path.abspath(location)
-        mdir = os.path.join(location, "metadata")
-        os.makedirs(mdir, exist_ok=True)
+        st = store_for(location, store)
+        location = st.canonical(location)
+        st.mkdirs(st.join(location, "metadata"))
         ice_schema = (
             schema
             if isinstance(schema, IceSchema)
@@ -160,31 +172,33 @@ class IceTable:
         )
         spec = build_partition_spec(ice_schema, partition_by)
         meta = TableMetadata.new(location, ice_schema, spec, properties)
-        table = IceTable(spark, location, meta)
+        table = IceTable(spark, location, meta, store=st)
         table._write_version(1, meta)
         return table
 
     @staticmethod
-    def load(spark: SparkSession, location: str) -> "IceTable":
-        location = os.path.abspath(location)
-        t = IceTable(spark, location, None)  # type: ignore[arg-type]
+    def load(
+        spark: SparkSession, location: str, store: MetadataStore | None = None
+    ) -> "IceTable":
+        t = IceTable(spark, location, None, store=store)  # type: ignore[arg-type]
         t.refresh()
         return t
 
     def refresh(self) -> "IceTable":
         """REFRESH (docs/11:174-183): re-read the version pointer; probe
         past a stale hint (hint update is best-effort after commit)."""
+        st = self.store
         version = 0
-        hint = os.path.join(self._mdir, "version-hint.json")
-        if os.path.exists(hint):
-            with open(hint) as f:
-                version = json.load(f)["version"]
-        while os.path.exists(os.path.join(self._mdir, f"v{version + 1}.metadata.json")):
+        hint = st.join(self._mdir, "version-hint.json")
+        if st.exists(hint):
+            version = json.loads(st.read_text(hint))["version"]
+        while st.exists(st.join(self._mdir, f"v{version + 1}.metadata.json")):
             version += 1
         if version == 0:
             raise FileNotFoundError(f"no icepack table at {self.location}")
-        with open(os.path.join(self._mdir, f"v{version}.metadata.json")) as f:
-            self.meta = TableMetadata.loads(f.read())
+        self.meta = TableMetadata.loads(
+            st.read_text(st.join(self._mdir, f"v{version}.metadata.json"))
+        )
         self._version = version
         return self
 
@@ -195,17 +209,16 @@ class IceTable:
         — the version-check-and-rename race the survey flags is avoided
         because creation itself is the check)."""
         meta.last_updated_ms = int(time.time() * 1000)
-        path = os.path.join(self._mdir, f"v{version}.metadata.json")
+        path = self.store.join(self._mdir, f"v{version}.metadata.json")
         try:
-            with open(path, "x") as f:
-                f.write(meta.dumps())
+            self.store.create_exclusive(path, meta.dumps())
         except FileExistsError as e:
             raise CommitConflict(f"version {version} already committed") from e
-        # best-effort pointer update (atomic rename; stale is fine — refresh probes)
-        hint_tmp = os.path.join(self._mdir, f".hint-{uuid.uuid4().hex}")
-        with open(hint_tmp, "w") as f:
-            json.dump({"version": version}, f)
-        os.rename(hint_tmp, os.path.join(self._mdir, "version-hint.json"))
+        # best-effort pointer update (atomic replace; stale is fine — refresh probes)
+        self.store.replace_text(
+            self.store.join(self._mdir, "version-hint.json"),
+            json.dumps({"version": version}),
+        )
         self._version = version
         self.meta = meta
 
@@ -244,8 +257,8 @@ class IceTable:
             total_files = 0
             seen_replaced: set[str] = set()
             if prev is not None:
-                for m in read_manifest_list(self._mdir, prev.manifest_list):
-                    entries = read_manifest(self._mdir, m["manifest-path"])
+                for m in read_manifest_list(self._mdir, prev.manifest_list, store=self.store):
+                    entries = read_manifest(self._mdir, m["manifest-path"], store=self.store)
                     hit = [e for e in entries if e.path in replaced_paths]
                     if not hit:
                         manifests.append(m["manifest-path"])
@@ -265,7 +278,7 @@ class IceTable:
                         if e.path not in replaced_paths
                     ]
                     if kept:
-                        manifests.append(write_manifest(self._mdir, kept))
+                        manifests.append(write_manifest(self._mdir, kept, store=self.store))
                         summaries.append(manifest_summary(kept))
                         total_files += len(kept)
             if not replaced_paths <= seen_replaced and replaced_paths:
@@ -275,11 +288,11 @@ class IceTable:
             for e in new_entries:
                 e.sequence_number = seq
             if new_entries:
-                manifests.append(write_manifest(self._mdir, new_entries))
+                manifests.append(write_manifest(self._mdir, new_entries, store=self.store))
                 summaries.append(manifest_summary(new_entries))
                 total_files += len(new_entries)
             sid = _snapshot_id()
-            mlist = write_manifest_list(self._mdir, sid, manifests, summaries)
+            mlist = write_manifest_list(self._mdir, sid, manifests, summaries, store=self.store)
             snap = Snapshot(
                 snapshot_id=sid,
                 parent_snapshot_id=prev.snapshot_id if prev else None,
@@ -529,8 +542,8 @@ class IceTable:
         if snap is None:
             return []
         out = []
-        for m in read_manifest_list(self._mdir, snap.manifest_list):
-            for e in read_manifest(self._mdir, m["manifest-path"]):
+        for m in read_manifest_list(self._mdir, snap.manifest_list, store=self.store):
+            for e in read_manifest(self._mdir, m["manifest-path"], store=self.store):
                 if e.status != "deleted" and (content == "all" or e.content == content):
                     out.append(e)
         return out
@@ -551,8 +564,8 @@ class IceTable:
             # cache projections per spec (partition evolution T4: each file
             # is pruned under the spec it was written with)
             proj: dict[int, Expr] = {}
-            for m in read_manifest_list(self._mdir, snap.manifest_list):
-                entries = read_manifest(self._mdir, m["manifest-path"])
+            for m in read_manifest_list(self._mdir, snap.manifest_list, store=self.store):
+                entries = read_manifest(self._mdir, m["manifest-path"], store=self.store)
                 for e in entries:
                     if e.status == "deleted" or e.content != "data":
                         continue
@@ -988,7 +1001,7 @@ class IceTable:
         snap = self.meta.current_snapshot
         rows = []
         if snap:
-            for m in read_manifest_list(self._mdir, snap.manifest_list):
+            for m in read_manifest_list(self._mdir, snap.manifest_list, store=self.store):
                 rows.append(
                     (
                         m["manifest-path"],
