@@ -93,7 +93,7 @@ def main() -> None:
     # asserted in pytest.  Run once (a streaming query has fixed
     # per-batch overhead that min-of-N would hide, and its cost is
     # dominated by commit count, not data volume).
-    st_time, st_files = _bench_stream_ingest(spark, sf_dir)
+    st_time, st_files, st_rows_per_sec = _bench_stream_ingest(spark, sf_dir)
     timings["st0_stream_ingest"] = st_time
 
     total = round(sum(timings.values()), 3)
@@ -106,13 +106,14 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "stream_files": st_files,
+                "stream_rows_per_sec": st_rows_per_sec,
             }
         )
     )
     spark.stop()
 
 
-def _bench_stream_ingest(spark, sf_dir: str) -> tuple[float, dict]:
+def _bench_stream_ingest(spark, sf_dir: str) -> tuple[float, dict, int | None]:
     """Bronze streaming ingest at bench scale: land events as 8 parquet
     files, replay them as an AvailableNow stream (2 files/trigger = 4
     micro-batches = 4 snapshot commits), coalesce each batch to one
@@ -150,6 +151,20 @@ def _bench_stream_ingest(spark, sf_dir: str) -> tuple[float, dict]:
         dt = round(time.time() - t0, 3)
         table.refresh()
         sizes = sorted(f.file_size_bytes for f in table.live_files())
+        # Steady-state throughput: rows/s over the batches AFTER the
+        # first, measured from snapshot commit timestamps.  The first
+        # batch absorbs the stream's fixed startup (source listing,
+        # codegen, sink init); later batches are the per-batch cost a
+        # long-lived stream actually pays, so a regression there can't
+        # hide behind the startup constant.
+        snaps = sorted(table.meta.snapshots, key=lambda s: s.timestamp_ms)
+        rows_per_sec = None
+        if len(snaps) >= 2 and snaps[-1].timestamp_ms > snaps[0].timestamp_ms:
+            steady_rows = sum(
+                int(s.summary.get("added-records", 0)) for s in snaps[1:]
+            )
+            steady_sec = (snaps[-1].timestamp_ms - snaps[0].timestamp_ms) / 1000
+            rows_per_sec = int(steady_rows / steady_sec)
         stats = {
             "n_files": len(sizes),
             "n_commits": len(table.meta.snapshots),
@@ -157,7 +172,7 @@ def _bench_stream_ingest(spark, sf_dir: str) -> tuple[float, dict]:
             "mean_bytes": int(sum(sizes) / len(sizes)),
             "max_bytes": sizes[-1],
         }
-        return dt, stats
+        return dt, stats, rows_per_sec
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
