@@ -237,6 +237,25 @@ def expire_snapshots(
     # releases/audits; a branch head must stay readable)
     keep_ids |= {r["snapshot-id"] for r in meta.refs.values()}
     kept = [s for s in meta.snapshots if s.snapshot_id in keep_ids or s.timestamp_ms >= older_than_ms]
+    # ...and so must the PARENT CHAIN from each ref head back to a kept
+    # snapshot: fast-forward publish (WAP / multi-statement txn,
+    # docs/05:150-172) proves ancestry by walking parent pointers, so
+    # expiring an intermediate staged snapshot would strand the branch —
+    # an open transaction could never COMMIT after a concurrent expire
+    # (found by the round-4 MOR×WAP×expire audit; pinned in
+    # tests/test_mor_interactions.py).  Cost is O(branch length).
+    by_id = {s.snapshot_id: s for s in meta.snapshots}
+    kept_ids = {s.snapshot_id for s in kept}
+    for r in meta.refs.values():
+        head = by_id.get(r["snapshot-id"])
+        walk = head.parent_snapshot_id if head else None
+        while walk is not None and walk not in kept_ids:
+            s = by_id.get(walk)
+            if s is None:
+                break
+            kept_ids.add(walk)
+            walk = s.parent_snapshot_id
+    kept = [s for s in meta.snapshots if s.snapshot_id in kept_ids]
     expired = [s for s in meta.snapshots if s not in kept]
     if not expired:
         return {"expired": 0, "deleted_files": 0}

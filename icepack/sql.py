@@ -740,11 +740,19 @@ class IceSQL:
         props = dict(
             re.findall(r"(?i)\b(CATALOG|EXTERNAL_VOLUME|BASE_LOCATION)\s*=\s*'([^']*)'", rest[end:])
         )
+        # CREATE-time TBLPROPERTIES ('k'='v', ...) — same pairs ALTER
+        # SET TBLPROPERTIES accepts, applied at birth (so e.g.
+        # write.delete.mode governs the table's FIRST delete too)
+        tp = re.search(r"(?i)TBLPROPERTIES\s*\(", rest[end:])
+        tbl_props: dict[str, str] = {}
+        if tp:
+            body_tp, _ = _balanced(rest[end:], tp.end() - 1)
+            tbl_props = dict(re.findall(r"'([^']+)'\s*=\s*'([^']*)'", body_tp))
         from pyspark.sql.types import _parse_datatype_string
 
         schema = _parse_datatype_string(_parse_columns(body))
         t = self.catalog.create_table(name, schema, partition_by=partition_by)
-        merged = {**{k.lower(): v for k, v in props.items()}, **extra_props}
+        merged = {**{k.lower(): v for k, v in props.items()}, **tbl_props, **extra_props}
         if merged:
             t.set_properties(**merged)
         return t

@@ -49,14 +49,14 @@ class TxnTable(IceTable):
     staged branch (or the transaction's base snapshot before any write
     commits), writes redirected to the branch."""
 
-    def __init__(self, spark, location, meta, branch: str):
-        super().__init__(spark, location, meta)
+    def __init__(self, spark, location, meta, branch: str, store=None):
+        super().__init__(spark, location, meta, store=store)
         self._txn_branch = branch
         self._txn_base_sid = meta.current_snapshot_id
 
     @staticmethod
     def from_table(base: IceTable, branch: str) -> "TxnTable":
-        t = TxnTable(base.spark, base.location, base.meta, branch)
+        t = TxnTable(base.spark, base.location, base.meta, branch, store=base.store)
         t._version = base._version  # commit CAS continues from the base
         return t
 
