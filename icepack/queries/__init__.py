@@ -88,6 +88,7 @@ PRIORITY: list[str] = [
     "ice34_scheduled_compaction",
     "ice35_multi_stmt_txn",
     "ice36_glue_catalog",
+    "ice37_memory_store",
     # evidenced regression re-sample — representatives per family
     "a0_gold_daily",
     "a1_groupby_count",

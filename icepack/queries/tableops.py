@@ -1231,3 +1231,46 @@ def ice36_glue_catalog(spark: SparkSession, sf: str) -> DataFrame:
         return isql.sql("SELECT * FROM linked")
     finally:
         shutdown()
+
+
+@query(
+    "ice37_memory_store",
+    oracle=f"""
+    SELECT {_ORDER_COLS} FROM orders
+    WHERE (o_orderkey % 2 = 0 AND o_orderstatus <> 'F') OR o_orderkey % 2 = 1
+    """,
+)
+def ice37_memory_store(spark: SparkSession, sf: str) -> DataFrame:
+    """Storage seam (icepack/storage.py; docs/01-table-format-
+    architecture.md:101-124): the full table lifecycle — create, two
+    appends, a MOR delete, compaction, expiration — with every metadata
+    document (version docs, manifests, manifest lists, pointer) living
+    ONLY in an in-memory object store while Spark writes the parquet to
+    disk.  That is the metadata/data split of an object-store + catalog
+    deployment; the query raises (driver err) if any metadata file
+    leaks onto the local filesystem, and the final scan is value-checked
+    against the oracle recomputing the same slices from the raw parquet."""
+    import os as _os
+
+    from ..storage import InMemoryStore
+
+    store = InMemoryStore()
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(
+        spark,
+        _scratch(),
+        orders.schema,
+        properties={"write.delete.mode": "merge-on-read"},
+        store=store,
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.delete(col("o_orderstatus") == "F")  # equality-delete file, in-store
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    t.compact()  # folds the MOR delete; rewrites via Spark, commits in-store
+    t.expire_snapshots(older_than_ms=int(1e18), retain_last=1)
+    mdir = _os.path.join(t.location, "metadata")
+    if _os.path.exists(mdir) and _os.listdir(mdir):
+        raise RuntimeError(f"metadata leaked to local filesystem: {_os.listdir(mdir)}")
+    if not store.glob(_os.path.join(mdir, "v*.metadata.json")):
+        raise RuntimeError("no metadata documents in the in-memory store")
+    return t.toDF()
