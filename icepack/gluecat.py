@@ -171,8 +171,9 @@ class GlueTable(IceTable):
         name: str,
         metadata_location: str | None = None,
         version_id: str | None = None,
+        store=None,
     ):
-        super().__init__(spark, location, meta)
+        super().__init__(spark, location, meta, store=store)
         self.client = client
         self.database = database
         self.name = name
@@ -187,11 +188,10 @@ class GlueTable(IceTable):
 
     def _write_version(self, version: int, meta: TableMetadata) -> None:
         meta.last_updated_ms = int(time.time() * 1000)
-        doc = os.path.join(
+        doc = self.store.join(
             self._mdir, f"v{version}-{uuid.uuid4().hex}.metadata.json"
         )
-        with open(doc, "x") as f:
-            f.write(meta.dumps())
+        self.store.create_exclusive(doc, meta.dumps())
         self.client.update_table(  # raises CommitConflict on version race
             self.database,
             _iceberg_table_input(self.name, doc, self._metadata_location),
@@ -206,8 +206,7 @@ class GlueTable(IceTable):
     def refresh(self) -> "GlueTable":
         entry = self.client.get_table(self.database, self.name)
         loc = entry["Parameters"]["metadata_location"]
-        with open(loc) as f:
-            self.meta = TableMetadata.loads(f.read())
+        self.meta = TableMetadata.loads(self.store.read_text(loc))
         self._metadata_location = loc
         self._glue_version_id = entry["VersionId"]
         base = os.path.basename(loc)
@@ -228,9 +227,13 @@ class GlueCatalog:
         warehouse: str,
         client: GlueCatalogClient,
         database: str = "default",
+        store=None,
     ):
+        from .storage import store_for
+
+        self.store = store_for(warehouse, store)
         self.spark = spark
-        self.warehouse = os.path.abspath(warehouse)
+        self.warehouse = self.store.canonical(warehouse)
         self.client = client
         self.database = database
         if database not in client.get_databases():
@@ -252,11 +255,10 @@ class GlueCatalog:
         spec = build_partition_spec(ice_schema, partition_by)
         location = self._loc(name)
         meta = TableMetadata.new(location, ice_schema, spec, properties)
-        mdir = os.path.join(location, "metadata")
-        os.makedirs(mdir, exist_ok=True)
-        doc = os.path.join(mdir, f"v1-{uuid.uuid4().hex}.metadata.json")
-        with open(doc, "x") as f:
-            f.write(meta.dumps())
+        mdir = self.store.join(location, "metadata")
+        self.store.mkdirs(mdir)
+        doc = self.store.join(mdir, f"v1-{uuid.uuid4().hex}.metadata.json")
+        self.store.create_exclusive(doc, meta.dumps())
         self.client.create_table(
             self.database, _iceberg_table_input(name, doc, None)
         )
@@ -270,6 +272,7 @@ class GlueCatalog:
             name,
             metadata_location=doc,
             version_id=entry["VersionId"],
+            store=self.store,
         )
 
     def load_table(self, name: str) -> GlueTable:
@@ -278,8 +281,7 @@ class GlueCatalog:
         if str(params.get("table_type", "")).upper() != "ICEBERG":
             raise ValueError(f"glue table {name!r} is not an Iceberg table")
         loc = params["metadata_location"]
-        with open(loc) as f:
-            meta = TableMetadata.loads(f.read())
+        meta = TableMetadata.loads(self.store.read_text(loc))
         t = GlueTable(
             self.spark,
             meta.location,
@@ -289,6 +291,7 @@ class GlueCatalog:
             name,
             metadata_location=loc,
             version_id=entry["VersionId"],
+            store=self.store,
         )
         return t
 

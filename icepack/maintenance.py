@@ -247,6 +247,10 @@ def expire_snapshots(
     by_id = {s.snapshot_id: s for s in meta.snapshots}
     kept_ids = {s.snapshot_id for s in kept}
     for r in meta.refs.values():
+        if r.get("type") != "branch":
+            continue  # a tag's snapshot is self-contained (manifest
+            # list carries the full file set); only branches need the
+            # parent chain, for the fast-forward ancestry proof
         head = by_id.get(r["snapshot-id"])
         walk = head.parent_snapshot_id if head else None
         while walk is not None and walk not in kept_ids:

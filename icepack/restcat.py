@@ -481,16 +481,18 @@ class RestCatalogClient:
         self._call("DELETE", f"/namespaces/{namespace}/tables/{name}")
 
 
-def _result_meta(result: dict) -> tuple[str, TableMetadata]:
+def _result_meta(result: dict, store=None) -> tuple[str, TableMetadata]:
     """(metadata-location, metadata) from a LoadTableResult /
     CommitTableResponse, preferring the spec's inline metadata and
-    falling back to reading the location only when a server omits it."""
+    falling back to reading the location (through the metadata store)
+    only when a server omits it."""
+    from .storage import LOCAL
+
     loc = result["metadata-location"]
     inline = result.get("metadata")
     if inline is not None:
         return loc, TableMetadata.from_json(inline)
-    with open(loc) as f:
-        return loc, TableMetadata.loads(f.read())
+    return loc, TableMetadata.loads((store or LOCAL).read_text(loc))
 
 
 class RestTable(IceTable):
@@ -532,11 +534,11 @@ class RestTable(IceTable):
         reqs = build_requirements(base, updates)
         out = self.client.commit_table(self.namespace, self.name, reqs, updates)
         # raises CommitConflict on 409 → inherited retry loop re-bases
-        self._metadata_location, self.meta = _result_meta(out)
+        self._metadata_location, self.meta = _result_meta(out, self.store)
         self._version = _doc_version(self._metadata_location) or version
 
     def refresh(self) -> "RestTable":
-        loc, meta = _result_meta(self.client.load_table(self.namespace, self.name))
+        loc, meta = _result_meta(self.client.load_table(self.namespace, self.name), self.store)
         self.meta = meta
         self._metadata_location = loc
         self._version = _doc_version(loc)
