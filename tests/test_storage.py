@@ -140,6 +140,33 @@ def test_maintenance_through_store(spark, tmp_path):
     assert _no_local_metadata(t.location)
 
 
+def test_threaded_commit_race_through_memory_store(spark, tmp_path):
+    """Two handles over the SAME in-memory store race appends: the
+    conditional-PUT create_exclusive is the only arbiter (no POSIX
+    O_EXCL involved), and both appends must land via the retry loop —
+    the object-store analog of the local CAS race test."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    st = InMemoryStore()
+    loc = str(tmp_path / "t")
+    IceTable.create(spark, loc, spark.range(0).selectExpr("id").schema, store=st)
+    h1 = IceTable.load(spark, loc, store=st)
+    h2 = IceTable.load(spark, loc, store=st)
+
+    def go(h, lo):
+        h.append(spark.range(lo, lo + 4).selectExpr("id"))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f1 = ex.submit(go, h1, 0)
+        f2 = ex.submit(go, h2, 100)
+        f1.result(), f2.result()
+
+    t = IceTable.load(spark, loc, store=st)
+    got = {r.id for r in t.toDF().collect()}
+    assert got == {0, 1, 2, 3, 100, 101, 102, 103}
+    assert len(t.meta.snapshots) == 2
+
+
 def test_catalog_objects_through_store(spark, tmp_path):
     st = InMemoryStore()
     cat = Catalog(spark, str(tmp_path / "wh"), store=st)
