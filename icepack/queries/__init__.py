@@ -89,6 +89,8 @@ PRIORITY: list[str] = [
     "ice35_multi_stmt_txn",
     "ice36_glue_catalog",
     "ice37_memory_store",
+    "x45_domain_cap",
+    "x46_line_dedup_ratio",
     # evidenced regression re-sample — representatives per family
     "a0_gold_daily",
     "a1_groupby_count",

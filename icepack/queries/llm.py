@@ -2414,3 +2414,81 @@ def x44_pii_redact(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(n_marks).cast("bigint").alias("n_redactions"),
         F.sum(residual).cast("bigint").alias("residual_hits"),
     )
+
+
+@query(
+    "x45_domain_cap",
+    oracle="""
+    SELECT source, doc_id, n_chars, CAST(rn AS INTEGER) AS rank_in_source
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 5
+    """,
+)
+def x45_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain corpus caps: keep the top-5 docs per source by
+    quality proxy (length, doc_id tiebreak for determinism) — the
+    standard pretraining-mix step that stops one crawl domain from
+    dominating the corpus.  Single shuffle on the source key; the rank
+    predicate plans a WindowGroupLimit, so only k rows per domain
+    survive each map task — at 100 TB the shuffle carries O(domains x
+    k), not the corpus."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rank_in_source"),
+        )
+        .filter(F.col("rank_in_source") <= 5)
+    )
+
+
+@query(
+    "x46_line_dedup_ratio",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id,
+             len(string_split(text, chr(10))) AS n_lines,
+             len(list_distinct(string_split(text, chr(10)))) AS n_unique_lines
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_unique_lines AS BIGINT) AS n_unique_lines,
+           1.0 - n_unique_lines * 1.0 / n_lines AS dup_line_ratio,
+           (1.0 - n_unique_lines * 1.0 / n_lines) <= 0.3 AS keep
+    FROM lines
+    """,
+)
+def x46_line_dedup_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document duplicate-line ratio — the boilerplate signal
+    (repeated nav/footer lines) used by published corpus-quality
+    pipelines as a drop rule.  Pure per-row array math (split +
+    array_distinct + sizes): zero shuffles, JVM-side, scales as a scan
+    pass; the keep flag applies the documented <=0.3 threshold.  A doc
+    always has >=1 line (split never returns empty), so the ratio is
+    total."""
+    d = load(spark, sf, "documents")
+    lines = F.split(F.col("text"), "\n")
+    n = F.size(lines).cast("bigint")
+    nu = F.size(F.array_distinct(lines)).cast("bigint")
+    ratio = F.lit(1.0) - nu * F.lit(1.0) / n
+    return d.select(
+        "doc_id",
+        n.alias("n_lines"),
+        nu.alias("n_unique_lines"),
+        ratio.alias("dup_line_ratio"),
+        (ratio <= 0.3).alias("keep"),
+    )
