@@ -201,3 +201,20 @@ def test_pii_redact_is_single_scan_pass(spark):
     assert "Join" not in plan
     assert plan.count("Exchange (") <= 1
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_domain_cap_group_limit_single_shuffle(spark):
+    """x45: top-k per source plans a WindowGroupLimit over exactly one
+    shuffle — the per-domain cap must carry O(domains x k) through the
+    exchange, never the corpus."""
+    plan = _plan(spark, "x45_domain_cap")
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange") <= 2  # tree + details listing of ONE node
+    assert "BatchEvalPython" not in plan
+
+
+def test_line_dedup_ratio_is_scan_pass(spark):
+    """x46: per-doc boilerplate ratio is a zero-shuffle, JVM-side scan."""
+    plan = _plan(spark, "x46_line_dedup_ratio")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
