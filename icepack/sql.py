@@ -213,6 +213,31 @@ _TYPE_MAP = [
 
 def _map_type(t: str) -> str:
     t = t.strip()
+    # Structured types (docs/06-schema-evolution.md:114-136): the
+    # PARAMETRIZED spellings OBJECT(f T, ...) / ARRAY(T) / MAP(K, V)
+    # are real nested Iceberg types and map recursively to Spark
+    # struct/array/map; the BARE spellings (OBJECT, ARRAY) stay
+    # semi-structured — a JSON string column queried through the
+    # VARIANT surface (P5/F7), per the _TYPE_MAP entry below.
+    m = re.match(r"(?i)^OBJECT\s*\((.*)\)$", t, re.DOTALL)
+    if m:
+        parts = []
+        for fd in _split_top(m.group(1)):
+            fm = re.match(r'([A-Za-z_][\w$]*|"[^"]+")\s+(.*)', fd.strip(), re.DOTALL)
+            if not fm:
+                raise ValueError(f"bad OBJECT field definition: {fd!r}")
+            ft = re.sub(r"\s+NOT\s+NULL\s*$", "", fm.group(2).strip(), flags=re.IGNORECASE)
+            parts.append(f"{fm.group(1).strip(chr(34))}:{_map_type(ft)}")
+        return "struct<" + ",".join(parts) + ">"
+    m = re.match(r"(?i)^ARRAY\s*\((.*)\)$", t, re.DOTALL)
+    if m:
+        return f"array<{_map_type(m.group(1))}>"
+    m = re.match(r"(?i)^MAP\s*\((.*)\)$", t, re.DOTALL)
+    if m:
+        kv = _split_top(m.group(1))
+        if len(kv) != 2:
+            raise ValueError(f"MAP needs exactly (key, value): {t!r}")
+        return f"map<{_map_type(kv[0])},{_map_type(kv[1])}>"
     for pat, out in _TYPE_MAP:
         m = re.fullmatch(pat, t, re.IGNORECASE)
         if m:

@@ -547,3 +547,47 @@ def test_docs_database_native_table_and_describe(isql):
 
     rows = {r["name"]: r["type"] for r in isql.sql("DESCRIBE TABLE new_table").collect()}
     assert rows == {"id": "int", "value": "string"}
+
+
+def test_docs_structured_types_ddl_verbatim(spark, tmp_path):
+    """docs/06-schema-evolution.md:121-136 — the structured-type CREATE
+    (OBJECT/ARRAY/MAP parametrized spellings) must produce REAL nested
+    Iceberg columns (struct/array/map), not degrade to strings, and the
+    whole write→scan path must work on them (footer-stat harvest skips
+    nested paths; pruning keeps files with unknown stats)."""
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql(
+        """
+        CREATE ICEBERG TABLE events_nested (
+          event_id BIGINT,
+          event_time TIMESTAMP,
+          user OBJECT(
+            id BIGINT,
+            name STRING,
+            tags ARRAY(STRING)
+          ),
+          properties MAP(STRING, STRING)
+        )
+        BASE_LOCATION = 'events/'
+        """
+    )
+    t = isql.catalog.load_table("events_nested")
+    types = {f.name: f.type for f in t.meta.schema.fields}
+    assert types["user"] == "struct<id:bigint,name:string,tags:array<string>>"
+    assert types["properties"] == "map<string,string>"
+    isql.sql(
+        "INSERT INTO events_nested SELECT 1, TIMESTAMP '2024-01-01 00:00:00',"
+        " named_struct('id', 7L, 'name', 'ada', 'tags', array('a','b')),"
+        " map('k','v')"
+    )
+    row = isql.sql(
+        "SELECT event_id, user.name AS uname, user.tags[1] AS tag1,"
+        " properties['k'] AS pk FROM events_nested"
+    ).collect()[0]
+    assert (row.event_id, row.uname, row.tag1, row.pk) == (1, "ada", "b", "v")
+    # bare (semi-structured) spellings still land as VARIANT-style strings
+    isql.sql("CREATE ICEBERG TABLE semi (v VARIANT, o OBJECT, a ARRAY)")
+    semi = isql.catalog.load_table("semi")
+    assert {f.type for f in semi.meta.schema.fields} == {"string"}
