@@ -322,6 +322,14 @@ _INFO_SCHEMA = re.compile(
     r"(?i)\bTABLE\s*\(\s*INFORMATION_SCHEMA\s*\.\s*ICEBERG_TABLE_"
     r"(SNAPSHOTS|MANIFESTS|FILES)\s*\(\s*'([^']+)'\s*\)\s*\)"
 )
+#: docs/09:181-194 monitoring: TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())
+_QUERY_HISTORY = re.compile(
+    r"(?i)\bTABLE\s*\(\s*INFORMATION_SCHEMA\s*\.\s*QUERY_HISTORY\s*\(\s*\)\s*\)"
+)
+#: docs/11:160-166: TABLE(INFORMATION_SCHEMA.TABLES)
+_IS_TABLES = re.compile(
+    r"(?i)\bTABLE\s*\(\s*INFORMATION_SCHEMA\s*\.\s*TABLES\s*\)"
+)
 
 
 class IceSQL:
@@ -348,15 +356,23 @@ class IceSQL:
         #: autocommit
         self._txn: "dict[str, object] | None" = None
         self._txn_id: str | None = None
+        #: QUERY_HISTORY rows (docs/09:181-194): one per sql() call,
+        #: with the pruning metrics harvested from the table handles
+        #: the statement touched (the per-scan _scan_log)
+        self._history: list[tuple] = []
+        self._stmt_handles: list = []
 
     # -- helpers ------------------------------------------------------------
 
     def _table(self, name: str) -> IceTable:
         if self._txn is not None and name in self._txn:
-            return self._txn[name]  # read-your-writes inside BEGIN..COMMIT
-        if name in self._linked:
-            return self._linked[name].refresh()
-        return self.catalog.load_table(name)
+            t = self._txn[name]  # read-your-writes inside BEGIN..COMMIT
+        elif name in self._linked:
+            t = self._linked[name].refresh()
+        else:
+            t = self.catalog.load_table(name)
+        self._stmt_handles.append(t)  # QUERY_HISTORY pruning metrics
+        return t
 
     def _dml_table(self, name: str) -> IceTable:
         """Resolve a DML target: inside a transaction, writes stage on
@@ -389,18 +405,51 @@ class IceSQL:
         spark.sql under its dotted-flattened and last-component names,
         and flatten dotted references (``bronze.events_raw`` →
         ``bronze_events_raw`` temp view) so the docs' namespaced names
-        resolve.  Returns the (possibly rewritten) statement."""
+        resolve.  Returns the (possibly rewritten) statement.
+
+        SELECT-side pruning (docs/09:17-44): for the single-table
+        ``SELECT ... FROM t WHERE pred`` shape, the WHERE text is
+        parsed into the expr pruning language and passed to ``toDF``,
+        so manifest/file pruning applies to SQL reads exactly as to
+        DML — a partition predicate on a 100 TB table registers a view
+        over only the surviving files.  Unparseable or multi-table
+        predicates fall back to the full live file set (correctness
+        never depends on pruning: Spark re-applies the WHERE in full)."""
+        scan_pred = self._select_scan_predicate(stmt)
         for name in list(self.catalog.list_tables()) + list(self._linked):
             flat, short = name.replace(".", "_"), name.split(".")[-1]
             pat = rf"(?i)\b({re.escape(name)}|{re.escape(flat)}|{re.escape(short)})\b"
             if re.search(pat, stmt):
-                df = self._table(name).toDF()
+                df = self._table(name).toDF(scan_pred)
                 df.createOrReplaceTempView(flat)
                 if short != name:
                     df.createOrReplaceTempView(short)
                 if "." in name:
                     stmt = re.sub(rf"(?i)\b{re.escape(name)}\b", flat, stmt)
         return stmt
+
+    def _select_scan_predicate(self, stmt: str):
+        """Extract a prunable predicate from a single-table SELECT;
+        None (= full scan) for joins, subqueries, set ops, or WHERE
+        clauses outside the documented predicate grammar."""
+        if len(re.findall(r"(?i)\b(FROM|JOIN)\b", stmt)) != 1:
+            return None
+        m = re.match(
+            r"(?is)SELECT\s+.*?\bFROM\s+[\w.]+(?:\s+(?:AS\s+)?\w+)?"
+            r"\s+WHERE\s+(.*?)(\s+(GROUP|ORDER|LIMIT|HAVING|WINDOW|QUALIFY)\b.*)?$",
+            stmt.strip(),
+        )
+        if not m or re.search(r"(?i)\bSELECT\b", m.group(1)):
+            return None
+        try:
+            pred = parse_predicate(m.group(1))
+        except ValueError:
+            return None
+        # alias-qualified references (x.id) don't resolve against the
+        # bare table DataFrame the view registers — full scan instead
+        if any("." in r or "$" in r for r in pred.references()):
+            return None
+        return pred
 
     def _resolve_name(self, name: str) -> str:
         """Accept dotted, flattened, or last-component table names."""
@@ -455,6 +504,41 @@ class IceSQL:
     # -- entry point --------------------------------------------------------
 
     def sql(self, stmt: str):
+        """Execute one statement, recording a QUERY_HISTORY row with
+        the pruning metrics the docs monitor (docs/09:181-194):
+        partitions/files/bytes scanned vs total, harvested from the
+        per-scan log of every table handle the statement touched."""
+        import datetime as _dt
+        import time as _time
+
+        start = _time.time()
+        mark = len(self._stmt_handles)
+        out = self._sql_inner(stmt)
+        handles, self._stmt_handles[mark:] = self._stmt_handles[mark:], []
+        scans = [e for h in handles for e in getattr(h, "_scan_log", [])]
+        text = stmt.strip().rstrip(";").strip()
+        m = re.match(r"[A-Za-z]+", text)
+        qtype = (m.group(0).upper() if m else "?")
+        if qtype == "WITH":
+            qtype = "SELECT"
+        self._history.append(
+            (
+                str(len(self._history) + 1),
+                text,
+                qtype,
+                _dt.datetime.fromtimestamp(start),
+                sum(e["partitions_scanned"] for e in scans) if scans else None,
+                sum(e["partitions_total"] for e in scans) if scans else None,
+                sum(e["files_scanned"] for e in scans) if scans else None,
+                sum(e["files_total"] for e in scans) if scans else None,
+                sum(e["bytes_scanned"] for e in scans) if scans else None,
+                sum(e["bytes_total"] for e in scans) if scans else None,
+                None,  # rows_produced: results are lazy, never forced here
+            )
+        )
+        return out
+
+    def _sql_inner(self, stmt: str):
         s = stmt.strip().rstrip(";").strip()
         u = s.upper()
         if re.match(r"(?i)^BEGIN(\s+(TRANSACTION|WORK))?$", s):
@@ -1093,6 +1177,11 @@ class IceSQL:
 
         s = _INFO_SCHEMA.sub(_info, s)
 
+        if _QUERY_HISTORY.search(s):
+            s = _QUERY_HISTORY.sub(self._fresh_view(self._query_history_df(), "query_history"), s)
+        if _IS_TABLES.search(s):
+            s = _IS_TABLES.sub(self._fresh_view(self._tables_df(), "is_tables"), s)
+
         # SYSTEM$GET_ICEBERG_TABLE_INFORMATION('t') (docs/03:171)
         im = re.fullmatch(
             r"(?i)SELECT\s+SYSTEM\$GET_ICEBERG_TABLE_INFORMATION\s*\(\s*'([^']+)'\s*\)\s*",
@@ -1116,6 +1205,42 @@ class IceSQL:
         # 4. plain icepack table names → temp views; delegate
         s = self._register_tables(s)
         return self.spark.sql(s)
+
+    def _query_history_df(self) -> DataFrame:
+        """TABLE(INFORMATION_SCHEMA.QUERY_HISTORY()) (docs/09:181-194):
+        the session's statements with Iceberg pruning metrics — the
+        monitoring loop the docs drive off partitions_scanned vs
+        partitions_total."""
+        return self.spark.createDataFrame(
+            self._history,
+            "query_id string, query_text string, query_type string,"
+            " start_time timestamp, partitions_scanned long,"
+            " partitions_total long, files_scanned long, files_total long,"
+            " bytes_scanned long, bytes_total long, rows_produced long",
+        )
+
+    def _tables_df(self) -> DataFrame:
+        """TABLE(INFORMATION_SCHEMA.TABLES) (docs/11:160-166): catalog
+        tables (plus linked external-catalog tables) with format info."""
+        rows = []
+        for n in self.catalog.list_tables():
+            t = self.catalog.load_table(n)
+            rows.append(
+                (
+                    n.rsplit(".", 1)[-1].upper(),
+                    n,
+                    "ICEBERG",
+                    t.meta.format_version if hasattr(t.meta, "format_version") else 2,
+                    t.location,
+                )
+            )
+        for alias, t in self._linked.items():
+            rows.append((alias.upper(), alias, "ICEBERG", 2, t.location))
+        return self.spark.createDataFrame(
+            rows,
+            "table_name string, qualified_name string, table_format string,"
+            " format_version int, location string",
+        )
 
     # -- views / tasks / parameters (docs/12:169-186, docs/10:174-183,
     #    docs/05:94) ---------------------------------------------------------

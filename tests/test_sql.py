@@ -591,3 +591,58 @@ def test_docs_structured_types_ddl_verbatim(spark, tmp_path):
     isql.sql("CREATE ICEBERG TABLE semi (v VARIANT, o OBJECT, a ARRAY)")
     semi = isql.catalog.load_table("semi")
     assert {f.type for f in semi.meta.schema.fields} == {"string"}
+
+
+def test_docs_monitoring_query_history_verbatim(spark, tmp_path):
+    """docs/09-query-performance.md:181-194 — the monitoring query over
+    TABLE(INFORMATION_SCHEMA.QUERY_HISTORY()) runs verbatim, and the
+    pruning metrics it exposes are REAL: a partition predicate on a
+    single-table SELECT goes through manifest pruning (docs/09:17-44),
+    so partitions_scanned < partitions_total, while an unparseable or
+    alias-qualified predicate falls back to a full scan with identical
+    results."""
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE ev (id BIGINT, cat STRING) PARTITION BY (cat)")
+    isql.sql("INSERT INTO ev VALUES (1,'a'),(2,'b'),(3,'a')")
+    pruned = isql.sql("SELECT id FROM ev WHERE cat = 'a'").collect()
+    assert sorted(r.id for r in pruned) == [1, 3]
+    # fallback shapes: alias-qualified and function predicates
+    assert [r.id for r in isql.sql("SELECT id FROM ev AS x WHERE x.cat = 'b'").collect()] == [2]
+    assert isql.sql("SELECT count(*) AS n FROM ev WHERE upper(cat) = 'A'").collect()[0].n == 2
+
+    hist = isql.sql(
+        """
+        SELECT
+          query_id,
+          query_text,
+          partitions_scanned,
+          partitions_total,
+          bytes_scanned,
+          rows_produced
+        FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())
+        WHERE query_type = 'SELECT'
+        ORDER BY start_time DESC
+        """
+    ).collect()
+    by_text = {r.query_text: r for r in hist}
+    p = by_text["SELECT id FROM ev WHERE cat = 'a'"]
+    assert (p.partitions_scanned, p.partitions_total) == (1, 2)
+    assert p.bytes_scanned > 0
+    full = by_text["SELECT id FROM ev AS x WHERE x.cat = 'b'"]
+    assert (full.partitions_scanned, full.partitions_total) == (2, 2)
+
+
+def test_docs_information_schema_tables_verbatim(spark, tmp_path):
+    """docs/11-multi-engine-compatibility.md:160-166 — format-version
+    check through TABLE(INFORMATION_SCHEMA.TABLES)."""
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE my_table (id BIGINT)")
+    rows = isql.sql(
+        "SELECT * FROM TABLE(INFORMATION_SCHEMA.TABLES) WHERE table_name = 'MY_TABLE'"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].table_format == "ICEBERG"
