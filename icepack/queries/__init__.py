@@ -91,6 +91,7 @@ PRIORITY: list[str] = [
     "ice37_memory_store",
     "x45_domain_cap",
     "x46_line_dedup_ratio",
+    "ice38_sql_pruned_select",
     # evidenced regression re-sample — representatives per family
     "a0_gold_daily",
     "a1_groupby_count",

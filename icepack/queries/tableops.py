@@ -1274,3 +1274,38 @@ def ice37_memory_store(spark: SparkSession, sf: str) -> DataFrame:
     if not store.glob(_os.path.join(mdir, "v*.metadata.json")):
         raise RuntimeError("no metadata documents in the in-memory store")
     return t.toDF()
+
+
+@query(
+    "ice38_sql_pruned_select",
+    oracle=f"SELECT {_ORDER_COLS} FROM orders WHERE o_orderstatus = 'F'",
+)
+def ice38_sql_pruned_select(spark: SparkSession, sf: str) -> DataFrame:
+    """SELECT-side manifest pruning through the SQL front-end
+    (docs/09:17-44 + the docs/09:181-194 monitoring loop): a plain SQL
+    WHERE on a partitioned scratch table must scan strictly fewer
+    partitions than the table has, and QUERY_HISTORY must report it.
+    The query raises (driver err) if pruning didn't happen; the rows
+    are value-checked against the raw-parquet oracle."""
+    from ..sql import IceSQL
+
+    isql = IceSQL(spark, _scratch())
+    orders = load(spark, sf, "orders")
+    orders.createOrReplaceTempView("ice38_src")
+    isql.sql(
+        "CREATE ICEBERG TABLE po (o_orderkey BIGINT, o_custkey BIGINT,"
+        " o_orderstatus STRING, o_totalprice DOUBLE,"
+        " o_orderdate TIMESTAMP, o_orderpriority STRING)"
+        " PARTITION BY (o_orderstatus)"
+    )
+    isql.sql("INSERT INTO po SELECT * FROM ice38_src")
+    out = isql.sql("SELECT * FROM po WHERE o_orderstatus = 'F'")
+    hist = isql.sql(
+        "SELECT partitions_scanned, partitions_total FROM"
+        " TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())"
+        " WHERE query_text LIKE '%o_orderstatus = ''F''%'"
+        " AND query_type = 'SELECT'"
+    ).collect()
+    if not hist or not (0 < hist[-1].partitions_scanned < hist[-1].partitions_total):
+        raise RuntimeError(f"SQL SELECT did not prune: {hist}")
+    return out

@@ -188,6 +188,61 @@ def parse_predicate(s: str) -> Expr:
     return _Pred(s).parse()
 
 
+def _split_top_and(s: str) -> list[str]:
+    """Split a WHERE clause into its top-level AND conjuncts (for
+    per-table predicate routing).  Semantics-preserving by refusal:
+    returns ``[s]`` whole when a top-level OR exists (splitting a
+    disjunction would change meaning — precedence makes naive AND
+    splits wrong there), and the AND inside BETWEEN..AND never splits."""
+    out: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    pending_between = 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur.append(s[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        m = re.match(r"[A-Za-z_][A-Za-z_0-9.$]*", s[i:])
+        if m:
+            w = m.group(0)
+            u = w.upper()
+            if depth == 0 and u == "OR":
+                return [s]
+            if depth == 0 and u == "BETWEEN":
+                pending_between += 1
+            if depth == 0 and u == "AND":
+                if pending_between:
+                    pending_between -= 1
+                    cur.append(w)
+                else:
+                    out.append("".join(cur))
+                    cur = []
+                i += len(w)
+                continue
+            cur.append(w)
+            i += len(w)
+            continue
+        cur.append(ch)
+        i += 1
+    out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
 # --------------------------------------------------------------------------
 # type & partition-spec mapping (Snowflake spellings → Spark/icepack)
 # --------------------------------------------------------------------------
@@ -407,49 +462,75 @@ class IceSQL:
         ``bronze_events_raw`` temp view) so the docs' namespaced names
         resolve.  Returns the (possibly rewritten) statement.
 
-        SELECT-side pruning (docs/09:17-44): for the single-table
-        ``SELECT ... FROM t WHERE pred`` shape, the WHERE text is
-        parsed into the expr pruning language and passed to ``toDF``,
-        so manifest/file pruning applies to SQL reads exactly as to
-        DML — a partition predicate on a 100 TB table registers a view
-        over only the surviving files.  Unparseable or multi-table
-        predicates fall back to the full live file set (correctness
-        never depends on pruning: Spark re-applies the WHERE in full)."""
-        scan_pred = self._select_scan_predicate(stmt)
-        for name in list(self.catalog.list_tables()) + list(self._linked):
+        SELECT-side pruning (docs/09:17-44): top-level WHERE conjuncts
+        are parsed into the expr pruning language and routed to the
+        table that UNAMBIGUOUSLY owns their columns, then passed to
+        that table's ``toDF`` — so both the single-table partition
+        predicate and the star-join's fact-side filter go through
+        manifest/file pruning, exactly as DML does.  Conjuncts that
+        don't parse, reference columns of several referenced tables, or
+        are alias-qualified fall back to the full live file set for
+        that table (correctness never depends on pruning: Spark
+        re-applies the whole WHERE in full)."""
+        hit = [
+            name
+            for name in list(self.catalog.list_tables()) + list(self._linked)
+            if re.search(
+                rf"(?i)\b({re.escape(name)}|{re.escape(name.replace('.', '_'))}"
+                rf"|{re.escape(name.split('.')[-1])})\b",
+                stmt,
+            )
+        ]
+        handles = {name: self._table(name) for name in hit}
+        preds = self._select_scan_predicates(stmt, handles)
+        for name, t in handles.items():
             flat, short = name.replace(".", "_"), name.split(".")[-1]
-            pat = rf"(?i)\b({re.escape(name)}|{re.escape(flat)}|{re.escape(short)})\b"
-            if re.search(pat, stmt):
-                df = self._table(name).toDF(scan_pred)
-                df.createOrReplaceTempView(flat)
-                if short != name:
-                    df.createOrReplaceTempView(short)
-                if "." in name:
-                    stmt = re.sub(rf"(?i)\b{re.escape(name)}\b", flat, stmt)
+            df = t.toDF(preds.get(name))
+            df.createOrReplaceTempView(flat)
+            if short != name:
+                df.createOrReplaceTempView(short)
+            if "." in name:
+                stmt = re.sub(rf"(?i)\b{re.escape(name)}\b", flat, stmt)
         return stmt
 
-    def _select_scan_predicate(self, stmt: str):
-        """Extract a prunable predicate from a single-table SELECT;
-        None (= full scan) for joins, subqueries, set ops, or WHERE
-        clauses outside the documented predicate grammar."""
-        if len(re.findall(r"(?i)\b(FROM|JOIN)\b", stmt)) != 1:
-            return None
-        m = re.match(
-            r"(?is)SELECT\s+.*?\bFROM\s+[\w.]+(?:\s+(?:AS\s+)?\w+)?"
-            r"\s+WHERE\s+(.*?)(\s+(GROUP|ORDER|LIMIT|HAVING|WINDOW|QUALIFY)\b.*)?$",
-            stmt.strip(),
+    def _select_scan_predicates(self, stmt: str, handles: dict) -> dict:
+        """{table name -> prunable Expr} from a SELECT's top-level
+        WHERE.  Applies only to subquery-free SELECTs (one SELECT
+        keyword), where the single WHERE is unambiguous; each AND
+        conjunct is assigned to the one referenced table whose schema
+        contains ALL its columns while no other referenced table
+        contains ANY of them."""
+        s = stmt.strip()
+        if not re.match(r"(?i)SELECT\b", s):
+            return {}
+        if len(re.findall(r"(?i)\bSELECT\b", s)) != 1:
+            return {}  # subqueries: their WHEREs are not top-level
+        m = re.search(
+            r"(?is)\bWHERE\s+(.*?)(\s+(GROUP|ORDER|LIMIT|HAVING|WINDOW|QUALIFY)\b.*)?$",
+            s,
         )
-        if not m or re.search(r"(?i)\bSELECT\b", m.group(1)):
-            return None
-        try:
-            pred = parse_predicate(m.group(1))
-        except ValueError:
-            return None
-        # alias-qualified references (x.id) don't resolve against the
-        # bare table DataFrame the view registers — full scan instead
-        if any("." in r or "$" in r for r in pred.references()):
-            return None
-        return pred
+        if not m:
+            return {}
+        cols = {
+            name: {f.name for f in t.meta.schema.fields}
+            for name, t in handles.items()
+        }
+        out: dict[str, Expr] = {}
+        for conj in _split_top_and(m.group(1)):
+            try:
+                pred = parse_predicate(conj)
+            except ValueError:
+                continue
+            refs = pred.references()
+            if any("." in r or "$" in r for r in refs):
+                continue  # alias-qualified: not resolvable here
+            owners = [n for n, cs in cols.items() if refs <= cs]
+            touched = [n for n, cs in cols.items() if refs & cs]
+            if len(owners) == 1 and touched == owners:
+                out[owners[0]] = (
+                    out[owners[0]] & pred if owners[0] in out else pred
+                )
+        return out
 
     def _resolve_name(self, name: str) -> str:
         """Accept dotted, flattened, or last-component table names."""

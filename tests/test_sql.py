@@ -646,3 +646,36 @@ def test_docs_information_schema_tables_verbatim(spark, tmp_path):
     ).collect()
     assert len(rows) == 1
     assert rows[0].table_format == "ICEBERG"
+
+
+def test_star_join_where_prunes_fact_side(spark, tmp_path):
+    """Per-table conjunct routing: in a fact-dim join, the WHERE's
+    fact-only conjuncts reach the fact table's manifest pruning while
+    dim conjuncts route to the dim — partitions_scanned drops below
+    total in QUERY_HISTORY and results are unchanged.  Ambiguous and
+    OR-spanning predicates must NOT be split (semantics first)."""
+    from icepack.sql import IceSQL, _split_top_and
+
+    # splitter semantics: OR at top level refuses to split; BETWEEN's
+    # AND never splits; quoted ANDs are opaque
+    assert _split_top_and("a = 1 AND b = 2") == ["a = 1", "b = 2"]
+    assert _split_top_and("a = 1 OR b = 2 AND c = 3") == ["a = 1 OR b = 2 AND c = 3"]
+    assert _split_top_and("x BETWEEN 1 AND 5 AND y = 2") == ["x BETWEEN 1 AND 5", "y = 2"]
+    assert _split_top_and("(a = 1 OR b = 2) AND c = 3") == ["(a = 1 OR b = 2)", "c = 3"]
+    assert _split_top_and("n = 'it''s AND x' AND z = 1") == ["n = 'it''s AND x'", "z = 1"]
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE fact (id BIGINT, fcat STRING, v DOUBLE) PARTITION BY (fcat)")
+    isql.sql("CREATE ICEBERG TABLE dim (dcat STRING, label STRING)")
+    isql.sql("INSERT INTO fact VALUES (1,'a',1.0),(2,'b',2.0),(3,'a',3.0)")
+    isql.sql("INSERT INTO dim VALUES ('a','alpha'),('b','beta')")
+    got = isql.sql(
+        "SELECT f.id, d.label FROM fact f JOIN dim d ON f.fcat = d.dcat"
+        " WHERE fcat = 'a' AND v < 2.5 AND label = 'alpha'"
+    ).collect()
+    assert [(r.id, r.label) for r in got] == [(1, "alpha")]
+    h = isql.sql(
+        "SELECT partitions_scanned, partitions_total FROM"
+        " TABLE(INFORMATION_SCHEMA.QUERY_HISTORY()) WHERE query_type = 'SELECT'"
+    ).collect()[-1]
+    assert (h.partitions_scanned, h.partitions_total) == (1, 2)
