@@ -281,9 +281,9 @@ class IsNull(Expr):
 
     def may_match_file(self, stats: dict, record_count: int) -> bool:
         s = stats.get(self.name)
-        if not s:
-            return True
-        return s.get("nulls", 0) > 0
+        if not s or s.get("nulls") is None:
+            return True  # unknown null count (statistics-less column): keep
+        return s["nulls"] > 0
 
     def all_match_file(self, stats: dict, record_count: int) -> bool:
         s = stats.get(self.name)
@@ -305,9 +305,9 @@ class NotNull(Expr):
 
     def may_match_file(self, stats: dict, record_count: int) -> bool:
         s = stats.get(self.name)
-        if not s:
-            return True
-        return s.get("nulls", 0) < record_count
+        if not s or s.get("nulls") is None:
+            return True  # unknown null count: keep
+        return s["nulls"] < record_count
 
     def all_match_file(self, stats: dict, record_count: int) -> bool:
         s = stats.get(self.name)

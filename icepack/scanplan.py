@@ -1,0 +1,177 @@
+"""Distributed scan planning: evaluate file pruning IN SPARK over the
+manifests themselves.
+
+The default planner (``table.plan_files``) walks manifests driver-side
+— O(files) Python per query, fine to ~10⁵ files but a real bottleneck
+for a 100 TB table with millions of files (SCALE.md lists it as the
+known trade-off; docs/09-query-performance.md:17-44 describes the same
+two-phase pruning).  Manifests here are JSONL, i.e. *data*: this module
+reads every manifest of a snapshot as a DataFrame (one row per file
+entry) and translates the pruning predicate into a Spark Column with
+exactly the Python evaluator's three-valued semantics, so the per-file
+stats evaluation runs on executors and the driver only ever collects
+the SURVIVING entries — O(selected), not O(table).
+
+Semantics contract (pinned by tests/test_scanplan.py):
+
+- The distributed selection is a SUPERSET of the driver-side one —
+  translation differences may only ever lose pruning, never rows.  The
+  one deliberate superset source: phase-1 partition-tuple pruning under
+  non-identity transforms (bucket/truncate/day) is skipped here (the
+  column min/max stats phase subsumes the monotone-transform cases);
+  identity-partition values travel in file stats anyway.
+- Stat values live in JSON as their writer types; they are read as
+  strings and cast according to the LITERAL's Python type — the same
+  normalization `expr._cmp_norm` applies (ISO strings compare as
+  timestamps, numbers as doubles).  A failed cast yields NULL, which
+  coalesces to "keep".
+- Like the driver planner, correctness never depends on pruning: the
+  read path re-applies the full filter.
+
+Use ``read_distributed(table, predicate)`` for an end-to-end scan, or
+``plan_entries_distributed`` for the pruned entry lists.  The default
+``toDF`` keeps the driver planner (cheaper below ~10⁵ files — one Spark
+job per plan is not free); at warehouse scale, flip per table via the
+property ``read.plan-mode = 'distributed'``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .expr import AlwaysTrue, And, Cmp, Expr, In, IsNull, NotNull, Or
+from .manifest import DataFile, read_manifest_list
+
+#: manifest-entry schema for spark.read.json — stat bounds as strings
+#: (absorbing any writer type), null counts as longs
+ENTRY_SCHEMA = (
+    "path string, status string, `spec-id` int, `schema-id` int,"
+    " `record-count` long, `file-size-bytes` long,"
+    " `sequence-number` long, content string,"
+    " `equality-columns` array<string>,"
+    " partition map<string,string>,"
+    " stats map<string, struct<min string, max string, nulls long>>"
+)
+
+
+def _typed(raw: Column, v):
+    """(cast stat column, literal column) under the literal's type —
+    mirrors expr._cmp_norm's normalization.  None → untranslatable
+    literal type: caller keeps the file."""
+    if isinstance(v, bool):
+        return raw.cast("boolean"), F.lit(v)
+    if isinstance(v, (int, float)):
+        return raw.cast("double"), F.lit(float(v))
+    if isinstance(v, _dt.datetime):
+        return raw.cast("timestamp_ntz"), F.lit(v)
+    if isinstance(v, _dt.date):
+        return raw.cast("timestamp_ntz"), F.lit(
+            _dt.datetime(v.year, v.month, v.day)
+        )
+    if isinstance(v, str):
+        try:
+            ts = _dt.datetime.fromisoformat(v)
+        except ValueError:
+            return raw, F.lit(v)
+        return raw.cast("timestamp_ntz"), F.lit(ts)
+    return None
+
+
+def may_match_column(e: Expr, stats: Column, rc: Column) -> Column:
+    """Translate ``Expr.may_match_file`` into a Spark Column over one
+    manifest-entry row (``stats`` map + ``record-count``)."""
+    if isinstance(e, And):
+        return may_match_column(e.left, stats, rc) & may_match_column(e.right, stats, rc)
+    if isinstance(e, Or):
+        return may_match_column(e.left, stats, rc) | may_match_column(e.right, stats, rc)
+    if isinstance(e, In):
+        out = F.lit(False)
+        for v in e.values:
+            out = out | may_match_column(Cmp(e.name, "=", v), stats, rc)
+        return out
+    if isinstance(e, (IsNull, NotNull)):
+        s = F.element_at(stats, e.name)
+        nulls = s["nulls"]
+        unknown = s.isNull() | nulls.isNull()
+        if isinstance(e, IsNull):
+            return unknown | (nulls > 0)
+        return unknown | (nulls < rc)
+    if isinstance(e, Cmp):
+        s = F.element_at(stats, e.name)
+        typed = _typed(s["min"], e.value)
+        if typed is None or e.op not in ("<", "<=", ">", ">=", "=", "!="):
+            return F.lit(True)
+        lo, v = typed
+        hi = _typed(s["max"], e.value)[0]
+        nulls = F.coalesce(s["nulls"], F.lit(None).cast("long"))
+        missing = s.isNull() | s["min"].isNull() | s["max"].isNull()
+        all_null = nulls.isNotNull() & (nulls == rc)
+        if e.op == "<":
+            core = lo < v
+        elif e.op == "<=":
+            core = lo <= v
+        elif e.op == ">":
+            core = v < hi
+        elif e.op == ">=":
+            core = v <= hi
+        elif e.op == "=":
+            core = (lo <= v) & (v <= hi)
+        else:  # "!=": prunable only when every row provably equals v
+            core = ~((lo.eqNullSafe(hi)) & (lo.eqNullSafe(v)) & (nulls.eqNullSafe(F.lit(0))))
+        # cast failures → NULL core → keep (same as Python's None → True)
+        return F.when(missing, F.lit(True)).when(all_null, F.lit(False)).otherwise(
+            F.coalesce(core, F.lit(True))
+        )
+    return F.lit(True)  # AlwaysTrue / unknown node: keep
+
+
+def _entries_df(table, snap) -> DataFrame:
+    names = [
+        m["manifest-path"]
+        for m in read_manifest_list(table._mdir, snap.manifest_list, store=table.store)
+    ]
+    paths = [os.path.join(table._mdir, n) for n in names]
+    return table.spark.read.json(paths, schema=ENTRY_SCHEMA)
+
+
+def plan_entries_distributed(
+    table, predicate: Expr | None = None, snapshot=None
+) -> tuple[list[DataFile], list[DataFile]]:
+    """(surviving data entries, live delete entries) with the pruning
+    evaluated in Spark.  Driver memory is O(survivors + deletes)."""
+    snap = snapshot or table.meta.current_snapshot
+    if snap is None:
+        return [], []
+    live = _entries_df(table, snap).filter(F.col("status") != "deleted")
+    datas = live.filter(F.col("content") == "data")
+    if predicate is not None and not isinstance(predicate, AlwaysTrue):
+        datas = datas.filter(
+            may_match_column(predicate, F.col("stats"), F.col("record-count"))
+        )
+    deletes = live.filter(F.col("content") != "data")
+
+    def _collect(df) -> list[DataFile]:
+        return [DataFile.from_json(json.loads(r)) for r in df.toJSON().collect()]
+
+    return _collect(datas), _collect(deletes)
+
+
+def read_distributed(
+    table, predicate: Expr | None = None, snapshot=None
+) -> DataFrame:
+    """toDF twin with Spark-side planning: same MOR-sequence-correct
+    read, same full re-filter; only WHERE the pruning predicate is
+    evaluated differs."""
+    snap = snapshot or table.meta.current_snapshot
+    if snap is None:
+        return table.spark.createDataFrame([], table.meta.schema.to_struct())
+    files, deletes = plan_entries_distributed(table, predicate, snap)
+    out = table._read_with_deletes(files, deletes)
+    if predicate is not None:
+        out = out.filter(predicate.to_column())
+    return out

@@ -608,12 +608,12 @@ class IceSQL:
                 text,
                 qtype,
                 _dt.datetime.fromtimestamp(start),
-                sum(e["partitions_scanned"] for e in scans) if scans else None,
-                sum(e["partitions_total"] for e in scans) if scans else None,
-                sum(e["files_scanned"] for e in scans) if scans else None,
-                sum(e["files_total"] for e in scans) if scans else None,
-                sum(e["bytes_scanned"] for e in scans) if scans else None,
-                sum(e["bytes_total"] for e in scans) if scans else None,
+                sum(e.get("partitions_scanned", 0) for e in scans) if scans else None,
+                sum(e.get("partitions_total", 0) for e in scans) if scans else None,
+                sum(e.get("files_scanned", 0) for e in scans) if scans else None,
+                sum(e.get("files_total", 0) for e in scans) if scans else None,
+                sum(e.get("bytes_scanned", 0) for e in scans) if scans else None,
+                sum(e.get("bytes_total", 0) for e in scans) if scans else None,
                 None,  # rows_produced: results are lazy, never forced here
             )
         )

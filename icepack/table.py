@@ -644,7 +644,24 @@ class IceTable:
         current = self.meta.schema
         if snap is None:
             return self.spark.createDataFrame([], current.to_struct())
-        files, report = self.plan_files(predicate, snap)
+        if self.meta.properties.get("read.plan-mode") == "distributed":
+            # warehouse-scale planning (scanplan.py): pruning evaluated
+            # in Spark over the manifests; driver holds O(selected)
+            from .scanplan import plan_entries_distributed
+
+            files, deletes = plan_entries_distributed(self, predicate, snap)
+            report = {
+                "planner": "distributed",
+                "files_scanned": len(files),
+                "bytes_scanned": sum(f.file_size_bytes for f in files),
+            }
+        else:
+            files, report = self.plan_files(predicate, snap)
+            deletes = [
+                e
+                for e in self.live_files(snap, content="all")
+                if e.content.endswith("-deletes")
+            ]
         self._scan_log.append(
             {
                 "seq": len(self._scan_log) + 1,
@@ -653,9 +670,6 @@ class IceTable:
                 **report,
             }
         )
-        deletes = [
-            e for e in self.live_files(snap, content="all") if e.content.endswith("-deletes")
-        ]
         out = self._read_with_deletes(files, deletes)
         if predicate is not None:
             out = out.filter(predicate.to_column())  # full filter, always

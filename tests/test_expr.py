@@ -102,3 +102,23 @@ def test_or_projection_keeps_both_sides():
     assert partition_tuple_matches(p, {"ts_day": "2024-01-01", "kind": "a"})
     assert partition_tuple_matches(p, {"ts_day": "2024-07-01", "kind": "zzz"})
     assert not partition_tuple_matches(p, {"ts_day": "2024-01-01", "kind": "b"})
+
+
+def test_statistics_less_column_never_crashes_planner():
+    """A parquet column with NO statistics harvests as
+    {"min": None, "max": None, "nulls": None} (manifest.py); every
+    predicate shape must treat that as unknown -> keep, not crash
+    (found by the round-4 distributed-pruning translation work)."""
+    from icepack.expr import Cmp, In, IsNull, NotNull
+
+    s = {"c": {"min": None, "max": None, "nulls": None}}
+    for e in (
+        IsNull("c"),
+        NotNull("c"),
+        Cmp("c", "=", 5),
+        Cmp("c", "<", 5),
+        Cmp("c", "!=", 5),
+        In("c", [1, 2]),
+    ):
+        assert e.may_match_file(s, 10) is True
+        assert e.all_match_file(s, 10) is False

@@ -1,0 +1,114 @@
+"""Distributed scan planning (icepack/scanplan.py): the Spark-side
+pruning translation must agree with the driver-side evaluator.
+
+Contract (module docstring): the distributed selection is a SUPERSET of
+the driver planner's (it may only lose pruning, never rows), the final
+rows are identical (the full filter re-applies on both paths), and for
+a selective predicate it actually prunes.
+"""
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from icepack.expr import col
+from icepack.scanplan import plan_entries_distributed, read_distributed
+from icepack.table import IceTable
+
+from tests.conftest import rows_sorted
+
+PREDICATES = [
+    None,
+    col("id") < 4,
+    col("id") >= 9,
+    col("cat") == "a",
+    col("cat") != "b",
+    col("cat").isin("a", "c"),
+    (col("id") > 2) & (col("cat") == "b"),
+    (col("id") <= 1) | (col("id") >= 10),
+    col("note").is_null(),
+    col("note").is_not_null(),
+    col("ts") >= "2024-01-03 00:00:00",
+    (col("ts") < "2024-01-02 00:00:00") | (col("cat") == "c"),
+]
+
+
+def _mk(spark, path) -> IceTable:
+    rows = [
+        Row(
+            id=i,
+            cat="abc"[i % 3],
+            v=float(i) * 1.5,
+            ts=dt.datetime(2024, 1, 1 + i % 5),
+            note=None if i % 4 == 0 else f"n{i}",
+        )
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows)
+    t = IceTable.create(
+        spark,
+        str(path),
+        df.schema,
+        partition_by=[("cat", "identity")],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    # three commits → several files per partition with varied bounds
+    t.append(df.filter("id < 4"))
+    t.append(df.filter("id >= 4 AND id < 8"))
+    t.append(df.filter("id >= 8"))
+    t.delete(col("id") == 5)  # live equality-delete file in the manifests
+    return t
+
+
+def test_distributed_planning_superset_and_identical_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    total = len(t.live_files())
+    pruned_somewhere = False
+    for pred in PREDICATES:
+        exact, _report = t.plan_files(pred)
+        dist_data, dist_dels = plan_entries_distributed(t, pred)
+        exact_paths = {f.path for f in exact}
+        dist_paths = {f.path for f in dist_data}
+        assert exact_paths <= dist_paths, f"lost files under {pred}"
+        assert {d.path for d in dist_dels} == {
+            d.path for d in t.live_files(content="all") if d.content != "data"
+        }
+        assert rows_sorted(read_distributed(t, pred)) == rows_sorted(t.toDF(pred)), (
+            f"row mismatch under {pred}"
+        )
+        if pred is not None and len(dist_paths) < total:
+            pruned_somewhere = True
+    assert pruned_somewhere, "distributed planner never pruned anything"
+
+
+def test_distributed_planning_prunes_selectively(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    total = len(t.live_files())
+    data, _ = plan_entries_distributed(t, col("id") >= 9)
+    assert 0 < len(data) < total
+    # and the sequence-correct MOR view holds: id=5 stays deleted
+    ids = {r.id for r in read_distributed(t, col("id") > 3).collect()}
+    assert ids == {4, 6, 7, 8, 9, 10, 11}
+
+
+def test_distributed_planning_survives_schema_rename(spark, tmp_path):
+    """Entries carry schema-ids; after a rename the distributed-planned
+    read must reconcile old files to the current schema exactly like
+    toDF (ID-based column mapping)."""
+    t = _mk(spark, tmp_path / "t")
+    t.rename_column("v", "score")
+    got = rows_sorted(read_distributed(t, col("id") < 3).select("id", "score"))
+    want = rows_sorted(t.toDF(col("id") < 3).select("id", "score"))
+    assert got == want and len(got) == 3
+
+
+def test_plan_mode_property_switches_todf(spark, tmp_path):
+    """``read.plan-mode = 'distributed'`` flips toDF's planner; rows
+    and MOR semantics are unchanged and the scan log records which
+    planner ran."""
+    t = _mk(spark, tmp_path / "t")
+    want = rows_sorted(t.toDF(col("cat") == "a"))
+    t.set_properties(**{"read.plan-mode": "distributed"})
+    got = rows_sorted(t.toDF(col("cat") == "a"))
+    assert got == want
+    assert t._scan_log[-1].get("planner") == "distributed"
