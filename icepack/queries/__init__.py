@@ -92,6 +92,7 @@ PRIORITY: list[str] = [
     "x45_domain_cap",
     "x46_line_dedup_ratio",
     "ice38_sql_pruned_select",
+    "ice39_distributed_plan",
     # evidenced regression re-sample — representatives per family
     "a0_gold_daily",
     "a1_groupby_count",

@@ -1309,3 +1309,45 @@ def ice38_sql_pruned_select(spark: SparkSession, sf: str) -> DataFrame:
     if not hist or not (0 < hist[-1].partitions_scanned < hist[-1].partitions_total):
         raise RuntimeError(f"SQL SELECT did not prune: {hist}")
     return out
+
+
+@query(
+    "ice39_distributed_plan",
+    oracle=f"""
+    SELECT {_ORDER_COLS} FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderstatus <> 'F'
+    """,
+)
+def ice39_distributed_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed scan planning (icepack/scanplan.py): pruning
+    evaluated in Spark over the manifests, opted in via
+    ``read.plan-mode='distributed'``.  The query builds a
+    month-partitioned table, runs the same predicate through BOTH
+    planners, raises (driver err) unless the distributed selection is a
+    superset of the exact one AND actually prunes, then returns the
+    distributed-planned scan for value-checking against the raw-parquet
+    oracle."""
+    from ..scanplan import plan_entries_distributed
+
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(
+        spark,
+        _scratch(),
+        orders.schema,
+        partition_by=[("o_orderdate", "month")],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(orders)
+    t.delete(col("o_orderstatus") == "F")
+    pred = col("o_orderdate") >= "1996-01-01 00:00:00"
+    exact, _ = t.plan_files(pred)
+    dist, _dels = plan_entries_distributed(t, pred)
+    total = len(t.live_files())
+    exact_paths, dist_paths = {f.path for f in exact}, {f.path for f in dist}
+    if not (exact_paths <= dist_paths and 0 < len(dist_paths) < total):
+        raise RuntimeError(
+            f"distributed plan wrong: exact={len(exact_paths)}"
+            f" dist={len(dist_paths)} total={total}"
+        )
+    t.set_properties(**{"read.plan-mode": "distributed"})
+    return t.toDF(pred)
