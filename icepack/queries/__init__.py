@@ -93,6 +93,7 @@ PRIORITY: list[str] = [
     "x46_line_dedup_ratio",
     "ice38_sql_pruned_select",
     "ice39_distributed_plan",
+    "ice40_stream_source",
     # evidenced regression re-sample — representatives per family
     "a0_gold_daily",
     "a1_groupby_count",

@@ -1351,3 +1351,55 @@ def ice39_distributed_plan(spark: SparkSession, sf: str) -> DataFrame:
         )
     t.set_properties(**{"read.plan-mode": "distributed"})
     return t.toDF(pred)
+
+
+@query(
+    "ice40_stream_source",
+    oracle=f"SELECT {_ORDER_COLS} FROM orders WHERE o_orderkey % 4 = 1",
+)
+def ice40_stream_source(spark: SparkSession, sf: str) -> DataFrame:
+    """The table layer as a REAL Structured Streaming source
+    (icepack/datasource.py, Spark 4 Python Data Source API): an icepack
+    table streams through ``readStream.format('icepack')`` in two
+    checkpointed AvailableNow runs — catch-up, then an incremental run
+    that must deliver ONLY the rows appended in between (the query
+    raises on any re-delivery).  The landed parquet is value-checked
+    against the oracle."""
+    import os as _os
+
+    from ..datasource import register
+
+    register(spark)
+    scratch = _scratch()
+    loc, out, ck = (
+        _os.path.join(scratch, "t"),
+        _os.path.join(scratch, "out"),
+        _os.path.join(scratch, "ck"),
+    )
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(spark, loc, orders.schema)
+    t.append(orders.filter(F.col("o_orderkey") % 8 == 1))
+
+    def run():
+        q = (
+            spark.readStream.format("icepack")
+            .option("location", loc)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    n1 = spark.read.parquet(out).count()
+    t.append(orders.filter(F.col("o_orderkey") % 8 == 5))
+    run()
+    result = spark.read.parquet(out)
+    n2 = result.count()
+    expect = orders.filter(F.col("o_orderkey") % 4 == 1).count()
+    if not (0 < n1 < n2 == expect):
+        raise RuntimeError(f"incremental delivery broken: {n1} -> {n2}, expect {expect}")
+    return result

@@ -1,0 +1,107 @@
+"""icepack Python Data Source (icepack/datasource.py): the table layer
+as a first-class Spark streaming source.
+
+Pins: initial catch-up, checkpointed incremental restarts (only the
+rows appended between runs are delivered), refusal of non-append
+commits mid-range, the skip-overwrite-snapshots escape hatch, schema
+reconciliation across renames, and the batch reader's delete-file
+refusal.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from icepack.datasource import register
+from icepack.expr import col
+from icepack.maintenance import compact
+from icepack.table import IceTable
+
+
+@pytest.fixture()
+def ds(spark):
+    register(spark)
+    return spark
+
+
+def _mk(spark, base):
+    loc = str(base / "t")
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(6)])
+    t = IceTable.create(spark, loc, df.schema)
+    t.append(df.filter("id < 3"))
+    t.append(df.filter("id >= 3"))
+    return t, loc
+
+
+def _run(spark, loc, out, ck, skip=False):
+    r = spark.readStream.format("icepack").option("location", loc)
+    if skip:
+        r = r.option("skip-overwrite-snapshots", "true")
+    q = (
+        r.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def _ids(spark, out):
+    return sorted(r.id for r in spark.read.parquet(out).collect())
+
+
+def test_stream_catchup_and_incremental_restart(ds, tmp_path):
+    spark = ds
+    t, loc = _mk(spark, tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run(spark, loc, out, ck)
+    assert _ids(spark, out) == [0, 1, 2, 3, 4, 5]
+    # restart from the checkpoint: ONLY the new append is delivered
+    t.append(spark.createDataFrame([Row(id=100, v=1.0), Row(id=101, v=2.0)]))
+    _run(spark, loc, out, ck)
+    assert _ids(spark, out) == [0, 1, 2, 3, 4, 5, 100, 101]
+    # idle restart delivers nothing twice (exactly-once on offsets)
+    _run(spark, loc, out, ck)
+    assert _ids(spark, out) == [0, 1, 2, 3, 4, 5, 100, 101]
+
+
+def test_stream_refuses_nonappend_then_skip_option(ds, tmp_path):
+    spark = ds
+    t, loc = _mk(spark, tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run(spark, loc, out, ck)
+    compact(t)  # replace commit in the next range
+    t.append(spark.createDataFrame([Row(id=200, v=9.0)]))
+    with pytest.raises(Exception, match="non-append|STREAM_FAILED"):
+        _run(spark, loc, out, ck)
+    # the escape hatch reads past the rewrite, emitting appends only
+    _run(spark, loc, out, ck, skip=True)
+    assert _ids(spark, out) == [0, 1, 2, 3, 4, 5, 200]
+
+
+def test_stream_survives_column_rename(ds, tmp_path):
+    spark = ds
+    t, loc = _mk(spark, tmp_path)
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    t.rename_column("v", "score")
+    _run(spark, loc, out, ck)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"id", "score"}
+    assert sorted(r.score for r in got.collect()) == [float(i) for i in range(6)]
+
+
+def test_batch_reader_and_delete_refusal(ds, tmp_path):
+    spark = ds
+    t, loc = _mk(spark, tmp_path)
+    got = spark.read.format("icepack").option("location", loc).load()
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4, 5]
+    # live MOR delete files: the plain batch reader must refuse
+    t.set_properties(**{"write.delete.mode": "merge-on-read"})
+    t.delete(col("id") == 2)
+    with pytest.raises(Exception, match="delete files"):
+        spark.read.format("icepack").option("location", loc).load().collect()
+    # toDF remains the delete-applying batch path
+    assert sorted(r.id for r in t.toDF().collect()) == [0, 1, 3, 4, 5]
