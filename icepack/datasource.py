@@ -46,8 +46,10 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "icepack"
@@ -191,6 +193,116 @@ class _BatchReader(DataSourceReader):
         return _read_file(partition)
 
 
+@dataclass
+class _WroteFiles(WriterCommitMessage):
+    paths: list
+
+
+class _StreamWriter(DataSourceStreamArrowWriter):
+    """Native streaming SINK: executors write parquet task files with
+    pyarrow, the driver turns the collected task reports into ONE
+    atomic append snapshot per micro-batch — the same executor-write /
+    driver-commit split every real table-format Spark sink uses.
+
+    Exactly-once: the commit records ``streaming-batch-id =
+    <sink-id>#<batchId>`` in the snapshot summary; a re-delivered
+    batch id (crash between sink commit and checkpoint advance) finds
+    its marker and drops the re-written files instead of committing
+    them.  ``sink-id`` defaults per query; set it explicitly when
+    several streaming queries append to the same table."""
+
+    def __init__(self, location: str, sink_id: str):
+        self._location = location
+        self._sink_id = sink_id
+
+    # -- executor side ------------------------------------------------------
+
+    def write(self, iterator) -> _WroteFiles:
+        import os as _os
+        import uuid as _uuid
+
+        import pyarrow.parquet as pq
+
+        writer = None
+        path = None
+        try:
+            for batch in iterator:
+                if batch.num_rows == 0:
+                    continue
+                if writer is None:
+                    d = _os.path.join(self._location, "data", f"pyds-{_uuid.uuid4().hex}")
+                    _os.makedirs(d, exist_ok=True)
+                    path = _os.path.join(d, "part-0.parquet")
+                    writer = pq.ParquetWriter(path, batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        return _WroteFiles([path] if path else [])
+
+    # -- driver side --------------------------------------------------------
+
+    def _paths(self, messages) -> list:
+        return [p for m in messages if m is not None for p in m.paths]
+
+    def commit(self, messages, batchId: int) -> None:
+        from pyspark.sql import SparkSession
+
+        from .manifest import DataFile, harvest_stats
+        from .table import IceTable
+
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        t = IceTable.load(spark, self._location)
+        if t.meta.spec.fields:
+            raise ValueError(
+                "the native icepack sink writes unpartitioned layouts; "
+                "for a partitioned table use "
+                "icepack.streaming.write_stream_to_table (foreachBatch "
+                "append applies the partition spec)"
+            )
+        marker = f"{self._sink_id}#{batchId}"
+        paths = self._paths(messages)
+        for s in t.meta.snapshots:
+            if s.summary.get("streaming-batch-id") == marker:
+                for p in paths:  # re-delivered batch: drop the rewrite
+                    _rm_quiet(p)
+                return
+        entries = []
+        for p in paths:
+            nrows, size, stats = harvest_stats(p)
+            if nrows == 0:
+                _rm_quiet(p)
+                continue
+            entries.append(
+                DataFile(
+                    path=p,
+                    status="added",
+                    partition={},
+                    spec_id=t.meta.spec.spec_id,
+                    schema_id=t.meta.schema.schema_id,
+                    record_count=nrows,
+                    file_size_bytes=size,
+                    stats=stats,
+                )
+            )
+        t._commit_snapshot(
+            "append", entries, extra_summary={"streaming-batch-id": marker}
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for p in self._paths(messages):
+            _rm_quiet(p)
+
+
+def _rm_quiet(path: str) -> None:
+    import os as _os
+
+    try:
+        _os.remove(path)
+    except OSError:
+        pass
+
+
 class IcepackDataSource(DataSource):
     """``spark.dataSource.register(IcepackDataSource)`` then
     ``spark.read(.Stream)?.format("icepack").option("location", ...)``."""
@@ -219,6 +331,14 @@ class IcepackDataSource(DataSource):
 
     def reader(self, schema) -> _BatchReader:
         return _BatchReader(self._location())
+
+    def streamWriter(self, schema, overwrite: bool) -> _StreamWriter:
+        import uuid as _uuid
+
+        if overwrite:
+            raise ValueError("icepack streaming sink is append-only")
+        sink_id = self.options.get("sink-id") or f"pyds-{_uuid.uuid4().hex[:12]}"
+        return _StreamWriter(self._location(), sink_id)
 
 
 def register(spark) -> None:

@@ -1358,26 +1358,29 @@ def ice39_distributed_plan(spark: SparkSession, sf: str) -> DataFrame:
     oracle=f"SELECT {_ORDER_COLS} FROM orders WHERE o_orderkey % 4 = 1",
 )
 def ice40_stream_source(spark: SparkSession, sf: str) -> DataFrame:
-    """The table layer as a REAL Structured Streaming source
+    """The table layer as BOTH ends of a Structured Streaming pipe
     (icepack/datasource.py, Spark 4 Python Data Source API): an icepack
-    table streams through ``readStream.format('icepack')`` in two
-    checkpointed AvailableNow runs — catch-up, then an incremental run
-    that must deliver ONLY the rows appended in between (the query
-    raises on any re-delivery).  The landed parquet is value-checked
-    against the oracle."""
+    source table streams through ``readStream.format('icepack')`` INTO
+    an icepack destination via ``writeStream.format('icepack')`` (the
+    native sink: executors write task parquet, the driver commits one
+    atomic snapshot per micro-batch) — two checkpointed AvailableNow
+    runs, the second delivering ONLY the rows appended in between (the
+    query raises on re-delivery or wrong snapshot count).  The
+    destination TABLE scan is value-checked against the oracle."""
     import os as _os
 
     from ..datasource import register
 
     register(spark)
     scratch = _scratch()
-    loc, out, ck = (
+    loc, dst, ck = (
         _os.path.join(scratch, "t"),
-        _os.path.join(scratch, "out"),
+        _os.path.join(scratch, "dst"),
         _os.path.join(scratch, "ck"),
     )
     orders = load(spark, sf, "orders")
     t = IceTable.create(spark, loc, orders.schema)
+    d = IceTable.create(spark, dst, orders.schema)
     t.append(orders.filter(F.col("o_orderkey") % 8 == 1))
 
     def run():
@@ -1385,8 +1388,9 @@ def ice40_stream_source(spark: SparkSession, sf: str) -> DataFrame:
             spark.readStream.format("icepack")
             .option("location", loc)
             .load()
-            .writeStream.format("parquet")
-            .option("path", out)
+            .writeStream.format("icepack")
+            .option("location", dst)
+            .option("sink-id", "ice40")
             .option("checkpointLocation", ck)
             .trigger(availableNow=True)
             .start()
@@ -1394,12 +1398,16 @@ def ice40_stream_source(spark: SparkSession, sf: str) -> DataFrame:
         q.awaitTermination(300)
 
     run()
-    n1 = spark.read.parquet(out).count()
+    n1 = d.refresh().toDF().count()
     t.append(orders.filter(F.col("o_orderkey") % 8 == 5))
     run()
-    result = spark.read.parquet(out)
-    n2 = result.count()
+    d.refresh()
+    n2 = d.toDF().count()
     expect = orders.filter(F.col("o_orderkey") % 4 == 1).count()
-    if not (0 < n1 < n2 == expect):
-        raise RuntimeError(f"incremental delivery broken: {n1} -> {n2}, expect {expect}")
-    return result
+    snaps = [s for s in d.meta.snapshots if s.operation == "append"]
+    if not (0 < n1 < n2 == expect and len(snaps) == 2):
+        raise RuntimeError(
+            f"incremental delivery broken: {n1} -> {n2}, expect {expect},"
+            f" append snapshots {len(snaps)}"
+        )
+    return d.toDF()

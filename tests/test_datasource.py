@@ -105,3 +105,86 @@ def test_batch_reader_and_delete_refusal(ds, tmp_path):
         spark.read.format("icepack").option("location", loc).load().collect()
     # toDF remains the delete-applying batch path
     assert sorted(r.id for r in t.toDF().collect()) == [0, 1, 3, 4, 5]
+
+
+def test_native_sink_table_to_table_stream(ds, tmp_path):
+    """writeStream.format('icepack'): executors write task parquet,
+    the driver commits ONE atomic append snapshot per micro-batch with
+    a batch-id marker; a checkpointed restart appends only the new
+    rows and a re-delivered batch id is dropped, not re-committed."""
+    spark = ds
+    t, loc = _mk(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    ck = str(tmp_path / "ck2")
+    d = IceTable.create(spark, dst, t.toDF().schema)
+
+    def pipe():
+        q = (
+            spark.readStream.format("icepack")
+            .option("location", loc)
+            .load()
+            .writeStream.format("icepack")
+            .option("location", dst)
+            .option("sink-id", "s1")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    pipe()
+    d.refresh()
+    assert sorted(r.id for r in d.toDF().collect()) == [0, 1, 2, 3, 4, 5]
+    assert [s.operation for s in d.meta.snapshots] == ["append"]
+    assert d.meta.snapshots[-1].summary["streaming-batch-id"] == "s1#0"
+
+    t.append(spark.createDataFrame([Row(id=50, v=5.0)]))
+    pipe()
+    d.refresh()
+    assert sorted(r.id for r in d.toDF().collect()) == [0, 1, 2, 3, 4, 5, 50]
+    # stats harvested at commit: min/max pruning works on the sink table
+    from icepack.expr import col as ecol
+
+    files, _ = d.plan_files(ecol("id") >= 50)
+    assert 0 < len(files) < len(d.live_files())
+
+
+def test_native_sink_redelivery_is_dropped(ds, tmp_path):
+    """Direct redelivery probe: committing the same batch id twice must
+    leave exactly one snapshot and no orphan files."""
+    import glob
+
+    from icepack.datasource import _StreamWriter
+
+    spark = ds
+    t, loc = _mk(spark, tmp_path)
+    dst = str(tmp_path / "dst")
+    d = IceTable.create(spark, dst, t.toDF().schema)
+    w = _StreamWriter(dst, "sinkA")
+
+    def deliver():
+        import pyarrow as pa
+
+        batch = pa.RecordBatch.from_pydict({"id": [1, 2], "v": [1.0, 2.0]})
+        return [w.write(iter([batch]))]
+
+    w.commit(deliver(), 7)
+    w.commit(deliver(), 7)  # crash-between-commit-and-checkpoint replay
+    d.refresh()
+    assert d.toDF().count() == 2
+    assert len(d.meta.snapshots) == 1
+    live = {f.path for f in d.live_files()}
+    on_disk = set(glob.glob(f"{dst}/data/**/*.parquet", recursive=True))
+    assert on_disk == live  # the replayed task file was removed
+
+
+def test_native_sink_refuses_partitioned_tables(ds, tmp_path):
+    from icepack.datasource import _StreamWriter
+
+    spark = ds
+    df = spark.createDataFrame([Row(id=1, cat="a")])
+    dst = str(tmp_path / "pdst")
+    IceTable.create(spark, dst, df.schema, partition_by=[("cat", "identity")])
+    w = _StreamWriter(dst, "s")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        w.commit([], 0)
