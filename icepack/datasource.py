@@ -12,10 +12,17 @@ Structured Streaming source:
 Incremental-read semantics (SURVEY §2.11 ST6; the Iceberg Spark
 source's documented behavior for streaming reads):
 
-- An OFFSET is the table's last observed ``sequence_number``.  Each
+- An OFFSET is the MAIN head's observed ``sequence_number``.  Each
   micro-batch covers the files whose sequence number lies in
-  ``(start, end]`` and that are still live at the END snapshot — i.e.
-  the rows appended by the commits in that range.
+  ``(start, end]`` and that are live at the END-OFFSET snapshot — i.e.
+  the rows appended by the commits in that range.  The batch is a pure
+  function of its offsets: it is resolved against the end snapshot's
+  ANCESTRY, never "whatever is current", so a checkpoint replay after
+  a later compaction redelivers exactly the original rows (and a
+  replay whose offsets cross expired history fails loudly instead of
+  returning an empty batch).  Commits on branches (WAP staging, open
+  multi-statement transactions) are invisible until fast-forwarded
+  into main's ancestry.
 - Only ``append`` commits may enter a batch.  A replace/delete commit
   in the range raises (re-emitting compacted rewrites would duplicate
   rows, and deletes cannot be represented in an append-only stream)
@@ -129,19 +136,53 @@ class _StreamReader(DataSourceStreamReader):
         return {"seq": self._start_seq}
 
     def latestOffset(self) -> dict:
+        # the MAIN head's sequence number, NOT the table's global
+        # counter: commits on branches (WAP staging, open transactions)
+        # bump the global counter without changing what the stream's
+        # lineage can see, and an offset pointing at a branch commit
+        # would never resolve to a main-ancestry snapshot below.
         t = self._table()
-        return {"seq": t.meta.last_sequence_number}
+        cur = t.meta.current_snapshot
+        return {"seq": cur.sequence_number if cur is not None else 0}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["seq"], end["seq"]
         if hi <= lo:
             return []
         t = self._table()
-        bad = [
-            s
-            for s in t.meta.snapshots
-            if lo < s.sequence_number <= hi and s.operation != "append"
-        ]
+        # Resolve the batch against the END-OFFSET snapshot's ancestry,
+        # never the current snapshot: a micro-batch is REPLAYED from the
+        # checkpoint after failures, and by then a compaction/expire may
+        # have landed past `hi`.  Listing "currently live" files would
+        # silently drop the replayed rows (rewritten files are no longer
+        # live) — the batch must be a pure function of (start, end].
+        end_snap = next(
+            (s for s in t.meta.snapshots if s.sequence_number == hi), None
+        )
+        if end_snap is None:
+            raise ValueError(
+                f"stream end offset (sequence {hi}) has no retained "
+                "snapshot — history was expired past this checkpoint; "
+                "restart with a fresh checkpoint (optionally "
+                "starting-sequence-number) or raise the retention window"
+            )
+        chain = []
+        s = end_snap
+        while s is not None and s.sequence_number > lo:
+            chain.append(s)
+            s = (
+                t.meta.snapshot_by_id(s.parent_snapshot_id)
+                if s.parent_snapshot_id is not None
+                else None
+            )
+        if s is None and lo > 0:
+            raise ValueError(
+                f"stream range ({lo},{hi}] crosses expired history — the "
+                "ancestor at the start offset is no longer retained; "
+                "restart with a fresh checkpoint or raise the retention "
+                "window"
+            )
+        bad = [s for s in chain if s.operation != "append"]
         if bad and not self._skip_overwrites:
             ops = sorted({s.operation for s in bad})
             raise ValueError(
@@ -151,14 +192,10 @@ class _StreamReader(DataSourceStreamReader):
                 "compactions/rewrites (appends only), or consume CDC "
                 "via table.diff()"
             )
-        append_seqs = {
-            s.sequence_number
-            for s in t.meta.snapshots
-            if lo < s.sequence_number <= hi and s.operation == "append"
-        }
+        append_seqs = {s.sequence_number for s in chain if s.operation == "append"}
         out = []
-        for f in t.live_files():
-            if lo < f.sequence_number <= hi and f.sequence_number in append_seqs:
+        for f in t.live_files(end_snap):
+            if f.sequence_number in append_seqs:
                 out.append(_FilePart(f.path, _column_plan(t, f.schema_id)))
         return out
 

@@ -188,3 +188,73 @@ def test_native_sink_refuses_partitioned_tables(ds, tmp_path):
     w = _StreamWriter(dst, "s")
     with pytest.raises(ValueError, match="unpartitioned"):
         w.commit([], 0)
+
+
+# -- replay determinism: a batch is a pure function of its offsets --------
+
+
+def test_replay_after_compaction_delivers_same_batch(ds, tmp_path):
+    """Micro-batch replay from the checkpoint must redeliver the ORIGINAL
+    files even after a compaction past the range rewrote the live set —
+    resolving against "currently live" files silently loses the batch
+    (found by the round-4 streaming×maintenance product audit)."""
+    from icepack.datasource import _StreamReader
+
+    t, loc = _mk(ds, tmp_path)
+    r = _StreamReader(None, loc, {})
+    hi = t.meta.current_snapshot.sequence_number
+    before = sorted(p.path for p in r.partitions({"seq": 0}, {"seq": hi}))
+    assert before
+    compact(t)  # replace commit lands AFTER the batch range
+    t.refresh()
+    after = sorted(p.path for p in r.partitions({"seq": 0}, {"seq": hi}))
+    assert after == before
+
+
+def test_replay_past_expired_history_fails_loudly(ds, tmp_path):
+    """If retention expired the end-offset snapshot, a replay must raise
+    — an empty batch here is silent data loss, not an empty table."""
+    import time
+
+    from icepack.datasource import _StreamReader
+    from icepack.maintenance import expire_snapshots
+
+    t, loc = _mk(ds, tmp_path)
+    hi = t.meta.current_snapshot.sequence_number
+    compact(t)
+    expire_snapshots(
+        t, older_than_ms=int(time.time() * 1000) + 10**9, retain_last=1
+    )
+    t.refresh()
+    r = _StreamReader(None, loc, {})
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        r.partitions({"seq": 0}, {"seq": hi})
+
+
+def test_open_txn_staging_is_invisible_until_published(ds, tmp_path):
+    """Branch commits (here: an open multi-statement transaction's
+    staged append) bump the GLOBAL sequence counter but must not move
+    the stream's offset or leak rows; after COMMIT fast-forwards main,
+    the staged rows arrive as a normal incremental batch."""
+    from icepack.datasource import _StreamReader
+    from icepack.txn import TxnTable
+
+    spark = ds
+    loc = str(tmp_path / "txn_t")
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(3)])
+    t = IceTable.create(spark, loc, df.schema)
+    t.append(df)
+    tx = TxnTable.from_table(t, "__txn_stream_probe")
+    tx.append(spark.createDataFrame([Row(id=10, v=10.0)]))
+
+    r = _StreamReader(None, loc, {})
+    off = r.latestOffset()
+    assert off["seq"] == 1  # main head, not the global counter (2)
+    parts = r.partitions({"seq": 0}, off)
+    assert parts  # main's rows flow while the txn is open
+
+    tx.txn_apply()  # COMMIT: fast-forward main to the staged head
+    off2 = r.latestOffset()
+    assert off2["seq"] > off["seq"]
+    new = r.partitions(off, off2)
+    assert len(new) == 1  # exactly the staged append, as one batch
