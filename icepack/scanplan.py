@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from .expr import AlwaysTrue, And, Cmp, Expr, In, IsNull, NotNull, Or
 from .manifest import DataFile, read_manifest_list
+from .storage import LocalStore
 
 #: manifest-entry schema for spark.read.json — stat bounds as strings
 #: (absorbing any writer type), null counts as longs
@@ -131,12 +132,28 @@ def may_match_column(e: Expr, stats: Column, rc: Column) -> Column:
 
 
 def _entries_df(table, snap) -> DataFrame:
+    store = table.store
     names = [
         m["manifest-path"]
-        for m in read_manifest_list(table._mdir, snap.manifest_list, store=table.store)
+        for m in read_manifest_list(table._mdir, snap.manifest_list, store=store)
     ]
     paths = [os.path.join(table._mdir, n) for n in names]
-    return table.spark.read.json(paths, schema=ENTRY_SCHEMA)
+    if isinstance(store, LocalStore):
+        return table.spark.read.json(paths, schema=ENTRY_SCHEMA)
+    # Non-POSIX metadata store (storage seam): a real object-store
+    # adapter would hand its URIs straight to spark.read.json — Hadoop
+    # FS speaks them natively and the scan stays executor-side.  Stores
+    # Spark cannot open (the in-memory seam proof) ship the manifest
+    # JSONL through the driver instead; that path exists so distributed
+    # planning composes with EVERY store, not for its scale properties.
+    lines = [
+        ln
+        for p in paths
+        for ln in store.read_text(p).splitlines()
+        if ln.strip()
+    ]
+    rdd = table.spark.sparkContext.parallelize(lines or [], max(1, len(paths)))
+    return table.spark.read.json(rdd, schema=ENTRY_SCHEMA)
 
 
 def plan_entries_distributed(

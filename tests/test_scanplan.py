@@ -112,3 +112,27 @@ def test_plan_mode_property_switches_todf(spark, tmp_path):
     got = rows_sorted(t.toDF(col("cat") == "a"))
     assert got == want
     assert t._scan_log[-1].get("planner") == "distributed"
+
+
+def test_distributed_planning_composes_with_storage_seam(spark, tmp_path):
+    """Distributed planning must work when the metadata lives in a
+    non-POSIX store (seam proof: InMemoryStore) — the manifests are no
+    longer files Spark can open, so the planner ships their JSONL
+    through the store instead of handing paths to spark.read.json."""
+    from icepack.storage import InMemoryStore
+
+    mem = InMemoryStore()
+    rows = [Row(id=i, cat="ab"[i % 2], v=float(i)) for i in range(8)]
+    df = spark.createDataFrame(rows)
+    t = IceTable.create(spark, str(tmp_path / "m"), df.schema, store=mem)
+    t.append(df.filter("id < 4"))
+    t.append(df.filter("id >= 4"))
+
+    pred = col("id") >= 4
+    files, deletes = plan_entries_distributed(t, pred)
+    assert deletes == []
+    driver_files, _ = t.plan_files(pred)
+    assert {f.path for f in driver_files} <= {f.path for f in files}
+    assert rows_sorted(read_distributed(t, pred)) == rows_sorted(
+        t.toDF().filter("id >= 4")
+    )
