@@ -199,9 +199,27 @@ class InMemoryStore(MetadataStore):
 #: explicit store uses this one
 LOCAL = LocalStore()
 
+#: location → store bindings made by explicit-store handles, so code
+#: that only holds a LOCATION STRING (SQL temp views, scheduler task
+#: bodies, direct reader construction) re-resolves the same store a
+#: sibling handle created the table with.  This is the PROCESS-LOCAL
+#: analog of URI-scheme dispatch: with a real object store the scheme
+#: in the path picks the adapter statelessly in any process; the
+#: in-memory seam proof has no scheme, so the binding carries the
+#: association — and therefore cannot cross process boundaries (e.g.
+#: Spark 4 runs registered Python data sources in a separate Python
+#: worker, where only scheme dispatch could resolve).
+_BOUND: dict[str, MetadataStore] = {}
+
 
 def store_for(location: str, store: MetadataStore | None = None) -> MetadataStore:
-    """Resolve the store for a table location: an explicit store wins,
-    otherwise the local default.  (URI-scheme dispatch would slot in
-    here when a real object-store adapter exists.)"""
-    return store if store is not None else LOCAL
+    """Resolve the store for a table location: an explicit store wins
+    (and binds the location for later string-only resolutions), then a
+    prior binding, then the local default.  (URI-scheme dispatch would
+    slot in here when a real object-store adapter exists.)"""
+    key = os.path.abspath(location)
+    if store is not None:
+        if store is not LOCAL and not isinstance(store, LocalStore):
+            _BOUND[key] = store
+        return store
+    return _BOUND.get(key, LOCAL)

@@ -181,3 +181,36 @@ def test_catalog_objects_through_store(spark, tmp_path):
     assert cat.table_exists("db.t1")
     assert cat.load_table("db.t1").toDF().count() == 4
     assert _no_local_metadata(tbl.location)
+
+
+def test_location_binding_resolves_store_for_string_only_consumers(spark, tmp_path):
+    """Consumers that hold only a LOCATION STRING — the streaming
+    source/sink registers by option, not by handle — must re-resolve
+    the store a sibling handle created the table with (round-4 seam ×
+    datasource product; the TxnTable analog was audit finding #3)."""
+    from icepack.datasource import _StreamReader
+
+    mem = InMemoryStore()
+    loc = str(tmp_path / "bound")
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(4)])
+    t = IceTable.create(spark, loc, df.schema, store=mem)
+    t.append(df)
+
+    # string-only load (what the datasource does internally) finds the
+    # bound store instead of failing on an empty local directory
+    t2 = IceTable.load(spark, loc)
+    assert t2.store is mem
+    assert t2.toDF().count() == 4
+
+    # and the streaming reader's batch planning works against the
+    # bound store.  (Scope: the binding is process-local, so it covers
+    # every same-process string-only consumer — IceSQL temp views,
+    # scheduler task bodies, direct reader use as here.  A stream
+    # STARTED through spark.readStream runs the data source in a
+    # separate Python worker process, where only stateless scheme
+    # dispatch can resolve a store — i.e. a real object-store adapter;
+    # the in-memory proof store is inherently single-process.)
+    r = _StreamReader(None, loc, {})
+    off = r.latestOffset()
+    parts = r.partitions({"seq": 0}, off)
+    assert parts
