@@ -233,6 +233,10 @@ class _BatchReader(DataSourceReader):
 @dataclass
 class _WroteFiles(WriterCommitMessage):
     paths: list
+    #: [(column name, str(arrow type))] of the batches actually written
+    #: — the driver resolves which TABLE SCHEMA VERSION these columns
+    #: belong to at commit time (see _StreamWriter.commit)
+    columns: list
 
 
 class _StreamWriter(DataSourceStreamArrowWriter):
@@ -262,6 +266,7 @@ class _StreamWriter(DataSourceStreamArrowWriter):
 
         writer = None
         path = None
+        cols: list = []
         try:
             for batch in iterator:
                 if batch.num_rows == 0:
@@ -271,16 +276,47 @@ class _StreamWriter(DataSourceStreamArrowWriter):
                     _os.makedirs(d, exist_ok=True)
                     path = _os.path.join(d, "part-0.parquet")
                     writer = pq.ParquetWriter(path, batch.schema)
+                    cols = [
+                        (n, str(t))
+                        for n, t in zip(batch.schema.names, batch.schema.types)
+                    ]
                 writer.write_batch(batch)
         finally:
             if writer is not None:
                 writer.close()
-        return _WroteFiles([path] if path else [])
+        return _WroteFiles([path] if path else [], cols)
 
     # -- driver side --------------------------------------------------------
 
     def _paths(self, messages) -> list:
         return [p for m in messages if m is not None for p in m.paths]
+
+    def _resolve_schema_id(self, t, messages) -> int:
+        """The stream's shape is FIXED at start, but the table's schema
+        may evolve under a long-lived stream.  Stamping the CURRENT
+        schema id on old-shape files silently nulls renamed columns at
+        read time (round-4 audit), so resolve the NEWEST schema version
+        whose (name, arrow type) columns equal what the executors
+        actually wrote — and refuse shapes no version ever had."""
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        written = next(
+            (m.columns for m in messages if m is not None and m.columns), None
+        )
+        if written is None:  # empty batch: marker-only commit
+            return t.meta.schema.schema_id
+        want = {n: a for n, a in written}
+        for s in sorted(t.meta.schemas, key=lambda s: -s.schema_id):
+            have = {f.name: str(to_arrow_type(f.spark_type())) for f in s.fields}
+            if have == want:
+                return s.schema_id
+        raise ValueError(
+            f"streamed batch columns {sorted(want)} match no schema "
+            f"version of {self._location} (current: "
+            f"{sorted(f.name for f in t.meta.schema.fields)}) — the "
+            "table evolved incompatibly under the stream; restart the "
+            "streaming query so it re-reads the current table schema"
+        )
 
     def commit(self, messages, batchId: int) -> None:
         from pyspark.sql import SparkSession
@@ -304,6 +340,7 @@ class _StreamWriter(DataSourceStreamArrowWriter):
                 for p in paths:  # re-delivered batch: drop the rewrite
                     _rm_quiet(p)
                 return
+        schema_id = self._resolve_schema_id(t, messages)
         entries = []
         for p in paths:
             nrows, size, stats = harvest_stats(p)
@@ -316,7 +353,7 @@ class _StreamWriter(DataSourceStreamArrowWriter):
                     status="added",
                     partition={},
                     spec_id=t.meta.spec.spec_id,
-                    schema_id=t.meta.schema.schema_id,
+                    schema_id=schema_id,
                     record_count=nrows,
                     file_size_bytes=size,
                     stats=stats,

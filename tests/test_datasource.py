@@ -258,3 +258,45 @@ def test_open_txn_staging_is_invisible_until_published(ds, tmp_path):
     assert off2["seq"] > off["seq"]
     new = r.partitions(off, off2)
     assert len(new) == 1  # exactly the staged append, as one batch
+
+
+def test_native_sink_stamps_the_schema_version_it_wrote(ds, tmp_path):
+    """A long-lived stream keeps its start-time shape while the table
+    evolves underneath.  The sink must stamp files with the schema
+    version MATCHING the written columns — stamping "current" made a
+    post-rename batch's values read back as NULL (silent data loss,
+    round-4 audit)."""
+    import pyarrow as pa
+
+    from icepack.datasource import _StreamWriter
+
+    spark = ds
+    loc = str(tmp_path / "evo")
+    df = spark.createDataFrame([Row(id=1, v=1.0)])
+    t = IceTable.create(spark, loc, df.schema)
+    w = _StreamWriter(loc, "s")
+
+    def b(rows):
+        yield pa.RecordBatch.from_pylist(rows)
+
+    w.commit([w.write(b([{"id": 1, "v": 1.0}]))], 0)
+    t.refresh()
+    t.rename_column("v", "w")  # evolve mid-stream
+    w.commit([w.write(b([{"id": 2, "v": 2.0}]))], 1)  # old shape
+    t.refresh()
+    rows = {r.id: r.w for r in t.toDF().collect()}
+    assert rows == {1: 1.0, 2: 2.0}  # pre-fix: {1: 1.0, 2: None}
+    assert sorted(f.schema_id for f in t.live_files()) == [0, 0]
+
+    t.add_column("note", "string")
+    w.commit([w.write(b([{"id": 3, "v": 3.0}]))], 2)  # still old shape
+    t.refresh()
+    assert {r.id: (r.w, r.note) for r in t.toDF().collect()} == {
+        1: (1.0, None),
+        2: (2.0, None),
+        3: (3.0, None),
+    }
+
+    # a shape NO schema version ever had must refuse, not mislabel
+    with pytest.raises(ValueError, match="no schema version"):
+        w.commit([w.write(b([{"id": 4, "bogus": 1.0}]))], 3)
