@@ -69,10 +69,24 @@ class _FilePart(InputPartition):
     columns: list
 
 
-def _column_plan(table, schema_id: int) -> list:
+def _schema_version_for(meta, declared):
+    """Resolve a Spark StructType (the schema a query DECLARED at
+    start) back to the table schema version it came from — newest
+    first; falls back to current for an unknown/absent struct."""
+    if declared is None:
+        return meta.schema
+    want = [(f.name, f.dataType) for f in declared.fields]
+    for s in sorted(meta.schemas, key=lambda s: -s.schema_id):
+        if [(f.name, f.spark_type()) for f in s.fields] == want:
+            return s
+    return meta.schema
+
+
+def _column_plan(table, schema_id: int, target=None) -> list:
     """Field-ID reconciliation plan from a file's schema version to the
-    table's current schema (same mapping table._read_files applies)."""
-    current = table.meta.schema
+    ``target`` schema (default: current) — same mapping
+    table._read_files applies."""
+    current = target if target is not None else table.meta.schema
     old = table.meta.schema_by_id(schema_id)
     from pyspark.sql.pandas.types import to_arrow_type
 
@@ -115,9 +129,14 @@ def _read_file(part: _FilePart):
 
 
 class _StreamReader(DataSourceStreamReader):
-    def __init__(self, spark_absent, location: str, options: dict):
+    def __init__(self, declared_schema, location: str, options: dict):
         # NOTE: runs on the DRIVER; opens its own handle per call so a
-        # long-lived stream always sees the latest committed snapshot
+        # long-lived stream always sees the latest committed snapshot.
+        # ``declared_schema`` is the StructType Spark fixed at stream
+        # start: batches must keep THAT shape for the stream's whole
+        # life even when the table evolves mid-flight (Spark binds
+        # rows against the declared schema; a restart re-derives it).
+        self._declared = declared_schema
         self._location = location
         self._skip_overwrites = (
             str(options.get("skip-overwrite-snapshots", "false")).lower() == "true"
@@ -193,10 +212,11 @@ class _StreamReader(DataSourceStreamReader):
                 "via table.diff()"
             )
         append_seqs = {s.sequence_number for s in chain if s.operation == "append"}
+        target = _schema_version_for(t.meta, self._declared)
         out = []
         for f in t.live_files(end_snap):
             if f.sequence_number in append_seqs:
-                out.append(_FilePart(f.path, _column_plan(t, f.schema_id)))
+                out.append(_FilePart(f.path, _column_plan(t, f.schema_id, target)))
         return out
 
     def read(self, partition: _FilePart):
@@ -401,7 +421,7 @@ class IcepackDataSource(DataSource):
         return t.meta.schema.to_struct()
 
     def streamReader(self, schema) -> _StreamReader:
-        return _StreamReader(None, self._location(), dict(self.options))
+        return _StreamReader(schema, self._location(), dict(self.options))
 
     def reader(self, schema) -> _BatchReader:
         return _BatchReader(self._location())

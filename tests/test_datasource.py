@@ -300,3 +300,35 @@ def test_native_sink_stamps_the_schema_version_it_wrote(ds, tmp_path):
     # a shape NO schema version ever had must refuse, not mislabel
     with pytest.raises(ValueError, match="no schema version"):
         w.commit([w.write(b([{"id": 4, "bogus": 1.0}]))], 3)
+
+
+def test_stream_keeps_its_declared_shape_across_inflight_evolution(ds, tmp_path):
+    """A RUNNING stream fixed its schema at start; when the table is
+    renamed and appended to mid-flight, subsequent batches must still
+    arrive in the DECLARED shape (Spark binds rows against it) — the
+    new-name column flows into the old name by field id.  A restart
+    re-derives the new schema (pinned implicitly by the catchup test)."""
+    import pyarrow as pa
+
+    from icepack.datasource import _FilePart, _StreamReader, _read_file
+
+    spark = ds
+    loc = str(tmp_path / "inflight")
+    df = spark.createDataFrame([Row(id=1, v=1.0)])
+    t = IceTable.create(spark, loc, df.schema)
+    t.append(df)
+
+    declared = t.meta.schema.to_struct()  # what Spark fixes at start
+    r = _StreamReader(declared, loc, {})
+    off1 = r.latestOffset()
+
+    t.rename_column("v", "w")  # table evolves under the running stream
+    t.append(spark.createDataFrame([Row(id=2, w=2.0)]))
+    off2 = r.latestOffset()
+    parts = r.partitions(off1, off2)
+    assert len(parts) == 1
+    batches = list(_read_file(parts[0]))
+    names = batches[0].schema.names
+    assert names == ["id", "v"]  # declared shape, not current (id, w)
+    got = {c: batches[0].column(i).to_pylist() for i, c in enumerate(names)}
+    assert got == {"id": [2], "v": [2.0]}  # value flows by field id
