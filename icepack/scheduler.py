@@ -198,3 +198,51 @@ class TaskScheduler:
     def run_pending(self) -> list[str]:
         """Wall-clock convenience: ``run_due(now)``."""
         return self.run_due(int(_time.time() * 1000))
+
+    def start_background(self, interval_s: float = 60.0) -> "BackgroundLoop":
+        """OPTIONAL in-process wall-clock loop (docs/10:174-183 frames
+        this as service-owned — "Snowflake runs this for you"; a
+        deployment that has no outer cron can run this instead).  A
+        daemon thread ticks :meth:`run_pending` every ``interval_s``;
+        the deterministic ``run_due`` core stays the tested surface —
+        the thread adds nothing but a clock.  Returns a handle whose
+        ``stop()`` joins the thread (also a context manager)."""
+        return BackgroundLoop(self, interval_s)
+
+
+class BackgroundLoop:
+    """Stoppable daemon-thread ticker around ``TaskScheduler.run_pending``.
+
+    Tick errors are recorded per task by ``run_due`` itself; an error
+    OUTSIDE a task body (e.g. catalog I/O) is kept in ``last_tick_error``
+    and the loop keeps ticking — a maintenance loop must not die because
+    one tick hit a transient failure."""
+
+    def __init__(self, scheduler: TaskScheduler, interval_s: float):
+        import threading
+
+        self._sched = scheduler
+        self._interval = interval_s
+        self._stop = threading.Event()
+        self.last_tick_error: str | None = None
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                self._sched.run_pending()
+                self.last_tick_error = None
+            except Exception as e:  # noqa: BLE001 — loop must survive
+                self.last_tick_error = f"{type(e).__name__}: {e}"
+            self._stop.wait(self._interval)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=30)
+
+    def __enter__(self) -> "BackgroundLoop":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

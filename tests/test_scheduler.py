@@ -268,3 +268,29 @@ def test_show_tasks_surfaces_scheduler_state(engine):
     assert rows["a"].last_run_ms == ms(2024, 6, 1, 0, 0)
     assert rows["a"].next_run_ms == ms(2024, 6, 1, 0, 5)
     assert rows["b"].after == "a" and rows["b"].state == "suspended"
+
+
+def test_background_loop_ticks_and_stops(engine):
+    """The optional in-process wall-clock loop: a short-interval task
+    executes without any explicit run_due calls, and stop() joins the
+    thread.  The deterministic run_due core stays the tested surface —
+    this only proves the thread adds a working clock."""
+    import time
+
+    _mk_table(engine)
+    engine.sql(
+        "CREATE TASK bg SCHEDULE = '1 MINUTE' AS INSERT INTO t1 VALUES (7, 7.0)"
+    )
+    engine.sql("ALTER TASK bg RESUME")
+    sch = TaskScheduler(engine)
+
+    def _count():
+        return engine.sql("SELECT COUNT(*) AS n FROM t1").collect()[0].n
+
+    with sch.start_background(interval_s=0.2) as loop:
+        deadline = time.time() + 30
+        while _count() < 3 and time.time() < deadline:
+            time.sleep(0.2)
+        assert _count() >= 3  # at least one background fire landed
+        assert loop.last_tick_error is None
+    assert not loop._thread.is_alive()
