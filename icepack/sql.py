@@ -1200,7 +1200,24 @@ class IceSQL:
 
     def _select(self, s: str) -> DataFrame:
         s = self._rewrite_variant_paths(s)
-        # 1. time-travel clauses → snapshot-pinned temp views
+        # 1. time-travel clauses → snapshot-pinned temp views.  The
+        # WHERE-conjunct pruning ordinary SELECTs get (docs/09:17-44)
+        # applies here too — the file list just comes from the PINNED
+        # snapshot's manifests.  Mis-assignment is impossible for the
+        # same reason as in _register_tables: a conjunct routes only
+        # when exactly one referenced schema owns its columns, and a
+        # column name shared across FROM items is an ambiguous
+        # reference Spark rejects before any scan runs.
+        tt_handles: dict = {}
+        for pat in (_AT, _BEFORE):
+            for m in pat.finditer(s):
+                try:
+                    rn = self._resolve_name(m.group(2))
+                    tt_handles[rn] = self._table(rn)
+                except Exception:  # not a catalog table (view, etc.)
+                    pass
+        tt_preds = self._select_scan_predicates(s, tt_handles) if tt_handles else {}
+
         def _at(m: re.Match) -> str:
             kw, name, alias, kind, val = m.groups()
             t = self._table(self._resolve_name(name))
@@ -1218,7 +1235,9 @@ class IceSQL:
 
                 ts = _dt.datetime.fromisoformat(val.replace("::TIMESTAMP", ""))
                 snap = t.as_of(timestamp_ms=int(ts.timestamp() * 1000))
-            vn = self._fresh_view(t.toDF(snapshot=snap), "at")
+            vn = self._fresh_view(
+                t.toDF(tt_preds.get(self._resolve_name(name)), snapshot=snap), "at"
+            )
             return f"{m.group(1)} {vn}{alias or ''}"
 
         def _before(m: re.Match) -> str:
@@ -1228,7 +1247,13 @@ class IceSQL:
             parent = snap.parent_snapshot_id
             if parent is None:
                 raise ValueError("BEFORE the first snapshot")
-            vn = self._fresh_view(t.toDF(snapshot=t.as_of(snapshot_id=parent)), "before")
+            vn = self._fresh_view(
+                t.toDF(
+                    tt_preds.get(self._resolve_name(name)),
+                    snapshot=t.as_of(snapshot_id=parent),
+                ),
+                "before",
+            )
             return f"{kw} {vn}{alias or ''}"
 
         s = _AT.sub(_at, s)

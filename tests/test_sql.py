@@ -679,3 +679,27 @@ def test_star_join_where_prunes_fact_side(spark, tmp_path):
         " TABLE(INFORMATION_SCHEMA.QUERY_HISTORY()) WHERE query_type = 'SELECT'"
     ).collect()[-1]
     assert (h.partitions_scanned, h.partitions_total) == (1, 2)
+
+
+def test_time_travel_select_prunes_like_current(spark, tmp_path):
+    """AT()/BEFORE() scans get the same WHERE-conjunct manifest pruning
+    ordinary SELECTs do (docs/09:17-44) — the file list just comes from
+    the PINNED snapshot's manifests.  Before this, a time-travel audit
+    query always scanned the full snapshot."""
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE tt (id BIGINT, cat STRING) PARTITION BY (cat)")
+    isql.sql("INSERT INTO tt VALUES (1,'a'),(2,'b'),(3,'a')")
+    snap_id = isql.sql("SELECT snapshot_id FROM tt$SNAPSHOTS").collect()[-1].snapshot_id
+    isql.sql("INSERT INTO tt VALUES (4,'a'),(5,'c')")  # after the pin
+
+    got = isql.sql(
+        f"SELECT id FROM tt AT(SNAPSHOT => {snap_id}) WHERE cat = 'a'"
+    ).collect()
+    assert sorted(r.id for r in got) == [1, 3]  # snapshot-correct rows
+    h = isql.sql(
+        "SELECT partitions_scanned, partitions_total FROM"
+        " TABLE(INFORMATION_SCHEMA.QUERY_HISTORY()) WHERE query_type = 'SELECT'"
+    ).collect()[-1]
+    assert (h.partitions_scanned, h.partitions_total) == (1, 2)
