@@ -94,6 +94,7 @@ PRIORITY: list[str] = [
     "ice38_sql_pruned_select",
     "ice39_distributed_plan",
     "ice40_stream_source",
+    "ice41_time_travel_prune",
     # evidenced regression re-sample — representatives per family
     "a0_gold_daily",
     "a1_groupby_count",

@@ -1411,3 +1411,51 @@ def ice40_stream_source(spark: SparkSession, sf: str) -> DataFrame:
             f" append snapshots {len(snaps)}"
         )
     return d.toDF()
+
+
+@query(
+    "ice41_time_travel_prune",
+    oracle=f"""
+    SELECT {_ORDER_COLS} FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01' AND o_orderstatus = 'F'
+    """,
+)
+def ice41_time_travel_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """S8 × P3 through the SQL front-end: AT(SNAPSHOT => ...) with a
+    partition-column WHERE gets the same manifest pruning a
+    current-snapshot SELECT does (docs/05:57-72 + docs/09:17-44) — the
+    file list comes from the PINNED snapshot's manifests.  Raises
+    (driver err) unless QUERY_HISTORY shows the time-travel scan read
+    strictly fewer partitions than the snapshot has; rows value-check
+    against the raw-parquet oracle for the first commit's slice."""
+    from ..sql import IceSQL
+
+    isql = IceSQL(spark, _scratch())
+    orders = load(spark, sf, "orders")
+    orders.createOrReplaceTempView("ice41_src")
+    isql.sql(
+        "CREATE ICEBERG TABLE ptt (o_orderkey BIGINT, o_custkey BIGINT,"
+        " o_orderstatus STRING, o_totalprice DOUBLE,"
+        " o_orderdate TIMESTAMP, o_orderpriority STRING)"
+        " PARTITION BY (o_orderstatus)"
+    )
+    isql.sql(
+        "INSERT INTO ptt SELECT * FROM ice41_src"
+        " WHERE o_orderdate < TIMESTAMP '1997-01-01'"
+    )
+    snap_id = isql.sql("SELECT snapshot_id FROM ptt$SNAPSHOTS").collect()[-1].snapshot_id
+    isql.sql(
+        "INSERT INTO ptt SELECT * FROM ice41_src"
+        " WHERE o_orderdate >= TIMESTAMP '1997-01-01'"
+    )
+    out = isql.sql(
+        f"SELECT * FROM ptt AT(SNAPSHOT => {snap_id}) WHERE o_orderstatus = 'F'"
+    )
+    hist = isql.sql(
+        "SELECT partitions_scanned, partitions_total FROM"
+        " TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())"
+        " WHERE query_text LIKE '%AT(SNAPSHOT%' AND query_type = 'SELECT'"
+    ).collect()
+    if not hist or not (0 < hist[-1].partitions_scanned < hist[-1].partitions_total):
+        raise RuntimeError(f"time-travel SELECT did not prune: {hist}")
+    return out
