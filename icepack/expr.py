@@ -434,3 +434,38 @@ def partition_tuple_matches(pexpr: Expr, partition: dict) -> bool:
     tuple (treating each value as both min and max)."""
     stats = {k: {"min": v, "max": v, "nulls": 0} for k, v in partition.items()}
     return pexpr.may_match_file(stats, record_count=1)
+
+
+def manifest_may_match(descriptor: dict, proj_for_spec) -> bool:
+    """Phase-1 MANIFEST-LEVEL skip test: judged only from the
+    manifest-list summary (docs/03:77-92, docs/09:19-31), can any entry
+    of this manifest match the projected predicate?  ``proj_for_spec``
+    maps spec-id → projected Expr (built lazily by the caller; None for
+    an unknown spec).
+
+    Conservative by refusal: a summary missing any skip-safety key
+    (older layout), entries the ranges can't describe (unpartitioned
+    files from pre-evolution specs, null partition values), or an
+    unknown spec all KEEP the manifest — pruning may only ever lose
+    effectiveness, never rows.  Null counts are reported as unknown so
+    IsNull/NotNull projections (if a future projection emits them)
+    keep the manifest too."""
+    summ = descriptor.get("partition-summaries")
+    if (
+        not summ
+        or descriptor.get("unpartitioned-files") is None
+        or descriptor["unpartitioned-files"] > 0
+        or descriptor.get("null-partition-values", 1) > 0
+        or descriptor.get("delete-content-files", 1) > 0
+        or not descriptor.get("spec-ids")
+    ):
+        return True
+    stats = {
+        k: {"min": v.get("min"), "max": v.get("max"), "nulls": None}
+        for k, v in summ.items()
+    }
+    for sid in descriptor["spec-ids"]:
+        proj = proj_for_spec(sid)
+        if proj is None or proj.may_match_file(stats, 1):
+            return True
+    return False

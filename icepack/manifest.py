@@ -187,10 +187,23 @@ def read_manifest_list(
 
 
 def manifest_summary(entries: list[DataFile]) -> dict:
-    """Partition-range + count summary stored in the manifest list
-    (phase-1 pruning input, docs/09-query-performance.md:19-31)."""
+    """Partition-range + count summary stored in the manifest list —
+    the phase-1 pruning input (docs/09-query-performance.md:19-31): a
+    scan consults these ranges to SKIP whole manifests without reading
+    their entries (table.plan_files / scanplan), so planning cost is
+    O(candidate manifests), not O(all file entries).
+
+    Skip-safety bookkeeping: ``spec-ids`` (a manifest is skippable only
+    if the projected predicate excludes the ranges under EVERY spec its
+    entries use), ``unpartitioned-files`` / ``null-partition-values``
+    (entries the ranges can't describe — their presence vetoes the
+    skip), and live file/byte/partition counts so a skipped manifest
+    still contributes to scan-report totals."""
     parts: dict[str, dict] = {}
     added = existing = deleted = 0
+    live = live_bytes = unpartitioned = nullvals = delete_content = 0
+    tuples = set()
+    spec_ids = set()
     for e in entries:
         if e.status == "added":
             added += 1
@@ -198,6 +211,17 @@ def manifest_summary(entries: list[DataFile]) -> dict:
             deleted += 1
         else:
             existing += 1
+        if e.status != "deleted":
+            live += 1
+            live_bytes += e.file_size_bytes
+            tuples.add(tuple(sorted((k, _enc(v)) for k, v in e.partition.items())))
+            spec_ids.add(e.spec_id)
+            if not e.partition:
+                unpartitioned += 1
+            if any(v is None for v in e.partition.values()):
+                nullvals += 1
+            if e.content != "data":
+                delete_content += 1
         for k, v in e.partition.items():
             cur = parts.setdefault(k, {"min": None, "max": None})
             cur["min"] = _merge(cur["min"], _enc(v), take_min=True)
@@ -207,4 +231,11 @@ def manifest_summary(entries: list[DataFile]) -> dict:
         "existing-files": existing,
         "deleted-files": deleted,
         "partition-summaries": parts,
+        "spec-ids": sorted(spec_ids),
+        "unpartitioned-files": unpartitioned,
+        "null-partition-values": nullvals,
+        "delete-content-files": delete_content,
+        "live-files": live,
+        "live-bytes": live_bytes,
+        "distinct-partitions": len(tuples),
     }

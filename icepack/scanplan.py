@@ -44,7 +44,18 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .expr import AlwaysTrue, And, Cmp, Expr, In, IsNull, NotNull, Or
+from .expr import (
+    AlwaysTrue,
+    And,
+    Cmp,
+    Expr,
+    In,
+    IsNull,
+    NotNull,
+    Or,
+    manifest_may_match,
+    project_to_partition,
+)
 from .manifest import DataFile, read_manifest_list
 from .storage import LocalStore
 
@@ -131,13 +142,30 @@ def may_match_column(e: Expr, stats: Column, rc: Column) -> Column:
     return F.lit(True)  # AlwaysTrue / unknown node: keep
 
 
-def _entries_df(table, snap) -> DataFrame:
+def _entries_df(table, snap, predicate: Expr | None = None) -> DataFrame:
     store = table.store
-    names = [
-        m["manifest-path"]
-        for m in read_manifest_list(table._mdir, snap.manifest_list, store=store)
-    ]
+    descs = read_manifest_list(table._mdir, snap.manifest_list, store=store)
+    if predicate is not None and not isinstance(predicate, AlwaysTrue):
+        # phase 0, same as the driver planner: manifest-list partition
+        # ranges skip whole manifests BEFORE Spark ever lists them —
+        # fewer input files for the distributed evaluation too
+        schema = table.meta.schema_by_id(snap.schema_id)
+        proj: dict[int, Expr] = {}
+
+        def _proj_for(sid: int):
+            if sid not in proj:
+                try:
+                    spec = table.meta.spec_by_id(sid)
+                except StopIteration:
+                    return None
+                proj[sid] = project_to_partition(predicate, spec, schema, table.spark)
+            return proj[sid]
+
+        descs = [m for m in descs if manifest_may_match(m, _proj_for)]
+    names = [m["manifest-path"] for m in descs]
     paths = [os.path.join(table._mdir, n) for n in names]
+    if not paths:  # every manifest skipped by phase 0
+        return table.spark.createDataFrame([], ENTRY_SCHEMA)
     if isinstance(store, LocalStore):
         return table.spark.read.json(paths, schema=ENTRY_SCHEMA)
     # Non-POSIX metadata store (storage seam): a real object-store
@@ -164,7 +192,7 @@ def plan_entries_distributed(
     snap = snapshot or table.meta.current_snapshot
     if snap is None:
         return [], []
-    live = _entries_df(table, snap).filter(F.col("status") != "deleted")
+    live = _entries_df(table, snap, predicate).filter(F.col("status") != "deleted")
     datas = live.filter(F.col("content") == "data")
     if predicate is not None and not isinstance(predicate, AlwaysTrue):
         datas = datas.filter(

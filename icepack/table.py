@@ -45,7 +45,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import transforms as tr
-from .expr import Expr, partition_tuple_matches, project_to_partition
+from .expr import (
+    Expr,
+    manifest_may_match,
+    partition_tuple_matches,
+    project_to_partition,
+)
 from .manifest import (
     DataFile,
     harvest_stats,
@@ -564,17 +569,37 @@ class IceTable:
             # cache projections per spec (partition evolution T4: each file
             # is pruned under the spec it was written with)
             proj: dict[int, Expr] = {}
+
+            def _proj_for(sid: int) -> Expr | None:
+                if sid not in proj:
+                    try:
+                        spec = self.meta.spec_by_id(sid)
+                    except StopIteration:
+                        return None
+                    proj[sid] = project_to_partition(predicate, spec, schema, self.spark)
+                return proj[sid]
+
+            # phase 0: manifest-list partition-range skip — whole
+            # manifests whose summary ranges exclude the predicate are
+            # never opened, so planning reads O(candidate manifests),
+            # not O(all entries) (docs/03:77-92; safety rules in
+            # expr.manifest_may_match).  Skipped manifests still feed
+            # the scan-report totals from their summary counts.
+            sk_manifests = sk_files = sk_bytes = sk_parts = 0
             for m in read_manifest_list(self._mdir, snap.manifest_list, store=self.store):
+                if not manifest_may_match(m, _proj_for):
+                    sk_manifests += 1
+                    sk_files += m.get("live-files", 0)
+                    sk_bytes += m.get("live-bytes", 0)
+                    sk_parts += m.get("distinct-partitions", 0)
+                    continue
                 entries = read_manifest(self._mdir, m["manifest-path"], store=self.store)
                 for e in entries:
                     if e.status == "deleted" or e.content != "data":
                         continue
                     all_entries.append(e)
-                    if e.spec_id not in proj:
-                        spec = self.meta.spec_by_id(e.spec_id)
-                        proj[e.spec_id] = project_to_partition(
-                            predicate, spec, schema, self.spark
-                        )
+                    if _proj_for(e.spec_id) is None:
+                        raise ValueError(f"file {e.path} has unknown spec {e.spec_id}")
                     # phase 1: partition-tuple check
                     if e.partition and not partition_tuple_matches(
                         proj[e.spec_id], e.partition
@@ -584,7 +609,16 @@ class IceTable:
                     if not predicate.may_match_file(e.stats, e.record_count):
                         continue
                     files.append(e)
-            return files, _scan_report(all_entries, files)
+            rep = _scan_report(all_entries, files)
+            if sk_manifests:
+                rep["manifests_skipped"] = sk_manifests
+                rep["files_total"] += sk_files
+                rep["bytes_total"] += sk_bytes
+                # distinct tuples are per-manifest counts; overlap across
+                # manifests can overcount the total — totals stay exact
+                # whenever nothing is skipped
+                rep["partitions_total"] += sk_parts
+            return files, rep
         files = self.live_files(snap)
         return files, _scan_report(files, files)
 

@@ -1,0 +1,137 @@
+"""Manifest-list phase-0 pruning (icepack/expr.manifest_may_match):
+whole manifests are skipped from their partition-range SUMMARIES
+without being opened, for both the driver planner (table.plan_files)
+and the distributed one (scanplan).  Failure mode is silent row loss,
+so every skip-safety veto is pinned: unpartitioned (pre-evolution)
+entries, delete-content files, unknown summary layouts.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from icepack.expr import col, manifest_may_match
+from icepack.table import IceTable
+
+from tests.conftest import rows_sorted
+
+
+def _mk(spark, path) -> IceTable:
+    schema = spark.createDataFrame([Row(id=1, cat="a", v=1.0)]).schema
+    t = IceTable.create(
+        spark, str(path), schema, partition_by=[("cat", "identity")]
+    )
+    # three commits -> three manifests, each a single partition value
+    for c in ("a", "b", "c"):
+        t.append(
+            spark.createDataFrame([Row(id=i, cat=c, v=float(i)) for i in range(4)])
+        )
+    return t
+
+
+def test_manifest_skip_prunes_and_keeps_rows(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    files, rep = t.plan_files(col("cat") == "c")
+    assert rep["manifests_skipped"] == 2  # the a- and b-manifests never opened
+    assert {f.partition["cat"] for f in files} == {"c"}
+    assert rows_sorted(t.toDF(col("cat") == "c")) == rows_sorted(
+        t.toDF().filter("cat = 'c'")
+    )
+    # skipped manifests still feed the totals from their summary counts
+    assert rep["partitions_total"] == 3
+    assert rep["files_total"] > rep["files_scanned"] > 0
+
+
+def test_manifest_skip_range_predicates(spark, tmp_path):
+    t = _mk(spark, tmp_path / "r")
+    for pred, want in [
+        (col("cat") >= "c", {"c"}),
+        (col("cat") <= "a", {"a"}),
+        (col("cat").isin("a", "c"), {"a", "c"}),
+        ((col("cat") == "a") | (col("cat") == "b"), {"a", "b"}),
+    ]:
+        files, rep = t.plan_files(pred)
+        assert {f.partition["cat"] for f in files} == want
+        assert rep.get("manifests_skipped", 0) == 3 - len(want)
+
+
+def test_manifest_skip_respects_partition_evolution(spark, tmp_path):
+    """Old-spec manifests hold files the ranges can't describe (no
+    partition tuple) — they must never be skipped, whatever the
+    predicate says about the NEW partition column's ranges."""
+    df = spark.createDataFrame(
+        [Row(id=i, cat="ab"[i % 2], v=float(i)) for i in range(6)]
+    )
+    t = IceTable.create(spark, str(tmp_path / "e"), df.schema)
+    t.append(df)  # unpartitioned manifest (old spec)
+    t.update_spec([("cat", "identity")])
+    t.append(
+        spark.createDataFrame([Row(id=10, cat="z", v=10.0)])
+    )  # new-spec manifest, range z..z
+    files, rep = t.plan_files(col("cat") == "a")
+    # the new-spec z-manifest skips; the old unpartitioned one cannot
+    assert rep.get("manifests_skipped", 0) == 1
+    assert rows_sorted(t.toDF(col("cat") == "a")) == rows_sorted(
+        t.toDF().filter("cat = 'a'")
+    )
+
+
+def test_manifest_skip_never_drops_delete_files_distributed(spark, tmp_path):
+    """MOR interaction: the distributed planner derives its DELETE list
+    from the same manifest set, so a manifest holding delete files must
+    veto the skip even when its (data) ranges exclude the predicate."""
+    from icepack.scanplan import plan_entries_distributed, read_distributed
+
+    schema = spark.createDataFrame([Row(id=1, cat="a", v=1.0)]).schema
+    t = IceTable.create(
+        spark,
+        str(tmp_path / "m"),
+        schema,
+        partition_by=[("cat", "identity")],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    for c in ("a", "b"):
+        t.append(
+            spark.createDataFrame([Row(id=i, cat=c, v=float(i)) for i in range(4)])
+        )
+    t.delete(col("id") == 2)  # equality-delete file (spans both cats)
+    files, deletes = plan_entries_distributed(t, col("cat") == "b")
+    assert deletes  # the delete file survived phase-0
+    assert rows_sorted(read_distributed(t, col("cat") == "b")) == rows_sorted(
+        t.toDF().filter("cat = 'b' AND id <> 2")
+    )
+
+
+def test_manifest_skip_all_skipped_is_empty_not_crash(spark, tmp_path):
+    from icepack.scanplan import read_distributed
+
+    t = _mk(spark, tmp_path / "z")
+    files, rep = t.plan_files(col("cat") == "zzz")
+    assert files == [] and rep["manifests_skipped"] == 3
+    assert read_distributed(t, col("cat") == "zzz").count() == 0
+
+
+def test_manifest_may_match_vetoes():
+    proj = lambda sid: col("cat") == "zzz"  # noqa: E731 — never matches a..c
+    base = {
+        "partition-summaries": {"cat": {"min": "a", "max": "c"}},
+        "spec-ids": [0],
+        "unpartitioned-files": 0,
+        "null-partition-values": 0,
+        "delete-content-files": 0,
+    }
+    assert manifest_may_match(base, proj) is False  # skippable
+    for veto in (
+        {"unpartitioned-files": 1},
+        {"null-partition-values": 1},
+        {"delete-content-files": 1},
+        {"spec-ids": []},
+        {"partition-summaries": {}},
+    ):
+        assert manifest_may_match({**base, **veto}, proj) is True
+    # pre-upgrade layout: keys absent entirely -> keep
+    assert (
+        manifest_may_match(
+            {"partition-summaries": {"cat": {"min": "a", "max": "c"}}}, proj
+        )
+        is True
+    )
