@@ -135,3 +135,30 @@ def test_manifest_may_match_vetoes():
         )
         is True
     )
+
+
+def test_manifest_skip_day_transform_ranges(spark, tmp_path):
+    """Hidden partitioning: day-transform partition values serialize as
+    ISO strings in the summaries; projected range predicates must
+    compare them correctly (same _cmp_norm path the per-entry check
+    uses) — and never lose rows."""
+    import datetime as dt
+
+    rows = [
+        Row(id=i, ts=dt.datetime(2024, m, 1 + i), v=float(i))
+        for m in (1, 2, 3)
+        for i in range(3)
+    ]
+    schema = spark.createDataFrame(rows).schema
+    t = IceTable.create(
+        spark, str(tmp_path / "d"), schema, partition_by=[("ts", "day")]
+    )
+    for m in (1, 2, 3):  # one manifest per month
+        t.append(
+            spark.createDataFrame([r for r in rows if r.ts.month == m], schema)
+        )
+    files, rep = t.plan_files(col("ts") >= dt.datetime(2024, 3, 1))
+    assert rep.get("manifests_skipped", 0) == 2  # jan + feb never opened
+    assert rows_sorted(t.toDF(col("ts") >= dt.datetime(2024, 3, 1))) == rows_sorted(
+        t.toDF().filter("ts >= timestamp'2024-03-01'")
+    )
