@@ -237,7 +237,7 @@ class _BatchReader(DataSourceReader):
 
         spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
         t = IceTable.load(spark, self._location)
-        if any(f.content != "data" for f in t.live_files(content="all")):
+        if t.live_files(content="deletes"):
             raise ValueError(
                 "table has live merge-on-read delete files; the plain "
                 "datasource batch reader would resurrect deleted rows — "

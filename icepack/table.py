@@ -542,14 +542,31 @@ class IceTable:
         self, snapshot: Snapshot | None = None, content: str = "data"
     ) -> list[DataFile]:
         """Live file entries of a snapshot; ``content`` selects "data",
-        "equality-deletes", "position-deletes", or "all"."""
+        "deletes" (any merge-on-read delete file), "equality-deletes",
+        "position-deletes", or "all".
+
+        Delete-only listings skip manifests whose summary says they
+        hold zero delete-content files (the common all-clean case) —
+        every scan lists deletes (toDF's MOR application), and without
+        the skip that re-read EVERY manifest even on tables that never
+        saw a DELETE.  Absent summary counts (pre-upgrade layouts) are
+        treated as unknown and read."""
         snap = snapshot or self.meta.current_snapshot
         if snap is None:
             return []
+        delete_only = content not in ("data", "all")
         out = []
         for m in read_manifest_list(self._mdir, snap.manifest_list, store=self.store):
+            if delete_only and m.get("delete-content-files") == 0:
+                continue
             for e in read_manifest(self._mdir, m["manifest-path"], store=self.store):
-                if e.status != "deleted" and (content == "all" or e.content == content):
+                if e.status == "deleted":
+                    continue
+                if (
+                    content == "all"
+                    or e.content == content
+                    or (content == "deletes" and e.content != "data")
+                ):
                     out.append(e)
         return out
 
@@ -691,11 +708,7 @@ class IceTable:
             }
         else:
             files, report = self.plan_files(predicate, snap)
-            deletes = [
-                e
-                for e in self.live_files(snap, content="all")
-                if e.content.endswith("-deletes")
-            ]
+            deletes = self.live_files(snap, content="deletes")
         self._scan_log.append(
             {
                 "seq": len(self._scan_log) + 1,
@@ -718,9 +731,8 @@ class IceTable:
         deletes (its rewrite/append re-materializes them past the old
         delete's sequence number).  ``with_pos`` keeps ``_file``/
         ``_pos`` for ops that write position deletes for matched rows."""
-        dels = self.live_files(content="all")
         return self._read_with_deletes(
-            files, [d for d in dels if d.content != "data"], with_pos=with_pos
+            files, self.live_files(content="deletes"), with_pos=with_pos
         )
 
     def _read_with_deletes(
@@ -868,9 +880,7 @@ class IceTable:
         # NOTE: equality-delete files are snapshot-scoped; apply each
         # side's deletes by scanning through toDF when MOR is in play
         if any(
-            e.content.endswith("-deletes")
-            for s in (old_snap, new_snap)
-            for e in self.live_files(s, "all")
+            self.live_files(s, content="deletes") for s in (old_snap, new_snap)
         ):
             old_df = self.toDF(snapshot=old_snap)
             new_df = self.toDF(snapshot=new_snap)
@@ -1092,9 +1102,7 @@ class IceTable:
         snap = self.meta.current_snapshot
         if snap is None:
             return 0
-        if any(
-            e.content.endswith("-deletes") for e in self.live_files(snap, content="all")
-        ):
+        if self.live_files(snap, content="deletes"):
             return self.toDF(predicate).count()
         if predicate is None:
             return sum(f.record_count for f in self.live_files(snap))
