@@ -1066,13 +1066,19 @@ class IceTable:
                         m.get("added-files", 0),
                         m.get("existing-files", 0),
                         m.get("deleted-files", 0),
+                        m.get("live-files"),
+                        m.get("live-bytes"),
+                        m.get("distinct-partitions"),
+                        m.get("delete-content-files"),
                         json.dumps(m.get("partition-summaries", {})),
                     )
                 )
         return self.spark.createDataFrame(
             rows,
             "manifest_path string, added_files int, existing_files int,"
-            " deleted_files int, partition_summaries string",
+            " deleted_files int, live_files int, live_bytes long,"
+            " distinct_partitions int, delete_content_files int,"
+            " partition_summaries string",
         )
 
     def partitions(self, snapshot: Snapshot | None = None) -> DataFrame:
