@@ -189,30 +189,45 @@ def rewrite_position_deletes(table) -> Snapshot | None:
 
 def rewrite_manifests(table) -> Snapshot:
     """REWRITE MANIFESTS (docs/10:80-95): coalesce all manifest entries
-    of the current snapshot into one manifest; data files untouched."""
-    meta = table.meta
-    prev = meta.current_snapshot
-    entries = table.live_files(content="all")
-    name = write_manifest(table._mdir, entries, store=table.store)
-    mlist = write_manifest_list(
-        table._mdir, prev.snapshot_id if prev else 0, [name],
-        [manifest_summary(entries)], store=table.store,
-    )
-    snap = Snapshot(
-        snapshot_id=(prev.snapshot_id if prev else 0) + 1,
-        parent_snapshot_id=prev.snapshot_id if prev else None,
-        timestamp_ms=int(time.time() * 1000),
-        operation="replace",
-        manifest_list=mlist,
-        schema_id=meta.current_schema_id,
-        sequence_number=meta.last_sequence_number,
-        summary={"rewritten-manifests": "all"},
-    )
-    new_meta = meta.copy_with(
-        snapshots=meta.snapshots + [snap], current_snapshot_id=snap.snapshot_id
-    )
-    table._write_version(table._version + 1, new_meta)
-    return snap
+    of the current snapshot into one manifest; data files untouched
+    (entries keep their DATA sequence numbers, so MOR delete ordering
+    is preserved).  The commit itself takes a fresh snapshot id and the
+    next commit sequence number like every other commit — a duplicate
+    sequence number would make offset→snapshot resolution ambiguous
+    for the streaming source — and goes through the same CAS
+    conflict/retry loop as rollback."""
+    from .table import CommitConflict, _snapshot_id
+
+    for _ in range(5):
+        meta = table.meta
+        prev = meta.current_snapshot
+        entries = table.live_files(content="all")
+        sid = _snapshot_id()
+        name = write_manifest(table._mdir, entries, store=table.store)
+        mlist = write_manifest_list(
+            table._mdir, sid, [name], [manifest_summary(entries)], store=table.store
+        )
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_snapshot_id=prev.snapshot_id if prev else None,
+            timestamp_ms=int(time.time() * 1000),
+            operation="replace",
+            manifest_list=mlist,
+            schema_id=meta.current_schema_id,
+            sequence_number=meta.last_sequence_number + 1,
+            summary={"rewritten-manifests": "all"},
+        )
+        new_meta = meta.copy_with(
+            snapshots=meta.snapshots + [snap],
+            current_snapshot_id=snap.snapshot_id,
+            last_sequence_number=snap.sequence_number,
+        )
+        try:
+            table._write_version(table._version + 1, new_meta)
+            return snap
+        except CommitConflict:
+            table.refresh()
+    raise CommitConflict("rewrite_manifests gave up after retries")
 
 
 def expire_snapshots(

@@ -224,3 +224,41 @@ def test_rewrite_position_deletes_consolidates(spark, warehouse):
     assert rows_sorted(t.toDF()) == expected
     # idempotent: a single consolidated file is left alone
     assert t.rewrite_position_deletes() is None
+
+
+def test_rewrite_manifests_is_a_real_commit(spark, tmp_path):
+    """rewrite_manifests must take a fresh snapshot id and the next
+    commit sequence number: a duplicate sequence number makes
+    offset→snapshot resolution ambiguous for the streaming source, and
+    a prev+1 snapshot id can collide with real ids.  Data sequence
+    numbers of the entries must be preserved (MOR ordering)."""
+    import pytest
+    from pyspark.sql import Row
+
+    from icepack.datasource import _StreamReader
+    from icepack.maintenance import rewrite_manifests
+    from icepack.table import IceTable
+
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(6)])
+    t = IceTable.create(spark, str(tmp_path / "rw"), df.schema)
+    t.append(df.filter("id < 3"))
+    t.append(df.filter("id >= 3"))
+    entry_seqs = sorted(f.sequence_number for f in t.live_files())
+    rewrite_manifests(t)
+    t.refresh()
+    seqs = [s.sequence_number for s in t.meta.snapshots]
+    assert len(seqs) == len(set(seqs))  # commit seq is unique
+    assert t.meta.current_snapshot.sequence_number == max(seqs)
+    assert sorted(f.sequence_number for f in t.live_files()) == entry_seqs
+    assert t.toDF().count() == 6
+
+    # streaming source across the rewrite: refuse by default, deliver
+    # the appends (and nothing else) under skip-overwrite-snapshots
+    r = _StreamReader(None, str(tmp_path / "rw"), {})
+    hi = r.latestOffset()
+    with pytest.raises(ValueError, match="non-append"):
+        r.partitions({"seq": 0}, hi)
+    r2 = _StreamReader(
+        None, str(tmp_path / "rw"), {"skip-overwrite-snapshots": "true"}
+    )
+    assert len(r2.partitions({"seq": 0}, hi)) == len(entry_seqs)
