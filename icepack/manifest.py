@@ -97,10 +97,20 @@ class DataFile:
 def harvest_stats(path: str) -> tuple[int, int, dict]:
     """(record_count, file_size, per-column {min,max,nulls}) from the
     parquet footer.  Missing/undecodable stats → column omitted (the
-    pruner keeps files with unknown stats)."""
+    pruner keeps files with unknown stats).
+
+    Unknown is STICKY across row groups: once any row group lacks
+    min/max (NaN-bearing doubles, stats disabled) or yields an
+    unencodable/incomparable bound, the column's file-level range stays
+    unknown.  Letting a later row group's values overwrite the unknown
+    marker would publish a range NARROWER than the data — and a
+    too-narrow range makes the pruner drop files containing matching
+    rows (found by the manifest-skip conservativeness property test,
+    which hit the same flaw in partition summaries)."""
     md = pq.ParquetFile(path).metadata
     ncols = md.num_columns
     agg: dict[str, dict] = {}
+    bad: set[str] = set()
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(ncols):
@@ -110,27 +120,36 @@ def harvest_stats(path: str) -> tuple[int, int, dict]:
                 continue
             s = c.statistics
             if s is None:
-                agg[name] = {"min": None, "max": None, "nulls": None}
+                bad.add(name)
+                cur = agg.setdefault(name, {"min": None, "max": None, "nulls": None})
+                cur["nulls"] = None
                 continue
             cur = agg.setdefault(name, {"min": None, "max": None, "nulls": 0})
             if s.has_min_max:
-                cur["min"] = _merge(cur["min"], _enc(s.min), take_min=True)
-                cur["max"] = _merge(cur["max"], _enc(s.max), take_min=False)
+                cur["min"] = _merge(cur["min"], _enc(s.min), True, name, bad)
+                cur["max"] = _merge(cur["max"], _enc(s.max), False, name, bad)
             else:
-                cur["min"], cur["max"] = None, None
+                bad.add(name)
             if cur["nulls"] is not None:
                 cur["nulls"] = (cur["nulls"] or 0) + (s.null_count or 0)
+    for name in bad:
+        agg[name]["min"] = agg[name]["max"] = None
     return md.num_rows, os.path.getsize(path), agg
 
 
-def _merge(old, new, take_min: bool):
+def _merge(old, new, take_min: bool, key, bad: set):
+    """Range-merge one bound; an unencodable value (None) or an
+    incomparable pair marks ``key`` unknown in ``bad`` — the caller
+    nulls the whole range at the end (sticky, never resurrected)."""
     if new is None:
+        bad.add(key)
         return old
     if old is None:
         return new
     try:
         return min(old, new) if take_min else max(old, new)
     except TypeError:
+        bad.add(key)
         return None
 
 
@@ -200,6 +219,7 @@ def manifest_summary(entries: list[DataFile]) -> dict:
     skip), and live file/byte/partition counts so a skipped manifest
     still contributes to scan-report totals."""
     parts: dict[str, dict] = {}
+    part_bad: set[str] = set()
     added = existing = deleted = 0
     live = live_bytes = unpartitioned = nullvals = delete_content = 0
     tuples = set()
@@ -218,14 +238,18 @@ def manifest_summary(entries: list[DataFile]) -> dict:
             spec_ids.add(e.spec_id)
             if not e.partition:
                 unpartitioned += 1
-            if any(v is None for v in e.partition.values()):
+            # raw nulls AND values the ranges can't encode (binary, NaN)
+            # both veto the skip — judged on the ENCODED value
+            if any(_enc(v) is None for v in e.partition.values()):
                 nullvals += 1
             if e.content != "data":
                 delete_content += 1
         for k, v in e.partition.items():
             cur = parts.setdefault(k, {"min": None, "max": None})
-            cur["min"] = _merge(cur["min"], _enc(v), take_min=True)
-            cur["max"] = _merge(cur["max"], _enc(v), take_min=False)
+            cur["min"] = _merge(cur["min"], _enc(v), True, k, part_bad)
+            cur["max"] = _merge(cur["max"], _enc(v), False, k, part_bad)
+    for k in part_bad:  # sticky unknown: mixed-type ranges prune nothing
+        parts[k] = {"min": None, "max": None}
     return {
         "added-files": added,
         "existing-files": existing,

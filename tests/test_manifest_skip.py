@@ -162,3 +162,76 @@ def test_manifest_skip_day_transform_ranges(spark, tmp_path):
     assert rows_sorted(t.toDF(col("ts") >= dt.datetime(2024, 3, 1))) == rows_sorted(
         t.toDF().filter("ts >= timestamp'2024-03-01'")
     )
+
+
+# -- pure-Python property: the skip may only ever LOSE pruning ----------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from icepack.expr import Cmp, In, partition_tuple_matches
+from icepack.manifest import DataFile, manifest_summary
+
+_vals = st.one_of(st.integers(-9, 9), st.sampled_from(list("abcxyz")), st.none())
+_lits = st.one_of(st.integers(-12, 12), st.sampled_from(list("abcxyz")))
+_preds = st.one_of(
+    st.tuples(st.sampled_from(["<", "<=", ">", ">=", "=", "!="]), _lits).map(
+        lambda t: Cmp("p", t[0], t[1])
+    ),
+    st.lists(_lits, min_size=1, max_size=3).map(lambda vs: In("p", vs)),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_vals, min_size=1, max_size=8), _preds)
+def test_manifest_skip_is_conservative(vals, pred):
+    """If the summary says SKIP, no entry in the manifest could have
+    matched the projected predicate — over arbitrary (mixed-type,
+    null-bearing) identity partition values.  Mixed-type ranges merge
+    to unknown and null values veto, so skip implies provable
+    disjointness."""
+    entries = [
+        DataFile(
+            path=f"f{i}",
+            status="added",
+            partition={"p": v},
+            spec_id=0,
+            schema_id=0,
+            record_count=1,
+            file_size_bytes=1,
+        )
+        for i, v in enumerate(vals)
+    ]
+    desc = manifest_summary(entries)
+    if manifest_may_match(desc, lambda sid: pred):
+        return  # kept: nothing to prove
+    for e in entries:
+        assert not partition_tuple_matches(pred, e.partition), (
+            f"manifest skipped but entry {e.partition} matches {pred}"
+        )
+
+
+def test_harvest_unknown_is_sticky_across_row_groups(tmp_path):
+    """A stats-less row group (all-NaN doubles: has_min_max=False) must
+    leave the FILE range unknown even when later row groups have
+    bounds.  Pre-fix the range narrowed to the known row groups', so
+    `x BETWEEN 1 AND 2` would all_match the file and a metadata-only
+    COW DELETE dropped the NaN rows that don't match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from icepack.expr import col as ecol
+    from icepack.manifest import harvest_stats
+
+    p = str(tmp_path / "f.parquet")
+    w = pq.ParquetWriter(p, pa.schema([("x", pa.float64())]))
+    w.write_batch(pa.RecordBatch.from_pylist([{"x": float("nan")}] * 2))
+    w.write_batch(pa.RecordBatch.from_pylist([{"x": 1.0}, {"x": 2.0}]))
+    w.close()
+    n, _, stats = harvest_stats(p)
+    assert n == 4
+    assert stats["x"]["min"] is None and stats["x"]["max"] is None
+    pred = (ecol("x") >= 1.0) & (ecol("x") <= 2.0)
+    assert pred.may_match_file(stats, n) is True  # unknown: keep
+    assert pred.all_match_file(stats, n) is False  # never provably-all
