@@ -136,3 +136,80 @@ def test_distributed_planning_composes_with_storage_seam(spark, tmp_path):
     assert rows_sorted(read_distributed(t, pred)) == rows_sorted(
         t.toDF().filter("id >= 4")
     )
+
+
+def test_translation_superset_on_random_trees(spark):
+    """Random predicate trees over random (null-bearing) stats rows:
+    the Spark translation may only ever LOSE pruning relative to the
+    Python evaluator — never drop a file it would keep.  The fixed
+    PREDICATES battery covers the curated cases; this sweeps the
+    combinator space (And/Or/In/IsNull nesting) the battery can't."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from icepack.expr import And, Cmp, In, IsNull, NotNull, Or
+    from icepack.scanplan import ENTRY_SCHEMA, may_match_column
+
+    rnd = random.Random(7)
+
+    def rand_pred(depth=0):
+        r = rnd.random()
+        if depth < 2 and r < 0.35:
+            node = And if r < 0.175 else Or
+            return node(rand_pred(depth + 1), rand_pred(depth + 1))
+        r = rnd.random()
+        if r < 0.15:
+            return IsNull("x")
+        if r < 0.3:
+            return NotNull("x")
+        if r < 0.5:
+            return In("x", [rnd.randint(-12, 12) for _ in range(rnd.randint(1, 3))])
+        return Cmp("x", rnd.choice(["<", "<=", ">", ">=", "=", "!="]), rnd.randint(-12, 12))
+
+    def rand_entry(i):
+        rc = rnd.randint(1, 10)
+        if rnd.random() < 0.15:  # stats-less column
+            st = {"x": {"min": None, "max": None, "nulls": None}}
+        else:
+            lo, hi = sorted(rnd.randint(-10, 10) for _ in range(2))
+            nulls = rnd.choice([0, 0, rnd.randint(0, rc), None])
+            st = {"x": {"min": str(lo), "max": str(hi), "nulls": nulls}}
+        return {
+            "path": f"f{i}", "status": "added", "spec-id": 0, "schema-id": 0,
+            "record-count": rc, "file-size-bytes": 1, "sequence-number": 1,
+            "content": "data", "equality-columns": [], "partition": {},
+            "stats": st,
+        }
+
+    import json as _json
+
+    for trial in range(12):
+        pred = rand_pred()
+        entries = [rand_entry(i) for i in range(40)]
+        df = spark.read.json(
+            spark.sparkContext.parallelize([_json.dumps(e) for e in entries]),
+            schema=ENTRY_SCHEMA,
+        )
+        kept_spark = {
+            r.path
+            for r in df.filter(
+                may_match_column(pred, F.col("stats"), F.col("record-count"))
+            ).collect()
+        }
+        def _st(e):
+            s = e["stats"]["x"]
+            if s["min"] is None and s["nulls"] is None:
+                return {}
+            return {"x": {"min": None if s["min"] is None else int(s["min"]),
+                          "max": None if s["max"] is None else int(s["max"]),
+                          "nulls": s["nulls"]}}
+        kept_py = {
+            e["path"]
+            for e in entries
+            if pred.may_match_file(_st(e), e["record-count"])
+        }
+        assert kept_py <= kept_spark, (
+            f"trial {trial}: python kept {sorted(kept_py - kept_spark)} "
+            f"that spark dropped for {pred}"
+        )
