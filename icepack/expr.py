@@ -227,6 +227,15 @@ class Cmp(Expr):
         lo, hi, nulls = s.get("min"), s.get("max"), s.get("nulls", 0)
         if lo is None or hi is None or nulls is None or nulls > 0:
             return False  # NULLs never satisfy a comparison
+        if isinstance(lo, float) or isinstance(hi, float) or isinstance(self.value, float):
+            # floating-point columns can hold NaN, and parquet bounds
+            # EXCLUDE NaN (measured: [NaN, 99.0] harvests 99.0..99.0) —
+            # so bounds can never PROVE every row matches: x = 99 would
+            # "all-match" that file and a metadata-only DELETE would
+            # drop the NaN row, which matches nothing.  may_match stays
+            # float-enabled (NaN satisfies no comparison, so excluding
+            # it from ranges never loses a matching row).
+            return False
         v = self.value
         if self.op == "<":
             r = _lt(hi, v)

@@ -235,3 +235,22 @@ def test_harvest_unknown_is_sticky_across_row_groups(tmp_path):
     pred = (ecol("x") >= 1.0) & (ecol("x") <= 2.0)
     assert pred.may_match_file(stats, n) is True  # unknown: keep
     assert pred.all_match_file(stats, n) is False  # never provably-all
+
+
+def test_cow_delete_never_drops_nan_rows(spark, tmp_path):
+    """Parquet bounds EXCLUDE NaN, so a [NaN, 99.0] file harvests
+    99.0..99.0 and `v = 99.0` used to all-match it — the metadata-only
+    COW DELETE fast path then dropped the whole file, deleting the NaN
+    row that matches nothing.  Float bounds must never prove all-match."""
+    import math
+
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id=1, v=float("nan")), Row(id=2, v=99.0)]
+    ).coalesce(1)
+    t = IceTable.create(spark, str(tmp_path / "nan"), df.schema)
+    t.append(df)
+    t.delete(col("v") == 99.0)
+    rows = t.toDF().collect()
+    assert len(rows) == 1 and rows[0].id == 1 and math.isnan(rows[0].v)
