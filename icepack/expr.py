@@ -404,8 +404,11 @@ def project_to_partition(expr: Expr, spec, schema, spark=None) -> Expr:
             parts: Expr | None = None
             for pf in by_source[e.name]:
                 t = _tr.parse(pf.transform)
+                src = schema.field_by_id(pf.source_id)
                 try:
-                    tv = t.apply(e.value, spark)
+                    tv = t.apply(
+                        e.value, spark, src.spark_type() if src else None
+                    )
                 except (TypeError, ValueError):
                     tv = None
                 if tv is None:
@@ -424,8 +427,12 @@ def project_to_partition(expr: Expr, spec, schema, spark=None) -> Expr:
             parts = None
             for pf in by_source[e.name]:
                 t = _tr.parse(pf.transform)
+                src = schema.field_by_id(pf.source_id)
                 try:
-                    tvs = [t.apply(v, spark) for v in e.values]
+                    tvs = [
+                        t.apply(v, spark, src.spark_type() if src else None)
+                        for v in e.values
+                    ]
                 except (TypeError, ValueError):
                     continue
                 if any(v is None for v in tvs):

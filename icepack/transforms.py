@@ -87,8 +87,16 @@ class Transform:
             return F.substring(c.cast("string"), 1, self.param)
         raise ValueError(f"unknown transform {self.name}")
 
-    def apply(self, value, spark: SparkSession | None = None):
-        """Driver-side transform of a literal (for predicate projection)."""
+    def apply(self, value, spark: SparkSession | None = None, dtype=None):
+        """Driver-side transform of a literal (for predicate projection).
+
+        ``dtype`` is the SOURCE COLUMN's Spark type: bucket hashing is
+        type-sensitive (Spark's xxhash64 hashes int32 and int64
+        DIFFERENTLY — measured: bucket[8] of 7 is 7 as int but 1 as
+        long), so the literal must be hashed under the column's type,
+        not whatever type the Python literal infers to.  Without it a
+        bucket-partitioned INT column pruned the WRONG bucket and
+        equality scans silently returned nothing."""
         k = self.kind
         if k == "identity":
             return value
@@ -105,11 +113,14 @@ class Transform:
         if k == "bucket":
             if spark is None:
                 return None  # caller keeps the file (no pruning)
-            key = (repr(value), self.param)
+            key = (repr(value), self.param, str(dtype))
             if key not in _bucket_cache:
+                c = F.lit(value)
+                if dtype is not None:
+                    c = c.cast(dtype)
                 row = (
-                    spark.createDataFrame([(value,)], ["v"])
-                    .select(F.pmod(F.xxhash64("v"), F.lit(self.param)).alias("b"))
+                    spark.range(1)
+                    .select(F.pmod(F.xxhash64(c), F.lit(self.param)).alias("b"))
                     .first()
                 )
                 _bucket_cache[key] = row["b"]

@@ -254,3 +254,26 @@ def test_cow_delete_never_drops_nan_rows(spark, tmp_path):
     t.delete(col("v") == 99.0)
     rows = t.toDF().collect()
     assert len(rows) == 1 and rows[0].id == 1 and math.isnan(rows[0].v)
+
+
+def test_bucket_pruning_hashes_under_the_column_type(spark, tmp_path):
+    """Spark's xxhash64 hashes int32 and int64 differently (bucket[8]
+    of 7: int→7, long→1), so the projection must hash the literal
+    under the COLUMN's declared type.  Pre-fix, an equality scan on a
+    bucket-partitioned INT column pruned the wrong bucket and silently
+    returned nothing."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.IntegerType()), T.StructField("v", T.DoubleType())]
+    )
+    df = spark.createDataFrame([(i, float(i)) for i in range(20)], schema)
+    t = IceTable.create(
+        spark, str(tmp_path / "b"), schema, partition_by=[("id", "bucket[8]")]
+    )
+    t.append(df)
+    for k in (0, 7, 13):
+        got = [r.id for r in t.toDF(col("id") == k).collect()]
+        assert got == [k], f"id=={k} pruned away: {got}"
+    got = sorted(r.id for r in t.toDF(col("id").isin(3, 11)).collect())
+    assert got == [3, 11]
