@@ -703,3 +703,47 @@ def test_time_travel_select_prunes_like_current(spark, tmp_path):
         " TABLE(INFORMATION_SCHEMA.QUERY_HISTORY()) WHERE query_type = 'SELECT'"
     ).collect()[-1]
     assert (h.partitions_scanned, h.partitions_total) == (1, 2)
+
+
+def test_parse_predicate_matches_spark_semantics(spark):
+    """parse_predicate feeds file pruning, so a MIS-parse (rather than
+    a refusal) is silent row loss: every parsed WHERE must select
+    exactly the rows Spark's own `where(<string>)` selects; unsupported
+    shapes must refuse (the router then skips pruning — safe)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from icepack.sql import parse_predicate
+
+    rows = [
+        Row(
+            id=i if i % 7 else None,
+            cat=None if i % 5 == 0 else "abc"[i % 3],
+            v=float(i) * 1.5,
+            s=str(i),
+            ts=dt.datetime(2024, 1, 1 + i % 9),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    wheres = [
+        "id < 5", "id <= 5", "id > 30", "id >= 30", "id = 7", "id != 7",
+        "id <> 7", "cat = 'a'", "cat != 'b'", "id BETWEEN 2 AND 6",
+        "cat IN ('a','b')", "id IS NULL", "id IS NOT NULL", "NOT cat = 'a'",
+        "NOT (id < 20)", "id < 5 AND cat = 'b'", "id < 2 OR id > 35",
+        "(id < 3 OR id > 37) AND cat = 'a'",
+        "ts >= TIMESTAMP '2024-01-03 00:00:00'", "ts < '2024-01-05'",
+        "v > 10.5", "v <= 1.5", "s = '7'", "s > '25'", "id IN (1,2,3)",
+    ]
+    refusals = ["cat LIKE 'a%'", "id % 2 = 0", "upper(cat) = 'A'"]
+    for w in wheres:
+        e = parse_predicate(w)
+        a = sorted(r.id for r in df.filter(e.to_column()).collect() if r.id is not None)
+        b = sorted(r.id for r in df.where(w).collect() if r.id is not None)
+        assert a == b, f"parse drift for {w!r}: parsed={a} spark={b}"
+    for w in refusals:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            parse_predicate(w)
