@@ -77,8 +77,15 @@ def _typed(raw: Column, v):
     literal type: caller keeps the file."""
     if isinstance(v, bool):
         return raw.cast("boolean"), F.lit(v)
-    if isinstance(v, (int, float)):
-        return raw.cast("double"), F.lit(float(v))
+    if isinstance(v, int):
+        # exact 64-bit compare: casting to double loses precision past
+        # 2^53, and hash-derived id columns exceed that routinely — a
+        # rounded bound could prune a file the exact planner keeps.
+        # Float-valued stats (e.g. "1.5" for a double column queried
+        # with an int literal) cast to NULL → coalesce keeps the file.
+        return raw.cast("long"), F.lit(v)
+    if isinstance(v, float):
+        return raw.cast("double"), F.lit(v)
     if isinstance(v, _dt.datetime):
         return raw.cast("timestamp_ntz"), F.lit(v)
     if isinstance(v, _dt.date):

@@ -213,3 +213,23 @@ def test_translation_superset_on_random_trees(spark):
             f"trial {trial}: python kept {sorted(kept_py - kept_spark)} "
             f"that spark dropped for {pred}"
         )
+
+
+def test_distributed_pruning_exact_beyond_double_precision(spark, tmp_path):
+    """int64 stats past 2^53: a double-rounded comparison would prune
+    files the exact planner keeps (hash-derived ids live up there).
+    The translation must compare int literals as longs, exactly."""
+    base = 1 << 53  # 9007199254740992: doubles can't tell base+1 from base
+    rows = [Row(id=base + i, v=float(i)) for i in range(4)]
+    df = spark.createDataFrame(rows)
+    t = IceTable.create(spark, str(tmp_path / "big"), df.schema)
+    for r in rows:  # one file per value -> per-file exact bounds
+        t.append(spark.createDataFrame([r], df.schema))
+    pred = col("id") > base + 1
+    files, _ = plan_entries_distributed(t, pred)
+    driver_files, _ = t.plan_files(pred)
+    assert {f.path for f in driver_files} <= {f.path for f in files}
+    assert rows_sorted(read_distributed(t, pred)) == rows_sorted(
+        t.toDF().filter(f"id > {base + 1}")
+    )
+    assert read_distributed(t, pred).count() == 2
