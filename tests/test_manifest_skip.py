@@ -277,3 +277,54 @@ def test_bucket_pruning_hashes_under_the_column_type(spark, tmp_path):
         assert got == [k], f"id=={k} pruned away: {got}"
     got = sorted(r.id for r in t.toDF(col("id").isin(3, 11)).collect())
     assert got == [3, 11]
+
+
+def test_randomized_end_to_end_pruning_equivalence(spark, tmp_path):
+    """Randomized net over the WHOLE pruning stack (phase 0 manifest
+    skip → partition tuples → file stats → re-filter): for random
+    transforms, data and predicates, the pruned scan must return
+    exactly the rows of an unpruned full-scan filter."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Row
+
+    rnd = random.Random(42)
+    transforms = [
+        ("id", "bucket[4]"),
+        ("id", "identity"),
+        ("cat", "truncate[1]"),
+        ("ts", "day"),
+        ("ts", "month"),
+    ]
+    for trial in range(5):
+        src, tr = transforms[trial]
+        rows = [
+            Row(
+                id=rnd.randint(0, 30),
+                cat=rnd.choice(["apple", "banana", "cherry", None]),
+                ts=dt.datetime(2024, rnd.randint(1, 4), rnd.randint(1, 28)),
+                v=rnd.random(),
+            )
+            for _ in range(60)
+        ]
+        schema = spark.createDataFrame(rows).schema
+        t = IceTable.create(
+            spark,
+            str(tmp_path / f"r{trial}"),
+            schema,
+            partition_by=[(src, tr)],
+        )
+        for lo in (0, 20, 40):  # three commits -> three manifests
+            t.append(spark.createDataFrame(rows[lo : lo + 20], schema))
+        preds = [
+            (col("id") == rnd.randint(0, 30), "id = {0}".format),
+            (col("id") >= 15, lambda _: "id >= 15"),
+            (col("cat") == "banana", lambda _: "cat = 'banana'"),
+            (col("cat").isin("apple", "cherry"), lambda _: "cat IN ('apple','cherry')"),
+            (col("ts") >= dt.datetime(2024, 3, 1), lambda _: "ts >= timestamp'2024-03-01'"),
+        ]
+        for pred, _ in preds:
+            want = rows_sorted(t.toDF().filter(pred.to_column()))
+            got = rows_sorted(t.toDF(pred))
+            assert got == want, f"trial {trial} ({src},{tr}): {pred}"
