@@ -381,3 +381,88 @@ def _rm(path: str) -> None:
         os.remove(path)
     except FileNotFoundError:
         pass
+
+
+def verify_table(table, check_data: bool = False) -> list[str]:
+    """Metadata-tree integrity check (fsck): walk the CURRENT snapshot's
+    manifest list and validate every invariant the planners TRUST —
+    returns a list of human-readable findings, empty = healthy.
+
+    At 100 TB the pruning stack makes silent assumptions a verifier
+    should be able to audit after an incident (partial restore, manual
+    file surgery, a buggy external writer via add_files):
+
+    - pointer/snapshot graph: current snapshot exists, every ref
+      resolves, parent chain is intact, commit sequence numbers are
+      unique and <= last-sequence-number;
+    - manifests: every listed manifest is readable, and the STORED
+      summary equals one recomputed from the entries — phase-0 skips
+      whole manifests on the stored ranges, so a drifted summary is a
+      row-loss hazard, not a cosmetic one;
+    - entries: data-sequence <= commit watermark, known spec/schema
+      ids, file paths exist;
+    - with ``check_data=True``: re-harvest each live file's footer and
+      compare record counts (reads footers only, no data pages).
+    """
+    findings: list[str] = []
+    meta = table.meta
+    snap = meta.current_snapshot
+    if meta.current_snapshot_id is not None and snap is None:
+        return [f"current-snapshot-id {meta.current_snapshot_id} not in snapshots"]
+    by_id = {s.snapshot_id: s for s in meta.snapshots}
+    seqs = [s.sequence_number for s in meta.snapshots]
+    if len(seqs) != len(set(seqs)):
+        findings.append("duplicate commit sequence numbers in snapshot list")
+    if seqs and max(seqs) > meta.last_sequence_number:
+        findings.append(
+            f"last-sequence-number {meta.last_sequence_number} behind max commit {max(seqs)}"
+        )
+    for name, r in meta.refs.items():
+        if r["snapshot-id"] not in by_id:
+            findings.append(f"ref {name!r} points at missing snapshot {r['snapshot-id']}")
+    if snap is None:
+        return findings
+    spec_ids = {sp.spec_id for sp in meta.partition_specs}
+    schema_ids = {sc.schema_id for sc in meta.schemas}
+    for m in read_manifest_list(table._mdir, snap.manifest_list, store=table.store):
+        try:
+            entries = read_manifest(table._mdir, m["manifest-path"], store=table.store)
+        except Exception as e:  # noqa: BLE001 — report, keep walking
+            findings.append(f"manifest {m['manifest-path']} unreadable: {e}")
+            continue
+        stored = {k: v for k, v in m.items() if k != "manifest-path"}
+        recomputed = manifest_summary(entries)
+        if stored and any(
+            k in stored and stored[k] != v for k, v in recomputed.items()
+        ):
+            drift = sorted(
+                k for k, v in recomputed.items() if k in stored and stored[k] != v
+            )
+            findings.append(
+                f"manifest {m['manifest-path']} summary drift in {drift} — "
+                "phase-0 skipping trusts these; run rewrite_manifests"
+            )
+        for e in entries:
+            if e.status == "deleted":
+                continue
+            if e.sequence_number > snap.sequence_number:
+                findings.append(
+                    f"{e.path}: data sequence {e.sequence_number} beyond "
+                    f"snapshot watermark {snap.sequence_number}"
+                )
+            if e.spec_id not in spec_ids:
+                findings.append(f"{e.path}: unknown spec-id {e.spec_id}")
+            if e.schema_id not in schema_ids:
+                findings.append(f"{e.path}: unknown schema-id {e.schema_id}")
+            if not os.path.exists(e.path):
+                findings.append(f"{e.path}: file missing from storage")
+            elif check_data:
+                from .manifest import harvest_stats
+
+                nrows, _, _ = harvest_stats(e.path)
+                if nrows != e.record_count:
+                    findings.append(
+                        f"{e.path}: manifest record-count {e.record_count} "
+                        f"!= footer {nrows}"
+                    )
+    return findings

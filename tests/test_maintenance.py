@@ -262,3 +262,53 @@ def test_rewrite_manifests_is_a_real_commit(spark, tmp_path):
         None, str(tmp_path / "rw"), {"skip-overwrite-snapshots": "true"}
     )
     assert len(r2.partitions({"seq": 0}, hi)) == len(entry_seqs)
+
+
+def test_verify_table_fsck(spark, tmp_path):
+    """verify_table: clean table -> no findings; a drifted manifest
+    summary (what phase-0 skipping trusts), a missing data file, and a
+    wrong record count are each detected."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import Row
+
+    from icepack.maintenance import verify_table
+    from icepack.table import IceTable
+
+    df = spark.createDataFrame([Row(id=i, cat="ab"[i % 2], v=float(i)) for i in range(8)])
+    t = IceTable.create(
+        spark, str(tmp_path / "fsck"), df.schema, partition_by=[("cat", "identity")]
+    )
+    t.append(df)
+    t.append(df.filter("id < 2"))
+    assert verify_table(t, check_data=True) == []
+
+    # 1. summary drift: shrink the stored partition range
+    mlist = _os.path.join(t._mdir, t.meta.current_snapshot.manifest_list)
+    descs = _json.load(open(mlist))
+    descs[0]["partition-summaries"]["cat"] = {"min": "zz", "max": "zz"}
+    _json.dump(descs, open(mlist, "w"))
+    t.refresh()
+    findings = verify_table(t)
+    assert any("summary drift" in f for f in findings)
+
+    # 2. missing data file
+    victim = t.live_files()[0].path
+    _os.remove(victim)
+    assert any("missing from storage" in f for f in verify_table(t))
+
+    # 3. record-count drift (restore the file list first)
+    t2 = IceTable.create(spark, str(tmp_path / "fsck2"), df.schema)
+    t2.append(df)
+    man = next(
+        p
+        for p in _os.listdir(t2._mdir)
+        if p.startswith("manifest-") and p.endswith(".jsonl")
+    )
+    mp = _os.path.join(t2._mdir, man)
+    lines = [_json.loads(x) for x in open(mp) if x.strip()]
+    lines[0]["record-count"] = 999
+    open(mp, "w").write("".join(_json.dumps(x) + "\n" for x in lines))
+    t2.refresh()
+    assert any("!= footer" in f for f in verify_table(t2, check_data=True))
