@@ -1314,6 +1314,12 @@ class IceTable:
 
         return maintenance.table_health(self)
 
+    def verify(self, check_data: bool = False) -> list[str]:
+        """Metadata-tree integrity check (fsck); [] = healthy."""
+        from . import maintenance
+
+        return maintenance.verify_table(self, check_data)
+
     # -- schema evolution (M8, docs/06-schema-evolution.md) -----------------
 
     def _evolve(self, new_fields: list[NestedField], last_column_id: int) -> None:
