@@ -95,6 +95,7 @@ PRIORITY: list[str] = [
     "ice39_distributed_plan",
     "ice40_stream_source",
     "ice41_time_travel_prune",
+    "ice42_fsck",
     # evidenced regression re-sample — representatives per family
     "a0_gold_daily",
     "a1_groupby_count",

@@ -1459,3 +1459,30 @@ def ice41_time_travel_prune(spark: SparkSession, sf: str) -> DataFrame:
     if not hist or not (0 < hist[-1].partitions_scanned < hist[-1].partitions_total):
         raise RuntimeError(f"time-travel SELECT did not prune: {hist}")
     return out
+
+
+@query(
+    "ice42_fsck",
+    oracle=f"SELECT {_ORDER_COLS} FROM orders WHERE o_orderstatus <> 'F'",
+)
+def ice42_fsck(spark: SparkSession, sf: str) -> DataFrame:
+    """M-family: table integrity verification as a gate.  After a
+    lifecycle that exercises what the planners trust (append, COW
+    delete rewrite, compaction, manifest rewrite), `verify(check_data=
+    True)` must report ZERO findings — summaries match recomputed ones,
+    sequence invariants hold, every footer's record count matches its
+    manifest entry.  Raises (driver err) on any finding; rows
+    value-check against the raw-parquet oracle."""
+    from ..maintenance import compact, rewrite_manifests
+
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(spark, _scratch(), orders.schema)
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+    t.delete(col("o_orderstatus") == "F")
+    compact(t, target_file_size=32 * 1024 * 1024)
+    rewrite_manifests(t)
+    findings = t.verify(check_data=True)
+    if findings:
+        raise RuntimeError(f"table failed integrity check: {findings}")
+    return t.toDF()
