@@ -126,3 +126,75 @@ def test_time_primitive_longtype_micros_roundtrip(spark, tmp_path):
     t2.add_column("alarm", "time")
     assert t2.meta.schema.field_by_name("alarm").type == "time"
     assert t2.toDF().schema["alarm"].dataType == T.LongType()
+
+
+def test_randomized_evolution_interleavings_match_model(spark, tmp_path):
+    """Random append / add / rename / drop / widen sequences against a
+    field-id model: every row readable under the CURRENT schema must
+    carry each column's value by FIELD ID (renames keep values, drops
+    hide them forever, adds null-fill older rows, widens preserve)."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from icepack.table import IceTable
+
+    rnd = random.Random(99)
+    for trial in range(3):
+        cols = [
+            {"id": 0, "name": "c0", "t": "int"},
+            {"id": 1, "name": "c1", "t": "string"},
+        ]
+        next_cid = 2
+        data: list[dict] = []  # rows keyed by field id
+        spark_t = {"int": T.IntegerType(), "long": T.LongType(), "string": T.StringType()}
+
+        def struct():
+            return T.StructType(
+                [T.StructField(c["name"], spark_t[c["t"]]) for c in cols]
+            )
+
+        t = IceTable.create(spark, str(tmp_path / f"e{trial}"), struct())
+        seq = 0
+        for step in range(9):
+            op = rnd.choice(["append", "append", "add", "rename", "drop", "widen"])
+            if op == "append":
+                new = []
+                for _ in range(3):
+                    row = {}
+                    for c in cols:
+                        row[c["id"]] = (
+                            f"s{seq}" if c["t"] == "string" else seq
+                        )
+                        seq += 1
+                    new.append(row)
+                df = spark.createDataFrame(
+                    [tuple(r[c["id"]] for c in cols) for r in new], struct()
+                )
+                t.append(df)
+                data += new
+            elif op == "add":
+                name = f"n{next_cid}"
+                cols.append({"id": next_cid, "name": name, "t": "long"})
+                next_cid += 1
+                t.add_column(name, "bigint")
+            elif op == "rename" and cols:
+                c = rnd.choice(cols)
+                c["name"] = c["name"] + "r"
+                t.rename_column(c["name"][:-1], c["name"])
+            elif op == "drop" and len(cols) > 1:
+                c = cols.pop(rnd.randrange(len(cols)))
+                t.drop_column(c["name"])
+            elif op == "widen":
+                ints = [c for c in cols if c["t"] == "int"]
+                if not ints:
+                    continue
+                c = rnd.choice(ints)
+                c["t"] = "long"
+                t.widen_column(c["name"], "bigint")
+            got = sorted(
+                tuple(row[c["name"]] for c in cols)
+                for row in (r.asDict() for r in t.toDF().collect())
+            )
+            want = sorted(tuple(r.get(c["id"]) for c in cols) for r in data)
+            assert got == want, f"trial {trial} step {step} op {op}"
