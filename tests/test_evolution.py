@@ -198,3 +198,25 @@ def test_randomized_evolution_interleavings_match_model(spark, tmp_path):
             )
             want = sorted(tuple(r.get(c["id"]) for c in cols) for r in data)
             assert got == want, f"trial {trial} step {step} op {op}"
+
+
+def test_time_travel_presents_current_schema_after_evolution(spark, tmp_path):
+    """AT(snapshot) after rename/add/drop: historical rows present
+    under the CURRENT schema (Snowflake-style time travel), values
+    carried by field id — renames keep values, later-added-then-dropped
+    columns never appear, and the pinned row set is exactly the
+    snapshot's."""
+    from pyspark.sql import Row
+
+    from icepack.table import IceTable
+
+    df = spark.createDataFrame([Row(id=1, v=1.0), Row(id=2, v=2.0)])
+    t = IceTable.create(spark, str(tmp_path / "tt"), df.schema)
+    s1 = t.append(df)
+    t.rename_column("v", "w")
+    t.add_column("z", "string")
+    t.append(spark.createDataFrame([Row(id=3, w=3.0, z="x")]))
+    t.drop_column("z")
+    out = t.toDF(snapshot=t.as_of(snapshot_id=s1.snapshot_id))
+    assert out.columns == ["id", "w"]
+    assert sorted((r.id, r.w) for r in out.collect()) == [(1, 1.0), (2, 2.0)]
