@@ -307,10 +307,32 @@ class TableMetadata:
                 return s
         return None
 
+    def main_ancestry_ids(self) -> set:
+        """Snapshot ids on MAIN's parent chain (current → root)."""
+        out: set = set()
+        s = self.current_snapshot
+        while s is not None and s.snapshot_id not in out:
+            out.add(s.snapshot_id)
+            s = (
+                self.snapshot_by_id(s.parent_snapshot_id)
+                if s.parent_snapshot_id is not None
+                else None
+            )
+        return out
+
     def snapshot_as_of(self, timestamp_ms: int) -> Snapshot | None:
-        """Latest snapshot with timestamp-ms <= requested
-        (docs/05-snapshots-time-travel.md:57-79)."""
-        eligible = [s for s in self.snapshots if s.timestamp_ms <= timestamp_ms]
+        """Latest MAIN-ancestry snapshot with timestamp-ms <= requested
+        (docs/05-snapshots-time-travel.md:57-79).  Restricted to main's
+        parent chain: branch commits (WAP staging, open multi-statement
+        transactions) carry timestamps too, and resolving into them
+        would leak rows nobody has published — a branch is readable
+        only by NAME (``as_of(ref=...)``), never by accident of time."""
+        anc = self.main_ancestry_ids()
+        eligible = [
+            s
+            for s in self.snapshots
+            if s.timestamp_ms <= timestamp_ms and s.snapshot_id in anc
+        ]
         return max(eligible, key=lambda s: s.timestamp_ms) if eligible else None
 
     def ref(self, name: str) -> dict:

@@ -98,3 +98,41 @@ def test_tag_and_branch_survive_other_commits(spark, warehouse):
     assert names == {"v1", "dev"}
     t.drop_ref("v1")
     assert {r["name"] for r in t.refs().collect()} == {"dev"}
+
+
+def test_timestamp_travel_never_resolves_into_branches(spark, tmp_path):
+    """AT(TIMESTAMP => now) must follow MAIN's ancestry only: WAP
+    staging and open-transaction branch commits carry timestamps too,
+    and resolving into them leaked unpublished rows (measured pre-fix:
+    [1, 99]).  Branches are readable by NAME only; after publish the
+    same rows arrive through main's chain."""
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from icepack.table import IceTable
+    from icepack.txn import TxnTable
+
+    df = spark.createDataFrame([Row(id=1, v=1.0)])
+    t = IceTable.create(spark, str(tmp_path / "tt"), df.schema)
+    t.append(df)
+
+    tx = TxnTable.from_table(t, "__txn_probe")
+    tx.append(spark.createDataFrame([Row(id=99, v=99.0)]))
+    t.refresh()
+    now = int(_time.time() * 1000) + 1000
+    snap = t.as_of(timestamp_ms=now)
+    assert sorted(r.id for r in t.toDF(snapshot=snap).collect()) == [1]
+
+    t.create_branch("audit")
+    t.append(spark.createDataFrame([Row(id=77, v=7.0)]), branch="audit")
+    t.refresh()
+    snap2 = t.as_of(timestamp_ms=int(_time.time() * 1000) + 1000)
+    assert sorted(r.id for r in t.toDF(snapshot=snap2).collect()) == [1]
+    # by NAME the branch is readable
+    by_ref = t.as_of(ref="audit")
+    assert sorted(r.id for r in t.toDF(snapshot=by_ref).collect()) == [1, 77]
+    # publish, then timestamp travel sees it through main
+    t.fast_forward("audit")
+    snap3 = t.as_of(timestamp_ms=int(_time.time() * 1000) + 1000)
+    assert sorted(r.id for r in t.toDF(snapshot=snap3).collect()) == [1, 77]
