@@ -1208,14 +1208,20 @@ class IceTable:
         raise CommitConflict("set_properties failed after retries")
 
     def history(self) -> DataFrame:
+        # is_current_ancestor mirrors Iceberg's history table: false for
+        # rolled-back lineage and for branch/WAP/txn staging — the same
+        # main-ancestry set timestamp travel resolves against
+        anc = self.meta.main_ancestry_ids()
         rows = [
             (s.timestamp_ms, s.snapshot_id, s.parent_snapshot_id,
-             s.snapshot_id == self.meta.current_snapshot_id)
+             s.snapshot_id == self.meta.current_snapshot_id,
+             s.snapshot_id in anc)
             for s in sorted(self.meta.snapshots, key=lambda s: s.timestamp_ms)
         ]
         return self.spark.createDataFrame(
             rows,
-            "committed_at_ms long, snapshot_id long, parent_id long, is_current boolean",
+            "committed_at_ms long, snapshot_id long, parent_id long,"
+            " is_current boolean, is_current_ancestor boolean",
         )
 
     def query_history(self) -> DataFrame:
