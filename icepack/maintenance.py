@@ -203,9 +203,19 @@ def rewrite_manifests(table) -> Snapshot:
         prev = meta.current_snapshot
         entries = table.live_files(content="all")
         sid = _snapshot_id()
-        name = write_manifest(table._mdir, entries, store=table.store)
+        name, mlen = write_manifest(table._mdir, entries, store=table.store)
         mlist = write_manifest_list(
-            table._mdir, sid, [name], [manifest_summary(entries)], store=table.store
+            table._mdir,
+            sid,
+            [name],
+            [
+                {
+                    **manifest_summary(entries),
+                    "manifest-length": mlen,
+                    "added-snapshot-id": sid,
+                }
+            ],
+            store=table.store,
         )
         snap = Snapshot(
             snapshot_id=sid,

@@ -158,17 +158,17 @@ def _merge(old, new, take_min: bool, key, bad: set):
 
 def write_manifest(
     metadata_dir: str, entries: list[DataFile], store: MetadataStore = LOCAL
-) -> str:
-    """Write one manifest (JSONL); returns path relative to metadata dir.
+) -> tuple[str, int]:
+    """Write one manifest (JSONL); returns (path relative to metadata
+    dir, byte length — recorded in the manifest list per the Iceberg
+    manifest-list schema's ``manifest_length``).
 
     Manifests are immutable and uniquely named, so a plain atomic PUT
     (``replace_text``) suffices — no CAS needed below the version doc."""
     name = f"manifest-{uuid.uuid4().hex}.jsonl"
-    store.replace_text(
-        store.join(metadata_dir, name),
-        "".join(json.dumps(e.to_json()) + "\n" for e in entries),
-    )
-    return name
+    text = "".join(json.dumps(e.to_json()) + "\n" for e in entries)
+    store.replace_text(store.join(metadata_dir, name), text)
+    return name, len(text.encode())
 
 
 def read_manifest(

@@ -259,6 +259,7 @@ class IceTable:
             seq = self.meta.last_sequence_number + 1
             manifests: list[str] = []
             summaries: list[dict] = []
+            new_summaries: list[dict] = []
             total_files = 0
             seen_replaced: set[str] = set()
             if prev is not None:
@@ -283,8 +284,11 @@ class IceTable:
                         if e.path not in replaced_paths
                     ]
                     if kept:
-                        manifests.append(write_manifest(self._mdir, kept, store=self.store))
-                        summaries.append(manifest_summary(kept))
+                        mname, mlen = write_manifest(self._mdir, kept, store=self.store)
+                        manifests.append(mname)
+                        s = {**manifest_summary(kept), "manifest-length": mlen}
+                        summaries.append(s)
+                        new_summaries.append(s)
                         total_files += len(kept)
             if not replaced_paths <= seen_replaced and replaced_paths:
                 raise CommitConflict(
@@ -293,10 +297,18 @@ class IceTable:
             for e in new_entries:
                 e.sequence_number = seq
             if new_entries:
-                manifests.append(write_manifest(self._mdir, new_entries, store=self.store))
-                summaries.append(manifest_summary(new_entries))
+                mname, mlen = write_manifest(self._mdir, new_entries, store=self.store)
+                manifests.append(mname)
+                s = {**manifest_summary(new_entries), "manifest-length": mlen}
+                summaries.append(s)
+                new_summaries.append(s)
                 total_files += len(new_entries)
             sid = _snapshot_id()
+            # manifests WRITTEN BY this commit are attributed to its
+            # snapshot (Iceberg manifest-list added_snapshot_id);
+            # carried-forward descriptors keep their original attribution
+            for s in new_summaries:
+                s["added-snapshot-id"] = sid
             mlist = write_manifest_list(self._mdir, sid, manifests, summaries, store=self.store)
             snap = Snapshot(
                 snapshot_id=sid,
@@ -1070,6 +1082,8 @@ class IceTable:
                         m.get("live-bytes"),
                         m.get("distinct-partitions"),
                         m.get("delete-content-files"),
+                        m.get("manifest-length"),
+                        m.get("added-snapshot-id"),
                         json.dumps(m.get("partition-summaries", {})),
                     )
                 )
@@ -1078,6 +1092,7 @@ class IceTable:
             "manifest_path string, added_files int, existing_files int,"
             " deleted_files int, live_files int, live_bytes long,"
             " distinct_partitions int, delete_content_files int,"
+            " manifest_length long, added_snapshot_id long,"
             " partition_summaries string",
         )
 
