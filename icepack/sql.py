@@ -385,6 +385,11 @@ _QUERY_HISTORY = re.compile(
 _IS_TABLES = re.compile(
     r"(?i)\bTABLE\s*\(\s*INFORMATION_SCHEMA\s*\.\s*TABLES\s*\)"
 )
+#: docs/09:97-99: TABLE(RESULT_SCAN('<query_id>' | LAST_QUERY_ID()))
+_RESULT_SCAN = re.compile(
+    r"(?i)\bTABLE\s*\(\s*RESULT_SCAN\s*\(\s*"
+    r"(?:'([^']*)'|LAST_QUERY_ID\s*\(\s*\))\s*\)\s*\)"
+)
 
 
 class IceSQL:
@@ -416,6 +421,12 @@ class IceSQL:
         #: the statement touched (the per-scan _scan_log)
         self._history: list[tuple] = []
         self._stmt_handles: list = []
+        #: RESULT_SCAN surface (docs/09:97-99): query id → that
+        #: statement's result DataFrame.  Plans are lazy, so a re-scan
+        #: RE-EXECUTES the retained plan over the file set its views
+        #: were registered on (Snowflake replays a cached result; same
+        #: rows unless retention has since collected the files).
+        self._results: dict[str, DataFrame] = {}
 
     # -- helpers ------------------------------------------------------------
 
@@ -617,6 +628,9 @@ class IceSQL:
                 None,  # rows_produced: results are lazy, never forced here
             )
         )
+        if isinstance(out, DataFrame):
+            # RESULT_SCAN surface: retain the (lazy) result plan by id
+            self._results[str(len(self._history))] = out
         return out
 
     def _sql_inner(self, stmt: str):
@@ -1287,6 +1301,18 @@ class IceSQL:
             s = _QUERY_HISTORY.sub(self._fresh_view(self._query_history_df(), "query_history"), s)
         if _IS_TABLES.search(s):
             s = _IS_TABLES.sub(self._fresh_view(self._tables_df(), "is_tables"), s)
+
+        def _rscan(m: re.Match) -> str:
+            qid = m.group(1) or str(len(self._history))  # LAST_QUERY_ID()
+            df = self._results.get(qid)
+            if df is None:
+                raise ValueError(
+                    f"RESULT_SCAN: no retained result for query id {qid!r} "
+                    f"(retained: {sorted(self._results)})"
+                )
+            return self._fresh_view(df, "result_scan")
+
+        s = _RESULT_SCAN.sub(_rscan, s)
 
         # SYSTEM$GET_ICEBERG_TABLE_INFORMATION('t') (docs/03:171)
         im = re.fullmatch(

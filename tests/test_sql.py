@@ -747,3 +747,26 @@ def test_parse_predicate_matches_spark_semantics(spark):
 
         with _pytest.raises(ValueError):
             parse_predicate(w)
+
+
+def test_result_scan_replays_query_results(spark, tmp_path):
+    """docs/09:92-99 — RESULT_SCAN('<query_id>') surfaces a prior
+    statement's result set by the id QUERY_HISTORY reports; the
+    LAST_QUERY_ID() spelling picks the most recent statement."""
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE rs (id BIGINT, v DOUBLE)")
+    isql.sql("INSERT INTO rs VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    isql.sql("SELECT id, v FROM rs WHERE id >= 2")
+    qid = isql.sql(
+        "SELECT query_id FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())"
+        " WHERE query_type = 'SELECT' ORDER BY start_time DESC"
+    ).collect()[0].query_id
+    replay = isql.sql(f"SELECT * FROM TABLE(RESULT_SCAN('{qid}'))")
+    assert sorted((r.id, r.v) for r in replay.collect()) == [(2, 2.0), (3, 3.0)]
+    # LAST_QUERY_ID() replays the RESULT_SCAN we just ran — same rows
+    again = isql.sql("SELECT COUNT(*) AS n FROM TABLE(RESULT_SCAN(LAST_QUERY_ID()))")
+    assert again.collect()[0].n == 2
+    with pytest.raises(ValueError, match="no retained result"):
+        isql.sql("SELECT * FROM TABLE(RESULT_SCAN('9999'))")
