@@ -121,6 +121,13 @@ def _delete_mor(table, predicate: Expr) -> Snapshot:
       key, and immune to later re-inserts of identical rows.
     """
     strategy = table.meta.properties.get("write.delete.mor.strategy", "equality")
+    if strategy != "position" and not (
+        table.meta.properties.get("identifier-field-names") or predicate.references()
+    ):
+        # opaque predicate + no declared identifier columns: equality
+        # deletes have no key to record — position deletes need none
+        # ((file, pos) identity) and are always exact
+        strategy = "position"
     hit, _ = table.plan_files(predicate)
     if not hit:
         return table._commit_snapshot("delete", [])

@@ -485,3 +485,30 @@ def manifest_may_match(descriptor: dict, proj_for_spec) -> bool:
         if proj is None or proj.may_match_file(stats, 1):
             return True
     return False
+
+
+@dataclass
+class OpaqueSql(Expr):
+    """A predicate only Spark can evaluate (function calls, arithmetic —
+    shapes outside the pruning language).  Conservative everywhere:
+    prunes nothing (may_match always true), proves nothing (all_match
+    always false — no metadata-only deletes), routes nowhere
+    (references unknown).  Correctness never depended on pruning, so
+    DML over an opaque WHERE simply reads/rewrites more files."""
+
+    sql: str
+
+    def to_column(self) -> Column:
+        return F.expr(self.sql)
+
+    def negate(self) -> "Expr":
+        return OpaqueSql(f"NOT ({self.sql})")
+
+    def references(self) -> set[str]:
+        return set()
+
+    def may_match_file(self, stats: dict, record_count: int) -> bool:
+        return True
+
+    def all_match_file(self, stats: dict, record_count: int) -> bool:
+        return False

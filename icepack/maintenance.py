@@ -476,3 +476,70 @@ def verify_table(table, check_data: bool = False) -> list[str]:
                         f"!= footer {nrows}"
                     )
     return findings
+
+
+def clustering_information(table, columns: list[str] | None = None) -> dict:
+    """SYSTEM$CLUSTERING_INFORMATION analog (docs/07-partitioning.md:
+    168-173) computed from manifest stats — no data I/O.  For each
+    requested column (default: the table's declared sort-order /
+    cluster keys): ``average_overlaps`` (how many OTHER files a file's
+    [min,max] range intersects) and ``average_depth`` (how many files a
+    random point in a file's range hits, ~Snowflake's depth), plus a
+    depth histogram.  0 overlaps = perfectly clustered → min/max file
+    pruning resolves a point predicate to one file; ranges that span
+    the domain make pruning useless, which is exactly what this metric
+    exposes (docs/09:156-168 motivates CLUSTER BY with it)."""
+    from .expr import _le, _lt
+
+    if not columns:
+        mo = table.meta.sort_order
+        schema = table.meta.schema
+        columns = [
+            f.name
+            for sf_ in mo.fields
+            if (f := schema.field_by_id(sf_.source_id)) is not None
+        ]
+    files = table.live_files()
+    out: dict = {
+        "cluster_by_keys": f"LINEAR({', '.join(columns)})" if columns else None,
+        "total_file_count": len(files),
+        "columns": {},
+    }
+    for c in columns:
+        bounds = [
+            (f.stats[c]["min"], f.stats[c]["max"])
+            for f in files
+            if c in f.stats
+            and f.stats[c].get("min") is not None
+            and f.stats[c].get("max") is not None
+        ]
+        if len(bounds) < 2:
+            out["columns"][c] = {
+                "files_with_statistics": len(bounds),
+                "average_overlaps": 0.0,
+                "average_depth": 1.0,
+                "depth_histogram": {str(len(bounds)): len(bounds)},
+            }
+            continue
+        overlaps = []
+        for i, (lo, hi) in enumerate(bounds):
+            n = 0
+            for j, (lo2, hi2) in enumerate(bounds):
+                if i == j:
+                    continue
+                # ranges intersect unless one is strictly left of the other
+                if _lt(hi, lo2) is True or _lt(hi2, lo) is True:
+                    continue
+                n += 1
+            overlaps.append(n)
+        depths = [n + 1 for n in overlaps]
+        hist: dict[str, int] = {}
+        for d in depths:
+            hist[str(d)] = hist.get(str(d), 0) + 1
+        out["columns"][c] = {
+            "files_with_statistics": len(bounds),
+            "average_overlaps": round(sum(overlaps) / len(overlaps), 4),
+            "average_depth": round(sum(depths) / len(depths), 4),
+            "depth_histogram": dict(sorted(hist.items(), key=lambda kv: int(kv[0]))),
+        }
+    return out

@@ -994,10 +994,23 @@ class IceSQL:
 
     # -- DELETE / UPDATE ----------------------------------------------------
 
+    def _dml_predicate(self, where: str):
+        """Parse a DML WHERE into the pruning language, falling back to
+        an opaque Spark-evaluated predicate for shapes the language
+        refuses (function calls like DATEADD/CURRENT_DATE, arithmetic —
+        docs/12:179-186 uses exactly these).  The fallback prunes
+        nothing and proves nothing; correctness is unchanged."""
+        from .expr import OpaqueSql
+
+        try:
+            return parse_predicate(where)
+        except ValueError:
+            return OpaqueSql(where)
+
     def _delete(self, s: str):
         m = re.match(r"(?i)DELETE\s+FROM\s+([\w.]+)(\s+WHERE\s+(.*))?$", s, re.DOTALL)
         t = self._dml_table(self._resolve_name(m.group(1)))
-        pred = parse_predicate(m.group(3) or "")
+        pred = self._dml_predicate(m.group(3) or "")
         return t.delete(pred)
 
     def _update(self, s: str):
@@ -1009,7 +1022,7 @@ class IceSQL:
         for a in _split_top(m.group(2)):
             am = re.match(r"([\w$]+)\s*=\s*(.*)", a.strip(), re.DOTALL)
             assignments[am.group(1)] = F.expr(am.group(2))
-        pred = parse_predicate(m.group(4) or "")
+        pred = self._dml_predicate(m.group(4) or "")
         return t.update(pred, assignments)
 
     # -- MERGE --------------------------------------------------------------
@@ -1323,6 +1336,24 @@ class IceSQL:
             d = self._table(self._resolve_name(im.group(1))).describe()
             return self.spark.createDataFrame(
                 [(k, str(v)) for k, v in d.items()], "property string, value string"
+            )
+
+        # SYSTEM$CLUSTERING_INFORMATION('t' [, '(c1, c2)']) (docs/07:168-173)
+        cm = re.fullmatch(
+            r"(?i)SELECT\s+SYSTEM\$CLUSTERING_INFORMATION\s*\(\s*'([^']+)'"
+            r"\s*(?:,\s*'\(?\s*([^')]*?)\s*\)?'\s*)?\)\s*",
+            s,
+        )
+        if cm:
+            import json as _json
+
+            from .maintenance import clustering_information
+
+            t = self._table(self._resolve_name(cm.group(1)))
+            cols = [c.strip() for c in (cm.group(2) or "").split(",") if c.strip()]
+            info = clustering_information(t, cols or None)
+            return self.spark.createDataFrame(
+                [(_json.dumps(info),)], "clustering_information string"
             )
 
         # 3. CREATE VIEW references → re-materialize (views track their

@@ -770,3 +770,59 @@ def test_result_scan_replays_query_results(spark, tmp_path):
     assert again.collect()[0].n == 2
     with pytest.raises(ValueError, match="no retained result"):
         isql.sql("SELECT * FROM TABLE(RESULT_SCAN('9999'))")
+
+
+def test_dml_where_falls_back_to_spark_expressions(spark, tmp_path):
+    """docs/12:179-186 tiering DML verbatim shape: WHERE clauses the
+    pruning language refuses (DATEADD / CURRENT_DATE calls) fall back
+    to Spark-evaluated predicates — no pruning, same correctness — for
+    COW and MOR tables (MOR without identifier columns switches to
+    position deletes, which need no keys)."""
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    for name, props in [("cw", ""), ("mr", " TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")]:
+        isql.sql(f"CREATE ICEBERG TABLE {name} (id BIGINT, event_time TIMESTAMP){props}")
+        isql.sql(
+            f"INSERT INTO {name} VALUES"
+            " (1, TIMESTAMP '2020-01-01 00:00:00'),"  # ancient: tiered out
+            " (2, TIMESTAMP '2020-01-02 00:00:00'),"
+            " (3, TIMESTAMP '2099-01-01 00:00:00')"   # far future: stays
+        )
+        isql.sql(
+            f"DELETE FROM {name} WHERE event_time < DATEADD(day, -30, CURRENT_DATE())"
+        )
+        assert sorted(r.id for r in isql.sql(f"SELECT id FROM {name}").collect()) == [3]
+    # UPDATE with an opaque WHERE too
+    isql.sql("UPDATE cw SET id = id + 10 WHERE event_time > DATEADD(day, 30, CURRENT_DATE())")
+    assert sorted(r.id for r in isql.sql("SELECT id FROM cw").collect()) == [13]
+
+
+def test_clustering_information_docs_verbatim(spark, tmp_path):
+    """docs/07:168-173 — SYSTEM$CLUSTERING_INFORMATION over manifest
+    stats: random layout shows deep overlaps, a CLUSTER BY rewrite
+    drives average_depth toward 1 (pruning-effective bounds)."""
+    import json as _json
+
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE cl (id BIGINT, v DOUBLE)")
+    spark.createDataFrame([(i, float(i)) for i in range(2000)], "id bigint, v double") \
+        .createOrReplaceTempView("cl_src")
+    isql.sql("INSERT INTO cl SELECT * FROM cl_src")
+    t = isql.catalog.load_table("cl")
+    t.compact(target_file_size=8 * 1024)  # several files, random-ish layout
+
+    def info():
+        row = isql.sql(
+            "SELECT SYSTEM$CLUSTERING_INFORMATION('cl', '(id)')"
+        ).collect()[0]
+        return _json.loads(row.clustering_information)
+
+    before = info()
+    assert before["total_file_count"] > 1
+    t.compact(target_file_size=8 * 1024, cluster_by=["id"])
+    after = info()
+    assert after["columns"]["id"]["average_depth"] <= before["columns"]["id"]["average_depth"]
+    assert after["columns"]["id"]["average_overlaps"] <= 1.0  # clustered: near-disjoint
