@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from . import maintenance
 from .catalog import Catalog
 from .expr import AlwaysTrue, Expr, col as ecol
+from .metadata import Snapshot
 from .table import IceTable
 
 # --------------------------------------------------------------------------
@@ -369,7 +370,7 @@ _AT = re.compile(
 )
 _BEFORE = re.compile(
     r"(?i)\b(FROM|JOIN)\s+([A-Za-z_][\w.$]*)(\s+(?:AS\s+)?[A-Za-z_]\w*)?"
-    r"\s+BEFORE\s*\(\s*(?:STATEMENT|SNAPSHOT)\s*=>\s*([^)]+?)\s*\)"
+    r"\s+BEFORE\s*\(\s*(STATEMENT|SNAPSHOT)\s*=>\s*([^)]+?)\s*\)"
 )
 _META_REL = re.compile(r"(?i)\b([A-Za-z_][\w.]*)\$(SNAPSHOTS|FILES|MANIFESTS|PARTITIONS|HISTORY|REFS)\b")
 #: docs/03:174-181 table functions: TABLE(INFORMATION_SCHEMA.ICEBERG_TABLE_FILES('t'))
@@ -427,6 +428,9 @@ class IceSQL:
         #: were registered on (Snowflake replays a cached result; same
         #: rows unless retention has since collected the files).
         self._results: dict[str, DataFrame] = {}
+        #: BEFORE(STATEMENT => <query_id>) surface (docs/05:66-72):
+        #: query id → the snapshot id that statement committed
+        self._stmt_snapshots: dict[str, int] = {}
 
     # -- helpers ------------------------------------------------------------
 
@@ -631,6 +635,9 @@ class IceSQL:
         if isinstance(out, DataFrame):
             # RESULT_SCAN surface: retain the (lazy) result plan by id
             self._results[str(len(self._history))] = out
+        elif isinstance(out, Snapshot):
+            # BEFORE(STATEMENT) surface: remember what this DML committed
+            self._stmt_snapshots[str(len(self._history))] = out.snapshot_id
         return out
 
     def _sql_inner(self, stmt: str):
@@ -1268,9 +1275,24 @@ class IceSQL:
             return f"{m.group(1)} {vn}{alias or ''}"
 
         def _before(m: re.Match) -> str:
-            kw, name, alias, val = m.groups()
+            kw, name, alias, kind, val = m.groups()
             t = self._table(self._resolve_name(name))
-            snap = t.as_of(snapshot_id=int(val.strip().strip("'")))
+            val = val.strip().strip("'")
+            if kind.upper() == "STATEMENT":
+                # docs/05:66-72 — the table state BEFORE query <id> ran:
+                # the snapshot that statement COMMITTED, stepped back to
+                # its parent (a statement that committed nothing to this
+                # table has no BEFORE point — fail loudly)
+                sid = self._stmt_snapshots.get(val)
+                if sid is None:
+                    raise ValueError(
+                        f"BEFORE(STATEMENT => {val!r}): query id unknown or "
+                        "committed no snapshot (retained: "
+                        f"{sorted(self._stmt_snapshots)})"
+                    )
+                snap = t.as_of(snapshot_id=sid)
+            else:
+                snap = t.as_of(snapshot_id=int(val))
             parent = snap.parent_snapshot_id
             if parent is None:
                 raise ValueError("BEFORE the first snapshot")

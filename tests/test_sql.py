@@ -826,3 +826,26 @@ def test_clustering_information_docs_verbatim(spark, tmp_path):
     after = info()
     assert after["columns"]["id"]["average_depth"] <= before["columns"]["id"]["average_depth"]
     assert after["columns"]["id"]["average_overlaps"] <= 1.0  # clustered: near-disjoint
+
+
+def test_before_statement_docs_verbatim(spark, tmp_path):
+    """docs/05:66-72 — BEFORE (STATEMENT => '<query_id>') reads the
+    table as it stood before that statement committed; the query id is
+    the one QUERY_HISTORY reports for the DML, not a snapshot id."""
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE bs (id BIGINT, v DOUBLE)")
+    isql.sql("INSERT INTO bs VALUES (1, 1.0), (2, 2.0)")
+    isql.sql("DELETE FROM bs WHERE id = 1")
+    qid = isql.sql(
+        "SELECT query_id FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())"
+        " WHERE query_type = 'DELETE'"
+    ).collect()[-1].query_id
+    assert [r.id for r in isql.sql("SELECT id FROM bs ORDER BY id").collect()] == [2]
+    back = isql.sql(
+        f"SELECT id FROM bs BEFORE (STATEMENT => '{qid}') ORDER BY id"
+    )
+    assert [r.id for r in back.collect()] == [1, 2]
+    with pytest.raises(ValueError, match="query id unknown"):
+        isql.sql("SELECT * FROM bs BEFORE (STATEMENT => '777')")
