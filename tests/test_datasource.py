@@ -332,3 +332,82 @@ def test_stream_keeps_its_declared_shape_across_inflight_evolution(ds, tmp_path)
     assert names == ["id", "v"]  # declared shape, not current (id, w)
     got = {c: batches[0].column(i).to_pylist() for i, c in enumerate(names)}
     assert got == {"id": [2], "v": [2.0]}  # value flows by field id
+
+
+def test_randomized_offset_interleavings_deliver_exactly_once(ds, tmp_path):
+    """Random interleavings of appends, txn staging/publish and
+    manifest rewrites, consumed in random-sized offset steps with
+    skip-overwrite-snapshots on: every PUBLISHED appended row arrives
+    exactly once, staged rows never leak, and replaying any consumed
+    range redelivers the identical file set."""
+    import random
+
+    from icepack.datasource import _StreamReader
+    from icepack.maintenance import rewrite_manifests
+    from icepack.txn import TxnTable
+
+    rnd = random.Random(7)
+    spark = ds
+    loc = str(tmp_path / "ri")
+    schema = spark.createDataFrame([Row(id=1, v=1.0)]).schema
+    t = IceTable.create(spark, loc, schema)
+    r = _StreamReader(None, loc, {"skip-overwrite-snapshots": "true"})
+
+    published: set[int] = set()
+    staged: list[tuple[TxnTable, list[int]]] = []
+    delivered: list[str] = []  # file paths consumed
+    consumed_ranges: list[tuple[dict, dict, list[str]]] = []
+    off = r.initialOffset()
+    next_id = 0
+
+    def consume():
+        nonlocal off
+        new = r.latestOffset()
+        parts = r.partitions(off, new)
+        paths = sorted(p.path for p in parts)
+        consumed_ranges.append((off, new, paths))
+        delivered.extend(paths)
+        off = new
+
+    for step in range(14):
+        op = rnd.choice(["append", "stage", "publish", "rewrite", "consume"])
+        if op == "append":
+            ids = [next_id + i for i in range(2)]
+            next_id += 2
+            t.append(spark.createDataFrame([Row(id=i, v=float(i)) for i in ids], schema))
+            published.update(ids)
+        elif op == "stage":
+            tx = TxnTable.from_table(t.refresh(), f"__txn_{step}")
+            ids = [next_id + i for i in range(2)]
+            next_id += 2
+            tx.append(spark.createDataFrame([Row(id=i, v=float(i)) for i in ids], schema))
+            staged.append((tx, ids))
+        elif op == "publish" and staged:
+            tx, ids = staged.pop()
+            try:
+                tx.txn_apply()
+                published.update(ids)
+            except ValueError:
+                pass  # main advanced under the txn: serialization abort
+                # (none-or-all — the staged rows must NEVER be delivered)
+            t.refresh()
+        elif op == "rewrite" and t.refresh().meta.current_snapshot:
+            rewrite_manifests(t)
+        elif op == "consume":
+            t.refresh()
+            consume()
+    consume()  # drain
+
+    # exactly-once: the delivered files' rows == the published ids
+    import pyarrow.parquet as pq
+
+    got = sorted(
+        i for p in delivered for i in pq.read_table(p, columns=["id"])["id"].to_pylist()
+    )
+    assert got == sorted(published), "delivered rows != published rows"
+    assert len(delivered) == len(set(delivered)), "a file was delivered twice"
+
+    # replay determinism: every consumed range redelivers byte-identically
+    for lo, hi, paths in consumed_ranges:
+        again = sorted(p.path for p in r.partitions(lo, hi))
+        assert again == paths, f"replay of ({lo},{hi}] diverged"
