@@ -30,4 +30,8 @@ def __getattr__(name):
         from .expr import col
 
         return col
+    if name == "IceSQL":
+        from .sql import IceSQL
+
+        return IceSQL
     raise AttributeError(name)
