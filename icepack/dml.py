@@ -54,8 +54,30 @@ def delete(table, predicate: Expr, mode: str | None = None) -> Snapshot:
     return _delete_cow(table, predicate)
 
 
+def _scan_for_hits(table, predicate: Expr, candidates: list) -> list:
+    """One metadata-column scan to find the files that ACTUALLY contain
+    matching rows.  Used when the predicate prunes nothing (OpaqueSql:
+    function-call WHEREs) — without it a COW DELETE/UPDATE would
+    rewrite the ENTIRE table because every file is a candidate; with it
+    the rewrite touches only true hits, at the cost of one extra read
+    of the candidates (cheap relative to rewriting 100 TB)."""
+    rows = (
+        table._read_visible(candidates, with_pos=True)
+        .filter(predicate.to_column())
+        .select(F.regexp_replace(F.col("_file"), "^file:/*", "/").alias("p"))
+        .distinct()
+        .collect()
+    )
+    hits = {r.p for r in rows}
+    return [f for f in candidates if f.path in hits]
+
+
 def _delete_cow(table, predicate: Expr) -> Snapshot:
-    hit, _ = table.plan_files(predicate)
+    hit, report = table.plan_files(predicate)
+    if report.get("files_scanned") == report.get("files_total") and len(hit) > 1:
+        # nothing pruned (opaque predicate, or stats can't help): find
+        # the true hit set before rewriting anything
+        hit = _scan_for_hits(table, predicate, hit)
     if not hit:
         return table._commit_snapshot("delete", [])
     # fast path: files whose stats PROVE every row matches are dropped
@@ -270,7 +292,9 @@ def update(
     mode = mode or table.meta.properties.get("write.update.mode", "copy-on-write")
     if mode == "merge-on-read":
         return _update_mor(table, predicate, assignments)
-    hit, _ = table.plan_files(predicate)
+    hit, report = table.plan_files(predicate)
+    if report.get("files_scanned") == report.get("files_total") and len(hit) > 1:
+        hit = _scan_for_hits(table, predicate, hit)  # see _delete_cow
     if not hit:
         return table._commit_snapshot("overwrite", [])
     df = table._read_visible(hit)

@@ -849,3 +849,31 @@ def test_before_statement_docs_verbatim(spark, tmp_path):
     assert [r.id for r in back.collect()] == [1, 2]
     with pytest.raises(ValueError, match="query id unknown"):
         isql.sql("SELECT * FROM bs BEFORE (STATEMENT => '777')")
+
+
+def test_opaque_delete_rewrites_only_true_hit_files(spark, tmp_path):
+    """An opaque WHERE prunes nothing, so every file is a candidate —
+    the hit-detection scan must keep the rewrite to files that actually
+    contain matches (at 100 TB the difference between rewriting one
+    file and rewriting the table)."""
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE oh (id BIGINT, v DOUBLE)")
+    for lo in (0, 100, 200):  # three files with disjoint id ranges
+        spark.createDataFrame(
+            [(lo + i, float(i)) for i in range(5)], "id bigint, v double"
+        ).createOrReplaceTempView("oh_src")
+        isql.sql("INSERT INTO oh SELECT * FROM oh_src")
+    t = isql.catalog.load_table("oh")
+    before = {f.path for f in t.live_files()}
+    assert len(before) >= 3
+    isql.sql("DELETE FROM oh WHERE id + 0 = 102")  # opaque: arithmetic
+    t.refresh()
+    after = {f.path for f in t.live_files()}
+    # exactly the one file containing id=102 was rewritten
+    assert len(before - after) == 1
+    assert sorted(r.id for r in isql.sql("SELECT id FROM oh").collect()) == sorted(
+        i for i in list(range(5)) + list(range(100, 105)) + list(range(200, 205))
+        if i != 102
+    )
