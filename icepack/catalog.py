@@ -18,7 +18,7 @@ import os
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
-from .storage import MetadataStore, store_for
+from .storage import MetadataStore, store_for, unbind
 from .table import IceTable
 
 
@@ -73,6 +73,7 @@ class Catalog:
         import time as _time
 
         loc = self._loc(name)
+        unbind(loc)  # a table reborn at this path must re-resolve its store
         if purge:
             shutil.rmtree(loc, ignore_errors=True)
             return

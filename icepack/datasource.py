@@ -326,10 +326,21 @@ class _StreamWriter(DataSourceStreamArrowWriter):
         if written is None:  # empty batch: marker-only commit
             return t.meta.schema.schema_id
         want = {n: a for n, a in written}
+        name_matches = []
         for s in sorted(t.meta.schemas, key=lambda s: -s.schema_id):
             have = {f.name: str(to_arrow_type(f.spark_type())) for f in s.fields}
+            if set(have) != set(want):
+                continue
             if have == want:
                 return s.schema_id
+            name_matches.append(s.schema_id)
+        if name_matches:
+            # column NAMES match some version exactly and only the arrow
+            # type SPELLINGS differ (e.g. timestamp tz annotation or
+            # large_string drift across pyarrow/Spark versions) — names
+            # carry the identity here, so the newest name-match wins
+            # rather than permanently failing a healthy stream's commits
+            return name_matches[0]
         raise ValueError(
             f"streamed batch columns {sorted(want)} match no schema "
             f"version of {self._location} (current: "

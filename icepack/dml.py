@@ -23,11 +23,12 @@ from __future__ import annotations
 
 import os
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .expr import Expr, In
+from .expr import AlwaysTrue, Expr, In
 from .manifest import DataFile, harvest_stats
 from .metadata import Snapshot
 
@@ -54,6 +55,17 @@ def delete(table, predicate: Expr, mode: str | None = None) -> Snapshot:
     return _delete_cow(table, predicate)
 
 
+def _normalize_file_uri(p: str) -> str:
+    """Spark's ``_metadata.file_path`` is a URI (``file:///a/b%20c``);
+    manifest paths are raw POSIX paths.  Strip the scheme and
+    percent-decode URI forms only — a raw path containing a literal
+    ``%`` must not be decoded."""
+    if p.startswith("file:"):
+        p = "/" + p[5:].lstrip("/")
+        p = unquote(p)
+    return p
+
+
 def _scan_for_hits(table, predicate: Expr, candidates: list) -> list:
     """One metadata-column scan to find the files that ACTUALLY contain
     matching rows.  Used when the predicate prunes nothing (OpaqueSql:
@@ -64,34 +76,61 @@ def _scan_for_hits(table, predicate: Expr, candidates: list) -> list:
     rows = (
         table._read_visible(candidates, with_pos=True)
         .filter(predicate.to_column())
-        .select(F.regexp_replace(F.col("_file"), "^file:/*", "/").alias("p"))
+        .select(F.col("_file").alias("p"))
         .distinct()
         .collect()
     )
-    hits = {r.p for r in rows}
-    return [f for f in candidates if f.path in hits]
+    hits = {_normalize_file_uri(r.p) for r in rows}
+    matched = [f for f in candidates if f.path in hits]
+    if hits and not matched:
+        # a silent no-op commit here would lose the DELETE/UPDATE —
+        # path normalization must be fixed, not papered over
+        raise RuntimeError(
+            "DML hit scan found matching rows but no candidate file path "
+            f"matched (sample scanned path: {sorted(hits)[0]!r}; sample "
+            f"candidate: {candidates[0].path!r})"
+        )
+    return matched
+
+
+def _proves_full(table, predicate: Expr, f) -> bool:
+    """True when stats or an identity-partition tuple PROVE every row
+    of *f* matches — such files are dropped/rewritten without a scan."""
+    return predicate.all_match_file(f.stats, f.record_count) or (
+        bool(f.partition) and _partition_all_match(table, predicate, f)
+    )
+
+
+def _narrow_hits(table, predicate: Expr, hit: list, report: dict) -> list:
+    """When manifest pruning removed nothing, narrow the candidate set
+    with one extra read — but only where it can help:
+
+    - AlwaysTrue (unqualified ``DELETE FROM t`` / full-table UPDATE)
+      skips the scan entirely: every file is a true hit, and the
+      all-match fast path keeps truncate-style deletes O(metadata).
+    - Files already PROVEN full matches by stats/partition are kept
+      without being read; only the residual is scanned."""
+    if isinstance(predicate, AlwaysTrue):
+        return hit
+    if report.get("files_scanned") != report.get("files_total") or len(hit) <= 1:
+        return hit
+    proven = [f for f in hit if _proves_full(table, predicate, f)]
+    proven_paths = {f.path for f in proven}
+    residual = [f for f in hit if f.path not in proven_paths]
+    if not residual:
+        return proven
+    return proven + _scan_for_hits(table, predicate, residual)
 
 
 def _delete_cow(table, predicate: Expr) -> Snapshot:
     hit, report = table.plan_files(predicate)
-    if report.get("files_scanned") == report.get("files_total") and len(hit) > 1:
-        # nothing pruned (opaque predicate, or stats can't help): find
-        # the true hit set before rewriting anything
-        hit = _scan_for_hits(table, predicate, hit)
+    hit = _narrow_hits(table, predicate, hit, report)
     if not hit:
         return table._commit_snapshot("delete", [])
     # fast path: files whose stats PROVE every row matches are dropped
     # without being read — a partition-aligned delete (e.g. dropping old
     # days) is metadata-only regardless of table size
-    full = [
-        f
-        for f in hit
-        if predicate.all_match_file(f.stats, f.record_count)
-        or (
-            f.partition
-            and _partition_all_match(table, predicate, f)
-        )
-    ]
+    full = [f for f in hit if _proves_full(table, predicate, f)]
     full_paths = {f.path for f in full}
     partial = [f for f in hit if f.path not in full_paths]
     new_entries = []
@@ -293,8 +332,7 @@ def update(
     if mode == "merge-on-read":
         return _update_mor(table, predicate, assignments)
     hit, report = table.plan_files(predicate)
-    if report.get("files_scanned") == report.get("files_total") and len(hit) > 1:
-        hit = _scan_for_hits(table, predicate, hit)  # see _delete_cow
+    hit = _narrow_hits(table, predicate, hit, report)  # see _delete_cow
     if not hit:
         return table._commit_snapshot("overwrite", [])
     df = table._read_visible(hit)

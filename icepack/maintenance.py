@@ -478,6 +478,65 @@ def verify_table(table, check_data: bool = False) -> list[str]:
     return findings
 
 
+def _range_overlaps(bounds: list[tuple]) -> list[int]:
+    """Per-range count of OTHER ranges it intersects, O(n log n) via
+    two sorted endpoint arrays + binary search: for range i,
+    ``overlaps_i = n-1 − #{lo_j > hi_i} − #{hi_j < lo_i}``.  The metric
+    targets large tables (~100k files, docs/09:156-168) where the naive
+    pairwise loop is minutes of driver CPU.  NaN bounds are garbage
+    stats: such ranges conservatively overlap everything (matching the
+    pairwise ``_lt → None`` behavior).  Unorderable mixed types fall
+    back to the exact quadratic loop."""
+    import bisect
+    import datetime as _dt
+
+    from .expr import _isnan, _lt, _norm
+
+    def _fix(v):
+        # a NaN bound is garbage stats: pairwise ``_lt → None`` makes
+        # it behave as ±inf on its own side; model that exactly
+        return None if _isnan(v) else _norm(v)
+
+    norm = [(_fix(lo), _fix(hi)) for lo, hi in bounds]
+    # a single date/datetime mix across files: promote dates so the
+    # global sort below compares like _cmp_norm does pairwise
+    flat = [v for pair in norm for v in pair if v is not None]
+    if any(isinstance(v, _dt.datetime) for v in flat):
+        norm = [
+            tuple(
+                _dt.datetime(v.year, v.month, v.day)
+                if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+                else v
+                for v in pair
+            )
+            for pair in norm
+        ]
+    try:
+        los = sorted(lo for lo, _ in norm if lo is not None)  # non-(-inf) los
+        his = sorted(hi for _, hi in norm if hi is not None)  # non-(+inf) his
+        n = len(norm)
+        overlaps = []
+        for lo, hi in norm:
+            # j strictly right: lo_j > hi_i — never true for -inf los or +inf hi_i
+            strictly_right = 0 if hi is None else len(los) - bisect.bisect_right(los, hi)
+            # j strictly left: hi_j < lo_i — never true for +inf his or -inf lo_i
+            strictly_left = 0 if lo is None else bisect.bisect_left(his, lo)
+            overlaps.append(n - 1 - strictly_right - strictly_left)
+        return overlaps
+    except TypeError:
+        out = []
+        for i, (lo, hi) in enumerate(bounds):
+            c = 0
+            for j, (lo2, hi2) in enumerate(bounds):
+                if i == j:
+                    continue
+                if _lt(hi, lo2) is True or _lt(hi2, lo) is True:
+                    continue
+                c += 1
+            out.append(c)
+        return out
+
+
 def clustering_information(table, columns: list[str] | None = None) -> dict:
     """SYSTEM$CLUSTERING_INFORMATION analog (docs/07-partitioning.md:
     168-173) computed from manifest stats — no data I/O.  For each
@@ -521,17 +580,7 @@ def clustering_information(table, columns: list[str] | None = None) -> dict:
                 "depth_histogram": {str(len(bounds)): len(bounds)},
             }
             continue
-        overlaps = []
-        for i, (lo, hi) in enumerate(bounds):
-            n = 0
-            for j, (lo2, hi2) in enumerate(bounds):
-                if i == j:
-                    continue
-                # ranges intersect unless one is strictly left of the other
-                if _lt(hi, lo2) is True or _lt(hi2, lo) is True:
-                    continue
-                n += 1
-            overlaps.append(n)
+        overlaps = _range_overlaps(bounds)
         depths = [n + 1 for n in overlaps]
         hist: dict[str, int] = {}
         for d in depths:

@@ -221,5 +221,18 @@ def store_for(location: str, store: MetadataStore | None = None) -> MetadataStor
     if store is not None:
         if store is not LOCAL and not isinstance(store, LocalStore):
             _BOUND[key] = store
+        else:
+            # rebinding to the local default evicts any stale mapping —
+            # a table re-created at the same path after a drop must not
+            # resolve a prior in-memory store
+            _BOUND.pop(key, None)
         return store
     return _BOUND.get(key, LOCAL)
+
+
+def unbind(location: str) -> None:
+    """Evict a location→store binding (called on table drop) so
+    string-only consumers don't resolve a stale store for a table
+    later re-created at the same path, and the per-process registry
+    doesn't grow unboundedly across create/drop cycles."""
+    _BOUND.pop(os.path.abspath(location), None)

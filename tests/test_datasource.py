@@ -411,3 +411,49 @@ def test_randomized_offset_interleavings_deliver_exactly_once(ds, tmp_path):
     for lo, hi, paths in consumed_ranges:
         again = sorted(p.path for p in r.partitions(lo, hi))
         assert again == paths, f"replay of ({lo},{hi}] diverged"
+
+
+def test_schema_resolution_tolerates_arrow_type_spelling_drift(spark, tmp_path):
+    """Executors report str(arrow type) of written batches; across
+    pyarrow/Spark versions the SPELLING can drift (tz annotation,
+    large_string) while names/shape are identical.  Name-exact matches
+    must resolve to a schema id instead of permanently failing a
+    healthy stream's commits (ADVICE r5 #4)."""
+    from types import SimpleNamespace
+
+    from pyspark.sql import types as T
+
+    from icepack.datasource import _StreamWriter
+
+    loc = str(tmp_path / "drift_t")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    t = IceTable.create(spark, loc, schema)
+    w = _StreamWriter(loc, "sink-x")
+
+    # exact spellings resolve (baseline)
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    exact = [(f.name, str(to_arrow_type(f.dataType))) for f in schema.fields]
+    msg = SimpleNamespace(paths=[], columns=exact)
+    assert w._resolve_schema_id(t, [msg]) == t.meta.schema.schema_id
+
+    # drifted spellings with identical names also resolve
+    drifted = [
+        ("id", "int64"),
+        ("ts", "timestamp[us, tz=Etc/UTC]"),  # tz spelling drift
+        ("s", "large_string"),  # string representation drift
+    ]
+    msg = SimpleNamespace(paths=[], columns=drifted)
+    assert w._resolve_schema_id(t, [msg]) == t.meta.schema.schema_id
+
+    # a genuinely different column SET still refuses loudly
+    bad = [("id", "int64"), ("other", "int64"), ("s", "string")]
+    msg = SimpleNamespace(paths=[], columns=bad)
+    with pytest.raises(ValueError, match="no schema"):
+        w._resolve_schema_id(t, [msg])

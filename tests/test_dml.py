@@ -517,3 +517,44 @@ def test_dml_never_resurrects_mor_deleted_rows(spark, warehouse):
         (2, "B", 20.0),
         (3, "C", 30.0),
     ]
+
+
+def test_unqualified_delete_is_metadata_only(spark, warehouse, monkeypatch):
+    """DELETE FROM t with no WHERE (AlwaysTrue) must stay O(metadata):
+    no hit-detection scan, no rewrite — every file is proven a full
+    match and dropped (ADVICE r5 #1: truncate-style deletes were
+    regressed to a full data scan by the r4 hit-scan)."""
+    import icepack.dml as dml
+    from icepack.expr import AlwaysTrue
+
+    t, orders = _orders_table(spark, warehouse)
+
+    def _boom(*a, **k):
+        raise AssertionError("AlwaysTrue DELETE must not scan data")
+
+    monkeypatch.setattr(dml, "_scan_for_hits", _boom)
+    snap = t.delete(AlwaysTrue())
+    assert t.toDF().count() == 0
+    # metadata-only: the delete snapshot added no data files
+    assert int(snap.summary.get("added-data-files", 0)) == 0
+
+
+def test_opaque_delete_url_encodable_location(spark, tmp_path):
+    """A table location with URL-encodable characters (space) must not
+    turn an opaque-WHERE DELETE into a silent no-op: Spark reports
+    _metadata.file_path percent-encoded, manifests store raw paths
+    (ADVICE r5 #2)."""
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "ware house"))
+    isql.sql("CREATE ICEBERG TABLE oh (id BIGINT, v DOUBLE)")
+    for lo in (0, 100):
+        spark.createDataFrame(
+            [(lo + i, float(i)) for i in range(5)], "id bigint, v double"
+        ).createOrReplaceTempView("oh_src2")
+        isql.sql("INSERT INTO oh SELECT * FROM oh_src2")
+    isql.sql("DELETE FROM oh WHERE id + 0 = 102")  # opaque predicate
+    got = sorted(r.id for r in isql.sql("SELECT id FROM oh").collect())
+    assert got == sorted(
+        i for i in list(range(5)) + list(range(100, 105)) if i != 102
+    )

@@ -312,3 +312,43 @@ def test_verify_table_fsck(spark, tmp_path):
     open(mp, "w").write("".join(_json.dumps(x) + "\n" for x in lines))
     t2.refresh()
     assert any("!= footer" in f for f in verify_table(t2, check_data=True))
+
+
+def test_range_overlaps_sweep_matches_bruteforce():
+    """The O(n log n) sweep-line overlap count must equal the exact
+    pairwise definition on randomized inputs, incl. ties and NaN
+    bounds (ADVICE r5 #5)."""
+    import random
+
+    from icepack.expr import _lt
+    from icepack.maintenance import _range_overlaps
+
+    rng = random.Random(42)
+
+    def brute(bounds):
+        out = []
+        for i, (lo, hi) in enumerate(bounds):
+            c = 0
+            for j, (lo2, hi2) in enumerate(bounds):
+                if i != j and not (_lt(hi, lo2) is True or _lt(hi2, lo) is True):
+                    c += 1
+            out.append(c)
+        return out
+
+    for trial in range(30):
+        n = rng.randint(2, 40)
+        if trial % 3 == 0:  # integer bounds with heavy ties
+            bounds = [tuple(sorted((rng.randint(0, 8), rng.randint(0, 8)))) for _ in range(n)]
+        elif trial % 3 == 1:  # floats with occasional NaN garbage stats
+            bounds = []
+            for _ in range(n):
+                lo, hi = sorted((rng.random(), rng.random()))
+                if rng.random() < 0.15:
+                    lo = float("nan")
+                bounds.append((lo, hi))
+        else:  # ISO date strings (normalized to datetimes internally)
+            bounds = [
+                tuple(sorted((f"2024-01-{rng.randint(1, 28):02d}", f"2024-01-{rng.randint(1, 28):02d}")))
+                for _ in range(n)
+            ]
+        assert sorted(_range_overlaps(bounds)) == sorted(brute(bounds)), (trial, bounds)

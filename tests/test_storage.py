@@ -214,3 +214,28 @@ def test_location_binding_resolves_store_for_string_only_consumers(spark, tmp_pa
     off = r.latestOffset()
     parts = r.partitions({"seq": 0}, off)
     assert parts
+
+
+def test_binding_evicted_on_drop_and_rebind(spark, tmp_path):
+    """Dropping a table evicts its location→store binding, so a table
+    re-created at the same path with the default local store doesn't
+    resolve the stale in-memory store (ADVICE r5 #3)."""
+    from pyspark.sql import types as T
+
+    from icepack import storage
+    from icepack.catalog import Catalog
+    from icepack.storage import LOCAL, InMemoryStore, store_for
+
+    wh = str(tmp_path / "wh")
+    cat = Catalog(spark, wh, store=InMemoryStore())
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    t = cat.create_table("db.bind", schema)
+    loc = t.location
+    assert store_for(loc) is cat.store  # bound by the explicit store
+    # drop via a plain local-store catalog at the same warehouse
+    Catalog(spark, wh).drop_table("db.bind", purge=True)
+    assert store_for(loc) is LOCAL, "drop must evict the binding"
+    # explicit local rebind also evicts a stale mapping
+    storage._BOUND[os.path.abspath(loc)] = InMemoryStore()
+    assert store_for(loc, LOCAL) is LOCAL
+    assert store_for(loc) is LOCAL
