@@ -1,0 +1,291 @@
+"""Minimal from-scratch Apache Avro binary codec + Object Container
+File (OCF) reader/writer, implemented directly from the PUBLIC Avro
+1.11 specification (binary encoding + object container files).  No
+external avro library exists in this environment; the two Iceberg
+manifest schemas are small, so a generic schema-driven codec is ~200
+lines.
+
+Used by :mod:`icepack.iceberg_export` to write SPEC-FORMAT Iceberg
+manifests / manifest lists so an external Iceberg-speaking engine
+(Trino, Snowflake, Spark+runtime-jar — docs/11-multi-engine-
+compatibility.md:31-42,174-183) can read an exported icepack table.
+
+Encoding rules implemented (Avro spec "Binary Encoding"):
+- int/long: zig-zag base-128 varint
+- float/double: IEEE-754 little-endian 4/8 bytes
+- boolean: 1 byte; null: zero bytes
+- bytes/string: long length prefix + raw/UTF-8 bytes
+- fixed: raw bytes, no prefix
+- record: fields concatenated in schema order
+- enum: int position
+- union: long branch index + encoded value
+- array/map: blocks (long count, items, terminated by count 0)
+
+OCF layout: magic ``Obj\\x01``, file-metadata map (``avro.schema``,
+``avro.codec``), 16-byte sync marker, then data blocks of
+(record count, byte size, payload, sync).  Codec is always ``null``
+(uncompressed) — universally readable.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+
+MAGIC = b"Obj\x01"
+
+
+# ----------------------------------------------------------------- encode
+
+
+def _zigzag(n: int) -> bytes:
+    """Avro int/long: zig-zag then base-128 little-endian varint."""
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _encode_bytes(v: bytes) -> bytes:
+    return _zigzag(len(v)) + v
+
+
+def _encode_str(v: str) -> bytes:
+    return _encode_bytes(v.encode("utf-8"))
+
+
+def encode(value, schema, names: dict | None = None) -> bytes:
+    """Schema-driven binary encoding of a Python value.
+
+    *schema* is parsed Avro JSON: a type-name string, a dict, or a
+    list (union).  Named records register in *names* so later
+    references by name resolve (Avro named-type reuse)."""
+    if names is None:
+        names = {}
+    if isinstance(schema, str):
+        t = schema
+        if t in names:
+            return encode(value, names[t], names)
+        if t == "null":
+            if value is not None:
+                raise ValueError(f"non-null {value!r} for null schema")
+            return b""
+        if t == "boolean":
+            return b"\x01" if value else b"\x00"
+        if t in ("int", "long"):
+            return _zigzag(int(value))
+        if t == "float":
+            return struct.pack("<f", float(value))
+        if t == "double":
+            return struct.pack("<d", float(value))
+        if t == "bytes":
+            return _encode_bytes(bytes(value))
+        if t == "string":
+            return _encode_str(value)
+        raise ValueError(f"unknown type {t!r}")
+    if isinstance(schema, list):  # union: branch index + value
+        for i, branch in enumerate(schema):
+            bt = branch if isinstance(branch, str) else branch.get("type")
+            if value is None and bt == "null":
+                return _zigzag(i) + b""
+            if value is not None and bt != "null":
+                return _zigzag(i) + encode(value, branch, names)
+        raise ValueError(f"no union branch for {value!r} in {schema!r}")
+    t = schema["type"]
+    if t == "record":
+        names[schema["name"]] = schema
+        out = bytearray()
+        for f in schema["fields"]:
+            if isinstance(value, dict):
+                fv = value.get(f["name"])
+            else:
+                fv = getattr(value, f["name"])
+            out += encode(fv, f["type"], names)
+        return bytes(out)
+    if t == "fixed":
+        names[schema["name"]] = schema
+        if len(value) != schema["size"]:
+            raise ValueError(f"fixed size {schema['size']} != {len(value)}")
+        return bytes(value)
+    if t == "enum":
+        names[schema["name"]] = schema
+        return _zigzag(schema["symbols"].index(value))
+    if t == "array":
+        out = bytearray()
+        items = list(value or [])
+        if items:
+            out += _zigzag(len(items))
+            for it in items:
+                out += encode(it, schema["items"], names)
+        out += _zigzag(0)
+        return bytes(out)
+    if t == "map":
+        out = bytearray()
+        entries = dict(value or {})
+        if entries:
+            out += _zigzag(len(entries))
+            for k, v in entries.items():
+                out += _encode_str(k) + encode(v, schema["values"], names)
+        out += _zigzag(0)
+        return bytes(out)
+    # {"type": "long", ...} wrapper (e.g. with logicalType attributes)
+    return encode(value, t, names)
+
+
+# ----------------------------------------------------------------- decode
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.io = io.BytesIO(buf)
+
+    def read(self, n: int) -> bytes:
+        b = self.io.read(n)
+        if len(b) != n:
+            raise EOFError("truncated avro data")
+        return b
+
+    def zigzag(self) -> int:
+        shift, acc = 0, 0
+        while True:
+            b = self.read(1)[0]
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+
+def decode(r: _Reader, schema, names: dict | None = None):
+    """Schema-driven decode — the independent half of the round-trip
+    proof (generic walker over the schema, shares no structure-specific
+    code with the export writer)."""
+    if names is None:
+        names = {}
+    if isinstance(schema, str):
+        t = schema
+        if t in names:
+            return decode(r, names[t], names)
+        if t == "null":
+            return None
+        if t == "boolean":
+            return r.read(1) == b"\x01"
+        if t in ("int", "long"):
+            return r.zigzag()
+        if t == "float":
+            return struct.unpack("<f", r.read(4))[0]
+        if t == "double":
+            return struct.unpack("<d", r.read(8))[0]
+        if t == "bytes":
+            return r.read(r.zigzag())
+        if t == "string":
+            return r.read(r.zigzag()).decode("utf-8")
+        raise ValueError(f"unknown type {t!r}")
+    if isinstance(schema, list):
+        return decode(r, schema[r.zigzag()], names)
+    t = schema["type"]
+    if t == "record":
+        names[schema["name"]] = schema
+        return {f["name"]: decode(r, f["type"], names) for f in schema["fields"]}
+    if t == "fixed":
+        names[schema["name"]] = schema
+        return r.read(schema["size"])
+    if t == "enum":
+        names[schema["name"]] = schema
+        return schema["symbols"][r.zigzag()]
+    if t == "array":
+        out = []
+        while True:
+            n = r.zigzag()
+            if n == 0:
+                return out
+            if n < 0:  # block with byte-size prefix
+                n = -n
+                r.zigzag()
+            for _ in range(n):
+                out.append(decode(r, schema["items"], names))
+    if t == "map":
+        out = {}
+        while True:
+            n = r.zigzag()
+            if n == 0:
+                return out
+            if n < 0:
+                n = -n
+                r.zigzag()
+            for _ in range(n):
+                k = r.read(r.zigzag()).decode("utf-8")
+                out[k] = decode(r, schema["values"], names)
+    return decode(r, t, names)
+
+
+# ------------------------------------------------------------ containers
+
+
+def write_container(schema: dict, records: list, sync: bytes) -> bytes:
+    """Serialize an Avro Object Container File (one data block, null
+    codec).  *sync* must be exactly 16 bytes; passing it in (rather
+    than randomizing) keeps exports deterministic for byte-level
+    golden tests."""
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": b"null",
+    }
+    out = bytearray(MAGIC)
+    out += _zigzag(len(meta))
+    for k, v in sorted(meta.items()):
+        out += _encode_str(k) + _encode_bytes(v)
+    out += _zigzag(0)
+    out += sync
+    payload = bytearray()
+    names: dict = {}
+    for rec in records:
+        payload += encode(rec, schema, names)
+    out += _zigzag(len(records)) + _zigzag(len(payload)) + payload + sync
+    return bytes(out)
+
+
+def read_container(buf: bytes) -> tuple[dict, list]:
+    """Parse an OCF produced by any writer (null codec only): returns
+    (schema, records)."""
+    r = _Reader(buf)
+    if r.read(4) != MAGIC:
+        raise ValueError("not an avro object container file")
+    meta = {}
+    while True:
+        n = r.zigzag()
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            r.zigzag()
+        for _ in range(n):
+            k = r.read(r.zigzag()).decode("utf-8")
+            meta[k] = r.read(r.zigzag())
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b""):
+        raise ValueError(f"unsupported avro codec {codec!r}")
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    sync = r.read(16)
+    records = []
+    while True:
+        try:
+            n = r.zigzag()
+        except EOFError:
+            return schema, records
+        size = r.zigzag()
+        block = _Reader(r.read(size))
+        names: dict = {}
+        for _ in range(n):
+            records.append(decode(block, schema, names))
+        if r.read(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt container)")

@@ -1,0 +1,616 @@
+"""Spec-format Apache Iceberg v2 metadata export.
+
+icepack's native metadata is JSONL/JSON (SURVEY §1.1 deliberately maps
+the docs' "Avro" manifests to JSONL); that is self-consistent but an
+EXTERNAL Iceberg engine (Trino, Snowflake, Spark+iceberg-runtime —
+docs/11-multi-engine-compatibility.md:31-42,174-183) cannot load an
+icepack table directly.  ``export_iceberg(table, dest)`` closes that
+gap: it writes the table's current state (optionally its full main
+ancestry) as SPEC-COMPLIANT Iceberg v2 metadata —
+
+- ``v1.metadata.json`` + ``version-hint.text`` (HadoopCatalog layout),
+- one Avro manifest list per exported snapshot
+  (``snap-<id>.avro``, manifest_file schema, spec field-ids 500-519),
+- one Avro manifest per snapshot (``manifest_entry``/``data_file``
+  records, field-ids 0-4 / 100-142, per-column value/null counts and
+  single-value-serialized lower/upper bounds),
+
+referencing the EXISTING immutable parquet data files by absolute
+path — data is not copied.  Avro encoding comes from the from-scratch
+:mod:`icepack.avroenc` (no avro library exists offline).
+
+Fidelity notes (all mechanical, spec Appendix A/B/D):
+- transforms: identity/year/month/day/hour/truncate[W](string) and
+  ``mmh3bucket[N]`` (exported as spec ``bucket[N]`` — murmur3-correct,
+  see murmur3.py) map 1:1; icepack's native xxhash64 ``bucket[N]`` and
+  non-string ``truncate`` export as ``void`` — external engines then
+  read every partition (correct, just unpruned) instead of pruning
+  with a hash they can't reproduce (SURVEY §2.7 F6).
+- partition VALUES are re-encoded from icepack's lexical forms to the
+  spec's numeric forms (year→years since 1970, month→months since
+  1970-01, day→days since epoch, hour→hours since epoch).
+- merge-on-read tables are refused: exported data manifests alone
+  would resurrect MOR-deleted rows; compact first (same contract as
+  the plain datasource batch reader).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import struct
+import uuid
+
+from pyspark.sql import types as T
+
+from .avroenc import write_container
+from .metadata import type_from_str
+
+_EPOCH = _dt.date(1970, 1, 1)
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
+
+
+# ------------------------------------------------------------- type export
+
+
+def _iceberg_type(dt: T.DataType, alloc) -> object:
+    """Spark DataType → Iceberg schema-JSON type.  ``alloc()`` hands out
+    fresh field ids for nested element/key/value positions (the spec
+    requires every nested position to carry a unique id)."""
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+        return "int"
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.FloatType):
+        return "float"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.TimestampType):
+        return "timestamptz"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.StructType):
+        fields = []
+        for f in dt.fields:
+            fid = alloc()
+            fields.append(
+                {
+                    "id": fid,
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _iceberg_type(f.dataType, alloc),
+                }
+            )
+        return {"type": "struct", "fields": fields}
+    if isinstance(dt, T.ArrayType):
+        eid = alloc()
+        return {
+            "type": "list",
+            "element-id": eid,
+            "element": _iceberg_type(dt.elementType, alloc),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        kid, vid = alloc(), alloc()
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": _iceberg_type(dt.keyType, alloc),
+            "value-id": vid,
+            "value": _iceberg_type(dt.valueType, alloc),
+            "value-required": not dt.valueContainsNull,
+        }
+    raise ValueError(f"cannot export type {dt.simpleString()}")
+
+
+def _schema_json(schema, alloc) -> dict:
+    fields = []
+    for f in schema.fields:
+        if f.type == "time":  # metadata.py keeps the logical name
+            t: object = "time"
+        else:
+            t = _iceberg_type(type_from_str(f.type), alloc)
+        fields.append(
+            {"id": f.id, "name": f.name, "required": f.required, "type": t}
+        )
+    return {"type": "struct", "schema-id": schema.schema_id, "fields": fields}
+
+
+# --------------------------------------------------------- transform export
+
+
+def _export_transform(transform: str, source_type: str) -> str:
+    if transform.startswith("mmh3bucket["):
+        return "bucket[" + transform[len("mmh3bucket[") :]
+    if transform.startswith("bucket["):
+        return "void"  # xxhash64 bucket: external engines can't reproduce
+    if transform.startswith("truncate["):
+        return transform if source_type == "string" else "void"
+    return transform  # identity / year / month / day / hour
+
+
+def _spec_result_type(transform: str, source_type: str) -> str:
+    """Iceberg result type (as avro primitive) of an EXPORTED transform."""
+    t = _export_transform(transform, source_type)
+    if t == "void":
+        return "null"
+    if t == "identity" or t.startswith("truncate["):
+        return {
+            "int": "int",
+            "bigint": "long",
+            "long": "long",
+            "string": "string",
+            "date": "int",
+            "timestamp": "long",
+            "timestamp_ntz": "long",
+            "double": "double",
+            "float": "float",
+            "boolean": "boolean",
+        }.get(source_type, "string")
+    if t == "day":
+        return "int"  # days from epoch (logical date)
+    return "int"  # year / month / hour / bucket[N]
+
+
+def _spec_partition_value(transform: str, source_type: str, v):
+    """icepack's lexical partition value → the spec's numeric value."""
+    t = _export_transform(transform, source_type)
+    if t == "void" or v is None:
+        return None
+    if t == "year":
+        return int(v) - 1970
+    if t == "month":  # "yyyy-MM"
+        y, m = str(v).split("-")
+        return (int(y) - 1970) * 12 + (int(m) - 1)
+    if t == "day":  # "yyyy-MM-dd"
+        return (_dt.date.fromisoformat(str(v)) - _EPOCH).days
+    if t == "hour":  # "yyyy-MM-dd-HH"
+        d, h = str(v).rsplit("-", 1)
+        return ((_dt.date.fromisoformat(d) - _EPOCH).days * 24) + int(h)
+    if t == "identity":
+        return _plain_value(source_type, v)
+    return v  # bucket[N] int, truncate[W] string prefix
+
+
+def _plain_value(source_type: str, v):
+    if v is None:
+        return None
+    if source_type == "date":
+        return (_dt.date.fromisoformat(str(v)) - _EPOCH).days
+    if source_type in ("timestamp", "timestamp_ntz"):
+        return int(
+            (_dt.datetime.fromisoformat(str(v)) - _EPOCH_DT).total_seconds() * 1e6
+        )
+    return v
+
+
+# -------------------------------------------------- single-value bounds
+
+
+def _bound_bytes(source_type: str, v) -> bytes | None:
+    """Spec Appendix D single-value binary serialization of a stats
+    bound.  Types we don't track bounds for return None (the map entry
+    is simply omitted — optional per spec)."""
+    if v is None:
+        return None
+    try:
+        if source_type == "int":
+            return struct.pack("<i", int(v))
+        if source_type in ("bigint", "long"):
+            return struct.pack("<q", int(v))
+        if source_type == "float":
+            return struct.pack("<f", float(v))
+        if source_type == "double":
+            return struct.pack("<d", float(v))
+        if source_type == "boolean":
+            return b"\x01" if v else b"\x00"
+        if source_type == "date":
+            return struct.pack("<i", (_dt.date.fromisoformat(str(v)) - _EPOCH).days)
+        if source_type in ("timestamp", "timestamp_ntz", "time"):
+            if source_type == "time" and isinstance(v, int):
+                return struct.pack("<q", v)
+            micros = int(
+                (_dt.datetime.fromisoformat(str(v)) - _EPOCH_DT).total_seconds() * 1e6
+            )
+            return struct.pack("<q", micros)
+        if source_type == "string":
+            return str(v).encode("utf-8")
+    except (ValueError, TypeError, struct.error):
+        return None
+    return None  # decimal/binary/nested: bounds not exported
+
+
+# ----------------------------------------------------------- avro schemas
+
+
+def _fid(name: str, fid: int, ftype, doc: str | None = None) -> dict:
+    d = {"name": name, "type": ftype, "field-id": fid}
+    if isinstance(ftype, list):
+        d["default"] = None
+    return d
+
+
+def _manifest_list_schema() -> dict:
+    summary = {
+        "type": "record",
+        "name": "r508",
+        "fields": [
+            _fid("contains_null", 509, "boolean"),
+            _fid("contains_nan", 518, ["null", "boolean"]),
+            _fid("lower_bound", 510, ["null", "bytes"]),
+            _fid("upper_bound", 511, ["null", "bytes"]),
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            _fid("manifest_path", 500, "string"),
+            _fid("manifest_length", 501, "long"),
+            _fid("partition_spec_id", 502, "int"),
+            _fid("content", 517, "int"),
+            _fid("sequence_number", 515, "long"),
+            _fid("min_sequence_number", 516, "long"),
+            _fid("added_snapshot_id", 503, "long"),
+            _fid("added_files_count", 504, "int"),
+            _fid("existing_files_count", 505, "int"),
+            _fid("deleted_files_count", 506, "int"),
+            _fid("added_rows_count", 512, "long"),
+            _fid("existing_rows_count", 513, "long"),
+            _fid("deleted_rows_count", 514, "long"),
+            _fid("partitions", 507, ["null", {"type": "array", "items": summary}]),
+        ],
+    }
+
+
+def _kv_map(name: str, kid: int, vid: int, vtype: str) -> dict:
+    """Iceberg writes integer-keyed maps as arrays of key/value records
+    (avro maps require string keys)."""
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                _fid("key", kid, "int"),
+                _fid("value", vid, vtype),
+            ],
+        },
+        "logicalType": "map",
+    }
+
+
+def _partition_record_schema(spec, schema) -> dict:
+    fields = []
+    for pf in spec.fields:
+        src = schema.field_by_id(pf.source_id)
+        stype = src.type if src is not None else "string"
+        rtype = _spec_result_type(pf.transform, stype)
+        ftype: object = ["null"] if rtype == "null" else ["null", rtype]
+        fields.append(_fid(pf.name, pf.field_id, ftype))
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def _manifest_entry_schema(spec, schema) -> dict:
+    part = _partition_record_schema(spec, schema)
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            _fid("content", 134, "int"),
+            _fid("file_path", 100, "string"),
+            _fid("file_format", 101, "string"),
+            _fid("partition", 102, part),
+            _fid("record_count", 103, "long"),
+            _fid("file_size_in_bytes", 104, "long"),
+            _fid("value_counts", 109, ["null", _kv_map("k119_v120", 119, 120, "long")]),
+            _fid(
+                "null_value_counts",
+                110,
+                ["null", _kv_map("k121_v122", 121, 122, "long")],
+            ),
+            _fid(
+                "lower_bounds", 125, ["null", _kv_map("k126_v127", 126, 127, "bytes")]
+            ),
+            _fid(
+                "upper_bounds", 128, ["null", _kv_map("k129_v130", 129, 130, "bytes")]
+            ),
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            _fid("status", 0, "int"),
+            _fid("snapshot_id", 1, ["null", "long"]),
+            _fid("sequence_number", 3, ["null", "long"]),
+            _fid("file_sequence_number", 4, ["null", "long"]),
+            _fid("data_file", 2, data_file),
+        ],
+    }
+
+
+# --------------------------------------------------------------- exporter
+
+
+def _sync_for(name: str) -> bytes:
+    """Deterministic 16-byte sync marker (byte-stable exports → golden
+    tests); derived from the file name, collision-irrelevant (the sync
+    only delimits blocks within one file)."""
+    import hashlib
+
+    return hashlib.md5(name.encode()).digest()
+
+
+def _entry_record(table, f, status: int, snapshot_id: int) -> dict:
+    meta = table.meta
+    spec = meta.spec_by_id(f.spec_id)
+    schema = meta.schema_by_id(f.schema_id)
+    part = {}
+    for pf in spec.fields:
+        src = schema.field_by_id(pf.source_id)
+        stype = src.type if src is not None else "string"
+        part[pf.name] = _spec_partition_value(
+            pf.transform, stype, f.partition.get(pf.name)
+        )
+    value_counts, null_counts, lowers, uppers = [], [], [], []
+    for col, st in sorted(f.stats.items()):
+        fld = schema.field_by_name(col)
+        if fld is None:
+            continue
+        value_counts.append({"key": fld.id, "value": f.record_count})
+        if st.get("nulls") is not None:
+            null_counts.append({"key": fld.id, "value": int(st["nulls"])})
+        lo = _bound_bytes(fld.type, st.get("min"))
+        hi = _bound_bytes(fld.type, st.get("max"))
+        if lo is not None:
+            lowers.append({"key": fld.id, "value": lo})
+        if hi is not None:
+            uppers.append({"key": fld.id, "value": hi})
+    return {
+        "status": status,
+        "snapshot_id": snapshot_id,
+        "sequence_number": f.sequence_number,
+        "file_sequence_number": f.sequence_number,
+        "data_file": {
+            "content": 0,
+            "file_path": f.path,
+            "file_format": "PARQUET",
+            "partition": part,
+            "record_count": f.record_count,
+            "file_size_in_bytes": f.file_size_bytes,
+            "value_counts": value_counts or None,
+            "null_value_counts": null_counts or None,
+            "lower_bounds": lowers or None,
+            "upper_bounds": uppers or None,
+        },
+    }
+
+
+def export_iceberg(
+    table, dest: str | None = None, history: bool = False
+) -> str:
+    """Write spec-format Iceberg v2 metadata for *table* under *dest*
+    (default ``<location>/iceberg-metadata``).  Returns the path of the
+    written ``v1.metadata.json``.  ``history=True`` additionally
+    exports every main-ancestry snapshot (time travel from external
+    engines); default exports the current snapshot only.
+
+    Layout is the HadoopCatalog convention (version-hint.text naming
+    the current metadata version), the one layout external engines can
+    open from a bare path without a catalog service.  I/O is plain
+    binary file writes (not the MetadataStore seam): Avro is binary
+    and the whole point of an export is a REAL filesystem/object path
+    an external engine can open — an in-memory-store table has nothing
+    an external engine could read anyway."""
+    meta = table.meta
+    if table.live_files(content="deletes"):
+        raise ValueError(
+            "table has live merge-on-read delete files; exported data "
+            "manifests would resurrect deleted rows in external engines "
+            "— run compact() first"
+        )
+    dest = dest or os.path.join(table.location, "iceberg-metadata")
+    os.makedirs(dest, exist_ok=True)
+    snaps = (
+        [
+            s
+            for s in sorted(meta.snapshots, key=lambda s: s.sequence_number)
+            if s.snapshot_id in meta.main_ancestry_ids()
+        ]
+        if history
+        else ([meta.current_snapshot] if meta.current_snapshot else [])
+    )
+
+    # schemas: export with fresh nested-position ids past last_column_id
+    next_id = [meta.last_column_id]
+
+    def alloc() -> int:
+        next_id[0] += 1
+        return next_id[0]
+
+    schemas_json = [_schema_json(s, alloc) for s in meta.schemas]
+    specs_json = []
+    for sp in meta.partition_specs:
+        fields = []
+        for pf in sp.fields:
+            src = meta.schema.field_by_id(pf.source_id) or meta.schemas[0].field_by_id(
+                pf.source_id
+            )
+            stype = src.type if src is not None else "string"
+            fields.append(
+                {
+                    "name": pf.name,
+                    "transform": _export_transform(pf.transform, stype),
+                    "source-id": pf.source_id,
+                    "field-id": pf.field_id,
+                }
+            )
+        specs_json.append({"spec-id": sp.spec_id, "fields": fields})
+
+    snapshots_json = []
+    for snap in snaps:
+        schema = meta.schema_by_id(snap.schema_id)
+        files = table.live_files(snap)
+        # spec-correct grouping: ONE MANIFEST PER PARTITION SPEC — a
+        # manifest's entries all share its declared spec (partition
+        # evolution leaves old files on old specs, docs/07)
+        by_spec: dict[int, list] = {}
+        for f in files:
+            by_spec.setdefault(f.spec_id, []).append(f)
+        if not by_spec:
+            by_spec = {meta.default_spec_id: []}
+        mlist_recs = []
+        for spec_id in sorted(by_spec):
+            spec = meta.spec_by_id(spec_id)
+            group = by_spec[spec_id]
+            entry_schema = _manifest_entry_schema(spec, schema)
+            entries = [
+                _entry_record(
+                    table,
+                    f,
+                    1 if f.sequence_number == snap.sequence_number else 0,
+                    snap.snapshot_id,
+                )
+                for f in group
+            ]
+            mname = f"manifest-{snap.snapshot_id}-spec{spec_id}.avro"
+            mbuf = write_container(entry_schema, entries, _sync_for(mname))
+            mpath_ = os.path.join(dest, mname)
+            with open(mpath_, "wb") as fh:
+                fh.write(mbuf)
+            seqs = [f.sequence_number for f in group] or [snap.sequence_number]
+            added = [e for e in entries if e["status"] == 1]
+            existing = [e for e in entries if e["status"] != 1]
+            mlist_recs.append(
+                {
+                    "manifest_path": mpath_,
+                    "manifest_length": len(mbuf),
+                    "partition_spec_id": spec_id,
+                    "content": 0,
+                    "sequence_number": snap.sequence_number,
+                    "min_sequence_number": min(seqs),
+                    "added_snapshot_id": snap.snapshot_id,
+                    "added_files_count": len(added),
+                    "existing_files_count": len(existing),
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(
+                        e["data_file"]["record_count"] for e in added
+                    ),
+                    "existing_rows_count": sum(
+                        e["data_file"]["record_count"] for e in existing
+                    ),
+                    "deleted_rows_count": 0,
+                    "partitions": None,
+                }
+            )
+        lname = f"snap-{snap.snapshot_id}.avro"
+        lbuf = write_container(_manifest_list_schema(), mlist_recs, _sync_for(lname))
+        with open(os.path.join(dest, lname), "wb") as fh:
+            fh.write(lbuf)
+        snapshots_json.append(
+            {
+                "snapshot-id": snap.snapshot_id,
+                **(
+                    {"parent-snapshot-id": snap.parent_snapshot_id}
+                    if snap.parent_snapshot_id is not None
+                    and any(s.snapshot_id == snap.parent_snapshot_id for s in snaps)
+                    else {}
+                ),
+                "sequence-number": snap.sequence_number,
+                "timestamp-ms": snap.timestamp_ms,
+                "manifest-list": os.path.join(dest, lname),
+                "summary": {"operation": snap.operation, **snap.summary},
+                "schema-id": snap.schema_id,
+            }
+        )
+
+    md = {
+        "format-version": 2,
+        "table-uuid": meta.table_uuid
+        if _is_uuid(meta.table_uuid)
+        else str(uuid.uuid5(uuid.NAMESPACE_URL, meta.table_uuid)),
+        "location": table.location,
+        "last-sequence-number": meta.last_sequence_number,
+        "last-updated-ms": meta.last_updated_ms,
+        "last-column-id": next_id[0],
+        "current-schema-id": meta.current_schema_id,
+        "schemas": schemas_json,
+        "default-spec-id": meta.default_spec_id,
+        "partition-specs": specs_json,
+        "last-partition-id": max(
+            [pf.field_id for sp in meta.partition_specs for pf in sp.fields],
+            default=999,
+        ),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": {
+            **{k: str(v) for k, v in meta.properties.items()},
+            "icepack.exported": "true",
+        },
+        "current-snapshot-id": meta.current_snapshot_id
+        if meta.current_snapshot_id is not None and snaps
+        else -1,
+        "snapshots": snapshots_json,
+        "snapshot-log": [
+            {"snapshot-id": s["snapshot-id"], "timestamp-ms": s["timestamp-ms"]}
+            for s in snapshots_json
+        ],
+        "metadata-log": [],
+        "refs": (
+            {"main": {"snapshot-id": meta.current_snapshot_id, "type": "branch"}}
+            if meta.current_snapshot_id is not None and snaps
+            else {}
+        ),
+    }
+    mpath = os.path.join(dest, "v1.metadata.json")
+    with open(mpath, "w") as fh:
+        json.dump(md, fh, indent=2)
+    with open(os.path.join(dest, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return mpath
+
+
+def _is_uuid(s: str) -> bool:
+    try:
+        uuid.UUID(str(s))
+        return True
+    except ValueError:
+        return False
+
+
+# --------------------------------------------------------------- verifier
+
+
+def read_exported_file_list(metadata_path: str, snapshot_id: int | None = None):
+    """Independent read-back of an export: walk metadata.json →
+    manifest list → manifests with the generic avro decoder and return
+    [(file_path, record_count)] of live data files.  Used by tests and
+    the ``ice43`` driver query to prove the exported snapshot matches
+    ``live_files()``."""
+    from .avroenc import read_container
+
+    with open(metadata_path) as fh:
+        md = json.load(fh)
+    sid = snapshot_id if snapshot_id is not None else md["current-snapshot-id"]
+    snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
+    _, mlist = read_container(open(snap["manifest-list"], "rb").read())
+    out = []
+    for m in mlist:
+        _, entries = read_container(open(m["manifest_path"], "rb").read())
+        for e in entries:
+            if e["status"] == 2:  # deleted
+                continue
+            out.append((e["data_file"]["file_path"], e["data_file"]["record_count"]))
+    return sorted(out)

@@ -483,10 +483,10 @@ def _range_overlaps(bounds: list[tuple]) -> list[int]:
     two sorted endpoint arrays + binary search: for range i,
     ``overlaps_i = n-1 − #{lo_j > hi_i} − #{hi_j < lo_i}``.  The metric
     targets large tables (~100k files, docs/09:156-168) where the naive
-    pairwise loop is minutes of driver CPU.  NaN bounds are garbage
-    stats: such ranges conservatively overlap everything (matching the
-    pairwise ``_lt → None`` behavior).  Unorderable mixed types fall
-    back to the exact quadratic loop."""
+    pairwise loop is minutes of driver CPU.  A NaN bound is garbage
+    stats and behaves as ±inf on its own side (matching the pairwise
+    ``_lt → None`` behavior).  Unorderable mixed types fall back to
+    the exact quadratic loop."""
     import bisect
     import datetime as _dt
 

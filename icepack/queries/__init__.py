@@ -56,77 +56,84 @@ def load_all_modules() -> None:
 #: iteration order never depends on untracked files in the environment
 #: (same input -> same order, everywhere).
 #:
-#: Round-4 snapshot: first the 20 queries no driver round (r01–r03) has
-#: ever sampled — the only §2 rows still without driver hash evidence —
-#: then the queries new in round 4, then a regression re-sample of
-#: evidenced representatives of each operator family so prior greens
-#: can't silently rot.  (Cumulative driver evidence entering r04:
-#: 144/164 sampled, 144/144 green.)
+#: Round-5 snapshot: every §2 row has driver-green evidence
+#: (cumulative 175/175 entering r05), but 47 queries' LATEST evidence
+#: is r01 — nearly the whole X family plus the early join/predicate
+#: battery — four rounds of code movement behind their last driver
+#: hash.  Front-load all 47 (VERDICT r4 next-round #2: "no query's
+#: latest evidence older than two rounds"), then the DML-family
+#: queries whose hit-scan path changed this round, then the oldest
+#: r02-evidenced rows as budget allows.
 PRIORITY: list[str] = [
-    # never driver-sampled in r01–r03 (20) — close evidence to 164/164
-    "w3_range_frame",
-    "w4_ntile",
-    "w5_value_windows",
-    "o2_top_n",
-    "o3_union_all",
-    "o4_intersect",
-    "o4_except",
-    "o6_unpivot",
-    "o7_nulls_ordering",
-    "o8_histogram",
-    "f1_date_trunc",
-    "f2_date_parts",
-    "f3_date_arith",
-    "f4_casts",
-    "f5_strings",
-    "f6_bucket_mod",
-    "f8_explode_words",
-    "f9_math",
-    "f10_date_spine",
-    "f11_calendar",
-    # new in r04 — need first-time evidence
-    "ice34_scheduled_compaction",
-    "ice35_multi_stmt_txn",
-    "ice36_glue_catalog",
-    "ice37_memory_store",
-    "x45_domain_cap",
-    "x46_line_dedup_ratio",
-    "ice38_sql_pruned_select",
-    "ice39_distributed_plan",
-    "ice40_stream_source",
-    "ice41_time_travel_prune",
-    "ice42_fsck",
-    # evidenced regression re-sample — representatives per family
-    "a0_gold_daily",
-    "a1_groupby_count",
-    "a4_tpch_q1",
-    "a4_tpch_q5",
-    "a4_tpch_q18",
-    "a6_grouping_sets",
-    "a12_funnel",
-    "a15_sessionize_gap",
-    "j8_salted_join",
-    "w1_topk_per_group",
-    "w3_running_sum",
-    "ice1_create_append_read",
-    "ice2_time_travel",
-    "ice5_merge",
-    "ice7_hidden_partition_prune",
-    "ice10_mor_delete",
-    "ice13_medallion",
-    "ice22_cdc_diff",
-    "ice31_mor_pipeline",
-    "ice32_rest_catalog",
-    "st1_tumbling_window",
-    "st5_dedup",
+    # new in r05 — first-time evidence
+    "ice43_iceberg_export",
+    # latest driver evidence = r01 (47) — refresh first
+    "p1_pruned_scan",
+    "p3_time_range",
+    "p4_like",
+    "p5_json_extract",
+    "p5_from_json_struct",
+    "p6_null_handling",
+    "j1_inner_join",
+    "j2_left_join",
+    "j2_right_join",
+    "j2_full_outer",
+    "j3_broadcast_star",
+    "j4_semi_join",
+    "j4_anti_join",
+    "j5_range_join",
+    "j5_interval_bin_join",
+    "j7_asof_join",
+    "o1_global_sort",
+    "a3_approx_percentile",
     "x1_exact_dedup",
+    "x2_jaccard_pairs",
     "x3_minhash_lsh",
+    "x4_simhash",
     "x5_cosine_topk",
-    "x20_kmeans_ivf",
+    "x6_ann_bucketed",
+    "x7_text_quality",
+    "x8_fingerprint",
+    "x9_binary_meta",
+    "x10_doc_embedding_join",
+    "x11_token_regex",
+    "x12_lang_id",
+    "x13_embedding_neardup",
+    "x14_variant_json",
+    "x15_multimodal_features",
+    "x16_dedup_clusters",
+    "x17_tfidf_terms",
+    "x18_hash_sample",
+    "x19_weighted_mix",
+    "x21_repetition_ratio",
     "x22_contamination",
-    "x28_sequence_pack",
-    "x42_training_pipeline",
-    "x44_pii_redact",
+    "x23_dedup_keep_best",
+    "x24_char_entropy",
+    "x25_edit_distance",
+    "x26_quality_filter",
+    "x27_lsh_ann",
+    "x30_embedding_outliers",
+    "x31_jaccard_stopshingles",
+    "x32_bigram_entropy",
+    # DML hit-scan path changed in r05 — re-evidence the family
+    "ice3_delete_cow",
+    "ice4_update",
+    "ice16_mor_update",
+    # oldest (r02) evidence next, as budget allows
+    "ice11_incremental_read",
+    "ice14_refs_rollback",
+    "ice15_mor_position_delete",
+    "ice17_zorder_compact",
+    "ice19_partition_evolution",
+    "ice20_wap",
+    "ice27_scd2",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st3_session_window",
+    "x33_doc_chunking",
+    "x36_minhash_estimate",
+    "x39_kmeans_assign",
+    "x40_pq_encode",
 ]
 
 

@@ -1486,3 +1486,44 @@ def ice42_fsck(spark: SparkSession, sf: str) -> DataFrame:
     if findings:
         raise RuntimeError(f"table failed integrity check: {findings}")
     return t.toDF()
+
+
+@query(
+    "ice43_iceberg_export",
+    oracle=(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation "
+        "UNION ALL SELECT n_nationkey, n_name, n_regionkey FROM nation"
+    ),
+)
+def ice43_iceberg_export(spark: SparkSession, sf: str) -> DataFrame:
+    """S-family interop: SPEC-FORMAT Iceberg metadata export
+    (docs/11-multi-engine-compatibility.md:31-42,174-183).  Builds a
+    partitioned table over two appends, exports v2 metadata (from-
+    scratch Avro manifests + manifest list + spec JSON,
+    iceberg_export.py), then re-reads the export with the INDEPENDENT
+    schema-driven Avro decoder and raises unless the exported
+    snapshot's (file path, record count) list matches ``live_files()``
+    exactly AND the per-file record counts sum to the table count.
+    Rows value-check against the doubled-nation oracle."""
+    from ..iceberg_export import export_iceberg, read_exported_file_list
+
+    nation = load(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = IceTable.create(
+        spark, _scratch(), nation.schema,
+        partition_by=[("n_regionkey", "mmh3bucket[4]")],
+    )
+    t.append(nation)
+    t.append(nation)
+    mpath = export_iceberg(t)
+    exported = read_exported_file_list(mpath)
+    live = sorted((f.path, f.record_count) for f in t.live_files())
+    if exported != live:
+        raise RuntimeError(
+            f"exported file list diverged: {len(exported)} exported vs "
+            f"{len(live)} live"
+        )
+    if sum(rc for _, rc in exported) != t.toDF().count():
+        raise RuntimeError("exported record counts do not sum to table count")
+    return t.toDF().select("n_nationkey", "n_name", "n_regionkey")

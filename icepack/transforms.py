@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 _BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
 _TRUNC_RE = re.compile(r"^truncate\[(\d+)\]$")
+_MMH3_RE = re.compile(r"^mmh3bucket\[(\d+)\]$")
 
 _bucket_cache: dict[tuple, int] = {}
 
@@ -59,7 +60,11 @@ class Transform:
 
     @property
     def param(self) -> int | None:
-        m = _BUCKET_RE.match(self.name) or _TRUNC_RE.match(self.name)
+        m = (
+            _BUCKET_RE.match(self.name)
+            or _TRUNC_RE.match(self.name)
+            or _MMH3_RE.match(self.name)
+        )
         return int(m.group(1)) if m else None
 
     @property
@@ -85,6 +90,40 @@ class Transform:
             # prefix truncation (string semantics; integral columns are
             # stringified first — order-preserving for fixed-width keys)
             return F.substring(c.cast("string"), 1, self.param)
+        if k == "mmh3bucket":
+            # Iceberg-SPEC bucket (murmur3_x86_32, Appendix B) — the
+            # opt-in transform for tables meant to be exported to
+            # external Iceberg engines (iceberg_export.py).  Arrow-
+            # batched pandas UDF (not per-row Python): slower than the
+            # native xxhash64 bucket but byte-compatible with the spec.
+            import pandas as pd  # noqa: F401
+
+            from .murmur3 import bucket as _mmh3_bucket
+
+            n = self.param
+
+            @F.pandas_udf("int")
+            def _b(s):
+                import datetime as _pdt
+
+                import pandas as pd
+
+                def one(v):
+                    if v is None or (
+                        not isinstance(v, (bytes, str)) and pd.isna(v)
+                    ):  # None / NaN / NaT
+                        return None
+                    if hasattr(v, "to_pydatetime"):  # pd.Timestamp
+                        v = v.to_pydatetime()
+                    elif hasattr(v, "item"):  # numpy scalar → Python
+                        v = v.item()
+                    if isinstance(v, float) and float(v).is_integer():
+                        v = int(v)  # nullable int column arriving as float
+                    return _mmh3_bucket(v, n)
+
+                return s.map(one).astype("Int32")
+
+            return _b(c)
         raise ValueError(f"unknown transform {self.name}")
 
     def apply(self, value, spark: SparkSession | None = None, dtype=None):
@@ -125,12 +164,24 @@ class Transform:
                 )
                 _bucket_cache[key] = row["b"]
             return _bucket_cache[key]
+        if k == "mmh3bucket":
+            from .murmur3 import bucket as _mmh3_bucket
+
+            try:
+                return _mmh3_bucket(
+                    value, self.param, dtype.simpleString() if dtype else None
+                )
+            except TypeError:
+                return None  # unhashable literal type: no pruning
         raise ValueError(f"unknown transform {self.name}")
 
 
 def parse(name: str) -> Transform:
-    if name in ("identity", "year", "month", "day", "hour") or _BUCKET_RE.match(
-        name
-    ) or _TRUNC_RE.match(name):
+    if (
+        name in ("identity", "year", "month", "day", "hour")
+        or _BUCKET_RE.match(name)
+        or _TRUNC_RE.match(name)
+        or _MMH3_RE.match(name)
+    ):
         return Transform(name)
     raise ValueError(f"unknown transform {name!r}")
