@@ -32,7 +32,7 @@ from . import maintenance
 from .catalog import Catalog
 from .expr import AlwaysTrue, Expr, col as ecol
 from .metadata import Snapshot
-from .table import IceTable
+from .table import CommitConflict, IceTable
 
 # --------------------------------------------------------------------------
 # predicate parser: documented WHERE subset → expr.Expr (prunable)
@@ -431,6 +431,12 @@ class IceSQL:
         #: BEFORE(STATEMENT => <query_id>) surface (docs/05:66-72):
         #: query id → the snapshot id that statement committed
         self._stmt_snapshots: dict[str, int] = {}
+        # roll forward any multi-table COMMIT a previous process
+        # crashed in the middle of (publish-intent recovery, txn.py) —
+        # readers through this session then see none-or-all of it
+        from .txn import recover_transactions
+
+        recover_transactions(spark, warehouse, self.catalog.store)
 
     # -- helpers ------------------------------------------------------------
 
@@ -570,25 +576,69 @@ class IceSQL:
     def _txn_commit(self):
         """Publish every staged table: fast-forward main to its branch
         head (one CAS per table — readers see none or all of that
-        table's statements), then drop the branches.  On any failure
-        the remaining tables' staged branches are discarded so nothing
-        half-staged leaks into later statements."""
+        table's statements), then drop the branches.
+
+        Multi-table atomicity (docs/08:143-165): before the first
+        fast-forward, every staged table's publish precondition is
+        re-validated (doomed commits abort CLEANLY with nothing
+        published), then a PUBLISH INTENT is durably written — from
+        that point the transaction is decided, and a crash mid-publish
+        is rolled FORWARD by recover_transactions (run on IceSQL
+        open), so readers see none or all tables.  Failures before the
+        intent discard all staged branches as before."""
+        from .txn import write_publish_intent
+
         if self._txn is None:
             raise ValueError("COMMIT outside a transaction")
-        handles, self._txn, self._txn_id = self._txn, None, None
+        handles, txn_id, self._txn, self._txn_id = (
+            self._txn,
+            self._txn_id,
+            None,
+            None,
+        )
+        # pre-validate (refreshes each handle) — abort with zero tables
+        # published rather than deciding a commit that cannot complete
+        for name, h in handles.items():
+            if not h.txn_can_publish():
+                for h2 in handles.values():
+                    try:
+                        h2.txn_discard()
+                    except Exception:  # noqa: BLE001 — best-effort cleanup
+                        pass
+                raise CommitConflict(
+                    f"table {name!r} changed since the transaction staged "
+                    "it; aborting COMMIT (serialization failure)"
+                )
+        try:
+            intent = write_publish_intent(
+                self.catalog.store, self.catalog.warehouse, txn_id, handles.values()
+            )
+        except BaseException:
+            # nothing decided, nothing published: discard all staging
+            for h2 in handles.values():
+                try:
+                    h2.txn_discard()
+                except Exception:  # noqa: BLE001 — best-effort cleanup
+                    pass
+            raise
         applied = set()
         try:
             for name, h in handles.items():
                 h.txn_apply()
                 applied.add(name)
         except BaseException:
-            for name, h in handles.items():
-                if name not in applied:
-                    try:
-                        h.txn_discard()
-                    except Exception:  # noqa: BLE001 — best-effort cleanup
-                        pass
+            if intent is None:
+                for name, h in handles.items():
+                    if name not in applied:
+                        try:
+                            h.txn_discard()
+                        except Exception:  # noqa: BLE001 — best-effort cleanup
+                            pass
+            # with an intent on disk the COMMIT is decided: leave it for
+            # recovery to roll the remaining tables forward
             raise
+        if intent is not None:
+            self.catalog.store.delete(intent)
 
     def _txn_rollback(self):
         if self._txn is None:

@@ -1,0 +1,207 @@
+"""Crash-consistency sweeps (docs/08-acid-transactions.md): inject a
+process death at EVERY metadata mutation of a commit/maintenance path
+and verify the reopened table equals the pre- or post-state — never a
+partial.  The multi-table COMMIT sweep additionally proves the
+publish-intent machinery (txn.py): readers see none-or-all TABLES of
+a decided transaction after recovery."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from icepack.expr import col
+from icepack.io import load
+from icepack.sql import IceSQL
+from icepack.storage import LocalStore
+from icepack.table import IceTable
+from icepack.txn import recover_transactions
+
+from tests.conftest import SF_DIR, rows_sorted
+from tests.faultstore import CrashingStore, SimulatedCrash
+
+
+def _rows(spark, loc):
+    t = IceTable.load(spark, loc, store=LocalStore())
+    return rows_sorted(t.toDF())
+
+
+# --------------------------------------------------- multi-table COMMIT
+
+
+def _run_two_table_commit(spark, wh, fail_after):
+    """BEGIN; write table a; write table b; COMMIT under a store that
+    crashes at the k-th mutation.  Returns ("ok"|"crash", locations)."""
+    isql = IceSQL(spark, wh)
+    isql.sql("CREATE ICEBERG TABLE ta (id BIGINT, v STRING)")
+    isql.sql("CREATE ICEBERG TABLE tb (id BIGINT, v STRING)")
+    spark.createDataFrame([(1, "x")], "id bigint, v string").createOrReplaceTempView(
+        "seed"
+    )
+    isql.sql("INSERT INTO ta SELECT * FROM seed")
+    isql.sql("INSERT INTO tb SELECT * FROM seed")
+    la = isql.catalog._loc("ta")
+    lb = isql.catalog._loc("tb")
+    crash = CrashingStore(LocalStore(), fail_after)
+    isql.catalog.store = crash
+    try:
+        isql.sql("BEGIN")
+        spark.createDataFrame(
+            [(2, "txn")], "id bigint, v string"
+        ).createOrReplaceTempView("seed2")
+        isql.sql("INSERT INTO ta SELECT * FROM seed2")
+        isql.sql("INSERT INTO tb SELECT * FROM seed2")
+        isql.sql("COMMIT")
+        return "ok", (la, lb)
+    except SimulatedCrash:
+        return "crash", (la, lb)
+
+
+def test_multi_table_commit_none_or_all_under_crash_sweep(spark, tmp_path):
+    """For every crash point inside COMMIT: after recovery, table a
+    contains the transaction's row IFF table b does (none-or-all
+    across tables — VERDICT r4 next-round #3)."""
+    completed = False
+    saw_rollback, saw_rollforward = False, False
+    for k in range(0, 40):
+        wh = str(tmp_path / f"wh{k}")
+        outcome, (la, lb) = _run_two_table_commit(spark, wh, fail_after=k)
+        if outcome == "ok":
+            completed = True
+        # crash recovery: a fresh process opening the warehouse
+        recover_transactions(spark, wh, LocalStore())
+        a_has = any(r[0] == 2 for r in _rows(spark, la))
+        b_has = any(r[0] == 2 for r in _rows(spark, lb))
+        assert a_has == b_has, (
+            f"crash at mutation {k}: partial publish (ta={a_has}, tb={b_has})"
+        )
+        if outcome == "crash":
+            saw_rollback |= not a_has
+            saw_rollforward |= a_has
+        if outcome == "ok":
+            assert a_has and b_has
+            break
+    assert completed, "sweep never reached the no-crash budget"
+    # both recovery regimes must have been exercised: crashes before the
+    # intent roll BACK (nothing published), crashes after it roll FORWARD
+    assert saw_rollback, "no crash point exercised the pre-intent rollback"
+    assert saw_rollforward, "no crash point exercised intent roll-forward"
+
+
+def test_commit_without_crash_publishes_and_clears_intent(spark, tmp_path):
+    wh = str(tmp_path / "wh-ok")
+    outcome, (la, lb) = _run_two_table_commit(spark, wh, fail_after=10_000)
+    assert outcome == "ok"
+    assert any(r[0] == 2 for r in _rows(spark, la))
+    assert any(r[0] == 2 for r in _rows(spark, lb))
+    assert not os.path.exists(os.path.join(wh, "_txn_intents")) or not os.listdir(
+        os.path.join(wh, "_txn_intents")
+    )
+    # a later IceSQL open finds nothing to recover
+    assert recover_transactions(spark, wh, LocalStore()) == []
+
+
+# ------------------------------------------- single-table commit paths
+
+
+def _sweep(spark, tmp_path, name, setup, op, max_k=60):
+    """Generic sweep: build a table, snapshot its pre-state, run *op*
+    under a store crashing at every k; the reopened table must equal
+    pre- or post-state."""
+    # reference run to capture the post-state
+    loc_ref = str(tmp_path / f"{name}-ref")
+    t = setup(loc_ref)
+    pre = rows_sorted(t.toDF())
+    op(t)
+    post = rows_sorted(t.refresh().toDF())
+
+    for k in range(0, max_k):
+        loc = str(tmp_path / f"{name}-{k}")
+        t = setup(loc)
+        crash = CrashingStore(LocalStore(), fail_after=k)
+        t.store = crash
+        try:
+            op(t)
+            crashed = False
+        except SimulatedCrash:
+            crashed = True
+        got = _rows(spark, loc)
+        assert got in (pre, post), (
+            f"{name}: crash at mutation {k} left a partial state "
+            f"({len(got)} rows vs pre {len(pre)} / post {len(post)})"
+        )
+        # integrity: reopened table passes verification
+        t2 = IceTable.load(spark, loc, store=LocalStore())
+        findings = t2.verify()
+        assert not findings, f"{name}: crash at {k} broke integrity: {findings}"
+        if not crashed:
+            assert got == post
+            return
+    pytest.fail(f"{name}: sweep never completed within {max_k} mutations")
+
+
+@pytest.fixture()
+def nation(spark):
+    return load(spark, SF_DIR, "nation")
+
+
+def test_crash_sweep_append(spark, tmp_path, nation):
+    def setup(loc):
+        t = IceTable.create(spark, loc, nation.schema)
+        t.append(nation.filter(F.col("n_nationkey") < 10))
+        return t
+
+    _sweep(spark, tmp_path, "append", setup, lambda t: t.append(nation))
+
+
+def test_crash_sweep_cow_delete(spark, tmp_path, nation):
+    def setup(loc):
+        t = IceTable.create(spark, loc, nation.schema)
+        t.append(nation)
+        return t
+
+    _sweep(
+        spark, tmp_path, "delete", setup, lambda t: t.delete(col("n_regionkey") == 1)
+    )
+
+
+def test_crash_sweep_compact(spark, tmp_path, nation):
+    from icepack.maintenance import compact
+
+    def setup(loc):
+        t = IceTable.create(spark, loc, nation.schema)
+        t.append(nation.filter(F.col("n_nationkey") % 2 == 0))
+        t.append(nation.filter(F.col("n_nationkey") % 2 == 1))
+        return t
+
+    _sweep(spark, tmp_path, "compact", setup, lambda t: compact(t))
+
+
+def test_crash_sweep_rewrite_manifests(spark, tmp_path, nation):
+    from icepack.maintenance import rewrite_manifests
+
+    def setup(loc):
+        t = IceTable.create(spark, loc, nation.schema)
+        t.append(nation.filter(F.col("n_nationkey") % 2 == 0))
+        t.append(nation.filter(F.col("n_nationkey") % 2 == 1))
+        return t
+
+    _sweep(spark, tmp_path, "rewrite", setup, lambda t: rewrite_manifests(t))
+
+
+def test_crash_sweep_expire_snapshots(spark, tmp_path, nation):
+    from icepack.maintenance import expire_snapshots
+
+    def setup(loc):
+        t = IceTable.create(spark, loc, nation.schema)
+        t.append(nation.filter(F.col("n_nationkey") < 10))
+        t.append(nation.filter(F.col("n_nationkey") >= 10))
+        return t
+
+    _sweep(
+        spark,
+        tmp_path,
+        "expire",
+        setup,
+        lambda t: expire_snapshots(t, older_than_ms=10**15, retain_last=1),
+    )
