@@ -229,6 +229,24 @@ class _StreamReader(DataSourceStreamReader):
 class _BatchReader(DataSourceReader):
     def __init__(self, location: str):
         self._location = location
+        self._pushed = None  # icepack Expr assembled by pushFilters
+
+    def pushFilters(self, filters):
+        """Translate Spark's pushed filters into the pruning language
+        and let ``plan_files`` skip files/partitions whose stats can't
+        match — the same manifest pruning ``toDF()`` gets.  EVERY filter
+        is returned as still-needed: manifest pruning is file-level
+        (a conservative superset), so Spark re-applies the predicates
+        row-level and correctness never depends on stats quality."""
+        from .expr import And
+
+        expr = None
+        for f in filters:
+            e = _translate_filter(f)
+            if e is not None:
+                expr = e if expr is None else And(expr, e)
+        self._pushed = expr
+        return filters
 
     def partitions(self):
         from pyspark.sql import SparkSession
@@ -244,10 +262,46 @@ class _BatchReader(DataSourceReader):
                 "read through IceTable.toDF() (applies deletes) or "
                 "compact first"
             )
-        return [_FilePart(f.path, _column_plan(t, f.schema_id)) for f in t.live_files()]
+        if self._pushed is not None:
+            files, _report = t.plan_files(self._pushed)
+        else:
+            files = t.live_files()
+        return [_FilePart(f.path, _column_plan(t, f.schema_id)) for f in files]
 
     def read(self, partition: _FilePart):
         return _read_file(partition)
+
+
+def _translate_filter(f):
+    """One Spark datasource Filter → icepack Expr, or None when the
+    shape isn't prunable (nested column, unsupported operator).  Only
+    top-level single-part column paths participate — manifest stats
+    are keyed by top-level name."""
+    from pyspark.sql import datasource as dsf
+
+    from .expr import Cmp, In as IceIn, IsNull as IceIsNull, NotNull
+
+    attr = getattr(f, "attribute", None)
+    if not attr or len(attr) != 1:
+        return None
+    name = attr[0]
+    if isinstance(f, dsf.EqualTo):
+        return Cmp(name, "=", f.value)
+    if isinstance(f, dsf.GreaterThan):
+        return Cmp(name, ">", f.value)
+    if isinstance(f, dsf.GreaterThanOrEqual):
+        return Cmp(name, ">=", f.value)
+    if isinstance(f, dsf.LessThan):
+        return Cmp(name, "<", f.value)
+    if isinstance(f, dsf.LessThanOrEqual):
+        return Cmp(name, "<=", f.value)
+    if isinstance(f, dsf.In):
+        return IceIn(name, list(f.value))
+    if isinstance(f, dsf.IsNull):
+        return IceIsNull(name)
+    if isinstance(f, dsf.IsNotNull):
+        return NotNull(name)
+    return None
 
 
 @dataclass
@@ -447,4 +501,7 @@ class IcepackDataSource(DataSource):
 
 
 def register(spark) -> None:
+    from .session import ensure_confs
+
+    ensure_confs(spark)  # incl. python filterPushdown (pushFilters below)
     spark.dataSource.register(IcepackDataSource)

@@ -35,6 +35,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # let spark.read.format("icepack") push filters into manifest
+    # pruning (datasource.py::_BatchReader.pushFilters)
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -386,6 +386,19 @@ _QUERY_HISTORY = re.compile(
 _IS_TABLES = re.compile(
     r"(?i)\bTABLE\s*\(\s*INFORMATION_SCHEMA\s*\.\s*TABLES\s*\)"
 )
+#: statements the result cache must never serve (volatile surfaces,
+#: clock/random functions, time travel whose resolution can shift
+#: under snapshot expiry)
+_CACHE_VOLATILE = re.compile(
+    r"(?i)RESULT_SCAN|QUERY_HISTORY|INFORMATION_SCHEMA|LAST_QUERY_ID"
+    r"|\bAT\s*\(|\bBEFORE\s*\(|\bRAND(?:OM)?\s*\(|CURRENT_|\bNOW\s*\("
+    r"|\bUUID\s*\(|\$CHANGES\b"
+)
+#: FROM/JOIN relation identifiers (cache safety: each must resolve)
+_CACHE_RELS = re.compile(r"(?i)\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)")
+#: CTE names declared by the statement itself
+_CACHE_CTES = re.compile(r"(?i)\b([A-Za-z_]\w*)\s+AS\s*\(")
+
 #: docs/09:97-99: TABLE(RESULT_SCAN('<query_id>' | LAST_QUERY_ID()))
 _RESULT_SCAN = re.compile(
     r"(?i)\bTABLE\s*\(\s*RESULT_SCAN\s*\(\s*"
@@ -431,6 +444,17 @@ class IceSQL:
         #: BEFORE(STATEMENT => <query_id>) surface (docs/05:66-72):
         #: query id → the snapshot id that statement committed
         self._stmt_snapshots: dict[str, int] = {}
+        #: cross-query RESULT CACHE (docs/01-table-format-architecture.md:163):
+        #: normalized statement text → {"snapshots": {location:
+        #: current-snapshot-id at store time}, "df": retained lazy plan}.
+        #: A hit requires every referenced table's CURRENT snapshot to
+        #: still equal the recorded one (any commit — this session or
+        #: another process — changes the id and invalidates).  Only pure
+        #: SELECTs whose relations all resolve to iceberg tables/views
+        #: are cached; the plan is lazy and its snapshot's files are
+        #: immutable, so replaying it is exactly Snowflake's 'reuse the
+        #: cached result' semantics.
+        self._result_cache: dict[str, dict] = {}
         # roll forward any multi-table COMMIT a previous process
         # crashed in the middle of (publish-intent recovery, txn.py) —
         # readers through this session then see none-or-all of it
@@ -563,6 +587,52 @@ class IceSQL:
                 return t
         raise ValueError(f"unknown iceberg table {name!r}")
 
+    # -- result cache (docs/01:163) -----------------------------------------
+
+    def _cache_lookup(self, text: str):
+        """Return the retained plan when the statement text matches and
+        every referenced table's CURRENT snapshot id (re-read from the
+        metadata pointer, so commits from other processes count) still
+        equals the one recorded at store time; else None."""
+        if self._txn is not None:
+            return None  # inside BEGIN..COMMIT reads go to the branch
+        ent = self._result_cache.get(text)
+        if ent is None:
+            return None
+        for loc, sid in ent["snapshots"].items():
+            try:
+                if IceTable.load(self.spark, loc).meta.current_snapshot_id != sid:
+                    return None
+            except Exception:  # noqa: BLE001 — dropped table etc.: miss
+                return None
+        return ent["df"]
+
+    def _cache_store(self, text: str, df: DataFrame, handles) -> None:
+        """Cache only what is provably safe to replay: no volatile
+        surfaces (RESULT_SCAN / QUERY_HISTORY / time travel / random /
+        clock), every FROM/JOIN relation resolves to an iceberg
+        table, view, or CTE of the statement (an unknown name could be
+        a session temp view whose content changes without any snapshot
+        moving), and at least one iceberg table was actually read."""
+        if self._txn is not None or _CACHE_VOLATILE.search(text):
+            return
+        known = set()
+        for t in self.catalog.list_tables():
+            known |= {t.lower(), t.replace(".", "_").lower(), t.split(".")[-1].lower()}
+        known |= {v.lower() for v in self._views}
+        known |= {a.lower() for a in self._linked}
+        known |= {m.lower() for m in _CACHE_CTES.findall(text)}
+        for ident in _CACHE_RELS.findall(text):
+            if ident.lower() not in known:
+                return
+        snaps = {}
+        for h in handles:
+            if not isinstance(h, IceTable):
+                return
+            snaps[h.location] = h.meta.current_snapshot_id
+        if snaps:
+            self._result_cache[text] = {"snapshots": snaps, "df": df}
+
     # -- multi-statement transactions (D6, docs/08:143-165) -----------------
 
     def _txn_begin(self):
@@ -658,11 +728,16 @@ class IceSQL:
         import time as _time
 
         start = _time.time()
-        mark = len(self._stmt_handles)
-        out = self._sql_inner(stmt)
-        handles, self._stmt_handles[mark:] = self._stmt_handles[mark:], []
-        scans = [e for h in handles for e in getattr(h, "_scan_log", [])]
         text = stmt.strip().rstrip(";").strip()
+        cached = self._cache_lookup(text)
+        if cached is not None:
+            out, handles, cache_hit = cached, [], True
+        else:
+            mark = len(self._stmt_handles)
+            out = self._sql_inner(stmt)
+            handles, self._stmt_handles[mark:] = self._stmt_handles[mark:], []
+            cache_hit = False
+        scans = [e for h in handles for e in getattr(h, "_scan_log", [])]
         m = re.match(r"[A-Za-z]+", text)
         qtype = (m.group(0).upper() if m else "?")
         if qtype == "WITH":
@@ -680,11 +755,14 @@ class IceSQL:
                 sum(e.get("bytes_scanned", 0) for e in scans) if scans else None,
                 sum(e.get("bytes_total", 0) for e in scans) if scans else None,
                 None,  # rows_produced: results are lazy, never forced here
+                cache_hit,
             )
         )
         if isinstance(out, DataFrame):
             # RESULT_SCAN surface: retain the (lazy) result plan by id
             self._results[str(len(self._history))] = out
+            if not cache_hit and qtype == "SELECT":
+                self._cache_store(text, out, handles)
         elif isinstance(out, Snapshot):
             # BEFORE(STATEMENT) surface: remember what this DML committed
             self._stmt_snapshots[str(len(self._history))] = out.snapshot_id
@@ -1451,7 +1529,8 @@ class IceSQL:
             "query_id string, query_text string, query_type string,"
             " start_time timestamp, partitions_scanned long,"
             " partitions_total long, files_scanned long, files_total long,"
-            " bytes_scanned long, bytes_total long, rows_produced long",
+            " bytes_scanned long, bytes_total long, rows_produced long,"
+            " cache_hit boolean",
         )
 
     def _tables_df(self) -> DataFrame:

@@ -18,6 +18,8 @@ from icepack.expr import col
 from icepack.maintenance import compact
 from icepack.table import IceTable
 
+from tests.conftest import rows_sorted
+
 
 @pytest.fixture()
 def ds(spark):
@@ -457,3 +459,65 @@ def test_schema_resolution_tolerates_arrow_type_spelling_drift(spark, tmp_path):
     msg = SimpleNamespace(paths=[], columns=bad)
     with pytest.raises(ValueError, match="no schema"):
         w._resolve_schema_id(t, [msg])
+
+
+def test_batch_reader_filter_pushdown_prunes_partitions(ds, tmp_path):
+    spark = ds
+    """spark.read.format('icepack') prunes like toDF(): pushed filters
+    reach plan_files, so a partition-aligned predicate lists fewer
+    file partitions (VERDICT r4 next-round #5); every filter is also
+    returned to Spark for row-level re-application, so results stay
+    exact even where stats can't discriminate."""
+    import datetime as dt
+
+    from pyspark.sql import datasource as dsf
+
+    from icepack.datasource import _BatchReader
+
+    loc = str(tmp_path / "pd_t")
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1 + (i % 3), 5), float(i)) for i in range(30)],
+        "id bigint, d date, v double",
+    )
+    t = IceTable.create(spark, loc, df.schema, partition_by=[("d", "month")])
+    t.append(df)
+    total = len(t.live_files())
+    assert total >= 3  # one file set per month partition
+
+    # unit level: pushFilters → partitions() lists a strict subset
+    r = _BatchReader(loc)
+    still_needed = r.pushFilters([dsf.EqualTo(("d",), dt.date(2024, 2, 5))])
+    assert len(list(still_needed)) == 1  # everything re-applied by Spark
+    pruned = r.partitions()
+    assert 0 < len(pruned) < total
+
+    # scanned < total, QUERY_HISTORY-style
+    unfiltered = _BatchReader(loc)
+    assert len(unfiltered.partitions()) == total
+
+    # end to end: result equality against toDF under the same predicate
+    got = (
+        spark.read.format("icepack")
+        .load(loc)
+        .filter("d = DATE'2024-02-05'")
+        .select("id", "v")
+    )
+    want = t.toDF().filter("d = DATE'2024-02-05'").select("id", "v")
+    assert rows_sorted(got) == rows_sorted(want)
+
+    # range + IN + null-ops translate too (superset always returned)
+    r2 = _BatchReader(loc)
+    r2.pushFilters(
+        [
+            dsf.GreaterThanOrEqual(("id",), 10),
+            dsf.In(("id",), (11, 12)),
+            dsf.IsNotNull(("v",)),
+        ]
+    )
+    assert len(r2.partitions()) <= total
+    got2 = (
+        spark.read.format("icepack").load(loc)
+        .filter("id >= 10 and id in (11, 12) and v is not null")
+        .select("id")
+    )
+    assert sorted(x.id for x in got2.collect()) == [11, 12]

@@ -877,3 +877,57 @@ def test_opaque_delete_rewrites_only_true_hit_files(spark, tmp_path):
         i for i in list(range(5)) + list(range(100, 105)) + list(range(200, 205))
         if i != 102
     )
+
+
+def test_result_cache_hit_and_invalidation(spark, tmp_path):
+    """Cross-query result caching (docs/01-table-format-architecture.md:163):
+    identical statement + unchanged snapshot → the retained plan is
+    reused (QUERY_HISTORY marks the hit); ANY commit to a referenced
+    table invalidates; volatile statements and unknown relations are
+    never cached."""
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE rc (id BIGINT, v DOUBLE)")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id bigint, v double"
+    ).createOrReplaceTempView("rc_seed")
+    isql.sql("INSERT INTO rc SELECT * FROM rc_seed")
+
+    q = "SELECT id, v FROM rc WHERE id < 5"
+    r1 = isql.sql(q)
+    r2 = isql.sql(q)  # hit: same retained plan object
+    assert r2 is r1
+    hist = {
+        r.query_id: r.cache_hit
+        for r in isql.sql("SELECT * FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())")
+        .filter("query_text = '%s'" % q)
+        .collect()
+    }
+    assert sorted(hist.values()) == [False, True]
+
+    # commit invalidates: re-execution, not the stale plan
+    isql.sql("INSERT INTO rc SELECT * FROM rc_seed")
+    r3 = isql.sql(q)
+    assert r3 is not r1
+    assert r3.count() == 10  # fresh rows included
+
+    # invalidation also sees commits from ANOTHER session
+    isql2 = IceSQL(spark, str(tmp_path / "wh"))
+    r4 = isql.sql(q)  # prime
+    spark.createDataFrame([(100, 1.0)], "id bigint, v double").createOrReplaceTempView(
+        "rc_seed2"
+    )
+    isql2.sql("INSERT INTO rc SELECT * FROM rc_seed2")
+    assert isql.sql(q) is not r4
+
+    # a statement referencing a session temp view is NOT cached (its
+    # content can change without any snapshot moving)
+    qq = "SELECT COUNT(*) AS n FROM rc JOIN rc_seed ON rc.id = rc_seed.id"
+    a = isql.sql(qq)
+    assert isql.sql(qq) is not a
+
+    # volatile statements are not cached
+    qv = "SELECT * FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())"
+    b = isql.sql(qv)
+    assert isql.sql(qv) is not b
