@@ -74,17 +74,22 @@ def main() -> None:
     # Three timed iterations, keep the min: single-shot timings on a
     # shared box jitter 2-4× from GC pauses / compile stragglers (the
     # full plan still executes end-to-end every time — min-of-N is the
-    # standard steady-state estimator, not a cache artifact).  n=3
-    # (raised from 2) so a round-over-round delta is attributable to a
-    # plan change rather than one unlucky run.
-    timings: dict[str, float] = {}
+    # standard steady-state estimator, not a cache artifact).  All
+    # samples are also reported as mean±sd per query so a
+    # round-over-round delta can be classified noise vs real from the
+    # artifact alone (a min-only report can't distinguish them).
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _ in range(3):
         for name in HEADLINE:
             t0 = time.time()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            dt = round(time.time() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            samples[name].append(round(time.time() - t0, 3))
+    timings = {name: min(ts) for name, ts in samples.items()}
+    spread = {}
+    for name, ts in samples.items():
+        mean = sum(ts) / len(ts)
+        sd = (sum((t - mean) ** 2 for t in ts) / (len(ts) - 1)) ** 0.5
+        spread[name] = {"mean": round(mean, 3), "sd": round(sd, 3)}
 
     # Streaming-ingest leg (docs/12:211-236 bronze pattern): events as a
     # bounded multi-batch file stream through the foreachBatch snapshot
@@ -97,6 +102,15 @@ def main() -> None:
     timings["st0_stream_ingest"] = st_time
 
     total = round(sum(timings.values()), 3)
+    # sf1 ladder rows (tools/scale_ladder.py 10× rung, re-measured each
+    # round): embedded so the sf1 trend is machine-tracked in BENCH_r*
+    # rather than living only in SCALE.md prose
+    sf1 = None
+    ladder_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SF1_BENCH.json")
+    if os.path.exists(ladder_path):
+        with open(ladder_path) as fh:
+            rec = json.load(fh)
+        sf1 = {"value": rec.get("value"), "queries": rec.get("queries")}
     print(
         json.dumps(
             {
@@ -104,7 +118,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
                 "sf": sf,
+                "sf1_ladder": sf1,
                 "stream_files": st_files,
                 "stream_rows_per_sec": st_rows_per_sec,
             }

@@ -28,7 +28,12 @@ from ..io import load
 from . import REGISTRY, query
 
 def _shingle_rows(
-    spark: SparkSession, sf: str, distinct: bool, carry: tuple = (), where=None
+    spark: SparkSession,
+    sf: str,
+    distinct: bool,
+    carry: tuple = (),
+    where=None,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sh) rows of 3-word shingles — and, when ``distinct``,
     the per-doc distinct-shingle count ``n_sh``.  ``carry`` names
@@ -46,7 +51,7 @@ def _shingle_rows(
     fan-out (free at 100 TB where the scan is already parallel)."""
     from pyspark.sql import Window as W
 
-    d = load(spark, sf, "documents")
+    d = docs if docs is not None else load(spark, sf, "documents")
     if where is not None:
         # pre-window filter → reaches the parquet scan (a post-pipeline
         # filter can't push below a non-key window)
@@ -154,8 +159,26 @@ def x2_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     Shingle identity never reaches the output, so the shuffle key is
     xxhash64(shingle) — 8 bytes instead of a ~25-byte string through
     the widest exchange (~20% faster here, more at scale; a 64-bit
-    collision would only nudge one pair's `common` count)."""
-    ex = _shingle_rows(spark, sf, distinct=True).withColumn("sh", F.xxhash64("sh"))
+    collision would only nudge one pair's `common` count).
+
+    MULTIPLICITY COLLAPSE (the 100 TB duplicate-saturation path): the
+    pipeline first groups EXACT-duplicate texts to one representative
+    (one linear shuffle on text), runs the quadratic pair expansion on
+    representatives only, then expands the small result back to doc-id
+    pairs (cross pairs inherit the rep pair's jaccard; within-group
+    pairs are jaccard 1.0 by construction).  On a K×-duplicated corpus
+    this turns the K² term in the pair SHUFFLE into pure output
+    materialization — measured on the sf1 ladder (10× replicated
+    texts, SCALE.md)."""
+    d = load(spark, sf, "documents")
+    groups = d.groupBy("text").agg(
+        F.min("doc_id").alias("rep"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+    reps = groups.select(F.col("rep").alias("doc_id"), "text")
+    ex = _shingle_rows(spark, sf, distinct=True, docs=reps).withColumn(
+        "sh", F.xxhash64("sh")
+    )
     # array_sort on structs orders by the leading field → doc_id
     # ascending → id_a < id_b by construction
     buckets = (
@@ -177,9 +200,48 @@ def x2_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("common")
     )
     jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
-    return counts.filter(jac >= 0.8).select(
+    rep_pairs = counts.filter(jac >= 0.8).select(
         "id_a", "id_b", F.round(jac, 4).alias("jaccard")
     )
+    # expand representative pairs back to all duplicate members (the
+    # rep-pair result is output-sized, so these joins are tiny)
+    mem = groups.select("rep", "members")
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("id_a"), F.col("members").alias("ma")),
+            "id_a",
+        )
+        .join(
+            mem.select(F.col("rep").alias("id_b"), F.col("members").alias("mb")),
+            "id_b",
+        )
+        .select(F.explode("ma").alias("x"), "mb", "jaccard")
+        .select("x", F.explode("mb").alias("y"), "jaccard")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # exact-duplicate groups: every member pair is jaccard 1.0 — but
+    # only for texts that HAVE shingles (<3 words produce no pairs in
+    # the expanded formulation either)
+    shingled = ex.select(F.col("doc_id").alias("rep")).distinct()
+    within = (
+        groups.filter(F.size("members") > 1)
+        .join(shingled, "rep")
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(members) - 1),"
+                    " i -> transform(slice(members, i + 1, size(members) - i),"
+                    " y -> struct(members[i-1] AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 @query(

@@ -396,6 +396,9 @@ _CACHE_VOLATILE = re.compile(
 )
 #: FROM/JOIN relation identifiers (cache safety: each must resolve)
 _CACHE_RELS = re.compile(r"(?i)\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)")
+#: retained plans are tiny (lazy), but the dict must not grow without
+#: bound in a long-lived session: FIFO-evict past this many entries
+_RESULT_CACHE_MAX = 256
 #: CTE names declared by the statement itself
 _CACHE_CTES = re.compile(r"(?i)\b([A-Za-z_]\w*)\s+AS\s*\(")
 
@@ -631,6 +634,8 @@ class IceSQL:
                 return
             snaps[h.location] = h.meta.current_snapshot_id
         if snaps:
+            while len(self._result_cache) >= _RESULT_CACHE_MAX:
+                self._result_cache.pop(next(iter(self._result_cache)))
             self._result_cache[text] = {"snapshots": snaps, "df": df}
 
     # -- multi-statement transactions (D6, docs/08:143-165) -----------------

@@ -76,7 +76,22 @@ def main() -> None:
     build(out, replicas)
     env = {**os.environ, "SPARK_GRAFT_SF_DIR": out}
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    subprocess.run([sys.executable, os.path.join(repo, "bench.py")], env=env, check=True)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "bench.py")],
+        env=env,
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    line = proc.stdout.strip().splitlines()[-1]
+    print(line)
+    if replicas == 10:  # the canonical sf1 rung: persist for bench.py
+        import json
+
+        rec = json.loads(line)
+        with open(os.path.join(repo, "SF1_BENCH.json"), "w") as fh:
+            json.dump(rec, fh, indent=2, sort_keys=True)
+        print(f"wrote {os.path.join(repo, 'SF1_BENCH.json')}")
 
 
 if __name__ == "__main__":
