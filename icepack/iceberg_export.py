@@ -361,9 +361,19 @@ def _entry_record(table, f, status: int, snapshot_id: int) -> dict:
     for pf in spec.fields:
         src = schema.field_by_id(pf.source_id)
         stype = src.type if src is not None else "string"
-        part[pf.name] = _spec_partition_value(
-            pf.transform, stype, f.partition.get(pf.name)
-        )
+        v = _spec_partition_value(pf.transform, stype, f.partition.get(pf.name))
+        # the avro partition field type is derived from the SAME
+        # (transform, source type) pair, so mismatches only arise when
+        # the source column is gone (dropped) or of a type we map to
+        # "string" (e.g. decimal identity) — stringify rather than
+        # crash the encoder on a non-str value
+        if (
+            v is not None
+            and _spec_result_type(pf.transform, stype) == "string"
+            and not isinstance(v, str)
+        ):
+            v = str(v)
+        part[pf.name] = v
     value_counts, null_counts, lowers, uppers = [], [], [], []
     for col, st in sorted(f.stats.items()):
         fld = schema.field_by_name(col)

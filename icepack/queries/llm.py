@@ -844,12 +844,25 @@ def x13_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     Arrow boundary and ran 10× slower; measured).  Block size is
     bounded by the bucket-bit count: at larger n, add sign bits so a
     block's gram matrix stays in executor memory — same knob that
-    bounds candidate pairs in any LSH design."""
+    bounds candidate pairs in any LSH design.
+
+    MULTIPLICITY COLLAPSE (r5, mirroring x2): exact-duplicate vectors
+    group to one representative before blocking, so a K×-duplicated
+    corpus (the sf1 ladder) pays K²-fold only in output
+    materialization, not in the gram matrices; cross pairs inherit the
+    rep pair's cosine, within-group pairs are exactly 1.0 (identical
+    nonzero vectors)."""
     e = load(spark, sf, "embeddings")
+    groups = e.groupBy("embedding").agg(
+        F.min("vec_id").alias("rep"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"),
+    )
     bucket = (F.element_at("embedding", 1) > 0).cast("int") * 2 + (
         F.element_at("embedding", 2) > 0
     ).cast("int")
-    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    b = groups.select(
+        F.col("rep").alias("vec_id"), "embedding", bucket.alias("bucket")
+    )
 
     def score_block(pdf):  # type: ignore[no-untyped-def]
         import numpy as np
@@ -873,9 +886,47 @@ def x13_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
             }
         )
 
-    return b.groupBy("bucket").applyInPandas(
+    rep_pairs = b.groupBy("bucket").applyInPandas(
         score_block, "id_a bigint, id_b bigint, cos_sim double"
     )
+    mem = groups.select("rep", "members")
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("id_a"), F.col("members").alias("ma")),
+            "id_a",
+        )
+        .join(
+            mem.select(F.col("rep").alias("id_b"), F.col("members").alias("mb")),
+            "id_b",
+        )
+        .select(F.explode("ma").alias("x"), "mb", "cos_sim")
+        .select("x", F.explode("mb").alias("y"), "cos_sim")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    # identical-vector groups: cos is exactly 1.0 — except the zero
+    # vector, whose cosine is undefined (the gram path yields NaN and
+    # drops it; match that)
+    sumsq = F.expr(
+        "aggregate(embedding, cast(0.0 as double), (a, x) -> a + x * x)"
+    )
+    within = (
+        groups.filter((F.size("members") > 1) & (sumsq > 0))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(members) - 1),"
+                    " i -> transform(slice(members, i + 1, size(members) - i),"
+                    " y -> struct(members[i-1] AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b", F.lit(1.0).alias("cos_sim"))
+    )
+    return cross.unionByName(within)
 
 
 @query(

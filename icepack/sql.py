@@ -394,8 +394,12 @@ _CACHE_VOLATILE = re.compile(
     r"|\bAT\s*\(|\bBEFORE\s*\(|\bRAND(?:OM)?\s*\(|CURRENT_|\bNOW\s*\("
     r"|\bUUID\s*\(|\$CHANGES\b"
 )
-#: FROM/JOIN relation identifiers (cache safety: each must resolve)
-_CACHE_RELS = re.compile(r"(?i)\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)")
+#: FROM/JOIN relation identifiers (cache safety: each must resolve) —
+#: comma-separated FROM lists are captured whole and split, so an
+#: unchecked temp view can't slip in via ``FROM t1, t2``
+_CACHE_RELS = re.compile(
+    r"(?i)\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*(?:\s*,\s*[A-Za-z_][\w.]*)*)"
+)
 #: retained plans are tiny (lazy), but the dict must not grow without
 #: bound in a long-lived session: FIFO-evict past this many entries
 _RESULT_CACHE_MAX = 256
@@ -625,9 +629,10 @@ class IceSQL:
         known |= {v.lower() for v in self._views}
         known |= {a.lower() for a in self._linked}
         known |= {m.lower() for m in _CACHE_CTES.findall(text)}
-        for ident in _CACHE_RELS.findall(text):
-            if ident.lower() not in known:
-                return
+        for group in _CACHE_RELS.findall(text):
+            for ident in (i.strip() for i in group.split(",")):
+                if ident and ident.lower() not in known:
+                    return
         snaps = {}
         for h in handles:
             if not isinstance(h, IceTable):

@@ -266,3 +266,19 @@ def test_export_after_schema_evolution(spark, tmp_path):
     assert read_exported_file_list(mpath) == sorted(
         (f.path, f.record_count) for f in t.live_files()
     )
+
+
+def test_export_identity_partition_of_dropped_column(spark, tmp_path):
+    """Identity partitions whose source column was dropped (or whose
+    type maps to string) export as stringified values instead of
+    crashing the Avro encoder (r5 audit)."""
+    loc = str(tmp_path / "dropcol_t")
+    df = spark.createDataFrame(
+        [(1, 7, "a"), (2, 8, "b")], "id bigint, bucketed bigint, s string"
+    )
+    t = IceTable.create(spark, loc, df.schema, partition_by=[("bucketed", "identity")])
+    t.append(df)
+    t.drop_column("bucketed")
+    mpath = export_iceberg(t)
+    got = read_exported_file_list(mpath)
+    assert got == sorted((f.path, f.record_count) for f in t.live_files())

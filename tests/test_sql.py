@@ -931,3 +931,22 @@ def test_result_cache_hit_and_invalidation(spark, tmp_path):
     qv = "SELECT * FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())"
     b = isql.sql(qv)
     assert isql.sql(qv) is not b
+
+
+def test_result_cache_comma_join_temp_view_not_cached(spark, tmp_path):
+    """FROM t1, t2 (comma join): the second relation must be checked
+    too — a temp view there changes content without any snapshot
+    moving, so the statement must never be served from cache (r5 audit)."""
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE cj (id BIGINT)")
+    spark.createDataFrame([(1,)], "id bigint").createOrReplaceTempView("cj_seed")
+    isql.sql("INSERT INTO cj SELECT * FROM cj_seed")
+    q = "SELECT COUNT(*) AS n FROM cj, cj_seed WHERE cj.id = cj_seed.id"
+    a = isql.sql(q)
+    assert a.first().n == 1
+    # mutate ONLY the temp view; a (wrong) cache hit would still say 1
+    spark.createDataFrame([(1,), (2,)], "id bigint").createOrReplaceTempView("cj_seed")
+    b = isql.sql(q)
+    assert b is not a
