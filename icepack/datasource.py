@@ -67,6 +67,11 @@ class _FilePart(InputPartition):
     path: str
     #: [(source_column_in_file_or_None, current_name, current_ddl_type)]
     columns: list
+    #: merge-on-read masks for THIS file (batch reader only): sorted
+    #: row positions to drop, and [(current col names, {value tuples})]
+    #: equality-delete groups — resolved driver-side, tiny by design
+    del_pos: list | None = None
+    del_eq: list | None = None
 
 
 def _schema_version_for(meta, declared):
@@ -106,13 +111,18 @@ def _read_file(part: _FilePart):
     """Executor-side: one parquet file → arrow batches shaped to the
     current schema — rename by field ID, null-fill post-write added
     columns, and cast widened columns (int→long etc.) to the current
-    arrow type so every batch matches the source's declared schema."""
+    arrow type so every batch matches the source's declared schema.
+    Merge-on-read masks (position drops, equality-delete tuples) apply
+    per batch AFTER reconciliation, so equality values compare under
+    the current types."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     targets = part.columns
+    pos = set(part.del_pos or ())
     f = pq.ParquetFile(part.path)
+    offset = 0
     for batch in f.iter_batches():
         arrays, names = [], []
         n = batch.num_rows
@@ -125,7 +135,20 @@ def _read_file(part: _FilePart):
                 arr = pa.nulls(n, type=at)
             arrays.append(arr)
             names.append(cur)
-        yield pa.RecordBatch.from_arrays(arrays, names=names)
+        out = pa.RecordBatch.from_arrays(arrays, names=names)
+        if pos:
+            keep = [i for i in range(n) if (offset + i) not in pos]
+            if len(keep) < n:
+                out = out.take(pa.array(keep, type=pa.int64()))
+        for cols, tuples in part.del_eq or ():
+            idx = [names.index(c) for c in cols]
+            vals = [out.column(i).to_pylist() for i in idx]
+            keep = [i for i, row in enumerate(zip(*vals)) if row not in tuples]
+            if len(keep) < out.num_rows:
+                out = out.take(pa.array(keep, type=pa.int64()))
+        offset += n
+        if out.num_rows:
+            yield out
 
 
 class _StreamReader(DataSourceStreamReader):
@@ -255,21 +278,109 @@ class _BatchReader(DataSourceReader):
 
         spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
         t = IceTable.load(spark, self._location)
-        if t.live_files(content="deletes"):
-            raise ValueError(
-                "table has live merge-on-read delete files; the plain "
-                "datasource batch reader would resurrect deleted rows — "
-                "read through IceTable.toDF() (applies deletes) or "
-                "compact first"
-            )
+        deletes = t.live_files(content="deletes")
         if self._pushed is not None:
             files, _report = t.plan_files(self._pushed)
         else:
             files = t.live_files()
-        return [_FilePart(f.path, _column_plan(t, f.schema_id)) for f in files]
+        if not deletes:
+            return [_FilePart(f.path, _column_plan(t, f.schema_id)) for f in files]
+        pos_by_path, eq_groups = _resolve_mor_deletes(t, deletes)
+        parts = []
+        for f in files:
+            dp = sorted(
+                p
+                for seq, positions in pos_by_path.get(f.path, ())
+                if f.sequence_number < seq
+                for p in positions
+            )
+            de = [
+                (cols, tuples)
+                for seq, cols, tuples in eq_groups
+                if f.sequence_number < seq
+            ]
+            parts.append(
+                _FilePart(
+                    f.path,
+                    _column_plan(t, f.schema_id),
+                    del_pos=dp or None,
+                    del_eq=de or None,
+                )
+            )
+        return parts
 
     def read(self, partition: _FilePart):
         return _read_file(partition)
+
+
+#: driver-side bound on MOR delete rows loaded for the batch reader;
+#: delete files are small by design (the table read path broadcasts
+#: them) — a table past this needs compaction, not a bigger driver
+_MOR_DELETE_ROW_CAP = 2_000_000
+
+
+def _resolve_mor_deletes(t, deletes):
+    """Driver-side resolution of the table's live merge-on-read delete
+    files for the batch reader (they are read once with pyarrow and
+    shipped inside the partitions):
+
+    - position deletes → {data path: [(delete seq, positions array)]}
+    - equality deletes → [(delete seq, current column names, {value
+      tuples})], columns resolved by FIELD ID through the delete
+      file's schema version (a renamed key still applies — same rule
+      as table._read_with_deletes), values cast to the current arrow
+      types so executor-side comparison is type-aligned."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    from .dml import _normalize_file_uri
+
+    current = t.meta.schema
+    total = sum(d.record_count for d in deletes)
+    if total > _MOR_DELETE_ROW_CAP:
+        raise ValueError(
+            f"table has {total} live merge-on-read delete rows — past the "
+            "batch reader's driver-side bound; run compact() to fold the "
+            "deletes into data files first"
+        )
+    pos_by_path: dict = {}
+    eq_groups: list = []
+    for d in deletes:
+        tbl = pq.read_table(d.path)
+        if d.content == "position-deletes":
+            paths = tbl.column("file_path").to_pylist()
+            poss = tbl.column("pos").to_pylist()
+            per: dict = {}
+            for p, i in zip(paths, poss):
+                per.setdefault(_normalize_file_uri(p), []).append(i)
+            for p, positions in per.items():
+                pos_by_path.setdefault(p, []).append(
+                    (d.sequence_number, positions)
+                )
+        else:  # equality-deletes
+            dschema = t.meta.schema_by_id(d.schema_id)
+            cols, arrays = [], []
+            for c in d.equality_columns:
+                f_old = dschema.field_by_name(c)
+                f_cur = current.field_by_id(f_old.id) if f_old else None
+                if f_cur is None:
+                    raise ValueError(
+                        f"equality-delete file {d.path} keys on {c!r} "
+                        "(field dropped from the current schema); compact "
+                        "to materialize the deletes before dropping the "
+                        "column"
+                    )
+                arr = tbl.column(c)
+                at = to_arrow_type(f_cur.spark_type())
+                if arr.type != at:
+                    arr = pc.cast(arr, at)
+                cols.append(f_cur.name)
+                arrays.append(arr.to_pylist())
+            eq_groups.append(
+                (d.sequence_number, tuple(cols), set(zip(*arrays)))
+            )
+    return pos_by_path, eq_groups
 
 
 def _translate_filter(f):

@@ -30,8 +30,8 @@ Fidelity notes (all mechanical, spec Appendix A/B/D):
   spec's numeric forms (year→years since 1970, month→months since
   1970-01, day→days since epoch, hour→hours since epoch).
 - merge-on-read tables are refused: exported data manifests alone
-  would resurrect MOR-deleted rows; compact first (same contract as
-  the plain datasource batch reader).
+  would resurrect MOR-deleted rows in external engines; compact
+  first to materialize the deletes.
 """
 
 from __future__ import annotations

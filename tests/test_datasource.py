@@ -4,8 +4,8 @@ as a first-class Spark streaming source.
 Pins: initial catch-up, checkpointed incremental restarts (only the
 rows appended between runs are delivered), refusal of non-append
 commits mid-range, the skip-overwrite-snapshots escape hatch, schema
-reconciliation across renames, and the batch reader's delete-file
-refusal.
+reconciliation across renames, and the batch reader's per-partition
+merge-on-read delete application.
 """
 
 import os
@@ -95,18 +95,37 @@ def test_stream_survives_column_rename(ds, tmp_path):
     assert sorted(r.score for r in got.collect()) == [float(i) for i in range(6)]
 
 
-def test_batch_reader_and_delete_refusal(ds, tmp_path):
+def test_batch_reader_applies_mor_deletes(ds, tmp_path):
+    """The batch reader applies merge-on-read delete files per
+    partition (r5; previously it refused MOR tables): equality AND
+    position deletes, sequence-scoped so rows re-inserted AFTER a
+    delete survive — row-identical to toDF()."""
     spark = ds
     t, loc = _mk(spark, tmp_path)
     got = spark.read.format("icepack").option("location", loc).load()
     assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4, 5]
-    # live MOR delete files: the plain batch reader must refuse
+    # equality delete
     t.set_properties(**{"write.delete.mode": "merge-on-read"})
     t.delete(col("id") == 2)
-    with pytest.raises(Exception, match="delete files"):
-        spark.read.format("icepack").option("location", loc).load().collect()
-    # toDF remains the delete-applying batch path
-    assert sorted(r.id for r in t.toDF().collect()) == [0, 1, 3, 4, 5]
+    got = spark.read.format("icepack").option("location", loc).load()
+    assert sorted(r.id for r in got.collect()) == [0, 1, 3, 4, 5]
+    # re-insert AFTER the delete: newer sequence → must survive
+    t.append(spark.createDataFrame([Row(id=2, v=99.0)]))
+    got = spark.read.format("icepack").option("location", loc).load()
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4, 5]
+    assert [r.v for r in got.collect() if r.id == 2] == [99.0]
+    # position delete on top
+    t.set_properties(**{"write.delete.mor.strategy": "position"})
+    t.delete(col("id") == 4)
+    got = spark.read.format("icepack").option("location", loc).load()
+    assert rows_sorted(got) == rows_sorted(t.toDF())
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 5]
+    # pushdown composes with MOR masks
+    got = (
+        spark.read.format("icepack").option("location", loc).load()
+        .filter("id >= 2")
+    )
+    assert sorted(r.id for r in got.collect()) == [2, 3, 5]
 
 
 def test_native_sink_table_to_table_stream(ds, tmp_path):
