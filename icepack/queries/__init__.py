@@ -67,6 +67,8 @@ def load_all_modules() -> None:
 PRIORITY: list[str] = [
     # new in r05 — first-time evidence
     "ice43_iceberg_export",
+    "ice44_result_cache",
+    "ice45_mor_batch_read",
     # latest driver evidence = r01 (47) — refresh first
     "p1_pruned_scan",
     "p3_time_range",

@@ -1527,3 +1527,86 @@ def ice43_iceberg_export(spark: SparkSession, sf: str) -> DataFrame:
     if sum(rc for _, rc in exported) != t.toDF().count():
         raise RuntimeError("exported record counts do not sum to table count")
     return t.toDF().select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "ice44_result_cache",
+    oracle=(
+        "SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n, "
+        "COUNT(*) AS n2 FROM nation GROUP BY n_regionkey"
+    ),
+)
+def ice44_result_cache(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-query result caching (docs/01-table-format-architecture.md:163):
+    the same SELECT re-issued with no intervening commit must be served
+    from the retained plan (QUERY_HISTORY cache_hit=true — raises
+    otherwise), and a commit must invalidate (third run re-executes,
+    raises if it hits).  Returns the cached and post-commit counts side
+    by side so the oracle value-checks both executions."""
+    from ..sql import IceSQL
+
+    isql = IceSQL(spark, _scratch())
+    nation = load(spark, sf, "nation")
+    nation.createOrReplaceTempView("ice44_seed")
+    isql.sql("CREATE ICEBERG TABLE rc44 (n_nationkey BIGINT, n_regionkey BIGINT)")
+    isql.sql(
+        "INSERT INTO rc44 SELECT n_nationkey, n_regionkey FROM ice44_seed"
+    )
+    q = "SELECT n_regionkey, COUNT(*) AS n FROM rc44 GROUP BY n_regionkey"
+    first = isql.sql(q)
+    second = isql.sql(q)
+    if second is not first:
+        raise RuntimeError("identical statement was not served from the cache")
+    hist = isql.sql("SELECT query_text, cache_hit FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())")
+    hits = [r.cache_hit for r in hist.collect() if r.query_text == q]
+    if hits != [False, True]:
+        raise RuntimeError(f"QUERY_HISTORY cache marks wrong: {hits}")
+    # any commit invalidates
+    isql.sql("INSERT INTO rc44 SELECT n_nationkey + 1000, n_regionkey FROM ice44_seed WHERE n_nationkey < 0")
+    third = isql.sql(q)
+    if third is first:
+        raise RuntimeError("commit did not invalidate the result cache")
+    return (
+        second.withColumnRenamed("n", "n_cached")
+        .join(third.withColumnRenamed("n", "n2"), "n_regionkey")
+        .select("n_regionkey", F.col("n_cached").alias("n"), "n2")
+    )
+
+
+@query(
+    "ice45_mor_batch_read",
+    oracle=(
+        "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey <> 2 "
+        "AND n_nationkey <> 5"
+    ),
+)
+def ice45_mor_batch_read(spark: SparkSession, sf: str) -> DataFrame:
+    """The registered batch data source reads a merge-on-read table
+    row-identically to toDF(): an equality DELETE and a position
+    DELETE both mask through spark.read.format('icepack'), with a
+    pushed filter composing on top (r5; previously the reader refused
+    MOR tables)."""
+    from ..datasource import register
+
+    register(spark)
+    nation = load(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    t = IceTable.create(
+        spark, _scratch(), nation.schema,
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(nation)
+    t.delete(col("n_regionkey") == 2)  # equality delete file
+    t.set_properties(**{"write.delete.mor.strategy": "position"})
+    t.delete(col("n_nationkey") == 5)  # position delete file
+    got = (
+        spark.read.format("icepack")
+        .option("location", t.location)
+        .load()
+        .select("n_nationkey", "n_name")
+    )
+    # cross-check row identity with the delete-applying table scan
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, t.toDF().select("n_nationkey", "n_name").collect()))
+    if a != b:
+        raise RuntimeError("datasource MOR read diverged from toDF()")
+    return got

@@ -600,10 +600,12 @@ class IceSQL:
         """Return the retained plan when the statement text matches and
         every referenced table's CURRENT snapshot id (re-read from the
         metadata pointer, so commits from other processes count) still
-        equals the one recorded at store time; else None."""
+        equals the one recorded at store time; else None.  Keys carry
+        the active database: the same text resolves differently after
+        USE DATABASE."""
         if self._txn is not None:
             return None  # inside BEGIN..COMMIT reads go to the branch
-        ent = self._result_cache.get(text)
+        ent = self._result_cache.get((self._database, text))
         if ent is None:
             return None
         for loc, sid in ent["snapshots"].items():
@@ -641,7 +643,10 @@ class IceSQL:
         if snaps:
             while len(self._result_cache) >= _RESULT_CACHE_MAX:
                 self._result_cache.pop(next(iter(self._result_cache)))
-            self._result_cache[text] = {"snapshots": snaps, "df": df}
+            self._result_cache[(self._database, text)] = {
+                "snapshots": snaps,
+                "df": df,
+            }
 
     # -- multi-statement transactions (D6, docs/08:143-165) -----------------
 
@@ -768,6 +773,12 @@ class IceSQL:
                 cache_hit,
             )
         )
+        if qtype in ("CREATE", "ALTER", "DROP", "UNDROP", "USE"):
+            # DDL can change what a statement text MEANS without moving
+            # any snapshot pointer (view redefinitions, column renames —
+            # a schema-evolution commit bumps the metadata version but
+            # not current-snapshot-id): drop every retained result
+            self._result_cache.clear()
         if isinstance(out, DataFrame):
             # RESULT_SCAN surface: retain the (lazy) result plan by id
             self._results[str(len(self._history))] = out

@@ -950,3 +950,25 @@ def test_result_cache_comma_join_temp_view_not_cached(spark, tmp_path):
     spark.createDataFrame([(1,), (2,)], "id bigint").createOrReplaceTempView("cj_seed")
     b = isql.sql(q)
     assert b is not a
+
+
+def test_result_cache_invalidated_by_ddl_and_database_scoped(spark, tmp_path):
+    """Schema-evolution DDL commits no snapshot yet changes what a
+    cached SELECT means — any DDL clears the cache; and the cache key
+    carries the active database so USE DATABASE can't serve a plan
+    resolved against another namespace (r5 audit)."""
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE dv (id BIGINT, v DOUBLE)")
+    spark.createDataFrame([(1, 2.0)], "id bigint, v double").createOrReplaceTempView(
+        "dv_seed"
+    )
+    isql.sql("INSERT INTO dv SELECT * FROM dv_seed")
+    q = "SELECT * FROM dv"
+    a = isql.sql(q)
+    assert isql.sql(q) is a  # primed + hit
+    isql.sql("ALTER ICEBERG TABLE dv RENAME COLUMN v TO score")  # snapshot UNCHANGED
+    c = isql.sql(q)
+    assert c is not a, "DDL must invalidate the result cache"
+    assert "score" in c.columns
