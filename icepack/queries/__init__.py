@@ -69,6 +69,7 @@ PRIORITY: list[str] = [
     "ice43_iceberg_export",
     "ice44_result_cache",
     "ice45_mor_batch_read",
+    "ice46_s3_store",
     # latest driver evidence = r01 (47) — refresh first
     "p1_pruned_scan",
     "p3_time_range",

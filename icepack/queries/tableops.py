@@ -1610,3 +1610,61 @@ def ice45_mor_batch_read(spark: SparkSession, sf: str) -> DataFrame:
     if a != b:
         raise RuntimeError("datasource MOR read diverged from toDF()")
     return got
+
+
+@query(
+    "ice46_s3_store",
+    oracle=f"""
+    SELECT {_ORDER_COLS} FROM orders
+    WHERE (o_orderkey % 2 = 0 AND o_orderstatus <> 'F') OR o_orderkey % 2 = 1
+    """,
+)
+def ice46_s3_store(spark: SparkSession, sf: str) -> DataFrame:
+    """Cloud-transport seam, real wire (icepack/s3store.py + sigv4.py):
+    the same lifecycle as ice37 — create, appends, MOR delete, compact,
+    expire — with every metadata document living ONLY in a loopback S3
+    server over real HTTP, every request SigV4-SIGNED and the server
+    VERIFYING each signature before serving (sigv4.py is pinned against
+    AWS's published example signature).  create_exclusive maps to S3's
+    conditional PUT (If-None-Match: *), so the commit CAS is the real
+    object-store protocol.  Raises on any unsigned/forged request, any
+    metadata leak to local disk, or an empty store at the end."""
+    import os as _os
+    import threading as _th
+    from http.server import ThreadingHTTPServer
+
+    from ..s3store import LoopbackS3Handler, S3Store
+
+    ACCESS, SECRET, REGION = "AKIDDRIVER", "driver/secret+key", "us-east-1"
+    handler = LoopbackS3Handler.make(ACCESS, SECRET, REGION)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    _th.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        store = S3Store(
+            f"http://127.0.0.1:{srv.server_port}",
+            bucket="warehouse",
+            region=REGION,
+            access_key=ACCESS,
+            secret_key=SECRET,
+        )
+        orders = load(spark, sf, "orders")
+        t = IceTable.create(
+            spark, _scratch(), orders.schema,
+            properties={"write.delete.mode": "merge-on-read"},
+            store=store,
+        )
+        t.append(orders.filter(F.col("o_orderkey") % 2 == 0))
+        t.delete(col("o_orderstatus") == "F")
+        t.append(orders.filter(F.col("o_orderkey") % 2 == 1))
+        t.compact()
+        t.expire_snapshots(older_than_ms=int(1e18), retain_last=1)
+        if handler.bad_auth:
+            raise RuntimeError(f"unsigned/forged S3 requests: {handler.bad_auth}")
+        mdir = _os.path.join(t.location, "metadata")
+        if _os.path.exists(mdir) and _os.listdir(mdir):
+            raise RuntimeError("metadata leaked to local filesystem")
+        if not store.glob(_os.path.join(mdir, "v*.metadata.json")):
+            raise RuntimeError("no metadata documents in the S3 store")
+        return t.toDF()
+    finally:
+        srv.shutdown()

@@ -205,3 +205,33 @@ def test_crash_sweep_expire_snapshots(spark, tmp_path, nation):
         setup,
         lambda t: expire_snapshots(t, older_than_ms=10**15, retain_last=1),
     )
+
+
+def test_crash_sweep_mor_delete(spark, tmp_path, nation):
+    def setup(loc):
+        t = IceTable.create(
+            spark, loc, nation.schema,
+            properties={"write.delete.mode": "merge-on-read"},
+        )
+        t.append(nation)
+        return t
+
+    _sweep(
+        spark, tmp_path, "mor-delete", setup,
+        lambda t: t.delete(col("n_regionkey") == 1),
+    )
+
+
+def test_crash_sweep_mor_update(spark, tmp_path, nation):
+    def setup(loc):
+        t = IceTable.create(
+            spark, loc, nation.schema,
+            properties={"write.update.mode": "merge-on-read"},
+        )
+        t.append(nation)
+        return t
+
+    _sweep(
+        spark, tmp_path, "mor-update", setup,
+        lambda t: t.update(col("n_regionkey") == 1, {"n_name": F.upper(F.col("n_name"))}),
+    )

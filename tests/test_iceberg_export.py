@@ -358,3 +358,28 @@ def test_avro_property_roundtrip_random():
         assert recs[0]["v"] == value
 
     run()
+
+
+def test_export_after_partition_evolution_groups_by_spec(spark, tmp_path):
+    """Partition evolution leaves old files on the old spec; a spec-
+    correct export writes ONE MANIFEST PER SPEC per snapshot (a
+    manifest's entries must share its declared partition schema), and
+    the independent reread still matches live_files()."""
+    loc = str(tmp_path / "pe_t")
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1 + (i % 2), 5), float(i)) for i in range(8)],
+        "id bigint, d date, v double",
+    )
+    t = IceTable.create(spark, loc, df.schema, partition_by=[("d", "month")])
+    t.append(df)
+    t.update_spec([("d", "day")])  # evolve; old files stay on month spec
+    t.append(df.withColumn("id", F.col("id") + 100))
+    mpath = export_iceberg(t)
+    md = json.load(open(mpath))
+    assert len(md["partition-specs"]) == 2
+    _, mlist = read_container(open(md["snapshots"][0]["manifest-list"], "rb").read())
+    spec_ids = sorted(m["partition_spec_id"] for m in mlist)
+    assert spec_ids == [0, 1], "one manifest per partition spec"
+    assert read_exported_file_list(mpath) == sorted(
+        (f.path, f.record_count) for f in t.live_files()
+    )

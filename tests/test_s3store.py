@@ -1,0 +1,100 @@
+"""S3Store against an in-process loopback S3 server that VERIFIES
+every request's SigV4 signature server-side before serving it — the
+honest offline maximum for the cloud-transport story (storage.py:19-23
+documented the mapping; this proves it over real HTTP + real signing).
+
+The lifecycle test mirrors tests/test_storage.py's InMemoryStore one:
+a table whose metadata lives ONLY in (loopback) S3 while Spark writes
+parquet locally — the metadata/data split of a real deployment."""
+
+import threading
+from http.server import ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import Row
+
+from icepack.s3store import LoopbackS3Handler, S3Store
+from icepack.table import IceTable
+
+from tests.conftest import rows_sorted
+
+ACCESS, SECRET, REGION = "AKIDTEST", "sekrit/test+key", "us-east-1"
+
+
+_LoopbackS3 = LoopbackS3Handler.make(ACCESS, SECRET, REGION)
+
+
+@pytest.fixture()
+def s3(tmp_path):
+    _LoopbackS3.objects = {}
+    _LoopbackS3.bad_auth = []
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _LoopbackS3)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    store = S3Store(
+        f"http://127.0.0.1:{srv.server_port}",
+        bucket="warehouse",
+        region=REGION,
+        access_key=ACCESS,
+        secret_key=SECRET,
+    )
+    yield store
+    srv.shutdown()
+
+
+def test_s3store_primitives_and_cas(s3):
+    p = "s3://warehouse/meta/v1.json"
+    assert not s3.exists(p)
+    s3.create_exclusive(p, "one")
+    assert s3.read_text(p) == "one"
+    with pytest.raises(FileExistsError):
+        s3.create_exclusive(p, "two")  # conditional PUT = CAS
+    s3.replace_text(p, "three")
+    assert s3.read_text(p) == "three"
+    assert s3.mtime_ms(p) > 0
+    s3.create_exclusive("s3://warehouse/meta/v2.json", "x")
+    assert s3.glob("s3://warehouse/meta/v*.json") == [
+        "s3://warehouse/meta/v1.json",
+        "s3://warehouse/meta/v2.json",
+    ]
+    s3.delete(p)
+    assert not s3.exists(p)
+    with pytest.raises(FileNotFoundError):
+        s3.read_text(p)
+    assert _LoopbackS3.bad_auth == [], "server rejected a signature"
+
+
+def test_s3store_rejects_bad_signature(s3):
+    bad = S3Store(
+        s3.endpoint, bucket="warehouse", region=REGION,
+        access_key=ACCESS, secret_key="wrong-secret",
+    )
+    with pytest.raises(OSError):
+        bad.replace_text("s3://warehouse/meta/x.json", "v")
+
+
+def test_s3store_full_table_lifecycle(spark, tmp_path, s3):
+    """The entire metadata lifecycle — create, append, CAS-committed
+    concurrent-style appends, delete, time travel — with every
+    metadata document living ONLY in loopback S3 (signed requests),
+    parquet on local disk."""
+    loc = str(tmp_path / "s3t")
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(6)])
+    t = IceTable.create(spark, loc, df.schema, store=s3)
+    t.append(df)
+    t2 = IceTable.load(spark, loc, store=s3)
+    assert rows_sorted(t2.toDF()) == rows_sorted(df)
+    t2.append(df.withColumn("id", df.id + 10))
+    from icepack.expr import col
+
+    t2.delete(col("id") >= 13)
+    t3 = IceTable.load(spark, loc, store=s3)
+    assert sorted(r.id for r in t3.toDF().collect()) == [0, 1, 2, 3, 4, 5, 10, 11, 12]
+    # time travel across the S3-resident snapshots
+    first = min(t3.meta.snapshots, key=lambda s: s.sequence_number)
+    assert t3.toDF(snapshot=first).count() == 6
+    # nothing was ever served unsigned and no metadata touched disk
+    assert _LoopbackS3.bad_auth == []
+    import os
+
+    assert not os.path.exists(os.path.join(loc, "metadata"))
