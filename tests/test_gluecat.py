@@ -136,3 +136,69 @@ def test_sql_linked_glue_table(spark, server, tmp_path):
     isql.sql("DELETE FROM my_table WHERE id >= 30")
     # the delete committed through the service: a fresh external client sees it
     assert ext.load_table("source_table").toDF().count() == 30
+
+
+def test_sigv4_transport_signs_and_server_verifies():
+    """The production transport factory signs JSON-1.1 Glue calls; a
+    loopback server recomputes each SigV4 signature with the shared
+    secret and refuses mismatches — composing the signing leg onto the
+    already-proven protocol client (r5)."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import unquote, urlparse
+
+    from icepack.gluecat import GlueCatalogClient, sigv4_transport
+    from icepack.sigv4 import sign
+
+    ACCESS, SECRET, REGION = "AKIDGLUE", "glue/secret+key", "eu-west-1"
+    seen = {"ok": 0, "bad": 0}
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            auth = self.headers.get("Authorization", "")
+            signed_names = auth.split("SignedHeaders=")[1].split(",")[0]
+            hdrs = {
+                n: self.headers.get(n, "")
+                for n in signed_names.split(";")
+                if n not in ("x-amz-date", "x-amz-content-sha256", "x-amz-security-token")
+            }
+            expect = sign(
+                "POST", unquote(urlparse(self.path).path), {}, hdrs, body,
+                access_key=ACCESS, secret_key=SECRET, region=REGION,
+                service="glue", amz_date=self.headers.get("x-amz-date"),
+            )["Authorization"]
+            if expect != auth:
+                seen["bad"] += 1
+                self.send_response(403); self.end_headers(); return
+            seen["ok"] += 1
+            out = _json.dumps({"DatabaseList": []}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        ep = f"http://127.0.0.1:{srv.server_port}"
+        client = GlueCatalogClient(
+            ep,
+            transport=sigv4_transport(
+                ep, region=REGION, access_key=ACCESS, secret_key=SECRET
+            ),
+        )
+        status, payload = client._transport("GetDatabases", {})
+        assert status == 200 and payload == {"DatabaseList": []}
+        assert seen == {"ok": 1, "bad": 0}
+        # forged credentials are refused by the server
+        bad = sigv4_transport(ep, region=REGION, access_key=ACCESS, secret_key="wrong")
+        status, _ = bad("GetDatabases", {})
+        assert status == 403
+        assert seen["bad"] == 1
+    finally:
+        srv.shutdown()
