@@ -70,6 +70,7 @@ PRIORITY: list[str] = [
     "ice44_result_cache",
     "ice45_mor_batch_read",
     "ice46_s3_store",
+    "ice47_iceberg_read",
     # latest driver evidence = r01 (47) — refresh first
     "p1_pruned_scan",
     "p3_time_range",

@@ -1668,3 +1668,35 @@ def ice46_s3_store(spark: SparkSession, sf: str) -> DataFrame:
         return t.toDF()
     finally:
         srv.shutdown()
+
+
+@query(
+    "ice47_iceberg_read",
+    oracle=(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation "
+        "WHERE n_regionkey <> 3"
+    ),
+)
+def ice47_iceberg_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Bidirectional spec interop (docs/11-multi-engine-compatibility.md):
+    a table is exported to SPEC-FORMAT Iceberg v2 metadata
+    (iceberg_export.py) and read back EXCLUSIVELY through that spec
+    metadata — Avro manifest list → manifests → parquet — by
+    read_iceberg (iceberg_import.py), never touching icepack's native
+    metadata.  A COW delete before export proves the exported snapshot
+    reflects DML; the result value-checks against the oracle."""
+    from ..iceberg_import import read_iceberg
+    from ..iceberg_export import export_iceberg
+
+    nation = load(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    t = IceTable.create(spark, _scratch(), nation.schema)
+    t.append(nation)
+    t.delete(col("n_regionkey") == 3)  # COW: exported manifests reflect it
+    mpath = export_iceberg(t)
+    got = read_iceberg(spark, mpath)
+    n_direct = t.toDF().count()
+    if got.count() != n_direct:
+        raise RuntimeError("spec-format read diverged from the native scan")
+    return got.select("n_nationkey", "n_name", "n_regionkey")

@@ -383,3 +383,65 @@ def test_export_after_partition_evolution_groups_by_spec(spark, tmp_path):
     assert read_exported_file_list(mpath) == sorted(
         (f.path, f.record_count) for f in t.live_files()
     )
+
+
+# ----------------------------------------------------------------- import
+
+
+def test_read_iceberg_roundtrip_current_and_time_travel(spark, tmp_path):
+    """export → read_iceberg round-trip: the spec-format metadata
+    resolves to row-identical data at the current snapshot AND at each
+    historical snapshot (docs/11: interop is bidirectional)."""
+    from icepack.iceberg_import import read_iceberg
+
+    t, df = _mk_table(spark, tmp_path, partition_by=[("d", "month")])
+    t.append(df.withColumn("id", F.col("id") + 10))
+    mpath = export_iceberg(t, history=True)
+    base = os.path.dirname(mpath)
+
+    def rows(x):
+        return sorted(map(tuple, x.collect()))
+
+    got = read_iceberg(spark, mpath)
+    assert rows(got) == rows(t.toDF().select(*got.columns))
+    # version-hint resolution from the directory
+    assert rows(read_iceberg(spark, base)) == rows(got)
+    # time travel through exported history
+    for s in t.meta.snapshots:
+        a = read_iceberg(spark, mpath, snapshot_id=s.snapshot_id)
+        b = t.toDF(snapshot=s).select(*a.columns)
+        assert rows(a) == rows(b), f"snapshot {s.snapshot_id} diverged"
+
+
+def test_read_iceberg_refuses_delete_manifests(spark, tmp_path):
+    """A hand-built manifest list carrying a DELETE manifest (content=1)
+    must refuse loudly rather than resurrect rows."""
+    from icepack.iceberg_import import read_iceberg
+
+    t, _ = _mk_table(spark, tmp_path)
+    mpath = export_iceberg(t)
+    md = json.load(open(mpath))
+    mlist_path = md["snapshots"][0]["manifest-list"]
+    schema, recs = read_container(open(mlist_path, "rb").read())
+    recs[0]["content"] = 1  # pretend it's a delete manifest
+    open(mlist_path, "wb").write(write_container(schema, recs, bytes(16)))
+    with pytest.raises(ValueError, match="DELETE"):
+        read_iceberg(spark, mpath)
+
+
+def test_import_iceberg_files_adopts_external_table(spark, tmp_path):
+    """The docs/11 migration path: adopt a (spec-format) external
+    table's live parquet into a fresh icepack table metadata-only;
+    stats harvested, rows identical, pruning immediately live."""
+    from icepack.expr import col as icol
+    from icepack.iceberg_import import import_iceberg_files
+
+    src, df = _mk_table(spark, tmp_path, name="ext_src")
+    mpath = export_iceberg(src)
+    dst = IceTable.create(spark, str(tmp_path / "adopted"), df.schema)
+    import_iceberg_files(spark, dst, mpath)
+    assert sorted(r.id for r in dst.toDF().collect()) == [1, 2, 3, 4]
+    # adopted footer stats drive pruning
+    hit, report = dst.plan_files(icol("id") == 1)
+    assert report["files_scanned"] <= report["files_total"]
+    assert sum(f.record_count for f in hit) < 4 or report["files_total"] == 1
