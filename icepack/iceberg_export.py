@@ -29,9 +29,13 @@ Fidelity notes (all mechanical, spec Appendix A/B/D):
 - partition VALUES are re-encoded from icepack's lexical forms to the
   spec's numeric forms (year→years since 1970, month→months since
   1970-01, day→days since epoch, hour→hours since epoch).
-- merge-on-read tables are refused: exported data manifests alone
-  would resurrect MOR-deleted rows in external engines; compact
-  first to materialize the deletes.
+- merge-on-read delete files EXPORT as spec v2 delete manifests
+  (content=1): position deletes are path-normalized (URI → raw),
+  sorted by (file_path, pos), and stamped with the reserved field ids
+  2147483546/2147483545; equality deletes carry their identifier
+  columns' field ids (resolved through the delete-time schema) plus
+  the ``equality_ids`` list — external engines apply the same masks
+  the native scan does.
 """
 
 from __future__ import annotations
@@ -326,6 +330,11 @@ def _manifest_entry_schema(spec, schema) -> dict:
             _fid(
                 "upper_bounds", 128, ["null", _kv_map("k129_v130", 129, 130, "bytes")]
             ),
+            _fid(
+                "equality_ids",
+                135,
+                ["null", {"type": "array", "items": "int", "element-id": 136}],
+            ),
         ],
     }
     return {
@@ -342,6 +351,94 @@ def _manifest_entry_schema(spec, schema) -> dict:
 
 
 # --------------------------------------------------------------- exporter
+
+
+def _rewrite_delete_parquet(table, d, dest: str, cache: dict) -> tuple[str, int, list]:
+    """Rewrite one icepack MOR delete file into its SPEC form under
+    *dest* (cached per source path — history exports reuse it):
+
+    - position deletes: ``file_path`` normalized from Spark's URI form
+      to the plain absolute path manifests use (external engines
+      compare these strings verbatim), rows sorted by (file_path, pos),
+      columns stamped with the spec's reserved field ids
+      2147483546/2147483545.
+    - equality deletes: identifier columns stamped with their field ids
+      (resolved through the DELETE-TIME schema version, so renamed keys
+      keep their identity); returns the equality_ids list.
+
+    Returns (new path, content code 1|2, equality_ids)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if d.path in cache:
+        return cache[d.path]
+    from .dml import _normalize_file_uri
+
+    tbl = pq.read_table(d.path)
+    if d.content == "position-deletes":
+        paths = [_normalize_file_uri(p) for p in tbl.column("file_path").to_pylist()]
+        poss = tbl.column("pos").to_pylist()
+        order = sorted(range(len(paths)), key=lambda i: (paths[i], poss[i]))
+        fields = [
+            pa.field(
+                "file_path", pa.string(),
+                metadata={b"PARQUET:field_id": b"2147483546"},
+            ),
+            pa.field("pos", pa.int64(), metadata={b"PARQUET:field_id": b"2147483545"}),
+        ]
+        out = pa.table(
+            [
+                pa.array([paths[i] for i in order], pa.string()),
+                pa.array([poss[i] for i in order], pa.int64()),
+            ],
+            schema=pa.schema(fields),
+        )
+        code, eq_ids = 1, []
+    else:  # equality-deletes
+        dschema = table.meta.schema_by_id(d.schema_id)
+        fields, arrays, eq_ids = [], [], []
+        for c in d.equality_columns:
+            f_old = dschema.field_by_name(c)
+            fid = f_old.id if f_old is not None else 0
+            eq_ids.append(fid)
+            col = tbl.column(c)
+            arrays.append(col.combine_chunks() if col.num_chunks > 1 else col)
+            fields.append(
+                pa.field(
+                    c, tbl.schema.field(c).type,
+                    metadata={b"PARQUET:field_id": str(fid).encode()},
+                )
+            )
+        out = pa.table(arrays, schema=pa.schema(fields))
+        code = 2
+    name = f"delete-{len(cache)}-{os.path.basename(d.path)}"
+    new_path = os.path.join(dest, name)
+    pq.write_table(out, new_path)
+    cache[d.path] = (new_path, code, eq_ids)
+    return cache[d.path]
+
+
+def _delete_entry_record(table, d, spec, new_path, code, eq_ids, snapshot_id) -> dict:
+    part = {pf.name: None for pf in spec.fields}
+    return {
+        "status": 1,
+        "snapshot_id": snapshot_id,
+        "sequence_number": d.sequence_number,
+        "file_sequence_number": d.sequence_number,
+        "data_file": {
+            "content": code,
+            "file_path": new_path,
+            "file_format": "PARQUET",
+            "partition": part,
+            "record_count": d.record_count,
+            "file_size_in_bytes": os.path.getsize(new_path),
+            "value_counts": None,
+            "null_value_counts": None,
+            "lower_bounds": None,
+            "upper_bounds": None,
+            "equality_ids": eq_ids or None,
+        },
+    }
 
 
 def _sync_for(name: str) -> bytes:
@@ -404,6 +501,7 @@ def _entry_record(table, f, status: int, snapshot_id: int) -> dict:
             "null_value_counts": null_counts or None,
             "lower_bounds": lowers or None,
             "upper_bounds": uppers or None,
+            "equality_ids": None,
         },
     }
 
@@ -425,12 +523,6 @@ def export_iceberg(
     an external engine can open — an in-memory-store table has nothing
     an external engine could read anyway."""
     meta = table.meta
-    if table.live_files(content="deletes"):
-        raise ValueError(
-            "table has live merge-on-read delete files; exported data "
-            "manifests would resurrect deleted rows in external engines "
-            "— run compact() first"
-        )
     dest = dest or os.path.join(table.location, "iceberg-metadata")
     os.makedirs(dest, exist_ok=True)
     snaps = (
@@ -470,6 +562,7 @@ def export_iceberg(
         specs_json.append({"spec-id": sp.spec_id, "fields": fields})
 
     snapshots_json = []
+    delete_cache: dict = {}  # source delete path → rewritten spec file
     for snap in snaps:
         schema = meta.schema_by_id(snap.schema_id)
         files = table.live_files(snap)
@@ -525,6 +618,48 @@ def export_iceberg(
                     "partitions": None,
                 }
             )
+        # merge-on-read delete files → a content=1 manifest of spec-form
+        # delete files (position deletes path-normalized + sorted,
+        # equality deletes field-id-stamped) so external engines apply
+        # the same masks the native scan does
+        dels = table.live_files(snap, content="deletes")
+        if dels:
+            spec = meta.spec_by_id(meta.default_spec_id)
+            entry_schema = _manifest_entry_schema(spec, schema)
+            entries = []
+            for d in dels:
+                new_path, code, eq_ids = _rewrite_delete_parquet(
+                    table, d, dest, delete_cache
+                )
+                entries.append(
+                    _delete_entry_record(
+                        table, d, spec, new_path, code, eq_ids, snap.snapshot_id
+                    )
+                )
+            mname = f"manifest-{snap.snapshot_id}-deletes.avro"
+            mbuf = write_container(entry_schema, entries, _sync_for(mname))
+            mpath_ = os.path.join(dest, mname)
+            with open(mpath_, "wb") as fh:
+                fh.write(mbuf)
+            seqs = [d.sequence_number for d in dels]
+            mlist_recs.append(
+                {
+                    "manifest_path": mpath_,
+                    "manifest_length": len(mbuf),
+                    "partition_spec_id": spec.spec_id,
+                    "content": 1,
+                    "sequence_number": max(seqs),
+                    "min_sequence_number": min(seqs),
+                    "added_snapshot_id": snap.snapshot_id,
+                    "added_files_count": len(entries),
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": sum(d.record_count for d in dels),
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "partitions": None,
+                }
+            )
         lname = f"snap-{snap.snapshot_id}.avro"
         lbuf = write_container(_manifest_list_schema(), mlist_recs, _sync_for(lname))
         with open(os.path.join(dest, lname), "wb") as fh:
@@ -568,6 +703,14 @@ def export_iceberg(
         "properties": {
             **{k: str(v) for k, v in meta.properties.items()},
             "icepack.exported": "true",
+            # icepack's parquet carries no embedded Iceberg field ids;
+            # the spec's name mapping is the standard resolution rule
+            # for exactly this case (adopted/imported files) — readers
+            # match columns by name, then apply the mapped field ids,
+            # so renames recorded in the schema history still resolve
+            "schema.name-mapping.default": json.dumps(
+                _name_mapping(meta), separators=(",", ":")
+            ),
         },
         "current-snapshot-id": meta.current_snapshot_id
         if meta.current_snapshot_id is not None and snaps
@@ -590,6 +733,22 @@ def export_iceberg(
     with open(os.path.join(dest, "version-hint.text"), "w") as fh:
         fh.write("1")
     return mpath
+
+
+def _name_mapping(meta) -> list:
+    """Spec name-mapping JSON: every name a field id has EVER had maps
+    to that id, so files written before a rename resolve to the same
+    column as files written after it."""
+    names_by_id: dict[int, list] = {}
+    for s in sorted(meta.schemas, key=lambda s: s.schema_id):
+        for f in s.fields:
+            names = names_by_id.setdefault(f.id, [])
+            if f.name not in names:
+                names.append(f.name)
+    return [
+        {"field-id": fid, "names": names}
+        for fid, names in sorted(names_by_id.items())
+    ]
 
 
 def _is_uuid(s: str) -> bool:
@@ -618,6 +777,8 @@ def read_exported_file_list(metadata_path: str, snapshot_id: int | None = None):
     _, mlist = read_container(open(snap["manifest-list"], "rb").read())
     out = []
     for m in mlist:
+        if m.get("content", 0) != 0:
+            continue  # delete manifest: not part of the DATA file list
         _, entries = read_container(open(m["manifest_path"], "rb").read())
         for e in entries:
             if e["status"] == 2:  # deleted

@@ -98,31 +98,47 @@ def load_iceberg_metadata(path: str) -> dict:
         return json.loads(fh.read())
 
 
-def iceberg_live_files(md: dict, snapshot_id: int | None = None) -> list[dict]:
-    """Live data-file entries of a snapshot: walk manifest list →
-    manifests with the generic Avro decoder.  Returns the raw
-    ``data_file`` records (path, record_count, partition, ...)."""
+def _snapshot_entries(md: dict, snapshot_id: int | None = None):
+    """Walk manifest list → manifests; returns (data, deletes) lists of
+    raw ``data_file`` records, each annotated with ``_seq`` (the
+    entry's sequence number, inheriting the manifest's when the entry
+    leaves it null — the v2 inheritance rule)."""
     sid = snapshot_id if snapshot_id is not None else md.get("current-snapshot-id")
     if sid in (None, -1):
-        return []
+        return [], []
     snap = next(s for s in md["snapshots"] if s["snapshot-id"] == sid)
     with open(snap["manifest-list"], "rb") as fh:
         _, mlist = read_container(fh.read())
-    out = []
+    data, deletes = [], []
     for m in mlist:
-        if m.get("content", 0) != 0:
-            raise ValueError(
-                f"manifest {m['manifest_path']} holds DELETE files; "
-                "reading them unapplied would resurrect deleted rows — "
-                "compact the source table in its own engine first"
-            )
         with open(m["manifest_path"], "rb") as fh:
             _, entries = read_container(fh.read())
         for e in entries:
             if e["status"] == 2:  # deleted
                 continue
-            out.append(e["data_file"])
-    return out
+            seq = e.get("sequence_number")
+            rec = dict(e["data_file"])
+            rec["_seq"] = seq if seq is not None else m.get("sequence_number", 0)
+            if m.get("content", 0) != 0 or rec.get("content", 0) != 0:
+                deletes.append(rec)
+            else:
+                data.append(rec)
+    return data, deletes
+
+
+def iceberg_live_files(md: dict, snapshot_id: int | None = None) -> list[dict]:
+    """Live DATA-file entries of a snapshot.  Raises when the snapshot
+    carries merge-on-read delete files — the bare file list would
+    resurrect deleted rows; use :func:`read_iceberg` (which applies
+    them) or compact in the source engine."""
+    data, deletes = _snapshot_entries(md, snapshot_id)
+    if deletes:
+        raise ValueError(
+            "snapshot holds DELETE files; the bare data-file list would "
+            "resurrect deleted rows — read through read_iceberg (applies "
+            "them) or compact the source table first"
+        )
+    return data
 
 
 def iceberg_schema(md: dict) -> T.StructType:
@@ -142,14 +158,122 @@ def read_iceberg(
 ) -> DataFrame:
     """Spec-format Iceberg table → DataFrame at the requested (default
     current) snapshot.  Time travel = any snapshot id present in the
-    metadata's snapshots list."""
+    metadata's snapshots list.  Merge-on-read delete files (v2
+    content=1 manifests) are APPLIED with the spec's sequence rules:
+    position deletes mask (file_path, pos) rows of data files with
+    ``data_seq <= delete_seq``; equality deletes mask key-matching
+    rows of data files with ``data_seq < delete_seq``."""
+    from pyspark.sql import functions as F
+
     md = load_iceberg_metadata(path)
     schema = iceberg_schema(md)
-    files = iceberg_live_files(md, snapshot_id)
-    if not files:
+    data, deletes = _snapshot_entries(md, snapshot_id)
+    bad = [r for r in deletes if r.get("content", 0) not in (1, 2)]
+    if bad:
+        raise ValueError(
+            "delete manifest entries carry unknown content codes "
+            f"{sorted({r.get('content', 0) for r in bad})} — refusing "
+            "rather than guessing which rows they mask"
+        )
+    if not data:
         return spark.createDataFrame([], schema)
-    paths = [f["file_path"] for f in files]
-    return spark.read.schema(schema).parquet(*paths)
+    paths = [f["file_path"] for f in data]
+    df = spark.read.schema(schema).parquet(*paths)
+    if not deletes:
+        return df
+    # identity + per-file sequence for the masks.  Spark reports
+    # _metadata.file_path as a percent-ENCODED URI; manifests store raw
+    # paths — precompute every URI spelling per data file driver-side
+    # and join on them, yielding the RAW path (`_f`) for delete
+    # comparisons (same lesson as the DML hit-scan: never string-match
+    # a URI against a raw path).
+    from urllib.parse import quote
+
+    df = df.select(
+        "*",
+        F.col("_metadata.file_path").alias("_furi"),
+        F.col("_metadata.row_index").alias("_p"),
+    )
+    rows = []
+    for f in data:
+        p = f["file_path"]
+        q = quote(p)
+        rows.append((p, f["_seq"], [p, "file:" + q, "file://" + q]))
+    seqdf = spark.createDataFrame(
+        rows, "_f string, _dataseq long, uris array<string>"
+    ).select("_f", "_dataseq", F.explode("uris").alias("_furi2"))
+    df = df.join(
+        F.broadcast(seqdf), df["_furi"] == seqdf["_furi2"], "inner"
+    ).drop("_furi", "_furi2")
+    id_to_name = {f.fid: f.name for f in _schema_field_ids(md)}
+    for rec in deletes:
+        content = rec.get("content", 0)
+        if content == 1:  # position deletes
+            dels = (
+                spark.read.parquet(rec["file_path"])
+                .select(
+                    F.regexp_replace("file_path", "^file:/*", "/").alias("df_"),
+                    F.col("pos").alias("dp_"),
+                )
+                .withColumn("sq_", F.lit(rec["_seq"]))
+            )
+            df = df.join(
+                F.broadcast(dels),
+                (df["_f"] == dels["df_"])
+                & (df["_p"] == dels["dp_"])
+                & (df["_dataseq"] <= dels["sq_"]),
+                "left_anti",
+            )
+        elif content == 2:  # equality deletes
+            eq_ids = rec.get("equality_ids") or []
+            import pyarrow.parquet as pq
+
+            file_cols = set(pq.read_schema(rec["file_path"]).names)
+            cols = []
+            for fid in eq_ids:
+                name = _resolve_delete_column(md, fid, file_cols, id_to_name)
+                cols.append((name, id_to_name.get(fid, name)))
+            dels = spark.read.parquet(rec["file_path"]).select(
+                *[F.col(src).alias(f"_d_{cur}") for src, cur in cols]
+            )
+            cond = F.lit(True)
+            for _, cur in cols:
+                cond = cond & F.col(cur).eqNullSafe(F.col(f"_d_{cur}"))
+            cond = cond & (F.col("_dataseq") < F.lit(rec["_seq"]))
+            df = df.join(F.broadcast(dels), cond, "left_anti")
+        else:
+            raise ValueError(f"unknown delete content code {content}")
+    return df.drop("_f", "_p", "_dataseq")
+
+
+class _IdName:
+    __slots__ = ("fid", "name")
+
+    def __init__(self, fid, name):
+        self.fid, self.name = fid, name
+
+
+def _schema_field_ids(md: dict) -> list:
+    cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    return [_IdName(f["id"], f["name"]) for f in cur["fields"]]
+
+
+def _resolve_delete_column(md, fid, file_cols, id_to_name) -> str:
+    """The NAME a delete file stores for field id *fid*: try the
+    current name, then every historical name from the name mapping."""
+    cur = id_to_name.get(fid)
+    if cur in file_cols:
+        return cur
+    nm = md.get("properties", {}).get("schema.name-mapping.default")
+    if nm:
+        for e in json.loads(nm):
+            if e["field-id"] == fid:
+                for n in e["names"]:
+                    if n in file_cols:
+                        return n
+    raise ValueError(
+        f"equality-delete file lacks any known name for field id {fid}"
+    )
 
 
 def import_iceberg_files(spark: SparkSession, table, path: str) -> None:

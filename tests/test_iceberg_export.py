@@ -247,13 +247,16 @@ def test_export_history_time_travel(spark, tmp_path):
     assert by_id[snaps[1].snapshot_id]["parent-snapshot-id"] == snaps[0].snapshot_id
 
 
-def test_export_refuses_mor_tables(spark, tmp_path):
+def test_exported_file_list_skips_delete_manifests(spark, tmp_path):
+    """read_exported_file_list returns the DATA file list even when the
+    export carries delete manifests (MOR export no longer refuses)."""
     from icepack.expr import col
 
     t, _ = _mk_table(spark, tmp_path)
     t.delete(col("id") == 2, mode="merge-on-read")
-    with pytest.raises(ValueError, match="merge-on-read"):
-        export_iceberg(t)
+    mpath = export_iceberg(t)
+    got = read_exported_file_list(mpath)
+    assert got == sorted((f.path, f.record_count) for f in t.live_files())
 
 
 def test_export_after_schema_evolution(spark, tmp_path):
@@ -413,10 +416,11 @@ def test_read_iceberg_roundtrip_current_and_time_travel(spark, tmp_path):
         assert rows(a) == rows(b), f"snapshot {s.snapshot_id} diverged"
 
 
-def test_read_iceberg_refuses_delete_manifests(spark, tmp_path):
-    """A hand-built manifest list carrying a DELETE manifest (content=1)
-    must refuse loudly rather than resurrect rows."""
-    from icepack.iceberg_import import read_iceberg
+def test_live_files_refuses_deletes_and_malformed_content_raises(spark, tmp_path):
+    """iceberg_live_files (the bare file list) refuses snapshots with
+    delete files; read_iceberg raises on malformed delete manifests
+    whose entries carry no delete content code — never silent."""
+    from icepack.iceberg_import import iceberg_live_files, read_iceberg
 
     t, _ = _mk_table(spark, tmp_path)
     mpath = export_iceberg(t)
@@ -425,8 +429,54 @@ def test_read_iceberg_refuses_delete_manifests(spark, tmp_path):
     schema, recs = read_container(open(mlist_path, "rb").read())
     recs[0]["content"] = 1  # pretend it's a delete manifest
     open(mlist_path, "wb").write(write_container(schema, recs, bytes(16)))
-    with pytest.raises(ValueError, match="DELETE"):
-        read_iceberg(spark, mpath)
+    with pytest.raises(ValueError, match="resurrect"):
+        iceberg_live_files(json.load(open(mpath)))
+    with pytest.raises(ValueError, match="content"):
+        read_iceberg(spark, mpath).collect()
+
+
+def test_export_and_read_mor_deletes(spark, tmp_path):
+    """Merge-on-read tables now EXPORT (content=1 delete manifests,
+    spec field-ids, normalized+sorted position deletes) and read_iceberg
+    APPLIES them with the spec sequence rules — row-identical to the
+    native scan, including a row re-inserted after its equality delete
+    (newer sequence must survive)."""
+    from icepack.expr import col as icol
+    from icepack.iceberg_import import read_iceberg
+
+    loc = str(tmp_path / "mor exp")  # space: URI-encoding must not break masks
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(10)], "id bigint, name string, v double"
+    )
+    t = IceTable.create(
+        spark, loc, df.schema, properties={"write.delete.mode": "merge-on-read"}
+    )
+    t.append(df)
+    t.delete(icol("id") == 3)  # equality delete
+    t.append(spark.createDataFrame([(3, "re", 99.0)], df.schema))  # re-insert
+    t.set_properties(**{"write.delete.mor.strategy": "position"})
+    t.delete(icol("id") == 7)  # position delete
+    mpath = export_iceberg(t)
+    got = read_iceberg(spark, mpath)
+    want = t.toDF().select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 3, 4, 5, 6, 8, 9]
+    assert [r.name for r in got.collect() if r.id == 3] == ["re"]
+    # the rewritten position-delete parquet carries the spec field ids
+    import pyarrow.parquet as pq
+
+    md = json.load(open(mpath))
+    _, mlist = read_container(open(md["snapshots"][0]["manifest-list"], "rb").read())
+    del_manifests = [m for m in mlist if m["content"] == 1]
+    assert del_manifests, "no delete manifest exported"
+    _, entries = read_container(open(del_manifests[0]["manifest_path"], "rb").read())
+    pos_files = [
+        e["data_file"]["file_path"] for e in entries if e["data_file"]["content"] == 1
+    ]
+    assert pos_files
+    sch = pq.read_schema(pos_files[0])
+    assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
+    assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
 
 
 def test_import_iceberg_files_adopts_external_table(spark, tmp_path):
@@ -445,3 +495,22 @@ def test_import_iceberg_files_adopts_external_table(spark, tmp_path):
     hit, report = dst.plan_files(icol("id") == 1)
     assert report["files_scanned"] <= report["files_total"]
     assert sum(f.record_count for f in hit) < 4 or report["files_total"] == 1
+
+
+def test_export_name_mapping_covers_renames(spark, tmp_path):
+    """The exported schema.name-mapping.default lists every historical
+    name per field id — external readers resolve pre-rename parquet
+    columns to the current schema (our parquet carries no embedded
+    field ids; name mapping is the spec's rule for that case)."""
+    t, df = _mk_table(spark, tmp_path)
+    t.rename_column("v", "score")
+    md = json.load(open(export_iceberg(t)))
+    nm = json.loads(md["properties"]["schema.name-mapping.default"])
+    by_id = {e["field-id"]: e["names"] for e in nm}
+    v_id = next(
+        f["id"]
+        for s in md["schemas"]
+        for f in s["fields"]
+        if f["name"] in ("v", "score")
+    )
+    assert by_id[v_id] == ["v", "score"]
