@@ -12,16 +12,17 @@ parquet files into an icepack table via ``IceTable.add_files``
 (metadata-only commit, footer stats harvested) — the docs/11 migration
 path without copying data.
 
-Scope (refusals are loud, never silent):
-- v2 DELETE manifests (``content`` ≠ 0 in the manifest list) are
-  refused — applying foreign position/equality deletes needs the
-  delete-file schemas, and serving unmasked rows would be a silent
-  wrong result.
-- column resolution is by NAME against the table's current schema
-  (plus Spark's own parquet field-id resolution where file schemas
-  carry ids); a foreign table whose parquet predates a column rename
-  reads that column as null — the same caveat Spark's vanilla parquet
-  reader has, documented here rather than hidden.
+Semantics:
+- v2 DELETE manifests (``content`` = 1) are APPLIED with the spec's
+  sequence rules — position deletes mask ``data_seq <= delete_seq``,
+  equality deletes ``data_seq < delete_seq`` with null-safe key
+  equality; unknown delete content codes refuse loudly.
+- column resolution follows the Iceberg reader rules for files without
+  embedded field ids: current name first, then the table's
+  ``schema.name-mapping.default`` historical names — so parquet
+  written before a rename still resolves to the current column
+  (see ``_read_with_name_mapping``); absent columns null-fill and
+  widened types cast.
 """
 
 from __future__ import annotations
@@ -177,11 +178,10 @@ def read_iceberg(
         )
     if not data:
         return spark.createDataFrame([], schema)
-    paths = [f["file_path"] for f in data]
-    df = spark.read.schema(schema).parquet(*paths)
+    df = _read_with_name_mapping(spark, md, schema, data, with_identity=bool(deletes))
     if not deletes:
         return df
-    # identity + per-file sequence for the masks.  Spark reports
+    # per-file sequence for the masks.  Spark reports
     # _metadata.file_path as a percent-ENCODED URI; manifests store raw
     # paths — precompute every URI spelling per data file driver-side
     # and join on them, yielding the RAW path (`_f`) for delete
@@ -189,11 +189,6 @@ def read_iceberg(
     # a URI against a raw path).
     from urllib.parse import quote
 
-    df = df.select(
-        "*",
-        F.col("_metadata.file_path").alias("_furi"),
-        F.col("_metadata.row_index").alias("_p"),
-    )
     rows = []
     for f in data:
         p = f["file_path"]
@@ -244,6 +239,68 @@ def read_iceberg(
         else:
             raise ValueError(f"unknown delete content code {content}")
     return df.drop("_f", "_p", "_dataseq")
+
+
+def _read_with_name_mapping(spark, md, schema, data, with_identity: bool):
+    """Read the data files shaped to the CURRENT schema, resolving each
+    file's columns like an Iceberg reader: current name first, then
+    the name mapping's historical names (files written before a rename
+    store the old name; a plain name-based read would null-fill them —
+    the grid round-trip test caught exactly that).  Files group by
+    their resolution plan so each group is one scan; absent columns
+    null-fill, widened types cast.  ``with_identity`` additionally
+    keeps ``_furi``/``_p`` for delete-mask application.
+
+    Scale note: one parquet-footer read per data file on the driver —
+    the planning cost every external-table reader pays; at warehouse
+    scale this distributes the same way scanplan.py does for native
+    planning."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    nm = {}
+    raw_nm = md.get("properties", {}).get("schema.name-mapping.default")
+    if raw_nm:
+        for e in json.loads(raw_nm):
+            nm[e["field-id"]] = e["names"]
+    groups: dict = {}
+    for f in data:
+        names = set(pq.read_schema(f["file_path"]).names)
+        plan = []
+        for fld in cur["fields"]:
+            src = None
+            if fld["name"] in names:
+                src = fld["name"]
+            else:
+                for n in nm.get(fld["id"], []):
+                    if n in names:
+                        src = n
+                        break
+            plan.append((src, fld["name"]))
+        groups.setdefault(tuple(plan), []).append(f["file_path"])
+    parts = []
+    spark_fields = {sf.name: sf.dataType for sf in schema.fields}
+    for plan, paths in sorted(groups.items()):
+        raw = spark.read.parquet(*paths)
+        cols = [
+            (
+                F.col(src).cast(spark_fields[cur_name]).alias(cur_name)
+                if src is not None
+                else F.lit(None).cast(spark_fields[cur_name]).alias(cur_name)
+            )
+            for src, cur_name in plan
+        ]
+        if with_identity:
+            cols += [
+                F.col("_metadata.file_path").alias("_furi"),
+                F.col("_metadata.row_index").alias("_p"),
+            ]
+        parts.append(raw.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 class _IdName:

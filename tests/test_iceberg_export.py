@@ -514,3 +514,69 @@ def test_export_name_mapping_covers_renames(spark, tmp_path):
         if f["name"] in ("v", "score")
     )
     assert by_id[v_id] == ["v", "score"]
+
+
+def test_export_read_grid_roundtrip(spark, tmp_path):
+    """Grid sweep: (partitioning × delete mode × schema evolution)
+    combinations export to spec metadata and read back row-identical
+    to the native scan — the export/import pair's correctness net."""
+    from icepack.expr import col as icol
+    from icepack.iceberg_import import read_iceberg
+
+    def rows(x):
+        return sorted(map(tuple, x.collect()))
+
+    cases = [
+        ("plain", None, None, False),
+        ("monthpart", [("d", "month")], None, False),
+        ("mmh3part", [("id", "mmh3bucket[4]")], None, False),
+        ("cow", None, "copy-on-write", False),
+        ("morpos", None, "merge-on-read-pos", False),
+        ("evolved", None, "merge-on-read", True),
+    ]
+    for name, part, delete_mode, evolve in cases:
+        loc = str(tmp_path / name)
+        df = spark.createDataFrame(
+            [(i, f"s{i}", dt.date(2024, 1 + (i % 3), 5), float(i) if i % 4 else None)
+             for i in range(12)],
+            "id bigint, s string, d date, v double",
+        )
+        props = {}
+        if delete_mode and delete_mode.startswith("merge-on-read"):
+            props["write.delete.mode"] = "merge-on-read"
+            if delete_mode.endswith("pos"):
+                props["write.delete.mor.strategy"] = "position"
+        t = IceTable.create(
+            spark, loc, df.schema, partition_by=part, properties=props or None
+        )
+        t.append(df)
+        if delete_mode:
+            t.delete(icol("id") % 3 == 0 if False else icol("id") == 6)
+        if evolve:
+            t.rename_column("v", "score")
+            t.add_column("extra", T.StringType())
+            t.append(
+                spark.createDataFrame(
+                    [(100, "new", dt.date(2024, 3, 1), 1.0, "x")],
+                    "id bigint, s string, d date, score double, extra string",
+                )
+            )
+        got = read_iceberg(spark, export_iceberg(t))
+        want = t.toDF().select(*got.columns)
+        assert rows(got) == rows(want), f"case {name} diverged"
+
+
+def test_export_empty_table_and_read(spark, tmp_path):
+    """A table with no snapshot exports valid metadata
+    (current-snapshot-id -1) and reads back empty."""
+    from icepack.iceberg_import import read_iceberg
+
+    loc = str(tmp_path / "empty_t")
+    t = IceTable.create(
+        spark, loc, spark.createDataFrame([(1,)], "id bigint").schema
+    )
+    mpath = export_iceberg(t)
+    md = json.load(open(mpath))
+    assert md["current-snapshot-id"] == -1
+    got = read_iceberg(spark, mpath)
+    assert got.count() == 0 and got.columns == ["id"]
