@@ -83,3 +83,34 @@ def test_compact_uses_sort_order_property(spark, warehouse):
     _, rep = t.plan_files(col("o_orderkey") < 100)
     assert rep["files_total"] > 1
     assert rep["files_scanned"] < rep["files_total"]
+
+
+def test_mmh3bucket_partition_prunes_and_matches(spark, tmp_path):
+    """The spec-hash bucket transform participates in hidden-partition
+    pruning like the native bucket: an equality predicate projects to
+    one bucket (driver murmur3 == executor murmur3 — the write/plan
+    split must agree or pruning silently returns nothing), and results
+    equal an unpartitioned scan."""
+    from pyspark.sql import functions as F
+
+    from icepack.expr import col
+    from icepack.murmur3 import bucket as pyb
+    from icepack.table import IceTable
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], "id bigint, s string"
+    )
+    t = IceTable.create(
+        spark, str(tmp_path / "mb"), df.schema, partition_by=[("id", "mmh3bucket[8]")]
+    )
+    t.append(df)
+    hit, report = t.plan_files(col("id") == 7)
+    assert report["files_scanned"] < report["files_total"]
+    # the pruned scan still finds the row (write-side bucket == plan-side)
+    got = t.toDF(col("id") == 7).collect()
+    assert [r.s for r in got] == ["v7"]
+    # every file's partition value equals the python spec bucket of its rows
+    for f in t.live_files():
+        b = f.partition["id_mmh3bucket"]
+        ids = [r.id for r in spark.read.parquet(f.path).collect()]
+        assert all(pyb(i, 8) == b for i in ids), (f.partition, ids)

@@ -98,3 +98,17 @@ def test_s3store_full_table_lifecycle(spark, tmp_path, s3):
     import os
 
     assert not os.path.exists(os.path.join(loc, "metadata"))
+
+
+def test_s3store_url_encodable_keys(s3):
+    """Keys with spaces/special characters percent-encode on the wire
+    and round-trip byte-identically (the signature covers the encoded
+    path, the server decodes before storing)."""
+    p = "s3://warehouse/meta dir/v 1+x%41.json"
+    s3.create_exclusive(p, "payload")
+    assert s3.read_text(p) == "payload"
+    assert s3.exists(p)
+    assert s3.glob("s3://warehouse/meta dir/*.json") == [p]
+    s3.delete(p)
+    assert not s3.exists(p)
+    assert _LoopbackS3.bad_auth == []
