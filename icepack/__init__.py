@@ -34,4 +34,16 @@ def __getattr__(name):
         from .sql import IceSQL
 
         return IceSQL
+    if name == "export_iceberg":
+        from .iceberg_export import export_iceberg
+
+        return export_iceberg
+    if name == "read_iceberg":
+        from .iceberg_import import read_iceberg
+
+        return read_iceberg
+    if name == "S3Store":
+        from .s3store import S3Store
+
+        return S3Store
     raise AttributeError(name)

@@ -328,26 +328,65 @@ def x22_contamination(spark: SparkSession, sf: str) -> DataFrame:
     by eval hits.  (The earlier inverted-index spelling grouped the
     whole corpus by shingle; measured 40% slower here and needlessly
     shuffles the 100 TB side.)  The shingle string never surfaces —
-    join on its xxhash64 instead (8-byte keys)."""
+    join on its xxhash64 instead (8-byte keys).
+
+    MULTIPLICITY COLLAPSE (r5, as in x2/x13): exact-duplicate texts on
+    BOTH sides group to representatives before shingling; the
+    (train, eval) pairs expand back from the output-sized result —
+    on a duplicate-saturated corpus the join and count run once per
+    distinct text, not once per copy."""
+    d = load(spark, sf, "documents")
+    eg = (
+        d.filter(F.col("source") == "src0")
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+    )
+    tg = (
+        d.filter(F.col("source") != "src0")
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+    )
     ev = (
         _shingle_rows(
-            spark, sf, distinct=True, where=F.col("source") == "src0"
+            spark, sf, distinct=True,
+            docs=eg.select(F.col("rep").alias("doc_id"), "text"),
         )
         .withColumn("sh", F.xxhash64("sh"))
         .select("sh", F.col("doc_id").alias("eval_id"))
     )
     tr = (
         _shingle_rows(
-            spark, sf, distinct=True, where=F.col("source") != "src0"
+            spark, sf, distinct=True,
+            docs=tg.select(F.col("rep").alias("doc_id"), "text"),
         )
         .withColumn("sh", F.xxhash64("sh"))
         .select("sh", F.col("doc_id").alias("train_id"))
     )
-    return (
+    rep_pairs = (
         tr.join(F.broadcast(ev), "sh")
         .groupBy("train_id", "eval_id")
         .agg(F.count("*").alias("common"))
         .filter(F.col("common") >= 3)
+    )
+    return (
+        rep_pairs.join(
+            tg.select(F.col("rep").alias("train_id"), F.col("members").alias("mt")),
+            "train_id",
+        )
+        .join(
+            F.broadcast(
+                eg.select(F.col("rep").alias("eval_id"), F.col("members").alias("me"))
+            ),
+            "eval_id",
+        )
+        .select(F.explode("mt").alias("train_id"), "me", "common")
+        .select("train_id", F.explode("me").alias("eval_id"), "common")
     )
 
 
