@@ -462,6 +462,9 @@ class IceSQL:
         #: immutable, so replaying it is exactly Snowflake's 'reuse the
         #: cached result' semantics.
         self._result_cache: dict[str, dict] = {}
+        #: cached catalog relation names for _cache_store (cleared with
+        #: the result cache on DDL)
+        self._known_rels: set | None = None
         # roll forward any multi-table COMMIT a previous process
         # crashed in the middle of (publish-intent recovery, txn.py) —
         # readers through this session then see none-or-all of it
@@ -625,9 +628,20 @@ class IceSQL:
         moving), and at least one iceberg table was actually read."""
         if self._txn is not None or _CACHE_VOLATILE.search(text):
             return
-        known = set()
-        for t in self.catalog.list_tables():
-            known |= {t.lower(), t.replace(".", "_").lower(), t.split(".")[-1].lower()}
+        if self._known_rels is None:
+            # listing the catalog per SELECT is O(tables) — cache the
+            # name set; DDL clears it along with the result cache
+            # (tables created by another process just aren't cached
+            # against, which is safe — a missed hit, never a stale one)
+            known = set()
+            for t in self.catalog.list_tables():
+                known |= {
+                    t.lower(),
+                    t.replace(".", "_").lower(),
+                    t.split(".")[-1].lower(),
+                }
+            self._known_rels = known
+        known = set(self._known_rels)
         known |= {v.lower() for v in self._views}
         known |= {a.lower() for a in self._linked}
         known |= {m.lower() for m in _CACHE_CTES.findall(text)}
@@ -779,6 +793,7 @@ class IceSQL:
             # a schema-evolution commit bumps the metadata version but
             # not current-snapshot-id): drop every retained result
             self._result_cache.clear()
+            self._known_rels = None
         if isinstance(out, DataFrame):
             # RESULT_SCAN surface: retain the (lazy) result plan by id
             self._results[str(len(self._history))] = out
