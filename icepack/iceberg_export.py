@@ -676,7 +676,11 @@ def export_iceberg(
                 "sequence-number": snap.sequence_number,
                 "timestamp-ms": snap.timestamp_ms,
                 "manifest-list": os.path.join(dest, lname),
-                "summary": {"operation": snap.operation, **snap.summary},
+                # spec: summary is map<string,string>
+                "summary": {
+                    "operation": snap.operation,
+                    **{k: str(v) for k, v in snap.summary.items()},
+                },
                 "schema-id": snap.schema_id,
             }
         )
@@ -698,8 +702,22 @@ def export_iceberg(
             [pf.field_id for sp in meta.partition_specs for pf in sp.fields],
             default=999,
         ),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": meta.default_sort_order_id,
+        "sort-orders": [
+            {
+                "order-id": o.order_id,
+                "fields": [
+                    {
+                        "transform": "identity",
+                        "source-id": sf_.source_id,
+                        "direction": sf_.direction,
+                        "null-order": sf_.null_order,
+                    }
+                    for sf_ in o.fields
+                ],
+            }
+            for o in meta.sort_orders
+        ],
         "properties": {
             **{k: str(v) for k, v in meta.properties.items()},
             "icepack.exported": "true",

@@ -580,3 +580,18 @@ def test_export_empty_table_and_read(spark, tmp_path):
     assert md["current-snapshot-id"] == -1
     got = read_iceberg(spark, mpath)
     assert got.count() == 0 and got.columns == ["id"]
+
+
+def test_export_sort_orders_and_string_summaries(spark, tmp_path):
+    """Declared sort orders export as spec sort-orders JSON; snapshot
+    summaries are stringified (spec: map<string,string>)."""
+    t, df = _mk_table(spark, tmp_path)
+    t.replace_sort_order("id DESC")
+    t.append(df.withColumn("id", F.col("id") + 20))
+    md = json.load(open(export_iceberg(t)))
+    orders = {o["order-id"]: o for o in md["sort-orders"]}
+    active = orders[md["default-sort-order-id"]]
+    assert active["fields"] and active["fields"][0]["direction"] == "desc"
+    assert active["fields"][0]["null-order"] in ("nulls-first", "nulls-last")
+    for s in md["snapshots"]:
+        assert all(isinstance(v, str) for v in s["summary"].values())
