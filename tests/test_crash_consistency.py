@@ -235,3 +235,37 @@ def test_crash_sweep_mor_update(spark, tmp_path, nation):
         spark, tmp_path, "mor-update", setup,
         lambda t: t.update(col("n_regionkey") == 1, {"n_name": F.upper(F.col("n_name"))}),
     )
+
+
+def test_recovery_surfaces_diverged_decided_txn_loudly(spark, tmp_path):
+    """If a concurrent writer advances a table past the staged branch
+    AFTER the publish intent was written but BEFORE that table's
+    fast-forward (the one window pre-validation can't close), recovery
+    must raise PartialPublish — surfaced, never silently absorbed —
+    and leave the intent on disk for the operator."""
+    from icepack.txn import PartialPublish, write_publish_intent
+
+    wh = str(tmp_path / "whx")
+    isql = IceSQL(spark, wh)
+    isql.sql("CREATE ICEBERG TABLE pa (id BIGINT)")
+    isql.sql("CREATE ICEBERG TABLE pb (id BIGINT)")
+    spark.createDataFrame([(1,)], "id bigint").createOrReplaceTempView("pseed")
+    isql.sql("INSERT INTO pa SELECT * FROM pseed")
+    isql.sql("INSERT INTO pb SELECT * FROM pseed")
+    isql.sql("BEGIN")
+    isql.sql("INSERT INTO pa SELECT * FROM pseed")
+    isql.sql("INSERT INTO pb SELECT * FROM pseed")
+    # decided: intent durably written; process dies before any apply
+    handles = list(isql._txn.values())
+    for h in handles:
+        h.refresh()
+    intent = write_publish_intent(LocalStore(), wh, "txncrash", handles)
+    assert intent is not None
+    isql._txn, isql._txn_id = None, None  # the "dead" process
+    # concurrent writer advances pa past the transaction's base
+    ta = IceTable.load(spark, os.path.join(wh, "pa"), store=LocalStore())
+    ta.append(spark.createDataFrame([(99,)], "id bigint"))
+    with pytest.raises(PartialPublish):
+        recover_transactions(spark, wh, LocalStore())
+    # the intent survives for inspection (not swallowed)
+    assert os.path.exists(intent)
