@@ -595,3 +595,58 @@ def test_export_sort_orders_and_string_summaries(spark, tmp_path):
     assert active["fields"][0]["null-order"] in ("nulls-first", "nulls-last")
     for s in md["snapshots"]:
         assert all(isinstance(v, str) for v in s["summary"].values())
+
+
+def test_avro_reader_foreign_container_shapes():
+    """Foreign writers emit multi-block containers and may use the
+    negative-count block form (count + byte size); the reader must
+    handle both even though our writer emits a single plain block."""
+    from icepack.avroenc import _encode_bytes, _encode_str, _zigzag, encode
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "i", "type": "long"}],
+    }
+    sync = bytes(range(16))
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": b"null",
+    }
+    buf = bytearray(b"Obj\x01")
+    buf += _zigzag(len(meta))
+    for k, v in sorted(meta.items()):
+        buf += _encode_str(k) + _encode_bytes(v)
+    buf += _zigzag(0)
+    buf += sync
+    # block 1: plain form, two records
+    payload = encode({"i": 1}, schema) + encode({"i": 2}, schema)
+    buf += _zigzag(2) + _zigzag(len(payload)) + payload + sync
+    # block 2: one record
+    payload2 = encode({"i": 3}, schema)
+    buf += _zigzag(1) + _zigzag(len(payload2)) + payload2 + sync
+    schema2, recs = read_container(bytes(buf))
+    assert [r["i"] for r in recs] == [1, 2, 3]
+
+    # array with negative block count (size-prefixed) inside a record
+    arr_schema = {
+        "type": "record",
+        "name": "a",
+        "fields": [{"name": "xs", "type": {"type": "array", "items": "long"}}],
+    }
+    from icepack.avroenc import _Reader, decode
+
+    items = encode(7, "long") + encode(8, "long")
+    body = _zigzag(-2) + _zigzag(len(items)) + items + _zigzag(0)
+    got = decode(_Reader(body), arr_schema)
+    assert got == {"xs": [7, 8]}
+
+    # unsupported codec refuses loudly
+    bad = bytearray(b"Obj\x01")
+    meta2 = dict(meta, **{"avro.codec": b"deflate"})
+    bad += _zigzag(len(meta2))
+    for k, v in sorted(meta2.items()):
+        bad += _encode_str(k) + _encode_bytes(v)
+    bad += _zigzag(0) + sync
+    with pytest.raises(ValueError, match="codec"):
+        read_container(bytes(bad))
