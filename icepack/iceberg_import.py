@@ -154,8 +154,66 @@ def iceberg_schema(md: dict) -> T.StructType:
     )
 
 
+def _decode_bound(type_json, raw: bytes):
+    """Reverse of the export's single-value serialization (spec
+    Appendix D) for the stats types we prune on."""
+    import struct
+
+    if not isinstance(type_json, str) or raw is None:
+        return None
+    try:
+        if type_json == "int":
+            return struct.unpack("<i", raw)[0]
+        if type_json == "long":
+            return struct.unpack("<q", raw)[0]
+        if type_json == "float":
+            return struct.unpack("<f", raw)[0]
+        if type_json == "double":
+            return struct.unpack("<d", raw)[0]
+        if type_json == "boolean":
+            return raw == b"\x01"
+        if type_json == "date":
+            import datetime as _dt
+
+            return (_dt.date(1970, 1, 1) + _dt.timedelta(days=struct.unpack("<i", raw)[0])).isoformat()
+        if type_json in ("timestamp", "timestamptz"):
+            import datetime as _dt
+
+            micros = struct.unpack("<q", raw)[0]
+            return (_dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=micros)).isoformat()
+        if type_json == "string":
+            return raw.decode("utf-8")
+    except (ValueError, struct.error):
+        return None
+    return None
+
+
+def _prune_files(md: dict, data: list, where) -> list:
+    """Skip data files whose decoded lower/upper bounds PROVE no row
+    matches *where* (an icepack Expr) — the manifest-level pruning an
+    external engine would run on the same metadata.  Conservative:
+    files without usable bounds are kept."""
+    cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    by_id = {f["id"]: f for f in cur["fields"]}
+    out = []
+    for f in data:
+        lowers = {kv["key"]: kv["value"] for kv in (f.get("lower_bounds") or [])}
+        uppers = {kv["key"]: kv["value"] for kv in (f.get("upper_bounds") or [])}
+        nulls = {kv["key"]: kv["value"] for kv in (f.get("null_value_counts") or [])}
+        stats = {}
+        for fid, fld in by_id.items():
+            lo = _decode_bound(fld["type"], lowers.get(fid))
+            hi = _decode_bound(fld["type"], uppers.get(fid))
+            if lo is None and hi is None and fid not in nulls:
+                continue
+            stats[fld["name"]] = {"min": lo, "max": hi, "nulls": nulls.get(fid)}
+        if where.may_match_file(stats, f.get("record_count", 0)):
+            out.append(f)
+    return out
+
+
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None
+    spark: SparkSession, path: str, snapshot_id: int | None = None, where=None
 ) -> DataFrame:
     """Spec-format Iceberg table → DataFrame at the requested (default
     current) snapshot.  Time travel = any snapshot id present in the
@@ -163,12 +221,19 @@ def read_iceberg(
     content=1 manifests) are APPLIED with the spec's sequence rules:
     position deletes mask (file_path, pos) rows of data files with
     ``data_seq <= delete_seq``; equality deletes mask key-matching
-    rows of data files with ``data_seq < delete_seq``."""
+    rows of data files with ``data_seq < delete_seq``.
+
+    *where* (an :mod:`icepack.expr` Expr) additionally PRUNES files
+    whose exported bounds prove no match AND applies the predicate
+    row-level — at scale an external read must skip files from the
+    manifests exactly like a native scan, not open every footer."""
     from pyspark.sql import functions as F
 
     md = load_iceberg_metadata(path)
     schema = iceberg_schema(md)
     data, deletes = _snapshot_entries(md, snapshot_id)
+    if where is not None:
+        data = _prune_files(md, data, where)
     bad = [r for r in deletes if r.get("content", 0) not in (1, 2)]
     if bad:
         raise ValueError(
@@ -179,6 +244,8 @@ def read_iceberg(
     if not data:
         return spark.createDataFrame([], schema)
     df = _read_with_name_mapping(spark, md, schema, data, with_identity=bool(deletes))
+    if where is not None:
+        df = df.filter(where.to_column())  # pruning is a superset
     if not deletes:
         return df
     # per-file sequence for the masks.  Spark reports

@@ -650,3 +650,41 @@ def test_avro_reader_foreign_container_shapes():
     bad += _zigzag(0) + sync
     with pytest.raises(ValueError, match="codec"):
         read_container(bytes(bad))
+
+
+def test_read_iceberg_where_prunes_files(spark, tmp_path):
+    """read_iceberg(where=...) decodes the exported bounds and skips
+    files that provably can't match — an external read prunes from the
+    manifests like a native scan — while results stay exact."""
+    from icepack.expr import col as icol
+    from icepack.iceberg_import import (
+        _prune_files,
+        _snapshot_entries,
+        load_iceberg_metadata,
+        read_iceberg,
+    )
+
+    loc = str(tmp_path / "prune_t")
+    df = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(40)], "id bigint, s string, v double"
+    )
+    t = IceTable.create(spark, loc, df.schema)
+    # three appends with disjoint id ranges → separable bounds
+    for lo in (0, 100, 200):
+        t.append(df.withColumn("id", F.col("id") + lo))
+    mpath = export_iceberg(t)
+    md = load_iceberg_metadata(mpath)
+    data, _ = _snapshot_entries(md)
+    pred = icol("id") >= 200
+    kept = _prune_files(md, data, pred)
+    assert 0 < len(kept) < len(data), "bounds pruning must drop files"
+    got = read_iceberg(spark, mpath, where=pred)
+    want = t.toDF(pred).select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # string bounds decode and prune too — and the result stays exact
+    pred_s = icol("s") == "s1"
+    kept_s = _prune_files(md, data, pred_s)
+    assert 0 < len(kept_s) < len(data)
+    got_s = read_iceberg(spark, mpath, where=pred_s)
+    want_s = t.toDF(pred_s).select(*got_s.columns)
+    assert sorted(map(tuple, got_s.collect())) == sorted(map(tuple, want_s.collect()))
