@@ -120,6 +120,7 @@ def _snapshot_entries(md: dict, snapshot_id: int | None = None):
             seq = e.get("sequence_number")
             rec = dict(e["data_file"])
             rec["_seq"] = seq if seq is not None else m.get("sequence_number", 0)
+            rec["_spec_id"] = m.get("partition_spec_id")
             if m.get("content", 0) != 0 or rec.get("content", 0) != 0:
                 deletes.append(rec)
             else:
@@ -188,15 +189,74 @@ def _decode_bound(type_json, raw: bytes):
     return None
 
 
+_COMPACT_TYPE = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp",
+    "string": "string",
+    "binary": "binary",
+}
+
+
 def _prune_files(md: dict, data: list, where) -> list:
-    """Skip data files whose decoded lower/upper bounds PROVE no row
-    matches *where* (an icepack Expr) — the manifest-level pruning an
-    external engine would run on the same metadata.  Conservative:
-    files without usable bounds are kept."""
+    """Skip data files whose decoded lower/upper bounds OR partition
+    tuple PROVE no row matches *where* (an icepack Expr) — the
+    manifest-level pruning an external engine would run on the same
+    metadata.  The partition check reuses the engine's own predicate
+    projection (spec ``bucket[N]`` is murmur3 = our ``mmh3bucket[N]``,
+    so point lookups skip other buckets; lexically-encoded transforms
+    compare incomparably and conservatively keep).  Files without
+    usable bounds are kept."""
+    from .expr import partition_tuple_matches, project_to_partition
+    from .metadata import IceSchema, NestedField, PartitionField, PartitionSpec
+
     cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
     by_id = {f["id"]: f for f in cur["fields"]}
+    schema = IceSchema(
+        cur["schema-id"],
+        [
+            NestedField(
+                f["id"],
+                f["name"],
+                _COMPACT_TYPE.get(f["type"], "string")
+                if isinstance(f["type"], str)
+                else "string",
+                f.get("required", False),
+            )
+            for f in cur["fields"]
+        ],
+    )
+    pexpr_by_spec: dict = {}
+    for sp in md.get("partition-specs", []):
+        fields = []
+        for pf in sp["fields"]:
+            tr = pf["transform"]
+            if tr.startswith("bucket["):
+                tr = "mmh3bucket[" + tr[len("bucket[") :]
+            if tr == "void":
+                continue  # produces nothing prunable
+            try:
+                fields.append(
+                    PartitionField(pf["source-id"], pf["field-id"], tr, pf["name"])
+                )
+            except Exception:  # noqa: BLE001 — unknown foreign transform: skip
+                continue
+        spec = PartitionSpec(sp["spec-id"], fields)
+        try:
+            pexpr_by_spec[sp["spec-id"]] = project_to_partition(where, spec, schema)
+        except Exception:  # noqa: BLE001 — unprojectable: no partition pruning
+            pexpr_by_spec[sp["spec-id"]] = None
     out = []
     for f in data:
+        pexpr = pexpr_by_spec.get(f.get("_spec_id"))
+        if pexpr is not None and isinstance(f.get("partition"), dict):
+            if not partition_tuple_matches(pexpr, f["partition"]):
+                continue
         lowers = {kv["key"]: kv["value"] for kv in (f.get("lower_bounds") or [])}
         uppers = {kv["key"]: kv["value"] for kv in (f.get("upper_bounds") or [])}
         nulls = {kv["key"]: kv["value"] for kv in (f.get("null_value_counts") or [])}

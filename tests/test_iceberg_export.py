@@ -688,3 +688,31 @@ def test_read_iceberg_where_prunes_files(spark, tmp_path):
     got_s = read_iceberg(spark, mpath, where=pred_s)
     want_s = t.toDF(pred_s).select(*got_s.columns)
     assert sorted(map(tuple, got_s.collect())) == sorted(map(tuple, want_s.collect()))
+
+
+def test_read_iceberg_where_prunes_mmh3_buckets(spark, tmp_path):
+    """Point lookups on an exported spec bucket[N] (= murmur3) prune to
+    the matching bucket's files via the engine's own partition
+    projection; results stay exact."""
+    from icepack.expr import col as icol
+    from icepack.iceberg_import import (
+        _prune_files,
+        _snapshot_entries,
+        load_iceberg_metadata,
+        read_iceberg,
+    )
+
+    loc = str(tmp_path / "bprune_t")
+    df = spark.createDataFrame([(i, f"s{i}") for i in range(64)], "id bigint, s string")
+    t = IceTable.create(
+        spark, loc, df.schema, partition_by=[("id", "mmh3bucket[8]")]
+    )
+    t.append(df)
+    mpath = export_iceberg(t)
+    md = load_iceberg_metadata(mpath)
+    data, _ = _snapshot_entries(md)
+    pred = icol("id") == 7
+    kept = _prune_files(md, data, pred)
+    assert 0 < len(kept) < len(data), "bucket projection must prune"
+    got = read_iceberg(spark, mpath, where=pred)
+    assert [r.s for r in got.collect()] == ["s7"]
