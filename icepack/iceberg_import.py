@@ -393,7 +393,8 @@ def _read_with_name_mapping(spark, md, schema, data, with_identity: bool):
             nm[e["field-id"]] = e["names"]
     groups: dict = {}
     for f in data:
-        names = set(pq.read_schema(f["file_path"]).names)
+        fsch = pq.read_schema(f["file_path"])
+        names = {fld.name: str(fld.type) for fld in fsch}
         plan = []
         for fld in cur["fields"]:
             src = None
@@ -404,7 +405,11 @@ def _read_with_name_mapping(spark, md, schema, data, with_identity: bool):
                     if n in names:
                         src = n
                         break
-            plan.append((src, fld["name"]))
+            # the file's PHYSICAL type joins the group key: files from
+            # before a type widening (int32) must not share a scan with
+            # post-widening files (int64) — Spark samples one schema per
+            # read and would misread the other group
+            plan.append((src, fld["name"], names.get(src)))
         groups.setdefault(tuple(plan), []).append(f["file_path"])
     parts = []
     spark_fields = {sf.name: sf.dataType for sf in schema.fields}
@@ -416,7 +421,7 @@ def _read_with_name_mapping(spark, md, schema, data, with_identity: bool):
                 if src is not None
                 else F.lit(None).cast(spark_fields[cur_name]).alias(cur_name)
             )
-            for src, cur_name in plan
+            for src, cur_name, _ftype in plan
         ]
         if with_identity:
             cols += [

@@ -533,6 +533,7 @@ def test_export_read_grid_roundtrip(spark, tmp_path):
         ("cow", None, "copy-on-write", False),
         ("morpos", None, "merge-on-read-pos", False),
         ("evolved", None, "merge-on-read", True),
+        ("widened", None, None, "widen"),
     ]
     for name, part, delete_mode, evolve in cases:
         loc = str(tmp_path / name)
@@ -552,6 +553,25 @@ def test_export_read_grid_roundtrip(spark, tmp_path):
         t.append(df)
         if delete_mode:
             t.delete(icol("id") % 3 == 0 if False else icol("id") == 6)
+        if evolve == "widen":
+            # int column widened to bigint AFTER the first append: pre-
+            # and post-widening parquet carry different physical types
+            # and must not share one scan group
+            t2 = IceTable.create(
+                spark, loc + "-w",
+                spark.createDataFrame([(1, 1)], "id bigint, n int").schema,
+            )
+            t2.append(spark.createDataFrame([(1, 10), (2, 20)], "id bigint, n int"))
+            t2.widen_column("n", T.LongType())
+            t2.append(
+                spark.createDataFrame(
+                    [(3, 2**40)], "id bigint, n bigint"
+                )
+            )
+            got2 = read_iceberg(spark, export_iceberg(t2))
+            want2 = t2.toDF().select(*got2.columns)
+            assert rows(got2) == rows(want2), "widened case diverged"
+            continue
         if evolve:
             t.rename_column("v", "score")
             t.add_column("extra", T.StringType())
