@@ -287,3 +287,63 @@ def test_duckdb_snapshot_export_added_column_and_partitioned(spark, warehouse):
     assert sorted(got, key=str) == sorted(want, key=str)
     assert sum(1 for *_, tag in got if tag is None) == 300
     assert sum(1 for *_, tag in got if tag == "new") == 10
+
+
+def test_three_reader_triangle_mor_evolution(spark, tmp_path):
+    """TRIANGLE consistency: the native Spark scan, the DuckDB
+    snapshot render (interop.py), and the spec-format Iceberg read
+    (export → read_iceberg) must return IDENTICAL rows for a table
+    that exercises the hard paths together — MOR equality + position
+    deletes, a post-delete re-insert, rename + widen + add-column
+    schema evolution — at the current snapshot AND a historical one.
+    Three independent read implementations agreeing is the strongest
+    cross-check the offline environment allows."""
+    import duckdb as _dd
+
+    from pyspark.sql import types as T
+
+    from icepack.iceberg_export import export_iceberg
+    from icepack.iceberg_import import read_iceberg
+    from icepack.interop import duckdb_snapshot_sql
+    from icepack.table import IceTable
+
+    loc = str(tmp_path / "tri")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", i * 1.5) for i in range(20)], "id bigint, name string, v double"
+    )
+    t = IceTable.create(
+        spark, loc, df.schema, properties={"write.delete.mode": "merge-on-read"}
+    )
+    t.append(df)
+    t.delete(col("id") == 3)  # equality delete
+    t.append(spark.createDataFrame([(3, "re", 0.0)], df.schema))  # re-insert
+    mid = t.meta.current_snapshot  # historical checkpoint
+    t.rename_column("v", "score")
+    t.widen_column("id", T.LongType())  # no-op widen keeps the path hot
+    t.add_column("extra", T.StringType())
+    t.set_properties(**{"write.delete.mor.strategy": "position"})
+    t.delete(col("id") == 7)  # position delete over evolved schema
+    t.append(
+        spark.createDataFrame(
+            [(100, "new", 9.9, "x")], "id bigint, name string, score double, extra string"
+        )
+    )
+
+    mpath = export_iceberg(t, history=True)
+    con = _dd.connect()
+
+    def tri(snapshot, sid):
+        native = t.toDF(snapshot=snapshot)
+        cols = native.columns
+        a = sorted(map(tuple, native.collect()))
+        b = sorted(
+            tuple(r) for r in con.execute(duckdb_snapshot_sql(t, snapshot)).fetchall()
+        )
+        c = sorted(
+            map(tuple, read_iceberg(spark, mpath, snapshot_id=sid).select(*cols).collect())
+        )
+        assert a == b, "DuckDB render diverged from native scan"
+        assert a == c, "spec-format read diverged from native scan"
+
+    tri(None, None)  # current
+    tri(mid, mid.snapshot_id)  # historical (pre-evolution, MOR + re-insert)

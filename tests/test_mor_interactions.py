@@ -224,3 +224,22 @@ def test_randomized_dml_interleavings_match_model(spark, tmp_path):
             assert got == sorted(model), (
                 f"trial {trial} step {step} op {op}: {got} != {sorted(model)}"
             )
+        # triangle at the trial's final state: the DuckDB render and
+        # the spec-format export/read must agree with the model too —
+        # three independent readers over whatever DML sequence the
+        # trial produced (r5)
+        import duckdb as _dd
+
+        from icepack.iceberg_export import export_iceberg
+        from icepack.iceberg_import import read_iceberg
+        from icepack.interop import duckdb_snapshot_sql
+
+        want = sorted(model)
+        con = _dd.connect()
+        ddb = sorted(
+            (r[0], r[1]) for r in con.execute(duckdb_snapshot_sql(t)).fetchall()
+        )
+        assert ddb == want, f"trial {trial}: DuckDB render diverged"
+        spec = read_iceberg(spark, export_iceberg(t))
+        got_spec = sorted((r.id, r.v) for r in spec.collect())
+        assert got_spec == want, f"trial {trial}: spec-format read diverged"
