@@ -745,11 +745,32 @@ def export_iceberg(
             else {}
         ),
     }
-    mpath = os.path.join(dest, "v1.metadata.json")
+    # versioned like a real Iceberg commit log: a re-export after new
+    # commits writes v{N+1}.metadata.json, records the previous file
+    # in metadata-log, and atomically advances version-hint — an
+    # external engine following the hint sees each export as a new
+    # table version (readers of vN keep working; files are immutable)
+    hint_path = os.path.join(dest, "version-hint.text")
+    version = 1
+    if os.path.exists(hint_path):
+        prev_v = int(open(hint_path).read().strip())
+        prev_path = os.path.join(dest, f"v{prev_v}.metadata.json")
+        version = prev_v + 1
+        if os.path.exists(prev_path):
+            prev_md = json.load(open(prev_path))
+            md["metadata-log"] = (prev_md.get("metadata-log") or []) + [
+                {
+                    "timestamp-ms": prev_md.get("last-updated-ms", 0),
+                    "metadata-file": prev_path,
+                }
+            ]
+    mpath = os.path.join(dest, f"v{version}.metadata.json")
     with open(mpath, "w") as fh:
         json.dump(md, fh, indent=2)
-    with open(os.path.join(dest, "version-hint.text"), "w") as fh:
-        fh.write("1")
+    tmp = hint_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, hint_path)  # atomic: followers see old or new
     return mpath
 
 

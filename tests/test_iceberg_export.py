@@ -736,3 +736,26 @@ def test_read_iceberg_where_prunes_mmh3_buckets(spark, tmp_path):
     assert 0 < len(kept) < len(data), "bucket projection must prune"
     got = read_iceberg(spark, mpath, where=pred)
     assert [r.s for r in got.collect()] == ["s7"]
+
+
+def test_export_versions_follow_commits(spark, tmp_path):
+    """Re-exporting after new commits writes v2, v3... metadata with a
+    metadata-log chain and atomically advances version-hint — an
+    external engine following the hint tracks the table across
+    exports; directory resolution always picks the newest."""
+    from icepack.iceberg_import import read_iceberg
+
+    t, df = _mk_table(spark, tmp_path)
+    m1 = export_iceberg(t)
+    assert m1.endswith("v1.metadata.json")
+    t.append(df.withColumn("id", F.col("id") + 10))
+    m2 = export_iceberg(t)
+    assert m2.endswith("v2.metadata.json")
+    base = os.path.dirname(m2)
+    assert open(os.path.join(base, "version-hint.text")).read() == "2"
+    md2 = json.load(open(m2))
+    assert [e["metadata-file"] for e in md2["metadata-log"]] == [m1]
+    # directory resolution follows the hint to v2 (8 rows, not 4)
+    assert read_iceberg(spark, base).count() == 8
+    # v1 still readable (immutable history)
+    assert read_iceberg(spark, m1).count() == 4
