@@ -1315,6 +1315,14 @@ class IceSQL:
                 r"(?i)ALTER\s+COLUMN\s+([\w$]+)\s+(?:SET\s+DATA\s+)?TYPE\s+(.*)$", rest
             )
             return t.widen_column(am.group(1), _map_type(am.group(2)))
+        if u.startswith("EXPORT ICEBERG METADATA"):
+            # [ext] dialect verb so CREATE TASK can schedule a
+            # spec-format export (iceberg_export.py) that follows
+            # commits — external engines track the version hint
+            from .iceberg_export import export_iceberg
+
+            dm = re.search(r"(?i)\bTO\s+'([^']+)'", rest)
+            return export_iceberg(t, dest=dm.group(1) if dm else None)
         if u.startswith("COMPACT"):  # docs write both COMPACT and COMPACT DATA
             am = re.search(r"(?i)TARGET_FILE_SIZE(?:_BYTES)?\s*=\s*(\d+)", rest)
             wm = re.search(r"(?i)\sWHERE\s+(.*)$", rest, re.DOTALL)

@@ -972,3 +972,23 @@ def test_result_cache_invalidated_by_ddl_and_database_scoped(spark, tmp_path):
     c = isql.sql(q)
     assert c is not a, "DDL must invalidate the result cache"
     assert "score" in c.columns
+
+
+def test_alter_export_iceberg_metadata_and_scheduled(spark, tmp_path):
+    """[ext] ALTER ICEBERG TABLE ... EXPORT ICEBERG METADATA writes a
+    versioned spec export; a CREATE TASK can schedule it so the
+    external view follows commits."""
+    from icepack.iceberg_import import read_iceberg
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE ex (id BIGINT)")
+    spark.createDataFrame([(1,), (2,)], "id bigint").createOrReplaceTempView("ex_seed")
+    isql.sql("INSERT INTO ex SELECT * FROM ex_seed")
+    dest = str(tmp_path / "mirror")
+    m1 = isql.sql(f"ALTER ICEBERG TABLE ex EXPORT ICEBERG METADATA TO '{dest}'")
+    assert read_iceberg(spark, dest).count() == 2
+    isql.sql("INSERT INTO ex SELECT id + 10 FROM ex_seed")
+    m2 = isql.sql(f"ALTER ICEBERG TABLE ex EXPORT ICEBERG METADATA TO '{dest}'")
+    assert m2.endswith("v2.metadata.json")
+    assert read_iceberg(spark, dest).count() == 4
