@@ -243,3 +243,91 @@ def test_randomized_dml_interleavings_match_model(spark, tmp_path):
         spec = read_iceberg(spark, export_iceberg(t))
         got_spec = sorted((r.id, r.v) for r in spec.collect())
         assert got_spec == want, f"trial {trial}: spec-format read diverged"
+
+
+def test_randomized_dml_with_merge_expire_evolution_matches_model(spark, tmp_path):
+    """Second randomized sweep widening the op mix: MERGE (matched
+    update + unmatched insert), snapshot EXPIRY mid-sequence, and a
+    column RENAME mid-sequence — against the same multiset model,
+    with the three-reader triangle at the end of every trial.  MERGE
+    must upsert exactly; expiry must never change visible rows; the
+    rename must not detach MOR delete files or the model (r5)."""
+    import random
+
+    import duckdb as _dd
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from icepack.dml import source_col
+    from icepack.iceberg_export import export_iceberg
+    from icepack.iceberg_import import read_iceberg
+    from icepack.interop import duckdb_snapshot_sql
+    from icepack.maintenance import compact, expire_snapshots
+
+    rnd = random.Random(777)
+    for trial in range(3):
+        loc = str(tmp_path / f"mm{trial}")
+        schema = spark.createDataFrame([Row(id=1, v=1.0)]).schema
+        t = IceTable.create(
+            spark, loc, schema,
+            properties={"write.delete.mode": "merge-on-read", "write.merge.mode": "merge-on-read"}
+            if trial % 2
+            else None,
+        )
+        vcol = "v"
+        model: dict[int, float] = {}  # MERGE keys are unique: id -> v
+        next_id = 0
+        for step in range(10):
+            op = rnd.choice(
+                ["append", "merge", "delete", "compact", "expire", "rename"]
+            )
+            if op == "append":
+                rows = [Row(id=next_id + i, v=float(next_id + i)) for i in range(3)]
+                next_id += 3
+                t.append(
+                    spark.createDataFrame(rows, schema).withColumnRenamed("v", vcol)
+                )
+                for r in rows:
+                    model[r.id] = r.v
+            elif op == "merge":
+                # half existing keys (update), half fresh (insert)
+                ks = sorted(model)[:2]
+                fresh = [next_id, next_id + 1]
+                next_id += 2
+                src_rows = [Row(id=k, v=float(k) + 1000.0) for k in ks + fresh]
+                src = spark.createDataFrame(src_rows, schema).withColumnRenamed(
+                    "v", vcol
+                )
+                t.merge(
+                    src,
+                    on=["id"],
+                    when_matched_update={vcol: source_col(vcol)},
+                    when_not_matched_insert=True,
+                )
+                for r in src_rows:
+                    model[r.id] = r.v
+            elif op == "delete" and model:
+                k = rnd.choice(sorted(model))
+                t.delete(col("id") == k)
+                model.pop(k)
+            elif op == "compact":
+                compact(t, target_file_size=32 * 1024 * 1024)
+            elif op == "expire":
+                expire_snapshots(t, older_than_ms=10**15, retain_last=1)
+            elif op == "rename" and vcol == "v":
+                t.rename_column("v", "val")
+                vcol = "val"
+            got = sorted((r.id, r[vcol]) for r in t.toDF().collect())
+            assert got == sorted(model.items()), (
+                f"trial {trial} step {step} op {op}: {got} != {sorted(model.items())}"
+            )
+        # triangle on the final state
+        want = sorted(model.items())
+        con = _dd.connect()
+        ddb = sorted(
+            (r[0], r[1]) for r in con.execute(duckdb_snapshot_sql(t)).fetchall()
+        )
+        assert ddb == want, f"trial {trial}: DuckDB render diverged"
+        spec = read_iceberg(spark, export_iceberg(t))
+        got_spec = sorted((r.id, r[vcol]) for r in spec.collect())
+        assert got_spec == want, f"trial {trial}: spec-format read diverged"
