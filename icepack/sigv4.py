@@ -83,6 +83,11 @@ def sign(
 
     canon_headers = {k.lower().strip(): " ".join(str(v).split()) for k, v in out.items()}
     signed_names = ";".join(sorted(canon_headers))
+    # Canonical URI: single URI-encoding, which is exact for S3 (the
+    # spec forbids double-encoding there) and for services whose paths
+    # are plain "/" (Glue JSON-1.1 — the other caller here).  Services
+    # that require the spec's double-encoding of exotic path segments
+    # would need quote() applied twice; none of our callers do.
     canonical_request = "\n".join(
         [
             method.upper(),
