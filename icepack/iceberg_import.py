@@ -81,6 +81,18 @@ def _spark_type(t) -> T.DataType:
     raise ValueError(f"unknown iceberg type {t!r}")
 
 
+def _current_schema_json(md: dict) -> dict:
+    """The current schema's JSON — v2 keeps a ``schemas`` list keyed by
+    ``current-schema-id``; v1 tables may carry only the singular
+    ``schema`` field (both are read: foreign v1 tables must open)."""
+    if "schemas" in md:
+        cid = md.get("current-schema-id")
+        return next(
+            s for s in md["schemas"] if cid is None or s.get("schema-id") == cid
+        )
+    return md["schema"]
+
+
 def _resolve_metadata(path: str) -> str:
     """Accept a metadata.json path, a metadata dir, or a table dir with
     the HadoopCatalog version-hint convention."""
@@ -144,9 +156,7 @@ def iceberg_live_files(md: dict, snapshot_id: int | None = None) -> list[dict]:
 
 
 def iceberg_schema(md: dict) -> T.StructType:
-    cur = next(
-        s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"]
-    )
+    cur = _current_schema_json(md)
     return T.StructType(
         [
             T.StructField(f["name"], _spark_type(f["type"]), not f["required"])
@@ -215,7 +225,7 @@ def _prune_files(md: dict, data: list, where) -> list:
     from .expr import partition_tuple_matches, project_to_partition
     from .metadata import IceSchema, NestedField, PartitionField, PartitionSpec
 
-    cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    cur = _current_schema_json(md)
     by_id = {f["id"]: f for f in cur["fields"]}
     schema = IceSchema(
         cur["schema-id"],
@@ -385,7 +395,7 @@ def _read_with_name_mapping(spark, md, schema, data, with_identity: bool):
     import pyarrow.parquet as pq
     from pyspark.sql import functions as F
 
-    cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    cur = _current_schema_json(md)
     nm = {}
     raw_nm = md.get("properties", {}).get("schema.name-mapping.default")
     if raw_nm:
@@ -443,7 +453,7 @@ class _IdName:
 
 
 def _schema_field_ids(md: dict) -> list:
-    cur = next(s for s in md["schemas"] if s["schema-id"] == md["current-schema-id"])
+    cur = _current_schema_json(md)
     return [_IdName(f["id"], f["name"]) for f in cur["fields"]]
 
 

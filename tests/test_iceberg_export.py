@@ -759,3 +759,102 @@ def test_export_versions_follow_commits(spark, tmp_path):
     assert read_iceberg(spark, base).count() == 8
     # v1 still readable (immutable history)
     assert read_iceberg(spark, m1).count() == 4
+
+
+def test_read_foreign_v1_style_metadata(spark, tmp_path):
+    """A hand-built FOREIGN v1-style table — singular `schema` key,
+    manifest entries without sequence/content fields (the v1 Avro
+    shape) — must open and read: `.get` fallbacks everywhere, no
+    assumption that our own exporter wrote the metadata."""
+    from icepack.avroenc import write_container
+    from icepack.iceberg_import import read_iceberg
+
+    base = tmp_path / "foreign"
+    base.mkdir()
+    dpath = str(base / "part-0.parquet")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(base / "data"))
+    import glob as _g
+
+    dpath = _g.glob(str(base / "data" / "*.parquet"))[0]
+
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "r2",
+                    "fields": [
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    mrec = {
+        "status": 1,
+        "snapshot_id": 7,
+        "data_file": {
+            "file_path": dpath,
+            "file_format": "PARQUET",
+            "record_count": 2,
+            "file_size_in_bytes": os.path.getsize(dpath),
+        },
+    }
+    mpath = str(base / "m0.avro")
+    open(mpath, "wb").write(write_container(entry_schema, [mrec], bytes(16)))
+    mlist_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+        ],
+    }
+    lpath = str(base / "snap-7.avro")
+    open(lpath, "wb").write(
+        write_container(
+            mlist_schema,
+            [
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": 0,
+                    "added_snapshot_id": 7,
+                }
+            ],
+            bytes(16),
+        )
+    )
+    md = {
+        "format-version": 1,
+        "table-uuid": "00000000-0000-0000-0000-000000000001",
+        "location": str(base),
+        "schema": {  # v1: SINGULAR key, no schema-id required
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "required": False, "type": "long"},
+                {"id": 2, "name": "s", "required": False, "type": "string"},
+            ],
+        },
+        "partition-spec": [],
+        "current-snapshot-id": 7,
+        "snapshots": [
+            {"snapshot-id": 7, "timestamp-ms": 1, "manifest-list": lpath}
+        ],
+    }
+    mdpath = str(base / "v1.metadata.json")
+    json.dump(md, open(mdpath, "w"))
+    got = read_iceberg(spark, mdpath)
+    assert sorted((r.id, r.s) for r in got.collect()) == [(1, "a"), (2, "b")]
