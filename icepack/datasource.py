@@ -39,15 +39,14 @@ Executor-side reads are pyarrow over single data files (one
 InputPartition per file — Spark schedules them like any other source
 partitions), reconciled to the CURRENT schema by field ID so streams
 keep working across column renames.  Batch reads (``spark.read``) are
-served too, but ``table.toDF()`` remains the batch path of choice —
-it adds manifest pruning and MOR delete application; the batch reader
-here refuses tables with live delete files rather than silently
-returning undeleted rows.
+served too with filter pushdown into manifest pruning and per-file
+merge-on-read delete masks — row-identical to ``table.toDF()``.
 """
 
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
@@ -167,6 +166,7 @@ class _StreamReader(DataSourceStreamReader):
         self._start_seq = int(options.get("starting-sequence-number", 0))
 
     def _table(self):
+        _ensure_importable()  # streaming runner workers unpickle us raw
         from pyspark.sql import SparkSession
 
         from .table import IceTable
@@ -272,6 +272,7 @@ class _BatchReader(DataSourceReader):
         return filters
 
     def partitions(self):
+        _ensure_importable()  # data-source workers: see register()
         from pyspark.sql import SparkSession
 
         from .table import IceTable
@@ -515,6 +516,7 @@ class _StreamWriter(DataSourceStreamArrowWriter):
         )
 
     def commit(self, messages, batchId: int) -> None:
+        _ensure_importable()  # sink-commit worker: see register()
         from pyspark.sql import SparkSession
 
         from .manifest import DataFile, harvest_stats
@@ -573,9 +575,29 @@ def _rm_quiet(path: str) -> None:
         pass
 
 
+#: absolute package-parent path, BAKED into the (possibly by-value-
+#: pickled) module so data-source workers on this host can restore
+#: `import icepack` even when their sys.path predates addPyFile —
+#: see register()/_ship_package()
+_PKG_PARENT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ensure_importable() -> None:
+    import sys
+
+    try:
+        import icepack  # noqa: F401
+    except ModuleNotFoundError:
+        sys.path.insert(0, _PKG_PARENT)
+
+
 class IcepackDataSource(DataSource):
     """``spark.dataSource.register(IcepackDataSource)`` then
     ``spark.read(.Stream)?.format("icepack").option("location", ...)``."""
+
+    def __init__(self, options):
+        _ensure_importable()  # worker-side bootstrap (see register())
+        super().__init__(options)
 
     @classmethod
     def name(cls) -> str:
@@ -588,6 +610,7 @@ class IcepackDataSource(DataSource):
         return loc
 
     def schema(self):
+        _ensure_importable()
         from pyspark.sql import SparkSession
 
         from .table import IceTable
@@ -615,4 +638,56 @@ def register(spark) -> None:
     from .session import ensure_confs
 
     ensure_confs(spark)  # incl. python filterPushdown (pushFilters below)
+    _ship_package(spark)
     spark.dataSource.register(IcepackDataSource)
+
+
+def _ship_package(spark) -> None:
+    """Python data sources run in SEPARATE Python workers whose
+    sys.path does not include the driver's cwd — a driver importing
+    __spark_entry__ from another directory would register a source
+    whose workers can't ``import icepack`` (found by the hostile-
+    session probe).  Ship the package as a zip via addPyFile, which
+    inserts it into every worker's path; cached per package version
+    so repeat registrations are no-ops."""
+    import os
+    import zipfile
+
+    import icepack
+
+    pkg_dir = os.path.dirname(os.path.abspath(icepack.__file__))
+    zpath = os.path.join(
+        "/tmp", f"icepack-pyfiles-{abs(hash(pkg_dir)) % 10**8}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + ".part"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(
+                            full,
+                            os.path.join(
+                                "icepack", os.path.relpath(full, pkg_dir)
+                            ),
+                        )
+        os.replace(tmp, zpath)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:  # noqa: BLE001 — already added in this context
+        pass
+    # STREAMING data-source workers build their sys.path before the
+    # runtime-added pyfile lands (observed: batch create works after
+    # addPyFile, the stream's create worker still can't import) —
+    # register this module for BY-VALUE cloudpickling so the class
+    # arrives embedded, and let _ensure_importable() (baked absolute
+    # path) restore the rest of the package inside the worker
+    try:
+        from pyspark import cloudpickle
+
+        import icepack.datasource as _self
+
+        cloudpickle.register_pickle_by_value(_self)
+    except Exception:  # noqa: BLE001 — older cloudpickle: pyfiles only
+        pass
