@@ -650,15 +650,23 @@ def _ship_package(spark) -> None:
     session probe).  Ship the package as a zip via addPyFile, which
     inserts it into every worker's path; cached per package version
     so repeat registrations are no-ops."""
+    import hashlib
     import os
     import zipfile
 
     import icepack
 
     pkg_dir = os.path.dirname(os.path.abspath(icepack.__file__))
-    zpath = os.path.join(
-        "/tmp", f"icepack-pyfiles-{abs(hash(pkg_dir)) % 10**8}.zip"
-    )
+    # key the zip by a CONTENT fingerprint, not just the path — a
+    # stale zip from before a source edit would ship OLD code to the
+    # workers while the driver runs new code
+    h = hashlib.md5(pkg_dir.encode())
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                st = os.stat(os.path.join(root, f))
+                h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    zpath = os.path.join("/tmp", f"icepack-pyfiles-{h.hexdigest()[:16]}.zip")
     if not os.path.exists(zpath):
         tmp = zpath + ".part"
         with zipfile.ZipFile(tmp, "w") as z:
