@@ -89,6 +89,15 @@ def iceberg_hash_bytes(value, dtype_str: str | None = None) -> bytes:
         if dtype_str in ("timestamp", "timestamp_ntz"):
             return iceberg_hash_bytes(_dt.datetime.fromisoformat(value))
         return value.encode("utf-8")
+    import decimal as _decimal
+    import uuid as _uuid
+
+    if isinstance(value, _uuid.UUID):
+        return value.bytes  # big-endian 16 bytes per spec
+    if isinstance(value, _decimal.Decimal):
+        unscaled = int(value.scaleb(-value.as_tuple().exponent))
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(n, "big", signed=True)  # minimal 2's-compl
     if isinstance(value, float):
         raise TypeError("spec defines no bucket for float/double")
     raise TypeError(f"no iceberg hash encoding for {type(value).__name__}")

@@ -117,6 +117,18 @@ def test_murmur3_spec_vectors():
         == -2047944441
     )
     assert murmur3_x86_32(bytes([0, 1, 2, 3])) == -188683207  # binary
+    import decimal
+    import uuid
+
+    assert (
+        murmur3_x86_32(
+            iceberg_hash_bytes(uuid.UUID("f79c3e09-677c-4bbd-a479-3f349cb785e7"))
+        )
+        == 1488055340
+    )
+    assert (
+        murmur3_x86_32(iceberg_hash_bytes(decimal.Decimal("14.20"))) == -500754589
+    )
     assert bucket(None, 16) is None
 
 
