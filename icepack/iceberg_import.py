@@ -199,6 +199,31 @@ def _decode_bound(type_json, raw: bytes):
     return None
 
 
+def _lexical_partition_tuple(spec_fields: list, partition: dict) -> dict:
+    """Exported partition values use the spec's numeric encodings;
+    icepack's predicate projection compares lexical ones (transforms.py:
+    year→int calendar year, month→"yyyy-MM", day→"yyyy-MM-dd",
+    hour→"yyyy-MM-dd-HH") — convert back per field transform."""
+    import datetime as _dt
+
+    out = dict(partition)
+    for pf in spec_fields:
+        name, tr = pf["name"], pf["transform"]
+        v = partition.get(name)
+        if v is None or not isinstance(v, int):
+            continue
+        if tr == "year":
+            out[name] = 1970 + v
+        elif tr == "month":
+            out[name] = f"{1970 + v // 12:04d}-{v % 12 + 1:02d}"
+        elif tr == "day":
+            out[name] = (_dt.date(1970, 1, 1) + _dt.timedelta(days=v)).isoformat()
+        elif tr == "hour":
+            d = _dt.datetime(1970, 1, 1) + _dt.timedelta(hours=v)
+            out[name] = d.strftime("%Y-%m-%d-%H")
+    return out
+
+
 _COMPACT_TYPE = {
     "boolean": "boolean",
     "int": "int",
@@ -261,11 +286,23 @@ def _prune_files(md: dict, data: list, where) -> list:
             pexpr_by_spec[sp["spec-id"]] = project_to_partition(where, spec, schema)
         except Exception:  # noqa: BLE001 — unprojectable: no partition pruning
             pexpr_by_spec[sp["spec-id"]] = None
+    spec_fields_by_id = {
+        sp["spec-id"]: sp["fields"] for sp in md.get("partition-specs", [])
+    }
     out = []
     for f in data:
         pexpr = pexpr_by_spec.get(f.get("_spec_id"))
         if pexpr is not None and isinstance(f.get("partition"), dict):
-            if not partition_tuple_matches(pexpr, f["partition"]):
+            # exported time-transform values are SPEC-NUMERIC (years/
+            # months/days/hours since epoch); the engine's projection
+            # produces LEXICAL values — convert the tuple back before
+            # matching, else every file of a year-partitioned table
+            # fails the comparison and is silently dropped (ice48
+            # caught exactly that)
+            tup = _lexical_partition_tuple(
+                spec_fields_by_id.get(f.get("_spec_id"), []), f["partition"]
+            )
+            if not partition_tuple_matches(pexpr, tup):
                 continue
         lowers = {kv["key"]: kv["value"] for kv in (f.get("lower_bounds") or [])}
         uppers = {kv["key"]: kv["value"] for kv in (f.get("upper_bounds") or [])}

@@ -71,6 +71,7 @@ PRIORITY: list[str] = [
     "ice45_mor_batch_read",
     "ice46_s3_store",
     "ice47_iceberg_read",
+    "ice48_spec_read_prune",
     # latest driver evidence = r01 (47) — refresh first
     "p1_pruned_scan",
     "p3_time_range",

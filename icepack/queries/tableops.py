@@ -1700,3 +1700,45 @@ def ice47_iceberg_read(spark: SparkSession, sf: str) -> DataFrame:
     if got.count() != n_direct:
         raise RuntimeError("spec-format read diverged from the native scan")
     return got.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "ice48_spec_read_prune",
+    oracle=(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderdate >= DATE '1997-01-01'"
+    ),
+)
+def ice48_spec_read_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Spec-read planning (docs/11 + docs/09): a date-partitioned table
+    is exported to spec metadata and read back THROUGH the export with
+    a predicate — read_iceberg must prune files from the exported
+    bounds/partition values (raises unless kept < total) and still
+    return exactly the oracle's rows."""
+    from ..iceberg_export import export_iceberg
+    from ..iceberg_import import (
+        _prune_files,
+        _snapshot_entries,
+        load_iceberg_metadata,
+        read_iceberg,
+    )
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    t = IceTable.create(
+        spark, _scratch(), orders.schema, partition_by=[("o_orderdate", "year")]
+    )
+    t.append(orders)
+    mpath = export_iceberg(t)
+    md = load_iceberg_metadata(mpath)
+    data, _ = _snapshot_entries(md)
+    pred = col("o_orderdate") >= "1997-01-01"
+    kept = _prune_files(md, data, pred)
+    if not (0 < len(kept) < len(data)):
+        raise RuntimeError(
+            f"spec-read pruning ineffective: kept {len(kept)} of {len(data)}"
+        )
+    return read_iceberg(spark, mpath, where=pred).select(
+        "o_orderkey", "o_totalprice"
+    )

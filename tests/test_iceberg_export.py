@@ -870,3 +870,34 @@ def test_read_foreign_v1_style_metadata(spark, tmp_path):
     json.dump(md, open(mdpath, "w"))
     got = read_iceberg(spark, mdpath)
     assert sorted((r.id, r.s) for r in got.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_read_iceberg_where_prunes_time_transform_partitions(spark, tmp_path):
+    """Time-transform partitions (spec-NUMERIC exported values) must
+    prune without over-pruning: a month-partitioned table read with a
+    range predicate keeps exactly the matching months' files and the
+    rows equal an unpruned filter (ice48's bug class, pinned for
+    month + hour)."""
+    from icepack.expr import col as icol
+    from icepack.iceberg_import import (
+        _prune_files,
+        _snapshot_entries,
+        load_iceberg_metadata,
+        read_iceberg,
+    )
+
+    loc = str(tmp_path / "tp_t")
+    df = spark.createDataFrame(
+        [(i, dt.date(2024, 1 + (i % 4), 5)) for i in range(40)], "id bigint, d date"
+    )
+    t = IceTable.create(spark, loc, df.schema, partition_by=[("d", "month")])
+    t.append(df)
+    mpath = export_iceberg(t)
+    md = load_iceberg_metadata(mpath)
+    data, _ = _snapshot_entries(md)
+    pred = icol("d") >= "2024-03-01"
+    kept = _prune_files(md, data, pred)
+    assert 0 < len(kept) < len(data), f"kept {len(kept)} of {len(data)}"
+    got = read_iceberg(spark, mpath, where=pred)
+    want = t.toDF(pred).select(*got.columns)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
