@@ -272,7 +272,9 @@ def read_container(buf: bytes) -> tuple[dict, list]:
             k = r.read(r.zigzag()).decode("utf-8")
             meta[k] = r.read(r.zigzag())
     codec = meta.get("avro.codec", b"null")
-    if codec not in (b"null", b""):
+    if codec not in (b"null", b"", b"deflate"):
+        # snappy/zstd need libraries this environment lacks — refuse
+        # loudly rather than return garbage
         raise ValueError(f"unsupported avro codec {codec!r}")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     sync = r.read(16)
@@ -283,7 +285,13 @@ def read_container(buf: bytes) -> tuple[dict, list]:
         except EOFError:
             return schema, records
         size = r.zigzag()
-        block = _Reader(r.read(size))
+        payload = r.read(size)
+        if codec == b"deflate":
+            # spec: raw RFC-1951 DEFLATE, no zlib header/checksum
+            import zlib
+
+            payload = zlib.decompress(payload, -15)
+        block = _Reader(payload)
         names: dict = {}
         for _ in range(n):
             records.append(decode(block, schema, names))

@@ -673,11 +673,27 @@ def test_avro_reader_foreign_container_shapes():
     got = decode(_Reader(body), arr_schema)
     assert got == {"xs": [7, 8]}
 
-    # unsupported codec refuses loudly
-    bad = bytearray(b"Obj\x01")
+    # deflate-codec containers (foreign writers' default) decode —
+    # raw RFC-1951 blocks, no zlib header
+    import zlib
+
+    comp = zlib.compressobj(wbits=-15)
+    dpayload = comp.compress(payload) + comp.flush()
+    dbuf = bytearray(b"Obj\x01")
     meta2 = dict(meta, **{"avro.codec": b"deflate"})
-    bad += _zigzag(len(meta2))
+    dbuf += _zigzag(len(meta2))
     for k, v in sorted(meta2.items()):
+        dbuf += _encode_str(k) + _encode_bytes(v)
+    dbuf += _zigzag(0) + sync
+    dbuf += _zigzag(2) + _zigzag(len(dpayload)) + dpayload + sync
+    _, recs_d = read_container(bytes(dbuf))
+    assert [r["i"] for r in recs_d] == [1, 2]
+
+    # genuinely unsupported codec refuses loudly
+    bad = bytearray(b"Obj\x01")
+    meta3 = dict(meta, **{"avro.codec": b"snappy"})
+    bad += _zigzag(len(meta3))
+    for k, v in sorted(meta3.items()):
         bad += _encode_str(k) + _encode_bytes(v)
     bad += _zigzag(0) + sync
     with pytest.raises(ValueError, match="codec"):
