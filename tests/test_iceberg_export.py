@@ -917,3 +917,36 @@ def test_read_iceberg_where_prunes_time_transform_partitions(spark, tmp_path):
     got = read_iceberg(spark, mpath, where=pred)
     want = t.toDF(pred).select(*got.columns)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_partition_value_encoding_roundtrip_property():
+    """Property: for every time transform, the export's spec-numeric
+    encoding followed by the import's lexical decoding is the identity
+    on icepack's native partition values — the invariant whose
+    violation was finding #11 (silent over-pruning)."""
+    from hypothesis import given, settings, strategies as st
+
+    from icepack.iceberg_export import _spec_partition_value
+    from icepack.iceberg_import import _lexical_partition_tuple
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.sampled_from(["year", "month", "day", "hour"]),
+        st.datetimes(
+            min_value=dt.datetime(1970, 1, 1), max_value=dt.datetime(2300, 1, 1)
+        ),
+    )
+    def run(transform, ts):
+        lex = {
+            "year": ts.year,
+            "month": ts.strftime("%Y-%m"),
+            "day": ts.strftime("%Y-%m-%d"),
+            "hour": ts.strftime("%Y-%m-%d-%H"),
+        }[transform]
+        numeric = _spec_partition_value(transform, "timestamp", lex)
+        back = _lexical_partition_tuple(
+            [{"name": "p", "transform": transform}], {"p": numeric}
+        )["p"]
+        assert back == lex, (transform, lex, numeric, back)
+
+    run()
