@@ -269,3 +269,47 @@ def test_recovery_surfaces_diverged_decided_txn_loudly(spark, tmp_path):
         recover_transactions(spark, wh, LocalStore())
     # the intent survives for inspection (not swallowed)
     assert os.path.exists(intent)
+
+
+def test_multi_table_commit_with_mor_delete_none_or_all(spark, tmp_path):
+    """Crash sweep where the transaction stages a MERGE-ON-READ DELETE
+    on one table and an INSERT on the other: after recovery, either
+    both effects are visible or neither — a published delete without
+    its sibling insert (or vice versa) is a partial transaction."""
+    for k in range(0, 40):
+        wh = str(tmp_path / f"whm{k}")
+        isql = IceSQL(spark, wh)
+        isql.sql(
+            "CREATE ICEBERG TABLE ma (id BIGINT) "
+            "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')"
+        )
+        isql.sql("CREATE ICEBERG TABLE mb (id BIGINT)")
+        spark.createDataFrame([(1,), (2,)], "id bigint").createOrReplaceTempView(
+            "mseed"
+        )
+        isql.sql("INSERT INTO ma SELECT * FROM mseed")
+        isql.sql("INSERT INTO mb SELECT * FROM mseed")
+        la, lb = isql.catalog._loc("ma"), isql.catalog._loc("mb")
+        isql.sql("BEGIN")
+        isql.sql("DELETE FROM ma WHERE id = 2")  # MOR delete, staged
+        isql.sql("INSERT INTO mb SELECT id + 10 FROM mseed")
+        isql.catalog.store = CrashingStore(LocalStore(), fail_after=k)
+        # route the COMMIT-time intent machinery through the crashing
+        # store; per-table applies crash via their own handles? no —
+        # handles hold LocalStore, so the crash window here is the
+        # intent write/delete, which is exactly the decide point
+        try:
+            isql.sql("COMMIT")
+            ok = True
+        except SimulatedCrash:
+            ok = False
+        recover_transactions(spark, wh, LocalStore())
+        a_deleted = all(r[0] != 2 for r in _rows(spark, la))
+        b_inserted = any(r[0] == 11 for r in _rows(spark, lb))
+        assert a_deleted == b_inserted, (
+            f"crash at {k}: partial txn (delete={a_deleted}, insert={b_inserted})"
+        )
+        if ok:
+            assert a_deleted and b_inserted
+            return
+    pytest.fail("sweep never completed")
