@@ -294,3 +294,25 @@ def test_background_loop_ticks_and_stops(engine):
         assert _count() >= 3  # at least one background fire landed
         assert loop.last_tick_error is None
     assert not loop._thread.is_alive()
+
+
+def test_scheduled_iceberg_export_follows_commits(engine, tmp_path):
+    """CREATE TASK driving the [ext] export verb: each due run writes a
+    new versioned spec export, so an external engine following the
+    version hint tracks the table on a schedule (r5)."""
+    from icepack.iceberg_import import read_iceberg
+
+    _mk_table(engine)
+    dest = str(tmp_path / "mirror")
+    engine.sql(
+        "CREATE TASK mirror SCHEDULE = '10 MINUTE' AS "
+        f"ALTER ICEBERG TABLE t1 EXPORT ICEBERG METADATA TO '{dest}'"
+    )
+    engine.sql("ALTER TASK mirror RESUME")
+    sch = TaskScheduler(engine)
+    t0 = ms(2024, 6, 1, 12, 0)
+    assert sch.run_due(t0) == ["mirror"]
+    assert read_iceberg(engine.spark, dest).count() == 2
+    engine.sql("INSERT INTO t1 VALUES (3, 3.0)")
+    assert sch.run_due(t0 + 600_000) == ["mirror"]
+    assert read_iceberg(engine.spark, dest).count() == 3
