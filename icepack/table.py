@@ -341,10 +341,46 @@ class IceTable:
                 )
             try:
                 self._write_version(self._version + 1, new_meta)
+                self._mirror_after_commit(branch)
                 return snap
             except CommitConflict:
                 self.refresh()  # new base; loop re-validates and retries
         raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def _mirror_after_commit(self, branch: str | None) -> None:
+        """Opt-in spec-format MIRROR (table property
+        ``write.iceberg-export.enabled=true``): after every MAIN commit,
+        re-export versioned Iceberg v2 metadata so external engines
+        follow the table continuously — export-on-commit instead of the
+        scheduled-task spelling.  Branch/txn staging commits don't
+        export (main is unchanged).  Export cost is O(live files)
+        metadata-only, the table's own commit has ALREADY succeeded,
+        and mirror failures raise by default (opt-in strictness);
+        ``write.iceberg-export.mode=best-effort`` downgrades them to a
+        stderr note for deployments that prefer availability."""
+        if branch is not None:
+            return
+        if str(self.meta.properties.get("write.iceberg-export.enabled", "")).lower() != "true":
+            return
+        try:
+            from .iceberg_export import export_iceberg
+
+            export_iceberg(self)
+        except Exception:
+            if (
+                str(self.meta.properties.get("write.iceberg-export.mode", "strict")).lower()
+                == "best-effort"
+            ):
+                import sys
+                import traceback
+
+                print(
+                    "icepack: best-effort iceberg-export mirror failed:\n"
+                    + traceback.format_exc(),
+                    file=sys.stderr,
+                )
+            else:
+                raise
 
     # -- write path (S6 append, D1) ----------------------------------------
 

@@ -950,3 +950,40 @@ def test_partition_value_encoding_roundtrip_property():
         assert back == lex, (transform, lex, numeric, back)
 
     run()
+
+
+def test_export_on_commit_mirror_property(spark, tmp_path):
+    """write.iceberg-export.enabled=true mirrors every MAIN commit as a
+    new export version — appends, MOR deletes (delete manifests), and
+    compaction all reflected; branch commits don't export."""
+    from icepack.expr import col as icol
+    from icepack.iceberg_import import read_iceberg
+    from icepack.maintenance import compact
+
+    loc = str(tmp_path / "mirror_t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(8)], "id bigint, v double")
+    t = IceTable.create(
+        spark, loc, df.schema,
+        properties={
+            "write.iceberg-export.enabled": "true",
+            "write.delete.mode": "merge-on-read",
+        },
+    )
+    mdir = os.path.join(loc, "iceberg-metadata")
+    t.append(df)
+    assert open(os.path.join(mdir, "version-hint.text")).read() == "1"
+    assert read_iceberg(spark, mdir).count() == 8
+    t.delete(icol("id") == 3)  # MOR: mirror must carry delete manifests
+    assert open(os.path.join(mdir, "version-hint.text")).read() == "2"
+    assert sorted(r.id for r in read_iceberg(spark, mdir).collect()) == [
+        0, 1, 2, 4, 5, 6, 7,
+    ]
+    # branch commits leave the mirror untouched
+    t.create_branch("wap")
+    t.append(spark.createDataFrame([(100, 1.0)], df.schema), branch="wap")
+    assert open(os.path.join(mdir, "version-hint.text")).read() == "2"
+    compact(t)  # replace commit mirrors too
+    assert open(os.path.join(mdir, "version-hint.text")).read() == "3"
+    assert sorted(r.id for r in read_iceberg(spark, mdir).collect()) == [
+        0, 1, 2, 4, 5, 6, 7,
+    ]
