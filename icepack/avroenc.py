@@ -229,17 +229,29 @@ def decode(r: _Reader, schema, names: dict | None = None):
 # ------------------------------------------------------------ containers
 
 
-def write_container(schema: dict, records: list, sync: bytes) -> bytes:
+def write_container(
+    schema: dict,
+    records: list,
+    sync: bytes,
+    extra_meta: dict[str, bytes] | None = None,
+) -> bytes:
     """Serialize an Avro Object Container File (one data block, null
     codec).  *sync* must be exactly 16 bytes; passing it in (rather
     than randomizing) keeps exports deterministic for byte-level
-    golden tests."""
+    golden tests.  *extra_meta* adds key→bytes entries to the OCF
+    file-metadata map — the Iceberg spec requires manifests to embed
+    ``schema``/``partition-spec``/``format-version``/… there, and
+    Java-based readers hard-fail when they're absent."""
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
     meta = {
         "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
         "avro.codec": b"null",
     }
+    for k, v in (extra_meta or {}).items():
+        if k.startswith("avro."):
+            raise ValueError(f"reserved avro metadata key {k!r}")
+        meta[k] = v if isinstance(v, bytes) else str(v).encode("utf-8")
     out = bytearray(MAGIC)
     out += _zigzag(len(meta))
     for k, v in sorted(meta.items()):
@@ -257,6 +269,14 @@ def write_container(schema: dict, records: list, sync: bytes) -> bytes:
 def read_container(buf: bytes) -> tuple[dict, list]:
     """Parse an OCF produced by any writer (null codec only): returns
     (schema, records)."""
+    schema, records, _meta = read_container_with_meta(buf)
+    return schema, records
+
+
+def read_container_with_meta(buf: bytes) -> tuple[dict, list, dict]:
+    """Like :func:`read_container` but also returns the OCF
+    file-metadata map (key → raw bytes) so callers can check the
+    spec-required Iceberg manifest properties."""
     r = _Reader(buf)
     if r.read(4) != MAGIC:
         raise ValueError("not an avro object container file")
@@ -283,7 +303,7 @@ def read_container(buf: bytes) -> tuple[dict, list]:
         try:
             n = r.zigzag()
         except EOFError:
-            return schema, records
+            return schema, records, meta
         size = r.zigzag()
         payload = r.read(size)
         if codec == b"deflate":

@@ -49,7 +49,8 @@ import uuid
 from pyspark.sql import types as T
 
 from .avroenc import write_container
-from .metadata import type_from_str
+from .metadata import PartitionSpec, type_from_str
+from .murmur3 import timestamp_micros
 
 _EPOCH = _dt.date(1970, 1, 1)
 _EPOCH_DT = _dt.datetime(1970, 1, 1)
@@ -193,9 +194,7 @@ def _plain_value(source_type: str, v):
     if source_type == "date":
         return (_dt.date.fromisoformat(str(v)) - _EPOCH).days
     if source_type in ("timestamp", "timestamp_ntz"):
-        return int(
-            (_dt.datetime.fromisoformat(str(v)) - _EPOCH_DT).total_seconds() * 1e6
-        )
+        return timestamp_micros(_dt.datetime.fromisoformat(str(v)))
     return v
 
 
@@ -224,9 +223,7 @@ def _bound_bytes(source_type: str, v) -> bytes | None:
         if source_type in ("timestamp", "timestamp_ntz", "time"):
             if source_type == "time" and isinstance(v, int):
                 return struct.pack("<q", v)
-            micros = int(
-                (_dt.datetime.fromisoformat(str(v)) - _EPOCH_DT).total_seconds() * 1e6
-            )
+            micros = timestamp_micros(_dt.datetime.fromisoformat(str(v)))
             return struct.pack("<q", micros)
         if source_type == "string":
             return str(v).encode("utf-8")
@@ -561,6 +558,40 @@ def export_iceberg(
             )
         specs_json.append({"spec-id": sp.spec_id, "fields": fields})
 
+    # Delete manifests are exported under an UNPARTITIONED spec: the
+    # spec matches delete files to data files by partition, so a delete
+    # manifest carrying all-null tuples under a partitioned spec would
+    # only apply to null-partition data files in external engines
+    # (rows silently resurrect).  Unpartitioned position deletes target
+    # files by path; unpartitioned equality deletes are global — both
+    # are the correct (if less prunable) semantics for our deletes.
+    unpart_spec_id = next(
+        (sp.spec_id for sp in meta.partition_specs if not sp.fields), None
+    )
+    if unpart_spec_id is None and any(
+        table.live_files(s, content="deletes") for s in snaps
+    ):
+        unpart_spec_id = max(sp.spec_id for sp in meta.partition_specs) + 1
+        specs_json.append({"spec-id": unpart_spec_id, "fields": []})
+
+    def _spec_fields_json(spec_id: int) -> list:
+        return next(sj["fields"] for sj in specs_json if sj["spec-id"] == spec_id)
+
+    def _manifest_meta(schema_id: int, spec_id: int, content: str) -> dict:
+        """Spec-required OCF key-value metadata for a manifest — Java
+        readers (Spark/Trino) hard-fail when these are absent."""
+        sj = next(s for s in schemas_json if s["schema-id"] == schema_id)
+        return {
+            "schema": json.dumps(sj, separators=(",", ":")),
+            "schema-id": str(schema_id),
+            "partition-spec": json.dumps(
+                _spec_fields_json(spec_id), separators=(",", ":")
+            ),
+            "partition-spec-id": str(spec_id),
+            "format-version": "2",
+            "content": content,
+        }
+
     snapshots_json = []
     delete_cache: dict = {}  # source delete path → rewritten spec file
     for snap in snaps:
@@ -589,7 +620,12 @@ def export_iceberg(
                 for f in group
             ]
             mname = f"manifest-{snap.snapshot_id}-spec{spec_id}.avro"
-            mbuf = write_container(entry_schema, entries, _sync_for(mname))
+            mbuf = write_container(
+                entry_schema,
+                entries,
+                _sync_for(mname),
+                extra_meta=_manifest_meta(snap.schema_id, spec_id, "data"),
+            )
             mpath_ = os.path.join(dest, mname)
             with open(mpath_, "wb") as fh:
                 fh.write(mbuf)
@@ -624,7 +660,7 @@ def export_iceberg(
         # the same masks the native scan does
         dels = table.live_files(snap, content="deletes")
         if dels:
-            spec = meta.spec_by_id(meta.default_spec_id)
+            spec = PartitionSpec(unpart_spec_id, [])
             entry_schema = _manifest_entry_schema(spec, schema)
             entries = []
             for d in dels:
@@ -637,7 +673,12 @@ def export_iceberg(
                     )
                 )
             mname = f"manifest-{snap.snapshot_id}-deletes.avro"
-            mbuf = write_container(entry_schema, entries, _sync_for(mname))
+            mbuf = write_container(
+                entry_schema,
+                entries,
+                _sync_for(mname),
+                extra_meta=_manifest_meta(snap.schema_id, unpart_spec_id, "deletes"),
+            )
             mpath_ = os.path.join(dest, mname)
             with open(mpath_, "wb") as fh:
                 fh.write(mbuf)
@@ -661,7 +702,21 @@ def export_iceberg(
                 }
             )
         lname = f"snap-{snap.snapshot_id}.avro"
-        lbuf = write_container(_manifest_list_schema(), mlist_recs, _sync_for(lname))
+        lbuf = write_container(
+            _manifest_list_schema(),
+            mlist_recs,
+            _sync_for(lname),
+            extra_meta={
+                "snapshot-id": str(snap.snapshot_id),
+                "parent-snapshot-id": (
+                    str(snap.parent_snapshot_id)
+                    if snap.parent_snapshot_id is not None
+                    else "null"
+                ),
+                "sequence-number": str(snap.sequence_number),
+                "format-version": "2",
+            },
+        )
         with open(os.path.join(dest, lname), "wb") as fh:
             fh.write(lbuf)
         snapshots_json.append(
@@ -753,10 +808,21 @@ def export_iceberg(
     hint_path = os.path.join(dest, "version-hint.text")
     version = 1
     if os.path.exists(hint_path):
-        prev_v = int(open(hint_path).read().strip())
-        prev_path = os.path.join(dest, f"v{prev_v}.metadata.json")
-        version = prev_v + 1
-        if os.path.exists(prev_path):
+        version = int(open(hint_path).read().strip()) + 1
+    # claim the version file with O_EXCL: two concurrent exporters
+    # (e.g. two committers with the commit-mirror enabled) get DISTINCT
+    # versions instead of both computing v{N+1} and last-wins clobbering
+    # one export
+    while True:
+        mpath = os.path.join(dest, f"v{version}.metadata.json")
+        try:
+            fd = os.open(mpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            break
+        except FileExistsError:
+            version += 1
+    prev_path = os.path.join(dest, f"v{version - 1}.metadata.json")
+    if os.path.exists(prev_path):
+        try:
             prev_md = json.load(open(prev_path))
             md["metadata-log"] = (prev_md.get("metadata-log") or []) + [
                 {
@@ -764,13 +830,23 @@ def export_iceberg(
                     "metadata-file": prev_path,
                 }
             ]
-    mpath = os.path.join(dest, f"v{version}.metadata.json")
-    with open(mpath, "w") as fh:
+        except ValueError:
+            pass  # concurrent writer mid-flight: omit the log link
+    with os.fdopen(fd, "w") as fh:
         json.dump(md, fh, indent=2)
-    tmp = hint_path + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(tmp, hint_path)  # atomic: followers see old or new
+    # advance the hint FORWARD-only (atomic replace; a racing exporter
+    # with a higher version re-checks the same way, so the hint settles
+    # on the max)
+    while True:
+        cur = int(open(hint_path).read().strip()) if os.path.exists(hint_path) else 0
+        if cur >= version:
+            break
+        tmp = hint_path + f".tmp.{version}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, hint_path)  # atomic: followers see old or new
+        if (int(open(hint_path).read().strip()) if os.path.exists(hint_path) else 0) >= version:
+            break
     return mpath
 
 

@@ -36,6 +36,33 @@ from pyspark.sql import types as T
 from .avroenc import read_container
 
 
+def canonical_file_path(p: str) -> str:
+    """ONE canonicalizer for every path comparison in this module —
+    both sides of a join go through it, so URI-spelling drift cannot
+    silently drop files (the old approach enumerated expected
+    spellings of the manifest path; a foreign table whose manifests
+    store ``file:/...`` or ``s3a://...`` URIs matched none of them).
+
+    Rules: raw paths (no scheme) pass through untouched — a raw path
+    with a literal ``%`` must not percent-decode.  ``file:`` URIs drop
+    the scheme, collapse leading slashes, and percent-decode.  Object
+    store / HDFS URIs keep ``scheme://`` (s3a/s3n unify to s3 — same
+    bucket namespace, different Hadoop connectors) and percent-decode
+    the authority+key."""
+    import re
+    from urllib.parse import unquote
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*):(.*)$", p)
+    if not m:
+        return p
+    scheme, rest = m.group(1).lower(), m.group(2)
+    if scheme == "file":
+        return unquote("/" + rest.lstrip("/"))
+    if scheme in ("s3a", "s3n"):
+        scheme = "s3"
+    return scheme + "://" + unquote(rest.lstrip("/"))
+
+
 def _spark_type(t) -> T.DataType:
     """Iceberg schema-JSON type → Spark DataType (reverse of the
     export's `_iceberg_type`)."""
@@ -131,6 +158,13 @@ def _snapshot_entries(md: dict, snapshot_id: int | None = None):
                 continue
             seq = e.get("sequence_number")
             rec = dict(e["data_file"])
+            # foreign manifests may spell paths as file: URIs — decode
+            # to an OPENABLE local path here (Hadoop/pyarrow treat %20
+            # literally); non-file schemes keep their connector
+            # spelling, the delete-mask join canonicalizes separately
+            p = rec.get("file_path", "")
+            if p.startswith("file:"):
+                rec["file_path"] = canonical_file_path(p)
             rec["_seq"] = seq if seq is not None else m.get("sequence_number", 0)
             rec["_spec_id"] = m.get("partition_spec_id")
             if m.get("content", 0) != 0 or rec.get("content", 0) != 0:
@@ -356,24 +390,35 @@ def read_iceberg(
     if not deletes:
         return df
     # per-file sequence for the masks.  Spark reports
-    # _metadata.file_path as a percent-ENCODED URI; manifests store raw
-    # paths — precompute every URI spelling per data file driver-side
-    # and join on them, yielding the RAW path (`_f`) for delete
-    # comparisons (same lesson as the DML hit-scan: never string-match
-    # a URI against a raw path).
-    from urllib.parse import quote
+    # _metadata.file_path as a percent-ENCODED URI; manifests may store
+    # raw paths OR any URI spelling — BOTH sides pass through
+    # canonical_file_path (same lesson as the DML hit-scan: never
+    # string-match a URI against a raw path), Spark-side via an
+    # Arrow-batched pandas UDF so the two canonicalizations are the
+    # SAME Python function and cannot drift.
+    import pandas as pd  # noqa: F401  (pandas_udf requires it importable)
 
-    rows = []
+    @F.pandas_udf("string")
+    def _canon(s):
+        return s.map(canonical_file_path)
+
+    rows, seen = [], {}
     for f in data:
-        p = f["file_path"]
-        q = quote(p)
-        rows.append((p, f["_seq"], [p, "file:" + q, "file://" + q]))
-    seqdf = spark.createDataFrame(
-        rows, "_f string, _dataseq long, uris array<string>"
-    ).select("_f", "_dataseq", F.explode("uris").alias("_furi2"))
-    df = df.join(
-        F.broadcast(seqdf), df["_furi"] == seqdf["_furi2"], "inner"
-    ).drop("_furi", "_furi2")
+        c = canonical_file_path(f["file_path"])
+        if c in seen and seen[c] != f["file_path"]:
+            raise ValueError(
+                f"two data files canonicalize to the same path {c!r} "
+                f"({seen[c]!r} vs {f['file_path']!r}) — delete masks "
+                "would cross-apply; refusing"
+            )
+        seen[c] = f["file_path"]
+        rows.append((c, f["_seq"]))
+    seqdf = spark.createDataFrame(rows, "_f string, _dataseq long")
+    df = (
+        df.withColumn("_f", _canon(F.col("_furi")))
+        .drop("_furi")
+        .join(F.broadcast(seqdf), "_f", "inner")
+    )
     id_to_name = {f.fid: f.name for f in _schema_field_ids(md)}
     for rec in deletes:
         content = rec.get("content", 0)
@@ -381,7 +426,7 @@ def read_iceberg(
             dels = (
                 spark.read.parquet(rec["file_path"])
                 .select(
-                    F.regexp_replace("file_path", "^file:/*", "/").alias("df_"),
+                    _canon(F.col("file_path")).alias("df_"),
                     F.col("pos").alias("dp_"),
                 )
                 .withColumn("sq_", F.lit(rec["_seq"]))

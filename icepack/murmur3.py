@@ -26,6 +26,22 @@ _EPOCH = _dt.date(1970, 1, 1)
 _EPOCH_DT = _dt.datetime(1970, 1, 1)
 
 
+def timestamp_micros(value: _dt.datetime) -> int:
+    """Exact micros-since-epoch for a datetime.
+
+    ``total_seconds()*1e6`` float-rounds micros off-by-one for ~1% of
+    values (e.g. 2005-03-28T19:42:50.536110 → …536109), which shifts
+    the spec bucket — so micros are computed exactly from the
+    timedelta's integer components.  tz-aware values are converted to
+    UTC (the spec's timestamptz is micros from 1970-01-01 00:00:00 UTC);
+    naive values are taken as already-UTC.
+    """
+    if value.tzinfo is not None:
+        value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    td = value - _EPOCH_DT
+    return td.days * 86_400_000_000 + td.seconds * 1_000_000 + td.microseconds
+
+
 def _rotl(x: int, r: int) -> int:
     return ((x << r) | (x >> (32 - r))) & _MASK
 
@@ -79,8 +95,7 @@ def iceberg_hash_bytes(value, dtype_str: str | None = None) -> bytes:
     if isinstance(value, int):
         return struct.pack("<q", value)
     if isinstance(value, _dt.datetime):
-        micros = int((value.replace(tzinfo=None) - _EPOCH_DT).total_seconds() * 1_000_000)
-        return struct.pack("<q", micros)
+        return struct.pack("<q", timestamp_micros(value))
     if isinstance(value, _dt.date):
         return struct.pack("<q", (value - _EPOCH).days)
     if isinstance(value, str):

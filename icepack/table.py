@@ -80,6 +80,12 @@ class CommitConflict(Exception):
     """Another writer committed the same version first."""
 
 
+class MirrorExportError(Exception):
+    """The spec-format mirror export failed — but the table commit it
+    mirrors had ALREADY succeeded.  Distinct from a DML failure so
+    callers don't retry the (durable) write."""
+
+
 def _snapshot_id() -> int:
     return uuid.uuid4().int >> 80  # 48-bit id
 
@@ -366,7 +372,7 @@ class IceTable:
             from .iceberg_export import export_iceberg
 
             export_iceberg(self)
-        except Exception:
+        except Exception as exc:
             if (
                 str(self.meta.properties.get("write.iceberg-export.mode", "strict")).lower()
                 == "best-effort"
@@ -380,7 +386,16 @@ class IceTable:
                     file=sys.stderr,
                 )
             else:
-                raise
+                # distinct error type: the table commit itself has
+                # ALREADY succeeded — a bare re-raise would read as a
+                # failed DML and invite a dangerous retry of the write
+                raise MirrorExportError(
+                    "spec-format mirror export failed AFTER the table "
+                    "commit succeeded (the new snapshot is durable); "
+                    "re-run `export_iceberg(table)` or set "
+                    "write.iceberg-export.mode=best-effort: "
+                    f"{exc}"
+                ) from exc
 
     # -- write path (S6 append, D1) ----------------------------------------
 

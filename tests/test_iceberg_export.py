@@ -132,6 +132,32 @@ def test_murmur3_spec_vectors():
     assert bucket(None, 16) is None
 
 
+def test_timestamp_micros_exact_and_tz():
+    """float total_seconds()*1e6 rounds micros off-by-one for ~1% of
+    values; micros must come exactly from timedelta integer components,
+    and tz-aware datetimes must convert to UTC (not drop the offset)."""
+    from icepack.murmur3 import timestamp_micros
+
+    v = dt.datetime(2005, 3, 28, 19, 42, 50, 536110)
+    assert timestamp_micros(v) == 1112038970536110  # float path gave …109
+    assert bucket(v, 16) == 1
+    # same instant expressed at +02:00 must hash identically
+    tz = dt.datetime(
+        2005, 3, 28, 21, 42, 50, 536110,
+        tzinfo=dt.timezone(dt.timedelta(hours=2)),
+    )
+    assert timestamp_micros(tz) == 1112038970536110
+    assert bucket(tz, 16) == 1
+    # pre-epoch value exercises negative days
+    pre = dt.datetime(1969, 12, 31, 23, 59, 59, 999999)
+    assert timestamp_micros(pre) == -1
+    # sweep: exact integer identity for a spread of micros values
+    for us in (1, 3, 7, 123457, 536110, 999999):
+        for base in (0, 10**6, 86_400 * 10**6 * 365):
+            w = dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=base + us)
+            assert timestamp_micros(w) == base + us
+
+
 # ---------------------------------------------------------------- export
 
 
@@ -489,6 +515,109 @@ def test_export_and_read_mor_deletes(spark, tmp_path):
     sch = pq.read_schema(pos_files[0])
     assert sch.field("file_path").metadata[b"PARQUET:field_id"] == b"2147483546"
     assert sch.field("pos").metadata[b"PARQUET:field_id"] == b"2147483545"
+
+
+def test_manifest_ocf_carries_spec_required_metadata(spark, tmp_path):
+    """The Iceberg spec requires manifests to embed schema /
+    partition-spec / format-version / content (and manifest lists
+    snapshot-id / sequence-number / format-version) as Avro key-value
+    metadata — Java readers hard-fail without them."""
+    from icepack.avroenc import read_container_with_meta
+    from icepack.expr import col as icol
+
+    loc = str(tmp_path / "meta_t")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", dt.date(2024, 1 + i % 2, 10)) for i in range(8)],
+        "id bigint, name string, d date",
+    )
+    t = IceTable.create(
+        spark,
+        loc,
+        df.schema,
+        partition_by=[("d", "month")],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append(df)
+    t.delete(icol("id") == 3)
+    mpath = export_iceberg(t)
+    md = json.load(open(mpath))
+    _, mlist, lmeta = read_container_with_meta(
+        open(md["snapshots"][-1]["manifest-list"], "rb").read()
+    )
+    assert lmeta["snapshot-id"].decode() == str(md["current-snapshot-id"])
+    assert lmeta["format-version"] == b"2"
+    assert "sequence-number" in lmeta and "parent-snapshot-id" in lmeta
+    for m in mlist:
+        _, _, mm = read_container_with_meta(open(m["manifest_path"], "rb").read())
+        for k in ("schema", "schema-id", "partition-spec", "partition-spec-id",
+                  "format-version", "content"):
+            assert k in mm, f"manifest missing OCF metadata key {k}"
+        assert mm["format-version"] == b"2"
+        assert mm["content"] == (b"deletes" if m["content"] == 1 else b"data")
+        assert json.loads(mm["schema"].decode())["type"] == "struct"
+        spec_fields = json.loads(mm["partition-spec"].decode())
+        assert int(mm["partition-spec-id"].decode()) == m["partition_spec_id"]
+        if m["content"] == 1:
+            # delete manifests export under an UNPARTITIONED spec: the
+            # spec matches deletes to data files by partition, and an
+            # all-null tuple under the table's partitioned spec would
+            # only mask null-partition files in external engines
+            assert spec_fields == []
+        else:
+            assert spec_fields and spec_fields[0]["transform"] == "month"
+    # the synthetic unpartitioned spec is registered in metadata.json
+    specs = {sp["spec-id"]: sp["fields"] for sp in md["partition-specs"]}
+    del_mf = [m for m in mlist if m["content"] == 1]
+    assert del_mf and specs[del_mf[0]["partition_spec_id"]] == []
+    # and the exported tree still round-trips through read_iceberg
+    from icepack.iceberg_import import read_iceberg
+
+    got = read_iceberg(spark, mpath)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2, 4, 5, 6, 7]
+
+
+def test_read_iceberg_canonical_paths_uri_manifests(spark, tmp_path):
+    """A foreign table whose manifests store URI-form paths
+    (file:/…%20…) must read identically: both sides of the
+    delete-mask join canonicalize through one function instead of
+    enumerating expected spellings (which URI-form manifests defeated,
+    silently dropping files)."""
+    from urllib.parse import quote
+
+    from icepack.avroenc import read_container_with_meta, write_container
+    from icepack.expr import col as icol
+    from icepack.iceberg_import import read_iceberg
+
+    loc = str(tmp_path / "uri src")  # space: exercises percent-decoding
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(6)], "id bigint, name string"
+    )
+    t = IceTable.create(
+        spark, loc, df.schema, properties={"write.delete.mode": "merge-on-read"}
+    )
+    t.append(df)
+    t.delete(icol("id") == 2)
+    mpath = export_iceberg(t)
+    # rewrite every manifest's file_path entries to file:-URI spelling
+    md = json.load(open(mpath))
+    for snap in md["snapshots"]:
+        _, mlist, _ = read_container_with_meta(open(snap["manifest-list"], "rb").read())
+        for m in mlist:
+            schema, entries, meta = read_container_with_meta(
+                open(m["manifest_path"], "rb").read()
+            )
+            for e in entries:
+                p = e["data_file"]["file_path"]
+                if not p.startswith("file:"):
+                    e["data_file"]["file_path"] = "file://" + quote(p)
+            sync = b"\x00" * 16
+            extra = {
+                k: v for k, v in meta.items() if not k.startswith("avro.")
+            }
+            with open(m["manifest_path"], "wb") as fh:
+                fh.write(write_container(schema, entries, sync, extra_meta=extra))
+    got = read_iceberg(spark, mpath)
+    assert sorted(r.id for r in got.collect()) == [0, 1, 3, 4, 5]
 
 
 def test_import_iceberg_files_adopts_external_table(spark, tmp_path):
