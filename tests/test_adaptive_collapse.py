@@ -1,0 +1,99 @@
+"""The multiplicity-collapse rewrites in x2/x13/x22 are ADAPTIVE: a
+corpus-level duplication stat (rows / approx-distinct) decides whether
+the exact-duplicate pre-grouping runs.  Both paths must be row-identical
+— this builds a deliberately duplicate-saturated fixture (every doc 3×
+under fresh ids, the sf1-ladder shape) and pins collapsed == direct for
+each query, plus the gate itself on both corpus shapes.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from icepack.io import load
+from icepack.queries import llm
+from tests.conftest import SF_DIR, rows_sorted
+
+COPIES = 3
+OFFSET = 1_000_000_000
+
+
+@pytest.fixture(scope="module")
+def dup_sf(tmp_path_factory):
+    """An sf dir whose documents/embeddings are COPIES×-replicated with
+    offset ids and identical payloads (the ladder's worst case)."""
+    out = str(tmp_path_factory.mktemp("dupsf") / "sf0.001")
+    os.makedirs(out)
+    from icepack.session import get_session
+
+    spark = get_session("icepack-tests", cpus=8)
+    for name, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        df = load(spark, SF_DIR, name)
+        parts = [
+            df.withColumn(key, (F.col(key) + F.lit(i * OFFSET)).cast(dict(df.dtypes)[key]))
+            for i in range(COPIES)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.parquet(f"{out}/{name}.parquet")
+    yield out
+
+
+def _both_paths(monkeypatch, spark, sf, fn):
+    """Run fn with the collapse forced ON (ratio gate passes: the
+    fixture is genuinely duplicated) and forced OFF, caches cleared."""
+    monkeypatch.setattr(llm, "_DUP_RATIO_CACHE", {})
+    monkeypatch.setattr(llm, "_COLLAPSE_AT", 1.5)
+    collapsed = rows_sorted(fn(spark, sf))
+    monkeypatch.setattr(llm, "_DUP_RATIO_CACHE", {})
+    monkeypatch.setattr(llm, "_COLLAPSE_AT", float("inf"))
+    direct = rows_sorted(fn(spark, sf))
+    return collapsed, direct
+
+
+def test_duplication_ratio_gate(spark, dup_sf):
+    llm._DUP_RATIO_CACHE.clear()
+    base = llm._duplication_ratio(
+        load(spark, SF_DIR, "documents"), "text", ("t1",)
+    )
+    dup = llm._duplication_ratio(
+        load(spark, dup_sf, "documents"), "text", ("t2",)
+    )
+    # sf0.001 documents contain SOME duplicates by construction, but
+    # nowhere near the replicated fixture's ≥3× saturation
+    assert dup > base
+    assert dup == pytest.approx(COPIES * base, rel=0.1)
+    # memoized: a second call must not launch a job (poison the df)
+    assert llm._duplication_ratio(None, "text", ("t2",)) == dup
+    # embeddings: the ratio works on ARRAY keys too
+    llm._DUP_RATIO_CACHE.clear()
+    edup = llm._duplication_ratio(
+        load(spark, dup_sf, "embeddings"), "embedding", ("t3",)
+    )
+    assert edup == pytest.approx(COPIES, rel=0.1)
+
+
+def test_x2_collapse_equals_direct(spark, dup_sf, monkeypatch):
+    collapsed, direct = _both_paths(
+        monkeypatch, spark, dup_sf, llm.x2_jaccard_pairs
+    )
+    assert collapsed == direct
+    assert len(collapsed) > 0
+
+
+def test_x13_collapse_equals_direct(spark, dup_sf, monkeypatch):
+    collapsed, direct = _both_paths(
+        monkeypatch, spark, dup_sf, llm.x13_embedding_neardup
+    )
+    assert collapsed == direct
+    # replicated vectors guarantee within-group 1.0 pairs exist
+    assert any(r[2] == 1.0 for r in collapsed)
+
+
+def test_x22_collapse_equals_direct(spark, dup_sf, monkeypatch):
+    collapsed, direct = _both_paths(
+        monkeypatch, spark, dup_sf, llm.x22_contamination
+    )
+    assert collapsed == direct
