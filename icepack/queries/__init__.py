@@ -65,80 +65,59 @@ def load_all_modules() -> None:
 #: queries whose hit-scan path changed this round, then the oldest
 #: r02-evidenced rows as budget allows.
 PRIORITY: list[str] = [
-    # new in r05 — first-time evidence
-    "ice43_iceberg_export",
-    "ice44_result_cache",
-    "ice45_mor_batch_read",
-    "ice46_s3_store",
-    "ice47_iceberg_read",
-    "ice48_spec_read_prune",
-    # latest driver evidence = r01 (47) — refresh first
-    "p1_pruned_scan",
-    "p3_time_range",
-    "p4_like",
-    "p5_json_extract",
-    "p5_from_json_struct",
-    "p6_null_handling",
-    "j1_inner_join",
-    "j2_left_join",
-    "j2_right_join",
-    "j2_full_outer",
-    "j3_broadcast_star",
-    "j4_semi_join",
-    "j4_anti_join",
-    "j5_range_join",
-    "j5_interval_bin_join",
-    "j7_asof_join",
-    "o1_global_sort",
-    "a3_approx_percentile",
-    "x1_exact_dedup",
-    "x2_jaccard_pairs",
-    "x3_minhash_lsh",
-    "x4_simhash",
-    "x5_cosine_topk",
-    "x6_ann_bucketed",
-    "x7_text_quality",
-    "x8_fingerprint",
-    "x9_binary_meta",
-    "x10_doc_embedding_join",
-    "x11_token_regex",
-    "x12_lang_id",
-    "x13_embedding_neardup",
-    "x14_variant_json",
-    "x15_multimodal_features",
-    "x16_dedup_clusters",
-    "x17_tfidf_terms",
-    "x18_hash_sample",
-    "x19_weighted_mix",
-    "x21_repetition_ratio",
-    "x22_contamination",
-    "x23_dedup_keep_best",
-    "x24_char_entropy",
-    "x25_edit_distance",
-    "x26_quality_filter",
-    "x27_lsh_ann",
+    # r6 rotation: evidence-staleness first (VERDICT r5 item 5) — the
+    # 42 queries whose latest driver sample is r01/r02, oldest first
     "x30_embedding_outliers",
     "x31_jaccard_stopshingles",
     "x32_bigram_entropy",
-    # DML hit-scan path changed in r05 — re-evidence the family
+    "a14_cohort_retention",
+    "a16_stickiness",
     "ice3_delete_cow",
     "ice4_update",
-    "ice16_mor_update",
-    # oldest (r02) evidence next, as budget allows
+    "ice6_schema_evolution",
+    "ice8_metadata_tables",
+    "ice9_compact_expire",
     "ice11_incremental_read",
+    "ice12_sql_over_table",
     "ice14_refs_rollback",
     "ice15_mor_position_delete",
+    "ice16_mor_update",
     "ice17_zorder_compact",
+    "ice18_sorted_write",
     "ice19_partition_evolution",
     "ice20_wap",
+    "ice21_query_history",
+    "ice23_orphan_cleanup",
+    "ice24_rewrite_manifests",
+    "ice25_sql_surface",
+    "ice26_incremental_dedup",
     "ice27_scd2",
+    "ice28_json_ingest",
+    "ice29_add_files",
+    "ice30_csv_ingest",
     "st1_tumbling_window",
     "st2_sliding_window",
     "st3_session_window",
+    "st5_dedup",
+    "st7_stream_join",
     "x33_doc_chunking",
+    "x34_chunk_dedup",
+    "x35_train_split",
     "x36_minhash_estimate",
+    "x37_unigram_surprisal",
+    "x38_ngram_novelty",
     "x39_kmeans_assign",
     "x40_pq_encode",
+    "x41_stratified_fixed_n",
+    # code changed in r6 — re-evidence even though r5-green
+    "x1_exact_dedup",
+    "x2_jaccard_pairs",
+    "x13_embedding_neardup",
+    "x22_contamination",
+    "ice43_iceberg_export",
+    "ice45_mor_batch_read",
+    "ice47_iceberg_read",
+    "ice48_spec_read_prune",
 ]
 
 
