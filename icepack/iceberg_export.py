@@ -141,7 +141,14 @@ def _export_transform(transform: str, source_type: str) -> str:
     if transform.startswith("bucket["):
         return "void"  # xxhash64 bucket: external engines can't reproduce
     if transform.startswith("truncate["):
-        return transform if source_type == "string" else "void"
+        # string truncate is the spec's substring form; integral
+        # truncate follows the spec arithmetic (v - v mod W) since r6
+        # (transforms.py) — both export 1:1.  Other source types
+        # (decimal on the legacy prefix form) stay void: correct but
+        # unpruned externally.
+        if source_type in ("string", "int", "bigint", "long", "smallint", "tinyint"):
+            return transform
+        return "void"
     return transform  # identity / year / month / day / hour
 
 
@@ -153,6 +160,8 @@ def _spec_result_type(transform: str, source_type: str) -> str:
     if t == "identity" or t.startswith("truncate["):
         return {
             "int": "int",
+            "smallint": "int",
+            "tinyint": "int",
             "bigint": "long",
             "long": "long",
             "string": "string",

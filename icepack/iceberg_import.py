@@ -559,10 +559,153 @@ def _resolve_delete_column(md, fid, file_cols, id_to_name) -> str:
 
 def import_iceberg_files(spark: SparkSession, table, path: str) -> None:
     """Adopt an external Iceberg table's CURRENT live files into the
-    icepack *table* via ``add_files`` (metadata-only commit; footer
-    stats harvested so pruning works immediately).  The icepack table
-    must be unpartitioned (add_files' contract — no derivable
-    partition tuple) and schema-compatible by name."""
+    icepack *table* (metadata-only for data files; footer stats
+    harvested so pruning works immediately).  The icepack table must
+    be unpartitioned (add_files' contract — no derivable partition
+    tuple) and schema-compatible by name.
+
+    MERGE-ON-READ tables adopt too (docs/11:91-110 — an external
+    engine's MOR table becomes fully native, not just readable):
+    external sequence groups replay as native commits in the spec's
+    visibility order — equality deletes of sequence S (mask data_seq
+    < S), then data of S, then position deletes of S (mask data_seq
+    ≤ S) — so the native strict data_seq < delete_seq grouping
+    reproduces the external masks exactly.  Equality-delete parquet
+    adopts in place; position-delete parquet is REWRITTEN (delete
+    files are KB-scale) because the native mask joins on Spark's
+    ``_metadata.file_path`` spelling, which is recorded from the
+    adopted files themselves rather than predicted."""
     md = load_iceberg_metadata(path)
-    files = iceberg_live_files(md)
-    table.add_files([f["file_path"] for f in files])
+    data, deletes = _snapshot_entries(md)
+    if not deletes:
+        if data:
+            table.add_files([f["file_path"] for f in data])
+        return
+    bad = [r for r in deletes if r.get("content", 0) not in (1, 2)]
+    if bad:
+        raise ValueError(
+            "delete manifest entries carry unknown content codes "
+            f"{sorted({r.get('content', 0) for r in bad})} — refusing to adopt"
+        )
+    _adopt_mor(spark, table, md, data, deletes)
+
+
+def _adopt_mor(spark: SparkSession, table, md: dict, data: list, deletes: list) -> None:
+    from pyspark.sql import functions as F
+
+    id_to_name = {f.fid: f.name for f in _schema_field_ids(md)}
+    seqs = sorted({r["_seq"] for r in data} | {r["_seq"] for r in deletes})
+    adopted: dict[str, str] = {}  # canon(path) → Spark _metadata.file_path spelling
+    for s in seqs:
+        eq = [r for r in deletes if r["_seq"] == s and r.get("content") == 2]
+        dat = [r for r in data if r["_seq"] == s]
+        pos = [r for r in deletes if r["_seq"] == s and r.get("content") == 1]
+        if eq:
+            table._commit_snapshot(
+                "delete", [_adopt_eq_delete(table, r, md, id_to_name) for r in eq]
+            )
+        if dat:
+            entries = table._adoption_entries([r["file_path"] for r in dat])
+            if entries:
+                table._commit_snapshot("append", entries)
+                # record each adopted file's SPARK URI spelling (the
+                # native position-delete join compares these strings);
+                # reads only the metadata column — no data pages
+                for (u,) in (
+                    spark.read.parquet(*[e.path for e in entries])
+                    .select(F.col("_metadata.file_path"))
+                    .distinct()
+                    .collect()
+                ):
+                    adopted[canonical_file_path(u)] = u
+        if pos:
+            entries = [
+                e
+                for r in pos
+                if (e := _adopt_pos_delete(table, r, adopted)) is not None
+            ]
+            if entries:
+                table._commit_snapshot("delete", entries)
+
+
+def _adopt_eq_delete(table, rec: dict, md: dict, id_to_name: dict):
+    """External equality-delete parquet → native entry, in place.  The
+    file's column names must resolve in the icepack schema (adoption is
+    name-based); a historical external name absent from the table
+    refuses loudly rather than silently masking nothing."""
+    import pyarrow.parquet as pq
+
+    from .manifest import DataFile
+
+    file_cols = set(pq.read_schema(rec["file_path"]).names)
+    cols = []
+    for fid in rec.get("equality_ids") or []:
+        name = _resolve_delete_column(md, fid, file_cols, id_to_name)
+        if table.meta.schema.field_by_name(name) is None:
+            raise ValueError(
+                f"equality-delete file {rec['file_path']} keys on column "
+                f"{name!r}, which the adopting table lacks — rename the "
+                "table column to match or compact the source table first"
+            )
+        cols.append(name)
+    if not cols:
+        raise ValueError(
+            f"equality-delete file {rec['file_path']} lists no equality_ids"
+        )
+    return DataFile(
+        path=os.path.abspath(rec["file_path"]),
+        status="added",
+        partition={},
+        spec_id=table.meta.spec.spec_id,
+        schema_id=table.meta.schema.schema_id,
+        record_count=rec.get("record_count", 0),
+        file_size_bytes=rec.get("file_size_in_bytes", 0),
+        content="equality-deletes",
+        equality_columns=cols,
+    )
+
+
+def _adopt_pos_delete(table, rec: dict, adopted: dict):
+    """External position-delete parquet → native file under the table
+    location, with ``file_path`` values rewritten to the adopted
+    files' Spark spellings (canonical-matched, never string-guessed).
+    Rows referencing files that are not adopted at this sequence are
+    DANGLING per spec (they mask nothing) and drop; an all-dangling
+    file returns None."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .manifest import DataFile
+
+    tbl = pq.read_table(rec["file_path"], columns=["file_path", "pos"])
+    rows = [
+        (adopted[c], pos)
+        for p, pos in zip(
+            tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist()
+        )
+        if (c := canonical_file_path(p)) in adopted
+    ]
+    if not rows:
+        return None
+    out = pa.table(
+        {
+            "file_path": pa.array([r[0] for r in rows], pa.string()),
+            "pos": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    dest_dir = os.path.join(table.location, "data")
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, f"adopted-pos-del-{_uuid.uuid4().hex}.parquet")
+    pq.write_table(out, dest)
+    return DataFile(
+        path=dest,
+        status="added",
+        partition={},
+        spec_id=table.meta.spec.spec_id,
+        schema_id=table.meta.schema.schema_id,
+        record_count=len(rows),
+        file_size_bytes=os.path.getsize(dest),
+        content="position-deletes",
+    )

@@ -417,8 +417,11 @@ class IceTable:
         pcols = self._partition_columns()
         part_names = []
         for pf, t in pcols:
-            src = self.meta.schema.field_by_id(pf.source_id).name
-            df = df.withColumn(_PART_PREFIX + pf.name, t.spark_column(F.col(src)))
+            sfield = self.meta.schema.field_by_id(pf.source_id)
+            df = df.withColumn(
+                _PART_PREFIX + pf.name,
+                t.spark_column(F.col(sfield.name), dtype=sfield.spark_type()),
+            )
             part_names.append(_PART_PREFIX + pf.name)
         sort_cols = self._sort_columns()
         if part_names and self.meta.properties.get("write.distribution-mode", "hash") == "hash":
@@ -535,6 +538,12 @@ class IceTable:
         deduplicated, and a path already live in the table is rejected:
         adopting it again would double-count its rows in a metadata-only
         commit."""
+        return self._commit_snapshot("append", self._adoption_entries(paths))
+
+    def _adoption_entries(self, paths: list[str]) -> list[DataFile]:
+        """Validated DataFile entries for foreign parquet (the shared
+        core of ``add_files`` and spec-format MOR adoption, which
+        replays sequence groups as separate commits)."""
         from concurrent.futures import ThreadPoolExecutor
 
         spec, schema = self.meta.spec, self.meta.schema
@@ -597,7 +606,7 @@ class IceTable:
                     stats=stats,
                 )
             )
-        return self._commit_snapshot("append", entries)
+        return entries
 
     # -- read path (S1/S8/T2, scan planning §3.1) --------------------------
 

@@ -40,6 +40,17 @@ _MMH3_RE = re.compile(r"^mmh3bucket\[(\d+)\]$")
 _bucket_cache: dict[tuple, int] = {}
 
 
+def _is_integral(dtype) -> bool:
+    """Integral Spark types get the spec's arithmetic truncate.
+    Decimal stays on the legacy prefix form: its partition values
+    would round-trip through directory names as strings and break the
+    pruner's literal comparison — not worth the fidelity until decimal
+    partition keys actually appear."""
+    from pyspark.sql import types as T
+
+    return isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
 def _to_dt(v) -> _dt.datetime:
     if isinstance(v, _dt.datetime):
         return v
@@ -71,7 +82,7 @@ class Transform:
     def monotone(self) -> bool:
         return self.kind in ("identity", "year", "month", "day", "hour", "truncate")
 
-    def spark_column(self, col: Column | str) -> Column:
+    def spark_column(self, col: Column | str, dtype=None) -> Column:
         c = F.col(col) if isinstance(col, str) else col
         k = self.kind
         if k == "identity":
@@ -87,8 +98,15 @@ class Transform:
         if k == "bucket":
             return F.pmod(F.xxhash64(c), F.lit(self.param))
         if k == "truncate":
-            # prefix truncation (string semantics; integral columns are
-            # stringified first — order-preserving for fixed-width keys)
+            # Iceberg-spec semantics per source type: numeric columns
+            # floor to a multiple of W (v - (v mod W), pmod so negatives
+            # floor downward — spec truncate(10, -1) = -10), strings
+            # keep the W-char prefix.  The numeric form is
+            # order-preserving on the NUMERIC domain (the old
+            # stringify-then-prefix form only preserved order for
+            # fixed-width keys) and exports 1:1 as the spec transform.
+            if dtype is not None and _is_integral(dtype):
+                return c - F.pmod(c, F.lit(self.param))
             return F.substring(c.cast("string"), 1, self.param)
         if k == "mmh3bucket":
             # Iceberg-SPEC bucket (murmur3_x86_32, Appendix B) — the
@@ -148,6 +166,19 @@ class Transform:
         if k == "hour":
             return _to_dt(value).strftime("%Y-%m-%d-%H")
         if k == "truncate":
+            # mirror spark_column: the SEMANTICS follow the column's
+            # dtype when known (else the literal's type) — an integral
+            # column floors to a multiple of W (floor-mod, matching
+            # pmod for negatives), everything else takes the prefix
+            integral = (
+                _is_integral(dtype)
+                if dtype is not None
+                else isinstance(value, int) and not isinstance(value, bool)
+            )
+            if integral:
+                if isinstance(value, bool) or not isinstance(value, int):
+                    return None  # odd literal on integral column: no pruning
+                return value - (value % self.param)
             return str(value)[: self.param]
         if k == "bucket":
             if spark is None:

@@ -638,6 +638,109 @@ def test_import_iceberg_files_adopts_external_table(spark, tmp_path):
     assert sum(f.record_count for f in hit) < 4 or report["files_total"] == 1
 
 
+def test_truncate_int_spec_semantics_and_export_pruning(spark, tmp_path):
+    """Integral truncate[W] now follows the spec (v - v mod W, floor
+    for negatives): native pruning works on the numeric domain, the
+    transform exports 1:1 (not void), and read_iceberg prunes files
+    from the EXPORTED metadata on a truncate(int) partition —
+    VERDICT r5 item 7's done-bar."""
+    from icepack import transforms as tr
+    from icepack.expr import col as icol
+    from icepack.iceberg_import import read_iceberg
+
+    t = tr.parse("truncate[10]")
+    assert t.apply(17, None, None) == 10
+    assert t.apply(-1, None, None) == -10  # spec: floor, not toward zero
+    assert t.apply("abcdefgh", None, None) == "abcdefgh"[:10]
+
+    loc = str(tmp_path / "trunc_t")
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(-15, 35)], "id bigint, name string"
+    )
+    tbl = IceTable.create(
+        spark, loc, df.schema, partition_by=[("id", "truncate[10]")]
+    )
+    tbl.append(df)
+    # native pruning: only the [10,20) partition's file(s) scanned
+    hit, report = tbl.plan_files(icol("id") == 12)
+    assert report["files_scanned"] < report["files_total"]
+    assert {f.partition["id_truncate"] for f in hit} == {10}
+    # export: real spec transform with numeric values
+    mpath = export_iceberg(tbl)
+    md = json.load(open(mpath))
+    spec0 = md["partition-specs"][0]["fields"][0]
+    assert spec0["transform"] == "truncate[10]"
+    _, mlist = read_container(open(md["snapshots"][-1]["manifest-list"], "rb").read())
+    _, entries = read_container(open(mlist[0]["manifest_path"], "rb").read())
+    vals = {e["data_file"]["partition"][spec0["name"]] for e in entries}
+    assert vals <= {-20, -10, 0, 10, 20, 30}
+    # spec-read pruning from the exported metadata
+    all_rows = read_iceberg(spark, mpath)
+    got = read_iceberg(spark, mpath, where=icol("id") == 12)
+    assert [r.id for r in got.collect()] == [12]
+    n_all, _ = _snapshot_file_count(mpath)
+    pruned = _pruned_count(mpath, icol("id") == 12)
+    assert pruned < n_all
+    assert all_rows.count() == 50
+
+
+def _snapshot_file_count(mpath):
+    from icepack.iceberg_import import _snapshot_entries, load_iceberg_metadata
+
+    md = load_iceberg_metadata(mpath)
+    data, dels = _snapshot_entries(md)
+    return len(data), len(dels)
+
+
+def _pruned_count(mpath, where):
+    from icepack.iceberg_import import (
+        _prune_files,
+        _snapshot_entries,
+        load_iceberg_metadata,
+    )
+
+    md = load_iceberg_metadata(mpath)
+    data, _ = _snapshot_entries(md)
+    return len(_prune_files(md, data, where))
+
+
+def test_import_adopts_mor_table(spark, tmp_path):
+    """External MOR tables now ADOPT (not just read): sequence groups
+    replay as native commits in spec visibility order, equality-delete
+    parquet adopts in place, position-delete parquet rewrites to the
+    adopted files' Spark spellings.  The adopted table must be
+    row-identical — including a row re-inserted AFTER its equality
+    delete (sequence rules must survive the replay) — and further
+    native DML must work on it."""
+    from icepack.expr import col as icol
+    from icepack.iceberg_import import import_iceberg_files
+
+    loc = str(tmp_path / "mor src")  # space: spelling canonicalization
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(10)], "id bigint, name string, v double"
+    )
+    src = IceTable.create(
+        spark, loc, df.schema, properties={"write.delete.mode": "merge-on-read"}
+    )
+    src.append(df)
+    src.delete(icol("id") == 3)  # equality delete
+    src.append(spark.createDataFrame([(3, "re", 99.0)], df.schema))  # re-insert
+    src.set_properties(**{"write.delete.mor.strategy": "position"})
+    src.delete(icol("id") == 7)  # position delete
+    mpath = export_iceberg(src)
+
+    dst = IceTable.create(spark, str(tmp_path / "adopted_mor"), df.schema)
+    import_iceberg_files(spark, dst, mpath)
+    got = sorted(map(tuple, dst.toDF().select("id", "name", "v").collect()))
+    want = sorted(map(tuple, src.toDF().select("id", "name", "v").collect()))
+    assert got == want
+    assert [r[1] for r in got if r[0] == 3] == ["re"]
+    assert all(r[0] != 7 for r in got)
+    # the adopted table is a first-class native table: DML on top works
+    dst.delete(icol("id") == 0)
+    assert sorted(r.id for r in dst.toDF().collect()) == [1, 2, 3, 4, 5, 6, 8, 9]
+
+
 def test_export_name_mapping_covers_renames(spark, tmp_path):
     """The exported schema.name-mapping.default lists every historical
     name per field id — external readers resolve pre-rename parquet
