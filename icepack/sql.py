@@ -23,6 +23,8 @@ never the table).
 
 from __future__ import annotations
 
+import json
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -421,6 +423,7 @@ class IceSQL:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.catalog = Catalog(spark, warehouse)
+        self._warehouse = warehouse
         self._viewn = 0
         #: tables linked from an external REST catalog (docs/04:77-93):
         #: resolved through the integration's CATALOG_URI, addressed by
@@ -610,14 +613,163 @@ class IceSQL:
             return None  # inside BEGIN..COMMIT reads go to the branch
         ent = self._result_cache.get((self._database, text))
         if ent is None:
-            return None
+            return self._pcache_load(text)
         for loc, sid in ent["snapshots"].items():
             try:
                 if IceTable.load(self.spark, loc).meta.current_snapshot_id != sid:
                     return None
             except Exception:  # noqa: BLE001 — dropped table etc.: miss
                 return None
+        if not ent.get("persisted"):
+            # a HOT query (second run this session) earns warehouse
+            # persistence: materializing here costs one execution the
+            # replay was about to pay anyway, and every FUTURE session
+            # over this warehouse then hits without re-scanning
+            # (docs/01:163 — the warehouse result cache survives
+            # sessions).  Best-effort: a failed write never fails the
+            # query.
+            ent["persisted"] = True
+            try:
+                self._pcache_write(text, ent)
+            except Exception:  # noqa: BLE001
+                pass
         return ent["df"]
+
+    # -- persistent result cache (docs/01:163: survives sessions) -----------
+
+    def _pcache_root(self) -> str | None:
+        """Warehouse-scoped cache directory, local filesystems only
+        (object-store warehouses keep the in-session layer)."""
+        if "://" in self._warehouse:
+            return None
+        return os.path.join(self._warehouse, "__result_cache__")
+
+    @staticmethod
+    def _pcache_key(database, text: str) -> str:
+        import hashlib
+
+        return hashlib.sha256(f"{database}\x00{text}".encode()).hexdigest()[:32]
+
+    def _pcache_write(self, text: str, ent: dict) -> None:
+        """Materialize a cached result under the warehouse: parquet
+        rows + a meta sidecar recording, per referenced table, BOTH the
+        snapshot id and the metadata VERSION at store time (a column
+        rename bumps the version without moving the snapshot pointer —
+        snapshot-only validation would serve stale column names to a
+        fresh session).  Entry publication is atomic via tmp-dir
+        rename; concurrent writers lose the rename race harmlessly."""
+        import time as _time
+        import uuid as _uuid
+
+        root = self._pcache_root()
+        if root is None:
+            return
+        # session-scoped names (views, linked-catalog aliases) mean the
+        # TEXT's meaning dies with this session — another session may
+        # bind the same name differently (or not at all), and no table
+        # version would catch it.  Keep those entries in-session only.
+        sess_names = {v.lower() for v in self._views} | {
+            a.lower() for a in self._linked
+        }
+        for group in _CACHE_RELS.findall(text):
+            for ident in (i.strip().lower() for i in group.split(",")):
+                if ident in sess_names:
+                    return
+        os.makedirs(root, exist_ok=True)
+        key = self._pcache_key(self._database, text)
+        final = os.path.join(root, key)
+        if os.path.exists(final):
+            return
+        tmp = os.path.join(root, f".tmp-{_uuid.uuid4().hex}")
+        ent["df"].write.parquet(os.path.join(tmp, "data"))
+        meta = {
+            "text": text,
+            "database": self._database,
+            "tables": {
+                loc: {"snapshot": sid, "version": ent["versions"].get(loc)}
+                for loc, sid in ent["snapshots"].items()
+            },
+            "created_ms": int(_time.time() * 1000),
+        }
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        try:
+            os.rename(tmp, final)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        self._pcache_evict(root)
+
+    def _pcache_load(self, text: str):
+        """Serve a statement from the warehouse cache when every
+        referenced table still sits at the recorded (snapshot, version)
+        — re-read from the metadata pointers, so commits from ANY
+        process invalidate.  Invalid entries are deleted on sight."""
+        import shutil
+
+        root = self._pcache_root()
+        if root is None:
+            return None
+        final = os.path.join(root, self._pcache_key(self._database, text))
+        mpath = os.path.join(final, "meta.json")
+        if not os.path.exists(mpath):
+            return None
+        try:
+            meta = json.load(open(mpath))
+        except ValueError:
+            return None
+        if meta.get("text") != text or meta.get("database") != self._database:
+            return None  # hash collision: never serve
+        for loc, rec in meta.get("tables", {}).items():
+            try:
+                t = IceTable.load(self.spark, loc)
+                if (
+                    t.meta.current_snapshot_id != rec.get("snapshot")
+                    or t._version != rec.get("version")
+                ):
+                    shutil.rmtree(final, ignore_errors=True)
+                    return None
+            except Exception:  # noqa: BLE001 — dropped table: evict
+                shutil.rmtree(final, ignore_errors=True)
+                return None
+        df = self.spark.read.parquet(os.path.join(final, "data"))
+        self._result_cache[(self._database, text)] = {
+            "snapshots": {
+                loc: rec.get("snapshot") for loc, rec in meta["tables"].items()
+            },
+            "versions": {
+                loc: rec.get("version") for loc, rec in meta["tables"].items()
+            },
+            "df": df,
+            "persisted": True,
+        }
+        return df
+
+    #: persistent-entry bounds: FIFO past the cap, TTL for the rest
+    _PCACHE_MAX = 64
+    _PCACHE_TTL_MS = 7 * 24 * 3600 * 1000
+
+    def _pcache_evict(self, root: str) -> None:
+        import shutil
+        import time as _time
+
+        entries = []
+        for name in os.listdir(root):
+            if name.startswith(".tmp-"):
+                continue
+            mpath = os.path.join(root, name, "meta.json")
+            try:
+                created = json.load(open(mpath)).get("created_ms", 0)
+            except (OSError, ValueError):
+                created = 0
+            entries.append((created, os.path.join(root, name)))
+        now = int(_time.time() * 1000)
+        entries.sort()
+        drop = [p for c, p in entries if now - c > self._PCACHE_TTL_MS]
+        drop += [p for _, p in entries[: max(0, len(entries) - self._PCACHE_MAX)]]
+        for p in set(drop):
+            shutil.rmtree(p, ignore_errors=True)
 
     def _cache_store(self, text: str, df: DataFrame, handles) -> None:
         """Cache only what is provably safe to replay: no volatile
@@ -649,16 +801,18 @@ class IceSQL:
             for ident in (i.strip() for i in group.split(",")):
                 if ident and ident.lower() not in known:
                     return
-        snaps = {}
+        snaps, vers = {}, {}
         for h in handles:
             if not isinstance(h, IceTable):
                 return
             snaps[h.location] = h.meta.current_snapshot_id
+            vers[h.location] = h._version
         if snaps:
             while len(self._result_cache) >= _RESULT_CACHE_MAX:
                 self._result_cache.pop(next(iter(self._result_cache)))
             self._result_cache[(self._database, text)] = {
                 "snapshots": snaps,
+                "versions": vers,
                 "df": df,
             }
 
@@ -1350,6 +1504,10 @@ class IceSQL:
             return maintenance.expire_snapshots(
                 t, older_than_ms=older, retain_last=int(rm.group(1)) if rm else 1
             )
+        if u.startswith("CHERRY-PICK SNAPSHOT") or u.startswith("CHERRYPICK SNAPSHOT"):
+            # [ext] docs/05:169-171 — apply one branch commit onto main
+            am = re.search(r"(?i)SNAPSHOT\s+(\d+)", rest)
+            return t.cherry_pick(int(am.group(1)))
         if u.startswith("REWRITE MANIFESTS"):
             return maintenance.rewrite_manifests(t)
         if u.startswith("REMOVE ORPHAN FILES"):

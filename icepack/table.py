@@ -1085,6 +1085,53 @@ class IceTable:
             self._version + 1, self.meta.copy_with(current_snapshot_id=head_id)
         )
 
+    def cherry_pick(self, snapshot_id: int) -> Snapshot:
+        """Cherry-pick ONE commit's file delta onto main as a new
+        snapshot (docs/05-snapshots-time-travel.md:169-171) — the
+        pick-one-commit-off-a-branch counterpart to ``fast_forward``,
+        and the classic write-audit-publish publish step when the
+        audit branch carried several candidate commits.
+
+        Append-only fast path: the picked snapshot must be a pure
+        append (delete/overwrite/MOR deltas change rows the target may
+        have diverged on — that needs a real merge).  Conflict-checked
+        like fast_forward: a picked file already live on main refuses
+        rather than double-counting its rows."""
+        src = self.meta.snapshot_by_id(snapshot_id)
+        if src is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        if src.operation != "append":
+            raise ValueError(
+                f"cherry-pick supports append snapshots only; {snapshot_id} "
+                f"is {src.operation!r} — fast_forward or merge instead"
+            )
+        added = [
+            f
+            for f in self.live_files(src, content="all")
+            if f.sequence_number == src.sequence_number
+        ]
+        if any(f.content != "data" for f in added):
+            raise ValueError(
+                f"snapshot {snapshot_id} carries delete-content files; "
+                "cherry-pick is append-only"
+            )
+        live = {f.path for f in self.live_files()}
+        dup = live & {f.path for f in added}
+        if dup:
+            raise ValueError(
+                f"files already live on main (diverged history?): {sorted(dup)}"
+            )
+        entries = [
+            DataFile(
+                f.path, "added", f.partition, f.spec_id, f.schema_id,
+                f.record_count, f.file_size_bytes, f.stats,
+            )
+            for f in added
+        ]
+        return self._commit_snapshot(
+            "append", entries, extra_summary={"cherry-picked-from": str(snapshot_id)}
+        )
+
     # -- metadata tables (S9/S10) ------------------------------------------
 
     def snapshots(self) -> DataFrame:

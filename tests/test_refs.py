@@ -55,6 +55,49 @@ def test_branch_write_isolated_from_main(spark, warehouse):
     assert t.toDF().count() == orders.count() + 10
 
 
+def test_cherry_pick_single_branch_commit(spark, warehouse):
+    """Cherry-pick applies exactly ONE branch commit's file delta onto
+    main (docs/05:169-171): a branch with two appends picks only the
+    first; main gains its rows and files, not the second's.  Refusals:
+    re-picking (duplicate files), non-append snapshots."""
+    t, orders, first, s1, s2 = _table_with_two_snapshots(spark, warehouse)
+    ex1 = load(spark, SF_DIR, "orders").limit(10).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    ex2 = load(spark, SF_DIR, "orders").limit(5).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 20_000_000
+    )
+    t.create_branch("audit")
+    b1 = t.append(ex1, branch="audit")
+    t.append(ex2, branch="audit")
+    n_files_before = len(t.live_files())
+    picked = t.cherry_pick(b1.snapshot_id)
+    assert picked.summary["cherry-picked-from"] == str(b1.snapshot_id)
+    # main gained exactly the first branch commit's rows and files
+    assert t.toDF().count() == orders.count() + 10
+    b1_paths = {
+        f.path
+        for f in t.live_files(b1, content="all")
+        if f.sequence_number == b1.sequence_number
+    }
+    assert {f.path for f in t.live_files()} == (
+        {f.path for f in t.live_files(t.meta.snapshot_by_id(s2.snapshot_id))}
+        | b1_paths
+    )
+    assert len(t.live_files()) == n_files_before + len(b1_paths)
+    # re-pick refuses: files already live on main
+    with pytest.raises(ValueError, match="already live"):
+        t.cherry_pick(b1.snapshot_id)
+    # non-append snapshots refuse
+    from icepack.expr import col as icol
+
+    d = t.delete(icol("o_orderkey") == -1)
+    with pytest.raises(ValueError, match="append"):
+        t.cherry_pick(d.snapshot_id)
+    # branch itself is untouched (still both commits)
+    assert t.toDF(snapshot=t.as_of(ref="audit")).count() == orders.count() + 15
+
+
 def test_fast_forward_rejects_diverged_main(spark, warehouse):
     """After main advances past the branch point, fast-forward must
     refuse (a real merge is required)."""

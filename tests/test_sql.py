@@ -952,6 +952,54 @@ def test_result_cache_comma_join_temp_view_not_cached(spark, tmp_path):
     assert b is not a
 
 
+def test_result_cache_persists_across_sessions(spark, tmp_path):
+    """docs/01:163 — the warehouse result cache survives sessions: a
+    query that went HOT (second run) materializes under the warehouse;
+    a brand-new IceSQL session over the same warehouse serves it with
+    cache_hit=true and ZERO table scans; any commit on a referenced
+    table invalidates (the fresh session recomputes)."""
+    from icepack.sql import IceSQL
+
+    wh = str(tmp_path / "wh")
+    s1 = IceSQL(spark, wh)
+    s1.sql("CREATE ICEBERG TABLE pc (id BIGINT, v DOUBLE)")
+    spark.createDataFrame(
+        [(1, 2.0), (2, 4.0)], "id bigint, v double"
+    ).createOrReplaceTempView("pc_seed")
+    s1.sql("INSERT INTO pc SELECT * FROM pc_seed")
+    q = "SELECT id, v * 2 AS v2 FROM pc WHERE id > 0"
+    want = sorted(map(tuple, s1.sql(q).collect()))
+    s1.sql(q).collect()  # second run: hot → persisted to the warehouse
+
+    s2 = IceSQL(spark, wh)  # FRESH session, cold in-session cache
+    got = s2.sql(q)
+    assert sorted(map(tuple, got.collect())) == want
+    hist = {r["query_text"]: r for r in s2.sql(
+        "SELECT * FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())"
+    ).collect()}
+    assert hist[q]["cache_hit"] is True
+    assert hist[q]["files_scanned"] is None  # served without scanning
+    # a commit from ANOTHER session invalidates the persisted entry
+    s1.sql("INSERT INTO pc SELECT id + 10, v FROM pc_seed")
+    s3 = IceSQL(spark, wh)
+    got3 = s3.sql(q)
+    assert got3.count() == 4
+    hist3 = {r["query_text"]: r for r in s3.sql(
+        "SELECT * FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())"
+    ).collect()}
+    assert hist3[q]["cache_hit"] is False
+    # DDL (rename, no snapshot move) also invalidates cross-session:
+    # version validation catches what snapshot ids cannot
+    s3.sql(q)  # hot again → re-persisted at the new snapshot
+    s4 = IceSQL(spark, wh)
+    got4 = s4.sql(q)
+    assert got4.count() == 4  # persisted hit at current state
+    s1.sql("ALTER ICEBERG TABLE pc RENAME COLUMN v TO score")
+    s5 = IceSQL(spark, wh)
+    q5 = "SELECT id, score FROM pc"
+    assert {r[0] for r in s5.sql(q5).select("id").collect()} == {1, 2, 11, 12}
+
+
 def test_result_cache_invalidated_by_ddl_and_database_scoped(spark, tmp_path):
     """Schema-evolution DDL commits no snapshot yet changes what a
     cached SELECT means — any DDL clears the cache; and the cache key
@@ -972,6 +1020,24 @@ def test_result_cache_invalidated_by_ddl_and_database_scoped(spark, tmp_path):
     c = isql.sql(q)
     assert c is not a, "DDL must invalidate the result cache"
     assert "score" in c.columns
+
+
+def test_alter_cherry_pick_snapshot(spark, tmp_path):
+    """[ext] ALTER ICEBERG TABLE ... CHERRY-PICK SNAPSHOT <id> applies
+    one branch commit onto main (docs/05:169-171)."""
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE cp (id BIGINT)")
+    spark.createDataFrame([(1,), (2,)], "id bigint").createOrReplaceTempView("cp_seed")
+    isql.sql("INSERT INTO cp SELECT * FROM cp_seed")
+    t = isql._table(isql._resolve_name("cp"))
+    t.create_branch("stage")
+    b1 = t.append(spark.createDataFrame([(10,)], "id bigint"), branch="stage")
+    t.append(spark.createDataFrame([(20,)], "id bigint"), branch="stage")
+    isql.sql(f"ALTER ICEBERG TABLE cp CHERRY-PICK SNAPSHOT {b1.snapshot_id}")
+    t.refresh()
+    assert sorted(r.id for r in t.toDF().collect()) == [1, 2, 10]
 
 
 def test_alter_export_iceberg_metadata_and_scheduled(spark, tmp_path):
