@@ -50,6 +50,10 @@ HEADLINE = [
     # table-layer lifecycle: create→append→(prune/delete)→scan
     "ice1_create_append_read",
     "ice7_hidden_partition_prune",
+    # merge-on-read leg (r6): equality-delete masks applied at scan —
+    # the sf1 ladder reruns this HEADLINE, so the delete-merge path's
+    # scale trend is measured, not assumed
+    "ice10_mor_delete",
 ]
 
 
@@ -127,7 +131,7 @@ def main() -> None:
         "stream_files": st_files,
         "stream_rows_per_sec": st_rows_per_sec,
     }
-    detail_path = os.path.join(
+    detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as fh:

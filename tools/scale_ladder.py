@@ -74,8 +74,14 @@ def main() -> None:
     out = f"/tmp/icepack-sf{sf:g}"
     os.makedirs(out, exist_ok=True)
     build(out, replicas)
-    env = {**os.environ, "SPARK_GRAFT_SF_DIR": out}
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_SF_DIR": out,
+        # keep the sf0.1 BENCH_DETAIL.json intact: the ladder's run
+        # writes its own detail file
+        "SPARK_GRAFT_DETAIL_PATH": os.path.join(repo, f"SF{sf:g}_BENCH_DETAIL.json"),
+    }
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "bench.py")],
         env=env,
