@@ -104,11 +104,20 @@ def duckdb_snapshot_sql(
         )
         conds = []
         if pos_paths:
+            # native MOR delete files store Spark's _metadata.file_path
+            # URI ('file:/abs/path'); spec-primary tables rewrite them
+            # to spec shape at commit — canonical RAW paths, which is
+            # what DuckDB's filename column already is
+            from .specio import is_spec_primary
+
+            if is_spec_primary(table.meta.properties):
+                match = "pd.file_path = d.filename"
+            else:
+                match = "pd.file_path = 'file:' || d.filename"
             conds.append(
                 "NOT EXISTS (SELECT 1 FROM "
                 f"read_parquet({_sql_list(pos_paths)}) AS pd\n"
-                # Spark's _metadata.file_path URI form is 'file:/abs/path'
-                "    WHERE pd.file_path = 'file:' || d.filename"
+                f"    WHERE {match}"
                 " AND pd.pos = d.file_row_number)"
             )
         # equality deletes key on FIELD IDs: the delete file stores the

@@ -203,19 +203,18 @@ def rewrite_manifests(table) -> Snapshot:
         prev = meta.current_snapshot
         entries = table.live_files(content="all")
         sid = _snapshot_id()
-        name, mlen = write_manifest(table._mdir, entries, store=table.store)
-        mlist = write_manifest_list(
-            table._mdir,
+        names, summaries = [], []
+        for name, mlen, ms in table._write_manifests(entries):
+            names.append(name)
+            summaries.append(
+                {**ms, "manifest-length": mlen, "added-snapshot-id": sid}
+            )
+        mlist = table._write_mlist(
             sid,
-            [name],
-            [
-                {
-                    **manifest_summary(entries),
-                    "manifest-length": mlen,
-                    "added-snapshot-id": sid,
-                }
-            ],
-            store=table.store,
+            names,
+            summaries,
+            meta.last_sequence_number + 1,
+            prev.snapshot_id if prev else None,
         )
         snap = Snapshot(
             snapshot_id=sid,
@@ -293,9 +292,9 @@ def expire_snapshots(
         mls, mans, datas = set(), set(), set()
         for s in snaps:
             mls.add(s.manifest_list)
-            for m in read_manifest_list(table._mdir, s.manifest_list, store=table.store):
+            for m in table._read_mlist(s.manifest_list):
                 mans.add(m["manifest-path"])
-                for e in read_manifest(table._mdir, m["manifest-path"], store=table.store):
+                for e in table._read_mentries(m["manifest-path"]):
                     datas.add(e.path)
         return mls, mans, datas
 
@@ -340,8 +339,8 @@ def remove_orphan_files(table, older_than_ms: int | None = None, dry_run: bool =
     table.refresh()
     referenced: set[str] = set()
     for s in table.meta.snapshots:
-        for m in read_manifest_list(table._mdir, s.manifest_list, store=table.store):
-            for e in read_manifest(table._mdir, m["manifest-path"], store=table.store):
+        for m in table._read_mlist(s.manifest_list):
+            for e in table._read_mentries(m["manifest-path"]):
                 referenced.add(e.path)
     orphans = []  # data files: swept via the local/Hadoop FS Spark wrote to
     for p in _glob.glob(os.path.join(table.location, "data", "**", "*.parquet"), recursive=True):
@@ -372,7 +371,7 @@ def table_health(table) -> dict:
     snap_count = len(table.meta.snapshots)
     man_count = 0
     if table.meta.current_snapshot:
-        man_count = len(read_manifest_list(table._mdir, table.meta.current_snapshot.manifest_list, store=table.store))
+        man_count = len(table._read_mlist(table.meta.current_snapshot.manifest_list))
     return {
         "file_count": n,
         "avg_file_size_bytes": int(avg),
@@ -434,9 +433,9 @@ def verify_table(table, check_data: bool = False) -> list[str]:
         return findings
     spec_ids = {sp.spec_id for sp in meta.partition_specs}
     schema_ids = {sc.schema_id for sc in meta.schemas}
-    for m in read_manifest_list(table._mdir, snap.manifest_list, store=table.store):
+    for m in table._read_mlist(snap.manifest_list):
         try:
-            entries = read_manifest(table._mdir, m["manifest-path"], store=table.store)
+            entries = table._read_mentries(m["manifest-path"])
         except Exception as e:  # noqa: BLE001 — report, keep walking
             findings.append(f"manifest {m['manifest-path']} unreadable: {e}")
             continue

@@ -118,6 +118,7 @@ PRIORITY: list[str] = [
     "ice45_mor_batch_read",
     "ice47_iceberg_read",
     "ice48_spec_read_prune",
+    "ice49_spec_primary",
 ]
 
 

@@ -1742,3 +1742,52 @@ def ice48_spec_read_prune(spark: SparkSession, sf: str) -> DataFrame:
     return read_iceberg(spark, mpath, where=pred).select(
         "o_orderkey", "o_totalprice"
     )
+
+
+@query(
+    "ice49_spec_primary",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderstatus
+    """,
+)
+def ice49_spec_primary(spark: SparkSession, sf: str) -> DataFrame:
+    """SPEC-PRIMARY metadata (docs/11:112-120, specio.py): with
+    ``format.spec-primary=true`` every commit writes ONLY Iceberg v2
+    spec files (Avro manifests + spec metadata.json) — there is no
+    native tree and no mirror; external engines follow the SAME
+    version hint the engine commits.  The query runs a lifecycle
+    (create → append → MOR equality delete → reload from disk) and
+    cross-checks the native scan against read_iceberg planning from
+    the very same metadata directory before returning the aggregate."""
+    import os
+
+    from ..iceberg_import import read_iceberg
+
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = IceTable.create(
+        spark,
+        _scratch(),
+        orders.schema,
+        properties={
+            "format.spec-primary": "true",
+            "write.delete.mode": "merge-on-read",
+        },
+    )
+    t.append(orders)
+    t.delete(col("o_orderstatus") == "F")  # MOR delete in spec files
+    t2 = IceTable.load(spark, t.location)  # cold reload from spec tree
+    native = t2.toDF()
+    ext = read_iceberg(spark, os.path.join(t.location, "metadata"))
+    if ext.count() != native.count():
+        raise RuntimeError("spec-primary: external read diverged from native")
+    return native.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum("o_totalprice").cast("double").alias("sum_price"),
+    )

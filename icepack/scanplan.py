@@ -151,7 +151,7 @@ def may_match_column(e: Expr, stats: Column, rc: Column) -> Column:
 
 def _entries_df(table, snap, predicate: Expr | None = None) -> DataFrame:
     store = table.store
-    descs = read_manifest_list(table._mdir, snap.manifest_list, store=store)
+    descs = table._read_mlist(snap.manifest_list)
     if predicate is not None and not isinstance(predicate, AlwaysTrue):
         # phase 0, same as the driver planner: manifest-list partition
         # ranges skip whole manifests BEFORE Spark ever lists them —
@@ -173,6 +173,19 @@ def _entries_df(table, snap, predicate: Expr | None = None) -> DataFrame:
     paths = [os.path.join(table._mdir, n) for n in names]
     if not paths:  # every manifest skipped by phase 0
         return table.spark.createDataFrame([], ENTRY_SCHEMA)
+    if any(n.endswith(".avro") for n in names):
+        # spec-primary manifests are Avro: decode driver-side into the
+        # native entry JSON and distribute that (entries, not files —
+        # the pruning evaluation itself still runs in Spark).  Offline
+        # maximum: spark-avro is an external package; a deployment with
+        # it would spark-read the manifests directly.
+        lines = [
+            json.dumps(e.to_json())
+            for n in names
+            for e in table._read_mentries(n)
+        ]
+        rdd = table.spark.sparkContext.parallelize(lines or [], max(1, len(paths)))
+        return table.spark.read.json(rdd, schema=ENTRY_SCHEMA)
     if isinstance(store, LocalStore):
         return table.spark.read.json(paths, schema=ENTRY_SCHEMA)
     # Non-POSIX metadata store (storage seam): a real object-store

@@ -91,6 +91,24 @@ class MetadataStore:
     def write_json_atomic(self, path: str, obj) -> None:
         self.replace_text(path, json.dumps(obj, indent=2, sort_keys=True))
 
+    # binary documents (spec-primary Avro manifests, specio.py).
+    # Default: base64 through the text APIs, so every store — including
+    # wrappers like the crash-injecting test store — works unchanged;
+    # LocalStore overrides with raw bytes so external engines can open
+    # the files directly.
+    def write_bytes(self, path: str, data: bytes) -> None:
+        import base64
+
+        self.replace_text(path, "b64:" + base64.b64encode(data).decode())
+
+    def read_bytes(self, path: str) -> bytes:
+        import base64
+
+        text = self.read_text(path)
+        if text.startswith("b64:"):
+            return base64.b64decode(text[4:])
+        return text.encode("utf-8", errors="surrogateescape")
+
 
 class LocalStore(MetadataStore):
     """POSIX filesystem store — the default; byte-for-byte the behavior
@@ -135,6 +153,16 @@ class LocalStore(MetadataStore):
 
     def mkdirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.rename(tmp, path)  # atomic on POSIX
+
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
 
 
 class InMemoryStore(MetadataStore):

@@ -153,6 +153,75 @@ class IceTable:
     def _mdir(self) -> str:
         return self.store.join(self.location, "metadata")
 
+    # -- metadata format dispatch (specio.py, docs/11:112-120) -------------
+    # With format.spec-primary=true the table's ONLY metadata tree is
+    # Apache Iceberg v2 spec files (Avro manifests + spec
+    # metadata.json); reads dispatch on the file extension so a table
+    # history that predates the property still resolves.
+
+    @property
+    def spec_primary(self) -> bool:
+        from .specio import is_spec_primary
+
+        return self.meta is not None and is_spec_primary(self.meta.properties)
+
+    def _read_mlist(self, name: str) -> list[dict]:
+        if name.endswith(".avro"):
+            from .specio import read_spec_manifest_list
+
+            return read_spec_manifest_list(self._mdir, name, self.store)
+        return read_manifest_list(self._mdir, name, store=self.store)
+
+    def _read_mentries(self, name: str) -> list[DataFile]:
+        if name.endswith(".avro"):
+            from .specio import read_spec_manifest
+
+            return read_spec_manifest(self._mdir, name, self.store, self.meta)
+        return read_manifest(self._mdir, name, store=self.store)
+
+    def _write_manifests(self, entries: list[DataFile]) -> list[tuple[str, int, dict]]:
+        """Write *entries* as one native manifest, or (spec-primary)
+        as spec manifests split by (content, spec); freshly-written MOR
+        delete parquet is rewritten to its spec shape first (idempotent
+        across commit retries — rewritten files are prefixed)."""
+        if self.spec_primary:
+            from .specio import rewrite_delete_file_spec, write_spec_manifests
+
+            for e in entries:
+                if (
+                    e.status == "added"
+                    and e.content != "data"
+                    and not os.path.basename(e.path).startswith("spec-")
+                ):
+                    rewrite_delete_file_spec(self, e)
+            return write_spec_manifests(self._mdir, entries, self.meta, self.store)
+        name, mlen = write_manifest(self._mdir, entries, store=self.store)
+        return [(name, mlen, manifest_summary(entries))]
+
+    def _write_mlist(
+        self,
+        snapshot_id: int,
+        names: list[str],
+        summaries: list[dict],
+        sequence_number: int,
+        parent_snapshot_id: int | None,
+    ) -> str:
+        if self.spec_primary:
+            from .specio import write_spec_manifest_list
+
+            return write_spec_manifest_list(
+                self._mdir,
+                snapshot_id,
+                sequence_number,
+                parent_snapshot_id,
+                names,
+                summaries,
+                self.store,
+            )
+        return write_manifest_list(
+            self._mdir, snapshot_id, names, summaries, store=self.store
+        )
+
     @staticmethod
     def create(
         spark: SparkSession,
@@ -183,6 +252,20 @@ class IceTable:
         )
         spec = build_partition_spec(ice_schema, partition_by)
         meta = TableMetadata.new(location, ice_schema, spec, properties)
+        from .specio import check_spec_expressible, is_spec_primary
+
+        if is_spec_primary(meta.properties):
+            check_spec_expressible(meta)
+            if spec.fields:
+                # delete manifests write under an UNPARTITIONED spec
+                # (spec engines match deletes to data by partition;
+                # dml's empty tuple would otherwise read as all-null) —
+                # register it up front so its id can never collide with
+                # a later partition-evolution spec
+                meta = meta.copy_with(
+                    partition_specs=meta.partition_specs
+                    + [PartitionSpec(spec.spec_id + 1, [])]
+                )
         table = IceTable(spark, location, meta, store=st)
         table._write_version(1, meta)
         return table
@@ -207,9 +290,13 @@ class IceTable:
             version += 1
         if version == 0:
             raise FileNotFoundError(f"no icepack table at {self.location}")
-        self.meta = TableMetadata.loads(
-            st.read_text(st.join(self._mdir, f"v{version}.metadata.json"))
-        )
+        text = st.read_text(st.join(self._mdir, f"v{version}.metadata.json"))
+        from .specio import load_spec_metadata, looks_like_spec_metadata
+
+        if looks_like_spec_metadata(json.loads(text)):
+            self.meta = load_spec_metadata(text)
+        else:
+            self.meta = TableMetadata.loads(text)
         self._version = version
         return self
 
@@ -219,10 +306,14 @@ class IceTable:
         """Exclusive-create v<version>; first writer wins (POSIX O_EXCL
         — the version-check-and-rename race the survey flags is avoided
         because creation itself is the check)."""
+        from .specio import dump_spec_metadata, is_spec_primary
+
         meta.last_updated_ms = int(time.time() * 1000)
+        spec = is_spec_primary(meta.properties)
+        text = dump_spec_metadata(meta, self._mdir) if spec else meta.dumps()
         path = self.store.join(self._mdir, f"v{version}.metadata.json")
         try:
-            self.store.create_exclusive(path, meta.dumps())
+            self.store.create_exclusive(path, text)
         except FileExistsError as e:
             raise CommitConflict(f"version {version} already committed") from e
         # best-effort pointer update (atomic replace; stale is fine — refresh probes)
@@ -230,6 +321,11 @@ class IceTable:
             self.store.join(self._mdir, "version-hint.json"),
             json.dumps({"version": version}),
         )
+        if spec:
+            # HadoopCatalog-convention hint for external followers
+            self.store.replace_text(
+                self.store.join(self._mdir, "version-hint.text"), str(version)
+            )
         self._version = version
         self.meta = meta
 
@@ -269,8 +365,8 @@ class IceTable:
             total_files = 0
             seen_replaced: set[str] = set()
             if prev is not None:
-                for m in read_manifest_list(self._mdir, prev.manifest_list, store=self.store):
-                    entries = read_manifest(self._mdir, m["manifest-path"], store=self.store)
+                for m in self._read_mlist(prev.manifest_list):
+                    entries = self._read_mentries(m["manifest-path"])
                     hit = [e for e in entries if e.path in replaced_paths]
                     if not hit:
                         manifests.append(m["manifest-path"])
@@ -290,11 +386,11 @@ class IceTable:
                         if e.path not in replaced_paths
                     ]
                     if kept:
-                        mname, mlen = write_manifest(self._mdir, kept, store=self.store)
-                        manifests.append(mname)
-                        s = {**manifest_summary(kept), "manifest-length": mlen}
-                        summaries.append(s)
-                        new_summaries.append(s)
+                        for mname, mlen, ms in self._write_manifests(kept):
+                            manifests.append(mname)
+                            s = {**ms, "manifest-length": mlen}
+                            summaries.append(s)
+                            new_summaries.append(s)
                         total_files += len(kept)
             if not replaced_paths <= seen_replaced and replaced_paths:
                 raise CommitConflict(
@@ -303,11 +399,11 @@ class IceTable:
             for e in new_entries:
                 e.sequence_number = seq
             if new_entries:
-                mname, mlen = write_manifest(self._mdir, new_entries, store=self.store)
-                manifests.append(mname)
-                s = {**manifest_summary(new_entries), "manifest-length": mlen}
-                summaries.append(s)
-                new_summaries.append(s)
+                for mname, mlen, ms in self._write_manifests(new_entries):
+                    manifests.append(mname)
+                    s = {**ms, "manifest-length": mlen}
+                    summaries.append(s)
+                    new_summaries.append(s)
                 total_files += len(new_entries)
             sid = _snapshot_id()
             # manifests WRITTEN BY this commit are attributed to its
@@ -315,7 +411,9 @@ class IceTable:
             # carried-forward descriptors keep their original attribution
             for s in new_summaries:
                 s["added-snapshot-id"] = sid
-            mlist = write_manifest_list(self._mdir, sid, manifests, summaries, store=self.store)
+            mlist = self._write_mlist(
+                sid, manifests, summaries, seq, prev.snapshot_id if prev else None
+            )
             snap = Snapshot(
                 snapshot_id=sid,
                 parent_snapshot_id=prev.snapshot_id if prev else None,
@@ -628,10 +726,10 @@ class IceTable:
             return []
         delete_only = content not in ("data", "all")
         out = []
-        for m in read_manifest_list(self._mdir, snap.manifest_list, store=self.store):
+        for m in self._read_mlist(snap.manifest_list):
             if delete_only and m.get("delete-content-files") == 0:
                 continue
-            for e in read_manifest(self._mdir, m["manifest-path"], store=self.store):
+            for e in self._read_mentries(m["manifest-path"]):
                 if e.status == "deleted":
                     continue
                 if (
@@ -675,14 +773,14 @@ class IceTable:
             # expr.manifest_may_match).  Skipped manifests still feed
             # the scan-report totals from their summary counts.
             sk_manifests = sk_files = sk_bytes = sk_parts = 0
-            for m in read_manifest_list(self._mdir, snap.manifest_list, store=self.store):
+            for m in self._read_mlist(snap.manifest_list):
                 if not manifest_may_match(m, _proj_for):
                     sk_manifests += 1
                     sk_files += m.get("live-files", 0)
                     sk_bytes += m.get("live-bytes", 0)
                     sk_parts += m.get("distinct-partitions", 0)
                     continue
-                entries = read_manifest(self._mdir, m["manifest-path"], store=self.store)
+                entries = self._read_mentries(m["manifest-path"])
                 for e in entries:
                     if e.status == "deleted" or e.content != "data":
                         continue
@@ -838,9 +936,27 @@ class IceTable:
                     .select("file_path", "pos")
                     .distinct()
                 )
+                if self.spec_primary:
+                    # spec-shaped delete files store CANONICAL raw
+                    # paths (external engines compare them to manifest
+                    # paths); Spark's _file is a percent-encoded URI —
+                    # canonicalize it through the same function both
+                    # interop joins use (Arrow-batched, never per-row
+                    # Python)
+                    from .iceberg_import import canonical_file_path
+
+                    import pandas as pd  # noqa: F401
+
+                    @F.pandas_udf("string")
+                    def _canon(s):
+                        return s.map(canonical_file_path)
+
+                    key = _canon(df["_file"])
+                else:
+                    key = df["_file"]
                 df = df.join(
                     F.broadcast(dels),
-                    (df["_file"] == dels["file_path"]) & (df["_pos"] == dels["pos"]),
+                    (key == dels["file_path"]) & (df["_pos"] == dels["pos"]),
                     "left_anti",
                 )
                 if not with_pos:
@@ -1178,7 +1294,7 @@ class IceTable:
         snap = self.meta.current_snapshot
         rows = []
         if snap:
-            for m in read_manifest_list(self._mdir, snap.manifest_list, store=self.store):
+            for m in self._read_mlist(snap.manifest_list):
                 rows.append(
                     (
                         m["manifest-path"],
@@ -1315,6 +1431,9 @@ class IceTable:
         value of None unsets the key.  Same CAS+retry as schema
         evolution — a property edit racing a concurrent append rebases
         onto the new snapshot list."""
+        from .specio import PROPERTY as _SPEC_PROP
+        from .specio import check_spec_expressible, is_spec_primary
+
         for _ in range(5):
             merged = dict(self.meta.properties)
             for k, v in props.items():
@@ -1322,8 +1441,33 @@ class IceTable:
                     merged.pop(k, None)
                 else:
                     merged[k] = str(v)
+            extra_specs = []
+            if is_spec_primary(merged) and not self.spec_primary:
+                # enabling mid-life would leave prior native manifests
+                # (and URI-form delete files) in a tree external engines
+                # can't read — only an EMPTY table may convert
+                if self.meta.current_snapshot is not None:
+                    raise ValueError(
+                        f"{_SPEC_PROP} can only be enabled at CREATE or on "
+                        "an empty table; create a spec-primary table and "
+                        "INSERT .. SELECT instead"
+                    )
+                check_spec_expressible(self.meta)
+                if not any(not sp.fields for sp in self.meta.partition_specs):
+                    extra_specs = [
+                        PartitionSpec(
+                            max(sp.spec_id for sp in self.meta.partition_specs) + 1,
+                            [],
+                        )
+                    ]
             try:
-                self._write_version(self._version + 1, self.meta.copy_with(properties=merged))
+                self._write_version(
+                    self._version + 1,
+                    self.meta.copy_with(
+                        properties=merged,
+                        partition_specs=self.meta.partition_specs + extra_specs,
+                    ),
+                )
                 return
             except CommitConflict:
                 self.refresh()
@@ -1540,6 +1684,10 @@ class IceTable:
             partition_specs=meta.partition_specs + [new_spec],
             default_spec_id=new_spec.spec_id,
         )
+        if self.spec_primary:
+            from .specio import check_spec_expressible
+
+            check_spec_expressible(new_meta)
         self._write_version(self._version + 1, new_meta)
 
 

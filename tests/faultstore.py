@@ -40,6 +40,10 @@ class CrashingStore(MetadataStore):
         self._spend()
         return self.inner.delete(path)
 
+    def write_bytes(self, path, data):
+        self._spend()
+        return self.inner.write_bytes(path, data)
+
     # read-only / structural ops delegate untouched ------------------------
     def canonical(self, path):
         return self.inner.canonical(path)
@@ -61,3 +65,6 @@ class CrashingStore(MetadataStore):
 
     def mkdirs(self, path):
         return self.inner.mkdirs(path)
+
+    def read_bytes(self, path):
+        return self.inner.read_bytes(path)

@@ -1,0 +1,283 @@
+"""format.spec-primary=true: the table's ONLY metadata tree is Apache
+Iceberg v2 spec files (docs/11-multi-engine-compatibility.md:112-120 —
+one tree both engines commit to; no mirror, no drift).
+
+The invariants pinned here:
+- every lifecycle operation (append, COW/MOR DML, compaction, expire,
+  schema/partition evolution, branches/WAP, rewrite_manifests) commits
+  spec files ONLY, and after each step the native scan and the
+  independent spec reader (``read_iceberg`` over the same tree) agree
+  row-for-row — plus the DuckDB render as the third leg;
+- reload from disk round-trips the full native model (schemas,
+  specs, snapshots, refs, stats-driven pruning);
+- non-spec-expressible transforms refuse at CREATE / update_spec, and
+  the property cannot be enabled on a non-empty table;
+- crash-consistency and distributed planning hold under the format.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from icepack.expr import col
+from icepack.iceberg_import import read_iceberg
+from icepack.table import IceTable
+
+from tests.conftest import rows_sorted
+
+PROPS = {"format.spec-primary": "true"}
+
+
+def _df(spark, n=20, off=0):
+    return spark.createDataFrame(
+        [(i + off, f"n{i + off}", float(i + off), i % 4) for i in range(n)],
+        "id bigint, name string, v double, k int",
+    )
+
+
+def _assert_tree_is_spec_only(loc):
+    names = os.listdir(os.path.join(loc, "metadata"))
+    bad = [
+        n
+        for n in names
+        if not (
+            n.startswith("v") and n.endswith(".metadata.json")
+        )
+        and not n.endswith(".avro")
+        and n not in ("version-hint.json", "version-hint.text")
+    ]
+    assert not bad, f"non-spec metadata files: {bad}"
+    # and the CURRENT metadata.json is spec-shaped
+    hint = json.load(open(os.path.join(loc, "metadata", "version-hint.json")))
+    md = json.load(
+        open(os.path.join(loc, "metadata", f"v{hint['version']}.metadata.json"))
+    )
+    assert md["format-version"] == 2
+    assert md["schemas"][0]["type"] == "struct"
+    assert int(open(os.path.join(loc, "metadata", "version-hint.text")).read()) == hint[
+        "version"
+    ]
+
+
+def _triangle(spark, t, loc):
+    """native scan == independent spec read == DuckDB render."""
+    native = rows_sorted(t.toDF())
+    ext = read_iceberg(spark, os.path.join(loc, "metadata"))
+    assert rows_sorted(ext.select(*t.toDF().columns)) == native
+    import duckdb
+
+    from icepack.interop import duckdb_snapshot_sql
+
+    con = duckdb.connect()
+    got = sorted(
+        [tuple(r) for r in con.execute(duckdb_snapshot_sql(t)).fetchall()],
+        key=lambda x: tuple(map(repr, x)),
+    )
+    assert got == native
+    return native
+
+
+def test_lifecycle_triangle(spark, tmp_path):
+    loc = str(tmp_path / "sp tbl")  # space: URI canonicalization
+    df = _df(spark)
+    t = IceTable.create(
+        spark, loc, df.schema, partition_by=[("k", "identity")], properties=PROPS
+    )
+    t.append(df)
+    _triangle(spark, t, loc)
+    t.append(_df(spark, 10, off=100))
+    _triangle(spark, t, loc)
+    t.delete(col("id") == 5)  # COW delete
+    _triangle(spark, t, loc)
+    t.update(col("id") == 7, {"name": F.lit("upd")})
+    native = _triangle(spark, t, loc)
+    assert any(r[1] == "upd" for r in native)
+    # schema evolution: rename + add column
+    t.rename_column("v", "score")
+    t.add_column("extra", "string")
+    t.append(
+        spark.createDataFrame(
+            [(500, "x", 1.0, 1, "e")],
+            "id bigint, name string, score double, k int, extra string",
+        )
+    )
+    _triangle(spark, t, loc)
+    # partition evolution
+    t.update_spec([("id", "truncate[100]")])
+    t.append(
+        spark.createDataFrame(
+            [(600, "y", 2.0, 2, "f")],
+            "id bigint, name string, score double, k int, extra string",
+        )
+    )
+    _triangle(spark, t, loc)
+    # maintenance: compact + rewrite manifests + expire
+    from icepack import maintenance
+
+    maintenance.compact(t)
+    _triangle(spark, t, loc)
+    maintenance.rewrite_manifests(t)
+    _triangle(spark, t, loc)
+    maintenance.expire_snapshots(t, older_than_ms=2**62, retain_last=1)
+    t.refresh()
+    native = _triangle(spark, t, loc)
+    _assert_tree_is_spec_only(loc)
+    # reload from COLD and verify pruning works off decoded spec stats
+    t2 = IceTable.load(spark, loc)
+    assert rows_sorted(t2.toDF()) == native
+    assert t2.verify() == []  # fsck: stored spec summaries match recompute
+    hit, report = t2.plan_files(col("id") == 600)
+    assert report["files_scanned"] < report["files_total"]
+
+
+def test_mor_lifecycle_and_wap(spark, tmp_path):
+    loc = str(tmp_path / "sp_mor")
+    df = _df(spark, 12)
+    t = IceTable.create(
+        spark,
+        loc,
+        df.schema,
+        properties={**PROPS, "write.delete.mode": "merge-on-read"},
+    )
+    t.append(df)
+    t.delete(col("id") == 3)  # equality delete
+    t.append(spark.createDataFrame([(3, "re", 9.0, 0)], df.schema))
+    t.set_properties(**{"write.delete.mor.strategy": "position"})
+    t.delete(col("id") == 7)  # position delete
+    native = _triangle(spark, t, loc)
+    assert [r[1] for r in native if r[0] == 3] == ["re"]
+    assert all(r[0] != 7 for r in native)
+    # WAP: stage on a branch, audit, cherry-pick onto main
+    t.create_branch("audit")
+    b1 = t.append(spark.createDataFrame([(50, "b", 1.0, 1)], df.schema), branch="audit")
+    assert all(r[0] != 50 for r in rows_sorted(t.toDF()))  # main unchanged
+    t.cherry_pick(b1.snapshot_id)
+    native = _triangle(spark, t, loc)
+    assert any(r[0] == 50 for r in native)
+    _assert_tree_is_spec_only(loc)
+    # MOR reload: masks survive a cold load and further DML
+    t2 = IceTable.load(spark, loc)
+    assert rows_sorted(t2.toDF()) == native
+    assert t2.verify() == []
+    t2.delete(col("id") == 0)
+    assert all(r[0] != 0 for r in rows_sorted(t2.toDF()))
+
+
+def test_partitioned_mor_deletes_use_unpartitioned_spec(spark, tmp_path):
+    """On a PARTITIONED spec-primary table, delete manifests must sit
+    under an unpartitioned spec: spec engines match delete files to
+    data files by partition, and dml's empty tuple under the
+    partitioned spec would read as all-null — rows would resurrect in
+    external reads (the r5-ADVICE export bug, pinned closed for the
+    primary tree)."""
+    from icepack.avroenc import read_container_with_meta
+
+    loc = str(tmp_path / "sp_pmor")
+    df = _df(spark, 16)
+    t = IceTable.create(
+        spark,
+        loc,
+        df.schema,
+        partition_by=[("k", "identity")],
+        properties={**PROPS, "write.delete.mode": "merge-on-read"},
+    )
+    t.append(df)
+    t.delete(col("id") == 6)  # equality delete on a partitioned table
+    native = _triangle(spark, t, loc)
+    assert all(r[0] != 6 for r in native)
+    # the delete manifest's OCF metadata declares an UNPARTITIONED spec
+    mdirp = os.path.join(loc, "metadata")
+    hint = json.load(open(os.path.join(mdirp, "version-hint.json")))
+    md = json.load(open(os.path.join(mdirp, f"v{hint['version']}.metadata.json")))
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, mlist, _ = read_container_with_meta(open(snap["manifest-list"], "rb").read())
+    del_mans = [m for m in mlist if m["content"] == 1]
+    assert del_mans, "no delete manifest written"
+    for m in del_mans:
+        _, _, ocf = read_container_with_meta(open(m["manifest_path"], "rb").read())
+        assert json.loads(ocf["partition-spec"].decode()) == []
+    # the unpartitioned spec is registered and collision-free with
+    # later partition evolution
+    specs = {sp["spec-id"]: sp["fields"] for sp in md["partition-specs"]}
+    assert [] in specs.values()
+    t.update_spec([("id", "truncate[100]")])
+    assert t.meta.spec.fields  # new spec got a fresh id, still partitioned
+    t.append(_df(spark, 4, off=200))
+    _triangle(spark, t, loc)
+    t2 = IceTable.load(spark, loc)
+    assert t2.verify() == []
+
+
+def test_distributed_planning_over_spec_manifests(spark, tmp_path):
+    loc = str(tmp_path / "sp_dist")
+    df = _df(spark, 40)
+    t = IceTable.create(
+        spark, loc, df.schema, properties={**PROPS, "read.plan-mode": "distributed"}
+    )
+    t.append(df.repartition(4))
+    got = rows_sorted(t.toDF(col("id") >= 20))
+    want = rows_sorted(df.filter(F.col("id") >= 20))
+    assert got == want
+
+
+def test_refuses_non_spec_transforms_and_midlife_enable(spark, tmp_path):
+    df = _df(spark, 4)
+    with pytest.raises(ValueError, match="spec-expressible"):
+        IceTable.create(
+            spark,
+            str(tmp_path / "bad1"),
+            df.schema,
+            partition_by=[("id", "bucket[8]")],  # native xxhash64: void
+            properties=PROPS,
+        )
+    t = IceTable.create(spark, str(tmp_path / "ok1"), df.schema, properties=PROPS)
+    with pytest.raises(ValueError, match="spec-expressible"):
+        t.update_spec([("id", "bucket[8]")])
+    # mmh3bucket IS allowed (spec murmur3 bucket)
+    t.update_spec([("id", "mmh3bucket[8]")])
+    t.append(df)
+    _triangle(spark, t, str(tmp_path / "ok1"))
+    # enabling on a non-empty native table refuses
+    n = IceTable.create(spark, str(tmp_path / "nat"), df.schema)
+    n.append(df)
+    with pytest.raises(ValueError, match="empty"):
+        n.set_properties(**PROPS)
+    # enabling on an EMPTY table works
+    e = IceTable.create(spark, str(tmp_path / "empty"), df.schema)
+    e.set_properties(**PROPS)
+    e.append(df)
+    _triangle(spark, e, str(tmp_path / "empty"))
+
+
+def test_crash_consistency_spec_append(spark, tmp_path):
+    """Die at every metadata mutation of a spec-primary append: the
+    reopened table equals pre- or post-state, never partial."""
+    from icepack.storage import LocalStore
+    from tests.faultstore import CrashingStore, SimulatedCrash
+
+    df = _df(spark, 6)
+    k = 0
+    while True:
+        loc = str(tmp_path / f"cr{k}")
+        base = LocalStore()
+        t = IceTable.create(spark, loc, df.schema, properties=PROPS, store=base)
+        t.append(df)
+        before = rows_sorted(t.toDF())
+        crasher = CrashingStore(base, k)
+        tc = IceTable.load(spark, loc, store=crasher)
+        try:
+            tc.append(_df(spark, 3, off=100))
+            # no crash at this k: the sweep is complete
+            t2 = IceTable.load(spark, loc, store=base)
+            assert len(rows_sorted(t2.toDF())) == 9
+            break
+        except SimulatedCrash:
+            t2 = IceTable.load(spark, loc, store=base)
+            got = rows_sorted(t2.toDF())
+            assert got == before or len(got) == 9, f"partial state at k={k}"
+        k += 1
+        assert k < 50, "sweep did not terminate"
