@@ -234,19 +234,24 @@ def write_container(
     records: list,
     sync: bytes,
     extra_meta: dict[str, bytes] | None = None,
+    codec: str = "null",
 ) -> bytes:
-    """Serialize an Avro Object Container File (one data block, null
-    codec).  *sync* must be exactly 16 bytes; passing it in (rather
-    than randomizing) keeps exports deterministic for byte-level
-    golden tests.  *extra_meta* adds key→bytes entries to the OCF
+    """Serialize an Avro Object Container File (one data block).
+    *sync* must be exactly 16 bytes; passing it in (rather than
+    randomizing) keeps exports deterministic for byte-level golden
+    tests.  *extra_meta* adds key→bytes entries to the OCF
     file-metadata map — the Iceberg spec requires manifests to embed
     ``schema``/``partition-spec``/``format-version``/… there, and
-    Java-based readers hard-fail when they're absent."""
+    Java-based readers hard-fail when they're absent.  *codec* is
+    ``null`` or ``deflate`` (raw RFC-1951, the spec's required
+    compression codec — zlib level 6, deterministic for goldens)."""
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro write codec {codec!r}")
     meta = {
         "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
-        "avro.codec": b"null",
+        "avro.codec": codec.encode(),
     }
     for k, v in (extra_meta or {}).items():
         if k.startswith("avro."):
@@ -262,7 +267,13 @@ def write_container(
     names: dict = {}
     for rec in records:
         payload += encode(rec, schema, names)
-    out += _zigzag(len(records)) + _zigzag(len(payload)) + payload + sync
+    body = bytes(payload)
+    if codec == "deflate":
+        import zlib
+
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw deflate, no header
+        body = co.compress(body) + co.flush()
+    out += _zigzag(len(records)) + _zigzag(len(body)) + body + sync
     return bytes(out)
 
 

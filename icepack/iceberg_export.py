@@ -602,6 +602,10 @@ def export_iceberg(
         }
 
     snapshots_json = []
+    # avro codec for exported manifests: the spec's required deflate
+    # codec halves metadata bytes; null stays the default (byte-golden
+    # determinism + widest reader tolerance)
+    _codec = str(meta.properties.get("write.avro.codec", "null"))
     delete_cache: dict = {}  # source delete path → rewritten spec file
     for snap in snaps:
         schema = meta.schema_by_id(snap.schema_id)
@@ -634,6 +638,7 @@ def export_iceberg(
                 entries,
                 _sync_for(mname),
                 extra_meta=_manifest_meta(snap.schema_id, spec_id, "data"),
+                codec=_codec,
             )
             mpath_ = os.path.join(dest, mname)
             with open(mpath_, "wb") as fh:
@@ -687,6 +692,7 @@ def export_iceberg(
                 entries,
                 _sync_for(mname),
                 extra_meta=_manifest_meta(snap.schema_id, unpart_spec_id, "deletes"),
+                codec=_codec,
             )
             mpath_ = os.path.join(dest, mname)
             with open(mpath_, "wb") as fh:
@@ -715,6 +721,7 @@ def export_iceberg(
             _manifest_list_schema(),
             mlist_recs,
             _sync_for(lname),
+            codec=_codec,
             extra_meta={
                 "snapshot-id": str(snap.snapshot_id),
                 "parent-snapshot-id": (

@@ -466,7 +466,10 @@ def write_spec_manifests(
             ),
             **_spec_required_manifest_meta(meta, schema, spec_id, is_delete),
         }
-        buf = write_container(avro_schema, recs, _sync_for(name), extra_meta=stash)
+        buf = write_container(
+            avro_schema, recs, _sync_for(name), extra_meta=stash,
+            codec=meta.properties.get("write.avro.codec", "null"),
+        )
         store.write_bytes(store.join(mdir, name), buf)
         seqs = [e.sequence_number for e in group] or [0]
         out.append(
@@ -495,7 +498,8 @@ def write_spec_manifests(
             **_spec_required_manifest_meta(meta, schema, spec.spec_id, 0),
         }
         buf = write_container(
-            _manifest_entry_schema(spec, schema), [], _sync_for(name), extra_meta=stash
+            _manifest_entry_schema(spec, schema), [], _sync_for(name), extra_meta=stash,
+            codec=meta.properties.get("write.avro.codec", "null"),
         )
         store.write_bytes(store.join(mdir, name), buf)
         out.append((name, len(buf), manifest_summary([])))
@@ -674,6 +678,7 @@ def write_spec_manifest_list(
     manifests: list[str],
     summaries: list[dict],
     store,
+    codec: str = "null",
 ) -> str:
     """Spec manifest list from native descriptors.  ``summaries`` are
     the native per-manifest summary dicts (they carry everything the
@@ -714,7 +719,9 @@ def write_spec_manifest_list(
         "sequence-number": str(sequence_number),
         "format-version": "2",
     }
-    buf = write_container(_manifest_list_schema(), recs, _sync_for(name), extra_meta=stash)
+    buf = write_container(
+        _manifest_list_schema(), recs, _sync_for(name), extra_meta=stash, codec=codec
+    )
     store.write_bytes(store.join(mdir, name), buf)
     return name
 

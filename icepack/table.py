@@ -217,6 +217,7 @@ class IceTable:
                 names,
                 summaries,
                 self.store,
+                codec=self.meta.properties.get("write.avro.codec", "null"),
             )
         return write_manifest_list(
             self._mdir, snapshot_id, names, summaries, store=self.store

@@ -253,6 +253,34 @@ def test_refuses_non_spec_transforms_and_midlife_enable(spark, tmp_path):
     _triangle(spark, e, str(tmp_path / "empty"))
 
 
+def test_deflate_codec_manifests(spark, tmp_path):
+    """write.avro.codec=deflate: spec-primary manifests compress with
+    the spec's required codec and the whole triangle still reads them
+    (our reader + the DuckDB render both consume the deflate tree)."""
+    loc = str(tmp_path / "sp_defl")
+    df = _df(spark, 30)
+    t = IceTable.create(
+        spark,
+        loc,
+        df.schema,
+        properties={**PROPS, "write.avro.codec": "deflate"},
+    )
+    t.append(df)
+    t.delete(col("id") == 2)
+    _triangle(spark, t, loc)
+    # manifests really carry the deflate codec marker
+    from icepack.avroenc import read_container_with_meta
+
+    mdirp = os.path.join(loc, "metadata")
+    avros = [n for n in os.listdir(mdirp) if n.endswith(".avro")]
+    assert avros
+    for n in avros:
+        _, _, meta = read_container_with_meta(open(os.path.join(mdirp, n), "rb").read())
+        assert meta["avro.codec"] == b"deflate"
+    t2 = IceTable.load(spark, loc)
+    assert t2.verify() == []
+
+
 def test_crash_consistency_spec_append(spark, tmp_path):
     """Die at every metadata mutation of a spec-primary append: the
     reopened table equals pre- or post-state, never partial."""
