@@ -253,6 +253,46 @@ def test_refuses_non_spec_transforms_and_midlife_enable(spark, tmp_path):
     _triangle(spark, e, str(tmp_path / "empty"))
 
 
+def test_streaming_ingest_into_spec_primary(spark, tmp_path):
+    """The bronze streaming sink commits through the same snapshot
+    path, so a spec-primary table ingests a stream and every commit is
+    spec files (docs/12 bronze pattern x docs/11 shared tables)."""
+    from icepack.streaming import write_stream_to_table
+
+    src = str(tmp_path / "src")
+    df = _df(spark, 24)
+    df.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    loc = str(tmp_path / "sp_stream")
+    t = IceTable.create(spark, loc, schema, properties=PROPS)
+    q = write_stream_to_table(stream, t, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    t.refresh()
+    assert t.toDF().count() == 24
+    assert len(t.meta.snapshots) >= 2  # one commit per micro-batch
+    _triangle(spark, t, loc)
+    _assert_tree_is_spec_only(loc)
+
+
+def test_concurrent_appends_converge(spark, tmp_path):
+    """Two handles to the same spec-primary table racing appends: the
+    CAS (O_EXCL on v{N}.metadata.json) serializes them and the retry
+    merges — both commits land, no rows lost."""
+    loc = str(tmp_path / "sp_race")
+    df = _df(spark, 8)
+    a = IceTable.create(spark, loc, df.schema, properties=PROPS)
+    a.append(df)
+    b = IceTable.load(spark, loc)
+    a.append(_df(spark, 4, off=100))   # advances to v3
+    b.append(_df(spark, 4, off=200))   # stale handle: conflict -> retry
+    a.refresh()
+    assert a.toDF().count() == 16
+    _triangle(spark, a, loc)
+
+
 def test_deflate_codec_manifests(spark, tmp_path):
     """write.avro.codec=deflate: spec-primary manifests compress with
     the spec's required codec and the whole triangle still reads them
@@ -281,31 +321,61 @@ def test_deflate_codec_manifests(spark, tmp_path):
     assert t2.verify() == []
 
 
-def test_crash_consistency_spec_append(spark, tmp_path):
-    """Die at every metadata mutation of a spec-primary append: the
-    reopened table equals pre- or post-state, never partial."""
+@pytest.mark.parametrize("op", ["append", "mor_delete", "compact"])
+def test_crash_consistency_spec_ops(spark, tmp_path, op):
+    """Die at every metadata mutation of a spec-primary append / MOR
+    delete / compaction: the reopened table equals pre- or post-state,
+    never partial."""
     from icepack.storage import LocalStore
     from tests.faultstore import CrashingStore, SimulatedCrash
 
     df = _df(spark, 6)
+    props = (
+        {**PROPS, "write.delete.mode": "merge-on-read"}
+        if op == "mor_delete"
+        else PROPS
+    )
+
+    def mutate(handle):
+        if op == "append":
+            handle.append(_df(spark, 3, off=100))
+        elif op == "mor_delete":
+            handle.delete(col("id") == 2)
+        else:
+            from icepack import maintenance
+
+            maintenance.compact(handle)
+
+    def rows_after(tbl):
+        return rows_sorted(tbl.toDF())
+
     k = 0
     while True:
-        loc = str(tmp_path / f"cr{k}")
+        loc = str(tmp_path / f"cr-{op}-{k}")
         base = LocalStore()
-        t = IceTable.create(spark, loc, df.schema, properties=PROPS, store=base)
+        t = IceTable.create(spark, loc, df.schema, properties=props, store=base)
         t.append(df)
-        before = rows_sorted(t.toDF())
+        if op == "compact":
+            t.append(_df(spark, 2, off=50))  # something to compact
+        before = rows_after(t)
         crasher = CrashingStore(base, k)
         tc = IceTable.load(spark, loc, store=crasher)
         try:
-            tc.append(_df(spark, 3, off=100))
+            mutate(tc)
             # no crash at this k: the sweep is complete
             t2 = IceTable.load(spark, loc, store=base)
-            assert len(rows_sorted(t2.toDF())) == 9
+            after = rows_after(t2)
+            assert after != before or op == "compact"
             break
         except SimulatedCrash:
             t2 = IceTable.load(spark, loc, store=base)
-            got = rows_sorted(t2.toDF())
-            assert got == before or len(got) == 9, f"partial state at k={k}"
+            got = rows_after(t2)
+            if op == "append":
+                ok = got == before or len(got) == len(before) + 3
+            elif op == "mor_delete":
+                ok = got == before or all(r[0] != 2 for r in got)
+            else:
+                ok = got == before  # compact never changes rows
+            assert ok, f"partial state at k={k} for {op}"
         k += 1
-        assert k < 50, "sweep did not terminate"
+        assert k < 60, "sweep did not terminate"
