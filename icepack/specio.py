@@ -154,8 +154,13 @@ def _native_type(t) -> str:
 # ------------------------------------------------------- metadata.json
 
 
-def dump_spec_metadata(meta: TableMetadata, mdir: str) -> str:
-    """Native TableMetadata → spec metadata.json text."""
+def dump_spec_metadata(
+    meta: TableMetadata, mdir: str, metadata_log: list | None = None
+) -> str:
+    """Native TableMetadata → spec metadata.json text.  *metadata_log*
+    is the spec ``metadata-log`` chain (previous metadata files, oldest
+    first) — external engines walk it for metadata history; the caller
+    (``IceTable._write_version``) extends the previous version's chain."""
     next_id = [meta.last_column_id]
 
     def alloc() -> int:
@@ -262,7 +267,7 @@ def dump_spec_metadata(meta: TableMetadata, mdir: str) -> str:
             for s in snapshots_json
             if s["snapshot-id"] in _main_ids(meta)
         ],
-        "metadata-log": [],
+        "metadata-log": metadata_log or [],
         "refs": refs,
     }
     return json.dumps(md, indent=1)

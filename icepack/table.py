@@ -311,7 +311,27 @@ class IceTable:
 
         meta.last_updated_ms = int(time.time() * 1000)
         spec = is_spec_primary(meta.properties)
-        text = dump_spec_metadata(meta, self._mdir) if spec else meta.dumps()
+        if spec:
+            # spec metadata-log: extend the previous version's chain so
+            # external engines can walk metadata history (files are
+            # immutable; a missing/foreign predecessor just shortens
+            # the chain)
+            mlog: list = []
+            prev_path = self.store.join(self._mdir, f"v{version - 1}.metadata.json")
+            if version > 1 and self.store.exists(prev_path):
+                try:
+                    prev_md = json.loads(self.store.read_text(prev_path))
+                    mlog = (prev_md.get("metadata-log") or []) + [
+                        {
+                            "timestamp-ms": prev_md.get("last-updated-ms", 0),
+                            "metadata-file": prev_path,
+                        }
+                    ]
+                except ValueError:
+                    pass
+            text = dump_spec_metadata(meta, self._mdir, metadata_log=mlog)
+        else:
+            text = meta.dumps()
         path = self.store.join(self._mdir, f"v{version}.metadata.json")
         try:
             self.store.create_exclusive(path, text)

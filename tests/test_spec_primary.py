@@ -59,6 +59,12 @@ def _assert_tree_is_spec_only(loc):
     assert int(open(os.path.join(loc, "metadata", "version-hint.text")).read()) == hint[
         "version"
     ]
+    # metadata-log chains every previous version, oldest first (external
+    # engines walk it for metadata history)
+    mlog = md.get("metadata-log") or []
+    assert [os.path.basename(e["metadata-file"]) for e in mlog] == [
+        f"v{i}.metadata.json" for i in range(1, hint["version"])
+    ]
 
 
 def _triangle(spark, t, loc):
