@@ -327,6 +327,56 @@ def test_deflate_codec_manifests(spark, tmp_path):
     assert t2.verify() == []
 
 
+@pytest.mark.parametrize(
+    "name,part,mode,evolve",
+    [
+        ("plain", None, "cow", False),
+        ("kpart", [("k", "identity")], "cow", False),
+        ("mmh3", [("id", "mmh3bucket[4]")], "morpos", False),
+        ("trunc", [("id", "truncate[8]")], "mor", False),
+        ("evolved", None, "mor", True),
+        ("partevo", [("k", "identity")], "morpos", "spec"),
+    ],
+)
+def test_grid_triangle(spark, tmp_path, name, part, mode, evolve):
+    """Grid sweep (partitioning x delete mode x evolution) under
+    spec-primary: after EVERY mutation the three readers agree — the
+    same net the export/import pair has, applied to the primary tree."""
+    loc = str(tmp_path / name)
+    df = _df(spark, 12)
+    props = dict(PROPS)
+    if mode in ("mor", "morpos"):
+        props["write.delete.mode"] = "merge-on-read"
+    if mode == "morpos":
+        props["write.delete.mor.strategy"] = "position"
+    t = IceTable.create(spark, loc, df.schema, partition_by=part, properties=props)
+    t.append(df)
+    _triangle(spark, t, loc)
+    t.delete(col("id") == 6)
+    _triangle(spark, t, loc)
+    t.append(_df(spark, 3, off=100))
+    _triangle(spark, t, loc)
+    if evolve is True:
+        t.rename_column("name", "title")
+        t.add_column("extra", "double")
+        t.append(
+            spark.createDataFrame(
+                [(500, "z", 5.0, 1, 9.9)],
+                "id bigint, title string, v double, k int, extra double",
+            )
+        )
+        _triangle(spark, t, loc)
+    elif evolve == "spec":
+        t.update_spec([("id", "truncate[100]")])
+        t.append(_df(spark, 3, off=300))
+        _triangle(spark, t, loc)
+    # cold reload always equals and fscks clean
+    t2 = IceTable.load(spark, loc)
+    assert rows_sorted(t2.toDF()) == rows_sorted(t.toDF())
+    assert t2.verify() == []
+    _assert_tree_is_spec_only(loc)
+
+
 @pytest.mark.parametrize("op", ["append", "mor_delete", "compact"])
 def test_crash_consistency_spec_ops(spark, tmp_path, op):
     """Die at every metadata mutation of a spec-primary append / MOR
