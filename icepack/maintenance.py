@@ -441,6 +441,11 @@ def verify_table(table, check_data: bool = False) -> list[str]:
             continue
         stored = {k: v for k, v in m.items() if k != "manifest-path"}
         recomputed = manifest_summary(entries)
+        if stored.get("reconstructed"):
+            # foreign spec manifest: the summary is a conservative
+            # never-skip reconstruction, not a stored claim — nothing
+            # trusts its placeholder values, so no drift to flag
+            stored = {}
         if stored and any(
             k in stored and stored[k] != v for k, v in recomputed.items()
         ):
@@ -461,7 +466,8 @@ def verify_table(table, check_data: bool = False) -> list[str]:
                 )
             if e.spec_id not in spec_ids:
                 findings.append(f"{e.path}: unknown spec-id {e.spec_id}")
-            if e.schema_id not in schema_ids:
+            if e.schema_id not in schema_ids and e.schema_id != -1:
+                # -1 = foreign spec file (probe-resolved, no stash)
                 findings.append(f"{e.path}: unknown schema-id {e.schema_id}")
             if not os.path.exists(e.path):
                 findings.append(f"{e.path}: file missing from storage")

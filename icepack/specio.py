@@ -56,6 +56,7 @@ from __future__ import annotations
 import json
 import os
 import uuid as _uuid
+from dataclasses import replace as _dc_replace
 
 from .avroenc import read_container_with_meta, write_container
 from .iceberg_export import (
@@ -251,8 +252,12 @@ def dump_spec_metadata(
         ],
         "properties": {
             **{k: str(v) for k, v in meta.properties.items()},
+            # regenerated from OUR schema history, MERGED with any
+            # mapping already carried (a foreign tree's historical
+            # names must survive our commits — they resolve files we
+            # never rewrote)
             "schema.name-mapping.default": json.dumps(
-                _name_mapping(meta), separators=(",", ":")
+                _merged_name_mapping(meta), separators=(",", ":")
             ),
             # native bookkeeping the spec has no top-level slot for
             "icepack.last-column-id": str(meta.last_column_id),
@@ -306,10 +311,26 @@ def looks_like_spec_metadata(d: dict) -> bool:
     return bool(schemas) and schemas[0].get("type") == "struct"
 
 
+def _merged_name_mapping(meta: TableMetadata) -> list:
+    out = {e["field-id"]: list(e["names"]) for e in _name_mapping(meta)}
+    raw = meta.properties.get("schema.name-mapping.default")
+    if raw:
+        try:
+            for e in json.loads(raw):
+                names = out.setdefault(e["field-id"], [])
+                for n in e.get("names", []):
+                    if n not in names:
+                        names.append(n)
+        except (ValueError, TypeError, KeyError):
+            pass
+    return [{"field-id": fid, "names": ns} for fid, ns in sorted(out.items())]
+
+
 def load_spec_metadata(text: str) -> TableMetadata:
     d = json.loads(text)
     props = dict(d.get("properties", {}))
-    props.pop("schema.name-mapping.default", None)
+    # keep schema.name-mapping.default: foreign files resolve through
+    # it at read time, and the dump side MERGES rather than clobbers
     last_col = int(props.pop("icepack.last-column-id", d["last-column-id"]))
     tuid = props.pop("icepack.table-uuid", d["table-uuid"])
     schemas = []
@@ -449,17 +470,26 @@ def write_spec_manifests(
         avro_schema = _manifest_entry_schema(spec, schema)
         recs = []
         for e in group:
+            # schema_id == -1 marks a FOREIGN file (no stash when its
+            # manifest was read): encode its record under the current
+            # schema but keep it OUT of the stash so reads keep
+            # resolving it by field-id/name-mapping probe
+            ee = (
+                _dc_replace(e, schema_id=meta.current_schema_id)
+                if e.schema_id == -1
+                else e
+            )
             if e.content == "data":
-                r = _entry_record(tv, e, _STATUS_TO_CODE[e.status], None)
+                r = _entry_record(tv, ee, _STATUS_TO_CODE[e.status], None)
             else:
                 code = _CONTENT_TO_CODE[e.content]
                 eq_ids = []
                 if e.content == "equality-deletes":
-                    dschema = meta.schema_by_id(e.schema_id)
+                    dschema = meta.schema_by_id(ee.schema_id)
                     for c in e.equality_columns:
                         f_old = dschema.field_by_name(c)
                         eq_ids.append(f_old.id if f_old is not None else 0)
-                r = _delete_entry_record(tv, e, spec, e.path, code, eq_ids, None)
+                r = _delete_entry_record(tv, ee, spec, e.path, code, eq_ids, None)
                 r["status"] = _STATUS_TO_CODE[e.status]
             r["sequence_number"] = e.sequence_number
             r["file_sequence_number"] = e.sequence_number
@@ -467,7 +497,8 @@ def write_spec_manifests(
         name = f"manifest-{_uuid.uuid4().hex}.avro"
         stash = {
             "icepack.schema-ids": json.dumps(
-                {e.path: e.schema_id for e in group}, separators=(",", ":")
+                {e.path: e.schema_id for e in group if e.schema_id != -1},
+                separators=(",", ":"),
             ),
             **_spec_required_manifest_meta(meta, schema, spec_id, is_delete),
         }
@@ -572,8 +603,15 @@ def read_spec_manifest(
     for r in recs:
         df_ = r["data_file"]
         code = df_.get("content", 0)
-        schema_id = stash.get(df_["file_path"], meta.current_schema_id)
-        schema = meta.schema_by_id(schema_id)
+        # stash-less files are FOREIGN (written by an external engine,
+        # or kept foreign across rewrites): schema_id sentinel -1 makes
+        # the read path resolve their columns by parquet field ids /
+        # name mapping instead of imposing a schema by name
+        sid = stash.get(df_["file_path"])
+        schema_id = sid if sid is not None else -1
+        schema = meta.schema_by_id(
+            schema_id if schema_id != -1 else meta.current_schema_id
+        )
         partition = _native_partition(meta, spec, schema, df_.get("partition") or {})
         stats = _native_stats(schema, df_)
         eq_cols = []
@@ -757,6 +795,10 @@ def read_spec_manifest_list(mdir: str, name: str, store) -> list[dict]:
                 "live-files": live,
                 "live-bytes": 0,
                 "distinct-partitions": live,
+                # marks a conservative reconstruction (foreign manifest,
+                # never trusted for skipping) so fsck doesn't flag its
+                # placeholder values as drift
+                "reconstructed": 1,
             }
         out.append(
             {

@@ -292,10 +292,15 @@ class IceTable:
         if version == 0:
             raise FileNotFoundError(f"no icepack table at {self.location}")
         text = st.read_text(st.join(self._mdir, f"v{version}.metadata.json"))
+        from .specio import PROPERTY as _SPEC_PROP
         from .specio import load_spec_metadata, looks_like_spec_metadata
 
         if looks_like_spec_metadata(json.loads(text)):
             self.meta = load_spec_metadata(text)
+            # a spec-shaped tree STAYS spec on every commit — a foreign
+            # (externally-written) table carries no icepack properties,
+            # so inject the marker; the first commit persists it
+            self.meta.properties.setdefault(_SPEC_PROP, "true")
         else:
             self.meta = TableMetadata.loads(text)
         self._version = version
@@ -855,6 +860,12 @@ class IceTable:
             by_schema.setdefault(f.schema_id, []).append(f)
         parts = []
         for sid, group in sorted(by_schema.items()):
+            if sid == -1:
+                # FOREIGN files (spec tree written by an external
+                # engine; no per-file schema stash): resolve columns
+                # like an Iceberg reader instead of imposing a schema
+                parts.append(self._read_foreign_files(group, with_pos))
+                continue
             old = self.meta.schema_by_id(sid)
             df = self.spark.read.schema(old.to_struct()).parquet(*[f.path for f in group])
             cols = []
@@ -868,6 +879,68 @@ class IceTable:
                 cols.append(F.col("_metadata.file_path").alias("_file"))
                 cols.append(F.col("_metadata.row_index").alias("_pos"))
             parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_foreign_files(self, files: list[DataFile], with_pos: bool) -> DataFrame:
+        """Read data files from a FOREIGN spec tree under the CURRENT
+        schema, resolved per the Iceberg reader rules: a file that
+        embeds parquet field ids resolves by ID exclusively (renames
+        are invisible to it); a file without ids resolves current-name
+        first, then the table's ``schema.name-mapping.default``
+        historical names.  Absent columns null-fill, narrower physical
+        types cast.  Files group by their resolution plan so each
+        group is one scan (one footer read per file at plan time —
+        the cost every external-table reader pays)."""
+        import pyarrow.parquet as _pq
+
+        current = self.meta.schema
+        nm: dict[int, list] = {}
+        raw_nm = self.meta.properties.get("schema.name-mapping.default")
+        if raw_nm:
+            try:
+                for e in json.loads(raw_nm):
+                    nm[e["field-id"]] = e.get("names", [])
+            except (ValueError, TypeError, KeyError):
+                pass
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            fsch = _pq.read_schema(f.path)
+            names = {fld.name: str(fld.type) for fld in fsch}
+            by_fid: dict[int, str] = {}
+            for fld in fsch:
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is not None:
+                    try:
+                        by_fid[int(fid)] = fld.name
+                    except ValueError:
+                        pass
+            plan = []
+            for cf in current.fields:
+                if by_fid:  # spec rule: embedded ids win outright
+                    src = by_fid.get(cf.id)
+                elif cf.name in names:
+                    src = cf.name
+                else:
+                    src = next((n for n in nm.get(cf.id, []) if n in names), None)
+                plan.append((src, cf.name, names.get(src)))
+            groups.setdefault(tuple(plan), []).append(f.path)
+        parts = []
+        for plan, paths in sorted(groups.items()):
+            raw = self.spark.read.parquet(*paths)
+            cols = []
+            for src, cur_name, _ftype in plan:
+                cf = current.field_by_name(cur_name)
+                if src is None:
+                    cols.append(F.lit(None).cast(cf.spark_type()).alias(cur_name))
+                else:
+                    cols.append(F.col(src).cast(cf.spark_type()).alias(cur_name))
+            if with_pos:
+                cols.append(F.col("_metadata.file_path").alias("_file"))
+                cols.append(F.col("_metadata.row_index").alias("_pos"))
+            parts.append(raw.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -991,7 +1064,11 @@ class IceTable:
             by_cols: dict[tuple, list] = {}
             for d in deletes:
                 if d.path in applicable and d.content == "equality-deletes":
-                    dschema = self.meta.schema_by_id(d.schema_id)
+                    dschema = self.meta.schema_by_id(
+                        d.schema_id
+                        if d.schema_id != -1  # foreign: keyed by current names
+                        else self.meta.current_schema_id
+                    )
                     resolved = []
                     for c in d.equality_columns:
                         f_old = dschema.field_by_name(c)

@@ -327,6 +327,62 @@ def test_deflate_codec_manifests(spark, tmp_path):
     assert t2.verify() == []
 
 
+def test_foreign_spec_tree_native_adoption(spark, tmp_path):
+    """A spec tree written WITHOUT icepack stashes (standing in for an
+    external engine's table: export_iceberg output, which carries no
+    per-file schema ids) loads as a first-class native table: reads
+    resolve pre-rename files through the name mapping, MOR masks
+    apply, pruning works off decoded bounds, DML commits on top, fsck
+    is clean, and read_iceberg still agrees after our commits."""
+    from icepack.iceberg_export import export_iceberg
+
+    src_loc = str(tmp_path / "fsrc")
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(10)],
+        "id bigint, name string, v double",
+    )
+    src = IceTable.create(
+        spark, src_loc, df.schema, properties={"write.delete.mode": "merge-on-read"}
+    )
+    src.append(df)
+    src.rename_column("v", "score")  # pre-rename files store "v"
+    src.append(
+        spark.createDataFrame([(100, "x", 50.0)], "id bigint, name string, score double")
+    )
+    src.delete(col("id") == 3)  # equality delete
+    want = rows_sorted(src.toDF())
+
+    floc = str(tmp_path / "foreign tbl")  # space: canonicalization
+    os.makedirs(os.path.join(floc, "metadata"))
+    export_iceberg(src, dest=os.path.join(floc, "metadata"))
+
+    t = IceTable.load(spark, floc)
+    assert t.spec_primary  # spec-shaped trees stay spec on commit
+    assert rows_sorted(t.toDF().select("id", "name", "score")) == want
+    assert t.verify() == []
+    hit, rep = t.plan_files(col("id") == 100)
+    assert rep["files_scanned"] < rep["files_total"]
+    # native DML on the adopted tree
+    t.delete(col("id") == 5)
+    t.append(
+        spark.createDataFrame([(200, "y", 9.0)], "id bigint, name string, score double")
+    )
+    got = sorted(r.id for r in t.toDF().collect())
+    assert got == [0, 1, 2, 4, 6, 7, 8, 9, 100, 200]
+    # the mixed tree (foreign manifests + our commits) still reads
+    # identically through the independent spec reader AND cold reload
+    ext = read_iceberg(spark, os.path.join(floc, "metadata"))
+    assert sorted(r.id for r in ext.collect()) == got
+    t2 = IceTable.load(spark, floc)
+    assert sorted(r.id for r in t2.toDF().collect()) == got
+    assert t2.verify() == []
+    # compaction rewrites foreign files into native ones; answers hold
+    from icepack import maintenance
+
+    maintenance.compact(t2)
+    assert sorted(r.id for r in t2.toDF().collect()) == got
+
+
 @pytest.mark.parametrize(
     "name,part,mode,evolve",
     [
