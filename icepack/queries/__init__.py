@@ -119,6 +119,7 @@ PRIORITY: list[str] = [
     "ice47_iceberg_read",
     "ice48_spec_read_prune",
     "ice49_spec_primary",
+    "ice50_foreign_adopt",
 ]
 
 

@@ -1791,3 +1791,52 @@ def ice49_spec_primary(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("o_totalprice").cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "ice50_foreign_adopt",
+    oracle="""
+    SELECT n_regionkey,
+           COUNT(*) AS n,
+           MIN(n_name) AS first_name
+    FROM nation
+    WHERE n_regionkey <> 2 AND n_nationkey <> 5
+    GROUP BY n_regionkey
+    """,
+)
+def ice50_foreign_adopt(spark: SparkSession, sf: str) -> DataFrame:
+    """FOREIGN spec-tree adoption (docs/11:91-120, specio.py +
+    table.py::_read_foreign_files): a spec-format metadata tree with
+    NO icepack stashes — an external engine's table, stood in for by
+    export_iceberg output — loads through IceTable.load as a
+    first-class native table.  The query exercises the whole story:
+    foreign MOR equality-delete masks apply natively, a native DML
+    commits ON TOP of the foreign tree (writing spec files), and the
+    independent spec reader agrees with the native scan afterwards."""
+    import os
+
+    from ..iceberg_export import export_iceberg
+    from ..iceberg_import import read_iceberg
+
+    nation = load(spark, sf, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    src = IceTable.create(
+        spark, _scratch(), nation.schema,
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    src.append(nation)
+    src.delete(col("n_regionkey") == 2)  # foreign MOR delete
+    floc = os.path.join(_scratch(), "ftbl")
+    os.makedirs(os.path.join(floc, "metadata"))
+    export_iceberg(src, dest=os.path.join(floc, "metadata"))
+
+    t = IceTable.load(spark, floc)  # adopt the foreign tree natively
+    t.delete(col("n_nationkey") == 5)  # OUR commit on top (spec files)
+    native = t.toDF()
+    ext = read_iceberg(spark, os.path.join(floc, "metadata"))
+    if ext.count() != native.count():
+        raise RuntimeError("foreign adoption: spec reader diverged from native")
+    return native.groupBy("n_regionkey").agg(
+        F.count("*").alias("n"), F.min("n_name").alias("first_name")
+    )
