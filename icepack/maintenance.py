@@ -597,3 +597,90 @@ def clustering_information(table, columns: list[str] | None = None) -> dict:
             "depth_histogram": dict(sorted(hist.items(), key=lambda kv: int(kv[0]))),
         }
     return out
+
+
+def convert_to_spec_primary(table) -> Snapshot:
+    """Metadata-only migration of a NON-EMPTY native table to
+    ``format.spec-primary`` (docs/11:112-120): live data files are
+    untouched; every live manifest rewrites to spec Avro under one
+    ``replace`` snapshot, MOR delete parquet re-shapes to spec form
+    (originals preserved — historical snapshots' native manifests keep
+    resolving), and the metadata document flips to the spec layout in
+    the same commit.  Entry sequence numbers are PRESERVED, so MOR
+    visibility rules are unchanged.
+
+    External engines see the table from the conversion snapshot
+    forward; pre-conversion snapshots remain natively time-travelable
+    (reads dispatch per file) but reference native manifests external
+    engines cannot parse — run ``expire_snapshots`` afterwards if the
+    external metadata-history walk matters."""
+    from .metadata import PartitionSpec
+    from .specio import (
+        PROPERTY,
+        check_spec_expressible,
+        rewrite_delete_file_spec,
+    )
+    from .table import CommitConflict, _snapshot_id
+
+    if table.spec_primary:
+        return table.meta.current_snapshot
+    check_spec_expressible(table.meta)
+    for _ in range(5):
+        meta = table.meta
+        specs = meta.partition_specs
+        if not any(not sp.fields for sp in specs):
+            specs = specs + [
+                PartitionSpec(max(sp.spec_id for sp in specs) + 1, [])
+            ]
+        staged = meta.copy_with(
+            properties={**meta.properties, PROPERTY: "true"},
+            partition_specs=specs,
+        )
+        prev = meta.current_snapshot
+        entries = table.live_files(content="all")
+        sid = _snapshot_id()
+        # run the writers under the STAGED meta so they take the spec
+        # path and the manifest OCF metadata reflects the new spec list
+        table.meta = staged
+        try:
+            for e in entries:
+                if e.content != "data" and not os.path.basename(e.path).startswith(
+                    "spec-"
+                ):
+                    rewrite_delete_file_spec(table, e, keep_original=True)
+            names, summaries = [], []
+            for name, mlen, ms in table._write_manifests(entries):
+                names.append(name)
+                summaries.append(
+                    {**ms, "manifest-length": mlen, "added-snapshot-id": sid}
+                )
+            mlist = table._write_mlist(
+                sid,
+                names,
+                summaries,
+                meta.last_sequence_number + 1,
+                prev.snapshot_id if prev else None,
+            )
+        finally:
+            table.meta = meta
+        snap = Snapshot(
+            snapshot_id=sid,
+            parent_snapshot_id=prev.snapshot_id if prev else None,
+            timestamp_ms=int(time.time() * 1000),
+            operation="replace",
+            manifest_list=mlist,
+            schema_id=meta.current_schema_id,
+            sequence_number=meta.last_sequence_number + 1,
+            summary={"converted-to": "spec-primary"},
+        )
+        new_meta = staged.copy_with(
+            snapshots=meta.snapshots + [snap],
+            current_snapshot_id=sid,
+            last_sequence_number=snap.sequence_number,
+        )
+        try:
+            table._write_version(table._version + 1, new_meta)
+            return snap
+        except CommitConflict:
+            table.refresh()
+    raise CommitConflict("convert_to_spec_primary gave up after retries")

@@ -813,14 +813,16 @@ def read_spec_manifest_list(mdir: str, name: str, store) -> list[dict]:
 # ----------------------------------------------- delete-file spec shaping
 
 
-def rewrite_delete_file_spec(table, e: DataFile) -> DataFile:
-    """Rewrite a freshly-written native MOR delete parquet into its
-    SPEC shape in place (position deletes: Spark-URI file_path →
-    canonical raw path, sorted by (file_path, pos), reserved field ids
+def rewrite_delete_file_spec(table, e: DataFile, keep_original: bool = False) -> DataFile:
+    """Rewrite a native MOR delete parquet into its SPEC shape
+    (position deletes: Spark-URI file_path → canonical raw path,
+    sorted by (file_path, pos), reserved field ids
     2147483546/2147483545; equality deletes: identifier columns
     field-id-stamped).  Returns the entry pointing at the rewritten
-    file; the pre-rewrite file is deleted (it was never referenced by
-    any committed manifest)."""
+    file.  The pre-rewrite file is deleted by default (a fresh DML
+    write was never referenced by any committed manifest);
+    ``keep_original=True`` preserves it — conversion of an EXISTING
+    table must keep historical snapshots' native manifests readable."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -867,7 +869,8 @@ def rewrite_delete_file_spec(table, e: DataFile) -> DataFile:
         os.path.dirname(src), f"spec-{os.path.basename(src)}"
     )
     pq.write_table(out, dest)
-    os.remove(src)
+    if not keep_original:
+        os.remove(src)
     e.path = dest
     e.file_size_bytes = os.path.getsize(dest)
     return e

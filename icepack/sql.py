@@ -1504,6 +1504,10 @@ class IceSQL:
             return maintenance.expire_snapshots(
                 t, older_than_ms=older, retain_last=int(rm.group(1)) if rm else 1
             )
+        if u.startswith("CONVERT TO SPEC PRIMARY"):
+            # [ext] docs/11:112-120 — metadata-only migration of a
+            # native table to the shared spec-file tree
+            return maintenance.convert_to_spec_primary(t)
         if u.startswith("CHERRY-PICK SNAPSHOT") or u.startswith("CHERRYPICK SNAPSHOT"):
             # [ext] docs/05:169-171 — apply one branch commit onto main
             am = re.search(r"(?i)SNAPSHOT\s+(\d+)", rest)

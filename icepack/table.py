@@ -1547,8 +1547,10 @@ class IceTable:
                 if self.meta.current_snapshot is not None:
                     raise ValueError(
                         f"{_SPEC_PROP} can only be enabled at CREATE or on "
-                        "an empty table; create a spec-primary table and "
-                        "INSERT .. SELECT instead"
+                        "an empty table; use maintenance."
+                        "convert_to_spec_primary (SQL: ALTER ICEBERG TABLE "
+                        "... CONVERT TO SPEC PRIMARY) for a metadata-only "
+                        "migration of a populated table"
                     )
                 check_spec_expressible(self.meta)
                 if not any(not sp.fields for sp in self.meta.partition_specs):

@@ -327,6 +327,53 @@ def test_deflate_codec_manifests(spark, tmp_path):
     assert t2.verify() == []
 
 
+def test_convert_native_table_to_spec_primary(spark, tmp_path):
+    """Metadata-only migration: a non-empty NATIVE table (partitioned,
+    merge-on-read, post-rename) converts to spec-primary in one
+    replace commit — no data copied, sequence numbers preserved (MOR
+    masks unchanged), pre-conversion snapshots still natively
+    time-travelable, external readers agree from the conversion
+    snapshot forward, and further DML writes spec files."""
+    from icepack import maintenance
+
+    loc = str(tmp_path / "conv tbl")
+    df = _df(spark, 14)
+    t = IceTable.create(
+        spark,
+        loc,
+        df.schema,
+        partition_by=[("k", "identity")],
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    s1 = t.append(df)
+    t.delete(col("id") == 3)  # native MOR equality delete
+    t.rename_column("v", "score")
+    before = rows_sorted(t.toDF())
+    n_versions = t._version
+
+    snap = maintenance.convert_to_spec_primary(t)
+    assert snap.summary["converted-to"] == "spec-primary"
+    assert t.spec_primary
+    # no data copied: live data files identical
+    assert rows_sorted(t.toDF()) == before
+    # the current snapshot's manifests are ALL spec avro
+    for m in t._read_mlist(t.meta.current_snapshot.manifest_list):
+        assert m["manifest-path"].endswith(".avro")
+    # triangle from the conversion snapshot forward
+    _triangle(spark, t, loc)
+    # pre-conversion snapshot still reads natively (old manifests kept)
+    assert t.toDF(snapshot=t.meta.snapshot_by_id(s1.snapshot_id)).count() == 14
+    # MOR sequence semantics survived: re-insert id=3 and delete again
+    t.append(spark.createDataFrame([(3, "re", 1.0, 0)], "id bigint, name string, score double, k int"))
+    native = _triangle(spark, t, loc)
+    assert [r[1] for r in native if r[0] == 3] == ["re"]
+    # cold reload + fsck + idempotent convert
+    t2 = IceTable.load(spark, loc)
+    assert t2.verify() == []
+    assert maintenance.convert_to_spec_primary(t2).snapshot_id == t2.meta.current_snapshot_id
+    assert t2._version >= n_versions + 1
+
+
 def test_foreign_spec_tree_native_adoption(spark, tmp_path):
     """A spec tree written WITHOUT icepack stashes (standing in for an
     external engine's table: export_iceberg output, which carries no

@@ -1040,6 +1040,31 @@ def test_alter_cherry_pick_snapshot(spark, tmp_path):
     assert sorted(r.id for r in t.toDF().collect()) == [1, 2, 10]
 
 
+def test_alter_convert_to_spec_primary(spark, tmp_path):
+    """[ext] ALTER ICEBERG TABLE ... CONVERT TO SPEC PRIMARY migrates a
+    populated native table to the shared spec-file tree metadata-only;
+    subsequent SQL DML keeps working and the spec reader agrees."""
+    import os
+
+    from icepack.iceberg_import import read_iceberg
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE sp (id BIGINT, v DOUBLE)")
+    spark.createDataFrame(
+        [(1, 2.0), (2, 4.0), (3, 6.0)], "id bigint, v double"
+    ).createOrReplaceTempView("sp_seed")
+    isql.sql("INSERT INTO sp SELECT * FROM sp_seed")
+    snap = isql.sql("ALTER ICEBERG TABLE sp CONVERT TO SPEC PRIMARY")
+    assert snap.summary["converted-to"] == "spec-primary"
+    isql.sql("DELETE FROM sp WHERE id = 2")
+    t = isql._table(isql._resolve_name("sp"))
+    t.refresh()
+    assert t.spec_primary
+    got = read_iceberg(spark, os.path.join(t.location, "metadata"))
+    assert sorted(r.id for r in got.collect()) == [1, 3]
+
+
 def test_alter_export_iceberg_metadata_and_scheduled(spark, tmp_path):
     """[ext] ALTER ICEBERG TABLE ... EXPORT ICEBERG METADATA writes a
     versioned spec export; a CREATE TASK can schedule it so the
