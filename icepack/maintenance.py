@@ -15,7 +15,7 @@ import time
 
 from pyspark.sql import functions as F
 
-from .manifest import manifest_summary, read_manifest, read_manifest_list, write_manifest, write_manifest_list
+from .manifest import manifest_summary
 from .metadata import Snapshot, TableMetadata
 
 

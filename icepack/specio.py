@@ -145,7 +145,11 @@ def _native_type(t) -> str:
         if t in prim:
             return prim[t]
         if t.startswith("decimal("):
-            return t
+            # iceberg spells "decimal(10, 2)", Spark simpleString
+            # "decimal(10,2)" — normalize to the native spelling (a
+            # drifting spelling would read as a schema change, the r4
+            # datasource bug class)
+            return t.replace(" ", "")
         raise ValueError(f"unknown iceberg primitive {t!r}")
     from .iceberg_import import _spark_type
 
