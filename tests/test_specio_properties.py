@@ -213,7 +213,9 @@ def _entries(draw, meta):
                 part[pf.name] = draw(
                     st.dates(dt.date(1970, 1, 1), dt.date(2100, 1, 1))
                 ).isoformat()
-            else:  # identity scalar
+            elif kind == "identity" and src.type == "string":
+                part[pf.name] = draw(st.text("abcde", min_size=0, max_size=6))
+            else:  # identity integral
                 part[pf.name] = draw(st.integers(-10**6, 10**6))
         stats = {}
         for f in schema.fields:
