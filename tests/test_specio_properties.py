@@ -33,6 +33,8 @@ from icepack.specio import (
 _TYPES = [
     "boolean", "int", "bigint", "float", "double", "date",
     "timestamp", "timestamp_ntz", "string", "binary", "decimal(10,2)",
+    "array<double>", "map<string,int>", "array<array<string>>",
+    "struct<a:int,b:string>",
 ]
 
 _names = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
