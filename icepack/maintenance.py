@@ -618,6 +618,7 @@ def convert_to_spec_primary(table) -> Snapshot:
     from .specio import (
         PROPERTY,
         check_spec_expressible,
+        is_spec_shaped_delete,
         rewrite_delete_file_spec,
     )
     from .table import CommitConflict, _snapshot_id
@@ -644,9 +645,7 @@ def convert_to_spec_primary(table) -> Snapshot:
         table.meta = staged
         try:
             for e in entries:
-                if e.content != "data" and not os.path.basename(e.path).startswith(
-                    "spec-"
-                ):
+                if e.content != "data" and not is_spec_shaped_delete(e):
                     rewrite_delete_file_spec(table, e, keep_original=True)
             names, summaries = [], []
             for name, mlen, ms in table._write_manifests(entries):

@@ -817,6 +817,28 @@ def read_spec_manifest_list(mdir: str, name: str, store) -> list[dict]:
 # ----------------------------------------------- delete-file spec shaping
 
 
+def is_spec_shaped_delete(e: DataFile) -> bool:
+    """Whether a MOR delete parquet is ALREADY in its spec shape —
+    judged by footer content, never by file name: position deletes
+    carry the reserved field id 2147483546 on ``file_path``; equality
+    deletes carry a field id on every identifier column."""
+    import pyarrow.parquet as pq
+
+    try:
+        sch = pq.read_schema(e.path)
+    except OSError:
+        return False
+    if e.content == "position-deletes":
+        try:
+            md = sch.field("file_path").metadata or {}
+        except KeyError:
+            return False
+        return md.get(b"PARQUET:field_id") == b"2147483546"
+    return all(
+        (f.metadata or {}).get(b"PARQUET:field_id") is not None for f in sch
+    )
+
+
 def rewrite_delete_file_spec(table, e: DataFile, keep_original: bool = False) -> DataFile:
     """Rewrite a native MOR delete parquet into its SPEC shape
     (position deletes: Spark-URI file_path → canonical raw path,

@@ -185,15 +185,24 @@ class IceTable:
         delete parquet is rewritten to its spec shape first (idempotent
         across commit retries — rewritten files are prefixed)."""
         if self.spec_primary:
-            from .specio import rewrite_delete_file_spec, write_spec_manifests
+            from .specio import (
+                is_spec_shaped_delete,
+                rewrite_delete_file_spec,
+                write_spec_manifests,
+            )
 
             for e in entries:
-                if (
-                    e.status == "added"
-                    and e.content != "data"
-                    and not os.path.basename(e.path).startswith("spec-")
-                ):
-                    rewrite_delete_file_spec(self, e)
+                if e.content != "data" and not is_spec_shaped_delete(e):
+                    # shape detection is CONTENT-based (reserved field
+                    # ids in the footer), not name-based: entries
+                    # flowing through rewrite_manifests keep their
+                    # original manifest status, and a foreign tree's
+                    # delete files carry arbitrary names.  Originals
+                    # are never removed here — a file referenced by a
+                    # historical snapshot must survive; a truly fresh
+                    # pre-rewrite file is unreferenced and orphan
+                    # cleanup collects it.
+                    rewrite_delete_file_spec(self, e, keep_original=True)
             return write_spec_manifests(self._mdir, entries, self.meta, self.store)
         name, mlen = write_manifest(self._mdir, entries, store=self.store)
         return [(name, mlen, manifest_summary(entries))]

@@ -327,6 +327,37 @@ def test_deflate_codec_manifests(spark, tmp_path):
     assert t2.verify() == []
 
 
+def test_rewrite_manifests_preserves_delete_files(spark, tmp_path):
+    """rewrite_manifests on a spec-primary MOR table must NOT re-shape
+    (or worse, delete) already-spec-shaped delete files: detection is
+    content-based (reserved field ids), and originals referenced by
+    historical snapshots always survive."""
+    from icepack import maintenance
+
+    loc = str(tmp_path / "sp_rwm")
+    df = _df(spark, 10)
+    t = IceTable.create(
+        spark, loc, df.schema, properties={**PROPS, "write.delete.mode": "merge-on-read"}
+    )
+    t.append(df)
+    pre = t.meta.current_snapshot
+    t.delete(col("id") == 4)
+    dels_before = sorted(
+        f.path for f in t.live_files(content="deletes")
+    )
+    maintenance.rewrite_manifests(t)
+    dels_after = sorted(f.path for f in t.live_files(content="deletes"))
+    # the SAME spec-shaped delete files are referenced — no re-copy
+    assert dels_after == dels_before
+    for p in dels_before:
+        assert os.path.exists(p)
+    native = _triangle(spark, t, loc)
+    assert all(r[0] != 4 for r in native)
+    # historical snapshot still reads (no file was removed)
+    assert t.toDF(snapshot=pre).count() == 10
+    assert IceTable.load(spark, loc).verify() == []
+
+
 def test_convert_native_table_to_spec_primary(spark, tmp_path):
     """Metadata-only migration: a non-empty NATIVE table (partitioned,
     merge-on-read, post-rename) converts to spec-primary in one
