@@ -1,0 +1,165 @@
+"""Snapshot-keyed table-level column statistics (NDV / duplication).
+
+The adaptive multiplicity-collapse rewrites (queries/llm.py
+``_duplication_ratio``) gate on one corpus-level number: rows /
+distinct-values of a column.  For raw parquet fixtures that stat is
+memoized per session; a warehouse table deserves the real thing — a
+statistic computed once, keyed to the snapshot it described, persisted
+with the table, and reused by every later session (the reference keeps
+table-level stats with the table metadata the same way,
+docs/03-metadata-management.md's stats-in-metadata framing).
+
+Design for 100 TB:
+
+* **Lazy, not eager.**  Computing NDV at write time would add a full
+  scan to every commit.  Instead the stat is computed on FIRST request
+  (one column-pruned scan; ``count`` + ``approx_count_distinct`` are
+  both map-side-combinable, so the exchange carries one HLL sketch per
+  partition, never rows) and persisted via a metadata-only property
+  commit.
+* **Bounds before rescans.**  A stat keyed to snapshot S is not dead
+  the moment snapshot S+1 lands.  If every commit since S was a pure
+  append, the new NDV is bracketed by [old_ndv, old_ndv + added_rows]
+  (appends can only add distinct values), and the new row count is
+  exact from the snapshot summaries — no scan at all.  When the whole
+  bracket (inflated by the HLL rsd) sits on one side of the collapse
+  threshold, the gate is answered for free; only a straddling bracket
+  or a non-append commit (delete/overwrite can REMOVE distinct values)
+  forces a recompute.  At 100 TB this means the common
+  append-only-table case re-answers the gate from metadata forever.
+* **Stale stats are replaced, never trusted blindly** — the persisted
+  JSON carries the snapshot id it described, and any decision derived
+  from it goes through the bracket logic above.
+
+Property key: ``stats.ndv.<column>`` → ``{"snapshot-id", "rows",
+"ndv"}``.  Properties ride every ``copy_with`` in the commit path, so
+DML keeps (correctly stale) stats; ``set_properties`` is CAS-retried,
+and a losing stat write is dropped silently — it is a cache, not data.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+#: approx_count_distinct's default relative standard deviation is
+#: ~2.3%; pad to 5% so a 2-sigma estimate error can't flip a bracket
+#: decision.
+_HLL_RSD_PAD = 0.05
+
+_PROP_PREFIX = "stats.ndv."
+
+
+def _prop_key(column: str) -> str:
+    return _PROP_PREFIX + column
+
+
+def read_stat(table, column: str) -> dict | None:
+    """The persisted stat for ``column``, or None."""
+    raw = table.meta.properties.get(_prop_key(column))
+    if raw is None:
+        return None
+    try:
+        d = json.loads(raw)
+        return {
+            "snapshot_id": int(d["snapshot-id"]),
+            "rows": int(d["rows"]),
+            "ndv": int(d["ndv"]),
+        }
+    except (ValueError, KeyError, TypeError):
+        return None
+
+
+def _appends_since(table, since_snapshot_id: int) -> int | None:
+    """Rows appended between ``since_snapshot_id`` and the current
+    snapshot, walking the parent chain — or None when the chain
+    includes anything other than a pure append (delete / overwrite /
+    replace may REMOVE distinct values, so no bracket exists), when
+    the chain doesn't reach the stat's snapshot (rollback /
+    expire), or when the table moved backwards."""
+    snap = table.meta.current_snapshot
+    added = 0
+    while snap is not None:
+        if snap.snapshot_id == since_snapshot_id:
+            return added
+        if snap.operation != "append":
+            return None
+        try:
+            added += int(snap.summary.get("added-records", ""))
+        except ValueError:
+            return None
+        parent = snap.parent_snapshot_id
+        snap = (
+            table.meta.snapshot_by_id(parent) if parent is not None else None
+        )
+    return None
+
+
+def _compute_and_persist(table, column: str) -> dict:
+    """One column-pruned scan → persist → return the fresh stat."""
+    snap = table.meta.current_snapshot
+    r = table.toDF().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(column).alias("d"),
+    ).first()
+    stat = {
+        "snapshot_id": snap.snapshot_id if snap else 0,
+        "rows": int(r["n"]),
+        "ndv": int(r["d"]),
+    }
+    try:
+        table.set_properties(
+            **{
+                _prop_key(column): json.dumps(
+                    {
+                        "snapshot-id": stat["snapshot_id"],
+                        "rows": stat["rows"],
+                        "ndv": stat["ndv"],
+                    }
+                )
+            }
+        )
+    except Exception:
+        # the stat is a cache: losing the property CAS (or a read-only
+        # store) must never fail the query that asked for the ratio
+        pass
+    return stat
+
+
+def duplication_ratio(
+    table,
+    column: str,
+    threshold: float | None = None,
+    refresh: bool = False,
+) -> float:
+    """rows / approx-distinct(``column``) for the CURRENT snapshot.
+
+    With ``threshold`` given, the return value is only guaranteed to
+    be on the correct SIDE of the threshold — that is the contract the
+    collapse gate needs, and it is what lets an appends-only bracket
+    answer without a scan.  Without ``threshold`` (or with
+    ``refresh=True``) a stale stat always recomputes.
+    """
+    if table.meta.current_snapshot is None:
+        return 1.0
+    stat = None if refresh else read_stat(table, column)
+    cur = table.meta.current_snapshot_id
+    if stat is not None and stat["snapshot_id"] == cur:
+        return stat["rows"] / max(stat["ndv"], 1)
+    if stat is not None and threshold is not None:
+        added = _appends_since(table, stat["snapshot_id"])
+        if added is not None:
+            rows = stat["rows"] + added
+            lo_ndv = max(1.0, stat["ndv"] * (1.0 - _HLL_RSD_PAD))
+            hi_ndv = min(
+                float(rows), stat["ndv"] * (1.0 + _HLL_RSD_PAD) + added
+            )
+            lo_ratio = rows / hi_ndv  # pessimistic: everything new is distinct
+            hi_ratio = rows / lo_ndv  # optimistic: duplicates only
+            if lo_ratio >= threshold:
+                return lo_ratio
+            if hi_ratio < threshold:
+                return hi_ratio
+    fresh = _compute_and_persist(table, column)
+    return fresh["rows"] / max(fresh["ndv"], 1)

@@ -1690,6 +1690,20 @@ class IceTable:
 
         return maintenance.remove_orphan_files(self, older_than_ms, dry_run)
 
+    def duplication_ratio(
+        self,
+        column: str,
+        threshold: float | None = None,
+        refresh: bool = False,
+    ) -> float:
+        """Snapshot-keyed rows/NDV statistic for ``column`` (persisted
+        as a ``stats.ndv.<column>`` table property; appends-only
+        commits re-answer a thresholded request from metadata bounds
+        without a scan — see icepack/stats.py)."""
+        from . import stats
+
+        return stats.duplication_ratio(self, column, threshold, refresh)
+
     def health(self) -> dict:
         from . import maintenance
 

@@ -1,0 +1,134 @@
+"""Snapshot-keyed table-level NDV/duplication statistics
+(icepack/stats.py): computed lazily on first request, persisted as a
+``stats.ndv.<column>`` property keyed to the snapshot it described, and
+— for appends-only histories — re-answered from metadata BOUNDS without
+a scan when the bracket sits on one side of the threshold.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from icepack import stats
+from icepack.expr import col
+from icepack.io import load
+from icepack.table import IceTable
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def docs(spark):
+    # 20 docs, each text repeated 4x -> true duplication ratio 4.0
+    d = load(spark, SF_DIR, "documents").select("doc_id", "text").limit(20)
+    parts = [
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        for i in range(4)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
+def _scan_count(t: IceTable) -> int:
+    return t.query_history().count()
+
+
+def test_stat_computed_and_persisted(spark, tmp_path, docs):
+    t = IceTable.create(spark, str(tmp_path / "t"), docs.schema)
+    t.append(docs)
+    r = t.duplication_ratio("text")
+    assert 3.5 <= r <= 4.5  # true ratio 4.0, HLL ~2.3% rsd
+    raw = t.meta.properties["stats.ndv.text"]
+    d = json.loads(raw)
+    assert d["snapshot-id"] == t.meta.current_snapshot_id
+    assert d["rows"] == 80
+
+
+def test_same_snapshot_reuses_without_scan(spark, tmp_path, docs):
+    t = IceTable.create(spark, str(tmp_path / "t"), docs.schema)
+    t.append(docs)
+    r1 = t.duplication_ratio("text")
+    before = _scan_count(t)
+    r2 = t.duplication_ratio("text")
+    assert r2 == r1
+    assert _scan_count(t) == before  # answered from the persisted stat
+
+
+def test_fresh_session_reads_persisted_stat(spark, tmp_path, docs):
+    loc = str(tmp_path / "t")
+    t = IceTable.create(spark, loc, docs.schema)
+    t.append(docs)
+    t.duplication_ratio("text")
+    t2 = IceTable.load(spark, loc)
+    before = _scan_count(t2)
+    r = t2.duplication_ratio("text")
+    assert 3.5 <= r <= 4.5
+    assert _scan_count(t2) == before
+
+
+def test_append_answered_from_bounds(spark, tmp_path, docs):
+    """A small duplicate-heavy append can't drag the ratio below the
+    threshold: the bracket stays above it -> no scan, stat unchanged."""
+    t = IceTable.create(spark, str(tmp_path / "t"), docs.schema)
+    t.append(docs)
+    t.duplication_ratio("text", threshold=1.5)
+    stat_before = stats.read_stat(t, "text")
+    # append MORE copies of the same texts (ratio can only go up)
+    t.append(docs.withColumn("doc_id", F.col("doc_id") + F.lit(90_000_000)))
+    before = _scan_count(t)
+    r = t.duplication_ratio("text", threshold=1.5)
+    assert r >= 1.5  # correct side of the threshold
+    assert _scan_count(t) == before  # bounds answered it, zero scans
+    assert stats.read_stat(t, "text") == stat_before  # stat not rewritten
+
+
+def test_straddling_bracket_recomputes(spark, tmp_path, docs):
+    """Appending a large all-distinct batch makes the bracket straddle
+    the threshold -> one recompute, stat re-keyed to the new snapshot."""
+    t = IceTable.create(spark, str(tmp_path / "t"), docs.schema)
+    t.append(docs)
+    t.duplication_ratio("text", threshold=1.5)
+    old = stats.read_stat(t, "text")
+    uniq = (
+        load(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .withColumn("doc_id", F.col("doc_id") + F.lit(500_000_000))
+        .withColumn("text", F.concat(F.lit("uniq "), F.col("text")))
+    )
+    t.append(uniq)
+    r = t.duplication_ratio("text", threshold=1.5)
+    new = stats.read_stat(t, "text")
+    assert new["snapshot_id"] == t.meta.current_snapshot_id
+    assert new != old
+    # 80 dup rows + N unique rows: true ratio (80+N)/(20+N)
+    n = uniq.count()
+    true = (80 + n) / (20 + n)
+    assert abs(r - true) / true < 0.1
+
+
+def test_delete_invalidates_bounds(spark, tmp_path, docs):
+    """A non-append commit (COW delete) can remove distinct values —
+    no bracket exists, so a thresholded request recomputes."""
+    t = IceTable.create(spark, str(tmp_path / "t"), docs.schema)
+    t.append(docs)
+    t.duplication_ratio("text", threshold=1.5)
+    # delete 3 of the 4 copies of every text -> true ratio drops to 1.0
+    t.delete(col("doc_id") >= 10_000_000)
+    before = _scan_count(t)
+    r = t.duplication_ratio("text", threshold=1.5)
+    assert r < 1.5  # correct side: the corpus is now unique
+    assert _scan_count(t) > before  # no bracket for deletes -> recomputed
+    assert (
+        stats.read_stat(t, "text")["snapshot_id"] == t.meta.current_snapshot_id
+    )
+
+
+def test_refresh_forces_recompute(spark, tmp_path, docs):
+    t = IceTable.create(spark, str(tmp_path / "t"), docs.schema)
+    t.append(docs)
+    t.duplication_ratio("text")
+    before = _scan_count(t)
+    t.duplication_ratio("text", refresh=True)
+    assert _scan_count(t) > before
