@@ -48,7 +48,9 @@ class Catalog:
         properties: dict | None = None,
     ) -> IceTable:
         loc = self._loc(name)
-        if self.store.exists(self.store.join(loc, "metadata", "v1.metadata.json")):
+        # any surviving version file means the table exists (v1 alone
+        # is not enough: the metadata-retention knob may have pruned it)
+        if self.store.glob(self.store.join(loc, "metadata", "v*.metadata.json")):
             raise ValueError(f"table {name} already exists")
         return IceTable.create(
             self.spark, loc, schema, partition_by, properties, store=self.store

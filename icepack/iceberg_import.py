@@ -27,8 +27,10 @@ Semantics:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -130,6 +132,16 @@ def _resolve_metadata(path: str) -> str:
         if os.path.exists(hint):
             v = open(hint).read().strip()
             return os.path.join(base, f"v{v}.metadata.json")
+    # no hint (lost, or a tree written without the HadoopCatalog
+    # convention): fall back to the highest surviving version file
+    for base in (path, os.path.join(path, "metadata")):
+        vs = []
+        for p in glob.glob(os.path.join(base, "v*.metadata.json")):
+            m = re.search(r"v(\d+)\.metadata\.json$", p)
+            if m:
+                vs.append((int(m.group(1)), p))
+        if vs:
+            return max(vs)[1]
     raise FileNotFoundError(f"no iceberg metadata at {path}")
 
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import re
 import time
 import urllib.parse
 import uuid
@@ -276,6 +277,12 @@ class IceTable:
                     partition_specs=meta.partition_specs
                     + [PartitionSpec(spec.spec_id + 1, [])]
                 )
+        # v1's create_exclusive is the CREATE-race arbiter, but on a
+        # table whose v1 was pruned by the metadata-retention knob it
+        # would silently "succeed" — any surviving version file means
+        # the table exists
+        if st.glob(st.join(location, "metadata", "v*.metadata.json")):
+            raise FileExistsError(f"table already exists at {location}")
         table = IceTable(spark, location, meta, store=st)
         table._write_version(1, meta)
         return table
@@ -298,8 +305,20 @@ class IceTable:
             version = json.loads(st.read_text(hint))["version"]
         while st.exists(st.join(self._mdir, f"v{version + 1}.metadata.json")):
             version += 1
-        if version == 0:
-            raise FileNotFoundError(f"no icepack table at {self.location}")
+        if version == 0 or not st.exists(
+            st.join(self._mdir, f"v{version}.metadata.json")
+        ):
+            # hint missing/stale AND early versions pruned by the
+            # metadata-retention knob: recover the latest from a
+            # listing instead of the v1-upward probe
+            found = []
+            for p in st.glob(st.join(self._mdir, "v*.metadata.json")):
+                m = re.search(r"v(\d+)\.metadata\.json$", p)
+                if m:
+                    found.append(int(m.group(1)))
+            if not found:
+                raise FileNotFoundError(f"no icepack table at {self.location}")
+            version = max(found)
         text = st.read_text(st.join(self._mdir, f"v{version}.metadata.json"))
         from .specio import PROPERTY as _SPEC_PROP
         from .specio import load_spec_metadata, looks_like_spec_metadata
@@ -343,6 +362,11 @@ class IceTable:
                     ]
                 except ValueError:
                     pass
+            # the metadata-log is trimmed to the retention window so it
+            # never references files the post-commit prune deletes
+            keep = self._metadata_versions_to_keep(meta.properties)
+            if keep is not None and len(mlog) > keep:
+                mlog = mlog[-keep:]
             text = dump_spec_metadata(meta, self._mdir, metadata_log=mlog)
         else:
             text = meta.dumps()
@@ -363,6 +387,48 @@ class IceTable:
             )
         self._version = version
         self.meta = meta
+        self._prune_old_metadata(version)
+
+    @staticmethod
+    def _metadata_versions_to_keep(props: dict) -> int | None:
+        """None = retention disabled; else how many PREVIOUS metadata
+        versions to retain (Iceberg's
+        ``write.metadata.delete-after-commit.enabled`` /
+        ``write.metadata.previous-versions-max`` pair — the managed
+        metadata-lifecycle behavior of docs/04-catalog-systems.md:44;
+        unbounded version files are docs/03:152's metadata-growth
+        problem applied to the metadata documents themselves)."""
+        if (
+            props.get("write.metadata.delete-after-commit.enabled", "").lower()
+            != "true"
+        ):
+            return None
+        try:
+            return max(1, int(props.get("write.metadata.previous-versions-max", "100")))
+        except ValueError:
+            return 100
+
+    def _prune_old_metadata(self, version: int) -> None:
+        """Best-effort post-commit deletion of metadata versions older
+        than the retention window.  Runs AFTER the new version is
+        durable, so a crash mid-prune only leaves extra (immutable)
+        files for the next commit to re-prune; ``refresh`` recovers a
+        pruned-tail table from a directory listing when the
+        version-hint is stale or lost."""
+        keep = self._metadata_versions_to_keep(self.meta.properties)
+        if keep is None:
+            return
+        # keep the current version PLUS `keep` previous ones
+        floor = version - keep - 1  # delete v1 .. v(floor)
+        if floor < 1:
+            return
+        for p in self.store.glob(self.store.join(self._mdir, "v*.metadata.json")):
+            m = re.search(r"v(\d+)\.metadata\.json$", p)
+            if m and int(m.group(1)) <= floor:
+                try:
+                    self.store.delete(p)
+                except OSError:
+                    pass  # a racing pruner already removed it
 
     def _commit_snapshot(
         self,
