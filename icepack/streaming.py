@@ -18,11 +18,24 @@ under a real streaming query for the pytest invariants.
 
 from __future__ import annotations
 
+import os
+import urllib.parse
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from .table import IceTable
+
+
+def _local_path(uri: str) -> str | None:
+    """file:-scheme (or bare) URI → a stat-able local path; None for
+    remote schemes, where the driver can't cheaply size the file."""
+    if uri.startswith("file:"):
+        return urllib.parse.unquote(urllib.parse.urlparse(uri).path)
+    if "://" not in uri:
+        return uri
+    return None
 
 
 #: default streaming target file size: top of the 64-128 MB band the
@@ -67,16 +80,38 @@ def write_stream_to_table(
     import math
 
     def _auto_file_count(batch_df: DataFrame) -> int | None:
-        live = table.live_files()
-        nbytes = sum(f.file_size_bytes for f in live)
-        nrows = sum(f.record_count for f in live)
-        if nrows == 0:
-            return None  # no evidence yet — first commit learns it
         target = int(
             table.meta.properties.get(
                 "write.target-file-size-bytes", STREAM_TARGET_FILE_BYTES
             )
         )
+        # File-backed batches (the bronze-ingest shape): estimate the
+        # commit's bytes from the batch's OWN input file sizes — a
+        # driver-side stat per file, zero Spark jobs.  The previous
+        # spelling ran batch_df.count(), re-executing every batch's
+        # scan once before the write: one extra source pass per commit,
+        # forever, on a long-lived stream.
+        # only same-format (columnar) inputs predict output bytes 1:1;
+        # a json/csv batch re-encodes much smaller and falls through
+        inputs = batch_df.inputFiles()
+        paths = [
+            _local_path(p)
+            for p in inputs
+            if _local_path(p) and p.endswith((".parquet", ".orc"))
+        ]
+        if paths and len(paths) == len(inputs):
+            try:
+                est = sum(os.path.getsize(p) for p in paths)
+                return max(1, math.ceil(est / target))
+            except OSError:
+                pass  # racing source cleanup — fall through to counting
+        # non-file sources (rate/kafka/memory): fall back to observed
+        # bytes-per-row of the table's live files x a counted batch
+        live = table.live_files()
+        nbytes = sum(f.file_size_bytes for f in live)
+        nrows = sum(f.record_count for f in live)
+        if nrows == 0:
+            return None  # no evidence yet — first commit learns it
         est = batch_df.count() * (nbytes / nrows)
         return max(1, math.ceil(est / target))
 
