@@ -301,9 +301,24 @@ def expire_snapshots(
     keep_mls, keep_mans, keep_datas = reachable(kept)
     exp_mls, exp_mans, exp_datas = reachable(expired)
     doomed_files = exp_datas - keep_datas
+    # statistics files (Puffin) ride their snapshot's lifetime
+    expired_ids = {s.snapshot_id for s in expired}
+    kept_stats = [
+        e for e in meta.statistics if e.get("snapshot-id") not in expired_ids
+    ]
+    doomed_stats = [
+        e["statistics-path"]
+        for e in meta.statistics
+        if e.get("snapshot-id") in expired_ids
+    ]
     if not dry_run:
-        meta_new = meta.copy_with(snapshots=kept)
+        meta_new = meta.copy_with(snapshots=kept, statistics=kept_stats)
         table._write_version(table._version + 1, meta_new)
+        for p in doomed_stats:
+            try:
+                table.store.delete(p)
+            except OSError:
+                pass
         for p in doomed_files:
             _rm(p)
         for m in exp_mans - keep_mans:

@@ -271,6 +271,13 @@ class TableMetadata:
     #: and re-applied by compaction (auto-clustering, docs/09:156-168).
     sort_orders: list = field(default_factory=lambda: [UNSORTED_ORDER])
     default_sort_order_id: int = 0
+    #: Iceberg StatisticsFile entries (spec ``statistics`` field): one
+    #: dict per snapshot with a Puffin stats file —
+    #: {"snapshot-id", "statistics-path", "file-size-in-bytes",
+    #: "file-footer-size-in-bytes", "blob-metadata": [...]}.  Kept as
+    #: plain spec-shaped dicts so both the native and spec codecs carry
+    #: them verbatim.
+    statistics: list = field(default_factory=list)
 
     # -- accessors ----------------------------------------------------------
 
@@ -368,6 +375,7 @@ class TableMetadata:
             "refs": self.refs,
             "sort-orders": [o.to_json() for o in self.sort_orders],
             "default-sort-order-id": self.default_sort_order_id,
+            "statistics": self.statistics,
         }
 
     @staticmethod
@@ -390,6 +398,7 @@ class TableMetadata:
             sort_orders=[SortOrder.from_json(o) for o in d.get("sort-orders", [])]
             or [UNSORTED_ORDER],
             default_sort_order_id=d.get("default-sort-order-id", 0),
+            statistics=d.get("statistics", []),
         )
 
     def dumps(self) -> str:

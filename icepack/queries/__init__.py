@@ -120,6 +120,7 @@ PRIORITY: list[str] = [
     "ice48_spec_read_prune",
     "ice49_spec_primary",
     "ice50_foreign_adopt",
+    "ice51_table_stats",
 ]
 
 

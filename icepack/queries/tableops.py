@@ -1840,3 +1840,87 @@ def ice50_foreign_adopt(spark: SparkSession, sf: str) -> DataFrame:
     return native.groupBy("n_regionkey").agg(
         F.count("*").alias("n"), F.min("n_name").alias("first_name")
     )
+
+
+@query(
+    "ice51_table_stats",
+    oracle="""
+    WITH base AS (SELECT doc_id, text, lang FROM documents)
+    SELECT col_name, phase, n_rows, duplicated FROM (
+      SELECT 'doc_id' AS col_name, 1 AS phase, COUNT(*) AS n_rows,
+             CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) >= 1.5 AS duplicated
+      FROM base
+      UNION ALL
+      SELECT 'text', 1, COUNT(*),
+             CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT text) >= 1.5 FROM base
+      UNION ALL
+      SELECT 'lang', 1, COUNT(*),
+             CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT lang) >= 1.5 FROM base
+      UNION ALL
+      SELECT 'doc_id', 2, 2 * COUNT(*),
+             CAST(2 * COUNT(*) AS DOUBLE) / COUNT(DISTINCT doc_id) >= 1.5 FROM base
+      UNION ALL
+      SELECT 'text', 2, 2 * COUNT(*),
+             CAST(2 * COUNT(*) AS DOUBLE) / COUNT(DISTINCT text) >= 1.5 FROM base
+      UNION ALL
+      SELECT 'lang', 2, 2 * COUNT(*),
+             CAST(2 * COUNT(*) AS DOUBLE) / COUNT(DISTINCT lang) >= 1.5 FROM base
+    )
+    """,
+)
+def ice51_table_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """TABLE-LEVEL STATISTICS (docs/04-catalog-systems.md:45 "Automatic
+    statistics collection"; icepack/stats.py + icepack/puffin.py): the
+    snapshot-keyed NDV/duplication stat, persisted as a table property
+    AND as an Iceberg StatisticsFile (Puffin) entry.
+
+    Lifecycle under test: compute stats for three columns on the first
+    snapshot (one scan each, persisted); append an EXACT COPY of the
+    data (a pure append); re-ask the thresholded question.  The
+    duplicate-saturated column (``lang``) must be re-answered from the
+    appends-only metadata BOUNDS with zero additional scans — the
+    100 TB contract — while columns whose bracket straddles the
+    threshold recompute once.  The Puffin blob NDVs are cross-checked
+    against the persisted properties before returning.
+
+    The decision threshold (1.5) sits far from every column's true
+    ratio at both phases (1.0 or >= 2.0), so the HLL estimate
+    (~2.3% rsd) can never flip a returned boolean — which is what
+    makes an approx-backed stat oracle-checkable exactly."""
+    import json as _json
+
+    from ..puffin import read_puffin
+    from ..stats import read_stat
+
+    cols = ("doc_id", "text", "lang")
+    d = load(spark, sf, "documents").select(*cols)
+    t = IceTable.create(spark, _scratch(), d.schema)
+    t.append(d)
+    rows = []
+    for c in cols:
+        ratio = t.duplication_ratio(c, threshold=1.5)
+        st = read_stat(t, c)
+        rows.append((c, 1, st["rows"], ratio >= 1.5))
+    # Puffin cross-check: blob NDVs must equal the persisted properties
+    e = t.meta.statistics[0]
+    blobs, _ = read_puffin(t.store.read_bytes(e["statistics-path"]))
+    by_field = {b["fields"][0]: int(b["properties"]["ndv"]) for b in blobs}
+    for c in cols:
+        fid = t.meta.schema.field_by_name(c).id
+        if by_field.get(fid) != read_stat(t, c)["ndv"]:
+            raise RuntimeError(f"puffin/property NDV divergence for {c}")
+    t.append(d)  # exact copy: every value now appears twice
+    scans_before = t.query_history().count()
+    lang_ratio = t.duplication_ratio("lang", threshold=1.5)
+    if t.query_history().count() != scans_before:
+        raise RuntimeError("bounds should have answered lang without a scan")
+    rows.append(("lang", 2, read_stat(t, "lang")["rows"] * 2, lang_ratio >= 1.5))
+    for c in ("doc_id", "text"):  # bracket straddles 1.5 -> recompute
+        ratio = t.duplication_ratio(c, threshold=1.5)
+        st = read_stat(t, c)
+        if st["snapshot_id"] != t.meta.current_snapshot_id:
+            raise RuntimeError(f"straddling bracket must recompute {c}")
+        rows.append((c, 2, st["rows"], ratio >= 1.5))
+    return spark.createDataFrame(
+        rows, "col_name string, phase int, n_rows bigint, duplicated boolean"
+    )

@@ -278,6 +278,9 @@ def dump_spec_metadata(
         ],
         "metadata-log": metadata_log or [],
         "refs": refs,
+        # StatisticsFile entries (Puffin, icepack/puffin.py) — already
+        # spec-shaped dicts, carried verbatim
+        "statistics": meta.statistics,
     }
     return json.dumps(md, indent=1)
 
@@ -409,6 +412,7 @@ def load_spec_metadata(text: str) -> TableMetadata:
         refs=refs,
         sort_orders=orders,
         default_sort_order_id=d.get("default-sort-order-id", 0),
+        statistics=d.get("statistics", []),
     )
 
 

@@ -1512,6 +1512,23 @@ class IceSQL:
             # [ext] docs/05:169-171 — apply one branch commit onto main
             am = re.search(r"(?i)SNAPSHOT\s+(\d+)", rest)
             return t.cherry_pick(int(am.group(1)))
+        if u.startswith("ANALYZE"):
+            # [ext] docs/04-catalog-systems.md:45 "Automatic statistics
+            # collection" made explicit: compute + persist the
+            # snapshot-keyed NDV/duplication stat (icepack/stats.py)
+            # for the named columns
+            cm = re.search(r"(?i)COLUMNS?\s*\(([^)]*)\)", rest) or re.search(
+                r"(?i)COLUMNS?\s+(.+)$", rest
+            )
+            if not cm:
+                raise ValueError("ANALYZE requires COLUMNS (a, b, ...)")
+            cols = [c.strip().strip('"') for c in cm.group(1).split(",") if c.strip()]
+            rows = [
+                (c, round(t.duplication_ratio(c, refresh=True), 4)) for c in cols
+            ]
+            return self.spark.createDataFrame(
+                rows, "column string, duplication_ratio double"
+            )
         if u.startswith("REWRITE MANIFESTS"):
             return maintenance.rewrite_manifests(t)
         if u.startswith("REMOVE ORPHAN FILES"):

@@ -109,22 +109,98 @@ def _compute_and_persist(table, column: str) -> dict:
         "ndv": int(r["d"]),
     }
     try:
-        table.set_properties(
-            **{
-                _prop_key(column): json.dumps(
-                    {
-                        "snapshot-id": stat["snapshot_id"],
-                        "rows": stat["rows"],
-                        "ndv": stat["ndv"],
-                    }
-                )
-            }
-        )
+        _persist(table, column, stat)
     except Exception:
         # the stat is a cache: losing the property CAS (or a read-only
         # store) must never fail the query that asked for the ratio
         pass
     return stat
+
+
+def _persist(table, column: str, stat: dict) -> None:
+    """One metadata-only commit carrying BOTH the ``stats.ndv.*``
+    property and the spec ``statistics`` entry pointing at a Puffin
+    file (icepack/puffin.py) — external engines read NDV from the blob
+    metadata, the native engine from the property.  Blobs for other
+    columns already attached to the same snapshot are merged into the
+    new file (one StatisticsFile per snapshot, as Iceberg keeps it)."""
+    import uuid as _uuid
+
+    from .puffin import footer_size, ndv_blob, read_puffin, write_puffin
+
+    prop_val = json.dumps(
+        {
+            "snapshot-id": stat["snapshot_id"],
+            "rows": stat["rows"],
+            "ndv": stat["ndv"],
+        }
+    )
+    for _ in range(5):
+        meta = table.meta
+        fld = meta.schema.field_by_name(column)
+        blob = ndv_blob(
+            fld.id if fld is not None else -1,
+            stat["snapshot_id"],
+            meta.last_sequence_number,
+            stat["ndv"],
+            stat["rows"],
+        )
+        blobs = [blob]
+        kept_entries = []
+        for e in meta.statistics:
+            if e.get("snapshot-id") != stat["snapshot_id"]:
+                kept_entries.append(e)
+                continue
+            # merge the previous file's other-column blobs
+            try:
+                old, _props = read_puffin(
+                    table.store.read_bytes(e["statistics-path"])
+                )
+                blobs += [
+                    {**b, "properties": b.get("properties", {})}
+                    for b in old
+                    if b.get("fields") != blob["fields"]
+                ]
+            except Exception:
+                pass  # unreadable predecessor: replace it outright
+        data = write_puffin(blobs)
+        path = table.store.join(
+            table._mdir, f"{stat['snapshot_id']}-{_uuid.uuid4().hex}.stats"
+        )
+        table.store.write_bytes(path, data)
+        entry = {
+            "snapshot-id": stat["snapshot_id"],
+            "statistics-path": path,
+            "file-size-in-bytes": len(data),
+            "file-footer-size-in-bytes": footer_size(data),
+            "blob-metadata": [
+                {
+                    "type": b["type"],
+                    "snapshot-id": b["snapshot-id"],
+                    "sequence-number": b["sequence-number"],
+                    "fields": b["fields"],
+                    "properties": b.get("properties", {}),
+                }
+                for b in blobs
+            ],
+        }
+        try:
+            table._write_version(
+                table._version + 1,
+                meta.copy_with(
+                    properties={**meta.properties, _prop_key(column): prop_val},
+                    statistics=kept_entries + [entry],
+                ),
+            )
+            return
+        except Exception as e:  # CommitConflict — rebase and retry
+            from .table import CommitConflict
+
+            if not isinstance(e, CommitConflict):
+                raise
+            table.refresh()
+            if table.meta.current_snapshot_id != stat["snapshot_id"]:
+                return  # the table moved on; a stale stat is useless
 
 
 def duplication_ratio(

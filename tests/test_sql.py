@@ -1083,3 +1083,27 @@ def test_alter_export_iceberg_metadata_and_scheduled(spark, tmp_path):
     m2 = isql.sql(f"ALTER ICEBERG TABLE ex EXPORT ICEBERG METADATA TO '{dest}'")
     assert m2.endswith("v2.metadata.json")
     assert read_iceberg(spark, dest).count() == 4
+
+
+def test_alter_analyze_columns(spark, tmp_path):
+    """[ext] ALTER ICEBERG TABLE ... ANALYZE COLUMNS (c) computes and
+    persists the snapshot-keyed NDV/duplication stat (docs/04:45's
+    automatic statistics collection made explicit)."""
+    import json as _json
+
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, str(tmp_path / "wh"))
+    isql.sql("CREATE ICEBERG TABLE az (id BIGINT, txt STRING)")
+    spark.createDataFrame(
+        [(i, "dup" if i % 2 else f"u{i}") for i in range(40)], "id bigint, txt string"
+    ).createOrReplaceTempView("az_seed")
+    isql.sql("INSERT INTO az SELECT * FROM az_seed")
+    out = isql.sql("ALTER ICEBERG TABLE az ANALYZE COLUMNS (txt)").collect()
+    assert out[0]["column"] == "txt"
+    # 20 dups of one value + 20 unique -> ratio ~ 40/21
+    assert 1.5 <= out[0]["duplication_ratio"] <= 2.3
+    t = isql._table(isql._resolve_name("az"))
+    st = _json.loads(t.meta.properties["stats.ndv.txt"])
+    assert st["snapshot-id"] == t.meta.current_snapshot_id
+    assert st["rows"] == 40

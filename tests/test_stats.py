@@ -132,3 +132,109 @@ def test_refresh_forces_recompute(spark, tmp_path, docs):
     before = _scan_count(t)
     t.duplication_ratio("text", refresh=True)
     assert _scan_count(t) > before
+
+
+def test_puffin_round_trip_structure():
+    """Byte-level Puffin container checks: magics at the four spec
+    positions, little-endian payload size, footer size math, blob
+    offsets resolving to the written bytes."""
+    import struct
+
+    from icepack.puffin import MAGIC, footer_size, read_puffin, write_puffin
+
+    blobs = [
+        {
+            "type": "icepack-ndv-v1",
+            "fields": [2],
+            "snapshot-id": 7,
+            "sequence-number": 3,
+            "data": b'{"ndv": 42, "rows": 100}',
+            "properties": {"ndv": "42"},
+        },
+        {
+            "type": "icepack-ndv-v1",
+            "fields": [5],
+            "snapshot-id": 7,
+            "sequence-number": 3,
+            "data": b'{"ndv": 9, "rows": 100}',
+            "properties": {"ndv": "9"},
+        },
+    ]
+    buf = write_puffin(blobs, {"created-by": "icepack"})
+    assert buf[:4] == MAGIC and buf[-4:] == MAGIC
+    (payload_len,) = struct.unpack("<i", buf[-12:-8])
+    assert buf[len(buf) - 12 - payload_len - 4 : len(buf) - 12 - payload_len] == MAGIC
+    assert footer_size(buf) == 4 + payload_len + 12
+    out, props = read_puffin(buf)
+    assert props == {"created-by": "icepack"}
+    assert [b["data"] for b in out] == [b["data"] for b in blobs]
+    assert out[0]["offset"] == 4  # first blob right after the header magic
+    assert out[0]["properties"]["ndv"] == "42"
+
+
+def test_puffin_rejects_bad_magic_and_compression():
+    import struct
+
+    import pytest as _pytest
+
+    from icepack.puffin import read_puffin, write_puffin
+
+    buf = write_puffin([])
+    with _pytest.raises(ValueError):
+        read_puffin(b"XXXX" + buf[4:])
+    # flip the compressed-footer flag
+    tampered = buf[:-8] + struct.pack("<i", 1) + buf[-4:]
+    with _pytest.raises(ValueError):
+        read_puffin(tampered)
+
+
+def test_stat_registers_statistics_file(spark, tmp_path, docs):
+    """Computing a stat registers an Iceberg StatisticsFile entry whose
+    Puffin blob carries the same NDV; a second column merges into ONE
+    file per snapshot; spec-primary metadata carries the entry."""
+    import os as _os
+
+    from icepack.puffin import read_puffin
+
+    t = IceTable.create(
+        spark,
+        str(tmp_path / "t"),
+        docs.schema,
+        properties={"format.spec-primary": "true"},
+    )
+    t.append(docs)
+    t.duplication_ratio("text")
+    t.duplication_ratio("doc_id")
+    assert len(t.meta.statistics) == 1
+    e = t.meta.statistics[0]
+    assert e["snapshot-id"] == t.meta.current_snapshot_id
+    assert _os.path.getsize(e["statistics-path"]) == e["file-size-in-bytes"]
+    blobs, _ = read_puffin(open(e["statistics-path"], "rb").read())
+    assert len(blobs) == 2  # text + doc_id merged into one snapshot file
+    ndv_by_field = {tuple(b["fields"]): int(b["properties"]["ndv"]) for b in blobs}
+    st = stats.read_stat(t, "text")
+    fid = t.meta.schema.field_by_name("text").id
+    assert ndv_by_field[(fid,)] == st["ndv"]
+    # the spec metadata document carries the statistics entry verbatim
+    raw = json.load(
+        open(_os.path.join(str(tmp_path / "t"), "metadata", "v4.metadata.json"))
+    )
+    assert raw["statistics"][0]["statistics-path"] == e["statistics-path"]
+    # reload round-trips it
+    assert IceTable.load(spark, str(tmp_path / "t")).meta.statistics == t.meta.statistics
+
+
+def test_expire_drops_statistics(spark, tmp_path, docs):
+    import os as _os
+
+    t = IceTable.create(spark, str(tmp_path / "t"), docs.schema)
+    t.append(docs)
+    t.duplication_ratio("text")
+    p1 = t.meta.statistics[0]["statistics-path"]
+    t.append(docs.withColumn("doc_id", F.col("doc_id") + F.lit(77_000_000)))
+    t.duplication_ratio("text", refresh=True)
+    assert len(t.meta.statistics) == 2
+    t.expire_snapshots(older_than_ms=int(__import__("time").time() * 1000) + 1)
+    assert len(t.meta.statistics) == 1
+    assert t.meta.statistics[0]["snapshot-id"] == t.meta.current_snapshot_id
+    assert not _os.path.exists(p1)
