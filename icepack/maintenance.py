@@ -367,6 +367,12 @@ def remove_orphan_files(table, older_than_ms: int | None = None, dry_run: bool =
         for p in table.store.glob(table.store.join(table._mdir, "v*-*.metadata.json")):
             if p != current_doc and table.store.mtime_ms(p) < older_than_ms:
                 doc_orphans.append(p)
+    # Puffin stats files not referenced by any statistics entry (a lost
+    # stat-commit CAS leaves its just-written file behind)
+    live_stats = {e.get("statistics-path") for e in table.meta.statistics}
+    for p in table.store.glob(table.store.join(table._mdir, "*.stats")):
+        if p not in live_stats and table.store.mtime_ms(p) < older_than_ms:
+            doc_orphans.append(p)
     if not dry_run:
         for p in orphans:
             _rm(p)
@@ -444,6 +450,15 @@ def verify_table(table, check_data: bool = False) -> list[str]:
     for name, r in meta.refs.items():
         if r["snapshot-id"] not in by_id:
             findings.append(f"ref {name!r} points at missing snapshot {r['snapshot-id']}")
+    for e in meta.statistics:
+        if e.get("snapshot-id") not in by_id:
+            findings.append(
+                f"statistics entry for missing snapshot {e.get('snapshot-id')}"
+            )
+        elif not table.store.exists(e.get("statistics-path", "")):
+            findings.append(
+                f"statistics file missing: {e.get('statistics-path')}"
+            )
     if snap is None:
         return findings
     spec_ids = {sp.spec_id for sp in meta.partition_specs}

@@ -238,3 +238,23 @@ def test_expire_drops_statistics(spark, tmp_path, docs):
     assert len(t.meta.statistics) == 1
     assert t.meta.statistics[0]["snapshot-id"] == t.meta.current_snapshot_id
     assert not _os.path.exists(p1)
+
+
+def test_orphan_sweep_and_fsck_cover_stats(spark, tmp_path, docs):
+    """A stats file orphaned by a lost CAS is swept; fsck flags a
+    missing referenced stats file and a dangling snapshot reference."""
+    import os as _os
+
+    t = IceTable.create(spark, str(tmp_path / "t"), docs.schema)
+    t.append(docs)
+    t.duplication_ratio("text")
+    live = t.meta.statistics[0]["statistics-path"]
+    # plant an orphan .stats (simulating a lost stat-commit CAS)
+    orphan = _os.path.join(str(tmp_path / "t"), "metadata", "999-dead.stats")
+    open(orphan, "wb").write(b"x")
+    swept = t.remove_orphan_files(older_than_ms=int(__import__("time").time() * 1000) + 1)
+    assert orphan in swept and not _os.path.exists(orphan)
+    assert _os.path.exists(live)  # referenced file untouched
+    assert t.verify() == []
+    _os.remove(live)
+    assert any("statistics file missing" in f for f in t.verify())
