@@ -258,3 +258,25 @@ def test_orphan_sweep_and_fsck_cover_stats(spark, tmp_path, docs):
     assert t.verify() == []
     _os.remove(live)
     assert any("statistics file missing" in f for f in t.verify())
+
+
+def test_stat_cas_race_stale_handle(spark, tmp_path, docs):
+    """A second handle with a stale version loses the metadata CAS,
+    rebases, and merges its blob with the winner's — both stats end up
+    persisted, one Puffin file for the snapshot."""
+    from icepack.puffin import read_puffin
+
+    loc = str(tmp_path / "t")
+    t1 = IceTable.create(spark, loc, docs.schema)
+    t1.append(docs)
+    t2 = IceTable.load(spark, loc)
+    t1.duplication_ratio("text")     # advances metadata under t2's feet
+    t2.duplication_ratio("doc_id")   # stale _version -> CAS retry path
+    t = IceTable.load(spark, loc)
+    assert stats.read_stat(t, "text") is not None
+    assert stats.read_stat(t, "doc_id") is not None
+    assert len(t.meta.statistics) == 1
+    blobs, _ = read_puffin(
+        open(t.meta.statistics[0]["statistics-path"], "rb").read()
+    )
+    assert len(blobs) == 2
