@@ -23,8 +23,18 @@ Encoding rules implemented (Avro spec "Binary Encoding"):
 
 OCF layout: magic ``Obj\\x01``, file-metadata map (``avro.schema``,
 ``avro.codec``), 16-byte sync marker, then data blocks of
-(record count, byte size, payload, sync).  Codec is always ``null``
-(uncompressed) — universally readable.
+(record count, byte size, payload, sync).
+
+Codecs (Avro spec "Required"/"Optional" codecs): ``null``,
+``deflate`` (raw RFC-1951), ``snappy`` (raw-format block + 4-byte
+big-endian CRC32 of the UNCOMPRESSED data) and ``zstandard`` (one
+zstd frame per block).  Snappy rides pyarrow's bundled codec (the
+raw-snappy preamble is an unsigned LE varint of the uncompressed
+length, which supplies the ``decompressed_size`` pyarrow requires);
+zstandard uses the system ``libzstd`` via ctypes — frame-header
+content size when present, streaming decompression when a foreign
+writer omitted it.  Both gate behind availability checks and refuse
+loudly rather than return garbage.
 """
 
 from __future__ import annotations
@@ -226,6 +236,208 @@ def decode(r: _Reader, schema, names: dict | None = None):
     return decode(r, t, names)
 
 
+# ------------------------------------------------------------ codecs
+
+# Codec-string normalization: Avro's OCF metadata spells the zstd
+# codec "zstandard" (that is what Java Avro writes); accept the
+# common short spelling on input but always WRITE the spec spelling.
+_CODEC_ALIASES = {"zstd": "zstandard", "": "null"}
+WRITE_CODECS = ("null", "deflate", "snappy", "zstandard")
+
+
+def _norm_codec(codec: str) -> str:
+    c = codec.strip().lower()
+    return _CODEC_ALIASES.get(c, c)
+
+
+def _snappy_raw_len(buf: bytes) -> int:
+    """Raw-snappy preamble: uncompressed length as unsigned LE varint."""
+    n = shift = i = 0
+    while True:
+        if i >= len(buf):
+            raise ValueError("truncated snappy block")
+        b = buf[i]
+        n |= (b & 0x7F) << shift
+        i += 1
+        if not b & 0x80:
+            return n
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy length varint overflow")
+
+
+class _Zstd:
+    """ctypes bridge to the system libzstd (no Python zstd package in
+    this environment; pyarrow's zstd codec requires a known
+    decompressed size, which foreign frames may omit)."""
+
+    _lib = None
+
+    @classmethod
+    def lib(cls):
+        if cls._lib is None:
+            import ctypes
+            import ctypes.util
+
+            name = ctypes.util.find_library("zstd") or "libzstd.so.1"
+            lib = ctypes.CDLL(name)
+            lib.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+            lib.ZSTD_getFrameContentSize.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+            ]
+            lib.ZSTD_decompress.restype = ctypes.c_size_t
+            lib.ZSTD_decompress.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+            ]
+            lib.ZSTD_compressBound.restype = ctypes.c_size_t
+            lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+            lib.ZSTD_compress.restype = ctypes.c_size_t
+            lib.ZSTD_compress.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.c_int,
+            ]
+            lib.ZSTD_isError.restype = ctypes.c_uint
+            lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+            cls._lib = lib
+        return cls._lib
+
+    # ZSTD_CONTENTSIZE_UNKNOWN / _ERROR are (0ULL-1) and (0ULL-2)
+    _UNKNOWN = 2**64 - 1
+    _ERROR = 2**64 - 2
+
+    @classmethod
+    def compress(cls, data: bytes, level: int = 3) -> bytes:
+        import ctypes
+
+        lib = cls.lib()
+        bound = lib.ZSTD_compressBound(len(data))
+        dst = ctypes.create_string_buffer(bound)
+        n = lib.ZSTD_compress(dst, bound, data, len(data), level)
+        if lib.ZSTD_isError(n):
+            raise ValueError("zstd compression failed")
+        return dst.raw[:n]
+
+    @classmethod
+    def decompress(cls, data: bytes) -> bytes:
+        import ctypes
+
+        lib = cls.lib()
+        size = lib.ZSTD_getFrameContentSize(data, len(data))
+        if size == cls._ERROR:
+            raise ValueError("not a zstd frame")
+        if size != cls._UNKNOWN:
+            dst = ctypes.create_string_buffer(max(int(size), 1))
+            n = lib.ZSTD_decompress(dst, int(size), data, len(data))
+            if lib.ZSTD_isError(n) or n != size:
+                raise ValueError("zstd decompression failed")
+            return dst.raw[:size]
+        return cls._decompress_stream(data)
+
+    @classmethod
+    def _decompress_stream(cls, data: bytes) -> bytes:
+        """Streaming path for frames whose header omits the content
+        size (foreign streaming writers)."""
+        import ctypes
+
+        lib = cls.lib()
+
+        class _Buf(ctypes.Structure):
+            _fields_ = [
+                ("ptr", ctypes.c_void_p),
+                ("size", ctypes.c_size_t),
+                ("pos", ctypes.c_size_t),
+            ]
+
+        # argtypes matter: without them ctypes passes the 64-bit
+        # DStream pointer as a C int and truncates it (segfault)
+        lib.ZSTD_createDStream.restype = ctypes.c_void_p
+        lib.ZSTD_createDStream.argtypes = []
+        lib.ZSTD_decompressStream.restype = ctypes.c_size_t
+        lib.ZSTD_decompressStream.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(_Buf),
+            ctypes.POINTER(_Buf),
+        ]
+        lib.ZSTD_DStreamOutSize.restype = ctypes.c_size_t
+        lib.ZSTD_DStreamOutSize.argtypes = []
+        lib.ZSTD_freeDStream.restype = ctypes.c_size_t
+        lib.ZSTD_freeDStream.argtypes = [ctypes.c_void_p]
+        ds = lib.ZSTD_createDStream()
+        try:
+            src = ctypes.create_string_buffer(data, len(data))
+            inp = _Buf(ctypes.cast(src, ctypes.c_void_p), len(data), 0)
+            chunk = lib.ZSTD_DStreamOutSize()
+            outbuf = ctypes.create_string_buffer(chunk)
+            parts = []
+            while inp.pos < inp.size:
+                out = _Buf(ctypes.cast(outbuf, ctypes.c_void_p), chunk, 0)
+                r = lib.ZSTD_decompressStream(
+                    ds, ctypes.byref(out), ctypes.byref(inp)
+                )
+                if lib.ZSTD_isError(r):
+                    raise ValueError("zstd stream decompression failed")
+                parts.append(outbuf.raw[: out.pos])
+                if r == 0 and inp.pos >= inp.size:
+                    break
+            return b"".join(parts)
+        finally:
+            lib.ZSTD_freeDStream(ds)
+
+
+def _compress_block(codec: str, body: bytes) -> bytes:
+    if codec == "null":
+        return body
+    if codec == "deflate":
+        import zlib
+
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw deflate
+        return co.compress(body) + co.flush()
+    if codec == "snappy":
+        import zlib
+
+        import pyarrow as pa
+
+        comp = pa.Codec("snappy").compress(body, asbytes=True)
+        return comp + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    if codec == "zstandard":
+        return _Zstd.compress(body)
+    raise ValueError(f"unsupported avro write codec {codec!r}")
+
+
+def _decompress_block(codec: str, payload: bytes) -> bytes:
+    if codec == "null":
+        return payload
+    if codec == "deflate":
+        import zlib
+
+        return zlib.decompress(payload, -15)
+    if codec == "snappy":
+        import zlib
+
+        import pyarrow as pa
+
+        if len(payload) < 4:
+            raise ValueError("snappy block too short for CRC trailer")
+        comp, crc = payload[:-4], struct.unpack(">I", payload[-4:])[0]
+        n = _snappy_raw_len(comp)
+        body = pa.Codec("snappy").decompress(
+            comp, decompressed_size=n, asbytes=True
+        )
+        if zlib.crc32(body) & 0xFFFFFFFF != crc:
+            raise ValueError("snappy block CRC mismatch (corrupt container)")
+        return body
+    if codec == "zstandard":
+        return _Zstd.decompress(payload)
+    raise ValueError(f"unsupported avro codec {codec!r}")
+
+
 # ------------------------------------------------------------ containers
 
 
@@ -243,11 +455,12 @@ def write_container(
     file-metadata map — the Iceberg spec requires manifests to embed
     ``schema``/``partition-spec``/``format-version``/… there, and
     Java-based readers hard-fail when they're absent.  *codec* is
-    ``null`` or ``deflate`` (raw RFC-1951, the spec's required
-    compression codec — zlib level 6, deterministic for goldens)."""
+    ``null``, ``deflate`` (raw RFC-1951, zlib level 6 — deterministic
+    for goldens), ``snappy`` or ``zstandard`` (alias ``zstd``)."""
     if len(sync) != 16:
         raise ValueError("sync marker must be 16 bytes")
-    if codec not in ("null", "deflate"):
+    codec = _norm_codec(codec)
+    if codec not in WRITE_CODECS:
         raise ValueError(f"unsupported avro write codec {codec!r}")
     meta = {
         "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
@@ -267,12 +480,7 @@ def write_container(
     names: dict = {}
     for rec in records:
         payload += encode(rec, schema, names)
-    body = bytes(payload)
-    if codec == "deflate":
-        import zlib
-
-        co = zlib.compressobj(6, zlib.DEFLATED, -15)  # raw deflate, no header
-        body = co.compress(body) + co.flush()
+    body = _compress_block(codec, bytes(payload))
     out += _zigzag(len(records)) + _zigzag(len(body)) + body + sync
     return bytes(out)
 
@@ -302,10 +510,8 @@ def read_container_with_meta(buf: bytes) -> tuple[dict, list, dict]:
         for _ in range(n):
             k = r.read(r.zigzag()).decode("utf-8")
             meta[k] = r.read(r.zigzag())
-    codec = meta.get("avro.codec", b"null")
-    if codec not in (b"null", b"", b"deflate"):
-        # snappy/zstd need libraries this environment lacks — refuse
-        # loudly rather than return garbage
+    codec = _norm_codec(meta.get("avro.codec", b"null").decode("utf-8"))
+    if codec not in WRITE_CODECS:
         raise ValueError(f"unsupported avro codec {codec!r}")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     sync = r.read(16)
@@ -316,12 +522,7 @@ def read_container_with_meta(buf: bytes) -> tuple[dict, list, dict]:
         except EOFError:
             return schema, records, meta
         size = r.zigzag()
-        payload = r.read(size)
-        if codec == b"deflate":
-            # spec: raw RFC-1951 DEFLATE, no zlib header/checksum
-            import zlib
-
-            payload = zlib.decompress(payload, -15)
+        payload = _decompress_block(codec, r.read(size))
         block = _Reader(payload)
         names: dict = {}
         for _ in range(n):

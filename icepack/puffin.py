@@ -10,9 +10,13 @@ Puffin is the container Iceberg points its table-metadata
 
 ``Magic`` is the FourCC ``PFA1`` (0x50 0x46 0x41 0x31).  Flag bit 0 of
 byte 0 marks an LZ4-compressed footer payload — this writer always
-emits an UNCOMPRESSED payload (flags = 0) and the reader refuses the
-compressed bit (no lz4 offline; same environment-blocked posture as the
-snappy/zstd Avro codecs).
+emits an UNCOMPRESSED payload (flags = 0), but the READER handles
+foreign compressed footers: the spec pins footer/blob ``lz4`` to "a
+single LZ4 frame with content size present", so the frame header's
+content-size field supplies the ``decompressed_size`` pyarrow's
+bundled lz4 codec requires.  Blob-level ``compression-codec`` values
+``lz4`` and ``zstd`` are decoded the same way (zstd via the libzstd
+bridge shared with the Avro codec layer).
 
 FooterPayload JSON: ``{"blobs": [BlobMetadata...], "properties": {}}``
 with each BlobMetadata carrying type / fields / snapshot-id /
@@ -40,6 +44,36 @@ MAGIC = b"PFA1"
 
 #: Flag (byte 0, bit 0): footer payload is LZ4-compressed.
 _FLAG_FOOTER_COMPRESSED = 0x01
+
+_LZ4_FRAME_MAGIC = 0x184D2204
+
+
+def _lz4_content_size(frame: bytes) -> int:
+    """Content size from an LZ4 frame header.  Puffin pins its lz4
+    usage to frames WITH the content-size field (spec: "with content
+    size present"), so its absence is a refusal, not a guess."""
+    if len(frame) < 7 or struct.unpack("<I", frame[:4])[0] != _LZ4_FRAME_MAGIC:
+        raise ValueError("not an LZ4 frame")
+    flg = frame[4]
+    if not flg & 0x08:  # content-size bit
+        raise ValueError("LZ4 frame lacks content size (Puffin requires it)")
+    return struct.unpack("<Q", frame[6:14])[0]
+
+
+def _decompress(codec: str | None, data: bytes) -> bytes:
+    if not codec:
+        return data
+    if codec == "lz4":
+        import pyarrow as pa
+
+        return pa.Codec("lz4").decompress(
+            data, decompressed_size=_lz4_content_size(data), asbytes=True
+        )
+    if codec == "zstd":
+        from .avroenc import _Zstd
+
+        return _Zstd.decompress(data)
+    raise ValueError(f"unsupported Puffin compression codec {codec!r}")
 
 
 def write_puffin(blobs: list[dict], properties: dict | None = None) -> bytes:
@@ -87,17 +121,21 @@ def read_puffin(puffin: bytes) -> tuple[list[dict], dict]:
     if puffin[:4] != MAGIC or puffin[-4:] != MAGIC:
         raise ValueError("not a Puffin file (bad magic)")
     (flags,) = struct.unpack("<i", puffin[-8:-4])
-    if flags & _FLAG_FOOTER_COMPRESSED:
-        raise ValueError("compressed Puffin footer not supported (no lz4)")
     (payload_len,) = struct.unpack("<i", puffin[-12:-8])
     payload_start = len(puffin) - 12 - payload_len
     if puffin[payload_start - 4 : payload_start] != MAGIC:
         raise ValueError("corrupt Puffin footer (payload magic mismatch)")
-    doc = json.loads(puffin[payload_start : payload_start + payload_len])
+    raw = puffin[payload_start : payload_start + payload_len]
+    if flags & _FLAG_FOOTER_COMPRESSED:
+        raw = _decompress("lz4", raw)
+    doc = json.loads(raw)
     blobs = []
     for m in doc.get("blobs", []):
         b = dict(m)
-        b["data"] = puffin[m["offset"] : m["offset"] + m["length"]]
+        b["data"] = _decompress(
+            m.get("compression-codec"),
+            puffin[m["offset"] : m["offset"] + m["length"]],
+        )
         blobs.append(b)
     return blobs, doc.get("properties", {})
 

@@ -13,7 +13,14 @@ import struct
 import pytest
 from pyspark.sql import functions as F, types as T
 
-from icepack.avroenc import _Reader, decode, encode, read_container, write_container
+from icepack.avroenc import (
+    _Reader,
+    decode,
+    encode,
+    read_container,
+    read_container_with_meta,
+    write_container,
+)
 from icepack.iceberg_export import export_iceberg, read_exported_file_list
 from icepack.murmur3 import bucket, iceberg_hash_bytes, murmur3_x86_32
 from icepack.table import IceTable
@@ -121,12 +128,72 @@ def test_avro_deflate_codec_roundtrip():
     assert len(defl_buf) < len(null_buf) / 5
     _, got = read_container(defl_buf)
     assert got == recs
-    # the block really is raw deflate (no zlib header) — decompress it
-    # independently of our reader
+    # snappy (pyarrow codec + big-endian CRC32 trailer) and zstandard
+    # (libzstd frame) round-trip and compress; "zstd" normalizes to
+    # the spec's "zstandard" metadata spelling; unknown codecs refuse
     import pytest as _pytest
 
+    for c in ("snappy", "zstandard", "zstd"):
+        buf = write_container(schema, recs, sync, codec=c)
+        assert len(buf) < len(null_buf) / 3
+        got_schema, got_recs, got_meta = read_container_with_meta(buf)
+        assert got_recs == recs
+        assert got_meta["avro.codec"] in (b"snappy", b"zstandard")
     with _pytest.raises(ValueError):
-        write_container(schema, recs, sync, codec="snappy")
+        write_container(schema, recs, sync, codec="bzip2")
+
+
+def test_avro_snappy_foreign_block_and_zstd_stream():
+    """Codec interop beyond our own writer: a snappy block assembled
+    independently (pyarrow compress + big-endian CRC32, as Java Avro
+    writes it) decodes; a corrupted CRC refuses; and the zstd
+    STREAMING decompressor (the path for foreign frames that omit the
+    frame-header content size) reproduces the one-shot result."""
+    import struct
+    import zlib
+
+    import pyarrow as pa
+
+    from icepack.avroenc import _Zstd, _zigzag, encode
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "i", "type": "long"}],
+    }
+    recs = [{"i": i} for i in range(500)]
+    sync = bytes(range(16))
+    payload = bytearray()
+    names: dict = {}
+    for rec in recs:
+        payload += encode(rec, schema, names)
+    comp = pa.Codec("snappy").compress(bytes(payload), asbytes=True)
+    block = comp + struct.pack(">I", zlib.crc32(bytes(payload)) & 0xFFFFFFFF)
+    buf = bytearray(b"Obj\x01")
+    meta = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": b"snappy",
+    }
+    buf += _zigzag(len(meta))
+    for k, v in sorted(meta.items()):
+        buf += _zigzag(len(k.encode())) + k.encode()
+        buf += _zigzag(len(v)) + v
+    buf += _zigzag(0) + sync
+    buf += _zigzag(len(recs)) + _zigzag(len(block)) + bytes(block) + sync
+    _, got = read_container(bytes(buf))
+    assert [r["i"] for r in got] == list(range(500))
+
+    # flip a CRC byte → loud refusal, not silent garbage
+    bad = bytearray(buf)
+    bad[-17] ^= 0xFF  # last CRC byte (block trailer sits before sync)
+    with pytest.raises(ValueError, match="CRC"):
+        read_container(bytes(bad))
+
+    # streaming zstd decode matches one-shot on the same frame
+    data = b"streaming zstd block " * 300
+    frame = _Zstd.compress(data)
+    assert _Zstd.decompress(frame) == data
+    assert _Zstd._decompress_stream(frame) == data
 
 
 # ---------------------------------------------------------------- murmur3
@@ -949,7 +1016,7 @@ def test_avro_reader_foreign_container_shapes():
 
     # genuinely unsupported codec refuses loudly
     bad = bytearray(b"Obj\x01")
-    meta3 = dict(meta, **{"avro.codec": b"snappy"})
+    meta3 = dict(meta, **{"avro.codec": b"bzip2"})
     bad += _zigzag(len(meta3))
     for k, v in sorted(meta3.items()):
         bad += _encode_str(k) + _encode_bytes(v)
