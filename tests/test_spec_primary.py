@@ -299,22 +299,24 @@ def test_concurrent_appends_converge(spark, tmp_path):
     _triangle(spark, a, loc)
 
 
-def test_deflate_codec_manifests(spark, tmp_path):
-    """write.avro.codec=deflate: spec-primary manifests compress with
-    the spec's required codec and the whole triangle still reads them
-    (our reader + the DuckDB render both consume the deflate tree)."""
-    loc = str(tmp_path / "sp_defl")
+@pytest.mark.parametrize("codec", ["deflate", "snappy", "zstandard"])
+def test_compressed_codec_manifests(spark, tmp_path, codec):
+    """write.avro.codec={deflate,snappy,zstandard}: spec-primary
+    manifests compress with the requested codec and the whole triangle
+    still reads them (our reader + the DuckDB render both consume the
+    compressed tree)."""
+    loc = str(tmp_path / f"sp_{codec}")
     df = _df(spark, 30)
     t = IceTable.create(
         spark,
         loc,
         df.schema,
-        properties={**PROPS, "write.avro.codec": "deflate"},
+        properties={**PROPS, "write.avro.codec": codec},
     )
     t.append(df)
     t.delete(col("id") == 2)
     _triangle(spark, t, loc)
-    # manifests really carry the deflate codec marker
+    # manifests really carry the codec marker
     from icepack.avroenc import read_container_with_meta
 
     mdirp = os.path.join(loc, "metadata")
@@ -322,7 +324,7 @@ def test_deflate_codec_manifests(spark, tmp_path):
     assert avros
     for n in avros:
         _, _, meta = read_container_with_meta(open(os.path.join(mdirp, n), "rb").read())
-        assert meta["avro.codec"] == b"deflate"
+        assert meta["avro.codec"] == codec.encode()
     t2 = IceTable.load(spark, loc)
     assert t2.verify() == []
 
