@@ -45,6 +45,9 @@ HEADLINE = [
     "x28_sequence_pack",
     "x30_embedding_outliers",
     "x42_training_pipeline",
+    # span-level substring dedup (r6): the heaviest token-granular
+    # dedup leg; sf1 ladder stresses its all-grams-shared worst case
+    "x47_substring_dedup",
     "p1_pruned_scan",
     "f8_explode_words",
     # table-layer lifecycle: create→append→(prune/delete)→scan

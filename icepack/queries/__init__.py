@@ -121,6 +121,7 @@ PRIORITY: list[str] = [
     "ice49_spec_primary",
     "ice50_foreign_adopt",
     "ice51_table_stats",
+    "x47_substring_dedup",
 ]
 
 

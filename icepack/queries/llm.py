@@ -2736,3 +2736,134 @@ def x46_line_dedup_ratio(spark: SparkSession, sf: str) -> DataFrame:
         ratio.alias("dup_line_ratio"),
         (ratio <= 0.3).alias("keep"),
     )
+
+
+@query(
+    "x47_substring_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(ws, i+1, i+8), ' ') AS g
+      FROM toks, LATERAL unnest(range(len(ws) - 7)) AS t(i)
+      WHERE len(ws) >= 8
+    ),
+    dup AS (
+      SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)
+    ),
+    cov AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+    ),
+    merged AS (
+      SELECT doc_id, pos,
+             max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM cov
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             SUM(pos + 8 - GREATEST(pos, COALESCE(prev_end, pos))) AS dup_tokens
+      FROM merged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(COALESCE(p.dup_tokens, 0) * 1.0
+                 / len(string_split(d.text, ' ')), 6) AS dup_frac,
+           (COALESCE(p.dup_tokens, 0) * 1.0
+                 / len(string_split(d.text, ' '))) < 0.5 AS keep
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def x47_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document exact substring dedup: per-doc fraction of tokens
+    covered by any 8-token span that ALSO appears verbatim in another
+    document — the span-level dedup signal (published pipelines drop or
+    trim docs whose training text is largely copied elsewhere, e.g. the
+    50-token exact-substring rule; k=8 fits the synthetic corpus's doc
+    lengths).
+
+    Shape, built for the 100 TB case:
+    - grams stream = one row per token (window lead()s over the doc_id
+      sort, same pattern as ``_shingle_rows`` — the explode(transform)
+      alternative re-evaluates the array per output row, ~10x slower
+      measured there);
+    - the shared-gram set derives from a ``groupBy(hash)`` whose ONLY
+      aggregates are min/max(doc_id) — fully map-side combinable, and
+      "appears in >1 distinct doc" falls out as ``min <> max`` with no
+      countDistinct;
+    - the exchange key is a 16-byte pair of independent xxhash64 seeds,
+      never the gram text (the oracle groups the raw string; a false
+      positive needs a simultaneous 2x64-bit collision, ~2^-128);
+    - cover marking is a LEFT SEMI join gram-stream -> shared-set: at
+      most one match per row, so a boilerplate gram shared by millions
+      of docs cannot explode the join (posting-list designs would);
+    - span union per doc is gaps-and-islands: each covered position
+      contributes ``pos+k - max(pos, running_max(prev ends))`` — exact
+      merged-interval length with one window over the doc_id sort.
+    """
+    from pyspark.sql import Window as W
+
+    K = 8
+    d = load(spark, sf, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("ws")).select(
+        "doc_id", F.size("ws").cast("bigint").alias("n_tokens"), "ws"
+    )
+    par = base.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    we = par.select(
+        "doc_id", F.posexplode("ws").alias("pos", "w")
+    )
+    win = W.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("w")] + [F.lead("w", i).over(win).alias(f"w{i}") for i in range(1, K)]
+    grams = (
+        we.select("doc_id", "pos", *cols)
+        .filter(F.col(f"w{K-1}").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, K)]).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64("g").alias("k1"),
+            F.xxhash64(F.lit(41), "g").alias("k2"),
+        )
+    )
+    shared = (
+        grams.groupBy("k1", "k2")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("k1", "k2")
+    )
+    cov = grams.join(shared, ["k1", "k2"], "left_semi").select("doc_id", "pos")
+    prev_end = F.max(F.col("pos") + K).over(
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.unboundedPreceding, -1)
+    )
+    per_doc = (
+        cov.withColumn("prev_end", prev_end)
+        .select(
+            "doc_id",
+            (
+                F.col("pos")
+                + K
+                - F.greatest(F.col("pos"), F.coalesce("prev_end", "pos"))
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("dup_tokens"))
+    )
+    frac = F.coalesce("dup_tokens", F.lit(0)) * F.lit(1.0) / F.col("n_tokens")
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.round(frac, 6).alias("dup_frac"),
+            (frac < 0.5).alias("keep"),
+        )
+    )
