@@ -376,7 +376,7 @@ class _Zstd:
             chunk = lib.ZSTD_DStreamOutSize()
             outbuf = ctypes.create_string_buffer(chunk)
             parts = []
-            while inp.pos < inp.size:
+            while True:
                 out = _Buf(ctypes.cast(outbuf, ctypes.c_void_p), chunk, 0)
                 r = lib.ZSTD_decompressStream(
                     ds, ctypes.byref(out), ctypes.byref(inp)
@@ -385,7 +385,17 @@ class _Zstd:
                     raise ValueError("zstd stream decompression failed")
                 parts.append(outbuf.raw[: out.pos])
                 if r == 0 and inp.pos >= inp.size:
-                    break
+                    break  # frame(s) fully flushed and input consumed
+                if inp.pos >= inp.size and out.pos == 0:
+                    # input exhausted mid-frame with nothing left to
+                    # flush: a truncated content-size-less frame must
+                    # ERROR, not silently return partial bytes
+                    # (downstream Avro block decoding would fail
+                    # confusingly or decode a truncated record set)
+                    raise ValueError(
+                        "truncated zstd frame: input ended before the "
+                        "frame completed"
+                    )
             return b"".join(parts)
         finally:
             lib.ZSTD_freeDStream(ds)

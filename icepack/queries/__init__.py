@@ -56,72 +56,76 @@ def load_all_modules() -> None:
 #: iteration order never depends on untracked files in the environment
 #: (same input -> same order, everywhere).
 #:
-#: Round-5 snapshot: every §2 row has driver-green evidence
-#: (cumulative 175/175 entering r05), but 47 queries' LATEST evidence
-#: is r01 — nearly the whole X family plus the early join/predicate
-#: battery — four rounds of code movement behind their last driver
-#: hash.  Front-load all 47 (VERDICT r4 next-round #2: "no query's
-#: latest evidence older than two rounds"), then the DML-family
-#: queries whose hit-scan path changed this round, then the oldest
-#: r02-evidenced rows as budget allows.
+#: Round-7 snapshot: cumulative driver coverage 181/181 green, but the
+#: four round-6 additions (ice49/ice50/ice51/x47) have NEVER been
+#: driver-sampled — they are first (VERDICT r6 item 1).  Next come the
+#: queries whose code paths change this round (spec-delete
+#: canonicalization, x2 shingle rewrite, DSv2 MOR fallback), then the
+#: 39 queries whose latest evidence is r03 (oldest cohort), then the
+#: r04 cohort heads as budget allows.
 PRIORITY: list[str] = [
-    # r6 rotation: evidence-staleness first (VERDICT r5 item 5) — the
-    # 42 queries whose latest driver sample is r01/r02, oldest first
-    "x30_embedding_outliers",
-    "x31_jaccard_stopshingles",
-    "x32_bigram_entropy",
-    "a14_cohort_retention",
-    "a16_stickiness",
-    "ice3_delete_cow",
-    "ice4_update",
-    "ice6_schema_evolution",
-    "ice8_metadata_tables",
-    "ice9_compact_expire",
-    "ice11_incremental_read",
-    "ice12_sql_over_table",
-    "ice14_refs_rollback",
-    "ice15_mor_position_delete",
-    "ice16_mor_update",
-    "ice17_zorder_compact",
-    "ice18_sorted_write",
-    "ice19_partition_evolution",
-    "ice20_wap",
-    "ice21_query_history",
-    "ice23_orphan_cleanup",
-    "ice24_rewrite_manifests",
-    "ice25_sql_surface",
-    "ice26_incremental_dedup",
-    "ice27_scd2",
-    "ice28_json_ingest",
-    "ice29_add_files",
-    "ice30_csv_ingest",
-    "st1_tumbling_window",
-    "st2_sliding_window",
-    "st3_session_window",
-    "st5_dedup",
-    "st7_stream_join",
-    "x33_doc_chunking",
-    "x34_chunk_dedup",
-    "x35_train_split",
-    "x36_minhash_estimate",
-    "x37_unigram_surprisal",
-    "x38_ngram_novelty",
-    "x39_kmeans_assign",
-    "x40_pq_encode",
-    "x41_stratified_fixed_n",
-    # code changed in r6 — re-evidence even though r5-green
-    "x1_exact_dedup",
-    "x2_jaccard_pairs",
-    "x13_embedding_neardup",
-    "x22_contamination",
-    "ice43_iceberg_export",
-    "ice45_mor_batch_read",
-    "ice47_iceberg_read",
-    "ice48_spec_read_prune",
+    # never driver-sampled (landed after the r6 driver run)
     "ice49_spec_primary",
     "ice50_foreign_adopt",
     "ice51_table_stats",
     "x47_substring_dedup",
+    # code changing this round -- re-evidence
+    "x2_jaccard_pairs",
+    "x31_jaccard_stopshingles",
+    "ice45_mor_batch_read",
+    "ice47_iceberg_read",
+    "ice48_spec_read_prune",
+    # r03-evidenced cohort (oldest), registration order
+    "x20_kmeans_ivf",
+    "x28_sequence_pack",
+    "x29_vocab_stats",
+    "x42_training_pipeline",
+    "x43_pii_scan",
+    "x44_pii_redact",
+    "a4_tpch_q3",
+    "a4_tpch_q4",
+    "a4_tpch_q6",
+    "a4_tpch_q7",
+    "a4_tpch_q8",
+    "a4_tpch_q13",
+    "a4_tpch_q10",
+    "a4_tpch_q14",
+    "a4_tpch_q17",
+    "a4_tpch_q22",
+    "a4_tpch_q15",
+    "a4_tpch_q9",
+    "a4_tpch_q19",
+    "a5_scalar_subquery",
+    "a6_rollup",
+    "a6_cube",
+    "a3_approx_distinct",
+    "a7_stat_aggs",
+    "a8_pivot",
+    "w2_lag_gap",
+    "w1_rank_family",
+    "a5_correlated_subquery",
+    "a9_listagg",
+    "a10_conditional_agg",
+    "a11_salted_agg",
+    "j9_null_safe_join",
+    "a13_skyline",
+    "a17_exact_median",
+    "a18_gapfill_lerp",
+    "a19_copurchase",
+    "a20_share_of_total",
+    "ice32_rest_catalog",
+    "ice33_orc_ingest",
+    # r04 cohort heads
+    "x45_domain_cap",
+    "x46_line_dedup_ratio",
+    "a1_groupby_count",
+    "a4_tpch_q1",
+    "a0_gold_daily",
+    "a4_tpch_q5",
+    "a4_tpch_q18",
+    "a6_grouping_sets",
+    "w1_topk_per_group",
+    "w3_running_sum",
 ]
 
 

@@ -611,11 +611,22 @@ def read_spec_manifest(
     for r in recs:
         df_ = r["data_file"]
         code = df_.get("content", 0)
+        # foreign engines may spell paths as file: URIs — decode to an
+        # OPENABLE local path (mirrors iceberg_import._snapshot_entries;
+        # Hadoop/pyarrow treat %20 literally in raw paths).  Non-file
+        # schemes keep their connector spelling; the delete-mask join
+        # canonicalizes both sides separately.
+        fpath = df_["file_path"]
+        if fpath.startswith("file:"):
+            fpath = canonical_file_path(fpath)
         # stash-less files are FOREIGN (written by an external engine,
         # or kept foreign across rewrites): schema_id sentinel -1 makes
         # the read path resolve their columns by parquet field ids /
-        # name mapping instead of imposing a schema by name
+        # name mapping instead of imposing a schema by name.  Stash keys
+        # are written by US in the native spelling, so try both.
         sid = stash.get(df_["file_path"])
+        if sid is None:
+            sid = stash.get(fpath)
         schema_id = sid if sid is not None else -1
         schema = meta.schema_by_id(
             schema_id if schema_id != -1 else meta.current_schema_id
@@ -630,7 +641,7 @@ def read_spec_manifest(
                     eq_cols.append(f.name)
         out.append(
             DataFile(
-                path=df_["file_path"],
+                path=fpath,
                 status=_CODE_TO_STATUS.get(r.get("status", 1), "added"),
                 partition=partition,
                 spec_id=spec_id,
@@ -740,11 +751,22 @@ def write_spec_manifest_list(
     for name, s in zip(manifests, summaries):
         delete_content = s.get("delete-content-files", 0)
         spec_ids = s.get("spec-ids") or [0]
+        if len(spec_ids) > 1:
+            # a spec manifest declares ONE partition-spec-id in its
+            # header — an external reader decodes every entry's
+            # partition tuple under it.  write_spec_manifests splits
+            # entries per spec id before reaching here; a multi-spec
+            # summary slipping through would silently mis-decode, so
+            # refuse loudly instead of picking spec_ids[0]
+            raise ValueError(
+                f"manifest {name} summary spans partition specs "
+                f"{spec_ids}; spec manifests must be split per spec id"
+            )
         recs.append(
             {
                 "manifest_path": os.path.join(mdir, name),
                 "manifest_length": s.get("manifest-length", 0),
-                "partition_spec_id": spec_ids[0] if len(spec_ids) == 1 else spec_ids[0],
+                "partition_spec_id": spec_ids[0],
                 "content": 1 if delete_content and delete_content == s.get("live-files", -1) else 0,
                 "sequence_number": s.get("sequence-number", sequence_number),
                 "min_sequence_number": s.get("min-sequence-number", 0),

@@ -263,6 +263,19 @@ class IceTable:
         )
         spec = build_partition_spec(ice_schema, partition_by)
         meta = TableMetadata.new(location, ice_schema, spec, properties)
+        if any(pf.transform.startswith("truncate[") for pf in spec.fields):
+            # version the truncate SEMANTICS at spec creation (ADVICE
+            # r6): integral truncate is spec arithmetic (v - v mod W),
+            # not string prefix.  Legacy prefix-string tuples (written
+            # before this stamp existed) are typed str and therefore
+            # unprunable against arithmetic projections — safe, just
+            # unpruned; future semantics changes gate on this property.
+            meta = meta.copy_with(
+                properties={
+                    **meta.properties,
+                    "icepack.truncate-semantics": "spec-arithmetic",
+                }
+            )
         from .specio import check_spec_expressible, is_spec_primary
 
         if is_spec_primary(meta.properties):
@@ -1111,7 +1124,11 @@ class IceTable:
                     # paths); Spark's _file is a percent-encoded URI —
                     # canonicalize it through the same function both
                     # interop joins use (Arrow-batched, never per-row
-                    # Python)
+                    # Python).  The DELETE side must go through the
+                    # same canonicalizer: foreign engines commonly
+                    # spell file_path as a ``file:/abs/path`` URI, and
+                    # a verbatim compare would never match, silently
+                    # resurrecting deleted rows on adopted tables.
                     from .iceberg_import import canonical_file_path
 
                     import pandas as pd  # noqa: F401
@@ -1121,11 +1138,13 @@ class IceTable:
                         return s.map(canonical_file_path)
 
                     key = _canon(df["_file"])
+                    del_key = _canon(dels["file_path"])
                 else:
                     key = df["_file"]
+                    del_key = dels["file_path"]
                 df = df.join(
                     F.broadcast(dels),
-                    (key == dels["file_path"]) & (df["_pos"] == dels["pos"]),
+                    (key == del_key) & (df["_pos"] == dels["pos"]),
                     "left_anti",
                 )
                 if not with_pos:
@@ -1873,6 +1892,15 @@ class IceTable:
             partition_specs=meta.partition_specs + [new_spec],
             default_spec_id=new_spec.spec_id,
         )
+        if any(pf.transform.startswith("truncate[") for pf in pfields):
+            # same semantics stamp as CREATE (ADVICE r6): records that
+            # this spec's integral truncate is arithmetic, not prefix
+            new_meta = new_meta.copy_with(
+                properties={
+                    **new_meta.properties,
+                    "icepack.truncate-semantics": "spec-arithmetic",
+                }
+            )
         if self.spec_primary:
             from .specio import check_spec_expressible
 

@@ -194,6 +194,10 @@ def test_avro_snappy_foreign_block_and_zstd_stream():
     frame = _Zstd.compress(data)
     assert _Zstd.decompress(frame) == data
     assert _Zstd._decompress_stream(frame) == data
+    # a TRUNCATED frame errors loudly instead of returning partial
+    # bytes (ADVICE r6: silent partials corrupt downstream Avro blocks)
+    with pytest.raises(ValueError, match="truncated zstd"):
+        _Zstd._decompress_stream(frame[: len(frame) // 2])
 
 
 # ---------------------------------------------------------------- murmur3

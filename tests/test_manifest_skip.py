@@ -328,3 +328,63 @@ def test_randomized_end_to_end_pruning_equivalence(spark, tmp_path):
             want = rows_sorted(t.toDF().filter(pred.to_column()))
             got = rows_sorted(t.toDF(pred))
             assert got == want, f"trial {trial} ({src},{tr}): {pred}"
+
+
+def test_legacy_prefix_truncate_values_never_prune_wrong(spark, tmp_path):
+    """ADVICE r6 (medium): integral truncate switched from string-prefix
+    to spec arithmetic (v - v mod W).  A table written under the OLD
+    semantics stores prefix-STRING partition values ('12' for 1234);
+    projections now produce arithmetic ints.  The comparators must treat
+    the type mismatch as unknown (keep), so legacy tables lose pruning
+    but never rows.  Simulated by rewriting a fresh table's manifests +
+    manifest-list summaries into the legacy string form."""
+    import datetime as dt
+    import glob
+    import json
+    import os
+
+    loc = str(tmp_path / "legacy_trunc")
+    rows = [(i, f"n{i}") for i in list(range(10, 15)) + list(range(1200, 1205))]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    t = IceTable.create(spark, loc, df.schema, partition_by=[("id", "truncate[2]")])
+    # two commits -> two files/manifests with distinct prefixes
+    t.append(df.filter("id < 100"))
+    t.append(df.filter("id >= 100"))
+    mdir = os.path.join(loc, "metadata")
+    pf_name = t.meta.spec.fields[0].name
+    for mpath in glob.glob(os.path.join(mdir, "manifest-*.jsonl")):
+        out = []
+        for line in open(mpath):
+            e = json.loads(line)
+            v = e["partition"].get(pf_name)
+            if v is not None:
+                # legacy form: first W chars of str(value) — W=2
+                e["partition"][pf_name] = str(v)[:2] if str(v)[:2] != str(v) else str(v)
+            out.append(json.dumps(e))
+        open(mpath, "w").write("\n".join(out) + "\n")
+    for lpath in glob.glob(os.path.join(mdir, "snap-*.manifest-list.json")):
+        descs = json.load(open(lpath))
+        for d in descs:
+            s = (d.get("partition-summaries") or {}).get(pf_name)
+            if s:
+                s["min"] = str(s["min"])[:2] if s["min"] is not None else None
+                s["max"] = str(s["max"])[:2] if s["max"] is not None else None
+        json.dump(descs, open(lpath, "w"))
+    t2 = IceTable.load(spark, loc)
+    for pred in (
+        col("id") == 1203,
+        col("id") >= 1200,
+        col("id") <= 14,
+        col("id").isin(12, 1201),
+    ):
+        want = rows_sorted(t2.toDF().filter(pred.to_column()))
+        got = rows_sorted(t2.toDF(pred))
+        assert got == want and got, f"legacy truncate lost rows for {pred}"
+    # the selected set still contains the matching row's file (column
+    # stats may legitimately prune others; the legacy PARTITION tuples
+    # themselves are unprunable type-mismatches)
+    hit, report = t2.plan_files(col("id") == 1203)
+    assert sum(f.record_count for f in hit) >= 1
+    from icepack.expr import Cmp, partition_tuple_matches
+
+    assert partition_tuple_matches(Cmp(pf_name, "=", 1202), {pf_name: "12"})

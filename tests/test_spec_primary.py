@@ -571,3 +571,104 @@ def test_crash_consistency_spec_ops(spark, tmp_path, op):
             assert ok, f"partial state at k={k} for {op}"
         k += 1
         assert k < 60, "sweep did not terminate"
+
+
+def _rewrite_parquet_file_paths_to_uri(path):
+    """In-place rewrite of a position-delete parquet: file_path values
+    become percent-encoded file:// URIs, schema (incl. the reserved
+    field ids) preserved — stands in for a foreign engine that spells
+    delete targets as URIs (ADVICE r6 high)."""
+    from urllib.parse import quote
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    idx = tbl.schema.get_field_index("file_path")
+    vals = [
+        v if v is None or v.startswith("file:") else "file://" + quote(v)
+        for v in tbl.column(idx).to_pylist()
+    ]
+    tbl = tbl.set_column(idx, tbl.schema.field(idx), pa.array(vals, pa.string()))
+    pq.write_table(tbl, path)
+
+
+def test_foreign_uri_position_delete_paths_apply(spark, tmp_path):
+    """ADVICE r6 (high): a spec-shaped position-delete file whose
+    file_path values are spelled as ``file:`` URIs (the common foreign
+    spelling; reserved field ids present, so no rewrite happens) must
+    still mask rows on the NATIVE read — both sides of the anti-join
+    canonicalize, otherwise deleted rows silently resurrect."""
+    loc = str(tmp_path / "sp uri del")  # space: canonicalization
+    df = _df(spark, 12)
+    t = IceTable.create(
+        spark,
+        loc,
+        df.schema,
+        properties={
+            **PROPS,
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df)
+    t.delete(col("id") == 7)  # position delete, spec-shaped on disk
+    dels = [d for d in t.live_files(content="deletes")]
+    assert dels and all(d.content == "position-deletes" for d in dels)
+    for d in dels:
+        _rewrite_parquet_file_paths_to_uri(d.path)
+    t2 = IceTable.load(spark, loc)
+    got = sorted(r.id for r in t2.toDF().collect())
+    assert got == [i for i in range(12) if i != 7]
+    # the independent spec reader agrees on the same tree
+    ext = read_iceberg(spark, os.path.join(loc, "metadata"))
+    assert sorted(r.id for r in ext.collect()) == got
+
+
+def test_foreign_uri_manifest_data_paths_native_read(spark, tmp_path):
+    """A spec manifest whose data_file.file_path entries are ``file:``
+    URIs (foreign spelling) must load natively: read_spec_manifest
+    decodes to openable paths (mirroring _snapshot_entries) and the
+    delete mask still applies."""
+    from urllib.parse import quote
+
+    from icepack.avroenc import read_container_with_meta, write_container
+
+    loc = str(tmp_path / "sp uri man")
+    df = _df(spark, 10)
+    t = IceTable.create(
+        spark,
+        loc,
+        df.schema,
+        properties={
+            **PROPS,
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df)
+    t.delete(col("id") == 4)
+    # rewrite every spec manifest's file_path entries to file:-URIs
+    mdirp = os.path.join(loc, "metadata")
+    hint = json.load(open(os.path.join(mdirp, "version-hint.json")))
+    md = json.load(open(os.path.join(mdirp, f"v{hint['version']}.metadata.json")))
+    snap = next(
+        s for s in md["snapshots"] if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, mlist, _ = read_container_with_meta(open(snap["manifest-list"], "rb").read())
+    for m in mlist:
+        schema, entries, meta = read_container_with_meta(
+            open(m["manifest_path"], "rb").read()
+        )
+        for e in entries:
+            p = e["data_file"]["file_path"]
+            if not p.startswith("file:"):
+                e["data_file"]["file_path"] = "file://" + quote(p)
+        extra = {k: v for k, v in meta.items() if not k.startswith("avro.")}
+        with open(m["manifest_path"], "wb") as fh:
+            fh.write(write_container(schema, entries, b"\x00" * 16, extra_meta=extra))
+    t2 = IceTable.load(spark, loc)
+    got = sorted(r.id for r in t2.toDF().collect())
+    assert got == [i for i in range(10) if i != 4]
+    hit, report = t2.plan_files(col("id") == 0)
+    assert report["files_scanned"] <= report["files_total"]
