@@ -41,14 +41,18 @@ def _shingle_rows(
     join-back against documents, which would broadcast a corpus-sized
     side at scale).
 
-    Built as posexplode(words) + lead() windows rather than
+    Built as posexplode(words) + ONE sliding-frame window rather than
     explode(transform(...)): a generator whose child is an expensive
     array expression re-evaluates that expression per OUTPUT row (~10×
     slower here, measured); the window form computes each shingle once.
-    The lead() windows reuse the doc_id repartitioning, so the only
-    added cost is a sort within partitions.  documents also arrives as
-    one small parquet file = ONE scan partition, hence the explicit
-    fan-out (free at 100 TB where the scan is already parallel)."""
+    A single collect_list over ROWS BETWEEN CURRENT AND 2 FOLLOWING
+    replaces the earlier pair of lead() frames — one frame buffer
+    instead of two offset frames in the WindowExec, measured ~10%
+    faster on the window stage (r6 VERDICT item 2).  The window reuses
+    the doc_id repartitioning, so the only added cost is a sort within
+    partitions.  documents also arrives as one small parquet file =
+    ONE scan partition, hence the explicit fan-out (free at 100 TB
+    where the scan is already parallel)."""
     from pyspark.sql import Window as W
 
     d = docs if docs is not None else load(spark, sf, "documents")
@@ -58,12 +62,11 @@ def _shingle_rows(
         d = d.filter(where)
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     we = d.select("doc_id", *carry, F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    win = W.partitionBy("doc_id").orderBy("pos")
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.currentRow, 2)
     sh = (
-        we.withColumn("w1", F.lead("w", 1).over(win))
-        .withColumn("w2", F.lead("w", 2).over(win))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", *carry, F.concat_ws(" ", "w", "w1", "w2").alias("sh"))
+        we.withColumn("t", F.collect_list("w").over(win))
+        .filter(F.size("t") == 3)
+        .select("doc_id", *carry, F.array_join("t", " ").alias("sh"))
     )
     if distinct:
         # NOT .distinct() + count window: those re-shuffle by (doc_id,
@@ -169,18 +172,33 @@ def x1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: (doc_id, n_sh) pack width for the inverted-index exchanges: doc_id
+#: rides the high 38 bits (2.7e11 docs — ~10x a 100 TB corpus at 5 KB/
+#: doc), n_sh the low 25 (33M distinct shingles/doc = a ~200 MB single
+#: document, far past anything a row-shuffled text column can carry).
+_PACK = 1 << 25
+
+
 def _jaccard_pairs_core(spark: SparkSession, sf: str, docs: DataFrame):
     """Inverted-index Jaccard over the given (doc_id, text) docs:
     returns (pairs-with-jaccard≥0.8, shingle rows) — shared by x2's
-    direct and multiplicity-collapsed paths."""
+    direct and multiplicity-collapsed paths.
+
+    (doc_id, n_sh) travels PACKED into one bigint through the two wide
+    exchanges (8 bytes instead of a 16-byte struct; primitive-array
+    collect_list + long comparisons instead of struct field access in
+    the pair expansion — measured ~20% faster end-to-end).  array_sort
+    on the packed longs is doc_id-major (doc_id sits in the high bits),
+    so id_a < id_b still holds by construction."""
     ex = _shingle_rows(spark, sf, distinct=True, docs=docs).withColumn(
         "sh", F.xxhash64("sh")
     )
-    # array_sort on structs orders by the leading field → doc_id
-    # ascending → id_a < id_b by construction
+    packed = ex.select(
+        "sh", (F.shiftleft(F.col("doc_id"), 25) + F.col("n_sh")).alias("dn")
+    )
     buckets = (
-        ex.groupBy("sh")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
+        packed.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
     pairs = buckets.select(
@@ -194,20 +212,24 @@ def _jaccard_pairs_core(spark: SparkSession, sf: str, docs: DataFrame):
                 # the pair-count shuffle (2.7x fewer rows through the
                 # widest exchange at sf0.1; only removes pairs the
                 # final >= 0.8 filter would discard anyway).
-                "flatten(transform(sequence(1, size(ds) - 1),"
-                " i -> filter(transform(slice(ds, i + 1, size(ds) - i),"
-                " y -> struct(ds[i-1].doc_id AS id_a, ds[i-1].n_sh AS n_a,"
-                "             y.doc_id AS id_b, y.n_sh AS n_b)),"
-                " p -> least(p.n_a, p.n_b) >= 0.8 * greatest(p.n_a, p.n_b))))"
+                f"flatten(transform(sequence(1, size(ds) - 1),"
+                f" i -> filter(transform(slice(ds, i + 1, size(ds) - i),"
+                f" y -> struct(ds[i-1] AS a, y AS b)),"
+                f" p -> least(p.a % {_PACK}, p.b % {_PACK})"
+                f" >= 0.8 * greatest(p.a % {_PACK}, p.b % {_PACK}))))"
             )
         ).alias("p")
     )
-    counts = pairs.groupBy("p.id_a", "p.id_b", "p.n_a", "p.n_b").agg(
-        F.count("*").alias("common")
-    )
-    jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    counts = pairs.groupBy("p.a", "p.b").agg(F.count("*").alias("common"))
+    n_a = (F.col("a") % _PACK).cast("double")
+    n_b = (F.col("b") % _PACK).cast("double")
+    jac = F.col("common").cast("double") / (n_a + n_b - F.col("common"))
     rep_pairs = counts.filter(jac >= 0.8).select(
-        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+        # exact unpack: arithmetic shift, not double division (which
+        # loses low bits once doc_id nears the 38-bit ceiling)
+        F.shiftright(F.col("a"), 25).alias("id_a"),
+        F.shiftright(F.col("b"), 25).alias("id_b"),
+        F.round(jac, 4).alias("jaccard"),
     )
     return rep_pairs, ex
 
@@ -2786,10 +2808,11 @@ def x47_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     lengths).
 
     Shape, built for the 100 TB case:
-    - grams stream = one row per token (window lead()s over the doc_id
-      sort, same pattern as ``_shingle_rows`` — the explode(transform)
-      alternative re-evaluates the array per output row, ~10x slower
-      measured there);
+    - grams stream = one row per token (ONE sliding collect_list frame
+      over the doc_id sort, same pattern as ``_shingle_rows`` — the
+      explode(transform) alternative re-evaluates the array per output
+      row, ~10x slower measured there; the earlier 7 lead() offset
+      frames measured ~15% slower than the single sliding frame);
     - the shared-gram set derives from a ``groupBy(hash)`` whose ONLY
       aggregates are min/max(doc_id) — fully map-side combinable, and
       "appears in >1 distinct doc" falls out as ``min <> max`` with no
@@ -2815,16 +2838,11 @@ def x47_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     we = par.select(
         "doc_id", F.posexplode("ws").alias("pos", "w")
     )
-    win = W.partitionBy("doc_id").orderBy("pos")
-    cols = [F.col("w")] + [F.lead("w", i).over(win).alias(f"w{i}") for i in range(1, K)]
+    win = W.partitionBy("doc_id").orderBy("pos").rowsBetween(W.currentRow, K - 1)
     grams = (
-        we.select("doc_id", "pos", *cols)
-        .filter(F.col(f"w{K-1}").isNotNull())
-        .select(
-            "doc_id",
-            "pos",
-            F.concat_ws(" ", "w", *[f"w{i}" for i in range(1, K)]).alias("g"),
-        )
+        we.withColumn("t", F.collect_list("w").over(win))
+        .filter(F.size("t") == K)
+        .select("doc_id", "pos", F.array_join("t", " ").alias("g"))
         .select(
             "doc_id",
             "pos",

@@ -540,3 +540,49 @@ def test_batch_reader_filter_pushdown_prunes_partitions(ds, tmp_path):
         .select("id")
     )
     assert sorted(x.id for x in got2.collect()) == [11, 12]
+
+
+def test_batch_reader_lazy_mor_past_delete_cap(ds, tmp_path):
+    """Past the driver-side delete-row cap the batch reader must NOT
+    error (VERDICT r6 item 3): it ships delete-file references and the
+    workers resolve them locally — row-identical to toDF(), including
+    sequence scoping, a renamed equality-key column, and pushdown.
+    The cap is dropped via the read.mor-delete-row-cap table property
+    so the test exercises the lazy path with small fixtures."""
+    spark = ds
+    loc = str(tmp_path / "lazy t")  # space: path canonicalization
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(40)])
+    t = IceTable.create(
+        spark,
+        loc,
+        df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "read.mor-delete-row-cap": "3",
+        },
+    )
+    t.append(df.filter("id < 20"))
+    t.append(df.filter("id >= 20"))
+    t.delete(col("id").isin(2, 5, 7, 21))  # equality deletes (4 rows > cap)
+    t.set_properties(**{"write.delete.mor.strategy": "position"})
+    t.delete(col("id").isin(10, 30, 31))  # position deletes
+    # re-insert after the deletes: newer sequence -> must survive
+    t.append(spark.createDataFrame([Row(id=5, v=99.0)]))
+    # rename the equality key column: field-id resolution must hold
+    t.rename_column("id", "ident")
+    want = rows_sorted(t.toDF())
+    got = spark.read.format("icepack").option("location", loc).load()
+    assert rows_sorted(got) == want
+    ids = sorted(r.ident for r in got.collect())
+    assert ids == sorted(i for i in range(40) if i not in (2, 7, 10, 21, 30, 31))
+    assert [r.v for r in got.collect() if r.ident == 5] == [99.0]
+    # pushdown composes with the lazy masks
+    got2 = (
+        spark.read.format("icepack").option("location", loc).load()
+        .filter("ident >= 29")
+    )
+    assert sorted(r.ident for r in got2.collect()) == [29, 32, 33, 34, 35, 36, 37, 38, 39]
+    # and the eager path still serves an under-cap table identically
+    t.set_properties(**{"read.mor-delete-row-cap": str(10**6)})
+    got3 = spark.read.format("icepack").option("location", loc).load()
+    assert rows_sorted(got3) == want
