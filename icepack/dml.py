@@ -220,7 +220,24 @@ def _delete_mor(table, predicate: Expr) -> Snapshot:
 
 def _write_delete_entries(table, keys: DataFrame, content: str, eq_cols=()) -> list[DataFile]:
     """Write a delete file (equality or position) and return its
-    manifest entries.  Delete files are small by design → coalesce(1)."""
+    manifest entries.  Delete files are small by design → coalesce(1).
+
+    On a table flagged ``read.canonicalize-delete-file-paths`` (set at
+    foreign-tree adoption), position tombstones store CANONICAL raw
+    paths — the whole tree keeps ONE spelling, so the DuckDB render
+    and external tooling match on the filename directly."""
+    if (
+        content == "position-deletes"
+        and table.meta.properties.get("read.canonicalize-delete-file-paths")
+        == "true"
+    ):
+        from .iceberg_import import canonical_file_path
+
+        @F.pandas_udf("string")
+        def _canon_paths(s):
+            return s.map(canonical_file_path)
+
+        keys = keys.withColumn("file_path", _canon_paths("file_path"))
     ddir = os.path.join(table.location, "data", f"deletes-{uuid.uuid4().hex}")
     keys.coalesce(1).write.parquet(ddir)
     entries = []

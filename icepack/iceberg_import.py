@@ -607,7 +607,15 @@ def _adopt_mor(spark: SparkSession, table, md: dict, data: list, deletes: list) 
 
     id_to_name = {f.fid: f.name for f in _schema_field_ids(md)}
     seqs = sorted({r["_seq"] for r in data} | {r["_seq"] for r in deletes})
-    adopted: dict[str, str] = {}  # canon(path) → Spark _metadata.file_path spelling
+    if any(r.get("content") == 1 for r in deletes):
+        # adopted position deletes keep CANONICAL raw paths (no per-
+        # file driver collect of Spark URI spellings — VERDICT r6 item
+        # 7); this property makes every native read canonicalize BOTH
+        # sides of the delete join (same Arrow-batched canonicalizer
+        # the spec-primary path uses), so spelling drift can't
+        # resurrect rows no matter how many files are adopted
+        table.set_properties(**{"read.canonicalize-delete-file-paths": "true"})
+    adopted: set[str] = set()  # canonical paths of adopted data files
     for s in seqs:
         eq = [r for r in deletes if r["_seq"] == s and r.get("content") == 2]
         dat = [r for r in data if r["_seq"] == s]
@@ -620,16 +628,7 @@ def _adopt_mor(spark: SparkSession, table, md: dict, data: list, deletes: list) 
             entries = table._adoption_entries([r["file_path"] for r in dat])
             if entries:
                 table._commit_snapshot("append", entries)
-                # record each adopted file's SPARK URI spelling (the
-                # native position-delete join compares these strings);
-                # reads only the metadata column — no data pages
-                for (u,) in (
-                    spark.read.parquet(*[e.path for e in entries])
-                    .select(F.col("_metadata.file_path"))
-                    .distinct()
-                    .collect()
-                ):
-                    adopted[canonical_file_path(u)] = u
+                adopted.update(canonical_file_path(e.path) for e in entries)
         if pos:
             entries = [
                 e
@@ -677,13 +676,14 @@ def _adopt_eq_delete(table, rec: dict, md: dict, id_to_name: dict):
     )
 
 
-def _adopt_pos_delete(table, rec: dict, adopted: dict):
+def _adopt_pos_delete(table, rec: dict, adopted: set):
     """External position-delete parquet → native file under the table
-    location, with ``file_path`` values rewritten to the adopted
-    files' Spark spellings (canonical-matched, never string-guessed).
-    Rows referencing files that are not adopted at this sequence are
-    DANGLING per spec (they mask nothing) and drop; an all-dangling
-    file returns None."""
+    location, with ``file_path`` values rewritten to the CANONICAL
+    raw spelling (the read join canonicalizes both sides under the
+    ``read.canonicalize-delete-file-paths`` property, so no Spark-URI
+    spelling needs to be harvested per adopted file).  Rows referencing
+    files that are not adopted at this sequence are DANGLING per spec
+    (they mask nothing) and drop; an all-dangling file returns None."""
     import uuid as _uuid
 
     import pyarrow as pa
@@ -693,7 +693,7 @@ def _adopt_pos_delete(table, rec: dict, adopted: dict):
 
     tbl = pq.read_table(rec["file_path"], columns=["file_path", "pos"])
     rows = [
-        (adopted[c], pos)
+        (c, pos)
         for p, pos in zip(
             tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist()
         )

@@ -105,15 +105,21 @@ def duckdb_snapshot_sql(
         conds = []
         if pos_paths:
             # native MOR delete files store Spark's _metadata.file_path
-            # URI ('file:/abs/path'); spec-primary tables rewrite them
-            # to spec shape at commit — canonical RAW paths, which is
-            # what DuckDB's filename column already is
+            # URI ('file:/abs/path'); spec-primary tables and adopted
+            # foreign trees store canonical RAW paths (which is what
+            # DuckDB's filename column already is).  A table can hold
+            # BOTH (native deletes committed on top of an adopted
+            # tree), so the match accepts either spelling — both are
+            # unambiguous encodings of the same file.
             from .specio import is_spec_primary
 
             if is_spec_primary(table.meta.properties):
                 match = "pd.file_path = d.filename"
             else:
-                match = "pd.file_path = 'file:' || d.filename"
+                match = (
+                    "(pd.file_path = 'file:' || d.filename"
+                    " OR pd.file_path = d.filename)"
+                )
             conds.append(
                 "NOT EXISTS (SELECT 1 FROM "
                 f"read_parquet({_sql_list(pos_paths)}) AS pd\n"

@@ -629,6 +629,44 @@ def clustering_information(table, columns: list[str] | None = None) -> dict:
     return out
 
 
+def migrate_bucket_transform(table) -> Snapshot | None:
+    """One-shot migration of a table partitioned by the NATIVE xxhash64
+    ``bucket[N]`` transform onto the spec-compatible ``mmh3bucket[N]``
+    (murmur3_x86_32, Iceberg Appendix B), clearing the way for
+    ``convert_to_spec_primary`` (VERDICT r6 item 4):
+
+    1. partition evolution: the default spec's ``bucket[N]`` fields
+       become ``mmh3bucket[N]`` on the same source columns (other
+       fields carry over unchanged);
+    2. clustering compaction: every live row rewrites under the new
+       spec in one ``replace`` snapshot (merge-on-read deletes fold in
+       — the rewrite reads the VISIBLE rows), so no live file
+       references the retired spec afterwards.
+
+    Returns the compaction snapshot, or None when the default spec has
+    no native bucket field (nothing to migrate).  The retired spec
+    stays in the metadata for pre-migration native time travel; the
+    conversion check skips it because no live entry references it."""
+    schema = table.meta.schema
+    spec = table.meta.spec
+    if not any(pf.transform.startswith("bucket[") for pf in spec.fields):
+        return None
+    new_by = []
+    for pf in spec.fields:
+        src = schema.field_by_id(pf.source_id)
+        if src is None:
+            raise ValueError(
+                f"partition source field id {pf.source_id} is not in the "
+                "current schema; drop the partition field before migrating"
+            )
+        tr_ = pf.transform
+        if tr_.startswith("bucket["):
+            tr_ = "mmh3bucket[" + tr_[len("bucket[") :]
+        new_by.append((src.name, tr_))
+    table.update_spec(new_by)
+    return compact(table)
+
+
 def convert_to_spec_primary(table) -> Snapshot:
     """Metadata-only migration of a NON-EMPTY native table to
     ``format.spec-primary`` (docs/11:112-120): live data files are
@@ -655,7 +693,20 @@ def convert_to_spec_primary(table) -> Snapshot:
 
     if table.spec_primary:
         return table.meta.current_snapshot
-    check_spec_expressible(table.meta)
+    # only the specs LIVE entries reference (+ the default, which all
+    # future writes use) must be spec-expressible: a retired native
+    # bucket[N] spec left behind by migrate_bucket_transform serializes
+    # as void but is never referenced by a spec manifest
+    live_ids = {e.spec_id for e in table.live_files(content="all")}
+    live_ids.add(table.meta.default_spec_id)
+    try:
+        check_spec_expressible(table.meta, spec_ids=live_ids)
+    except ValueError as e:
+        raise ValueError(
+            f"{e} — for a native xxhash64 bucket table, run "
+            "maintenance.migrate_bucket_transform(table) first (one-shot "
+            "clustering rewrite onto mmh3bucket), then convert"
+        ) from None
     for _ in range(5):
         meta = table.meta
         specs = meta.partition_specs

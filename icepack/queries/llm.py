@@ -106,6 +106,13 @@ def _duplication_ratio(df: DataFrame, key, cache_key) -> float:
     (sf_dir, table.column): the bench fixtures are immutable parquet —
     this is the table-level stat a warehouse keeps (for IceTables the
     cache key would carry the snapshot id)."""
+    from ..table import IceTable
+
+    if isinstance(df, IceTable):
+        # warehouse table: the PERSISTED snapshot-keyed stat is the
+        # source of truth (icepack/stats.py) — answered from metadata
+        # bounds across sessions, never from this session memo
+        return df.duplication_ratio(key, threshold=_COLLAPSE_AT)
     if cache_key in _DUP_RATIO_CACHE:
         return _DUP_RATIO_CACHE[cache_key]
     r = df.agg(
@@ -287,7 +294,27 @@ def x2_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     the sf1 ladder (10× replicated texts, SCALE.md).  A unique corpus
     skips the collapse entirely and pays zero extra exchanges."""
     d = load(spark, sf, "documents")
-    if _duplication_ratio(d, "text", (sf, "documents.text")) < _COLLAPSE_AT:
+    ratio = _duplication_ratio(d, "text", (sf, "documents.text"))
+    return _adaptive_jaccard_pairs(spark, sf, d, ratio)
+
+
+def jaccard_pairs_for_table(table) -> "DataFrame":
+    """x2's adaptive pipeline over a WAREHOUSE documents table: the
+    collapse gate answers from the table's persisted snapshot-keyed
+    NDV statistic (icepack/stats.py — computed once, reused by every
+    later session with zero extra scans while the bracket holds),
+    instead of the per-fixture-path session memo the parquet bench
+    queries use."""
+    ratio = table.duplication_ratio("text", threshold=_COLLAPSE_AT)
+    return _adaptive_jaccard_pairs(
+        table.spark, "", table.toDF().select("doc_id", "text"), ratio
+    )
+
+
+def _adaptive_jaccard_pairs(spark, sf, d, ratio: float) -> "DataFrame":
+    """Shared x2 body: direct inverted-index path for unique corpora,
+    multiplicity-collapsed path once ``ratio`` crosses the gate."""
+    if ratio < _COLLAPSE_AT:
         rep_pairs, _ = _jaccard_pairs_core(spark, sf, d.select("doc_id", "text"))
         return rep_pairs
     groups = _text_groups(d)

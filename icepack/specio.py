@@ -100,11 +100,21 @@ def is_spec_primary(properties: dict) -> bool:
     return str(properties.get(PROPERTY, "")).lower() == "true"
 
 
-def check_spec_expressible(meta: TableMetadata) -> None:
+def check_spec_expressible(meta: TableMetadata, spec_ids=None) -> None:
     """Refuse transforms that would export as ``void`` — under
     spec-primary the spec files ARE the table; a void partition value
-    is unrecoverable."""
+    is unrecoverable.
+
+    ``spec_ids`` (optional) restricts the check to those specs: the
+    conversion path passes the specs LIVE entries actually reference
+    (+ the default), so a table migrated off a native ``bucket[N]``
+    spec (maintenance.migrate_bucket_transform) can convert even
+    though the retired spec — referenced only by pre-conversion native
+    snapshots — still sits in the metadata (it serializes as ``void``,
+    which is harmless for a spec no manifest references)."""
     for sp in meta.partition_specs:
+        if spec_ids is not None and sp.spec_id not in spec_ids:
+            continue
         for pf in sp.fields:
             kind = pf.transform.split("[")[0]
             src = None

@@ -1118,10 +1118,18 @@ class IceTable:
                     .select("file_path", "pos")
                     .distinct()
                 )
-                if self.spec_primary:
+                canon_join = self.spec_primary or (
+                    self.meta.properties.get("read.canonicalize-delete-file-paths")
+                    == "true"
+                )
+                if canon_join:
                     # spec-shaped delete files store CANONICAL raw
                     # paths (external engines compare them to manifest
-                    # paths); Spark's _file is a percent-encoded URI —
+                    # paths), and adopted foreign trees set the
+                    # property above (their rewritten position deletes
+                    # store canonical paths too — no per-file driver
+                    # collect at adoption); Spark's _file is a
+                    # percent-encoded URI —
                     # canonicalize it through the same function both
                     # interop joins use (Arrow-batched, never per-row
                     # Python).  The DELETE side must go through the

@@ -804,11 +804,13 @@ def _pruned_count(mpath, where):
 def test_import_adopts_mor_table(spark, tmp_path):
     """External MOR tables now ADOPT (not just read): sequence groups
     replay as native commits in spec visibility order, equality-delete
-    parquet adopts in place, position-delete parquet rewrites to the
-    adopted files' Spark spellings.  The adopted table must be
-    row-identical — including a row re-inserted AFTER its equality
-    delete (sequence rules must survive the replay) — and further
-    native DML must work on it."""
+    parquet adopts in place, position-delete parquet rewrites to
+    CANONICAL raw paths (no per-file driver collect of Spark URI
+    spellings — the read join canonicalizes both sides under the
+    read.canonicalize-delete-file-paths property).  The adopted table
+    must be row-identical — including a row re-inserted AFTER its
+    equality delete (sequence rules must survive the replay) — and
+    further native DML must work on it."""
     from icepack.expr import col as icol
     from icepack.iceberg_import import import_iceberg_files
 
@@ -828,14 +830,31 @@ def test_import_adopts_mor_table(spark, tmp_path):
 
     dst = IceTable.create(spark, str(tmp_path / "adopted_mor"), df.schema)
     import_iceberg_files(spark, dst, mpath)
+    assert dst.meta.properties.get("read.canonicalize-delete-file-paths") == "true"
     got = sorted(map(tuple, dst.toDF().select("id", "name", "v").collect()))
     want = sorted(map(tuple, src.toDF().select("id", "name", "v").collect()))
     assert got == want
     assert [r[1] for r in got if r[0] == 3] == ["re"]
     assert all(r[0] != 7 for r in got)
     # the adopted table is a first-class native table: DML on top works
+    # (a NATIVE position delete now coexists with the adopted canonical
+    # ones — the canonicalized join must serve both spellings)
+    dst.set_properties(**{
+        "write.delete.mode": "merge-on-read",
+        "write.delete.mor.strategy": "position",
+    })
     dst.delete(icol("id") == 0)
     assert sorted(r.id for r in dst.toDF().collect()) == [1, 2, 3, 4, 5, 6, 8, 9]
+    # DuckDB render agrees on the mixed-spelling tree
+    import duckdb
+
+    from icepack.interop import duckdb_snapshot_sql
+
+    con = duckdb.connect()
+    ducks = sorted(r[0] for r in con.execute(
+        "SELECT id FROM (" + duckdb_snapshot_sql(dst) + ")"
+    ).fetchall())
+    assert ducks == [1, 2, 3, 4, 5, 6, 8, 9]
 
 
 def test_export_name_mapping_covers_renames(spark, tmp_path):

@@ -1107,3 +1107,50 @@ def test_alter_analyze_columns(spark, tmp_path):
     st = _json.loads(t.meta.properties["stats.ndv.txt"])
     assert st["snapshot-id"] == t.meta.current_snapshot_id
     assert st["rows"] == 40
+
+
+def test_result_cache_cross_session_on_spec_primary(spark, tmp_path):
+    """VERDICT r6 item 8: the persistent result cache validates
+    (snapshot id, metadata version) — spec-primary tables version via
+    version-hint.text/spec metadata.json, so pin the cross-session
+    cycle on one: hit after a no-op (fresh session serves without
+    scanning), miss + recompute after a commit from another session."""
+    from icepack.sql import IceSQL
+
+    wh = str(tmp_path / "wh sp")
+    s1 = IceSQL(spark, wh)
+    s1.sql(
+        "CREATE ICEBERG TABLE spc (id BIGINT, v DOUBLE) "
+        "TBLPROPERTIES ('format.spec-primary'='true')"
+    )
+    spark.createDataFrame(
+        [(1, 2.0), (2, 4.0)], "id bigint, v double"
+    ).createOrReplaceTempView("spc_seed")
+    s1.sql("INSERT INTO spc SELECT * FROM spc_seed")
+    # the table really is spec-primary on disk
+    import os as _os
+
+    t = s1.catalog.load_table("spc")
+    assert t.spec_primary
+    assert _os.path.exists(
+        _os.path.join(t.location, "metadata", "version-hint.text")
+    )
+    q = "SELECT id, v * 3 AS v3 FROM spc WHERE id > 0"
+    want = sorted(map(tuple, s1.sql(q).collect()))
+    s1.sql(q).collect()  # hot -> persisted under the warehouse
+
+    s2 = IceSQL(spark, wh)  # fresh session: served from the cache
+    assert sorted(map(tuple, s2.sql(q).collect())) == want
+    hist = {r["query_text"]: r for r in s2.sql(
+        "SELECT * FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())"
+    ).collect()}
+    assert hist[q]["cache_hit"] is True
+    assert hist[q]["files_scanned"] is None
+    # a spec-primary commit from another session invalidates
+    s1.sql("INSERT INTO spc SELECT id + 10, v FROM spc_seed")
+    s3 = IceSQL(spark, wh)
+    assert s3.sql(q).count() == 4
+    hist3 = {r["query_text"]: r for r in s3.sql(
+        "SELECT * FROM TABLE(INFORMATION_SCHEMA.QUERY_HISTORY())"
+    ).collect()}
+    assert hist3[q]["cache_hit"] is False
