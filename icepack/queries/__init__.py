@@ -69,6 +69,13 @@ PRIORITY: list[str] = [
     "ice50_foreign_adopt",
     "ice51_table_stats",
     "x47_substring_dedup",
+    # new in r7 (adapted TPC-H completions) -- never sampled
+    "a4_tpch_q2",
+    "a4_tpch_q11",
+    "a4_tpch_q12",
+    "a4_tpch_q16",
+    "a4_tpch_q20",
+    "a4_tpch_q21",
     # code changing this round -- re-evidence
     "x2_jaccard_pairs",
     "x31_jaccard_stopshingles",
