@@ -76,6 +76,9 @@ PRIORITY: list[str] = [
     "a4_tpch_q16",
     "a4_tpch_q20",
     "a4_tpch_q21",
+    "x48_semantic_dedup",
+    "x49_pq_adc_search",
+    "x50_matryoshka_rerank",
     # code changing this round -- re-evidence
     "x2_jaccard_pairs",
     "x31_jaccard_stopshingles",

@@ -2912,3 +2912,271 @@ def x47_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
             (frac < 0.5).alias("keep"),
         )
     )
+
+
+@query(
+    "x48_semantic_dedup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_lsh_sql_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.bucket,
+             a.vec_id AS id_a, c.vec_id AS id_b,
+             {_SQL_DOT.format(a='a.embedding', b='c.embedding')}
+             / (sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_SQL_DOT.format(a='c.embedding', b='c.embedding')})) AS cos
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY bucket ORDER BY ROUND(cos, 6) DESC, id_a, id_b) AS rk
+      FROM pairs
+    )
+    SELECT bucket, id_a, id_b, ROUND(cos, 4) AS cos_sim
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def x48_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate CANDIDATE mining: bucket
+    embeddings (here the frozen sign-LSH planes so the DuckDB oracle is
+    bit-deterministic; at scale the buckets come from x20's distributed
+    k-means — many more, data-aware), take the within-bucket pairwise
+    cosines, and surface the top-3 most similar pairs per bucket — the
+    candidates a semantic dedup would re-verify and drop (Abbas et al.
+    2023's SemDeDup pipeline shape: cluster, then pairwise ONLY inside
+    clusters).
+
+    Plan, built for the 100 TB case: ONE exchange on the bucket id
+    serves the self-join's both sides (ReuseExchange — the scan +
+    bucket expression is narrow), the quadratic pair expansion is
+    confined to a bucket (SemDeDup's core trick: cluster count grows
+    with the corpus, so per-bucket N stays bounded), cosine runs
+    JVM-side (zip_with/aggregate higher-order functions, no Python),
+    and the per-bucket top-3 is a WindowGroupLimit on the SAME bucket
+    partitioning the join just produced — zero additional exchanges
+    after the join."""
+    e = load(spark, sf, "embeddings")
+    bucket = None
+    for p, plane in enumerate(_LSH_PLANES):
+        arr = F.array(*[F.lit(w) for w in plane])
+        bit = (_dot(F.col("embedding"), arr) > 0).cast("int") * (1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    a = b.select("bucket", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    c = b.select("bucket", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
+        "bucket",
+        "id_a",
+        "id_b",
+        (
+            _dot(F.col("ea"), F.col("eb"))
+            / (
+                F.sqrt(_dot(F.col("ea"), F.col("ea")))
+                * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+            )
+        ).alias("cos"),
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("bucket").orderBy(
+            F.round("cos", 6).desc(), F.asc("id_a"), F.asc("id_b")
+        )
+    )
+    return (
+        pairs.withColumn("rk", rk)
+        .filter(F.col("rk") <= 3)
+        .select("bucket", "id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+_X49_LUT = ",\n             ".join(
+    f"{_sql_sub_sqdist('q.qv', 'c.c0', s)} AS d0_{s},"
+    f" {_sql_sub_sqdist('q.qv', 'c.c1', s)} AS d1_{s}"
+    for s in range(4)
+)
+
+_X49_ADC = "\n           + ".join(
+    f"CASE WHEN b.b{s} = 1 THEN l.d1_{s} ELSE l.d0_{s} END" for s in range(4)
+)
+
+
+@query(
+    "x49_pq_adc_search",
+    oracle=f"""
+    WITH c AS (
+      SELECT (SELECT embedding FROM embeddings WHERE vec_id = 0) AS c0,
+             (SELECT embedding FROM embeddings WHERE vec_id = 1) AS c1
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 2),
+    bits AS (
+      SELECT e.vec_id,
+             {_X40_BITS}
+      FROM embeddings e CROSS JOIN c
+    ),
+    lut AS (
+      SELECT {_X49_LUT}
+      FROM q CROSS JOIN c
+    )
+    SELECT b.vec_id,
+           ROUND({_X49_ADC}, 4) AS adc_dist
+    FROM bits b CROSS JOIN lut l
+    WHERE b.vec_id NOT IN (0, 1, 2)
+    ORDER BY ROUND({_X49_ADC}, 6), b.vec_id
+    LIMIT 10
+    """,
+)
+def x49_pq_adc_search(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) search — the query leg that makes
+    x40's codes an index (Jegou et al. 2011): the query vector is NOT
+    quantized; per subspace its squared distance to every codebook
+    centroid is tabulated ONCE (a 4x2 lookup table here; 4x256 in a
+    real index), and each database vector scores as the sum of 4 table
+    lookups selected by its stored code — no touching the original
+    vectors at query time.
+
+    Scale shape: codebooks and the LUT broadcast (1-row cross joins);
+    the scan reads only (vec_id, code-bits) — with codes materialized
+    as a column the 64x4-byte embeddings never load at all, a 256x
+    scan-width cut; scoring is a per-row CASE-sum in whole-stage
+    codegen and the finish is TakeOrderedAndProject (no global sort).
+    Determinism: same round-before-compare folds as x39/x40."""
+    e = load(spark, sf, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("c0"))
+        .crossJoin(e.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("c1")))
+    )
+    q = e.filter(F.col("vec_id") == 2).select(F.col("embedding").alias("qv"))
+
+    def sub_sqdist(vec: str, cent: str, s: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(vec, s * 16 + 1, 16),
+                F.slice(cent, s * 16 + 1, 16),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bits = [
+        F.when(
+            F.round(sub_sqdist("embedding", "c1", s), 6)
+            < F.round(sub_sqdist("embedding", "c0", s), 6),
+            1,
+        ).otherwise(0)
+        for s in range(4)
+    ]
+    adc = None
+    for s in range(4):
+        term = F.when(bits[s] == 1, sub_sqdist("qv", "c1", s)).otherwise(
+            sub_sqdist("qv", "c0", s)
+        )
+        adc = term if adc is None else adc + term
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .crossJoin(F.broadcast(q))
+        .filter(~F.col("vec_id").isin(0, 1, 2))
+        .select("vec_id", adc.alias("adc"))
+        .orderBy(F.round("adc", 6).asc(), F.asc("vec_id"))
+        .select("vec_id", F.round("adc", 4).alias("adc_dist"))
+        .limit(10)
+    )
+
+
+_X50_PRE_DOT = (
+    "list_aggregate(list_transform(range(1, 17),"
+    " i -> {a}[i] * {b}[i]), 'sum')"
+)
+
+
+@query(
+    "x50_matryoshka_rerank",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    pre AS (
+      SELECT e.vec_id, e.embedding, q.qv,
+             {_X50_PRE_DOT.format(a='e.embedding', b='q.qv')}
+             / (sqrt({_X50_PRE_DOT.format(a='e.embedding', b='e.embedding')})
+                * sqrt({_X50_PRE_DOT.format(a='q.qv', b='q.qv')})) AS pre_cos
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ),
+    cand AS (
+      SELECT * FROM pre ORDER BY ROUND(pre_cos, 6) DESC, vec_id LIMIT 50
+    )
+    SELECT vec_id,
+           ROUND({_SQL_DOT.format(a='embedding', b='qv')}
+             / (sqrt({_SQL_DOT.format(a='embedding', b='embedding')})
+                * sqrt({_SQL_DOT.format(a='qv', b='qv')})), 4) AS cos_sim
+    FROM cand
+    ORDER BY ROUND({_SQL_DOT.format(a='embedding', b='qv')}
+             / (sqrt({_SQL_DOT.format(a='embedding', b='embedding')})
+                * sqrt({_SQL_DOT.format(a='qv', b='qv')})), 6) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def x50_matryoshka_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka two-stage retrieval (Kusupati et al. 2022's MRL
+    serving pattern): stage 1 ranks on the 16-dim PREFIX of the
+    embedding (MRL-trained embeddings keep most signal in the prefix)
+    and keeps 50 candidates; stage 2 re-ranks ONLY those 50 with the
+    full 64-dim cosine.
+
+    Scale shape: stage 1 reads a quarter of the vector bytes (with the
+    prefix materialized as its own column the scan-width cut is real,
+    like x49's codes) and finishes with TakeOrderedAndProject — a
+    per-partition top-50 then a driver merge of 50-row heaps, never a
+    global sort; stage 2 touches exactly 50 full vectors, so its cost
+    is independent of corpus size.  The query vector broadcasts into
+    both stages; everything stays in whole-stage codegen.
+
+    Recall is geometry-dependent: these fixture vectors are NOT
+    MRL-trained, so the 16-dim prefix carries only ~1/4 of the signal
+    and default-depth recall is low here by construction (tests pin
+    that stage1_k=everything reproduces the exact brute-force ranking
+    — the two-stage machinery itself loses nothing; on MRL embeddings
+    the prefix is trained to preserve the ranking)."""
+    return _matryoshka_rerank(spark, sf, stage1_k=50)
+
+
+def _matryoshka_rerank(spark: SparkSession, sf: str, stage1_k: int) -> DataFrame:
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+    def pre_dot(a, b):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, 1, 16),
+                F.slice(b, 1, 16),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    pre_cos = pre_dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(pre_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(pre_dot(F.col("qv"), F.col("qv")))
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "embedding", "qv", pre_cos.alias("pre_cos"))
+        .orderBy(F.round("pre_cos", 6).desc(), F.asc("vec_id"))
+        .limit(stage1_k)
+    )
+    full_cos = _dot(F.col("embedding"), F.col("qv")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    return (
+        cand.select("vec_id", full_cos.alias("cos"))
+        .orderBy(F.round("cos", 6).desc(), F.asc("vec_id"))
+        .select("vec_id", F.round("cos", 4).alias("cos_sim"))
+        .limit(10)
+    )

@@ -80,3 +80,24 @@ def test_lsh_probe_all_equals_bruteforce_and_floor(spark):
 
     got_h1 = {r["vec_id"] for r in _lsh_topk(spark, SF_DIR, radius=1).collect()}
     assert len(truth & got_h1) / 10 >= 0.2, sorted(got_h1)
+
+
+def test_matryoshka_probe_all_equals_brute_force(spark):
+    """x50's two-stage machinery loses nothing by construction: with
+    stage1_k = corpus size the re-rank reproduces the exact brute-force
+    top-10 (the 50-candidate default trades recall for a corpus-size-
+    independent stage 2 — geometry-dependent on non-MRL vectors)."""
+    from icepack.queries import llm
+
+    sf = "/root/testdata/sf0.001"
+    # x5's top-10 includes the query vector itself (cos 1.0) -> 9
+    # comparable neighbors after excluding it
+    exact = [
+        r.vec_id
+        for r in llm.x5_cosine_topk(spark, sf).collect()
+        if r.vec_id != 0
+    ]
+    # stage1_k far above the corpus size = probe everything (a huge
+    # literal like 1e9 makes TakeOrdered pre-allocate its heap — avoid)
+    all_k = llm._matryoshka_rerank(spark, sf, stage1_k=100_000).collect()
+    assert [r.vec_id for r in all_k][: len(exact)] == exact
