@@ -252,3 +252,49 @@ def checksum_payloads(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInArrow(_crc, schema=out_schema)
+
+
+def audio_chunks(df: DataFrame, chunk_samples: int = 256) -> DataFrame:
+    """Audio leg of the multimodal plumbing: split an opaque audio
+    payload into fixed-length sample windows and compute per-window
+    energy (mean of squared samples) — the shape every audio pipeline
+    needs before VAD / feature extraction (one input row → many chunk
+    rows, Arrow-batched).
+
+    The DECODE is a deterministic stand-in (payload bytes read as
+    unsigned 8-bit PCM; a real build lazy-imports soundfile/librosa
+    here — not in this container).  Everything Spark-side is real:
+    output schema, mapInPandas generator fan-out, numpy vectorized
+    energy, and the last short window keeps its true sample count."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("chunk_idx", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+            T.StructField("energy", T.DoubleType()),
+        ]
+    )
+
+    def _chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(blob or b"", dtype=np.uint8)
+                for ci in range(0, len(samples), chunk_samples):
+                    w = samples[ci : ci + chunk_samples].astype(np.float64)
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "chunk_idx": ci // chunk_samples,
+                            "n_samples": len(w),
+                            # ints < 2^53 throughout -> bit-exact double
+                            "energy": float(np.mean(w * w)),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk_idx", "n_samples", "energy"]
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_chunks, schema=schema)

@@ -79,6 +79,7 @@ PRIORITY: list[str] = [
     "x48_semantic_dedup",
     "x49_pq_adc_search",
     "x50_matryoshka_rerank",
+    "x51_audio_chunk_energy",
     # code changing this round -- re-evidence
     "x2_jaccard_pairs",
     "x31_jaccard_stopshingles",

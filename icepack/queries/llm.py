@@ -3180,3 +3180,58 @@ def _matryoshka_rerank(spark: SparkSession, sf: str, stage1_k: int) -> DataFrame
         .select("vec_id", F.round("cos", 4).alias("cos_sim"))
         .limit(10)
     )
+
+
+@query(
+    "x51_audio_chunk_energy",
+    oracle="""
+    WITH bl AS (
+      SELECT doc_id,
+             list_transform(range(1, len(text) + 1), i -> ord(text[i])) AS bs
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id,
+             CAST((generate_subscripts(bs, 1) - 1) // 256 AS INT) AS chunk_idx,
+             unnest(bs) AS b
+      FROM bl
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             CAST(COUNT(*) AS INT) AS n_samples,
+             AVG(CAST(b AS DOUBLE) * b) AS energy
+      FROM bytes GROUP BY doc_id, chunk_idx
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_samples) AS BIGINT) AS n_samples,
+           ROUND(MAX(energy), 4) AS peak_energy,
+           ROUND(AVG(energy), 4) AS avg_energy
+    FROM chunks GROUP BY doc_id
+    """,
+)
+def x51_audio_chunk_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-pipeline plumbing end-to-end: opaque payloads chunk into
+    fixed 256-sample windows with per-window energy (multimodal.
+    audio_chunks — Arrow-batched mapInPandas, deterministic fake PCM
+    decode since no audio libs ship in this container), then a per-doc
+    rollup (chunk count, peak / average window energy — the VAD-style
+    statistics a filtering pass gates on).
+
+    Scale shape: decode+chunk is a map-only Arrow pass (no shuffle);
+    the rollup groups on doc_id, which the payload attach step already
+    partitioned by, so the aggregate is partial-only.  The oracle
+    recomputes from the characters (ASCII corpus: ord(char) == payload
+    byte); energies are exact integer ratios in double, rounded once."""
+    from ..multimodal import attach_binary_payload, audio_chunks
+
+    d = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    ch = audio_chunks(attach_binary_payload(d))
+    return ch.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_samples").cast("bigint").alias("n_samples"),
+        F.round(F.max("energy"), 4).alias("peak_energy"),
+        F.round(F.avg("energy"), 4).alias("avg_energy"),
+    )

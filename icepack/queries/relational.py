@@ -1386,11 +1386,12 @@ def a4_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
 def a4_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q11 (important stock, adapted: no partsupp — per-part
     value = shipped revenue by NATION_1's suppliers).  The fraction
-    threshold is a scalar over the SAME aggregate: computed once as a
-    tiny driver value from the per-part table (which Spark reuses via
-    the shuffle files of the first aggregation — the lineitem scan
-    runs once per branch but the exchange is partkey-hashed both
-    times), never a per-row correlated subquery."""
+    threshold is a scalar over the SAME aggregate, computed once as a
+    tiny driver value — never a per-row correlated subquery.  The two
+    actions each run the scan+aggregate (separate jobs don't share
+    shuffle files); at 100 TB you'd persist the per-part aggregate (it
+    is output-sized, partkey-hashed) before both consumers — the same
+    pattern q15/q22 use for their scalar legs."""
     nat_sup = (
         load(spark, sf, "supplier")
         .join(F.broadcast(load(spark, sf, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))

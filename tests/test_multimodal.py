@@ -92,3 +92,31 @@ def test_checksum_payloads_matches_jvm_crc32(spark):
         F.crc32("payload").alias("crc32"),
     )
     assert ours.exceptAll(jvm).count() == 0 and jvm.exceptAll(ours).count() == 0
+
+
+def test_audio_chunks_shape_and_energy(spark):
+    """audio_chunks: fixed 256-sample windows, short tail keeps its
+    true count, energies match a numpy recompute, and every payload
+    byte lands in exactly one chunk."""
+    import numpy as np
+
+    from icepack.multimodal import attach_binary_payload, audio_chunks
+
+    d = attach_binary_payload(load(spark, SF_DIR, "documents").limit(20))
+    ch = audio_chunks(d).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    texts = {r.doc_id: r.text for r in load(spark, SF_DIR, "documents").limit(20).collect()}
+    assert set(by_doc) == set(texts)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        blob = texts[doc_id].encode()
+        assert [r.chunk_idx for r in rows] == list(range(len(rows)))
+        assert sum(r.n_samples for r in rows) == len(blob)
+        assert all(r.n_samples == 256 for r in rows[:-1])
+        for r in rows:
+            w = np.frombuffer(
+                blob[r.chunk_idx * 256 : r.chunk_idx * 256 + 256], dtype=np.uint8
+            ).astype(np.float64)
+            assert abs(r.energy - float(np.mean(w * w))) < 1e-12
