@@ -48,6 +48,9 @@ HEADLINE = [
     # span-level substring dedup (r6): the heaviest token-granular
     # dedup leg; sf1 ladder stresses its all-grams-shared worst case
     "x47_substring_dedup",
+    # semantic-dedup candidate mining (r7): within-bucket pairwise
+    # cosine — the vector analogue of x2's bounded pair expansion
+    "x48_semantic_dedup",
     "p1_pruned_scan",
     "f8_explode_words",
     # table-layer lifecycle: create→append→(prune/delete)→scan

@@ -163,3 +163,85 @@ def lsh_candidate_pairs(
         ).alias("p")
     )
     return pairs.select("p.id_a", "p.id_b").distinct()
+
+
+def dedupe_table(
+    table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "exact",
+    num_hashes: int = 8,
+    bands: int = 4,
+    dry_run: bool = False,
+) -> dict:
+    """In-place deduplication of a WAREHOUSE table — the maintenance
+    operation that turns the distributed dedup pipeline into a table
+    commit (training corpora are deduped where they live, not by
+    exporting to a side pipeline):
+
+    - ``method='exact'``: duplicate groups keyed by a 128-bit content
+      hash (two independent xxhash64 seeds — the 16-byte exchange-key
+      discipline of queries/llm.py), survivor = MIN(id) per group;
+    - ``method='minhash'``: banded-LSH candidate pairs →
+      :func:`connected_components` clusters, survivor = MIN(id) per
+      cluster (near-duplicates included, threshold set by the band
+      geometry).
+
+    The losers delete through ONE ``MERGE ... WHEN MATCHED DELETE``
+    commit: under merge-on-read only tombstones move (a narrow delete
+    batch against a wide 100 TB table); copy-on-write rewrites only
+    the hit files.  ``dry_run=True`` computes statistics and commits
+    nothing.
+
+    Returns {"groups": duplicate groups found, "dropped": rows
+    deleted, "snapshot_id": commit id or None}.
+    """
+    from .dml import merge
+
+    d = table.toDF().select(id_col, text_col)
+    if method == "exact":
+        groups = (
+            d.groupBy(
+                F.xxhash64(text_col).alias("_h1"),
+                F.xxhash64(F.lit(1), text_col).alias("_h2"),
+            )
+            .agg(
+                F.min(id_col).alias("_keep"),
+                F.collect_list(id_col).alias("_members"),
+            )
+            .filter(F.size("_members") > 1)
+        )
+        losers = groups.select(
+            F.explode("_members").alias(id_col), "_keep"
+        ).filter(F.col(id_col) != F.col("_keep"))
+    elif method == "minhash":
+        pairs = lsh_candidate_pairs(
+            d, id_col=id_col, text_col=text_col,
+            num_hashes=num_hashes, bands=bands,
+        )
+        clusters = connected_components(pairs)
+        losers = clusters.filter(F.col("id") != F.col("cluster")).select(
+            F.col("id").alias(id_col)
+        )
+        groups = clusters.filter(F.col("id") == F.col("cluster"))
+    else:
+        raise ValueError(f"unknown dedup method {method!r}")
+    n_groups = groups.count()
+    n_drop = losers.count()
+    if dry_run or n_drop == 0:
+        return {"groups": n_groups, "dropped": n_drop, "snapshot_id": None}
+    # MERGE resolves every branch over the full schema, so the source
+    # carries the losers' whole rows (a LEFT SEMI against the loser id
+    # set — at 100 TB this ships only the rows being deleted, which a
+    # delete must touch anyway)
+    loser_rows = table.toDF().join(
+        losers.select(id_col).distinct(), id_col, "left_semi"
+    )
+    snap = merge(
+        table,
+        loser_rows,
+        on=[id_col],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    return {"groups": n_groups, "dropped": n_drop, "snapshot_id": snap.snapshot_id}

@@ -80,6 +80,8 @@ PRIORITY: list[str] = [
     "x49_pq_adc_search",
     "x50_matryoshka_rerank",
     "x51_audio_chunk_energy",
+    "ice52_table_dedup",
+    "x53_mixture_resample",
     # code changing this round -- re-evidence
     "x2_jaccard_pairs",
     "x31_jaccard_stopshingles",

@@ -3235,3 +3235,56 @@ def x51_audio_chunk_energy(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.max("energy"), 4).alias("peak_energy"),
         F.round(F.avg("energy"), 4).alias("avg_energy"),
     )
+
+
+@query(
+    "x53_mixture_resample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+             CAST(regexp_replace(source, 'src', '') AS INT) % 4 AS m,
+             substring(md5('mix42|' || CAST(doc_id AS VARCHAR)), 1, 4) AS pfx
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM w
+      WHERE m = 3
+         OR pfx < CASE m WHEN 0 THEN '4000' WHEN 1 THEN '8000' ELSE 'c000' END
+    )
+    SELECT source,
+           ROUND((CAST(ANY_VALUE(m) AS DOUBLE) + 1) / 4, 2) AS target_w,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM kept GROUP BY source
+    """,
+)
+def x53_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-mixture resampling (the DoReMi/Pile recipe step): each
+    source gets a target acceptance weight and documents are kept by a
+    SALTED-HASH threshold on the stable doc_id — the mixture achieved
+    is deterministic, shard-independent, and reproducible across
+    re-runs (no RNG state; re-processing any partition makes the same
+    decisions, the property 100 TB pipelines need).  Weights here
+    derive from the source id (1/4..4/4) so the oracle can recompute
+    them; production supplies a broadcast weight table and the rule is
+    identical: keep iff md5-prefix < weight threshold.
+
+    Plan: single scan pass, filter + aggregate, zero shuffles before
+    the 20-group rollup.  Output audits the achieved mixture (docs and
+    tokens kept per source against the target weight)."""
+    d = load(spark, sf, "documents")
+    m = F.regexp_replace("source", "src", "").cast("int") % 4
+    pfx = F.substring(
+        F.md5(F.concat(F.lit("mix42|"), F.col("doc_id").cast("string"))), 1, 4
+    )
+    thr = F.when(m == 0, "4000").when(m == 1, "8000").otherwise("c000")
+    kept = d.select(
+        "source",
+        m.alias("m"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    ).filter((m == 3) | (pfx < thr))
+    return kept.groupBy("source").agg(
+        F.round((F.any_value("m").cast("double") + 1) / 4, 2).alias("target_w"),
+        F.count("*").alias("n_kept"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )

@@ -1924,3 +1924,43 @@ def ice51_table_stats(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col_name string, phase int, n_rows bigint, duplicated boolean"
     )
+
+
+@query(
+    "ice52_table_dedup",
+    oracle="""
+    WITH all_docs AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM all_docs GROUP BY text
+    )
+    SELECT a.lang, COUNT(*) AS n_docs
+    FROM all_docs a JOIN keep k ON a.doc_id = k.doc_id
+    GROUP BY a.lang
+    """,
+)
+def ice52_table_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup as a TABLE MAINTENANCE commit (icepack.dedup.dedupe_table):
+    a documents table polluted with re-ingested copies (and the
+    fixture corpus's own exact duplicates) dedupes IN PLACE — groups
+    keyed by a 128-bit content hash, survivor = MIN(doc_id), losers
+    removed through one MERGE ... WHEN MATCHED DELETE snapshot (under
+    merge-on-read only tombstones move).  Returned state is the final
+    table's per-lang counts, so the oracle checks the delete actually
+    landed, not just the group math."""
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    from ..dedup import dedupe_table
+
+    t = IceTable.create(
+        spark, _scratch(), docs.schema,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    copies = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    t.append(docs.unionByName(copies))
+    dedupe_table(t)
+    return t.toDF().groupBy("lang").agg(F.count("*").alias("n_docs"))

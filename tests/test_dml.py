@@ -558,3 +558,56 @@ def test_opaque_delete_url_encodable_location(spark, tmp_path):
     assert got == sorted(
         i for i in list(range(5)) + list(range(100, 105)) if i != 102
     )
+
+
+def test_dedupe_table_exact_and_minhash(spark, warehouse):
+    """dedupe_table: the dedup pipeline as a table MAINTENANCE commit.
+    Exact mode drops verbatim copies (survivor = min id, one MERGE
+    delete snapshot, MOR tombstones only); minhash mode additionally
+    collapses near-duplicate clusters; dry_run commits nothing."""
+    from icepack.dedup import dedupe_table
+    from icepack.io import load
+    from icepack.table import IceTable
+
+    base = (
+        load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(30)
+    )
+    dup = base.limit(10).withColumn("doc_id", F.col("doc_id") + F.lit(10_000))
+    import os
+
+    loc = os.path.join(warehouse, "dedup_t")
+    t = IceTable.create(
+        spark, loc, base.schema,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.append(base.unionByName(dup))
+    before = t.toDF().count()
+    assert before == 40
+    # dry run: stats only, no commit
+    v0 = t.meta.current_snapshot_id
+    stats = dedupe_table(t, dry_run=True)
+    assert stats["groups"] == 10 and stats["dropped"] == 10
+    assert stats["snapshot_id"] is None and t.meta.current_snapshot_id == v0
+    # exact dedup commits one delete snapshot; survivors are min ids
+    stats = dedupe_table(t)
+    assert stats["dropped"] == 10
+    got = t.toDF()
+    assert got.count() == 30
+    assert got.filter(F.col("doc_id") >= 10_000).count() == 0
+    # idempotent
+    assert dedupe_table(t)["dropped"] == 0
+    # minhash mode on a table with a near-duplicate pair
+    loc2 = os.path.join(warehouse, "dedup_nn")
+    t2 = IceTable.create(spark, loc2, base.schema)
+    rows = base.limit(5)
+    near = rows.limit(1).select(
+        (F.col("doc_id") + 500).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    t2.append(rows.unionByName(near))
+    stats2 = dedupe_table(t2, method="minhash")
+    assert stats2["dropped"] >= 1
+    ids = {r.doc_id for r in t2.toDF().collect()}
+    assert all(i < 500 for i in ids)  # the near-dup copy lost (higher id)
