@@ -33,6 +33,12 @@ NLJ_OK = {
     "x37_unigram_surprisal",
     # 1-row broadcast cross joins attaching the frozen PQ codebooks
     "x40_pq_encode",
+    # 1-row broadcast cross joins attaching the codebooks + query
+    # vector (the ADC LUT is per-query by definition)
+    "x49_pq_adc_search",
+    # 1-row broadcast cross join attaching the query vector to both
+    # retrieval stages
+    "x50_matryoshka_rerank",
     # phase-2 dominance anti-join runs over the LOCAL-skyline survivor
     # set only (frontier-sized per partition, broadcast side tiny by
     # construction) — the full table never enters the NLJ
