@@ -82,6 +82,7 @@ PRIORITY: list[str] = [
     "x51_audio_chunk_energy",
     "ice52_table_dedup",
     "x53_mixture_resample",
+    "x54_simhash_neardup",
     # code changing this round -- re-evidence
     "x2_jaccard_pairs",
     "x31_jaccard_stopshingles",

@@ -723,6 +723,12 @@ def x4_simhash(spark: SparkSession, sf: str) -> DataFrame:
     near-identical docs land within small Hamming distance.  Fully
     distributed: explode words, one conditional-sum aggregation per
     bit, recombine."""
+    return _simhash_df(spark, sf)
+
+
+def _simhash_df(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, simhash) — shared by x4 (the fingerprint itself) and
+    x54 (the banded-Hamming near-dup join over it)."""
     d = load(spark, sf, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -3287,4 +3293,93 @@ def x53_mixture_resample(spark: SparkSession, sf: str) -> DataFrame:
         F.round((F.any_value("m").cast("double") + 1) / 4, 2).alias("target_w"),
         F.count("*").alias("n_kept"),
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+
+
+@query(
+    "x54_simhash_neardup",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 12))::BIGINT AS h
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             {_X4_BIT_SUMS}
+      FROM words GROUP BY doc_id
+    ),
+    sims AS (
+      SELECT doc_id, CAST({_X4_RECOMBINE} AS BIGINT) AS simhash FROM bits
+    ),
+    bands AS (
+      SELECT s.doc_id, s.simhash, t.b,
+             (s.simhash >> CAST(12 * t.b AS INT)) & 4095 AS bv
+      FROM sims s, range(0, 4) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             ANY_VALUE(a.simhash) AS sa, ANY_VALUE(c.simhash) AS sb
+      FROM bands a JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+      GROUP BY a.doc_id, c.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    """,
+)
+def x54_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance <= 3 — the
+    Manku/Jain/Das Sarma (WWW'07) web-dedup construction: split the
+    48-bit fingerprint into 4 bands of 12 bits; by pigeonhole any pair
+    within Hamming 3 agrees EXACTLY on at least one band, so candidate
+    generation is 4 equality-keyed bucket joins (never an all-pairs
+    scan), and the cheap bit_count(xor) verify runs only inside
+    buckets.
+
+    Plan shape for 100 TB: ONE exchange of the (band, band-value)
+    stream (16 bytes per row x 4 rows per doc), in-place posting-list
+    pair expansion exactly like x2 (a bucket's pairs never leave their
+    aggregation buffer unverified — the Hamming filter applies INSIDE
+    the expansion lambda), then a distinct on the surviving pair ids.
+    Banding is the published scale knob: more bands = higher Hamming
+    tolerance at the same per-bucket cost."""
+    sims = _simhash_df(spark, sf)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright("simhash", 12 * b)
+                    .bitwiseAND(F.lit(4095))
+                    .alias("bv"),
+                )
+                for b in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.b", "band.bv")
+    buckets = (
+        bands.groupBy("b", "bv")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ds) - 1),"
+                " i -> filter(transform(slice(ds, i + 1, size(ds) - i),"
+                " y -> struct(ds[i-1].doc_id AS id_a, y.doc_id AS id_b,"
+                "             ds[i-1].simhash AS sa, y.simhash AS sb)),"
+                " p -> bit_count(p.sa ^ p.sb) <= 3)))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(
+            "p.id_a",
+            "p.id_b",
+            F.bit_count(F.col("p.sa").bitwiseXOR(F.col("p.sb"))).alias("hamming"),
+        )
+        .distinct()
     )
