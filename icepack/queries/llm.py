@@ -2969,20 +2969,33 @@ def x48_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         arr = F.array(*[F.lit(w) for w in plane])
         bit = (_dot(F.col("embedding"), arr) > 0).cast("int") * (1 << p)
         bucket = bit if bucket is None else bucket + bit
-    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
-    a = b.select("bucket", F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    c = b.select("bucket", F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    # per-vector norm computed ONCE before pairing (a per-pair norm
+    # recomputation multiplies the dominant higher-order-lambda cost by
+    # the bucket size; same expression tree per value, so the cosine is
+    # bit-identical to the oracle's dot/(sqrt*sqrt))
+    b = e.select(
+        "vec_id",
+        "embedding",
+        bucket.alias("bucket"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = b.select(
+        "bucket",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    c = b.select(
+        "bucket",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
         "bucket",
         "id_a",
         "id_b",
-        (
-            _dot(F.col("ea"), F.col("eb"))
-            / (
-                F.sqrt(_dot(F.col("ea"), F.col("ea")))
-                * F.sqrt(_dot(F.col("eb"), F.col("eb")))
-            )
-        ).alias("cos"),
+        (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos"),
     )
     from pyspark.sql import Window as W
 
