@@ -185,7 +185,10 @@ def dedupe_table(
     - ``method='minhash'``: banded-LSH candidate pairs →
       :func:`connected_components` clusters, survivor = MIN(id) per
       cluster (near-duplicates included, threshold set by the band
-      geometry).
+      geometry);
+    - ``method='simhash'``: banded-Hamming SimHash pairs
+      (:func:`simhash_candidate_pairs`, Hamming <= 3) → the same
+      cluster/survivor policy — the Manku-style web-dedup rule.
 
     The losers delete through ONE ``MERGE ... WHEN MATCHED DELETE``
     commit: under merge-on-read only tombstones move (a narrow delete
@@ -214,11 +217,16 @@ def dedupe_table(
         losers = groups.select(
             F.explode("_members").alias(id_col), "_keep"
         ).filter(F.col(id_col) != F.col("_keep"))
-    elif method == "minhash":
-        pairs = lsh_candidate_pairs(
-            d, id_col=id_col, text_col=text_col,
-            num_hashes=num_hashes, bands=bands,
-        )
+    elif method in ("minhash", "simhash"):
+        if method == "minhash":
+            pairs = lsh_candidate_pairs(
+                d, id_col=id_col, text_col=text_col,
+                num_hashes=num_hashes, bands=bands,
+            )
+        else:
+            pairs = simhash_candidate_pairs(
+                d, id_col=id_col, text_col=text_col
+            ).select("id_a", "id_b")
         clusters = connected_components(pairs)
         losers = clusters.filter(F.col("id") != F.col("cluster")).select(
             F.col("id").alias(id_col)
@@ -245,3 +253,92 @@ def dedupe_table(
         when_not_matched_insert=False,
     )
     return {"groups": n_groups, "dropped": n_drop, "snapshot_id": snap.snapshot_id}
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 48,
+) -> DataFrame:
+    """PRODUCTION SimHash on ``xxhash64`` word hashes (the JVM-native
+    hash; the oracle-checked battery keeps md5 because DuckDB can
+    reproduce it — queries/llm.py x4/x54).  One explode + one
+    conditional-sum aggregation per bit + recombine; fully distributed.
+    Returns (id_col, simhash)."""
+    if not 1 <= bits <= 63:
+        raise ValueError("bits must be in [1, 63]")
+    words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    words = words.withColumn(
+        "h", F.pmod(F.xxhash64("w"), F.lit(1 << bits))
+    )
+    sums = words.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select(id_col, sim.cast("long").alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hamming: int = 3,
+    bits: int = 48,
+) -> DataFrame:
+    """Near-duplicate pairs at Hamming distance <= ``hamming`` over
+    SimHash fingerprints — the Manku et al. (WWW'07) banded pigeonhole:
+    ``hamming + 1`` bands guarantee any qualifying pair collides
+    exactly on at least one band; candidates come from equality-keyed
+    bucket joins and the ``bit_count(xor)`` verify runs INSIDE the
+    pair-expansion lambda (never an all-pairs scan).  Returns
+    (id_a, id_b, hamming) with id_a < id_b, distinct."""
+    bands = hamming + 1
+    width = bits // bands
+    mask = (1 << width) - 1
+    sims = simhash_signatures(df, id_col=id_col, text_col=text_col, bits=bits)
+    banded = sims.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright("simhash", width * b)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bv"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(F.col(id_col).alias("did"), "simhash", "band.b", "band.bv")
+    buckets = (
+        banded.groupBy("b", "bv")
+        .agg(F.array_sort(F.collect_list(F.struct(F.col("did"), F.col("simhash")))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, size(ds) - 1),"
+                f" i -> filter(transform(slice(ds, i + 1, size(ds) - i),"
+                f" y -> struct(ds[i-1].did AS id_a, y.did AS id_b,"
+                f"             ds[i-1].simhash AS sa, y.simhash AS sb)),"
+                f" p -> bit_count(p.sa ^ p.sb) <= {int(hamming)})))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.bit_count(F.col("p.sa").bitwiseXOR(F.col("p.sb"))).alias("hamming"),
+        )
+        .distinct()
+    )

@@ -611,3 +611,32 @@ def test_dedupe_table_exact_and_minhash(spark, warehouse):
     assert stats2["dropped"] >= 1
     ids = {r.doc_id for r in t2.toDF().collect()}
     assert all(i < 500 for i in ids)  # the near-dup copy lost (higher id)
+
+
+def test_dedupe_table_simhash(spark, warehouse):
+    """simhash mode: Manku banded-Hamming pairs feed the same
+    cluster/survivor policy — an exact copy AND a one-word-changed
+    near-copy both collapse onto the original."""
+    import os
+
+    from icepack.dedup import dedupe_table
+    from icepack.io import load
+    from icepack.table import IceTable
+
+    base = (
+        load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(8)
+    )
+    exact = base.limit(2).withColumn("doc_id", F.col("doc_id") + F.lit(900))
+    near = base.limit(1).select(
+        (F.col("doc_id") + 950).alias("doc_id"),
+        F.regexp_replace("text", "^\\S+", "changed").alias("text"),
+    )
+    loc = os.path.join(warehouse, "dedup_sh")
+    t = IceTable.create(spark, loc, base.schema)
+    t.append(base.unionByName(exact).unionByName(near))
+    stats = dedupe_table(t, method="simhash")
+    assert stats["dropped"] >= 3  # both exact copies + the near copy
+    ids = {r.doc_id for r in t.toDF().collect()}
+    assert all(i < 900 for i in ids)
