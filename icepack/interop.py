@@ -104,26 +104,38 @@ def duckdb_snapshot_sql(
         )
         conds = []
         if pos_paths:
-            # native MOR delete files store Spark's _metadata.file_path
-            # URI ('file:/abs/path'); spec-primary tables and adopted
-            # foreign trees store canonical RAW paths (which is what
-            # DuckDB's filename column already is).  A table can hold
-            # BOTH (native deletes committed on top of an adopted
-            # tree), so the match accepts either spelling — both are
-            # unambiguous encodings of the same file.
-            from .specio import is_spec_primary
+            # Native MOR delete files store Spark's _metadata.file_path
+            # URI — PERCENT-ENCODED ('file:/a/sp%20ace/...'); a plain
+            # 'file:' || filename concat never matches a spaced path
+            # and the render would resurrect deleted rows.  Spec-
+            # primary tables and adopted foreign trees store canonical
+            # RAW paths instead, and a tree can hold BOTH.  So the
+            # match goes through an inline (spelling → raw) VALUES map
+            # built from the group's known data files: each file
+            # contributes its raw spelling and its percent-encoded
+            # Spark URI — every spelling the engine ever writes, decoded
+            # in Python where encoding rules are exact, not in SQL.
+            from urllib.parse import quote
 
-            if is_spec_primary(table.meta.properties):
-                match = "pd.file_path = d.filename"
-            else:
-                match = (
-                    "(pd.file_path = 'file:' || d.filename"
-                    " OR pd.file_path = d.filename)"
-                )
+            vals = []
+            # Java's URI encoder keeps more chars literal than urllib's
+            # default ('+', '=', ...) — emit both encodings so either
+            # writer's spelling matches; duplicate spellings dedupe.
+            java_safe = "/-._~!$&'()*+,;=:@"
+            for f in group:
+                raw = f.path.replace("'", "''")
+                spellings = {
+                    raw,
+                    ("file:" + quote(f.path, safe="/")).replace("'", "''"),
+                    ("file:" + quote(f.path, safe=java_safe)).replace("'", "''"),
+                }
+                vals.extend(f"('{sp}', '{raw}')" for sp in sorted(spellings))
             conds.append(
                 "NOT EXISTS (SELECT 1 FROM "
                 f"read_parquet({_sql_list(pos_paths)}) AS pd\n"
-                f"    WHERE {match}"
+                f"    JOIN (VALUES {', '.join(vals)}) AS pv(spelling, raw)"
+                " ON pd.file_path = pv.spelling\n"
+                "    WHERE pv.raw = d.filename"
                 " AND pd.pos = d.file_row_number)"
             )
         # equality deletes key on FIELD IDs: the delete file stores the

@@ -170,16 +170,29 @@ def rewrite_position_deletes(table) -> Snapshot | None:
     from .dml import _write_delete_entries
 
     spark = table.spark
+    from .iceberg_import import canonical_file_path
+
     live_data = spark.createDataFrame(
-        [(f.path,) for f in live if f.content == "data"], "_norm string"
+        [(canonical_file_path(f.path),) for f in live if f.content == "data"],
+        "_norm string",
     )
-    # tombstones carry _metadata.file_path URIs (file:///...); manifest
-    # paths are plain FS paths — normalize before the liveness semi-join
+    # tombstones carry _metadata.file_path URIs — PERCENT-ENCODED
+    # ('file:/a/sp%20ace/...'), so a scheme-strip regexp is not enough:
+    # a spaced path would never match its manifest spelling and every
+    # live tombstone would be judged dangling (deleted rows resurrect).
+    # Canonicalize BOTH sides through the one canonicalizer every other
+    # path join uses (Arrow-batched, never per-row Python).
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("string")
+    def _canon(s):
+        return s.map(canonical_file_path)
+
     keys = (
         spark.read.parquet(*[f.path for f in pos])
         .select("file_path", "pos")
         .distinct()
-        .withColumn("_norm", F.regexp_replace(F.col("file_path"), "^file:/*", "/"))
+        .withColumn("_norm", _canon("file_path"))
         .join(live_data, "_norm", "left_semi")
         .drop("_norm")
     )

@@ -347,3 +347,41 @@ def test_three_reader_triangle_mor_evolution(spark, tmp_path):
 
     tri(None, None)  # current
     tri(mid, mid.snapshot_id)  # historical (pre-evolution, MOR + re-insert)
+
+
+def test_duckdb_render_position_deletes_spaced_location(spark, tmp_path):
+    """Native position tombstones at a SPACED location are
+    percent-encoded Spark URIs; the DuckDB render's match must decode
+    them — a plain 'file:' || filename concat never matches and the
+    render resurrects deleted rows."""
+    import duckdb
+
+    from icepack.expr import col
+    from icepack.interop import duckdb_snapshot_sql
+    from icepack.table import IceTable
+
+    loc = str(tmp_path / "duck sp ace")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id bigint, v double"
+    )
+    t = IceTable.create(
+        spark,
+        loc,
+        df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df)
+    t.delete(col("id") == 4)
+    want = sorted(r.id for r in t.toDF().collect())
+    assert want == [0, 1, 2, 3, 5, 6, 7, 8, 9]
+    con = duckdb.connect()
+    got = sorted(
+        r[0]
+        for r in con.execute(
+            "SELECT id FROM (" + duckdb_snapshot_sql(t) + ")"
+        ).fetchall()
+    )
+    assert got == want

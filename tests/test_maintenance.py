@@ -352,3 +352,41 @@ def test_range_overlaps_sweep_matches_bruteforce():
                 for _ in range(n)
             ]
         assert sorted(_range_overlaps(bounds)) == sorted(brute(bounds)), (trial, bounds)
+
+
+def test_rewrite_position_deletes_spaced_location(spark, tmp_path):
+    """A native table at a SPACED location stores percent-encoded
+    Spark URIs in its position tombstones ('file:/a/sp%20ace/...');
+    the liveness semi-join must canonicalize, not string-strip —
+    otherwise every tombstone is judged dangling and the rewrite
+    RESURRECTS deleted rows."""
+    from icepack.expr import col
+    from icepack.maintenance import rewrite_position_deletes
+    from icepack.table import IceTable
+
+    loc = str(tmp_path / "sp ace tbl")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(12)], "id bigint, v double"
+    )
+    t = IceTable.create(
+        spark,
+        loc,
+        df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df.filter("id < 6"))
+    t.append(df.filter("id >= 6"))
+    t.delete(col("id") == 3)
+    t.delete(col("id") == 8)
+    want = sorted(r.id for r in t.toDF().collect())
+    assert want == [0, 1, 2, 4, 5, 6, 7, 9, 10, 11]
+    snap = rewrite_position_deletes(t)
+    assert snap is not None
+    got = sorted(r.id for r in t.toDF().collect())
+    assert got == want, "rewrite dropped live tombstones (resurrection)"
+    # consolidated to one delete file
+    pos = [f for f in t.live_files(content="deletes")]
+    assert len(pos) == 1
