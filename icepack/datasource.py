@@ -385,9 +385,11 @@ def _worker_eq_delete(path: str, plan: tuple) -> tuple:
     column plan [(col name in the delete file, current name, current
     arrow type)] → (current col names, {value tuples}), values cast to
     the current types so the comparison is type-aligned.  Cached per
-    worker (plan is deterministic per table version, so the path alone
-    keys the cache)."""
-    key = ("eq", path)
+    worker — keyed by the PLAN too, not just the path: a schema change
+    (rename / type widening) between reads re-resolves the plan on the
+    driver, and a long-lived worker must not serve the previous
+    version's column names or arrow types."""
+    key = ("eq", path, tuple((s, c, str(a)) for s, c, a in plan))
     hit = _WORKER_DELETE_CACHE.get(key)
     if hit is None:
         import pyarrow.compute as pc

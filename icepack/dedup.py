@@ -203,7 +203,10 @@ def dedupe_table(
 
     d = table.toDF().select(id_col, text_col)
     if method == "exact":
-        groups = (
+        # (loser id, group key) rows: the group stat and the delete
+        # both derive from this ONE loser set, so the content-hash
+        # scan+shuffle runs once (persist below), not once per consumer
+        losers = (
             d.groupBy(
                 F.xxhash64(text_col).alias("_h1"),
                 F.xxhash64(F.lit(1), text_col).alias("_h2"),
@@ -213,10 +216,10 @@ def dedupe_table(
                 F.collect_list(id_col).alias("_members"),
             )
             .filter(F.size("_members") > 1)
+            .select(F.explode("_members").alias(id_col), "_keep")
+            .filter(F.col(id_col) != F.col("_keep"))
         )
-        losers = groups.select(
-            F.explode("_members").alias(id_col), "_keep"
-        ).filter(F.col(id_col) != F.col("_keep"))
+        group_key = "_keep"
     elif method in ("minhash", "simhash"):
         if method == "minhash":
             pairs = lsh_candidate_pairs(
@@ -227,32 +230,46 @@ def dedupe_table(
             pairs = simhash_candidate_pairs(
                 d, id_col=id_col, text_col=text_col
             ).select("id_a", "id_b")
-        clusters = connected_components(pairs)
-        losers = clusters.filter(F.col("id") != F.col("cluster")).select(
-            F.col("id").alias(id_col)
+        losers = (
+            connected_components(pairs)
+            .filter(F.col("id") != F.col("cluster"))
+            .select(F.col("id").alias(id_col), F.col("cluster"))
         )
-        groups = clusters.filter(F.col("id") == F.col("cluster"))
+        group_key = "cluster"
     else:
         raise ValueError(f"unknown dedup method {method!r}")
-    n_groups = groups.count()
-    n_drop = losers.count()
-    if dry_run or n_drop == 0:
-        return {"groups": n_groups, "dropped": n_drop, "snapshot_id": None}
-    # MERGE resolves every branch over the full schema, so the source
-    # carries the losers' whole rows (a LEFT SEMI against the loser id
-    # set — at 100 TB this ships only the rows being deleted, which a
-    # delete must touch anyway)
-    loser_rows = table.toDF().join(
-        losers.select(id_col).distinct(), id_col, "left_semi"
-    )
-    snap = merge(
-        table,
-        loser_rows,
-        on=[id_col],
-        when_matched_delete=True,
-        when_not_matched_insert=False,
-    )
-    return {"groups": n_groups, "dropped": n_drop, "snapshot_id": snap.snapshot_id}
+    # the loser set is output-sized; persist it so the dominant dedup
+    # pipeline executes ONCE across the stats action and the MERGE
+    losers = losers.persist()
+    try:
+        row = losers.agg(
+            F.count("*").alias("n"),
+            F.countDistinct(group_key).alias("g"),
+        ).first()
+        n_groups, n_drop = int(row["g"]), int(row["n"])
+        if dry_run or n_drop == 0:
+            return {"groups": n_groups, "dropped": n_drop, "snapshot_id": None}
+        # MERGE resolves every branch over the full schema, so the
+        # source carries the losers' whole rows (a LEFT SEMI against
+        # the persisted loser id set — at 100 TB this ships only the
+        # rows being deleted, which a delete must touch anyway)
+        loser_rows = table.toDF().join(
+            losers.select(id_col).distinct(), id_col, "left_semi"
+        )
+        snap = merge(
+            table,
+            loser_rows,
+            on=[id_col],
+            when_matched_delete=True,
+            when_not_matched_insert=False,
+        )
+        return {
+            "groups": n_groups,
+            "dropped": n_drop,
+            "snapshot_id": snap.snapshot_id,
+        }
+    finally:
+        losers.unpersist()
 
 
 def simhash_signatures(
@@ -266,11 +283,15 @@ def simhash_signatures(
     reproduce it — queries/llm.py x4/x54).  One explode + one
     conditional-sum aggregation per bit + recombine; fully distributed.
     Returns (id_col, simhash)."""
-    if not 1 <= bits <= 63:
-        raise ValueError("bits must be in [1, 63]")
+    if not 1 <= bits <= 62:
+        # 62, not 63: the sign-bit recombine term 1 << 62 is the
+        # largest that fits a Spark LongType literal
+        raise ValueError("bits must be in [1, 62]")
     words = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    # bitmask, not pmod: a mask never needs the out-of-long 2^63
+    # literal and is sign-safe on the raw xxhash64
     words = words.withColumn(
-        "h", F.pmod(F.xxhash64("w"), F.lit(1 << bits))
+        "h", F.xxhash64("w").bitwiseAND(F.lit((1 << bits) - 1))
     )
     sums = words.groupBy(id_col).agg(
         *[

@@ -17,8 +17,9 @@ DataFrames, the export does with SQL — same semantics, second engine.
 Correspondence (kept in lockstep with table.py `_read_with_deletes`):
 - position deletes:  Spark joins on (``_metadata.file_path``,
   ``_metadata.row_index``); the SQL uses ``filename=true,
-  file_row_number=true`` and re-prefixes ``file:`` to match the
-  stored ``file:/abs/path`` URI form.
+  file_row_number=true`` and matches stored spellings through an
+  inline (spelling → raw) VALUES map covering raw paths and the
+  percent-encoded ``file:`` URI forms Spark writes.
 - equality deletes: anti-join on the delete file's equality columns,
   null-safe (``IS NOT DISTINCT FROM``), matching Spark's null-safe
   ``left_anti`` on column names.

@@ -662,21 +662,39 @@ def migrate_bucket_transform(table) -> Snapshot | None:
     conversion check skips it because no live entry references it."""
     schema = table.meta.schema
     spec = table.meta.spec
-    if not any(pf.transform.startswith("bucket[") for pf in spec.fields):
+    # LIVE files may reference a retired native-bucket spec even when
+    # the default spec has already evolved past it — those files block
+    # conversion just the same, so the migration triggers on live
+    # references, not only on the default spec's own fields
+    live_spec_ids = {e.spec_id for e in table.live_files(content="all")}
+    live_has_bucket = any(
+        pf.transform.startswith("bucket[")
+        for sp in table.meta.partition_specs
+        if sp.spec_id in live_spec_ids
+        for pf in sp.fields
+    )
+    default_has_bucket = any(
+        pf.transform.startswith("bucket[") for pf in spec.fields
+    )
+    if not default_has_bucket and not live_has_bucket:
         return None
-    new_by = []
-    for pf in spec.fields:
-        src = schema.field_by_id(pf.source_id)
-        if src is None:
-            raise ValueError(
-                f"partition source field id {pf.source_id} is not in the "
-                "current schema; drop the partition field before migrating"
-            )
-        tr_ = pf.transform
-        if tr_.startswith("bucket["):
-            tr_ = "mmh3bucket[" + tr_[len("bucket[") :]
-        new_by.append((src.name, tr_))
-    table.update_spec(new_by)
+    if default_has_bucket:
+        new_by = []
+        for pf in spec.fields:
+            src = schema.field_by_id(pf.source_id)
+            if src is None:
+                raise ValueError(
+                    f"partition source field id {pf.source_id} is not in the "
+                    "current schema; drop the partition field before migrating"
+                )
+            tr_ = pf.transform
+            if tr_.startswith("bucket["):
+                tr_ = "mmh3bucket[" + tr_[len("bucket[") :]
+            new_by.append((src.name, tr_))
+        table.update_spec(new_by)
+    # default spec is already expressible but live files still sit
+    # under a retired bucket spec: the clustering rewrite alone
+    # re-homes every live row under the current default spec
     return compact(table)
 
 

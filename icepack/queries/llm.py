@@ -180,10 +180,14 @@ def x1_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 #: (doc_id, n_sh) pack width for the inverted-index exchanges: doc_id
-#: rides the high 38 bits (2.7e11 docs — ~10x a 100 TB corpus at 5 KB/
-#: doc), n_sh the low 25 (33M distinct shingles/doc = a ~200 MB single
-#: document, far past anything a row-shuffled text column can carry).
+#: rides the high 38 bits (|doc_id| < 2^37 — ~10x a 100 TB corpus at
+#: 5 KB/doc; NEGATIVE ids from hashed keys are fine, the unpack is an
+#: arithmetic shift and n_sh extraction is a BITMASK, which two's
+#: complement keeps exact), n_sh the low 25 (33M distinct shingles/doc
+#: = a ~200 MB single document, far past anything a row-shuffled text
+#: column can carry).
 _PACK = 1 << 25
+_PACK_MASK = _PACK - 1
 
 
 def _jaccard_pairs_core(spark: SparkSession, sf: str, docs: DataFrame):
@@ -222,14 +226,14 @@ def _jaccard_pairs_core(spark: SparkSession, sf: str, docs: DataFrame):
                 f"flatten(transform(sequence(1, size(ds) - 1),"
                 f" i -> filter(transform(slice(ds, i + 1, size(ds) - i),"
                 f" y -> struct(ds[i-1] AS a, y AS b)),"
-                f" p -> least(p.a % {_PACK}, p.b % {_PACK})"
-                f" >= 0.8 * greatest(p.a % {_PACK}, p.b % {_PACK}))))"
+                f" p -> least(p.a & {_PACK_MASK}, p.b & {_PACK_MASK})"
+                f" >= 0.8 * greatest(p.a & {_PACK_MASK}, p.b & {_PACK_MASK}))))"
             )
         ).alias("p")
     )
     counts = pairs.groupBy("p.a", "p.b").agg(F.count("*").alias("common"))
-    n_a = (F.col("a") % _PACK).cast("double")
-    n_b = (F.col("b") % _PACK).cast("double")
+    n_a = F.col("a").bitwiseAND(F.lit(_PACK_MASK)).cast("double")
+    n_b = F.col("b").bitwiseAND(F.lit(_PACK_MASK)).cast("double")
     jac = F.col("common").cast("double") / (n_a + n_b - F.col("common"))
     rep_pairs = counts.filter(jac >= 0.8).select(
         # exact unpack: arithmetic shift, not double division (which

@@ -1912,7 +1912,14 @@ class IceTable:
         if self.spec_primary:
             from .specio import check_spec_expressible
 
-            check_spec_expressible(new_meta)
+            # only the NEW spec and specs live entries still reference
+            # need to be spec-expressible — a retired native bucket[N]
+            # spec left behind by migrate_bucket_transform (referenced
+            # only by pre-conversion snapshots) must not permanently
+            # block partition evolution on the converted table
+            live_ids = {e.spec_id for e in self.live_files(content="all")}
+            live_ids.add(new_spec.spec_id)
+            check_spec_expressible(new_meta, spec_ids=live_ids)
         self._write_version(self._version + 1, new_meta)
 
 

@@ -232,3 +232,23 @@ def test_pii_redaction_rewrites_injected_spans(spark):
         )
     ).collect()[0][0]
     assert residual == 0
+
+
+def test_jaccard_pack_handles_negative_doc_ids(spark):
+    """The packed-bigint inverted index is sign-safe (review r7): ids
+    from hashed keys are routinely negative, and the bitmask unpack +
+    arithmetic shifts must yield the SAME pairs as for positive ids
+    (negated-and-swapped)."""
+    from pyspark.sql import functions as F
+
+    from icepack.io import load
+    from icepack.queries import llm
+
+    d = load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    pos, _ = llm._jaccard_pairs_core(spark, "", d)
+    pos_rows = sorted(map(tuple, pos.collect()))
+    neg = d.withColumn("doc_id", -F.col("doc_id") - 1)
+    npairs, _ = llm._jaccard_pairs_core(spark, "", neg)
+    neg_rows = sorted(map(tuple, npairs.collect()))
+    expect = sorted((-b - 1, -a - 1, j) for a, b, j in pos_rows)
+    assert neg_rows == expect

@@ -716,3 +716,46 @@ def test_native_bucket_table_migrates_to_spec_primary(spark, tmp_path):
     t2 = IceTable.load(spark, loc)
     assert t2.verify() == []
     assert rows_sorted(t2.toDF()) == native
+
+
+def test_migrated_table_can_still_evolve_partitioning(spark, tmp_path):
+    """Post-migration partition evolution must not be blocked by the
+    RETIRED native-bucket spec still sitting in the metadata (the
+    update_spec check considers live-referenced specs + the new one,
+    like the conversion check)."""
+    from icepack import maintenance
+
+    loc = str(tmp_path / "evolve after")
+    df = _df(spark, 16)
+    t = IceTable.create(spark, loc, df.schema, partition_by=[("id", "bucket[4]")])
+    t.append(df)
+    maintenance.migrate_bucket_transform(t)
+    maintenance.convert_to_spec_primary(t)
+    # evolution on the converted table: would raise before the fix
+    t.update_spec([("k", "identity")])
+    t.append(_df(spark, 4, off=100))
+    _triangle(spark, t, loc)
+
+
+def test_migrate_covers_live_files_under_retired_bucket_spec(spark, tmp_path):
+    """A table whose DEFAULT spec already evolved past bucket[N] but
+    whose LIVE files still sit under the retired bucket spec must not
+    get circular advice: migrate_bucket_transform detects the live
+    references and compacts (re-homing every row), after which
+    conversion succeeds."""
+    from icepack import maintenance
+
+    loc = str(tmp_path / "retired bucket")
+    df = _df(spark, 12)
+    t = IceTable.create(spark, loc, df.schema, partition_by=[("id", "bucket[4]")])
+    t.append(df)  # live files under the bucket spec
+    t.update_spec([("k", "identity")])  # default spec no longer bucket
+    t.append(_df(spark, 4, off=50))
+    with pytest.raises(ValueError, match="migrate_bucket_transform"):
+        maintenance.convert_to_spec_primary(t)
+    snap = maintenance.migrate_bucket_transform(t)
+    assert snap is not None  # compaction ran (not a None no-op)
+    maintenance.convert_to_spec_primary(t)
+    assert t.spec_primary
+    native = _triangle(spark, t, loc)
+    assert len(native) == 16
