@@ -83,6 +83,7 @@ PRIORITY: list[str] = [
     "ice52_table_dedup",
     "x53_mixture_resample",
     "x54_simhash_neardup",
+    "ice53_stream_dedup_ingest",
     # code changing this round -- re-evidence
     "x2_jaccard_pairs",
     "x31_jaccard_stopshingles",

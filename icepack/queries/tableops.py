@@ -1964,3 +1964,104 @@ def ice52_table_dedup(spark: SparkSession, sf: str) -> DataFrame:
     t.append(docs.unionByName(copies))
     dedupe_table(t)
     return t.toDF().groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "ice53_stream_dedup_ingest",
+    oracle="""
+    WITH p1 AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, lang, text FROM documents
+      WHERE doc_id % 2 = 0 AND doc_id % 6 = 0
+    ),
+    p2 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+    s1 AS (SELECT text, MIN(doc_id) AS doc_id FROM p1 GROUP BY text),
+    s2 AS (
+      SELECT p2.text, MIN(p2.doc_id) AS doc_id
+      FROM p2 LEFT JOIN s1 ON s1.text = p2.text
+      WHERE s1.text IS NULL
+      GROUP BY p2.text
+    ),
+    surv AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2),
+    u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+    SELECT u.lang, COUNT(*) AS n_docs
+    FROM surv JOIN u ON u.doc_id = surv.doc_id
+    GROUP BY u.lang
+    """,
+)
+def ice53_stream_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dedup INGESTION — the nightly-corpus pattern (ice26)
+    as a real Structured Streaming pipe: an icepack source table
+    streams through ``foreachBatch``; each micro-batch exact-dedups
+    WITHIN itself (keep-min-id per 128-bit content hash) and AGAINST
+    the destination table (left-anti on the same hash — only (hash,
+    nothing) key pairs cross the exchange, never document text), and
+    survivors append as one atomic snapshot per batch.  Two
+    checkpointed AvailableNow runs: phase 1 carries internal
+    duplicates, phase 2 repeats phase-1 texts — re-delivered or
+    resurrected duplicates would break the value hash.
+
+    Determinism: each phase is one commit = one AvailableNow
+    micro-batch (the source resolves the whole (start, latest] range
+    as a single batch), so survivor precedence is
+    phase-1-then-phase-2, min id within a phase — exactly what the
+    oracle computes."""
+    import os as _os
+
+    from pyspark.sql import Window as _W
+
+    from ..datasource import register
+
+    register(spark)
+    scratch = _scratch()
+    loc, dst_loc, ck = (
+        _os.path.join(scratch, "src"),
+        _os.path.join(scratch, "dst"),
+        _os.path.join(scratch, "ck"),
+    )
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    src = IceTable.create(spark, loc, docs.schema)
+    dst = IceTable.create(spark, dst_loc, docs.schema)
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    copies = evens.filter(F.col("doc_id") % 6 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    src.append(evens.unionByName(copies))
+
+    h1, h2 = F.xxhash64("text"), F.xxhash64(F.lit(1), "text")
+
+    def fb(batch_df, _bid):
+        dedup_in = (
+            batch_df.withColumn("_rn", F.row_number().over(
+                _W.partitionBy(h1, h2).orderBy("doc_id")
+            ))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        d = IceTable.load(batch_df.sparkSession, dst_loc)
+        existing = d.toDF().select(h1.alias("_h1"), h2.alias("_h2"))
+        survivors = dedup_in.join(
+            existing,
+            (h1 == F.col("_h1")) & (h2 == F.col("_h2")),
+            "left_anti",
+        )
+        d.append(survivors)
+
+    def run():
+        q = (
+            spark.readStream.format("icepack")
+            .option("location", loc)
+            .load()
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    src.append(docs.filter(F.col("doc_id") % 2 == 1))  # repeats + novel
+    run()
+    dst.refresh()
+    return dst.toDF().groupBy("lang").agg(F.count("*").alias("n_docs"))
