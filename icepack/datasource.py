@@ -352,8 +352,18 @@ _MOR_DELETE_ROW_CAP = 2_000_000
 #: per-worker-process cache of resolved delete files (delete parquets
 #: are immutable once committed — content-named, never rewritten in
 #: place — so a bare path key is safe); bounds executor work to one
-#: read per delete file per worker instead of one per partition
+#: read per delete file per worker instead of one per partition.
+#: Size-bounded FIFO so a long-lived worker serving many tables can't
+#: grow it without limit (dict preserves insertion order).
 _WORKER_DELETE_CACHE: dict = {}
+_WORKER_DELETE_CACHE_MAX = 64
+
+
+def _cache_put(key, value):
+    while len(_WORKER_DELETE_CACHE) >= _WORKER_DELETE_CACHE_MAX:
+        _WORKER_DELETE_CACHE.pop(next(iter(_WORKER_DELETE_CACHE)))
+    _WORKER_DELETE_CACHE[key] = value
+    return value
 
 
 def _worker_pos_delete(path: str) -> dict:
@@ -375,8 +385,7 @@ def _worker_pos_delete(path: str) -> dict:
             tbl.column("file_path").to_pylist(), tbl.column("pos").to_pylist()
         ):
             per.setdefault(canonical_file_path(p), []).append(i)
-        hit = {k: frozenset(v) for k, v in per.items()}
-        _WORKER_DELETE_CACHE[key] = hit
+        hit = _cache_put(key, {k: frozenset(v) for k, v in per.items()})
     return hit
 
 
@@ -403,8 +412,7 @@ def _worker_eq_delete(path: str, plan: tuple) -> tuple:
                 arr = pc.cast(arr, at)
             cols.append(cur)
             arrays.append(arr.to_pylist())
-        hit = (tuple(cols), set(zip(*arrays)))
-        _WORKER_DELETE_CACHE[key] = hit
+        hit = _cache_put(key, (tuple(cols), set(zip(*arrays))))
     return hit
 
 
