@@ -173,6 +173,8 @@ def dedupe_table(
     num_hashes: int = 8,
     bands: int = 4,
     dry_run: bool = False,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
 ) -> dict:
     """In-place deduplication of a WAREHOUSE table — the maintenance
     operation that turns the distributed dedup pipeline into a table
@@ -188,7 +190,11 @@ def dedupe_table(
       geometry);
     - ``method='simhash'``: banded-Hamming SimHash pairs
       (:func:`simhash_candidate_pairs`, Hamming <= 3) → the same
-      cluster/survivor policy — the Manku-style web-dedup rule.
+      cluster/survivor policy — the Manku-style web-dedup rule;
+    - ``method='semantic'``: embedding-cosine pairs at
+      ``cos >= threshold`` over ``vec_col``
+      (:func:`semantic_candidate_pairs`, sign-LSH blocked — the
+      SemDeDup rule) → the same cluster/survivor policy.
 
     The losers delete through ONE ``MERGE ... WHEN MATCHED DELETE``
     commit: under merge-on-read only tombstones move (a narrow delete
@@ -201,7 +207,11 @@ def dedupe_table(
     """
     from .dml import merge
 
-    d = table.toDF().select(id_col, text_col)
+    d = (
+        table.toDF().select(id_col, vec_col)
+        if method == "semantic"
+        else table.toDF().select(id_col, text_col)
+    )
     if method == "exact":
         # (loser id, group key) rows: the group stat and the delete
         # both derive from this ONE loser set, so the content-hash
@@ -220,15 +230,19 @@ def dedupe_table(
             .filter(F.col(id_col) != F.col("_keep"))
         )
         group_key = "_keep"
-    elif method in ("minhash", "simhash"):
+    elif method in ("minhash", "simhash", "semantic"):
         if method == "minhash":
             pairs = lsh_candidate_pairs(
                 d, id_col=id_col, text_col=text_col,
                 num_hashes=num_hashes, bands=bands,
             )
-        else:
+        elif method == "simhash":
             pairs = simhash_candidate_pairs(
                 d, id_col=id_col, text_col=text_col
+            ).select("id_a", "id_b")
+        else:
+            pairs = semantic_candidate_pairs(
+                d, id_col=id_col, vec_col=vec_col, threshold=threshold
             ).select("id_a", "id_b")
         losers = (
             connected_components(pairs)
@@ -362,4 +376,87 @@ def simhash_candidate_pairs(
             F.bit_count(F.col("p.sa").bitwiseXOR(F.col("p.sb"))).alias("hamming"),
         )
         .distinct()
+    )
+
+
+def _sign_lsh_planes(dim: int, n_planes: int = 4) -> list:
+    """Deterministic md5-derived hyperplanes (same construction as the
+    oracle battery's frozen planes — data-oblivious, reproducible
+    everywhere without RNG state)."""
+    import hashlib
+
+    return [
+        [
+            round(
+                int(hashlib.md5(f"lshplane|{p}|{j}".encode()).hexdigest()[:8], 16)
+                / 0xFFFFFFFF
+                * 2
+                - 1,
+                6,
+            )
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def semantic_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at cosine >= ``threshold`` — the
+    SemDeDup blocking: sign-LSH buckets confine the pairwise cosine to
+    a bucket (2^n_planes cells; k-means clusters at production scale —
+    pass more planes as the corpus grows), per-vector norms computed
+    ONCE before pairing, scoring in JVM higher-order functions.
+    Recall note: sign-LSH requires bucket agreement, so cross-bucket
+    near-duplicates are missed — exact duplicates always agree (same
+    signs) and that is the dedup contract this serves.
+    Returns (id_a, id_b, cos) with id_a < id_b."""
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for p, plane in enumerate(_sign_lsh_planes(dim, n_planes)):
+        arr = F.array(*[F.lit(w) for w in plane])
+        bit = (dot(F.col(vec_col), arr) > 0).cast("int") * (1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    b = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket.alias("_bkt"),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_nrm"),
+    )
+    a = b.select(
+        F.col("_bkt"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_ea"),
+        F.col("_nrm").alias("_na"),
+    )
+    c = b.select(
+        F.col("_bkt"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_eb"),
+        F.col("_nrm").alias("_nb"),
+    )
+    return (
+        a.join(c, "_bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
     )

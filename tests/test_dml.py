@@ -640,3 +640,38 @@ def test_dedupe_table_simhash(spark, warehouse):
     assert stats["dropped"] >= 3  # both exact copies + the near copy
     ids = {r.doc_id for r in t.toDF().collect()}
     assert all(i < 900 for i in ids)
+
+
+def test_dedupe_table_semantic(spark, warehouse):
+    """semantic mode: sign-LSH-blocked cosine pairs feed the same
+    cluster/survivor policy — an exact vector copy and a tiny-epsilon
+    near-copy (cos ~1) both collapse onto the original; unrelated
+    vectors survive."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from icepack.dedup import dedupe_table
+    from icepack.io import load
+    from icepack.table import IceTable
+
+    base = (
+        load(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", "embedding")
+        .limit(10)
+    )
+    copy = base.limit(2).withColumn("vec_id", F.col("vec_id") + F.lit(700))
+    near = base.limit(1).select(
+        (F.col("vec_id") + 750).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(1.0001)).cast("float")
+        ).alias("embedding"),
+    )
+    loc = os.path.join(warehouse, "dedup_sem")
+    t = IceTable.create(spark, loc, base.schema)
+    t.append(base.unionByName(copy).unionByName(near))
+    stats = dedupe_table(t, id_col="vec_id", method="semantic", threshold=0.999)
+    assert stats["dropped"] >= 3
+    ids = {r.vec_id for r in t.toDF().collect()}
+    assert all(i < 700 for i in ids)
+    assert len(ids) == 10  # every original survives
