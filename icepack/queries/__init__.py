@@ -84,6 +84,7 @@ PRIORITY: list[str] = [
     "x53_mixture_resample",
     "x54_simhash_neardup",
     "ice53_stream_dedup_ingest",
+    "x55_semantic_dedup_clusters",
     # code changing this round -- re-evidence
     "x2_jaccard_pairs",
     "x31_jaccard_stopshingles",

@@ -3402,3 +3402,89 @@ def x54_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "x55_semantic_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding, {_lsh_sql_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE ROUND({_SQL_DOT.format(a='a.embedding', b='c.embedding')}
+             / (sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_SQL_DOT.format(a='c.embedding', b='c.embedding')})), 6)
+            >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    verts AS (SELECT DISTINCT s AS id FROM edges),
+    walk(id, label) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.d, w.label FROM walk w JOIN edges e ON e.s = w.id
+    )
+    SELECT id AS vec_id, MIN(label) AS cluster FROM walk GROUP BY id
+    """,
+)
+def x55_semantic_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """The SemDeDup chain COMPLETED: sign-LSH-blocked cosine candidate
+    pairs (x48's blocking, threshold form) → distributed
+    connected-components (iterative min-label propagation, one
+    join+aggregate per round — icepack/dedup.py) → (vec_id, cluster)
+    with cluster = MIN reachable id, the survivor key a dedup drop
+    policy consumes.  The oracle recomputes the same graph with a
+    recursive CTE (x16's pattern for the text-LSH chain).
+
+    The cosine threshold compares ROUND(cos, 6) on both engines so a
+    boundary pair cannot flip membership on last-bit float drift.
+    Scale: pairwise work stays bucket-confined; component propagation
+    converges in O(diameter) rounds (near-dup graphs are
+    short-diameter); nothing touches the driver but the loop's
+    convergence flag."""
+    from ..dedup import connected_components
+
+    e = load(spark, sf, "embeddings")
+    bucket = None
+    for p, plane in enumerate(_LSH_PLANES):
+        arr = F.array(*[F.lit(w) for w in plane])
+        bit = (_dot(F.col("embedding"), arr) > 0).cast("int") * (1 << p)
+        bucket = bit if bucket is None else bucket + bit
+    b = e.select(
+        "vec_id",
+        "embedding",
+        bucket.alias("bucket"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = b.select(
+        "bucket",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    c = b.select(
+        "bucket",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.35)
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias("vec_id"), F.col("cluster")
+    )
