@@ -283,3 +283,56 @@ def test_manifest_write_read_roundtrip(spark, me):
             for k in ("min", "max", "nulls"):
                 if st_.get(k) is not None:
                     assert g.stats[col].get(k) == st_[k], (col, k)
+
+
+# ------------------------------------------------ path canonicalization
+# Two real bugs this round traced to path-spelling drift (ADVICE r6
+# high; the percent-encoded tombstone resurrection) — property-pin the
+# ONE canonicalizer every join now routes through.
+
+from hypothesis import given, settings, strategies as st
+
+_path_chars = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        blacklist_characters="/\x00%",
+        blacklist_categories=("Cs",),
+    ),
+    min_size=1,
+    max_size=12,
+)
+_posix_paths = st.lists(_path_chars, min_size=1, max_size=4).map(
+    lambda segs: "/" + "/".join(segs)
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_posix_paths)
+def test_canonical_idempotent_and_uri_roundtrip(p):
+    from urllib.parse import quote
+
+    from icepack.iceberg_import import canonical_file_path as canon
+
+    # raw POSIX paths pass through untouched
+    assert canon(p) == p
+    # idempotent: canonicalizing a canonical path changes nothing
+    assert canon(canon(p)) == canon(p)
+    # every file:-URI spelling of the same path decodes back to it
+    for spelled in (
+        "file:" + quote(p, safe="/"),
+        "file://" + quote(p, safe="/"),
+        "file:///" + quote(p, safe="/").lstrip("/"),
+        "file:" + quote(p, safe="/-._~!$&'()*+,;=:@"),
+    ):
+        assert canon(spelled) == p, spelled
+
+
+@settings(max_examples=100, deadline=None)
+@given(_posix_paths)
+def test_canonical_raw_percent_is_literal(p):
+    """A RAW path containing a literal %xx must NOT percent-decode
+    (decoding it would alias two distinct files)."""
+    from icepack.iceberg_import import canonical_file_path as canon
+
+    raw = p + "%20x"
+    assert canon(raw) == raw
