@@ -1943,7 +1943,9 @@ def ice51_table_stats(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def ice52_table_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """Dedup as a TABLE MAINTENANCE commit (icepack.dedup.dedupe_table):
+    """Dedup as a TABLE MAINTENANCE commit (icepack.dedup.dedupe_table;
+    MERGE semantics per docs/08-acid-transactions.md:133-141, the
+    silver-layer cleansing step of docs/12-lakehouse-patterns.md:57-83):
     a documents table polluted with re-ingested copies (and the
     fixture corpus's own exact duplicates) dedupes IN PLACE — groups
     keyed by a 128-bit content hash, survivor = MIN(doc_id), losers
@@ -1991,7 +1993,8 @@ def ice52_table_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def ice53_stream_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
-    """Streaming dedup INGESTION — the nightly-corpus pattern (ice26)
+    """Streaming dedup INGESTION — the incremental bronze→silver
+    pattern (docs/12-lakehouse-patterns.md:94-104; ice26's batch twin)
     as a real Structured Streaming pipe: an icepack source table
     streams through ``foreachBatch``; each micro-batch exact-dedups
     WITHIN itself (keep-min-id per 128-bit content hash) and AGAINST
