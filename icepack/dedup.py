@@ -417,6 +417,15 @@ def semantic_candidate_pairs(
     near-duplicates are missed — exact duplicates always agree (same
     signs) and that is the dedup contract this serves.
     Returns (id_a, id_b, cos) with id_a < id_b."""
+    # eager dimension check (one-row fetch): zip_with null-pads a
+    # shorter side, which would silently zero the projection bits —
+    # wrong buckets, no error.  A maintenance API should refuse loudly.
+    probe = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    if probe is not None and probe["n"] != dim:
+        raise ValueError(
+            f"{vec_col} has {probe['n']} dims; pass dim={probe['n']} "
+            f"(got dim={dim} — the hyperplanes must match the vector width)"
+        )
 
     def dot(a, b):
         return F.aggregate(
