@@ -58,11 +58,13 @@ def load_all_modules() -> None:
 #:
 #: Round-7 snapshot: cumulative driver coverage 181/181 green, but the
 #: four round-6 additions (ice49/ice50/ice51/x47) have NEVER been
-#: driver-sampled — they are first (VERDICT r6 item 1).  Next come the
-#: queries whose code paths change this round (spec-delete
-#: canonicalization, x2 shingle rewrite, DSv2 MOR fallback), then the
-#: 39 queries whose latest evidence is r03 (oldest cohort), then the
-#: r04 cohort heads as budget allows.
+#: driver-sampled — they are first (VERDICT r6 item 1), followed by
+#: the FIFTEEN round-7 additions (TPC-H completions, the SemDeDup /
+#: PQ-ADC / matryoshka / simhash / mixture / audio legs, table +
+#: streaming dedup), then the queries whose code paths changed this
+#: round (spec-delete canonicalization, shingle rewrite + packing,
+#: DSv2 MOR fallback), then the 39 queries whose latest evidence is
+#: r03 (oldest cohort), then the r04 cohort heads as budget allows.
 PRIORITY: list[str] = [
     # never driver-sampled (landed after the r6 driver run)
     "ice49_spec_primary",
