@@ -87,6 +87,7 @@ PRIORITY: list[str] = [
     "x54_simhash_neardup",
     "ice53_stream_dedup_ingest",
     "x55_semantic_dedup_clusters",
+    "x56_containment_dedup",
     # code changing this round -- re-evidence
     "x2_jaccard_pairs",
     "x31_jaccard_stopshingles",

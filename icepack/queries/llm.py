@@ -3488,3 +3488,76 @@ def x55_semantic_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("id").alias("vec_id"), F.col("cluster")
     )
+
+
+@query(
+    "x56_containment_dedup",
+    oracle=_SQL_SHINGLES
+    + """
+    , ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_tbl),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_tbl),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN p.id_a ELSE p.id_b END AS contained_id,
+           CASE WHEN sa.n_sh <= sb.n_sh THEN p.id_b ELSE p.id_a END AS container_id,
+           ROUND(CAST(p.common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh), 4)
+             AS containment
+    FROM pairs p
+    JOIN sizes sa ON p.id_a = sa.doc_id
+    JOIN sizes sb ON p.id_b = sb.doc_id
+    WHERE LEAST(sa.n_sh, sb.n_sh) >= 5
+      AND CAST(p.common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.9
+    """,
+)
+def x56_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-CONTAINMENT pairs: a document whose shingle set is >= 90%
+    inside another document's is subsumed (quote farms, scraped
+    re-posts with added boilerplate) — the curation rule Jaccard
+    misses by construction (J = min/max punishes size asymmetry; x2's
+    PPJoin length filter deliberately DROPS these pairs, so
+    containment runs its own expansion without it).
+
+    Same packed inverted index as x2 — one posting-list exchange on
+    xxhash64 keys, (doc_id, n_sh) packed into one bigint, in-place
+    bucket pair expansion — but the expansion keeps ALL size
+    combinations; the documented bound for hot shingles at 100 TB is
+    x31's posting-list cap, which drops only pairs already supported
+    by many other shingles.  Output keys the CONTAINED doc (the drop
+    candidate) with its container and the containment fraction."""
+    d = load(spark, sf, "documents").select("doc_id", "text")
+    ex = _shingle_rows(spark, sf, distinct=True, docs=d, hashed=True)
+    packed = ex.select(
+        "sh", (F.shiftleft(F.col("doc_id"), 25) + F.col("n_sh")).alias("dn")
+    )
+    buckets = (
+        packed.groupBy("sh")
+        .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ds) - 1),"
+                " i -> transform(slice(ds, i + 1, size(ds) - i),"
+                " y -> struct(ds[i-1] AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    counts = pairs.groupBy("p.a", "p.b").agg(F.count("*").alias("common"))
+    n_a = F.col("a").bitwiseAND(F.lit(_PACK_MASK)).cast("double")
+    n_b = F.col("b").bitwiseAND(F.lit(_PACK_MASK)).cast("double")
+    mn = F.least(n_a, n_b)
+    cont = F.col("common").cast("double") / mn
+    id_a = F.shiftright(F.col("a"), 25)
+    id_b = F.shiftright(F.col("b"), 25)
+    return (
+        counts.filter((mn >= 5) & (cont >= 0.9))
+        .select(
+            F.when(n_a <= n_b, id_a).otherwise(id_b).alias("contained_id"),
+            F.when(n_a <= n_b, id_b).otherwise(id_a).alias("container_id"),
+            F.round(cont, 4).alias("containment"),
+        )
+    )
