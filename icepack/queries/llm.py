@@ -2968,23 +2968,40 @@ def x48_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     JVM-side (zip_with/aggregate higher-order functions, no Python),
     and the per-bucket top-3 is a WindowGroupLimit on the SAME bucket
     partitioning the join just produced — zero additional exchanges
-    after the join."""
+    after the join.
+
+    MULTIPLICITY COLLAPSE (adaptive, mirroring x2/x13): a
+    duplicate-saturated corpus (the sf1 ladder replicates identical
+    vectors 10×) makes the within-bucket quadratic grow as K² in the
+    duplication factor — measured 12.8× time for 10× data before this
+    path.  When the corpus duplication stat says so, exact-duplicate
+    vectors collapse to one representative before bucketing; the
+    bucket top-3 is then reconstructed EXACTLY from a provable
+    candidate superset: a rep pair's smallest expanded member pair is
+    (least, greatest) of the two reps (reps are group minima), so the
+    top-3 rep pairs under (cos, least, greatest) expanded to their 3
+    smallest member pairs, unioned with the 3 smallest within-group
+    pairs of the top-3 duplicate groups, contain the true top-3 —
+    pinned equivalent to the direct path on a replicated corpus
+    (tests/test_adaptive_collapse.py)."""
     e = load(spark, sf, "embeddings")
+    if _duplication_ratio(e, "embedding", (sf, "embeddings.embedding")) < _COLLAPSE_AT:
+        return _x48_topk_direct(e)
+    return _x48_topk_collapsed(e)
+
+
+def _x48_bucket_col():
     bucket = None
     for p, plane in enumerate(_LSH_PLANES):
         arr = F.array(*[F.lit(w) for w in plane])
         bit = (_dot(F.col("embedding"), arr) > 0).cast("int") * (1 << p)
         bucket = bit if bucket is None else bucket + bit
-    # per-vector norm computed ONCE before pairing (a per-pair norm
-    # recomputation multiplies the dominant higher-order-lambda cost by
-    # the bucket size; same expression tree per value, so the cosine is
-    # bit-identical to the oracle's dot/(sqrt*sqrt))
-    b = e.select(
-        "vec_id",
-        "embedding",
-        bucket.alias("bucket"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
-    )
+    return bucket
+
+
+def _x48_rep_pairs(b) -> DataFrame:
+    """(bucket, id_a, id_b, cos) for every within-bucket pair of the
+    given (vec_id, embedding, bucket, nrm) frame."""
     a = b.select(
         "bucket",
         F.col("vec_id").alias("id_a"),
@@ -2997,12 +3014,15 @@ def x48_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    pairs = a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
+    return a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
         "bucket",
         "id_a",
         "id_b",
         (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos"),
     )
+
+
+def _x48_rank3(pairs) -> DataFrame:
     from pyspark.sql import Window as W
 
     rk = F.row_number().over(
@@ -3015,6 +3035,116 @@ def x48_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("bucket", "id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+def _x48_topk_direct(e: DataFrame) -> DataFrame:
+    # per-vector norm computed ONCE before pairing (a per-pair norm
+    # recomputation multiplies the dominant higher-order-lambda cost by
+    # the bucket size; same expression tree per value, so the cosine is
+    # bit-identical to the oracle's dot/(sqrt*sqrt))
+    b = e.select(
+        "vec_id",
+        "embedding",
+        _x48_bucket_col().alias("bucket"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    return _x48_rank3(_x48_rep_pairs(b))
+
+
+def _x48_topk_collapsed(e: DataFrame) -> DataFrame:
+    """Exact top-3-per-bucket on a duplicate-saturated corpus: collapse
+    identical vectors (16-byte rolling-hash keys), run the quadratic on
+    representatives only, reconstruct from the provable candidate
+    superset (see x48's docstring).  All orderings are by
+    (round(cos,6) desc, id_a, id_b) — identical to the direct path."""
+    from pyspark.sql import Window as W
+
+    h1 = F.expr("aggregate(embedding, 0L, (a, x) -> xxhash64(a, x))")
+    h2 = F.expr("aggregate(embedding, 1L, (a, x) -> xxhash64(a, x))")
+    groups = e.groupBy(h1.alias("_h1"), h2.alias("_h2")).agg(
+        F.min("vec_id").alias("rep"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"),
+        F.first("embedding").alias("embedding"),
+    )
+    b = groups.select(
+        F.col("rep").alias("vec_id"),
+        "embedding",
+        "members",
+        _x48_bucket_col().alias("bucket"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    # --- cross-group candidates: top-3 rep pairs per bucket under
+    # (cos, least, greatest) == smallest-expanded-pair order, each
+    # expanded to its 3 smallest member pairs
+    rp = _x48_rep_pairs(b.select("bucket", "vec_id", "embedding", "nrm"))
+    rp_rk = F.row_number().over(
+        W.partitionBy("bucket").orderBy(
+            F.round("cos", 6).desc(), F.asc("id_a"), F.asc("id_b")
+        )
+    )
+    top_rp = rp.withColumn("rk", rp_rk).filter(F.col("rk") <= 3).drop("rk")
+    mem = b.select(F.col("vec_id").alias("rep"), "members")
+    cross = (
+        top_rp.join(mem.select(F.col("rep").alias("id_a"), F.col("members").alias("ma")), "id_a")
+        .join(mem.select(F.col("rep").alias("id_b"), F.col("members").alias("mb")), "id_b")
+        .select(
+            "bucket",
+            "cos",
+            F.explode(
+                # all member combinations, normalized to id_a < id_b,
+                # then the 3 smallest per rep pair (slice after sort)
+                F.slice(
+                    F.array_sort(
+                        F.expr(
+                            "flatten(transform(ma, x -> transform(mb,"
+                            " y -> struct(least(x, y) AS id_a,"
+                            " greatest(x, y) AS id_b))))"
+                        )
+                    ),
+                    1,
+                    3,
+                )
+            ).alias("p"),
+        )
+        .select("bucket", F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"), "cos")
+    )
+    # --- within-group candidates: top-3 duplicate groups per bucket by
+    # (cos_dup, rep, second member), 3 smallest pairs each; cos_dup is
+    # the direct path's exact expression with both sides the same
+    # vector (identical fold → identical float)
+    dup = b.filter(F.size("members") > 1).select(
+        "bucket",
+        "members",
+        (_dot(F.col("embedding"), F.col("embedding")) / (F.col("nrm") * F.col("nrm"))).alias("cos"),
+    )
+    g_rk = F.row_number().over(
+        W.partitionBy("bucket").orderBy(
+            F.round("cos", 6).desc(),
+            F.asc(F.element_at("members", 1)),
+            F.asc(F.element_at("members", 2)),
+        )
+    )
+    within = (
+        dup.withColumn("rk", g_rk)
+        .filter(F.col("rk") <= 3)
+        .select(
+            "bucket",
+            "cos",
+            F.explode(
+                F.slice(
+                    F.expr(
+                        "flatten(transform(sequence(1, size(members) - 1),"
+                        " i -> transform(slice(members, i + 1, size(members) - i),"
+                        " y -> struct(members[i-1] AS id_a, y AS id_b))))"
+                    ),
+                    1,
+                    3,
+                )
+            ).alias("p"),
+        )
+        .select("bucket", F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"), "cos")
+    )
+    return _x48_rank3(cross.unionByName(within))
 
 
 _X49_LUT = ",\n             ".join(

@@ -97,3 +97,26 @@ def test_x22_collapse_equals_direct(spark, dup_sf, monkeypatch):
         monkeypatch, spark, dup_sf, llm.x22_contamination
     )
     assert collapsed == direct
+
+
+def test_x48_collapsed_equals_direct_on_replicated_corpus(spark):
+    """x48's multiplicity collapse (r7): on a 5x-replicated embeddings
+    corpus the collapsed reconstruction must reproduce the direct
+    within-bucket top-3 EXACTLY (same ids, same rounded cosines) — the
+    candidate-superset argument in the docstring, pinned."""
+    from icepack.io import load
+    from icepack.queries import llm
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    parts = [
+        e.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000))
+        for i in range(5)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    direct = sorted(map(tuple, llm._x48_topk_direct(u).collect()))
+    coll = sorted(map(tuple, llm._x48_topk_collapsed(u).collect()))
+    assert direct == coll and len(direct) > 0
