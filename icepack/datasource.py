@@ -353,10 +353,17 @@ _MOR_DELETE_ROW_CAP = 2_000_000
 #: are immutable once committed — content-named, never rewritten in
 #: place — so a bare path key is safe); bounds executor work to one
 #: read per delete file per worker instead of one per partition.
-#: Size-bounded FIFO so a long-lived worker serving many tables can't
-#: grow it without limit (dict preserves insertion order).
+#: Size-bounded LRU so a long-lived worker serving many tables can't
+#: grow it without limit.  The bound must comfortably exceed one
+#: table's live delete-FILE count (the lazy path engages exactly on
+#: delete-heavy tables, and a FIFO smaller than the working set
+#: degrades to zero hits under the sequential per-partition access
+#: pattern — each entry evicted right before its reuse); 4096 entries
+#: is far past compaction-hygienic file counts while the real memory
+#: guard remains the resolved row payload itself, which is the same
+#: data the eager path would broadcast.
 _WORKER_DELETE_CACHE: dict = {}
-_WORKER_DELETE_CACHE_MAX = 64
+_WORKER_DELETE_CACHE_MAX = 4096
 
 
 def _cache_put(key, value):
@@ -366,6 +373,16 @@ def _cache_put(key, value):
     return value
 
 
+def _cache_get(key):
+    hit = _WORKER_DELETE_CACHE.get(key)
+    if hit is not None:
+        # LRU touch: re-insert so the eviction order tracks recency,
+        # not first insertion (dict preserves insertion order)
+        _WORKER_DELETE_CACHE.pop(key, None)
+        _WORKER_DELETE_CACHE[key] = hit
+    return hit
+
+
 def _worker_pos_delete(path: str) -> dict:
     """Executor-side: one position-delete parquet →
     {canonical data path: frozenset(row positions)}, cached per worker.
@@ -373,7 +390,7 @@ def _worker_pos_delete(path: str) -> dict:
     table._read_with_deletes), so foreign ``file:`` URI spellings and
     s3a/s3 connector drift cannot silently resurrect rows."""
     key = ("pos", path)
-    hit = _WORKER_DELETE_CACHE.get(key)
+    hit = _cache_get(key)
     if hit is None:
         import pyarrow.parquet as pq
 
@@ -399,7 +416,7 @@ def _worker_eq_delete(path: str, plan: tuple) -> tuple:
     driver, and a long-lived worker must not serve the previous
     version's column names or arrow types."""
     key = ("eq", path, tuple((s, c, str(a)) for s, c, a in plan))
-    hit = _WORKER_DELETE_CACHE.get(key)
+    hit = _cache_get(key)
     if hit is None:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq

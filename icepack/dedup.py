@@ -175,6 +175,8 @@ def dedupe_table(
     dry_run: bool = False,
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int | None = None,
+    n_planes: int = 4,
 ) -> dict:
     """In-place deduplication of a WAREHOUSE table — the maintenance
     operation that turns the distributed dedup pipeline into a table
@@ -242,7 +244,8 @@ def dedupe_table(
             ).select("id_a", "id_b")
         else:
             pairs = semantic_candidate_pairs(
-                d, id_col=id_col, vec_col=vec_col, threshold=threshold
+                d, id_col=id_col, vec_col=vec_col, threshold=threshold,
+                dim=dim, n_planes=n_planes,
             ).select("id_a", "id_b")
         losers = (
             connected_components(pairs)
@@ -405,7 +408,7 @@ def semantic_candidate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 4,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at cosine >= ``threshold`` — the
@@ -416,16 +419,35 @@ def semantic_candidate_pairs(
     Recall note: sign-LSH requires bucket agreement, so cross-bucket
     near-duplicates are missed — exact duplicates always agree (same
     signs) and that is the dedup contract this serves.
+
+    ``dim=None`` derives the width from the data (one aggregate pass)
+    and REFUSES mixed widths — zip_with null-pads a shorter side,
+    which would silently zero projection bits and drop rows from
+    consideration.  Zero/NaN vectors never emit pairs: their cosine
+    is NaN, which Spark's comparisons rank ABOVE every number — left
+    unguarded, one corrupt all-zeros embedding would "match" its
+    whole bucket and a dedup would mass-delete it.
     Returns (id_a, id_b, cos) with id_a < id_b."""
-    # eager dimension check (one-row fetch): zip_with null-pads a
-    # shorter side, which would silently zero the projection bits —
-    # wrong buckets, no error.  A maintenance API should refuse loudly.
-    probe = df.select(F.size(F.col(vec_col)).alias("n")).first()
-    if probe is not None and probe["n"] != dim:
-        raise ValueError(
-            f"{vec_col} has {probe['n']} dims; pass dim={probe['n']} "
-            f"(got dim={dim} — the hyperplanes must match the vector width)"
-        )
+    probe = df.agg(
+        F.min(F.size(F.col(vec_col))).alias("lo"),
+        F.max(F.size(F.col(vec_col))).alias("hi"),
+    ).first()
+    if probe is not None and probe["lo"] is not None:
+        if probe["lo"] != probe["hi"]:
+            raise ValueError(
+                f"{vec_col} has mixed widths [{probe['lo']}, {probe['hi']}]"
+                " — semantic blocking needs one embedding space; split or"
+                " re-embed first"
+            )
+        if dim is None:
+            dim = int(probe["lo"])
+        elif probe["lo"] != dim:
+            raise ValueError(
+                f"{vec_col} has {probe['lo']} dims; pass dim={probe['lo']} "
+                f"(got dim={dim} — the hyperplanes must match the width)"
+            )
+    if dim is None:
+        dim = 64  # empty input: any plane width works, nothing to pair
 
     def dot(a, b):
         return F.aggregate(
@@ -463,9 +485,15 @@ def semantic_candidate_pairs(
         .select(
             "id_a",
             "id_b",
-            (dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))).alias(
-                "cos"
-            ),
+            # zero-norm guard BEFORE the division: under ANSI mode the
+            # 0/0 raises, and without ANSI the NaN result would rank
+            # ABOVE every number (`NaN >= threshold` is TRUE) — either
+            # way a corrupt all-zeros embedding must pair with nothing,
+            # not "match" its whole bucket
+            F.when(
+                (F.col("_na") > 0) & (F.col("_nb") > 0),
+                dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")),
+            ).alias("cos"),
         )
-        .filter(F.col("cos") >= threshold)
+        .filter(F.col("cos").isNotNull() & ~F.isnan("cos") & (F.col("cos") >= threshold))
     )

@@ -3580,39 +3580,17 @@ def x55_semantic_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     from ..dedup import connected_components
 
     e = load(spark, sf, "embeddings")
-    bucket = None
-    for p, plane in enumerate(_LSH_PLANES):
-        arr = F.array(*[F.lit(w) for w in plane])
-        bit = (_dot(F.col("embedding"), arr) > 0).cast("int") * (1 << p)
-        bucket = bit if bucket is None else bucket + bit
+    # same blocking as x48 — ONE shared implementation (_x48_bucket_col
+    # / _x48_rep_pairs), threshold form instead of top-3
     b = e.select(
         "vec_id",
         "embedding",
-        bucket.alias("bucket"),
+        _x48_bucket_col().alias("bucket"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    a = b.select(
-        "bucket",
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    c = b.select(
-        "bucket",
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
     pairs = (
-        a.join(c, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cos"),
-        )
+        _x48_rep_pairs(b)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
         .filter(F.col("cos") >= 0.35)
     )
     return connected_components(pairs).select(
@@ -3626,9 +3604,13 @@ def x55_semantic_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     + """
     , ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh_tbl),
     sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh_tbl),
+    kept AS (
+      SELECT doc_id, sh FROM ex
+      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 64
+    ),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
-      FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT CASE WHEN sa.n_sh <= sb.n_sh THEN p.id_a ELSE p.id_b END AS contained_id,
@@ -3653,10 +3635,16 @@ def x56_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     Same packed inverted index as x2 — one posting-list exchange on
     xxhash64 keys, (doc_id, n_sh) packed into one bigint, in-place
     bucket pair expansion — but the expansion keeps ALL size
-    combinations; the documented bound for hot shingles at 100 TB is
-    x31's posting-list cap, which drops only pairs already supported
-    by many other shingles.  Output keys the CONTAINED doc (the drop
-    candidate) with its container and the containment fraction."""
+    combinations.  Hot-shingle blowup is bounded the way x31 bounds
+    it, APPLIED here (not just cited): posting lists longer than 64
+    are dropped before expansion — a boilerplate gram shared by
+    thousands of docs contributes no pairs, and near-containment
+    support then rests on the document's distinctive grams, which is
+    the signal that matters (the common count is a lower bound, so
+    the reported containment never overstates).  The cap is mirrored
+    in the oracle (QUALIFY count <= 64).  Output keys the CONTAINED
+    doc (the drop candidate) with its container and the containment
+    fraction — a lower-bound fraction under the cap."""
     d = load(spark, sf, "documents").select("doc_id", "text")
     ex = _shingle_rows(spark, sf, distinct=True, docs=d, hashed=True)
     packed = ex.select(
@@ -3665,7 +3653,7 @@ def x56_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     buckets = (
         packed.groupBy("sh")
         .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter((F.size("ds") > 1) & (F.size("ds") <= 64))
     )
     pairs = buckets.select(
         F.explode(

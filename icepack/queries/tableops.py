@@ -2061,7 +2061,12 @@ def ice53_stream_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # awaitTermination(timeout) returns False on timeout WITHOUT
+        # raising — a still-running phase would silently overlap the
+        # next append and make the result nondeterministic
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("ice53 stream phase did not finish in 300s")
 
     run()
     src.append(docs.filter(F.col("doc_id") % 2 == 1))  # repeats + novel

@@ -675,3 +675,45 @@ def test_dedupe_table_semantic(spark, warehouse):
     ids = {r.vec_id for r in t.toDF().collect()}
     assert all(i < 700 for i in ids)
     assert len(ids) == 10  # every original survives
+
+
+def test_dedupe_table_semantic_zero_vector_safe(spark, warehouse):
+    """Review r7: a corrupt all-zeros embedding has NaN cosine against
+    every bucket-mate, and Spark ranks NaN ABOVE every number — without
+    the isnan guard, `NaN >= threshold` merged the zero vector's whole
+    bucket into one cluster and semantic dedup mass-deleted it.  The
+    zero vector must pair with nothing and every healthy vector must
+    survive."""
+    import os
+
+    from icepack.dedup import dedupe_table, semantic_candidate_pairs
+    from icepack.io import load
+    from icepack.table import IceTable
+
+    base = (
+        load(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", "embedding")
+        .limit(12)
+    )
+    zero = spark.createDataFrame(
+        [(9_999, [0.0] * 64)], "vec_id bigint, embedding array<float>"
+    )
+    d = base.unionByName(zero)
+    pairs = semantic_candidate_pairs(d, threshold=0.9).collect()
+    assert all(r.id_a != 9_999 and r.id_b != 9_999 for r in pairs)
+    loc = os.path.join(warehouse, "dedup_zero")
+    t = IceTable.create(spark, loc, d.schema)
+    t.append(d)
+    stats = dedupe_table(t, id_col="vec_id", method="semantic", threshold=0.9)
+    assert stats["dropped"] == 0  # nothing similar; NOTHING mass-deleted
+    assert t.toDF().count() == 13
+    # mixed widths refuse loudly instead of silently dropping rows
+    import pytest as _pytest
+
+    mixed = d.unionByName(
+        spark.createDataFrame(
+            [(8_888, [1.0] * 32)], "vec_id bigint, embedding array<float>"
+        )
+    )
+    with _pytest.raises(ValueError, match="mixed widths"):
+        semantic_candidate_pairs(mixed).collect()
