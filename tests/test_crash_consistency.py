@@ -313,3 +313,37 @@ def test_multi_table_commit_with_mor_delete_none_or_all(spark, tmp_path):
             assert a_deleted and b_inserted
             return
     pytest.fail("sweep never completed")
+
+
+def test_dedupe_table_atomic_under_crash_sweep(spark, tmp_path):
+    """dedupe_table's delete lands as ONE merge snapshot: a crash at
+    ANY metadata mutation leaves the reopened table at either the full
+    pre-state (all rows, duplicates included) or the full post-state
+    (duplicates gone) — never a partial delete."""
+    from icepack.dedup import dedupe_table
+
+    base = (
+        load(spark, SF_DIR, "documents").select("doc_id", "text").limit(12)
+    )
+    dup = base.limit(4).withColumn("doc_id", F.col("doc_id") + F.lit(10_000))
+    k = 0
+    while True:
+        loc = str(tmp_path / f"ded{k}")
+        t = IceTable.create(
+            spark, loc, base.schema, store=LocalStore()
+        )
+        t.append(base.unionByName(dup))
+        before = rows_sorted(t.toDF())
+        crash = CrashingStore(LocalStore(), k)
+        t.store = crash
+        try:
+            dedupe_table(t)
+            # no crash at this k: the sweep covered every mutation
+            after = rows_sorted(IceTable.load(spark, loc, store=LocalStore()).toDF())
+            assert len(after) == 12
+            break
+        except SimulatedCrash:
+            got = rows_sorted(IceTable.load(spark, loc, store=LocalStore()).toDF())
+            assert got == before or len(got) == 12, f"partial state at k={k}"
+        k += 1
+        assert k < 60, "sweep did not terminate"
