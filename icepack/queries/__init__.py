@@ -88,6 +88,7 @@ PRIORITY: list[str] = [
     "ice53_stream_dedup_ingest",
     "x55_semantic_dedup_clusters",
     "x56_containment_dedup",
+    "x57_temperature_sample",
     # code changing this round -- re-evidence
     "x2_jaccard_pairs",
     "x31_jaccard_stopshingles",

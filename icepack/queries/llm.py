@@ -3679,3 +3679,88 @@ def x56_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.round(cont, 4).alias("containment"),
         )
     )
+
+
+@query(
+    "x57_temperature_sample",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok,
+             ('0x' || substring(md5('temp42|' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               / 65536.0 AS frac
+      FROM documents
+    ),
+    lang_stats AS (
+      SELECT lang, CAST(SUM(n_tok) AS DOUBLE) AS t FROM tok GROUP BY lang
+    ),
+    probs AS (
+      SELECT lang, t,
+             (sqrt(t) / SUM(sqrt(t)) OVER ()) / (t / SUM(t) OVER ()) AS r
+      FROM lang_stats
+    ),
+    norm AS (SELECT lang, r / MAX(r) OVER () AS p FROM probs),
+    kept AS (
+      SELECT tok.lang, tok.n_tok, n.p
+      FROM tok JOIN norm n ON n.lang = tok.lang
+      WHERE tok.frac < n.p
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,
+           ROUND(ANY_VALUE(p), 6) AS accept_p
+    FROM kept GROUP BY lang
+    """,
+)
+def x57_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based multilingual rebalancing (the XLM-R / mBERT
+    sampling rule, alpha = 0.5): high-resource languages down-sample
+    toward sqrt-of-share targets so low-resource languages keep
+    representation.  Per-language acceptance p_l =
+    (sqrt-share / natural-share), normalized so the most
+    over-corrected language accepts 100%; per-document decisions are
+    the deterministic salted-hash threshold (same discipline as
+    x35/x53 — shard-independent, reproducible, no RNG state).
+
+    Exactness across engines: p_l derives from integer token counts
+    through the same IEEE expressions (sqrt / division / window sums)
+    on both sides, so the per-doc threshold comparisons agree; the
+    md5 fraction is a 16-bit lattice, making a tie against the
+    irrational p_l practically impossible.  Plan: one scan pass for
+    per-doc tokens, one tiny per-lang aggregate joined back broadcast
+    — the corpus crosses a single exchange."""
+    from pyspark.sql import Window as W
+
+    d = load(spark, sf, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("temp42|"), F.col("doc_id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / 65536.0
+        ).alias("frac"),
+    )
+    stats = tok.groupBy("lang").agg(F.sum("n_tok").cast("double").alias("t"))
+    wall = W.partitionBy()
+    probs = stats.select(
+        "lang",
+        (
+            (F.sqrt("t") / F.sum(F.sqrt("t")).over(wall))
+            / (F.col("t") / F.sum("t").over(wall))
+        ).alias("r"),
+    )
+    norm = probs.select("lang", (F.col("r") / F.max("r").over(wall)).alias("p"))
+    kept = tok.join(F.broadcast(norm), "lang").filter(F.col("frac") < F.col("p"))
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+        F.round(F.any_value("p"), 6).alias("accept_p"),
+    )
