@@ -79,6 +79,11 @@ class _FilePart(InputPartition):
     del_pos_lazy: list | None = None
     #: [(equality-delete parquet path, [(src_col, cur_col, arrow_type)])]
     del_eq_lazy: list | None = None
+    #: v3 deletion-vector blob references targeting THIS file:
+    #: [(puffin path, offset, length)] — always shipped by reference
+    #: (the bitmap stays roaring-compressed until the worker decodes
+    #: it), so DVs never count toward the driver row cap
+    del_dv: list | None = None
 
 
 def _schema_version_for(meta, declared):
@@ -137,6 +142,10 @@ def _read_file(part: _FilePart):
             pos |= set(_worker_pos_delete(dp).get(me, ()))
         for dp, plan in part.del_eq_lazy or ():
             eqs.append(_worker_eq_delete(dp, tuple(plan)))
+    for ref in part.del_dv or ():
+        # a DV names its target file — these references were attached
+        # to exactly this partition, so the positions apply directly
+        pos |= _worker_dv(*ref)
     f = pq.ParquetFile(part.path)
     offset = 0
     for batch in f.iter_batches():
@@ -297,12 +306,29 @@ class _BatchReader(DataSourceReader):
         spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
         t = IceTable.load(spark, self._location)
         deletes = t.live_files(content="deletes")
+        # v3 deletion-vectors always ship as blob REFERENCES (decoded
+        # by the worker, cached per process) — they never resolve on
+        # the driver, so they stay out of the row cap below
+        dv_by_ref: dict = {}
+        for d in deletes:
+            if d.content == "deletion-vectors":
+                dv_by_ref.setdefault(d.referenced_data_file, []).append(
+                    (d.path, int(d.content_offset), int(d.content_size))
+                )
+        deletes = [d for d in deletes if d.content != "deletion-vectors"]
         if self._pushed is not None:
             files, _report = t.plan_files(self._pushed)
         else:
             files = t.live_files()
         if not deletes:
-            return [_FilePart(f.path, _column_plan(t, f.schema_id)) for f in files]
+            return [
+                _FilePart(
+                    f.path,
+                    _column_plan(t, f.schema_id),
+                    del_dv=dv_by_ref.get(f.path),
+                )
+                for f in files
+            ]
         # cap overridable per table (mainly so tests can exercise the
         # lazy path without materializing 2M delete rows)
         cap = int(
@@ -312,7 +338,7 @@ class _BatchReader(DataSourceReader):
             # too many delete rows to resolve on the driver: fall back
             # to the distributed path (workers resolve delete files
             # locally) instead of erroring — VERDICT r6 item 3
-            return _lazy_mor_parts(t, files, deletes)
+            return _lazy_mor_parts(t, files, deletes, dv_by_ref)
         pos_by_path, eq_groups = _resolve_mor_deletes(t, deletes, cap=cap)
         parts = []
         for f in files:
@@ -333,6 +359,7 @@ class _BatchReader(DataSourceReader):
                     _column_plan(t, f.schema_id),
                     del_pos=dp or None,
                     del_eq=de or None,
+                    del_dv=dv_by_ref.get(f.path),
                 )
             )
         return parts
@@ -406,6 +433,22 @@ def _worker_pos_delete(path: str) -> dict:
     return hit
 
 
+def _worker_dv(puffin: str, offset: int, length: int) -> frozenset:
+    """Executor-side: one deletion-vector blob → frozenset(positions),
+    cached per worker.  Puffin files are immutable once committed
+    (content-named), so (path, offset) identifies the blob forever."""
+    key = ("dv", puffin, offset)
+    hit = _cache_get(key)
+    if hit is None:
+        from .roaring import read_dv_blob
+
+        with open(puffin, "rb") as fh:
+            fh.seek(offset)
+            data = fh.read(length)
+        hit = _cache_put(key, frozenset(int(p) for p in read_dv_blob(data)))
+    return hit
+
+
 def _worker_eq_delete(path: str, plan: tuple) -> tuple:
     """Executor-side: one equality-delete parquet + the driver-resolved
     column plan [(col name in the delete file, current name, current
@@ -433,7 +476,7 @@ def _worker_eq_delete(path: str, plan: tuple) -> tuple:
     return hit
 
 
-def _lazy_mor_parts(t, files, deletes) -> list:
+def _lazy_mor_parts(t, files, deletes, dv_by_ref: dict | None = None) -> list:
     """Partitions for the PAST-THE-CAP merge-on-read read: ship
     delete-file references (O(delete files) driver metadata) instead of
     resolved rows; workers resolve them via the cache above.  Column
@@ -477,6 +520,7 @@ def _lazy_mor_parts(t, files, deletes) -> list:
                 _column_plan(t, f.schema_id),
                 del_pos_lazy=dp or None,
                 del_eq_lazy=de or None,
+                del_dv=(dv_by_ref or {}).get(f.path),
             )
         )
     return parts

@@ -1,0 +1,96 @@
+"""Spark-side deletion-vector plumbing (Iceberg v3, docs/08 MOR story).
+
+:mod:`icepack.roaring` is the pure-bytes codec; this module is the
+distributed layer on top of it:
+
+- :func:`dv_positions_df` — decode DV blobs into a ``(file_path, pos)``
+  DataFrame IN EXECUTORS (one task per blob batch, Arrow-batched
+  ``mapInPandas``): a table with thousands of deletion vectors never
+  materializes its deleted positions on the driver.  The output feeds
+  the same broadcast anti-join the v2 position-delete path uses.
+- :func:`build_dv_blobs` — the reverse direction: a ``(file_path,
+  pos)`` tombstone DataFrame grouped per target data file into framed
+  ``deletion-vector-v1`` blob bytes, built by ``applyInPandas`` so the
+  bitmap construction for a million files fans out across the cluster.
+  Only the FINISHED blobs (roaring-compressed, ~KBs per file) travel
+  to the driver for Puffin assembly — positions never do.
+
+DV Puffin files live in the table's ``data/`` directory next to the
+parquet they mask, so they are Spark/executor-reachable by plain path
+exactly like the data files (the metadata ``store`` seam is for the
+metadata tree, not the data dir).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Iceberg reserved field ids for position-delete identity
+#: (spec "Reserved field IDs"): 2147483546 = file_path, 2147483545 = pos.
+FILE_PATH_FIELD_ID = 2147483546
+POS_FIELD_ID = 2147483545
+
+#: Puffin blob type from the Iceberg v3 spec.
+DV_BLOB_TYPE = "deletion-vector-v1"
+
+
+def dv_positions_df(spark: SparkSession, entries) -> DataFrame:
+    """Decode deletion-vector manifest entries → ``(file_path, pos)``.
+
+    ``entries`` are ``DataFile`` rows with content ``deletion-vectors``
+    (identity = (path, content_offset)).  Decoding happens in
+    executors; ``file_path`` is the entry's ``referenced_data_file``
+    (the raw manifest spelling of the target data file)."""
+    refs = [
+        (e.path, int(e.content_offset), int(e.content_size), e.referenced_data_file)
+        for e in entries
+    ]
+    sdf = spark.createDataFrame(
+        refs, "puffin string, offset long, length long, file_path string"
+    )
+    if len(refs) > 1:
+        sdf = sdf.repartition(min(len(refs), 32))
+
+    def _decode(batches):
+        import pandas as pd
+
+        from icepack.roaring import read_dv_blob
+
+        for pdf in batches:
+            for puffin, off, ln, fp in pdf.itertuples(index=False):
+                with open(puffin, "rb") as fh:
+                    fh.seek(int(off))
+                    data = fh.read(int(ln))
+                pos = read_dv_blob(data)
+                yield pd.DataFrame(
+                    {"file_path": fp, "pos": pos.astype("int64")}
+                )
+
+    return sdf.mapInPandas(_decode, "file_path string, pos long")
+
+
+def build_dv_blobs(tombstones: DataFrame) -> DataFrame:
+    """``(file_path, pos)`` tombstones → one framed DV blob per file.
+
+    Returns ``(file_path, blob binary, cardinality long)``; the group
+    key is whatever spelling ``file_path`` already carries (callers
+    canonicalize/join to raw manifest paths BEFORE grouping)."""
+
+    def _to_blob(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from icepack.roaring import dv_blob_bytes
+
+        pos = np.unique(pdf["pos"].to_numpy())
+        return pd.DataFrame(
+            {
+                "file_path": [pdf["file_path"].iloc[0]],
+                "blob": [dv_blob_bytes(pos)],
+                "cardinality": [len(pos)],
+            }
+        )
+
+    return tombstones.groupBy("file_path").applyInPandas(
+        _to_blob, "file_path string, blob binary, cardinality long"
+    )

@@ -371,19 +371,39 @@ def _rewrite_delete_parquet(table, d, dest: str, cache: dict) -> tuple[str, int,
     - equality deletes: identifier columns stamped with their field ids
       (resolved through the DELETE-TIME schema version, so renamed keys
       keep their identity); returns the equality_ids list.
+    - v3 deletion-vectors: the roaring blob DECODES into the same
+      spec-form position-delete parquet (the export targets v2 trees;
+      DV positions are exactly position deletes for one file), so a
+      DV table exports without a prior rewrite_position_deletes().
 
     Returns (new path, content code 1|2, equality_ids)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if d.path in cache:
-        return cache[d.path]
+    # DV blobs share one Puffin path — identity is (path, offset)
+    ckey = (d.path, d.content_offset)
+    if ckey in cache:
+        return cache[ckey]
     from .dml import _normalize_file_uri
 
-    tbl = pq.read_table(d.path)
-    if d.content == "position-deletes":
-        paths = [_normalize_file_uri(p) for p in tbl.column("file_path").to_pylist()]
-        poss = tbl.column("pos").to_pylist()
+    if d.content == "deletion-vectors":
+        from .roaring import read_dv_blob
+
+        with open(d.path, "rb") as fh:
+            fh.seek(int(d.content_offset))
+            blob = fh.read(int(d.content_size))
+        decoded = read_dv_blob(blob)
+        paths = [_normalize_file_uri(d.referenced_data_file)] * len(decoded)
+        poss = [int(p) for p in decoded]
+    else:
+        tbl = pq.read_table(d.path)
+    if d.content in ("position-deletes", "deletion-vectors"):
+        if d.content == "position-deletes":
+            paths = [
+                _normalize_file_uri(p)
+                for p in tbl.column("file_path").to_pylist()
+            ]
+            poss = tbl.column("pos").to_pylist()
         order = sorted(range(len(paths)), key=lambda i: (paths[i], poss[i]))
         fields = [
             pa.field(
@@ -418,10 +438,12 @@ def _rewrite_delete_parquet(table, d, dest: str, cache: dict) -> tuple[str, int,
         out = pa.table(arrays, schema=pa.schema(fields))
         code = 2
     name = f"delete-{len(cache)}-{os.path.basename(d.path)}"
+    if d.content == "deletion-vectors":
+        name += ".parquet"  # source basename is a .puffin
     new_path = os.path.join(dest, name)
     pq.write_table(out, new_path)
-    cache[d.path] = (new_path, code, eq_ids)
-    return cache[d.path]
+    cache[ckey] = (new_path, code, eq_ids)
+    return cache[ckey]
 
 
 def _delete_entry_record(table, d, spec, new_path, code, eq_ids, snapshot_id) -> dict:

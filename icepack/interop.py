@@ -53,12 +53,40 @@ def duckdb_snapshot_sql(
     the storage paths."""
     snap = snapshot or table.meta.current_snapshot
     current = table.meta.schema
-    data = table.live_files(snap, content="data")
+    all_live = table.live_files(snap, content="all")
+    data = [f for f in all_live if f.content == "data"]
     deletes = [
         f
-        for f in table.live_files(snap, content="all")
+        for f in all_live
         if f.content in ("equality-deletes", "position-deletes")
     ]
+    # v3 deletion-vectors: DuckDB cannot read Puffin, so the render
+    # DECODES each blob here and inlines the (raw data path, pos)
+    # pairs as VALUES.  This is the export/oracle leg only — bounded
+    # and refused past a cap (a table that hot should export via
+    # rewrite_position_deletes() back to parquet tombstones first).
+    dv_pairs: list[tuple[str, int]] = []
+    dv_targets: set[str] = set()
+    dv_entries = [f for f in all_live if f.content == "deletion-vectors"]
+    if dv_entries:
+        from .roaring import read_dv_blob
+
+        for e in dv_entries:
+            with open(e.path, "rb") as fh:
+                fh.seek(int(e.content_offset))
+                blob = fh.read(int(e.content_size))
+            dv_targets.add(e.referenced_data_file)
+            dv_pairs.extend(
+                (e.referenced_data_file, int(p)) for p in read_dv_blob(blob)
+            )
+            if len(dv_pairs) > 200_000:
+                raise ValueError(
+                    "snapshot has >200k deletion-vector positions — too "
+                    "large to inline in a self-contained SQL render; run "
+                    "rewrite_position_deletes() to fold the DVs into "
+                    "parquet tombstones (which the render reads by path) "
+                    "and export that snapshot"
+                )
     if not data:
         cols = ", ".join(
             f"NULL AS {_ident(f.name)}" for f in current.fields
@@ -97,7 +125,8 @@ def duckdb_snapshot_sql(
         pos_paths = [
             p for p in applicable if by_path[p].content == "position-deletes"
         ]
-        need_pos = bool(pos_paths)
+        group_dv = dv_targets & {f.path for f in group}
+        need_pos = bool(pos_paths) or bool(group_dv)
         opts = ", filename=true, file_row_number=true" if need_pos else ""
         q = (
             f"SELECT {', '.join(sel)}\n"
@@ -138,6 +167,20 @@ def duckdb_snapshot_sql(
                 " ON pd.file_path = pv.spelling\n"
                 "    WHERE pv.raw = d.filename"
                 " AND pd.pos = d.file_row_number)"
+            )
+        if group_dv:
+            # DV targets are raw manifest paths — exactly what DuckDB's
+            # ``filename`` column yields for local files, so no
+            # spelling map is needed on this arm
+            pair_vals = ", ".join(
+                f"('{fp.replace(chr(39), chr(39) * 2)}', {p})"
+                for fp, p in dv_pairs
+                if fp in group_dv
+            )
+            conds.append(
+                "NOT EXISTS (SELECT 1 FROM "
+                f"(VALUES {pair_vals}) AS dv(fp, p)\n"
+                "    WHERE dv.fp = d.filename AND dv.p = d.file_row_number)"
             )
         # equality deletes key on FIELD IDs: the delete file stores the
         # names current at delete time; the data side `d` exposes this

@@ -82,7 +82,11 @@ def compact(
     ]
     if where is not None:
         hit, _ = table.plan_files(where)
-        deletes = [f for f in files if f.content.endswith("-deletes")]
+        # every non-data content folds: parquet tombstones AND v3
+        # deletion-vectors (an endswith("-deletes") filter here would
+        # silently skip DV entries and resurrect their rows in the
+        # rewritten files)
+        deletes = [f for f in files if f.content != "data"]
         if not hit:
             return table._commit_snapshot("replace", [])
         total_bytes = sum(f.file_size_bytes for f in hit)
@@ -165,7 +169,8 @@ def rewrite_position_deletes(table) -> Snapshot | None:
     those."""
     live = table.live_files(content="all")
     pos = [f for f in live if f.content == "position-deletes"]
-    if len(pos) <= 1:
+    dvs = [f for f in live if f.content == "deletion-vectors"]
+    if len(pos) <= 1 and not dvs:
         return None
     from .dml import _write_delete_entries
 
@@ -188,16 +193,192 @@ def rewrite_position_deletes(table) -> Snapshot | None:
     def _canon(s):
         return s.map(canonical_file_path)
 
+    parts = []
+    if pos:
+        parts.append(
+            spark.read.parquet(*[f.path for f in pos]).select("file_path", "pos")
+        )
+    if dvs:
+        # v3 deletion-vectors fold back into the consolidated parquet
+        # form — the reverse migration (export and spec-primary
+        # conversion require v2-shaped tombstones).  DV targets are
+        # RAW manifest paths while native parquet tombstones carry
+        # Spark's percent-encoded URIs; rather than re-encode, flip
+        # the table to the uniform CANONICAL spelling (the same
+        # property adopted foreign trees use): _write_delete_entries
+        # then canonicalizes what it writes and every read
+        # canonicalizes both join sides.
+        from .dv import dv_positions_df
+
+        if (
+            table.meta.properties.get("read.canonicalize-delete-file-paths")
+            != "true"
+        ):
+            table.set_properties(
+                **{"read.canonicalize-delete-file-paths": "true"}
+            )
+        parts.append(dv_positions_df(spark, dvs))
+    keys = parts[0]
+    for p in parts[1:]:
+        keys = keys.unionByName(p)
     keys = (
-        spark.read.parquet(*[f.path for f in pos])
-        .select("file_path", "pos")
-        .distinct()
+        keys.distinct()
         .withColumn("_norm", _canon("file_path"))
         .join(live_data, "_norm", "left_semi")
         .drop("_norm")
     )
     entries = _write_delete_entries(table, keys, "position-deletes")
-    return table._commit_snapshot("replace", entries, {f.path for f in pos})
+    return table._commit_snapshot(
+        "replace", entries, {f.path for f in pos} | {f.path for f in dvs}
+    )
+
+
+def write_deletion_vectors(
+    table, max_puffin_bytes: int = 64 * 1024 * 1024
+) -> Snapshot | None:
+    """Consolidate MOR position deletes into Iceberg v3 DELETION
+    VECTORS: one roaring bitmap of deleted positions per target data
+    file, stored as ``deletion-vector-v1`` blobs in Puffin files
+    (icepack/roaring.py documents the public byte formats).
+
+    Versus the v2 parquet consolidation (:func:`rewrite_position_deletes`)
+    this is the v3 read-health endgame: the scan applies AT MOST ONE
+    delete structure per data file, the bitmap is ~orders denser than
+    (path, pos) parquet rows, and membership never needs the dedupe
+    the parquet path pays.  Reversible via
+    :func:`rewrite_position_deletes` (exports and spec-primary
+    conversion need v2-shaped tombstones and refuse on DV content).
+
+    Scale shape: tombstone reading, target-file scoping, and bitmap
+    construction are all distributed (``dv.build_dv_blobs`` —
+    positions never visit the driver); only the FINISHED blobs
+    (roaring-compressed, ~KBs/file) are collected for Puffin assembly,
+    split into multiple Puffin files past ``max_puffin_bytes`` so one
+    consolidation of a million-file table writes a bounded series of
+    container files rather than one unbounded buffer.
+
+    Equality deletes are left alone (sequence-ordered application;
+    ``compact()`` retires them) — same contract as the parquet
+    consolidation."""
+    import uuid as _uuid
+
+    from .dv import DV_BLOB_TYPE, POS_FIELD_ID, build_dv_blobs, dv_positions_df
+    from .iceberg_import import canonical_file_path
+    from .manifest import DataFile
+    from .puffin import write_puffin
+
+    if table.spec_primary:
+        raise ValueError(
+            "write_deletion_vectors refuses on a spec-primary table: "
+            "the spec-primary tree is Iceberg v2 format, which has no "
+            "DV entry shape (rewrite_position_deletes is the v2 "
+            "consolidation)"
+        )
+    live = table.live_files(content="all")
+    pos = [f for f in live if f.content == "position-deletes"]
+    dvs = [f for f in live if f.content == "deletion-vectors"]
+    n_puffins = len({f.path for f in dvs})
+    if not pos and n_puffins <= 1:
+        return None  # already consolidated (or nothing to do)
+    spark = table.spark
+
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("string")
+    def _canon(s):
+        return s.map(canonical_file_path)
+
+    # (canonical → raw-manifest) spelling map of the LIVE data files:
+    # tombstones may carry percent-encoded URIs while the DV entry must
+    # reference the raw manifest spelling the read path compares against
+    live_map = spark.createDataFrame(
+        [
+            (canonical_file_path(f.path), f.path)
+            for f in live
+            if f.content == "data"
+        ],
+        "_norm string, _raw string",
+    )
+    parts = []
+    if pos:
+        parts.append(
+            spark.read.parquet(*[f.path for f in pos]).select("file_path", "pos")
+        )
+    if dvs:
+        parts.append(dv_positions_df(spark, dvs))
+    keys = parts[0]
+    for p in parts[1:]:
+        keys = keys.unionByName(p)
+    keys = (
+        keys.withColumn("_norm", _canon("file_path"))
+        .join(F.broadcast(live_map), "_norm")  # drops dangling tombstones
+        .select(F.col("_raw").alias("file_path"), "pos")
+    )
+    blobs = build_dv_blobs(keys).collect()
+    if not blobs:
+        # every tombstone was dangling: retire the delete files outright
+        return table._commit_snapshot(
+            "replace", [], {f.path for f in pos} | {f.path for f in dvs}
+        )
+    snap_id = table.meta.current_snapshot.snapshot_id
+    entries: list[DataFile] = []
+    batch: list = []
+    batch_bytes = 0
+
+    def _flush():
+        nonlocal batch, batch_bytes
+        if not batch:
+            return
+        puffin = write_puffin(
+            [
+                {
+                    "type": DV_BLOB_TYPE,
+                    "fields": [POS_FIELD_ID],
+                    "snapshot-id": snap_id,
+                    "sequence-number": table.meta.last_sequence_number,
+                    "data": r["blob"],
+                    "properties": {
+                        "referenced-data-file": r["file_path"],
+                        "cardinality": str(r["cardinality"]),
+                    },
+                }
+                for r in batch
+            ]
+        )
+        path = os.path.join(
+            table.location, "data", f"dv-{_uuid.uuid4().hex}.puffin"
+        )
+        with open(path, "wb") as fh:
+            fh.write(puffin)
+        off = len(b"PFA1")
+        for r in batch:
+            entries.append(
+                DataFile(
+                    path=path,
+                    status="added",
+                    partition={},
+                    spec_id=table.meta.default_spec_id,
+                    schema_id=table.meta.current_schema_id,
+                    record_count=int(r["cardinality"]),
+                    file_size_bytes=len(puffin),
+                    content="deletion-vectors",
+                    referenced_data_file=r["file_path"],
+                    content_offset=off,
+                    content_size=len(r["blob"]),
+                )
+            )
+            off += len(r["blob"])
+        batch, batch_bytes = [], 0
+
+    for r in sorted(blobs, key=lambda r: r["file_path"]):
+        if batch_bytes + len(r["blob"]) > max_puffin_bytes and batch:
+            _flush()
+        batch.append(r)
+        batch_bytes += len(r["blob"])
+    _flush()
+    return table._commit_snapshot(
+        "replace", entries, {f.path for f in pos} | {f.path for f in dvs}
+    )
 
 
 def rewrite_manifests(table) -> Snapshot:
@@ -371,9 +552,13 @@ def remove_orphan_files(table, older_than_ms: int | None = None, dry_run: bool =
             for e in table._read_mentries(m["manifest-path"]):
                 referenced.add(e.path)
     orphans = []  # data files: swept via the local/Hadoop FS Spark wrote to
-    for p in _glob.glob(os.path.join(table.location, "data", "**", "*.parquet"), recursive=True):
-        if p not in referenced and os.path.getmtime(p) * 1000 < older_than_ms:
-            orphans.append(p)
+    for pat in ("*.parquet", "*.puffin"):  # .puffin: DV containers (a
+        # lost write_deletion_vectors CAS leaves its file behind)
+        for p in _glob.glob(
+            os.path.join(table.location, "data", "**", pat), recursive=True
+        ):
+            if p not in referenced and os.path.getmtime(p) * 1000 < older_than_ms:
+                orphans.append(p)
     doc_orphans = []  # metadata docs: swept through the metadata store
     current_doc = getattr(table, "_metadata_location", None)
     if current_doc is not None:
@@ -514,6 +699,28 @@ def verify_table(table, check_data: bool = False) -> list[str]:
                 findings.append(f"{e.path}: unknown schema-id {e.schema_id}")
             if not os.path.exists(e.path):
                 findings.append(f"{e.path}: file missing from storage")
+            elif check_data and e.content == "deletion-vectors":
+                # DV entries: decode the blob (magic + CRC verified by
+                # the codec) and compare its cardinality to the
+                # manifest claim — the DV analogue of the footer check
+                from .roaring import read_dv_blob
+
+                try:
+                    with open(e.path, "rb") as fh:
+                        fh.seek(int(e.content_offset))
+                        n = len(read_dv_blob(fh.read(int(e.content_size))))
+                except Exception as ex:  # noqa: BLE001 — report, keep walking
+                    findings.append(
+                        f"{e.path}@{e.content_offset}: deletion-vector "
+                        f"blob undecodable: {ex}"
+                    )
+                else:
+                    if n != e.record_count:
+                        findings.append(
+                            f"{e.path}@{e.content_offset}: manifest "
+                            f"record-count {e.record_count} != decoded "
+                            f"cardinality {n}"
+                        )
             elif check_data:
                 from .manifest import harvest_stats
 
@@ -757,6 +964,13 @@ def convert_to_spec_primary(table) -> Snapshot:
         table.meta = staged
         try:
             for e in entries:
+                if e.content == "deletion-vectors":
+                    raise ValueError(
+                        "convert_to_spec_primary: table has live v3 "
+                        "deletion-vectors, which the v2 spec tree cannot "
+                        "express; run rewrite_position_deletes() first "
+                        "to fold them into parquet tombstones"
+                    )
                 if e.content != "data" and not is_spec_shaped_delete(e):
                     rewrite_delete_file_spec(table, e, keep_original=True)
             names, summaries = [], []

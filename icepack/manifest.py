@@ -61,9 +61,19 @@ class DataFile:
     #: for equality-delete files: the identifier columns whose values
     #: the file contains
     equality_columns: list = field(default_factory=list)
+    #: Iceberg v3 deletion-vector entries (content "deletion-vectors"):
+    #: ``path`` is the shared Puffin file; these three locate THIS data
+    #: file's blob inside it (spec fields referenced_data_file /
+    #: content_offset / content_size_in_bytes).  None on every other
+    #: content kind.  NOTE: DV entries are the one content kind whose
+    #: ``path`` is NOT unique per entry — identity is
+    #: (path, content_offset).
+    referenced_data_file: str | None = None
+    content_offset: int | None = None
+    content_size: int | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "status": self.status,
             "partition": self.partition,
@@ -76,6 +86,11 @@ class DataFile:
             "content": self.content,
             "equality-columns": self.equality_columns,
         }
+        if self.referenced_data_file is not None:
+            d["referenced-data-file"] = self.referenced_data_file
+            d["content-offset"] = self.content_offset
+            d["content-size-in-bytes"] = self.content_size
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
@@ -91,6 +106,9 @@ class DataFile:
             d.get("sequence-number", 0),
             d.get("content", "data"),
             d.get("equality-columns", []),
+            d.get("referenced-data-file"),
+            d.get("content-offset"),
+            d.get("content-size-in-bytes"),
         )
 
 

@@ -89,6 +89,8 @@ PRIORITY: list[str] = [
     "x55_semantic_dedup_clusters",
     "x56_containment_dedup",
     "x57_temperature_sample",
+    # r7 continuation: v3 deletion vectors -- never sampled
+    "ice54_deletion_vectors",
     # code changing this round -- re-evidence
     "x2_jaccard_pairs",
     "x31_jaccard_stopshingles",

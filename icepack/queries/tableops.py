@@ -2073,3 +2073,43 @@ def ice53_stream_dedup_ingest(spark: SparkSession, sf: str) -> DataFrame:
     run()
     dst.refresh()
     return dst.toDF().groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+@query(
+    "ice54_deletion_vectors",
+    oracle=f"""
+    SELECT {_ORDER_COLS}
+    FROM orders
+    WHERE o_orderstatus <> 'F' AND o_orderpriority <> '1-URGENT'
+    """,
+)
+def ice54_deletion_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg v3 DELETION VECTORS (docs/08 MOR story, v3 extension):
+    two merge-on-read position deletes consolidate into roaring-bitmap
+    DVs (one blob per data file in a Puffin container —
+    icepack/roaring.py pins the public byte formats), and the native
+    scan applies them through the same sequence-correct anti-join
+    machinery as v2 tombstones.  The blobs decode in EXECUTORS
+    (dv.dv_positions_df), so a 100 TB table's deleted positions never
+    visit the driver; the scan pays at most ONE delete structure per
+    data file after consolidation."""
+    from ..maintenance import write_deletion_vectors
+
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(
+        spark,
+        _scratch(),
+        orders.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(orders)
+    t.delete(col("o_orderstatus") == "F")
+    t.delete(col("o_orderpriority") == "1-URGENT")
+    assert write_deletion_vectors(t) is not None
+    live = t.live_files(content="all")
+    assert [f for f in live if f.content == "deletion-vectors"]
+    assert not [f for f in live if f.content.endswith("-deletes")]
+    return t.toDF()

@@ -41,6 +41,61 @@ RUNTIME_CONFS: dict[str, str] = {
 }
 
 
+#: SparkContext application ids the package zip was already shipped to.
+_SHIPPED: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``import icepack`` work in PYTHON WORKERS regardless of the
+    driver's cwd / sys.path.
+
+    cloudpickle serializes module-level functions BY REFERENCE, so any
+    pandas UDF or mapInPandas closure that touches icepack needs the
+    package importable on the worker.  When the driver imported
+    ``__spark_entry__`` by file path from a foreign cwd (the driver
+    contract allows exactly that), workers have no icepack anywhere —
+    ``sc.addPyFile`` of a content-hashed package zip is Spark's own
+    mechanism for this, and on a real cluster it is the ONLY correct
+    one (executors don't share the driver's filesystem view).
+
+    The zip is rebuilt only when package content changes (hash-named,
+    cached in the system temp dir); shipping is once per application.
+    Mid-session source edits won't win over an already-shipped zip —
+    restart the session (dev-only concern; documented here)."""
+    import hashlib
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    parent = os.path.dirname(pkg_dir)
+    files = []
+    for root, _dirs, fnames in os.walk(pkg_dir):
+        for fn in sorted(fnames):
+            if fn.endswith(".py"):
+                p = os.path.join(root, fn)
+                with open(p, "rb") as fh:
+                    files.append((os.path.relpath(p, parent), fh.read()))
+    h = hashlib.md5()
+    for rel, blob in files:
+        h.update(rel.encode())
+        h.update(blob)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"icepack-pkg-{h.hexdigest()}.zip"
+    )
+    if not os.path.exists(zpath):
+        tmp = zpath + f".tmp{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for rel, blob in files:
+                zf.writestr(rel, blob)
+        os.replace(tmp, zpath)  # atomic: concurrent sessions race safely
+    sc.addPyFile(zpath)
+    _SHIPPED.add(app)
+
+
 def ensure_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to a (possibly externally built) session."""
     for k, v in RUNTIME_CONFS.items():
@@ -48,6 +103,10 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf may be static/locked
             pass
+    try:
+        _ship_package(spark)
+    except Exception:  # pragma: no cover — never block a query on this
+        pass
     return spark
 
 

@@ -860,9 +860,13 @@ def is_spec_shaped_delete(e: DataFile) -> bool:
     deletes carry a field id on every identifier column."""
     import pyarrow.parquet as pq
 
+    if e.content == "deletion-vectors":
+        # a v3 DV blob in a Puffin container is never a v2 spec-shaped
+        # parquet (and pq.read_schema on a .puffin raises ArrowInvalid)
+        return False
     try:
         sch = pq.read_schema(e.path)
-    except OSError:
+    except Exception:  # OSError or pyarrow.ArrowInvalid (non-parquet)
         return False
     if e.content == "position-deletes":
         try:

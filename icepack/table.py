@@ -193,6 +193,15 @@ class IceTable:
             )
 
             for e in entries:
+                if e.content == "deletion-vectors":
+                    raise ValueError(
+                        "deletion-vectors cannot commit to a spec-primary "
+                        "table: the spec-primary tree is Iceberg v2 "
+                        "format, which has no DV entry shape.  Run "
+                        "rewrite_position_deletes() to fold DVs back to "
+                        "parquet tombstones before (or instead of) "
+                        "enabling spec-primary."
+                    )
                 if e.content != "data" and not is_spec_shaped_delete(e):
                     # shape detection is CONTENT-based (reserved field
                     # ids in the footer), not name-based: entries
@@ -1098,20 +1107,61 @@ class IceTable:
         current = self.meta.schema
         if not deletes:
             return self._read_files(files, with_pos=with_pos)
+        # v3 deletion-vectors name their target data file explicitly
+        # (referenced_data_file = the RAW manifest spelling, by
+        # construction in maintenance.write_deletion_vectors), so they
+        # apply by file identity, never by sequence scoping — and they
+        # are the one content kind whose entry path is NOT unique
+        # (blobs share a Puffin file), so they must stay out of the
+        # path-keyed grouping below
+        dvs = [d for d in deletes if d.content == "deletion-vectors"]
+        if dvs:
+            in_scan = {f.path for f in files}
+            dvs = [d for d in dvs if d.referenced_data_file in in_scan]
+        seqdels = [d for d in deletes if d.content != "deletion-vectors"]
         # group data files by the set of delete files that apply
         groups: dict[tuple, list[DataFile]] = {}
         for f in files:
             applicable = tuple(
-                sorted(d.path for d in deletes if f.sequence_number < d.sequence_number)
+                sorted(d.path for d in seqdels if f.sequence_number < d.sequence_number)
             )
             groups.setdefault(applicable, []).append(f)
         parts = []
         for applicable, group in sorted(groups.items()):
-            by_path = {d.path: d for d in deletes}
+            by_path = {d.path: d for d in seqdels}
             pos_paths = [
                 p for p in applicable if by_path[p].content == "position-deletes"
             ]
-            df = self._read_files(group, with_pos=with_pos or bool(pos_paths))
+            group_paths = {f.path for f in group}
+            dvg = [d for d in dvs if d.referenced_data_file in group_paths]
+            df = self._read_files(
+                group, with_pos=with_pos or bool(pos_paths) or bool(dvg)
+            )
+            if dvg:
+                # one anti-join applies every DV of the group: the
+                # (file_path, pos) identity keeps each bitmap scoped to
+                # its own file.  Blobs decode in EXECUTORS
+                # (dv.dv_positions_df); the data side canonicalizes
+                # because Spark's _file is a percent-encoded URI while
+                # referenced_data_file is the raw manifest path.
+                from .dv import dv_positions_df
+                from .iceberg_import import canonical_file_path
+
+                import pandas as pd  # noqa: F401
+
+                @F.pandas_udf("string")
+                def _canon_dv(s):
+                    return s.map(canonical_file_path)
+
+                dels_dv = dv_positions_df(self.spark, dvg)
+                df = df.join(
+                    F.broadcast(dels_dv),
+                    (_canon_dv(df["_file"]) == _canon_dv(dels_dv["file_path"]))
+                    & (df["_pos"] == dels_dv["pos"]),
+                    "left_anti",
+                )
+                if not (with_pos or pos_paths):
+                    df = df.drop("_file", "_pos")
             if pos_paths:
                 dels = (
                     self.spark.read.parquet(*pos_paths)

@@ -1,0 +1,257 @@
+"""Iceberg v3 deletion vectors: roaring codec + table lifecycle.
+
+Parity target: the reference's MOR delete story
+(docs/08-acid-transactions.md:112-187) extended with the v3 deletion
+vector format (public Iceberg table spec, "Delete Formats") —
+roaring-bitmap position deletes in Puffin blobs.  The codec tests pin
+the byte formats (icepack/roaring.py); the lifecycle tests pin that
+every reader (native scan, DSv2 batch, DuckDB render, spec export)
+applies DVs identically and every maintenance op folds/retires them.
+"""
+
+import os
+import struct
+import tempfile
+import zlib
+
+import duckdb
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from icepack import maintenance as M
+from icepack import roaring as R
+from icepack.expr import col
+from icepack.interop import duckdb_snapshot_sql
+from icepack.table import IceTable
+
+from .conftest import rows_sorted
+
+
+# --------------------------------------------------------------- codec
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**45), max_size=400
+    )
+)
+def test_roaring_roundtrip_property(vals):
+    blob = R.dv_blob_bytes(vals)
+    assert list(R.read_dv_blob(blob)) == sorted(set(vals))
+
+
+def test_roaring_dense_bitmap_container():
+    # >4096 values in one 16-bit chunk forces the bitmap container
+    vals = list(range(10_000))
+    assert list(R.deserialize_positions(R.serialize_positions(vals))) == vals
+
+
+def test_roaring_foreign_run_container_decodes():
+    # hand-built run-cookie bitmap: foreign writers run-optimize
+    runs = [(100, 99), (500, 0)]  # 100..199 and 500
+    body = struct.pack("<HH", R._SERIAL_COOKIE, 0)
+    body += bytes([0b1])  # run-flag bitset: container 0 is a run
+    body += struct.pack("<HH", 3, 100)  # key=3, cardinality-1
+    body += struct.pack("<H", len(runs))
+    for s, ln in runs:
+        body += struct.pack("<HH", s, ln)
+    bm64 = struct.pack("<Q", 1) + struct.pack("<I", 0) + body
+    expect = [(3 << 16) + v for v in list(range(100, 200)) + [500]]
+    assert list(R.deserialize_positions(bm64)) == expect
+
+
+def test_dv_blob_rejects_corruption():
+    blob = bytearray(R.dv_blob_bytes([1, 2, 3]))
+    blob[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        R.read_dv_blob(bytes(blob))
+    blob = bytearray(R.dv_blob_bytes([1]))
+    blob[4] ^= 0xFF
+    with pytest.raises(ValueError, match="magic"):
+        R.read_dv_blob(bytes(blob))
+    with pytest.raises(ValueError, match="negative"):
+        R.dv_blob_bytes([-1])
+
+
+def test_dv_blob_accepts_delta_magic_spelling():
+    blob = bytearray(R.dv_blob_bytes([9, 10]))
+    blob[5] = 0x33  # the Delta-documented byte order of the same format
+    (length,) = struct.unpack_from(">I", blob, 0)
+    body = bytes(blob[4 : 4 + length])
+    blob[-4:] = struct.pack(">I", zlib.crc32(body))
+    assert list(R.read_dv_blob(bytes(blob))) == [9, 10]
+
+
+# ------------------------------------------------------------ lifecycle
+
+
+def _mor_table(spark, tmp, n=600):
+    df = spark.range(0, n).withColumn("v", (F.col("id") * 37) % 11)
+    t = IceTable.create(
+        spark,
+        str(tmp / "dvt"),
+        df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df)
+    return t, df
+
+
+def test_dv_write_read_reverse_compact(spark, tmp_path):
+    t, df = _mor_table(spark, tmp_path)
+    t.delete(col("v") == 5)
+    t.delete((col("id") >= 100) & (col("id") < 120))
+    expect = rows_sorted(df.filter("v <> 5 and (id < 100 or id >= 120)"))
+    assert rows_sorted(t.toDF()) == expect
+
+    s = M.write_deletion_vectors(t)
+    assert s is not None
+    live = t.live_files(content="all")
+    dvs = [f for f in live if f.content == "deletion-vectors"]
+    assert dvs and not [f for f in live if f.content.endswith("-deletes")]
+    # one puffin holds every blob; entry identity is (path, offset)
+    assert len({f.path for f in dvs}) == 1
+    assert len({(f.path, f.content_offset) for f in dvs}) == len(dvs)
+    assert rows_sorted(t.toDF()) == expect
+    # record_count == decoded cardinality (verify_table cross-check)
+    assert M.verify_table(t, check_data=True) == []
+    # idempotent
+    assert M.write_deletion_vectors(t) is None
+
+    # reverse migration: fold DVs back into parquet tombstones
+    assert M.rewrite_position_deletes(t) is not None
+    assert not [
+        f for f in t.live_files(content="all") if f.content == "deletion-vectors"
+    ]
+    assert rows_sorted(t.toDF()) == expect
+
+    # mixed state: DVs + a fresh parquet tombstone consolidate together
+    M.write_deletion_vectors(t)
+    t.delete(col("id") == 0)
+    expect2 = rows_sorted(
+        df.filter("v <> 5 and (id < 100 or id >= 120) and id <> 0")
+    )
+    assert rows_sorted(t.toDF()) == expect2
+    s3 = M.write_deletion_vectors(t)
+    assert s3 is not None
+    assert rows_sorted(t.toDF()) == expect2
+
+    # compaction folds and retires DVs; time travel still serves them
+    M.compact(t)
+    assert rows_sorted(t.toDF()) == expect2
+    assert not [f for f in t.live_files(content="all") if f.content != "data"]
+    assert rows_sorted(t.toDF(snapshot=t.as_of(snapshot_id=s3.snapshot_id))) == expect2
+
+    # cold reload: DV fields survive the manifest JSON round-trip
+    t2 = IceTable.load(spark, t.location)
+    s4 = t2.as_of(snapshot_id=s3.snapshot_id)
+    assert rows_sorted(t2.toDF(snapshot=s4)) == expect2
+
+
+def test_dv_duckdb_render_and_dsv2(spark, tmp_path):
+    from icepack.datasource import register
+
+    register(spark)
+    t, df = _mor_table(spark, tmp_path)
+    t.delete(col("v") == 7)
+    M.write_deletion_vectors(t)
+    expect = rows_sorted(df.filter("v <> 7"))
+
+    sql = duckdb_snapshot_sql(t)
+    duck = sorted(duckdb.sql(f"SELECT id, v FROM ({sql})").fetchall())
+    assert duck == [tuple(r) for r in sorted(expect)]
+
+    got = spark.read.format("icepack").load(t.location)
+    assert rows_sorted(got) == expect
+    # pushdown keeps the DV mask
+    assert rows_sorted(got.filter("id < 50")) == rows_sorted(
+        df.filter("v <> 7 and id < 50")
+    )
+
+    # lazy path: cap=0 forces worker-side resolution for the parquet
+    # tombstone while DV blobs ship by reference on both paths
+    t.set_properties(**{"read.mor-delete-row-cap": "0"})
+    t.delete(col("id") == 42)
+    expect2 = rows_sorted(df.filter("v <> 7 and id <> 42"))
+    assert (
+        rows_sorted(spark.read.format("icepack").load(t.location)) == expect2
+    )
+
+
+def test_dv_export_roundtrip_read_iceberg(spark, tmp_path):
+    from icepack.iceberg_export import export_iceberg
+    from icepack.iceberg_import import read_iceberg
+
+    t, df = _mor_table(spark, tmp_path, n=300)
+    t.delete(col("v") == 2)
+    M.write_deletion_vectors(t)
+    expect = rows_sorted(df.filter("v <> 2"))
+    dest = str(tmp_path / "exp")
+    export_iceberg(t, dest)
+    back = read_iceberg(spark, dest)
+    assert rows_sorted(back.select("id", "v")) == expect
+
+
+def test_dv_orphan_puffin_sweep(spark, tmp_path):
+    t, df = _mor_table(spark, tmp_path, n=100)
+    t.delete(col("id") < 5)
+    M.write_deletion_vectors(t)
+    live_puffins = {
+        f.path
+        for f in t.live_files(content="all")
+        if f.content == "deletion-vectors"
+    }
+    stray = os.path.join(t.location, "data", "dv-deadbeef.puffin")
+    with open(stray, "wb") as fh:
+        fh.write(b"not a real puffin")
+    swept = M.remove_orphan_files(t, older_than_ms=int(2**62))
+    assert stray in swept and not os.path.exists(stray)
+    for p in live_puffins:
+        assert os.path.exists(p)
+    assert rows_sorted(t.toDF()) == rows_sorted(df.filter("id >= 5"))
+
+
+def test_dv_spec_primary_refusals(spark, tmp_path):
+    t, _df = _mor_table(spark, tmp_path, n=100)
+    t.delete(col("id") < 5)
+    M.write_deletion_vectors(t)
+    with pytest.raises(ValueError, match="rewrite_position_deletes"):
+        M.convert_to_spec_primary(t)
+    # fold back -> conversion proceeds (historical DV snapshots stay in
+    # the native tree; only the live state must be v2-expressible)
+    M.rewrite_position_deletes(t)
+    M.convert_to_spec_primary(t)
+    assert t.spec_primary
+    with pytest.raises(ValueError, match="spec-primary"):
+        M.write_deletion_vectors(t)
+
+
+def test_dv_dangling_only_tombstones_retire_outright(spark, tmp_path):
+    # every tombstone targets a file that a COW rewrite replaced:
+    # consolidation commits a pure retirement, no puffin written
+    t, df = _mor_table(spark, tmp_path, n=100)
+    t.delete(col("id") < 5)  # MOR tombstone into the id<10 file(s)
+    t.set_properties(**{"write.delete.mode": "copy-on-write"})
+    # COW delete of a SUPERSET predicate rewrites exactly the files the
+    # tombstone targets, leaving it dangling
+    t.delete(col("id") < 10)
+    expect = rows_sorted(df.filter("id >= 10"))
+    assert rows_sorted(t.toDF()) == expect
+    pos = [
+        f
+        for f in t.live_files(content="all")
+        if f.content == "position-deletes"
+    ]
+    assert pos, "tombstone should survive the COW rewrite as dangling"
+    M.write_deletion_vectors(t)
+    assert not [
+        f for f in t.live_files(content="all") if f.content != "data"
+    ]
+    assert rows_sorted(t.toDF()) == expect
