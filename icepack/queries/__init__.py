@@ -89,8 +89,12 @@ PRIORITY: list[str] = [
     "x55_semantic_dedup_clusters",
     "x56_containment_dedup",
     "x57_temperature_sample",
-    # r7 continuation: v3 deletion vectors -- never sampled
+    # r7 continuation: v3 deletion vectors, rank fusion, adaptive
+    # filtering -- never sampled
     "ice54_deletion_vectors",
+    "x58_rrf_fusion",
+    "x59_adaptive_quality_filter",
+    "ice55_versioned_view",
     # code changing this round -- re-evidence
     "x2_jaccard_pairs",
     "x31_jaccard_stopshingles",

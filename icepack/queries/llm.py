@@ -3764,3 +3764,184 @@ def x57_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("tokens_kept"),
         F.round(F.any_value("p"), 6).alias("accept_p"),
     )
+
+
+@query(
+    "x58_rrf_fusion",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id < 4
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             {_SQL_DOT.format(a='e.embedding', b='q.qv')}
+             / (sqrt({_SQL_DOT.format(a='e.embedding', b='e.embedding')})
+                * sqrt({_SQL_DOT.format(a='q.qv', b='q.qv')})) AS cos,
+             list_sum(list_transform(range(1, 65),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE))
+                    * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qv[i] AS DOUBLE)))) AS l2sq
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(cos, 6) DESC, vec_id) AS r_cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY ROUND(l2sq, 6) ASC, vec_id) AS r_l2
+      FROM scored
+    ),
+    fused AS (
+      SELECT query_id, vec_id, r_cos, r_l2,
+             1.0 / (60 + r_cos) + 1.0 / (60 + r_l2) AS rrf
+      FROM ranked
+    )
+    SELECT query_id, vec_id, r_cos, r_l2, ROUND(rrf, 6) AS rrf_score
+    FROM fused
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY ROUND(rrf, 9) DESC, vec_id) <= 3
+    ORDER BY query_id, rrf_score DESC, vec_id
+    """,
+)
+def x58_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers (Cormack et al.,
+    SIGIR'09 — the standard way to merge lexical+vector or multi-model
+    retrieval in a training-data search stack): per query, rank
+    candidates under cosine AND under L2 distance, fuse with
+    RRF(k=60) = Σ 1/(k+rank_i), keep the fused top-3.
+
+    Shape: the 4-row query set broadcasts into the scoring cross join
+    (JVM higher-order dot products, no Python); BOTH rank windows and
+    the final top-3 share ONE partitioning on query_id, so the whole
+    fusion costs a single exchange.  Scale note: a per-query global
+    rank serializes each query's candidates through one task — at
+    100 TB you first cut to per-partition top-200 (TakeOrdered per map
+    task, the x50 two-stage pattern) and fuse the survivors; the
+    fusion algebra is unchanged.  Ranks are integers, so fusion scores
+    are EXACT — ties broken by vec_id on both engines."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    diff = F.zip_with(
+        "embedding",
+        "qv",
+        lambda a, b: (a.cast("double") - b.cast("double"))
+        * (a.cast("double") - b.cast("double")),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _dot(F.col("embedding"), F.col("qv"))
+                / (
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                )
+            ).alias("cos"),
+            F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x).alias("l2sq"),
+        )
+    )
+    wq = W.partitionBy("query_id")
+    ranked = scored.select(
+        "query_id",
+        "vec_id",
+        F.row_number()
+        .over(wq.orderBy(F.round("cos", 6).desc(), F.asc("vec_id")))
+        .cast("long")  # DuckDB ROW_NUMBER is BIGINT — align the schema
+        .alias("r_cos"),
+        F.row_number()
+        .over(wq.orderBy(F.round("l2sq", 6).asc(), F.asc("vec_id")))
+        .cast("long")
+        .alias("r_l2"),
+    )
+    fused = ranked.withColumn(
+        "rrf", 1.0 / (60 + F.col("r_cos")) + 1.0 / (60 + F.col("r_l2"))
+    )
+    top = fused.withColumn(
+        "_rn",
+        F.row_number().over(wq.orderBy(F.round("rrf", 9).desc(), F.asc("vec_id"))),
+    ).filter(F.col("_rn") <= 3)
+    return top.select(
+        "query_id",
+        "vec_id",
+        "r_cos",
+        "r_l2",
+        F.round("rrf", 6).alias("rrf_score"),
+    ).orderBy("query_id", F.desc("rrf_score"), "vec_id")
+
+
+@query(
+    "x59_adaptive_quality_filter",
+    oracle="""
+    WITH scored AS (
+      SELECT source,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS score
+      FROM documents
+    ),
+    thr AS (
+      SELECT source, quantile_cont(score, 0.25) AS p25
+      FROM scored GROUP BY source
+    )
+    SELECT s.source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN ROUND(s.score, 9) >= ROUND(t.p25, 9)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(t.p25, 6) AS p25_threshold
+    FROM scored s JOIN thr t USING (source)
+    GROUP BY s.source, t.p25
+    ORDER BY s.source
+    """,
+)
+def x59_adaptive_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-SOURCE adaptive quality thresholding (the data-mixing
+    refinement of a static filter like x26): each source keeps only
+    docs at or above its OWN 25th-percentile lexical-diversity score,
+    so a clean source isn't over-pruned by a threshold tuned for a
+    noisy one and a noisy source can't flood the mix just because the
+    global bar is low.
+
+    Shape: one codegen'd scan computes the score (array higher-order
+    functions, no Python); the per-source percentile aggregates over
+    FEW groups and the thresholds broadcast back into the keep-count
+    join, so the corpus is scanned exactly twice and shuffled only by
+    the low-cardinality source key.  Exact interpolated percentile
+    here because the DuckDB oracle must match bit-for-bit(ish);
+    at 100 TB swap in approx_percentile(score, 0.25, 10000) — the
+    broadcast-back shape is identical."""
+    d = load(spark, sf, "documents").withColumn("w", F.split("text", " "))
+    scored = d.select(
+        "source",
+        (
+            F.size(F.array_distinct("w")).cast("double") / F.size("w")
+        ).alias("score"),
+    )
+    thr = scored.groupBy("source").agg(
+        F.expr("percentile(score, 0.25)").alias("p25")
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .groupBy("source", "p25")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(
+                F.when(
+                    F.round("score", 9) >= F.round("p25", 9), 1
+                ).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_total",
+            "n_kept",
+            F.round("p25", 6).alias("p25_threshold"),
+        )
+        .orderBy("source")
+    )

@@ -2113,3 +2113,64 @@ def ice54_deletion_vectors(spark: SparkSession, sf: str) -> DataFrame:
     assert [f for f in live if f.content == "deletion-vectors"]
     assert not [f for f in live if f.content.endswith("-deletes")]
     return t.toDF()
+
+
+@query(
+    "ice55_versioned_view",
+    oracle="""
+    SELECT 1 AS version_id, o_orderstatus, COUNT(*) AS n,
+           CAST(NULL AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 2 AS version_id, o_orderstatus, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    ORDER BY version_id, o_orderstatus
+    """,
+)
+def ice55_versioned_view(spark: SparkSession, sf: str) -> DataFrame:
+    """Persistent VERSIONED views (docs/12-lakehouse-patterns.md:168-172
+    CREATE VIEW, stored in the public Iceberg view-spec shape —
+    icepack/views.py): CREATE ICEBERG VIEW pins v1; CREATE OR REPLACE
+    appends v2 with the definition history retained, so BOTH versions
+    stay queryable — the result unions v1's output (via the version-id
+    time travel) with v2's, tagged by version.  A fresh IceSQL session
+    over the same warehouse resolves the view from disk."""
+    from ..sql import IceSQL
+
+    orders = load(spark, sf, "orders")
+    wh = _scratch()
+    q = IceSQL(spark, wh)
+    q.sql(
+        "CREATE ICEBERG TABLE ot (o_orderkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE)"
+    )
+    q.catalog.load_table("ot").append(
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    q.sql(
+        "CREATE ICEBERG VIEW status_counts AS SELECT o_orderstatus,"
+        " COUNT(*) AS n FROM ot GROUP BY o_orderstatus"
+    )
+    q.sql(
+        "CREATE OR REPLACE ICEBERG VIEW status_counts AS SELECT"
+        " o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total"
+        " FROM ot GROUP BY o_orderstatus"
+    )
+    # a FRESH session resolves both the current and the historical
+    # definition from the persisted view tree
+    q2 = IceSQL(spark, wh)
+    pv = q2._persistent_view("status_counts")
+    v1 = (
+        pv.toDF(version_id=1)
+        .select(
+            F.lit(1).alias("version_id"),
+            "o_orderstatus",
+            "n",
+            F.lit(None).cast("double").alias("total"),
+        )
+    )
+    v2 = q2.sql("SELECT * FROM status_counts").select(
+        F.lit(2).alias("version_id"), "o_orderstatus", "n", "total"
+    )
+    return v1.unionByName(v2).orderBy("version_id", "o_orderstatus")

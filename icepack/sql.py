@@ -433,6 +433,11 @@ class IceSQL:
         #: every read so views track their base tables' current
         #: snapshots (session-scoped, like temp views).
         self._views: dict[str, str] = {}
+        #: PERSISTENT versioned views (CREATE ICEBERG VIEW — the
+        #: Iceberg view-spec trees under <warehouse>/__views__/<name>),
+        #: loaded lazily so a fresh session sees views another session
+        #: committed.  name → IceView handle.
+        self._pviews: dict = {}
         #: USE DATABASE default namespace for unqualified names
         self._database: str | None = None
         #: active multi-statement transaction (docs/08:143-165, managed
@@ -671,6 +676,10 @@ class IceSQL:
         sess_names = {v.lower() for v in self._views} | {
             a.lower() for a in self._linked
         }
+        # persistent-view names are cross-session but their MEANING can
+        # change without any table snapshot moving (a REPLACE bumps only
+        # the view tree) — same staleness hazard, same exclusion
+        sess_names |= {v.lower() for v in self._pview_names()}
         for group in _CACHE_RELS.findall(text):
             for ident in (i.strip().lower() for i in group.split(",")):
                 if ident in sess_names:
@@ -1081,6 +1090,20 @@ class IceSQL:
             return self.spark.createDataFrame([(t,) for t in names], "name string")
         if re.match(r"(?i)SHOW\s+PARAMETERS", s):
             return self._show_parameters(s)
+        if re.match(r"(?i)CREATE(\s+OR\s+REPLACE)?\s+ICEBERG\s+VIEW", s):
+            return self._create_iceberg_view(s)
+        if re.match(r"(?i)ALTER\s+ICEBERG\s+VIEW\s+[\w.]+\s+REPLACE\s+AS\b", s):
+            m = re.match(
+                r"(?i)ALTER\s+ICEBERG\s+VIEW\s+([\w.]+)\s+REPLACE\s+AS\s+(.*)",
+                s,
+                re.DOTALL,
+            )
+            # ALTER is the incremental form: schema-compat is enforced
+            # (CREATE OR REPLACE is the explicit full redefinition)
+            self._persistent_view(m.group(1)).replace(m.group(2).strip())
+            return None
+        if re.match(r"(?i)DESCRIBE\s+ICEBERG\s+VIEW\b", s):
+            return self._persistent_view(s.split()[-1]).versions()
         if re.match(r"(?i)CREATE(\s+OR\s+REPLACE)?\s+VIEW", s):
             return self._create_view(s)
         if re.match(r"(?i)CREATE(\s+OR\s+REPLACE)?\s+TASK", s):
@@ -1737,6 +1760,17 @@ class IceSQL:
             if re.search(pat, s):
                 self._select(vsql).createOrReplaceTempView(flat)
                 s = re.sub(pat, flat, s)
+        # 3b. persistent ICEBERG VIEW references — resolved from the
+        # warehouse's view trees, so a fresh session sees definitions
+        # another session committed; session views (above) shadow them
+        shadowed = {v.replace(".", "_") for v in self._views}
+        for vname in self._pview_names():
+            if vname in shadowed:
+                continue
+            pat = rf"(?i)\b{re.escape(vname)}\b"
+            if re.search(pat, s):
+                pv = self._persistent_view(vname)
+                self._select(pv.sql_for()).createOrReplaceTempView(vname)
 
         # 4. plain icepack table names → temp views; delegate
         s = self._register_tables(s)
@@ -1789,6 +1823,70 @@ class IceSQL:
         name, body = m.group(2), m.group(3).strip()
         self._select(body)  # validate eagerly (names resolve, SQL parses)
         self._views[name] = body
+        return None
+
+    # -- persistent versioned views (Iceberg view spec; icepack/views.py)
+
+    def _pview_dir(self, name: str) -> str:
+        import os as _os
+
+        return _os.path.join(self._warehouse, "__views__", name.replace(".", "_"))
+
+    def _pview_names(self) -> list[str]:
+        import glob as _g
+        import os as _os
+
+        root = _os.path.join(self._warehouse, "__views__")
+        return sorted(
+            _os.path.basename(p)
+            for p in _g.glob(_os.path.join(root, "*"))
+            if _os.path.exists(_os.path.join(p, "metadata", "version-hint.text"))
+        )
+
+    def _persistent_view(self, name: str):
+        from .views import IceView
+
+        key = name.replace(".", "_")
+        if key not in self._pviews:
+            self._pviews[key] = IceView.load(
+                self.spark, self._pview_dir(name), resolver=self._select
+            )
+        else:
+            self._pviews[key].refresh()  # track cross-session replaces
+        return self._pviews[key]
+
+    def _create_iceberg_view(self, s: str):
+        """CREATE [OR REPLACE] ICEBERG VIEW <name> AS <select>: a
+        PERSISTENT versioned view (docs/12:168-172's CREATE VIEW,
+        stored in the public Iceberg view-spec shape so the definition
+        history survives the session and other engines can resolve
+        it).  OR REPLACE on an existing view appends a version —
+        history stays queryable via DESCRIBE ICEBERG VIEW /
+        IceView.toDF(version_id)."""
+        import os as _os
+
+        from .views import IceView
+
+        m = re.match(
+            r"(?i)CREATE(\s+OR\s+REPLACE)?\s+ICEBERG\s+VIEW\s+([\w.]+)\s+AS\s+(.*)",
+            s,
+            re.DOTALL,
+        )
+        replace, name, body = m.group(1), m.group(2), m.group(3).strip()
+        loc = self._pview_dir(name)
+        exists = _os.path.exists(
+            _os.path.join(loc, "metadata", "version-hint.text")
+        )
+        if exists:
+            if not replace:
+                raise ValueError(f"iceberg view {name} already exists")
+            v = self._persistent_view(name)
+            # OR REPLACE is the explicit full-redefinition form —
+            # schema compatibility is the caller's stated intent
+            v.replace(body, allow_incompatible=True)
+            return None
+        IceView.create(self.spark, loc, body, resolver=self._select)
+        self._pviews.pop(name.replace(".", "_"), None)
         return None
 
     def _create_task(self, s: str):

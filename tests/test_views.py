@@ -1,0 +1,169 @@
+"""Persistent versioned views (Iceberg view spec — icepack/views.py).
+
+Parity: docs/12-lakehouse-patterns.md:168-172 (CREATE VIEW over the
+warehouse) persisted in the public Iceberg view-metadata shape, with
+the version history first-class.
+"""
+
+import json
+import os
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from icepack.io import load
+from icepack.sql import IceSQL
+from icepack.views import IceView
+
+from .conftest import SF_DIR, rows_sorted
+
+
+@pytest.fixture()
+def warehouse_sql(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    q = IceSQL(spark, wh)
+    q.sql(
+        "CREATE ICEBERG TABLE ot (o_orderkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE)"
+    )
+    q.catalog.load_table("ot").append(
+        load(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    return q, wh
+
+
+def test_view_metadata_shape(spark, tmp_path, warehouse_sql):
+    q, wh = warehouse_sql
+    q.sql(
+        "CREATE ICEBERG VIEW sc AS SELECT o_orderstatus, COUNT(*) AS n"
+        " FROM ot GROUP BY o_orderstatus"
+    )
+    mdir = os.path.join(wh, "__views__", "sc", "metadata")
+    meta = json.load(open(os.path.join(mdir, "v1.metadata.json")))
+    # the spec-required fields are present and consistent
+    assert meta["format-version"] == 1
+    assert meta["view-uuid"]
+    assert meta["current-version-id"] == 1
+    v = meta["versions"][0]
+    assert v["representations"][0]["type"] == "sql"
+    assert v["schema-id"] == 0
+    assert meta["schemas"][0]["schema-id"] == 0
+    assert [e["version-id"] for e in meta["version-log"]] == [1]
+
+
+def test_view_replace_history_and_time_travel(spark, warehouse_sql):
+    q, wh = warehouse_sql
+    q.sql("CREATE ICEBERG VIEW sc AS SELECT COUNT(*) AS n FROM ot")
+    q.sql(
+        "CREATE OR REPLACE ICEBERG VIEW sc AS SELECT COUNT(*) AS n,"
+        " ROUND(SUM(o_totalprice), 2) AS total FROM ot"
+    )
+    pv = q._persistent_view("sc")
+    assert pv.meta["current-version-id"] == 2
+    assert pv.toDF(version_id=1).columns == ["n"]
+    assert pv.toDF().columns == ["n", "total"]
+    # version-log is append-only and linear
+    assert [e["version-id"] for e in pv.meta["version-log"]] == [1, 2]
+    # DESCRIBE surfaces the history
+    hist = q.sql("DESCRIBE ICEBERG VIEW sc").collect()
+    assert [(r["version_id"], r["is_current"]) for r in hist] == [
+        (1, False),
+        (2, True),
+    ]
+
+
+def test_view_compat_refusal_and_force(spark, warehouse_sql):
+    q, _wh = warehouse_sql
+    q.sql("CREATE ICEBERG VIEW sc AS SELECT o_orderkey, o_totalprice FROM ot")
+    with pytest.raises(ValueError, match="drop/retype"):
+        q.sql("ALTER ICEBERG VIEW sc REPLACE AS SELECT o_orderkey FROM ot")
+    # widening-compatible replace passes the check
+    q.sql(
+        "ALTER ICEBERG VIEW sc REPLACE AS SELECT o_orderkey, o_totalprice,"
+        " o_orderstatus FROM ot"
+    )
+    pv = q._persistent_view("sc")
+    assert pv.meta["current-version-id"] == 2
+    # CREATE OR REPLACE is the explicit full-redefinition form
+    q.sql("CREATE OR REPLACE ICEBERG VIEW sc AS SELECT o_orderkey FROM ot")
+    assert q._persistent_view("sc").toDF().columns == ["o_orderkey"]
+
+
+def test_view_cross_session_and_base_tracking(spark, warehouse_sql):
+    q, wh = warehouse_sql
+    q.sql(
+        "CREATE ICEBERG VIEW sc AS SELECT o_orderstatus, COUNT(*) AS n"
+        " FROM ot GROUP BY o_orderstatus"
+    )
+    q2 = IceSQL(spark, wh)  # fresh session, view resolved from disk
+    before = q2.sql("SELECT SUM(n) AS t FROM sc").collect()[0][0]
+    t = q2.catalog.load_table("ot")
+    t.append(
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(7)
+    )
+    after = q2.sql("SELECT SUM(n) AS t FROM sc").collect()[0][0]
+    assert after == before + 7  # late-binding: tracks the base table
+    # a replace in one session is visible to the other (refresh-on-use)
+    q.sql("CREATE OR REPLACE ICEBERG VIEW sc AS SELECT COUNT(*) AS n FROM ot")
+    assert q2.sql("SELECT * FROM sc").columns == ["n"]
+
+
+def test_view_session_shadowing(spark, warehouse_sql):
+    q, _wh = warehouse_sql
+    q.sql("CREATE ICEBERG VIEW sc AS SELECT COUNT(*) AS n FROM ot")
+    # a SESSION view with the same name shadows the persistent one
+    q.sql("CREATE VIEW sc AS SELECT 42 AS n")
+    assert q.sql("SELECT n FROM sc").collect()[0][0] == 42
+
+
+def test_view_concurrent_replace_linearizes(spark, warehouse_sql):
+    q, wh = warehouse_sql
+    q.sql("CREATE ICEBERG VIEW sc AS SELECT COUNT(*) AS n FROM ot")
+    loc = os.path.join(wh, "__views__", "sc")
+    errs, done = [], []
+
+    def worker(i):
+        try:
+            v = IceView.load(spark, loc)
+            v.replace(
+                f"SELECT COUNT(*) AS n, {i} AS gen FROM ot",
+                allow_incompatible=True,
+            )
+            done.append(i)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs and len(done) == 4
+    v = IceView.load(spark, loc)
+    ids = [e["version-id"] for e in v.meta["version-log"]]
+    assert ids == sorted(set(ids)) and len(ids) == 5  # linear, no collisions
+    assert v.meta["current-version-id"] == max(ids)
+
+
+def test_view_plain_session_api(spark, tmp_path):
+    # the bare IceView API (no IceSQL): resolves via spark.sql over
+    # registered temp views
+    load(spark, SF_DIR, "orders").createOrReplaceTempView("orders_tv")
+    v = IceView.create(
+        spark,
+        str(tmp_path / "pv"),
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders_tv"
+        " GROUP BY o_orderpriority",
+    )
+    expect = rows_sorted(
+        load(spark, SF_DIR, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    assert rows_sorted(v.toDF()) == expect
+    assert v.schema_for().fields[1].name == "n"
