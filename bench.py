@@ -60,6 +60,10 @@ HEADLINE = [
     # the sf1 ladder reruns this HEADLINE, so the delete-merge path's
     # scale trend is measured, not assumed
     "ice10_mor_delete",
+    # v3 deletion vectors (r7 continuation): position-delete MOR →
+    # distributed bitmap consolidation → DV-masked scan.  NEW this
+    # round: subtract from cross-round headline comparisons
+    "ice54_deletion_vectors",
 ]
 
 

@@ -505,8 +505,23 @@ def expire_snapshots(
         for e in meta.statistics
         if e.get("snapshot-id") in expired_ids
     ]
+    # partition-statistics files ride their snapshot's lifetime too
+    kept_pstats = [
+        e
+        for e in meta.partition_statistics
+        if e.get("snapshot-id") not in expired_ids
+    ]
+    doomed_stats += [
+        e["statistics-path"]
+        for e in meta.partition_statistics
+        if e.get("snapshot-id") in expired_ids
+    ]
     if not dry_run:
-        meta_new = meta.copy_with(snapshots=kept, statistics=kept_stats)
+        meta_new = meta.copy_with(
+            snapshots=kept,
+            statistics=kept_stats,
+            partition_statistics=kept_pstats,
+        )
         table._write_version(table._version + 1, meta_new)
         for p in doomed_stats:
             try:
@@ -570,6 +585,15 @@ def remove_orphan_files(table, older_than_ms: int | None = None, dry_run: bool =
     live_stats = {e.get("statistics-path") for e in table.meta.statistics}
     for p in table.store.glob(table.store.join(table._mdir, "*.stats")):
         if p not in live_stats and table.store.mtime_ms(p) < older_than_ms:
+            doc_orphans.append(p)
+    # partition-stats parquet not referenced by any entry (lost CAS)
+    live_pstats = {
+        e.get("statistics-path") for e in table.meta.partition_statistics
+    }
+    for p in table.store.glob(
+        table.store.join(table._mdir, "partition-stats-*.parquet")
+    ):
+        if p not in live_pstats and table.store.mtime_ms(p) < older_than_ms:
             doc_orphans.append(p)
     if not dry_run:
         for p in orphans:

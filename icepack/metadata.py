@@ -278,6 +278,11 @@ class TableMetadata:
     #: plain spec-shaped dicts so both the native and spec codecs carry
     #: them verbatim.
     statistics: list = field(default_factory=list)
+    #: Iceberg partition-statistics entries (spec
+    #: ``partition-statistics`` field): one dict per snapshot with a
+    #: partition-stats parquet — {"snapshot-id", "statistics-path",
+    #: "file-size-in-bytes"}.  Spec-shaped dicts, carried verbatim.
+    partition_statistics: list = field(default_factory=list)
 
     # -- accessors ----------------------------------------------------------
 
@@ -376,6 +381,7 @@ class TableMetadata:
             "sort-orders": [o.to_json() for o in self.sort_orders],
             "default-sort-order-id": self.default_sort_order_id,
             "statistics": self.statistics,
+            "partition-statistics": self.partition_statistics,
         }
 
     @staticmethod
@@ -399,6 +405,7 @@ class TableMetadata:
             or [UNSORTED_ORDER],
             default_sort_order_id=d.get("default-sort-order-id", 0),
             statistics=d.get("statistics", []),
+            partition_statistics=d.get("partition-statistics", []),
         )
 
     def dumps(self) -> str:

@@ -95,6 +95,7 @@ PRIORITY: list[str] = [
     "x58_rrf_fusion",
     "x59_adaptive_quality_filter",
     "ice55_versioned_view",
+    "ice56_partition_stats",
     # code changing this round -- re-evidence
     "x2_jaccard_pairs",
     "x31_jaccard_stopshingles",

@@ -2174,3 +2174,60 @@ def ice55_versioned_view(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(2).alias("version_id"), "o_orderstatus", "n", "total"
     )
     return v1.unionByName(v2).orderBy("version_id", "o_orderstatus")
+
+
+@query(
+    "ice56_partition_stats",
+    oracle="""
+    SELECT '{"o_orderdate_month": "' || strftime(o_orderdate, '%Y-%m') || '"}'
+             AS partition,
+           CAST(COUNT(*) AS BIGINT) AS data_rows,
+           CAST(0 AS BIGINT) AS pos_delete_rows
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT '{}',
+           CAST(0 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderstatus = 'F')
+    ORDER BY partition
+    """,
+)
+def ice56_partition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition statistics files (public Iceberg spec "Partition
+    Statistics"; icepack/stats.write_partition_stats): a month-
+    partitioned table takes a MOR position delete, `ALTER ... ANALYZE
+    PARTITIONS` persists the per-partition totals as a field-id-stamped
+    parquet registered in table metadata, and `$PARTITION_STATS` serves
+    the dashboard FROM that file — no manifest walk.  Data rows stay
+    with their month partitions; the unpartitioned tombstone file
+    surfaces as the '{}' partition row, exactly as the spec's unified
+    partition tuple prescribes."""
+    from ..sql import IceSQL
+
+    orders = load(spark, sf, "orders")
+    wh = _scratch()
+    q = IceSQL(spark, wh)
+    t = IceTable.create(
+        spark,
+        _scratch(),
+        orders.schema,
+        partition_by=[("o_orderdate", "month")],
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(orders)
+    t.delete(col("o_orderstatus") == "F")
+    # address the externally-created table through IceSQL's linked-
+    # table surface (same mechanism REST-catalog tables use)
+    q._linked["pt"] = t
+    q.sql("ALTER ICEBERG TABLE pt ANALYZE PARTITIONS")
+    t.refresh()
+    assert t.meta.partition_statistics, "stats file must be registered"
+    out = q.sql(
+        "SELECT partition, data_record_count AS data_rows,"
+        " position_delete_record_count AS pos_delete_rows"
+        " FROM pt$PARTITION_STATS ORDER BY partition"
+    )
+    return out

@@ -374,7 +374,10 @@ _BEFORE = re.compile(
     r"(?i)\b(FROM|JOIN)\s+([A-Za-z_][\w.$]*)(\s+(?:AS\s+)?[A-Za-z_]\w*)?"
     r"\s+BEFORE\s*\(\s*(STATEMENT|SNAPSHOT)\s*=>\s*([^)]+?)\s*\)"
 )
-_META_REL = re.compile(r"(?i)\b([A-Za-z_][\w.]*)\$(SNAPSHOTS|FILES|MANIFESTS|PARTITIONS|HISTORY|REFS)\b")
+_META_REL = re.compile(
+    r"(?i)\b([A-Za-z_][\w.]*)"
+    r"\$(SNAPSHOTS|FILES|MANIFESTS|PARTITION_STATS|PARTITIONS|HISTORY|REFS)\b"
+)
 #: docs/03:174-181 table functions: TABLE(INFORMATION_SCHEMA.ICEBERG_TABLE_FILES('t'))
 _INFO_SCHEMA = re.compile(
     r"(?i)\bTABLE\s*\(\s*INFORMATION_SCHEMA\s*\.\s*ICEBERG_TABLE_"
@@ -1543,6 +1546,15 @@ class IceSQL:
             cm = re.search(r"(?i)COLUMNS?\s*\(([^)]*)\)", rest) or re.search(
                 r"(?i)COLUMNS?\s+(.+)$", rest
             )
+            if re.match(r"(?i)ANALYZE\s+PARTITIONS", rest):
+                # persist the snapshot's partition-statistics file
+                # (Iceberg spec "Partition Statistics"; icepack/stats.py)
+                from .stats import write_partition_stats
+
+                path = write_partition_stats(t)
+                return self.spark.createDataFrame(
+                    [(path,)], "statistics_path string"
+                )
             if not cm:
                 raise ValueError("ANALYZE requires COLUMNS (a, b, ...)")
             cols = [c.strip().strip('"') for c in cm.group(1).split(",") if c.strip()]
@@ -1554,6 +1566,12 @@ class IceSQL:
             )
         if u.startswith("REWRITE MANIFESTS"):
             return maintenance.rewrite_manifests(t)
+        if u.startswith("REWRITE DELETES TO DELETION VECTORS"):
+            # v3 MOR consolidation [ext]: position tombstones → roaring
+            # deletion vectors (maintenance.write_deletion_vectors)
+            return maintenance.write_deletion_vectors(t)
+        if u.startswith("REWRITE DELETES"):  # back to v2 parquet form
+            return maintenance.rewrite_position_deletes(t)
         if u.startswith("REMOVE ORPHAN FILES"):
             return maintenance.remove_orphan_files(t)
         if re.match(r"(?i)SET\s+TBLPROPERTIES", rest):
@@ -1691,6 +1709,7 @@ class IceSQL:
                 "FILES": t.files,
                 "MANIFESTS": t.manifests,
                 "PARTITIONS": t.partitions,
+                "PARTITION_STATS": t.partition_stats,
                 "HISTORY": t.history,
                 "REFS": t.refs,
             }[rel]()

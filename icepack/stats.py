@@ -239,3 +239,170 @@ def duplication_ratio(
                 return hi_ratio
     fresh = _compute_and_persist(table, column)
     return fresh["rows"] / max(fresh["ndv"], 1)
+
+
+# -- partition statistics (Iceberg spec "Partition Statistics") --------------
+
+#: spec field ids for the partition-stats file schema
+_PSTAT_FIELDS = [
+    ("partition", 1),
+    ("spec_id", 2),
+    ("data_record_count", 3),
+    ("data_file_count", 4),
+    ("total_data_file_size_in_bytes", 5),
+    ("position_delete_record_count", 6),
+    ("position_delete_file_count", 7),
+    ("equality_delete_record_count", 8),
+    ("equality_delete_file_count", 9),
+    ("total_record_count", 10),
+    ("last_updated_at", 11),
+    ("last_updated_snapshot_id", 12),
+]
+
+
+def write_partition_stats(table) -> str:
+    """Compute and persist the PARTITION STATISTICS file for the
+    current snapshot (public Iceberg spec "Partition Statistics"): one
+    parquet row per (partition tuple, spec id) with data/delete file
+    and record totals, field-id-stamped per the spec schema, registered
+    in table metadata's ``partition-statistics`` list.
+
+    Why it exists at 100 TB: partition-level dashboards (docs/07:164-
+    173 $PARTITIONS) otherwise re-walk EVERY manifest on every call;
+    the stats file pins the answer once per snapshot, so "how big is
+    each partition" is a single small parquet read no matter how many
+    million files the table holds.  Deletion-vector entries count as
+    position deletes (they are position deletes, in bitmap form).
+
+    Computation walks manifest ENTRIES (metadata, O(files) — the same
+    driver-side cost every plan pays); the file is written through the
+    table's metadata store and rides the snapshot's lifetime
+    (expire_snapshots drops it with the snapshot).  Returns the path."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap = table.meta.current_snapshot
+    if snap is None:
+        raise ValueError("table has no snapshot to analyze")
+    # unified partition field list across all specs (spec: the
+    # partition struct is the union; absent fields read NULL)
+    all_fields: list[str] = []
+    for sp in table.meta.partition_specs:
+        for pf in sp.fields:
+            if pf.name not in all_fields:
+                all_fields.append(pf.name)
+    agg: dict = {}
+    now = int(__import__("time").time() * 1000)
+    for f in table.live_files(snap, content="all"):
+        key = (json.dumps(f.partition, sort_keys=True), f.spec_id)
+        a = agg.setdefault(
+            key, {k: 0 for k, _ in _PSTAT_FIELDS[2:10]}
+        )
+        if f.content == "data":
+            a["data_record_count"] += f.record_count
+            a["data_file_count"] += 1
+            a["total_data_file_size_in_bytes"] += f.file_size_bytes
+        elif f.content in ("position-deletes", "deletion-vectors"):
+            a["position_delete_record_count"] += f.record_count
+            a["position_delete_file_count"] += 1
+        elif f.content == "equality-deletes":
+            a["equality_delete_record_count"] += f.record_count
+            a["equality_delete_file_count"] += 1
+        a["total_record_count"] = a["data_record_count"]
+    rows = sorted(agg.items())
+    part_type = pa.struct(
+        [pa.field(n, pa.string()) for n in all_fields]
+    )
+    arrays = {
+        "partition": pa.array(
+            [
+                {
+                    n: (None if (v := json.loads(k[0]).get(n)) is None else str(v))
+                    for n in all_fields
+                }
+                for k, _ in rows
+            ],
+            type=part_type,
+        ),
+        "spec_id": pa.array([k[1] for k, _ in rows], pa.int32()),
+        "data_record_count": pa.array(
+            [a["data_record_count"] for _, a in rows], pa.int64()
+        ),
+        "data_file_count": pa.array(
+            [a["data_file_count"] for _, a in rows], pa.int32()
+        ),
+        "total_data_file_size_in_bytes": pa.array(
+            [a["total_data_file_size_in_bytes"] for _, a in rows], pa.int64()
+        ),
+        "position_delete_record_count": pa.array(
+            [a["position_delete_record_count"] for _, a in rows], pa.int64()
+        ),
+        "position_delete_file_count": pa.array(
+            [a["position_delete_file_count"] for _, a in rows], pa.int32()
+        ),
+        "equality_delete_record_count": pa.array(
+            [a["equality_delete_record_count"] for _, a in rows], pa.int64()
+        ),
+        "equality_delete_file_count": pa.array(
+            [a["equality_delete_file_count"] for _, a in rows], pa.int32()
+        ),
+        "total_record_count": pa.array(
+            [a["total_record_count"] for _, a in rows], pa.int64()
+        ),
+        "last_updated_at": pa.array([now] * len(rows), pa.int64()),
+        "last_updated_snapshot_id": pa.array(
+            [snap.snapshot_id] * len(rows), pa.int64()
+        ),
+    }
+    schema = pa.schema(
+        [
+            pa.field(
+                name,
+                arrays[name].type,
+                metadata={b"PARQUET:field_id": str(fid).encode()},
+            )
+            for name, fid in _PSTAT_FIELDS
+        ]
+    )
+    tbl = pa.table([arrays[n] for n, _ in _PSTAT_FIELDS], schema=schema)
+    sink = pa.BufferOutputStream()
+    pq.write_table(tbl, sink)
+    data = sink.getvalue().to_pybytes()
+    path = table.store.join(
+        table._mdir,
+        f"partition-stats-{snap.snapshot_id}-{_uuid.uuid4().hex}.parquet",
+    )
+    table.store.write_bytes(path, data)
+    entry = {
+        "snapshot-id": snap.snapshot_id,
+        "statistics-path": path,
+        "file-size-in-bytes": len(data),
+    }
+    from .table import CommitConflict
+
+    for _ in range(5):
+        meta = table.meta
+        kept = [
+            e
+            for e in meta.partition_statistics
+            if e.get("snapshot-id") != snap.snapshot_id
+        ]
+        try:
+            table._write_version(
+                table._version + 1,
+                meta.copy_with(partition_statistics=kept + [entry]),
+            )
+            return path
+        except CommitConflict:
+            # rebase and retry: the entry stays valid for ITS snapshot
+            # even if the table moved on (history dashboards read it),
+            # unless that snapshot was expired underneath us
+            table.refresh()
+            if all(
+                s.snapshot_id != snap.snapshot_id
+                for s in table.meta.snapshots
+            ):
+                return path  # snapshot expired mid-flight: nothing to pin
+    raise CommitConflict("write_partition_stats gave up after retries")

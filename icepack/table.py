@@ -1586,6 +1586,90 @@ class IceTable:
             "partition string, file_count long, record_count long, total_bytes long",
         )
 
+    _PSTAT_DDL = (
+        "partition string, spec_id int, data_record_count long,"
+        " data_file_count int, total_data_file_size_in_bytes long,"
+        " position_delete_record_count long, position_delete_file_count int,"
+        " equality_delete_record_count long, equality_delete_file_count int,"
+        " total_record_count long"
+    )
+
+    @staticmethod
+    def _pstat_partition_key(partition: dict) -> str:
+        """Canonical JSON render of a partition tuple for the
+        $PARTITION_STATS relation: values stringified, nulls skipped —
+        the SAME render whether the row comes from a persisted
+        partition-statistics file (struct of strings, absent spec
+        fields null) or is computed from manifest entries (raw typed
+        values), so the two paths are row-identical."""
+        return json.dumps(
+            {k: str(v) for k, v in partition.items() if v is not None},
+            sort_keys=True,
+        )
+
+    def partition_stats(self, snapshot: Snapshot | None = None) -> DataFrame:
+        """The ``$PARTITION_STATS`` relation (Iceberg spec "Partition
+        Statistics"): per-(partition, spec) data/delete file and record
+        totals.  Served from the snapshot's REGISTERED partition-stats
+        parquet when one exists (stats.write_partition_stats — one
+        small read, no manifest walk: the 100 TB dashboard path); falls
+        back to computing from manifest entries with identical output."""
+        snap = snapshot or self.meta.current_snapshot
+        if snap is None:
+            return self.spark.createDataFrame([], self._PSTAT_DDL)
+        entry = next(
+            (
+                e
+                for e in self.meta.partition_statistics
+                if e.get("snapshot-id") == snap.snapshot_id
+            ),
+            None,
+        )
+        if entry is not None:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                pa.BufferReader(self.store.read_bytes(entry["statistics-path"]))
+            )
+            rows = []
+            for r in tbl.to_pylist():
+                rows.append(
+                    (
+                        self._pstat_partition_key(r["partition"]),
+                        r["spec_id"],
+                        r["data_record_count"],
+                        r["data_file_count"],
+                        r["total_data_file_size_in_bytes"],
+                        r["position_delete_record_count"],
+                        r["position_delete_file_count"],
+                        r["equality_delete_record_count"],
+                        r["equality_delete_file_count"],
+                        r["total_record_count"],
+                    )
+                )
+            return self.spark.createDataFrame(rows, self._PSTAT_DDL)
+        agg: dict = {}
+        for f in self.live_files(snap, content="all"):
+            key = (self._pstat_partition_key(f.partition), f.spec_id)
+            a = agg.setdefault(key, [0] * 8)
+            if f.content == "data":
+                a[0] += f.record_count
+                a[1] += 1
+                a[2] += f.file_size_bytes
+            elif f.content in ("position-deletes", "deletion-vectors"):
+                a[3] += f.record_count
+                a[4] += 1
+            elif f.content == "equality-deletes":
+                a[5] += f.record_count
+                a[6] += 1
+            a[7] = a[0]  # total_record_count mirrors the writer
+        rows = [
+            (k[0], k[1], a[0], a[1], a[2], a[3], a[4], a[5], a[6], a[7])
+            for k, a in sorted(agg.items())
+        ]
+        return self.spark.createDataFrame(rows, self._PSTAT_DDL)
+
     def count(self, predicate: Expr | None = None) -> int:
         """SELECT COUNT(*) answered from manifest metadata when
         provably exact: no delete files in play, and every candidate

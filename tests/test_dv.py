@@ -255,3 +255,35 @@ def test_dv_dangling_only_tombstones_retire_outright(spark, tmp_path):
         f for f in t.live_files(content="all") if f.content != "data"
     ]
     assert rows_sorted(t.toDF()) == expect
+
+
+def test_dv_sql_maintenance_spelling(spark, tmp_path):
+    from icepack.sql import IceSQL
+
+    wh = str(tmp_path / "wh")
+    q = IceSQL(spark, wh)
+    q.sql(
+        "CREATE ICEBERG TABLE dt (id BIGINT, v BIGINT) TBLPROPERTIES ("
+        "'write.delete.mode'='merge-on-read',"
+        "'write.delete.mor.strategy'='position')"
+    )
+    t = q.catalog.load_table("dt")
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") % 5).alias("v")
+    )
+    t.append(df)
+    q.sql("DELETE FROM dt WHERE v = 2")
+    q.sql("DELETE FROM dt WHERE id < 20")
+    expect = rows_sorted(df.filter("v <> 2 and id >= 20"))
+    q.sql("ALTER ICEBERG TABLE dt REWRITE DELETES TO DELETION VECTORS")
+    t.refresh()
+    assert [
+        f for f in t.live_files(content="all") if f.content == "deletion-vectors"
+    ]
+    assert rows_sorted(q.sql("SELECT * FROM dt")) == expect
+    q.sql("ALTER ICEBERG TABLE dt REWRITE DELETES")
+    t.refresh()
+    assert not [
+        f for f in t.live_files(content="all") if f.content == "deletion-vectors"
+    ]
+    assert rows_sorted(q.sql("SELECT * FROM dt")) == expect

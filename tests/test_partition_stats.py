@@ -1,0 +1,132 @@
+"""Partition statistics files (Iceberg spec "Partition Statistics").
+
+Pins: spec field-ids in the parquet, file-served == computed rows,
+delete-content accounting (parquet tombstones AND deletion vectors),
+lifecycle (expire drops, orphan sweep collects lost files), and the
+SQL surface (ANALYZE PARTITIONS / $PARTITION_STATS).
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from icepack import maintenance as M
+from icepack.expr import col
+from icepack.io import load
+from icepack.stats import write_partition_stats
+from icepack.table import IceTable
+
+from .conftest import SF_DIR, rows_sorted
+
+
+@pytest.fixture()
+def ptable(spark, tmp_path):
+    orders = load(spark, SF_DIR, "orders")
+    t = IceTable.create(
+        spark,
+        str(tmp_path / "pt"),
+        orders.schema,
+        partition_by=[("o_orderdate", "month")],
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(orders)
+    return t, orders
+
+
+def test_pstats_file_shape_and_field_ids(spark, ptable):
+    t, _orders = ptable
+    path = write_partition_stats(t)
+    sch = pq.read_schema(path)
+    ids = {
+        f.name: (f.metadata or {}).get(b"PARQUET:field_id")
+        for f in sch
+    }
+    # the spec-assigned ids, not positional accidents
+    assert ids["partition"] == b"1"
+    assert ids["spec_id"] == b"2"
+    assert ids["data_record_count"] == b"3"
+    assert ids["last_updated_snapshot_id"] == b"12"
+    t.refresh()
+    assert t.meta.partition_statistics[0]["statistics-path"] == path
+    assert t.meta.partition_statistics[0]["file-size-in-bytes"] == os.path.getsize(
+        path
+    )
+
+
+def test_pstats_served_equals_computed_and_counts(spark, ptable):
+    t, orders = ptable
+    t.delete(col("o_orderstatus") == "F")
+    computed = rows_sorted(t.partition_stats())
+    write_partition_stats(t)
+    t.refresh()
+    served = rows_sorted(t.partition_stats())
+    assert served == computed
+    total = sum(r[2] for r in served)  # data_record_count
+    assert total == orders.count()  # MOR: data rows not rewritten
+    dels = sum(r[5] for r in served)  # position_delete_record_count
+    assert dels == orders.filter("o_orderstatus = 'F'").count()
+
+
+def test_pstats_dv_counts_as_position_deletes(spark, ptable):
+    t, orders = ptable
+    t.delete(col("o_orderstatus") == "F")
+    before = sum(r[5] for r in rows_sorted(t.partition_stats()))
+    M.write_deletion_vectors(t)
+    after_rows = rows_sorted(t.partition_stats())
+    assert sum(r[5] for r in after_rows) == before
+    # DV files group under the empty partition tuple like other
+    # unpartitioned delete files
+    assert any(r[0] == "{}" and r[5] == before for r in after_rows)
+
+
+def test_pstats_expire_and_orphans(spark, ptable):
+    t, orders = ptable
+    p1 = write_partition_stats(t)
+    t.append(orders.limit(5))
+    p2 = write_partition_stats(t)
+    t.refresh()
+    assert len(t.meta.partition_statistics) == 2
+    M.expire_snapshots(t, retain_last=1, older_than_ms=int(2**62))
+    t.refresh()
+    assert [e["statistics-path"] for e in t.meta.partition_statistics] == [p2]
+    assert not os.path.exists(p1) and os.path.exists(p2)
+    # a lost-CAS stats file is an orphan the sweep collects
+    stray = os.path.join(
+        t._mdir, "partition-stats-999-deadbeef.parquet"
+    )
+    with open(stray, "wb") as fh:
+        fh.write(b"x")
+    swept = M.remove_orphan_files(t, older_than_ms=int(2**62))
+    assert stray in swept and os.path.exists(p2)
+
+
+def test_pstats_sql_surface(spark, tmp_path):
+    from icepack.sql import IceSQL
+
+    q = IceSQL(spark, str(tmp_path / "wh"))
+    q.sql(
+        "CREATE ICEBERG TABLE pt (k BIGINT, grp STRING)"
+        " PARTITION BY (grp)"
+    )
+    t = q.catalog.load_table("pt")
+    t.append(
+        spark.range(0, 90).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("g"), (F.col("id") % 3)).alias("grp"),
+        )
+    )
+    q.sql("ALTER ICEBERG TABLE pt ANALYZE PARTITIONS")
+    rows = q.sql(
+        "SELECT partition, data_record_count FROM pt$PARTITION_STATS"
+        " ORDER BY partition"
+    ).collect()
+    assert [(r[0], r[1]) for r in rows] == [
+        ('{"grp": "g0"}', 30),
+        ('{"grp": "g1"}', 30),
+        ('{"grp": "g2"}', 30),
+    ]
