@@ -177,11 +177,13 @@ def duckdb_snapshot_sql(
                 for fp, p in dv_pairs
                 if fp in group_dv
             )
-            conds.append(
-                "NOT EXISTS (SELECT 1 FROM "
-                f"(VALUES {pair_vals}) AS dv(fp, p)\n"
-                "    WHERE dv.fp = d.filename AND dv.p = d.file_row_number)"
-            )
+            if pair_vals:  # 0-cardinality foreign blobs: no condition
+                conds.append(
+                    "NOT EXISTS (SELECT 1 FROM "
+                    f"(VALUES {pair_vals}) AS dv(fp, p)\n"
+                    "    WHERE dv.fp = d.filename"
+                    " AND dv.p = d.file_row_number)"
+                )
         # equality deletes key on FIELD IDs: the delete file stores the
         # names current at delete time; the data side `d` exposes this
         # GROUP's schema-version names — resolve both through the id.

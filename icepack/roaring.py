@@ -206,4 +206,10 @@ def read_dv_blob(data: bytes) -> np.ndarray:
     (crc,) = struct.unpack_from(">I", data, 4 + length)
     if crc != zlib.crc32(body):
         raise ValueError("deletion-vector CRC mismatch")
-    return deserialize_positions(body[4:])
+    out = deserialize_positions(body[4:])
+    if len(out) and int(out[-1]) >= 2**63:
+        # positions are long-typed row ordinals downstream; a foreign
+        # blob past 2^63 would wrap NEGATIVE in the int64 casts and
+        # silently stop matching — corruption, refuse loudly
+        raise ValueError("deletion-vector position exceeds 2^63")
+    return out

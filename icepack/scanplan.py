@@ -67,7 +67,13 @@ ENTRY_SCHEMA = (
     " `sequence-number` long, content string,"
     " `equality-columns` array<string>,"
     " partition map<string,string>,"
-    " stats map<string, struct<min string, max string, nulls long>>"
+    " stats map<string, struct<min string, max string, nulls long>>,"
+    # v3 deletion-vector identity: dropping these here would strip
+    # referenced_data_file from DV entries, and the read path would
+    # then silently skip the DV (resurrecting its rows) whenever
+    # read.plan-mode=distributed
+    " `referenced-data-file` string, `content-offset` long,"
+    " `content-size-in-bytes` long"
 )
 
 

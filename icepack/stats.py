@@ -312,6 +312,12 @@ def write_partition_stats(table) -> str:
             a["equality_delete_file_count"] += 1
         a["total_record_count"] = a["data_record_count"]
     rows = sorted(agg.items())
+    if not all_fields:
+        # parquet cannot store a childless struct group (pyarrow
+        # refuses); an unpartitioned table still has meaningful totals,
+        # so carry one always-null placeholder child — the reader's
+        # partition render skips nulls, so the row surfaces as '{}'
+        all_fields = ["__unpartitioned__"]
     part_type = pa.struct(
         [pa.field(n, pa.string()) for n in all_fields]
     )

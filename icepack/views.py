@@ -234,7 +234,23 @@ class IceView:
                     json.dumps(meta, indent=1),
                 )
             except FileExistsError:
-                continue  # lost the race: reload the winner's state
+                # lost the race.  If the winner wrote its doc but died
+                # BEFORE moving the hint, every later replace would
+                # loop forever on the same collision — finish the
+                # winner's commit (the hint update is idempotent: it
+                # just points at the already-written doc), then rebase.
+                doomed = self.store.join(
+                    self._mdir, f"v{self._version + 1}.metadata.json"
+                )
+                try:
+                    json.loads(self.store.read_text(doomed))
+                except Exception:
+                    pass  # mid-write or unreadable: plain retry
+                else:
+                    hint = self.store.join(self._mdir, "version-hint.text")
+                    if int(self.store.read_text(hint).strip()) < self._version + 1:
+                        self.store.replace_text(hint, str(self._version + 1))
+                continue
             self.store.replace_text(
                 self.store.join(self._mdir, "version-hint.text"),
                 str(self._version + 1),

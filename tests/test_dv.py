@@ -287,3 +287,35 @@ def test_dv_sql_maintenance_spelling(spark, tmp_path):
         f for f in t.live_files(content="all") if f.content == "deletion-vectors"
     ]
     assert rows_sorted(q.sql("SELECT * FROM dt")) == expect
+
+
+def test_dv_distributed_plan_mode(spark, tmp_path):
+    # the distributed planner round-trips entries through a fixed
+    # spark.read.json schema — dropping the DV identity fields there
+    # silently skipped every DV on plan-mode=distributed tables
+    # (resurrected rows); pinned here
+    t, df = _mor_table(spark, tmp_path, n=300)
+    t.set_properties(**{"read.plan-mode": "distributed"})
+    t.delete(col("v") == 3)
+    M.write_deletion_vectors(t)
+    expect = rows_sorted(df.filter("v <> 3"))
+    assert rows_sorted(t.toDF()) == expect
+    # pruning predicate path too
+    assert rows_sorted(t.toDF(col("id") < 100)) == rows_sorted(
+        df.filter("v <> 3 and id < 100")
+    )
+
+
+def test_pstats_unpartitioned_table(spark, tmp_path):
+    # parquet refuses childless struct groups: the unpartitioned case
+    # carries a placeholder child and renders as the '{}' partition
+    from icepack.stats import write_partition_stats
+
+    df = spark.range(0, 50).withColumn("v", F.col("id") % 3)
+    t = IceTable.create(spark, str(tmp_path / "up"), df.schema)
+    t.append(df)
+    computed = rows_sorted(t.partition_stats())
+    write_partition_stats(t)
+    t.refresh()
+    assert rows_sorted(t.partition_stats()) == computed
+    assert computed[0][0] == "{}" and computed[0][2] == 50

@@ -167,3 +167,38 @@ def test_view_plain_session_api(spark, tmp_path):
     )
     assert rows_sorted(v.toDF()) == expect
     assert v.schema_for().fields[1].name == "n"
+
+def test_view_stalled_commit_recovery(spark, tmp_path, warehouse_sql):
+    # a writer that produced its metadata doc but died before moving
+    # the hint must not deadlock later replacers — they finish the
+    # commit (idempotent hint update) and rebase on top
+    q, wh = warehouse_sql
+    q.sql("CREATE ICEBERG VIEW sc AS SELECT COUNT(*) AS n FROM ot")
+    loc = os.path.join(wh, "__views__", "sc")
+    v = IceView.load(spark, loc)
+    # simulate the stall: hand-write v2's doc, leave the hint at 1
+    import copy
+
+    stalled = copy.deepcopy(v.meta)
+    stalled["versions"].append(
+        {
+            "version-id": 2,
+            "timestamp-ms": 1,
+            "schema-id": 0,
+            "summary": {"engine-name": "icepack"},
+            "representations": [
+                {"type": "sql", "sql": "SELECT 1 AS n", "dialect": "spark"}
+            ],
+            "default-namespace": [],
+        }
+    )
+    stalled["version-log"].append({"timestamp-ms": 1, "version-id": 2})
+    stalled["current-version-id"] = 2
+    with open(os.path.join(loc, "metadata", "v2.metadata.json"), "w") as fh:
+        json.dump(stalled, fh)
+    # a later replace succeeds (finishes the stalled commit, rebases)
+    v2 = IceView.load(spark, loc)
+    vid = v2.replace("SELECT COUNT(*) AS n, 7 AS gen FROM ot")
+    assert vid == 3 and v2.meta["current-version-id"] == 3
+    # the stalled version is part of history, not lost
+    assert [e["version-id"] for e in v2.meta["version-log"]] == [1, 2, 3]

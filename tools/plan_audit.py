@@ -39,6 +39,9 @@ NLJ_OK = {
     # 1-row broadcast cross join attaching the query vector to both
     # retrieval stages
     "x50_matryoshka_rerank",
+    # 4-row broadcast cross join attaching the query set to the
+    # scoring pass (rank fusion is per-query by definition)
+    "x58_rrf_fusion",
     # phase-2 dominance anti-join runs over the LOCAL-skyline survivor
     # set only (frontier-sized per partition, broadcast side tiny by
     # construction) — the full table never enters the NLJ
