@@ -51,6 +51,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
     DataSourceStreamReader,
@@ -633,6 +634,143 @@ class _WroteFiles(WriterCommitMessage):
     columns: list
 
 
+def _write_task_files(location: str, iterator) -> _WroteFiles:
+    """Executor side shared by the batch and streaming writers: one
+    parquet task file under ``<location>/data/`` from the task's arrow
+    batches; reports (paths, written column shape) to the driver."""
+    import os as _os
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    writer = None
+    path = None
+    cols: list = []
+    try:
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                d = _os.path.join(location, "data", f"pyds-{_uuid.uuid4().hex}")
+                _os.makedirs(d, exist_ok=True)
+                path = _os.path.join(d, "part-0.parquet")
+                writer = pq.ParquetWriter(path, batch.schema)
+                cols = [
+                    (n, str(t))
+                    for n, t in zip(batch.schema.names, batch.schema.types)
+                ]
+            writer.write_batch(batch)
+    finally:
+        if writer is not None:
+            writer.close()
+    return _WroteFiles([path] if path else [], cols)
+
+
+class _BatchWriter(DataSourceArrowWriter):
+    """Native BATCH write path: ``df.write.format("icepack")
+    .option("location", ...).mode("append"|"overwrite").save()``.
+
+    Executors write parquet task files; the driver turns the collected
+    reports into ONE atomic snapshot (append, or replace-everything
+    for overwrite) through the same CAS commit as every table write —
+    concurrent writers linearize, a failed job aborts cleanly (task
+    files removed, nothing committed).
+
+    A missing table is CREATED from the DataFrame's schema (the CTAS
+    convenience every Spark writer offers).  Partitioned tables refuse
+    — the writer receives arbitrary task splits and manifest entries
+    without partition tuples would defeat pruning; ``IceTable.append``
+    applies the spec properly."""
+
+    def __init__(self, location: str, overwrite: bool, schema):
+        self._location = location
+        self._overwrite = overwrite
+        self._schema = schema  # StructType, pickled to the driver-side commit
+
+    def write(self, iterator) -> _WroteFiles:
+        return _write_task_files(self._location, iterator)
+
+    def commit(self, messages) -> None:
+        _ensure_importable()
+        from pyspark.sql import SparkSession
+
+        from .manifest import DataFile, harvest_stats
+        from .table import IceTable
+
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+        try:
+            t = IceTable.load(spark, self._location)
+        except FileNotFoundError:
+            t = IceTable.create(spark, self._location, self._schema)
+        if t.meta.spec.fields:
+            raise ValueError(
+                "the icepack batch writer writes unpartitioned layouts; "
+                "for a partitioned table use IceTable.append (applies "
+                "the partition spec)"
+            )
+        schema_id = _resolve_written_schema_id(t, messages, self._location)
+        entries = []
+        for p in (p for m in messages if m is not None for p in m.paths):
+            nrows, size, stats = harvest_stats(p)
+            if nrows == 0:
+                _rm_quiet(p)
+                continue
+            entries.append(
+                DataFile(
+                    path=p,
+                    status="added",
+                    partition={},
+                    spec_id=t.meta.spec.spec_id,
+                    schema_id=schema_id,
+                    record_count=nrows,
+                    file_size_bytes=size,
+                    stats=stats,
+                )
+            )
+        if self._overwrite:
+            live = {f.path for f in t.live_files(content="all")}
+            t._commit_snapshot("overwrite", entries, live)
+        else:
+            t._commit_snapshot("append", entries)
+
+    def abort(self, messages) -> None:
+        for m in messages or ():
+            if m is not None:
+                for p in m.paths:
+                    _rm_quiet(p)
+
+
+def _resolve_written_schema_id(t, messages, location: str) -> int:
+    """The newest table schema version whose (name, arrow type)
+    columns equal what the executors actually wrote — stamping the
+    CURRENT id on old-shape files silently nulls renamed columns at
+    read time.  Shared by the batch and streaming commits; names win
+    over arrow-type spelling drift (see _StreamWriter docstring)."""
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    written = next(
+        (m.columns for m in messages if m is not None and m.columns), None
+    )
+    if written is None:  # empty write: nothing to reconcile
+        return t.meta.schema.schema_id
+    want = {n: a for n, a in written}
+    name_matches = []
+    for s in sorted(t.meta.schemas, key=lambda s: -s.schema_id):
+        have = {f.name: str(to_arrow_type(f.spark_type())) for f in s.fields}
+        if set(have) != set(want):
+            continue
+        if have == want:
+            return s.schema_id
+        name_matches.append(s.schema_id)
+    if name_matches:
+        return name_matches[0]
+    raise ValueError(
+        f"written columns {sorted(want)} match no schema version of "
+        f"{location} (current: "
+        f"{sorted(f.name for f in t.meta.schema.fields)})"
+    )
+
+
 class _StreamWriter(DataSourceStreamArrowWriter):
     """Native streaming SINK: executors write parquet task files with
     pyarrow, the driver turns the collected task reports into ONE
@@ -653,32 +791,7 @@ class _StreamWriter(DataSourceStreamArrowWriter):
     # -- executor side ------------------------------------------------------
 
     def write(self, iterator) -> _WroteFiles:
-        import os as _os
-        import uuid as _uuid
-
-        import pyarrow.parquet as pq
-
-        writer = None
-        path = None
-        cols: list = []
-        try:
-            for batch in iterator:
-                if batch.num_rows == 0:
-                    continue
-                if writer is None:
-                    d = _os.path.join(self._location, "data", f"pyds-{_uuid.uuid4().hex}")
-                    _os.makedirs(d, exist_ok=True)
-                    path = _os.path.join(d, "part-0.parquet")
-                    writer = pq.ParquetWriter(path, batch.schema)
-                    cols = [
-                        (n, str(t))
-                        for n, t in zip(batch.schema.names, batch.schema.types)
-                    ]
-                writer.write_batch(batch)
-        finally:
-            if writer is not None:
-                writer.close()
-        return _WroteFiles([path] if path else [], cols)
+        return _write_task_files(self._location, iterator)
 
     # -- driver side --------------------------------------------------------
 
@@ -689,39 +802,9 @@ class _StreamWriter(DataSourceStreamArrowWriter):
         """The stream's shape is FIXED at start, but the table's schema
         may evolve under a long-lived stream.  Stamping the CURRENT
         schema id on old-shape files silently nulls renamed columns at
-        read time (round-4 audit), so resolve the NEWEST schema version
-        whose (name, arrow type) columns equal what the executors
-        actually wrote — and refuse shapes no version ever had."""
-        from pyspark.sql.pandas.types import to_arrow_type
-
-        written = next(
-            (m.columns for m in messages if m is not None and m.columns), None
-        )
-        if written is None:  # empty batch: marker-only commit
-            return t.meta.schema.schema_id
-        want = {n: a for n, a in written}
-        name_matches = []
-        for s in sorted(t.meta.schemas, key=lambda s: -s.schema_id):
-            have = {f.name: str(to_arrow_type(f.spark_type())) for f in s.fields}
-            if set(have) != set(want):
-                continue
-            if have == want:
-                return s.schema_id
-            name_matches.append(s.schema_id)
-        if name_matches:
-            # column NAMES match some version exactly and only the arrow
-            # type SPELLINGS differ (e.g. timestamp tz annotation or
-            # large_string drift across pyarrow/Spark versions) — names
-            # carry the identity here, so the newest name-match wins
-            # rather than permanently failing a healthy stream's commits
-            return name_matches[0]
-        raise ValueError(
-            f"streamed batch columns {sorted(want)} match no schema "
-            f"version of {self._location} (current: "
-            f"{sorted(f.name for f in t.meta.schema.fields)}) — the "
-            "table evolved incompatibly under the stream; restart the "
-            "streaming query so it re-reads the current table schema"
-        )
+        read time (round-4 audit) — shared resolution in
+        :func:`_resolve_written_schema_id`."""
+        return _resolve_written_schema_id(t, messages, self._location)
 
     def commit(self, messages, batchId: int) -> None:
         _ensure_importable()  # sink-commit worker: see register()
@@ -832,6 +915,9 @@ class IcepackDataSource(DataSource):
 
     def reader(self, schema) -> _BatchReader:
         return _BatchReader(self._location())
+
+    def writer(self, schema, overwrite: bool) -> _BatchWriter:
+        return _BatchWriter(self._location(), overwrite, schema)
 
     def streamWriter(self, schema, overwrite: bool) -> _StreamWriter:
         import uuid as _uuid

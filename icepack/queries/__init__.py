@@ -96,6 +96,7 @@ PRIORITY: list[str] = [
     "x59_adaptive_quality_filter",
     "ice55_versioned_view",
     "ice56_partition_stats",
+    "ice57_batch_writer",
     # code changing this round -- re-evidence
     "x2_jaccard_pairs",
     "x31_jaccard_stopshingles",

@@ -2231,3 +2231,44 @@ def ice56_partition_stats(spark: SparkSession, sf: str) -> DataFrame:
         " FROM pt$PARTITION_STATS ORDER BY partition"
     )
     return out
+
+
+@query(
+    "ice57_batch_writer",
+    oracle=f"""
+    SELECT {_ORDER_COLS}
+    FROM orders
+    WHERE o_orderstatus = 'O' OR o_orderkey % 3 = 0
+    """,
+)
+def ice57_batch_writer(spark: SparkSession, sf: str) -> DataFrame:
+    """Native DSv2 BATCH write path (datasource._BatchWriter):
+    ``df.write.format("icepack")`` creates the table on first write
+    (CTAS convenience), a second ``mode("append")`` accumulates, and
+    ``mode("overwrite")`` replaces everything in one atomic snapshot —
+    executor-written parquet task files turned into ONE CAS commit on
+    the driver, same split as every real table-format Spark sink.
+    Result read back through the native scan."""
+    from ..datasource import register
+
+    register(spark)
+    orders = load(spark, sf, "orders")
+    loc = _scratch() + "/t"
+    # create-on-write, then append a disjoint slice
+    orders.filter(F.col("o_orderstatus") == "O").write.format(
+        "icepack"
+    ).option("location", loc).mode("append").save()
+    orders.filter(
+        (F.col("o_orderstatus") != "O") & (F.col("o_orderkey") % 3 == 0)
+    ).write.format("icepack").option("location", loc).mode("append").save()
+    # overwrite with the union the oracle states (one replace snapshot)
+    t = IceTable.load(spark, loc)
+    n_before = len(t.meta.snapshots)
+    orders.filter(
+        (F.col("o_orderstatus") == "O") | (F.col("o_orderkey") % 3 == 0)
+    ).write.format("icepack").option("location", loc).mode(
+        "overwrite"
+    ).save()
+    t.refresh()
+    assert len(t.meta.snapshots) == n_before + 1
+    return t.toDF()

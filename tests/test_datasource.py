@@ -586,3 +586,64 @@ def test_batch_reader_lazy_mor_past_delete_cap(ds, tmp_path):
     t.set_properties(**{"read.mor-delete-row-cap": str(10**6)})
     got3 = spark.read.format("icepack").option("location", loc).load()
     assert rows_sorted(got3) == want
+
+
+def test_batch_writer_lifecycle(spark, tmp_path):
+    # df.write.format("icepack"): create-on-first-write, append,
+    # overwrite, atomic abort semantics via the CAS commit
+    from icepack.datasource import register
+    from icepack.expr import col
+    from icepack.table import IceTable
+    from pyspark.sql import functions as F
+
+    register(spark)
+    loc = str(tmp_path / "bw")
+    df = spark.range(0, 300).withColumn("v", F.col("id") % 9)
+    df.write.format("icepack").option("location", loc).mode("append").save()
+    t = IceTable.load(spark, loc)
+    assert t.toDF().count() == 300
+    df.filter("id < 50").write.format("icepack").option(
+        "location", loc
+    ).mode("append").save()
+    assert spark.read.format("icepack").load(loc).count() == 350
+    # overwrite replaces EVERYTHING in one snapshot
+    df.filter("id >= 250").write.format("icepack").option(
+        "location", loc
+    ).mode("overwrite").save()
+    t.refresh()
+    assert sorted(r["id"] for r in t.toDF().collect()) == list(range(250, 300))
+    # MOR delete masks survive later writer appends (sequence scoping)
+    t.set_properties(
+        **{
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        }
+    )
+    t.delete(col("id") == 260)
+    df.filter("id < 5").write.format("icepack").option(
+        "location", loc
+    ).mode("append").save()
+    t.refresh()
+    got = sorted(r["id"] for r in t.toDF().collect())
+    assert got == list(range(5)) + [i for i in range(250, 300) if i != 260]
+
+
+def test_batch_writer_refusals(spark, tmp_path):
+    from icepack.datasource import register
+    from icepack.table import IceTable
+    from pyspark.sql import functions as F
+
+    register(spark)
+    df = spark.range(0, 30).withColumn("v", F.col("id") % 3)
+    ploc = str(tmp_path / "part")
+    IceTable.create(spark, ploc, df.schema, partition_by=[("v", "identity")])
+    with pytest.raises(Exception, match="unpartitioned|partition"):
+        df.write.format("icepack").option("location", ploc).mode(
+            "append"
+        ).save()
+    loc = str(tmp_path / "flat")
+    df.write.format("icepack").option("location", loc).mode("append").save()
+    with pytest.raises(Exception, match="schema|match"):
+        spark.range(3).select(F.col("id").alias("zz")).write.format(
+            "icepack"
+        ).option("location", loc).mode("append").save()
