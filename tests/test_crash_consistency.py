@@ -347,3 +347,66 @@ def test_dedupe_table_atomic_under_crash_sweep(spark, tmp_path):
             assert got == before or len(got) == 12, f"partial state at k={k}"
         k += 1
         assert k < 60, "sweep did not terminate"
+
+
+def test_crash_sweep_write_deletion_vectors(spark, tmp_path, nation):
+    # v3 DV consolidation is a replace commit: a crash at any metadata
+    # mutation must leave either the tombstone state or the DV state,
+    # never a partial (a half-applied consolidation would double- or
+    # un-delete rows)
+    from icepack.maintenance import write_deletion_vectors
+
+    def setup(loc):
+        t = IceTable.create(
+            spark,
+            loc,
+            nation.schema,
+            properties={
+                "write.delete.mode": "merge-on-read",
+                "write.delete.mor.strategy": "position",
+            },
+        )
+        t.append(nation)
+        t.delete(col("n_regionkey") == 2)
+        t.delete(col("n_nationkey") < 3)
+        return t
+
+    _sweep(
+        spark,
+        tmp_path,
+        "write-dv",
+        setup,
+        lambda t: write_deletion_vectors(t),
+    )
+
+
+def test_crash_sweep_rewrite_deletes_from_dv(spark, tmp_path, nation):
+    # the reverse migration (DV -> parquet tombstones) under the same
+    # sweep; includes the property flip it commits first
+    from icepack.maintenance import (
+        rewrite_position_deletes,
+        write_deletion_vectors,
+    )
+
+    def setup(loc):
+        t = IceTable.create(
+            spark,
+            loc,
+            nation.schema,
+            properties={
+                "write.delete.mode": "merge-on-read",
+                "write.delete.mor.strategy": "position",
+            },
+        )
+        t.append(nation)
+        t.delete(col("n_regionkey") == 2)
+        write_deletion_vectors(t)
+        return t
+
+    _sweep(
+        spark,
+        tmp_path,
+        "rewrite-from-dv",
+        setup,
+        lambda t: rewrite_position_deletes(t),
+    )
