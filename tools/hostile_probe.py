@@ -1,0 +1,61 @@
+"""Hostile-session probe (one command for the /verify recipe).
+
+Simulates the DRIVER's exact conditions, deliberately hostile:
+- run from a NON-repo cwd (worker imports must not lean on cwd);
+- import ``__spark_entry__`` by FILE PATH (no package install);
+- build the SparkSession WITHOUT our confs and with a non-UTC
+  timezone (``icepack.session.ensure_confs`` must normalize at
+  runtime, and ``addPyFile`` must ship the package to workers).
+
+Checks: entry() returns rows, a ns-timestamp query runs, a
+UDF-bearing table query runs (ice54 exercises the executor-side DV
+decode; ice50 the canonicalizer pandas UDFs), and the
+queries()/oracle_sql() key sets match.
+
+Usage: python tools/hostile_probe.py   (from anywhere)
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import tempfile
+
+
+def main() -> int:
+    os.chdir(tempfile.gettempdir())  # the hostile part: NOT the repo
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(repo, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    n = len(mod.entry(spark).collect())
+    assert n > 0, "entry() returned no rows"
+    print(f"entry rows: {n}")
+    qs = mod.queries()
+    qs["st1_tumbling_window"](spark, "/root/testdata/sf0.01").collect()
+    print("st1 (ns timestamps) OK")
+    for probe in ("ice54_deletion_vectors", "ice50_foreign_adopt"):
+        rows = qs[probe](spark, "/root/testdata/sf0.001").collect()
+        assert rows, f"{probe} returned no rows"
+        print(f"{probe} OK ({len(rows)} rows)")
+    qk, ok = set(qs), set(mod.oracle_sql())
+    assert qk == ok, f"key sets differ: {qk ^ ok}"
+    print(f"key sets match: {len(qk)} queries")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
