@@ -701,7 +701,13 @@ class _BatchWriter(DataSourceArrowWriter):
         try:
             t = IceTable.load(spark, self._location)
         except FileNotFoundError:
-            t = IceTable.create(spark, self._location, self._schema)
+            try:
+                t = IceTable.create(spark, self._location, self._schema)
+            except FileExistsError:
+                # two first-writers raced the CREATE: the loser adopts
+                # the winner's table and appends into it (its own
+                # snapshot commit CAS-linearizes after)
+                t = IceTable.load(spark, self._location)
         if t.meta.spec.fields:
             raise ValueError(
                 "the icepack batch writer writes unpartitioned layouts; "

@@ -81,9 +81,12 @@ class IceView:
         store: MetadataStore = LOCAL,
         dialect: str = "spark",
         resolver: Callable[[str], DataFrame] | None = None,
+        extra_representations: list | None = None,
     ) -> "IceView":
         """CREATE VIEW: resolve the SQL's output schema now, write
-        version 1.  Refuses a location that already holds a view."""
+        version 1.  Refuses a location that already holds a view.
+        ``extra_representations``: [(dialect, sql)] alternates stored
+        alongside (only the primary dialect's schema is resolved)."""
         mdir = store.join(store.canonical(location), "metadata")
         if store.exists(store.join(mdir, "version-hint.text")):
             raise ValueError(f"view already exists at {location}")
@@ -97,7 +100,9 @@ class IceView:
             "location": store.canonical(location),
             "schemas": [schema.to_json()],
             "current-version-id": 1,
-            "versions": [_version_json(1, now, 0, sql, dialect)],
+            "versions": [
+                _version_json(1, now, 0, sql, dialect, extra_representations)
+            ],
             "version-log": [{"timestamp-ms": now, "version-id": 1}],
             "properties": dict(properties or {}),
         }
@@ -138,13 +143,21 @@ class IceView:
                 return v
         raise ValueError(f"view has no version {vid}")
 
-    def sql_for(self, version_id: int | None = None) -> str:
-        """The stored SQL of a version (first ``sql`` representation)."""
+    def sql_for(
+        self, version_id: int | None = None, dialect: str | None = None
+    ) -> str:
+        """The stored SQL of a version.  ``dialect`` selects among the
+        version's representations (None = the first, i.e. primary)."""
         v = self._version_entry(version_id)
         for rep in v["representations"]:
-            if rep["type"] == "sql":
+            if rep["type"] == "sql" and (
+                dialect is None or rep.get("dialect") == dialect
+            ):
                 return rep["sql"]
-        raise ValueError(f"version {v['version-id']} has no SQL representation")
+        raise ValueError(
+            f"version {v['version-id']} has no SQL representation"
+            + (f" for dialect {dialect!r}" if dialect else "")
+        )
 
     def toDF(self, version_id: int | None = None) -> DataFrame:
         """Execute the (current or historical) definition."""
@@ -185,6 +198,7 @@ class IceView:
         dialect: str = "spark",
         allow_incompatible: bool = False,
         max_retries: int = 5,
+        extra_representations: list | None = None,
     ) -> int:
         """CREATE OR REPLACE: append a NEW version (history retained)
         and point current-version-id at it.  CAS-committed: a
@@ -220,7 +234,7 @@ class IceView:
             meta = dict(self.meta)
             meta["schemas"] = self.meta["schemas"] + [new_schema.to_json()]
             meta["versions"] = self.meta["versions"] + [
-                _version_json(vid, now, sid, sql, dialect)
+                _version_json(vid, now, sid, sql, dialect, extra_representations)
             ]
             meta["version-log"] = self.meta["version-log"] + [
                 {"timestamp-ms": now, "version-id": vid}
@@ -260,12 +274,28 @@ class IceView:
         raise RuntimeError("view replace gave up after CAS retries")
 
 
-def _version_json(vid: int, now: int, schema_id: int, sql: str, dialect: str) -> dict:
+def _version_json(
+    vid: int,
+    now: int,
+    schema_id: int,
+    sql: str,
+    dialect: str,
+    extra: list | None = None,
+) -> dict:
+    """One view version.  ``extra`` adds further SQL representations —
+    the spec allows one per dialect, so a view can carry e.g. both a
+    ``spark`` and a ``duckdb`` spelling and each engine resolves its
+    own (the multi-engine story views exist for)."""
+    reps = [{"type": "sql", "sql": sql, "dialect": dialect}]
+    for d, q in extra or ():
+        if d == dialect:
+            raise ValueError(f"duplicate representation for dialect {d!r}")
+        reps.append({"type": "sql", "sql": q, "dialect": d})
     return {
         "version-id": vid,
         "timestamp-ms": now,
         "schema-id": schema_id,
         "summary": {"engine-name": "icepack"},
-        "representations": [{"type": "sql", "sql": sql, "dialect": dialect}],
+        "representations": reps,
         "default-namespace": [],
     }

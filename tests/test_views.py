@@ -202,3 +202,45 @@ def test_view_stalled_commit_recovery(spark, tmp_path, warehouse_sql):
     assert vid == 3 and v2.meta["current-version-id"] == 3
     # the stalled version is part of history, not lost
     assert [e["version-id"] for e in v2.meta["version-log"]] == [1, 2, 3]
+
+
+def test_view_multi_dialect_representations(spark, tmp_path):
+    # the spec allows one SQL representation per dialect: store a
+    # spark AND a duckdb spelling; each engine resolves its own and
+    # the two legs agree on values
+    import duckdb
+
+    load(spark, SF_DIR, "orders").createOrReplaceTempView("orders_tv")
+    spark_sql = (
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders_tv"
+        " GROUP BY o_orderstatus"
+    )
+    duck_sql = (
+        f"SELECT o_orderstatus, COUNT(*) AS n FROM"
+        f" '{SF_DIR}/orders.parquet' GROUP BY o_orderstatus"
+    )
+    v = IceView.create(
+        spark,
+        str(tmp_path / "mdv"),
+        spark_sql,
+        extra_representations=[("duckdb", duck_sql)],
+    )
+    spark_rows = sorted(
+        (r[0], r[1]) for r in v.toDF().collect()
+    )
+    duck_rows = sorted(duckdb.sql(v.sql_for(dialect="duckdb")).fetchall())
+    assert duck_rows == spark_rows
+    # dialect selection is exact: unknown dialect refuses
+    with pytest.raises(ValueError, match="dialect"):
+        v.sql_for(dialect="trino")
+    # duplicate dialect refuses at definition time
+    with pytest.raises(ValueError, match="duplicate"):
+        IceView.create(
+            spark,
+            str(tmp_path / "dup"),
+            spark_sql,
+            extra_representations=[("spark", spark_sql)],
+        )
+    # representations survive replace cycles on the version they rode in
+    v.replace(spark_sql + " HAVING COUNT(*) > 0", allow_incompatible=True)
+    assert v.sql_for(version_id=1, dialect="duckdb") == duck_sql
