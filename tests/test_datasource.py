@@ -647,3 +647,27 @@ def test_batch_writer_refusals(spark, tmp_path):
         spark.range(3).select(F.col("id").alias("zz")).write.format(
             "icepack"
         ).option("location", loc).mode("append").save()
+
+
+def test_batch_writer_onto_spec_primary(spark, tmp_path):
+    # the writer's commit flows through the same _commit_snapshot as
+    # every write, so a spec-primary table gets spec Avro manifests
+    # for writer appends too — triangle-checked via read_iceberg
+    from icepack.datasource import register
+    from icepack.iceberg_import import read_iceberg
+    from icepack.maintenance import convert_to_spec_primary
+    from icepack.table import IceTable
+    from pyspark.sql import functions as F
+
+    register(spark)
+    df = spark.range(0, 120).withColumn("v", F.col("id") % 5)
+    loc = str(tmp_path / "spw")
+    df.write.format("icepack").option("location", loc).mode("append").save()
+    t = IceTable.load(spark, loc)
+    convert_to_spec_primary(t)
+    df.filter("id < 10").write.format("icepack").option(
+        "location", loc
+    ).mode("append").save()
+    t.refresh()
+    assert t.toDF().count() == 130
+    assert read_iceberg(spark, loc).count() == 130
