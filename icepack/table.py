@@ -1137,27 +1137,68 @@ class IceTable:
             df = self._read_files(
                 group, with_pos=with_pos or bool(pos_paths) or bool(dvg)
             )
+
+            # Canonicalization strategy for path-keyed anti-joins: the
+            # data side's ``_file`` is Spark's percent-encoded URI while
+            # delete structures may carry raw manifest paths or foreign
+            # ``file:`` spellings.  Running the canonicalizer UDF over
+            # EVERY data row puts an Arrow/Python stage on the scan hot
+            # path (measured: the dominant cost of a DV/spec-primary
+            # scan) — instead, canonicalize only the DISTINCT ``_file``
+            # spellings (O(files) rows through one column-pruned
+            # JVM distinct), map the bounded DELETE side onto those
+            # spellings, and anti-join on PLAIN string equality so the
+            # data rows never leave the JVM.
+            spell_map = None
+
+            def _spellings():
+                # Bounded metadata collect: one column-pruned distinct
+                # over ``_file`` yields O(group files) strings (the
+                # parquet reader serves the constant-per-file metadata
+                # column without touching data pages), canonicalized in
+                # plain driver Python.  A UDF-over-distinct variant was
+                # tried first and REJECTED: Catalyst's projection
+                # collapse pushed the UDF below the aggregation,
+                # putting an ArrowEvalPython stage back over every row.
+                nonlocal spell_map
+                if spell_map is None:
+                    from .iceberg_import import canonical_file_path
+
+                    sps = [
+                        r[0] for r in df.select("_file").distinct().collect()
+                    ]
+                    spell_map = self.spark.createDataFrame(
+                        [(s, canonical_file_path(s)) for s in sps],
+                        "_sp string, _cn string",
+                    )
+                return spell_map
+
             if dvg:
                 # one anti-join applies every DV of the group: the
                 # (file_path, pos) identity keeps each bitmap scoped to
                 # its own file.  Blobs decode in EXECUTORS
-                # (dv.dv_positions_df); the data side canonicalizes
-                # because Spark's _file is a percent-encoded URI while
-                # referenced_data_file is the raw manifest path.
+                # (dv.dv_positions_df); target identities are known
+                # driver-side, so their canonical forms cost O(files)
+                # Python calls here, not a distributed stage.
                 from .dv import dv_positions_df
                 from .iceberg_import import canonical_file_path
 
-                import pandas as pd  # noqa: F401
-
-                @F.pandas_udf("string")
-                def _canon_dv(s):
-                    return s.map(canonical_file_path)
-
-                dels_dv = dv_positions_df(self.spark, dvg)
+                refs = self.spark.createDataFrame(
+                    [
+                        (d.referenced_data_file, canonical_file_path(d.referenced_data_file))
+                        for d in dvg
+                    ],
+                    "file_path string, _cn string",
+                ).distinct()
+                dd = (
+                    dv_positions_df(self.spark, dvg)
+                    .join(F.broadcast(refs), "file_path")
+                    .join(F.broadcast(_spellings()), "_cn")
+                    .select(F.col("_sp").alias("_delsp"), "pos")
+                )
                 df = df.join(
-                    F.broadcast(dels_dv),
-                    (_canon_dv(df["_file"]) == _canon_dv(dels_dv["file_path"]))
-                    & (df["_pos"] == dels_dv["pos"]),
+                    F.broadcast(dd),
+                    (df["_file"] == dd["_delsp"]) & (df["_pos"] == dd["pos"]),
                     "left_anti",
                 )
                 if not (with_pos or pos_paths):
@@ -1176,17 +1217,13 @@ class IceTable:
                     # spec-shaped delete files store CANONICAL raw
                     # paths (external engines compare them to manifest
                     # paths), and adopted foreign trees set the
-                    # property above (their rewritten position deletes
-                    # store canonical paths too — no per-file driver
-                    # collect at adoption); Spark's _file is a
-                    # percent-encoded URI —
-                    # canonicalize it through the same function both
-                    # interop joins use (Arrow-batched, never per-row
-                    # Python).  The DELETE side must go through the
-                    # same canonicalizer: foreign engines commonly
-                    # spell file_path as a ``file:/abs/path`` URI, and
-                    # a verbatim compare would never match, silently
-                    # resurrecting deleted rows on adopted tables.
+                    # property above.  Foreign engines commonly spell
+                    # file_path as a ``file:/abs/path`` URI, and a
+                    # verbatim compare would never match, silently
+                    # resurrecting deleted rows on adopted tables — so
+                    # the delete side's DISTINCT paths canonicalize
+                    # (bounded Python) and map onto the scan's actual
+                    # ``_file`` spellings; the data side stays JVM.
                     from .iceberg_import import canonical_file_path
 
                     import pandas as pd  # noqa: F401
@@ -1195,14 +1232,24 @@ class IceTable:
                     def _canon(s):
                         return s.map(canonical_file_path)
 
-                    key = _canon(df["_file"])
-                    del_key = _canon(dels["file_path"])
-                else:
-                    key = df["_file"]
-                    del_key = dels["file_path"]
+                    dmap = (
+                        dels.select("file_path")
+                        .distinct()
+                        .withColumn("_cn", _canon("file_path"))
+                        .join(F.broadcast(_spellings()), "_cn")
+                        .select(F.col("file_path").alias("_dfp"), "_sp")
+                    )
+                    dels = (
+                        dels.join(
+                            F.broadcast(dmap),
+                            dels["file_path"] == F.col("_dfp"),
+                        )
+                        .select(F.col("_sp").alias("file_path"), "pos")
+                    )
                 df = df.join(
                     F.broadcast(dels),
-                    (key == del_key) & (df["_pos"] == dels["pos"]),
+                    (df["_file"] == dels["file_path"])
+                    & (df["_pos"] == dels["pos"]),
                     "left_anti",
                 )
                 if not with_pos:
