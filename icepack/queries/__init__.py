@@ -89,8 +89,9 @@ PRIORITY: list[str] = [
     "x55_semantic_dedup_clusters",
     "x56_containment_dedup",
     "x57_temperature_sample",
-    # r7 continuation: v3 deletion vectors, rank fusion, adaptive
-    # filtering -- never sampled
+    # r7 continuation session: v3 deletion vectors, rank fusion,
+    # adaptive filtering, versioned views, partition statistics, the
+    # DSv2 batch writer -- never driver-sampled
     "ice54_deletion_vectors",
     "x58_rrf_fusion",
     "x59_adaptive_quality_filter",
