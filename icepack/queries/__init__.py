@@ -98,6 +98,7 @@ PRIORITY: list[str] = [
     "ice55_versioned_view",
     "ice56_partition_stats",
     "ice57_batch_writer",
+    "ice58_materialized_view",
     # code changing this round -- re-evidence
     "x2_jaccard_pairs",
     "x31_jaccard_stopshingles",

@@ -2272,3 +2272,57 @@ def ice57_batch_writer(spark: SparkSession, sf: str) -> DataFrame:
     t.refresh()
     assert len(t.meta.snapshots) == n_before + 1
     return t.toDF()
+
+
+@query(
+    "ice58_materialized_view",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus, o_totalprice FROM orders
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey <= 40
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM base GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def ice58_materialized_view(spark: SparkSession, sf: str) -> DataFrame:
+    """MATERIALIZED views (docs/12-lakehouse-patterns.md:260 "cache
+    frequently accessed Gold tables — consider materialized views"):
+    CREATE MATERIALIZED ICEBERG VIEW pins the base tables' snapshots
+    and serves from a backing Iceberg table; a base-table append makes
+    it STALE (still serving the pinned result — asserted), and REFRESH
+    MATERIALIZED VIEW atomically swaps in the recomputation.  The
+    returned rows are the post-refresh state over base + appended
+    slice."""
+    from ..sql import IceSQL
+
+    orders = load(spark, sf, "orders")
+    q = IceSQL(spark, _scratch())
+    q.sql(
+        "CREATE ICEBERG TABLE ot (o_orderkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE)"
+    )
+    t = q.catalog.load_table("ot")
+    t.append(orders.select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    q.sql(
+        "CREATE MATERIALIZED ICEBERG VIEW gold AS SELECT o_orderstatus,"
+        " COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total FROM ot"
+        " GROUP BY o_orderstatus"
+    )
+    before = q.sql("SELECT SUM(n) AS s FROM gold").collect()[0][0]
+    t.append(
+        orders.filter(F.col("o_orderkey") <= 40).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+    )
+    # stale by design: still the pinned materialization
+    assert q.sql("SELECT SUM(n) AS s FROM gold").collect()[0][0] == before
+    assert not all(
+        r["fresh"] for r in q.sql("DESCRIBE MATERIALIZED VIEW gold").collect()
+    )
+    q.sql("REFRESH MATERIALIZED VIEW gold")
+    return q.sql("SELECT * FROM gold ORDER BY o_orderstatus")

@@ -1093,6 +1093,28 @@ class IceSQL:
             return self.spark.createDataFrame([(t,) for t in names], "name string")
         if re.match(r"(?i)SHOW\s+PARAMETERS", s):
             return self._show_parameters(s)
+        if re.match(
+            r"(?i)CREATE(\s+OR\s+REPLACE)?\s+MATERIALIZED\s+ICEBERG\s+VIEW", s
+        ):
+            return self._create_materialized_view(s)
+        if re.match(r"(?i)REFRESH\s+MATERIALIZED\s+VIEW\b", s):
+            name = s.split()[-1]
+            if not self._is_materialized(name):
+                raise ValueError(f"{name} is not a materialized view")
+            doc = self._refresh_mv(name)
+            return self.spark.createDataFrame(
+                [(doc["storage"], doc["refreshed-at-ms"])],
+                "storage string, refreshed_at_ms long",
+            )
+        if re.match(r"(?i)DESCRIBE\s+MATERIALIZED\s+VIEW\b", s):
+            name = s.split()[-1]
+            if not self._is_materialized(name):
+                raise ValueError(f"{name} is not a materialized view")
+            return self.spark.createDataFrame(
+                self._mv_freshness(name),
+                "base_location string, pinned_snapshot long,"
+                " current_snapshot long, fresh boolean",
+            )
         if re.match(r"(?i)CREATE(\s+OR\s+REPLACE)?\s+ICEBERG\s+VIEW", s):
             return self._create_iceberg_view(s)
         if re.match(r"(?i)ALTER\s+ICEBERG\s+VIEW\s+[\w.]+\s+REPLACE\s+AS\b", s):
@@ -1789,7 +1811,23 @@ class IceSQL:
             pat = rf"(?i)\b{re.escape(vname)}\b"
             if re.search(pat, s):
                 pv = self._persistent_view(vname)
-                self._select(pv.sql_for()).createOrReplaceTempView(vname)
+                if self._is_materialized(vname):
+                    # serve the MATERIALIZATION (possibly stale — that
+                    # is what an on-demand MV means; DESCRIBE exposes
+                    # freshness); mv.refresh-on-read=true in the view
+                    # properties opts into refresh when any base moved
+                    if pv.meta.get("properties", {}).get(
+                        "mv.refresh-on-read"
+                    ) == "true" and not all(
+                        f[3] for f in self._mv_freshness(vname)
+                    ):
+                        self._refresh_mv(vname)
+                    bt = IceTable.load(
+                        self.spark, self._mv_doc(vname)["storage"]
+                    )
+                    bt.toDF().createOrReplaceTempView(vname)
+                else:
+                    self._select(pv.sql_for()).createOrReplaceTempView(vname)
 
         # 4. plain icepack table names → temp views; delegate
         s = self._register_tables(s)
@@ -1873,6 +1911,124 @@ class IceSQL:
         else:
             self._pviews[key].refresh()  # track cross-session replaces
         return self._pviews[key]
+
+    # -- materialized views (docs/12-lakehouse-patterns.md:260: "Cache
+    #    frequently accessed Gold tables: consider materialized views")
+
+    def _mv_doc_path(self, name: str) -> str:
+        import os as _os
+
+        return _os.path.join(self._pview_dir(name), "metadata", "mv.json")
+
+    def _mv_doc(self, name: str) -> dict:
+        import json as _json
+
+        with open(self._mv_doc_path(name)) as fh:
+            return _json.load(fh)
+
+    def _is_materialized(self, name: str) -> bool:
+        import os as _os
+
+        return _os.path.exists(self._mv_doc_path(name))
+
+    def _refresh_mv(self, name: str) -> dict:
+        """(Re)materialize: run the view's CURRENT definition, write a
+        fresh backing Iceberg table, atomically swap the ``mv.json``
+        pointer at it, and PIN the snapshot id of every base table the
+        definition read — freshness is later judged by comparing pins
+        against the bases' current snapshots.  The old backing table
+        stays until the next refresh removes it (a reader may hold it);
+        a crash between data write and pointer swap leaves the previous
+        materialization intact (stale-but-consistent, the safe
+        direction)."""
+        import json as _json
+        import os as _os
+        import shutil as _shutil
+        import time as _time
+        import uuid as _uuid
+
+        pv = self._persistent_view(name)
+        mark = len(self._stmt_handles)
+        df = self._select(pv.sql_for())
+        pins = {}
+        for t in self._stmt_handles[mark:]:
+            snap = t.meta.current_snapshot
+            pins[t.location] = snap.snapshot_id if snap else 0
+        sloc = _os.path.join(
+            self._pview_dir(name), f"storage-{_uuid.uuid4().hex[:12]}"
+        )
+        bt = IceTable.create(self.spark, sloc, df.schema)
+        bt.append(df)
+        old = None
+        if self._is_materialized(name):
+            old = self._mv_doc(name).get("storage")
+        doc = {
+            "storage": sloc,
+            "pins": pins,
+            "refreshed-at-ms": int(_time.time() * 1000),
+            "view-version": pv.meta["current-version-id"],
+        }
+        tmp = self._mv_doc_path(name) + f".tmp{_os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump(doc, fh)
+        _os.replace(tmp, self._mv_doc_path(name))  # atomic pointer swap
+        if old and old != sloc:
+            _shutil.rmtree(old, ignore_errors=True)
+        return doc
+
+    def _mv_freshness(self, name: str) -> list[tuple]:
+        """[(base location, pinned snapshot, current snapshot, fresh)]"""
+        doc = self._mv_doc(name)
+        out = []
+        for loc, pinned in sorted(doc.get("pins", {}).items()):
+            try:
+                cur = IceTable.load(self.spark, loc).meta.current_snapshot
+                cur_id = cur.snapshot_id if cur else 0
+            except FileNotFoundError:
+                cur_id = None
+            out.append((loc, pinned, cur_id, cur_id == pinned))
+        return out
+
+    def _create_materialized_view(self, s: str):
+        """CREATE [OR REPLACE] MATERIALIZED ICEBERG VIEW <name> AS
+        <select> [ext, docs/12:260]: a versioned view (same Iceberg
+        view-spec tree as CREATE ICEBERG VIEW) plus a materialized
+        backing table, refreshed on demand (``REFRESH MATERIALIZED
+        VIEW``).  Reads serve the MATERIALIZED data — possibly stale,
+        by definition of an on-demand MV; staleness is first-class via
+        DESCRIBE MATERIALIZED VIEW, and the table property
+        ``mv.refresh-on-read=true`` opts into auto-refresh when any
+        base table moved."""
+        import os as _os
+
+        from .views import IceView
+
+        m = re.match(
+            r"(?i)CREATE(\s+OR\s+REPLACE)?\s+MATERIALIZED\s+ICEBERG\s+VIEW"
+            r"\s+([\w.]+)\s+AS\s+(.*)",
+            s,
+            re.DOTALL,
+        )
+        replace, name, body = m.group(1), m.group(2), m.group(3).strip()
+        loc = self._pview_dir(name)
+        exists = _os.path.exists(
+            _os.path.join(loc, "metadata", "version-hint.text")
+        )
+        if exists:
+            if not replace:
+                raise ValueError(f"materialized view {name} already exists")
+            self._persistent_view(name).replace(body, allow_incompatible=True)
+        else:
+            IceView.create(
+                self.spark,
+                loc,
+                body,
+                properties={"materialized": "true"},
+                resolver=self._select,
+            )
+            self._pviews.pop(name.replace(".", "_"), None)
+        self._refresh_mv(name)
+        return None
 
     def _create_iceberg_view(self, s: str):
         """CREATE [OR REPLACE] ICEBERG VIEW <name> AS <select>: a

@@ -244,3 +244,70 @@ def test_view_multi_dialect_representations(spark, tmp_path):
     # representations survive replace cycles on the version they rode in
     v.replace(spark_sql + " HAVING COUNT(*) > 0", allow_incompatible=True)
     assert v.sql_for(version_id=1, dialect="duckdb") == duck_sql
+
+
+def test_materialized_view_lifecycle(spark, warehouse_sql):
+    q, wh = warehouse_sql
+    q.sql(
+        "CREATE MATERIALIZED ICEBERG VIEW mv AS SELECT o_orderstatus,"
+        " COUNT(*) AS n FROM ot GROUP BY o_orderstatus"
+    )
+    r1 = {x[0]: x[1] for x in q.sql("SELECT * FROM mv").collect()}
+    assert all(
+        f["fresh"] for f in q.sql("DESCRIBE MATERIALIZED VIEW mv").collect()
+    )
+    # base moves: MV serves the MATERIALIZATION (stale by design) and
+    # the staleness is first-class
+    t = q.catalog.load_table("ot")
+    t.append(
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(10)
+    )
+    assert {x[0]: x[1] for x in q.sql("SELECT * FROM mv").collect()} == r1
+    assert not all(
+        f["fresh"] for f in q.sql("DESCRIBE MATERIALIZED VIEW mv").collect()
+    )
+    # explicit refresh catches up; the old backing table is replaced
+    old_storage = q._mv_doc("mv")["storage"]
+    q.sql("REFRESH MATERIALIZED VIEW mv")
+    r3 = {x[0]: x[1] for x in q.sql("SELECT * FROM mv").collect()}
+    assert sum(r3.values()) == sum(r1.values()) + 10
+    assert q._mv_doc("mv")["storage"] != old_storage
+    assert not os.path.exists(old_storage)
+    # a fresh session serves the materialization from disk
+    q2 = IceSQL(spark, wh)
+    assert {x[0]: x[1] for x in q2.sql("SELECT * FROM mv").collect()} == r3
+
+
+def test_materialized_view_refresh_on_read(spark, warehouse_sql):
+    q, wh = warehouse_sql
+    q.sql("CREATE MATERIALIZED ICEBERG VIEW mv2 AS SELECT COUNT(*) AS n FROM ot")
+    # opt into auto-refresh via the view property
+    mdir = os.path.join(wh, "__views__", "mv2", "metadata")
+    hint = open(os.path.join(mdir, "version-hint.text")).read().strip()
+    p = os.path.join(mdir, f"v{hint}.metadata.json")
+    doc = json.load(open(p))
+    doc["properties"]["mv.refresh-on-read"] = "true"
+    json.dump(doc, open(p, "w"))
+    before = q.sql("SELECT n FROM mv2").collect()[0][0]
+    q.catalog.load_table("ot").append(
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(7)
+    )
+    assert q.sql("SELECT n FROM mv2").collect()[0][0] == before + 7
+
+
+def test_materialized_view_replace_rematerializes(spark, warehouse_sql):
+    q, _wh = warehouse_sql
+    q.sql("CREATE MATERIALIZED ICEBERG VIEW mv3 AS SELECT COUNT(*) AS n FROM ot")
+    q.sql(
+        "CREATE OR REPLACE MATERIALIZED ICEBERG VIEW mv3 AS SELECT"
+        " COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total FROM ot"
+    )
+    row = q.sql("SELECT * FROM mv3").collect()[0]
+    assert row["total"] is not None
+    # the view tree carries both definitions (versioned like any view)
+    hist = q.sql("DESCRIBE ICEBERG VIEW mv3").collect()
+    assert len(hist) == 2
