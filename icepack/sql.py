@@ -1825,6 +1825,11 @@ class IceSQL:
                     bt = IceTable.load(
                         self.spark, self._mv_doc(vname)["storage"]
                     )
+                    # track the backing table as a resolved handle so a
+                    # DOWNSTREAM materialization pins it (an MV over an
+                    # MV judges freshness against the upstream's
+                    # current backing snapshot)
+                    self._stmt_handles.append(bt)
                     bt.toDF().createOrReplaceTempView(vname)
                 else:
                     self._select(pv.sql_for()).createOrReplaceTempView(vname)

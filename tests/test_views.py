@@ -311,3 +311,28 @@ def test_materialized_view_replace_rematerializes(spark, warehouse_sql):
     # the view tree carries both definitions (versioned like any view)
     hist = q.sql("DESCRIBE ICEBERG VIEW mv3").collect()
     assert len(hist) == 2
+
+
+def test_materialized_view_over_materialized_view(spark, warehouse_sql):
+    # a downstream MV pins the UPSTREAM MV's backing table: refreshing
+    # the upstream makes the downstream stale (not silently ignored)
+    q, _wh = warehouse_sql
+    q.sql("CREATE MATERIALIZED ICEBERG VIEW up AS SELECT COUNT(*) AS n FROM ot")
+    q.sql("CREATE MATERIALIZED ICEBERG VIEW down AS SELECT n + 0 AS n FROM up")
+    assert all(
+        f["fresh"] for f in q.sql("DESCRIBE MATERIALIZED VIEW down").collect()
+    )
+    q.catalog.load_table("ot").append(
+        load(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(3)
+    )
+    q.sql("REFRESH MATERIALIZED VIEW up")
+    # upstream moved (new backing table) -> downstream pins are stale
+    assert not all(
+        f["fresh"] for f in q.sql("DESCRIBE MATERIALIZED VIEW down").collect()
+    )
+    q.sql("REFRESH MATERIALIZED VIEW down")
+    assert q.sql("SELECT n FROM down").collect()[0][0] == q.sql(
+        "SELECT n FROM up"
+    ).collect()[0][0]
