@@ -1126,6 +1126,11 @@ class IceSQL:
             # ALTER is the incremental form: schema-compat is enforced
             # (CREATE OR REPLACE is the explicit full redefinition)
             self._persistent_view(m.group(1)).replace(m.group(2).strip())
+            if self._is_materialized(m.group(1)):
+                # an MV stays an MV: the changed definition must
+                # re-materialize or reads would serve the OLD
+                # definition's data under the new contract
+                self._refresh_mv(m.group(1))
             return None
         if re.match(r"(?i)DESCRIBE\s+ICEBERG\s+VIEW\b", s):
             return self._persistent_view(s.split()[-1]).versions()
@@ -2064,6 +2069,15 @@ class IceSQL:
             # OR REPLACE is the explicit full-redefinition form —
             # schema compatibility is the caller's stated intent
             v.replace(body, allow_incompatible=True)
+            if self._is_materialized(name):
+                # replacing with a PLAIN view demotes the MV — leaving
+                # mv.json behind would keep serving the OLD
+                # definition's materialization for the NEW definition
+                import shutil as _shutil
+
+                doc = self._mv_doc(name)
+                _os.remove(self._mv_doc_path(name))
+                _shutil.rmtree(doc.get("storage", ""), ignore_errors=True)
             return None
         IceView.create(self.spark, loc, body, resolver=self._select)
         self._pviews.pop(name.replace(".", "_"), None)

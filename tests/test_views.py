@@ -336,3 +336,32 @@ def test_materialized_view_over_materialized_view(spark, warehouse_sql):
     assert q.sql("SELECT n FROM down").collect()[0][0] == q.sql(
         "SELECT n FROM up"
     ).collect()[0][0]
+
+
+def test_mv_demotion_and_alter_rematerialize(spark, warehouse_sql):
+    q, _wh = warehouse_sql
+    q.sql("CREATE MATERIALIZED ICEBERG VIEW g AS SELECT COUNT(*) AS n FROM ot")
+    storage = q._mv_doc("g")["storage"]
+    # CREATE OR REPLACE with the PLAIN view form demotes the MV: the
+    # stale materialization must not survive to answer the new
+    # definition
+    q.sql(
+        "CREATE OR REPLACE ICEBERG VIEW g AS SELECT COUNT(*) AS n,"
+        " 1 AS gen FROM ot"
+    )
+    assert not q._is_materialized("g")
+    assert not os.path.exists(storage)
+    assert q.sql("SELECT gen FROM g").collect()[0][0] == 1  # late-binding now
+
+    # ALTER on an MV keeps it an MV and re-materializes immediately
+    q.sql("CREATE MATERIALIZED ICEBERG VIEW h AS SELECT COUNT(*) AS n FROM ot")
+    q.sql(
+        "ALTER ICEBERG VIEW h REPLACE AS SELECT COUNT(*) AS n,"
+        " ROUND(SUM(o_totalprice), 2) AS total FROM ot"
+    )
+    assert q._is_materialized("h")
+    row = q.sql("SELECT * FROM h").collect()[0]
+    assert row["total"] is not None  # the NEW definition's data
+    assert all(
+        f["fresh"] for f in q.sql("DESCRIBE MATERIALIZED VIEW h").collect()
+    )
