@@ -1033,3 +1033,39 @@ def convert_to_spec_primary(table) -> Snapshot:
         except CommitConflict:
             table.refresh()
     raise CommitConflict("convert_to_spec_primary gave up after retries")
+
+
+def optimize(table, dry_run: bool = False) -> dict:
+    """One-command maintenance (docs/10's health checklist, acted on):
+    consult :func:`table_health` and run exactly the operations it
+    recommends — compaction when files are small/many or delete files
+    exceed the 10% read-health bar (docs/10:112-123), manifest rewrite
+    past the manifest-count bar, snapshot expiry past the history bar.
+    Orphan collection is NOT included (it deletes unreferenced files
+    by mtime cutoff — an operator decision, run it explicitly).
+
+    ``dry_run`` reports the planned actions without running anything.
+    Returns {"health_before", "actions", "health_after"} so schedulers
+    (CREATE TASK ... AS ALTER ... OPTIMIZE) can log the delta."""
+    before = table_health(table)
+    actions = []
+    if before["needs_compaction"] or before["needs_delete_compaction"]:
+        actions.append("compact")
+    if before["needs_manifest_rewrite"]:
+        actions.append("rewrite_manifests")
+    if before["needs_expire"]:
+        actions.append("expire_snapshots")
+    if dry_run:
+        return {"health_before": before, "actions": actions, "health_after": before}
+    for a in actions:
+        if a == "compact":
+            compact(table)
+        elif a == "rewrite_manifests":
+            rewrite_manifests(table)
+        elif a == "expire_snapshots":
+            expire_snapshots(table)
+    return {
+        "health_before": before,
+        "actions": actions,
+        "health_after": table_health(table),
+    }

@@ -1591,6 +1591,16 @@ class IceSQL:
             return self.spark.createDataFrame(
                 rows, "column string, duplication_ratio double"
             )
+        if u.startswith("OPTIMIZE"):
+            # one-command maintenance [ext]: run exactly what
+            # table_health recommends (maintenance.optimize)
+            import json as _json
+
+            rep = maintenance.optimize(t, dry_run="DRY RUN" in u)
+            return self.spark.createDataFrame(
+                [(_json.dumps(rep["actions"]), _json.dumps(rep["health_after"]))],
+                "actions string, health_after string",
+            )
         if u.startswith("REWRITE MANIFESTS"):
             return maintenance.rewrite_manifests(t)
         if u.startswith("REWRITE DELETES TO DELETION VECTORS"):

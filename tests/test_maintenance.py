@@ -390,3 +390,59 @@ def test_rewrite_position_deletes_spaced_location(spark, tmp_path):
     # consolidated to one delete file
     pos = [f for f in t.live_files(content="deletes")]
     assert len(pos) == 1
+
+
+def test_optimize_runs_exactly_what_health_recommends(spark, tmp_path):
+    from icepack.expr import col
+    from icepack.maintenance import optimize, table_health
+    from icepack.table import IceTable
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 400).withColumn("v", F.col("id") % 7)
+    t = IceTable.create(
+        spark,
+        str(tmp_path / "opt"),
+        df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    # many tiny appends + MOR deletes: small files AND a delete ratio
+    # past the 10% read-health bar
+    for i in range(0, 400, 100):
+        t.append(df.filter((F.col("id") >= i) & (F.col("id") < i + 100)))
+    t.delete(col("v") == 3)
+    h = table_health(t)
+    assert h["needs_compaction"] or h["needs_delete_compaction"]
+    expect = sorted(r["id"] for r in t.toDF().collect())
+    # dry run plans but does not act
+    plan = optimize(t, dry_run=True)
+    assert "compact" in plan["actions"]
+    assert [f for f in t.live_files(content="all") if f.content != "data"]
+    # real run compacts: deletes folded and retired, data identical
+    rep = optimize(t)
+    assert "compact" in rep["actions"]
+    assert not [f for f in t.live_files(content="all") if f.content != "data"]
+    assert sorted(r["id"] for r in t.toDF().collect()) == expect
+    assert not rep["health_after"]["needs_delete_compaction"]
+    # healthy table: optimize is a no-op
+    assert optimize(t)["actions"] == []
+
+
+def test_optimize_sql_spelling(spark, tmp_path):
+    from icepack.sql import IceSQL
+    from pyspark.sql import functions as F
+
+    q = IceSQL(spark, str(tmp_path / "wh"))
+    q.sql("CREATE ICEBERG TABLE ot (id BIGINT, v BIGINT)")
+    t = q.catalog.load_table("ot")
+    df = spark.range(0, 200).select("id", (F.col("id") % 5).alias("v"))
+    for i in range(0, 200, 50):
+        t.append(df.filter((F.col("id") >= i) & (F.col("id") < i + 50)))
+    row = q.sql("ALTER ICEBERG TABLE ot OPTIMIZE").collect()[0]
+    import json as _json
+
+    assert "compact" in _json.loads(row["actions"])
+    t.refresh()
+    assert t.toDF().count() == 200
