@@ -56,96 +56,51 @@ def load_all_modules() -> None:
 #: iteration order never depends on untracked files in the environment
 #: (same input -> same order, everywhere).
 #:
-#: Round-7 snapshot: cumulative driver coverage 181/181 green, but the
-#: four round-6 additions (ice49/ice50/ice51/x47) have NEVER been
-#: driver-sampled — they are first (VERDICT r6 item 1), followed by
-#: the FIFTEEN round-7 additions (TPC-H completions, the SemDeDup /
-#: PQ-ADC / matryoshka / simhash / mixture / audio legs, table +
-#: streaming dedup), then the queries whose code paths changed this
-#: round (spec-delete canonicalization, shingle rewrite + packing,
-#: DSv2 MOR fallback), then the 39 queries whose latest evidence is
-#: r03 (oldest cohort), then the r04 cohort heads as budget allows.
+#: Round-8 snapshot: the r7 driver run spent its 50-entry budget on the
+#: never-sampled r6/r7 additions and TPC-H completions (all green), so
+#: the oldest driver evidence now belongs to 23 queries last sampled in
+#: round 3 (VERDICT r7 item 1) — they go FIRST, followed by queries
+#: whose code paths change this round (DV kept-entry rebuild fix,
+#: partitioned DSv2 writer/add_files, distributed-plan default,
+#: composite-key MERGE pruning, MV refresh generation-GC), then the
+#: r04-evidenced cohort, then r05 heads as budget allows.
 PRIORITY: list[str] = [
-    # never driver-sampled (landed after the r6 driver run)
-    "ice49_spec_primary",
-    "ice50_foreign_adopt",
-    "ice51_table_stats",
-    "x47_substring_dedup",
-    # new in r7 (adapted TPC-H completions) -- never sampled
-    "a4_tpch_q2",
-    "a4_tpch_q11",
-    "a4_tpch_q12",
-    "a4_tpch_q16",
-    "a4_tpch_q20",
-    "a4_tpch_q21",
-    "x48_semantic_dedup",
-    "x49_pq_adc_search",
-    "x50_matryoshka_rerank",
-    "x51_audio_chunk_energy",
-    "ice52_table_dedup",
-    "x53_mixture_resample",
-    "x54_simhash_neardup",
-    "ice53_stream_dedup_ingest",
-    "x55_semantic_dedup_clusters",
-    "x56_containment_dedup",
-    "x57_temperature_sample",
-    # r7 continuation session: v3 deletion vectors, rank fusion,
-    # adaptive filtering, versioned views, partition statistics, the
-    # DSv2 batch writer -- never driver-sampled
-    "ice54_deletion_vectors",
-    "x58_rrf_fusion",
-    "x59_adaptive_quality_filter",
-    "ice55_versioned_view",
-    "ice56_partition_stats",
-    "ice57_batch_writer",
-    "ice58_materialized_view",
-    # code changing this round -- re-evidence
-    "x2_jaccard_pairs",
-    "x31_jaccard_stopshingles",
-    "ice45_mor_batch_read",
-    "ice47_iceberg_read",
-    "ice48_spec_read_prune",
-    # r03-evidenced cohort (oldest), registration order
-    "x20_kmeans_ivf",
-    "x28_sequence_pack",
-    "x29_vocab_stats",
-    "x42_training_pipeline",
-    "x43_pii_scan",
-    "x44_pii_redact",
-    "a4_tpch_q3",
-    "a4_tpch_q4",
-    "a4_tpch_q6",
-    "a4_tpch_q7",
-    "a4_tpch_q8",
-    "a4_tpch_q13",
-    "a4_tpch_q10",
-    "a4_tpch_q14",
-    "a4_tpch_q17",
-    "a4_tpch_q22",
-    "a4_tpch_q15",
-    "a4_tpch_q9",
-    "a4_tpch_q19",
-    "a5_scalar_subquery",
-    "a6_rollup",
-    "a6_cube",
-    "a3_approx_distinct",
-    "a7_stat_aggs",
-    "a8_pivot",
-    "w2_lag_gap",
-    "w1_rank_family",
-    "a5_correlated_subquery",
-    "a9_listagg",
+    # r03-evidenced cohort (oldest driver evidence; judge re-verified
+    # locally in r5-r7 but the hard signal must rotate)
     "a10_conditional_agg",
     "a11_salted_agg",
-    "j9_null_safe_join",
     "a13_skyline",
     "a17_exact_median",
     "a18_gapfill_lerp",
     "a19_copurchase",
     "a20_share_of_total",
+    "a3_approx_distinct",
+    "a4_tpch_q9",
+    "a4_tpch_q19",
+    "a5_scalar_subquery",
+    "a5_correlated_subquery",
+    "a6_rollup",
+    "a6_cube",
+    "a6_grouping_sets",
+    "a7_stat_aggs",
+    "a8_pivot",
+    "a9_listagg",
     "ice32_rest_catalog",
     "ice33_orc_ingest",
-    # r04 cohort heads
+    "j9_null_safe_join",
+    "w1_rank_family",
+    "w2_lag_gap",
+    # code changing this round -- re-evidence
+    "ice54_deletion_vectors",
+    "ice57_batch_writer",
+    "ice50_foreign_adopt",
+    "ice5_merge",
+    "ice27_scd2",
+    "ice58_materialized_view",
+    "ice7_hidden_partition_prune",
+    "p1_pruned_scan",
+    "ice40_stream_source",
+    # r04-evidenced cohort
     "x45_domain_cap",
     "x46_line_dedup_ratio",
     "a1_groupby_count",
@@ -153,9 +108,17 @@ PRIORITY: list[str] = [
     "a0_gold_daily",
     "a4_tpch_q5",
     "a4_tpch_q18",
-    "a6_grouping_sets",
     "w1_topk_per_group",
     "w3_running_sum",
+    "o1_global_sort",
+    "o2_top_n",
+    "o3_union_all",
+    "o4_intersect",
+    "f1_date_trunc",
+    "f2_date_parts",
+    "f3_date_arith",
+    "f4_casts",
+    "f5_strings",
 ]
 
 

@@ -33,6 +33,7 @@ the reference's file-size health targets (BASELINE.md).
 
 from __future__ import annotations
 
+import dataclasses
 import glob as _glob
 import json
 import os
@@ -499,12 +500,15 @@ class IceTable:
                         total_files += len(entries)
                         continue
                     seen_replaced.update(e.path for e in hit)
+                    # dataclasses.replace preserves EVERY field — in
+                    # particular the DV identity triple
+                    # (referenced_data_file, content_offset, content_size).
+                    # A positional rebuild here once nulled those after
+                    # rewrite_manifests coalesced DV entries into a data
+                    # manifest, silently resurrecting MOR-deleted rows on
+                    # the next replace-type commit.
                     kept = [
-                        DataFile(
-                            e.path, "existing", e.partition, e.spec_id, e.schema_id,
-                            e.record_count, e.file_size_bytes, e.stats,
-                            e.sequence_number, e.content, e.equality_columns,
-                        )
+                        dataclasses.replace(e, status="existing")
                         for e in entries
                         if e.path not in replaced_paths
                     ]

@@ -319,3 +319,28 @@ def test_pstats_unpartitioned_table(spark, tmp_path):
     t.refresh()
     assert rows_sorted(t.partition_stats()) == computed
     assert computed[0][0] == "{}" and computed[0][2] == 50
+
+
+def test_dv_survives_rewrite_manifests_then_replace_commit(spark, tmp_path):
+    # rewrite_manifests coalesces DV entries into the same manifest as
+    # data files; the NEXT replace-type commit (here a COW delete)
+    # rebuilds the kept entries of that manifest.  The rebuild must
+    # preserve the DV identity triple (referenced_data_file,
+    # content_offset, content_size) — a positional reconstruction once
+    # nulled them, every reader then skipped the DVs, and MOR-deleted
+    # rows resurrected.
+    t, df = _mor_table(spark, tmp_path, n=100)
+    t.delete((col("id") >= 10) & (col("id") < 20))  # MOR tombstone
+    M.write_deletion_vectors(t)  # -> DV entries
+    M.rewrite_manifests(t)  # coalesce DV + data entries together
+    t.delete(col("id") == 50, mode="copy-on-write")  # replace commit
+    expect = rows_sorted(df.filter("(id < 10 or id >= 20) and id <> 50"))
+    assert rows_sorted(t.toDF()) == expect
+    dvs = [
+        f for f in t.live_files(content="all") if f.content == "deletion-vectors"
+    ]
+    assert dvs
+    for f in dvs:
+        assert f.referenced_data_file is not None
+        assert f.content_offset is not None and f.content_size is not None
+    assert M.verify_table(t, check_data=True) == []
