@@ -632,38 +632,139 @@ class _WroteFiles(WriterCommitMessage):
     #: — the driver resolves which TABLE SCHEMA VERSION these columns
     #: belong to at commit time (see _StreamWriter.commit)
     columns: list
+    #: partition tuple per path (parallel to ``paths``); empty dicts for
+    #: unpartitioned layouts.  Computed task-side so the driver commit
+    #: never re-reads data files to recover tuples.
+    parts: list = None
+
+    def path_parts(self):
+        return zip(self.paths, self.parts or [{}] * len(self.paths))
 
 
-def _write_task_files(location: str, iterator) -> _WroteFiles:
-    """Executor side shared by the batch and streaming writers: one
-    parquet task file under ``<location>/data/`` from the task's arrow
-    batches; reports (paths, written column shape) to the driver."""
+def _part_desc(t) -> list:
+    """Plan-time partition description shipped to write tasks:
+    [(manifest field name, transform string, source column, source
+    simpleString)] — everything ``transforms.Transform.py_value`` needs
+    to materialize the hidden partition tuple without a JVM."""
+    out = []
+    for pf in t.meta.spec.fields:
+        sf = t.meta.schema.field_by_id(pf.source_id)
+        out.append((pf.name, pf.transform, sf.name, sf.spark_type().simpleString()))
+    return out
+
+
+def _write_task_files(location: str, iterator, parts: list | None = None) -> _WroteFiles:
+    """Executor side shared by the batch and streaming writers: parquet
+    task files under ``<location>/data/`` from the task's arrow
+    batches; reports (paths, partition tuples, written column shape) to
+    the driver.
+
+    Unpartitioned: ONE file per task.  Partitioned (``parts`` from
+    :func:`_part_desc`): the task materializes the hidden partition
+    tuple per row (transforms.Transform.py_value — pure Python, pinned
+    against the Spark expressions), groups rows by tuple with
+    arrow-side take(), and keeps ONE open writer per tuple for the
+    task's lifetime — a pre-distributed input (the table's
+    write.distribution-mode default repartitions by partition value
+    before the writer at the DataFrame level, or the user's own
+    repartition) therefore still gets one well-sized file per
+    partition.  Files land under hive-style ``_p_k=v`` directories so
+    the on-disk layout is indistinguishable from IceTable.append's;
+    the AUTHORITATIVE tuple travels in the commit message, not the
+    path."""
     import os as _os
+    import urllib.parse as _url
     import uuid as _uuid
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    writer = None
-    path = None
+    from .transforms import parse as _tr_parse
+
+    task_dir = None
+    writers: dict = {}  # tuple(sorted items) -> (ParquetWriter, path, dict)
     cols: list = []
+    tfs = [(name, _tr_parse(tr), src, st) for name, tr, src, st in parts or []]
+
+    def _open(batch, tup: tuple, subdir: str):
+        nonlocal task_dir
+        if task_dir is None:
+            task_dir = _os.path.join(location, "data", f"pyds-{_uuid.uuid4().hex}")
+        d = _os.path.join(task_dir, subdir) if subdir else task_dir
+        _os.makedirs(d, exist_ok=True)
+        path = _os.path.join(d, f"part-{len(writers)}.parquet")
+        w = pq.ParquetWriter(path, batch.schema)
+        writers[tup] = (w, path, dict(tup))
+        return w
+
     try:
         for batch in iterator:
             if batch.num_rows == 0:
                 continue
-            if writer is None:
-                d = _os.path.join(location, "data", f"pyds-{_uuid.uuid4().hex}")
-                _os.makedirs(d, exist_ok=True)
-                path = _os.path.join(d, "part-0.parquet")
-                writer = pq.ParquetWriter(path, batch.schema)
+            if not cols:
                 cols = [
                     (n, str(t))
                     for n, t in zip(batch.schema.names, batch.schema.types)
                 ]
-            writer.write_batch(batch)
+            if not tfs:
+                w = writers.get(())
+                w = w[0] if w else _open(batch, (), "")
+                w.write_batch(batch)
+                continue
+            cols_py = {
+                src: batch.column(batch.schema.get_field_index(src)).to_pylist()
+                for _, _, src, _ in tfs
+            }
+            tuples = [
+                tuple(
+                    (name, tr.py_value(cols_py[src][i], st))
+                    for name, tr, src, st in tfs
+                )
+                for i in range(batch.num_rows)
+            ]
+            groups: dict = {}
+            for i, tup in enumerate(tuples):
+                groups.setdefault(tup, []).append(i)
+            for tup, idx in groups.items():
+                got = writers.get(tup)
+                if got is None:
+                    subdir = _os.path.join(
+                        *(
+                            f"_p_{k}={_url.quote(str(v), safe='')}"
+                            if v is not None
+                            else f"_p_{k}=__HIVE_DEFAULT_PARTITION__"
+                            for k, v in tup
+                        )
+                    )
+                    sub = batch.take(pa.array(idx, type=pa.int64()))
+                    _open(sub, tup, subdir).write_batch(sub)
+                else:
+                    got[0].write_batch(batch.take(pa.array(idx, type=pa.int64())))
     finally:
-        if writer is not None:
-            writer.close()
-    return _WroteFiles([path] if path else [], cols)
+        for w, _, _ in writers.values():
+            w.close()
+    paths = [p for _, p, _ in writers.values()]
+    tups = [t for _, _, t in writers.values()]
+    return _WroteFiles(paths, cols, tups)
+
+
+def _plan_partition_desc(location: str):
+    """(partition description, spec id) captured when the writer is
+    PLANNED; (None, None) when the table doesn't exist yet — the
+    create-on-write convenience creates unpartitioned (a partitioned
+    target is created first with IceTable.create / CREATE ICEBERG
+    TABLE, then written through this writer)."""
+    _ensure_importable()
+    from pyspark.sql import SparkSession
+
+    from .table import IceTable
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    try:
+        t = IceTable.load(spark, location)
+    except FileNotFoundError:
+        return None, None
+    return (_part_desc(t) or None), t.meta.spec.spec_id
 
 
 class _BatchWriter(DataSourceArrowWriter):
@@ -677,18 +778,31 @@ class _BatchWriter(DataSourceArrowWriter):
     files removed, nothing committed).
 
     A missing table is CREATED from the DataFrame's schema (the CTAS
-    convenience every Spark writer offers).  Partitioned tables refuse
-    — the writer receives arbitrary task splits and manifest entries
-    without partition tuples would defeat pruning; ``IceTable.append``
-    applies the spec properly."""
+    convenience every Spark writer offers).  Partitioned tables write
+    hive-grouped task files: each task materializes the hidden
+    partition tuple per row (_write_task_files) and the commit records
+    real tuples, so manifest pruning on the result is identical to
+    IceTable.append's (docs/07-partitioning.md:19-52 is the reference's
+    core performance story — the native writer can't be a hole in it).
+    The partition description is captured at PLAN time; its spec id is
+    stamped on the entries so a concurrent spec evolution can't
+    mislabel this write's tuples.
+
+    File sizing: the Python DataSource API exposes no required-
+    distribution hook, so an un-clustered input writes tasks ×
+    touched-partitions files (IceTable.append avoids this with its
+    own pre-shuffle).  For well-sized files either repartition by the
+    partition source columns before writing or run compact() after —
+    correctness and pruning are unaffected either way."""
 
     def __init__(self, location: str, overwrite: bool, schema):
         self._location = location
         self._overwrite = overwrite
         self._schema = schema  # StructType, pickled to the driver-side commit
+        self._parts, self._spec_id = _plan_partition_desc(location)
 
     def write(self, iterator) -> _WroteFiles:
-        return _write_task_files(self._location, iterator)
+        return _write_task_files(self._location, iterator, self._parts)
 
     def commit(self, messages) -> None:
         _ensure_importable()
@@ -708,15 +822,19 @@ class _BatchWriter(DataSourceArrowWriter):
                 # the winner's table and appends into it (its own
                 # snapshot commit CAS-linearizes after)
                 t = IceTable.load(spark, self._location)
-        if t.meta.spec.fields:
+        if t.meta.spec.fields and not self._parts:
+            # table was partitioned AFTER this write was planned — the
+            # task files carry no tuples; refuse rather than commit
+            # unprunable entries under a partitioned spec
             raise ValueError(
-                "the icepack batch writer writes unpartitioned layouts; "
-                "for a partitioned table use IceTable.append (applies "
-                "the partition spec)"
+                "table was partitioned while this write was planned; re-run"
             )
         schema_id = _resolve_written_schema_id(t, messages, self._location)
+        spec_id = self._spec_id if self._parts else t.meta.spec.spec_id
         entries = []
-        for p in (p for m in messages if m is not None for p in m.paths):
+        for p, part in (
+            pp for m in messages if m is not None for pp in m.path_parts()
+        ):
             nrows, size, stats = harvest_stats(p)
             if nrows == 0:
                 _rm_quiet(p)
@@ -725,8 +843,8 @@ class _BatchWriter(DataSourceArrowWriter):
                 DataFile(
                     path=p,
                     status="added",
-                    partition={},
-                    spec_id=t.meta.spec.spec_id,
+                    partition=part,
+                    spec_id=spec_id,
                     schema_id=schema_id,
                     record_count=nrows,
                     file_size_bytes=size,
@@ -793,11 +911,14 @@ class _StreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, location: str, sink_id: str):
         self._location = location
         self._sink_id = sink_id
+        # the stream's partition layout is FIXED at start, like its
+        # schema shape; tasks materialize tuples per micro-batch row
+        self._parts, self._spec_id = _plan_partition_desc(location)
 
     # -- executor side ------------------------------------------------------
 
     def write(self, iterator) -> _WroteFiles:
-        return _write_task_files(self._location, iterator)
+        return _write_task_files(self._location, iterator, self._parts)
 
     # -- driver side --------------------------------------------------------
 
@@ -821,12 +942,10 @@ class _StreamWriter(DataSourceStreamArrowWriter):
 
         spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
         t = IceTable.load(spark, self._location)
-        if t.meta.spec.fields:
+        if t.meta.spec.fields and not self._parts:
             raise ValueError(
-                "the native icepack sink writes unpartitioned layouts; "
-                "for a partitioned table use "
-                "icepack.streaming.write_stream_to_table (foreachBatch "
-                "append applies the partition spec)"
+                "table was partitioned after this stream started; "
+                "restart the streaming query to pick up the spec"
             )
         marker = f"{self._sink_id}#{batchId}"
         paths = self._paths(messages)
@@ -836,8 +955,11 @@ class _StreamWriter(DataSourceStreamArrowWriter):
                     _rm_quiet(p)
                 return
         schema_id = self._resolve_schema_id(t, messages)
+        spec_id = self._spec_id if self._parts else t.meta.spec.spec_id
         entries = []
-        for p in paths:
+        for p, part in (
+            pp for m in messages if m is not None for pp in m.path_parts()
+        ):
             nrows, size, stats = harvest_stats(p)
             if nrows == 0:
                 _rm_quiet(p)
@@ -846,8 +968,8 @@ class _StreamWriter(DataSourceStreamArrowWriter):
                 DataFile(
                     path=p,
                     status="added",
-                    partition={},
-                    spec_id=t.meta.spec.spec_id,
+                    partition=part,
+                    spec_id=spec_id,
                     schema_id=schema_id,
                     record_count=nrows,
                     file_size_bytes=size,

@@ -2242,19 +2242,24 @@ def ice56_partition_stats(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def ice57_batch_writer(spark: SparkSession, sf: str) -> DataFrame:
-    """Native DSv2 BATCH write path (datasource._BatchWriter):
-    ``df.write.format("icepack")`` creates the table on first write
-    (CTAS convenience), a second ``mode("append")`` accumulates, and
-    ``mode("overwrite")`` replaces everything in one atomic snapshot —
-    executor-written parquet task files turned into ONE CAS commit on
-    the driver, same split as every real table-format Spark sink.
-    Result read back through the native scan."""
+    """Native DSv2 BATCH write path (datasource._BatchWriter) onto a
+    PARTITIONED table: ``df.write.format("icepack")`` against a
+    ``PARTITION BY (o_orderstatus)`` target has each task materialize
+    the hidden partition tuple per row and the driver commit record
+    real tuples (docs/07-partitioning.md:19-52 — partitioning is the
+    reference's core performance story, so the idiomatic writer must
+    feed it).  Appends accumulate, ``mode("overwrite")`` replaces
+    everything in one atomic snapshot, and partition pruning on the
+    result is asserted before returning it through the native scan."""
     from ..datasource import register
+    from ..expr import col as ecol
 
     register(spark)
     orders = load(spark, sf, "orders")
     loc = _scratch() + "/t"
-    # create-on-write, then append a disjoint slice
+    t = IceTable.create(
+        spark, loc, orders.schema, partition_by=[("o_orderstatus", "identity")]
+    )
     orders.filter(F.col("o_orderstatus") == "O").write.format(
         "icepack"
     ).option("location", loc).mode("append").save()
@@ -2262,7 +2267,7 @@ def ice57_batch_writer(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("o_orderstatus") != "O") & (F.col("o_orderkey") % 3 == 0)
     ).write.format("icepack").option("location", loc).mode("append").save()
     # overwrite with the union the oracle states (one replace snapshot)
-    t = IceTable.load(spark, loc)
+    t.refresh()
     n_before = len(t.meta.snapshots)
     orders.filter(
         (F.col("o_orderstatus") == "O") | (F.col("o_orderkey") % 3 == 0)
@@ -2271,6 +2276,13 @@ def ice57_batch_writer(spark: SparkSession, sf: str) -> DataFrame:
     ).save()
     t.refresh()
     assert len(t.meta.snapshots) == n_before + 1
+    # tuples are real and manifest pruning works on the writer's output
+    assert {f.partition["o_orderstatus"] for f in t.live_files()} <= {
+        "O", "F", "P",
+    }
+    files, rep = t.plan_files(ecol("o_orderstatus") == "F")
+    assert all(f.partition["o_orderstatus"] == "F" for f in files)
+    assert rep["files_scanned"] < rep["files_total"]
     return t.toDF()
 
 
@@ -2326,3 +2338,44 @@ def ice58_materialized_view(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.sql("REFRESH MATERIALIZED VIEW gold")
     return q.sql("SELECT * FROM gold ORDER BY o_orderstatus")
+
+
+@query(
+    "ice59_partitioned_adopt",
+    oracle=f"""
+    SELECT {_ORDER_COLS}
+    FROM orders
+    WHERE o_orderstatus <> 'P'
+    """,
+)
+def ice59_partitioned_adopt(spark: SparkSession, sf: str) -> DataFrame:
+    """PARTITIONED metadata-only migration (docs/11:174-183 +
+    table.py::_adoption_partition): a hive-style ``o_orderstatus=X``
+    parquet tree written by a foreign engine adopts via ``add_files``
+    into an identity-partitioned table with REAL partition tuples —
+    no rewrite, pruning effective immediately (asserted on the plan
+    report), and the returned scan must match the oracle recomputing
+    from the raw fixture."""
+    import glob as _g
+    import os as _os
+
+    orders = load(spark, sf, "orders")
+    tree = _os.path.join(_scratch(), "tree")
+    for status in ("O", "F", "P"):
+        # per-group writes KEEP the partition column in the files
+        # (Iceberg-style layout) while the directory carries the key
+        orders.filter(F.col("o_orderstatus") == status).coalesce(1).write.parquet(
+            _os.path.join(tree, f"o_orderstatus={status}")
+        )
+    t = IceTable.create(
+        spark,
+        _os.path.join(_scratch(), "t"),
+        orders.schema,
+        partition_by=[("o_orderstatus", "identity")],
+    )
+    t.add_files(sorted(_g.glob(f"{tree}/**/*.parquet", recursive=True)))
+    # adopted tuples prune: a one-status scan opens only that subtree
+    files, rep = t.plan_files(col("o_orderstatus") == "P")
+    assert files and all(f.partition["o_orderstatus"] == "P" for f in files)
+    assert rep["files_scanned"] < rep["files_total"]
+    return t.toDF().filter(F.col("o_orderstatus") != "P")

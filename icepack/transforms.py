@@ -144,6 +144,58 @@ class Transform:
             return _b(c)
         raise ValueError(f"unknown transform {self.name}")
 
+    def py_value(self, value, simple_type: str):
+        """Executor-side transform of one SCALAR with no JVM in reach —
+        the task-level DSv2 writer's path (datasource._write_task_files
+        computes partition tuples inside plain Python workers).  MUST
+        mirror :meth:`spark_column` bit-for-bit; ``simple_type`` is the
+        source column's ``DataType.simpleString()``.
+
+        Values arrive as ``pyarrow .to_pylist()`` natives: int, str,
+        bytes, datetime.date, tz-aware datetime.datetime, None.
+        Returns the same value domain ``IceTable._collect_entries``
+        decodes from directory keys (int | str | None), so manifests
+        written by either path are indistinguishable."""
+        import datetime as _pdt
+
+        if value is None:
+            # every transform of NULL is NULL — except bucket: Spark's
+            # xxhash64 skips null children and returns the seed, so a
+            # null source lands in bucket 42 % N (spark_column parity)
+            if self.kind == "bucket":
+                return 42 % self.param
+            return None
+        k = self.kind
+        if isinstance(value, _pdt.datetime) and value.tzinfo is not None:
+            # session tz is pinned UTC (session.ensure_confs); arrow
+            # hands back aware datetimes — date parts follow UTC
+            value = value.astimezone(_pdt.timezone.utc).replace(tzinfo=None)
+        if k == "identity":
+            return _decode_like(_dir_value(value))
+        if k == "year":
+            return _to_dt(value).year
+        if k == "month":
+            return _to_dt(value).strftime("%Y-%m")
+        if k == "day":
+            return _to_dt(value).strftime("%Y-%m-%d")
+        if k == "hour":
+            return _to_dt(value).strftime("%Y-%m-%d-%H")
+        if k == "truncate":
+            if simple_type in _INTEGRAL_SIMPLE:
+                return int(value) - (int(value) % self.param)
+            # append's path: cast-to-string prefix, then the directory
+            # decode turns int-looking prefixes back into ints
+            return _decode_like(_dir_value(value)[: self.param])
+        if k == "bucket":
+            from .xxh64 import spark_xxhash64
+
+            return spark_xxhash64(value, simple_type) % self.param
+        if k == "mmh3bucket":
+            from .murmur3 import bucket as _mmh3_bucket
+
+            return _mmh3_bucket(value, self.param, simple_type)
+        raise ValueError(f"unknown transform {self.name}")
+
     def apply(self, value, spark: SparkSession | None = None, dtype=None):
         """Driver-side transform of a literal (for predicate projection).
 
@@ -205,6 +257,37 @@ class Transform:
             except TypeError:
                 return None  # unhashable literal type: no pruning
         raise ValueError(f"unknown transform {self.name}")
+
+
+_INTEGRAL_SIMPLE = {"int", "bigint", "smallint", "tinyint"}
+
+
+def _dir_value(v) -> str:
+    """Render one scalar the way ``df.write.partitionBy`` spells it in
+    a directory key (the spelling ``IceTable._collect_entries`` then
+    url-decodes): lowercase booleans, ISO dates, space-separated naive
+    timestamps; everything else is Spark's ``CAST(v AS STRING)``."""
+    import datetime as _pdt
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, _pdt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_pdt.timezone.utc).replace(tzinfo=None)
+        return str(v)
+    if isinstance(v, _pdt.date):
+        return v.isoformat()
+    return str(v)
+
+
+def _decode_like(s: str):
+    """Mirror table._decode_part: directory values that parse as ints
+    ARE ints in the manifest — both write paths must agree or the same
+    partition splits into two tuples ("12" vs 12) and pruning misses."""
+    try:
+        return int(s)
+    except (TypeError, ValueError):
+        return s
 
 
 def parse(name: str) -> Transform:

@@ -127,9 +127,10 @@ def spark_xxhash64(value, simple_type: str, seed: int = SPARK_SEED) -> int:
         if isinstance(value, _dt.datetime):
             if value.tzinfo is not None:
                 value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
-            value = int(
-                (value - _dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
-            ) + value.microsecond - int(value.microsecond)  # already counted
+            d = value - _dt.datetime(1970, 1, 1)
+            # exact integer arithmetic — total_seconds() is a float and
+            # drops sub-micro precision at 2024-scale epochs
+            value = (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
         return hash_long(int(value), seed)
     if t == "string":
         return xxh64(str(value).encode("utf-8"), seed)

@@ -199,15 +199,48 @@ def test_native_sink_redelivery_is_dropped(ds, tmp_path):
     assert on_disk == live  # the replayed task file was removed
 
 
-def test_native_sink_refuses_partitioned_tables(ds, tmp_path):
+def test_native_sink_partitioned_table(ds, tmp_path):
+    """writeStream.format('icepack') onto a partitioned table: tasks
+    materialize the hidden partition tuple per row, the per-batch
+    commit records real tuples, and pruning works on the sink table."""
+    spark = ds
+    t, loc = _mk(spark, tmp_path)
+    dst = str(tmp_path / "pdst")
+    ck = str(tmp_path / "pck")
+    d = IceTable.create(
+        spark, dst, t.toDF().schema, partition_by=[("id", "bucket[2]")]
+    )
+    q = (
+        spark.readStream.format("icepack")
+        .option("location", loc)
+        .load()
+        .writeStream.format("icepack")
+        .option("location", dst)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    d.refresh()
+    assert sorted(r.id for r in d.toDF().collect()) == [0, 1, 2, 3, 4, 5]
+    tups = {f.partition.get("id_bucket") for f in d.live_files()}
+    assert tups and tups <= {0, 1} and None not in tups
+    from icepack.expr import col as ecol
+
+    files, _ = d.plan_files(ecol("id") == 3)
+    assert 0 < len(files) < len(d.live_files())
+
+
+def test_native_sink_refuses_spec_added_after_stream_start(ds, tmp_path):
     from icepack.datasource import _StreamWriter
 
     spark = ds
     df = spark.createDataFrame([Row(id=1, cat="a")])
-    dst = str(tmp_path / "pdst")
-    IceTable.create(spark, dst, df.schema, partition_by=[("cat", "identity")])
-    w = _StreamWriter(dst, "s")
-    with pytest.raises(ValueError, match="unpartitioned"):
+    dst = str(tmp_path / "pdst2")
+    t = IceTable.create(spark, dst, df.schema)
+    w = _StreamWriter(dst, "s")  # planned against the unpartitioned spec
+    t.update_spec([("cat", "identity")])
+    with pytest.raises(ValueError, match="partitioned after"):
         w.commit([], 0)
 
 
@@ -635,18 +668,88 @@ def test_batch_writer_refusals(spark, tmp_path):
 
     register(spark)
     df = spark.range(0, 30).withColumn("v", F.col("id") % 3)
-    ploc = str(tmp_path / "part")
-    IceTable.create(spark, ploc, df.schema, partition_by=[("v", "identity")])
-    with pytest.raises(Exception, match="unpartitioned|partition"):
-        df.write.format("icepack").option("location", ploc).mode(
-            "append"
-        ).save()
     loc = str(tmp_path / "flat")
     df.write.format("icepack").option("location", loc).mode("append").save()
     with pytest.raises(Exception, match="schema|match"):
         spark.range(3).select(F.col("id").alias("zz")).write.format(
             "icepack"
         ).option("location", loc).mode("append").save()
+
+
+def test_batch_writer_partitioned_parity_with_append(spark, tmp_path):
+    """df.write.format('icepack') onto a partitioned table must be
+    manifest-indistinguishable from IceTable.append of the same rows:
+    identical partition tuples (including bucket(N) — the Python
+    XXH64 vs Spark's JVM hash) with identical per-tuple row counts,
+    identical scan results, and working pruning.  Nulls land in the
+    same tuples on both paths (identity null → NULL partition, bucket
+    null → seed % N)."""
+    import datetime as dt
+
+    from icepack.datasource import register
+    from icepack.expr import col as ecol
+    from icepack.table import IceTable
+    from pyspark.sql import functions as F
+
+    register(spark)
+    df = (
+        spark.range(0, 400)
+        .select(
+            F.col("id"),
+            F.to_timestamp(
+                F.concat(
+                    F.lit("2024-03-0"),
+                    (F.col("id") % 5 + 1).cast("string"),
+                    F.lit(" 10:00:00"),
+                )
+            ).alias("ts"),
+            F.when(F.col("id") % 13 == 0, None)
+            .otherwise(F.col("id") % 7)
+            .alias("v"),
+            F.when(F.col("id") % 11 == 0, None)
+            .otherwise(F.concat(F.lit("c"), (F.col("id") % 3).cast("string")))
+            .alias("cat"),
+        )
+    )
+    spec = [("ts", "day"), ("v", "bucket[4]"), ("cat", "identity")]
+    la, lb = str(tmp_path / "a"), str(tmp_path / "b")
+    ta = IceTable.create(spark, la, df.schema, partition_by=spec)
+    ta.append(df)
+    IceTable.create(spark, lb, df.schema, partition_by=spec)
+    df.write.format("icepack").option("location", lb).mode("append").save()
+    tb = IceTable.load(spark, lb)
+
+    def tuple_rows(t):
+        agg = {}
+        for f in t.live_files():
+            k = tuple(sorted(f.partition.items()))
+            agg[k] = agg.get(k, 0) + f.record_count
+        return agg
+
+    assert tuple_rows(tb) == tuple_rows(ta)
+    assert rows_sorted(tb.toDF()) == rows_sorted(df)
+    # pruning on the writer-written table: identity, day, and bucket
+    # (plan_files returns a superset; null-partition files are kept
+    # conservatively on BOTH paths — assert non-null hits are exact)
+    files, rep = tb.plan_files(ecol("cat") == "c1")
+    assert files and {f.partition["cat"] for f in files} <= {"c1", None}
+    assert rep["files_scanned"] < rep["files_total"]
+    files, _ = tb.plan_files(ecol("ts") == dt.datetime(2024, 3, 2, 10))
+    assert files and all(f.partition["ts_day"] == "2024-03-02" for f in files)
+    files, _ = tb.plan_files(ecol("v") == 3)
+    assert files and len({f.partition["v_bucket"] for f in files} - {None}) == 1
+    # a second append then overwrite keep tuples consistent
+    df.filter("id < 40").write.format("icepack").option("location", lb).mode(
+        "append"
+    ).save()
+    tb.refresh()
+    assert tb.toDF().count() == 440
+    df.filter("id >= 300").write.format("icepack").option(
+        "location", lb
+    ).mode("overwrite").save()
+    tb.refresh()
+    assert rows_sorted(tb.toDF()) == rows_sorted(df.filter("id >= 300"))
+    assert all(f.partition for f in tb.live_files())
 
 
 def test_batch_writer_onto_spec_primary(spark, tmp_path):

@@ -1,0 +1,93 @@
+"""Pin the pure-Python XXH64 (icepack/xxh64.py) against F.xxhash64.
+
+The task-level DSv2 writer computes bucket(N) partition tuples in
+plain Python workers where no JVM hash is reachable; if the Python
+reimplementation drifted from Spark's XxHash64 by even one bit, a
+bucket-partitioned table written through the native writer would put
+rows in the WRONG bucket and equality pruning would silently return
+nothing (the same failure class transforms.py:152 documents for
+int-vs-long hashing).  Property tests over every bucketable source
+type, driven by one round-trip through a real Spark column.
+"""
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from icepack.xxh64 import spark_xxhash64, xxh64
+
+
+def _spark_hashes(spark, values, spark_type):
+    df = spark.createDataFrame(
+        [(v,) for v in values], T.StructType([T.StructField("c", spark_type)])
+    )
+    return [r["h"] for r in df.select(F.xxhash64("c").alias("h")).collect()]
+
+
+CASES = [
+    (T.IntegerType(), "int", [0, 1, 7, -1, -2147483648, 2147483647, 42]),
+    (T.LongType(), "bigint", [0, 1, 7, -1, -(2**63), 2**63 - 1, 123456789012345]),
+    (T.ShortType(), "smallint", [0, 7, -1, -32768, 32767]),
+    (T.StringType(), "string", ["", "a", "abc", "héllo wörld", "x" * 100, "日本語"]),
+    (T.BinaryType(), "binary", [b"", b"\x00", b"abc", bytes(range(256))]),
+    (T.BooleanType(), "boolean", [True, False]),
+    (T.DateType(), "date", [dt.date(1970, 1, 1), dt.date(2024, 2, 29), dt.date(1969, 12, 31)]),
+    (
+        T.TimestampType(),
+        "timestamp",
+        [
+            dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc),
+            dt.datetime(2024, 6, 15, 12, 34, 56, 789012, tzinfo=dt.timezone.utc),
+        ],
+    ),
+    (T.FloatType(), "float", [0.0, -0.0, 1.5, -3.25, 1e30]),
+    (T.DoubleType(), "double", [0.0, -0.0, 1.5, -3.25, 1e300]),
+]
+
+
+@pytest.mark.parametrize("spark_type,simple,values", CASES, ids=[c[1] for c in CASES])
+def test_typed_parity(spark, spark_type, simple, values):
+    got = [spark_xxhash64(v, simple) for v in values]
+    want = _spark_hashes(spark, values, spark_type)
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=20))
+def test_long_parity_property(spark, vals):
+    assert [spark_xxhash64(v, "bigint") for v in vals] == _spark_hashes(
+        spark, vals, T.LongType()
+    )
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(min_size=0, max_size=64).filter(lambda s: "\x00" not in s),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_string_parity_property(spark, vals):
+    assert [spark_xxhash64(v, "string") for v in vals] == _spark_hashes(
+        spark, vals, T.StringType()
+    )
+
+
+def test_all_length_classes():
+    # exercise every tail path of the block structure: <4, 4-7, 8-31,
+    # exactly 32, >32 with every remainder mod 8
+    for n in [0, 1, 3, 4, 5, 7, 8, 9, 15, 16, 31, 32, 33, 40, 63, 64, 100]:
+        xxh64(bytes(range(256))[:n] * (n // 256 + 1))  # must not raise
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=200))
+def test_binary_parity_property(spark, data):
+    assert spark_xxhash64(data, "binary") == _spark_hashes(
+        spark, [data], T.BinaryType()
+    )[0]
