@@ -85,25 +85,67 @@ def main() -> None:
     for name in HEADLINE:
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    # Three timed iterations, keep the min: single-shot timings on a
-    # shared box jitter 2-4× from GC pauses / compile stragglers (the
-    # full plan still executes end-to-end every time — min-of-N is the
-    # standard steady-state estimator, not a cache artifact).  All
-    # samples are also reported as mean±sd per query so a
-    # round-over-round delta can be classified noise vs real from the
-    # artifact alone (a min-only report can't distinguish them).
+    # Timed iterations (n=5 default), INTERLEAVED per sweep: every
+    # sweep runs the canary then each query once, so machine drift
+    # within the run spreads across all queries instead of biasing
+    # whichever query ran last.  min stays the headline estimator
+    # (cross-round continuity); MEDIANS + spread go to BENCH_DETAIL so
+    # a round-over-round delta is classified noise-vs-real from the
+    # artifact alone (r7 verdict item 5: a +12% driver-run drift on
+    # untouched plans needed the builder's word to dismiss).
+    #
+    # The CANARY is a fixed constant-plan query (range→sum, no I/O, no
+    # shuffle): its median is a machine-speed gauge.  Comparing two
+    # rounds' canaries gives the machine factor; a query delta beyond
+    # that factor is code, not weather.
+    #
+    # Build vs exec: construction time (the Python/driver work inside
+    # the query callable — for lifecycle entries like ice54 this is
+    # create+DML+consolidation) is timed separately from plan
+    # execution, so the composite ice54 number can't mask a future
+    # regression in its 100 TB-relevant SCAN leg (r7 verdict item 7).
+    import statistics
+
+    reps = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5")))
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _ in range(3):
+    build_s: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    exec_s: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    canary: list[float] = []
+
+    def _canary() -> float:
+        t0 = time.time()
+        spark.range(50_000_000).selectExpr("sum(id * 2 + 1) AS s").write.mode(
+            "overwrite"
+        ).format("noop").save()
+        return round(time.time() - t0, 3)
+
+    _canary()  # warm the canary's own codegen once
+    for _ in range(reps):
+        canary.append(_canary())
         for name in HEADLINE:
             t0 = time.time()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            samples[name].append(round(time.time() - t0, 3))
+            df = qs[name](spark, sf_dir)
+            t1 = time.time()
+            df.write.mode("overwrite").format("noop").save()
+            t2 = time.time()
+            samples[name].append(round(t2 - t0, 3))
+            build_s[name].append(round(t1 - t0, 3))
+            exec_s[name].append(round(t2 - t1, 3))
     timings = {name: min(ts) for name, ts in samples.items()}
     spread = {}
     for name, ts in samples.items():
         mean = sum(ts) / len(ts)
         sd = (sum((t - mean) ** 2 for t in ts) / (len(ts) - 1)) ** 0.5
-        spread[name] = {"mean": round(mean, 3), "sd": round(sd, 3)}
+        spread[name] = {
+            "median": round(statistics.median(ts), 3),
+            "mean": round(mean, 3),
+            "sd": round(sd, 3),
+            "min": min(ts),
+            "max": max(ts),
+            "build_median": round(statistics.median(build_s[name]), 3),
+            "exec_median": round(statistics.median(exec_s[name]), 3),
+        }
+    canary_median = round(statistics.median(canary), 3)
 
     # Streaming-ingest leg (docs/12:211-236 bronze pattern): events as a
     # bounded multi-batch file stream through the foreachBatch snapshot
@@ -136,6 +178,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_spread": spread,
+        "reps": reps,
+        "canary": {"median": canary_median, "samples": canary},
+        # the 100 TB-relevant DV legs, split so the composite can't
+        # mask a scan regression: write = create+MOR deletes+bitmap
+        # consolidation (driver+DML), scan = the DV-masked read plan
+        "dv_legs": {
+            "write": spread["ice54_deletion_vectors"]["build_median"],
+            "scan": spread["ice54_deletion_vectors"]["exec_median"],
+        },
         "sf": sf,
         "sf1_ladder": sf1,
         "stream_files": st_files,
@@ -152,6 +203,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "canary_sec": canary_median,
         "stream_rows_per_sec": st_rows_per_sec,
         "detail": "BENCH_DETAIL.json",
     }

@@ -434,15 +434,26 @@ def read_iceberg(
     id_to_name = {f.fid: f.name for f in _schema_field_ids(md)}
     for rec in deletes:
         content = rec.get("content", 0)
-        if content == 1:  # position deletes
-            dels = (
-                spark.read.parquet(rec["file_path"])
-                .select(
-                    _canon(F.col("file_path")).alias("df_"),
-                    F.col("pos").alias("dp_"),
+        if content == 1:  # position deletes (parquet rows or v3 DVs)
+            if _is_dv_rec(rec):
+                # v3 deletion vector: the entry points at a Puffin blob,
+                # not a parquet file — pq.read_table on it would die
+                # with an opaque ArrowInvalid.  Decode the roaring
+                # bitmap (public Iceberg v3 spec framing) into the same
+                # (file, pos) mask shape.
+                ref, positions = _read_foreign_dv(rec)
+                dels = spark.createDataFrame(
+                    [(ref, int(p)) for p in positions], "df_ string, dp_ long"
+                ).withColumn("sq_", F.lit(rec["_seq"]))
+            else:
+                dels = (
+                    spark.read.parquet(rec["file_path"])
+                    .select(
+                        _canon(F.col("file_path")).alias("df_"),
+                        F.col("pos").alias("dp_"),
+                    )
+                    .withColumn("sq_", F.lit(rec["_seq"]))
                 )
-                .withColumn("sq_", F.lit(rec["_seq"]))
-            )
             df = df.join(
                 F.broadcast(dels),
                 (df["_f"] == dels["df_"])
@@ -633,10 +644,50 @@ def _adopt_mor(spark: SparkSession, table, md: dict, data: list, deletes: list) 
             entries = [
                 e
                 for r in pos
-                if (e := _adopt_pos_delete(table, r, adopted)) is not None
+                if (
+                    e := (
+                        _adopt_dv(table, r, adopted)
+                        if _is_dv_rec(r)
+                        else _adopt_pos_delete(table, r, adopted)
+                    )
+                )
+                is not None
             ]
             if entries:
                 table._commit_snapshot("delete", entries)
+
+
+def _is_dv_rec(rec: dict) -> bool:
+    """True for an Iceberg v3 deletion-vector manifest entry: spelled
+    as delete content with ``file_format = PUFFIN`` and/or the DV
+    identity fields (referenced data file + blob offset/size)."""
+    return (
+        str(rec.get("file_format", "")).lower() == "puffin"
+        or rec.get("referenced_data_file") is not None
+    )
+
+
+def _read_foreign_dv(rec: dict) -> tuple[str, list[int]]:
+    """(canonical referenced data file, sorted positions) from one
+    foreign v3 DV entry — the blob framing is the public spec shape
+    roaring.read_dv_blob decodes (length + magic + serialized 64-bit
+    roaring bitmap + CRC)."""
+    from .roaring import read_dv_blob
+
+    ref = rec.get("referenced_data_file")
+    off = rec.get("content_offset")
+    ln = rec.get("content_size_in_bytes")
+    if ref is None or off is None or ln is None:
+        raise ValueError(
+            f"v3 deletion-vector entry {rec.get('file_path')!r} lacks "
+            "referenced-data-file/content-offset/content-size — cannot "
+            "locate its blob; rewrite deletes in the source engine or "
+            "drop the snapshot"
+        )
+    with open(rec["file_path"], "rb") as fh:
+        fh.seek(off)
+        blob = fh.read(ln)
+    return canonical_file_path(ref), list(read_dv_blob(blob))
 
 
 def _adopt_eq_delete(table, rec: dict, md: dict, id_to_name: dict):
@@ -673,6 +724,34 @@ def _adopt_eq_delete(table, rec: dict, md: dict, id_to_name: dict):
         file_size_bytes=rec.get("file_size_in_bytes", 0),
         content="equality-deletes",
         equality_columns=cols,
+    )
+
+
+def _adopt_dv(table, rec: dict, adopted: set):
+    """Foreign v3 deletion vector → NATIVE DV entry, in place: the
+    Puffin blob is already the format our readers decode (roaring.py),
+    so adoption is a pure manifest entry — no decode-and-rewrite.  The
+    blob IS decoded once here to validate framing and pin record_count
+    to the true cardinality (verify_table cross-checks it).  A DV whose
+    referenced file is not adopted at this sequence masks nothing per
+    spec and drops (same dangling rule as _adopt_pos_delete)."""
+    from .manifest import DataFile
+
+    ref, positions = _read_foreign_dv(rec)
+    if ref not in adopted:
+        return None
+    return DataFile(
+        path=os.path.abspath(rec["file_path"]),
+        status="added",
+        partition={},
+        spec_id=table.meta.spec.spec_id,
+        schema_id=table.meta.schema.schema_id,
+        record_count=len(positions),
+        file_size_bytes=rec.get("file_size_in_bytes", 0),
+        content="deletion-vectors",
+        referenced_data_file=ref,
+        content_offset=rec.get("content_offset"),
+        content_size=rec.get("content_size_in_bytes"),
     )
 
 

@@ -90,10 +90,14 @@ PRIORITY: list[str] = [
     "j9_null_safe_join",
     "w1_rank_family",
     "w2_lag_gap",
+    # new in r8 -- never driver-sampled
+    "ice59_partitioned_adopt",
     # code changing this round -- re-evidence
     "ice54_deletion_vectors",
     "ice57_batch_writer",
     "ice50_foreign_adopt",
+    "ice47_iceberg_read",
+    "ice56_partition_stats",
     "ice5_merge",
     "ice27_scd2",
     "ice58_materialized_view",

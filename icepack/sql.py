@@ -1956,9 +1956,13 @@ class IceSQL:
         fresh backing Iceberg table, atomically swap the ``mv.json``
         pointer at it, and PIN the snapshot id of every base table the
         definition read — freshness is later judged by comparing pins
-        against the bases' current snapshots.  The old backing table
-        stays until the next refresh removes it (a reader may hold it);
-        a crash between data write and pointer swap leaves the previous
+        against the bases' current snapshots.  Storage generations are
+        removed with a ONE-GENERATION LAG: refresh N deletes generation
+        N-2, never the generation the pointer just left — a concurrent
+        session (or a lazily-evaluated DataFrame resolved before this
+        refresh) may still be scanning N-1, and deleting files under an
+        in-flight scan fails it or silently truncates its result.  A
+        crash between data write and pointer swap leaves the previous
         materialization intact (stale-but-consistent, the safe
         direction)."""
         import json as _json
@@ -1979,11 +1983,14 @@ class IceSQL:
         )
         bt = IceTable.create(self.spark, sloc, df.schema)
         bt.append(df)
-        old = None
+        old = stale = None
         if self._is_materialized(name):
-            old = self._mv_doc(name).get("storage")
+            prev_doc = self._mv_doc(name)
+            old = prev_doc.get("storage")
+            stale = prev_doc.get("previous-storage")
         doc = {
             "storage": sloc,
+            "previous-storage": old,  # kept one refresh for live readers
             "pins": pins,
             "refreshed-at-ms": int(_time.time() * 1000),
             "view-version": pv.meta["current-version-id"],
@@ -1992,15 +1999,36 @@ class IceSQL:
         with open(tmp, "w") as fh:
             _json.dump(doc, fh)
         _os.replace(tmp, self._mv_doc_path(name))  # atomic pointer swap
-        if old and old != sloc:
-            _shutil.rmtree(old, ignore_errors=True)
+        if stale and stale not in (old, sloc):
+            _shutil.rmtree(stale, ignore_errors=True)
         return doc
 
     def _mv_freshness(self, name: str) -> list[tuple]:
-        """[(base location, pinned snapshot, current snapshot, fresh)]"""
+        """[(base location, pinned snapshot, current snapshot, fresh)]
+
+        A pin on another MV's backing table needs one extra check: the
+        backing GENERATION itself.  Refreshing the upstream swaps its
+        doc at a new storage dir while the pinned old generation stays
+        on disk one more refresh (the reader-safety lag), so comparing
+        snapshot ids inside the pinned dir would report fresh forever —
+        a superseded generation is stale by definition."""
+        import json as _json
+        import os as _os
+
         doc = self._mv_doc(name)
         out = []
         for loc, pinned in sorted(doc.get("pins", {}).items()):
+            if _os.path.basename(loc).startswith("storage-"):
+                owner_doc = _os.path.join(
+                    _os.path.dirname(loc), "metadata", "mv.json"
+                )
+                try:
+                    with open(owner_doc) as fh:
+                        if _json.load(fh).get("storage") != loc:
+                            out.append((loc, pinned, None, False))
+                            continue
+                except (OSError, ValueError):
+                    pass  # not an MV generation after all: fall through
             try:
                 cur = IceTable.load(self.spark, loc).meta.current_snapshot
                 cur_id = cur.snapshot_id if cur else 0

@@ -260,6 +260,38 @@ _PSTAT_FIELDS = [
 ]
 
 
+def _fill_total_record_counts(agg: dict) -> None:
+    """Spec: ``total_record_count`` is the record count AFTER applying
+    delete files — publishing data_record_count under live deletes is
+    simply wrong (the r7 advice finding).  Per-tuple subtraction is
+    only EXACT when every delete entry lives in the same tuple as the
+    data it masks; our MOR delete files are unpartitioned, so a
+    partitioned table's deletes land in the '{}' tuple and may target
+    any data tuple.  The rule, conservative in the spec's direction:
+
+    - no delete entries anywhere → total = data (exact);
+    - all delete entries live in THIS tuple and are position
+      deletes/DVs (1 mask row = 1 data row) → data - position (exact,
+      the unpartitioned-table case);
+    - otherwise the optional field is omitted (null) — equality-delete
+      cardinality is not a matched-row count, and cross-tuple masks
+      cannot be attributed from metadata."""
+    del_keys = {
+        k
+        for k, a in agg.items()
+        if a["position_delete_record_count"] or a["equality_delete_record_count"]
+    }
+    for k, a in agg.items():
+        if not del_keys:
+            a["total_record_count"] = a["data_record_count"]
+        elif del_keys <= {k} and not a["equality_delete_record_count"]:
+            a["total_record_count"] = max(
+                0, a["data_record_count"] - a["position_delete_record_count"]
+            )
+        else:
+            a["total_record_count"] = None
+
+
 def write_partition_stats(table) -> str:
     """Compute and persist the PARTITION STATISTICS file for the
     current snapshot (public Iceberg spec "Partition Statistics"): one
@@ -310,7 +342,7 @@ def write_partition_stats(table) -> str:
         elif f.content == "equality-deletes":
             a["equality_delete_record_count"] += f.record_count
             a["equality_delete_file_count"] += 1
-        a["total_record_count"] = a["data_record_count"]
+    _fill_total_record_counts(agg)
     rows = sorted(agg.items())
     if not all_fields:
         # parquet cannot store a childless struct group (pyarrow

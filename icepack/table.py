@@ -754,15 +754,22 @@ class IceTable:
         files keep their external location (orphan cleanup only scans
         the table directory, so adopted files are never collected).
 
-        Requires an unpartitioned current spec: partition tuples for
-        foreign files cannot be derived safely (no transform was
-        applied at write time).  Every table column must exist in each
-        file's footer with a compatible type (exact match or a permitted
-        widening, file narrower than table) — extra file columns are
-        ignored by the name-based read projection.  The input list is
-        deduplicated, and a path already live in the table is rejected:
-        adopting it again would double-count its rows in a metadata-only
-        commit."""
+        Partitioned specs adopt from hive-style directory keys
+        (docs/11-multi-engine-compatibility.md:174-183): each spec
+        field's value is read from a ``<name>=<value>`` path component
+        (the field name, its ``_p_`` spelling, the source column, or —
+        when unambiguous — the bare transform kind), and the adoption
+        REFUSES any file whose tuple is underivable rather than commit
+        unprunable entries.  For monotone transforms the derived value
+        is cross-checked against the file's footer min/max of the
+        source column — a mislabeled directory fails loudly instead of
+        silently mis-pruning forever.  Every table column must exist in
+        each file's footer with a compatible type (exact match or a
+        permitted widening, file narrower than table) — extra file
+        columns are ignored by the name-based read projection.  The
+        input list is deduplicated, and a path already live in the
+        table is rejected: adopting it again would double-count its
+        rows in a metadata-only commit."""
         return self._commit_snapshot("append", self._adoption_entries(paths))
 
     def _adoption_entries(self, paths: list[str]) -> list[DataFile]:
@@ -772,11 +779,6 @@ class IceTable:
         from concurrent.futures import ThreadPoolExecutor
 
         spec, schema = self.meta.spec, self.meta.schema
-        if spec.fields:
-            raise ValueError(
-                "add_files requires an unpartitioned table; compact() after "
-                "adoption to re-layout, or append() to apply the spec"
-            )
         names = {f.name for f in schema.fields}
         paths = sorted({os.path.abspath(p) for p in paths})
         already = {f.path for f in self.live_files()} & set(paths)
@@ -823,7 +825,7 @@ class IceTable:
                 DataFile(
                     path=path,
                     status="added",
-                    partition={},
+                    partition=self._adoption_partition(path, stats),
                     spec_id=spec.spec_id,
                     schema_id=schema.schema_id,
                     record_count=nrows,
@@ -832,6 +834,58 @@ class IceTable:
                 )
             )
         return entries
+
+    def _adoption_partition(self, path: str, stats: dict) -> dict:
+        """Partition tuple for one FOREIGN file, derived from hive-style
+        directory keys and validated against footer stats where the
+        transform permits (see add_files docstring)."""
+        pcols = self._partition_columns()
+        if not pcols:
+            return {}
+        kv = {}
+        for comp in os.path.dirname(path).split(os.sep):
+            if "=" in comp:
+                k, v = comp.split("=", 1)
+                kv[k] = _decode_part(urllib.parse.unquote(v))
+        kinds = [t.kind for _, t in pcols]
+        partition = {}
+        for pf, t in pcols:
+            sf = self.meta.schema.field_by_id(pf.source_id)
+            cands = [pf.name, _PART_PREFIX + pf.name, sf.name]
+            if kinds.count(t.kind) == 1:
+                cands.append(t.kind)  # e.g. a bare day=... layout
+            key = next((c for c in cands if c in kv), None)
+            if key is None:
+                raise ValueError(
+                    f"cannot derive partition value for spec field "
+                    f"{pf.name!r} ({pf.transform} of {sf.name!r}) from the "
+                    f"directory layout of {path}; expected a path component "
+                    f"named one of {cands} — adopt into an unpartitioned "
+                    f"table and append() to apply the spec instead"
+                )
+            val = kv[key]
+            if t.monotone and val is not None:
+                st = stats.get(sf.name) or {}
+                lo, hi = st.get("min"), st.get("max")
+                if lo is not None and hi is not None:
+                    try:
+                        plo = t.apply(lo, dtype=sf.spark_type())
+                        phi = t.apply(hi, dtype=sf.spark_type())
+                    except (TypeError, ValueError):
+                        plo = phi = None  # stats spelling unparseable: skip
+                    if (
+                        plo is not None
+                        and plo == phi
+                        and str(plo) != str(val)
+                    ):
+                        raise ValueError(
+                            f"directory key {key}={val!r} of {path} "
+                            f"contradicts the file's {sf.name} stats "
+                            f"({lo!r}..{hi!r} -> {pf.transform} = {plo!r}); "
+                            "refusing a mislabeled adoption"
+                        )
+            partition[pf.name] = val
+        return partition
 
     # -- read path (S1/S8/T2, scan planning §3.1) --------------------------
 
@@ -1047,6 +1101,59 @@ class IceTable:
             out = out.unionByName(p)
         return out
 
+    #: auto plan-mode flip points: past either bound the O(entries)
+    #: driver-side plan is the scan's bottleneck posture at 100 TB
+    #: (SCALE.md) and the Spark-side planner wins despite its one
+    #: plan job.  Property-overridable per table.
+    AUTO_PLAN_FILE_THRESHOLD = 100_000
+    AUTO_PLAN_MANIFEST_THRESHOLD = 64
+
+    def _use_distributed_planner(self, snap: Snapshot) -> bool:
+        """``read.plan-mode``: ``driver`` | ``distributed`` | ``auto``
+        (default).  Auto decides from the manifest LIST alone —
+        O(manifests) driver work the plan pays anyway — flipping to the
+        distributed planner when the snapshot's manifest count or
+        summed live-file count crosses the (property-overridable)
+        thresholds, so a many-manifest table never silently planful
+        walks millions of entries in driver Python."""
+        mode = str(self.meta.properties.get("read.plan-mode", "auto")).lower()
+        if mode == "distributed":
+            return True
+        if mode != "auto":  # "driver" and any legacy spelling
+            return False
+        props = self.meta.properties
+
+        def _n(key: str, default: int) -> int:
+            try:
+                return int(props.get(key, default))
+            except (TypeError, ValueError):
+                return default
+
+        mthresh = _n(
+            "read.plan-mode.auto.manifest-threshold",
+            self.AUTO_PLAN_MANIFEST_THRESHOLD,
+        )
+        fthresh = _n(
+            "read.plan-mode.auto.file-threshold", self.AUTO_PLAN_FILE_THRESHOLD
+        )
+        try:
+            mlist = self._read_mlist(snap.manifest_list)
+        except (OSError, ValueError):
+            return False  # unreadable list: the scan itself will report
+        if len(mlist) >= mthresh:
+            return True
+        total = 0
+        for m in mlist:
+            lf = m.get("live-files")
+            if lf is None:  # spec-format (Iceberg avro) summary spellings
+                lf = (m.get("added-files-count") or m.get("added_files_count") or 0) + (
+                    m.get("existing-files-count") or m.get("existing_files_count") or 0
+                )
+            total += lf or 0
+            if total >= fthresh:
+                return True
+        return False
+
     def toDF(
         self, predicate: Expr | None = None, snapshot: Snapshot | None = None
     ) -> DataFrame:
@@ -1060,7 +1167,7 @@ class IceTable:
         current = self.meta.schema
         if snap is None:
             return self.spark.createDataFrame([], current.to_struct())
-        if self.meta.properties.get("read.plan-mode") == "distributed":
+        if self._use_distributed_planner(snap):
             # warehouse-scale planning (scanplan.py): pruning evaluated
             # in Spark over the manifests; driver holds O(selected)
             from .scanplan import plan_entries_distributed
@@ -1714,7 +1821,15 @@ class IceTable:
             elif f.content == "equality-deletes":
                 a[5] += f.record_count
                 a[6] += 1
-            a[7] = a[0]  # total_record_count mirrors the writer
+        # mirrors stats._fill_total_record_counts (see its rule)
+        del_keys = {k for k, a in agg.items() if a[3] or a[5]}
+        for k, a in agg.items():
+            if not del_keys:
+                a[7] = a[0]
+            elif del_keys <= {k} and not a[5]:
+                a[7] = max(0, a[0] - a[3])
+            else:
+                a[7] = None
         rows = [
             (k[0], k[1], a[0], a[1], a[2], a[3], a[4], a[5], a[6], a[7])
             for k, a in sorted(agg.items())

@@ -717,3 +717,44 @@ def test_dedupe_table_semantic_zero_vector_safe(spark, warehouse):
     )
     with _pytest.raises(ValueError, match="mixed widths"):
         semantic_candidate_pairs(mixed).collect()
+
+
+def test_merge_composite_key_prunes_on_selective_key(spark, tmp_path):
+    """Composite-key MERGE pruning: the prune predicate conjoins
+    per-column IN sets over ALL equi-join keys, so a non-selective
+    first key (constant across every file) no longer defeats pruning —
+    the selective second key limits the rewrite to the files whose
+    ranges intersect the source.  Verified via the snapshot summary's
+    removed-data-files (COW rewrites exactly the hit files) and via
+    MOR row results."""
+    from pyspark.sql import Row
+
+    from icepack.table import IceTable
+
+    rows = [Row(region="ALL", k=i, v=float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    t = IceTable.create(spark, str(tmp_path / "m"), df.schema)
+    for lo in range(0, 40, 10):  # 4 files with disjoint k ranges
+        t.append(df.filter((F.col("k") >= lo) & (F.col("k") < lo + 10)).coalesce(1))
+    assert len(t.live_files()) == 4
+    src = spark.createDataFrame(
+        [Row(region="ALL", k=35, v=-1.0), Row(region="ALL", k=99, v=-2.0)]
+    )
+    t.merge(
+        src,
+        on=["region", "k"],  # first key matches EVERY file
+        when_matched_update={"v": source_col("v")},
+    )
+    s = t.meta.snapshots[-1].summary
+    assert int(s["removed-data-files"]) == 1  # only the 30..39 file
+    got = {r.k: r.v for r in t.toDF().collect()}
+    assert got[35] == -1.0 and got[99] == -2.0 and len(got) == 41
+    # MOR leg: same pruning helper, position deletes only for the hit
+    t.set_properties(**{"write.merge.mode": "merge-on-read"})
+    t.merge(
+        spark.createDataFrame([Row(region="ALL", k=7, v=-7.0)]),
+        on=["region", "k"],
+        when_matched_update={"v": source_col("v")},
+    )
+    got = {r.k: r.v for r in t.toDF().collect()}
+    assert got[7] == -7.0 and len(got) == 41

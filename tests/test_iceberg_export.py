@@ -1335,3 +1335,70 @@ def test_export_on_commit_mirror_property(spark, tmp_path):
     assert sorted(r.id for r in read_iceberg(spark, mdir).collect()) == [
         0, 1, 2, 4, 5, 6, 7,
     ]
+
+
+def test_foreign_v3_deletion_vector_decode_and_adopt(spark, tmp_path):
+    """Iceberg v3 DV entries in FOREIGN trees (content=1 pointing at a
+    Puffin blob, not parquet): the import decodes the public blob
+    framing instead of dying in pq.read_table with an opaque
+    ArrowInvalid, and adoption registers the blob as a NATIVE DV entry
+    (no rewrite) whose mask the read path applies."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from icepack import roaring as R
+    from icepack.iceberg_import import (
+        _adopt_dv,
+        _is_dv_rec,
+        _read_foreign_dv,
+    )
+    from icepack.iceberg_import import canonical_file_path
+    from icepack.table import IceTable
+
+    from .conftest import rows_sorted
+
+    # a puffin-ish file: junk header, DV blob at a known offset
+    puffin = str(tmp_path / "deletes.puffin")
+    blob = R.dv_blob_bytes([1, 3, 5])
+    with open(puffin, "wb") as fh:
+        fh.write(b"PFA1junkjunk")
+        off = fh.tell()
+        fh.write(blob)
+        fh.write(b"tail")
+
+    def rec(**over):
+        base = {
+            "file_path": puffin,
+            "file_format": "PUFFIN",
+            "content": 1,
+            "referenced_data_file": "file:///data/x.parquet",
+            "content_offset": off,
+            "content_size_in_bytes": len(blob),
+            "file_size_in_bytes": os.path.getsize(puffin),
+            "_seq": 2,
+        }
+        base.update(over)
+        return base
+
+    assert _is_dv_rec(rec())
+    assert not _is_dv_rec({"file_path": "d.parquet", "content": 1})
+    ref, positions = _read_foreign_dv(rec())
+    assert positions == [1, 3, 5]
+    assert ref == canonical_file_path("file:///data/x.parquet")
+    # missing identity fields: a CLEAR refusal, not ArrowInvalid
+    with pytest.raises(ValueError, match="deletion-vector"):
+        _read_foreign_dv(rec(content_offset=None))
+
+    # adoption: the blob becomes a native DV entry whose mask applies
+    df = spark.range(0, 10).withColumn("v", F.col("id") * 2.0)
+    t = IceTable.create(spark, str(tmp_path / "t"), df.schema)
+    t.append(df.coalesce(1))
+    data_file = t.live_files()[0]
+    adopted_rec = rec(referenced_data_file=data_file.path)
+    e = _adopt_dv(t, adopted_rec, {data_file.path})
+    assert e.content == "deletion-vectors" and e.record_count == 3
+    assert _adopt_dv(t, adopted_rec, {"/other.parquet"}) is None  # dangling
+    t._commit_snapshot("delete", [e])
+    assert rows_sorted(t.toDF()) == rows_sorted(df.filter("id not in (1,3,5)"))

@@ -107,7 +107,8 @@ def test_add_files_adopts_duckdb_parquet(spark, warehouse, tmp_path):
     t.append(base.withColumn("o_orderkey", F.col("o_orderkey") + 1_000_000))
     assert t.toDF().count() == 2 * base.count()
     assert t.toDF(snapshot=t.as_of(snapshot_id=s1.snapshot_id)).count() == base.count()
-    # partitioned tables refuse adoption (no derivable partition tuple)
+    # partitioned adoption refuses when no directory key derives the
+    # tuple (flat layout, bucket[4] field): loud, not unprunable
     t2 = IceTable.create(
         spark,
         str(tmp_path / "wh2"),
@@ -385,3 +386,98 @@ def test_duckdb_render_position_deletes_spaced_location(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_add_files_partitioned_hive_tree(spark, tmp_path):
+    """Metadata-only migration of a partitioned foreign tree
+    (docs/11:174-183): a day=-keyed hive layout adopts into a
+    day(ts)-partitioned table with REAL tuples — pruning effective
+    immediately, rows identical to DuckDB reading the raw tree, and a
+    mislabeled directory refused via the footer-stats cross-check."""
+    import datetime as dt
+    import glob as g
+
+    import duckdb
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from icepack.expr import col
+    from icepack.table import IceTable
+
+    from .conftest import rows_sorted
+
+    df = (
+        spark.range(0, 120)
+        .select(
+            F.col("id"),
+            F.to_timestamp(
+                F.concat(
+                    F.lit("2024-03-0"),
+                    (F.col("id") % 4 + 1).cast("string"),
+                    F.lit(" 08:30:00"),
+                )
+            ).alias("ts"),
+            (F.col("id") % 5).cast("double").alias("v"),
+        )
+    )
+    tree = str(tmp_path / "tree")
+    for d in range(1, 5):
+        day = f"2024-03-0{d}"
+        # foreign writer keeps ALL columns in the files (Iceberg-style
+        # layout); the directory carries the transformed value
+        df.filter(F.to_date("ts") == day).coalesce(1).write.parquet(
+            f"{tree}/ts_day={day}"
+        )
+    paths = sorted(g.glob(f"{tree}/**/*.parquet", recursive=True))
+    assert len(paths) == 4
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), df.schema, partition_by=[("ts", "day")]
+    )
+    t.add_files(paths)
+    assert rows_sorted(t.toDF()) == rows_sorted(df)
+    # DuckDB leg on the raw tree agrees
+    want = duckdb.sql(
+        f"SELECT COUNT(*), SUM(id) FROM read_parquet('{tree}/*/*.parquet')"
+    ).fetchone()
+    got = t.toDF().agg(F.count("*"), F.sum("id")).first()
+    assert (got[0], got[1]) == want
+    # pruning is effective on adopted tuples
+    files, rep = t.plan_files(col("ts") == dt.datetime(2024, 3, 2, 8, 30))
+    assert [f.partition["ts_day"] for f in files] == ["2024-03-02"]
+    assert rep["files_scanned"] == 1 and rep["files_total"] == 4
+    # a mislabeled directory contradicts footer stats -> refused
+    # (written with pyarrow: spark 4.1 omits parquet stats for
+    # timestamp columns entirely, so the cross-check has nothing to
+    # read on spark-written files — foreign writers do emit them)
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    bad = str(tmp_path / "bad" / "ts_day=2024-03-03")
+    _os.makedirs(bad)
+    _pq.write_table(
+        pa.table(
+            {
+                "id": [1, 2],
+                "ts": [dt.datetime(2024, 3, 1, 8, 30)] * 2,
+                "v": [1.0, 2.0],
+            }
+        ),
+        f"{bad}/f.parquet",
+    )
+    t2 = IceTable.create(
+        spark, str(tmp_path / "t2"), df.schema, partition_by=[("ts", "day")]
+    )
+    with _pytest.raises(ValueError, match="contradicts"):
+        t2.add_files([f"{bad}/f.parquet"])
+    # bare transform-kind key (day=...) also derives when unambiguous
+    tree2 = str(tmp_path / "tree2")
+    df.filter(F.to_date("ts") == "2024-03-01").coalesce(1).write.parquet(
+        f"{tree2}/day=2024-03-01"
+    )
+    t3 = IceTable.create(
+        spark, str(tmp_path / "t3"), df.schema, partition_by=[("ts", "day")]
+    )
+    t3.add_files(sorted(g.glob(f"{tree2}/**/*.parquet", recursive=True)))
+    assert {f.partition["ts_day"] for f in t3.live_files()} == {"2024-03-01"}

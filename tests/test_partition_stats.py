@@ -70,6 +70,31 @@ def test_pstats_served_equals_computed_and_counts(spark, ptable):
     assert total == orders.count()  # MOR: data rows not rewritten
     dels = sum(r[5] for r in served)  # position_delete_record_count
     assert dels == orders.filter("o_orderstatus = 'F'").count()
+    # spec: total_record_count is AFTER applying deletes.  This table's
+    # delete files are unpartitioned ('{}' tuple) while data tuples are
+    # partitioned — cross-tuple masks can't be attributed, so the
+    # optional field is omitted (null) on data tuples rather than
+    # published wrong; the delete-only tuple subtracts exactly.
+    assert all(r[9] is None for r in served if r[2])
+    assert all(r[9] == 0 for r in served if not r[2])
+    # unpartitioned table: everything shares one tuple -> exact
+    small = load(spark, SF_DIR, "orders").limit(200)
+    import tempfile
+
+    t2 = IceTable.create(
+        spark,
+        tempfile.mkdtemp(prefix="pstat-u-"),
+        small.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t2.append(small)
+    t2.delete(col("o_orderstatus") == "F")
+    masked = t2.toDF().count()
+    r = rows_sorted(t2.partition_stats())
+    assert len(r) == 1 and r[0][9] == masked
 
 
 def test_pstats_dv_counts_as_position_deletes(spark, ptable):

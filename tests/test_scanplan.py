@@ -233,3 +233,33 @@ def test_distributed_pruning_exact_beyond_double_precision(spark, tmp_path):
         t.toDF().filter(f"id > {base + 1}")
     )
     assert read_distributed(t, pred).count() == 2
+
+
+def test_auto_plan_mode_defaults_distributed_past_thresholds(spark, tmp_path):
+    """read.plan-mode defaults to 'auto': a many-manifest table flips
+    to the distributed planner WITHOUT opt-in (the O(entries) driver
+    walk is the 100 TB bottleneck posture), small tables keep the
+    cheaper driver plan, thresholds and mode are property-overridable,
+    and rows are identical either way."""
+    t = _mk(spark, tmp_path / "t")
+    # small table, default thresholds: driver planner
+    want = rows_sorted(t.toDF(col("cat") == "a"))
+    assert t._scan_log[-1].get("planner") != "distributed"
+    # shrink the manifest threshold under this table's manifest count:
+    # auto now plans distributed, rows identical
+    t.set_properties(**{"read.plan-mode.auto.manifest-threshold": "2"})
+    assert rows_sorted(t.toDF(col("cat") == "a")) == want
+    assert t._scan_log[-1].get("planner") == "distributed"
+    # file-count threshold path (manifest threshold back out of reach)
+    t.set_properties(
+        **{
+            "read.plan-mode.auto.manifest-threshold": "10000",
+            "read.plan-mode.auto.file-threshold": "3",
+        }
+    )
+    assert rows_sorted(t.toDF(col("cat") == "a")) == want
+    assert t._scan_log[-1].get("planner") == "distributed"
+    # explicit driver mode always wins over auto thresholds
+    t.set_properties(**{"read.plan-mode": "driver"})
+    assert rows_sorted(t.toDF(col("cat") == "a")) == want
+    assert t._scan_log[-1].get("planner") != "distributed"

@@ -268,13 +268,22 @@ def test_materialized_view_lifecycle(spark, warehouse_sql):
     assert not all(
         f["fresh"] for f in q.sql("DESCRIBE MATERIALIZED VIEW mv").collect()
     )
-    # explicit refresh catches up; the old backing table is replaced
+    # explicit refresh catches up; the old backing table is kept ONE
+    # generation (a concurrent reader may still be scanning it) and
+    # reaped by the refresh after that
     old_storage = q._mv_doc("mv")["storage"]
+    # a reader resolved BEFORE the refresh must still collect after it
+    inflight = q.sql("SELECT * FROM mv")
     q.sql("REFRESH MATERIALIZED VIEW mv")
     r3 = {x[0]: x[1] for x in q.sql("SELECT * FROM mv").collect()}
     assert sum(r3.values()) == sum(r1.values()) + 10
     assert q._mv_doc("mv")["storage"] != old_storage
-    assert not os.path.exists(old_storage)
+    assert os.path.exists(old_storage)  # one-generation lag
+    assert {x[0]: x[1] for x in inflight.collect()} == r1
+    gen1 = q._mv_doc("mv")["storage"]
+    q.sql("REFRESH MATERIALIZED VIEW mv")
+    assert not os.path.exists(old_storage)  # reaped at N+2
+    assert os.path.exists(gen1)
     # a fresh session serves the materialization from disk
     q2 = IceSQL(spark, wh)
     assert {x[0]: x[1] for x in q2.sql("SELECT * FROM mv").collect()} == r3

@@ -1,0 +1,114 @@
+"""Dedup-family scale ladder: x2/x47/x48/x56 at sf0.1 → sf1 → sf3 →
+sf10 (replicated corpus, same metamorphic scheme as scale_ladder.py).
+
+Why a dedicated ladder (r7 verdict item 8): the x48 superlinearity was
+only visible at sf1 — the remaining quadratic-ish candidates (x47's
+gram exchanges, x56's containment expansion, x2's posting lists) need
+probing ABOVE sf1, where bucket depth and hot-gram multiplicity grow
+10-100× past the driver fixtures.  Replication duplicates text and
+embedding payloads identically, which is deliberately the WORST case
+for these operators: every shingle/gram/LSH bucket deepens K×.
+
+Only ``documents`` and ``embeddings`` replicate (the four queries read
+nothing else).  Each rung: one untimed warmup + 2 timed runs per
+query, min kept.  Prints one JSON line per rung plus a final ratio
+table for SCALE.md.
+
+Usage: python tools/dedup_ladder.py [K ...]   (default 30 100)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from icepack.io import load
+from icepack.queries import all_queries
+from icepack.session import get_session
+
+BASE = "/root/testdata/sf0.1"
+KEY_OFFSET = 1_000_000_000
+QUERIES = [
+    "x2_jaccard_pairs",
+    "x47_substring_dedup",
+    "x48_semantic_dedup",
+    "x56_containment_dedup",
+]
+KEYS = {"documents": ("doc_id",), "embeddings": ("vec_id",)}
+
+
+def build(spark, out: str, replicas: int) -> None:
+    for name, keys in KEYS.items():
+        dst = f"{out}/{name}.parquet"
+        if os.path.exists(dst):
+            continue
+        df = load(spark, BASE, name)
+        parts = []
+        for i in range(replicas):
+            p = df
+            for k in keys:
+                p = p.withColumn(
+                    k, (F.col(k) + F.lit(i * KEY_OFFSET)).cast(dict(df.dtypes)[k])
+                )
+            parts.append(p)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.parquet(dst)
+
+
+def run_rung(spark, qs, sf_dir: str) -> dict:
+    out = {}
+    for name in QUERIES:
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            ts.append(round(time.time() - t0, 3))
+        out[name] = min(ts)
+    return out
+
+
+def main() -> None:
+    reps = [int(a) for a in sys.argv[1:]] or [30, 100]
+    spark = get_session("icepack-dedup-ladder")
+    qs = all_queries()
+    results = {}
+    base = run_rung(spark, qs, BASE)
+    results[0.1] = base
+    print(json.dumps({"sf": 0.1, "queries": base}))
+    for k in reps:
+        sf = 0.1 * k
+        out = f"/tmp/icepack-dedup-sf{sf:g}"
+        os.makedirs(out, exist_ok=True)
+        build(spark, out, k)
+        r = run_rung(spark, qs, out)
+        results[sf] = r
+        print(json.dumps({"sf": sf, "queries": r}))
+    # ratio table: sec and x-vs-data-growth per rung (1.0 = perfectly
+    # linear in rows; <1 = duplicate-collapse sublinearity)
+    print("\nquery            " + "".join(f"{sf:>10g}" for sf in results))
+    for name in QUERIES:
+        row = f"{name:<17}"
+        for sf, r in results.items():
+            row += f"{r[name]:>10.2f}"
+        print(row)
+    print("\nper-row ratio vs sf0.1 (time_K / (time_0.1 * K)):")
+    for name in QUERIES:
+        row = f"{name:<17}"
+        for sf, r in results.items():
+            k = sf / 0.1
+            row += f"{r[name] / (results[0.1][name] * k):>10.2f}"
+        print(row)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
