@@ -926,10 +926,35 @@ class IceTable:
     ) -> tuple[list[DataFile], dict]:
         """Manifest-list partition pruning (phase 1) + per-file stats
         pruning (phase 2).  Returns (files, pruning report).  Always a
-        superset of matching files — Spark re-applies the full filter."""
+        superset of matching files — Spark re-applies the full filter.
+
+        Past the auto plan-mode thresholds, a PREDICATED plan delegates
+        to the distributed planner (scanplan.py) like toDF does — so
+        DML target pruning (DELETE/UPDATE/MERGE hit-file search) also
+        stops walking millions of entries in driver Python at
+        warehouse scale.  The distributed selection is a pinned
+        superset of this walk, and a superset of hit files only means
+        extra rewrites, never wrong rows.  Unpredicated plans stay
+        driver-side: selecting everything collects O(table) either
+        way, and callers that want all files use live_files."""
         snap = snapshot or self.meta.current_snapshot
         if snap is None:
             return [], _scan_report([], [])
+        if predicate is not None and self._use_distributed_planner(snap):
+            from .scanplan import plan_entries_distributed
+
+            files, _dels = plan_entries_distributed(self, predicate, snap)
+            totals = {"files": 0, "bytes": 0}
+            for m in self._read_mlist(snap.manifest_list):
+                totals["files"] += m.get("live-files", 0) or 0
+                totals["bytes"] += m.get("live-bytes", 0) or 0
+            return files, {
+                "planner": "distributed",
+                "files_scanned": len(files),
+                "files_total": totals["files"],
+                "bytes_scanned": sum(f.file_size_bytes for f in files),
+                "bytes_total": totals["bytes"],
+            }
         schema = self.meta.schema_by_id(snap.schema_id)
         if predicate is not None:
             files = []

@@ -151,3 +151,51 @@ def spark_xxhash64(value, simple_type: str, seed: int = SPARK_SEED) -> int:
         (bits,) = struct.unpack("<q", struct.pack("<d", v))
         return hash_long(bits, seed)
     raise TypeError(f"bucket transform unsupported for source type {t!r}")
+
+
+# ------------------------------------------------------- numpy fast path
+
+def _np():
+    import numpy as np
+
+    return np
+
+
+def _rotl_np(x, r: int):
+    np = _np()
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def _fmix_np(h):
+    np = _np()
+    h = h ^ (h >> np.uint64(33))
+    h = h * np.uint64(_P2)
+    h = h ^ (h >> np.uint64(29))
+    h = h * np.uint64(_P3)
+    h = h ^ (h >> np.uint64(32))
+    return h
+
+
+def hash_long_np(arr, seed: int = SPARK_SEED):
+    """Vectorized :func:`hash_long` over an int64 ndarray → int64
+    ndarray.  Pure uint64 modular arithmetic (numpy wraps unsigned
+    silently, which IS the algorithm).  Parity with the scalar form is
+    property-pinned in tests/test_xxh64_parity.py — the scalar form is
+    itself pinned against F.xxhash64."""
+    np = _np()
+    x = np.ascontiguousarray(arr, dtype=np.int64).view(np.uint64)
+    h0 = np.uint64((seed + _P5 + 8) & _M)
+    k = _rotl_np(x * np.uint64(_P2), 31) * np.uint64(_P1)
+    h = h0 ^ k
+    h = _rotl_np(h, 27) * np.uint64(_P1) + np.uint64(_P4)
+    return _fmix_np(h).view(np.int64)
+
+
+def hash_int_np(arr, seed: int = SPARK_SEED):
+    """Vectorized :func:`hash_int` over an int32 ndarray → int64."""
+    np = _np()
+    x = np.ascontiguousarray(arr, dtype=np.int32).view(np.uint32).astype(np.uint64)
+    h0 = np.uint64((seed + _P5 + 4) & _M)
+    h = h0 ^ (x * np.uint64(_P1))
+    h = _rotl_np(h, 23) * np.uint64(_P2) + np.uint64(_P3)
+    return _fmix_np(h).view(np.int64)

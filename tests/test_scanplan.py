@@ -12,6 +12,7 @@ import datetime as dt
 from pyspark.sql import Row
 
 from icepack.expr import col
+from pyspark.sql import functions as F
 from icepack.scanplan import plan_entries_distributed, read_distributed
 from icepack.table import IceTable
 
@@ -263,3 +264,30 @@ def test_auto_plan_mode_defaults_distributed_past_thresholds(spark, tmp_path):
     t.set_properties(**{"read.plan-mode": "driver"})
     assert rows_sorted(t.toDF(col("cat") == "a")) == want
     assert t._scan_log[-1].get("planner") != "distributed"
+
+
+def test_dml_plans_distributed_past_thresholds(spark, tmp_path):
+    """plan_files itself delegates predicated plans to the distributed
+    planner past the auto thresholds, so DML hit-file search (DELETE /
+    UPDATE / MERGE) escapes the driver walk too.  The distributed
+    selection is a pinned superset — extra hit files mean extra
+    rewrites, never wrong rows — pinned here end-to-end through a COW
+    delete and an update."""
+    t = _mk(spark, tmp_path / "t")
+    t.set_properties(
+        **{
+            "write.delete.mode": "copy-on-write",
+            "read.plan-mode.auto.manifest-threshold": "2",
+        }
+    )
+    files, rep = t.plan_files(col("id") >= 9)
+    assert rep.get("planner") == "distributed"
+    assert 0 < rep["files_scanned"] <= rep["files_total"]
+    t.delete(col("id") >= 9)
+    t.update(col("id") == 2, {"v": F.lit(0.0)})
+    got = rows_sorted(t.toDF().select("id", "v"))
+    want = sorted(
+        [(i, 0.0 if i == 2 else float(i) * 1.5) for i in range(9) if i != 5],
+        key=lambda x: tuple(map(repr, x)),
+    )
+    assert got == want

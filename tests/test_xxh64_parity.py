@@ -91,3 +91,57 @@ def test_binary_parity_property(spark, data):
     assert spark_xxhash64(data, "binary") == _spark_hashes(
         spark, [data], T.BinaryType()
     )[0]
+
+
+def test_numpy_hash_parity_property():
+    import numpy as np
+
+    from icepack.xxh64 import hash_int, hash_int_np, hash_long, hash_long_np
+
+    rng = np.random.default_rng(7)
+    longs = rng.integers(-(2**63), 2**63 - 1, size=500, dtype=np.int64)
+    assert hash_long_np(longs).tolist() == [hash_long(int(v)) for v in longs]
+    ints = rng.integers(-(2**31), 2**31 - 1, size=500, dtype=np.int32)
+    assert hash_int_np(ints).tolist() == [hash_int(int(v)) for v in ints]
+
+
+def test_batch_values_matches_py_value():
+    """transforms.Transform.batch_values (the writer's vectorized lane)
+    must match py_value element-for-element across every fast-path
+    shape — including nulls, tz-aware timestamps, dates, negative ints,
+    and the per-row fallback shapes."""
+    import datetime as dtm
+
+    import pyarrow as pa
+
+    from icepack.transforms import parse
+
+    utc = dtm.timezone.utc
+    ts = [
+        dtm.datetime(2024, 3, 1, 8, 30, tzinfo=utc),
+        None,
+        dtm.datetime(1969, 12, 31, 23, 59, 59, tzinfo=utc),
+        dtm.datetime(2031, 12, 5, 0, 0, 0, 123456, tzinfo=utc),
+    ]
+    cases = [
+        ("day", pa.array(ts, pa.timestamp("us", tz="UTC")), "timestamp"),
+        ("month", pa.array(ts, pa.timestamp("us", tz="UTC")), "timestamp"),
+        ("hour", pa.array(ts, pa.timestamp("us", tz="UTC")), "timestamp"),
+        ("year", pa.array(ts, pa.timestamp("us", tz="UTC")), "timestamp"),
+        ("day", pa.array([dtm.date(2024, 2, 29), None, dtm.date(1969, 6, 1)]), "date"),
+        ("bucket[7]", pa.array([1, None, -5, 2**62, -(2**62)], pa.int64()), "bigint"),
+        ("bucket[7]", pa.array([1, None, -5, 2**30], pa.int32()), "int"),
+        ("bucket[4]", pa.array(ts, pa.timestamp("us", tz="UTC")), "timestamp"),
+        ("bucket[4]", pa.array([dtm.date(2024, 2, 29), None], pa.date32()), "date"),
+        ("bucket[8]", pa.array(["a", None, "héllo", ""], pa.string()), "string"),
+        ("truncate[10]", pa.array([0, None, -15, 27, 2**40], pa.int64()), "bigint"),
+        ("truncate[2]", pa.array(["abcd", None, "42x", "x"], pa.string()), "string"),
+        ("identity", pa.array([1, None, -5], pa.int64()), "bigint"),
+        ("identity", pa.array(["a", None, "12"], pa.string()), "string"),
+        ("mmh3bucket[5]", pa.array([1, None, 9], pa.int64()), "bigint"),
+    ]
+    for tr_name, col, st in cases:
+        tr = parse(tr_name)
+        got = tr.batch_values(col, st)
+        want = [tr.py_value(v, st) for v in col.to_pylist()]
+        assert got == want, f"{tr_name}/{st}: {got} != {want}"
