@@ -92,6 +92,7 @@ PRIORITY: list[str] = [
     "w2_lag_gap",
     # new in r8 -- never driver-sampled
     "ice59_partitioned_adopt",
+    "ice60_auto_distributed_scan",
     # code changing this round -- re-evidence
     "ice54_deletion_vectors",
     "ice57_batch_writer",

@@ -2864,15 +2864,77 @@ def x47_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
       of docs cannot explode the join (posting-list designs would);
     - span union per doc is gaps-and-islands: each covered position
       contributes ``pos+k - max(pos, running_max(prev ends))`` — exact
-      merged-interval length with one window over the doc_id sort.
+      merged-interval length with one window over the doc_id sort;
+    - MULTIPLICITY COLLAPSE (adaptive, r8 — the same gate as x2/x13):
+      on a duplicate-saturated corpus the gram stream mines over
+      DISTINCT texts only.  Exact: a text with multiplicity >1 has
+      every gram verbatim in its own copies, so its docs are FULLY
+      covered by definition (dup_tokens = n_tokens when the doc has
+      grams at all); a unique text's gram is cross-doc-shared iff it
+      appears in another representative (another rep's copies are
+      still other docs, and its own rep has no other docs).  Found by
+      the sf10 dedup ladder: the direct path went linear-in-rows at
+      100x replication while x2/x48 stayed flat on their collapses.
     """
-    from pyspark.sql import Window as W
-
-    K = 8
     d = load(spark, sf, "documents")
-    base = d.select("doc_id", F.split("text", " ").alias("ws")).select(
+    ratio = _duplication_ratio(d, "text", (sf, "documents.text"))
+    base = _x47_base(d)
+    if ratio < _COLLAPSE_AT:
+        return _x47_finalize(base, _x47_per_doc(spark, base))
+    groups = _text_groups(d)
+    rep_base = _x47_base(
+        groups.select(F.col("rep").alias("doc_id"), "text")
+    )
+    per_rep = _x47_per_doc(spark, rep_base).withColumnRenamed("doc_id", "rep")
+    K = _X47_K
+    expanded = (
+        groups.join(per_rep, "rep", "left")
+        .select(
+            F.explode("members").alias("doc_id"),
+            F.size("members").alias("m"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+            F.col("dup_tokens").alias("rep_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.when(
+                F.col("m") > 1,
+                F.when(F.col("n_tokens") >= K, F.col("n_tokens")).otherwise(
+                    F.lit(0)
+                ),
+            )
+            .otherwise(F.coalesce("rep_dup", F.lit(0)))
+            .cast("bigint")
+            .alias("dup_tokens"),
+        )
+    )
+    frac = F.col("dup_tokens") * F.lit(1.0) / F.col("n_tokens")
+    return expanded.select(
+        "doc_id",
+        "n_tokens",
+        "dup_tokens",
+        F.round(frac, 6).alias("dup_frac"),
+        (frac < 0.5).alias("keep"),
+    )
+
+
+_X47_K = 8
+
+
+def _x47_base(d: DataFrame) -> DataFrame:
+    return d.select("doc_id", F.split("text", " ").alias("ws")).select(
         "doc_id", F.size("ws").cast("bigint").alias("n_tokens"), "ws"
     )
+
+
+def _x47_per_doc(spark, base: DataFrame) -> DataFrame:
+    """(doc_id, dup_tokens) over one corpus: shared-gram cover marking
+    + gaps-and-islands interval union (see x47 docstring for the plan
+    rationale; shared by the direct and collapsed paths)."""
+    from pyspark.sql import Window as W
+
+    K = _X47_K
     par = base.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     we = par.select(
         "doc_id", F.posexplode("ws").alias("pos", "w")
@@ -2912,6 +2974,10 @@ def x47_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("contrib").cast("bigint").alias("dup_tokens"))
     )
+    return per_doc
+
+
+def _x47_finalize(base: DataFrame, per_doc: DataFrame) -> DataFrame:
     frac = F.coalesce("dup_tokens", F.lit(0)) * F.lit(1.0) / F.col("n_tokens")
     return (
         base.select("doc_id", "n_tokens")

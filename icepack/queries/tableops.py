@@ -2379,3 +2379,38 @@ def ice59_partitioned_adopt(spark: SparkSession, sf: str) -> DataFrame:
     assert files and all(f.partition["o_orderstatus"] == "P" for f in files)
     assert rep["files_scanned"] < rep["files_total"]
     return t.toDF().filter(F.col("o_orderstatus") != "P")
+
+
+@query(
+    "ice60_auto_distributed_scan",
+    oracle=f"""
+    SELECT {_ORDER_COLS}
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 1000
+    """,
+)
+def ice60_auto_distributed_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """AUTO plan-mode (table.py::_use_distributed_planner): past the
+    manifest/file thresholds a scan plans DISTRIBUTED by default — the
+    pruning predicate evaluates in Spark over the manifests and the
+    driver collects O(selected), the 100 TB planning posture — with no
+    opt-in.  Thresholds are shrunk via table properties so the
+    fixture-sized table crosses them; the scan log must record the
+    distributed planner and the rows must hash-match the oracle
+    recomputing from the raw fixture (superset + full re-filter)."""
+    orders = load(spark, sf, "orders")
+    t = IceTable.create(
+        spark,
+        _scratch(),
+        orders.schema,
+        properties={"read.plan-mode.auto.manifest-threshold": "3"},
+    )
+    # several appends -> several manifests -> auto flips to distributed
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 0))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
+    t.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    out = t.toDF(
+        (col("o_orderstatus") == "O") & (col("o_totalprice") > 1000)
+    )
+    assert t._scan_log[-1].get("planner") == "distributed"
+    return out

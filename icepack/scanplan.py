@@ -80,22 +80,30 @@ ENTRY_SCHEMA = (
 def _typed(raw: Column, v):
     """(cast stat column, literal column) under the literal's type —
     mirrors expr._cmp_norm's normalization.  None → untranslatable
-    literal type: caller keeps the file."""
+    literal type: caller keeps the file.
+
+    Every cast is ``try_cast``: the documented semantics are "a failed
+    cast yields NULL, which coalesces to keep" — under Spark 4's
+    default ANSI mode a plain ``cast`` THROWS instead (found by ice60:
+    an int literal over a double column's "499978.59" stat string
+    failed the whole scan the moment auto plan-mode made distributed
+    planning the default on that table)."""
     if isinstance(v, bool):
-        return raw.cast("boolean"), F.lit(v)
+        return raw.try_cast("boolean"), F.lit(v)
     if isinstance(v, int):
         # exact 64-bit compare: casting to double loses precision past
         # 2^53, and hash-derived id columns exceed that routinely — a
         # rounded bound could prune a file the exact planner keeps.
         # Float-valued stats (e.g. "1.5" for a double column queried
-        # with an int literal) cast to NULL → coalesce keeps the file.
-        return raw.cast("long"), F.lit(v)
+        # with an int literal) try_cast to NULL → coalesce keeps the
+        # file.
+        return raw.try_cast("long"), F.lit(v)
     if isinstance(v, float):
-        return raw.cast("double"), F.lit(v)
+        return raw.try_cast("double"), F.lit(v)
     if isinstance(v, _dt.datetime):
-        return raw.cast("timestamp_ntz"), F.lit(v)
+        return raw.try_cast("timestamp_ntz"), F.lit(v)
     if isinstance(v, _dt.date):
-        return raw.cast("timestamp_ntz"), F.lit(
+        return raw.try_cast("timestamp_ntz"), F.lit(
             _dt.datetime(v.year, v.month, v.day)
         )
     if isinstance(v, str):
@@ -103,7 +111,7 @@ def _typed(raw: Column, v):
             ts = _dt.datetime.fromisoformat(v)
         except ValueError:
             return raw, F.lit(v)
-        return raw.cast("timestamp_ntz"), F.lit(ts)
+        return raw.try_cast("timestamp_ntz"), F.lit(ts)
     return None
 
 

@@ -120,3 +120,18 @@ def test_x48_collapsed_equals_direct_on_replicated_corpus(spark):
     direct = sorted(map(tuple, llm._x48_topk_direct(u).collect()))
     coll = sorted(map(tuple, llm._x48_topk_collapsed(u).collect()))
     assert direct == coll and len(direct) > 0
+
+
+def test_x47_collapse_equals_direct(spark, dup_sf, monkeypatch):
+    # substring dedup: collapsed path mines distinct texts only and
+    # marks multiplicity>1 docs fully covered — must equal the direct
+    # gram mining row-for-row, including docs shorter than the gram
+    # size (no grams -> dup_tokens 0 even when duplicated)
+    collapsed, direct = _both_paths(
+        monkeypatch, spark, dup_sf, llm.x47_substring_dedup
+    )
+    assert collapsed == direct
+    assert len(collapsed) > 0
+    # on the replicated fixture every gram-bearing doc is fully covered
+    full = [r for r in collapsed if r[1] >= 8]
+    assert full and all(r[2] == r[1] for r in full)

@@ -291,3 +291,15 @@ def test_dml_plans_distributed_past_thresholds(spark, tmp_path):
         key=lambda x: tuple(map(repr, x)),
     )
     assert got == want
+
+
+def test_distributed_planning_int_literal_over_double_stats(spark, tmp_path):
+    """Int literal over a double column: the stat strings ("1.5") must
+    try_cast to NULL (keep the file) — under Spark 4's default ANSI
+    mode a plain cast THROWS and failed the whole scan the moment auto
+    plan-mode made distributed planning a default (found by ice60)."""
+    t = _mk(spark, tmp_path / "t")
+    want = rows_sorted(t.toDF(col("v") > 3))
+    t.set_properties(**{"read.plan-mode": "distributed"})
+    assert rows_sorted(t.toDF(col("v") > 3)) == want  # v is double
+    assert t._scan_log[-1].get("planner") == "distributed"
