@@ -795,10 +795,15 @@ class _BatchWriter(DataSourceArrowWriter):
     partition source columns before writing or run compact() after —
     correctness and pruning are unaffected either way."""
 
-    def __init__(self, location: str, overwrite: bool, schema):
+    def __init__(self, location: str, overwrite: bool, schema, branch=None):
         self._location = location
         self._overwrite = overwrite
         self._schema = schema  # StructType, pickled to the driver-side commit
+        # write-audit-publish: .option("branch", "audit") lands the
+        # commit on that ref only (docs/05:150-158 — validate on the
+        # branch, then fast-forward main); overwrite stays main-only
+        # because replace semantics against a branch head are ambiguous
+        self._branch = branch
         self._parts, self._spec_id = _plan_partition_desc(location)
 
     def write(self, iterator) -> _WroteFiles:
@@ -852,10 +857,18 @@ class _BatchWriter(DataSourceArrowWriter):
                 )
             )
         if self._overwrite:
+            if self._branch:
+                raise ValueError(
+                    "mode('overwrite') with .option('branch', ...) is not "
+                    "supported: replace-everything against a branch head "
+                    "is ambiguous — append to the branch, or overwrite main"
+                )
             live = {f.path for f in t.live_files(content="all")}
             t._commit_snapshot("overwrite", entries, live)
         else:
-            t._commit_snapshot("append", entries)
+            if self._branch and self._branch not in t.meta.refs:
+                t.create_branch(self._branch)  # create-on-first-write
+            t._commit_snapshot("append", entries, branch=self._branch)
 
     def abort(self, messages) -> None:
         for m in messages or ():
@@ -1045,7 +1058,9 @@ class IcepackDataSource(DataSource):
         return _BatchReader(self._location())
 
     def writer(self, schema, overwrite: bool) -> _BatchWriter:
-        return _BatchWriter(self._location(), overwrite, schema)
+        return _BatchWriter(
+            self._location(), overwrite, schema, self.options.get("branch")
+        )
 
     def streamWriter(self, schema, overwrite: bool) -> _StreamWriter:
         import uuid as _uuid

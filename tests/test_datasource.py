@@ -774,3 +774,31 @@ def test_batch_writer_onto_spec_primary(spark, tmp_path):
     t.refresh()
     assert t.toDF().count() == 130
     assert read_iceberg(spark, loc).count() == 130
+
+
+def test_batch_writer_branch_option_wap(spark, tmp_path):
+    """Write-audit-publish through the idiomatic writer:
+    .option('branch', 'audit') lands the append on that ref only (main
+    unchanged until fast_forward); the branch is created on first
+    write; overwrite refuses the branch option."""
+    from icepack.datasource import register
+    from icepack.table import IceTable
+    from pyspark.sql import functions as F
+
+    register(spark)
+    loc = str(tmp_path / "wap")
+    df = spark.range(0, 100).withColumn("v", F.col("id") % 5)
+    df.write.format("icepack").option("location", loc).mode("append").save()
+    df.filter("id < 10").write.format("icepack").option("location", loc).option(
+        "branch", "audit"
+    ).mode("append").save()
+    t = IceTable.load(spark, loc)
+    assert t.toDF().count() == 100  # main untouched
+    assert t.toDF(snapshot=t.as_of(ref="audit")).count() == 110
+    # audited: publish
+    t.fast_forward("audit")
+    assert t.toDF().count() == 110
+    with pytest.raises(Exception, match="branch"):
+        df.write.format("icepack").option("location", loc).option(
+            "branch", "audit"
+        ).mode("overwrite").save()
