@@ -748,6 +748,66 @@ def _write_task_files(location: str, iterator, parts: list | None = None) -> _Wr
     return _WroteFiles(paths, cols, tups)
 
 
+import re as _re
+
+_PBY_RE = _re.compile(
+    r"^\s*(?:(year|month|day|hour)\s*\(\s*(\w+)\s*\)"
+    r"|(bucket|truncate)\s*\(\s*(\d+)\s*,\s*(\w+)\s*\)"
+    r"|(\w+))\s*$"
+)
+
+
+def _parse_partition_by(opt: str | None) -> list:
+    """``.option("partition-by", "day(ts), bucket(16, id), cat")`` →
+    ordered [(source column, transform)] pairs in IceTable.create's
+    spelling (SQL-transform syntax, the reference's PARTITION BY forms
+    from docs/07-partitioning.md; a bare name is identity)."""
+    if not opt:
+        return []
+    # terms split on top-level commas only — bucket(4, v) is one term
+    terms = _re.findall(r"\w+\s*\([^)]*\)|\w+", str(opt))
+    leftover = _re.sub(r"\w+\s*\([^)]*\)|\w+|[,\s]", "", str(opt))
+    if leftover:
+        raise ValueError(
+            f"cannot parse partition-by spec {opt!r} (unexpected {leftover!r})"
+        )
+    pairs = []
+    for part in terms:
+        m = _PBY_RE.match(part)
+        if not m:
+            raise ValueError(
+                f"cannot parse partition-by term {part.strip()!r}; expected "
+                "identity (col), year/month/day/hour(col), bucket(N, col) "
+                "or truncate(W, col)"
+            )
+        if m.group(1):
+            pairs.append((m.group(2), m.group(1)))
+        elif m.group(3):
+            pairs.append((m.group(5), f"{m.group(3)}[{m.group(4)}]"))
+        else:
+            pairs.append((m.group(6), "identity"))
+    return pairs
+
+
+def _desc_from_pairs(pairs: list, schema) -> list:
+    """Plan-time partition description from option pairs + the WRITE
+    schema (the create-on-first-write case: no table to read a spec
+    from).  Field naming mirrors table._spec_from so the created
+    table's manifests are indistinguishable from a pre-created one's."""
+    by_name = {f.name: f.dataType.simpleString() for f in schema.fields}
+    out = []
+    for src, transform in pairs:
+        if src not in by_name:
+            raise ValueError(
+                f"partition-by column {src!r} not in the written schema "
+                f"(have: {sorted(by_name)})"
+            )
+        kind = transform.split("[")[0]
+        name = src if transform == "identity" else f"{src}_{kind}"
+        out.append((name, transform, src, by_name[src]))
+    return out
+
+
 def _plan_partition_desc(location: str):
     """(partition description, spec id) captured when the writer is
     PLANNED; (None, None) when the table doesn't exist yet — the
@@ -795,7 +855,9 @@ class _BatchWriter(DataSourceArrowWriter):
     partition source columns before writing or run compact() after —
     correctness and pruning are unaffected either way."""
 
-    def __init__(self, location: str, overwrite: bool, schema, branch=None):
+    def __init__(
+        self, location: str, overwrite: bool, schema, branch=None, partition_by=None
+    ):
         self._location = location
         self._overwrite = overwrite
         self._schema = schema  # StructType, pickled to the driver-side commit
@@ -804,7 +866,24 @@ class _BatchWriter(DataSourceArrowWriter):
         # branch, then fast-forward main); overwrite stays main-only
         # because replace semantics against a branch head are ambiguous
         self._branch = branch
+        # .option("partition-by", "day(ts), bucket(16, id), cat"):
+        # create-on-first-write creates a PARTITIONED table.  The spec
+        # pairs resolve at plan time against the WRITE schema, so tasks
+        # materialize tuples on the very first write (spec id 0).
+        self._create_spec = _parse_partition_by(partition_by)
         self._parts, self._spec_id = _plan_partition_desc(location)
+        if self._create_spec:
+            want = _desc_from_pairs(self._create_spec, schema)
+            if self._spec_id is None:  # table missing: create partitioned
+                self._parts, self._spec_id = want, 0
+            elif [(n, tr, s) for n, tr, s, _ in want] != [
+                (n, tr, s) for n, tr, s, _ in (self._parts or [])
+            ]:
+                raise ValueError(
+                    "partition-by option does not match the existing table's "
+                    f"partition spec at {location}; drop the option (the "
+                    "spec is read from the table) or evolve the spec first"
+                )
 
     def write(self, iterator) -> _WroteFiles:
         return _write_task_files(self._location, iterator, self._parts)
@@ -821,7 +900,12 @@ class _BatchWriter(DataSourceArrowWriter):
             t = IceTable.load(spark, self._location)
         except FileNotFoundError:
             try:
-                t = IceTable.create(spark, self._location, self._schema)
+                t = IceTable.create(
+                    spark,
+                    self._location,
+                    self._schema,
+                    partition_by=self._create_spec or None,
+                )
             except FileExistsError:
                 # two first-writers raced the CREATE: the loser adopts
                 # the winner's table and appends into it (its own
@@ -1059,7 +1143,11 @@ class IcepackDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> _BatchWriter:
         return _BatchWriter(
-            self._location(), overwrite, schema, self.options.get("branch")
+            self._location(),
+            overwrite,
+            schema,
+            self.options.get("branch"),
+            self.options.get("partition-by"),
         )
 
     def streamWriter(self, schema, overwrite: bool) -> _StreamWriter:

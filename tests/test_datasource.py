@@ -802,3 +802,62 @@ def test_batch_writer_branch_option_wap(spark, tmp_path):
         df.write.format("icepack").option("location", loc).option(
             "branch", "audit"
         ).mode("overwrite").save()
+
+
+def test_batch_writer_partition_by_option_creates_partitioned(spark, tmp_path):
+    """.option('partition-by', 'day(ts), bucket(4, v)') on a
+    create-on-first-write: the table is CREATED partitioned and the
+    very first write's tasks materialize real tuples (spec id 0 —
+    manifests indistinguishable from a pre-created table's); a
+    mismatched option against an existing table refuses; unparseable
+    terms refuse."""
+    from icepack.datasource import register
+    from icepack.expr import col as ecol
+    from icepack.table import IceTable
+    from pyspark.sql import functions as F
+
+    register(spark)
+    df = spark.range(0, 120).select(
+        F.col("id"),
+        F.to_timestamp(
+            F.concat(
+                F.lit("2024-03-0"),
+                (F.col("id") % 3 + 1).cast("string"),
+                F.lit(" 09:00:00"),
+            )
+        ).alias("ts"),
+        (F.col("id") % 7).alias("v"),
+    )
+    loc = str(tmp_path / "pw")
+    df.write.format("icepack").option("location", loc).option(
+        "partition-by", "day(ts), bucket(4, v)"
+    ).mode("append").save()
+    t = IceTable.load(spark, loc)
+    assert [(f.name, f.transform) for f in t.meta.spec.fields] == [
+        ("ts_day", "day"), ("v_bucket", "bucket[4]"),
+    ]
+    assert all(
+        set(f.partition) == {"ts_day", "v_bucket"} for f in t.live_files()
+    )
+    files, rep = t.plan_files(ecol("ts") == __import__("datetime").datetime(2024, 3, 2, 9))
+    assert files and all(f.partition["ts_day"] == "2024-03-02" for f in files)
+    assert rep["files_scanned"] < rep["files_total"]
+    assert rows_sorted(
+        spark.read.format("icepack").load(loc)
+    ) == rows_sorted(df)
+    # second write: option matching the live spec is accepted
+    df.write.format("icepack").option("location", loc).option(
+        "partition-by", "day(ts), bucket(4, v)"
+    ).mode("append").save()
+    t.refresh()
+    assert t.toDF().count() == 240
+    # mismatched option refuses
+    with pytest.raises(Exception, match="does not match"):
+        df.write.format("icepack").option("location", loc).option(
+            "partition-by", "v"
+        ).mode("append").save()
+    # unparseable term refuses
+    with pytest.raises(Exception, match="cannot parse"):
+        df.write.format("icepack").option(
+            "location", str(tmp_path / "bad")
+        ).option("partition-by", "floor(ts)").mode("append").save()
