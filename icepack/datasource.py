@@ -1005,12 +1005,27 @@ class _StreamWriter(DataSourceStreamArrowWriter):
     them.  ``sink-id`` defaults per query; set it explicitly when
     several streaming queries append to the same table."""
 
-    def __init__(self, location: str, sink_id: str):
+    def __init__(self, location: str, sink_id: str, schema=None, partition_by=None):
         self._location = location
         self._sink_id = sink_id
-        # the stream's partition layout is FIXED at start, like its
-        # schema shape; tasks materialize tuples per micro-batch row
+        self._schema = schema  # StructType; create-on-first-batch shape
+        # create-on-first-batch spec (same .option("partition-by", ...)
+        # grammar as the batch writer); the stream's partition layout
+        # is FIXED at start, like its schema shape — tasks materialize
+        # tuples per micro-batch row
+        self._create_spec = _parse_partition_by(partition_by)
         self._parts, self._spec_id = _plan_partition_desc(location)
+        if self._create_spec and schema is not None:
+            want = _desc_from_pairs(self._create_spec, schema)
+            if self._spec_id is None:  # table missing: create on batch 0
+                self._parts, self._spec_id = want, 0
+            elif [(n, tr, s) for n, tr, s, _ in want] != [
+                (n, tr, s) for n, tr, s, _ in (self._parts or [])
+            ]:
+                raise ValueError(
+                    "partition-by option does not match the existing "
+                    f"table's partition spec at {location}"
+                )
 
     # -- executor side ------------------------------------------------------
 
@@ -1038,7 +1053,20 @@ class _StreamWriter(DataSourceStreamArrowWriter):
         from .table import IceTable
 
         spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
-        t = IceTable.load(spark, self._location)
+        try:
+            t = IceTable.load(spark, self._location)
+        except FileNotFoundError:
+            if self._schema is None:
+                raise
+            try:  # create-on-first-batch (same convenience as batch)
+                t = IceTable.create(
+                    spark,
+                    self._location,
+                    self._schema,
+                    partition_by=self._create_spec or None,
+                )
+            except FileExistsError:
+                t = IceTable.load(spark, self._location)
         if t.meta.spec.fields and not self._parts:
             raise ValueError(
                 "table was partitioned after this stream started; "
@@ -1156,7 +1184,9 @@ class IcepackDataSource(DataSource):
         if overwrite:
             raise ValueError("icepack streaming sink is append-only")
         sink_id = self.options.get("sink-id") or f"pyds-{_uuid.uuid4().hex[:12]}"
-        return _StreamWriter(self._location(), sink_id)
+        return _StreamWriter(
+            self._location(), sink_id, schema, self.options.get("partition-by")
+        )
 
 
 def register(spark) -> None:

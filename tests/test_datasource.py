@@ -861,3 +861,31 @@ def test_batch_writer_partition_by_option_creates_partitioned(spark, tmp_path):
         df.write.format("icepack").option(
             "location", str(tmp_path / "bad")
         ).option("partition-by", "floor(ts)").mode("append").save()
+
+
+def test_native_sink_create_on_first_batch_partitioned(ds, tmp_path):
+    """writeStream.format('icepack') onto a MISSING table with
+    .option('partition-by', ...): the sink creates the table at the
+    first micro-batch commit with the requested spec and real tuples."""
+    spark = ds
+    t, loc = _mk(spark, tmp_path)
+    dst = str(tmp_path / "newdst")
+    ck = str(tmp_path / "ck3")
+    q = (
+        spark.readStream.format("icepack")
+        .option("location", loc)
+        .load()
+        .writeStream.format("icepack")
+        .option("location", dst)
+        .option("partition-by", "bucket(2, id)")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    d = IceTable.load(spark, dst)
+    assert [(f.name, f.transform) for f in d.meta.spec.fields] == [
+        ("id_bucket", "bucket[2]")
+    ]
+    assert sorted(r.id for r in d.toDF().collect()) == [0, 1, 2, 3, 4, 5]
+    assert {f.partition.get("id_bucket") for f in d.live_files()} <= {0, 1}
