@@ -94,6 +94,7 @@ PRIORITY: list[str] = [
     "ice59_partitioned_adopt",
     "ice60_auto_distributed_scan",
     # code changing this round -- re-evidence
+    "x47_substring_dedup",
     "ice54_deletion_vectors",
     "ice57_batch_writer",
     "ice50_foreign_adopt",
