@@ -716,12 +716,22 @@ def _write_task_files(location: str, iterator, parts: list | None = None) -> _Wr
             # posture for a 1M-row ingest task); grouping keys are bare
             # value tuples, field names rejoin only per GROUP
             names = [name for name, _, _, _ in tfs]
-            val_cols = [
-                tr.batch_values(
-                    batch.column(batch.schema.get_field_index(src)), st
-                )
-                for _, tr, src, st in tfs
-            ]
+            val_cols = []
+            for _, tr, src, st in tfs:
+                i = batch.schema.get_field_index(src)
+                if i < 0:
+                    # get_field_index spells "missing" as -1, and
+                    # batch.column(-1) would silently hash the LAST
+                    # column into the partition tuple — e.g. a stream
+                    # still writing the pre-rename shape after the
+                    # partition source column was renamed
+                    raise ValueError(
+                        f"partition source column {src!r} missing from "
+                        f"the written batch (have {batch.schema.names}); "
+                        "the write shape must carry every partition "
+                        "source column"
+                    )
+                val_cols.append(tr.batch_values(batch.column(i), st))
             groups: dict = {}
             for i, tup in enumerate(zip(*val_cols)):
                 groups.setdefault(tup, []).append(i)
@@ -951,6 +961,12 @@ class _BatchWriter(DataSourceArrowWriter):
             t._commit_snapshot("overwrite", entries, live)
         else:
             if self._branch and self._branch not in t.meta.refs:
+                if t.meta.current_snapshot is None:
+                    # WAP as the table's very first write: branch refs
+                    # need a root snapshot — commit an empty one so
+                    # main exists (0 files) and the audit branch can
+                    # diverge from it
+                    t._commit_snapshot("append", [])
                 t.create_branch(self._branch)  # create-on-first-write
             t._commit_snapshot("append", entries, branch=self._branch)
 

@@ -889,3 +889,40 @@ def test_native_sink_create_on_first_batch_partitioned(ds, tmp_path):
     ]
     assert sorted(r.id for r in d.toDF().collect()) == [0, 1, 2, 3, 4, 5]
     assert {f.partition.get("id_bucket") for f in d.live_files()} <= {0, 1}
+
+
+def test_partitioned_task_writer_refuses_missing_source_column(tmp_path):
+    """pa.Schema.get_field_index spells missing as -1 and column(-1)
+    silently returns the LAST column — a renamed partition source must
+    refuse loudly, not hash the wrong column into the tuple."""
+    import pyarrow as pa
+
+    from icepack.datasource import _write_task_files
+
+    batch = pa.RecordBatch.from_pydict({"id": [1, 2], "v": [1.0, 2.0]})
+    with pytest.raises(ValueError, match="partition source column"):
+        _write_task_files(
+            str(tmp_path), iter([batch]), [("cat", "identity", "cat", "string")]
+        )
+
+
+def test_batch_writer_branch_as_first_write(spark, tmp_path):
+    """WAP from scratch: the audit write is the table's FIRST write —
+    the writer roots an empty main snapshot, branches, and lands the
+    data on the branch; main stays empty until fast_forward."""
+    from icepack.datasource import register
+    from icepack.table import IceTable
+    from pyspark.sql import functions as F
+
+    register(spark)
+    loc = str(tmp_path / "wap0")
+    df = spark.range(0, 20).withColumn("v", F.col("id") % 3)
+    IceTable.create(spark, loc, df.schema)
+    df.write.format("icepack").option("location", loc).option(
+        "branch", "audit"
+    ).mode("append").save()
+    t = IceTable.load(spark, loc)
+    assert t.toDF().count() == 0  # main: empty root only
+    assert t.toDF(snapshot=t.as_of(ref="audit")).count() == 20
+    t.fast_forward("audit")
+    assert t.toDF().count() == 20
