@@ -95,6 +95,7 @@ PRIORITY: list[str] = [
     "ice60_auto_distributed_scan",
     # code changing this round -- re-evidence
     "x47_substring_dedup",
+    "x56_containment_dedup",
     "ice54_deletion_vectors",
     "ice57_batch_writer",
     "ice50_foreign_adopt",

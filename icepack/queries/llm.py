@@ -3710,8 +3710,28 @@ def x56_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
     the reported containment never overstates).  The cap is mirrored
     in the oracle (QUALIFY count <= 64).  Output keys the CONTAINED
     doc (the drop candidate) with its container and the containment
-    fraction — a lower-bound fraction under the cap."""
+    fraction — a lower-bound fraction under the cap.
+
+    MULTIPLICITY COLLAPSE (adaptive, r8 — the x2/x47 gate): on a
+    duplicate-saturated corpus the shingle exchange runs over DISTINCT
+    texts, with the posting-list CAP applied to the multiplicity-
+    weighted total (Σ copies per shingle — exactly the raw posting
+    length), so capping decisions are bit-identical to the direct
+    path's.  Cross-text pairs expand to member pairs (same common
+    count and sizes); same-text pairs score kept_shingles / n_sh — the
+    capped-bucket membership count, NOT an assumed 1.0, because a text
+    whose shingles are all boilerplate-capped has zero support in the
+    direct path too.  The sf30 dedup-ladder rung (300x) motivated it:
+    the direct path is a linear 300x shingle scan that finds nothing
+    (every posting ≥ 300 > cap), the collapsed one exchanges 1x."""
     d = load(spark, sf, "documents").select("doc_id", "text")
+    ratio = _duplication_ratio(d, "text", (sf, "documents.text"))
+    if ratio < _COLLAPSE_AT:
+        return _x56_direct(spark, sf, d)
+    return _x56_collapsed(spark, sf, d)
+
+
+def _x56_direct(spark, sf, d) -> "DataFrame":
     ex = _shingle_rows(spark, sf, distinct=True, docs=d, hashed=True)
     packed = ex.select(
         "sh", (F.shiftleft(F.col("doc_id"), 25) + F.col("n_sh")).alias("dn")
@@ -3731,6 +3751,10 @@ def x56_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("p")
     )
     counts = pairs.groupBy("p.a", "p.b").agg(F.count("*").alias("common"))
+    return _x56_score(counts)
+
+
+def _x56_score(counts: "DataFrame") -> "DataFrame":
     n_a = F.col("a").bitwiseAND(F.lit(_PACK_MASK)).cast("double")
     n_b = F.col("b").bitwiseAND(F.lit(_PACK_MASK)).cast("double")
     mn = F.least(n_a, n_b)
@@ -3745,6 +3769,122 @@ def x56_containment_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.round(cont, 4).alias("containment"),
         )
     )
+
+
+def _x56_collapsed(spark, sf, d) -> "DataFrame":
+    groups = _text_groups(d)  # (rep, members, text)
+    reps = groups.select(
+        F.col("rep").alias("doc_id"), "text", F.size("members").alias("m")
+    )
+    ex = _shingle_rows(
+        spark, sf, distinct=True, docs=reps.select("doc_id", "text"), hashed=True
+    ).join(reps.select(F.col("doc_id"), "m"), "doc_id")
+    packed = ex.select(
+        "sh",
+        (F.shiftleft(F.col("doc_id"), 25) + F.col("n_sh")).alias("dn"),
+        "m",
+    )
+    # cap on the multiplicity-weighted total == the RAW posting length
+    buckets = (
+        packed.groupBy("sh")
+        .agg(
+            F.array_sort(F.collect_list("dn")).alias("ds"),
+            F.sum("m").alias("total"),
+        )
+        .filter((F.col("total") > 1) & (F.col("total") <= 64))
+    )
+    # cross-REP pair commons (distinct reps only; same-text handled below)
+    pairs = buckets.filter(F.size("ds") > 1).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ds) - 1),"
+                " i -> transform(slice(ds, i + 1, size(ds) - i),"
+                " y -> struct(ds[i-1] AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    counts = pairs.groupBy("p.a", "p.b").agg(F.count("*").alias("common"))
+    rep_pairs = _x56_score(counts)
+    # expand cross pairs: every member inherits its rep's size, so the
+    # contained/container assignment per member pair equals the direct
+    # path's (ties on size resolve to the smaller id, as the packed
+    # sort does)
+    mem = groups.select("rep", "members")
+    sizes = ex.select(
+        F.col("doc_id").alias("rep"), F.col("n_sh").alias("nsh")
+    ).distinct()
+    cr = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("contained_id"), F.col("members").alias("ma")),
+            "contained_id",
+        )
+        .join(
+            mem.select(F.col("rep").alias("container_id"), F.col("members").alias("mb")),
+            "container_id",
+        )
+        .join(
+            sizes.select(F.col("rep").alias("contained_id"), F.col("nsh").alias("n1")),
+            "contained_id",
+        )
+        .join(
+            sizes.select(F.col("rep").alias("container_id"), F.col("nsh").alias("n2")),
+            "container_id",
+        )
+        .select(F.explode("ma").alias("x"), "mb", "containment", "n1", "n2")
+        .select("x", F.explode("mb").alias("y"), "containment", "n1", "n2")
+        .select(
+            F.when(F.col("n1") < F.col("n2"), F.col("x"))
+            .when(F.col("n1") > F.col("n2"), F.col("y"))
+            .otherwise(F.least("x", "y"))
+            .alias("contained_id"),
+            F.when(F.col("n1") < F.col("n2"), F.col("y"))
+            .when(F.col("n1") > F.col("n2"), F.col("x"))
+            .otherwise(F.greatest("x", "y"))
+            .alias("container_id"),
+            "containment",
+        )
+    )
+    # same-text member pairs: common = the text's count of shingles in
+    # KEPT buckets (boilerplate-capped shingles support nothing, same
+    # as the direct path); containment = kept / n_sh
+    kept = (
+        buckets.select(F.explode("ds").alias("dn"))
+        .groupBy("dn")
+        .agg(F.count("*").alias("kept"))
+    )
+    wi = (
+        groups.filter(F.size("members") > 1)
+        .join(
+            packed.select("dn", F.shiftright(F.col("dn"), 25).alias("rep")).distinct(),
+            "rep",
+        )
+        .join(kept, "dn", "left")
+        .select(
+            "members",
+            (
+                F.coalesce("kept", F.lit(0)).cast("double")
+                / F.col("dn").bitwiseAND(F.lit(_PACK_MASK)).cast("double")
+            ).alias("containment"),
+            F.col("dn").bitwiseAND(F.lit(_PACK_MASK)).alias("nsh"),
+        )
+        .filter((F.col("nsh") >= 5) & (F.col("containment") >= 0.9))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(members) - 1),"
+                    " i -> transform(slice(members, i + 1, size(members) - i),"
+                    " y -> struct(members[i-1] AS x, y AS y))))"
+                )
+            ).alias("p"),
+            F.round("containment", 4).alias("containment"),
+        )
+        .select(
+            F.least("p.x", "p.y").alias("contained_id"),
+            F.greatest("p.x", "p.y").alias("container_id"),
+            "containment",
+        )
+    )
+    return cr.unionByName(wi)
 
 
 @query(

@@ -135,3 +135,13 @@ def test_x47_collapse_equals_direct(spark, dup_sf, monkeypatch):
     # on the replicated fixture every gram-bearing doc is fully covered
     full = [r for r in collapsed if r[1] >= 8]
     assert full and all(r[2] == r[1] for r in full)
+
+
+def test_x56_collapse_equals_direct(spark, dup_sf, monkeypatch):
+    # containment: the cap applies to the multiplicity-weighted total
+    # (== raw posting length), same-text pairs score kept/n_sh — both
+    # must make collapsed == direct row-for-row on the 3x fixture
+    collapsed, direct = _both_paths(
+        monkeypatch, spark, dup_sf, llm.x56_containment_dedup
+    )
+    assert collapsed == direct
