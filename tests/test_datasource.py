@@ -926,3 +926,37 @@ def test_batch_writer_branch_as_first_write(spark, tmp_path):
     assert t.toDF(snapshot=t.as_of(ref="audit")).count() == 20
     t.fast_forward("audit")
     assert t.toDF().count() == 20
+
+
+def test_compact_heals_writer_fanout(spark, tmp_path):
+    """compact() is the documented remedy for the DSv2 writer's
+    tasks x partitions fan-out — pin that it actually re-layouts
+    writer-written partitioned tables: fewer files, same rows, same
+    tuples, pruning intact."""
+    from icepack.datasource import register
+    from icepack.expr import col as ecol
+    from icepack.maintenance import compact
+    from icepack.table import IceTable
+    from pyspark.sql import functions as F
+
+    register(spark)
+    loc = str(tmp_path / "fan")
+    df = spark.range(0, 4000).select(
+        F.col("id"), (F.col("id") % 3).alias("g"), (F.col("id") * 1.5).alias("v")
+    ).repartition(8)  # un-clustered input: every task touches every g
+    df.write.format("icepack").option("location", loc).option(
+        "partition-by", "g"
+    ).mode("append").save()
+    t = IceTable.load(spark, loc)
+    before = len(t.live_files())
+    assert before > 3  # fan-out happened
+    want = rows_sorted(t.toDF())
+    compact(t)
+    t.refresh()
+    after = t.live_files()
+    assert len(after) < before
+    assert all(set(f.partition) == {"g"} for f in after)
+    assert rows_sorted(t.toDF()) == want
+    files, rep = t.plan_files(ecol("g") == 1)
+    assert files and all(f.partition["g"] == 1 for f in files)
+    assert rep["files_scanned"] < rep["files_total"]
