@@ -133,11 +133,28 @@ def _zvalue(df, cols: list[str], bits: int = 12):
     pure JVM-side expression tree — no UDF, stays inside whole-stage
     codegen.  Numeric / date / timestamp columns only (strings have no
     meaningful linear order for interleaving; pre-hash them to a
-    number first if needed)."""
+    number first if needed).  Temporal columns normalize through
+    unix_date/unix_micros — DATE has no direct DOUBLE cast (ANSI
+    refuses it; found by a doc-claim probe), and the epoch numbers
+    are monotone in the column, which is all interleaving needs."""
+    types = {f.name: f.dataType for f in df.schema.fields}
+
+    def _num(c: str):
+        from pyspark.sql import types as T
+
+        col, t = F.col(c), types.get(c)
+        if isinstance(t, T.DateType):
+            return F.unix_date(col).cast("double")
+        if isinstance(t, T.TimestampType):
+            return F.unix_micros(col).cast("double")
+        if isinstance(t, T.TimestampNTZType):
+            return F.unix_micros(col.cast("timestamp")).cast("double")
+        return col.cast("double")
+
     bits = min(bits, 62 // len(cols))
     aggs = []
     for c in cols:
-        d = F.col(c).cast("double")
+        d = _num(c)
         aggs += [F.min(d).alias(f"mn_{c}"), F.max(d).alias(f"mx_{c}")]
     row = df.agg(*aggs).first()
     k = len(cols)
@@ -146,7 +163,7 @@ def _zvalue(df, cols: list[str], bits: int = 12):
         mn, mx = row[f"mn_{c}"], row[f"mx_{c}"]
         span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
         scaled = F.floor(
-            (F.col(c).cast("double") - F.lit(mn or 0.0)) / F.lit(span) * ((1 << bits) - 1)
+            (_num(c) - F.lit(mn or 0.0)) / F.lit(span) * ((1 << bits) - 1)
         ).cast("long")
         scaled = F.coalesce(scaled, F.lit(0))
         for i in range(bits):
