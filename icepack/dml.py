@@ -37,6 +37,16 @@ from .metadata import Snapshot
 MERGE_PRUNE_MAX_KEYS = 100_000
 
 
+def _prune_profile(src: DataFrame, on: list[str]) -> DataFrame:
+    """The single-scan key-cardinality profile gating MERGE pruning:
+    one ``approx_count_distinct`` per equi-key in ONE aggregation —
+    a linear scan with map-side-merging HLL sketches, never the
+    Expand-based exact-distinct plan."""
+    return src.agg(
+        *[F.approx_count_distinct(k).alias(f"c{i}") for i, k in enumerate(on)]
+    )
+
+
 def _merge_prune_predicate(src: DataFrame, on: list[str]) -> Expr | None:
     """Target-file pruning predicate from the source's key values: a
     CONJUNCTION of per-column IN sets over every equi-join key whose
@@ -47,11 +57,16 @@ def _merge_prune_predicate(src: DataFrame, on: list[str]) -> Expr | None:
     sets is a SUPERSET of the actual key tuples, so pruning stays a
     pure subset optimization; null source keys never equality-match a
     target row, so dropping them from the sets (collect_set semantics)
-    is safe.  Driver transfer is bounded: one count-distinct pass
-    gates which keys are collected at all."""
-    counts = src.agg(
-        *[F.countDistinct(k).alias(f"c{i}") for i, k in enumerate(on)]
-    ).first()
+    is safe.  Driver transfer is bounded: one APPROX-distinct pass
+    gates which keys are collected at all — the cap is a heuristic, so
+    an exact count buys nothing, and multi-key exact countDistinct
+    plans an Expand (one duplicated scan lane per key) where HLL
+    sketches merge map-side in a single linear pass (r8 verdict nit;
+    plan pinned Expand-free by tests/test_merge.py).  The ±rsd error
+    only moves the cap edge: an overestimate loses pruning on that key
+    (correct, slower), an underestimate collects up to ~(1+rsd)·cap
+    values (driver holds ~105k scalars — fine)."""
+    counts = _prune_profile(src, on).first()
     keys = [
         k for i, k in enumerate(on) if (counts[f"c{i}"] or 0) <= MERGE_PRUNE_MAX_KEYS
     ]

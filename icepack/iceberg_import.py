@@ -659,11 +659,15 @@ def _adopt_mor(spark: SparkSession, table, md: dict, data: list, deletes: list) 
 
 def _is_dv_rec(rec: dict) -> bool:
     """True for an Iceberg v3 deletion-vector manifest entry: spelled
-    as delete content with ``file_format = PUFFIN`` and/or the DV
-    identity fields (referenced data file + blob offset/size)."""
+    as delete content with ``file_format = PUFFIN`` and/or a located
+    blob (``content_offset``).  ``referenced_data_file`` alone is NOT
+    sufficient: v2 file-scoped position-delete PARQUET files legally
+    populate it while content_offset/content_size stay null (newer
+    writers use it as a pruning hint) — those must route to the
+    parquet position-delete path, not the Puffin blob reader."""
     return (
         str(rec.get("file_format", "")).lower() == "puffin"
-        or rec.get("referenced_data_file") is not None
+        or rec.get("content_offset") is not None
     )
 
 

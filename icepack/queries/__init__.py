@@ -56,76 +56,69 @@ def load_all_modules() -> None:
 #: iteration order never depends on untracked files in the environment
 #: (same input -> same order, everywhere).
 #:
-#: Round-8 snapshot: the r7 driver run spent its 50-entry budget on the
-#: never-sampled r6/r7 additions and TPC-H completions (all green), so
-#: the oldest driver evidence now belongs to 23 queries last sampled in
-#: round 3 (VERDICT r7 item 1) — they go FIRST, followed by queries
-#: whose code paths change this round (DV kept-entry rebuild fix,
-#: partitioned DSv2 writer/add_files, distributed-plan default,
-#: composite-key MERGE pruning, MV refresh generation-GC), then the
-#: r04-evidenced cohort, then r05 heads as budget allows.
+#: Round-9 snapshot (VERDICT r8 item 3): the r8 driver run refreshed
+#: the r3-stale cohort plus the r8-changed code paths, so the oldest
+#: driver-side evidence now belongs to the 35 queries last sampled in
+#: round 4 — they go FIRST (the 50-entry budget covers all of them),
+#: followed by the queries whose code paths change THIS round
+#: (distributed-planner bucket-tuple pruning + In range-collapse,
+#: executor-side spec-primary Avro decode, one-pass MERGE key
+#: profiling, float/whitespace partition-value decode alignment,
+#: v2-file-scoped-pos-delete import routing).
 PRIORITY: list[str] = [
-    # r03-evidenced cohort (oldest driver evidence; judge re-verified
-    # locally in r5-r7 but the hard signal must rotate)
-    "a10_conditional_agg",
-    "a11_salted_agg",
-    "a13_skyline",
-    "a17_exact_median",
-    "a18_gapfill_lerp",
-    "a19_copurchase",
-    "a20_share_of_total",
-    "a3_approx_distinct",
-    "a4_tpch_q9",
-    "a4_tpch_q19",
-    "a5_scalar_subquery",
-    "a5_correlated_subquery",
-    "a6_rollup",
-    "a6_cube",
-    "a6_grouping_sets",
-    "a7_stat_aggs",
-    "a8_pivot",
-    "a9_listagg",
-    "ice32_rest_catalog",
-    "ice33_orc_ingest",
-    "j9_null_safe_join",
-    "w1_rank_family",
-    "w2_lag_gap",
-    # new in r8 -- never driver-sampled
-    "ice59_partitioned_adopt",
-    "ice60_auto_distributed_scan",
-    # code changing this round -- re-evidence
-    "x47_substring_dedup",
-    "x56_containment_dedup",
-    "ice54_deletion_vectors",
-    "ice57_batch_writer",
-    "ice50_foreign_adopt",
-    "ice47_iceberg_read",
-    "ice56_partition_stats",
-    "ice5_merge",
-    "ice27_scd2",
-    "ice58_materialized_view",
-    "ice7_hidden_partition_prune",
-    "p1_pruned_scan",
-    "ice40_stream_source",
-    # r04-evidenced cohort
-    "x45_domain_cap",
-    "x46_line_dedup_ratio",
-    "a1_groupby_count",
-    "a4_tpch_q1",
-    "a0_gold_daily",
-    "a4_tpch_q5",
-    "a4_tpch_q18",
-    "w1_topk_per_group",
-    "w3_running_sum",
-    "o1_global_sort",
-    "o2_top_n",
-    "o3_union_all",
-    "o4_intersect",
+    # r04-evidenced cohort (oldest driver evidence; local battery green
+    # every round since, but the hard signal must rotate)
     "f1_date_trunc",
     "f2_date_parts",
     "f3_date_arith",
     "f4_casts",
     "f5_strings",
+    "f6_bucket_mod",
+    "f8_explode_words",
+    "f9_math",
+    "f10_date_spine",
+    "f11_calendar",
+    "o4_intersect",
+    "o4_except",
+    "o6_unpivot",
+    "o7_nulls_ordering",
+    "o8_histogram",
+    "w3_range_frame",
+    "w4_ntile",
+    "w5_value_windows",
+    "a12_funnel",
+    "a15_sessionize_gap",
+    "j8_salted_join",
+    "ice1_create_append_read",
+    "ice2_time_travel",
+    "ice10_mor_delete",
+    "ice13_medallion",
+    "ice22_cdc_diff",
+    "ice31_mor_pipeline",
+    "ice34_scheduled_compaction",
+    "ice35_multi_stmt_txn",
+    "ice36_glue_catalog",
+    "ice37_memory_store",
+    "ice38_sql_pruned_select",
+    "ice39_distributed_plan",
+    "ice41_time_travel_prune",
+    "ice42_fsck",
+    # code changing this round -- re-evidence
+    "ice60_auto_distributed_scan",  # now bucket(8)-partitioned + tuple prune
+    "ice49_spec_primary",  # executor-side Avro manifest decode
+    "ice47_iceberg_read",
+    "ice48_spec_read_prune",
+    "ice43_iceberg_export",
+    "ice50_foreign_adopt",  # _is_dv_rec v2 file-scoped routing
+    "ice5_merge",  # one-pass approx key profile
+    "ice27_scd2",
+    "ice57_batch_writer",  # float/whitespace decode alignment
+    "ice59_partitioned_adopt",
+    "ice7_hidden_partition_prune",
+    "p1_pruned_scan",
+    "p3_time_range",
+    "ice54_deletion_vectors",
+    "ice40_stream_source",
 ]
 
 

@@ -2397,18 +2397,34 @@ def ice60_auto_distributed_scan(spark: SparkSession, sf: str) -> DataFrame:
     opt-in.  Thresholds are shrunk via table properties so the
     fixture-sized table crosses them; the scan log must record the
     distributed planner and the rows must hash-match the oracle
-    recomputing from the raw fixture (superset + full re-filter)."""
+    recomputing from the raw fixture (superset + full re-filter).
+
+    r9: the table is bucket(8)-partitioned on the filter key — the one
+    spec shape where min/max stats prune NOTHING (files in a bucket
+    span the full key range, docs/07-partitioning.md:51), so the
+    asserted files_scanned < files_total proves the distributed
+    planner's phase-1 partition-TUPLE pruning (scanplan.py
+    partition_match_column), not just the stats phase."""
     orders = load(spark, sf, "orders")
     t = IceTable.create(
         spark,
         _scratch(),
         orders.schema,
+        partition_by=[("o_custkey", "bucket[8]")],
         properties={"read.plan-mode.auto.manifest-threshold": "3"},
     )
     # several appends -> several manifests -> auto flips to distributed
     t.append(orders.filter(F.col("o_orderkey") % 3 == 0))
     t.append(orders.filter(F.col("o_orderkey") % 3 == 1))
     t.append(orders.filter(F.col("o_orderkey") % 3 == 2))
+    some_key = orders.select("o_custkey").first()[0]
+    probe = t.toDF(col("o_custkey") == some_key)
+    rep = t._scan_log[-1]
+    assert rep.get("planner") == "distributed"
+    assert probe.count() >= 1
+    # bucket-tuple pruning: an equality on the bucketed key scans only
+    # matching-bucket files (min/max stats cannot prune a bucket spec)
+    assert rep["files_scanned"] < len(t.live_files())
     out = t.toDF(
         (col("o_orderstatus") == "O") & (col("o_totalprice") > 1000)
     )

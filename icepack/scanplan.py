@@ -15,11 +15,16 @@ the SURVIVING entries — O(selected), not O(table).
 Semantics contract (pinned by tests/test_scanplan.py):
 
 - The distributed selection is a SUPERSET of the driver-side one —
-  translation differences may only ever lose pruning, never rows.  The
-  one deliberate superset source: phase-1 partition-tuple pruning under
-  non-identity transforms (bucket/truncate/day) is skipped here (the
-  column min/max stats phase subsumes the monotone-transform cases);
-  identity-partition values travel in file stats anyway.
+  translation differences may only ever lose pruning, never rows.
+  Phase-1 partition-tuple pruning runs here too (r9): the predicate is
+  projected per spec exactly like the driver planner
+  (``expr.project_to_partition`` — bucket literals hashed ONCE
+  driver-side, the per-entry comparison distributes), then evaluated
+  against each entry's ``partition`` map in Spark.  This matters most
+  for bucket(N) specs, where min/max stats prune nothing (files in one
+  bucket span the full source range — docs/07-partitioning.md:51,
+  docs/09-query-performance.md:19-31) and the tuple check is the
+  PRIMARY pruning dimension.
 - Stat values live in JSON as their writer types; they are read as
   strings and cast according to the LITERAL's Python type — the same
   normalization `expr._cmp_norm` applies (ISO strings compare as
@@ -115,6 +120,30 @@ def _typed(raw: Column, v):
     return None
 
 
+#: max In-list literals expanded into a per-value OR chain.  Each
+#: equality expands to ~15 Column nodes; a MERGE's prune predicate can
+#: carry up to MERGE_PRUNE_MAX_KEYS (100k) literals per key, which as
+#: an OR chain would be a multi-million-node Catalyst expression (driver
+#: OOM / analysis stall).  Above the cap the In collapses to a min/max
+#: RANGE check — a superset of the per-value test (every v lies inside
+#: [min, max]), so pruning only ever loses precision, never rows.
+IN_EXPAND_MAX = 64
+
+
+def _in_range_bounds(values):
+    """(lo, hi) for the range collapse of a large In, or None when the
+    values are unordered (mixed types) or contain None — caller keeps
+    the file (no pruning), mirroring the driver evaluator's keep-on-
+    unknown posture."""
+    vals = list(values)
+    if not vals or any(v is None for v in vals):
+        return None
+    try:
+        return min(vals), max(vals)
+    except TypeError:
+        return None
+
+
 def may_match_column(e: Expr, stats: Column, rc: Column) -> Column:
     """Translate ``Expr.may_match_file`` into a Spark Column over one
     manifest-entry row (``stats`` map + ``record-count``)."""
@@ -123,6 +152,13 @@ def may_match_column(e: Expr, stats: Column, rc: Column) -> Column:
     if isinstance(e, Or):
         return may_match_column(e.left, stats, rc) | may_match_column(e.right, stats, rc)
     if isinstance(e, In):
+        if len(e.values) > IN_EXPAND_MAX:
+            b = _in_range_bounds(e.values)
+            if b is None:
+                return F.lit(True)
+            return may_match_column(
+                Cmp(e.name, ">=", b[0]), stats, rc
+            ) & may_match_column(Cmp(e.name, "<=", b[1]), stats, rc)
         out = F.lit(False)
         for v in e.values:
             out = out | may_match_column(Cmp(e.name, "=", v), stats, rc)
@@ -163,6 +199,80 @@ def may_match_column(e: Expr, stats: Column, rc: Column) -> Column:
     return F.lit(True)  # AlwaysTrue / unknown node: keep
 
 
+def partition_match_column(e: Expr, part: Column) -> Column:
+    """Translate a PROJECTED predicate (``expr.project_to_partition``
+    output: Cmp/In/And/Or over partition-field names, literals already
+    transformed) into a Spark Column over one entry's ``partition``
+    map — the distributed twin of ``expr.partition_tuple_matches``,
+    which treats each tuple value as min == max with zero nulls.
+
+    Same keep-on-unknown posture as the stats translation: a missing
+    key, a null value, or a failed cast coalesces to keep."""
+    if isinstance(e, And):
+        return partition_match_column(e.left, part) & partition_match_column(
+            e.right, part
+        )
+    if isinstance(e, Or):
+        return partition_match_column(e.left, part) | partition_match_column(
+            e.right, part
+        )
+    if isinstance(e, In):
+        if len(e.values) > IN_EXPAND_MAX:
+            b = _in_range_bounds(e.values)
+            if b is None:
+                return F.lit(True)
+            return partition_match_column(
+                Cmp(e.name, ">=", b[0]), part
+            ) & partition_match_column(Cmp(e.name, "<=", b[1]), part)
+        out = F.lit(False)
+        for v in e.values:
+            out = out | partition_match_column(Cmp(e.name, "=", v), part)
+        return out
+    if isinstance(e, Cmp):
+        typed = _typed(F.element_at(part, e.name), e.value)
+        if typed is None or e.op not in ("<", "<=", ">", ">=", "=", "!="):
+            return F.lit(True)
+        pv, v = typed
+        if e.op == "<":
+            core = pv < v
+        elif e.op == "<=":
+            core = pv <= v
+        elif e.op == ">":
+            core = pv > v
+        elif e.op == ">=":
+            core = pv >= v
+        elif e.op == "=":
+            core = pv == v
+        else:  # "!=": tuple value is both min and max, nulls == 0
+            core = pv != v
+        return F.coalesce(core, F.lit(True))
+    return F.lit(True)  # AlwaysTrue / unprojected node: keep
+
+
+def _partition_prune_column(table, snap, predicate: Expr) -> Column | None:
+    """Phase-1 tuple-prune condition over the entry DataFrame, or None
+    when no spec projects anything useful.  Each entry is judged under
+    the spec it was written with (partition evolution T4); unknown
+    spec ids and empty tuples keep the entry."""
+    schema = table.meta.schema_by_id(snap.schema_id)
+    part = F.col("partition")
+    cond = None
+    for sp in table.meta.partition_specs:
+        if not sp.fields:
+            continue
+        pexpr = project_to_partition(predicate, sp, schema, table.spark)
+        if isinstance(pexpr, AlwaysTrue):
+            continue
+        guarded = F.when(
+            part.isNull() | (F.size(part) == 0), F.lit(True)
+        ).otherwise(F.coalesce(partition_match_column(pexpr, part), F.lit(True)))
+        prev = F.lit(True) if cond is None else cond
+        cond = F.when(
+            F.col("`spec-id`").eqNullSafe(F.lit(sp.spec_id)), guarded
+        ).otherwise(prev)
+    return cond
+
+
 def _entries_df(table, snap, predicate: Expr | None = None) -> DataFrame:
     store = table.store
     descs = table._read_mlist(snap.manifest_list)
@@ -188,11 +298,47 @@ def _entries_df(table, snap, predicate: Expr | None = None) -> DataFrame:
     if not paths:  # every manifest skipped by phase 0
         return table.spark.createDataFrame([], ENTRY_SCHEMA)
     if any(n.endswith(".avro") for n in names):
-        # spec-primary manifests are Avro: decode driver-side into the
-        # native entry JSON and distribute that (entries, not files —
-        # the pruning evaluation itself still runs in Spark).  Offline
-        # maximum: spark-avro is an external package; a deployment with
-        # it would spark-read the manifests directly.
+        if isinstance(store, LocalStore):
+            # spec-primary manifests are Avro: ship the manifest PATHS
+            # to executors and decode each with the pure-Python avroenc
+            # reader inside mapInPandas, so a 100 TB
+            # ``format.spec-primary=true`` table keeps O(selected)
+            # driver work — the driver never touches an entry that
+            # doesn't survive pruning.  (spark-avro would let Spark
+            # read the manifests natively; it is an external package
+            # absent in this offline environment, and the pure-Python
+            # decode is one pass over KB-scale metadata per manifest.)
+            meta_json = table.meta.to_json()
+            mdir = table._mdir
+
+            def _decode(batches):
+                import pandas as pd
+
+                # absolute imports: this closure runs in Python workers
+                from icepack.metadata import TableMetadata
+                from icepack.specio import read_spec_manifest
+                from icepack.storage import LocalStore as _LS
+
+                meta = TableMetadata.from_json(meta_json)
+                st = _LS()
+                for pdf in batches:
+                    out = [
+                        json.dumps(e.to_json())
+                        for name in pdf["name"]
+                        for e in read_spec_manifest(mdir, name, st, meta)
+                    ]
+                    yield pd.DataFrame({"line": out})
+
+            names_df = table.spark.createDataFrame(
+                [(n,) for n in names], "name string"
+            ).repartition(min(len(names), 64))
+            lines_df = names_df.mapInPandas(_decode, "line string")
+            return lines_df.select(
+                F.from_json("line", ENTRY_SCHEMA).alias("e")
+            ).select("e.*")
+        # non-POSIX store: decode driver-side into the native entry
+        # JSON and distribute that (entries, not files — the pruning
+        # evaluation itself still runs in Spark)
         lines = [
             json.dumps(e.to_json())
             for n in names
@@ -229,6 +375,13 @@ def plan_entries_distributed(
     live = _entries_df(table, snap, predicate).filter(F.col("status") != "deleted")
     datas = live.filter(F.col("content") == "data")
     if predicate is not None and not isinstance(predicate, AlwaysTrue):
+        # phase 1: partition-tuple check per entry — the only pruning
+        # dimension for bucket(N) specs, whose min/max stats span the
+        # full source range
+        pcond = _partition_prune_column(table, snap, predicate)
+        if pcond is not None:
+            datas = datas.filter(pcond)
+        # phase 2: per-file column stats check
         datas = datas.filter(
             may_match_column(predicate, F.col("stats"), F.col("record-count"))
         )

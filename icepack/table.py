@@ -946,8 +946,22 @@ class IceTable:
             files, _dels = plan_entries_distributed(self, predicate, snap)
             totals = {"files": 0, "bytes": 0}
             for m in self._read_mlist(snap.manifest_list):
-                totals["files"] += m.get("live-files", 0) or 0
-                totals["bytes"] += m.get("live-bytes", 0) or 0
+                lf = m.get("live-files")
+                if lf is None:  # spec-format (Iceberg avro) spellings
+                    lf = (
+                        m.get("added-files-count")
+                        or m.get("added_files_count")
+                        or 0
+                    ) + (
+                        m.get("existing-files-count")
+                        or m.get("existing_files_count")
+                        or 0
+                    )
+                totals["files"] += lf or 0
+                lb = m.get("live-bytes")
+                if lb is None:
+                    lb = m.get("total-size-bytes") or m.get("total_size_bytes")
+                totals["bytes"] += lb or 0
             return files, {
                 "planner": "distributed",
                 "files_scanned": len(files),
@@ -2249,10 +2263,15 @@ class IceTable:
 
 
 def _decode_part(v: str):
-    """Directory partition values arrive as strings; keep ints as ints."""
+    """Directory partition values arrive as strings; keep ints as ints
+    and finite floats as floats.  MUST stay value-for-value identical
+    to transforms._decode_like (the DSv2 task writer's decode) or the
+    same logical partition splits into two tuples depending on which
+    writer produced it — e.g. Spark spells 1e-7 as "1.0E-7" in a
+    directory key while Python str() spells "1e-07"; both now decode
+    to the float."""
     if v == "__HIVE_DEFAULT_PARTITION__":
         return None
-    try:
-        return int(v)
-    except ValueError:
-        return v
+    from .transforms import _decode_like
+
+    return _decode_like(v)

@@ -374,21 +374,33 @@ def _dir_value(v) -> str:
 
 def _decode_like(s: str):
     """Mirror table._decode_part: directory values that parse as ints
-    ARE ints in the manifest — both write paths must agree or the same
-    partition splits into two tuples ("12" vs 12) and pruning misses.
+    ARE ints in the manifest, and finite float spellings ARE floats —
+    both write paths must agree or the same partition splits into two
+    tuples ("12" vs 12, Python's "1e-07" vs Spark's "1.0E-7") and
+    pruning misses.  Decode parity with _decode_part is pinned by
+    tests/test_transforms.py.
 
-    The first-character guard skips the int() attempt for obviously
+    The first-character guard skips the parse attempts for obviously
     non-numeric strings: a thrown ValueError costs ~1.5 µs, and on a
     1M-row identity-partitioned write the exception path alone was
-    1.6 s/task (measured).  The guard over-approximates int's accepted
-    prefixes (sign/space/digit), so anything it skips would have
-    thrown anyway."""
-    if not s or s[0] not in "-+0123456789 \t":
+    1.6 s/task (measured).  ``isspace`` matches int()/float()'s
+    accepted leading whitespace (including "\\n", which the old
+    " \\t"-only guard wrongly kept as a string while _decode_part
+    parsed it); anything the guard skips would have thrown anyway
+    ("nan"/"inf" included — non-finite spellings stay strings)."""
+    if not s or (s[0] not in "-+.0123456789" and not s[0].isspace()):
         return s
     try:
         return int(s)
     except (TypeError, ValueError):
+        pass
+    try:
+        f = float(s)
+    except (TypeError, ValueError, OverflowError):
         return s
+    # non-finite floats keep their string spelling (NaN breaks tuple
+    # equality; inf round-trips ambiguously across engines)
+    return f if f - f == 0 else s
 
 
 def parse(name: str) -> Transform:

@@ -758,3 +758,29 @@ def test_merge_composite_key_prunes_on_selective_key(spark, tmp_path):
     )
     got = {r.k: r.v for r in t.toDF().collect()}
     assert got[7] == -7.0 and len(got) == 41
+
+
+def test_merge_prune_profile_is_single_linear_scan(spark):
+    """The key-cardinality profile gating MERGE pruning must be ONE
+    linear aggregation: per-key approx_count_distinct (HLL sketches,
+    map-side merge), never the Expand-based exact countDistinct plan
+    that duplicates the source scan once per key (r8 verdict nit: an
+    extra exact pass per MERGE bought nothing — the cap is a
+    heuristic)."""
+    from icepack.dml import _merge_prune_predicate, _prune_profile
+
+    src = spark.createDataFrame(
+        [(i % 3, i, float(i)) for i in range(50)], "a int, b int, v double"
+    )
+    prof = _prune_profile(src, ["a", "b"])
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "approx_count_distinct" in plan
+    assert "Expand" not in plan, "profile plans an Expand (exact distinct)"
+    # and the predicate built on top of it is the same conjunction shape
+    pred = _merge_prune_predicate(src, ["a", "b"])
+    stats_hit = {"a": {"min": 0, "max": 2, "nulls": 0},
+                 "b": {"min": 0, "max": 49, "nulls": 0}}
+    stats_miss = {"a": {"min": 0, "max": 2, "nulls": 0},
+                  "b": {"min": 100, "max": 200, "nulls": 0}}
+    assert pred.may_match_file(stats_hit, 10)
+    assert not pred.may_match_file(stats_miss, 10)

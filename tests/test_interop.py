@@ -481,3 +481,31 @@ def test_add_files_partitioned_hive_tree(spark, tmp_path):
     )
     t3.add_files(sorted(g.glob(f"{tree2}/**/*.parquet", recursive=True)))
     assert {f.partition["ts_day"] for f in t3.live_files()} == {"2024-03-01"}
+
+
+def test_is_dv_rec_v2_file_scoped_pos_delete_not_dv():
+    """Iceberg v2 file-scoped position-delete PARQUET entries legally
+    (and in newer writers, commonly) populate referenced_data_file as a
+    pruning hint while content_offset/content_size stay null.  Those
+    must route to the parquet position-delete path — only PUFFIN format
+    or a located blob (content_offset) marks a v3 deletion vector."""
+    from icepack.iceberg_import import _is_dv_rec
+
+    v2_file_scoped = {
+        "file_path": "/w/d/pd-0.parquet",
+        "file_format": "PARQUET",
+        "content": 1,
+        "referenced_data_file": "/w/d/data-0.parquet",
+        "content_offset": None,
+        "content_size_in_bytes": None,
+    }
+    assert not _is_dv_rec(v2_file_scoped)
+    v3_dv = dict(v2_file_scoped, file_format="PUFFIN",
+                 content_offset=4, content_size_in_bytes=33)
+    assert _is_dv_rec(v3_dv)
+    # puffin spelling alone is decisive too (offset fields may arrive
+    # via a reader that nulls absent optionals)
+    assert _is_dv_rec(dict(v2_file_scoped, file_format="puffin"))
+    # located blob without the format spelling: still a DV
+    assert _is_dv_rec(dict(v2_file_scoped, content_offset=0,
+                           content_size_in_bytes=10))

@@ -303,3 +303,168 @@ def test_distributed_planning_int_literal_over_double_stats(spark, tmp_path):
     t.set_properties(**{"read.plan-mode": "distributed"})
     assert rows_sorted(t.toDF(col("v") > 3)) == want  # v is double
     assert t._scan_log[-1].get("planner") == "distributed"
+
+
+def test_bucket_tuple_pruning_distributed(spark, tmp_path):
+    """r9: the distributed planner runs phase-1 partition-TUPLE pruning
+    too.  On a bucket(16) spec an equality predicate on the bucketed
+    key is unprunable by min/max stats whenever a file's value range
+    covers the literal (files in one bucket span the full source
+    range) — the tuple check is the PRIMARY pruning dimension
+    (docs/07-partitioning.md:51, docs/09-query-performance.md:19-31).
+    Data is appended in strided batches so every bucket file has wide
+    min/max; the distributed selection must MATCH the driver planner's
+    (tuple + stats), not merely the stats-only superset, while auto
+    plan-mode picks the distributed planner."""
+    rows = [Row(id=i, v=float(i)) for i in range(64)]
+    df = spark.createDataFrame(rows)
+    t = IceTable.create(
+        spark,
+        str(tmp_path / "b"),
+        df.schema,
+        partition_by=[("id", "bucket[16]")],
+        properties={"read.plan-mode.auto.manifest-threshold": "2"},
+    )
+    # strided appends: each bucket's file covers ids across 0..63,
+    # defeating min/max pruning for any single-id equality
+    for k in range(4):
+        t.append(df.filter(f"id % 4 = {k}"))
+    total = len(t.live_files())
+    pruned = False
+    for probe in (0, 7, 13, 42, 63):
+        pred = col("id") == probe
+        dist, _dels = plan_entries_distributed(t, pred)
+        exact, rep = t.plan_files(pred)
+        assert rep.get("planner") == "distributed"  # auto flipped
+        # driver-mode twin: tuple+stats walk
+        t.set_properties(**{"read.plan-mode": "driver"})
+        drv, drep = t.plan_files(pred)
+        t.set_properties(**{"read.plan-mode": "auto"})
+        assert drep.get("planner") != "distributed"
+        assert {f.path for f in dist} == {f.path for f in drv}, (
+            f"bucket-tuple pruning diverged from driver planner for id={probe}"
+        )
+        if len(dist) < total:
+            pruned = True
+        got = {r.id for r in read_distributed(t, pred).collect()}
+        assert got == {probe}
+    assert pruned, "bucket spec never pruned a file"
+
+
+def test_partition_match_column_superset_random(spark):
+    """Random PROJECTED predicates over random partition tuples: the
+    Spark tuple translation (partition_match_column) may only ever
+    LOSE pruning relative to expr.partition_tuple_matches — never drop
+    an entry the Python evaluator keeps."""
+    import json as _json
+    import random
+
+    from icepack.expr import And, Cmp, In, Or, partition_tuple_matches
+    from icepack.scanplan import ENTRY_SCHEMA, partition_match_column
+
+    rnd = random.Random(11)
+
+    def rand_pred(depth=0):
+        r = rnd.random()
+        if depth < 2 and r < 0.3:
+            node = And if r < 0.15 else Or
+            return node(rand_pred(depth + 1), rand_pred(depth + 1))
+        if rnd.random() < 0.3:
+            return In("p", [rnd.randint(0, 8) for _ in range(rnd.randint(1, 3))])
+        return Cmp("p", rnd.choice(["<", "<=", ">", ">=", "=", "!="]), rnd.randint(0, 8))
+
+    def rand_entry(i):
+        part = {}
+        if rnd.random() < 0.8:
+            part["p"] = rnd.choice([rnd.randint(0, 8), None, f"s{rnd.randint(0,3)}"])
+        if rnd.random() < 0.3:
+            part["q"] = rnd.randint(0, 3)
+        return {
+            "path": f"f{i}", "status": "added", "spec-id": 0, "schema-id": 0,
+            "record-count": 3, "file-size-bytes": 1, "sequence-number": 1,
+            "content": "data", "equality-columns": [], "partition": part,
+            "stats": {},
+        }
+
+    for trial in range(12):
+        pred = rand_pred()
+        entries = [rand_entry(i) for i in range(40)]
+        df = spark.read.json(
+            spark.sparkContext.parallelize([_json.dumps(e) for e in entries]),
+            schema=ENTRY_SCHEMA,
+        )
+        guarded = F.coalesce(
+            partition_match_column(pred, F.col("partition")), F.lit(True)
+        )
+        kept_spark = {r.path for r in df.filter(guarded).collect()}
+        kept_py = {
+            e["path"]
+            for e in entries
+            if not e["partition"] or partition_tuple_matches(pred, e["partition"])
+        }
+        assert kept_py <= kept_spark, (
+            f"trial {trial}: python kept {sorted(kept_py - kept_spark)} "
+            f"that spark dropped for {pred}"
+        )
+
+
+def test_large_in_collapses_to_range(spark, tmp_path):
+    """An In past IN_EXPAND_MAX literals (a MERGE prune predicate can
+    carry 100k per key) must not expand into a per-value OR chain —
+    that builds a multi-million-node Catalyst expression (driver OOM /
+    analysis stall).  It collapses to a min/max RANGE check: the
+    translated expression stays small, still prunes below-range files,
+    and rows are identical."""
+    from icepack.expr import In
+    from icepack.scanplan import IN_EXPAND_MAX, may_match_column
+
+    t = _mk(spark, tmp_path / "t")
+    values = list(range(9, 9 + IN_EXPAND_MAX * 5))
+    expr_str = str(
+        may_match_column(In("id", values), F.col("stats"), F.col("record-count"))
+    )
+    # collapsed: two range comparisons (~hundreds of chars), not
+    # IN_EXPAND_MAX*5 equality subtrees (~100 chars each)
+    assert len(expr_str) < 5_000
+    pred = col("id").isin(*values)
+    dist, _ = plan_entries_distributed(t, pred)
+    drv, _ = t.plan_files(pred)
+    total = len(t.live_files())
+    assert {f.path for f in drv} <= {f.path for f in dist}
+    assert len(dist) < total  # range [9, ...] prunes the low files
+    assert rows_sorted(read_distributed(t, pred)) == rows_sorted(t.toDF(pred))
+
+
+def test_spec_primary_distributed_decode_stays_off_driver(spark, tmp_path, monkeypatch):
+    """format.spec-primary=true: distributed planning must decode the
+    Avro manifests EXECUTOR-side (mapInPandas over manifest paths with
+    the pure-Python avroenc reader) — a 100 TB spec-primary table must
+    not pay O(entries) driver work in exactly the mode built to avoid
+    it.  Pinned by counting driver-side manifest decodes: zero during
+    plan_entries_distributed; rows identical to the driver planner."""
+    rows = [Row(id=i, cat="ab"[i % 2], v=float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    t = IceTable.create(
+        spark,
+        str(tmp_path / "sp"),
+        df.schema,
+        properties={"format.spec-primary": "true"},
+    )
+    t.append(df.filter("id < 5"))
+    t.append(df.filter("id >= 5"))
+    want = rows_sorted(t.toDF(col("id") >= 4))
+
+    calls = []
+    orig = IceTable._read_mentries
+
+    def counting(self, name):
+        calls.append(name)
+        return orig(self, name)
+
+    monkeypatch.setattr(IceTable, "_read_mentries", counting)
+    files, dels = plan_entries_distributed(t, col("id") >= 4)
+    assert calls == [], "spec-primary manifests decoded driver-side"
+    monkeypatch.setattr(IceTable, "_read_mentries", orig)
+    assert rows_sorted(read_distributed(t, col("id") >= 4)) == want
+    drv, _ = t.plan_files(col("id") >= 4)
+    assert {f.path for f in drv} <= {f.path for f in files}

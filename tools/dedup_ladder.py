@@ -63,6 +63,57 @@ def build(spark, out: str, replicas: int) -> None:
         u.write.parquet(dst)
 
 
+def build_unique(spark, out: str, replicas: int) -> None:
+    """Unique-heavy twin of :func:`build` at EQUAL row counts (r8
+    verdict item 7): replication is the duplicate-saturated worst case
+    and exercises the adaptive COLLAPSE paths of x2/x47/x56 — the
+    direct (non-collapsed) paths need the same asymptote check on a
+    corpus where rows grow K× but near-duplicate structure does NOT.
+
+    Each replica rewrites every word with a per-replica suffix (all
+    shingles/grams become replica-local → no cross-replica posting
+    growth) and rotates each embedding by a deterministic per-replica,
+    per-dimension perturbation (directions diverge → no new cosine
+    near-dups; plain scaling would preserve cosine and re-create
+    duplicates)."""
+    for name, keys in KEYS.items():
+        dst = f"{out}/{name}.parquet"
+        if os.path.exists(dst):
+            continue
+        df = load(spark, BASE, name)
+        parts = []
+        for i in range(replicas):
+            p = df
+            for k in keys:
+                p = p.withColumn(
+                    k, (F.col(k) + F.lit(i * KEY_OFFSET)).cast(dict(df.dtypes)[k])
+                )
+            if i > 0:
+                if name == "documents":
+                    p = p.withColumn(
+                        "text", F.regexp_replace("text", r"(\w+)", rf"$1q{i}")
+                    )
+                else:
+                    p = p.withColumn(
+                        "embedding",
+                        F.transform(
+                            "embedding",
+                            lambda v, j: (
+                                v
+                                + F.sin(
+                                    F.col("vec_id") * (j + F.lit(1))
+                                    + F.lit(float(i))
+                                ).cast("float")
+                            ).cast("float"),
+                        ),
+                    )
+            parts.append(p)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.parquet(dst)
+
+
 def run_rung(spark, qs, sf_dir: str) -> dict:
     out = {}
     for name in QUERIES:
@@ -77,21 +128,24 @@ def run_rung(spark, qs, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    reps = [int(a) for a in sys.argv[1:]] or [30, 100]
+    args = sys.argv[1:]
+    unique = "--unique" in args
+    reps = [int(a) for a in args if a != "--unique"] or [30, 100]
     spark = get_session("icepack-dedup-ladder")
     qs = all_queries()
     results = {}
     base = run_rung(spark, qs, BASE)
     results[0.1] = base
-    print(json.dumps({"sf": 0.1, "queries": base}))
+    print(json.dumps({"sf": 0.1, "queries": base, "corpus": "base"}))
     for k in reps:
         sf = 0.1 * k
-        out = f"/tmp/icepack-dedup-sf{sf:g}"
+        kind = "unique" if unique else "dup"
+        out = f"/tmp/icepack-dedup-{kind}-sf{sf:g}"
         os.makedirs(out, exist_ok=True)
-        build(spark, out, k)
+        (build_unique if unique else build)(spark, out, k)
         r = run_rung(spark, qs, out)
         results[sf] = r
-        print(json.dumps({"sf": sf, "queries": r}))
+        print(json.dumps({"sf": sf, "queries": r, "corpus": kind}))
     # ratio table: sec and x-vs-data-growth per rung (1.0 = perfectly
     # linear in rows; <1 = duplicate-collapse sublinearity)
     print("\nquery            " + "".join(f"{sf:>10g}" for sf in results))
