@@ -267,7 +267,44 @@ class In(Expr):
         return {self.name}
 
     def may_match_file(self, stats: dict, record_count: int) -> bool:
+        # Large numeric In lists (MERGE pruning collects up to 100k
+        # keys per column) take a sorted+bisect fast path: O(log n)
+        # per file instead of O(n) — a 50k-file driver-mode plan under
+        # a 100k-value In is otherwise billions of Python compares.
+        # Exact-same semantics as the per-value walk for the gated
+        # shape (all-finite numbers both sides; _cmp_norm is identity
+        # there); every other shape falls through unchanged.
+        if len(self.values) >= 32:
+            s = stats.get(self.name)
+            if not s:
+                return True
+            lo, hi = s.get("min"), s.get("max")
+            if lo is None or hi is None:
+                return True
+            if s.get("nulls", 0) == record_count:
+                return False
+            nums = self._sorted_nums()
+            if (
+                nums is not None
+                and type(lo) in (int, float)
+                and type(hi) in (int, float)
+                and lo == lo
+                and hi == hi
+            ):
+                import bisect
+
+                i = bisect.bisect_left(nums, lo)
+                return i < len(nums) and nums[i] <= hi
         return any(Cmp(self.name, "=", v).may_match_file(stats, record_count) for v in self.values)
+
+    def _sorted_nums(self):
+        """Sorted copy of the values when they are ALL finite ints/
+        floats (bool excluded — bool compares as int but is a distinct
+        literal type elsewhere); None otherwise.  Cached per instance."""
+        if "_numcache" not in self.__dict__:
+            ok = all(type(v) in (int, float) and v == v for v in self.values)
+            self.__dict__["_numcache"] = sorted(self.values) if ok else None
+        return self.__dict__["_numcache"]
 
     def all_match_file(self, stats: dict, record_count: int) -> bool:
         return any(

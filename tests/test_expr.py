@@ -122,3 +122,57 @@ def test_statistics_less_column_never_crashes_planner():
     ):
         assert e.may_match_file(s, 10) is True
         assert e.all_match_file(s, 10) is False
+
+
+def test_in_bisect_fast_path_matches_per_value_walk():
+    """Large numeric In lists take a sorted+bisect path (O(log n) per
+    file); it must be decision-identical to the per-value Cmp walk on
+    every gated shape, and non-numeric / NaN / bool shapes must fall
+    through to the walk unchanged."""
+    import random
+
+    from icepack.expr import Cmp, In
+
+    rnd = random.Random(3)
+
+    def walk(e, stats, rc):
+        return any(
+            Cmp(e.name, "=", v).may_match_file(stats, rc) for v in e.values
+        )
+
+    for trial in range(200):
+        n = rnd.choice([32, 40, 200])
+        vals = [
+            rnd.choice([rnd.randint(-50, 50), rnd.uniform(-50, 50)])
+            for _ in range(n)
+        ]
+        e = In("x", vals)
+        lo = rnd.choice([rnd.randint(-60, 60), rnd.uniform(-60, 60), None])
+        hi = (
+            None
+            if lo is None and rnd.random() < 0.5
+            else rnd.choice([rnd.randint(-60, 60), rnd.uniform(-60, 60), None])
+        )
+        if lo is not None and hi is not None and lo > hi:
+            lo, hi = hi, lo
+        rc = rnd.randint(1, 5)
+        nulls = rnd.choice([0, 0, rc, None])
+        stats = {"x": {"min": lo, "max": hi, "nulls": nulls}}
+        assert e.may_match_file(stats, rc) == walk(e, stats, rc), (
+            trial, lo, hi, nulls, rc
+        )
+    # ungated shapes: strings, bools, NaN values — identical to walk
+    for vals in (
+        ["a"] * 40,
+        [True] * 40,
+        [float("nan")] + list(range(40)),
+        list(range(31)),  # below the gate
+    ):
+        e = In("x", vals)
+        stats = {"x": {"min": 0, "max": 10, "nulls": 0}}
+        assert e.may_match_file(stats, 5) == walk(e, stats, 5)
+    # NaN / string bounds fall through too
+    e = In("x", list(range(40)))
+    for b in (float("nan"), "zz"):
+        stats = {"x": {"min": b, "max": b, "nulls": 0}}
+        assert e.may_match_file(stats, 5) == walk(e, stats, 5)
