@@ -101,6 +101,7 @@ def _shingle_rows(
 _COLLAPSE_AT = 1.5
 
 _DUP_RATIO_CACHE: dict = {}
+_CORPUS_ROWS_CACHE: dict = {}
 
 
 def _duplication_ratio(df: DataFrame, key, cache_key) -> float:
@@ -130,7 +131,17 @@ def _duplication_ratio(df: DataFrame, key, cache_key) -> float:
     ).first()
     ratio = float(r["n"]) / max(float(r["d"]), 1.0)
     _DUP_RATIO_CACHE[cache_key] = ratio
+    _CORPUS_ROWS_CACHE[cache_key] = int(r["n"])  # free byproduct: row count
     return ratio
+
+
+def _corpus_rows(df: DataFrame, cache_key) -> int:
+    """Corpus row count, memoized per (sf_dir, table.column) — filled
+    for free by :func:`_duplication_ratio`'s single-scan profile when
+    that ran first; one COUNT job otherwise."""
+    if cache_key not in _CORPUS_ROWS_CACHE:
+        _CORPUS_ROWS_CACHE[cache_key] = df.count()
+    return _CORPUS_ROWS_CACHE[cache_key]
 
 
 def _text_groups(d: DataFrame) -> DataFrame:
@@ -3051,14 +3062,70 @@ def x48_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     pinned equivalent to the direct path on a replicated corpus
     (tests/test_adaptive_collapse.py)."""
     e = load(spark, sf, "embeddings")
-    if _duplication_ratio(e, "embedding", (sf, "embeddings.embedding")) < _COLLAPSE_AT:
-        return _x48_topk_direct(e)
-    return _x48_topk_collapsed(e)
+    planes, ratio = _x48_corpus_planes(e, sf)
+    if ratio < _COLLAPSE_AT:
+        return _x48_topk_direct(e, planes)
+    return _x48_topk_collapsed(e, planes)
 
 
-def _x48_bucket_col():
+def _x48_corpus_planes(e: DataFrame, sf: str):
+    """(planes, duplication ratio) for the embeddings corpus.  Plane
+    count is sized by the ESTIMATED DISTINCT vector count (rows /
+    duplication ratio), not raw rows — both stats fall out of one
+    cached single-scan profile, and using distinct keeps the bucket
+    function IDENTICAL between the direct and collapsed paths (the
+    collapse buckets representatives; sizing by raw rows would give
+    the two paths different bucketings and break their pinned
+    equivalence), while exact duplicates land in one bucket anyway."""
+    key = (sf, "embeddings.embedding")
+    ratio = _duplication_ratio(e, "embedding", key)
+    n = _corpus_rows(e, key)
+    return _x48_planes(int(n / max(ratio, 1.0))), ratio
+
+
+#: past this corpus size the sign-LSH bucket count grows with the data
+#: (below it the 4 frozen planes = 16 buckets stay bit-identical to the
+#: DuckDB oracle — sf0.01/sf0.1 fixtures are far under it)
+_X48_FROZEN_MAX = 4096
+
+
+def _x48_planes(n_rows: int) -> list:
+    """Sign-LSH planes for a corpus of *n_rows* vectors.  SemDeDup's
+    scale story is that CLUSTER COUNT grows with the corpus so
+    per-cluster depth stays bounded (Abbas et al. 2023 use 10k+ k-means
+    clusters); with a FIXED 16 buckets the within-bucket quadratic is
+    O(n²/16) — the r9 unique-corpus ladder measured exactly that
+    asymptote.  Doubling the planes per corpus doubling keeps expected
+    bucket depth ≈ _X48_FROZEN_MAX, making total pair work ~linear in
+    rows.  Extra planes extend the SAME md5-derived deterministic
+    sequence, so any two runs at one corpus size agree exactly; at and
+    below _X48_FROZEN_MAX the planes are the frozen 4 (oracle regime,
+    bit-identical to _lsh_sql_bucket)."""
+    import math
+
+    extra = (
+        math.ceil(math.log2(n_rows / _X48_FROZEN_MAX))
+        if n_rows > _X48_FROZEN_MAX
+        else 0
+    )
+    return [
+        [
+            round(
+                int(_hashlib.md5(f"lshplane|{p}|{j}".encode()).hexdigest()[:8], 16)
+                / 0xFFFFFFFF
+                * 2
+                - 1,
+                6,
+            )
+            for j in range(64)
+        ]
+        for p in range(4 + extra)
+    ]
+
+
+def _x48_bucket_col(planes=None):
     bucket = None
-    for p, plane in enumerate(_LSH_PLANES):
+    for p, plane in enumerate(planes if planes is not None else _LSH_PLANES):
         arr = F.array(*[F.lit(w) for w in plane])
         bit = (_dot(F.col("embedding"), arr) > 0).cast("int") * (1 << p)
         bucket = bit if bucket is None else bucket + bit
@@ -3103,7 +3170,7 @@ def _x48_rank3(pairs) -> DataFrame:
     )
 
 
-def _x48_topk_direct(e: DataFrame) -> DataFrame:
+def _x48_topk_direct(e: DataFrame, planes=None) -> DataFrame:
     # per-vector norm computed ONCE before pairing (a per-pair norm
     # recomputation multiplies the dominant higher-order-lambda cost by
     # the bucket size; same expression tree per value, so the cosine is
@@ -3111,13 +3178,13 @@ def _x48_topk_direct(e: DataFrame) -> DataFrame:
     b = e.select(
         "vec_id",
         "embedding",
-        _x48_bucket_col().alias("bucket"),
+        _x48_bucket_col(planes).alias("bucket"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     return _x48_rank3(_x48_rep_pairs(b))
 
 
-def _x48_topk_collapsed(e: DataFrame) -> DataFrame:
+def _x48_topk_collapsed(e: DataFrame, planes=None) -> DataFrame:
     """Exact top-3-per-bucket on a duplicate-saturated corpus: collapse
     identical vectors (16-byte rolling-hash keys), run the quadratic on
     representatives only, reconstruct from the provable candidate
@@ -3136,7 +3203,7 @@ def _x48_topk_collapsed(e: DataFrame) -> DataFrame:
         F.col("rep").alias("vec_id"),
         "embedding",
         "members",
-        _x48_bucket_col().alias("bucket"),
+        _x48_bucket_col(planes).alias("bucket"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     # --- cross-group candidates: top-3 rep pairs per bucket under
@@ -3647,11 +3714,14 @@ def x55_semantic_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load(spark, sf, "embeddings")
     # same blocking as x48 — ONE shared implementation (_x48_bucket_col
-    # / _x48_rep_pairs), threshold form instead of top-3
+    # / _x48_rep_pairs, including the data-aware plane count so bucket
+    # depth stays bounded as the corpus grows), threshold form instead
+    # of top-3
+    planes, _ratio = _x48_corpus_planes(e, sf)
     b = e.select(
         "vec_id",
         "embedding",
-        _x48_bucket_col().alias("bucket"),
+        _x48_bucket_col(planes).alias("bucket"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     pairs = (

@@ -145,3 +145,50 @@ def test_x56_collapse_equals_direct(spark, dup_sf, monkeypatch):
         monkeypatch, spark, dup_sf, llm.x56_containment_dedup
     )
     assert collapsed == direct
+
+
+def test_x48_plane_count_scales_with_distinct_corpus(spark):
+    """r9: SemDeDup blocking is data-aware past the frozen regime —
+    plane count grows with the (distinct) corpus so expected bucket
+    depth stays bounded and total pair work is ~linear in rows, the
+    unique-corpus ladder's asymptote requirement.  The frozen 4 planes
+    are a strict PREFIX of every larger plane set (two runs at one
+    corpus size always agree), the oracle regime (<= 4096 distinct)
+    keeps exactly the frozen planes, and the direct and collapsed
+    paths share one bucketing (sized by DISTINCT count) so their
+    pinned equivalence survives the growth."""
+    from icepack.queries import llm
+
+    assert llm._x48_planes(500) == llm._LSH_PLANES
+    assert llm._x48_planes(4096) == llm._LSH_PLANES
+    for n in (10_000, 100_000, 1_000_000):
+        ps = llm._x48_planes(n)
+        assert ps[:4] == llm._LSH_PLANES  # deterministic prefix
+        assert 2 ** len(ps) >= n / llm._X48_FROZEN_MAX  # depth bound
+        assert len(ps) >= len(llm._x48_planes(n // 10))  # monotone
+    # equivalence with a shared non-default plane set: 5x-replicated
+    # corpus, both paths bucketed by the same 5-plane function
+    from pyspark.sql import functions as F
+
+    base = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                F.sin(F.col("id") * (j + 1) + 1).cast("float")
+                for j in range(64)  # planes are 64-dim
+            ]
+        ).alias("embedding"),
+    )
+    parts = [base]
+    for i in range(1, 5):
+        parts.append(
+            base.withColumn("vec_id", F.col("vec_id") + F.lit(1000 * i))
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    planes = llm._x48_planes(5000)  # 5 planes
+    assert len(planes) == 5
+    direct = sorted(map(tuple, llm._x48_topk_direct(u, planes).collect()))
+    coll = sorted(map(tuple, llm._x48_topk_collapsed(u, planes).collect()))
+    assert direct == coll and len(direct) > 0
