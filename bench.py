@@ -205,6 +205,8 @@ def main() -> None:
     # "machine vs code" one number instead of a hand argument.
     prev = _latest_prev_bench()
     vs_prev = None
+    if prev is not None and prev[1].get("sf") != sf:
+        prev = None  # cross-SF ratios mislead (the sf1 ladder reuses bench.py)
     if prev is not None:
         prev_n, prev_parsed = prev
         pq = prev_parsed.get("queries") or {}

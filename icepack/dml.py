@@ -62,7 +62,7 @@ def _merge_prune_predicate(src: DataFrame, on: list[str]) -> Expr | None:
     an exact count buys nothing, and multi-key exact countDistinct
     plans an Expand (one duplicated scan lane per key) where HLL
     sketches merge map-side in a single linear pass (r8 verdict nit;
-    plan pinned Expand-free by tests/test_merge.py).  The ±rsd error
+    plan pinned Expand-free by tests/test_dml.py).  The ±rsd error
     only moves the cap edge: an overestimate loses pruning on that key
     (correct, slower), an underestimate collects up to ~(1+rsd)·cap
     values (driver holds ~105k scalars — fine)."""

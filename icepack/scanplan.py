@@ -24,7 +24,13 @@ Semantics contract (pinned by tests/test_scanplan.py):
   for bucket(N) specs, where min/max stats prune nothing (files in one
   bucket span the full source range — docs/07-partitioning.md:51,
   docs/09-query-performance.md:19-31) and the tuple check is the
-  PRIMARY pruning dimension.
+  PRIMARY pruning dimension.  One deliberate asymmetry: tuple values
+  travel as strings here and compare under the literal's cast, so a
+  LEGACY string-spelled numeric tuple ("1.5" written before the float
+  decode alignment) can be pruned by a float predicate the driver's
+  type-strict walk refuses to judge — pruning an identity tuple by its
+  exact value is always row-correct, so this only ever drops files
+  whose rows provably cannot match.
 - Stat values live in JSON as their writer types; they are read as
   strings and cast according to the LITERAL's Python type — the same
   normalization `expr._cmp_norm` applies (ISO strings compare as
