@@ -364,19 +364,35 @@ def test_partition_match_column_superset_random(spark):
 
     rnd = random.Random(11)
 
+    def rand_lit():
+        r = rnd.random()
+        if r < 0.5:
+            return rnd.randint(0, 8)
+        if r < 0.75:
+            return round(rnd.uniform(0, 8), 2)
+        return f"2024-01-0{rnd.randint(1, 8)}"
+
     def rand_pred(depth=0):
         r = rnd.random()
         if depth < 2 and r < 0.3:
             node = And if r < 0.15 else Or
             return node(rand_pred(depth + 1), rand_pred(depth + 1))
         if rnd.random() < 0.3:
-            return In("p", [rnd.randint(0, 8) for _ in range(rnd.randint(1, 3))])
-        return Cmp("p", rnd.choice(["<", "<=", ">", ">=", "=", "!="]), rnd.randint(0, 8))
+            return In("p", [rand_lit() for _ in range(rnd.randint(1, 3))])
+        return Cmp("p", rnd.choice(["<", "<=", ">", ">=", "=", "!="]), rand_lit())
 
     def rand_entry(i):
         part = {}
         if rnd.random() < 0.8:
-            part["p"] = rnd.choice([rnd.randint(0, 8), None, f"s{rnd.randint(0,3)}"])
+            part["p"] = rnd.choice(
+                [
+                    rnd.randint(0, 8),
+                    round(rnd.uniform(0, 8), 2),
+                    None,
+                    f"s{rnd.randint(0, 3)}",
+                    f"2024-01-0{rnd.randint(1, 8)}",
+                ]
+            )
         if rnd.random() < 0.3:
             part["q"] = rnd.randint(0, 3)
         return {
