@@ -325,6 +325,22 @@ class Transform:
                 return value - (value % self.param)
             return str(value)[: self.param]
         if k == "bucket":
+            # fast lane: when the literal's Python type already matches
+            # the column family, the pure-Python Spark-bit-identical
+            # xxh64 (r8, parity-pinned by tests/test_xxh64_parity.py)
+            # hashes it with NO Spark job — predicate projection over a
+            # bucketed key otherwise costs one driver job per distinct
+            # literal (an IN list = a burst of them).  Mismatched
+            # literal/column types (string over timestamp etc.) keep
+            # the CAST-faithful Spark-job twin below.
+            st = dtype.simpleString() if dtype is not None else None
+            if st is not None and _literal_matches_type(value, st):
+                from .xxh64 import spark_xxhash64
+
+                try:
+                    return spark_xxhash64(value, st) % self.param
+                except (TypeError, ValueError, OverflowError):
+                    pass  # odd shape: fall through to the Spark path
             if spark is None:
                 return None  # caller keeps the file (no pruning)
             key = (repr(value), self.param, str(dtype))
@@ -352,6 +368,31 @@ class Transform:
 
 
 _INTEGRAL_SIMPLE = {"int", "bigint", "smallint", "tinyint"}
+
+
+def _literal_matches_type(value, simple_type: str) -> bool:
+    """True when a predicate literal's Python type already belongs to
+    the column's type family, so the pure-Python xxh64 lane hashes it
+    exactly as Spark would hash the CAST literal.  bool is excluded
+    from the numeric families (CAST(true AS INT) is 1, but a bool
+    literal over an int column is a type error worth the slow path)."""
+    import datetime as _pdt
+
+    if simple_type in ("int", "smallint", "tinyint", "bigint"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if simple_type == "string":
+        return isinstance(value, str)
+    if simple_type in ("float", "double"):
+        return isinstance(value, (int, float)) and not isinstance(value, bool)
+    if simple_type == "date":
+        return isinstance(value, _pdt.date) and not isinstance(value, _pdt.datetime)
+    if simple_type in ("timestamp", "timestamp_ntz"):
+        return isinstance(value, _pdt.datetime)
+    if simple_type == "boolean":
+        return isinstance(value, bool)
+    if simple_type == "binary":
+        return isinstance(value, (bytes, bytearray))
+    return False
 
 
 def _dir_value(v) -> str:

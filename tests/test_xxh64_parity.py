@@ -145,3 +145,57 @@ def test_batch_values_matches_py_value():
         got = tr.batch_values(col, st)
         want = [tr.py_value(v, st) for v in col.to_pylist()]
         assert got == want, f"{tr_name}/{st}: {got} != {want}"
+
+
+def test_transform_apply_bucket_fast_lane_matches_spark_job(spark):
+    """r9: Transform.apply's bucket branch hashes type-matched literals
+    through the pure-Python xxh64 lane (no Spark job).  Must equal the
+    CAST-faithful Spark-job twin bit-for-bit for every supported type
+    family, and mismatched literal/column types must still resolve
+    through the Spark path (cache cleared so both lanes actually run)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from icepack import transforms as tr
+
+    cases = [
+        (7, T.IntegerType()),
+        (7, T.LongType()),
+        (-3, T.ShortType()),
+        ("abc", T.StringType()),
+        (1.5, T.DoubleType()),
+        (1.5, T.FloatType()),
+        (-0.0, T.DoubleType()),
+        (5, T.DoubleType()),  # int literal over double column
+        (True, T.BooleanType()),
+        (dt.date(2024, 3, 1), T.DateType()),
+        (dt.datetime(2024, 3, 1, 12, 30, 0, 123456), T.TimestampNTZType()),
+        (b"\x01\x02", T.BinaryType()),
+    ]
+    t = tr.parse("bucket[16]")
+    for value, dtype in cases:
+        got = t.apply(value, spark, dtype)
+        c = F.lit(value).cast(dtype)
+        want = (
+            spark.range(1)
+            .select(F.pmod(F.xxhash64(c), F.lit(16)).alias("b"))
+            .first()["b"]
+        )
+        assert got == want, (value, dtype, got, want)
+    # mismatched type: string literal over a timestamp column — the
+    # fast-lane gate refuses, the Spark twin casts and hashes
+    tr._bucket_cache.clear()
+    got = t.apply("2024-03-01 12:30:00", spark, T.TimestampNTZType())
+    want = (
+        spark.range(1)
+        .select(
+            F.pmod(
+                F.xxhash64(F.lit("2024-03-01 12:30:00").cast("timestamp_ntz")),
+                F.lit(16),
+            ).alias("b")
+        )
+        .first()["b"]
+    )
+    assert got == want
