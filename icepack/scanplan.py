@@ -373,8 +373,12 @@ def _entries_df(table, snap, predicate: Expr | None = None) -> DataFrame:
 def plan_entries_distributed(
     table, predicate: Expr | None = None, snapshot=None
 ) -> tuple[list[DataFile], list[DataFile]]:
-    """(surviving data entries, live delete entries) with the pruning
-    evaluated in Spark.  Driver memory is O(survivors + deletes)."""
+    """(surviving data entries, live delete entries relevant to them)
+    with the pruning evaluated in Spark.  Driver memory is
+    O(survivors + relevant deletes): file-anchored delete entries
+    (v3 DVs, file-scoped position deletes) referencing pruned-away
+    files are dropped Spark-side — on a v3 table deletes are
+    O(files), so collecting them all would be O(table)."""
     snap = snapshot or table.meta.current_snapshot
     if snap is None:
         return [], []
@@ -392,6 +396,27 @@ def plan_entries_distributed(
             may_match_column(predicate, F.col("stats"), F.col("record-count"))
         )
     deletes = live.filter(F.col("content") != "data")
+    if predicate is not None and not isinstance(predicate, AlwaysTrue):
+        # FILE-ANCHORED delete pruning: a v3 table carries one DV entry
+        # per deleted-from data file, so collecting every delete entry
+        # is O(table) driver memory — the exact posture this planner
+        # exists to avoid.  An entry whose ``referenced-data-file``
+        # names a file NOT in the pruned data selection cannot mask any
+        # row of this scan (``_read_with_deletes`` applies deletes only
+        # to the files read; referenced paths and entry paths come from
+        # the same manifest tree, so their spellings agree — foreign
+        # adoption canonicalizes at import).  Un-anchored deletes
+        # (equality deletes, multi-file position-delete parquet, old
+        # layouts: ``referenced-data-file`` null) are always kept.
+        ref = F.col("`referenced-data-file`")
+        anchored = deletes.filter(ref.isNotNull())
+        broad = deletes.filter(ref.isNull())
+        kept = anchored.join(
+            datas.select(F.col("path").alias("_dp")).distinct(),
+            anchored["referenced-data-file"] == F.col("_dp"),
+            "leftsemi",
+        )
+        deletes = broad.unionByName(kept)
 
     def _collect(df) -> list[DataFile]:
         return [DataFile.from_json(json.loads(r)) for r in df.toJSON().collect()]

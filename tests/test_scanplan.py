@@ -484,3 +484,48 @@ def test_spec_primary_distributed_decode_stays_off_driver(spark, tmp_path, monke
     assert rows_sorted(read_distributed(t, col("id") >= 4)) == want
     drv, _ = t.plan_files(col("id") >= 4)
     assert {f.path for f in drv} <= {f.path for f in files}
+
+
+def test_distributed_plan_prunes_anchored_deletes(spark, tmp_path):
+    """r9: v3 deletion-vector entries are one-per-deleted-data-file, so
+    a distributed plan that collects EVERY delete entry is O(table)
+    driver memory.  DV entries referencing pruned-away data files are
+    dropped Spark-side (they cannot mask rows of files the scan never
+    reads); un-anchored deletes (equality / multi-file pos parquet)
+    are always kept.  Rows stay identical to the driver-planned scan."""
+    from icepack import maintenance as M
+
+    rows = [Row(id=i, grp=i // 10, v=float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    t = IceTable.create(
+        spark,
+        str(tmp_path / "dv"),
+        df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    for g in range(4):  # one file per grp decade -> per-file DVs
+        t.append(df.filter(f"grp = {g}").coalesce(1))
+    # position-delete a row in EVERY file, then fold to DVs
+    t.delete(col("id").isin(3, 13, 23, 33))
+    assert M.write_deletion_vectors(t) is not None
+    all_deletes = [
+        f for f in t.live_files(content="all") if f.content != "data"
+    ]
+    dvs = [f for f in all_deletes if f.content == "deletion-vectors"]
+    assert len(dvs) == 4  # one per data file
+
+    pred = col("grp") == 2
+    files, dels = plan_entries_distributed(t, pred)
+    surviving = {f.path for f in files}
+    kept_dvs = [d for d in dels if d.content == "deletion-vectors"]
+    # only DVs anchored to surviving files travel to the driver
+    assert 0 < len(kept_dvs) < len(dvs)
+    assert {d.referenced_data_file for d in kept_dvs} <= surviving
+    want = rows_sorted(t.toDF(pred))  # driver-planned twin
+    assert rows_sorted(read_distributed(t, pred)) == want
+    # the masked row is really masked on the distributed path
+    ids = {r.id for r in read_distributed(t, pred).collect()}
+    assert ids == {20, 21, 22, 24, 25, 26, 27, 28, 29}
