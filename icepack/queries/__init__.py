@@ -104,6 +104,7 @@ PRIORITY: list[str] = [
     "ice41_time_travel_prune",
     "ice42_fsck",
     # code changing this round -- re-evidence
+    "x60_bm25_topk",  # new in r9, never driver-sampled
     "ice60_auto_distributed_scan",  # now bucket(8)-partitioned + tuple prune
     "ice49_spec_primary",  # executor-side Avro manifest decode
     "ice47_iceberg_read",

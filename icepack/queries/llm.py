@@ -4221,3 +4221,92 @@ def x59_adaptive_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- BM25 retrieval ----------------------------------------------------------
+
+#: fixed query terms for the oracle-deterministic BM25 demo (the
+#: fixture vocabulary is a small closed set; any real deployment
+#: parameterizes these)
+_BM25_TERMS = ("merge", "stream", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "x60_bm25_topk",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl FROM d),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    toks AS (SELECT doc_id, unnest(w) AS term FROM d),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('merge', 'stream', 'window')
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                 * (CAST(t.tf AS DOUBLE) * {_BM25_K1 + 1})
+                 / (t.tf + {_BM25_K1}
+                    * (1 - {_BM25_B} + {_BM25_B} * l.dl / s.avgdl))) AS score
+      FROM tf t JOIN dfreq f USING (term) JOIN dl l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY 1
+    )
+    SELECT doc_id, ROUND(score, 4) AS bm25
+    FROM scored
+    ORDER BY ROUND(score, 6) DESC, doc_id
+    LIMIT 20
+    """,
+)
+def x60_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-k retrieval over the corpus (Robertson–Spärck Jones
+    idf, k1=1.2 b=0.75) — the targeted-curation primitive: "pull the
+    20 documents most relevant to these terms" for domain mixing,
+    eval-set construction, or contamination review.
+
+    Plan, built for the 100 TB case: document lengths come from ONE
+    narrow scan (size(split) — no explode), the explode is filtered to
+    the QUERY'S terms before any shuffle so only matching postings
+    move (work ∝ postings of |Q| terms, not corpus tokens), document
+    frequencies and the (N, avgdl) scalars broadcast back, and the
+    finish is TakeOrderedAndProject — no global sort.  Ordering ties
+    are cut on (round(score, 6), doc_id) so the LIMIT boundary is
+    engine-stable."""
+    d = (
+        load(spark, sf, "documents")
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .withColumn("dl", F.size("w"))
+    )
+    stats = d.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        d.select("doc_id", "dl", F.explode("w").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    w = (
+        idf
+        * (F.col("tf").cast("double") * (_BM25_K1 + 1))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(w).alias("score"))
+        .orderBy(F.round("score", 6).desc(), F.asc("doc_id"))
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+        .limit(20)
+    )
