@@ -1219,7 +1219,7 @@ class IceTable:
             }
         else:
             files, report = self.plan_files(predicate, snap)
-            deletes = self.live_files(snap, content="deletes")
+            deletes = _relevant_deletes(files, self.live_files(snap, content="deletes"))
         self._scan_log.append(
             {
                 "seq": len(self._scan_log) + 1,
@@ -1243,7 +1243,9 @@ class IceTable:
         delete's sequence number).  ``with_pos`` keeps ``_file``/
         ``_pos`` for ops that write position deletes for matched rows."""
         return self._read_with_deletes(
-            files, self.live_files(content="deletes"), with_pos=with_pos
+            files,
+            _relevant_deletes(files, self.live_files(content="deletes")),
+            with_pos=with_pos,
         )
 
     def _read_with_deletes(
@@ -2260,6 +2262,28 @@ class IceTable:
             live_ids.add(new_spec.spec_id)
             check_spec_expressible(new_meta, spec_ids=live_ids)
         self._write_version(self._version + 1, new_meta)
+
+
+def _relevant_deletes(files: list, deletes: list) -> list:
+    """Drop FILE-ANCHORED delete entries (v3 DVs, file-scoped position
+    deletes: ``referenced_data_file`` set) that reference none of the
+    files this read touches — they cannot mask any row of it, and on a
+    v3 table DVs are one-per-deleted-from-file, so a pruned scan that
+    still decodes every DV blob pays O(table deletes) for O(selected)
+    data.  Un-anchored deletes (equality, multi-file position parquet,
+    old layouts) always pass through.  Mirrors the distributed
+    planner's Spark-side semi-join (scanplan.plan_entries_distributed);
+    referenced paths and entry paths come from the same manifest tree,
+    so their spellings agree."""
+    anchored = [d for d in deletes if d.referenced_data_file is not None]
+    if not anchored:
+        return deletes
+    paths = {f.path for f in files}
+    return [
+        d
+        for d in deletes
+        if d.referenced_data_file is None or d.referenced_data_file in paths
+    ]
 
 
 def _decode_part(v: str):

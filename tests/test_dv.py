@@ -344,3 +344,45 @@ def test_dv_survives_rewrite_manifests_then_replace_commit(spark, tmp_path):
         assert f.referenced_data_file is not None
         assert f.content_offset is not None and f.content_size is not None
     assert M.verify_table(t, check_data=True) == []
+
+
+def test_driver_scan_filters_irrelevant_dvs(spark, tmp_path):
+    """r9: the driver-mode read path drops file-anchored delete entries
+    (DVs, file-scoped pos deletes) that reference none of the scanned
+    files — a pruned scan must not decode O(table) DV blobs.  Mirrors
+    the distributed planner's Spark-side semi-join; rows unchanged."""
+    from pyspark.sql import Row
+
+    from icepack.expr import col
+    from icepack.table import IceTable, _relevant_deletes
+
+    rows = [Row(id=i, grp=i // 10, v=float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    t = IceTable.create(
+        spark,
+        str(tmp_path / "dvp"),
+        df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    for g in range(4):
+        t.append(df.filter(f"grp = {g}").coalesce(1))
+    t.delete(col("id").isin(3, 13, 23, 33))
+    assert M.write_deletion_vectors(t) is not None
+
+    files, _ = t.plan_files(col("grp") == 1)
+    all_dels = t.live_files(content="deletes")
+    dvs = [d for d in all_dels if d.content == "deletion-vectors"]
+    assert len(dvs) == 4
+    kept = _relevant_deletes(files, all_dels)
+    kept_dvs = [d for d in kept if d.content == "deletion-vectors"]
+    assert 0 < len(kept_dvs) < len(dvs)
+    assert {d.referenced_data_file for d in kept_dvs} <= {f.path for f in files}
+    # un-anchored deletes always pass through
+    eq_like = [d for d in all_dels if d.referenced_data_file is None]
+    assert [d for d in kept if d.referenced_data_file is None] == eq_like
+    # end to end: the masked row stays masked on the pruned driver scan
+    ids = {r.id for r in t.toDF(col("grp") == 1).collect()}
+    assert ids == {10, 11, 12, 14, 15, 16, 17, 18, 19}
