@@ -702,6 +702,18 @@ def verify_table(table, check_data: bool = False) -> list[str]:
         return findings
     spec_ids = {sp.spec_id for sp in meta.partition_specs}
     schema_ids = {sc.schema_id for sc in meta.schemas}
+    # file-anchored delete coherence: both planners (driver
+    # table._relevant_deletes and distributed scanplan's semi-join)
+    # skip DV / file-scoped position-delete entries whose
+    # referenced-data-file is not a live data path VERBATIM — that is
+    # only row-safe if references and entry paths share one spelling
+    # domain (write_deletion_vectors maps tombstones to the raw
+    # manifest spelling; adoption canonicalizes).  An anchored delete
+    # referencing no live data file is either retired-file residue or
+    # spelling drift; either way the rows it was meant to mask would
+    # resurrect, so fsck flags it.
+    live_data_paths: set = set()
+    anchored_refs: list = []
     for m in table._read_mlist(snap.manifest_list):
         try:
             entries = table._read_mentries(m["manifest-path"])
@@ -728,6 +740,10 @@ def verify_table(table, check_data: bool = False) -> list[str]:
         for e in entries:
             if e.status == "deleted":
                 continue
+            if e.content == "data":
+                live_data_paths.add(e.path)
+            elif e.referenced_data_file is not None:
+                anchored_refs.append((e.path, e.referenced_data_file))
             if e.sequence_number > snap.sequence_number:
                 findings.append(
                     f"{e.path}: data sequence {e.sequence_number} beyond "
@@ -771,6 +787,15 @@ def verify_table(table, check_data: bool = False) -> list[str]:
                         f"{e.path}: manifest record-count {e.record_count} "
                         f"!= footer {nrows}"
                     )
+    for dpath, ref in anchored_refs:
+        if ref not in live_data_paths:
+            findings.append(
+                f"{dpath}: anchored delete references no live data file "
+                f"({ref!r}) — retired-file residue or spelling drift; "
+                "the planners skip it, so any rows it was meant to mask "
+                "resurrect.  Run rewrite_position_deletes / expire, or "
+                "fix the reference spelling"
+            )
     return findings
 
 

@@ -386,3 +386,40 @@ def test_driver_scan_filters_irrelevant_dvs(spark, tmp_path):
     # end to end: the masked row stays masked on the pruned driver scan
     ids = {r.id for r in t.toDF(col("grp") == 1).collect()}
     assert ids == {10, 11, 12, 14, 15, 16, 17, 18, 19}
+
+
+def test_fsck_flags_dangling_anchored_delete(spark, tmp_path):
+    """r9: the planners skip file-anchored deletes whose
+    referenced-data-file is not a live data path verbatim — fsck must
+    flag such entries (retired-file residue or spelling drift), since
+    the rows they were meant to mask silently resurrect."""
+    import json
+
+    from icepack.expr import col
+
+    t, df = _mor_table(spark, tmp_path)
+    t.delete(col("id") == 7)
+    assert M.write_deletion_vectors(t) is not None
+    assert M.verify_table(t) == []  # healthy: reference is live
+
+    # corrupt the newest manifest: mis-spell the DV's reference the way
+    # a buggy external writer would (file: URI instead of raw path)
+    snap = t.meta.current_snapshot
+    names = [m["manifest-path"] for m in t._read_mlist(snap.manifest_list)]
+    broke = False
+    for n in names:
+        p = t.store.join(t._mdir, n)
+        lines = t.store.read_text(p).splitlines()
+        out = []
+        for ln in lines:
+            d = json.loads(ln)
+            if d.get("content") == "deletion-vectors":
+                d["referenced-data-file"] = "file://" + d["referenced-data-file"]
+                broke = True
+            out.append(json.dumps(d))
+        with open(p, "w") as fh:
+            fh.write("\n".join(out) + "\n")
+    assert broke
+    t.refresh()
+    finds = M.verify_table(t)
+    assert any("anchored delete references no live data file" in f for f in finds)
