@@ -47,7 +47,16 @@ def main() -> int:
     qs = mod.queries()
     qs["st1_tumbling_window"](spark, "/root/testdata/sf0.01").collect()
     print("st1 (ns timestamps) OK")
-    for probe in ("ice54_deletion_vectors", "ice50_foreign_adopt"):
+    # ice60: the auto-DISTRIBUTED planner (Spark-side pruning over a
+    # bucket-partitioned table) — its mapInPandas/semi-join stages must
+    # run on a foreign session's workers; ice49: spec-primary, whose
+    # distributed plans decode Avro manifests executor-side
+    for probe in (
+        "ice54_deletion_vectors",
+        "ice50_foreign_adopt",
+        "ice60_auto_distributed_scan",
+        "ice49_spec_primary",
+    ):
         rows = qs[probe](spark, "/root/testdata/sf0.001").collect()
         assert rows, f"{probe} returned no rows"
         print(f"{probe} OK ({len(rows)} rows)")
