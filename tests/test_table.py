@@ -272,3 +272,49 @@ def test_drop_undrop_table(spark, warehouse):
         raise AssertionError("undrop after purge must fail")
     except ValueError:
         pass
+
+
+def test_append_commit_never_reads_manifest_entries(spark, tmp_path, monkeypatch):
+    """r9: a pure APPEND carries previous manifests forward from the
+    LIST summary alone — zero driver-side manifest-entry decodes, so
+    commit cost is O(manifests) not O(table entries) (profiled: 1.65 s
+    per append at 100k entries before this path; streaming pays it per
+    micro-batch).  Replace-type commits still read entries (path-level
+    hit search)."""
+    from pyspark.sql import Row
+
+    from icepack.table import IceTable
+
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(8)])
+    t = IceTable.create(spark, str(tmp_path / "ap"), df.schema)
+    t.append(df.filter("id < 4"))
+    t.append(df.filter("id >= 4"))
+
+    calls = []
+    orig = IceTable._read_mentries
+
+    def counting(self, name):
+        calls.append(name)
+        return orig(self, name)
+
+    monkeypatch.setattr(IceTable, "_read_mentries", counting)
+    from icepack.manifest import DataFile
+
+    t._commit_snapshot(
+        "append",
+        [
+            DataFile(
+                path=str(tmp_path / "ap" / "data" / "x.parquet"),
+                status="added",
+                partition={},
+                spec_id=t.meta.default_spec_id,
+                schema_id=t.meta.current_schema_id,
+                record_count=1,
+                file_size_bytes=10,
+                stats={},
+            )
+        ],
+    )
+    assert calls == [], "append commit decoded manifest entries driver-side"
+    # summary stays on the live basis
+    assert t.meta.current_snapshot.summary["total-data-files"] == "9"
