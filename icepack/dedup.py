@@ -128,14 +128,25 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_len: int = 3,
+    connectivity_only: bool = False,
 ) -> DataFrame:
     """LSH banding over :func:`minhash_signatures`: docs colliding on
     any band key become candidate pairs (id_a < id_b, distinct).
     ``num_hashes / bands`` rows per band tunes the similarity
-    threshold (~(1/bands)^(bands/num_hashes·…) S-curve).  Pair
-    expansion happens inside each bucket (bounded by construction);
-    feed the result to :func:`connected_components` and a keep-best
-    policy to finish the dedup."""
+    threshold (~(1/bands)^(bands/num_hashes·…) S-curve).
+
+    Pair expansion is a distributed self-join on the band key — never
+    a per-bucket ``collect_list`` array (one bucket of k exact
+    duplicates would otherwise materialize a k-element array in a
+    single task).  Still, all-pairs output is k²/2 per bucket BY
+    CONTRACT; a duplicate-saturated 100 TB corpus makes hot buckets
+    quadratic.  When the consumer is :func:`connected_components`
+    (as in :func:`dedupe_table`), pass ``connectivity_only=True``:
+    each bucket then emits a STAR — every member linked to the bucket
+    minimum — which is O(k) pairs with provably IDENTICAL components
+    (a star spans exactly the vertex set of the bucket clique), the
+    same collapse discipline the r8/r9 query twins ladder-proved
+    (queries/llm.py x2/x48)."""
     if num_hashes % bands:
         raise ValueError("num_hashes must divide evenly into bands")
     rpb = num_hashes // bands
@@ -148,21 +159,33 @@ def lsh_candidate_pairs(
         id_col,
         F.expr(f"stack({bands}, {stack_args}) AS (band, bkey)"),
     )
-    buckets = (
-        bands_df.groupBy("band", "bkey")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+    if connectivity_only:
+        return _bucket_stars(bands_df, id_col, ["band", "bkey"])
+    a = bands_df.select("band", "bkey", F.col(id_col).alias("id_a"))
+    c = bands_df.select("band", "bkey", F.col(id_col).alias("id_b"))
+    return (
+        a.join(c, ["band", "bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(sequence(1, size(ids) - 1),"
-                " i -> transform(slice(ids, i + 1, size(ids) - i),"
-                " y -> struct(ids[i-1] AS id_a, y AS id_b))))"
-            )
-        ).alias("p")
+
+
+def _bucket_stars(keyed: DataFrame, id_col: str, keys: list) -> DataFrame:
+    """Connectivity-preserving pair subset for bucket-equality blocking:
+    (bucket min, member) for every non-minimum member — one window
+    exchange on the bucket key, O(members) output, components under
+    :func:`connected_components` identical to the full bucket clique's
+    (each bucket's star spans the same vertex set)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        keyed.withColumn("_root", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("_root"))
+        .select(F.col("_root").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
     )
-    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def dedupe_table(
@@ -176,7 +199,7 @@ def dedupe_table(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int | None = None,
-    n_planes: int = 4,
+    n_planes: int | None = None,
 ) -> dict:
     """In-place deduplication of a WAREHOUSE table — the maintenance
     operation that turns the distributed dedup pipeline into a table
@@ -215,37 +238,47 @@ def dedupe_table(
         else table.toDF().select(id_col, text_col)
     )
     if method == "exact":
-        # (loser id, group key) rows: the group stat and the delete
-        # both derive from this ONE loser set, so the content-hash
-        # scan+shuffle runs once (persist below), not once per consumer
+        # (loser id, group key) rows via a WINDOW min over the 128-bit
+        # content hash — one exchange, no per-group collect_list array
+        # (a group of k identical documents would otherwise
+        # materialize a k-element array in a single task; k is
+        # unbounded on a duplicate-saturated corpus).  The group stat
+        # and the delete both derive from this ONE loser set, so the
+        # content-hash scan+shuffle runs once (persist below).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_h1", "_h2")
         losers = (
-            d.groupBy(
+            d.select(
+                id_col,
                 F.xxhash64(text_col).alias("_h1"),
                 F.xxhash64(F.lit(1), text_col).alias("_h2"),
             )
-            .agg(
-                F.min(id_col).alias("_keep"),
-                F.collect_list(id_col).alias("_members"),
-            )
-            .filter(F.size("_members") > 1)
-            .select(F.explode("_members").alias(id_col), "_keep")
+            .withColumn("_keep", F.min(id_col).over(w))
             .filter(F.col(id_col) != F.col("_keep"))
+            .select(id_col, "_keep")
         )
         group_key = "_keep"
     elif method in ("minhash", "simhash", "semantic"):
+        # connectivity_only: the consumer is connected_components, so
+        # each blocking bucket emits a STAR (O(k) pairs) instead of the
+        # full clique (k²/2) — identical clusters by construction, and
+        # the one thing that keeps a duplicate-saturated 100 TB corpus
+        # from going quadratic in its hottest bucket
         if method == "minhash":
             pairs = lsh_candidate_pairs(
                 d, id_col=id_col, text_col=text_col,
                 num_hashes=num_hashes, bands=bands,
+                connectivity_only=True,
             )
         elif method == "simhash":
             pairs = simhash_candidate_pairs(
-                d, id_col=id_col, text_col=text_col
+                d, id_col=id_col, text_col=text_col, connectivity_only=True
             ).select("id_a", "id_b")
         else:
             pairs = semantic_candidate_pairs(
                 d, id_col=id_col, vec_col=vec_col, threshold=threshold,
-                dim=dim, n_planes=n_planes,
+                dim=dim, n_planes=n_planes, connectivity_only=True,
             ).select("id_a", "id_b")
         losers = (
             connected_components(pairs)
@@ -329,57 +362,86 @@ def simhash_candidate_pairs(
     text_col: str = "text",
     hamming: int = 3,
     bits: int = 48,
+    connectivity_only: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs at Hamming distance <= ``hamming`` over
     SimHash fingerprints — the Manku et al. (WWW'07) banded pigeonhole:
     ``hamming + 1`` bands guarantee any qualifying pair collides
-    exactly on at least one band; candidates come from equality-keyed
-    bucket joins and the ``bit_count(xor)`` verify runs INSIDE the
-    pair-expansion lambda (never an all-pairs scan).  Returns
-    (id_a, id_b, hamming) with id_a < id_b, distinct."""
+    exactly on at least one band; candidates come from an
+    equality-keyed distributed self-join on the band value (never a
+    per-bucket ``collect_list`` array — one hot bucket would
+    single-task its whole member list) with the ``bit_count(xor)``
+    verify inside the join condition.  Returns (id_a, id_b, hamming)
+    with id_a < id_b, distinct.
+
+    ``connectivity_only=True`` (the :func:`dedupe_table` consumer):
+    identical fingerprints first collapse to one representative per
+    distinct simhash — a group of k exact near-dup copies emits k-1
+    star links (hamming 0) instead of k²/2 pairs — and only the
+    REPRESENTATIVES enter the banded join.  Components under
+    :func:`connected_components` are provably identical: a qualifying
+    pair's two fingerprints are either equal (same group → star) or
+    collide on a band their representatives also collide on (equal
+    sims → equal band values), so the verified rep pair plus the two
+    stars connects them."""
     bands = hamming + 1
     width = bits // bands
     mask = (1 << width) - 1
     sims = simhash_signatures(df, id_col=id_col, text_col=text_col, bits=bits)
-    banded = sims.select(
-        F.col(id_col),
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("b"),
-                    F.shiftright("simhash", width * b)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("bv"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("band"),
-    ).select(F.col(id_col).alias("did"), "simhash", "band.b", "band.bv")
-    buckets = (
-        banded.groupBy("b", "bv")
-        .agg(F.array_sort(F.collect_list(F.struct(F.col("did"), F.col("simhash")))).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                f"flatten(transform(sequence(1, size(ds) - 1),"
-                f" i -> filter(transform(slice(ds, i + 1, size(ds) - i),"
-                f" y -> struct(ds[i-1].did AS id_a, y.did AS id_b,"
-                f"             ds[i-1].simhash AS sa, y.simhash AS sb)),"
-                f" p -> bit_count(p.sa ^ p.sb) <= {int(hamming)})))"
+    stars = None
+    if connectivity_only:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("simhash")
+        withrep = sims.withColumn("_rep", F.min(id_col).over(w))
+        stars = (
+            withrep.filter(F.col(id_col) != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).alias("hamming"),
             )
-        ).alias("p")
-    )
-    return (
-        pairs.select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            F.bit_count(F.col("p.sa").bitwiseXOR(F.col("p.sb"))).alias("hamming"),
+            .distinct()
+        )
+        sims = withrep.filter(F.col(id_col) == F.col("_rep")).select(
+            id_col, "simhash"
+        )
+
+    def _banded(side: str):
+        return sims.select(
+            F.col(id_col).alias(f"id_{side}"),
+            F.col("simhash").alias(f"s{side}"),
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright("simhash", width * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bv"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("band"),
+        ).select(f"id_{side}", f"s{side}", "band.b", "band.bv")
+
+    pairs = (
+        _banded("a")
+        .join(_banded("c"), ["b", "bv"])
+        .filter(
+            (F.col("id_a") < F.col("id_c"))
+            & (
+                F.bit_count(F.col("sa").bitwiseXOR(F.col("sc")))
+                <= F.lit(int(hamming))
+            )
+        )
+        .select(
+            "id_a",
+            F.col("id_c").alias("id_b"),
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sc"))).alias("hamming"),
         )
         .distinct()
     )
+    return pairs if stars is None else pairs.unionByName(stars).distinct()
 
 
 def _sign_lsh_planes(dim: int, n_planes: int = 4) -> list:
@@ -403,22 +465,61 @@ def _sign_lsh_planes(dim: int, n_planes: int = 4) -> list:
     ]
 
 
+#: at and below this many DISTINCT vectors the default plane count
+#: stays the frozen 4 (16 buckets); past it one plane is added per
+#: corpus doubling, keeping expected bucket depth ≈ this constant —
+#: the same sizing rule the r9 ladder forced on the query twin
+#: (queries/llm.py _x48_planes) after the fixed 16-bucket blocking
+#: went quadratic (~1.25B within-bucket pairs at 200k unique vectors)
+SEMANTIC_FROZEN_MAX = 4096
+
+
+def _semantic_planes_for(n_distinct: int) -> int:
+    import math
+
+    extra = (
+        math.ceil(math.log2(n_distinct / SEMANTIC_FROZEN_MAX))
+        if n_distinct > SEMANTIC_FROZEN_MAX
+        else 0
+    )
+    return 4 + extra
+
+
 def semantic_candidate_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int | None = None,
-    n_planes: int = 4,
+    n_planes: int | None = None,
+    connectivity_only: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at cosine >= ``threshold`` — the
     SemDeDup blocking: sign-LSH buckets confine the pairwise cosine to
-    a bucket (2^n_planes cells; k-means clusters at production scale —
-    pass more planes as the corpus grows), per-vector norms computed
-    ONCE before pairing, scoring in JVM higher-order functions.
+    a bucket, per-vector norms computed ONCE before pairing, scoring
+    in JVM higher-order functions.
     Recall note: sign-LSH requires bucket agreement, so cross-bucket
     near-duplicates are missed — exact duplicates always agree (same
     signs) and that is the dedup contract this serves.
+
+    ``n_planes=None`` (the default) sizes the bucket count FROM THE
+    DATA: one plane per corpus doubling past ``SEMANTIC_FROZEN_MAX``
+    distinct vectors (estimated by the same probe pass that checks
+    widths — approx_count_distinct is map-side combinable).  SemDeDup's
+    scale story is that cluster count grows with the corpus so
+    per-cluster depth stays bounded (Abbas et al. 2023); a FIXED 2^4
+    buckets makes the within-bucket join O(n²/16) — the exact asymptote
+    the r9 unique-corpus ladder measured and killed in the query twin.
+    Pass an explicit ``n_planes`` to override.
+
+    ``connectivity_only=True`` (the :func:`dedupe_table` consumer):
+    exact-duplicate vectors (equal 128-bit content hash) collapse to
+    one representative; each group emits star links (cos exactly 1 for
+    identical non-zero vectors) and only representatives enter the
+    bucket join.  Components under :func:`connected_components` are
+    identical: a qualifying pair is either hash-equal (same group →
+    star) or its representatives carry the same two vectors — same
+    buckets, same cosine — so the rep pair plus the stars connects it.
 
     ``dim=None`` derives the width from the data (one aggregate pass)
     and REFUSES mixed widths — zip_with null-pads a shorter side,
@@ -426,11 +527,13 @@ def semantic_candidate_pairs(
     consideration.  Zero/NaN vectors never emit pairs: their cosine
     is NaN, which Spark's comparisons rank ABOVE every number — left
     unguarded, one corrupt all-zeros embedding would "match" its
-    whole bucket and a dedup would mass-delete it.
+    whole bucket and a dedup would mass-delete it.  Zero-vector star
+    links are equally refused (identical zero vectors have no cosine).
     Returns (id_a, id_b, cos) with id_a < id_b."""
     probe = df.agg(
         F.min(F.size(F.col(vec_col))).alias("lo"),
         F.max(F.size(F.col(vec_col))).alias("hi"),
+        F.approx_count_distinct(vec_col).alias("nd"),
     ).first()
     if probe is not None and probe["lo"] is not None:
         if probe["lo"] != probe["hi"]:
@@ -448,12 +551,44 @@ def semantic_candidate_pairs(
             )
     if dim is None:
         dim = 64  # empty input: any plane width works, nothing to pair
+    if n_planes is None:
+        n_planes = _semantic_planes_for(
+            int(probe["nd"]) if probe is not None and probe["nd"] else 1
+        )
 
     def dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x,
+        )
+
+    stars = None
+    if connectivity_only:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_g1", "_g2")
+        withrep = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.xxhash64(vec_col).alias("_g1"),
+            F.xxhash64(F.lit(1), vec_col).alias("_g2"),
+        ).withColumn("_rep", F.min(id_col).over(w))
+        stars = (
+            withrep.filter(
+                (F.col(id_col) != F.col("_rep"))
+                & (dot(F.col(vec_col), F.col(vec_col)) > 0)
+                & (F.lit(float(threshold)) <= 1.0)
+            )
+            .select(
+                F.col("_rep").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(1.0).alias("cos"),
+            )
+            .distinct()
+        )
+        df = withrep.filter(F.col(id_col) == F.col("_rep")).select(
+            id_col, vec_col
         )
 
     bucket = None
@@ -479,7 +614,7 @@ def semantic_candidate_pairs(
         F.col(vec_col).alias("_eb"),
         F.col("_nrm").alias("_nb"),
     )
-    return (
+    pairs = (
         a.join(c, "_bkt")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -497,3 +632,4 @@ def semantic_candidate_pairs(
         )
         .filter(F.col("cos").isNotNull() & ~F.isnan("cos") & (F.col("cos") >= threshold))
     )
+    return pairs if stars is None else pairs.unionByName(stars)

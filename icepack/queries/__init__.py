@@ -56,70 +56,70 @@ def load_all_modules() -> None:
 #: iteration order never depends on untracked files in the environment
 #: (same input -> same order, everywhere).
 #:
-#: Round-9 snapshot (VERDICT r8 item 3): the r8 driver run refreshed
-#: the r3-stale cohort plus the r8-changed code paths, so the oldest
-#: driver-side evidence now belongs to the 35 queries last sampled in
-#: round 4 — they go FIRST (the 50-entry budget covers all of them),
+#: Round-10 snapshot (VERDICT r9 item 4): the r9 driver run refreshed
+#: the r4-stale cohort plus the r9-changed code paths, so the oldest
+#: driver-side evidence now belongs to the 39 queries last sampled in
+#: round 5 — they go FIRST (the 50-entry budget covers all of them),
 #: followed by the queries whose code paths change THIS round
-#: (distributed-planner bucket-tuple pruning + In range-collapse,
-#: executor-side spec-primary Avro decode, one-pass MERGE key
-#: profiling, float/whitespace partition-value decode alignment,
-#: v2-file-scoped-pos-delete import routing).
+#: (production dedupe_table star-link/collapse + data-aware planes,
+#: distributed tuple-prune spelling-collision guard + exact In
+#: membership, picklable-store executor-side planning, O(hit
+#: manifests) replace commits, MOR-aware total-data-files, timestamp
+#: bucket fast-lane gating).
 PRIORITY: list[str] = [
-    # r04-evidenced cohort (oldest driver evidence; local battery green
+    # r05-evidenced cohort (oldest driver evidence; local battery green
     # every round since, but the hard signal must rotate)
-    "f1_date_trunc",
-    "f2_date_parts",
-    "f3_date_arith",
-    "f4_casts",
-    "f5_strings",
-    "f6_bucket_mod",
-    "f8_explode_words",
-    "f9_math",
-    "f10_date_spine",
-    "f11_calendar",
-    "o4_intersect",
-    "o4_except",
-    "o6_unpivot",
-    "o7_nulls_ordering",
-    "o8_histogram",
-    "w3_range_frame",
-    "w4_ntile",
-    "w5_value_windows",
-    "a12_funnel",
-    "a15_sessionize_gap",
-    "j8_salted_join",
-    "ice1_create_append_read",
-    "ice2_time_travel",
-    "ice10_mor_delete",
-    "ice13_medallion",
-    "ice22_cdc_diff",
-    "ice31_mor_pipeline",
-    "ice34_scheduled_compaction",
-    "ice35_multi_stmt_txn",
-    "ice36_glue_catalog",
-    "ice37_memory_store",
-    "ice38_sql_pruned_select",
-    "ice39_distributed_plan",
-    "ice41_time_travel_prune",
-    "ice42_fsck",
+    "j1_inner_join",
+    "j2_right_join",
+    "j2_left_join",
+    "j2_full_outer",
+    "j3_broadcast_star",
+    "j4_semi_join",
+    "j4_anti_join",
+    "j5_range_join",
+    "j5_interval_bin_join",
+    "j7_asof_join",
+    "p4_like",
+    "p5_json_extract",
+    "p5_from_json_struct",
+    "p6_null_handling",
+    "a3_approx_percentile",
+    "ice44_result_cache",
+    "ice46_s3_store",  # ALSO r10-changed: executor-side S3 planning
+    "x3_minhash_lsh",
+    "x4_simhash",
+    "x5_cosine_topk",
+    "x6_ann_bucketed",
+    "x7_text_quality",
+    "x8_fingerprint",
+    "x9_binary_meta",
+    "x10_doc_embedding_join",
+    "x11_token_regex",
+    "x12_lang_id",
+    "x13_embedding_neardup",
+    "x14_variant_json",
+    "x15_multimodal_features",
+    "x16_dedup_clusters",
+    "x17_tfidf_terms",
+    "x18_hash_sample",
+    "x19_weighted_mix",
+    "x20_kmeans_ivf",
+    "x21_repetition_ratio",
+    "x22_contamination",
+    "x23_dedup_keep_best",
+    "x24_char_entropy",
+    "x25_edit_distance",
+    "x26_quality_filter",
+    "x27_lsh_ann",
     # code changing this round -- re-evidence
-    "x60_bm25_topk",  # new in r9, never driver-sampled
-    "ice60_auto_distributed_scan",  # now bucket(8)-partitioned + tuple prune
-    "ice49_spec_primary",  # executor-side Avro manifest decode
-    "ice47_iceberg_read",
-    "ice48_spec_read_prune",
-    "ice43_iceberg_export",
-    "ice50_foreign_adopt",  # _is_dv_rec v2 file-scoped routing
-    "ice5_merge",  # one-pass approx key profile
-    "ice27_scd2",
-    "ice57_batch_writer",  # float/whitespace decode alignment
-    "ice59_partitioned_adopt",
-    "ice7_hidden_partition_prune",
-    "p1_pruned_scan",
-    "p3_time_range",
+    "ice52_table_dedup",  # dedupe_table star-link mining + window exact
+    "ice39_distributed_plan",  # spelling-collision guard, In membership
+    "ice60_auto_distributed_scan",
+    "ice37_memory_store",  # non-picklable store driver fallback
+    "f6_bucket_mod",  # timestamp fast-lane gating
+    "ice5_merge",  # O(hit manifests) replace commit
+    "ice10_mor_delete",  # MOR-aware total-data-files
     "ice54_deletion_vectors",
-    "ice40_stream_source",
 ]
 
 

@@ -488,31 +488,87 @@ class IceTable:
             new_summaries: list[dict] = []
             total_files = 0
             seen_replaced: set[str] = set()
+            descs = (
+                self._read_mlist(prev.manifest_list) if prev is not None else []
+            )
+            # REPLACE-commit hit search: past the threshold (estimated
+            # total entries — same order as the distributed-plan
+            # crossover measured in SCALE.md) the path→manifest mapping
+            # runs in Spark and the driver decodes ONLY hit manifests,
+            # keeping DELETE/UPDATE/MERGE commit cost O(hit manifests)
+            # instead of O(table entries).  hit_names=None (below
+            # threshold, or a non-distributable store) keeps the exact
+            # driver walk.
+            hit_names = None
+            if replaced_paths and descs:
+                thr = int(
+                    self.meta.properties.get(
+                        "commit.hit-search.threshold", "131072"
+                    )
+                )
+                est = sum(
+                    m["live-files"]
+                    if m.get("live-files") is not None
+                    else (
+                        (
+                            m.get("added-files-count")
+                            or m.get("added_files_count")
+                            or 0
+                        )
+                        + (
+                            m.get("existing-files-count")
+                            or m.get("existing_files_count")
+                            or 0
+                        )
+                        or 1000  # summary-less: assume big
+                    )
+                    for m in descs
+                )
+                if est > thr:
+                    from .scanplan import replaced_hit_manifests
+
+                    hit_names = replaced_hit_manifests(
+                        self, descs, replaced_paths
+                    )
             if prev is not None:
-                for m in self._read_mlist(prev.manifest_list):
-                    if not replaced_paths:
-                        # APPEND fast path: nothing to search for, so
-                        # carry the manifest forward from its LIST
-                        # summary alone — commit cost O(manifests), not
+                for m in descs:
+                    if not replaced_paths or (
+                        hit_names is not None
+                        and m["manifest-path"] not in hit_names
+                    ):
+                        # SUMMARY carry: nothing to search for in this
+                        # manifest (append commit, or the distributed
+                        # hit search proved it holds no replaced path),
+                        # so carry it forward from its LIST summary
+                        # alone — commit cost O(manifests), not
                         # O(table entries).  Profiled before this path
                         # existed: at 200 manifests × 500 entries every
                         # append re-decoded 100k JSON entries (~1.6 s of
                         # driver CPU per commit, linear in table size).
                         lf = m.get("live-files")
+                        if lf is not None:
+                            # 'live-files' counts every live entry
+                            # including delete-content ones (DVs,
+                            # position deletes) — total-DATA-files must
+                            # exclude those or MOR tables over-report
+                            lf -= m.get("delete-content-files") or 0
                         if lf is None:  # spec-format / legacy spellings
-                            a = m.get("added-files-count") or m.get(
-                                "added_files_count"
-                            )
-                            x = m.get("existing-files-count") or m.get(
-                                "existing_files_count"
-                            )
-                            if a is not None or x is not None:
-                                lf = (a or 0) + (x or 0)
+                            if m.get("content") == 1:
+                                lf = 0  # spec DELETE manifest: no data files
+                            else:
+                                a = m.get("added-files-count") or m.get(
+                                    "added_files_count"
+                                )
+                                x = m.get("existing-files-count") or m.get(
+                                    "existing_files_count"
+                                )
+                                if a is not None or x is not None:
+                                    lf = (a or 0) + (x or 0)
                         if lf is None:  # summary-less layout: read once
                             lf = sum(
                                 1
                                 for e in self._read_mentries(m["manifest-path"])
-                                if e.status != "deleted"
+                                if e.status != "deleted" and e.content == "data"
                             )
                         manifests.append(m["manifest-path"])
                         summaries.append(
@@ -527,9 +583,11 @@ class IceTable:
                         summaries.append(
                             {k: v for k, v in m.items() if k != "manifest-path"}
                         )
-                        # live count: same basis as the append fast path
+                        # live DATA count: same basis as the append fast path
                         total_files += sum(
-                            1 for e in entries if e.status != "deleted"
+                            1
+                            for e in entries
+                            if e.status != "deleted" and e.content == "data"
                         )
                         continue
                     seen_replaced.update(e.path for e in hit)
@@ -551,7 +609,7 @@ class IceTable:
                             s = {**ms, "manifest-length": mlen}
                             summaries.append(s)
                             new_summaries.append(s)
-                        total_files += len(kept)
+                        total_files += sum(1 for e in kept if e.content == "data")
             if not replaced_paths <= seen_replaced and replaced_paths:
                 raise CommitConflict(
                     "files to replace no longer live (concurrent delete/compact)"
@@ -564,7 +622,7 @@ class IceTable:
                     s = {**ms, "manifest-length": mlen}
                     summaries.append(s)
                     new_summaries.append(s)
-                total_files += len(new_entries)
+                total_files += sum(1 for e in new_entries if e.content == "data")
             sid = _snapshot_id()
             # manifests WRITTEN BY this commit are attributed to its
             # snapshot (Iceberg manifest-list added_snapshot_id);

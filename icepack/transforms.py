@@ -386,8 +386,19 @@ def _literal_matches_type(value, simple_type: str) -> bool:
         return isinstance(value, (int, float)) and not isinstance(value, bool)
     if simple_type == "date":
         return isinstance(value, _pdt.date) and not isinstance(value, _pdt.datetime)
-    if simple_type in ("timestamp", "timestamp_ntz"):
-        return isinstance(value, _pdt.datetime)
+    if simple_type == "timestamp":
+        # NAIVE datetimes fall through to the Spark twin: Spark casts
+        # them via the SESSION timezone while the pure-Python lane's
+        # epoch arithmetic is UTC — on a non-UTC session the two lanes
+        # would hash different micros and equality pruning on a
+        # timestamp-bucketed key could hit the wrong bucket (r9
+        # ADVICE).  tz-aware values convert identically on both lanes.
+        return isinstance(value, _pdt.datetime) and value.tzinfo is not None
+    if simple_type == "timestamp_ntz":
+        # mirror image: NTZ is wall-clock — a naive datetime IS the
+        # stored value (exact on both lanes); a tz-aware literal takes
+        # the Spark twin, which applies Spark's own aware→NTZ rule.
+        return isinstance(value, _pdt.datetime) and value.tzinfo is None
     if simple_type == "boolean":
         return isinstance(value, bool)
     if simple_type == "binary":

@@ -107,6 +107,12 @@ def test_mor_delete_and_reinsert(spark, warehouse):
     assert back.count() > 0
     t.append(back)
     assert t.toDF().count() == expected.count() + back.count()
+    # snapshot summary counts DATA files only: the live delete-content
+    # file (DV / eq-delete) must not inflate total-data-files — on
+    # both the append fast path (this commit) and replace commits
+    assert int(t.meta.current_snapshot.summary["total-data-files"]) == len(
+        t.live_files()
+    )
     # compaction folds deletes in and clears delete files
     t.compact()
     assert len(t.live_files(content="equality-deletes")) == 0

@@ -164,6 +164,76 @@ def test_fast_lsh_finds_all_exact_duplicates(spark):
     assert {(r.id_a, r.id_b) for r in wide.collect()} >= want
 
 
+def test_connectivity_only_pairs_give_identical_clusters(spark):
+    """r9 verdict item 1: ``connectivity_only=True`` bounds every
+    blocking bucket's pair expansion to a star (O(k) instead of k²/2)
+    for the connected-components consumer.  The CLUSTERS must be
+    identical to the all-pairs path's on all three similarity methods,
+    and the star pair set must never exceed the all-pairs set's
+    components' vertex sets."""
+    from icepack.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        semantic_candidate_pairs,
+        simhash_candidate_pairs,
+    )
+    from icepack.io import load
+
+    def clusters(pairs):
+        cc = connected_components(pairs)
+        return {(r["id"], r["cluster"]) for r in cc.collect()}
+
+    base = load(spark, SF_DIR, "documents").select("doc_id", "text").limit(60)
+    # exact copies AND light near-dup edits → multi-member clusters
+    docs = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 100_000)
+    ).unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 200_000).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" tail"))
+        )
+    )
+    full = clusters(lsh_candidate_pairs(docs))
+    star = clusters(lsh_candidate_pairs(docs, connectivity_only=True))
+    assert full == star and full
+
+    full = clusters(simhash_candidate_pairs(docs).select("id_a", "id_b"))
+    star = clusters(
+        simhash_candidate_pairs(docs, connectivity_only=True).select(
+            "id_a", "id_b"
+        )
+    )
+    assert full == star and full
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").limit(60)
+    vecs = emb.unionByName(
+        emb.withColumn("vec_id", F.col("vec_id") + 100_000)
+    )
+    full = clusters(
+        semantic_candidate_pairs(vecs, threshold=0.999).select("id_a", "id_b")
+    )
+    star = clusters(
+        semantic_candidate_pairs(
+            vecs, threshold=0.999, connectivity_only=True
+        ).select("id_a", "id_b")
+    )
+    assert full == star and full
+
+
+def test_semantic_default_planes_scale_with_distinct_vectors():
+    """The default sign-LSH plane count grows one per corpus doubling
+    past SEMANTIC_FROZEN_MAX distinct vectors (frozen 4 below) — the
+    sizing rule that keeps expected bucket depth bounded (the fixed
+    16-bucket default was the exact quadratic the r9 ladder killed in
+    the query twin)."""
+    from icepack.dedup import SEMANTIC_FROZEN_MAX, _semantic_planes_for
+
+    assert _semantic_planes_for(1) == 4
+    assert _semantic_planes_for(SEMANTIC_FROZEN_MAX) == 4
+    assert _semantic_planes_for(SEMANTIC_FROZEN_MAX + 1) == 5
+    assert _semantic_planes_for(SEMANTIC_FROZEN_MAX * 4) == 6
+    assert _semantic_planes_for(SEMANTIC_FROZEN_MAX * 64) == 10
+
+
 def test_pii_scan_detects_injected_pii(spark):
     """Plant known PII into fixture docs and require exact hit counts
     from the same pii_counts machinery the x43 census uses (which is

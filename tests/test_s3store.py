@@ -112,3 +112,64 @@ def test_s3store_url_encodable_keys(s3):
     s3.delete(p)
     assert not s3.exists(p)
     assert _LoopbackS3.bad_auth == []
+
+
+def test_s3store_distributed_planning_stays_distributed(spark, tmp_path, s3):
+    """r9 verdict item 3: S3-backed tables must keep the O(selected)
+    distributed planner — the store is picklable, so manifests are
+    read and decoded ON EXECUTORS.  Pinned: zero driver-side manifest
+    reads during plan_entries_distributed (the driver touches only the
+    manifest LIST), selection a superset of the driver planner's, rows
+    identical to toDF."""
+    from pyspark.sql import functions as F
+
+    from icepack.expr import col
+    from icepack.scanplan import plan_entries_distributed, read_distributed
+
+    loc = str(tmp_path / "s3d")
+    df = spark.createDataFrame(
+        [Row(id=i, cat="abc"[i % 3], v=float(i)) for i in range(12)]
+    )
+    t = IceTable.create(
+        spark, loc, df.schema, partition_by=[("cat", "identity")], store=s3
+    )
+    t.append(df.filter("id < 6"))
+    t.append(df.filter("id >= 6"))
+
+    # count every driver-side manifest read: entry decodes AND raw
+    # store reads of manifest objects from THIS (driver) instance —
+    # executor copies are unpickled clones and can't touch these hooks
+    decodes = []
+    orig_mentries = t._read_mentries
+    t._read_mentries = lambda *a, **k: (decodes.append(a), orig_mentries(*a, **k))[1]
+    # patch read_text at CLASS level: an instance-level closure would
+    # make the store unpicklable and silently flip the planner onto the
+    # driver fallback (defeating the test); the class patch lives only
+    # in the DRIVER process — executors re-import the clean class
+    reads = []
+    orig_read_text = S3Store.read_text
+
+    def counting_read_text(self, path):
+        base = path.rsplit("/", 1)[-1]
+        if base.startswith("manifest-"):  # entries; snap-*.manifest-list is fine
+            reads.append(path)
+        return orig_read_text(self, path)
+
+    S3Store.read_text = counting_read_text
+    pred = col("cat") == "a"
+    try:
+        data, dels = plan_entries_distributed(t, pred)
+        assert decodes == [], "driver decoded manifest entries"
+        assert reads == [], f"driver read manifest objects: {reads}"
+    finally:
+        t._read_mentries = orig_mentries
+        S3Store.read_text = orig_read_text
+    # comparisons OUTSIDE the counting window (the driver planner
+    # legitimately decodes entries driver-side)
+    driver_files, _ = t.plan_files(pred)
+    assert {f.path for f in driver_files} <= {f.path for f in data}
+    assert len(data) < len(t.live_files())  # actually pruned
+    got = rows_sorted(read_distributed(t, pred))
+    want = rows_sorted(t.toDF(pred).select(*read_distributed(t, pred).columns))
+    assert got == want
+    assert _LoopbackS3.bad_auth == []

@@ -115,6 +115,36 @@ def test_plan_mode_property_switches_todf(spark, tmp_path):
     assert t._scan_log[-1].get("planner") == "distributed"
 
 
+def test_distributed_tuple_prune_numeric_spelled_strings(spark, tmp_path):
+    """r9 ADVICE (high): a STRING identity-partition value that spells
+    a number ("1.50") is stored numerically by the directory decode
+    (float 1.5, re-spelled "1.5" in the manifest JSON); the distributed
+    tuple compare against the literal "1.50" must treat that as
+    UNKNOWN and keep the file — not string-compare and prune it."""
+    from pyspark.sql import Row
+
+    rows = [Row(id=i, c=v) for i, v in enumerate(["1.50", "1.50", "abc", "2.25"])]
+    df = spark.createDataFrame(rows)
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), df.schema, partition_by=[("c", "identity")]
+    )
+    t.append(df)
+    for pred in [
+        col("c") == "1.50",
+        col("c") >= "1.50",
+        col("c").isin("1.50", "9.99"),
+        col("c") != "abc",
+    ]:
+        want = rows_sorted(t.toDF(pred))
+        data, _ = plan_entries_distributed(t, pred)
+        driver_files, _rep = t.plan_files(pred)
+        assert {f.path for f in driver_files} <= {f.path for f in data}, pred
+        assert rows_sorted(read_distributed(t, pred)) == want, pred
+    # non-numeric string equality still prunes the numeric-tuple files
+    data, _ = plan_entries_distributed(t, col("c") == "abc")
+    assert len(data) < len(t.live_files())
+
+
 def test_distributed_planning_composes_with_storage_seam(spark, tmp_path):
     """Distributed planning must work when the metadata lives in a
     non-POSIX store (seam proof: InMemoryStore) — the manifests are no
@@ -366,10 +396,15 @@ def test_partition_match_column_superset_random(spark):
 
     def rand_lit():
         r = rnd.random()
-        if r < 0.5:
+        if r < 0.4:
             return rnd.randint(0, 8)
-        if r < 0.75:
+        if r < 0.65:
             return round(rnd.uniform(0, 8), 2)
+        if r < 0.8:
+            # numeric-spelled STRING literal ("1.50") — the r9 ADVICE
+            # spelling collision: the stored tuple for that data value
+            # is float 1.5, so a raw string compare would lose the file
+            return f"{rnd.uniform(0, 8):.2f}"
         return f"2024-01-0{rnd.randint(1, 8)}"
 
     def rand_pred(depth=0):
@@ -391,6 +426,9 @@ def test_partition_match_column_superset_random(spark):
                     None,
                     f"s{rnd.randint(0, 3)}",
                     f"2024-01-0{rnd.randint(1, 8)}",
+                    # what _decode_like stores for string data "1.50":
+                    # the float — numeric re-spelling collision fodder
+                    float(f"{rnd.uniform(0, 8):.2f}"),
                 ]
             )
         if rnd.random() < 0.3:

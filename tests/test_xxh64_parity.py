@@ -184,6 +184,41 @@ def test_transform_apply_bucket_fast_lane_matches_spark_job(spark):
             .first()["b"]
         )
         assert got == want, (value, dtype, got, want)
+    # timestamp (TZ) lanes under a NON-UTC session timezone (r9
+    # ADVICE): a tz-aware literal takes the fast lane (conversion is
+    # timezone-independent); a NAIVE one must route through the Spark
+    # twin, whose cast applies the session timezone — the pure-Python
+    # UTC arithmetic would land it in the wrong bucket.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        tr._bucket_cache.clear()
+        for value in [
+            dt.datetime(2024, 3, 1, 12, 30, 0, 123456, tzinfo=dt.timezone.utc),
+            dt.datetime(2024, 3, 1, 12, 30, 0, 123456),  # naive → Spark twin
+        ]:
+            assert tr._literal_matches_type(value, "timestamp") == (
+                value.tzinfo is not None
+            )
+            got = t.apply(value, spark, T.TimestampType())
+            want = (
+                spark.range(1)
+                .select(
+                    F.pmod(
+                        F.xxhash64(F.lit(value).cast(T.TimestampType())),
+                        F.lit(16),
+                    ).alias("b")
+                )
+                .first()["b"]
+            )
+            assert got == want, (value, got, want)
+        # and the NTZ mirror: tz-aware refuses the fast lane
+        assert not tr._literal_matches_type(
+            dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc), "timestamp_ntz"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        tr._bucket_cache.clear()
     # mismatched type: string literal over a timestamp column — the
     # fast-lane gate refuses, the Spark twin casts and hashes
     tr._bucket_cache.clear()

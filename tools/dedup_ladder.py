@@ -14,7 +14,11 @@ nothing else).  Each rung: one untimed warmup + 2 timed runs per
 query, min kept.  Prints one JSON line per rung plus a final ratio
 table for SCALE.md.
 
-Usage: python tools/dedup_ladder.py [K ...]   (default 30 100)
+Usage: python tools/dedup_ladder.py [--unique] [--table] [K ...]
+(default K = 30 100).  ``--table`` ladders the PRODUCTION maintenance
+API — dedupe_table's four methods, dry_run — instead of the query
+twins (r9 verdict item 2); ``--unique`` swaps in the unique-heavy
+corpus twin at equal row counts.
 """
 
 from __future__ import annotations
@@ -114,6 +118,55 @@ def build_unique(spark, out: str, replicas: int) -> None:
         u.write.parquet(dst)
 
 
+#: production maintenance API (icepack.dedup.dedupe_table) — r9
+#: verdict item 2: the ladder must exercise the operator that DELETES
+#: rows from a live table, not only its query twins.  dry_run=True so
+#: the rung measures the MINING (hash/LSH/banding/CC), not the MERGE.
+TABLE_METHODS = ["exact", "minhash", "simhash", "semantic"]
+
+
+def _adopt(spark, corpus_dir: str, name: str, tbl_root: str):
+    """IceTable over an existing parquet corpus via add_files (metadata
+    -only; the parquet never moves) — cached like the corpus builds."""
+    import glob as _glob
+
+    from icepack.table import IceTable
+
+    loc = os.path.join(tbl_root, name)
+    if os.path.exists(os.path.join(loc, "metadata")):
+        return IceTable.load(spark, loc)
+    df = load(spark, corpus_dir, name)
+    t = IceTable.create(spark, loc, df.schema)
+    files = sorted(_glob.glob(os.path.join(corpus_dir, f"{name}.parquet", "*.parquet")))
+    t.add_files(files)
+    return t
+
+
+def run_table_rung(spark, corpus_dir: str, tbl_root: str) -> dict:
+    from icepack.dedup import dedupe_table
+
+    os.makedirs(tbl_root, exist_ok=True)
+    docs = _adopt(spark, corpus_dir, "documents", tbl_root)
+    embs = _adopt(spark, corpus_dir, "embeddings", tbl_root)
+    out = {}
+    for m in TABLE_METHODS:
+        if m == "semantic":
+            kw = dict(method=m, id_col="vec_id", dry_run=True)
+            t = embs
+        else:
+            kw = dict(method=m, dry_run=True)
+            t = docs
+        dedupe_table(t, **kw)  # warmup
+        ts = []
+        for _ in range(2):
+            t0 = time.time()
+            r = dedupe_table(t, **kw)
+            ts.append(round(time.time() - t0, 3))
+        out[m] = min(ts)
+        out[f"{m}_groups"] = r["groups"]
+    return out
+
+
 def run_rung(spark, qs, sf_dir: str) -> dict:
     out = {}
     for name in QUERIES:
@@ -130,32 +183,48 @@ def run_rung(spark, qs, sf_dir: str) -> dict:
 def main() -> None:
     args = sys.argv[1:]
     unique = "--unique" in args
-    reps = [int(a) for a in args if a != "--unique"] or [30, 100]
+    table_mode = "--table" in args
+    reps = [int(a) for a in args if not a.startswith("--")] or [30, 100]
     spark = get_session("icepack-dedup-ladder")
-    qs = all_queries()
+    kind = "unique" if unique else "dup"
     results = {}
-    base = run_rung(spark, qs, BASE)
-    results[0.1] = base
-    print(json.dumps({"sf": 0.1, "queries": base, "corpus": "base"}))
-    for k in reps:
-        sf = 0.1 * k
-        kind = "unique" if unique else "dup"
-        out = f"/tmp/icepack-dedup-{kind}-sf{sf:g}"
-        os.makedirs(out, exist_ok=True)
-        (build_unique if unique else build)(spark, out, k)
-        r = run_rung(spark, qs, out)
-        results[sf] = r
-        print(json.dumps({"sf": sf, "queries": r, "corpus": kind}))
+    if table_mode:
+        names = TABLE_METHODS
+        base = run_table_rung(spark, BASE, f"/tmp/icepack-dedup-tbl-base")
+        results[0.1] = base
+        print(json.dumps({"sf": 0.1, "table": base, "corpus": "base"}))
+        for k in reps:
+            sf = 0.1 * k
+            out = f"/tmp/icepack-dedup-{kind}-sf{sf:g}"
+            os.makedirs(out, exist_ok=True)
+            (build_unique if unique else build)(spark, out, k)
+            r = run_table_rung(spark, out, f"/tmp/icepack-dedup-tbl-{kind}-sf{sf:g}")
+            results[sf] = r
+            print(json.dumps({"sf": sf, "table": r, "corpus": kind}))
+    else:
+        names = QUERIES
+        qs = all_queries()
+        base = run_rung(spark, qs, BASE)
+        results[0.1] = base
+        print(json.dumps({"sf": 0.1, "queries": base, "corpus": "base"}))
+        for k in reps:
+            sf = 0.1 * k
+            out = f"/tmp/icepack-dedup-{kind}-sf{sf:g}"
+            os.makedirs(out, exist_ok=True)
+            (build_unique if unique else build)(spark, out, k)
+            r = run_rung(spark, qs, out)
+            results[sf] = r
+            print(json.dumps({"sf": sf, "queries": r, "corpus": kind}))
     # ratio table: sec and x-vs-data-growth per rung (1.0 = perfectly
     # linear in rows; <1 = duplicate-collapse sublinearity)
     print("\nquery            " + "".join(f"{sf:>10g}" for sf in results))
-    for name in QUERIES:
+    for name in names:
         row = f"{name:<17}"
         for sf, r in results.items():
             row += f"{r[name]:>10.2f}"
         print(row)
     print("\nper-row ratio vs sf0.1 (time_K / (time_0.1 * K)):")
-    for name in QUERIES:
+    for name in names:
         row = f"{name:<17}"
         for sf, r in results.items():
             k = sf / 0.1

@@ -49,6 +49,10 @@ NLJ_OK = {
     # K=4 centroid table broadcasts under a cross join: K rows per
     # vector, map-only assignment — bounded by K, not data size
     "x39_kmeans_assign",
+    # 1-row broadcast cross join attaching the corpus (N, avgdl)
+    # aggregate to the postings — the scalar-join idiom; the BNLJ's
+    # build side is a single row by construction (r9 verdict)
+    "x60_bm25_topk",
 }
 #: queries where a single-partition exchange is inherent (global top-k)
 SINGLE_OK = {"o2_top_n"}
