@@ -31,36 +31,45 @@ def connected_components(
     both = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).unionByName(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
-    both = both.distinct().cache()
-    labels = both.select(F.col("s").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    ).cache()
-    try:
-        for _ in range(max_iter):
-            msgs = both.join(labels, both.s == labels.id).select(
-                F.col("d").alias("id"), F.col("label")
-            )
-            new_labels = (
-                labels.select("id", "label")
-                .unionByName(msgs)
-                .groupBy("id")
-                .agg(F.min("label").alias("label"))
-                .cache()
-            )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                return labels.select(F.col("id"), F.col("label").alias("cluster"))
-        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
-    finally:
-        both.unpersist()
+    # LINEAGE TRUNCATION, not just caching: labels_{i+1}'s logical plan
+    # embeds labels_i TWICE (the union and the convergence join), so
+    # un-truncated iteration grows the plan EXPONENTIALLY and the
+    # driver dies in plan canonicalization long before any data is big
+    # (observed: 8 GB heap OOM by ~iteration 10 over an IceTable-read
+    # lineage, preceded by "plan too large" truncation warnings).
+    # localCheckpoint materializes the rows and REPLACES the plan with
+    # the stored blocks — O(1) plan per iteration, and each round's
+    # join/agg re-analyzes a two-node plan instead of the whole
+    # upstream pipeline re-nested 2^i times.
+    both = both.distinct().localCheckpoint()
+    labels = (
+        both.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = both.join(labels, both.s == labels.id).select(
+            F.col("d").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.select("id", "label")
+            .unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("id"), F.col("label").alias("cluster"))
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 
 #: affine-permutation constants for one-base-hash MinHash (primes /

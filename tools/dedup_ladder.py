@@ -137,8 +137,18 @@ def _adopt(spark, corpus_dir: str, name: str, tbl_root: str):
         return IceTable.load(spark, loc)
     df = load(spark, corpus_dir, name)
     t = IceTable.create(spark, loc, df.schema)
-    files = sorted(_glob.glob(os.path.join(corpus_dir, f"{name}.parquet", "*.parquet")))
+    src = os.path.join(corpus_dir, f"{name}.parquet")
+    files = (
+        sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        if os.path.isdir(src)
+        else [src]  # the driver fixtures are single parquet files
+    )
+    if not files:
+        raise RuntimeError(f"no parquet under {src}")
     t.add_files(files)
+    n, want = t.toDF().count(), df.count()
+    if n != want:
+        raise RuntimeError(f"adopted {n} rows, corpus has {want}")
     return t
 
 
@@ -156,7 +166,9 @@ def run_table_rung(spark, corpus_dir: str, tbl_root: str) -> dict:
         else:
             kw = dict(method=m, dry_run=True)
             t = docs
-        dedupe_table(t, **kw)  # warmup
+        # min-of-2, no extra warmup: a dedupe_table run is many jobs
+        # (signatures + CC iterations + stats), so JIT is warm after
+        # the first rep and a third full pass buys little
         ts = []
         for _ in range(2):
             t0 = time.time()
