@@ -2,14 +2,15 @@
 -pair graph (the step after MinHash/LSH blocking in a dedup pipeline —
 pairs alone don't dedup; clusters pick one survivor per group).
 
-``connected_components`` is iterative min-label propagation expressed
-as DataFrame joins: each round every vertex takes the minimum label
-among itself and its neighbors; convergence in O(component diameter)
-rounds (LSH candidate graphs are short-diameter by construction).
-Each round is one join + one aggregation — fully distributed, no
-driver-side graph.  This is the standard "large-star/small-star"-lite
-formulation; the full Kiveris et al. variant drops in if diameters
-ever get long.
+``connected_components`` is iterative min-label propagation WITH
+pointer jumping, expressed as DataFrame joins: each round every vertex
+takes the minimum label among itself and its neighbors, then
+compresses through its label's own label (path halving) — convergence
+in O(log component diameter) rounds, the same bound family as the
+Kiveris et al. large-star/small-star formulation but with a simpler
+per-round shape (join + agg + self-join).  Fully distributed, no
+driver-side graph; every round's labels are lineage-truncated
+(localCheckpoint) so plans stay O(1) per iteration.
 """
 
 from __future__ import annotations
@@ -52,11 +53,41 @@ def connected_components(
         msgs = both.join(labels, both.s == labels.id).select(
             F.col("d").alias("id"), F.col("label")
         )
-        new_labels = (
+        # checkpointed BEFORE the jump self-join: besides the plan-size
+        # argument above, a self-join whose both sides share the whole
+        # iteration lineage trips Spark's attribute dedup at runtime
+        # ("key not found: id#N") on some upstream plan shapes — a
+        # LogicalRDD base makes the two sides cleanly re-aliasable
+        propagated = (
             labels.select("id", "label")
             .unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        # POINTER JUMPING (path compression): follow the label's own
+        # label — label(id) is always a vertex id (the min REACHABLE id
+        # seen so far), so label(label(id)) is reachable transitively
+        # and still an upper bound on the component min.  Neighbor
+        # propagation alone moves labels ONE hop per round (O(diameter)
+        # rounds — a natural near-dup corpus chains far past 15: the
+        # unique-corpus table ladder hit exactly that on simhash);
+        # compressing through the label's label doubles the effective
+        # horizon per round, giving O(log diameter) convergence.
+        jump = propagated.select(
+            F.col("id").alias("_jid"), F.col("label").alias("_jlabel")
+        )
+        new_labels = (
+            propagated.join(
+                jump, propagated["label"] == jump["_jid"], "left"
+            )
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("_jlabel"), F.col("label")),
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
         changed = (
@@ -227,8 +258,17 @@ def dedupe_table(
       cluster/survivor policy — the Manku-style web-dedup rule;
     - ``method='semantic'``: embedding-cosine pairs at
       ``cos >= threshold`` over ``vec_col``
-      (:func:`semantic_candidate_pairs`, sign-LSH blocked — the
-      SemDeDup rule) → the same cluster/survivor policy.
+      (:func:`semantic_candidate_pairs`, sign-LSH blocked with a
+      DATA-AWARE default plane count — the SemDeDup rule) → the same
+      cluster/survivor policy.
+
+    All three similarity methods mine with ``connectivity_only=True``:
+    blocking buckets emit star links / representative pairs (O(k) per
+    bucket) instead of k²/2 cliques — the clusters are provably
+    identical for the connected-components consumer, and it is what
+    keeps a duplicate-saturated 100 TB corpus from going quadratic in
+    its hottest bucket (ladder-measured: tools/dedup_ladder.py
+    --table, SCALE.md round-10).
 
     The losers delete through ONE ``MERGE ... WHEN MATCHED DELETE``
     commit: under merge-on-read only tombstones move (a narrow delete
