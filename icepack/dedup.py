@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 15
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 30
 ) -> DataFrame:
     """(id, cluster) for every vertex in ``edges``; cluster = minimum
     vertex id reachable in the undirected graph.
