@@ -240,6 +240,8 @@ def dedupe_table(
     threshold: float = 0.95,
     dim: int | None = None,
     n_planes: int | None = None,
+    keep: str = "min-id",
+    quality_col: str | None = None,
 ) -> dict:
     """In-place deduplication of a WAREHOUSE table — the maintenance
     operation that turns the distributed dedup pipeline into a table
@@ -270,6 +272,15 @@ def dedupe_table(
     its hottest bucket (ladder-measured: tools/dedup_ladder.py
     --table, SCALE.md round-10).
 
+    Survivor policy: ``keep='min-id'`` (default) keeps MIN(id) per
+    group; ``keep='best'`` keeps the row with the highest
+    ``quality_col`` (NULLs last, ties broken by min id) — the
+    keep-best curation rule (query twin: x23) as a maintenance
+    commit: a training corpus keeps its highest-quality copy, not its
+    oldest.  One window over the group key either way; the quality
+    column joins into the cluster assignment only (never the mining
+    shuffles).
+
     The losers delete through ONE ``MERGE ... WHEN MATCHED DELETE``
     commit: under merge-on-read only tombstones move (a narrow delete
     batch against a wide 100 TB table); copy-on-write rewrites only
@@ -279,7 +290,23 @@ def dedupe_table(
     Returns {"groups": duplicate groups found, "dropped": rows
     deleted, "snapshot_id": commit id or None}.
     """
+    from pyspark.sql import Window
+
     from .dml import merge
+
+    if keep not in ("min-id", "best"):
+        raise ValueError(f"keep must be 'min-id' or 'best', got {keep!r}")
+    if keep == "best" and not quality_col:
+        raise ValueError("keep='best' requires quality_col")
+
+    def _survivor_window(*group_cols):
+        """Window whose FIRST row per group is the survivor."""
+        w = Window.partitionBy(*group_cols)
+        if keep == "best":
+            return w.orderBy(
+                F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()
+            )
+        return w.orderBy(F.col(id_col).asc())
 
     d = (
         table.toDF().select(id_col, vec_col)
@@ -287,23 +314,25 @@ def dedupe_table(
         else table.toDF().select(id_col, text_col)
     )
     if method == "exact":
-        # (loser id, group key) rows via a WINDOW min over the 128-bit
+        # (loser id, group key) rows via a WINDOW over the 128-bit
         # content hash — one exchange, no per-group collect_list array
         # (a group of k identical documents would otherwise
         # materialize a k-element array in a single task; k is
         # unbounded on a duplicate-saturated corpus).  The group stat
         # and the delete both derive from this ONE loser set, so the
         # content-hash scan+shuffle runs once (persist below).
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("_h1", "_h2")
+        cols = [id_col, text_col] + ([quality_col] if keep == "best" else [])
         losers = (
-            d.select(
-                id_col,
+            table.toDF()
+            .select(
+                *cols[:1],
                 F.xxhash64(text_col).alias("_h1"),
                 F.xxhash64(F.lit(1), text_col).alias("_h2"),
+                *cols[2:],
             )
-            .withColumn("_keep", F.min(id_col).over(w))
+            .withColumn(
+                "_keep", F.first(id_col).over(_survivor_window("_h1", "_h2"))
+            )
             .filter(F.col(id_col) != F.col("_keep"))
             .select(id_col, "_keep")
         )
@@ -329,11 +358,28 @@ def dedupe_table(
                 d, id_col=id_col, vec_col=vec_col, threshold=threshold,
                 dim=dim, n_planes=n_planes, connectivity_only=True,
             ).select("id_a", "id_b")
-        losers = (
-            connected_components(pairs)
-            .filter(F.col("id") != F.col("cluster"))
-            .select(F.col("id").alias(id_col), F.col("cluster"))
-        )
+        cc = connected_components(pairs)
+        if keep == "best":
+            # quality joins into the CLUSTER ASSIGNMENT only (vertex-
+            # sized), never the mining shuffles; singletons have no CC
+            # vertex and survive untouched either way
+            labeled = cc.select(
+                F.col("id").alias(id_col), F.col("cluster")
+            ).join(
+                table.toDF().select(id_col, quality_col), id_col
+            )
+            losers = (
+                labeled.withColumn(
+                    "_keep", F.first(id_col).over(_survivor_window("cluster"))
+                )
+                .filter(F.col(id_col) != F.col("_keep"))
+                .select(id_col, "cluster")
+            )
+        else:
+            losers = (
+                cc.filter(F.col("id") != F.col("cluster"))
+                .select(F.col("id").alias(id_col), F.col("cluster"))
+            )
         group_key = "cluster"
     else:
         raise ValueError(f"unknown dedup method {method!r}")

@@ -2430,3 +2430,59 @@ def ice60_auto_distributed_scan(spark: SparkSession, sf: str) -> DataFrame:
     )
     assert t._scan_log[-1].get("planner") == "distributed"
     return out
+
+
+@query(
+    "ice61_dedup_keep_best",
+    oracle="""
+    WITH all_docs AS (
+      SELECT doc_id, lang, text, CAST(doc_id % 13 AS DOUBLE) AS score
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, lang, text,
+             CAST((doc_id + 1000000) % 13 AS DOUBLE)
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY text ORDER BY score DESC, doc_id ASC
+      ) AS rn FROM all_docs
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(ROUND(SUM(score), 6) AS DOUBLE) AS total_score
+    FROM ranked WHERE rn = 1
+    GROUP BY lang
+    """,
+)
+def ice61_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """KEEP-BEST dedup as a table maintenance commit
+    (icepack.dedup.dedupe_table(keep='best'); the x23 curation rule —
+    docs/12-lakehouse-patterns.md:57-83's silver cleansing — keeping
+    the HIGHEST-QUALITY copy per duplicate group instead of the
+    oldest): a documents table polluted with re-ingested copies whose
+    quality scores DIFFER from the originals dedupes in place;
+    survivor per content-hash group = max(score), ties → min(doc_id).
+    The returned state aggregates BOTH the count and the score sum per
+    lang, so the oracle verifies the RIGHT rows survived — a min-id
+    survivor set has the same counts but a different score sum."""
+    docs = load(spark, sf, "documents").select("doc_id", "lang", "text")
+    from ..dedup import dedupe_table
+
+    scored = docs.withColumn(
+        "score", (F.col("doc_id") % 13).cast("double")
+    )
+    copies = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        .withColumn("score", (F.col("doc_id") % 13).cast("double"))
+    )
+    t = IceTable.create(
+        spark, _scratch(), scored.schema,
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.append(scored.unionByName(copies))
+    dedupe_table(t, keep="best", quality_col="score")
+    return t.toDF().groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("score"), 6).alias("total_score"),
+    )

@@ -790,3 +790,45 @@ def test_merge_prune_profile_is_single_linear_scan(spark):
                   "b": {"min": 100, "max": 200, "nulls": 0}}
     assert pred.may_match_file(stats_hit, 10)
     assert not pred.may_match_file(stats_miss, 10)
+
+
+def test_dedupe_table_keep_best(spark, warehouse):
+    """keep='best' survivors: per duplicate group the highest
+    quality_col row wins (NULLs last, ties -> min id) — on exact AND
+    similarity methods; min-id default unchanged."""
+    from pyspark.sql import Row
+
+    from icepack.dedup import dedupe_table
+
+    cat = Catalog(spark, warehouse)
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta", score=2.0),
+        Row(doc_id=2, text="alpha beta gamma delta", score=9.0),  # best
+        Row(doc_id=3, text="alpha beta gamma delta", score=None),
+        Row(doc_id=4, text="unique one two three", score=1.0),
+        Row(doc_id=5, text="other words entirely here", score=5.0),
+        Row(doc_id=6, text="other words entirely here", score=5.0),  # tie -> min id
+    ]
+    df = spark.createDataFrame(rows)
+    t = cat.create_table("db.kb", df.schema)
+    t.append(df)
+    stats = dedupe_table(t, keep="best", quality_col="score")
+    assert stats["groups"] == 2 and stats["dropped"] == 3
+    assert sorted(r.doc_id for r in t.toDF().collect()) == [2, 4, 5]
+
+    # similarity method: exact copies cluster via minhash; best kept
+    t2 = cat.create_table("db.kb2", df.schema)
+    t2.append(df)
+    stats2 = dedupe_table(t2, method="minhash", keep="best", quality_col="score")
+    got = sorted(r.doc_id for r in t2.toDF().collect())
+    assert 2 in got and 3 not in got and 1 not in got
+
+    # bad arguments fail loudly
+    t3 = cat.create_table("db.kb3", df.schema)
+    t3.append(df)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dedupe_table(t3, keep="best")
+    with _pytest.raises(ValueError):
+        dedupe_table(t3, keep="newest")
