@@ -173,3 +173,46 @@ def test_s3store_distributed_planning_stays_distributed(spark, tmp_path, s3):
     want = rows_sorted(t.toDF(pred).select(*read_distributed(t, pred).columns))
     assert got == want
     assert _LoopbackS3.bad_auth == []
+
+
+def test_s3store_spec_primary_distributed_decode(spark, tmp_path, s3):
+    """The OTHER manifest format on the picklable-store lane: a
+    ``format.spec-primary=true`` table whose Avro metadata lives only
+    in loopback S3 must decode its manifests EXECUTOR-side too (the
+    pickled store ships into the mapInPandas closure; read_spec_manifest
+    runs on workers via store.read_bytes) — zero driver-side entry
+    decodes during distributed planning, rows identical."""
+    from icepack.expr import col
+    from icepack.scanplan import plan_entries_distributed, read_distributed
+
+    df = spark.createDataFrame(
+        [Row(id=i, cat="ab"[i % 2], v=float(i)) for i in range(10)]
+    )
+    t = IceTable.create(
+        spark,
+        str(tmp_path / "sps3"),
+        df.schema,
+        properties={"format.spec-primary": "true"},
+        store=s3,
+    )
+    t.append(df.filter("id < 5"))
+    t.append(df.filter("id >= 5"))
+    want = rows_sorted(t.toDF(col("id") >= 4))
+
+    decodes = []
+    orig = IceTable._read_mentries
+
+    def counting(self, name):
+        decodes.append(name)
+        return orig(self, name)
+
+    IceTable._read_mentries = counting
+    try:
+        files, dels = plan_entries_distributed(t, col("id") >= 4)
+        assert decodes == [], "spec-primary S3 manifests decoded driver-side"
+    finally:
+        IceTable._read_mentries = orig
+    assert rows_sorted(read_distributed(t, col("id") >= 4)) == want
+    drv, _ = t.plan_files(col("id") >= 4)
+    assert {f.path for f in drv} <= {f.path for f in files}
+    assert _LoopbackS3.bad_auth == []
