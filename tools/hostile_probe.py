@@ -60,6 +60,46 @@ def main() -> int:
         rows = qs[probe](spark, "/root/testdata/sf0.001").collect()
         assert rows, f"{probe} returned no rows"
         print(f"{probe} OK ({len(rows)} rows)")
+    # Picklable-store distributed planning on a FOREIGN session (r10):
+    # a loopback-S3-backed table plans its scan with the store pickled
+    # into executor closures — workers must import icepack via the
+    # addPyFile shipping AND reconstruct the store to read manifests
+    # over signed HTTP, with zero driver-side entry decodes.
+    sys.path.insert(0, repo)
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    from pyspark.sql import Row
+
+    from icepack.expr import col
+    from icepack.s3store import LoopbackS3Handler, S3Store
+    from icepack.scanplan import plan_entries_distributed
+    from icepack.table import IceTable
+
+    handler = LoopbackS3Handler.make("AK", "sk", "us-east-1")
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    store = S3Store(
+        f"http://127.0.0.1:{srv.server_port}", bucket="probe",
+        region="us-east-1", access_key="AK", secret_key="sk",
+    )
+    loc = tempfile.mkdtemp(prefix="probe-s3-")
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(8)])
+    t = IceTable.create(spark, os.path.join(loc, "t"), df.schema, store=store)
+    t.append(df)
+    decodes = []
+    orig = IceTable._read_mentries
+    IceTable._read_mentries = lambda self, name: (
+        decodes.append(name), orig(self, name))[1]
+    try:
+        files, _ = plan_entries_distributed(t, col("id") >= 4)
+    finally:
+        IceTable._read_mentries = orig
+    srv.shutdown()
+    assert files and decodes == [], (files, decodes)
+    assert handler.bad_auth == []
+    print(f"s3-store distributed planning OK ({len(files)} files, 0 driver decodes)")
+
     qk, ok = set(qs), set(mod.oracle_sql())
     assert qk == ok, f"key sets differ: {qk ^ ok}"
     print(f"key sets match: {len(qk)} queries")
