@@ -20,12 +20,13 @@ path — data is not copied.  Avro encoding comes from the from-scratch
 :mod:`icepack.avroenc` (no avro library exists offline).
 
 Fidelity notes (all mechanical, spec Appendix A/B/D):
-- transforms: identity/year/month/day/hour/truncate[W](string) and
-  ``mmh3bucket[N]`` (exported as spec ``bucket[N]`` — murmur3-correct,
-  see murmur3.py) map 1:1; icepack's native xxhash64 ``bucket[N]`` and
-  non-string ``truncate`` export as ``void`` — external engines then
-  read every partition (correct, just unpruned) instead of pruning
-  with a hash they can't reproduce (SURVEY §2.7 F6).
+- transforms: identity/year/month/day/hour, truncate[W] on string,
+  integral, and decimal(p≤18) sources, and ``mmh3bucket[N]`` (exported
+  as spec ``bucket[N]`` — murmur3-correct, see murmur3.py) map 1:1;
+  icepack's native xxhash64 ``bucket[N]`` and truncate on wider
+  decimals export as ``void`` — external engines then read every
+  partition (correct, just unpruned) instead of pruning with a hash
+  they can't reproduce (SURVEY §2.7 F6).
 - partition VALUES are re-encoded from icepack's lexical forms to the
   spec's numeric forms (year→years since 1970, month→months since
   1970-01, day→days since epoch, hour→hours since epoch).
@@ -51,6 +52,7 @@ from pyspark.sql import types as T
 from .avroenc import write_container
 from .metadata import PartitionSpec, type_from_str
 from .murmur3 import timestamp_micros
+from .transforms import _decimal_ps_str
 
 _EPOCH = _dt.date(1970, 1, 1)
 _EPOCH_DT = _dt.datetime(1970, 1, 1)
@@ -142,21 +144,36 @@ def _export_transform(transform: str, source_type: str) -> str:
         return "void"  # xxhash64 bucket: external engines can't reproduce
     if transform.startswith("truncate["):
         # string truncate is the spec's substring form; integral
-        # truncate follows the spec arithmetic (v - v mod W) since r6
-        # (transforms.py) — both export 1:1.  Other source types
-        # (decimal on the legacy prefix form) stay void: correct but
-        # unpruned externally.
+        # truncate follows the spec arithmetic (v - v mod W) since r6,
+        # and decimal(p≤18) since r10 (transforms.py stores the
+        # truncated UNSCALED long — Avro decimal bytes are exactly that
+        # int, big-endian two's-complement) — all export 1:1.  Wider
+        # decimals stay on the legacy prefix form: void (correct but
+        # unpruned externally).
         if source_type in ("string", "int", "bigint", "long", "smallint", "tinyint"):
+            return transform
+        if _decimal_ps_str(source_type) is not None:
             return transform
         return "void"
     return transform  # identity / year / month / day / hour
 
 
-def _spec_result_type(transform: str, source_type: str) -> str:
+def _spec_result_type(transform: str, source_type: str) -> str | dict:
     """Iceberg result type (as avro primitive) of an EXPORTED transform."""
     t = _export_transform(transform, source_type)
     if t == "void":
         return "null"
+    if t.startswith("truncate[") and (ps := _decimal_ps_str(source_type)):
+        # spec result type of decimal truncate is the source decimal;
+        # avro carries it as decimal-logical bytes (unscaled
+        # two's-complement) — the wrapper attributes ride through the
+        # encoder untouched (avroenc strips to the primitive)
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": ps[0],
+            "scale": ps[1],
+        }
     if t == "identity" or t.startswith("truncate["):
         return {
             "int": "int",
@@ -182,6 +199,12 @@ def _spec_partition_value(transform: str, source_type: str, v):
     t = _export_transform(transform, source_type)
     if t == "void" or v is None:
         return None
+    if t.startswith("truncate[") and _decimal_ps_str(source_type):
+        # stored value IS the truncated unscaled long (transforms.py);
+        # avro decimal bytes = that int, big-endian two's-complement
+        if not isinstance(v, int):
+            return None  # pre-r10 prefix-lane value: unexportable
+        return int(v).to_bytes((int(v).bit_length() + 8) // 8, "big", signed=True)
     if t == "year":
         return int(v) - 1970
     if t == "month":  # "yyyy-MM"
@@ -210,13 +233,32 @@ def _plain_value(source_type: str, v):
 # -------------------------------------------------- single-value bounds
 
 
-def _bound_bytes(source_type: str, v) -> bytes | None:
+def _bound_bytes(source_type: str, v, widen: int = 0) -> bytes | None:
     """Spec Appendix D single-value binary serialization of a stats
     bound.  Types we don't track bounds for return None (the map entry
-    is simply omitted — optional per spec)."""
+    is simply omitted — optional per spec).
+
+    ``widen`` (−1 lower bound, +1 upper) directs decimal rounding:
+    manifests store decimal stats as floats (manifest.py widened them
+    one ULP outward already), and re-quantizing onto the column scale
+    floors/ceils in the same outward direction so the exported range
+    stays a superset of the data."""
     if v is None:
         return None
     try:
+        if (ps := _decimal_ps_str(source_type.replace(" ", ""))) is not None:
+            import decimal as _decmod
+
+            d = _decmod.Decimal(v) if not isinstance(v, _decmod.Decimal) else v
+            u = d.scaleb(ps[1]).to_integral_value(
+                rounding=_decmod.ROUND_FLOOR if widen < 0 else _decmod.ROUND_CEILING
+                if widen > 0
+                else _decmod.ROUND_HALF_EVEN
+            )
+            iu = int(u)
+            if widen == 0 and u != d.scaleb(ps[1]):
+                return None  # inexact with no direction: omit the bound
+            return iu.to_bytes((iu.bit_length() + 8) // 8, "big", signed=True)
         if source_type == "int":
             return struct.pack("<i", int(v))
         if source_type in ("bigint", "long"):
@@ -236,7 +278,7 @@ def _bound_bytes(source_type: str, v) -> bytes | None:
             return struct.pack("<q", micros)
         if source_type == "string":
             return str(v).encode("utf-8")
-    except (ValueError, TypeError, struct.error):
+    except (ValueError, TypeError, struct.error, ArithmeticError):
         return None
     return None  # decimal/binary/nested: bounds not exported
 
@@ -507,8 +549,8 @@ def _entry_record(table, f, status: int, snapshot_id: int) -> dict:
         value_counts.append({"key": fld.id, "value": f.record_count})
         if st.get("nulls") is not None:
             null_counts.append({"key": fld.id, "value": int(st["nulls"])})
-        lo = _bound_bytes(fld.type, st.get("min"))
-        hi = _bound_bytes(fld.type, st.get("max"))
+        lo = _bound_bytes(fld.type, st.get("min"), widen=-1)
+        hi = _bound_bytes(fld.type, st.get("max"), widen=1)
         if lo is not None:
             lowers.append({"key": fld.id, "value": lo})
         if hi is not None:

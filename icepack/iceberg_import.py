@@ -240,6 +240,15 @@ def _decode_bound(type_json, raw: bytes):
             return (_dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=micros)).isoformat()
         if type_json == "string":
             return raw.decode("utf-8")
+        if type_json.startswith("decimal("):
+            # spec Appendix D: unscaled value, big-endian two's-complement
+            import decimal as _decmod
+            import re as _re
+
+            m = _re.match(r"^decimal\(\s*\d+\s*,\s*(\d+)\s*\)$", type_json)
+            if m and raw:
+                u = int.from_bytes(raw, "big", signed=True)
+                return _decmod.Decimal(u).scaleb(-int(m.group(1)))
     except (ValueError, struct.error):
         return None
     return None
@@ -256,6 +265,15 @@ def _lexical_partition_tuple(spec_fields: list, partition: dict) -> dict:
     for pf in spec_fields:
         name, tr = pf["name"], pf["transform"]
         v = partition.get(name)
+        if (
+            isinstance(v, bytes)
+            and tr.startswith("truncate[")
+        ):
+            # decimal truncate: avro decimal bytes = the truncated
+            # UNSCALED value, big-endian two's-complement — exactly the
+            # long domain icepack's projection produces (transforms.py)
+            out[name] = int.from_bytes(v, "big", signed=True) if v else None
+            continue
         if v is None or not isinstance(v, int):
             continue
         if tr == "year":
@@ -304,7 +322,13 @@ def _prune_files(md: dict, data: list, where) -> list:
             NestedField(
                 f["id"],
                 f["name"],
-                _COMPACT_TYPE.get(f["type"], "string")
+                _COMPACT_TYPE.get(
+                    f["type"],
+                    # decimal keeps its real type: projection needs the
+                    # DecimalType scale to map literals onto the
+                    # truncate transform's unscaled-long value domain
+                    f["type"] if f["type"].startswith("decimal(") else "string",
+                )
                 if isinstance(f["type"], str)
                 else "string",
                 f.get("required", False),

@@ -23,7 +23,9 @@ the metadata tables.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import json
+import math
 import os
 import uuid
 from dataclasses import dataclass, field
@@ -33,14 +35,40 @@ import pyarrow.parquet as pq
 from .storage import LOCAL, MetadataStore
 
 
-def _enc(v):
-    """JSON-encode a stats/partition value order-preservingly."""
+def _enc(v, widen: int = 0):
+    """JSON-encode a stats/partition value order-preservingly.
+
+    ``widen`` handles decimal.Decimal bounds (parquet footers hand
+    decimal stats back as Decimal, which JSON can't carry): the value
+    becomes a float, nudged one ULP toward -inf (widen=-1, a min
+    bound) or +inf (widen=+1, a max bound) whenever the conversion is
+    inexact — the published range may only ever WIDEN, so the pruner
+    never drops a file whose true decimal bound was rounded past the
+    predicate.  widen=0 (partition values) refuses inexact decimals
+    outright (None → unknown, file kept)."""
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat()
     if isinstance(v, bytes):
         return None  # binary bounds: not tracked (keep-file semantics)
     if isinstance(v, float) and (v != v):  # NaN
         return None
+    if isinstance(v, _decimal.Decimal):
+        try:
+            f = float(v)
+        except (OverflowError, ValueError):
+            return None
+        if f != f or f in (float("inf"), float("-inf")):
+            return None
+        d = _decimal.Decimal(f)
+        if d == v:
+            return f
+        if widen == 0:
+            return None
+        if widen < 0 and d > v:
+            return math.nextafter(f, -math.inf)
+        if widen > 0 and d < v:
+            return math.nextafter(f, math.inf)
+        return f
     return v
 
 
@@ -143,9 +171,33 @@ def harvest_stats(path: str) -> tuple[int, int, dict]:
                 cur["nulls"] = None
                 continue
             cur = agg.setdefault(name, {"min": None, "max": None, "nulls": 0})
-            if s.has_min_max:
-                cur["min"] = _merge(cur["min"], _enc(s.min), True, name, bad)
-                cur["max"] = _merge(cur["max"], _enc(s.max), False, name, bad)
+            try:
+                # pyarrow raises ArrowNotImplementedError for stats it
+                # can't logically decode (e.g. Spark's INT32/INT64-backed
+                # decimals) — recover those from the RAW physical value
+                # (the unscaled int) + the column's decimal logical type;
+                # anything else stays unknown (file kept)
+                has_mm = s.has_min_max
+                mn, mx = (s.min, s.max) if has_mm else (None, None)
+            except Exception:  # noqa: BLE001 — undecodable stats
+                mn = mx = None
+                has_mm = False
+                try:
+                    lt = s.logical_type
+                    if (
+                        s.has_min_max
+                        and lt.type == "DECIMAL"
+                        and isinstance(s.min_raw, int)
+                    ):
+                        sc = json.loads(lt.to_json())["scale"]
+                        mn = _decimal.Decimal(s.min_raw).scaleb(-sc)
+                        mx = _decimal.Decimal(s.max_raw).scaleb(-sc)
+                        has_mm = True
+                except Exception:  # noqa: BLE001 — raw form unusable too
+                    has_mm = False
+            if has_mm:
+                cur["min"] = _merge(cur["min"], _enc(mn, widen=-1), True, name, bad)
+                cur["max"] = _merge(cur["max"], _enc(mx, widen=1), False, name, bad)
             else:
                 bad.add(name)
             if cur["nulls"] is not None:

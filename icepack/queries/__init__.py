@@ -112,6 +112,7 @@ PRIORITY: list[str] = [
     "x26_quality_filter",
     "x27_lsh_ann",
     # code changing this round -- re-evidence
+    "ice62_decimal_truncate",  # NEW in r10: decimal truncate partitioning
     "ice61_dedup_keep_best",  # NEW in r10, never driver-sampled
     "ice52_table_dedup",  # dedupe_table star-link mining + window exact
     "ice39_distributed_plan",  # spelling-collision guard, In membership

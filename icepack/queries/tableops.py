@@ -2486,3 +2486,59 @@ def ice61_dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.round(F.sum("score"), 6).alias("total_score"),
     )
+
+
+@query(
+    "ice62_decimal_truncate",
+    oracle="""
+    WITH priced AS (
+      SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders
+    ),
+    binned AS (
+      SELECT CAST(price * 100 AS BIGINT)
+             - (CAST(price * 100 AS BIGINT) % 1000000) AS bin,
+             CAST(price * 100 AS BIGINT) AS cents
+      FROM priced
+    )
+    SELECT bin, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def ice62_decimal_truncate(spark: SparkSession, sf: str) -> DataFrame:
+    """T1/F6 (r10): spec-arithmetic ``truncate[W]`` on a DECIMAL
+    partition column (Iceberg spec "Partition Transforms": unscaled
+    v - (v mod W); docs/07-partitioning.md:42-52).  Orders are CTAS'd
+    into a table hidden-partitioned by truncate[1000000] of the
+    decimal(12,2) price (10000.00-wide bins, partition value = the
+    truncated UNSCALED long); a point predicate on the natural column
+    must prune to a single bin, and the returned per-bin aggregate is
+    recomputed by the oracle in exact integer cents — so both the
+    partition VALUES and the routed rows are value-checked.  The same
+    transform exports 1:1 as spec Avro decimal bytes
+    (tests/test_decimal.py)."""
+    orders = load(spark, sf, "orders").select(
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price")
+    )
+    t = IceTable.create(
+        spark,
+        _scratch(),
+        orders.schema,
+        partition_by=[("price", "truncate[1000000]")],
+    )
+    t.append(orders)
+    # hidden-partition pruning on the natural decimal column: one bin
+    import decimal as _dec
+
+    _, rep = t.plan_files(col("price") == _dec.Decimal("100000.00"))
+    assert rep["files_scanned"] <= 1 < rep["files_total"]
+    df = t.toDF()
+    cents = (F.col("price") * F.lit(100)).cast("long")
+    return (
+        df.select(
+            (cents - F.pmod(cents, F.lit(1_000_000))).alias("bin"),
+            cents.alias("cents"),
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("cents").alias("sum_cents"))
+        .orderBy("bin")
+    )

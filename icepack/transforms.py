@@ -41,14 +41,61 @@ _bucket_cache: dict[tuple, int] = {}
 
 
 def _is_integral(dtype) -> bool:
-    """Integral Spark types get the spec's arithmetic truncate.
-    Decimal stays on the legacy prefix form: its partition values
-    would round-trip through directory names as strings and break the
-    pruner's literal comparison — not worth the fidelity until decimal
-    partition keys actually appear."""
+    """Integral Spark types get the spec's arithmetic truncate."""
     from pyspark.sql import types as T
 
     return isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
+_DECIMAL_SIMPLE_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
+
+
+def _decimal_ps(dtype) -> tuple[int, int] | None:
+    """(precision, scale) when *dtype* is a DecimalType the arithmetic
+    truncate lane can carry EXACTLY through int64 — precision ≤ 18, so
+    the unscaled value fits a long.  The spec's decimal truncate(W)
+    operates on the UNSCALED value (v - (v mod W), Iceberg spec
+    "Partition Transforms"); storing that unscaled long AS the
+    partition value round-trips losslessly through directory names,
+    manifest JSON and the pruner's integer comparisons (the same value
+    domain as integral truncate), and exports 1:1 as Avro decimal
+    bytes (big-endian two's-complement IS the unscaled int).  Wider
+    decimals (p > 18) stay on the legacy string-prefix lane: correct,
+    self-consistent, but exported as ``void``."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.DecimalType) and dtype.precision <= 18:
+        return dtype.precision, dtype.scale
+    return None
+
+
+def _decimal_ps_str(simple_type: str) -> tuple[int, int] | None:
+    """`_decimal_ps` over the compact type-string form ("decimal(p,s)")."""
+    m = _DECIMAL_SIMPLE_RE.match(simple_type)
+    if m and int(m.group(1)) <= 18:
+        return int(m.group(1)), int(m.group(2))
+    return None
+
+
+def _unscaled_trunc(value, scale: int, width: int) -> int | None:
+    """Spec decimal truncate of one literal: unscaled(v) - (unscaled(v)
+    mod W).  Returns None (no pruning) when the literal doesn't land
+    exactly on the column's scale — e.g. 10.505 against decimal(9,2):
+    no stored value can equal it and a lossy rounding here could prune
+    files a range predicate still matches."""
+    import decimal as _decmod
+
+    if isinstance(value, bool) or value is None:
+        return None
+    try:
+        d = value if isinstance(value, _decmod.Decimal) else _decmod.Decimal(str(value))
+        u = d.scaleb(scale)
+    except (_decmod.InvalidOperation, ValueError, TypeError):
+        return None
+    if u != u.to_integral_value():
+        return None
+    u = int(u)
+    return u - (u % width)
 
 
 def _to_dt(v) -> _dt.datetime:
@@ -107,6 +154,15 @@ class Transform:
             # fixed-width keys) and exports 1:1 as the spec transform.
             if dtype is not None and _is_integral(dtype):
                 return c - F.pmod(c, F.lit(self.param))
+            ps = _decimal_ps(dtype) if dtype is not None else None
+            if ps is not None:
+                # spec decimal truncate: unscaled(v) - (unscaled(v) mod
+                # W), carried as the unscaled LONG (exact for p ≤ 18:
+                # c * 10^s is integral-valued by construction, the
+                # product precision p + s + 1 ≤ 37 stays inside Spark
+                # decimal arithmetic, and the long cast is lossless)
+                u = (c * F.lit(10 ** ps[1])).cast("long")
+                return u - F.pmod(u, F.lit(self.param))
             return F.substring(c.cast("string"), 1, self.param)
         if k == "mmh3bucket":
             # Iceberg-SPEC bucket (murmur3_x86_32, Appendix B) — the
@@ -183,6 +239,11 @@ class Transform:
         if k == "truncate":
             if simple_type in _INTEGRAL_SIMPLE:
                 return int(value) - (int(value) % self.param)
+            ps = _decimal_ps_str(simple_type)
+            if ps is not None:
+                # arrow hands decimals back as decimal.Decimal at the
+                # column's scale — the unscaled truncate is exact
+                return _unscaled_trunc(value, ps[1], self.param)
             # append's path: cast-to-string prefix, then the directory
             # decode turns int-looking prefixes back into ints
             return _decode_like(_dir_value(value)[: self.param])
@@ -278,6 +339,13 @@ class Transform:
             iv = filled.cast(pa.int64()).to_numpy(zero_copy_only=False)
             out = (iv - (iv % np.int64(self.param))).tolist()
             return [None if m else int(v) for m, v in zip(nulls.tolist(), out)]
+        if k == "truncate" and (ps := _decimal_ps_str(simple_type)) is not None:
+            # decimal128 → unscaled long truncate (py_value parity);
+            # arrow's to_pylist yields decimal.Decimal at column scale
+            return [
+                None if v is None else _unscaled_trunc(v, ps[1], self.param)
+                for v in col.to_pylist()
+            ]
         if k == "identity" and (
             pa.types.is_integer(col.type) or pa.types.is_string(col.type)
             or pa.types.is_large_string(col.type)
@@ -323,6 +391,9 @@ class Transform:
                 if isinstance(value, bool) or not isinstance(value, int):
                     return None  # odd literal on integral column: no pruning
                 return value - (value % self.param)
+            ps = _decimal_ps(dtype) if dtype is not None else None
+            if ps is not None:
+                return _unscaled_trunc(value, ps[1], self.param)
             return str(value)[: self.param]
         if k == "bucket":
             # fast lane: when the literal's Python type already matches
