@@ -291,12 +291,6 @@ def write_deletion_vectors(
             "DV entry shape (rewrite_position_deletes is the v2 "
             "consolidation)"
         )
-    live = table.live_files(content="all")
-    pos = [f for f in live if f.content == "position-deletes"]
-    dvs = [f for f in live if f.content == "deletion-vectors"]
-    n_puffins = len({f.path for f in dvs})
-    if not pos and n_puffins <= 1:
-        return None  # already consolidated (or nothing to do)
     spark = table.spark
 
     import pandas as pd  # noqa: F401
@@ -307,15 +301,51 @@ def write_deletion_vectors(
 
     # (canonical → raw-manifest) spelling map of the LIVE data files:
     # tombstones may carry percent-encoded URIs while the DV entry must
-    # reference the raw manifest spelling the read path compares against
-    live_map = spark.createDataFrame(
-        [
-            (canonical_file_path(f.path), f.path)
-            for f in live
-            if f.content == "data"
-        ],
-        "_norm string, _raw string",
-    )
+    # reference the raw manifest spelling the read path compares against.
+    # Past the auto plan-mode thresholds the snapshot's entries come
+    # from the DISTRIBUTED planner's entries DataFrame instead of a
+    # driver walk: the driver collects only the DELETE-content entries
+    # (O(files-with-deletes)), and the data-file spelling map is built
+    # executor-side — a million-file table never materializes a
+    # million-row Python list (or a million driver createDataFrame
+    # rows) just to consolidate its tombstones.
+    snap = table.meta.current_snapshot
+    live_map_hint = F.broadcast  # small tables: skip the AQE round-trip
+    if snap is not None and table._use_distributed_planner(snap):
+        import json as _json
+
+        from .scanplan import _entries_df
+
+        live_df = _entries_df(table, snap).filter(F.col("status") != "deleted")
+        del_entries = [
+            DataFile.from_json(_json.loads(r))
+            for r in live_df.filter(
+                F.col("content").isin("position-deletes", "deletion-vectors")
+            )
+            .toJSON()
+            .collect()
+        ]
+        pos = [f for f in del_entries if f.content == "position-deletes"]
+        dvs = [f for f in del_entries if f.content == "deletion-vectors"]
+        live_map = live_df.filter(F.col("content") == "data").select(
+            _canon(F.col("path")).alias("_norm"), F.col("path").alias("_raw")
+        )
+        live_map_hint = lambda df: df  # noqa: E731 — O(files) rows: AQE decides
+    else:
+        live = table.live_files(content="all")
+        pos = [f for f in live if f.content == "position-deletes"]
+        dvs = [f for f in live if f.content == "deletion-vectors"]
+        live_map = spark.createDataFrame(
+            [
+                (canonical_file_path(f.path), f.path)
+                for f in live
+                if f.content == "data"
+            ],
+            "_norm string, _raw string",
+        )
+    n_puffins = len({f.path for f in dvs})
+    if not pos and n_puffins <= 1:
+        return None  # already consolidated (or nothing to do)
     parts = []
     if pos:
         parts.append(
@@ -328,7 +358,7 @@ def write_deletion_vectors(
         keys = keys.unionByName(p)
     keys = (
         keys.withColumn("_norm", _canon("file_path"))
-        .join(F.broadcast(live_map), "_norm")  # drops dangling tombstones
+        .join(live_map_hint(live_map), "_norm")  # drops dangling tombstones
         .select(F.col("_raw").alias("file_path"), "pos")
     )
     blobs = build_dv_blobs(keys).collect()

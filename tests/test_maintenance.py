@@ -490,3 +490,69 @@ def test_zorder_over_date_and_timestamp_columns(spark, tmp_path):
     assert len(spans) > 1
     full = (min(s[0] for s in spans), max(s[1] for s in spans))
     assert any(s != full for s in spans)
+
+
+def test_dv_consolidation_distributed_planning(spark, tmp_path, monkeypatch):
+    """r10: past the auto plan-mode thresholds write_deletion_vectors
+    builds its spelling map and finds its tombstones through the
+    DISTRIBUTED entries DataFrame — the driver never decodes manifest
+    entries and never materializes the live data-file list.  Pinned:
+    zero driver-side _read_mentries calls during consolidation on a
+    ``read.plan-mode=distributed`` table, and the consolidated state is
+    identical to the driver-mode run on a twin table."""
+    from pyspark.sql import Row
+
+    from icepack.maintenance import write_deletion_vectors
+    from icepack.table import IceTable
+
+    def build(loc, mode):
+        df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(64)])
+        t = IceTable.create(
+            spark,
+            loc,
+            df.schema,
+            properties={
+                "write.delete.mode": "merge-on-read",
+                "write.delete.mor.strategy": "position",
+                "read.plan-mode": mode,
+                "commit.hit-search.threshold": "1",
+            },
+        )
+        t.append(df)
+        t.delete(col("id") < 10)
+        t.delete(col("id") > 55)
+        return t
+
+    td = build(str(tmp_path / "dist"), "distributed")
+    calls = []
+    at_commit = []
+    orig = IceTable._read_mentries
+    orig_commit = IceTable._commit_snapshot
+
+    def counting(self, name):
+        calls.append(name)
+        return orig(self, name)
+
+    def marking(self, *a, **k):
+        at_commit.append(len(calls))
+        return orig_commit(self, *a, **k)
+
+    monkeypatch.setattr(IceTable, "_read_mentries", counting)
+    monkeypatch.setattr(IceTable, "_commit_snapshot", marking)
+    assert write_deletion_vectors(td) is not None
+    monkeypatch.setattr(IceTable, "_read_mentries", orig)
+    monkeypatch.setattr(IceTable, "_commit_snapshot", orig_commit)
+    # the PLANNING (tombstone discovery + spelling map) is decode-free;
+    # the commit decodes only the manifests holding the replaced
+    # tombstones (the Spark-side hit search) — two delete manifests
+    assert at_commit and at_commit[0] == 0, f"planning decoded {calls}"
+    assert len(set(calls)) <= 2, f"driver decoded {sorted(set(calls))}"
+    live = td.live_files(content="all")
+    assert [f for f in live if f.content == "deletion-vectors"]
+    assert not [f for f in live if f.content.endswith("-deletes")]
+
+    tdr = build(str(tmp_path / "drv"), "driver")
+    assert write_deletion_vectors(tdr) is not None
+    want = sorted(r.id for r in tdr.toDF().collect())
+    got = sorted(r.id for r in td.toDF().collect())
+    assert got == want and len(got) == 64 - 10 - 8
