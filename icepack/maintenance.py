@@ -529,19 +529,56 @@ def expire_snapshots(
     if not expired:
         return {"expired": 0, "deleted_files": 0}
 
-    def reachable(snaps):
-        mls, mans, datas = set(), set(), set()
+    def reachable_meta(snaps):
+        """(manifest-lists, manifests) of a snapshot set — O(manifests)
+        driver work; entry-level reachability is computed separately so
+        each unique manifest is decoded at most ONCE (snapshots carry
+        most manifests forward unchanged, so the old per-snapshot entry
+        walk re-decoded the same manifests N times)."""
+        mls, mans = set(), set()
         for s in snaps:
             mls.add(s.manifest_list)
             for m in table._read_mlist(s.manifest_list):
                 mans.add(m["manifest-path"])
-                for e in table._read_mentries(m["manifest-path"]):
-                    datas.add(e.path)
-        return mls, mans, datas
+        return mls, mans
 
-    keep_mls, keep_mans, keep_datas = reachable(kept)
-    exp_mls, exp_mans, exp_datas = reachable(expired)
-    doomed_files = exp_datas - keep_datas
+    keep_mls, keep_mans = reachable_meta(kept)
+    exp_mls, exp_mans = reachable_meta(expired)
+    # file-level reachability: a file is doomed iff some expired-only
+    # manifest names it and NO kept-snapshot manifest does.  Manifests
+    # shared with a kept snapshot can't contribute doomed files, so
+    # candidates come only from (expired − kept) manifests.  Past the
+    # auto plan-mode manifest threshold the path sets are evaluated in
+    # Spark (one distinct + left_anti over the entries DataFrames) and
+    # the driver collects only the DOOMED paths — work proportional to
+    # what is actually deleted, not to table history size.
+    cand_mans = sorted(exp_mans - keep_mans)
+    if not cand_mans:
+        doomed_files: set[str] = set()
+    elif len(keep_mans | exp_mans) >= table.AUTO_PLAN_MANIFEST_THRESHOLD:
+        from .scanplan import entries_df_for_manifests
+
+        cand = entries_df_for_manifests(table, cand_mans).select("path").distinct()
+        keep_df = (
+            entries_df_for_manifests(table, sorted(keep_mans))
+            .select("path")
+            .distinct()
+        )
+        doomed_files = {
+            r[0] for r in cand.join(keep_df, "path", "left_anti").collect()
+        }
+    else:
+        paths_of: dict[str, set] = {}
+
+        def _paths(man: str) -> set:
+            if man not in paths_of:
+                paths_of[man] = {e.path for e in table._read_mentries(man)}
+            return paths_of[man]
+
+        keep_datas: set[str] = (
+            set().union(*map(_paths, keep_mans)) if keep_mans else set()
+        )
+        doomed_files = set().union(*map(_paths, cand_mans)) - keep_datas
     # statistics files (Puffin) ride their snapshot's lifetime
     expired_ids = {s.snapshot_id for s in expired}
     kept_stats = [
@@ -608,19 +645,50 @@ def remove_orphan_files(table, older_than_ms: int | None = None, dry_run: bool =
     if older_than_ms is None:
         older_than_ms = int(time.time() * 1000) - 86400_000
     table.refresh()
-    referenced: set[str] = set()
+    # every manifest reachable from ANY snapshot — decoded at most once
+    # (snapshots carry most manifests forward, so a per-snapshot entry
+    # walk re-decodes the same manifests N times over)
+    all_mans: set[str] = set()
     for s in table.meta.snapshots:
         for m in table._read_mlist(s.manifest_list):
-            for e in table._read_mentries(m["manifest-path"]):
-                referenced.add(e.path)
-    orphans = []  # data files: swept via the local/Hadoop FS Spark wrote to
+            all_mans.add(m["manifest-path"])
+    candidates = []  # on-disk files old enough to be sweep candidates
     for pat in ("*.parquet", "*.puffin"):  # .puffin: DV containers (a
         # lost write_deletion_vectors CAS leaves its file behind)
         for p in _glob.glob(
             os.path.join(table.location, "data", "**", pat), recursive=True
         ):
-            if p not in referenced and os.path.getmtime(p) * 1000 < older_than_ms:
-                orphans.append(p)
+            if os.path.getmtime(p) * 1000 < older_than_ms:
+                candidates.append(p)
+    if not candidates:
+        orphans: list[str] = []
+    elif len(all_mans) >= table.AUTO_PLAN_MANIFEST_THRESHOLD:
+        # large history: the referenced-path set (O(every file ever
+        # written)) never materializes in driver memory — candidates
+        # anti-join the entries DataFrames in Spark and the driver
+        # collects only the ORPHANS (work ∝ what gets deleted).  The
+        # candidate listing itself is the store's inventory seam: a
+        # driver glob here (local FS), an object-store inventory /
+        # listing job at warehouse scale.
+        from .scanplan import entries_df_for_manifests
+
+        cand_df = table.spark.createDataFrame(
+            [(p,) for p in candidates], "path string"
+        )
+        ref_df = (
+            entries_df_for_manifests(table, sorted(all_mans))
+            .select("path")
+            .distinct()
+        )
+        orphans = sorted(
+            r[0] for r in cand_df.join(ref_df, "path", "left_anti").collect()
+        )
+    else:
+        referenced: set[str] = set()
+        for man in all_mans:
+            for e in table._read_mentries(man):
+                referenced.add(e.path)
+        orphans = [p for p in candidates if p not in referenced]
     doc_orphans = []  # metadata docs: swept through the metadata store
     current_doc = getattr(table, "_metadata_location", None)
     if current_doc is not None:

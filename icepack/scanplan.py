@@ -358,7 +358,6 @@ def _partition_prune_column(table, snap, predicate: Expr) -> Column | None:
 
 
 def _entries_df(table, snap, predicate: Expr | None = None) -> DataFrame:
-    store = table.store
     descs = table._read_mlist(snap.manifest_list)
     if predicate is not None and not isinstance(predicate, AlwaysTrue):
         # phase 0, same as the driver planner: manifest-list partition
@@ -377,7 +376,16 @@ def _entries_df(table, snap, predicate: Expr | None = None) -> DataFrame:
             return proj[sid]
 
         descs = [m for m in descs if manifest_may_match(m, _proj_for)]
-    names = [m["manifest-path"] for m in descs]
+    return entries_df_for_manifests(table, [m["manifest-path"] for m in descs])
+
+
+def entries_df_for_manifests(table, names: list[str]) -> DataFrame:
+    """Entries of the given manifests as a DataFrame — the decode
+    machinery `_entries_df` uses for one snapshot's list, addressable
+    by manifest NAME so maintenance ops (expire-snapshot reachability,
+    DV consolidation) can evaluate cross-snapshot manifest sets in
+    Spark instead of walking every entry in driver Python."""
+    store = table.store
     paths = [os.path.join(table._mdir, n) for n in names]
     if not paths:  # every manifest skipped by phase 0
         return table.spark.createDataFrame([], ENTRY_SCHEMA)

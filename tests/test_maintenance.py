@@ -556,3 +556,97 @@ def test_dv_consolidation_distributed_planning(spark, tmp_path, monkeypatch):
     want = sorted(r.id for r in tdr.toDF().collect())
     got = sorted(r.id for r in td.toDF().collect())
     assert got == want and len(got) == 64 - 10 - 8
+
+
+def test_expire_reachability_distributed(spark, tmp_path, monkeypatch):
+    """r10: past the manifest threshold expire-snapshot reachability is
+    evaluated in Spark (distinct + left_anti over the entries
+    DataFrames) and the driver collects only the doomed paths — zero
+    driver-side manifest entry decodes.  The decision and the deleted
+    set must match the driver walk on a twin table."""
+    import os as _os
+
+    from icepack.maintenance import compact, expire_snapshots
+    from icepack.table import IceTable
+
+    def build(loc):
+        df = spark.range(40).selectExpr("id", "CAST(id AS DOUBLE) v")
+        t = IceTable.create(spark, loc, df.schema)
+        for lo in range(0, 40, 10):
+            t.append(df.filter(f"id >= {lo} AND id < {lo + 10}"))
+        compact(t)  # replace snapshot: pre-compaction files become unreachable-once-expired
+        return t
+
+    results = {}
+    for lane, thresh in (("dist", 2), ("driver", 10_000)):
+        t = build(str(tmp_path / lane))
+        monkeypatch.setattr(IceTable, "AUTO_PLAN_MANIFEST_THRESHOLD", thresh)
+        calls = []
+        orig = IceTable._read_mentries
+
+        def counting(self, name):
+            calls.append(name)
+            return orig(self, name)
+
+        monkeypatch.setattr(IceTable, "_read_mentries", counting)
+        rep = expire_snapshots(t, older_than_ms=2**62, retain_last=1)
+        monkeypatch.setattr(IceTable, "_read_mentries", orig)
+        if lane == "dist":
+            assert calls == [], f"driver decoded {sorted(set(calls))}"
+        assert rep["expired"] == 4
+        live = {f.path for f in t.live_files()}
+        assert all(_os.path.exists(p) for p in live)
+        assert t.toDF().count() == 40
+        results[lane] = rep["deleted_files"]
+    assert results["dist"] == results["driver"] > 0
+
+
+def test_orphan_sweep_distributed_reference_set(spark, tmp_path, monkeypatch):
+    """r10: past the manifest threshold the orphan sweep anti-joins the
+    candidate listing against the entries DataFrames in Spark — the
+    referenced-path set never materializes driver-side and no manifest
+    entries are decoded in driver Python.  Same sweep decision as the
+    driver walk."""
+    from icepack.maintenance import remove_orphan_files
+    from icepack.table import IceTable
+
+    def build(loc):
+        df = spark.range(20).selectExpr("id", "CAST(id AS DOUBLE) v")
+        t = IceTable.create(spark, loc, df.schema)
+        t.append(df.filter("id < 10"))
+        t.append(df.filter("id >= 10"))
+        # plant two orphans old enough to sweep
+        for i in range(2):
+            p = os.path.join(loc, "data", f"orphan-{i}.parquet")
+            spark.range(1).coalesce(1).write.mode("overwrite").parquet(p + ".d")
+            import glob as g
+            import shutil
+
+            shutil.move(g.glob(p + ".d/*.parquet")[0], p)
+            shutil.rmtree(p + ".d")
+            os.utime(p, (0, 0))
+        return t
+
+    results = {}
+    for lane, thresh in (("dist", 1), ("driver", 10_000)):
+        t = build(str(tmp_path / lane))
+        monkeypatch.setattr(IceTable, "AUTO_PLAN_MANIFEST_THRESHOLD", thresh)
+        calls = []
+        orig = IceTable._read_mentries
+
+        def counting(self, name):
+            calls.append(name)
+            return orig(self, name)
+
+        monkeypatch.setattr(IceTable, "_read_mentries", counting)
+        got = remove_orphan_files(t, older_than_ms=1)
+        monkeypatch.setattr(IceTable, "_read_mentries", orig)
+        if lane == "dist":
+            assert calls == [], f"driver decoded {sorted(set(calls))}"
+        assert [os.path.basename(p) for p in got] == [
+            "orphan-0.parquet",
+            "orphan-1.parquet",
+        ]
+        assert t.toDF().count() == 20  # live data untouched
+        results[lane] = len(got)
+    assert results["dist"] == results["driver"] == 2
