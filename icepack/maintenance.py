@@ -428,6 +428,127 @@ def write_deletion_vectors(
     )
 
 
+def _rewrite_manifests_distributed(table, prev) -> list[tuple] | None:
+    """Executor-side manifest rewrite for large tables: past the auto
+    plan-mode thresholds the current snapshot's manifest LINES are
+    re-grouped in Spark and each output group writes its own manifest
+    (JSONL via the SAME DataFile codec the driver path uses — raw
+    lines ship, so stat/partition value types keep full fidelity; the
+    stringly entries DataFrame is pruning-only).  The driver collects
+    one (name, length, summary) row per OUTPUT manifest — O(manifests)
+    — instead of decoding every entry.  Returns None (caller keeps the
+    driver walk) below the thresholds, on a non-picklable store, or
+    when the snapshot has no manifests.
+
+    Unlike the driver path's single coalesced manifest, the output is
+    ``ceil(live entries / rewrite.manifests.target-entries)`` manifests
+    (default 16384 entries ≈ 8-16 MB JSONL) — bounded manifest sizes
+    are the point of the operation at warehouse scale, and later plans
+    decode them in parallel."""
+    from .scanplan import _pickled_store
+
+    if not table._use_distributed_planner(prev):
+        return None
+    store_pkl = _pickled_store(table.store)
+    if store_pkl is None:
+        return None
+    descs = table._read_mlist(prev.manifest_list)
+    names = [m["manifest-path"] for m in descs]
+    if not names:
+        return None
+    est = sum(
+        m.get("live-files")
+        if m.get("live-files") is not None
+        else (m.get("added-files-count") or 0)
+        + (m.get("existing-files-count") or 0)
+        for m in descs
+    )
+    try:
+        target = int(
+            table.meta.properties.get("rewrite.manifests.target-entries", "16384")
+        )
+    except (TypeError, ValueError):
+        target = 16384
+    n_out = max(1, -(-max(est, 1) // max(target, 1)))
+    mdir = table._mdir
+    spark = table.spark
+    from .storage import LocalStore
+
+    if isinstance(table.store, LocalStore):
+        lines = spark.read.text([os.path.join(mdir, n) for n in names])
+    else:
+        import pandas as _pd  # noqa: F401
+
+        def _read_lines(batches):
+            import pickle
+
+            import pandas as pd
+
+            st = pickle.loads(store_pkl)
+            for pdf in batches:
+                out = [
+                    ln
+                    for name in pdf["name"]
+                    for ln in st.read_text(os.path.join(mdir, name)).splitlines()
+                    if ln.strip()
+                ]
+                yield pd.DataFrame({"value": out})
+
+        lines = (
+            spark.createDataFrame([(n,) for n in names], "name string")
+            .repartition(min(len(names), 64))
+            .mapInPandas(_read_lines, "value string")
+        )
+
+    def _write_group(batches):
+        import json as _json
+        import pickle
+
+        import pandas as pd
+
+        # absolute imports: runs in Python workers
+        from icepack.manifest import DataFile, manifest_summary, write_manifest
+
+        st = pickle.loads(store_pkl)
+        entries = []
+        for pdf in batches:
+            for ln in pdf["value"]:
+                if not ln or not ln.strip():
+                    continue
+                d = _json.loads(ln)
+                if d.get("status") == "deleted":
+                    continue
+                entries.append(DataFile.from_json(d))
+        if not entries:
+            yield pd.DataFrame({"r": pd.Series([], dtype="object")})
+            return
+        name, mlen = write_manifest(mdir, entries, store=st)
+        yield pd.DataFrame(
+            {
+                "r": [
+                    _json.dumps(
+                        {
+                            "name": name,
+                            "len": mlen,
+                            "summary": manifest_summary(entries),
+                        }
+                    )
+                ]
+            }
+        )
+
+    rows = (
+        lines.repartition(n_out).mapInPandas(_write_group, "r string").collect()
+    )
+    import json as _json
+
+    out = []
+    for r in rows:
+        d = _json.loads(r[0])
+        out.append((d["name"], d["len"], d["summary"]))
+    return out
+
+
 def rewrite_manifests(table) -> Snapshot:
     """REWRITE MANIFESTS (docs/10:80-95): coalesce all manifest entries
     of the current snapshot into one manifest; data files untouched
@@ -442,10 +563,15 @@ def rewrite_manifests(table) -> Snapshot:
     for _ in range(5):
         meta = table.meta
         prev = meta.current_snapshot
-        entries = table.live_files(content="all")
         sid = _snapshot_id()
+        written = None
+        if prev is not None and not table.spec_primary:
+            written = _rewrite_manifests_distributed(table, prev)
+        if written is None:
+            entries = table.live_files(content="all")
+            written = table._write_manifests(entries)
         names, summaries = [], []
-        for name, mlen, ms in table._write_manifests(entries):
+        for name, mlen, ms in written:
             names.append(name)
             summaries.append(
                 {**ms, "manifest-length": mlen, "added-snapshot-id": sid}

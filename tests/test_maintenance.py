@@ -650,3 +650,56 @@ def test_orphan_sweep_distributed_reference_set(spark, tmp_path, monkeypatch):
         assert t.toDF().count() == 20  # live data untouched
         results[lane] = len(got)
     assert results["dist"] == results["driver"] == 2
+
+
+def test_rewrite_manifests_distributed(spark, tmp_path, monkeypatch):
+    """r10: on a plan-mode=distributed table REWRITE MANIFESTS
+    re-groups manifest lines in Spark and writes one manifest per
+    output group executor-side — zero driver entry decodes, bounded
+    manifest sizes, and BIT-FAITHFUL entries (partition values, stats,
+    sequence numbers survive the round trip: raw JSONL lines ship, not
+    the stringly pruning schema)."""
+    from icepack.maintenance import rewrite_manifests
+    from icepack.table import IceTable
+
+    df = spark.range(40).selectExpr("id", "CAST(id % 4 AS INT) p", "CAST(id AS DOUBLE) v")
+    t = IceTable.create(
+        spark,
+        str(tmp_path / "rw"),
+        df.schema,
+        partition_by=[("p", "identity")],
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+            "read.plan-mode": "distributed",
+            "rewrite.manifests.target-entries": "4",
+        },
+    )
+    for lo in range(0, 40, 10):
+        t.append(df.filter(f"id >= {lo} AND id < {lo + 10}"))
+    t.delete(col("id") < 5)  # MOR tombstone: sequence ordering must survive
+    before = {
+        f.path: (f.partition, f.stats, f.sequence_number, f.content)
+        for f in t.live_files(content="all")
+    }
+    n_before = t.toDF().count()
+
+    calls = []
+    orig = IceTable._read_mentries
+
+    def counting(self, name):
+        calls.append(name)
+        return orig(self, name)
+
+    monkeypatch.setattr(IceTable, "_read_mentries", counting)
+    rewrite_manifests(t)
+    monkeypatch.setattr(IceTable, "_read_mentries", orig)
+    assert calls == [], f"driver decoded {sorted(set(calls))}"
+    after = {
+        f.path: (f.partition, f.stats, f.sequence_number, f.content)
+        for f in t.live_files(content="all")
+    }
+    assert after == before  # full entry fidelity
+    mans = t.manifests().count()
+    assert mans > 1  # bounded groups, not one coalesced manifest
+    assert t.toDF().count() == n_before == 35
