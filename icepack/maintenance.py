@@ -471,34 +471,11 @@ def _rewrite_manifests_distributed(table, prev) -> list[tuple] | None:
         target = 16384
     n_out = max(1, -(-max(est, 1) // max(target, 1)))
     mdir = table._mdir
-    spark = table.spark
-    from .storage import LocalStore
+    from .scanplan import manifest_lines_df
 
-    if isinstance(table.store, LocalStore):
-        lines = spark.read.text([os.path.join(mdir, n) for n in names])
-    else:
-        import pandas as _pd  # noqa: F401
-
-        def _read_lines(batches):
-            import pickle
-
-            import pandas as pd
-
-            st = pickle.loads(store_pkl)
-            for pdf in batches:
-                out = [
-                    ln
-                    for name in pdf["name"]
-                    for ln in st.read_text(os.path.join(mdir, name)).splitlines()
-                    if ln.strip()
-                ]
-                yield pd.DataFrame({"value": out})
-
-        lines = (
-            spark.createDataFrame([(n,) for n in names], "name string")
-            .repartition(min(len(names), 64))
-            .mapInPandas(_read_lines, "value string")
-        )
+    lines = manifest_lines_df(table, names)
+    if lines is None:
+        return None
 
     def _write_group(batches):
         import json as _json

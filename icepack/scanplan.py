@@ -379,6 +379,47 @@ def _entries_df(table, snap, predicate: Expr | None = None) -> DataFrame:
     return entries_df_for_manifests(table, [m["manifest-path"] for m in descs])
 
 
+def manifest_lines_df(table, names: list[str]) -> DataFrame | None:
+    """The given manifests' RAW JSONL lines as DF[value string], read
+    executor-side (spark.read.text on a local store; the pickled
+    store's own client otherwise).  Raw lines preserve full value
+    fidelity — the typed pruning schema (ENTRY_SCHEMA) stringifies
+    stats and partition values, so maintenance ops that REWRITE or
+    AGGREGATE entries must parse the original lines with the DataFile
+    codec instead.  Returns None when the store can't be reached from
+    executors (caller keeps its driver walk)."""
+    paths = [os.path.join(table._mdir, n) for n in names]
+    if not paths:
+        return None
+    if isinstance(table.store, LocalStore):
+        return table.spark.read.text(paths)
+    store_pkl = _pickled_store(table.store)
+    if store_pkl is None:
+        return None
+    mdir = table._mdir
+
+    def _read_lines(batches):
+        import pickle
+
+        import pandas as pd
+
+        st = pickle.loads(store_pkl)
+        for pdf in batches:
+            out = [
+                ln
+                for name in pdf["name"]
+                for ln in st.read_text(os.path.join(mdir, name)).splitlines()
+                if ln.strip()
+            ]
+            yield pd.DataFrame({"value": out})
+
+    return (
+        table.spark.createDataFrame([(n,) for n in names], "name string")
+        .repartition(min(len(names), 64))
+        .mapInPandas(_read_lines, "value string")
+    )
+
+
 def entries_df_for_manifests(table, names: list[str]) -> DataFrame:
     """Entries of the given manifests as a DataFrame — the decode
     machinery `_entries_df` uses for one snapshot's list, addressable

@@ -292,6 +292,105 @@ def _fill_total_record_counts(agg: dict) -> None:
             a["total_record_count"] = None
 
 
+def _pstats_agg_distributed(table, snap) -> dict | None:
+    """Partition-stats aggregation in Spark for large tables: workers
+    parse the RAW manifest JSONL lines (full partition-value type
+    fidelity — the stringly pruning schema would corrupt the keys),
+    emit per-task partial counters keyed by (sorted partition JSON,
+    spec id), and Spark sums the partials; the driver collects
+    O(partitions) rows instead of walking O(files) entries.  Returns
+    None when the store can't be reached from executors."""
+    from pyspark.sql import functions as F
+
+    from .scanplan import manifest_lines_df
+
+    names = [
+        m["manifest-path"] for m in table._read_mlist(snap.manifest_list)
+    ]
+    lines = manifest_lines_df(table, names)
+    if lines is None:
+        return None
+
+    counter_names = [k for k, _ in _PSTAT_FIELDS[2:10]]
+    out_schema = (
+        "key string, spec_id int, data_record_count long,"
+        " data_file_count long, total_data_file_size_in_bytes long,"
+        " position_delete_record_count long, position_delete_file_count long,"
+        " equality_delete_record_count long, equality_delete_file_count long,"
+        " total_record_count long"
+    )
+
+    def _partial(batches):
+        import json as _json
+
+        import pandas as pd
+
+        counts: dict = {}
+        for pdf in batches:
+            for ln in pdf["value"]:
+                if not ln or not ln.strip():
+                    continue
+                d = _json.loads(ln)
+                if d.get("status") == "deleted":
+                    continue
+                key = (
+                    _json.dumps(d.get("partition", {}), sort_keys=True),
+                    d.get("spec-id", 0),
+                )
+                a = counts.setdefault(key, [0] * 8)
+                rc = d.get("record-count", 0) or 0
+                fs = d.get("file-size-bytes", 0) or 0
+                content = d.get("content", "data")
+                if content == "data":
+                    a[0] += rc
+                    a[1] += 1
+                    a[2] += fs
+                elif content in ("position-deletes", "deletion-vectors"):
+                    a[3] += rc
+                    a[4] += 1
+                elif content == "equality-deletes":
+                    a[5] += rc
+                    a[6] += 1
+        rows = [
+            {"key": k, "spec_id": sid, **dict(zip(
+                (
+                    "data_record_count",
+                    "data_file_count",
+                    "total_data_file_size_in_bytes",
+                    "position_delete_record_count",
+                    "position_delete_file_count",
+                    "equality_delete_record_count",
+                    "equality_delete_file_count",
+                ),
+                a,
+            )), "total_record_count": 0}
+            for (k, sid), a in counts.items()
+        ]
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "key",
+                "spec_id",
+                *counter_names,
+            ],
+        )
+
+    summed = (
+        lines.mapInPandas(_partial, out_schema)
+        .groupBy("key", "spec_id")
+        .agg(*[F.sum(c).alias(c) for c in counter_names])
+        .collect()
+    )
+    agg: dict = {}
+    for r in summed:
+        agg[(r["key"], r["spec_id"])] = {
+            c: int(r[c] or 0) for c in counter_names
+        }
+        # total_record_count is recomputed by _fill_total_record_counts
+        agg[(r["key"], r["spec_id"])]["total_record_count"] = 0
+    return agg
+
+
 def write_partition_stats(table) -> str:
     """Compute and persist the PARTITION STATISTICS file for the
     current snapshot (public Iceberg spec "Partition Statistics"): one
@@ -327,21 +426,29 @@ def write_partition_stats(table) -> str:
                 all_fields.append(pf.name)
     agg: dict = {}
     now = int(__import__("time").time() * 1000)
-    for f in table.live_files(snap, content="all"):
-        key = (json.dumps(f.partition, sort_keys=True), f.spec_id)
-        a = agg.setdefault(
-            key, {k: 0 for k, _ in _PSTAT_FIELDS[2:10]}
-        )
-        if f.content == "data":
-            a["data_record_count"] += f.record_count
-            a["data_file_count"] += 1
-            a["total_data_file_size_in_bytes"] += f.file_size_bytes
-        elif f.content in ("position-deletes", "deletion-vectors"):
-            a["position_delete_record_count"] += f.record_count
-            a["position_delete_file_count"] += 1
-        elif f.content == "equality-deletes":
-            a["equality_delete_record_count"] += f.record_count
-            a["equality_delete_file_count"] += 1
+    dist = (
+        _pstats_agg_distributed(table, snap)
+        if table._use_distributed_planner(snap)
+        else None
+    )
+    if dist is not None:
+        agg = dist
+    else:
+        for f in table.live_files(snap, content="all"):
+            key = (json.dumps(f.partition, sort_keys=True), f.spec_id)
+            a = agg.setdefault(
+                key, {k: 0 for k, _ in _PSTAT_FIELDS[2:10]}
+            )
+            if f.content == "data":
+                a["data_record_count"] += f.record_count
+                a["data_file_count"] += 1
+                a["total_data_file_size_in_bytes"] += f.file_size_bytes
+            elif f.content in ("position-deletes", "deletion-vectors"):
+                a["position_delete_record_count"] += f.record_count
+                a["position_delete_file_count"] += 1
+            elif f.content == "equality-deletes":
+                a["equality_delete_record_count"] += f.record_count
+                a["equality_delete_file_count"] += 1
     _fill_total_record_counts(agg)
     rows = sorted(agg.items())
     if not all_fields:

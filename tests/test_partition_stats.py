@@ -155,3 +155,47 @@ def test_pstats_sql_surface(spark, tmp_path):
         ('{"grp": "g1"}', 30),
         ('{"grp": "g2"}', 30),
     ]
+
+
+def test_partition_stats_distributed_agg_matches_driver(spark, tmp_path, monkeypatch):
+    """r10: on a plan-mode=distributed table the partition-stats
+    aggregation runs in Spark over the raw manifest lines (partial
+    per-task counters, summed by key) — zero driver entry decodes, and
+    the resulting stats rows are IDENTICAL to the driver walk's."""
+    def build(loc, mode):
+        df = spark.range(60).selectExpr(
+            "id", "CAST(id % 3 AS INT) p", "CAST(id AS DOUBLE) v"
+        )
+        t = IceTable.create(
+            spark,
+            loc,
+            df.schema,
+            partition_by=[("p", "identity")],
+            properties={
+                "write.delete.mode": "merge-on-read",
+                "write.delete.mor.strategy": "position",
+                "read.plan-mode": mode,
+            },
+        )
+        t.append(df.filter("id < 30"))
+        t.append(df.filter("id >= 30"))
+        t.delete(col("id") < 6)
+        return t
+
+    rows = {}
+    for lane in ("distributed", "driver"):
+        t = build(str(tmp_path / lane), lane)
+        calls = []
+        orig = IceTable._read_mentries
+
+        def counting(self, name):
+            calls.append(name)
+            return orig(self, name)
+
+        monkeypatch.setattr(IceTable, "_read_mentries", counting)
+        write_partition_stats(t)
+        monkeypatch.setattr(IceTable, "_read_mentries", orig)
+        if lane == "distributed":
+            assert calls == [], f"driver decoded {sorted(set(calls))}"
+        rows[lane] = rows_sorted(t.partition_stats())
+    assert rows["distributed"] == rows["driver"] and rows["driver"]
