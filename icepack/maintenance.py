@@ -823,26 +823,52 @@ def remove_orphan_files(table, older_than_ms: int | None = None, dry_run: bool =
 
 def table_health(table) -> dict:
     """The reference's table-health checklist
-    (docs/10-maintenance-operations.md:115-123) as a report."""
-    files = table.live_files(content="all")
-    data = [f for f in files if f.content == "data"]
-    dels = [f for f in files if f.content != "data"]
-    n = len(data)
-    avg = (sum(f.file_size_bytes for f in data) / n) if n else 0
+    (docs/10-maintenance-operations.md:115-123) as a report.
+
+    Counts come from the manifest-LIST summaries when every manifest
+    carries them — O(manifests) driver work, the same basis the auto
+    plan-mode decision reads, so a million-file table answers its
+    health check without decoding a single entry.  Summary-less
+    layouts (pre-upgrade metadata, reconstructed foreign summaries)
+    fall back to the exact entry walk.  live-bytes includes delete
+    files, so avg file size uses the live-files denominator — the
+    compaction heuristics only need its order of magnitude."""
     snap_count = len(table.meta.snapshots)
     man_count = 0
+    n = 0
+    ndel = 0
+    avg = 0.0
+    descs = []
     if table.meta.current_snapshot:
-        man_count = len(table._read_mlist(table.meta.current_snapshot.manifest_list))
+        descs = table._read_mlist(table.meta.current_snapshot.manifest_list)
+        man_count = len(descs)
+    if descs and all(
+        m.get("live-files") is not None
+        and m.get("delete-content-files") is not None
+        and m.get("live-bytes") is not None
+        and not m.get("reconstructed")
+        for m in descs
+    ):
+        live = sum(m["live-files"] for m in descs)
+        ndel = sum(m["delete-content-files"] for m in descs)
+        n = live - ndel
+        avg = (sum(m["live-bytes"] for m in descs) / live) if live else 0.0
+    else:
+        files = table.live_files(content="all")
+        data = [f for f in files if f.content == "data"]
+        n = len(data)
+        ndel = len(files) - n
+        avg = (sum(f.file_size_bytes for f in data) / n) if n else 0.0
     return {
         "file_count": n,
         "avg_file_size_bytes": int(avg),
         "snapshot_count": snap_count,
         "manifest_count": man_count,
-        "delete_file_ratio": (len(dels) / n) if n else 0.0,
+        "delete_file_ratio": (ndel / n) if n else 0.0,
         "needs_compaction": n > 10_000 or (0 < avg < 100 * 1024 * 1024 and n > 1),
         "needs_expire": snap_count > 100,
         "needs_manifest_rewrite": man_count > 100,
-        "needs_delete_compaction": n > 0 and len(dels) / n > 0.10,
+        "needs_delete_compaction": n > 0 and ndel / n > 0.10,
     }
 
 
