@@ -701,6 +701,12 @@ def _native_partition(meta, spec, schema, part: dict) -> dict:
             out[pf.name] = (
                 _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
             ).isoformat(sep=" ")
+        elif kind == "truncate" and isinstance(v, bytes):
+            # decimal truncate: avro decimal bytes = the truncated
+            # UNSCALED long (big-endian two's-complement) — decode back
+            # to the native integer partition domain so tuple pruning
+            # keeps working on spec-primary decimal partitions
+            out[pf.name] = int.from_bytes(v, "big", signed=True) if v else None
         else:  # identity scalar, truncate, mmh3bucket: value is native
             out[pf.name] = v
     return out

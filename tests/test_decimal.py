@@ -229,3 +229,27 @@ def test_wide_decimal_truncate_stays_void(spark, tmp_path):
 
     assert _export_transform("truncate[10]", "decimal(22,2)") == "void"
     assert _export_transform("truncate[10]", "decimal(9,2)") == "truncate[10]"
+
+
+def test_decimal_truncate_spec_primary_tuple_fidelity(spark, tmp_path):
+    """Spec-primary (Avro) manifests carry decimal-truncate partition
+    values as decimal-logical BYTES; the native decode must return the
+    truncated unscaled LONG so tuple pruning works — not the raw bytes
+    (which compare incomparably and silently stop pruning)."""
+    df = spark.range(200).select(
+        F.col("id"), (F.col("id") * F.lit(0.25)).cast("decimal(9,2)").alias("price")
+    )
+    t = IceTable.create(
+        spark,
+        str(tmp_path / "sp"),
+        df.schema,
+        partition_by=[("price", "truncate[2500]")],
+        properties={"format.spec-primary": "true"},
+    )
+    t.append(df)
+    vals = {f.partition["price_truncate"] for f in t.live_files()}
+    assert vals == {0, 2500}  # ints, decoded from avro decimal bytes
+    hit, rep = t.plan_files(icol("price") == D("10.25"))
+    assert rep["files_scanned"] == 1 and rep["files_total"] == 2
+    assert {f.partition["price_truncate"] for f in hit} == {0}
+    assert t.toDF().filter("price = 10.25").count() == 1

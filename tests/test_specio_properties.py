@@ -60,7 +60,9 @@ def _metas(draw):
     pfields = []
     cands = [
         f for f in schema.fields
-        if f.type in ("int", "bigint", "string", "date", "timestamp_ntz")
+        if f.type in (
+            "int", "bigint", "string", "date", "timestamp_ntz", "decimal(10,2)"
+        )
     ]
     if cands and draw(st.booleans()):
         f = draw(st.sampled_from(cands))
@@ -72,6 +74,9 @@ def _metas(draw):
                     "string": ["identity", "truncate[3]", "mmh3bucket[8]"],
                     "date": ["identity", "year", "month", "day"],
                     "timestamp_ntz": ["year", "month", "day", "hour"],
+                    # decimal truncate: native value is the truncated
+                    # UNSCALED long (spec arithmetic, r10)
+                    "decimal(10,2)": ["truncate[10]"],
                 }[f.type]
             )
         )
