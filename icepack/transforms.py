@@ -368,6 +368,17 @@ class Transform:
         equality scans silently returned nothing."""
         k = self.kind
         if k == "identity":
+            import decimal as _decmod
+
+            if isinstance(value, _decmod.Decimal):
+                # identity-partitioned DECIMAL: the stored tuple value
+                # went through the directory encoding (str → _decode_like
+                # → float, so "0.10" is stored as 0.1) — the literal
+                # must take the SAME mapping or exact-scale literals
+                # never equal the stored float (Decimal('0.10') ==
+                # 0.1 is False: confirmed row loss, the decimal twin of
+                # the r9 numeric-spelled-string collision)
+                return _decode_like(_dir_value(value))
             return value
         if k == "year":
             return _to_dt(value).year

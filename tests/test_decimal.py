@@ -253,3 +253,30 @@ def test_decimal_truncate_spec_primary_tuple_fidelity(spark, tmp_path):
     assert rep["files_scanned"] == 1 and rep["files_total"] == 2
     assert {f.partition["price_truncate"] for f in hit} == {0}
     assert t.toDF().filter("price = 10.25").count() == 1
+
+
+def test_identity_decimal_partition_exact_scale_literal(spark, tmp_path):
+    """Identity-partitioned DECIMAL: the stored tuple value is the
+    directory decode's float (0.1 for "0.10"), and Decimal('0.10') ==
+    0.1 is False in Python — before r10 an exact-scale Decimal literal
+    pruned every file and silently returned no rows.  The literal now
+    projects through the same directory encoding as the stored value."""
+    df = spark.createDataFrame(
+        [(1, D("0.10")), (2, D("0.30")), (3, D("1.50"))],
+        "id long, price decimal(9,2)",
+    )
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), df.schema, partition_by=[("price", "identity")]
+    )
+    t.append(df)
+    for lit, want in [(D("0.10"), 1), (D("1.50"), 1), (0.1, 1), (D("0.20"), 0)]:
+        hit, rep = t.plan_files(icol("price") == lit)
+        assert t.toDF(icol("price") == lit).count() == want, lit
+        if want:
+            assert rep["files_scanned"] == 1
+    _, rep = t.plan_files(icol("price") >= D("0.30"))
+    assert rep["files_scanned"] == 2
+    assert t.toDF(icol("price") >= D("0.30")).count() == 2
+    # DELETE through the same projection: exactly one row goes
+    t.delete(icol("price") == D("0.30"))
+    assert sorted(r.id for r in t.toDF().collect()) == [1, 3]
