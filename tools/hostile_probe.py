@@ -51,11 +51,15 @@ def main() -> int:
     # bucket-partitioned table) — its mapInPandas/semi-join stages must
     # run on a foreign session's workers; ice49: spec-primary, whose
     # distributed plans decode Avro manifests executor-side
+    # ice62: decimal truncate[W] partitioning (r10) — the unscaled-long
+    # projection, the DSv2-parity transform lanes, and the decimal
+    # footer-stats fallback all run against the foreign session
     for probe in (
         "ice54_deletion_vectors",
         "ice50_foreign_adopt",
         "ice60_auto_distributed_scan",
         "ice49_spec_primary",
+        "ice62_decimal_truncate",
     ):
         rows = qs[probe](spark, "/root/testdata/sf0.001").collect()
         assert rows, f"{probe} returned no rows"
@@ -78,7 +82,8 @@ def main() -> int:
 
     handler = LoopbackS3Handler.make("AK", "sk", "us-east-1")
     srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
-    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    srv_thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    srv_thread.start()
     store = S3Store(
         f"http://127.0.0.1:{srv.server_port}", bucket="probe",
         region="us-east-1", access_key="AK", secret_key="sk",
@@ -95,10 +100,32 @@ def main() -> int:
         files, _ = plan_entries_distributed(t, col("id") >= 4)
     finally:
         IceTable._read_mentries = orig
-    srv.shutdown()
     assert files and decodes == [], (files, decodes)
     assert handler.bad_auth == []
     print(f"s3-store distributed planning OK ({len(files)} files, 0 driver decodes)")
+    # r10: executor-side maintenance on the same S3-backed table — the
+    # manifest LINES reader must reconstruct the pickled store in the
+    # foreign session's workers for rewrite_manifests and the
+    # partition-stats aggregation, again with zero driver decodes
+    from icepack.maintenance import rewrite_manifests
+    from icepack.stats import write_partition_stats
+
+    assert srv_thread.is_alive(), "loopback S3 server thread died"
+    t.set_properties(**{"read.plan-mode": "distributed"})
+    before = sorted(r.id for r in t.toDF().collect())
+    decodes = []
+    IceTable._read_mentries = lambda self, name: (
+        decodes.append(name), orig(self, name))[1]
+    try:
+        rewrite_manifests(t)
+        write_partition_stats(t)
+    finally:
+        IceTable._read_mentries = orig
+    assert decodes == [], decodes
+    assert sorted(r.id for r in t.toDF().collect()) == before
+    srv.shutdown()  # after the last read: shutdown stops serving but
+    # keeps the listening socket, so a later request would hang forever
+    print("s3-store executor-side maintenance OK (rewrite+pstats, 0 driver decodes)")
 
     qk, ok = set(qs), set(mod.oracle_sql())
     assert qk == ok, f"key sets differ: {qk ^ ok}"
