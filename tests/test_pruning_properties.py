@@ -120,3 +120,77 @@ def test_float_nan_stats_keep():
     stats = {"x": {"min": math.nan, "max": math.nan, "nulls": 0}}
     assert (col("x") > 0).may_match_file(stats, 10) is True
     assert (col("x") > 0).all_match_file(stats, 10) is False
+
+
+# ----------------------- decimal truncate projection (r10 new lane) --------
+
+from decimal import Decimal as _D  # noqa: E402
+
+_dec_vals = st.decimals(
+    min_value=-99, max_value=99, places=2, allow_nan=False, allow_infinity=False
+)
+_dec_lits = st.one_of(
+    st.decimals(min_value=-100, max_value=100, places=2, allow_nan=False,
+                allow_infinity=False),
+    st.decimals(min_value=-100, max_value=100, places=3, allow_nan=False,
+                allow_infinity=False),  # finer than column scale
+    st.floats(min_value=-100, max_value=100, allow_nan=False),
+    st.integers(-100, 100),
+)
+
+
+def _spark_matches(op, lit, v):
+    """Ground truth under SPARK comparison semantics: a float literal
+    compares in the double domain (Spark casts decimal→double), an
+    int/Decimal literal compares exactly."""
+    left = float(v) if isinstance(lit, float) else v
+    if op == "<":
+        return left < lit
+    if op == "<=":
+        return left <= lit
+    if op == ">":
+        return left > lit
+    if op == ">=":
+        return left >= lit
+    if op == "=":
+        return left == lit
+    return left != lit
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    vals=st.lists(_dec_vals, min_size=1, max_size=20),
+    w=st.sampled_from([1, 7, 50, 2500]),
+    op=ops,
+    lit=_dec_lits,
+)
+def test_decimal_truncate_projection_superset(spark, vals, w, op, lit):
+    """truncate[W] on decimal(9,2): if the projected predicate rejects
+    a partition tuple, NO row of that partition may match the original
+    predicate under Spark's comparison semantics — silent row loss
+    otherwise.  Exercises the r10 unscaled-long lane end to end
+    (py_value tuple encoding + literal projection + tuple matching)."""
+    from pyspark.sql import types as T
+
+    from icepack import transforms as tr
+    from icepack.expr import Cmp, partition_tuple_matches, project_to_partition
+    from icepack.metadata import (
+        IceSchema,
+        NestedField,
+        PartitionField,
+        PartitionSpec,
+    )
+
+    t = tr.parse(f"truncate[{w}]")
+    schema = IceSchema(0, [NestedField(1, "x", "decimal(9,2)", False)])
+    spec = PartitionSpec(0, [PartitionField(1, 1000, f"truncate[{w}]", "x_truncate")])
+    pred = Cmp("x", op, lit)
+    proj = project_to_partition(pred, spec, schema)
+    groups: dict = {}
+    for v in vals:
+        groups.setdefault(t.py_value(v, "decimal(9,2)"), []).append(v)
+    for pv, group in groups.items():
+        assert isinstance(pv, int)  # the unscaled-long domain
+        if not partition_tuple_matches(proj, {"x_truncate": pv}):
+            lost = [v for v in group if _spark_matches(op, lit, v)]
+            assert not lost, (w, op, lit, pv, lost)
