@@ -150,6 +150,24 @@ def spark_xxhash64(value, simple_type: str, seed: int = SPARK_SEED) -> int:
             v = 0.0
         (bits,) = struct.unpack("<q", struct.pack("<d", v))
         return hash_long(bits, seed)
+    if t.startswith("decimal("):
+        # Spark hashes a compact decimal (precision ≤ 18) as its
+        # UNSCALED LONG (measured: xxhash64(10.25 as decimal(9,2)) ==
+        # xxhash64(1025L)); wider decimals hash the unscaled byte form
+        # — unsupported here, callers fall back to the Spark-job twin
+        import decimal as _decmod
+        import re as _re
+
+        m = _re.match(r"^decimal\((\d+),\s*(\d+)\)$", t)
+        if m and int(m.group(1)) <= 18:
+            d = (
+                value
+                if isinstance(value, _decmod.Decimal)
+                else _decmod.Decimal(str(value))
+            )
+            u = d.scaleb(int(m.group(2)))
+            if u == u.to_integral_value():
+                return hash_long(int(u), seed)
     raise TypeError(f"bucket transform unsupported for source type {t!r}")
 
 

@@ -280,3 +280,37 @@ def test_identity_decimal_partition_exact_scale_literal(spark, tmp_path):
     # DELETE through the same projection: exactly one row goes
     t.delete(icol("price") == D("0.30"))
     assert sorted(r.id for r in t.toDF().collect()) == [1, 3]
+
+
+def test_decimal_bucket_dsv2_write_and_prune(spark, tmp_path):
+    """bucket(N) on a decimal column: the DSv2 task-level writer's
+    pure-Python xxh64 lane (unscaled-long hashing, r10) must land rows
+    in the buckets the planner's projection probes — wrong-bucket
+    writes would make equality scans silently return nothing."""
+    from pyspark.sql import types as T
+
+    from icepack.datasource import register
+
+    register(spark)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("price", T.DecimalType(9, 2)),
+        ]
+    )
+    rows = [(i, D(i) * D("0.25")) for i in range(64)]
+    loc = str(tmp_path / "t")
+    t = IceTable.create(spark, loc, schema, partition_by=[("price", "bucket[8]")])
+    spark.createDataFrame(rows, schema).write.format("icepack").option(
+        "location", loc
+    ).mode("append").save()
+    t.refresh()
+    hit, rep = t.plan_files(icol("price") == D("10.25"))
+    # task-parallel writes produce several files per bucket; the point
+    # is the scan touches exactly ONE bucket's files
+    assert {f.partition["price_bucket"] for f in hit} == {
+        next(iter({f.partition["price_bucket"] for f in hit}))
+    }
+    assert rep["files_scanned"] < rep["files_total"]
+    assert t.toDF().filter("price = 10.25").count() == 1
+    assert t.toDF().count() == 64

@@ -234,3 +234,31 @@ def test_transform_apply_bucket_fast_lane_matches_spark_job(spark):
         .first()["b"]
     )
     assert got == want
+
+
+def test_bucket_decimal_py_value_matches_spark(spark):
+    """r10: a compact decimal (p ≤ 18) hashes as its UNSCALED LONG in
+    Spark's xxhash64 — the task-level write lane (py_value/
+    batch_values) must agree bit-for-bit so DSv2 appends into a
+    bucket(N)-on-decimal table land rows in the same buckets the JVM
+    path and the pruner's projection use.  Wide decimals stay a loud
+    refusal (callers fall back to the Spark-job twin)."""
+    import decimal as dec
+
+    import pyarrow as pa
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from icepack.transforms import parse
+
+    vals = [dec.Decimal("10.25"), dec.Decimal("-0.05"), dec.Decimal("0.00"), None]
+    t = parse("bucket[8]")
+    got = t.batch_values(pa.array(vals, pa.decimal128(9, 2)), "decimal(9,2)")
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "p decimal(9,2)"
+    ).select(F.pmod(F.xxhash64("p"), F.lit(8)).alias("b"))
+    want = [r.b for r in df.collect()]
+    assert got == want
+    assert got == [t.py_value(v, "decimal(9,2)") if v is not None else got[-1] for v in vals[:3]] + [got[-1]]
+    with _pytest.raises(TypeError):
+        t.py_value(dec.Decimal("10.25"), "decimal(22,2)")
