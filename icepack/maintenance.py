@@ -879,6 +879,80 @@ def _rm(path: str) -> None:
         pass
 
 
+def _one_data_check(kind: str, path: str, want: int, off: int, size: int):
+    """One ``check_data`` probe (footer row count / DV blob decode);
+    returns a finding string or None.  Pure function of its arguments
+    so it runs identically in driver Python and in Spark workers."""
+    if kind == "dv":
+        from icepack.roaring import read_dv_blob
+
+        try:
+            with open(path, "rb") as fh:
+                fh.seek(off)
+                n = len(read_dv_blob(fh.read(size)))
+        except Exception as ex:  # noqa: BLE001 — report, keep walking
+            return f"{path}@{off}: deletion-vector blob undecodable: {ex}"
+        if n != want:
+            return (
+                f"{path}@{off}: manifest record-count {want} "
+                f"!= decoded cardinality {n}"
+            )
+        return None
+    from icepack.manifest import harvest_stats
+
+    nrows, _, _ = harvest_stats(path)
+    if nrows != want:
+        return f"{path}: manifest record-count {want} != footer {nrows}"
+    return None
+
+
+def _run_data_checks(table, checks: list[tuple]) -> list[str]:
+    """Run fsck's ``check_data`` probes — footer re-harvest and DV blob
+    decode are per-file and independent, so past the auto plan-mode
+    file threshold they fan out as a Spark job (the probes read file
+    footers/blob ranges, not data pages; workers on a shared
+    filesystem see the same paths the driver does) and only the
+    FINDINGS come back.  Below it, or with no distributable session
+    benefit, the driver loop is exact and cheaper."""
+    if not checks:
+        return []
+    if len(checks) < table.AUTO_PLAN_FILE_THRESHOLD:
+        return [
+            f
+            for c in checks
+            if (f := _one_data_check(*c)) is not None
+        ]
+
+    def _probe(batches):
+        import pandas as pd
+
+        from icepack.maintenance import _one_data_check as one
+
+        for pdf in batches:
+            out = [
+                f
+                for row in pdf.itertuples(index=False)
+                if (
+                    f := one(
+                        row.kind, row.path, int(row.want), int(row.off), int(row.size)
+                    )
+                )
+                is not None
+            ]
+            yield pd.DataFrame({"finding": pd.Series(out, dtype="object")})
+
+    df = table.spark.createDataFrame(
+        checks, "kind string, path string, want long, off long, size long"
+    )
+    n_parts = max(1, min(len(checks) // 256, 256))
+    return [
+        r[0]
+        for r in df.repartition(n_parts)
+        .mapInPandas(_probe, "finding string")
+        .collect()
+    ]
+
+
 def verify_table(table, check_data: bool = False) -> list[str]:
     """Metadata-tree integrity check (fsck): walk the CURRENT snapshot's
     manifest list and validate every invariant the planners TRUST —
@@ -941,6 +1015,7 @@ def verify_table(table, check_data: bool = False) -> list[str]:
     # resurrect, so fsck flags it.
     live_data_paths: set = set()
     anchored_refs: list = []
+    data_checks: list[tuple] = []  # (kind, path, expected, offset, size)
     for m in table._read_mlist(snap.manifest_list):
         try:
             entries = table._read_mentries(m["manifest-path"])
@@ -984,36 +1059,18 @@ def verify_table(table, check_data: bool = False) -> list[str]:
             if not os.path.exists(e.path):
                 findings.append(f"{e.path}: file missing from storage")
             elif check_data and e.content == "deletion-vectors":
-                # DV entries: decode the blob (magic + CRC verified by
-                # the codec) and compare its cardinality to the
-                # manifest claim — the DV analogue of the footer check
-                from .roaring import read_dv_blob
-
-                try:
-                    with open(e.path, "rb") as fh:
-                        fh.seek(int(e.content_offset))
-                        n = len(read_dv_blob(fh.read(int(e.content_size))))
-                except Exception as ex:  # noqa: BLE001 — report, keep walking
-                    findings.append(
-                        f"{e.path}@{e.content_offset}: deletion-vector "
-                        f"blob undecodable: {ex}"
+                data_checks.append(
+                    (
+                        "dv",
+                        e.path,
+                        int(e.record_count),
+                        int(e.content_offset),
+                        int(e.content_size),
                     )
-                else:
-                    if n != e.record_count:
-                        findings.append(
-                            f"{e.path}@{e.content_offset}: manifest "
-                            f"record-count {e.record_count} != decoded "
-                            f"cardinality {n}"
-                        )
+                )
             elif check_data:
-                from .manifest import harvest_stats
-
-                nrows, _, _ = harvest_stats(e.path)
-                if nrows != e.record_count:
-                    findings.append(
-                        f"{e.path}: manifest record-count {e.record_count} "
-                        f"!= footer {nrows}"
-                    )
+                data_checks.append(("footer", e.path, int(e.record_count), 0, 0))
+    findings.extend(_run_data_checks(table, data_checks))
     for dpath, ref in anchored_refs:
         if ref not in live_data_paths:
             findings.append(

@@ -703,3 +703,35 @@ def test_rewrite_manifests_distributed(spark, tmp_path, monkeypatch):
     mans = t.manifests().count()
     assert mans > 1  # bounded groups, not one coalesced manifest
     assert t.toDF().count() == n_before == 35
+
+
+def test_fsck_check_data_distributed_fanout(spark, tmp_path, monkeypatch):
+    """r10: past the file threshold fsck's check_data probes (footer
+    re-harvest, DV blob decode) fan out as a Spark job and only the
+    findings return — same findings as the driver loop, including a
+    planted corrupt record count."""
+    import json as _json
+
+    from icepack.maintenance import verify_table
+    from icepack.table import IceTable
+
+    df = spark.range(40).selectExpr("id", "CAST(id AS DOUBLE) v")
+    t = IceTable.create(spark, str(tmp_path / "t"), df.schema)
+    for lo in range(0, 40, 10):
+        t.append(df.filter(f"id >= {lo} AND id < {lo + 10}"))
+    # corrupt one manifest's record-count claim
+    man = t._read_mlist(t.meta.current_snapshot.manifest_list)[0]["manifest-path"]
+    mp = os.path.join(t._mdir, man)
+    lines = [ln for ln in open(mp).read().splitlines() if ln.strip()]
+    d = _json.loads(lines[0])
+    d["record-count"] += 7
+    lines[0] = _json.dumps(d)
+    open(mp, "w").write("\n".join(lines) + "\n")
+    # driver lane first (threshold high), then the Spark fan-out
+    results = {}
+    for lane, thresh in (("driver", 10_000), ("dist", 1)):
+        monkeypatch.setattr(IceTable, "AUTO_PLAN_FILE_THRESHOLD", thresh)
+        got = [f for f in verify_table(t, check_data=True) if "footer" in f]
+        results[lane] = sorted(got)
+    assert results["driver"] == results["dist"]
+    assert len(results["dist"]) == 1 and "!= footer" in results["dist"][0]
