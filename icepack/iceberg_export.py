@@ -194,6 +194,19 @@ def _spec_result_type(transform: str, source_type: str) -> str | dict:
     return "int"  # year / month / hour / bucket[N]
 
 
+def _min_signed_be(v: int) -> bytes:
+    """Minimal-length big-endian two's-complement (spec Appendix D).
+    ``(bit_length+8)//8`` over-pads negative powers of two whose
+    bit_length is a multiple of 8 (-128 → ff80 instead of 80, ADVICE
+    r10); ceil(bit_length/8) is minimal except when the sign bit needs
+    one more byte, which OverflowError detects exactly."""
+    n = max(1, (v.bit_length() + 7) // 8)
+    try:
+        return v.to_bytes(n, "big", signed=True)
+    except OverflowError:
+        return v.to_bytes(n + 1, "big", signed=True)
+
+
 def _spec_partition_value(transform: str, source_type: str, v):
     """icepack's lexical partition value → the spec's numeric value."""
     t = _export_transform(transform, source_type)
@@ -204,7 +217,7 @@ def _spec_partition_value(transform: str, source_type: str, v):
         # avro decimal bytes = that int, big-endian two's-complement
         if not isinstance(v, int):
             return None  # pre-r10 prefix-lane value: unexportable
-        return int(v).to_bytes((int(v).bit_length() + 8) // 8, "big", signed=True)
+        return _min_signed_be(int(v))
     if t == "year":
         return int(v) - 1970
     if t == "month":  # "yyyy-MM"
@@ -258,7 +271,7 @@ def _bound_bytes(source_type: str, v, widen: int = 0) -> bytes | None:
             iu = int(u)
             if widen == 0 and u != d.scaleb(ps[1]):
                 return None  # inexact with no direction: omit the bound
-            return iu.to_bytes((iu.bit_length() + 8) // 8, "big", signed=True)
+            return _min_signed_be(iu)
         if source_type == "int":
             return struct.pack("<i", int(v))
         if source_type in ("bigint", "long"):

@@ -658,7 +658,7 @@ def expire_snapshots(
     cand_mans = sorted(exp_mans - keep_mans)
     if not cand_mans:
         doomed_files: set[str] = set()
-    elif len(keep_mans | exp_mans) >= table.AUTO_PLAN_MANIFEST_THRESHOLD:
+    elif table._distributed_maintenance(len(keep_mans | exp_mans)):
         from .scanplan import entries_df_for_manifests
 
         cand = entries_df_for_manifests(table, cand_mans).select("path").distinct()
@@ -765,7 +765,7 @@ def remove_orphan_files(table, older_than_ms: int | None = None, dry_run: bool =
                 candidates.append(p)
     if not candidates:
         orphans: list[str] = []
-    elif len(all_mans) >= table.AUTO_PLAN_MANIFEST_THRESHOLD:
+    elif table._distributed_maintenance(len(all_mans)):
         # large history: the referenced-path set (O(every file ever
         # written)) never materializes in driver memory — candidates
         # anti-join the entries DataFrames in Spark and the driver
@@ -1059,6 +1059,14 @@ def verify_table(table, check_data: bool = False) -> list[str]:
             if not os.path.exists(e.path):
                 findings.append(f"{e.path}: file missing from storage")
             elif check_data and e.content == "deletion-vectors":
+                if e.content_offset is None or e.content_size is None:
+                    # corrupt metadata is a FINDING, not a crash — fsck
+                    # exists to report exactly this (ADVICE r10)
+                    findings.append(
+                        f"{e.path}: deletion-vector entry missing "
+                        "content_offset/content_size — blob unreadable"
+                    )
+                    continue
                 data_checks.append(
                     (
                         "dv",

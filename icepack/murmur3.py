@@ -111,8 +111,14 @@ def iceberg_hash_bytes(value, dtype_str: str | None = None) -> bytes:
         return value.bytes  # big-endian 16 bytes per spec
     if isinstance(value, _decimal.Decimal):
         unscaled = int(value.scaleb(-value.as_tuple().exponent))
-        n = max(1, (unscaled.bit_length() + 8) // 8)
-        return unscaled.to_bytes(n, "big", signed=True)  # minimal 2's-compl
+        # minimal two's-complement per spec: ceil(bit_length/8) bytes,
+        # +1 only when the sign bit overflows ((bl+8)//8 over-padded
+        # negative powers of two, e.g. -128 → ff80 — ADVICE r10)
+        n = max(1, (unscaled.bit_length() + 7) // 8)
+        try:
+            return unscaled.to_bytes(n, "big", signed=True)
+        except OverflowError:
+            return unscaled.to_bytes(n + 1, "big", signed=True)
     if isinstance(value, float):
         raise TypeError("spec defines no bucket for float/double")
     raise TypeError(f"no iceberg hash encoding for {type(value).__name__}")

@@ -386,17 +386,24 @@ def manifest_lines_df(table, names: list[str]) -> DataFrame | None:
     fidelity — the typed pruning schema (ENTRY_SCHEMA) stringifies
     stats and partition values, so maintenance ops that REWRITE or
     AGGREGATE entries must parse the original lines with the DataFile
-    codec instead.  Returns None when the store can't be reached from
+    codec instead.  Spec-primary tables store Avro manifests
+    (``*.avro``); those are decoded executor-side with the pure-Python
+    spec reader and re-emitted as native entry-JSON lines — byte-wise a
+    different file, but ``json.dumps(DataFile.to_json())`` is exactly
+    the line format native JSONL manifests hold, so callers parse both
+    identically.  Returns None when the store can't be reached from
     executors (caller keeps its driver walk)."""
     paths = [os.path.join(table._mdir, n) for n in names]
     if not paths:
         return None
-    if isinstance(table.store, LocalStore):
+    any_avro = any(n.endswith(".avro") for n in names)
+    if isinstance(table.store, LocalStore) and not any_avro:
         return table.spark.read.text(paths)
     store_pkl = _pickled_store(table.store)
     if store_pkl is None:
         return None
     mdir = table._mdir
+    meta_json = table.meta.to_json() if any_avro else None
 
     def _read_lines(batches):
         import pickle
@@ -404,13 +411,29 @@ def manifest_lines_df(table, names: list[str]) -> DataFrame | None:
         import pandas as pd
 
         st = pickle.loads(store_pkl)
+        meta = None
+        if meta_json is not None:
+            from icepack.metadata import TableMetadata
+
+            meta = TableMetadata.from_json(meta_json)
         for pdf in batches:
-            out = [
-                ln
-                for name in pdf["name"]
-                for ln in st.read_text(os.path.join(mdir, name)).splitlines()
-                if ln.strip()
-            ]
+            out = []
+            for name in pdf["name"]:
+                if name.endswith(".avro"):
+                    from icepack.specio import read_spec_manifest
+
+                    out.extend(
+                        json.dumps(e.to_json())
+                        for e in read_spec_manifest(mdir, name, st, meta)
+                    )
+                else:
+                    out.extend(
+                        ln
+                        for ln in st.read_text(
+                            os.path.join(mdir, name)
+                        ).splitlines()
+                        if ln.strip()
+                    )
             yield pd.DataFrame({"value": out})
 
     return (

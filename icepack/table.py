@@ -1284,6 +1284,30 @@ class IceTable:
                 return True
         return False
 
+    def _distributed_maintenance(self, n_manifests: int) -> bool:
+        """Plan-mode decision for maintenance ops that already hold a
+        cross-snapshot manifest COUNT (expire reachability, orphan
+        sweep) — same contract as ``_use_distributed_planner`` but
+        count-based: ``read.plan-mode=driver`` pins the driver walk,
+        ``distributed`` forces Spark, ``auto`` compares the count
+        against the property-overridable manifest threshold (ADVICE
+        r10: the raw class constant ignored both)."""
+        mode = str(self.meta.properties.get("read.plan-mode", "auto")).lower()
+        if mode == "distributed":
+            return True
+        if mode != "auto":
+            return False
+        try:
+            thresh = int(
+                self.meta.properties.get(
+                    "read.plan-mode.auto.manifest-threshold",
+                    self.AUTO_PLAN_MANIFEST_THRESHOLD,
+                )
+            )
+        except (TypeError, ValueError):
+            thresh = self.AUTO_PLAN_MANIFEST_THRESHOLD
+        return n_manifests >= thresh
+
     def toDF(
         self, predicate: Expr | None = None, snapshot: Snapshot | None = None
     ) -> DataFrame:

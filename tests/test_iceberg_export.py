@@ -1402,3 +1402,33 @@ def test_foreign_v3_deletion_vector_decode_and_adopt(spark, tmp_path):
     assert _adopt_dv(t, adopted_rec, {"/other.parquet"}) is None  # dangling
     t._commit_snapshot("delete", [e])
     assert rows_sorted(t.toDF()) == rows_sorted(df.filter("id not in (1,3,5)"))
+
+
+def test_decimal_minimal_twos_complement_encoding():
+    """ADVICE r10 (low): Iceberg Appendix D requires the MINIMAL
+    two's-complement byte length for decimal values.  (bit_length+8)//8
+    over-padded negative powers of two whose bit_length is a multiple
+    of 8 (-128 → ff80 instead of 80) in exported partition values,
+    stats bounds, and bucket-hash input bytes."""
+    import decimal
+
+    from icepack.iceberg_export import _bound_bytes, _min_signed_be
+    from icepack.murmur3 import iceberg_hash_bytes
+
+    cases = {
+        0: "00", 1: "01", -1: "ff", 127: "7f", -127: "81",
+        -128: "80", 128: "0080", -129: "ff7f",
+        -256: "ff00", 32767: "7fff", -32768: "8000", -32769: "ff7fff",
+    }
+    for v, hexed in cases.items():
+        got = _min_signed_be(v)
+        assert got.hex() == hexed, (v, got.hex())
+        assert int.from_bytes(got, "big", signed=True) == v
+        if len(got) > 1:  # minimality: stripping a byte changes the value
+            assert int.from_bytes(got[1:], "big", signed=True) != v
+    # hash-input bytes take the same minimal form (JVM parity:
+    # BigDecimal.unscaledValue().toByteArray() is minimal)
+    assert iceberg_hash_bytes(decimal.Decimal("-1.28")).hex() == "80"
+    assert iceberg_hash_bytes(decimal.Decimal("-327.68")).hex() == "8000"
+    # stats bounds route through the same encoder
+    assert _bound_bytes("decimal(9,2)", decimal.Decimal("-1.28")).hex() == "80"

@@ -735,3 +735,101 @@ def test_fsck_check_data_distributed_fanout(spark, tmp_path, monkeypatch):
         results[lane] = sorted(got)
     assert results["driver"] == results["dist"]
     assert len(results["dist"]) == 1 and "!= footer" in results["dist"][0]
+
+
+def test_fsck_dv_missing_offsets_is_finding_not_crash(spark, tmp_path):
+    """ADVICE r10 (medium): a deletion-vector entry with null
+    content_offset/content_size is corrupt metadata — fsck must REPORT
+    it as a finding, not die in int(None) while queuing the blob
+    probe."""
+    import json as _json
+
+    from icepack import maintenance as M
+    from icepack.maintenance import verify_table
+    from icepack.table import IceTable
+
+    df = spark.range(200).selectExpr("id", "CAST(id % 7 AS DOUBLE) v")
+    t = IceTable.create(
+        spark,
+        str(tmp_path / "dvt"),
+        df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df)
+    t.delete(col("v") == 3.0)
+    assert M.write_deletion_vectors(t) is not None
+    assert verify_table(t, check_data=True) == []
+    # null out the DV entry's blob coordinates in its manifest
+    corrupted = 0
+    for man in os.listdir(t._mdir):
+        if not (man.startswith("manifest-") and man.endswith(".jsonl")):
+            continue
+        mp = os.path.join(t._mdir, man)
+        lines = [ln for ln in open(mp).read().splitlines() if ln.strip()]
+        out = []
+        for ln in lines:
+            d = _json.loads(ln)
+            if d.get("content") == "deletion-vectors" and d.get("status") != "deleted":
+                d["content-offset"] = None
+                d["content-size-in-bytes"] = None
+                corrupted += 1
+            out.append(_json.dumps(d))
+        open(mp, "w").write("\n".join(out) + "\n")
+    assert corrupted
+    t.refresh()
+    findings = verify_table(t, check_data=True)
+    assert any("missing content_offset" in f for f in findings)
+
+
+def test_expire_orphans_respect_plan_mode_driver(spark, tmp_path, monkeypatch):
+    """ADVICE r10 (low): expire/orphan reachability must route through
+    the property-aware plan-mode logic — read.plan-mode=driver pins the
+    driver walk even past the (overridden) manifest threshold, and
+    =distributed launches the Spark lane even below it."""
+    import icepack.scanplan as sp
+    from icepack import maintenance as M
+    from icepack.table import IceTable
+
+    def build(loc, mode):
+        df = spark.range(30).selectExpr("id", "CAST(id AS DOUBLE) v")
+        t = IceTable.create(
+            spark,
+            str(tmp_path / loc),
+            df.schema,
+            properties={
+                "read.plan-mode": mode,
+                "read.plan-mode.auto.manifest-threshold": "1",
+            },
+        )
+        for lo in range(0, 30, 10):
+            t.append(df.filter(f"id >= {lo} AND id < {lo + 10}"))
+        return t
+
+    # driver-pinned: the distributed entries path must never be touched
+    # (compacted so reachability has real expired-only candidates)
+    t = build("drv", "driver")
+    t.compact()
+    def boom(*a, **k):
+        raise AssertionError("read.plan-mode=driver must not launch Spark reachability")
+    monkeypatch.setattr(sp, "entries_df_for_manifests", boom)
+    res = M.expire_snapshots(t, older_than_ms=_future_ms(), retain_last=1)
+    assert res["expired"] >= 1
+    M.remove_orphan_files(t, older_than_ms=_future_ms(), dry_run=True)
+    monkeypatch.undo()
+
+    # distributed-pinned: tiny table, threshold default — Spark lane runs
+    # (compact first so expired snapshots hold manifests the kept one
+    # doesn't — otherwise reachability short-circuits with no work)
+    t2 = build("dist", "distributed")
+    t2.compact()
+    calls = []
+    orig = sp.entries_df_for_manifests
+    def counting(table, names):
+        calls.append(list(names))
+        return orig(table, names)
+    monkeypatch.setattr(sp, "entries_df_for_manifests", counting)
+    M.expire_snapshots(t2, older_than_ms=_future_ms(), retain_last=1)
+    assert calls, "read.plan-mode=distributed must use the Spark lane"

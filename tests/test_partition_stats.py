@@ -199,3 +199,51 @@ def test_partition_stats_distributed_agg_matches_driver(spark, tmp_path, monkeyp
             assert calls == [], f"driver decoded {sorted(set(calls))}"
         rows[lane] = rows_sorted(t.partition_stats())
     assert rows["distributed"] == rows["driver"] and rows["driver"]
+
+
+def test_partition_stats_distributed_on_spec_primary(spark, tmp_path, monkeypatch):
+    """ADVICE r10 (high): ANALYZE PARTITIONS on a spec-primary table
+    past the distributed threshold used to feed Avro manifest binary to
+    spark.read.text and crash in workers.  manifest_lines_df now
+    decodes .avro manifests executor-side (read_spec_manifest) and
+    re-emits native entry-JSON lines — stats must match the driver
+    walk, with zero driver entry decodes on the distributed lane."""
+    def build(loc, mode):
+        df = spark.range(60).selectExpr(
+            "id", "CAST(id % 3 AS INT) p", "CAST(id AS DOUBLE) v"
+        )
+        t = IceTable.create(
+            spark,
+            str(tmp_path / loc),
+            df.schema,
+            partition_by=[("p", "identity")],
+            properties={
+                "format.spec-primary": "true",
+                "write.delete.mode": "merge-on-read",
+                "write.delete.mor.strategy": "position",
+                "read.plan-mode": mode,
+            },
+        )
+        t.append(df.filter("id < 30"))
+        t.append(df.filter("id >= 30"))
+        t.delete(col("id") < 6)
+        return t
+
+    rows = {}
+    for lane in ("distributed", "driver"):
+        t = build(lane, lane)
+        assert t.spec_primary
+        calls = []
+        orig = IceTable._read_mentries
+
+        def counting(self, name):
+            calls.append(name)
+            return orig(self, name)
+
+        monkeypatch.setattr(IceTable, "_read_mentries", counting)
+        write_partition_stats(t)
+        monkeypatch.setattr(IceTable, "_read_mentries", orig)
+        if lane == "distributed":
+            assert calls == [], f"driver decoded {sorted(set(calls))}"
+        rows[lane] = rows_sorted(t.partition_stats())
+    assert rows["distributed"] == rows["driver"] and rows["driver"]
