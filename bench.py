@@ -112,11 +112,22 @@ def main() -> None:
     exec_s: dict[str, list[float]] = {name: [] for name in HEADLINE}
     canary: list[float] = []
 
+    # r10 verdict: a 0.25 s canary swings ±30% run-to-run and flips the
+    # sign of the adjustment it exists to stabilize.  The gauge is now
+    # ~2 s of saturating arithmetic split into 512 tasks (16 waves on 32
+    # cores, so one straggler can't set the time), its estimator is MIN
+    # (same as the query headline — load noise only adds), and its
+    # spread is recorded so the artifact itself proves whether the
+    # gauge was usable.  Measured on this box: min-of-5 is ~8%
+    # session-to-session where the old 0.25 s median swung ±30%.
+    CANARY_ID = "range20e9-p512-mod97"
+    CANARY_ROWS = 20_000_000_000
+
     def _canary() -> float:
         t0 = time.time()
-        spark.range(50_000_000).selectExpr("sum(id * 2 + 1) AS s").write.mode(
-            "overwrite"
-        ).format("noop").save()
+        spark.range(0, CANARY_ROWS, 1, 512).selectExpr(
+            "sum(id % 97) AS s"  # modulo: sum(id*2+1) overflows int64 at 20B rows
+        ).write.mode("overwrite").format("noop").save()
         return round(time.time() - t0, 3)
 
     _canary()  # warm the canary's own codegen once
@@ -145,7 +156,13 @@ def main() -> None:
             "build_median": round(statistics.median(build_s[name]), 3),
             "exec_median": round(statistics.median(exec_s[name]), 3),
         }
+    canary_min = min(canary)
     canary_median = round(statistics.median(canary), 3)
+    canary_spread_pct = (
+        round(100.0 * (max(canary) - canary_min) / canary_median, 2)
+        if canary_median
+        else None
+    )
 
     # Streaming-ingest leg (docs/12:211-236 bronze pattern): events as a
     # bounded multi-batch file stream through the foreachBatch snapshot
@@ -217,7 +234,22 @@ def main() -> None:
             if common
             else None
         )
-        cr = round(canary_median / pc, 4) if pc else None
+        # the machine factor is only meaningful between IDENTICAL canary
+        # workloads whose spreads say the gauge held — across a gauge
+        # change (r10→r11 resize) or when either round's canary spread
+        # exceeds 10%, the adjusted ratio is WITHHELD and the raw ratio
+        # stands alone (r10: a noisy gauge silently flipped the sign of
+        # the adjustment; null is more actionable than wrong)
+        same_gauge = prev_parsed.get("canary_id") == CANARY_ID
+        prev_spread = prev_parsed.get("canary_spread_pct")
+        gauge_ok = (
+            same_gauge
+            and canary_spread_pct is not None
+            and canary_spread_pct <= 10.0
+            and prev_spread is not None
+            and prev_spread <= 10.0
+        )
+        cr = round(canary_min / pc, 4) if (pc and gauge_ok) else None
         vs_prev = {
             "prev_round": prev_n,
             "canary_prev": pc,
@@ -250,7 +282,14 @@ def main() -> None:
         "queries": timings,
         "queries_spread": spread,
         "reps": reps,
-        "canary": {"median": canary_median, "samples": canary},
+        "canary": {
+            "min": canary_min,
+            "median": canary_median,
+            "samples": canary,
+            "id": CANARY_ID,
+            "rows": CANARY_ROWS,
+            "spread_pct": canary_spread_pct,
+        },
         # the 100 TB-relevant DV legs, split so the composite can't
         # mask a scan regression: write = create+MOR deletes+bitmap
         # consolidation (driver+DML), scan = the DV-masked read plan
@@ -276,9 +315,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "canary_sec": canary_median,
+        "canary_sec": canary_min,
+        "canary_id": CANARY_ID,
+        "canary_spread_pct": canary_spread_pct,
         "stream_rows_per_sec": st_rows_per_sec,
         "canary_ratio_vs_prev": (vs_prev or {}).get("canary_ratio"),
+        # raw and machine-adjusted SIDE BY SIDE (r10 verdict: the
+        # adjusted number contradicted its own raw data unnoticed)
+        "common_ratio_raw": (vs_prev or {}).get("common_subset_ratio"),
         "common_ratio_machine_adj": (vs_prev or {}).get(
             "common_subset_ratio_machine_adjusted"
         ),
