@@ -56,72 +56,70 @@ def load_all_modules() -> None:
 #: iteration order never depends on untracked files in the environment
 #: (same input -> same order, everywhere).
 #:
-#: Round-10 snapshot (VERDICT r9 item 4): the r9 driver run refreshed
-#: the r4-stale cohort plus the r9-changed code paths, so the oldest
-#: driver-side evidence now belongs to the 39 queries last sampled in
-#: round 5 — they go FIRST (the 50-entry budget covers all of them),
-#: followed by the queries whose code paths change THIS round
-#: (production dedupe_table star-link/collapse + data-aware planes,
-#: distributed tuple-prune spelling-collision guard + exact In
-#: membership, picklable-store executor-side planning, O(hit
-#: manifests) replace commits, MOR-aware total-data-files, timestamp
-#: bucket fast-lane gating).
+#: Round-11 snapshot (VERDICT r10 item 2): the r10 driver run rotated
+#: the r5-stale cohort, so the oldest driver-side evidence now belongs
+#: to the 44 queries last sampled in round 6 (the ice3-ice30 lifecycle
+#: family, st1/2/3/5/7, a14/a16, x1, x30-x40) -- they go FIRST,
+#: followed by ice10/ice54 (queued in r10 but fell off the 50-cap) and
+#: the queries whose code paths change THIS round (minimal decimal
+#: two's-complement export/hash bytes, spec-primary distributed pstats,
+#: plan-mode-aware expire/orphan reachability, dedupe_table shuffle
+#: self-sizing, Iceberg v3 deletion-vector export).
 PRIORITY: list[str] = [
-    # r05-evidenced cohort (oldest driver evidence; local battery green
+    # r06-evidenced cohort (oldest driver evidence; local battery green
     # every round since, but the hard signal must rotate)
-    "j1_inner_join",
-    "j2_right_join",
-    "j2_left_join",
-    "j2_full_outer",
-    "j3_broadcast_star",
-    "j4_semi_join",
-    "j4_anti_join",
-    "j5_range_join",
-    "j5_interval_bin_join",
-    "j7_asof_join",
-    "p4_like",
-    "p5_json_extract",
-    "p5_from_json_struct",
-    "p6_null_handling",
-    "a3_approx_percentile",
-    "ice44_result_cache",
-    "ice46_s3_store",  # ALSO r10-changed: executor-side S3 planning
-    "x3_minhash_lsh",
-    "x4_simhash",
-    "x5_cosine_topk",
-    "x6_ann_bucketed",
-    "x7_text_quality",
-    "x8_fingerprint",
-    "x9_binary_meta",
-    "x10_doc_embedding_join",
-    "x11_token_regex",
-    "x12_lang_id",
-    "x13_embedding_neardup",
-    "x14_variant_json",
-    "x15_multimodal_features",
-    "x16_dedup_clusters",
-    "x17_tfidf_terms",
-    "x18_hash_sample",
-    "x19_weighted_mix",
-    "x20_kmeans_ivf",
-    "x21_repetition_ratio",
-    "x22_contamination",
-    "x23_dedup_keep_best",
-    "x24_char_entropy",
-    "x25_edit_distance",
-    "x26_quality_filter",
-    "x27_lsh_ann",
-    # code changing this round -- re-evidence
-    "ice62_decimal_truncate",  # NEW in r10: decimal truncate partitioning
-    "ice61_dedup_keep_best",  # NEW in r10, never driver-sampled
-    "ice52_table_dedup",  # dedupe_table star-link mining + window exact
-    "ice39_distributed_plan",  # spelling-collision guard, In membership
-    "ice60_auto_distributed_scan",
-    "ice37_memory_store",  # non-picklable store driver fallback
-    "f6_bucket_mod",  # timestamp fast-lane gating
-    "ice5_merge",  # O(hit manifests) replace commit
-    "ice10_mor_delete",  # MOR-aware total-data-files
+    "ice3_delete_cow",
+    "ice4_update",
+    "ice6_schema_evolution",
+    "ice8_metadata_tables",
+    "ice9_compact_expire",  # ALSO r11-changed: plan-mode-aware expire
+    "ice11_incremental_read",
+    "ice12_sql_over_table",
+    "ice13_medallion",
+    "ice14_refs_rollback",
+    "ice15_mor_position_delete",
+    "ice16_mor_update",
+    "ice17_zorder_compact",
+    "ice18_sorted_write",
+    "ice19_partition_evolution",
+    "ice20_wap",
+    "ice21_query_history",
+    "ice22_cdc_diff",
+    "ice23_orphan_cleanup",  # ALSO r11-changed: plan-mode-aware orphans
+    "ice24_rewrite_manifests",
+    "ice25_sql_surface",
+    "ice26_incremental_dedup",
+    "ice27_scd2",
+    "ice28_json_ingest",
+    "ice29_add_files",
+    "ice30_csv_ingest",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st3_session_window",
+    "st5_dedup",
+    "st7_stream_join",
+    "a14_cohort_retention",
+    "a16_stickiness",
+    "x1_exact_dedup",
+    "x30_embedding_outliers",
+    "x31_jaccard_stopshingles",
+    "x32_bigram_entropy",
+    "x33_doc_chunking",
+    "x34_chunk_dedup",
+    "x35_train_split",
+    "x36_minhash_estimate",
+    "x37_unigram_surprisal",
+    "x38_ngram_novelty",
+    "x39_kmeans_assign",
+    "x40_pq_encode",
+    # queued in r10 but fell off the 50-sample cap
+    "ice10_mor_delete",
     "ice54_deletion_vectors",
+    # code changing this round -- re-evidence
+    "ice62_decimal_truncate",  # minimal two's-complement decimal bytes
+    "f6_bucket_mod",  # decimal bucket-hash input bytes
+    "ice52_table_dedup",  # dedupe_table shuffle self-sizing
+    "ice43_iceberg_export",  # v3 DV export lane
 ]
 
 
