@@ -228,6 +228,65 @@ def _bucket_stars(keyed: DataFrame, id_col: str, keys: list) -> DataFrame:
     )
 
 
+def _mining_shuffle_partitions(table) -> int | None:
+    """Shuffle width for ``dedupe_table``'s mining jobs, derived from
+    the table's OWN manifest-list byte totals (O(manifests) driver
+    work the plan already pays — no file listing, no entry decode).
+
+    Why (r10 verdict, the one measured scale-killer left in the LLM
+    path): mining shuffles at a fixed session width hit the
+    external-sort spill regime once the per-partition working set
+    outgrows memory — tools/shuffle_probe.py measured 1.5-3× recovery
+    at the 300× unique rung from scaling ``spark.sql.shuffle.
+    partitions`` with the corpus.  The plane count became data-aware in
+    r10; this makes the shuffle width data-aware the same way.
+
+    Rule: one shuffle partition per ``dedup.shuffle.bytes-per-
+    partition`` of live table bytes (default 1 MiB — shingle/gram
+    explosion inflates stored parquet ~30-60× in flight, so 1 MiB
+    stored ≈ tens of MB of in-memory working set; the probe's sweet
+    spot at 175 MB stored was 128-256 partitions), floored at the
+    session's current width (never shrink what the user sized) and
+    capped at ``dedup.shuffle.max-partitions`` (default 4096 — AQE
+    coalesces the excess, the cap only bounds scheduler overhead).
+    Returns None (leave the session conf untouched) when the table has
+    no snapshot or its manifest summaries carry no byte totals
+    (foreign summaries without the live-bytes stash)."""
+    snap = table.meta.current_snapshot
+    if snap is None:
+        return None
+    try:
+        descs = table._read_mlist(snap.manifest_list)
+    except (OSError, ValueError):
+        return None
+    total = 0
+    for m in descs:
+        b = m.get("live-bytes")
+        if b is None:
+            return None  # foreign summary: no byte totals, don't guess
+        total += b
+    if total <= 0:
+        return None
+    props = table.meta.properties
+
+    def _n(key: str, default: int) -> int:
+        try:
+            return int(props.get(key, default))
+        except (TypeError, ValueError):
+            return default
+
+    per_part = max(1, _n("dedup.shuffle.bytes-per-partition", 1 << 20))
+    cap = max(1, _n("dedup.shuffle.max-partitions", 4096))
+    try:
+        current = int(table.spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        current = 32
+    want = -(-total // per_part)  # ceil
+    if want <= current:
+        return None  # session width already covers the corpus
+    return min(want, cap) if cap > current else None
+
+
 def dedupe_table(
     table,
     id_col: str = "doc_id",
@@ -307,6 +366,33 @@ def dedupe_table(
                 F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()
             )
         return w.orderBy(F.col(id_col).asc())
+
+    # data-aware shuffle width (r11): size the mining shuffles from the
+    # table's own manifest byte totals so a large corpus never runs the
+    # whole pipeline through a session-default 32-way shuffle's spill
+    # regime; restored on exit, AQE coalesces any excess
+    n_parts = _mining_shuffle_partitions(table)
+    prev_width = None
+    if n_parts is not None:
+        prev_width = table.spark.conf.get("spark.sql.shuffle.partitions")
+        table.spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        return _dedupe_table_body(
+            table, id_col, text_col, method, num_hashes, bands, dry_run,
+            vec_col, threshold, dim, n_planes, keep, quality_col,
+            _survivor_window,
+        )
+    finally:
+        if prev_width is not None:
+            table.spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+
+
+def _dedupe_table_body(
+    table, id_col, text_col, method, num_hashes, bands, dry_run,
+    vec_col, threshold, dim, n_planes, keep, quality_col,
+    _survivor_window,
+):
+    from .dml import merge
 
     d = (
         table.toDF().select(id_col, vec_col)
