@@ -285,12 +285,15 @@ def write_deletion_vectors(
     from .puffin import write_puffin
 
     if table.spec_primary:
-        raise ValueError(
-            "write_deletion_vectors refuses on a spec-primary table: "
-            "the spec-primary tree is Iceberg v2 format, which has no "
-            "DV entry shape (rewrite_position_deletes is the v2 "
-            "consolidation)"
-        )
+        from .specio import spec_format_version
+
+        if spec_format_version(table.meta.properties) < 3:
+            raise ValueError(
+                "write_deletion_vectors refuses on a spec-primary v2 "
+                "table: Iceberg v2 has no DV entry shape (set "
+                "format.spec-version=3, or use rewrite_position_deletes "
+                "as the v2 consolidation)"
+            )
     spark = table.spark
 
     import pandas as pd  # noqa: F401
@@ -1321,13 +1324,19 @@ def convert_to_spec_primary(table) -> Snapshot:
         # path and the manifest OCF metadata reflects the new spec list
         table.meta = staged
         try:
+            from .specio import spec_format_version
+
+            fv = spec_format_version(staged.properties)
             for e in entries:
                 if e.content == "deletion-vectors":
+                    if fv >= 3:
+                        continue  # v3 spec trees carry DV entries natively
                     raise ValueError(
                         "convert_to_spec_primary: table has live v3 "
                         "deletion-vectors, which the v2 spec tree cannot "
-                        "express; run rewrite_position_deletes() first "
-                        "to fold them into parquet tombstones"
+                        "express; set format.spec-version=3 to keep them, "
+                        "or run rewrite_position_deletes() first to fold "
+                        "them into parquet tombstones"
                     )
                 if e.content != "data" and not is_spec_shaped_delete(e):
                     rewrite_delete_file_spec(table, e, keep_original=True)

@@ -62,6 +62,7 @@ from .avroenc import read_container_with_meta, write_container
 from .iceberg_export import (
     _bound_bytes,
     _delete_entry_record,
+    _dv_entry_record,
     _entry_record,
     _export_transform,
     _manifest_entry_schema,
@@ -86,11 +87,29 @@ from .metadata import (
 
 PROPERTY = "format.spec-primary"
 
+#: spec format version for spec-primary trees: "2" (default) or "3".
+#: v3 lets the tree carry deletion vectors natively (content=1 Puffin
+#: blob references, public Iceberg v3 spec "Delete Formats") — under
+#: v2 DV content refuses at manifest write (no v2 entry shape exists).
+VERSION_PROPERTY = "format.spec-version"
+
+
+def spec_format_version(properties: dict) -> int:
+    try:
+        v = int(str(properties.get(VERSION_PROPERTY, "2")))
+    except (TypeError, ValueError):
+        v = 2
+    if v not in (2, 3):
+        raise ValueError(f"{VERSION_PROPERTY} must be 2 or 3, got {v}")
+    return v
+
 #: native status string ↔ spec entry status code
 _STATUS_TO_CODE = {"existing": 0, "added": 1, "deleted": 2}
 _CODE_TO_STATUS = {v: k for k, v in _STATUS_TO_CODE.items()}
 _CONTENT_TO_CODE = {"data": 0, "position-deletes": 1, "equality-deletes": 2}
 _CODE_TO_CONTENT = {v: k for k, v in _CONTENT_TO_CODE.items()}
+#: v3 adds deletion vectors as content code 1 with a Puffin blob ref
+_CONTENT_TO_CODE_V3 = {**_CONTENT_TO_CODE, "deletion-vectors": 1}
 
 #: transforms whose spec export is lossless (see module docstring)
 _SPEC_OK = ("identity", "year", "month", "day", "hour", "truncate", "mmh3bucket")
@@ -207,7 +226,21 @@ def dump_spec_metadata(
         # (see unpartitioned_spec_id) — register it so external readers
         # can resolve their partition_spec_id
         specs_json.append({"spec-id": unpartitioned_spec_id(meta), "fields": []})
+    fv = spec_format_version(meta.properties)
     snapshots_json = []
+    # v3 row lineage bookkeeping (best-effort in spec-primary mode: the
+    # exporter assigns exact per-file first_row_id; here the row-id
+    # space advances by each snapshot's added-records so next-row-id /
+    # first-row-id stay monotonic and unique — the v3 DV carriage this
+    # mode exists for does not consume row ids)
+    running_rows = 0
+    first_row_of: dict[int, int] = {}
+    for s in sorted(meta.snapshots, key=lambda x: x.sequence_number):
+        first_row_of[s.snapshot_id] = running_rows
+        try:
+            running_rows += int(s.summary.get("added-records", 0) or 0)
+        except (TypeError, ValueError):
+            pass
     for s in meta.snapshots:
         snapshots_json.append(
             {
@@ -226,6 +259,11 @@ def dump_spec_metadata(
                     "icepack.operation": s.operation,
                     **{k: str(v) for k, v in s.summary.items()},
                 },
+                **(
+                    {"first-row-id": first_row_of.get(s.snapshot_id, 0)}
+                    if fv >= 3
+                    else {}
+                ),
             }
         )
     refs = {
@@ -235,7 +273,8 @@ def dump_spec_metadata(
     if meta.current_snapshot_id is not None:
         refs["main"] = {"snapshot-id": meta.current_snapshot_id, "type": "branch"}
     md = {
-        "format-version": 2,
+        "format-version": fv,
+        **({"next-row-id": running_rows} if fv >= 3 else {}),
         "table-uuid": meta.table_uuid
         if _is_uuid(meta.table_uuid)
         else str(_uuid.uuid5(_uuid.NAMESPACE_URL, str(meta.table_uuid))),
@@ -463,10 +502,17 @@ def write_spec_manifests(
     pruning stays exact.  Delete-content entries are re-homed to the
     unpartitioned spec (see :func:`unpartitioned_spec_id`)."""
     tv = _TableView(meta)
+    fv = spec_format_version(meta.properties)
     unpart = unpartitioned_spec_id(meta)
     groups: dict[tuple[int, int], list[DataFile]] = {}
     for e in entries:
-        code = _CONTENT_TO_CODE[e.content]
+        if e.content == "deletion-vectors" and fv < 3:
+            raise ValueError(
+                "deletion-vector content has no Iceberg v2 entry shape; "
+                "set format.spec-version=3 on the table or run "
+                "rewrite_position_deletes() first"
+            )
+        code = _CONTENT_TO_CODE_V3[e.content]
         if code != 0:
             e.spec_id = unpart
             e.partition = {}
@@ -485,7 +531,7 @@ def write_spec_manifests(
         # one schema for bounds encoding; per-entry schema ids ride in
         # the OCF stash for exact native reconstruction
         schema = meta.schema_by_id(meta.current_schema_id)
-        avro_schema = _manifest_entry_schema(spec, schema)
+        avro_schema = _manifest_entry_schema(spec, schema, fv)
         recs = []
         for e in group:
             # schema_id == -1 marks a FOREIGN file (no stash when its
@@ -499,6 +545,17 @@ def write_spec_manifests(
             )
             if e.content == "data":
                 r = _entry_record(tv, ee, _STATUS_TO_CODE[e.status], None)
+            elif e.content == "deletion-vectors":
+                # v3: the entry references one deletion-vector-v1 blob
+                # inside the table's own Puffin file — zero-copy, the
+                # bitmap never decodes on this path
+                r = _dv_entry_record(
+                    spec, e.path, e.referenced_data_file,
+                    int(e.content_offset), int(e.content_size),
+                    e.record_count, e.file_size_bytes,
+                    e.sequence_number, None,
+                )
+                r["status"] = _STATUS_TO_CODE[e.status]
             else:
                 code = _CONTENT_TO_CODE[e.content]
                 eq_ids = []
@@ -552,7 +609,8 @@ def write_spec_manifests(
             **_spec_required_manifest_meta(meta, schema, spec.spec_id, 0),
         }
         buf = write_container(
-            _manifest_entry_schema(spec, schema), [], _sync_for(name), extra_meta=stash,
+            _manifest_entry_schema(spec, schema, fv), [], _sync_for(name),
+            extra_meta=stash,
             codec=meta.properties.get("write.avro.codec", "null"),
         )
         store.write_bytes(store.join(mdir, name), buf)
@@ -591,7 +649,7 @@ def _spec_required_manifest_meta(meta, schema, spec_id: int, is_delete: int) -> 
         "schema-id": str(schema.schema_id),
         "partition-spec": json.dumps(fields, separators=(",", ":")),
         "partition-spec-id": str(spec_id),
-        "format-version": "2",
+        "format-version": str(spec_format_version(meta.properties)),
         "content": "deletes" if is_delete else "data",
     }
 
@@ -649,6 +707,24 @@ def read_spec_manifest(
                 f = schema.field_by_id(fid)
                 if f is not None:
                     eq_cols.append(f.name)
+        content = _CODE_TO_CONTENT.get(code, "data")
+        dv_kwargs = {}
+        if code == 1 and (
+            df_.get("content_offset") is not None
+            or str(df_.get("file_format", "")).upper() == "PUFFIN"
+        ):
+            # v3 deletion vector: content=1 locating a blob inside a
+            # Puffin file (referenced_data_file alone is NOT the signal
+            # — some writers populate it on plain position deletes)
+            content = "deletion-vectors"
+            ref = df_.get("referenced_data_file")
+            if ref and ref.startswith("file:"):
+                ref = canonical_file_path(ref)
+            dv_kwargs = {
+                "referenced_data_file": ref,
+                "content_offset": df_.get("content_offset"),
+                "content_size": df_.get("content_size_in_bytes"),
+            }
         out.append(
             DataFile(
                 path=fpath,
@@ -660,8 +736,9 @@ def read_spec_manifest(
                 file_size_bytes=df_.get("file_size_in_bytes", 0),
                 stats=stats,
                 sequence_number=r.get("sequence_number") or 0,
-                content=_CODE_TO_CONTENT.get(code, "data"),
+                content=content,
                 equality_columns=eq_cols,
+                **dv_kwargs,
             )
         )
     return out
@@ -757,6 +834,7 @@ def write_spec_manifest_list(
     summaries: list[dict],
     store,
     codec: str = "null",
+    format_version: int = 2,
 ) -> str:
     """Spec manifest list from native descriptors.  ``summaries`` are
     the native per-manifest summary dicts (they carry everything the
@@ -806,10 +884,14 @@ def write_spec_manifest_list(
         if parent_snapshot_id is not None
         else "null",
         "sequence-number": str(sequence_number),
-        "format-version": "2",
+        "format-version": str(format_version),
     }
     buf = write_container(
-        _manifest_list_schema(), recs, _sync_for(name), extra_meta=stash, codec=codec
+        _manifest_list_schema(format_version),
+        recs,
+        _sync_for(name),
+        extra_meta=stash,
+        codec=codec,
     )
     store.write_bytes(store.join(mdir, name), buf)
     return name

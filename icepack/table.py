@@ -190,18 +190,21 @@ class IceTable:
             from .specio import (
                 is_spec_shaped_delete,
                 rewrite_delete_file_spec,
+                spec_format_version,
                 write_spec_manifests,
             )
 
+            fv = spec_format_version(self.meta.properties)
             for e in entries:
                 if e.content == "deletion-vectors":
+                    if fv >= 3:
+                        continue  # v3 trees carry DV entries natively
                     raise ValueError(
                         "deletion-vectors cannot commit to a spec-primary "
-                        "table: the spec-primary tree is Iceberg v2 "
-                        "format, which has no DV entry shape.  Run "
+                        "v2 table: Iceberg v2 has no DV entry shape.  Set "
+                        "format.spec-version=3, or run "
                         "rewrite_position_deletes() to fold DVs back to "
-                        "parquet tombstones before (or instead of) "
-                        "enabling spec-primary."
+                        "parquet tombstones."
                     )
                 if e.content != "data" and not is_spec_shaped_delete(e):
                     # shape detection is CONTENT-based (reserved field
@@ -227,7 +230,7 @@ class IceTable:
         parent_snapshot_id: int | None,
     ) -> str:
         if self.spec_primary:
-            from .specio import write_spec_manifest_list
+            from .specio import spec_format_version, write_spec_manifest_list
 
             return write_spec_manifest_list(
                 self._mdir,
@@ -238,6 +241,7 @@ class IceTable:
                 summaries,
                 self.store,
                 codec=self.meta.properties.get("write.avro.codec", "null"),
+                format_version=spec_format_version(self.meta.properties),
             )
         return write_manifest_list(
             self._mdir, snapshot_id, names, summaries, store=self.store

@@ -1432,3 +1432,112 @@ def test_decimal_minimal_twos_complement_encoding():
     assert iceberg_hash_bytes(decimal.Decimal("-327.68")).hex() == "8000"
     # stats bounds route through the same encoder
     assert _bound_bytes("decimal(9,2)", decimal.Decimal("-1.28")).hex() == "80"
+
+
+def test_export_v3_deletion_vectors_triangle(spark, tmp_path):
+    """VERDICT r10 item 3: a DV table exports as format-version 3 with
+    Puffin ``deletion-vector-v1`` blob REFERENCES (native Puffin
+    zero-copy; post-consolidation parquet tombstones merged into fresh
+    blobs — v3 forbids position-delete files and allows at most one DV
+    per data file), and the triangle holds: native scan ==
+    read_iceberg over the export == DuckDB over the raw parquet."""
+    import glob
+    import json
+    import os
+
+    import duckdb
+
+    from icepack import maintenance as M
+    from icepack.expr import col
+    from icepack.iceberg_export import export_iceberg
+    from icepack.iceberg_import import read_iceberg
+    from icepack.interop import duckdb_snapshot_sql
+    from icepack.table import IceTable
+
+    df = spark.range(400).selectExpr("id", "CAST(id % 9 AS DOUBLE) v")
+    t = IceTable.create(
+        spark, str(tmp_path / "dv v3"), df.schema,  # space: URI canon
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df)
+    t.delete(col("v") == 4.0)
+    assert M.write_deletion_vectors(t) is not None
+    t.delete(col("id") < 7)  # overlaps files already carrying DVs
+    native = sorted(tuple(r) for r in t.toDF().collect())
+
+    mpath = export_iceberg(t, format_version=3)
+    md = json.load(open(mpath))
+    assert md["format-version"] == 3
+    assert md["next-row-id"] == 400
+    assert all("first-row-id" in s for s in md["snapshots"])
+    dest = os.path.dirname(mpath)
+    # no position-delete parquet; one consolidated puffin; the native
+    # puffin is NOT copied (zero-copy reference)
+    assert not glob.glob(os.path.join(dest, "delete-*.parquet"))
+    assert glob.glob(os.path.join(dest, "dv-*.puffin"))
+
+    ext = read_iceberg(spark, dest)
+    got = sorted(tuple(r) for r in ext.select("id", "v").collect())
+    assert got == native
+
+    con = duckdb.connect()
+    duck = sorted(
+        tuple(r) for r in con.execute(duckdb_snapshot_sql(t)).fetchall()
+    )
+    assert duck == native
+
+    # v2 export of the same table still decodes DVs to parquet and agrees
+    dest2 = str(tmp_path / "v2meta")
+    export_iceberg(t, dest=dest2, format_version=2)
+    got2 = sorted(
+        tuple(r) for r in read_iceberg(spark, dest2).select("id", "v").collect()
+    )
+    assert got2 == native
+    assert glob.glob(os.path.join(dest2, "delete-*.parquet"))
+
+    # bad version refuses
+    import pytest
+
+    with pytest.raises(ValueError, match="format-version"):
+        export_iceberg(t, dest=str(tmp_path / "bad"), format_version=4)
+
+
+def test_export_v3_row_lineage_stable_across_history(spark, tmp_path):
+    """v3 row lineage: a history export assigns each data file ONE
+    first_row_id, stable across the snapshots that re-list it, and
+    next-row-id covers the total assigned span."""
+    import json
+    import os
+
+    from icepack.avroenc import read_container_with_meta
+    from icepack.iceberg_export import export_iceberg
+    from icepack.table import IceTable
+
+    df = spark.range(100).selectExpr("id")
+    t = IceTable.create(spark, str(tmp_path / "t"), df.schema)
+    t.append(df.filter("id < 60"))
+    t.append(df.filter("id >= 60"))
+    mpath = export_iceberg(
+        t, dest=str(tmp_path / "meta"), history=True, format_version=3
+    )
+    md = json.load(open(mpath))
+    assert md["next-row-id"] == 100
+    first_ids: dict[str, set] = {}
+    for s in md["snapshots"]:
+        _sc, recs, _m = read_container_with_meta(
+            open(s["manifest-list"], "rb").read()
+        )
+        for mrec in recs:
+            _sc2, entries, _m2 = read_container_with_meta(
+                open(mrec["manifest_path"], "rb").read()
+            )
+            for e in entries:
+                dfile = e["data_file"]
+                first_ids.setdefault(dfile["file_path"], set()).add(
+                    dfile["first_row_id"]
+                )
+    assert first_ids and all(len(v) == 1 for v in first_ids.values())
+    assert None not in {next(iter(v)) for v in first_ids.values()}

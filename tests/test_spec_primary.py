@@ -759,3 +759,107 @@ def test_migrate_covers_live_files_under_retired_bucket_spec(spark, tmp_path):
     assert t.spec_primary
     native = _triangle(spark, t, loc)
     assert len(native) == 16
+
+
+def test_spec_primary_v3_deletion_vector_lifecycle(spark, tmp_path):
+    """VERDICT r10 item 3: format.spec-version=3 lets a spec-primary
+    tree carry deletion vectors NATIVELY — write_deletion_vectors
+    commits DV entries as content=1 Puffin blob references in spec v3
+    manifests (no refusal, no parquet fold-back), the metadata.json is
+    format-version 3 with next-row-id, and the triangle (native ==
+    read_iceberg == DuckDB) holds through consolidate → delete →
+    re-consolidate."""
+    from icepack import maintenance as M
+
+    loc = str(tmp_path / "sp3")
+    df = _df(spark, 200)
+    t = IceTable.create(
+        spark, loc, df.schema,
+        properties={
+            **PROPS,
+            "format.spec-version": "3",
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df)
+    t.delete(col("k") == 2)
+    assert M.write_deletion_vectors(t) is not None
+    dvs = [f for f in t.live_files(content="all") if f.content == "deletion-vectors"]
+    assert dvs and all(
+        f.content_offset is not None and f.referenced_data_file for f in dvs
+    )
+    _triangle(spark, t, loc)
+    # metadata.json is v3
+    hint = json.load(open(os.path.join(loc, "metadata", "version-hint.json")))
+    md = json.load(
+        open(os.path.join(loc, "metadata", f"v{hint['version']}.metadata.json"))
+    )
+    assert md["format-version"] == 3 and "next-row-id" in md
+    # further MOR deletes + re-consolidation keep the triangle
+    t.delete(col("id") < 3)
+    _triangle(spark, t, loc)
+    M.write_deletion_vectors(t)
+    _triangle(spark, t, loc)
+    # reload from disk round-trips the DV entries
+    t2 = IceTable.load(spark, loc)
+    assert rows_sorted(t2.toDF()) == rows_sorted(t.toDF())
+    dvs2 = [
+        f for f in t2.live_files(content="all") if f.content == "deletion-vectors"
+    ]
+    assert dvs2 and all(f.content_offset is not None for f in dvs2)
+
+
+def test_spec_primary_v2_still_refuses_dvs(spark, tmp_path):
+    """Without format.spec-version=3 the v2 refusal (and its guidance)
+    stands — v2 has no DV entry shape."""
+    from icepack import maintenance as M
+
+    df = _df(spark, 50)
+    t = IceTable.create(
+        spark, str(tmp_path / "sp2"), df.schema,
+        properties={
+            **PROPS,
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df)
+    t.delete(col("k") == 1)
+    with pytest.raises(ValueError, match="spec-version=3"):
+        M.write_deletion_vectors(t)
+
+
+def test_convert_to_spec_primary_v3_keeps_dvs(spark, tmp_path):
+    """A NATIVE table holding live deletion vectors converts to
+    spec-primary when targeting v3 (the v2 conversion refuses with
+    migration advice, unchanged) — and the converted tree serves the
+    same rows to the independent spec reader."""
+    from icepack import maintenance as M
+
+    df = _df(spark, 120)
+
+    def build(loc):
+        t = IceTable.create(
+            spark, loc, df.schema,
+            properties={
+                "write.delete.mode": "merge-on-read",
+                "write.delete.mor.strategy": "position",
+            },
+        )
+        t.append(df)
+        t.delete(col("k") == 3)
+        assert M.write_deletion_vectors(t) is not None
+        return t
+
+    t = build(str(tmp_path / "n2"))
+    with pytest.raises(ValueError, match="spec-version=3"):
+        M.convert_to_spec_primary(t)
+
+    t3 = build(str(tmp_path / "n3"))
+    t3.set_properties(**{"format.spec-version": "3"})
+    before = rows_sorted(t3.toDF())
+    M.convert_to_spec_primary(t3)
+    assert t3.spec_primary
+    assert rows_sorted(t3.toDF()) == before
+    _triangle(spark, t3, str(tmp_path / "n3"))
