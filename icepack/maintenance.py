@@ -10,6 +10,7 @@ maintenance is snapshot-isolated from readers exactly like writes.
 from __future__ import annotations
 
 import glob as _glob
+import json
 import os
 import time
 
@@ -1016,82 +1017,217 @@ def verify_table(table, check_data: bool = False) -> list[str]:
     # referencing no live data file is either retired-file residue or
     # spelling drift; either way the rows it was meant to mask would
     # resurrect, so fsck flags it.
+    descs = table._read_mlist(snap.manifest_list)
+    dist = _verify_manifests_distributed(
+        table, descs, snap.sequence_number, spec_ids, schema_ids, check_data
+    )
+    if dist is not None:
+        findings.extend(dist)
+        return findings
     live_data_paths: set = set()
     anchored_refs: list = []
     data_checks: list[tuple] = []  # (kind, path, expected, offset, size)
-    for m in table._read_mlist(snap.manifest_list):
+    for m in descs:
         try:
             entries = table._read_mentries(m["manifest-path"])
         except Exception as e:  # noqa: BLE001 — report, keep walking
             findings.append(f"manifest {m['manifest-path']} unreadable: {e}")
             continue
-        stored = {k: v for k, v in m.items() if k != "manifest-path"}
-        recomputed = manifest_summary(entries)
-        if stored.get("reconstructed"):
-            # foreign spec manifest: the summary is a conservative
-            # never-skip reconstruction, not a stored claim — nothing
-            # trusts its placeholder values, so no drift to flag
-            stored = {}
-        if stored and any(
-            k in stored and stored[k] != v for k, v in recomputed.items()
-        ):
-            drift = sorted(
-                k for k, v in recomputed.items() if k in stored and stored[k] != v
-            )
-            findings.append(
-                f"manifest {m['manifest-path']} summary drift in {drift} — "
-                "phase-0 skipping trusts these; run rewrite_manifests"
-            )
-        for e in entries:
-            if e.status == "deleted":
-                continue
-            if e.content == "data":
-                live_data_paths.add(e.path)
-            elif e.referenced_data_file is not None:
-                anchored_refs.append((e.path, e.referenced_data_file))
-            if e.sequence_number > snap.sequence_number:
-                findings.append(
-                    f"{e.path}: data sequence {e.sequence_number} beyond "
-                    f"snapshot watermark {snap.sequence_number}"
-                )
-            if e.spec_id not in spec_ids:
-                findings.append(f"{e.path}: unknown spec-id {e.spec_id}")
-            if e.schema_id not in schema_ids and e.schema_id != -1:
-                # -1 = foreign spec file (probe-resolved, no stash)
-                findings.append(f"{e.path}: unknown schema-id {e.schema_id}")
-            if not os.path.exists(e.path):
-                findings.append(f"{e.path}: file missing from storage")
-            elif check_data and e.content == "deletion-vectors":
-                if e.content_offset is None or e.content_size is None:
-                    # corrupt metadata is a FINDING, not a crash — fsck
-                    # exists to report exactly this (ADVICE r10)
-                    findings.append(
-                        f"{e.path}: deletion-vector entry missing "
-                        "content_offset/content_size — blob unreadable"
-                    )
-                    continue
-                data_checks.append(
-                    (
-                        "dv",
-                        e.path,
-                        int(e.record_count),
-                        int(e.content_offset),
-                        int(e.content_size),
-                    )
-                )
-            elif check_data:
-                data_checks.append(("footer", e.path, int(e.record_count), 0, 0))
+        f, paths, anchors, checks = _manifest_checks(
+            m["manifest-path"], entries,
+            {k: v for k, v in m.items() if k != "manifest-path"},
+            snap.sequence_number, spec_ids, schema_ids, check_data,
+        )
+        findings.extend(f)
+        live_data_paths.update(paths)
+        anchored_refs.extend(anchors)
+        data_checks.extend(checks)
     findings.extend(_run_data_checks(table, data_checks))
     for dpath, ref in anchored_refs:
         if ref not in live_data_paths:
-            findings.append(
-                f"{dpath}: anchored delete references no live data file "
-                f"({ref!r}) — retired-file residue or spelling drift; "
-                "the planners skip it, so any rows it was meant to mask "
-                "resurrect.  Run rewrite_position_deletes / expire, or "
-                "fix the reference spelling"
-            )
+            findings.append(_dangling_anchor_finding(dpath, ref))
     return findings
+
+
+def _dangling_anchor_finding(dpath: str, ref) -> str:
+    return (
+        f"{dpath}: anchored delete references no live data file "
+        f"({ref!r}) — retired-file residue or spelling drift; "
+        "the planners skip it, so any rows it was meant to mask "
+        "resurrect.  Run rewrite_position_deletes / expire, or "
+        "fix the reference spelling"
+    )
+
+
+def _manifest_checks(
+    mpath: str,
+    entries: list,
+    stored: dict,
+    seq_watermark: int,
+    spec_ids: set,
+    schema_ids: set,
+    check_data: bool,
+) -> tuple[list[str], list[str], list[tuple], list[tuple]]:
+    """One manifest's fsck checks — shared VERBATIM by the driver walk
+    and the distributed lane so the two produce identical finding
+    strings.  Returns (findings, live data paths, (delete path, ref)
+    anchors, queued data checks)."""
+    findings: list[str] = []
+    live_paths: list[str] = []
+    anchors: list[tuple] = []
+    checks: list[tuple] = []
+    recomputed = manifest_summary(entries)
+    if stored.get("reconstructed"):
+        # foreign spec manifest: the summary is a conservative
+        # never-skip reconstruction, not a stored claim — nothing
+        # trusts its placeholder values, so no drift to flag
+        stored = {}
+    if stored and any(
+        k in stored and stored[k] != v for k, v in recomputed.items()
+    ):
+        drift = sorted(
+            k for k, v in recomputed.items() if k in stored and stored[k] != v
+        )
+        findings.append(
+            f"manifest {mpath} summary drift in {drift} — "
+            "phase-0 skipping trusts these; run rewrite_manifests"
+        )
+    for e in entries:
+        if e.status == "deleted":
+            continue
+        if e.content == "data":
+            live_paths.append(e.path)
+        elif e.referenced_data_file is not None:
+            anchors.append((e.path, e.referenced_data_file))
+        if e.sequence_number > seq_watermark:
+            findings.append(
+                f"{e.path}: data sequence {e.sequence_number} beyond "
+                f"snapshot watermark {seq_watermark}"
+            )
+        if e.spec_id not in spec_ids:
+            findings.append(f"{e.path}: unknown spec-id {e.spec_id}")
+        if e.schema_id not in schema_ids and e.schema_id != -1:
+            # -1 = foreign spec file (probe-resolved, no stash)
+            findings.append(f"{e.path}: unknown schema-id {e.schema_id}")
+        if not os.path.exists(e.path):
+            findings.append(f"{e.path}: file missing from storage")
+        elif check_data and e.content == "deletion-vectors":
+            if e.content_offset is None or e.content_size is None:
+                # corrupt metadata is a FINDING, not a crash — fsck
+                # exists to report exactly this (ADVICE r10)
+                findings.append(
+                    f"{e.path}: deletion-vector entry missing "
+                    "content_offset/content_size — blob unreadable"
+                )
+                continue
+            checks.append(
+                (
+                    "dv",
+                    e.path,
+                    int(e.record_count),
+                    int(e.content_offset),
+                    int(e.content_size),
+                )
+            )
+        elif check_data:
+            checks.append(("footer", e.path, int(e.record_count), 0, 0))
+    return findings, live_paths, anchors, checks
+
+
+def _verify_manifests_distributed(
+    table, descs, seq_watermark, spec_ids, schema_ids, check_data
+) -> list[str] | None:
+    """The fsck metadata walk as a Spark job (VERDICT r10 item 5):
+    past the plan-mode manifest threshold each executor task decodes
+    its own manifests (JSONL or spec Avro — the same codecs
+    ``_read_mentries`` uses), runs :func:`_manifest_checks` on them,
+    probes check_data footers/blobs in place, and emits FINDINGS plus
+    the (live data path / anchored reference) rows the dangling-anchor
+    cross-check needs; that cross-check is one ``left_anti`` join and
+    the driver collects only findings — O(findings), never O(files).
+    Returns None below the threshold, when ``read.plan-mode=driver``
+    pins the walk (the driver lane stays the below-threshold trust
+    anchor), or on a non-picklable store."""
+    import pickle
+
+    from .scanplan import _pickled_store
+
+    if not table._distributed_maintenance(len(descs)):
+        return None
+    store_pkl = _pickled_store(table.store)
+    if store_pkl is None:
+        return None
+    meta_json = table.meta.to_json()
+    mdir = table._mdir
+    rows = [
+        (
+            m["manifest-path"],
+            json.dumps({k: v for k, v in m.items() if k != "manifest-path"}),
+        )
+        for m in descs
+    ]
+    spec_ids_l, schema_ids_l = sorted(spec_ids), sorted(schema_ids)
+
+    def _walk(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from icepack.maintenance import (
+            _manifest_checks as mc,
+            _one_data_check as probe,
+        )
+        from icepack.manifest import read_manifest
+        from icepack.metadata import TableMetadata
+        from icepack.specio import read_spec_manifest
+
+        st = pickle.loads(store_pkl)
+        meta = TableMetadata.from_json(meta_json)
+        for pdf in batches:
+            out = []  # (kind, a, b): finding | data path | anchor
+            for name, stored_json in zip(pdf["name"], pdf["stored"]):
+                try:
+                    entries = (
+                        read_spec_manifest(mdir, name, st, meta)
+                        if name.endswith(".avro")
+                        else read_manifest(mdir, name, store=st)
+                    )
+                except Exception as e:  # noqa: BLE001 — report, keep walking
+                    out.append(("finding", f"manifest {name} unreadable: {e}", ""))
+                    continue
+                f, paths, anchors, checks = mc(
+                    name, entries, _json.loads(stored_json),
+                    seq_watermark, set(spec_ids_l), set(schema_ids_l),
+                    check_data,
+                )
+                out.extend(("finding", x, "") for x in f)
+                out.extend(("data", p, "") for p in paths)
+                out.extend(("anchor", p, r) for p, r in anchors)
+                # check_data probes run HERE — the entries never leave
+                # the executor, findings are the only thing that does
+                for c in checks:
+                    x = probe(*c)
+                    if x is not None:
+                        out.append(("finding", x, ""))
+            yield pd.DataFrame(out, columns=["kind", "a", "b"])
+
+    res = (
+        table.spark.createDataFrame(rows, "name string, stored string")
+        .repartition(min(len(rows), 64))
+        .mapInPandas(_walk, "kind string, a string, b string")
+        .persist()
+    )
+    try:
+        findings = [r[0] for r in res.filter("kind = 'finding'").select("a").collect()]
+        data = res.filter("kind = 'data'").select(F.col("a").alias("p")).distinct()
+        anchors = res.filter("kind = 'anchor'").select("a", "b")
+        dangling = anchors.join(
+            data, anchors["b"] == data["p"], "left_anti"
+        ).collect()
+        findings.extend(_dangling_anchor_finding(r["a"], r["b"]) for r in dangling)
+        return findings
+    finally:
+        res.unpersist()
 
 
 def _range_overlaps(bounds: list[tuple]) -> list[int]:

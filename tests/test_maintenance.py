@@ -833,3 +833,86 @@ def test_expire_orphans_respect_plan_mode_driver(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(sp, "entries_df_for_manifests", counting)
     M.expire_snapshots(t2, older_than_ms=_future_ms(), retain_last=1)
     assert calls, "read.plan-mode=distributed must use the Spark lane"
+
+
+def test_fsck_metadata_walk_distributed_matches_driver(spark, tmp_path):
+    """VERDICT r10 item 5: past the plan-mode manifest threshold fsck's
+    METADATA walk fans out as a Spark job (executors decode their own
+    manifests, run the shared per-manifest checker, probe check_data in
+    place, and the dangling-anchor cross-check is a left_anti join) —
+    zero driver entry decodes, findings IDENTICAL to the driver loop on
+    a table with four planted corruptions: summary drift, a missing
+    data file, a wrong record count, and a dangling anchored delete."""
+    import json as _json
+
+    from icepack import maintenance as M
+    from icepack.maintenance import verify_table
+    from icepack.table import IceTable
+
+    df = spark.range(120).selectExpr("id", "CAST(id % 6 AS DOUBLE) v")
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    for lo in range(0, 120, 40):
+        t.append(df.filter(f"id >= {lo} AND id < {lo + 40}"))
+    t.delete(col("v") == 4.0)
+    assert M.write_deletion_vectors(t) is not None
+    assert verify_table(t, check_data=True) == []
+
+    # plant: (1) summary drift, (2) record-count drift, (3) missing
+    # file, (4) dangling DV anchor
+    mlist = os.path.join(t._mdir, t.meta.current_snapshot.manifest_list)
+    descs = _json.load(open(mlist))
+    descs[0]["live-files"] = 999
+    _json.dump(descs, open(mlist, "w"))
+    mans = [
+        p
+        for p in os.listdir(t._mdir)
+        if p.startswith("manifest-") and p.endswith(".jsonl")
+    ]
+    planted_rc = planted_anchor = False
+    for man in mans:
+        mp = os.path.join(t._mdir, man)
+        lines = [_json.loads(x) for x in open(mp) if x.strip()]
+        for d in lines:
+            if not planted_rc and d.get("content") == "data":
+                d["record-count"] = 77777
+                planted_rc = True
+            elif not planted_anchor and d.get("content") == "deletion-vectors":
+                d["referenced-data-file"] = "/nowhere/ghost.parquet"
+                planted_anchor = True
+        open(mp, "w").write("".join(_json.dumps(x) + "\n" for x in lines))
+    assert planted_rc and planted_anchor
+    victim = [f for f in t.live_files() if f.record_count != 77777][0].path
+    os.remove(victim)
+    t.refresh()
+
+    results = {}
+    for lane, mode in (("driver", "driver"), ("dist", "distributed")):
+        t.set_properties(**{"read.plan-mode": mode})
+        calls = []
+        orig = IceTable._read_mentries
+
+        def counting(self, name):
+            calls.append(name)
+            return orig(self, name)
+
+        IceTable._read_mentries = counting
+        try:
+            results[lane] = sorted(verify_table(t, check_data=True))
+        finally:
+            IceTable._read_mentries = orig
+        if lane == "dist":
+            assert calls == [], f"driver decoded {sorted(set(calls))}"
+        else:
+            assert calls
+    assert results["driver"] == results["dist"]
+    got = "\n".join(results["dist"])
+    assert "summary drift" in got
+    assert "missing from storage" in got
+    assert "!= footer" in got
+    assert "references no live data file" in got

@@ -34,7 +34,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import types as T  # noqa: E402
 
-from icepack.maintenance import expire_snapshots, rewrite_manifests  # noqa: E402
+from icepack.maintenance import (  # noqa: E402
+    expire_snapshots,
+    rewrite_manifests,
+    verify_table,
+)
 from icepack.manifest import DataFile  # noqa: E402
 from icepack.session import get_session  # noqa: E402
 from icepack.stats import write_partition_stats  # noqa: E402
@@ -94,6 +98,16 @@ def main() -> None:
         t0 = time.time()
         write_partition_stats(t)
         res["pstats_sec"] = round(time.time() - t0, 2)
+        # fsck metadata walk (r11 distributed lane).  The synthetic
+        # entries reference parquet that was never written, so BOTH
+        # lanes emit one missing-file finding per entry — a worst case
+        # for the distributed lane (it pays an O(entries) findings
+        # collect a healthy table never would), making this an UPPER
+        # bound on its cost; the lanes must agree on the finding count.
+        t0 = time.time()
+        fsck_findings = verify_table(t)
+        res["fsck_sec"] = round(time.time() - t0, 2)
+        res["fsck_findings"] = len(fsck_findings)
         t0 = time.time()
         rewrite_manifests(t)
         res["rewrite_sec"] = round(time.time() - t0, 2)
@@ -109,8 +123,10 @@ def main() -> None:
             rep["expired"],
             sorted(r[0] for r in t.partition_stats().select("spec_id").collect()),
             t.meta.current_snapshot.sequence_number,
+            res["fsck_findings"],
         )
     assert check["driver"][0] == check["distributed"][0], check
+    assert check["driver"][3] == check["distributed"][3], check
     print(json.dumps(out))
     spark.stop()
 
