@@ -145,11 +145,10 @@ def _export_transform(transform: str, source_type: str) -> str:
     if transform.startswith("truncate["):
         # string truncate is the spec's substring form; integral
         # truncate follows the spec arithmetic (v - v mod W) since r6,
-        # and decimal(p≤18) since r10 (transforms.py stores the
-        # truncated UNSCALED long — Avro decimal bytes are exactly that
-        # int, big-endian two's-complement) — all export 1:1.  Wider
-        # decimals stay on the legacy prefix form: void (correct but
-        # unpruned externally).
+        # decimal(p≤18) since r10 and EVERY decimal (p≤38) since r11
+        # (transforms.py stores the truncated UNSCALED integer — Avro
+        # decimal bytes are exactly that int, big-endian
+        # two's-complement, arbitrary length) — all export 1:1.
         if source_type in ("string", "int", "bigint", "long", "smallint", "tinyint"):
             return transform
         if _decimal_ps_str(source_type) is not None:

@@ -2613,3 +2613,86 @@ def ice63_dv_v3_export(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "ice64_wide_decimal_truncate",
+    oracle="""
+    WITH priced AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(25,4)) * 10000000000 + 0.0003
+             AS DECIMAL(25,4)) AS amt
+      FROM orders
+    ),
+    binned AS (
+      SELECT CAST(amt * 10000 AS HUGEINT) AS u FROM priced
+    )
+    SELECT CAST((u - (u % 100000000000000000)) / 100000000000000000 AS BIGINT)
+           AS bin_e17,
+           COUNT(*) AS n
+    FROM binned GROUP BY bin_e17 ORDER BY bin_e17
+    """,
+)
+def ice64_wide_decimal_truncate(spark: SparkSession, sf: str) -> DataFrame:
+    """T1 (r11, VERDICT r10 item 6): spec-arithmetic ``truncate[W]`` on
+    a WIDE decimal partition column — decimal(25,4), unscaled values
+    beyond int64 — per the Iceberg spec's unscaled arithmetic
+    (v - (v mod W)).  The r6/r10 prefix/void lane is retired: the
+    Spark write path truncates in exact decimal arithmetic (the digit
+    string IS the unscaled), partition values are arbitrary-precision
+    ints, a point predicate on the natural column prunes to ≤2 of the
+    bins (raises otherwise), and the v2 export carries the transform
+    1:1 (NOT void) with the same rows served back through the
+    independent spec reader under a pruning predicate.  The oracle
+    recomputes the per-bin counts in DuckDB HUGEINT arithmetic; bins
+    are reported as bin/1e17 so the compared values fit BIGINT."""
+    import decimal as _decmod
+    import json as _json
+    import os as _os
+
+    from ..iceberg_export import export_iceberg
+    from ..iceberg_import import read_iceberg
+
+    W = 100_000_000_000_000_000  # 1e17 unscaled = 1e13 in value domain
+    priced = load(spark, sf, "orders").select(
+        (
+            F.col("o_totalprice").cast("decimal(25,4)") * F.lit(10_000_000_000)
+            + F.lit(_decmod.Decimal("0.0003"))
+        )
+        .cast("decimal(25,4)")
+        .alias("amt")
+    )
+    t = IceTable.create(
+        spark, _scratch(), priced.schema,
+        partition_by=[("amt", f"truncate[{W}]")],
+    )
+    t.append(priced)
+    pvals = {f.partition["amt_truncate"] for f in t.live_files()}
+    if not any(isinstance(v, int) and abs(v) > 2**63 for v in pvals):
+        raise RuntimeError("expected partition values beyond int64")
+    # point predicate prunes to at most 2 files (bin + stats boundary)
+    probe = t.toDF().select("amt").orderBy("amt").limit(1).first()["amt"]
+    if len(t.plan_files(col("amt") == probe)) > 2:
+        raise RuntimeError("wide-decimal truncate did not prune")
+    # export carries the transform 1:1 and serves the same rows back
+    mpath = export_iceberg(t)
+    md = _json.load(open(mpath))
+    tr = {
+        pf["transform"]
+        for sp in md["partition-specs"]
+        for pf in sp["fields"]
+    }
+    if f"truncate[{W}]" not in tr:
+        raise RuntimeError(f"export degraded the transform: {tr}")
+    ext = read_iceberg(
+        spark, _os.path.dirname(mpath), where=(col("amt") >= probe)
+    )
+    if ext.count() != t.toDF(col("amt") >= probe).count():
+        raise RuntimeError("external pruned read diverges from native")
+    u = (F.col("amt") * F.lit(10_000)).cast("decimal(38,0)")
+    return (
+        t.toDF()
+        .select(((u - F.pmod(u, F.lit(W))) / F.lit(W)).cast("bigint").alias("bin_e17"))
+        .groupBy("bin_e17")
+        .agg(F.count("*").alias("n"))
+        .orderBy("bin_e17")
+    )

@@ -102,6 +102,16 @@ def _typed(raw: Column, v):
     if isinstance(v, bool):
         return raw.try_cast("boolean"), F.lit(v)
     if isinstance(v, int):
+        if not (-(1 << 63) <= v < (1 << 63)):
+            # beyond int64: a wide-decimal truncate partition value
+            # (r11, unscaled int of a decimal(p>18) column).  F.lit
+            # cannot hold it as a long; decimal(38,0) carries up to 38
+            # digits exactly.  Wider still → untranslatable: keep.
+            if abs(v) >= 10**38:
+                return None
+            import decimal as _decmod
+
+            return raw.try_cast("decimal(38,0)"), F.lit(_decmod.Decimal(v))
         # exact 64-bit compare: casting to double loses precision past
         # 2^53, and hash-derived id columns exceed that routinely — a
         # rounded bound could prune a file the exact planner keeps.

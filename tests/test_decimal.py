@@ -40,9 +40,13 @@ def test_decimal_truncate_literal_lane():
     assert t.apply(10.65, None, dt) == 1050  # float literal, exact spelling
     # literal finer than the column scale: no value can match — no pruning
     assert t.apply(D("10.505"), None, dt) is None
-    # precision > 18: legacy prefix lane (string), unchanged
+    # precision > 18 (r11): the SAME unscaled arithmetic, big-int exact
     wide = T.DecimalType(22, 2)
-    assert t.apply(D("10.65"), None, wide) == "10.65"[:50][: t.param]
+    assert t.apply(D("10.65"), None, wide) == 1050
+    assert (
+        t.apply(D("12345678901234567890.10"), None, T.DecimalType(25, 2))
+        == 1234567890123456789010 - (1234567890123456789010 % 50)
+    )
 
 
 def test_decimal_truncate_py_value_and_batch_parity():
@@ -221,14 +225,100 @@ def test_decimal_truncate_exports_one_to_one(spark, tmp_path):
     assert read_iceberg(spark, mpath).count() == 400
 
 
-def test_wide_decimal_truncate_stays_void(spark, tmp_path):
-    """precision > 18 can't ride the unscaled-long lane — the legacy
-    prefix form still works natively but exports as void (documented
-    lossy: external engines scan every partition)."""
+def test_wide_decimal_truncate_exports_one_to_one():
+    """r11 (VERDICT r10 item 6): EVERY decimal precision exports the
+    truncate transform 1:1 — the p>18 prefix/void lane is retired."""
     from icepack.iceberg_export import _export_transform
 
-    assert _export_transform("truncate[10]", "decimal(22,2)") == "void"
+    assert _export_transform("truncate[10]", "decimal(22,2)") == "truncate[10]"
+    assert _export_transform("truncate[10]", "decimal(38,10)") == "truncate[10]"
     assert _export_transform("truncate[10]", "decimal(9,2)") == "truncate[10]"
+
+
+def test_wide_decimal_truncate_spark_matches_py_value(spark):
+    """The wide lane (18 < p <= 38): Spark's decimal mod-subtract +
+    digit-strip must produce the same arbitrary-precision unscaled
+    ints as the Python spec arithmetic, negatives and sub-unit values
+    included."""
+    from pyspark.sql import types as T
+
+    t = tr.parse("truncate[100000000000000000]")  # W = 1e17, > int32
+    vals = [
+        D("12345678901234567890.1234"),
+        D("-12345678901234567890.1234"),
+        D("0.0003"),
+        D("-0.0003"),
+        D("99999999999999999999.9999"),
+        None,
+    ]
+    df = spark.createDataFrame(
+        [(v,) for v in vals],
+        T.StructType([T.StructField("p", T.DecimalType(25, 4))]),
+    )
+    got = [
+        None if r[0] is None else int(r[0])
+        for r in df.select(t.spark_column("p", T.DecimalType(25, 4))).collect()
+    ]
+    want = [t.py_value(v, "decimal(25,4)") for v in vals]
+    assert got == want
+    assert any(v is not None and abs(v) > 2**63 for v in want)
+
+
+def test_wide_decimal_truncate_round_trip_both_ways(spark, tmp_path):
+    """decimal(25,4) truncate: native write -> prune (driver AND
+    distributed planner) -> v2 export carries the transform -> the
+    independent spec reader prunes the SAME files back; and a
+    spec-primary tree carries the same transform natively (Avro
+    decimal bytes of the big unscaled int)."""
+    import os
+
+    from icepack.iceberg_export import export_iceberg
+    from icepack.iceberg_import import read_iceberg
+
+    W = 100_000_000_000_000_000
+    df = spark.range(1000).selectExpr(
+        "CAST(CAST(id AS DECIMAL(25,4)) * 1234567890123.4567 + 0.0003"
+        " AS DECIMAL(25,4)) AS amt"
+    )
+    t = IceTable.create(
+        spark, str(tmp_path / "n"), df.schema,
+        partition_by=[("amt", f"truncate[{W}]")],
+    )
+    t.append(df)
+    pvals = {f.partition["amt_truncate"] for f in t.live_files()}
+    assert any(isinstance(v, int) and v > 2**63 for v in pvals)
+    probe = D("1234567890123.4570")  # id = 1
+    hit, rep = t.plan_files(icol("amt") == probe)
+    assert rep["files_scanned"] <= 2 < rep["files_total"]
+    assert t.toDF(icol("amt") == probe).count() == 1
+    t.set_properties(**{"read.plan-mode": "distributed"})
+    assert t.toDF(icol("amt") == probe).count() == 1
+    t.set_properties(**{"read.plan-mode": "auto"})
+
+    mpath = export_iceberg(t)
+    md = json.load(open(mpath))
+    assert {
+        pf["transform"] for sp in md["partition-specs"] for pf in sp["fields"]
+    } == {f"truncate[{W}]"}
+    ext = read_iceberg(spark, os.path.dirname(mpath), where=(icol("amt") == probe))
+    assert [r["amt"] for r in ext.collect()] == [probe]
+
+    # spec-primary carries it natively (was refused-as-void pre-r11)
+    sp_loc = str(tmp_path / "sp")
+    t2 = IceTable.create(
+        spark, sp_loc, df.schema,
+        partition_by=[("amt", f"truncate[{W}]")],
+        properties={"format.spec-primary": "true"},
+    )
+    t2.append(df)
+    pvals2 = {f.partition["amt_truncate"] for f in t2.live_files()}
+    assert pvals2 == pvals  # avro decimal bytes decode to the same ints
+    hit2, rep2 = t2.plan_files(icol("amt") == probe)
+    assert rep2["files_scanned"] <= 2 < rep2["files_total"]
+    assert t2.toDF(icol("amt") == probe).count() == 1
+    ext2 = read_iceberg(spark, os.path.join(sp_loc, "metadata"),
+                        where=(icol("amt") == probe))
+    assert [r["amt"] for r in ext2.collect()] == [probe]
 
 
 def test_decimal_truncate_spec_primary_tuple_fidelity(spark, tmp_path):
