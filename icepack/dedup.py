@@ -228,7 +228,23 @@ def _bucket_stars(keyed: DataFrame, id_col: str, keys: list) -> DataFrame:
     )
 
 
-def _mining_shuffle_partitions(table) -> int | None:
+#: default stored-bytes-per-shuffle-partition by mining method — the
+#: in-flight explosion differs by what each method exchanges
+#: (300×-rung measured, SCALE.md r11): ``exact`` windows the FULL TEXT
+#: over the content hash (32-way was 7.3× slower than 1 MiB/part);
+#: ``minhash`` exchanges shingle/band keys (2.0×); ``simhash``
+#: exchanges compact 64-bit signatures, so the same 1 MiB rule
+#: OVER-widened it by 1.4× — it gets 8 MiB; ``semantic`` joins vector
+#: buckets (compute-dominated after the r11 Arrow scoring) — 2 MiB.
+_MINING_BYTES_PER_PARTITION = {
+    "exact": 1 << 20,
+    "minhash": 1 << 20,
+    "simhash": 8 << 20,
+    "semantic": 2 << 20,
+}
+
+
+def _mining_shuffle_partitions(table, default_bytes: int = 1 << 20) -> int | None:
     """Shuffle width for ``dedupe_table``'s mining jobs, derived from
     the table's OWN manifest-list byte totals (O(manifests) driver
     work the plan already pays — no file listing, no entry decode).
@@ -275,7 +291,7 @@ def _mining_shuffle_partitions(table) -> int | None:
         except (TypeError, ValueError):
             return default
 
-    per_part = max(1, _n("dedup.shuffle.bytes-per-partition", 1 << 20))
+    per_part = max(1, _n("dedup.shuffle.bytes-per-partition", default_bytes))
     cap = max(1, _n("dedup.shuffle.max-partitions", 4096))
     try:
         current = int(table.spark.conf.get("spark.sql.shuffle.partitions"))
@@ -371,7 +387,9 @@ def dedupe_table(
     # table's own manifest byte totals so a large corpus never runs the
     # whole pipeline through a session-default 32-way shuffle's spill
     # regime; restored on exit, AQE coalesces any excess
-    n_parts = _mining_shuffle_partitions(table)
+    n_parts = _mining_shuffle_partitions(
+        table, _MINING_BYTES_PER_PARTITION.get(method, 1 << 20)
+    )
     prev_width = None
     if n_parts is not None:
         prev_width = table.spark.conf.get("spark.sql.shuffle.partitions")
@@ -772,15 +790,40 @@ def semantic_candidate_pairs(
             id_col, vec_col
         )
 
-    bucket = None
-    for p, plane in enumerate(_sign_lsh_planes(dim, n_planes)):
-        arr = F.array(*[F.lit(w) for w in plane])
-        bit = (dot(F.col(vec_col), arr) > 0).cast("int") * (1 << p)
-        bucket = bit if bucket is None else bucket + bit
+    # sign-LSH projection, Arrow-batched (r11): ONE numpy matmul per
+    # batch replaces n_planes zip_with/aggregate traversals per row —
+    # at the 300× rung the plane count is 12, so the JVM form walked
+    # every embedding 12× in interpreted higher-order lambdas.  BLAS
+    # summation order differs from the sequential JVM fold by ~1 ulp;
+    # a projection flipping sign on that epsilon is measure-zero and
+    # only ever moves a vector between buckets (recall, never
+    # correctness — pairs are exact-verified by the cosine below).
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    planes_t = np.array(_sign_lsh_planes(dim, n_planes), dtype=np.float64).T
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def _bkt(s):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(s) == 0:
+            return _pd.Series([], dtype="Int64")
+        mask = s.isna().to_numpy()
+        rows = [
+            _np.zeros(planes_t.shape[0]) if m else _np.asarray(v, dtype=_np.float64)
+            for m, v in zip(mask, s)
+        ]
+        bits = (_np.stack(rows) @ planes_t) > 0
+        vals = (bits * weights).sum(axis=1)
+        return _pd.Series(vals).astype("Int64").mask(mask)
+
     b = df.select(
         F.col(id_col),
         F.col(vec_col),
-        bucket.alias("_bkt"),
+        _bkt(F.col(vec_col)).alias("_bkt"),
         F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_nrm"),
     )
     a = b.select(
@@ -795,6 +838,22 @@ def semantic_candidate_pairs(
         F.col(vec_col).alias("_eb"),
         F.col("_nrm").alias("_nb"),
     )
+    # pair scoring, Arrow-batched (r11): the within-bucket join emits
+    # ~n·depth/2 candidate pairs (43M at the 300× rung) and the
+    # per-pair dot was an interpreted zip_with/aggregate — the hottest
+    # loop in the whole semantic pipeline.  One einsum per Arrow batch
+    # scores thousands of pairs in BLAS.
+    @F.pandas_udf("double")
+    def _pair_dot(sa, sb):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(sa) == 0:
+            return _pd.Series([], dtype="float64")
+        A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in sa])
+        B = _np.stack([_np.asarray(v, dtype=_np.float64) for v in sb])
+        return _pd.Series(_np.einsum("ij,ij->i", A, B))
+
     pairs = (
         a.join(c, "_bkt")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -808,7 +867,8 @@ def semantic_candidate_pairs(
             # not "match" its whole bucket
             F.when(
                 (F.col("_na") > 0) & (F.col("_nb") > 0),
-                dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb")),
+                _pair_dot(F.col("_ea"), F.col("_eb"))
+                / (F.col("_na") * F.col("_nb")),
             ).alias("cos"),
         )
         .filter(F.col("cos").isNotNull() & ~F.isnan("cos") & (F.col("cos") >= threshold))
