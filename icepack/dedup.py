@@ -234,13 +234,15 @@ def _bucket_stars(keyed: DataFrame, id_col: str, keys: list) -> DataFrame:
 #: over the content hash (32-way was 7.3× slower than 1 MiB/part);
 #: ``minhash`` exchanges shingle/band keys (2.0×); ``simhash``
 #: exchanges compact 64-bit signatures, so the same 1 MiB rule
-#: OVER-widened it by 1.4× — it gets 8 MiB; ``semantic`` joins vector
-#: buckets (compute-dominated after the r11 Arrow scoring) — 2 MiB.
+#: OVER-widened it by 1.4× — it gets 8 MiB; ``semantic`` groups vector
+#: buckets for gram-matrix scoring — 1 MiB (measured: halving the
+#: width at the 300× rung pushed per-partition working sets past the
+#: single-box heap during CC lineage caching).
 _MINING_BYTES_PER_PARTITION = {
     "exact": 1 << 20,
     "minhash": 1 << 20,
     "simhash": 8 << 20,
-    "semantic": 2 << 20,
+    "semantic": 1 << 20,
 }
 
 
@@ -820,57 +822,70 @@ def semantic_candidate_pairs(
         vals = (bits * weights).sum(axis=1)
         return _pd.Series(vals).astype("Int64").mask(mask)
 
+    # pair scoring per BUCKET (r11): the old shape self-joined on the
+    # bucket and evaluated one interpreted zip_with dot PER CANDIDATE
+    # PAIR — ~n·depth/2 pairs (43M at the 300× rung), each shipping two
+    # full vectors through the exchange.  Scoring a bucket's GRAM
+    # MATRIX in one BLAS op inside applyInPandas exchanges each vector
+    # ONCE (n rows, not n·depth) and turns the hot loop into numpy.
+    # Semantics preserved exactly: id_a < id_b, cos ≥ threshold,
+    # zero-norm vectors pair with nothing (their row is masked before
+    # the division), NaN cosines are dropped.  Oversized buckets score
+    # in row blocks so the gram slice stays bounded.
     b = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _bkt(F.col(vec_col)).alias("_bkt"),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("_nrm"),
-    )
-    a = b.select(
-        F.col("_bkt"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_ea"),
-        F.col("_nrm").alias("_na"),
-    )
-    c = b.select(
-        F.col("_bkt"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_eb"),
-        F.col("_nrm").alias("_nb"),
-    )
-    # pair scoring, Arrow-batched (r11): the within-bucket join emits
-    # ~n·depth/2 candidate pairs (43M at the 300× rung) and the
-    # per-pair dot was an interpreted zip_with/aggregate — the hottest
-    # loop in the whole semantic pipeline.  One einsum per Arrow batch
-    # scores thousands of pairs in BLAS.
-    @F.pandas_udf("double")
-    def _pair_dot(sa, sb):
+        F.col(id_col), F.col(vec_col), _bkt(F.col(vec_col)).alias("_bkt")
+    ).filter(F.col("_bkt").isNotNull())
+    id_type = dict(df.dtypes)[id_col]
+    thr = float(threshold)
+    BLOCK = 4096
+
+    def _score(pdf):
         import numpy as _np
         import pandas as _pd
 
-        if len(sa) == 0:
-            return _pd.Series([], dtype="float64")
-        A = _np.stack([_np.asarray(v, dtype=_np.float64) for v in sa])
-        B = _np.stack([_np.asarray(v, dtype=_np.float64) for v in sb])
-        return _pd.Series(_np.einsum("ij,ij->i", A, B))
-
-    pairs = (
-        a.join(c, "_bkt")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            # zero-norm guard BEFORE the division: under ANSI mode the
-            # 0/0 raises, and without ANSI the NaN result would rank
-            # ABOVE every number (`NaN >= threshold` is TRUE) — either
-            # way a corrupt all-zeros embedding must pair with nothing,
-            # not "match" its whole bucket
-            F.when(
-                (F.col("_na") > 0) & (F.col("_nb") > 0),
-                _pair_dot(F.col("_ea"), F.col("_eb"))
-                / (F.col("_na") * F.col("_nb")),
-            ).alias("cos"),
+        empty = _pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        order = _np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        M = _np.stack(
+            [
+                _np.asarray(v, dtype=_np.float64)
+                for v in pdf[vec_col].to_numpy()[order]
+            ]
         )
-        .filter(F.col("cos").isNotNull() & ~F.isnan("cos") & (F.col("cos") >= threshold))
+        nrm = _np.sqrt(_np.einsum("ij,ij->i", M, M))
+        ok = nrm > 0
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, n, BLOCK):
+            hi = min(lo + BLOCK, n)
+            G = M[lo:hi] @ M[lo:].T  # rows lo..hi vs every LATER row
+            with _np.errstate(invalid="ignore", divide="ignore"):
+                C = G / _np.outer(nrm[lo:hi], nrm[lo:])
+            ii, jj = _np.nonzero(
+                _np.triu(
+                    ok[lo:hi, None]
+                    & ok[None, lo:]
+                    & ~_np.isnan(C)
+                    & (C >= thr),
+                    k=1,
+                )
+            )
+            out_a.append(ids[ii + lo])
+            out_b.append(ids[jj + lo])
+            out_c.append(C[ii, jj])
+        if not out_a:
+            return empty
+        return _pd.DataFrame(
+            {
+                "id_a": _np.concatenate(out_a),
+                "id_b": _np.concatenate(out_b),
+                "cos": _np.concatenate(out_c),
+            }
+        )
+
+    pairs = b.groupBy("_bkt").applyInPandas(
+        _score, f"id_a {id_type}, id_b {id_type}, cos double"
     )
     return pairs if stars is None else pairs.unionByName(stars)
