@@ -1147,12 +1147,17 @@ def _verify_manifests_distributed(
     the driver collects only findings — O(findings), never O(files).
     Returns None below the threshold, when ``read.plan-mode=driver``
     pins the walk (the driver lane stays the below-threshold trust
-    anchor), or on a non-picklable store."""
+    anchor), or on a non-picklable store.  The auto flip is ENTRY
+    -count-based (maint_bench r11: crossover ~256k entries with the
+    worst-case O(entries) findings collect; a healthy table crosses
+    earlier) — ``fsck.auto.entry-threshold`` overrides."""
     import pickle
 
     from .scanplan import _pickled_store
 
-    if not table._distributed_maintenance(len(descs)):
+    if not table._distributed_by_entries(
+        table._est_live_entries(descs), "fsck.auto.entry-threshold", 262_144
+    ):
         return None
     store_pkl = _pickled_store(table.store)
     if store_pkl is None:

@@ -426,9 +426,18 @@ def write_partition_stats(table) -> str:
                 all_fields.append(pf.name)
     agg: dict = {}
     now = int(__import__("time").time() * 1000)
+    # pstats-specific auto-flip (r11, maint_bench-measured): the
+    # aggregation's driver/distributed crossover is ~256k ENTRIES —
+    # the generic 64-manifest flip fired 4× too early and paid ~3.5 s
+    # of Spark overhead at 128k.  Plan-mode pins still rule.
+    descs = table._read_mlist(snap.manifest_list)
     dist = (
         _pstats_agg_distributed(table, snap)
-        if table._use_distributed_planner(snap)
+        if table._distributed_by_entries(
+            table._est_live_entries(descs),
+            "stats.partition.auto.entry-threshold",
+            262_144,
+        )
         else None
     )
     if dist is not None:

@@ -1288,6 +1288,41 @@ class IceTable:
                 return True
         return False
 
+    def _distributed_by_entries(
+        self, est_entries: int, prop: str, default: int
+    ) -> bool:
+        """Plan-mode decision for maintenance ops whose work scales
+        with ENTRY count, not manifest count (partition stats, fsck):
+        maint_bench r11 measured their driver/distributed crossover at
+        ~256k entries — 4× past the generic 64-manifest flip, which
+        paid ~3.5 s of Spark overhead at 128k entries for nothing.
+        ``read.plan-mode`` pins still rule; ``prop`` overrides the
+        measured default per table."""
+        mode = str(self.meta.properties.get("read.plan-mode", "auto")).lower()
+        if mode == "distributed":
+            return True
+        if mode != "auto":
+            return False
+        try:
+            thresh = int(self.meta.properties.get(prop, default))
+        except (TypeError, ValueError):
+            thresh = default
+        return est_entries >= thresh
+
+    @staticmethod
+    def _est_live_entries(descs: list[dict]) -> int:
+        """Live-entry estimate from manifest-list summaries —
+        O(manifests) driver work the caller already paid."""
+        total = 0
+        for m in descs:
+            lf = m.get("live-files")
+            if lf is None:
+                lf = (m.get("added-files-count") or 0) + (
+                    m.get("existing-files-count") or 0
+                )
+            total += lf or 0
+        return total
+
     def _distributed_maintenance(self, n_manifests: int) -> bool:
         """Plan-mode decision for maintenance ops that already hold a
         cross-snapshot manifest COUNT (expire reachability, orphan
