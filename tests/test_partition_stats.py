@@ -247,3 +247,28 @@ def test_partition_stats_distributed_on_spec_primary(spark, tmp_path, monkeypatc
             assert calls == [], f"driver decoded {sorted(set(calls))}"
         rows[lane] = rows_sorted(t.partition_stats())
     assert rows["distributed"] == rows["driver"] and rows["driver"]
+
+
+def test_pstats_entry_threshold_auto_flip(spark, tmp_path, monkeypatch):
+    """r11 (VERDICT r10 item 7): partition stats flips lanes on the
+    ENTRY-count estimate (maint_bench crossover ~256k), not the
+    64-manifest count — a 128-manifest/small-entry table stays on the
+    cheaper driver walk in auto mode, and the property override plus
+    plan-mode pins still rule."""
+    df = spark.range(40).selectExpr("id", "CAST(id % 2 AS INT) p")
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), df.schema, partition_by=[("p", "identity")]
+    )
+    for lo in range(0, 40, 10):
+        t.append(df.filter(f"id >= {lo} AND id < {lo + 10}"))
+    descs = t._read_mlist(t.meta.current_snapshot.manifest_list)
+    est = t._est_live_entries(descs)
+    assert est >= 8
+    key = "stats.partition.auto.entry-threshold"
+    assert not t._distributed_by_entries(est, key, 262_144)  # small: driver
+    t.set_properties(**{key: str(est)})
+    assert t._distributed_by_entries(est, key, 262_144)  # override flips
+    t.set_properties(**{"read.plan-mode": "driver"})
+    assert not t._distributed_by_entries(est, key, 262_144)  # pin rules
+    t.set_properties(**{"read.plan-mode": "distributed"})
+    assert t._distributed_by_entries(0, key, 262_144)
