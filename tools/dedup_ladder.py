@@ -14,7 +14,7 @@ nothing else).  Each rung: one untimed warmup + 2 timed runs per
 query, min kept.  Prints one JSON line per rung plus a final ratio
 table for SCALE.md.
 
-Usage: python tools/dedup_ladder.py [--unique] [--table] [K ...]
+Usage: python tools/dedup_ladder.py [--unique] [--table] [--control] [K ...]
 (default K = 30 100).  ``--table`` ladders the PRODUCTION maintenance
 API — dedupe_table's four methods, dry_run — instead of the query
 twins (r9 verdict item 2); ``--unique`` swaps in the unique-heavy
@@ -152,12 +152,20 @@ def _adopt(spark, corpus_dir: str, name: str, tbl_root: str):
     return t
 
 
-def run_table_rung(spark, corpus_dir: str, tbl_root: str) -> dict:
+def run_table_rung(spark, corpus_dir: str, tbl_root: str, control: bool = False) -> dict:
+    """One dedupe_table rung.  ``control=True`` pins the mining
+    shuffle at the session default via ``dedup.shuffle.max-partitions
+    =32`` — the pre-r11 fixed-width regime — so the self-sizing
+    recovery is measurable from this tool alone (SCALE.md r11)."""
     from icepack.dedup import dedupe_table
 
     os.makedirs(tbl_root, exist_ok=True)
     docs = _adopt(spark, corpus_dir, "documents", tbl_root)
     embs = _adopt(spark, corpus_dir, "embeddings", tbl_root)
+    for t in (docs, embs):
+        t.set_properties(
+            **{"dedup.shuffle.max-partitions": "32" if control else "4096"}
+        )
     out = {}
     for m in TABLE_METHODS:
         if m == "semantic":
@@ -196,13 +204,14 @@ def main() -> None:
     args = sys.argv[1:]
     unique = "--unique" in args
     table_mode = "--table" in args
+    control = "--control" in args  # pin mining shuffle at 32 (pre-r11)
     reps = [int(a) for a in args if not a.startswith("--")] or [30, 100]
     spark = get_session("icepack-dedup-ladder")
     kind = "unique" if unique else "dup"
     results = {}
     if table_mode:
         names = TABLE_METHODS
-        base = run_table_rung(spark, BASE, f"/tmp/icepack-dedup-tbl-base")
+        base = run_table_rung(spark, BASE, f"/tmp/icepack-dedup-tbl-base", control)
         results[0.1] = base
         print(json.dumps({"sf": 0.1, "table": base, "corpus": "base"}))
         for k in reps:
@@ -210,7 +219,9 @@ def main() -> None:
             out = f"/tmp/icepack-dedup-{kind}-sf{sf:g}"
             os.makedirs(out, exist_ok=True)
             (build_unique if unique else build)(spark, out, k)
-            r = run_table_rung(spark, out, f"/tmp/icepack-dedup-tbl-{kind}-sf{sf:g}")
+            r = run_table_rung(
+                spark, out, f"/tmp/icepack-dedup-tbl-{kind}-sf{sf:g}", control
+            )
             results[sf] = r
             print(json.dumps({"sf": sf, "table": r, "corpus": kind}))
     else:
