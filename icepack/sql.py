@@ -1529,7 +1529,12 @@ class IceSQL:
             from .iceberg_export import export_iceberg
 
             dm = re.search(r"(?i)\bTO\s+'([^']+)'", rest)
-            return export_iceberg(t, dest=dm.group(1) if dm else None)
+            fm = re.search(r"(?i)\bFORMAT_VERSION\s*=\s*(\d+)", rest)
+            return export_iceberg(
+                t,
+                dest=dm.group(1) if dm else None,
+                format_version=int(fm.group(1)) if fm else None,
+            )
         if u.startswith("COMPACT"):  # docs write both COMPACT and COMPACT DATA
             am = re.search(r"(?i)TARGET_FILE_SIZE(?:_BYTES)?\s*=\s*(\d+)", rest)
             wm = re.search(r"(?i)\sWHERE\s+(.*)$", rest, re.DOTALL)

@@ -1083,6 +1083,17 @@ def test_alter_export_iceberg_metadata_and_scheduled(spark, tmp_path):
     m2 = isql.sql(f"ALTER ICEBERG TABLE ex EXPORT ICEBERG METADATA TO '{dest}'")
     assert m2.endswith("v2.metadata.json")
     assert read_iceberg(spark, dest).count() == 4
+    # r11: FORMAT_VERSION = 3 routes to the v3 (deletion-vector) lane
+    import json as _json
+
+    dest3 = str(tmp_path / "mirror3")
+    m3 = isql.sql(
+        f"ALTER ICEBERG TABLE ex EXPORT ICEBERG METADATA TO '{dest3}' "
+        "FORMAT_VERSION = 3"
+    )
+    md3 = _json.load(open(m3))
+    assert md3["format-version"] == 3 and "next-row-id" in md3
+    assert read_iceberg(spark, dest3).count() == 4
 
 
 def test_alter_analyze_columns(spark, tmp_path):
