@@ -115,11 +115,12 @@ PRIORITY: list[str] = [
     # queued in r10 but fell off the 50-sample cap
     "ice10_mor_delete",
     "ice54_deletion_vectors",
-    # code changing this round -- re-evidence
-    "ice62_decimal_truncate",  # minimal two's-complement decimal bytes
-    "f6_bucket_mod",  # decimal bucket-hash input bytes
+    # code changing this round -- re-evidence (new queries first:
+    # never driver-sampled)
+    "ice63_dv_v3_export",  # NEW in r11: Iceberg v3 DV export
+    "ice64_wide_decimal_truncate",  # NEW in r11: decimal(25,4) truncate
+    "f6_bucket_mod",  # decimal bucket-hash minimal-bytes change
     "ice52_table_dedup",  # dedupe_table shuffle self-sizing
-    "ice43_iceberg_export",  # v3 DV export lane
 ]
 
 
