@@ -1541,3 +1541,70 @@ def test_export_v3_row_lineage_stable_across_history(spark, tmp_path):
                 )
     assert first_ids and all(len(v) == 1 for v in first_ids.values())
     assert None not in {next(iter(v)) for v in first_ids.values()}
+
+
+def test_export_v3_history_and_equality_mix(spark, tmp_path):
+    """Hostile probes promoted to pins (r11): (a) a HISTORY v3 export
+    of a DV table serves every snapshot — pre-consolidation parquet
+    tombstones, the DV snapshot, and post-DV deletes — row-identical
+    to native time travel; (b) equality deletes ride v3 unchanged
+    (still legal) next to the DV blobs."""
+    import os
+
+    from icepack import maintenance as M
+    from icepack.expr import col
+    from icepack.iceberg_export import export_iceberg
+    from icepack.iceberg_import import read_iceberg
+    from icepack.table import IceTable
+
+    df = spark.range(200).selectExpr("id", "CAST(id % 5 AS DOUBLE) v")
+    t = IceTable.create(
+        spark, str(tmp_path / "h"), df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df)
+    t.delete(col("v") == 1.0)
+    assert M.write_deletion_vectors(t) is not None
+    t.delete(col("id") >= 190)
+    mpath = export_iceberg(
+        t, dest=str(tmp_path / "hmeta"), history=True, format_version=3
+    )
+    import json
+
+    md = json.load(open(mpath))
+    assert len(md["snapshots"]) == 4
+    for s in md["snapshots"]:
+        ext = read_iceberg(
+            spark, os.path.dirname(mpath), snapshot_id=s["snapshot-id"]
+        )
+        nat = t.toDF(
+            snapshot=next(
+                x for x in t.meta.snapshots if x.snapshot_id == s["snapshot-id"]
+            )
+        )
+        assert sorted(map(tuple, ext.select("id", "v").collect())) == sorted(
+            map(tuple, nat.collect())
+        )
+
+    df2 = spark.range(100).selectExpr("id", "CAST(id % 10 AS INT) k")
+    t2 = IceTable.create(
+        spark, str(tmp_path / "eq"), df2.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "equality",
+            "write.delete.equality-columns": "k",
+        },
+    )
+    t2.append(df2)
+    t2.delete(col("k") == 3)
+    t2.set_properties(**{"write.delete.mor.strategy": "position"})
+    t2.delete(col("id") < 5)
+    assert M.write_deletion_vectors(t2) is not None
+    m2 = export_iceberg(t2, dest=str(tmp_path / "eqmeta"), format_version=3)
+    got = sorted(
+        map(tuple, read_iceberg(spark, os.path.dirname(m2)).select("id", "k").collect())
+    )
+    assert got == sorted(map(tuple, t2.toDF().collect())) and len(got) == 86

@@ -863,3 +863,45 @@ def test_convert_to_spec_primary_v3_keeps_dvs(spark, tmp_path):
     assert t3.spec_primary
     assert rows_sorted(t3.toDF()) == before
     _triangle(spark, t3, str(tmp_path / "n3"))
+
+
+def test_spec_primary_v3_dv_full_maintenance_lifecycle(spark, tmp_path):
+    """Hostile probe promoted to a pin (r11): a spec-primary v3 tree
+    carrying DVs survives the FULL maintenance battery —
+    rewrite_manifests re-encodes the DV entries through the v3 Avro
+    shape, fsck (check_data) decodes the blobs clean, compact retires
+    them, expire drops history — with the native scan AND the
+    independent spec reader serving identical rows throughout."""
+    from icepack import maintenance as M
+    from icepack.iceberg_import import read_iceberg
+    from icepack.maintenance import verify_table
+
+    loc = str(tmp_path / "sp3m")
+    df = spark.range(300).selectExpr("id", "CAST(id % 6 AS DOUBLE) v")
+    t = IceTable.create(
+        spark, loc, df.schema,
+        properties={
+            **PROPS,
+            "format.spec-version": "3",
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df.filter("id < 150"))
+    t.append(df.filter("id >= 150"))
+    t.delete(col("v") == 2.0)
+    assert M.write_deletion_vectors(t) is not None
+    want = rows_sorted(t.toDF())
+
+    M.rewrite_manifests(t)
+    assert rows_sorted(t.toDF()) == want
+    dvs = [f for f in t.live_files(content="all") if f.content == "deletion-vectors"]
+    assert dvs and all(f.content_offset is not None for f in dvs)
+    assert verify_table(t, check_data=True) == []
+    M.compact(t)
+    assert rows_sorted(t.toDF()) == want
+    rep = M.expire_snapshots(t, older_than_ms=2**62, retain_last=1)
+    assert rep["expired"] >= 1
+    assert rows_sorted(t.toDF()) == want
+    ext = read_iceberg(spark, os.path.join(loc, "metadata"))
+    assert rows_sorted(ext.select(*t.toDF().columns)) == want
