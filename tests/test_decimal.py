@@ -404,3 +404,34 @@ def test_decimal_bucket_dsv2_write_and_prune(spark, tmp_path):
     assert rep["files_scanned"] < rep["files_total"]
     assert t.toDF().filter("price = 10.25").count() == 1
     assert t.toDF().count() == 64
+
+
+def test_wide_decimal_truncate_dsv2_write_parity(spark, tmp_path):
+    """r11 pin: the DSv2 batch writer (py_value lane — plain Python
+    workers, no JVM) lands wide-decimal truncate rows in EXACTLY the
+    partition-tuple domain the Spark append lane produces — one
+    spelling drift and the same value would split into two tuples."""
+    from icepack.datasource import register
+
+    register(spark)
+    wdf = spark.range(1000).selectExpr(
+        "CAST(CAST(id AS DECIMAL(25,4)) * 1234567890123.4567 + 0.0003"
+        " AS DECIMAL(25,4)) AS amt"
+    )
+    t = IceTable.create(
+        spark, str(tmp_path / "w"), wdf.schema,
+        partition_by=[("amt", "truncate[100000000000000000]")],
+    )
+    wdf.write.format("icepack").option("location", t.location).mode(
+        "append"
+    ).save()
+    t.refresh()
+    vals = {f.partition["amt_truncate"] for f in t.live_files()}
+    assert any(isinstance(v, int) and v > 2**63 for v in vals)
+    t.append(wdf)  # same rows via the Spark lane
+    after = {f.partition["amt_truncate"] for f in t.live_files()}
+    assert after == vals  # identical tuple domain, no spelling drift
+    probe = D("1234567890123.4570")
+    assert t.toDF(icol("amt") == probe).count() == 2
+    hit, rep = t.plan_files(icol("amt") == probe)
+    assert rep["files_scanned"] < rep["files_total"]

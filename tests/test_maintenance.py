@@ -916,3 +916,43 @@ def test_fsck_metadata_walk_distributed_matches_driver(spark, tmp_path):
     assert "missing from storage" in got
     assert "!= footer" in got
     assert "references no live data file" in got
+
+
+def test_fsck_distributed_over_spec_avro_manifests(spark, tmp_path, monkeypatch):
+    """r11 pin: the fsck Spark lane decodes SPEC-PRIMARY (Avro)
+    manifests executor-side — clean v3 DV tree verifies with zero
+    driver entry decodes, and a planted missing file still surfaces
+    through the distributed walk."""
+    from icepack import maintenance as M
+    from icepack.maintenance import verify_table
+    from icepack.table import IceTable
+
+    df = spark.range(120).selectExpr("id", "CAST(id % 4 AS DOUBLE) v")
+    t = IceTable.create(
+        spark, str(tmp_path / "sp"), df.schema,
+        properties={
+            "format.spec-primary": "true",
+            "format.spec-version": "3",
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+            "read.plan-mode": "distributed",
+        },
+    )
+    t.append(df)
+    t.delete(col("v") == 1.0)
+    assert M.write_deletion_vectors(t) is not None
+    calls = []
+    orig = IceTable._read_mentries
+
+    def counting(self, name):
+        calls.append(name)
+        return orig(self, name)
+
+    monkeypatch.setattr(IceTable, "_read_mentries", counting)
+    assert verify_table(t, check_data=True) == []
+    assert calls == [], f"driver decoded {sorted(set(calls))}"
+    monkeypatch.undo()
+    victim = [f for f in t.live_files() if f.content == "data"][0].path
+    os.remove(victim)
+    t.refresh()
+    assert any("missing from storage" in x for x in verify_table(t))
