@@ -19,6 +19,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _free_ckpt(df: DataFrame) -> None:
+    """Release a DEAD localCheckpoint's stored blocks immediately.
+    Each CC round checkpoints two DataFrames; waiting for GC keeps
+    O(rounds · n) blocks alive in the block manager — measured as the
+    heap-pressure margin of the r11 300× rung (two OOM brushes in CC
+    lineage caching).  Only ever called on frames no later round
+    touches: a localCheckpoint cannot recompute after unpersist."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort; GC remains the fallback
+        pass
+
+
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 30
 ) -> DataFrame:
@@ -97,9 +110,15 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # this round's intermediates are dead: free their checkpoint
+        # blocks NOW so peak block storage stays O(n), not O(rounds·n)
+        _free_ckpt(propagated)
+        _free_ckpt(labels)
         labels = new_labels
         if changed == 0:
+            _free_ckpt(both)
             return labels.select(F.col("id"), F.col("label").alias("cluster"))
+    _free_ckpt(both)
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
 

@@ -210,3 +210,23 @@ def test_connected_components_long_chain_converges(spark):
     )
     got = {r["id"]: r["cluster"] for r in connected_components(chain).collect()}
     assert len(got) == 201 and set(got.values()) == {0}
+
+
+def test_connected_components_releases_dead_checkpoints(spark):
+    """r11: CC frees each round's dead localCheckpoint blocks eagerly —
+    peak block-manager storage stays O(n) instead of O(rounds·n) (the
+    heap-pressure margin of the 300× ladder rung).  A 200-node chain
+    forces multiple pointer-jumping rounds; after convergence at most
+    a handful of stored RDDs may remain (the live labels + edges the
+    result still reads), never one pair per round."""
+    from icepack.dedup import connected_components
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    cc = connected_components(edges)
+    assert cc.select("cluster").distinct().count() == 1  # one chain
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 3, f"leaked checkpoint blocks: {after - before}"
