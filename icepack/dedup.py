@@ -404,39 +404,53 @@ def dedupe_table(
             )
         return w.orderBy(F.col(id_col).asc())
 
-    # data-aware shuffle width (r11): size the mining shuffles from the
-    # table's own manifest byte totals so a large corpus never runs the
-    # whole pipeline through a session-default 32-way shuffle's spill
-    # regime; restored on exit, AQE coalesces any excess
+    # data-aware shuffle width (r11, scoped r12): size the mining
+    # shuffles from the table's own manifest byte totals so a large
+    # corpus never runs the whole pipeline through a session-default
+    # 32-way shuffle's spill regime.  The width lives in a CLONED
+    # session (`newSession()` — same SparkContext/cache, isolated
+    # SQLConf), never a set/restore on the shared session conf: a
+    # concurrent query on the same SparkSession keeps its own width,
+    # two concurrent dedupe_table calls can't clobber each other's
+    # save/restore, and the MERGE delete commit itself (built from the
+    # original table) runs at the user's session width — only the
+    # mining DataFrames are widened.  AQE coalesces any excess.
     n_parts = _mining_shuffle_partitions(
         table, _MINING_BYTES_PER_PARTITION.get(method, 1 << 20)
     )
-    prev_width = None
+    mining_table = table
     if n_parts is not None:
-        prev_width = table.spark.conf.get("spark.sql.shuffle.partitions")
-        table.spark.conf.set("spark.sql.shuffle.partitions", str(n_parts))
-    try:
-        return _dedupe_table_body(
-            table, id_col, text_col, method, num_hashes, bands, dry_run,
-            vec_col, threshold, dim, n_planes, keep, quality_col,
-            _survivor_window,
-        )
-    finally:
-        if prev_width is not None:
-            table.spark.conf.set("spark.sql.shuffle.partitions", prev_width)
+        import copy
+
+        from .session import ensure_confs
+
+        clone = ensure_confs(table.spark.newSession())
+        clone.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+        mining_table = copy.copy(table)
+        mining_table.spark = clone
+    return _dedupe_table_body(
+        table, mining_table, id_col, text_col, method, num_hashes, bands,
+        dry_run, vec_col, threshold, dim, n_planes, keep, quality_col,
+        _survivor_window,
+    )
 
 
 def _dedupe_table_body(
-    table, id_col, text_col, method, num_hashes, bands, dry_run,
-    vec_col, threshold, dim, n_planes, keep, quality_col,
+    table, mining_table, id_col, text_col, method, num_hashes, bands,
+    dry_run, vec_col, threshold, dim, n_planes, keep, quality_col,
     _survivor_window,
 ):
+    """*mining_table* is *table* rebound to the width-scoped cloned
+    session (or the same object when no widening applies) — every
+    mining read/shuffle hangs off it; the MERGE commit and its
+    LEFT-SEMI source read hang off *table* so the delete runs at the
+    user's session width."""
     from .dml import merge
 
     d = (
-        table.toDF().select(id_col, vec_col)
+        mining_table.toDF().select(id_col, vec_col)
         if method == "semantic"
-        else table.toDF().select(id_col, text_col)
+        else mining_table.toDF().select(id_col, text_col)
     )
     if method == "exact":
         # (loser id, group key) rows via a WINDOW over the 128-bit
@@ -448,7 +462,7 @@ def _dedupe_table_body(
         # content-hash scan+shuffle runs once (persist below).
         cols = [id_col, text_col] + ([quality_col] if keep == "best" else [])
         losers = (
-            table.toDF()
+            mining_table.toDF()
             .select(
                 *cols[:1],
                 F.xxhash64(text_col).alias("_h1"),
@@ -491,7 +505,7 @@ def _dedupe_table_body(
             labeled = cc.select(
                 F.col("id").alias(id_col), F.col("cluster")
             ).join(
-                table.toDF().select(id_col, quality_col), id_col
+                mining_table.toDF().select(id_col, quality_col), id_col
             )
             losers = (
                 labeled.withColumn(
@@ -693,6 +707,16 @@ def _sign_lsh_planes(dim: int, n_planes: int = 4) -> list:
 #: went quadratic (~1.25B within-bucket pairs at 200k unique vectors)
 SEMANTIC_FROZEN_MAX = 4096
 
+#: per-bucket row cap for the gram-matrix scoring path — one
+#: applyInPandas group holds the bucket's full (rows × dim) float64
+#: matrix plus a BLOCK×rows gram slice in a single Python worker, so a
+#: bucket past this bound (16384 rows × 1024 dims ≈ 128 MB for M alone)
+#: scores through the join fallback instead: more shuffle, bounded
+#: worker memory.  The plane rule keeps expected depth ~constant, so
+#: only a genuinely skewed bucket (near-constant embeddings) ever
+#: crosses it.
+SEMANTIC_GRAM_MAX_ROWS = 16384
+
 
 def _semantic_planes_for(n_distinct: int) -> int:
     import math
@@ -847,10 +871,19 @@ def semantic_candidate_pairs(
     # full vectors through the exchange.  Scoring a bucket's GRAM
     # MATRIX in one BLAS op inside applyInPandas exchanges each vector
     # ONCE (n rows, not n·depth) and turns the hot loop into numpy.
-    # Semantics preserved exactly: id_a < id_b, cos ≥ threshold,
+    # Semantics preserved exactly: id_a < id_b (BY VALUE — duplicate
+    # ids in one bucket never emit self-pairs), cos ≥ threshold,
     # zero-norm vectors pair with nothing (their row is masked before
     # the division), NaN cosines are dropped.  Oversized buckets score
-    # in row blocks so the gram slice stays bounded.
+    # in row blocks so the gram slice stays bounded — and a bucket past
+    # ``SEMANTIC_GRAM_MAX_ROWS`` falls back to the equality-keyed
+    # self-join entirely (r12): one applyInPandas group materializes
+    # the whole bucket's vector matrix in a single Python worker, so a
+    # skewed bucket (small plane count, near-constant embeddings
+    # surviving the star-collapse) must shuffle more rather than OOM a
+    # worker.  The split is a window count over the same hash
+    # partitioning the groupBy needs — no extra exchange of the
+    # vectors.
     b = df.select(
         F.col(id_col), F.col(vec_col), _bkt(F.col(vec_col)).alias("_bkt")
     ).filter(F.col("_bkt").isNotNull())
@@ -891,6 +924,12 @@ def semantic_candidate_pairs(
                     k=1,
                 )
             )
+            # triu(k=1) enforces strict ordering by POSITION only; a
+            # duplicate id appearing twice in a bucket would emit a
+            # (id, id, 1.0) self-pair the documented id_a < id_b
+            # contract excludes — keep the inequality on VALUES
+            keep = ids[ii + lo] != ids[jj + lo]
+            ii, jj = ii[keep], jj[keep]
             out_a.append(ids[ii + lo])
             out_b.append(ids[jj + lo])
             out_c.append(C[ii, jj])
@@ -904,7 +943,46 @@ def semantic_candidate_pairs(
             }
         )
 
-    pairs = b.groupBy("_bkt").applyInPandas(
-        _score, f"id_a {id_type}, id_b {id_type}, cos double"
+    from pyspark.sql import Window as _W
+
+    b = b.withColumn(
+        "_bn", F.count(F.lit(1)).over(_W.partitionBy("_bkt"))
     )
+    pairs = (
+        b.filter(F.col("_bn") <= SEMANTIC_GRAM_MAX_ROWS)
+        .drop("_bn")
+        .groupBy("_bkt")
+        .applyInPandas(_score, f"id_a {id_type}, id_b {id_type}, cos double")
+    )
+    big = b.filter(F.col("_bn") > SEMANTIC_GRAM_MAX_ROWS).drop("_bn")
+    # join fallback for oversized buckets: per-vector norm computed
+    # once, zero-norm rows dropped before the join (they pair with
+    # nothing), cosine evaluated inside the equality-keyed self-join —
+    # O(pairs) compute but O(rows) peak memory per task
+    bign = big.withColumn(
+        "_nrm", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+    ).filter(F.col("_nrm") > 0)
+    lhs = bign.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_nrm").alias("_na"),
+        "_bkt",
+    )
+    rhs = bign.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_nrm").alias("_nb"),
+        "_bkt",
+    )
+    big_pairs = (
+        lhs.join(rhs, "_bkt")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+        )
+        .filter(~F.isnan(F.col("cos")) & (F.col("cos") >= F.lit(thr)))
+        .select("id_a", "id_b", "cos")
+    )
+    pairs = pairs.unionByName(big_pairs)
     return pairs if stars is None else pairs.unionByName(stars)

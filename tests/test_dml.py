@@ -886,3 +886,139 @@ def test_dedupe_table_self_sizes_shuffle(spark, warehouse):
     except ValueError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_dedupe_table_width_lives_in_cloned_session(spark, warehouse, monkeypatch):
+    """ADVICE r11: the mining shuffle width must be scoped PER JOB, not
+    set/restored on the shared session conf — a concurrent query on the
+    same SparkSession (and the MERGE commit itself) must run at the
+    user's width.  Pin: past the widening rule, the body receives a
+    table rebound to a CLONED session carrying the widened width while
+    the original session conf never changes; below the rule, the same
+    object passes through."""
+    import os
+
+    import icepack.dedup as dd
+    from icepack.io import load
+    from icepack.table import IceTable
+
+    base = (
+        load(spark, "/root/testdata/sf0.001", "documents")
+        .select("doc_id", "text")
+        .limit(30)
+    )
+    dup = base.limit(10).withColumn("doc_id", F.col("doc_id") + F.lit(10_000))
+    t = IceTable.create(
+        spark, os.path.join(warehouse, "dedup_width_clone"), base.schema
+    )
+    t.append(base.unionByName(dup))
+
+    seen = {}
+    real = dd._dedupe_table_body
+
+    def spy(table, mining_table, *a, **k):
+        seen["cloned"] = mining_table.spark is not table.spark
+        seen["mining_w"] = mining_table.spark.conf.get(
+            "spark.sql.shuffle.partitions"
+        )
+        seen["session_w"] = table.spark.conf.get("spark.sql.shuffle.partitions")
+        return real(table, mining_table, *a, **k)
+
+    monkeypatch.setattr(dd, "_dedupe_table_body", spy)
+
+    # below the rule: no clone, same session object straight through
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    stats = dd.dedupe_table(t, dry_run=True)
+    assert stats["groups"] == 10 and seen["cloned"] is False
+
+    # past the rule: clone carries the width, session conf untouched
+    total = sum(
+        m["live-bytes"]
+        for m in t._read_mlist(t.meta.current_snapshot.manifest_list)
+    )
+    t.set_properties(
+        **{"dedup.shuffle.bytes-per-partition": str(max(1, total // 100))}
+    )
+    want = dd._mining_shuffle_partitions(t)
+    stats = dd.dedupe_table(t, dry_run=True)
+    assert stats["groups"] == 10 and stats["dropped"] == 10
+    assert seen["cloned"] is True
+    assert int(seen["mining_w"]) == want
+    assert seen["session_w"] == before
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_semantic_pairs_duplicate_ids_no_self_pairs(spark):
+    """ADVICE r11: triu(k=1) orders by POSITION, so a duplicate id in a
+    bucket emitted (id, id, 1.0) self-pairs — the documented contract
+    is id_a < id_b BY VALUE.  Pin: duplicate ids never self-pair, and
+    the genuine cross-id pair still comes out of both the gram path and
+    the oversized-bucket join fallback."""
+    from pyspark.sql import types as T
+
+    import icepack.dedup as dd
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    v = [1.0, 2.0, 3.0, 4.0]
+    w = [1.0, 2.0, 3.0, 4.01]  # cos ~ 1 against v, same LSH signs
+    df = spark.createDataFrame(
+        [(1, v), (1, v), (2, w), (2, w), (3, v)], schema
+    )
+    for cap in (16384, 2):  # gram path, then force the join fallback
+        import unittest.mock as mock
+
+        with mock.patch.object(dd, "SEMANTIC_GRAM_MAX_ROWS", cap):
+            got = dd.semantic_candidate_pairs(
+                df, id_col="vec_id", vec_col="embedding", threshold=0.999
+            ).collect()
+        assert all(r.id_a != r.id_b for r in got), (cap, got)
+        pairs = {(r.id_a, r.id_b) for r in got}
+        assert pairs == {(1, 2), (1, 3), (2, 3)}, (cap, pairs)
+        assert all(r.id_a < r.id_b for r in got)
+
+
+def test_semantic_oversized_bucket_join_fallback_matches_gram(spark):
+    """ADVICE r11: one applyInPandas group materializes a whole LSH
+    bucket's vector matrix in a single Python worker, so a skewed
+    bucket past SEMANTIC_GRAM_MAX_ROWS must fall back to the
+    equality-keyed self-join (bounded worker memory) — and the two
+    paths must produce the IDENTICAL pair set, cosines included."""
+    import unittest.mock as mock
+
+    from pyspark.sql import types as T
+
+    import icepack.dedup as dd
+
+    rng_rows = []
+    # 40 vectors in one near-constant direction (one hot bucket — the
+    # star-collapse survivor shape ADVICE flags) + a few unrelated
+    base = [1.0, 1.0, 1.0, 1.0]
+    for i in range(40):
+        rng_rows.append((i, [x * (1.0 + 0.0001 * i) for x in base]))
+    rng_rows += [(100, [1.0, -1.0, 1.0, -1.0]), (101, [-1.0, 1.0, -1.0, 1.0])]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(rng_rows, schema)
+
+    def run(cap):
+        with mock.patch.object(dd, "SEMANTIC_GRAM_MAX_ROWS", cap):
+            return {
+                (r.id_a, r.id_b, round(r.cos, 9))
+                for r in dd.semantic_candidate_pairs(
+                    df, id_col="vec_id", vec_col="embedding", threshold=0.99
+                ).collect()
+            }
+
+    gram = run(16384)
+    joined = run(8)  # the hot bucket (40 rows) exceeds the cap
+    assert gram == joined
+    assert len(gram) >= 40 * 39 // 2  # the hot clique really paired
