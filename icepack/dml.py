@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 from .expr import AlwaysTrue, Expr, In
 from .manifest import DataFile, harvest_stats
 from .metadata import Snapshot
+from .table import _LAST_UPDATED_COL, _ROW_ID_COL, lineage_preserving
+
+_LINEAGE_COLS = [_ROW_ID_COL, _LAST_UPDATED_COL]
 
 #: max distinct source keys collected for target-file pruning in MERGE;
 #: above this the merge scans all target files (still correct).
@@ -180,8 +183,15 @@ def _delete_cow(table, predicate: Expr) -> Snapshot:
     partial = [f for f in hit if f.path not in full_paths]
     new_entries = []
     if partial:
-        remaining = table._read_visible(partial).filter(~predicate.to_column())
-        new_entries = table._write_data_files(remaining)
+        lin = lineage_preserving(table)
+        remaining = table._read_visible(partial, lineage=lin).filter(
+            ~predicate.to_column()
+        )
+        # v3: surviving rows keep their _row_id/_last_updated — a COW
+        # delete must not renumber the rows it did NOT delete
+        new_entries = table._write_data_files(
+            remaining, extra_cols=_LINEAGE_COLS if lin else None
+        )
     return table._commit_snapshot("delete", new_entries, {f.path for f in hit})
 
 
@@ -393,7 +403,8 @@ def update(
     hit = _narrow_hits(table, predicate, hit, report)  # see _delete_cow
     if not hit:
         return table._commit_snapshot("overwrite", [])
-    df = table._read_visible(hit)
+    lin = lineage_preserving(table)
+    df = table._read_visible(hit, lineage=lin)
     pred = predicate.to_column()
     cols = []
     for f in table.meta.schema.fields:
@@ -406,8 +417,22 @@ def update(
             )
         else:
             cols.append(F.col(f.name))
+    if lin:
+        # v3 row lineage across UPDATE (public spec "Row Lineage"):
+        # every row KEEPS its _row_id; updated rows null out
+        # _last_updated_sequence_number so the read-time coalesce
+        # serves the NEW file's sequence number (retry-safe — the
+        # commit seq isn't known yet), untouched rows keep theirs
+        cols.append(F.col(_ROW_ID_COL))
+        cols.append(
+            F.when(pred, F.lit(None).cast("long"))
+            .otherwise(F.col(_LAST_UPDATED_COL))
+            .alias(_LAST_UPDATED_COL)
+        )
     rewritten = df.select(*cols)
-    new_entries = table._write_data_files(rewritten)
+    new_entries = table._write_data_files(
+        rewritten, extra_cols=_LINEAGE_COLS if lin else None
+    )
     return table._commit_snapshot("overwrite", new_entries, {f.path for f in hit})
 
 
@@ -476,10 +501,17 @@ def merge(
     predicate = _merge_prune_predicate(src, on)
     hit, _ = table.plan_files(predicate)
 
-    tgt = table._read_visible(hit)
-    t = tgt.select(*[F.col(c).alias(f"_t_{c}") for c in names]).withColumn(
-        "_t_exists", F.lit(True)
-    )
+    lin = lineage_preserving(table)
+    tgt = table._read_visible(hit, lineage=lin)
+    tcols = [F.col(c).alias(f"_t_{c}") for c in names]
+    if lin:
+        # ride the resolved lineage through the full-outer join so
+        # kept and updated target rows re-emerge with their own ids
+        tcols += [
+            F.col(_ROW_ID_COL).alias("_t__rid"),
+            F.col(_LAST_UPDATED_COL).alias("_t__lupd"),
+        ]
+    t = tgt.select(*tcols).withColumn("_t_exists", F.lit(True))
     s = src.select(*[F.col(c).alias(f"_s_{c}") for c in src.columns]).withColumn(
         "_s_exists", F.lit(True)
     )
@@ -494,8 +526,13 @@ def merge(
 
     branches = []
     # target-only rows always survive unchanged
-    keep = joined.filter(t_only).select(*[F.col(f"_t_{c}").alias(c) for c in names])
-    branches.append(keep)
+    keep_cols = [F.col(f"_t_{c}").alias(c) for c in names]
+    if lin:
+        keep_cols += [
+            F.col("_t__rid").alias(_ROW_ID_COL),
+            F.col("_t__lupd").alias(_LAST_UPDATED_COL),
+        ]
+    branches.append(joined.filter(t_only).select(*keep_cols))
     if when_matched_delete and when_matched_delete_condition is None:
         pass  # all matched rows dropped
     else:
@@ -518,13 +555,28 @@ def merge(
                 upd_cols.append(new.cast(f.spark_type()).alias(c))
             else:
                 upd_cols.append(F.col(f"_t_{c}").alias(c))
+        if lin:
+            # updated rows keep _row_id; null _last_updated inherits
+            # the commit's sequence number at read time
+            upd_cols += [
+                F.col("_t__rid").alias(_ROW_ID_COL),
+                F.lit(None).cast("long").alias(_LAST_UPDATED_COL),
+            ]
         branches.append(joined_matched.select(*upd_cols))
     if when_not_matched_insert:
-        branches.append(
-            joined.filter(s_only).select(*[F.col(f"_s_{c}").alias(c) for c in names])
-        )
+        ins_cols = [F.col(f"_s_{c}").alias(c) for c in names]
+        if lin:
+            # fresh rows: null ids inherit from the new manifest's
+            # field-520 assignment like any append
+            ins_cols += [
+                F.lit(None).cast("long").alias(_ROW_ID_COL),
+                F.lit(None).cast("long").alias(_LAST_UPDATED_COL),
+            ]
+        branches.append(joined.filter(s_only).select(*ins_cols))
     result = branches[0]
     for b in branches[1:]:
         result = result.unionByName(b)
-    new_entries = table._write_data_files(result)
+    new_entries = table._write_data_files(
+        result, extra_cols=_LINEAGE_COLS if lin else None
+    )
     return table._commit_snapshot("overwrite", new_entries, {f.path for f in hit})

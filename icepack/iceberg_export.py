@@ -431,46 +431,33 @@ def _manifest_entry_schema(spec, schema, format_version: int = 2) -> dict:
 # --------------------------------------------------------------- exporter
 
 
-def _rewrite_delete_parquet(table, d, dest: str, cache: dict) -> tuple[str, int, list]:
-    """Rewrite one icepack MOR delete file into its SPEC form under
-    *dest* (cached per source path — history exports reuse it):
-
-    - position deletes: ``file_path`` normalized from Spark's URI form
-      to the plain absolute path manifests use (external engines
-      compare these strings verbatim), rows sorted by (file_path, pos),
-      columns stamped with the spec's reserved field ids
-      2147483546/2147483545.
-    - equality deletes: identifier columns stamped with their field ids
-      (resolved through the DELETE-TIME schema version, so renamed keys
-      keep their identity); returns the equality_ids list.
-    - v3 deletion-vectors: the roaring blob DECODES into the same
-      spec-form position-delete parquet (the export targets v2 trees;
-      DV positions are exactly position deletes for one file), so a
-      DV table exports without a prior rewrite_position_deletes().
-
-    Returns (new path, content code 1|2, equality_ids)."""
+def _delete_rewrite_payload(
+    meta, content, src_path, content_offset, content_size,
+    equality_columns, schema_id, referenced_data_file=None,
+):
+    """The pure rewrite of one MOR delete file into its spec-form
+    arrow table — shared VERBATIM by the driver loop
+    (:func:`_rewrite_delete_parquet`) and the distributed export lane
+    (each executor task rewrites its own delete files).  Returns
+    (pyarrow.Table, content code 1|2, equality_ids)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    # DV blobs share one Puffin path — identity is (path, offset)
-    ckey = (d.path, d.content_offset)
-    if ckey in cache:
-        return cache[ckey]
     from .dml import _normalize_file_uri
 
-    if d.content == "deletion-vectors":
+    if content == "deletion-vectors":
         from .roaring import read_dv_blob
 
-        with open(d.path, "rb") as fh:
-            fh.seek(int(d.content_offset))
-            blob = fh.read(int(d.content_size))
+        with open(src_path, "rb") as fh:
+            fh.seek(int(content_offset))
+            blob = fh.read(int(content_size))
         decoded = read_dv_blob(blob)
-        paths = [_normalize_file_uri(d.referenced_data_file)] * len(decoded)
+        paths = [_normalize_file_uri(referenced_data_file)] * len(decoded)
         poss = [int(p) for p in decoded]
     else:
-        tbl = pq.read_table(d.path)
-    if d.content in ("position-deletes", "deletion-vectors"):
-        if d.content == "position-deletes":
+        tbl = pq.read_table(src_path)
+    if content in ("position-deletes", "deletion-vectors"):
+        if content == "position-deletes":
             paths = [
                 _normalize_file_uri(p)
                 for p in tbl.column("file_path").to_pylist()
@@ -491,28 +478,64 @@ def _rewrite_delete_parquet(table, d, dest: str, cache: dict) -> tuple[str, int,
             ],
             schema=pa.schema(fields),
         )
-        code, eq_ids = 1, []
-    else:  # equality-deletes
-        dschema = table.meta.schema_by_id(d.schema_id)
-        fields, arrays, eq_ids = [], [], []
-        for c in d.equality_columns:
-            f_old = dschema.field_by_name(c)
-            fid = f_old.id if f_old is not None else 0
-            eq_ids.append(fid)
-            col = tbl.column(c)
-            arrays.append(col.combine_chunks() if col.num_chunks > 1 else col)
-            fields.append(
-                pa.field(
-                    c, tbl.schema.field(c).type,
-                    metadata={b"PARQUET:field_id": str(fid).encode()},
-                )
+        return out, 1, []
+    # equality-deletes
+    dschema = meta.schema_by_id(schema_id)
+    fields, arrays, eq_ids = [], [], []
+    for c in equality_columns:
+        f_old = dschema.field_by_name(c)
+        fid = f_old.id if f_old is not None else 0
+        eq_ids.append(fid)
+        col = tbl.column(c)
+        arrays.append(col.combine_chunks() if col.num_chunks > 1 else col)
+        fields.append(
+            pa.field(
+                c, tbl.schema.field(c).type,
+                metadata={b"PARQUET:field_id": str(fid).encode()},
             )
-        out = pa.table(arrays, schema=pa.schema(fields))
-        code = 2
-    name = f"delete-{len(cache)}-{os.path.basename(d.path)}"
+        )
+    return pa.table(arrays, schema=pa.schema(fields)), 2, eq_ids
+
+
+def _delete_rewrite_name(idx: int, d) -> str:
+    name = f"delete-{idx}-{os.path.basename(d.path)}"
     if d.content == "deletion-vectors":
         name += ".parquet"  # source basename is a .puffin
-    new_path = os.path.join(dest, name)
+    return name
+
+
+def _rewrite_delete_parquet(table, d, dest: str, cache: dict) -> tuple[str, int, list]:
+    """Rewrite one icepack MOR delete file into its SPEC form under
+    *dest* (cached per source path — history exports reuse it, and the
+    distributed lane PREFILLS the cache so this driver loop degenerates
+    to dict lookups):
+
+    - position deletes: ``file_path`` normalized from Spark's URI form
+      to the plain absolute path manifests use (external engines
+      compare these strings verbatim), rows sorted by (file_path, pos),
+      columns stamped with the spec's reserved field ids
+      2147483546/2147483545.
+    - equality deletes: identifier columns stamped with their field ids
+      (resolved through the DELETE-TIME schema version, so renamed keys
+      keep their identity); returns the equality_ids list.
+    - v3 deletion-vectors: the roaring blob DECODES into the same
+      spec-form position-delete parquet (the export targets v2 trees;
+      DV positions are exactly position deletes for one file), so a
+      DV table exports without a prior rewrite_position_deletes().
+
+    Returns (new path, content code 1|2, equality_ids)."""
+    import pyarrow.parquet as pq
+
+    # DV blobs share one Puffin path — identity is (path, offset)
+    ckey = (d.path, d.content_offset)
+    if ckey in cache:
+        return cache[ckey]
+    out, code, eq_ids = _delete_rewrite_payload(
+        table.meta, d.content, d.path, d.content_offset, d.content_size,
+        d.equality_columns, d.schema_id,
+        referenced_data_file=d.referenced_data_file,
+    )
+    new_path = os.path.join(dest, _delete_rewrite_name(len(cache), d))
     pq.write_table(out, new_path)
     cache[ckey] = (new_path, code, eq_ids)
     return cache[ckey]
@@ -774,8 +797,16 @@ def export_iceberg(
 
     def _first_row_id(f) -> int:
         if f.path not in _row_ids:
-            _row_ids[f.path] = _next_row[0]
-            _next_row[0] += f.record_count
+            if getattr(f, "first_row_id", None) is not None:
+                # spec-primary v3 tables already assigned this file's
+                # ids at commit (manifest-list field 520 + inheritance)
+                # — export THOSE, never renumber: the exported tree and
+                # the native lineage scan must serve identical _row_ids
+                _row_ids[f.path] = f.first_row_id
+                _next_row[0] = max(_next_row[0], f.first_row_id + f.record_count)
+            else:
+                _row_ids[f.path] = _next_row[0]
+                _next_row[0] += f.record_count
         return _row_ids[f.path]
 
     dest = dest or os.path.join(table.location, "iceberg-metadata")

@@ -33,6 +33,16 @@ from .table import IceTable
 from .metadata import Snapshot
 
 
+#: max deletion-vector positions a self-contained SQL render will
+#: inline as VALUES.  PAST THE CAP THE RENDER REFUSES LOUDLY (raises
+#: ValueError naming the remedy) — it never silently truncates: a
+#: truncated mask would resurrect deleted rows in the external engine,
+#: which is a correctness failure, not a degraded mode.  Hot tables
+#: should ``rewrite_position_deletes()`` first so the render reads the
+#: tombstones by path instead of inlining them.
+DV_RENDER_MAX_POSITIONS = 200_000
+
+
 def _sql_list(paths: list[str]) -> str:
     inner = ", ".join("'" + p.replace("'", "''") + "'" for p in paths)
     return f"[{inner}]"
@@ -79,10 +89,11 @@ def duckdb_snapshot_sql(
             dv_pairs.extend(
                 (e.referenced_data_file, int(p)) for p in read_dv_blob(blob)
             )
-            if len(dv_pairs) > 200_000:
+            if len(dv_pairs) > DV_RENDER_MAX_POSITIONS:
                 raise ValueError(
-                    "snapshot has >200k deletion-vector positions — too "
-                    "large to inline in a self-contained SQL render; run "
+                    f"snapshot has >{DV_RENDER_MAX_POSITIONS} "
+                    "deletion-vector positions — too large to inline in a "
+                    "self-contained SQL render; run "
                     "rewrite_position_deletes() to fold the DVs into "
                     "parquet tombstones (which the render reads by path) "
                     "and export that snapshot"

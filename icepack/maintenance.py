@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 
 from .manifest import manifest_summary
 from .metadata import Snapshot, TableMetadata
+from .table import _LAST_UPDATED_COL, _ROW_ID_COL, lineage_preserving
+
+_LINEAGE_COLS = [_ROW_ID_COL, _LAST_UPDATED_COL]
 
 
 def compact(
@@ -92,7 +95,12 @@ def compact(
             return table._commit_snapshot("replace", [])
         total_bytes = sum(f.file_size_bytes for f in hit)
         n_out = max(1, -(-total_bytes // target_file_size))
-        df = table._read_with_deletes(hit, deletes)
+        lin = lineage_preserving(table)
+        df = (
+            table._lineage_df(hit, deletes)
+            if lin
+            else table._read_with_deletes(hit, deletes)
+        )
         if cluster_by and cluster_strategy == "zorder" and len(cluster_by) > 1:
             df = (
                 df.withColumn("_z", _zvalue(df, cnames))
@@ -104,11 +112,18 @@ def compact(
             df = df.repartitionByRange(n_out, *ccols).sortWithinPartitions(*ccols)
         else:
             df = df.repartition(n_out)
-        new_entries = table._write_data_files(df)
+        new_entries = table._write_data_files(
+            df, extra_cols=_LINEAGE_COLS if lin else None
+        )
         return table._commit_snapshot("replace", new_entries, {f.path for f in hit})
     total_bytes = sum(f.file_size_bytes for f in files if f.content == "data")
     n_out = max(1, -(-total_bytes // target_file_size))  # ceil
-    df = table.toDF()  # deletes applied
+    lin = lineage_preserving(table)
+    # v3: compaction MATERIALIZES _row_id/_last_updated into the
+    # rewritten parquet (public spec "Row Lineage": compaction must
+    # preserve row ids) — the lineage read resolves them, the write
+    # carries them as physical columns, later scans prefer them
+    df = table.toDF(row_lineage=True) if lin else table.toDF()  # deletes applied
     if cluster_by and cluster_strategy == "zorder" and len(cluster_by) > 1:
         df = (
             df.withColumn("_z", _zvalue(df, cnames))
@@ -120,7 +135,9 @@ def compact(
         df = df.repartitionByRange(n_out, *ccols).sortWithinPartitions(*ccols)
     else:
         df = df.repartition(n_out)
-    new_entries = table._write_data_files(df)
+    new_entries = table._write_data_files(
+        df, extra_cols=_LINEAGE_COLS if lin else None
+    )
     return table._commit_snapshot("replace", new_entries, {f.path for f in files})
 
 
@@ -572,7 +589,7 @@ def rewrite_manifests(table) -> Snapshot:
             manifest_list=mlist,
             schema_id=meta.current_schema_id,
             sequence_number=meta.last_sequence_number + 1,
-            summary={"rewritten-manifests": "all"},
+            summary={"rewritten-manifests": "all", **table._pop_row_assign()},
         )
         new_meta = meta.copy_with(
             snapshots=meta.snapshots + [snap],
@@ -957,7 +974,86 @@ def _run_data_checks(table, checks: list[tuple]) -> list[str]:
     ]
 
 
-def verify_table(table, check_data: bool = False) -> list[str]:
+def verify_decimal_buckets(table) -> list[str]:
+    """Recompute spec-murmur3 bucket partition values for DATA files of
+    DECIMAL-bucketed tables and flag rows whose hash disagrees with the
+    stored tuple (ADVICE r11 / murmur3.py minimal two's-complement fix):
+    tables written BEFORE r11 encoded unscaled values of exactly
+    -(2^(8k-1)) (e.g. -1.28 at scale 2) with an over-padded sign byte
+    (ff80 instead of 80), so their rows sit under the OLD bucket — the
+    new spec-correct bytes are what point predicates prune with, and a
+    mismatch silently prunes the file holding the match.  The fix is a
+    REWRITE of the affected files (``compact`` re-buckets under the
+    corrected hash), never a revert — the new bytes match the public
+    Iceberg spec (Appendix B) and external engines.
+
+    Distributed: one column-pruned scan per affected (spec, field),
+    bucket recomputed by the same Arrow-batched UDF the write path
+    uses, compared file-by-file through the bounded distinct-spelling
+    broadcast map.  Returns findings; empty = healthy (and non-decimal
+    or non-mmh3 tables short-circuit to [] without reading anything)."""
+    from . import transforms as tr
+    from .iceberg_import import canonical_file_path
+
+    meta = table.meta
+    targets: dict[int, list] = {}
+    for sp in meta.partition_specs:
+        for pf in sp.fields:
+            if not pf.transform.startswith("mmh3bucket["):
+                continue
+            src = None
+            for sc in meta.schemas:
+                src = src or sc.field_by_id(pf.source_id)
+            if src is None or not str(src.type).startswith("decimal"):
+                continue
+            targets.setdefault(sp.spec_id, []).append((pf, src))
+    if not targets:
+        return []
+    findings: list[str] = []
+    live = [f for f in table.live_files() if f.content == "data"]
+    for spec_id, fields in targets.items():
+        files = [f for f in live if f.spec_id == spec_id]
+        if not files:
+            continue
+        for pf, src in fields:
+            expected = {}
+            for f in files:
+                v = f.partition.get(pf.name)
+                expected[f.path] = int(v) if v is not None else None
+            bcol = tr.parse(pf.transform).spark_column(
+                F.col(src.name), dtype=src.spark_type()
+            )
+            df = table._read_files(files, with_pos=True).select(
+                F.col("_file"), bcol.alias("_b")
+            )
+            sps = [r[0] for r in df.select("_file").distinct().collect()]
+            em = table.spark.createDataFrame(
+                [(s, expected.get(canonical_file_path(s))) for s in sps]
+                or [(None, None)],
+                "_sp string, _exp int",
+            )
+            bad = (
+                df.join(F.broadcast(em), df["_file"] == em["_sp"])
+                .filter(~F.col("_b").eqNullSafe(F.col("_exp")))
+                .groupBy("_file")
+                .agg(F.count("*").alias("n"), F.first("_exp").alias("exp"))
+                .collect()
+            )
+            for r in bad:
+                findings.append(
+                    f"decimal-bucket drift: {canonical_file_path(r['_file'])} "
+                    f"stores {pf.name}={r['exp']} but {r['n']} row(s) hash to "
+                    "a different bucket under the spec-correct minimal "
+                    "two's-complement encoding (r11 murmur3 fix) — rewrite "
+                    "the file (compact) so point predicates stop pruning "
+                    "past the match"
+                )
+    return findings
+
+
+def verify_table(
+    table, check_data: bool = False, check_buckets: bool = False
+) -> list[str]:
     """Metadata-tree integrity check (fsck): walk the CURRENT snapshot's
     manifest list and validate every invariant the planners TRUST —
     returns a list of human-readable findings, empty = healthy.
@@ -1023,6 +1119,8 @@ def verify_table(table, check_data: bool = False) -> list[str]:
     )
     if dist is not None:
         findings.extend(dist)
+        if check_buckets:
+            findings.extend(verify_decimal_buckets(table))
         return findings
     live_data_paths: set = set()
     anchored_refs: list = []
@@ -1046,6 +1144,8 @@ def verify_table(table, check_data: bool = False) -> list[str]:
     for dpath, ref in anchored_refs:
         if ref not in live_data_paths:
             findings.append(_dangling_anchor_finding(dpath, ref))
+    if check_buckets:
+        findings.extend(verify_decimal_buckets(table))
     return findings
 
 
@@ -1504,7 +1604,7 @@ def convert_to_spec_primary(table) -> Snapshot:
             manifest_list=mlist,
             schema_id=meta.current_schema_id,
             sequence_number=meta.last_sequence_number + 1,
-            summary={"converted-to": "spec-primary"},
+            summary={"converted-to": "spec-primary", **table._pop_row_assign()},
         )
         new_meta = staged.copy_with(
             snapshots=meta.snapshots + [snap],

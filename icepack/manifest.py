@@ -99,6 +99,12 @@ class DataFile:
     referenced_data_file: str | None = None
     content_offset: int | None = None
     content_size: int | None = None
+    #: Iceberg v3 row lineage: the file's starting ``_row_id``.  None =
+    #: not yet resolved (readers inherit it from the manifest's
+    #: field-520 assignment); an explicit value survives manifest
+    #: rewrites verbatim so row ids stay stable across metadata-only
+    #: maintenance.
+    first_row_id: int | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -118,6 +124,8 @@ class DataFile:
             d["referenced-data-file"] = self.referenced_data_file
             d["content-offset"] = self.content_offset
             d["content-size-in-bytes"] = self.content_size
+        if self.first_row_id is not None:
+            d["first-row-id"] = self.first_row_id
         return d
 
     @staticmethod
@@ -137,6 +145,7 @@ class DataFile:
             d.get("referenced-data-file"),
             d.get("content-offset"),
             d.get("content-size-in-bytes"),
+            d.get("first-row-id"),
         )
 
 

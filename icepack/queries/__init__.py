@@ -56,71 +56,71 @@ def load_all_modules() -> None:
 #: iteration order never depends on untracked files in the environment
 #: (same input -> same order, everywhere).
 #:
-#: Round-11 snapshot (VERDICT r10 item 2): the r10 driver run rotated
-#: the r5-stale cohort, so the oldest driver-side evidence now belongs
-#: to the 44 queries last sampled in round 6 (the ice3-ice30 lifecycle
-#: family, st1/2/3/5/7, a14/a16, x1, x30-x40) -- they go FIRST,
-#: followed by ice10/ice54 (queued in r10 but fell off the 50-cap) and
-#: the queries whose code paths change THIS round (minimal decimal
-#: two's-complement export/hash bytes, spec-primary distributed pstats,
-#: plan-mode-aware expire/orphan reachability, dedupe_table shuffle
-#: self-sizing, Iceberg v3 deletion-vector export).
+#: Round-12 snapshot (VERDICT r11 task 3): the r11 driver run covered
+#: the r6-stale cohort, so the oldest driver evidence is now
+#: x41_stratified_fixed_n (r6 -- it sat outside the r10 rotation's
+#: named x30-x40 cohort) followed by a 37-query r7 cohort (the
+#: a4_tpch battery minus the r8-refreshed five, ice45/51/53/55,
+#: x2/x28/x29/x42-x44/x48-x51/x53-x55/x57-x59).  They go FIRST -- after
+#: this round no query's newest driver evidence is older than r8 --
+#: then the queries whose code paths change THIS round (v3 row
+#: lineage: manifest-list field-520 assignment, lineage-carrying COW
+#: DML/compaction/manifest rewrite, export reusing table row ids,
+#: ENTRY_SCHEMA growing first-row-id; dedup mining width scoped to a
+#: cloned session; semantic self-pair/bucket-cap hardening).
 PRIORITY: list[str] = [
-    # r06-evidenced cohort (oldest driver evidence; local battery green
-    # every round since, but the hard signal must rotate)
-    "ice3_delete_cow",
-    "ice4_update",
-    "ice6_schema_evolution",
-    "ice8_metadata_tables",
-    "ice9_compact_expire",  # ALSO r11-changed: plan-mode-aware expire
-    "ice11_incremental_read",
-    "ice12_sql_over_table",
-    "ice13_medallion",
-    "ice14_refs_rollback",
-    "ice15_mor_position_delete",
-    "ice16_mor_update",
+    "x41_stratified_fixed_n",  # r6 -- missed by the r10 rotation list
+    # r7-evidenced cohort
+    "a4_tpch_q2",
+    "a4_tpch_q3",
+    "a4_tpch_q4",
+    "a4_tpch_q6",
+    "a4_tpch_q7",
+    "a4_tpch_q8",
+    "a4_tpch_q10",
+    "a4_tpch_q11",
+    "a4_tpch_q12",
+    "a4_tpch_q13",
+    "a4_tpch_q14",
+    "a4_tpch_q15",
+    "a4_tpch_q16",
+    "a4_tpch_q17",
+    "a4_tpch_q20",
+    "a4_tpch_q21",
+    "a4_tpch_q22",
+    "ice45_mor_batch_read",
+    "ice51_table_stats",
+    "ice53_stream_dedup_ingest",
+    "ice55_versioned_view",
+    "x2_jaccard_pairs",
+    "x28_sequence_pack",
+    "x29_vocab_stats",
+    "x42_training_pipeline",
+    "x43_pii_scan",
+    "x44_pii_redact",
+    "x48_semantic_dedup",  # ALSO r12-changed: self-pair filter, bucket cap
+    "x49_pq_adc_search",
+    "x50_matryoshka_rerank",
+    "x51_audio_chunk_energy",
+    "x53_mixture_resample",
+    "x54_simhash_neardup",
+    "x55_semantic_dedup_clusters",
+    "x57_temperature_sample",
+    "x58_rrf_fusion",
+    "x59_adaptive_quality_filter",
+    # code changing this round -- re-evidence (new first)
+    "ice65_row_lineage",  # NEW in r12: v3 row lineage end-to-end
+    "ice63_dv_v3_export",  # v3 commits now assign first_row_id
+    "ice49_spec_primary",  # spec-primary commit/summary changes
+    "ice50_foreign_adopt",  # read_spec_manifest decodes first_row_id
+    "ice43_iceberg_export",  # export prefers table-assigned row ids
+    "ice47_iceberg_read",
+    "ice60_auto_distributed_scan",  # ENTRY_SCHEMA grew first-row-id
+    "ice52_table_dedup",  # mining width now scoped to a cloned session
+    "ice5_merge",  # COW merge lineage carry
+    "ice9_compact_expire",  # compact materializes lineage columns
     "ice17_zorder_compact",
-    "ice18_sorted_write",
-    "ice19_partition_evolution",
-    "ice20_wap",
-    "ice21_query_history",
-    "ice22_cdc_diff",
-    "ice23_orphan_cleanup",  # ALSO r11-changed: plan-mode-aware orphans
-    "ice24_rewrite_manifests",
-    "ice25_sql_surface",
-    "ice26_incremental_dedup",
-    "ice27_scd2",
-    "ice28_json_ingest",
-    "ice29_add_files",
-    "ice30_csv_ingest",
-    "st1_tumbling_window",
-    "st2_sliding_window",
-    "st3_session_window",
-    "st5_dedup",
-    "st7_stream_join",
-    "a14_cohort_retention",
-    "a16_stickiness",
-    "x1_exact_dedup",
-    "x30_embedding_outliers",
-    "x31_jaccard_stopshingles",
-    "x32_bigram_entropy",
-    "x33_doc_chunking",
-    "x34_chunk_dedup",
-    "x35_train_split",
-    "x36_minhash_estimate",
-    "x37_unigram_surprisal",
-    "x38_ngram_novelty",
-    "x39_kmeans_assign",
-    "x40_pq_encode",
-    # queued in r10 but fell off the 50-sample cap
-    "ice10_mor_delete",
-    "ice54_deletion_vectors",
-    # code changing this round -- re-evidence (new queries first:
-    # never driver-sampled)
-    "ice63_dv_v3_export",  # NEW in r11: Iceberg v3 DV export
-    "ice64_wide_decimal_truncate",  # NEW in r11: decimal(25,4) truncate
-    "f6_bucket_mod",  # decimal bucket-hash minimal-bytes change
-    "ice52_table_dedup",  # dedupe_table shuffle self-sizing
+    "ice24_rewrite_manifests",  # rewrites keep explicit row ids
 ]
 
 

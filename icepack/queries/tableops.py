@@ -2696,3 +2696,58 @@ def ice64_wide_decimal_truncate(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("bin_e17")
     )
+
+
+@query(
+    "ice65_row_lineage",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+             AS row_id,
+           CAST(CASE WHEN o_orderkey < 1000 THEN 2 ELSE 1 END AS BIGINT)
+             AS last_upd
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+)
+def ice65_row_lineage(spark: SparkSession, sf: str) -> DataFrame:
+    """S13/M12 (r12, VERDICT r11 task 5): Iceberg v3 ROW LINEAGE served
+    by the native scan — ``toDF(row_lineage=True)`` resolves
+    ``_row_id`` / ``_last_updated_sequence_number`` from the
+    manifest-list field-520 assignment (commit-time, specio.
+    assign_first_row_ids) with materialized per-row values from
+    lineage-preserving rewrites taking precedence.  The table ingests
+    orders as ONE sorted file (row ids = rank-1 by construction, which
+    is what makes a DuckDB oracle possible), takes a COW UPDATE (every
+    row keeps its id; updated rows' last-updated becomes the update's
+    sequence number via the null-inherits-new-seq carry), then a FULL
+    COMPACTION (data files rewritten; ids must survive through the
+    physically materialized lineage columns).  Sequence numbers:
+    append=1, update=2, compact=3 — surviving last-updated values stay
+    1/2, proving the compaction preserved rather than re-stamped them.
+    Public Iceberg v3 spec "Row Lineage"
+    (docs/05-snapshots-time-travel.md, docs/11:31-42)."""
+    from ..dml import update
+    from ..maintenance import compact
+
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    t = IceTable.create(
+        spark, _scratch(), orders.schema,
+        properties={"format.spec-primary": "true", "format.spec-version": "3"},
+    )
+    t.append(orders.repartition(1).sortWithinPartitions("o_orderkey"))
+    update(
+        t,
+        col("o_orderkey") < 1000,
+        {"o_totalprice": F.col("o_totalprice") + F.lit(1)},
+    )
+    compact(t, target_file_size=1 << 26)
+    return (
+        t.toDF(row_lineage=True)
+        .select(
+            "o_orderkey",
+            F.col("_row_id").alias("row_id"),
+            F.col("_last_updated_sequence_number").alias("last_upd"),
+        )
+        .orderBy("o_orderkey")
+    )

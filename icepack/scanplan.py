@@ -84,7 +84,11 @@ ENTRY_SCHEMA = (
     # then silently skip the DV (resurrecting its rows) whenever
     # read.plan-mode=distributed
     " `referenced-data-file` string, `content-offset` long,"
-    " `content-size-in-bytes` long"
+    " `content-size-in-bytes` long,"
+    # v3 row lineage: resolved per-file first_row_id rides the entry
+    # frame so distributed-planned files feed lineage-preserving
+    # rewrites with the same ids the driver lane resolves
+    " `first-row-id` long"
 )
 
 
@@ -386,7 +390,15 @@ def _entries_df(table, snap, predicate: Expr | None = None) -> DataFrame:
             return proj[sid]
 
         descs = [m for m in descs if manifest_may_match(m, _proj_for)]
-    return entries_df_for_manifests(table, [m["manifest-path"] for m in descs])
+    return entries_df_for_manifests(
+        table,
+        [m["manifest-path"] for m in descs],
+        first_row_ids={
+            m["manifest-path"]: m["first-row-id"]
+            for m in descs
+            if m.get("first-row-id") is not None
+        },
+    )
 
 
 def manifest_lines_df(table, names: list[str]) -> DataFrame | None:
@@ -453,12 +465,20 @@ def manifest_lines_df(table, names: list[str]) -> DataFrame | None:
     )
 
 
-def entries_df_for_manifests(table, names: list[str]) -> DataFrame:
+def entries_df_for_manifests(
+    table, names: list[str], first_row_ids: dict[str, int] | None = None
+) -> DataFrame:
     """Entries of the given manifests as a DataFrame — the decode
     machinery `_entries_df` uses for one snapshot's list, addressable
     by manifest NAME so maintenance ops (expire-snapshot reachability,
     DV consolidation) can evaluate cross-snapshot manifest sets in
-    Spark instead of walking every entry in driver Python."""
+    Spark instead of walking every entry in driver Python.
+
+    ``first_row_ids`` (manifest name → field-520 assignment) runs v3
+    row-id inheritance DURING the executor-side decode — a per-manifest
+    running sum, local to the one task that decodes that manifest — so
+    lineage survives the distributed lane without any extra stage."""
+    first_row_ids = first_row_ids or {}
     store = table.store
     paths = [os.path.join(table._mdir, n) for n in names]
     if not paths:  # every manifest skipped by phase 0
@@ -483,6 +503,8 @@ def entries_df_for_manifests(table, names: list[str]) -> DataFrame:
             meta_json = table.meta.to_json()
             mdir = table._mdir
 
+            frids = first_row_ids
+
             def _decode(batches):
                 import pickle
 
@@ -491,15 +513,18 @@ def entries_df_for_manifests(table, names: list[str]) -> DataFrame:
                 # absolute imports: this closure runs in Python workers
                 from icepack.metadata import TableMetadata
                 from icepack.specio import read_spec_manifest
+                from icepack.table import _inherit_first_row_ids
 
                 meta = TableMetadata.from_json(meta_json)
                 st = pickle.loads(store_pkl)
                 for pdf in batches:
-                    out = [
-                        json.dumps(e.to_json())
-                        for name in pdf["name"]
-                        for e in read_spec_manifest(mdir, name, st, meta)
-                    ]
+                    out = []
+                    for name in pdf["name"]:
+                        es = read_spec_manifest(mdir, name, st, meta)
+                        _inherit_first_row_ids(
+                            {"first-row-id": frids.get(name)}, es
+                        )
+                        out.extend(json.dumps(e.to_json()) for e in es)
                     yield pd.DataFrame({"line": out})
 
             names_df = table.spark.createDataFrame(
@@ -513,11 +538,13 @@ def entries_df_for_manifests(table, names: list[str]) -> DataFrame:
         # driver-side into the native entry JSON and distribute that
         # (entries, not files — the pruning evaluation itself still
         # runs in Spark)
-        lines = [
-            json.dumps(e.to_json())
-            for n in names
-            for e in table._read_mentries(n)
-        ]
+        from icepack.table import _inherit_first_row_ids
+
+        lines = []
+        for n in names:
+            es = table._read_mentries(n)
+            _inherit_first_row_ids({"first-row-id": first_row_ids.get(n)}, es)
+            lines.extend(json.dumps(e.to_json()) for e in es)
         rdd = table.spark.sparkContext.parallelize(lines or [], max(1, len(paths)))
         return table.spark.read.json(rdd, schema=ENTRY_SCHEMA)
     if isinstance(store, LocalStore):

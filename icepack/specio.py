@@ -228,19 +228,24 @@ def dump_spec_metadata(
         specs_json.append({"spec-id": unpartitioned_spec_id(meta), "fields": []})
     fv = spec_format_version(meta.properties)
     snapshots_json = []
-    # v3 row lineage bookkeeping (best-effort in spec-primary mode: the
-    # exporter assigns exact per-file first_row_id; here the row-id
-    # space advances by each snapshot's added-records so next-row-id /
-    # first-row-id stay monotonic and unique — the v3 DV carriage this
-    # mode exists for does not consume row ids)
+    # v3 row lineage bookkeeping: snapshots committed after r12 carry
+    # the EXACT assignment in their summary (first-row-id /
+    # assigned-rows, written by _commit_snapshot alongside the
+    # manifest-list field-520 assignment); older snapshots fall back to
+    # the added-records approximation — monotonic and unique either way
     running_rows = 0
     first_row_of: dict[int, int] = {}
     for s in sorted(meta.snapshots, key=lambda x: x.sequence_number):
-        first_row_of[s.snapshot_id] = running_rows
-        try:
-            running_rows += int(s.summary.get("added-records", 0) or 0)
-        except (TypeError, ValueError):
-            pass
+        first = _summary_int(s.summary.get("first-row-id"))
+        if first is not None:
+            first_row_of[s.snapshot_id] = first
+            running_rows = max(
+                running_rows,
+                first + (_summary_int(s.summary.get("assigned-rows")) or 0),
+            )
+        else:
+            first_row_of[s.snapshot_id] = running_rows
+            running_rows += _summary_int(s.summary.get("added-records")) or 0
     for s in meta.snapshots:
         snapshots_json.append(
             {
@@ -545,6 +550,12 @@ def write_spec_manifests(
             )
             if e.content == "data":
                 r = _entry_record(tv, ee, _STATUS_TO_CODE[e.status], None)
+                if fv >= 3:
+                    # v3 row lineage (field 142): explicit when the
+                    # entry was resolved (rewrites keep ids stable),
+                    # null for fresh files (readers inherit from the
+                    # manifest-list field-520 assignment)
+                    r["data_file"]["first_row_id"] = e.first_row_id
             elif e.content == "deletion-vectors":
                 # v3: the entry references one deletion-vector-v1 blob
                 # inside the table's own Puffin file — zero-copy, the
@@ -596,6 +607,22 @@ def write_spec_manifests(
                     ),
                     "existing-rows": sum(
                         e.record_count for e in group if e.status == "existing"
+                    ),
+                    # v3: exact row-id budget — only entries WITHOUT an
+                    # explicit first_row_id consume inheritance slots,
+                    # so rewrites that carry resolved ids don't burn
+                    # fresh id space for every existing row
+                    **(
+                        {
+                            "rows-needing-ids": sum(
+                                e.record_count
+                                for e in group
+                                if e.content == "data"
+                                and e.first_row_id is None
+                            )
+                        }
+                        if fv >= 3 and not is_delete
+                        else {}
                     ),
                 },
             )
@@ -738,6 +765,7 @@ def read_spec_manifest(
                 sequence_number=r.get("sequence_number") or 0,
                 content=content,
                 equality_columns=eq_cols,
+                first_row_id=df_.get("first_row_id"),
                 **dv_kwargs,
             )
         )
@@ -825,6 +853,68 @@ def _iceberg_name(native_type: str) -> str:
 # --------------------------------------------------------- manifest lists
 
 
+def _is_delete_manifest_summary(s: dict) -> bool:
+    """Whether a native manifest summary describes a DELETE-content
+    manifest (the same predicate the manifest-list record's ``content``
+    code is derived from)."""
+    dc = s.get("delete-content-files", 0)
+    return bool(dc) and dc == s.get("live-files", -1)
+
+
+def _summary_int(v) -> int | None:
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return None
+
+
+def spec_next_row_id(meta) -> int:
+    """The table's v3 ``next-row-id``: the first row id not yet
+    assigned to any data manifest.  Walks the snapshot log in sequence
+    order using the exact per-snapshot lineage summary written at
+    commit (``first-row-id`` / ``assigned-rows``); snapshots that
+    predate row-lineage commits fall back to the added-records
+    approximation (monotonic and collision-free either way — row-id
+    gaps are legal, overlaps are not)."""
+    nxt = 0
+    for s in sorted(meta.snapshots, key=lambda x: x.sequence_number):
+        first = _summary_int(s.summary.get("first-row-id"))
+        if first is not None:
+            nxt = max(nxt, first + (_summary_int(s.summary.get("assigned-rows")) or 0))
+        else:
+            nxt += _summary_int(s.summary.get("added-records")) or 0
+    return nxt
+
+
+def assign_first_row_ids(summaries: list[dict], base: int) -> int:
+    """Assign manifest-level ``first_row_id`` (Iceberg v3 manifest-list
+    field 520) IN PLACE on the native summary dicts: each data manifest
+    without one gets the running value starting at *base* (the
+    snapshot's ``first-row-id``) and advances it by the manifest's
+    ``added_rows_count + existing_rows_count`` — the spec's assignment
+    rule, so external v3 readers can run row-id inheritance over the
+    tree.  Carried-forward manifests keep the id they were assigned
+    when first added (their summaries round-trip through the
+    manifest-list stash); delete manifests stay unassigned (the record
+    encodes null).  Returns the new next-row-id."""
+    nxt = base
+    for s in summaries:
+        if _is_delete_manifest_summary(s):
+            continue
+        rows = _summary_int(s.get("rows-needing-ids"))
+        if rows is None:  # pre-r12 summary: conservative full budget
+            rows = (_summary_int(s.get("added-rows")) or 0) + (
+                _summary_int(s.get("existing-rows")) or 0
+            )
+        first = _summary_int(s.get("first-row-id"))
+        if first is not None:
+            nxt = max(nxt, first + rows)
+            continue
+        s["first-row-id"] = nxt
+        nxt += rows
+    return nxt
+
+
 def write_spec_manifest_list(
     mdir: str,
     snapshot_id: int,
@@ -843,7 +933,7 @@ def write_spec_manifest_list(
     skip-pruning reconstruction."""
     recs = []
     for name, s in zip(manifests, summaries):
-        delete_content = s.get("delete-content-files", 0)
+        is_delete = _is_delete_manifest_summary(s)
         spec_ids = s.get("spec-ids") or [0]
         if len(spec_ids) > 1:
             # a spec manifest declares ONE partition-spec-id in its
@@ -856,24 +946,30 @@ def write_spec_manifest_list(
                 f"manifest {name} summary spans partition specs "
                 f"{spec_ids}; spec manifests must be split per spec id"
             )
-        recs.append(
-            {
-                "manifest_path": os.path.join(mdir, name),
-                "manifest_length": s.get("manifest-length", 0),
-                "partition_spec_id": spec_ids[0],
-                "content": 1 if delete_content and delete_content == s.get("live-files", -1) else 0,
-                "sequence_number": s.get("sequence-number", sequence_number),
-                "min_sequence_number": s.get("min-sequence-number", 0),
-                "added_snapshot_id": s.get("added-snapshot-id", snapshot_id),
-                "added_files_count": s.get("added-files", 0),
-                "existing_files_count": s.get("existing-files", 0),
-                "deleted_files_count": s.get("deleted-files", 0),
-                "added_rows_count": s.get("added-rows", 0),
-                "existing_rows_count": s.get("existing-rows", 0),
-                "deleted_rows_count": 0,
-                "partitions": None,
-            }
-        )
+        rec = {
+            "manifest_path": os.path.join(mdir, name),
+            "manifest_length": s.get("manifest-length", 0),
+            "partition_spec_id": spec_ids[0],
+            "content": 1 if is_delete else 0,
+            "sequence_number": s.get("sequence-number", sequence_number),
+            "min_sequence_number": s.get("min-sequence-number", 0),
+            "added_snapshot_id": s.get("added-snapshot-id", snapshot_id),
+            "added_files_count": s.get("added-files", 0),
+            "existing_files_count": s.get("existing-files", 0),
+            "deleted_files_count": s.get("deleted-files", 0),
+            "added_rows_count": s.get("added-rows", 0),
+            "existing_rows_count": s.get("existing-rows", 0),
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+        if format_version >= 3:
+            # v3 row lineage (spec field 520): data manifests carry
+            # their assigned starting row id (assign_first_row_ids at
+            # commit); delete manifests are null per spec
+            rec["first_row_id"] = (
+                None if is_delete else _summary_int(s.get("first-row-id"))
+            )
+        recs.append(rec)
     name = f"snap-{snapshot_id}-{_uuid.uuid4().hex}.avro"
     stash = {
         "icepack.summaries": json.dumps(
@@ -928,6 +1024,10 @@ def read_spec_manifest_list(mdir: str, name: str, store) -> list[dict]:
                 # placeholder values as drift
                 "reconstructed": 1,
             }
+            if r.get("first_row_id") is not None:
+                # v3 row lineage survives a stash-less round trip: the
+                # assignment is spec data, not a stash nicety
+                s["first-row-id"] = r["first_row_id"]
         out.append(
             {
                 "manifest-path": mname,

@@ -76,6 +76,12 @@ from .session import ensure_confs
 from .storage import MetadataStore, store_for
 
 _PART_PREFIX = "_p_"
+#: Iceberg v3 row-lineage metadata column names (public spec "Row
+#: Lineage"): served by ``toDF(row_lineage=True)`` on v3 tables, and
+#: materialized as PHYSICAL columns by lineage-preserving rewrites
+#: (compaction / COW DML) so ids survive data-file rewrites.
+_ROW_ID_COL = "_row_id"
+_LAST_UPDATED_COL = "_last_updated_sequence_number"
 
 
 class CommitConflict(Exception):
@@ -107,6 +113,36 @@ def build_partition_spec(
         name = src if transform == "identity" else f"{src}_{suffix}"
         pfields.append(PartitionField(f.id, 1000 + i, transform, name))
     return PartitionSpec(0, pfields)
+
+
+def lineage_preserving(table) -> bool:
+    """Whether rewrites of *table* must carry v3 row lineage (the
+    table is spec-primary with format.spec-version=3 — the mode whose
+    manifest-list commits assign row ids)."""
+    from .specio import spec_format_version
+
+    return table.spec_primary and spec_format_version(table.meta.properties) >= 3
+
+
+def _inherit_first_row_ids(desc: dict, entries: list) -> None:
+    """Iceberg v3 row-id inheritance, run at manifest decode: data
+    entries without an explicit ``first_row_id`` take the manifest's
+    field-520 assignment (carried in the list descriptor as
+    ``first-row-id``) plus the record counts of the PRECEDING
+    null-id data entries, in manifest order — the public v3 spec's
+    reader rule.  Deleted entries still consumed their slot at write
+    time, so they advance the counter too.  No-op on v2 / native
+    descriptors (no assignment to inherit)."""
+    base = desc.get("first-row-id")
+    if base is None:
+        return
+    running = int(base)
+    for e in entries:
+        if e.content != "data":
+            continue
+        if e.first_row_id is None:
+            e.first_row_id = running
+            running += e.record_count
 
 
 def _scan_report(all_entries: list, scanned: list) -> dict:
@@ -230,8 +266,25 @@ class IceTable:
         parent_snapshot_id: int | None,
     ) -> str:
         if self.spec_primary:
-            from .specio import spec_format_version, write_spec_manifest_list
+            from .specio import (
+                assign_first_row_ids,
+                spec_format_version,
+                spec_next_row_id,
+                write_spec_manifest_list,
+            )
 
+            fv = spec_format_version(self.meta.properties)
+            if fv >= 3:
+                # v3 row lineage: new data manifests get their starting
+                # row id here (manifest-list field 520, the assignment
+                # external readers run inheritance from); the snapshot
+                # writer picks the exact numbers up via _pop_row_assign
+                base = spec_next_row_id(self.meta)
+                nxt = assign_first_row_ids(summaries, base)
+                self._row_assign = {
+                    "first-row-id": str(base),
+                    "assigned-rows": str(nxt - base),
+                }
             return write_spec_manifest_list(
                 self._mdir,
                 snapshot_id,
@@ -241,11 +294,20 @@ class IceTable:
                 summaries,
                 self.store,
                 codec=self.meta.properties.get("write.avro.codec", "null"),
-                format_version=spec_format_version(self.meta.properties),
+                format_version=fv,
             )
         return write_manifest_list(
             self._mdir, snapshot_id, names, summaries, store=self.store
         )
+
+    def _pop_row_assign(self) -> dict:
+        """The v3 lineage summary recorded by the LAST _write_mlist call
+        (empty for v2 / native trees) — consumed exactly once by the
+        Snapshot writer so dump_spec_metadata serializes the same
+        numbers the manifest list encodes."""
+        d = getattr(self, "_row_assign", None) or {}
+        self._row_assign = None
+        return d
 
     @staticmethod
     def create(
@@ -581,6 +643,10 @@ class IceTable:
                         total_files += lf
                         continue
                     entries = self._read_mentries(m["manifest-path"])
+                    # v3: resolve row-id inheritance BEFORE the rewrite
+                    # so kept entries re-encode with EXPLICIT ids — a
+                    # metadata rewrite must never renumber live rows
+                    _inherit_first_row_ids(m, entries)
                     hit = [e for e in entries if e.path in replaced_paths]
                     if not hit:
                         manifests.append(m["manifest-path"])
@@ -649,6 +715,7 @@ class IceTable:
                     "removed-data-files": str(len(replaced_paths)),
                     "total-data-files": str(total_files),
                     "added-records": str(sum(e.record_count for e in new_entries)),
+                    **self._pop_row_assign(),
                     **(extra_summary or {}),
                 },
             )
@@ -726,13 +793,20 @@ class IceTable:
             out.append((pf, tr.parse(pf.transform)))
         return out
 
-    def _write_data_files(self, df: DataFrame) -> list[DataFile]:
+    def _write_data_files(
+        self, df: DataFrame, extra_cols: list[str] | None = None
+    ) -> list[DataFile]:
         """Write immutable parquet under data/<commit-uuid>/, hidden
         partition columns materialized as directory keys; harvest
-        footer stats into manifest entries."""
+        footer stats into manifest entries.  ``extra_cols`` names
+        columns OUTSIDE the table schema to materialize physically
+        (the v3 lineage carry — lineage-preserving rewrites write
+        ``_row_id``/``_last_updated_sequence_number`` alongside the
+        data so row ids survive data-file rewrites)."""
         schema, spec = self.meta.schema, self.meta.spec
         names = [f.name for f in schema.fields]
-        df = df.select(*names)  # enforce column order/presence
+        extras = [c for c in (extra_cols or []) if c in df.columns]
+        df = df.select(*names, *extras)  # enforce column order/presence
         commit_dir = os.path.join(self.location, "data", uuid.uuid4().hex)
         pcols = self._partition_columns()
         part_names = []
@@ -1005,7 +1079,9 @@ class IceTable:
         for m in self._read_mlist(snap.manifest_list):
             if delete_only and m.get("delete-content-files") == 0:
                 continue
-            for e in self._read_mentries(m["manifest-path"]):
+            entries = self._read_mentries(m["manifest-path"])
+            _inherit_first_row_ids(m, entries)
+            for e in entries:
                 if e.status == "deleted":
                     continue
                 if (
@@ -1096,6 +1172,7 @@ class IceTable:
                     sk_parts += m.get("distinct-partitions", 0)
                     continue
                 entries = self._read_mentries(m["manifest-path"])
+                _inherit_first_row_ids(m, entries)
                 for e in entries:
                     if e.status == "deleted" or e.content != "data":
                         continue
@@ -1124,7 +1201,12 @@ class IceTable:
         files = self.live_files(snap)
         return files, _scan_report(files, files)
 
-    def _read_files(self, files: list[DataFile], with_pos: bool = False) -> DataFrame:
+    def _read_files(
+        self,
+        files: list[DataFile],
+        with_pos: bool = False,
+        lineage: bool = False,
+    ) -> DataFrame:
         """Read a set of data files under the CURRENT schema.  Per-file
         schema-ID reconciliation (docs/06-schema-evolution.md:75-91):
         files from old schema versions are renamed/cast/padded by
@@ -1135,7 +1217,13 @@ class IceTable:
         hidden ``_metadata`` struct (file path URI + row ordinal within
         the file) — the (file_path, pos) identity Iceberg position
         deletes are keyed on.  Computed by the parquet reader itself,
-        so it is stable across reads and free of shuffles."""
+        so it is stable across reads and free of shuffles.
+
+        ``lineage`` additionally projects the PHYSICAL v3 lineage
+        columns ``_row_id`` / ``_last_updated_sequence_number``: files
+        rewritten by lineage-preserving maintenance materialize them
+        (schema-on-read yields null for everything else, which the
+        caller coalesces with the inherited assignment)."""
         current = self.meta.schema
         if not files:
             df = self.spark.createDataFrame([], current.to_struct())
@@ -1143,6 +1231,9 @@ class IceTable:
                 df = df.withColumn("_file", F.lit(None).cast("string")).withColumn(
                     "_pos", F.lit(None).cast("long")
                 )
+            if lineage:
+                for c in (_ROW_ID_COL, _LAST_UPDATED_COL):
+                    df = df.withColumn(c, F.lit(None).cast("long"))
             return df
         by_schema: dict[int, list[DataFile]] = {}
         for f in files:
@@ -1153,10 +1244,19 @@ class IceTable:
                 # FOREIGN files (spec tree written by an external
                 # engine; no per-file schema stash): resolve columns
                 # like an Iceberg reader instead of imposing a schema
-                parts.append(self._read_foreign_files(group, with_pos))
+                parts.append(self._read_foreign_files(group, with_pos, lineage))
                 continue
             old = self.meta.schema_by_id(sid)
-            df = self.spark.read.schema(old.to_struct()).parquet(*[f.path for f in group])
+            read_struct = old.to_struct()
+            if lineage:
+                read_struct = T.StructType(
+                    read_struct.fields
+                    + [
+                        T.StructField(_ROW_ID_COL, T.LongType()),
+                        T.StructField(_LAST_UPDATED_COL, T.LongType()),
+                    ]
+                )
+            df = self.spark.read.schema(read_struct).parquet(*[f.path for f in group])
             cols = []
             for cf in current.fields:
                 of = old.field_by_id(cf.id)
@@ -1167,13 +1267,18 @@ class IceTable:
             if with_pos:
                 cols.append(F.col("_metadata.file_path").alias("_file"))
                 cols.append(F.col("_metadata.row_index").alias("_pos"))
+            if lineage:
+                cols.append(F.col(_ROW_ID_COL))
+                cols.append(F.col(_LAST_UPDATED_COL))
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
 
-    def _read_foreign_files(self, files: list[DataFile], with_pos: bool) -> DataFrame:
+    def _read_foreign_files(
+        self, files: list[DataFile], with_pos: bool, lineage: bool = False
+    ) -> DataFrame:
         """Read data files from a FOREIGN spec tree under the CURRENT
         schema, resolved per the Iceberg reader rules: a file that
         embeds parquet field ids resolves by ID exclusively (renames
@@ -1229,6 +1334,12 @@ class IceTable:
             if with_pos:
                 cols.append(F.col("_metadata.file_path").alias("_file"))
                 cols.append(F.col("_metadata.row_index").alias("_pos"))
+            if lineage:
+                # foreign files: no materialized lineage columns are
+                # assumed — rows resolve through manifest inheritance
+                # (null here feeds the caller's coalesce)
+                cols.append(F.lit(None).cast("long").alias(_ROW_ID_COL))
+                cols.append(F.lit(None).cast("long").alias(_LAST_UPDATED_COL))
             parts.append(raw.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -1348,16 +1459,42 @@ class IceTable:
         return n_manifests >= thresh
 
     def toDF(
-        self, predicate: Expr | None = None, snapshot: Snapshot | None = None
+        self,
+        predicate: Expr | None = None,
+        snapshot: Snapshot | None = None,
+        row_lineage: bool = False,
     ) -> DataFrame:
         """Table scan → plain DataFrame (full read lifecycle §3.1).
         Merge-on-read deletes (equality AND position) are applied
         sequence-correctly: a delete file affects only data files with
         a strictly lower sequence number, so rows re-inserted after
         the delete survive.  Position deletes additionally key on the
-        (file_path, pos) identity so they can never touch other files."""
+        (file_path, pos) identity so they can never touch other files.
+
+        ``row_lineage=True`` (v3 spec-primary tables only) appends the
+        Iceberg v3 metadata columns ``_row_id`` and
+        ``_last_updated_sequence_number`` (public spec "Row Lineage"):
+        materialized per-row values from lineage-preserving rewrites
+        win, everything else resolves from the manifest-list field-520
+        assignment (first_row_id + row position in file; last-updated =
+        the file's data sequence number).  Both planner lanes carry the
+        resolved per-file ids: the driver walk inherits at decode, the
+        distributed lane runs the same inheritance inside each
+        manifest's executor-side decode task."""
         snap = snapshot or self.meta.current_snapshot
         current = self.meta.schema
+        if row_lineage:
+            from .specio import spec_format_version
+
+            if not (
+                self.spec_primary
+                and spec_format_version(self.meta.properties) >= 3
+            ):
+                raise ValueError(
+                    "row_lineage requires format.spec-primary=true with "
+                    "format.spec-version=3 (row ids are assigned by v3 "
+                    "manifest-list commits)"
+                )
         if snap is None:
             return self.spark.createDataFrame([], current.to_struct())
         if self._use_distributed_planner(snap):
@@ -1382,28 +1519,78 @@ class IceTable:
                 **report,
             }
         )
-        out = self._read_with_deletes(files, deletes)
+        out = (
+            self._lineage_df(files, deletes)
+            if row_lineage
+            else self._read_with_deletes(files, deletes)
+        )
         if predicate is not None:
             out = out.filter(predicate.to_column())  # full filter, always
         return out
 
+    def _lineage_df(self, files: list[DataFile], deletes: list[DataFile]) -> DataFrame:
+        """The MOR-correct scan of *files* with resolved v3 lineage
+        columns: per-row ``coalesce(materialized, inherited)``.  The
+        inherited side is a BROADCAST map join keyed on the scan's own
+        ``_file`` spellings (O(files) driver canonicalization — the
+        same bounded-distinct discipline the DV mask join uses; data
+        rows never leave the JVM)."""
+        from .iceberg_import import canonical_file_path
+
+        df = self._read_with_deletes(files, deletes, with_pos=True, lineage=True)
+        by_canon = {
+            canonical_file_path(f.path)
+            if f.path.startswith("file:")
+            else f.path: (f.first_row_id, f.sequence_number)
+            for f in files
+            if f.content == "data"
+        }
+        spellings = [r[0] for r in df.select("_file").distinct().collect()]
+        rows = []
+        for s in spellings:
+            if s is None:
+                continue
+            frid, seq = by_canon.get(canonical_file_path(s), (None, None))
+            rows.append((s, frid, seq))
+        mp = self.spark.createDataFrame(
+            rows or [(None, None, None)], "_sp string, _frid long, _fseq long"
+        )
+        return (
+            df.join(F.broadcast(mp), df["_file"] == mp["_sp"], "left")
+            .withColumn(
+                _ROW_ID_COL,
+                F.coalesce(F.col(_ROW_ID_COL), F.col("_frid") + F.col("_pos")),
+            )
+            .withColumn(
+                _LAST_UPDATED_COL,
+                F.coalesce(F.col(_LAST_UPDATED_COL), F.col("_fseq")),
+            )
+            .drop("_sp", "_frid", "_fseq", "_file", "_pos")
+        )
+
     def _read_visible(
-        self, files: list[DataFile], with_pos: bool = False
+        self, files: list[DataFile], with_pos: bool = False, lineage: bool = False
     ) -> DataFrame:
         """Read a file subset with the TABLE'S live delete files
         applied — the view every DML operation must start from.  A DML
         that reads hit files raw resurrects rows masked by earlier MOR
         deletes (its rewrite/append re-materializes them past the old
         delete's sequence number).  ``with_pos`` keeps ``_file``/
-        ``_pos`` for ops that write position deletes for matched rows."""
-        return self._read_with_deletes(
-            files,
-            _relevant_deletes(files, self.live_files(content="deletes")),
-            with_pos=with_pos,
-        )
+        ``_pos`` for ops that write position deletes for matched rows.
+        ``lineage`` returns the RESOLVED v3 lineage columns instead
+        (mutually exclusive with ``with_pos`` — the resolver consumes
+        the position internally)."""
+        dels = _relevant_deletes(files, self.live_files(content="deletes"))
+        if lineage:
+            return self._lineage_df(files, dels)
+        return self._read_with_deletes(files, dels, with_pos=with_pos)
 
     def _read_with_deletes(
-        self, files: list[DataFile], deletes: list[DataFile], with_pos: bool = False
+        self,
+        files: list[DataFile],
+        deletes: list[DataFile],
+        with_pos: bool = False,
+        lineage: bool = False,
     ) -> DataFrame:
         """Read data files with the applicable MOR delete files merged
         in (the sequence-correct anti-joins) — shared by the scan path,
@@ -1412,7 +1599,7 @@ class IceTable:
         the output."""
         current = self.meta.schema
         if not deletes:
-            return self._read_files(files, with_pos=with_pos)
+            return self._read_files(files, with_pos=with_pos, lineage=lineage)
         # v3 deletion-vectors name their target data file explicitly
         # (referenced_data_file = the RAW manifest spelling, by
         # construction in maintenance.write_deletion_vectors), so they
@@ -1441,7 +1628,9 @@ class IceTable:
             group_paths = {f.path for f in group}
             dvg = [d for d in dvs if d.referenced_data_file in group_paths]
             df = self._read_files(
-                group, with_pos=with_pos or bool(pos_paths) or bool(dvg)
+                group,
+                with_pos=with_pos or bool(pos_paths) or bool(dvg),
+                lineage=lineage,
             )
 
             # Canonicalization strategy for path-keyed anti-joins: the

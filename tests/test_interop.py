@@ -509,3 +509,47 @@ def test_is_dv_rec_v2_file_scoped_pos_delete_not_dv():
     # located blob without the format spelling: still a DV
     assert _is_dv_rec(dict(v2_file_scoped, content_offset=0,
                            content_size_in_bytes=10))
+
+
+def test_duckdb_render_dv_past_cap_refuses_loudly(spark, warehouse, monkeypatch):
+    """VERDICT r11 task 8: the DV-inlining SQL render is capped — PAST
+    the cap it must REFUSE with a ValueError naming the remedy, never
+    silently truncate the mask (a truncated VALUES list would
+    resurrect deleted rows in the external engine).  Below the cap the
+    render stays exact against the native scan."""
+    import os
+
+    import duckdb
+    import pytest
+    from pyspark.sql import types as T
+
+    import icepack.interop as interop
+    from icepack.expr import col
+    from icepack.maintenance import write_deletion_vectors
+    from icepack.table import IceTable
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    t = IceTable.create(
+        spark,
+        os.path.join(warehouse, "dv_cap"),
+        schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(spark.range(0, 100).selectExpr("id"))
+    t.delete(col("id") < 30)
+    assert write_deletion_vectors(t) is not None
+
+    # below the cap: exact
+    con = duckdb.connect()
+    got = sorted(
+        r[0] for r in con.execute(interop.duckdb_snapshot_sql(t)).fetchall()
+    )
+    assert got == list(range(30, 100))
+
+    # past the cap: loud refusal, remedy named, no SQL returned
+    monkeypatch.setattr(interop, "DV_RENDER_MAX_POSITIONS", 10)
+    with pytest.raises(ValueError, match="rewrite_position_deletes"):
+        interop.duckdb_snapshot_sql(t)

@@ -956,3 +956,85 @@ def test_fsck_distributed_over_spec_avro_manifests(spark, tmp_path, monkeypatch)
     os.remove(victim)
     t.refresh()
     assert any("missing from storage" in x for x in verify_table(t))
+
+
+def test_fsck_decimal_bucket_drift(spark, warehouse):
+    """ADVICE r11 (murmur3 minimal two's-complement): decimal unscaled
+    values of exactly -(2^(8k-1)) hashed differently before r11 (ff80
+    vs 80 for -1.28 at scale 2), so pre-upgrade bucket-partitioned
+    files can sit under the OLD bucket and point predicates silently
+    prune them.  verify_table(check_buckets=True) must recompute the
+    bucket distributedly and flag exactly the drifted file; a clean
+    table returns no findings and non-decimal tables short-circuit."""
+    import json as _json
+    import os
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from icepack.maintenance import verify_decimal_buckets, verify_table
+    from icepack.murmur3 import bucket as new_bucket
+    from icepack.murmur3 import murmur3_x86_32
+    from icepack.table import IceTable
+
+    N = 8
+    # the affected value: unscaled -128 → new minimal bytes 0x80,
+    # old over-padded bytes 0xff80
+    new_b = new_bucket(Decimal("-1.28"), N, "decimal(4,2)")
+    old_b = (murmur3_x86_32(b"\xff\x80") & 0x7FFFFFFF) % N
+    assert new_b != old_b  # the migration hazard is real for this N
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amt", T.DecimalType(4, 2)),
+        ]
+    )
+    rows = [(1, Decimal("-1.28")), (2, Decimal("3.50")), (3, Decimal("-1.28"))]
+    t = IceTable.create(
+        spark,
+        os.path.join(warehouse, "bucket_drift"),
+        schema,
+        partition_by=[("amt", f"mmh3bucket[{N}]")],
+    )
+    t.append(spark.createDataFrame(rows, schema))
+
+    assert verify_decimal_buckets(t) == []
+    assert verify_table(t, check_buckets=True) == []
+
+    # simulate a pre-r11 layout: re-home the affected file under the
+    # bucket the OLD encoding computed (tamper the manifest entry the
+    # way an old writer would have written it)
+    snap = t.meta.current_snapshot
+    tampered = 0
+    for m in t._read_mlist(snap.manifest_list):
+        mpath = os.path.join(t._mdir, m["manifest-path"])
+        lines = open(mpath).read().splitlines()
+        out = []
+        for ln in lines:
+            d = _json.loads(ln)
+            if d.get("partition", {}).get("amt_mmh3bucket") == new_b:
+                d["partition"]["amt_mmh3bucket"] = old_b
+                tampered += 1
+            out.append(_json.dumps(d))
+        open(mpath, "w").write("\n".join(out) + "\n")
+    assert tampered >= 1
+
+    findings = verify_decimal_buckets(t)
+    assert len(findings) == tampered
+    assert all("decimal-bucket drift" in f and "compact" in f for f in findings)
+    # full fsck includes them (plus the summary-drift finding the
+    # tamper legitimately triggers — the stored partition summary no
+    # longer matches the entries either)
+    full = verify_table(t, check_buckets=True)
+    assert set(findings) <= set(full)
+
+    # non-decimal bucketed tables never pay a scan
+    t2 = IceTable.create(
+        spark,
+        os.path.join(warehouse, "bucket_drift_str"),
+        T.StructType([T.StructField("s", T.StringType())]),
+        partition_by=[("s", f"mmh3bucket[{N}]")],
+    )
+    t2.append(spark.createDataFrame([("a",), ("b",)], t2.meta.schema.to_struct()))
+    assert verify_decimal_buckets(t2) == []
