@@ -748,6 +748,356 @@ def _entry_record(table, f, status: int, snapshot_id: int) -> dict:
     }
 
 
+# ----------------------------------------- distributed export encode lane
+
+
+#: auto flip point for the distributed export encode — MEASURED
+#: (tools/maint_bench.py r12, export_sec column): driver 0.5 s vs
+#: distributed 0.73 s at 4k entries, 1.18 vs 0.78 at 8k, 12.95 vs 1.44
+#: at 128k, 50.3 vs 4.3 at 512k.  The per-entry driver cost (~0.1 ms of
+#: pure-Python record build + Avro encode) is ~25× the fsck walk's, so
+#: the crossover sits at ~8k entries, far below the 262144 fsck/pstats
+#: flip.  Property-overridable per table (export.auto.entry-threshold).
+EXPORT_ENTRY_THRESHOLD = 8_192
+#: minimum distinct MOR delete files before the parquet rewrites run
+#: as a Spark job (below this the per-task overhead exceeds the
+#: driver's pyarrow loop)
+EXPORT_DELETE_FILE_THRESHOLD = 64
+
+
+def _export_rows_estimate(table, snaps) -> int:
+    """Estimated total entries the export will ENCODE (sum over
+    exported snapshots — history exports pay every snapshot), from
+    manifest-list summaries alone: O(manifests) driver work."""
+    total = 0
+    for snap in snaps:
+        try:
+            descs = table._read_mlist(snap.manifest_list)
+        except (OSError, ValueError):
+            return 0
+        total += table._est_live_entries(descs)
+    return total
+
+
+def _export_v3_ids_assigned(table, snaps) -> bool:
+    """Whether every data manifest of every exported snapshot carries a
+    manifest-list row-id assignment (field 520 / the stash spelling) —
+    the eligibility condition for the DISTRIBUTED fv3 encode: with it,
+    per-entry ids resolve by local inheritance inside one task; without
+    it the driver lane's first-seen-path assignment is inherently
+    sequential, so the export falls back."""
+    if not table.spec_primary:
+        return False
+    for snap in snaps:
+        for m in table._read_mlist(snap.manifest_list):
+            dc = m.get("delete-content-files", 0)
+            if dc and dc == m.get("live-files", -1):
+                continue  # delete manifest: no assignment expected
+            if m.get("first-row-id") is None:
+                return False
+    return True
+
+
+def _export_data_manifests_distributed(
+    table, snaps, dest: str, fv: int, codec: str,
+    schemas_json: list, specs_json: list,
+) -> dict[int, list[dict]] | None:
+    """Encode every exported snapshot's DATA manifests as a Spark job
+    (VERDICT r11 task 1 — the last O(table) driver walk): one task per
+    (snapshot, source manifest) decodes the manifest with the same
+    codecs ``_read_mentries`` uses, builds the spec entry records, Avro
+    -encodes them with :mod:`icepack.avroenc` (pure Python — runs
+    anywhere), writes the manifest under *dest* (shared storage on a
+    real cluster, exactly like the data files the export references),
+    and emits ONE manifest-list record; the driver collects O(output
+    manifests) records and assembles only manifest lists + metadata
+    JSON.  Layout note: the driver lane writes one manifest per
+    (snapshot, spec); this lane writes one per (snapshot, source
+    manifest, spec) — the spec allows any manifest count, and the
+    independent-decoder re-read equality of both lanes is pinned by
+    tests/test_iceberg_export.py.
+
+    Returns {snapshot_id: [mlist_rec, ...]} or None when the export
+    should stay on the driver walk (below ``export.auto.entry-threshold``,
+    ``read.plan-mode=driver``, a non-picklable store, or an fv3 export
+    whose per-file ids cannot be resolved task-locally)."""
+    import pickle
+
+    from .scanplan import _pickled_store
+
+    est = _export_rows_estimate(table, snaps)
+    if not table._distributed_by_entries(
+        est, "export.auto.entry-threshold", EXPORT_ENTRY_THRESHOLD
+    ):
+        return None
+    if fv >= 3 and not _export_v3_ids_assigned(table, snaps):
+        return None
+    store_pkl = _pickled_store(table.store)
+    if store_pkl is None:
+        return None
+    rows = []
+    for snap in snaps:
+        for m in table._read_mlist(snap.manifest_list):
+            dc = m.get("delete-content-files", 0)
+            if dc and dc == m.get("live-files", -1):
+                continue  # delete manifests: the delete lane owns them
+            rows.append(
+                (
+                    snap.snapshot_id,
+                    snap.sequence_number,
+                    snap.schema_id,
+                    m["manifest-path"],
+                    m.get("first-row-id"),
+                )
+            )
+    if not rows:
+        return {}
+    meta_json = table.meta.to_json()
+    mdir = table._mdir
+    schemas_s = json.dumps(schemas_json)
+    specs_s = json.dumps(specs_json)
+
+    def _encode(batches):
+        import json as _json
+        import os as _os
+        import types as _types
+
+        import pandas as pd
+
+        from icepack.avroenc import write_container as wc
+        from icepack.iceberg_export import (
+            _entry_record,
+            _manifest_entry_schema,
+            _sync_for,
+        )
+        from icepack.manifest import read_manifest
+        from icepack.metadata import TableMetadata
+        from icepack.specio import read_spec_manifest
+        from icepack.table import _inherit_first_row_ids
+
+        st = pickle.loads(store_pkl)
+        meta = TableMetadata.from_json(meta_json)
+        shim = _types.SimpleNamespace(meta=meta)
+        schemas_j = _json.loads(schemas_s)
+        specs_j = _json.loads(specs_s)
+
+        def _mmeta(schema_id, spec_id):
+            sj = next(s for s in schemas_j if s["schema-id"] == schema_id)
+            fields = next(
+                s["fields"] for s in specs_j if s["spec-id"] == spec_id
+            )
+            return {
+                "schema": _json.dumps(sj, separators=(",", ":")),
+                "schema-id": str(schema_id),
+                "partition-spec": _json.dumps(fields, separators=(",", ":")),
+                "partition-spec-id": str(spec_id),
+                "format-version": str(fv),
+                "content": "data",
+            }
+
+        for pdf in batches:
+            out = []
+            for sid, seq, schema_id, name, frid in zip(
+                pdf["sid"], pdf["seq"], pdf["schema_id"], pdf["name"],
+                pdf["frid"],
+            ):
+                sid, seq, schema_id = int(sid), int(seq), int(schema_id)
+                entries = (
+                    read_spec_manifest(mdir, name, st, meta)
+                    if name.endswith(".avro")
+                    else read_manifest(mdir, name, store=st)
+                )
+                if frid is not None and not pd.isna(frid):
+                    _inherit_first_row_ids({"first-row-id": int(frid)}, entries)
+                live = [
+                    e
+                    for e in entries
+                    if e.status != "deleted" and e.content == "data"
+                ]
+                by_spec = {}
+                for e in live:
+                    by_spec.setdefault(e.spec_id, []).append(e)
+                schema = meta.schema_by_id(schema_id)
+                stem = _os.path.splitext(name)[0]
+                for spec_id in sorted(by_spec):
+                    group = by_spec[spec_id]
+                    spec = meta.spec_by_id(spec_id)
+                    entry_schema = _manifest_entry_schema(spec, schema, fv)
+                    recs = []
+                    for f in group:
+                        rec = _entry_record(
+                            shim, f, 1 if f.sequence_number == seq else 0, sid
+                        )
+                        if fv >= 3:
+                            rec["data_file"]["first_row_id"] = f.first_row_id
+                        recs.append(rec)
+                    mname = f"manifest-{sid}-spec{spec_id}-{stem}.avro"
+                    mbuf = wc(
+                        entry_schema,
+                        recs,
+                        _sync_for(mname),
+                        extra_meta=_mmeta(schema_id, spec_id),
+                        codec=codec,
+                    )
+                    mpath_ = _os.path.join(dest, mname)
+                    with open(mpath_, "wb") as fh:
+                        fh.write(mbuf)
+                    seqs = [f.sequence_number for f in group] or [seq]
+                    added = [r for r in recs if r["status"] == 1]
+                    existing = [r for r in recs if r["status"] != 1]
+                    out.append(
+                        _json.dumps(
+                            {
+                                "sid": sid,
+                                "rec": {
+                                    "manifest_path": mpath_,
+                                    "manifest_length": len(mbuf),
+                                    "partition_spec_id": spec_id,
+                                    "content": 0,
+                                    "sequence_number": seq,
+                                    "min_sequence_number": min(seqs),
+                                    "added_snapshot_id": sid,
+                                    "added_files_count": len(added),
+                                    "existing_files_count": len(existing),
+                                    "deleted_files_count": 0,
+                                    "added_rows_count": sum(
+                                        r["data_file"]["record_count"]
+                                        for r in added
+                                    ),
+                                    "existing_rows_count": sum(
+                                        r["data_file"]["record_count"]
+                                        for r in existing
+                                    ),
+                                    "deleted_rows_count": 0,
+                                    "partitions": None,
+                                    **(
+                                        {
+                                            "first_row_id": int(frid)
+                                            if frid is not None
+                                            and not pd.isna(frid)
+                                            else None
+                                        }
+                                        if fv >= 3
+                                        else {}
+                                    ),
+                                },
+                            }
+                        )
+                    )
+            yield pd.DataFrame({"out": pd.Series(out, dtype="object")})
+
+    df = table.spark.createDataFrame(
+        rows, "sid long, seq long, schema_id int, name string, frid long"
+    ).repartition(min(len(rows), 64))
+    by_snap: dict[int, list[dict]] = {}
+    for r in df.mapInPandas(_encode, "out string").collect():
+        d = json.loads(r[0])
+        by_snap.setdefault(d["sid"], []).append(d["rec"])
+    for recs in by_snap.values():
+        recs.sort(key=lambda r: r["manifest_path"])  # deterministic lists
+    return by_snap
+
+
+def _prefill_delete_cache_distributed(
+    table, snaps, dest: str, fv: int, cache: dict
+) -> None:
+    """Rewrite every MOR delete parquet the export will need as a Spark
+    job, PREFILLING the driver's rewrite cache so the per-snapshot loop
+    degenerates to dict lookups (VERDICT r11 task 1: the per-delete
+    -file pyarrow rewrite was driver CPU).  Names are preassigned in
+    first-encounter order, so the distributed output is byte-identical
+    in layout to what the driver loop would have written.  No-op below
+    ``EXPORT_DELETE_FILE_THRESHOLD`` files or on a non-picklable store
+    (the driver loop then does the work as before)."""
+    import pickle
+
+    from .scanplan import _pickled_store
+
+    jobs = []
+    for snap in snaps:
+        for d in table.live_files(snap, content="deletes"):
+            if fv >= 3 and d.content != "equality-deletes":
+                continue  # the v3 Puffin lane owns DV/position content
+            ckey = (d.path, d.content_offset)
+            if ckey in cache or ckey in {j[0] for j in jobs}:
+                continue
+            jobs.append(
+                (
+                    ckey,
+                    d.content,
+                    d.content_size,
+                    d.schema_id,
+                    json.dumps(d.equality_columns),
+                    d.referenced_data_file,
+                    _delete_rewrite_name(len(cache) + len(jobs), d),
+                )
+            )
+    if len(jobs) < EXPORT_DELETE_FILE_THRESHOLD:
+        return
+    store_pkl = _pickled_store(table.store)
+    if store_pkl is None:
+        return
+    meta_json = table.meta.to_json()
+
+    def _rw(batches):
+        import json as _json
+        import os as _os
+
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        from icepack.iceberg_export import _delete_rewrite_payload
+        from icepack.metadata import TableMetadata
+
+        meta = TableMetadata.from_json(meta_json)
+        _ = pickle.loads(store_pkl)  # capability proof (paths are POSIX here)
+        for pdf in batches:
+            out = []
+            for path, content, off, size, schema_id, eq_s, ref, oname in zip(
+                pdf["path"], pdf["content"], pdf["off"], pdf["size"],
+                pdf["schema_id"], pdf["eq"], pdf["ref"], pdf["oname"],
+            ):
+                tbl, code, eq_ids = _delete_rewrite_payload(
+                    meta, content, path,
+                    None if pd.isna(off) else int(off),
+                    None if pd.isna(size) else int(size),
+                    _json.loads(eq_s), int(schema_id),
+                    referenced_data_file=ref if isinstance(ref, str) else None,
+                )
+                new_path = _os.path.join(dest, oname)
+                _pq.write_table(tbl, new_path)
+                out.append(
+                    _json.dumps(
+                        {
+                            "path": path,
+                            "off": None if pd.isna(off) else int(off),
+                            "new": new_path,
+                            "code": code,
+                            "eq": eq_ids,
+                        }
+                    )
+                )
+            yield pd.DataFrame({"out": pd.Series(out, dtype="object")})
+
+    rows = [
+        (ckey[0], content, ckey[1], size, schema_id, eq_s, ref, oname)
+        for (ckey, content, size, schema_id, eq_s, ref, oname) in jobs
+    ]
+    df = table.spark.createDataFrame(
+        rows,
+        "path string, content string, off long, size long,"
+        " schema_id int, eq string, ref string, oname string",
+    ).repartition(min(len(rows), 64))
+    got = {}
+    for r in df.mapInPandas(_rw, "out string").collect():
+        d = json.loads(r[0])
+        got[(d["path"], d["off"])] = (d["new"], d["code"], d["eq"])
+    # fill in the SAME first-encounter order the names were assigned in
+    for (ckey, _c, _n, _s, _e, _r, _o) in jobs:
+        if ckey in got:
+            cache[ckey] = got[ckey]
+
+
 def export_iceberg(
     table, dest: str | None = None, history: bool = False,
     format_version: int | None = None,
@@ -887,79 +1237,112 @@ def export_iceberg(
     # determinism + widest reader tolerance)
     _codec = str(meta.properties.get("write.avro.codec", "null"))
     delete_cache: dict = {}  # source delete path → rewritten spec file
+    # DISTRIBUTED ENCODE LANE (VERDICT r11 task 1): past the entry
+    # threshold, executors decode + Avro-encode every data manifest and
+    # rewrite every MOR delete parquet; the driver then assembles only
+    # manifest lists + metadata JSON.  None = stay on the driver walk.
+    dist_recs = _export_data_manifests_distributed(
+        table, snaps, dest, fv, _codec, schemas_json, specs_json
+    )
+    if dist_recs is not None:
+        _prefill_delete_cache_distributed(table, snaps, dest, fv, delete_cache)
     for snap in snaps:
         schema = meta.schema_by_id(snap.schema_id)
-        files = table.live_files(snap)
-        # spec-correct grouping: ONE MANIFEST PER PARTITION SPEC — a
-        # manifest's entries all share its declared spec (partition
-        # evolution leaves old files on old specs, docs/07)
-        by_spec: dict[int, list] = {}
-        for f in files:
-            by_spec.setdefault(f.spec_id, []).append(f)
-        if not by_spec:
-            by_spec = {meta.default_spec_id: []}
-        mlist_recs = []
-        snap_first_row = _next_row[0]
-        for spec_id in sorted(by_spec):
-            spec = meta.spec_by_id(spec_id)
-            group = by_spec[spec_id]
-            entry_schema = _manifest_entry_schema(spec, schema, fv)
-            manifest_first_row = _next_row[0]
-            entries = []
-            for f in group:
-                rec = _entry_record(
-                    table,
-                    f,
-                    1 if f.sequence_number == snap.sequence_number else 0,
-                    snap.snapshot_id,
+        if dist_recs is not None and dist_recs.get(snap.snapshot_id):
+            mlist_recs = list(dist_recs[snap.snapshot_id])
+            snap_first_row = _next_row[0]
+            if fv >= 3:
+                # distributed fv3 requires table-assigned ids
+                # (_export_v3_ids_assigned): the snapshot's first-row-id
+                # comes from its commit summary, and the metadata row-id
+                # space advances past every referenced assignment
+                try:
+                    sfr = snap.summary.get("first-row-id")
+                    if sfr is not None:
+                        snap_first_row = int(sfr)
+                except (TypeError, ValueError):
+                    pass
+                for rec in mlist_recs:
+                    fr = rec.get("first_row_id")
+                    if fr is not None:
+                        _next_row[0] = max(
+                            _next_row[0],
+                            fr
+                            + rec["added_rows_count"]
+                            + rec["existing_rows_count"],
+                        )
+        else:
+            files = table.live_files(snap)
+            # spec-correct grouping: ONE MANIFEST PER PARTITION SPEC — a
+            # manifest's entries all share its declared spec (partition
+            # evolution leaves old files on old specs, docs/07)
+            by_spec: dict[int, list] = {}
+            for f in files:
+                by_spec.setdefault(f.spec_id, []).append(f)
+            if not by_spec:
+                by_spec = {meta.default_spec_id: []}
+            mlist_recs = []
+            snap_first_row = _next_row[0]
+            for spec_id in sorted(by_spec):
+                spec = meta.spec_by_id(spec_id)
+                group = by_spec[spec_id]
+                entry_schema = _manifest_entry_schema(spec, schema, fv)
+                manifest_first_row = _next_row[0]
+                entries = []
+                for f in group:
+                    rec = _entry_record(
+                        table,
+                        f,
+                        1 if f.sequence_number == snap.sequence_number else 0,
+                        snap.snapshot_id,
+                    )
+                    if fv >= 3:
+                        rec["data_file"]["first_row_id"] = _first_row_id(f)
+                    entries.append(rec)
+                mname = f"manifest-{snap.snapshot_id}-spec{spec_id}.avro"
+                mbuf = write_container(
+                    entry_schema,
+                    entries,
+                    _sync_for(mname),
+                    extra_meta=_manifest_meta(snap.schema_id, spec_id, "data"),
+                    codec=_codec,
                 )
-                if fv >= 3:
-                    rec["data_file"]["first_row_id"] = _first_row_id(f)
-                entries.append(rec)
-            mname = f"manifest-{snap.snapshot_id}-spec{spec_id}.avro"
-            mbuf = write_container(
-                entry_schema,
-                entries,
-                _sync_for(mname),
-                extra_meta=_manifest_meta(snap.schema_id, spec_id, "data"),
-                codec=_codec,
-            )
-            mpath_ = os.path.join(dest, mname)
-            with open(mpath_, "wb") as fh:
-                fh.write(mbuf)
-            seqs = [f.sequence_number for f in group] or [snap.sequence_number]
-            added = [e for e in entries if e["status"] == 1]
-            existing = [e for e in entries if e["status"] != 1]
-            mlist_recs.append(
-                {
-                    "manifest_path": mpath_,
-                    "manifest_length": len(mbuf),
-                    "partition_spec_id": spec_id,
-                    "content": 0,
-                    "sequence_number": snap.sequence_number,
-                    "min_sequence_number": min(seqs),
-                    "added_snapshot_id": snap.snapshot_id,
-                    "added_files_count": len(added),
-                    "existing_files_count": len(existing),
-                    "deleted_files_count": 0,
-                    "added_rows_count": sum(
-                        e["data_file"]["record_count"] for e in added
-                    ),
-                    "existing_rows_count": sum(
-                        e["data_file"]["record_count"] for e in existing
-                    ),
-                    "deleted_rows_count": 0,
-                    "partitions": None,
-                    **({"first_row_id": manifest_first_row} if fv >= 3 else {}),
-                }
-            )
-        # merge-on-read delete files → a content=1 manifest of spec-form
-        # delete files (position deletes path-normalized + sorted,
-        # equality deletes field-id-stamped) so external engines apply
-        # the same masks the native scan does.  Under v3 the lane
-        # splits: DV/position content becomes deletion-vector Puffin
-        # references (_v3_delete_entries), equality deletes keep the
-        # parquet rewrite.
+                mpath_ = os.path.join(dest, mname)
+                with open(mpath_, "wb") as fh:
+                    fh.write(mbuf)
+                seqs = [f.sequence_number for f in group] or [snap.sequence_number]
+                added = [e for e in entries if e["status"] == 1]
+                existing = [e for e in entries if e["status"] != 1]
+                mlist_recs.append(
+                    {
+                        "manifest_path": mpath_,
+                        "manifest_length": len(mbuf),
+                        "partition_spec_id": spec_id,
+                        "content": 0,
+                        "sequence_number": snap.sequence_number,
+                        "min_sequence_number": min(seqs),
+                        "added_snapshot_id": snap.snapshot_id,
+                        "added_files_count": len(added),
+                        "existing_files_count": len(existing),
+                        "deleted_files_count": 0,
+                        "added_rows_count": sum(
+                            e["data_file"]["record_count"] for e in added
+                        ),
+                        "existing_rows_count": sum(
+                            e["data_file"]["record_count"] for e in existing
+                        ),
+                        "deleted_rows_count": 0,
+                        "partitions": None,
+                        **({"first_row_id": manifest_first_row} if fv >= 3 else {}),
+                    }
+                )
+            # merge-on-read delete files → a content=1 manifest of spec-form
+            # delete files (position deletes path-normalized + sorted,
+            # equality deletes field-id-stamped) so external engines apply
+            # the same masks the native scan does.  Under v3 the lane
+            # splits: DV/position content becomes deletion-vector Puffin
+            # references (_v3_delete_entries), equality deletes keep the
+            # parquet rewrite.
         dels = table.live_files(snap, content="deletes")
         if dels:
             spec = PartitionSpec(unpart_spec_id, [])

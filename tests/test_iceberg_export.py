@@ -1608,3 +1608,157 @@ def test_export_v3_history_and_equality_mix(spark, tmp_path):
         map(tuple, read_iceberg(spark, os.path.dirname(m2)).select("id", "k").collect())
     )
     assert got == sorted(map(tuple, t2.toDF().collect())) and len(got) == 86
+
+
+def test_export_distributed_lane_matches_driver(spark, tmp_path):
+    """VERDICT r11 task 1: past the entry threshold the export encodes
+    data manifests in EXECUTORS (one task per source manifest, same
+    avroenc bytes machinery) and prefills the delete-rewrite cache
+    distributedly; the driver assembles only manifest lists + metadata.
+    Pin: a history export with MOR position deletes re-reads IDENTICAL
+    rows through the independent spec reader on BOTH lanes, and the
+    per-snapshot manifest-list row totals agree."""
+    import glob as g
+    import os
+
+    from icepack.avroenc import read_container_with_meta
+    from icepack.dml import delete, update
+    from icepack.expr import col
+    from icepack.iceberg_export import export_iceberg
+    from icepack.iceberg_import import read_iceberg
+    from icepack.table import IceTable
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 3000).selectExpr("id", "cast(id % 7 as string) k")
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df)
+    t.append(spark.range(3000, 4000).selectExpr("id", "cast(id % 7 as string) k"))
+    delete(t, col("id") < 50)
+    update(t, col("id") >= 3900, {"k": F.lit("u")})
+
+    m_drv = export_iceberg(t, dest=str(tmp_path / "drv"), history=True)
+    t.set_properties(**{"export.auto.entry-threshold": "1"})
+    m_dst = export_iceberg(t, dest=str(tmp_path / "dst"), history=True)
+
+    native = sorted(tuple(r) for r in t.toDF().collect())
+    for mp in (m_drv, m_dst):
+        got = sorted(
+            tuple(r) for r in read_iceberg(spark, os.path.dirname(mp)).collect()
+        )
+        assert got == native
+
+    def _list_totals(dest):
+        out = {}
+        for p in g.glob(os.path.join(dest, "snap-*.avro")):
+            _s, recs, meta = read_container_with_meta(open(p, "rb").read())
+            sid = int(meta[b"snapshot-id"].decode()) if b"snapshot-id" in meta else int(
+                meta["snapshot-id"].decode()
+                if isinstance(meta.get("snapshot-id"), bytes)
+                else meta.get("snapshot-id")
+            )
+            out[sid] = (
+                sum(r["added_rows_count"] for r in recs if r["content"] == 0),
+                sum(r["existing_rows_count"] for r in recs if r["content"] == 0),
+                sum(r["added_rows_count"] for r in recs if r["content"] == 1),
+            )
+        return out
+
+    assert _list_totals(str(tmp_path / "drv")) == _list_totals(str(tmp_path / "dst"))
+    # the distributed layout really is per-source-manifest
+    dist_names = g.glob(os.path.join(str(tmp_path / "dst"), "manifest-*-spec*-manifest-*.avro"))
+    assert dist_names
+
+
+def test_export_distributed_delete_prefill_names_match_driver(spark, tmp_path, monkeypatch):
+    """The distributed delete-rewrite prefill preassigns names in
+    first-encounter order, so the exported tree's delete file layout is
+    identical to the driver loop's."""
+    import glob as g
+    import os
+
+    import icepack.iceberg_export as ie
+    from icepack.dml import delete
+    from icepack.expr import col
+    from icepack.iceberg_import import read_iceberg
+    from icepack.table import IceTable
+
+    df = spark.range(0, 500).selectExpr("id")
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df)
+    for lo in range(0, 30, 10):  # several distinct delete files
+        delete(t, (col("id") >= lo) & (col("id") < lo + 5))
+
+    m_drv = ie.export_iceberg(t, dest=str(tmp_path / "drv"))
+    monkeypatch.setattr(ie, "EXPORT_DELETE_FILE_THRESHOLD", 1)
+    t.set_properties(**{"export.auto.entry-threshold": "1"})
+    m_dst = ie.export_iceberg(t, dest=str(tmp_path / "dst"))
+
+    drv = sorted(os.path.basename(p) for p in g.glob(str(tmp_path / "drv" / "delete-*")))
+    dst = sorted(os.path.basename(p) for p in g.glob(str(tmp_path / "dst" / "delete-*")))
+    assert drv and drv == dst
+    native = sorted(tuple(r) for r in t.toDF().collect())
+    for mp in (m_drv, m_dst):
+        got = sorted(
+            tuple(r) for r in read_iceberg(spark, os.path.dirname(mp)).collect()
+        )
+        assert got == native
+
+
+def test_export_distributed_v3_spec_primary_ids(spark, tmp_path):
+    """fv3 distributed eligibility: spec-primary tables with full
+    manifest-list row-id assignments export distributedly with the
+    TABLE'S ids (entries explicit, never renumbered); a NATIVE table's
+    fv3 export falls back to the sequential driver assignment."""
+    import glob as g
+    import os
+
+    import icepack.iceberg_export as ie
+    from icepack.dml import delete
+    from icepack.expr import col
+    from icepack.avroenc import read_container_with_meta
+    from icepack.iceberg_import import read_iceberg
+    from icepack.table import IceTable
+
+    df = spark.range(0, 800).selectExpr("id")
+    t = IceTable.create(
+        spark, str(tmp_path / "sp"), df.schema,
+        properties={"format.spec-primary": "true", "format.spec-version": "3"},
+    )
+    t.append(df)
+    delete(t, col("id") < 100)  # COW rewrite: mixed explicit ids
+    native_ids = {f.path: f.first_row_id for f in t.live_files()}
+
+    t.set_properties(**{"export.auto.entry-threshold": "1"})
+    mp = ie.export_iceberg(t, dest=str(tmp_path / "dst"), format_version=3)
+    got = {}
+    for p in g.glob(str(tmp_path / "dst" / "manifest-*.avro")):
+        _s, recs, meta = read_container_with_meta(open(p, "rb").read())
+        if meta.get("content", b"data").decode() != "data":
+            continue
+        for r in recs:
+            got[r["data_file"]["file_path"]] = r["data_file"]["first_row_id"]
+    for path, frid in native_ids.items():
+        assert got.get(path) == frid, (path, got.get(path), frid)
+    ext = sorted(r.id for r in read_iceberg(spark, os.path.dirname(mp)).collect())
+    assert ext == list(range(100, 800))
+
+    # native fv3: no assignments -> the distributed lane declines
+    tn = IceTable.create(spark, str(tmp_path / "nat"), df.schema)
+    tn.append(df)
+    tn.set_properties(**{"export.auto.entry-threshold": "1"})
+    snaps = [tn.meta.current_snapshot]
+    assert ie._export_data_manifests_distributed(
+        tn, snaps, str(tmp_path / "x"), 3, "null", [], []
+    ) is None

@@ -553,3 +553,86 @@ def test_duckdb_render_dv_past_cap_refuses_loudly(spark, warehouse, monkeypatch)
     monkeypatch.setattr(interop, "DV_RENDER_MAX_POSITIONS", 10)
     with pytest.raises(ValueError, match="rewrite_position_deletes"):
         interop.duckdb_snapshot_sql(t)
+
+
+def test_foreign_v3_tree_delta_magic_dv_adoption(spark, tmp_path):
+    """VERDICT r11 task 6: a FOREIGN Iceberg v3 tree — Avro manifests
+    carrying deletion-vector entries whose Puffin blobs use the DELTA
+    byte-order magic spelling (1681511377 LE), which our writer never
+    emits but roaring.py documents as accepted — must adopt through
+    BOTH read paths with row parity: IceTable.load (native scan over
+    the foreign tree) and read_iceberg (independent spec reader)."""
+    import os
+    import struct
+    import zlib
+
+    from icepack import roaring as R
+    from icepack.dml import delete
+    from icepack.expr import col
+    from icepack.iceberg_export import export_iceberg
+    from icepack.iceberg_import import read_iceberg
+    from icepack.maintenance import write_deletion_vectors
+    from icepack.puffin import read_puffin
+    from icepack.table import IceTable
+
+    df = spark.range(0, 200).selectExpr("id", "cast(id % 5 as string) k")
+    src = IceTable.create(
+        spark, str(tmp_path / "src"), df.schema,
+        properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    src.append(df)
+    delete(src, col("id") < 40)
+    assert write_deletion_vectors(src) is not None
+    expected = sorted(tuple(r) for r in src.toDF().collect())
+
+    floc = str(tmp_path / "foreign")
+    os.makedirs(os.path.join(floc, "metadata"))
+    export_iceberg(src, dest=os.path.join(floc, "metadata"), format_version=3)
+
+    # re-spell every DV blob's magic the way Delta Lake writes the
+    # shared format: D1 33 39 64 instead of the spec's D1 D3 39 64 —
+    # body changes, so the trailing CRC-32 is recomputed in place
+    # the export references the table's own Puffin ZERO-COPY (v3 spec
+    # blobs are already spec bytes), so the blob to re-spell lives in
+    # the SOURCE metadata dir; a merge-producing export would write it
+    # under dest — patch wherever it is
+    import glob as _glob
+
+    puffins = _glob.glob(
+        os.path.join(floc, "metadata", "*.puffin")
+    ) + _glob.glob(os.path.join(src.location, "**", "*.puffin"), recursive=True)
+    patched = 0
+    for p in puffins:
+        buf = bytearray(open(p, "rb").read())
+        blobs, _props = read_puffin(bytes(buf))
+        # offsets from the footer: each blob's data is the framed
+        # (len | magic+vec | crc) deletion-vector-v1 payload
+        import json as _json
+
+        (payload_len,) = struct.unpack("<i", bytes(buf[-12:-8]))
+        doc = _json.loads(bytes(buf[len(buf) - 12 - payload_len : len(buf) - 12]))
+        for m in doc["blobs"]:
+            off, ln = m["offset"], m["length"]
+            (body_len,) = struct.unpack_from(">I", buf, off)
+            body = bytes(buf[off + 4 : off + 4 + body_len])
+            assert body[:4] == R.DV_MAGIC
+            new_body = R._DV_MAGIC_ALT + body[4:]
+            buf[off + 4 : off + 4 + body_len] = new_body
+            struct.pack_into(">I", buf, off + 4 + body_len, zlib.crc32(new_body))
+            patched += 1
+        open(p, "wb").write(bytes(buf))
+    assert patched >= 1
+
+    # native adoption of the foreign tree
+    t = IceTable.load(spark, floc)
+    got_native = sorted(tuple(r) for r in t.toDF().collect())
+    assert got_native == expected
+    # independent spec reader
+    got_ext = sorted(
+        tuple(r)
+        for r in read_iceberg(spark, os.path.join(floc, "metadata")).collect()
+    )
+    assert got_ext == expected

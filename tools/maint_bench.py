@@ -34,6 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import types as T  # noqa: E402
 
+from icepack.avroenc import read_container_with_meta  # noqa: E402
+from icepack.iceberg_export import export_iceberg  # noqa: E402
 from icepack.maintenance import (  # noqa: E402
     expire_snapshots,
     rewrite_manifests,
@@ -108,6 +110,24 @@ def main() -> None:
         fsck_findings = verify_table(t)
         res["fsck_sec"] = round(time.time() - t0, 2)
         res["fsck_findings"] = len(fsck_findings)
+        # spec export encode (r12 distributed lane): pure metadata
+        # encode — the synthetic parquet is never opened, so this times
+        # exactly the per-entry record build + avro container encode
+        exp_dest = os.path.join(base, "export")
+        t0 = time.time()
+        export_iceberg(t, dest=exp_dest)
+        res["export_sec"] = round(time.time() - t0, 2)
+        exp_rows = 0
+        for fn in os.listdir(exp_dest):
+            if fn.startswith("snap-") and fn.endswith(".avro"):
+                _s, recs, _m = read_container_with_meta(
+                    open(os.path.join(exp_dest, fn), "rb").read()
+                )
+                exp_rows += sum(
+                    r["added_rows_count"] + r["existing_rows_count"]
+                    for r in recs
+                )
+        res["export_rows"] = exp_rows
         t0 = time.time()
         rewrite_manifests(t)
         res["rewrite_sec"] = round(time.time() - t0, 2)
@@ -124,9 +144,11 @@ def main() -> None:
             sorted(r[0] for r in t.partition_stats().select("spec_id").collect()),
             t.meta.current_snapshot.sequence_number,
             res["fsck_findings"],
+            res["export_rows"],
         )
     assert check["driver"][0] == check["distributed"][0], check
     assert check["driver"][3] == check["distributed"][3], check
+    assert check["driver"][4] == check["distributed"][4], check
     print(json.dumps(out))
     spark.stop()
 
