@@ -441,7 +441,14 @@ def _update_mor(table, predicate: Expr, assignments: dict[str, Column]) -> Snaps
     a position-delete file; their updated values are appended as new
     data files.  Hit files are scanned twice (once per output) — still
     strictly less I/O than a COW rewrite whenever the hit files are
-    mostly unmatched rows."""
+    mostly unmatched rows.
+
+    v3 row lineage: MOR update is delete+insert, so the re-inserted
+    rows take FRESH row ids (the public spec's behavior for engines
+    that do not carry ids through an update); unmatched rows are never
+    rewritten, so their ids are trivially stable.  COW update (the
+    default) preserves ids for every row — use it when lineage
+    continuity across updates matters."""
     hit, _ = table.plan_files(predicate)
     if not hit:
         return table._commit_snapshot("overwrite", [])

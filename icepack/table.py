@@ -2063,7 +2063,10 @@ class IceTable:
         )
 
     def files(self, snapshot: Snapshot | None = None) -> DataFrame:
-        """my_table$FILES (docs/10-maintenance-operations.md:127-140)."""
+        """my_table$FILES (docs/10-maintenance-operations.md:127-140).
+        ``first_row_id`` is the file's resolved v3 row-lineage start
+        (live_files runs manifest inheritance at decode) — null on
+        v2 / native trees that assign no row ids."""
         rows = [
             (
                 f.path,
@@ -2073,13 +2076,14 @@ class IceTable:
                 f.schema_id,
                 f.spec_id,
                 f.sequence_number,
+                f.first_row_id,
             )
             for f in self.live_files(snapshot)
         ]
         return self.spark.createDataFrame(
             rows,
             "file_path string, partition string, record_count long, file_size_bytes long,"
-            " schema_id int, spec_id int, sequence_number long",
+            " schema_id int, spec_id int, sequence_number long, first_row_id long",
         )
 
     def manifests(self) -> DataFrame:

@@ -204,3 +204,17 @@ def test_export_uses_table_assignments(spark, warehouse):
         by_file[f.path] = f.first_row_id
     for path, frid in by_file.items():
         assert got.get(path) == frid, (path, got.get(path), frid)
+
+
+def test_files_metadata_table_carries_first_row_id(spark, warehouse):
+    """$FILES exposes each live file's resolved first_row_id on v3
+    tables (null on native tables that assign no ids)."""
+    t = _mk(spark, warehouse, "rl_files", n=50)
+    rows = {r.file_path: r.first_row_id for r in t.files().collect()}
+    assert rows and None not in rows.values()
+    assert sum(r.record_count for r in t.files().collect()) == 50
+
+    dfn = spark.range(0, 10).selectExpr("id", "cast(id % 7 as string) k")
+    tn = IceTable.create(spark, os.path.join(warehouse, "rl_files_nat"), dfn.schema)
+    tn.append(dfn)
+    assert all(r.first_row_id is None for r in tn.files().collect())
