@@ -165,7 +165,21 @@ def _snapshot_entries(md: dict, snapshot_id: int | None = None):
     for m in mlist:
         with open(m["manifest_path"], "rb") as fh:
             _, entries = read_container(fh.read())
+        # v3 row-id inheritance (public spec "Row Lineage"): data
+        # entries without an explicit first_row_id take the manifest's
+        # field-520 assignment plus the record counts of PRECEDING
+        # null-id data entries, in manifest order (deleted entries
+        # consumed their slot at write time, so they advance it too)
+        running = m.get("first_row_id") if m.get("content", 0) == 0 else None
         for e in entries:
+            dfr = e["data_file"]
+            if (
+                running is not None
+                and dfr.get("content", 0) == 0
+                and dfr.get("first_row_id") is None
+            ):
+                dfr["first_row_id"] = running
+                running += dfr.get("record_count", 0) or 0
             if e["status"] == 2:  # deleted
                 continue
             seq = e.get("sequence_number")
@@ -390,7 +404,11 @@ def _prune_files(md: dict, data: list, where) -> list:
 
 
 def read_iceberg(
-    spark: SparkSession, path: str, snapshot_id: int | None = None, where=None
+    spark: SparkSession,
+    path: str,
+    snapshot_id: int | None = None,
+    where=None,
+    row_lineage: bool = False,
 ) -> DataFrame:
     """Spec-format Iceberg table → DataFrame at the requested (default
     current) snapshot.  Time travel = any snapshot id present in the
@@ -403,7 +421,15 @@ def read_iceberg(
     *where* (an :mod:`icepack.expr` Expr) additionally PRUNES files
     whose exported bounds prove no match AND applies the predicate
     row-level — at scale an external read must skip files from the
-    manifests exactly like a native scan, not open every footer."""
+    manifests exactly like a native scan, not open every footer.
+
+    ``row_lineage=True`` (v3 trees) appends ``_row_id`` /
+    ``_last_updated_sequence_number`` resolved exactly like the native
+    ``toDF(row_lineage=True)``: materialized per-row columns win, else
+    the entry's first_row_id (explicit, or inherited from the
+    manifest-list field-520 assignment) + row position / the file's
+    data sequence number — so an exported tree serves the SAME ids the
+    source table does."""
     from pyspark.sql import functions as F
 
     md = load_iceberg_metadata(path)
@@ -420,10 +446,14 @@ def read_iceberg(
         )
     if not data:
         return spark.createDataFrame([], schema)
-    df = _read_with_name_mapping(spark, md, schema, data, with_identity=bool(deletes))
+    df = _read_with_name_mapping(
+        spark, md, schema, data,
+        with_identity=bool(deletes) or row_lineage,
+        lineage=row_lineage,
+    )
     if where is not None:
         df = df.filter(where.to_column())  # pruning is a superset
-    if not deletes:
+    if not deletes and not row_lineage:
         return df
     # per-file sequence for the masks.  Spark reports
     # _metadata.file_path as a percent-ENCODED URI; manifests may store
@@ -448,13 +478,22 @@ def read_iceberg(
                 "would cross-apply; refusing"
             )
         seen[c] = f["file_path"]
-        rows.append((c, f["_seq"]))
-    seqdf = spark.createDataFrame(rows, "_f string, _dataseq long")
+        rows.append((c, f["_seq"], f.get("first_row_id")))
+    seqdf = spark.createDataFrame(rows, "_f string, _dataseq long, _frid long")
     df = (
         df.withColumn("_f", _canon(F.col("_furi")))
         .drop("_furi")
         .join(F.broadcast(seqdf), "_f", "inner")
     )
+    if row_lineage:
+        df = df.withColumn(
+            "_row_id", F.coalesce(F.col("_row_id"), F.col("_frid") + F.col("_p"))
+        ).withColumn(
+            "_last_updated_sequence_number",
+            F.coalesce(
+                F.col("_last_updated_sequence_number"), F.col("_dataseq")
+            ),
+        )
     id_to_name = {f.fid: f.name for f in _schema_field_ids(md)}
     for rec in deletes:
         content = rec.get("content", 0)
@@ -504,10 +543,12 @@ def read_iceberg(
             df = df.join(F.broadcast(dels), cond, "left_anti")
         else:
             raise ValueError(f"unknown delete content code {content}")
-    return df.drop("_f", "_p", "_dataseq")
+    return df.drop("_f", "_p", "_dataseq", "_frid")
 
 
-def _read_with_name_mapping(spark, md, schema, data, with_identity: bool):
+def _read_with_name_mapping(
+    spark, md, schema, data, with_identity: bool, lineage: bool = False
+):
     """Read the data files shaped to the CURRENT schema, resolving each
     file's columns like an Iceberg reader: current name first, then
     the name mapping's historical names (files written before a rename
@@ -549,19 +590,33 @@ def _read_with_name_mapping(spark, md, schema, data, with_identity: bool):
             # post-widening files (int64) — Spark samples one schema per
             # read and would misread the other group
             plan.append((src, fld["name"], names.get(src)))
+        if lineage:
+            # materialized v3 lineage columns (written by
+            # lineage-preserving rewrites): select when physically
+            # present, null-fill otherwise — presence joins the group
+            # key so mixed layouts never share a scan
+            for lc in ("_row_id", "_last_updated_sequence_number"):
+                plan.append((lc if lc in names else None, lc, "__lineage__"))
         groups.setdefault(tuple(plan), []).append(f["file_path"])
     parts = []
     spark_fields = {sf.name: sf.dataType for sf in schema.fields}
-    for plan, paths in sorted(groups.items()):
+    # repr-keyed sort: plan tuples mix None and str at the src slot
+    # (e.g. lineage-present vs lineage-absent file groups), which plain
+    # tuple comparison cannot order
+    for plan, paths in sorted(groups.items(), key=lambda kv: repr(kv[0])):
         raw = spark.read.parquet(*paths)
-        cols = [
-            (
-                F.col(src).cast(spark_fields[cur_name]).alias(cur_name)
-                if src is not None
-                else F.lit(None).cast(spark_fields[cur_name]).alias(cur_name)
-            )
-            for src, cur_name, _ftype in plan
-        ]
+        cols = []
+        for src, cur_name, _ftype in plan:
+            if _ftype == "__lineage__":
+                cols.append(
+                    F.col(src).cast("long").alias(cur_name)
+                    if src is not None
+                    else F.lit(None).cast("long").alias(cur_name)
+                )
+            elif src is not None:
+                cols.append(F.col(src).cast(spark_fields[cur_name]).alias(cur_name))
+            else:
+                cols.append(F.lit(None).cast(spark_fields[cur_name]).alias(cur_name))
         if with_identity:
             cols += [
                 F.col("_metadata.file_path").alias("_furi"),

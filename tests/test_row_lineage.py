@@ -218,3 +218,59 @@ def test_files_metadata_table_carries_first_row_id(spark, warehouse):
     tn = IceTable.create(spark, os.path.join(warehouse, "rl_files_nat"), dfn.schema)
     tn.append(dfn)
     assert all(r.first_row_id is None for r in tn.files().collect())
+
+
+def test_scoped_compact_preserves_ids(spark, warehouse):
+    """compact(where=...) rewrites only the hit partition's files —
+    those rows must keep their ids through the materialized-column
+    carry, and the untouched rest is trivially stable."""
+    from icepack.expr import col as C
+
+    df = spark.range(0, 120).selectExpr("id", "cast(id % 3 as string) k")
+    t = IceTable.create(
+        spark,
+        os.path.join(warehouse, "rl_scoped"),
+        df.schema,
+        partition_by=[("k", "identity")],
+        properties=dict(V3),
+    )
+    t.append(df)
+    before = _lineage(t)
+    compact(t, target_file_size=1 << 20, where=C("k") == "1")
+    after = _lineage(t)
+    assert after == before
+
+
+def test_read_iceberg_row_lineage_matches_native(spark, tmp_path):
+    """The exported v3 tree serves the SAME row ids the source table
+    does: read_iceberg(row_lineage=True) == toDF(row_lineage=True)
+    after a COW update + compaction (so BOTH resolution paths are
+    exercised — materialized columns on rewritten files, manifest
+    inheritance on fresh appends)."""
+    import os as _os
+
+    from icepack.iceberg_export import export_iceberg
+    from icepack.iceberg_import import read_iceberg
+
+    df = spark.range(0, 300).selectExpr("id", "cast(id % 9 as string) k")
+    t = IceTable.create(
+        spark, str(tmp_path / "t"), df.schema, properties=dict(V3)
+    )
+    t.append(df)
+    update(t, col("id") < 40, {"k": F.lit("u")})
+    compact(t, target_file_size=1 << 20)
+    t.append(spark.range(300, 350).selectExpr("id", "cast(id % 9 as string) k"))
+
+    native = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in t.toDF(row_lineage=True).collect()
+    }
+    mp = export_iceberg(t, format_version=3)
+    ext = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in read_iceberg(
+            spark, _os.path.dirname(mp), row_lineage=True
+        ).collect()
+    }
+    assert ext == native
+    assert len({v[0] for v in ext.values()}) == len(ext)  # unique ids
