@@ -1495,6 +1495,19 @@ class IceTable:
                     "format.spec-version=3 (row ids are assigned by v3 "
                     "manifest-list commits)"
                 )
+            clash = {f.name for f in current.fields} & {
+                _ROW_ID_COL,
+                _LAST_UPDATED_COL,
+            }
+            if clash:
+                # the spec RESERVES these names; serving lineage over a
+                # table that shadows them would silently misread the
+                # user column as the metadata column
+                raise ValueError(
+                    f"table columns {sorted(clash)} shadow the reserved "
+                    "Iceberg v3 lineage metadata columns — rename them "
+                    "before scanning with row_lineage=True"
+                )
         if snap is None:
             return self.spark.createDataFrame([], current.to_struct())
         if self._use_distributed_planner(snap):

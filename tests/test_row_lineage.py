@@ -274,3 +274,19 @@ def test_read_iceberg_row_lineage_matches_native(spark, tmp_path):
     }
     assert ext == native
     assert len({v[0] for v in ext.values()}) == len(ext)  # unique ids
+
+
+def test_lineage_refuses_shadowed_reserved_names(spark, warehouse):
+    """A user column literally named _row_id would be silently misread
+    as the metadata column — the scan must refuse loudly instead."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("_row_id", T.LongType())]
+    )
+    t = IceTable.create(
+        spark, os.path.join(warehouse, "rl_shadow"), schema, properties=dict(V3)
+    )
+    t.append(spark.range(5).selectExpr("id", "id as _row_id"))
+    with pytest.raises(ValueError, match="reserved"):
+        t.toDF(row_lineage=True)
