@@ -2601,6 +2601,21 @@ def ice63_dv_v3_export(spark: SparkSession, sf: str) -> DataFrame:
         raise RuntimeError("v3 export wrote position-delete parquet")
     if not _glob.glob(_os.path.join(dest, "dv-*.puffin")):
         raise RuntimeError("v3 export wrote no consolidated Puffin")
+    # r12 (ADVICE r11 medium): v3 manifest lists must ASSIGN field-520
+    # first_row_id on every data manifest (null only on deletes) —
+    # strict external readers run row-id inheritance from it
+    from ..avroenc import read_container_with_meta as _rc
+
+    for lp in _glob.glob(_os.path.join(dest, "snap-*.avro")):
+        with open(lp, "rb") as fh:
+            _sch, lrecs, _m = _rc(fh.read())
+        for r in lrecs:
+            want_null = r["content"] == 1
+            if (r.get("first_row_id") is None) != want_null:
+                raise RuntimeError(
+                    f"v3 manifest-list row-id assignment wrong in {lp}: "
+                    f"content={r['content']} first_row_id={r.get('first_row_id')}"
+                )
     ext = read_iceberg(spark, dest).select("o_orderkey", "o_custkey")
     native = t.toDF().select("o_orderkey", "o_custkey")
     if ext.exceptAll(native).count() or native.exceptAll(ext).count():
