@@ -290,3 +290,20 @@ def test_lineage_refuses_shadowed_reserved_names(spark, warehouse):
     t.append(spark.range(5).selectExpr("id", "id as _row_id"))
     with pytest.raises(ValueError, match="reserved"):
         t.toDF(row_lineage=True)
+
+
+def test_time_travel_lineage_consistent(spark, warehouse):
+    """Lineage is a property of the ROW, not the snapshot: scanning an
+    older snapshot with row_lineage=True serves the same _row_id for
+    every row that survives into the present."""
+    t = _mk(spark, warehouse, "rl_tt", n=80)
+    first = t.meta.current_snapshot
+    delete(t, col("id") < 10)
+    update(t, col("id") >= 70, {"k": F.lit("u")})
+    now = _lineage(t)
+    old = {
+        r.id: r._row_id
+        for r in t.toDF(snapshot=first, row_lineage=True).collect()
+    }
+    assert len(old) == 80
+    assert all(old[i] == now[i][0] for i in now)  # survivors keep ids
