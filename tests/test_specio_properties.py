@@ -341,3 +341,84 @@ def test_canonical_raw_percent_is_literal(p):
 
     raw = p + "%20x"
     assert canon(raw) == raw
+
+
+# ---------------------------------------------- v3 row-id assignment
+
+
+@st.composite
+def _summary_lists(draw):
+    """Randomized native manifest-summary lists: a mix of fresh data
+    manifests (no assignment yet), carried manifests (assigned in some
+    earlier commit), rewritten manifests (explicit per-entry ids,
+    rows-needing-ids 0), and delete manifests."""
+    n = draw(st.integers(min_value=0, max_value=12))
+    out = []
+    for _ in range(n):
+        kind = draw(st.sampled_from(["fresh", "carried", "rewritten", "delete"]))
+        added = draw(st.integers(min_value=0, max_value=10_000))
+        existing = draw(st.integers(min_value=0, max_value=10_000))
+        s = {"added-rows": added, "existing-rows": existing}
+        if kind == "delete":
+            live = draw(st.integers(min_value=1, max_value=50))
+            s["delete-content-files"] = live
+            s["live-files"] = live
+        elif kind == "carried":
+            s["first-row-id"] = draw(st.integers(min_value=0, max_value=10**9))
+        elif kind == "rewritten":
+            s["first-row-id"] = draw(st.integers(min_value=0, max_value=10**9))
+            s["rows-needing-ids"] = 0
+        else:  # fresh
+            s["rows-needing-ids"] = draw(
+                st.sampled_from([added + existing, added, None])
+            )
+            if s["rows-needing-ids"] is None:
+                del s["rows-needing-ids"]
+        out.append((kind, s))
+    return out
+
+
+@given(_summary_lists(), st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=300, deadline=None)
+def test_assign_first_row_ids_invariants(kinds_summaries, base):
+    """The v3 manifest-list assignment must be: (1) total on data
+    manifests — every non-delete summary ends with a first-row-id;
+    (2) stable — pre-assigned summaries keep their value verbatim;
+    (3) non-overlapping — fresh assignments' [first, first+budget)
+    ranges are disjoint from each other; (4) monotone — the returned
+    next-row-id covers every assignment it made or observed;
+    (5) idempotent — a second pass changes nothing."""
+    import copy
+
+    from icepack.specio import assign_first_row_ids
+
+    summaries = [s for _k, s in kinds_summaries]
+    pre = {
+        i: s["first-row-id"]
+        for i, s in enumerate(summaries)
+        if "first-row-id" in s
+    }
+    nxt = assign_first_row_ids(summaries, base)
+
+    fresh_ranges = []
+    for i, (kind, s) in enumerate(kinds_summaries):
+        if kind == "delete":
+            assert "first-row-id" not in s  # deletes stay unassigned
+            continue
+        assert s.get("first-row-id") is not None  # (1) total
+        if i in pre:
+            assert s["first-row-id"] == pre[i]  # (2) stable
+        else:
+            budget = s.get(
+                "rows-needing-ids", s["added-rows"] + s["existing-rows"]
+            )
+            fresh_ranges.append((s["first-row-id"], s["first-row-id"] + budget))
+            assert s["first-row-id"] >= base
+        assert nxt >= s["first-row-id"]  # (4) monotone cover
+    fresh_ranges.sort()
+    for (a1, b1), (a2, _b2) in zip(fresh_ranges, fresh_ranges[1:]):
+        assert b1 <= a2  # (3) disjoint fresh ranges
+
+    snapshot = copy.deepcopy(summaries)
+    nxt2 = assign_first_row_ids(summaries, base)
+    assert summaries == snapshot and nxt2 >= nxt  # (5) idempotent
