@@ -564,10 +564,17 @@ def merge(
                 upd_cols.append(F.col(f"_t_{c}").alias(c))
         if lin:
             # updated rows keep _row_id; null _last_updated inherits
-            # the commit's sequence number at read time
+            # the commit's sequence number at read time.  With NO
+            # update clause the matched rows pass through UNCHANGED —
+            # they keep their last-updated too (a value-preserving
+            # rewrite is not an update)
             upd_cols += [
                 F.col("_t__rid").alias(_ROW_ID_COL),
-                F.lit(None).cast("long").alias(_LAST_UPDATED_COL),
+                (
+                    F.lit(None).cast("long")
+                    if when_matched_update
+                    else F.col("_t__lupd")
+                ).alias(_LAST_UPDATED_COL),
             ]
         branches.append(joined_matched.select(*upd_cols))
     if when_not_matched_insert:

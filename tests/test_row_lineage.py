@@ -307,3 +307,15 @@ def test_time_travel_lineage_consistent(spark, warehouse):
     }
     assert len(old) == 80
     assert all(old[i] == now[i][0] for i in now)  # survivors keep ids
+
+
+def test_merge_without_update_clause_keeps_last_updated(spark, warehouse):
+    """MERGE with matched-passthrough (no update clause, no delete):
+    matched rows are rewritten value-identical — that is NOT an
+    update, so _last_updated_sequence_number must not bump."""
+    t = _mk(spark, warehouse, "rl_merge_noop", n=60)
+    before = _lineage(t)
+    src = spark.range(10, 20).selectExpr("id", "'ignored' k")
+    merge(t, src, on=["id"], when_not_matched_insert=False)
+    after = _lineage(t)
+    assert after == before  # ids AND last-updated unchanged
