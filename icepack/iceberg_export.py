@@ -811,7 +811,8 @@ def _export_data_manifests_distributed(
     real cluster, exactly like the data files the export references),
     and emits ONE manifest-list record; the driver collects O(output
     manifests) records and assembles only manifest lists + metadata
-    JSON.  Layout note: the driver lane writes one manifest per
+    JSON (docs/11-multi-engine-compatibility.md:31-42 — the migration
+    path for a large native table to a spec tree).  Layout note: the driver lane writes one manifest per
     (snapshot, spec); this lane writes one per (snapshot, source
     manifest, spec) — the spec allows any manifest count, and the
     independent-decoder re-read equality of both lanes is pinned by
