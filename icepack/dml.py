@@ -221,6 +221,108 @@ def _partition_all_match(table, predicate: Expr, f) -> bool:
     return predicate.all_match_file(merged, f.record_count)
 
 
+def _dml_writes_dvs(table) -> bool:
+    """Iceberg v3 ("Row-level deletes") forbids adding position-delete
+    files: on a ``format.spec-version=3`` table every DML position
+    tombstone must commit as a deletion vector instead.  Equality
+    deletes remain legal in v3 and are unaffected."""
+    from .specio import spec_format_version
+
+    return spec_format_version(table.meta.properties) >= 3
+
+
+def _write_dv_entries(table, keys: DataFrame, hit: list) -> tuple[list[DataFile], set[str]]:
+    """v3 DML tombstones → deletion-vector entries (docs/08-acid-
+    transactions.md:112-116 under the public Iceberg v3 spec's
+    "Row-level deletes" rules).
+
+    ``keys`` is the matched rows' ``(file_path, pos)`` identity where
+    ``file_path`` carries Spark's ``_metadata.file_path`` URI spelling;
+    ``hit`` is the planned file list those rows came from.  Returns
+    ``(entries, replaced_paths)`` for the commit:
+
+    - spellings map driver-side: O(touched files) distinct strings —
+      the DV entry must reference the RAW manifest spelling the read
+      path compares against (same discipline as the maintenance
+      consolidation).
+    - v3's ONE-DV-PER-FILE rule: a prior DV of a touched file is
+      decoded (executor-side) and unioned into the new bitmap, and its
+      Puffin path lands in ``replaced_paths``; co-located blobs for
+      UNTOUCHED files in a replaced Puffin are carried forward by
+      reference (same path/offset) so their bytes are never rewritten.
+    - bitmap construction is ``dv.build_dv_blobs`` (applyInPandas —
+      positions never visit the driver); only finished roaring blobs
+      are collected for Puffin framing."""
+    import dataclasses
+
+    from .dv import build_dv_blobs, dv_positions_df, write_dv_puffins
+    from .iceberg_import import canonical_file_path
+
+    spellings = [r[0] for r in keys.select("file_path").distinct().collect()]
+    if not spellings:
+        return [], set()
+    by_canon = {canonical_file_path(f.path): f.path for f in hit}
+    pairs = []
+    for s in spellings:
+        raw = by_canon.get(canonical_file_path(s))
+        if raw is None:
+            raise AssertionError(
+                f"DV tombstone spelling {s!r} resolves to no planned data file"
+            )
+        pairs.append((s, raw))
+    spell_map = table.spark.createDataFrame(pairs, "file_path string, _raw string")
+    keys = keys.join(F.broadcast(spell_map), "file_path").select(
+        F.col("_raw").alias("file_path"), "pos"
+    )
+    touched = {raw for _, raw in pairs}
+    deletes = table.live_files(content="deletes")
+    prior = [d for d in deletes if d.content == "deletion-vectors"]
+    merged = [d for d in prior if d.referenced_data_file in touched]
+    if merged:
+        keys = keys.unionByName(
+            dv_positions_df(table.spark, merged).select("file_path", "pos")
+        )
+    # v2-era position-delete files carried from an upgrade: the v3 spec
+    # requires a NEW DV to include every previously-deleted position of
+    # its file (readers with a DV may ignore position deletes), so fold
+    # the touched files' rows in.  The parquet files themselves stay —
+    # they may still cover files without a DV — and our own read path
+    # applies both structures idempotently either way.
+    pos_files = [d for d in deletes if d.content == "position-deletes"]
+    if pos_files:
+        canon_touch = table.spark.createDataFrame(
+            [(c, raw) for c, raw in by_canon.items() if raw in touched],
+            "_cn string, _raw string",
+        )
+
+        @F.pandas_udf("string")
+        def _canon(s):
+            import pandas as pd  # noqa: F401
+
+            from icepack.iceberg_import import canonical_file_path as cfp
+
+            return s.map(cfp)
+
+        keys = keys.unionByName(
+            table.spark.read.parquet(*[d.path for d in pos_files])
+            .select(_canon("file_path").alias("_cn"), "pos")
+            .join(F.broadcast(canon_touch), "_cn")
+            .select(F.col("_raw").alias("file_path"), "pos")
+        )
+    replaced = {d.path for d in merged}
+    carried = [
+        dataclasses.replace(d, status="added")
+        for d in prior
+        if d.path in replaced and d.referenced_data_file not in touched
+    ]
+    blobs = build_dv_blobs(keys).collect()
+    snap = table.meta.current_snapshot
+    entries = write_dv_puffins(
+        table, blobs, snap.snapshot_id if snap is not None else -1
+    )
+    return entries + carried, replaced
+
+
 def _delete_mor(table, predicate: Expr) -> Snapshot:
     """Merge-on-read DELETE: write a small delete file instead of
     rewriting data (docs/08:112-116,167-187).  The table property
@@ -253,6 +355,9 @@ def _delete_mor(table, predicate: Expr) -> Snapshot:
             .filter(predicate.to_column())
             .select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
         )
+        if _dml_writes_dvs(table):
+            entries, replaced = _write_dv_entries(table, keys, hit)
+            return table._commit_snapshot("delete", entries, replaced)
         content, eq_cols = "position-deletes", []
     else:
         ident = table.meta.properties.get("identifier-field-names")
@@ -281,6 +386,16 @@ def _write_delete_entries(table, keys: DataFrame, content: str, eq_cols=()) -> l
     foreign-tree adoption), position tombstones store CANONICAL raw
     paths — the whole tree keeps ONE spelling, so the DuckDB render
     and external tooling match on the filename directly."""
+    if content == "position-deletes" and _dml_writes_dvs(table):
+        # single choke point for FRESH position-delete parquet: v3
+        # forbids adding them (v2-era files carried from an upgrade
+        # remain valid and flow through manifest rewrites untouched)
+        raise ValueError(
+            "Iceberg v3 forbids adding position-delete files (public v3 "
+            "spec, Row-level deletes): MOR DML on a format.spec-version=3 "
+            "table writes deletion vectors automatically; fold existing "
+            "parquet tombstones with maintenance.write_deletion_vectors()"
+        )
     if (
         content == "position-deletes"
         and table.meta.properties.get("read.canonicalize-delete-file-paths")
@@ -347,11 +462,12 @@ def _merge_mor(
         cond = c if cond is None else cond & c
     matched = tgt.join(s, cond, "inner")
 
-    entries = _write_delete_entries(
-        table,
-        matched.select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos")),
-        "position-deletes",
-    )
+    tomb = matched.select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+    replaced: set[str] = set()
+    if _dml_writes_dvs(table):
+        entries, replaced = _write_dv_entries(table, tomb, hit)
+    else:
+        entries = _write_delete_entries(table, tomb, "position-deletes")
     new_rows = None
     if not when_matched_delete or when_matched_delete_condition is not None:
         survivors = matched
@@ -381,7 +497,7 @@ def _merge_mor(
         new_rows = anti if new_rows is None else new_rows.unionByName(anti)
     if new_rows is not None:
         entries += table._write_data_files(new_rows)
-    return table._commit_snapshot("overwrite", entries)
+    return table._commit_snapshot("overwrite", entries, replaced)
 
 
 def update(
@@ -453,11 +569,12 @@ def _update_mor(table, predicate: Expr, assignments: dict[str, Column]) -> Snaps
     if not hit:
         return table._commit_snapshot("overwrite", [])
     matched = table._read_visible(hit, with_pos=True).filter(predicate.to_column())
-    entries = _write_delete_entries(
-        table,
-        matched.select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos")),
-        "position-deletes",
-    )
+    tomb = matched.select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
+    replaced: set[str] = set()
+    if _dml_writes_dvs(table):
+        entries, replaced = _write_dv_entries(table, tomb, hit)
+    else:
+        entries = _write_delete_entries(table, tomb, "position-deletes")
     cols = []
     for f in table.meta.schema.fields:
         if f.name in assignments:
@@ -468,7 +585,7 @@ def _update_mor(table, predicate: Expr, assignments: dict[str, Column]) -> Snaps
         else:
             cols.append(F.col(f.name))
     entries += table._write_data_files(matched.select(*cols))
-    return table._commit_snapshot("overwrite", entries)
+    return table._commit_snapshot("overwrite", entries, replaced)
 
 
 def merge(

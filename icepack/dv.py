@@ -69,6 +69,83 @@ def dv_positions_df(spark: SparkSession, entries) -> DataFrame:
     return sdf.mapInPandas(_decode, "file_path string, pos long")
 
 
+def write_dv_puffins(
+    table, blobs, snapshot_id: int, max_puffin_bytes: int = 64 * 1024 * 1024
+):
+    """Collected ``build_dv_blobs`` rows → Puffin files on disk + their
+    ``deletion-vectors`` manifest entries.
+
+    Shared by the maintenance consolidation
+    (:func:`icepack.maintenance.write_deletion_vectors`) and the v3 DML
+    write path (:func:`icepack.dml._write_dv_entries`) so both produce
+    byte-identical framing.  Only finished roaring blobs (~KBs/file)
+    are in memory here; batches flush past ``max_puffin_bytes`` so one
+    call over a million-file table writes a bounded series of container
+    files rather than one unbounded buffer."""
+    import os
+    import uuid as _uuid
+
+    from .manifest import DataFile
+    from .puffin import write_puffin
+
+    entries: list[DataFile] = []
+    batch: list = []
+    batch_bytes = 0
+
+    def _flush():
+        nonlocal batch, batch_bytes
+        if not batch:
+            return
+        puffin = write_puffin(
+            [
+                {
+                    "type": DV_BLOB_TYPE,
+                    "fields": [POS_FIELD_ID],
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": table.meta.last_sequence_number,
+                    "data": r["blob"],
+                    "properties": {
+                        "referenced-data-file": r["file_path"],
+                        "cardinality": str(r["cardinality"]),
+                    },
+                }
+                for r in batch
+            ]
+        )
+        path = os.path.join(
+            table.location, "data", f"dv-{_uuid.uuid4().hex}.puffin"
+        )
+        with open(path, "wb") as fh:
+            fh.write(puffin)
+        off = len(b"PFA1")
+        for r in batch:
+            entries.append(
+                DataFile(
+                    path=path,
+                    status="added",
+                    partition={},
+                    spec_id=table.meta.default_spec_id,
+                    schema_id=table.meta.current_schema_id,
+                    record_count=int(r["cardinality"]),
+                    file_size_bytes=len(puffin),
+                    content="deletion-vectors",
+                    referenced_data_file=r["file_path"],
+                    content_offset=off,
+                    content_size=len(r["blob"]),
+                )
+            )
+            off += len(r["blob"])
+        batch, batch_bytes = [], 0
+
+    for r in sorted(blobs, key=lambda r: r["file_path"]):
+        if batch_bytes + len(r["blob"]) > max_puffin_bytes and batch:
+            _flush()
+        batch.append(r)
+        batch_bytes += len(r["blob"])
+    _flush()
+    return entries
+
+
 def build_dv_blobs(tombstones: DataFrame) -> DataFrame:
     """``(file_path, pos)`` tombstones → one framed DV blob per file.
 

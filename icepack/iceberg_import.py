@@ -434,6 +434,28 @@ def read_iceberg(
 
     md = load_iceberg_metadata(path)
     schema = iceberg_schema(md)
+    if row_lineage:
+        # mirror the native toDF(row_lineage=True) guards (ADVICE r12):
+        # a v2 tree has no field-520 assignments — silently serving
+        # all-NULL lineage would read as "no updates ever"; and a
+        # schema that shadows the RESERVED column names would come back
+        # duplicated from the name-mapping plan
+        if int(md.get("format-version", 1)) < 3:
+            raise ValueError(
+                "row_lineage requires an Iceberg format-version 3 tree "
+                "(row ids are assigned by v3 manifest-list commits); "
+                f"this metadata declares format-version {md.get('format-version', 1)}"
+            )
+        clash = set(schema.fieldNames()) & {
+            "_row_id",
+            "_last_updated_sequence_number",
+        }
+        if clash:
+            raise ValueError(
+                f"table columns {sorted(clash)} shadow the reserved "
+                "Iceberg v3 lineage metadata columns — rename them "
+                "before reading with row_lineage=True"
+            )
     data, deletes = _snapshot_entries(md, snapshot_id)
     if where is not None:
         data = _prune_files(md, data, where)

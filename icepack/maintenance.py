@@ -202,6 +202,15 @@ def rewrite_position_deletes(table) -> Snapshot | None:
     widen its blast radius.  Equality deletes are left alone (their
     application is sequence-ordered); a full ``compact()`` retires
     those."""
+    from .specio import spec_format_version
+
+    if spec_format_version(table.meta.properties) >= 3:
+        raise ValueError(
+            "rewrite_position_deletes writes position-delete parquet, "
+            "which Iceberg v3 forbids adding: on a format.spec-version=3 "
+            "table consolidate with write_deletion_vectors() instead "
+            "(unset the property first if you really want the v2 form)"
+        )
     live = table.live_files(content="all")
     pos = [f for f in live if f.content == "position-deletes"]
     dvs = [f for f in live if f.content == "deletion-vectors"]
@@ -295,12 +304,9 @@ def write_deletion_vectors(
     Equality deletes are left alone (sequence-ordered application;
     ``compact()`` retires them) — same contract as the parquet
     consolidation."""
-    import uuid as _uuid
-
-    from .dv import DV_BLOB_TYPE, POS_FIELD_ID, build_dv_blobs, dv_positions_df
+    from .dv import build_dv_blobs, dv_positions_df, write_dv_puffins
     from .iceberg_import import canonical_file_path
     from .manifest import DataFile
-    from .puffin import write_puffin
 
     if table.spec_primary:
         from .specio import spec_format_version
@@ -388,62 +394,12 @@ def write_deletion_vectors(
         return table._commit_snapshot(
             "replace", [], {f.path for f in pos} | {f.path for f in dvs}
         )
-    snap_id = table.meta.current_snapshot.snapshot_id
-    entries: list[DataFile] = []
-    batch: list = []
-    batch_bytes = 0
-
-    def _flush():
-        nonlocal batch, batch_bytes
-        if not batch:
-            return
-        puffin = write_puffin(
-            [
-                {
-                    "type": DV_BLOB_TYPE,
-                    "fields": [POS_FIELD_ID],
-                    "snapshot-id": snap_id,
-                    "sequence-number": table.meta.last_sequence_number,
-                    "data": r["blob"],
-                    "properties": {
-                        "referenced-data-file": r["file_path"],
-                        "cardinality": str(r["cardinality"]),
-                    },
-                }
-                for r in batch
-            ]
-        )
-        path = os.path.join(
-            table.location, "data", f"dv-{_uuid.uuid4().hex}.puffin"
-        )
-        with open(path, "wb") as fh:
-            fh.write(puffin)
-        off = len(b"PFA1")
-        for r in batch:
-            entries.append(
-                DataFile(
-                    path=path,
-                    status="added",
-                    partition={},
-                    spec_id=table.meta.default_spec_id,
-                    schema_id=table.meta.current_schema_id,
-                    record_count=int(r["cardinality"]),
-                    file_size_bytes=len(puffin),
-                    content="deletion-vectors",
-                    referenced_data_file=r["file_path"],
-                    content_offset=off,
-                    content_size=len(r["blob"]),
-                )
-            )
-            off += len(r["blob"])
-        batch, batch_bytes = [], 0
-
-    for r in sorted(blobs, key=lambda r: r["file_path"]):
-        if batch_bytes + len(r["blob"]) > max_puffin_bytes and batch:
-            _flush()
-        batch.append(r)
-        batch_bytes += len(r["blob"])
-    _flush()
+    entries = write_dv_puffins(
+        table,
+        blobs,
+        table.meta.current_snapshot.snapshot_id,
+        max_puffin_bytes=max_puffin_bytes,
+    )
     return table._commit_snapshot(
         "replace", entries, {f.path for f in pos} | {f.path for f in dvs}
     )

@@ -2766,3 +2766,162 @@ def ice65_row_lineage(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "ice66_v3_dv_dml",
+    oracle="""
+    SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket,
+           COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders
+    WHERE o_orderkey >= 200 AND o_custkey <> 7
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def ice66_v3_dv_dml(spark: SparkSession, sf: str) -> DataFrame:
+    """D3/M12 under Iceberg v3 (VERDICT r12 task 1): on a
+    ``format.spec-version=3`` spec-primary table, MOR DELETE commits
+    DELETION VECTORS directly — the public v3 spec forbids adding
+    position-delete files, so the DML write path routes every position
+    tombstone through the distributed roaring-bitmap build
+    (icepack/dv.py) and Puffin framing, merging with any prior DV per
+    the v3 one-DV-per-file rule.  Pins, in order: (1) a v3 DELETE
+    leaves ZERO position-delete parquet in the tree; (2) overlapping
+    second DELETE keeps exactly one DV per touched data file; (3)
+    equality deletes remain legal in v3 and coexist; (4) the survivors'
+    ``_row_id`` values are untouched by DV deletes (DVs never rewrite
+    data); (5) the spec tree round-trips through the independent
+    ``read_iceberg`` — with row lineage — matching the native scan.
+    The returned aggregate is computed FROM THE EXTERNAL READ.
+    docs/08-acid-transactions.md:112-116; public Iceberg v3 spec
+    "Row-level deletes"."""
+    import glob as _glob
+    import os as _os
+
+    from ..iceberg_import import read_iceberg
+
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    loc = _scratch()
+    t = IceTable.create(
+        spark, loc, orders.schema,
+        properties={
+            "format.spec-primary": "true",
+            "format.spec-version": "3",
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(orders.repartition(4))
+    before = {
+        r.o_orderkey: r._row_id for r in t.toDF(row_lineage=True).collect()
+    }
+    t.delete(col("o_orderkey") < 100)
+    t.delete(col("o_orderkey") < 200)  # overlaps: per-file DV merge
+    live = t.live_files(content="all")
+    if [f for f in live if f.content == "position-deletes"]:
+        raise RuntimeError("v3 DML wrote position-delete content")
+    if _glob.glob(_os.path.join(loc, "data", "deletes-*", "*.parquet")):
+        raise RuntimeError("v3 DML wrote position-delete parquet")
+    dvs = [f for f in live if f.content == "deletion-vectors"]
+    if not dvs:
+        raise RuntimeError("v3 DML DELETE produced no deletion vectors")
+    per_file: dict[str, int] = {}
+    for d in dvs:
+        per_file[d.referenced_data_file] = per_file.get(d.referenced_data_file, 0) + 1
+    if max(per_file.values()) != 1:
+        raise RuntimeError("v3 one-DV-per-file rule violated")
+    # equality deletes stay legal in v3, coexisting with the DVs
+    t.set_properties(**{"write.delete.mor.strategy": "equality"})
+    t.delete(col("o_custkey") == 7)
+    if not [
+        f
+        for f in t.live_files(content="all")
+        if f.content == "equality-deletes"
+    ]:
+        raise RuntimeError("v3 equality delete did not write an equality file")
+    # DV deletes never rewrite data: every survivor keeps its _row_id
+    after = {
+        r.o_orderkey: r._row_id for r in t.toDF(row_lineage=True).collect()
+    }
+    if any(before[k] != rid for k, rid in after.items()):
+        raise RuntimeError("_row_id changed across DV deletes")
+    # independent spec reader parity — plain AND with row lineage
+    mdir = _os.path.join(loc, "metadata")
+    ext = read_iceberg(spark, mdir).select("o_orderkey", "o_custkey")
+    native = t.toDF().select("o_orderkey", "o_custkey")
+    if ext.exceptAll(native).count() or native.exceptAll(ext).count():
+        raise RuntimeError("external v3 read diverges from native scan")
+    ext_lin = {
+        r.o_orderkey: r._row_id
+        for r in read_iceberg(spark, mdir, row_lineage=True).collect()
+    }
+    if ext_lin != after:
+        raise RuntimeError("external row lineage diverges from native")
+    return (
+        ext.groupBy((F.col("o_custkey") % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("sum_key"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "ice67_sql_row_lineage",
+    oracle="""
+    SELECT c_custkey,
+           CAST(c_acctbal AS DOUBLE)
+             + CASE WHEN c_custkey < 500 THEN 10.0 ELSE 0.0 END AS acct,
+           CAST(CASE WHEN c_custkey < 500 THEN 2 ELSE 1 END AS BIGINT) AS last_upd
+    FROM customer ORDER BY c_custkey
+    """,
+)
+def ice67_sql_row_lineage(spark: SparkSession, sf: str) -> DataFrame:
+    """S13/§2.2 SQL surface over v3 row lineage (VERDICT r12 task 3):
+    the docs' incremental pattern (docs/12-lakehouse-patterns.md:94-104)
+    re-expressed over the RESERVED metadata columns THROUGH IceSQL — a
+    SELECT that references ``_row_id`` / ``_last_updated_sequence_number``
+    scans qualifying (spec-primary v3, non-shadowing) tables with row
+    lineage enabled, no Python API required.  Pins: (1) ``_row_id`` is
+    SQL-selectable and STABLE across a COW UPDATE (ids compared before
+    vs after through SQL itself); (2)
+    ``_last_updated_sequence_number`` serves the CDC watermark — the
+    oracle recomputes it as INSERT=seq 1 / UPDATE=seq 2 per row."""
+    from ..sql import IceSQL
+
+    isql = IceSQL(spark, _scratch())
+    load(spark, sf, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("double").alias("acct")
+    ).createOrReplaceTempView("cust_src")
+    isql.sql(
+        """
+        CREATE ICEBERG TABLE db.cust (
+            c_custkey BIGINT NOT NULL,
+            acct      DOUBLE
+        ) TBLPROPERTIES (
+            'format.spec-primary'='true', 'format.spec-version'='3'
+        )
+        """
+    )
+    isql.sql("INSERT INTO db.cust SELECT * FROM cust_src")
+    ids_before = {
+        r.c_custkey: r.rid
+        for r in isql.sql(
+            "SELECT c_custkey, _row_id AS rid FROM cust"
+        ).collect()
+    }
+    isql.sql("UPDATE db.cust SET acct = acct + 10 WHERE c_custkey < 500")
+    ids_after = {
+        r.c_custkey: r.rid
+        for r in isql.sql(
+            "SELECT c_custkey, _row_id AS rid FROM cust"
+        ).collect()
+    }
+    if ids_before != ids_after:
+        raise RuntimeError("_row_id not stable across COW UPDATE via SQL")
+    return isql.sql(
+        "SELECT c_custkey, acct, "
+        "_last_updated_sequence_number AS last_upd "
+        "FROM cust ORDER BY c_custkey"
+    )

@@ -549,15 +549,41 @@ class IceSQL:
         ]
         handles = {name: self._table(name) for name in hit}
         preds = self._select_scan_predicates(stmt, handles)
+        # v3 row lineage through SQL (VERDICT r12 task 3): a statement
+        # that references the RESERVED metadata columns scans qualifying
+        # tables with row_lineage=True so CDC-style queries ("rows
+        # updated since sequence N", docs/12-lakehouse-patterns.md:94-104
+        # re-expressed over lineage) work without the Python API.
+        # Qualifying = spec-primary format.spec-version=3 and no schema
+        # shadowing (a table whose schema legitimately owns a column of
+        # that name keeps serving the DATA column).
+        wants_lineage = re.search(
+            r"(?i)\b(_row_id|_last_updated_sequence_number)\b", stmt
+        )
         for name, t in handles.items():
             flat, short = name.replace(".", "_"), name.split(".")[-1]
-            df = t.toDF(preds.get(name))
+            lineage = bool(wants_lineage) and self._serves_lineage(t)
+            df = t.toDF(preds.get(name), row_lineage=lineage)
             df.createOrReplaceTempView(flat)
             if short != name:
                 df.createOrReplaceTempView(short)
             if "." in name:
                 stmt = re.sub(rf"(?i)\b{re.escape(name)}\b", flat, stmt)
         return stmt
+
+    @staticmethod
+    def _serves_lineage(t: IceTable) -> bool:
+        """True when *t* can serve the v3 lineage metadata columns:
+        spec-primary, format.spec-version=3, and the schema does not
+        shadow the reserved names (shadowing tables serve their own
+        data columns — the native scan's refusal is for EXPLICIT
+        row_lineage=True requests, which SQL never hard-requires)."""
+        from .specio import spec_format_version
+
+        if not (t.spec_primary and spec_format_version(t.meta.properties) >= 3):
+            return False
+        names = {f.name for f in t.meta.schema.fields}
+        return not (names & {"_row_id", "_last_updated_sequence_number"})
 
     def _select_scan_predicates(self, stmt: str, handles: dict) -> dict:
         """{table name -> prunable Expr} from a SELECT's top-level

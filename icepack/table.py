@@ -1551,10 +1551,14 @@ class IceTable:
         from .iceberg_import import canonical_file_path
 
         df = self._read_with_deletes(files, deletes, with_pos=True, lineage=True)
+        # key by the canonical spelling for ANY scheme-prefixed path
+        # (s3a:// unifies to s3://, percent-encoding drops) — the same
+        # discipline as the DV mask join; raw paths pass through the
+        # canonicalizer verbatim by its own contract (ADVICE r12: a
+        # 'file:'-only guard left other schemes missing the broadcast
+        # lookup, silently resolving lineage columns to NULL)
         by_canon = {
-            canonical_file_path(f.path)
-            if f.path.startswith("file:")
-            else f.path: (f.first_row_id, f.sequence_number)
+            canonical_file_path(f.path): (f.first_row_id, f.sequence_number)
             for f in files
             if f.content == "data"
         }
@@ -1812,7 +1816,10 @@ class IceTable:
                 df = df.join(F.broadcast(dels), cond, "left_anti")
             parts.append(df)
         if not parts:
-            return self._read_files([], with_pos=with_pos)
+            # forward lineage so a v3 row_lineage scan that plans zero
+            # data files (e.g. delete-only entry lists) still carries
+            # the lineage columns (ADVICE r12)
+            return self._read_files([], with_pos=with_pos, lineage=lineage)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

@@ -762,13 +762,14 @@ def test_migrate_covers_live_files_under_retired_bucket_spec(spark, tmp_path):
 
 
 def test_spec_primary_v3_deletion_vector_lifecycle(spark, tmp_path):
-    """VERDICT r10 item 3: format.spec-version=3 lets a spec-primary
-    tree carry deletion vectors NATIVELY — write_deletion_vectors
-    commits DV entries as content=1 Puffin blob references in spec v3
-    manifests (no refusal, no parquet fold-back), the metadata.json is
-    format-version 3 with next-row-id, and the triangle (native ==
-    read_iceberg == DuckDB) holds through consolidate → delete →
-    re-consolidate."""
+    """VERDICT r10 item 3 (+ r12 item 1): format.spec-version=3 lets a
+    spec-primary tree carry deletion vectors NATIVELY — and as of r13
+    MOR DML COMMITS them directly (Iceberg v3 forbids adding
+    position-delete files), so a v3 DELETE needs no consolidation
+    step: DV entries are content=1 Puffin blob references in spec v3
+    manifests, the metadata.json is format-version 3 with next-row-id,
+    and the triangle (native == read_iceberg == DuckDB) holds through
+    delete → delete → consolidate."""
     from icepack import maintenance as M
 
     loc = str(tmp_path / "sp3")
@@ -784,7 +785,12 @@ def test_spec_primary_v3_deletion_vector_lifecycle(spark, tmp_path):
     )
     t.append(df)
     t.delete(col("k") == 2)
-    assert M.write_deletion_vectors(t) is not None
+    # the DML itself wrote the DVs: nothing left to consolidate, and no
+    # position-delete parquet ever touched the tree
+    assert M.write_deletion_vectors(t) is None
+    assert not [
+        f for f in t.live_files(content="all") if f.content == "position-deletes"
+    ]
     dvs = [f for f in t.live_files(content="all") if f.content == "deletion-vectors"]
     assert dvs and all(
         f.content_offset is not None and f.referenced_data_file for f in dvs
@@ -889,7 +895,12 @@ def test_spec_primary_v3_dv_full_maintenance_lifecycle(spark, tmp_path):
     )
     t.append(df.filter("id < 150"))
     t.append(df.filter("id >= 150"))
-    t.delete(col("v") == 2.0)
+    # r13: two v3 MOR deletes on DISJOINT file sets write one DV puffin
+    # each; the consolidation then folds them into ONE puffin (r12-era
+    # flow wrote position parquet first — v3 DML now commits DVs
+    # directly, merging per touched file)
+    t.delete(col("id") < 10)
+    t.delete(col("id") >= 290)
     assert M.write_deletion_vectors(t) is not None
     want = rows_sorted(t.toDF())
 
