@@ -120,17 +120,27 @@ def main() -> None:
     # spread is recorded so the artifact itself proves whether the
     # gauge was usable.  Measured on this box: min-of-5 is ~8%
     # session-to-session where the old 0.25 s median swung ±30%.
-    CANARY_ID = "range20e9-p512-mod97"
+    # r12 verdict item 5: two rounds running (26%, 42% spread) the
+    # single-shot samples failed to arbitrate drift — each OBSERVATION
+    # is now the MEDIAN of 3 back-to-back runs, so a one-off straggler
+    # (GC pause, competing process) cannot inflate the spread that
+    # decides whether the gauge is served at all.  The gauge id changes
+    # with the estimator so cross-round ratios only compare like with
+    # like (same_gauge check below).
+    CANARY_ID = "range20e9-p512-mod97-med3"
     CANARY_ROWS = 20_000_000_000
 
-    def _canary() -> float:
+    def _canary_once() -> float:
         t0 = time.time()
         spark.range(0, CANARY_ROWS, 1, 512).selectExpr(
             "sum(id % 97) AS s"  # modulo: sum(id*2+1) overflows int64 at 20B rows
         ).write.mode("overwrite").format("noop").save()
         return round(time.time() - t0, 3)
 
-    _canary()  # warm the canary's own codegen once
+    def _canary() -> float:
+        return statistics.median(_canary_once() for _ in range(3))
+
+    _canary_once()  # warm the canary's own codegen once
     for _ in range(reps):
         canary.append(_canary())
         for name in HEADLINE:

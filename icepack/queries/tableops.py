@@ -2716,12 +2716,16 @@ def ice64_wide_decimal_truncate(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "ice65_row_lineage",
     oracle="""
-    SELECT o_orderkey,
-           CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
-             AS row_id,
-           CAST(CASE WHEN o_orderkey < 1000 THEN 2 ELSE 1 END AS BIGINT)
-             AS last_upd
-    FROM orders
+    WITH ranked AS (
+      SELECT o_orderkey,
+             CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+               AS row_id,
+             CAST(CASE WHEN o_orderkey < 1000 THEN 2 ELSE 1 END AS BIGINT)
+               AS last_upd
+      FROM orders
+    )
+    SELECT o_orderkey, row_id, last_upd FROM ranked
+    WHERE o_orderkey < 2000 OR o_orderkey >= 3000
     ORDER BY o_orderkey
     """,
 )
@@ -2742,7 +2746,7 @@ def ice65_row_lineage(spark: SparkSession, sf: str) -> DataFrame:
     1/2, proving the compaction preserved rather than re-stamped them.
     Public Iceberg v3 spec "Row Lineage"
     (docs/05-snapshots-time-travel.md, docs/11:31-42)."""
-    from ..dml import update
+    from ..dml import delete, update
     from ..maintenance import compact
 
     orders = load(spark, sf, "orders").select("o_orderkey", "o_totalprice")
@@ -2757,6 +2761,20 @@ def ice65_row_lineage(spark: SparkSession, sf: str) -> DataFrame:
         {"o_totalprice": F.col("o_totalprice") + F.lit(1)},
     )
     compact(t, target_file_size=1 << 26)
+    # r13 (VERDICT r12 task 4): grow the survival matrix a DV row — a
+    # v3 MOR DELETE commits a deletion vector (never position-delete
+    # parquet), which masks rows WITHOUT rewriting data: survivors keep
+    # both their _row_id and their _last_updated_sequence_number.
+    t.set_properties(**{
+        "write.delete.mode": "merge-on-read",
+        "write.delete.mor.strategy": "position",
+    })
+    delete(t, (col("o_orderkey") >= 2000) & (col("o_orderkey") < 3000))
+    if not [
+        f for f in t.live_files(content="all")
+        if f.content == "deletion-vectors"
+    ]:
+        raise RuntimeError("v3 MOR delete did not commit a deletion vector")
     return (
         t.toDF(row_lineage=True)
         .select(

@@ -319,3 +319,160 @@ def test_merge_without_update_clause_keeps_last_updated(spark, warehouse):
     merge(t, src, on=["id"], when_not_matched_insert=False)
     after = _lineage(t)
     assert after == before  # ids AND last-updated unchanged
+
+
+def test_dv_delete_preserves_lineage(spark, warehouse):
+    """VERDICT r12 task 4: on a v3 lineage table a MOR position DELETE
+    commits a DELETION VECTOR (v3 forbids position-delete parquet) —
+    DVs mask rows without rewriting data, so every survivor keeps BOTH
+    its _row_id and its _last_updated_sequence_number; the masked ids
+    simply vanish from the scan.  A later UPDATE's DV round (MOR
+    update = DV + re-insert) assigns FRESH ids to the re-inserted rows
+    only."""
+    t = _mk(
+        spark,
+        warehouse,
+        "rl_dv",
+        n=120,
+        props={
+            **V3,
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    before = _lineage(t)
+    delete(t, col("id") < 30)
+    live = [f for f in t.live_files(content="all") if f.content != "data"]
+    assert live and all(f.content == "deletion-vectors" for f in live)
+    after = _lineage(t)
+    assert set(after) == {i for i in before if i >= 30}
+    assert all(after[i] == before[i] for i in after)  # ids AND last-upd
+
+
+def test_dv_consolidation_preserves_lineage(spark, warehouse):
+    """write_deletion_vectors (multi-puffin consolidation) is
+    metadata+bitmap work only — survivors' resolved lineage columns are
+    bit-identical before and after."""
+    from icepack.maintenance import write_deletion_vectors
+
+    t = _mk(
+        spark,
+        warehouse,
+        "rl_dvc",
+        n=100,
+        props={
+            **V3,
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(
+        spark.range(100, 200).selectExpr("id", "cast(id % 7 as string) k")
+    )
+    # two deletes on DISJOINT appends -> two puffins -> consolidation
+    delete(t, col("id") < 10)
+    delete(t, col("id") >= 190)
+    before = _lineage(t)
+    assert write_deletion_vectors(t) is not None
+    assert _lineage(t) == before
+
+
+def test_dml_dv_merges_upgraded_position_deletes(spark, warehouse):
+    """v2->v3 upgrade path (public v3 spec): a tree may CARRY v2-era
+    position-delete parquet, but a NEW DV for a data file must include
+    every previously-deleted position of that file — external v3
+    readers may ignore position deletes once a DV exists.  Pin: delete
+    under v2 (parquet tombstones), upgrade, delete again under v3 →
+    the new DV's cardinality covers both rounds and the scan masks the
+    union."""
+    df = spark.range(0, 100).selectExpr("id", "cast(id % 7 as string) k")
+    t = IceTable.create(
+        spark,
+        os.path.join(warehouse, "rl_upg"),
+        df.schema,
+        properties={
+            "format.spec-primary": "true",
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df.coalesce(1))  # ONE data file: both deletes touch it
+    delete(t, col("id") < 10)  # v2: position-delete parquet
+    assert [
+        f for f in t.live_files(content="all") if f.content == "position-deletes"
+    ]
+    t.set_properties(**{"format.spec-version": "3"})
+    delete(t, (col("id") >= 10) & (col("id") < 20))  # v3: DV, folds prior
+    dvs = [
+        f for f in t.live_files(content="all") if f.content == "deletion-vectors"
+    ]
+    assert dvs
+    # every touched file's DV holds BOTH rounds' positions
+    assert sum(f.record_count for f in dvs) == 20
+    got = sorted(r.id for r in t.toDF().collect())
+    assert got == list(range(20, 100))
+
+
+def test_read_iceberg_row_lineage_guards(spark, warehouse):
+    """ADVICE r12: read_iceberg(row_lineage=True) mirrors the native
+    toDF guards — a v2 tree raises (instead of silently serving
+    all-NULL lineage) and a schema shadowing the reserved names raises
+    (instead of duplicating the column)."""
+    import os
+
+    from icepack.iceberg_import import read_iceberg
+
+    t2 = _mk(
+        spark, warehouse, "rl_g2", n=20, props={"format.spec-primary": "true"}
+    )
+    with pytest.raises(ValueError, match="format-version 3"):
+        read_iceberg(
+            spark, os.path.join(warehouse, "rl_g2", "metadata"), row_lineage=True
+        )
+
+    df = spark.range(5).selectExpr("id", "cast(id as long) _row_id")
+    t3 = IceTable.create(
+        spark, os.path.join(warehouse, "rl_g3"), df.schema, properties=dict(V3)
+    )
+    t3.append(df)
+    with pytest.raises(ValueError, match="shadow"):
+        read_iceberg(
+            spark, os.path.join(warehouse, "rl_g3", "metadata"), row_lineage=True
+        )
+
+
+def test_sql_row_lineage_surface(spark, warehouse):
+    """VERDICT r12 task 3: IceSQL serves the reserved lineage columns
+    on qualifying tables — and a SHADOWING table keeps serving its own
+    data column (no lineage hijack)."""
+    import os
+
+    from icepack.sql import IceSQL
+
+    isql = IceSQL(spark, os.path.join(warehouse, "sqlwh"))
+    isql.sql(
+        "CREATE ICEBERG TABLE db.ev (id BIGINT NOT NULL, k VARCHAR(8)) "
+        "TBLPROPERTIES ('format.spec-primary'='true', "
+        "'format.spec-version'='3')"
+    )
+    spark.range(40).selectExpr("id", "cast(id % 3 as string) k").repartition(
+        1
+    ).sortWithinPartitions("id").createOrReplaceTempView("ev_src")
+    isql.sql("INSERT INTO db.ev SELECT * FROM ev_src")
+    isql.sql("UPDATE db.ev SET k = 'u' WHERE id < 5")
+    rows = isql.sql(
+        "SELECT id, _row_id AS rid, _last_updated_sequence_number AS lu "
+        "FROM ev ORDER BY id"
+    ).collect()
+    assert [r.rid for r in rows] == list(range(40))
+    assert all((r.lu == 2) == (r.id < 5) for r in rows)
+    # CDC watermark form straight from the docs' incremental pattern
+    upd = isql.sql(
+        "SELECT id FROM ev WHERE _last_updated_sequence_number > 1"
+    ).collect()
+    assert sorted(r.id for r in upd) == list(range(5))
+    # a shadowing table serves ITS OWN column, never the metadata one
+    isql.sql("CREATE ICEBERG TABLE db.sh (id BIGINT NOT NULL, _row_id BIGINT)")
+    isql.sql("INSERT INTO db.sh VALUES (1, 777)")
+    got = isql.sql("SELECT id, _row_id FROM sh").collect()
+    assert [(r.id, r._row_id) for r in got] == [(1, 777)]

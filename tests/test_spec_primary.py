@@ -916,3 +916,172 @@ def test_spec_primary_v3_dv_full_maintenance_lifecycle(spark, tmp_path):
     assert rows_sorted(t.toDF()) == want
     ext = read_iceberg(spark, os.path.join(loc, "metadata"))
     assert rows_sorted(ext.select(*t.toDF().columns)) == want
+
+
+# -- r13 (VERDICT r12 task 8): hypothesis fuzz of the v3 lifecycle ----------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _fuzz_step_pool():
+    """Op vocabulary for the v3 lifecycle fuzz: (name, needs_rows)."""
+    return [
+        "append",
+        "cow_delete",
+        "dv_delete",
+        "eq_delete",
+        "cow_update",
+        "mor_update",
+        "compact",
+        "consolidate_dvs",
+        "rewrite_manifests",
+    ]
+
+
+@settings(max_examples=20, deadline=None, derandomize=True)
+@given(st.data())
+def test_v3_lifecycle_triangle_fuzz(spark, data):
+    """VERDICT r12 task 8: ≥20 random v3 lifecycles — every committed
+    step re-checks the TRIANGLE (native scan == independent spec
+    ``read_iceberg`` == DuckDB render), a driver-side row MODEL (exact
+    expected contents), and the lineage invariants (_row_id unique;
+    rows untouched by the step keep their ids).  One randomly chosen
+    DML step runs under faultstore crash injection at a random commit
+    mutation: after the simulated process death the reopened table must
+    equal the pre- or post-state, never a partial, and the lifecycle
+    continues from whichever state survived."""
+    import tempfile
+
+    from icepack import maintenance as M
+    from icepack.storage import LocalStore
+    from tests.faultstore import CrashingStore, SimulatedCrash
+
+    loc = tempfile.mkdtemp(prefix="icepack-fuzz-")
+    base = LocalStore()
+    df0 = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(40)], "id bigint, v double"
+    )
+    t = IceTable.create(
+        spark, loc, df0.schema,
+        properties={
+            "format.spec-primary": "true",
+            "format.spec-version": "3",
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+        store=base,
+    )
+    t.append(df0.coalesce(1).sortWithinPartitions("id"))
+    model = {i: float(i % 7) for i in range(40)}
+    next_id = 40
+
+    def check(tbl):
+        native = _triangle(spark, tbl, loc)  # all three readers agree
+        assert sorted(native) == sorted(model.items())  # exact expected rows
+        lin = {
+            r.id: r._row_id for r in tbl.toDF(row_lineage=True).collect()
+        }
+        assert len(set(lin.values())) == len(lin)  # ids unique
+        return lin
+
+    lin_prev = check(t)
+
+    n_steps = data.draw(st.integers(min_value=3, max_value=5), label="n_steps")
+    crash_step = data.draw(
+        st.integers(min_value=0, max_value=n_steps - 1), label="crash_step"
+    )
+    for step in range(n_steps):
+        op = data.draw(st.sampled_from(_fuzz_step_pool()), label=f"op{step}")
+        lo = data.draw(
+            st.integers(min_value=0, max_value=max(next_id - 1, 1)),
+            label=f"lo{step}",
+        )
+        width = data.draw(st.integers(min_value=1, max_value=15), label=f"w{step}")
+        hi = lo + width
+        touched: set[int] = set()
+        post = dict(model)
+
+        def do(handle):
+            nonlocal next_id
+            if op == "append":
+                rows = [(next_id + j, float(j)) for j in range(width)]
+                handle.append(
+                    spark.createDataFrame(rows, "id bigint, v double")
+                    .coalesce(1)
+                    .sortWithinPartitions("id")
+                )
+                for i, v in rows:
+                    post[i] = v
+                next_id += width
+            elif op in ("cow_delete", "dv_delete", "eq_delete"):
+                handle.set_properties(
+                    **{
+                        "write.delete.mode": (
+                            "copy-on-write" if op == "cow_delete" else "merge-on-read"
+                        ),
+                        "write.delete.mor.strategy": (
+                            "equality" if op == "eq_delete" else "position"
+                        ),
+                    }
+                )
+                handle.delete((col("id") >= lo) & (col("id") < hi))
+                for i in range(lo, hi):
+                    if post.pop(i, None) is not None:
+                        touched.add(i)
+            elif op in ("cow_update", "mor_update"):
+                handle.set_properties(
+                    **{
+                        "write.update.mode": (
+                            "merge-on-read" if op == "mor_update" else "copy-on-write"
+                        )
+                    }
+                )
+                handle.update(
+                    (col("id") >= lo) & (col("id") < hi),
+                    {"v": F.col("v") + F.lit(100.0)},
+                )
+                for i in range(lo, hi):
+                    if i in post:
+                        post[i] += 100.0
+                        touched.add(i)
+            elif op == "compact":
+                M.compact(handle, target_file_size=1 << 26)
+            elif op == "consolidate_dvs":
+                M.write_deletion_vectors(handle)
+            else:
+                M.rewrite_manifests(handle)
+
+        if step == crash_step and op not in (
+            "compact", "consolidate_dvs", "rewrite_manifests",
+        ):
+            budget = data.draw(
+                st.integers(min_value=0, max_value=4), label=f"budget{step}"
+            )
+            crasher = CrashingStore(base, budget)
+            tc = IceTable.load(spark, loc, store=crasher)
+            saved_next = next_id
+            try:
+                do(tc)
+                t = IceTable.load(spark, loc, store=base)
+                model = post
+            except SimulatedCrash:
+                t = IceTable.load(spark, loc, store=base)
+                got = sorted(tuple(r) for r in rows_sorted(t.toDF()))
+                if got == sorted(post.items()):
+                    model = post  # crash after the final CAS: op landed
+                else:
+                    assert got == sorted(model.items())  # clean pre-state
+                    next_id = saved_next
+                    touched = set()
+        else:
+            do(t)
+            model = post
+
+        lin_now = check(t)
+        if op != "mor_update":
+            stable = set(lin_now) & set(lin_prev) - touched
+        else:
+            stable = set(lin_now) - touched  # re-inserts take fresh ids
+        assert all(lin_now[i] == lin_prev[i] for i in stable if i in lin_prev)
+        lin_prev = lin_now
