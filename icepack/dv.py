@@ -112,9 +112,12 @@ def write_dv_puffins(
                 for r in batch
             ]
         )
-        path = os.path.join(
-            table.location, "data", f"dv-{_uuid.uuid4().hex}.puffin"
-        )
+        # an add_files-adopted table may never have written a native
+        # data/ dir (its parquet lives externally) — create it on
+        # first DV write
+        ddir = os.path.join(table.location, "data")
+        os.makedirs(ddir, exist_ok=True)
+        path = os.path.join(ddir, f"dv-{_uuid.uuid4().hex}.puffin")
         with open(path, "wb") as fh:
             fh.write(puffin)
         off = len(b"PFA1")

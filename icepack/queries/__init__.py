@@ -56,71 +56,69 @@ def load_all_modules() -> None:
 #: iteration order never depends on untracked files in the environment
 #: (same input -> same order, everywhere).
 #:
-#: Round-12 snapshot (VERDICT r11 task 3): the r11 driver run covered
-#: the r6-stale cohort, so the oldest driver evidence is now
-#: x41_stratified_fixed_n (r6 -- it sat outside the r10 rotation's
-#: named x30-x40 cohort) followed by a 37-query r7 cohort (the
-#: a4_tpch battery minus the r8-refreshed five, ice45/51/53/55,
-#: x2/x28/x29/x42-x44/x48-x51/x53-x55/x57-x59).  They go FIRST -- after
-#: this round no query's newest driver evidence is older than r8 --
-#: then the queries whose code paths change THIS round (v3 row
-#: lineage: manifest-list field-520 assignment, lineage-carrying COW
-#: DML/compaction/manifest rewrite, export reusing table row ids,
-#: ENTRY_SCHEMA growing first-row-id; dedup mining width scoped to a
-#: cloned session; semantic self-pair/bucket-cap hardening).
+#: Round-13 snapshot (VERDICT r12 task 6): the r12 driver run covered
+#: the r7-stale cohort; the union of CORRECTNESS_r01..r12 now bottoms
+#: out at a 40-query r8 cohort (a0/a1x analytics, the w/o/f families,
+#: a4_tpch_q1/5/9/18/19, ice32/33/40/56/58, x45-x47/x56).  First come
+#: the queries whose CODE changed this round (v3 DML deletion vectors:
+#: ice66 new, ice63/ice54 share the rewritten DV writer, ice65 grew a
+#: DV survival row, ice52's MERGE tombstones become DVs on v3; ice67
+#: new SQL row-lineage surface), then the full r8 cohort — after the
+#: r13 run no query's newest driver evidence should be older than r9.
 PRIORITY: list[str] = [
-    "x41_stratified_fixed_n",  # r6 -- missed by the r10 rotation list
-    # r7-evidenced cohort
-    "a4_tpch_q2",
-    "a4_tpch_q3",
-    "a4_tpch_q4",
-    "a4_tpch_q6",
-    "a4_tpch_q7",
-    "a4_tpch_q8",
-    "a4_tpch_q10",
-    "a4_tpch_q11",
-    "a4_tpch_q12",
-    "a4_tpch_q13",
-    "a4_tpch_q14",
-    "a4_tpch_q15",
-    "a4_tpch_q16",
-    "a4_tpch_q17",
-    "a4_tpch_q20",
-    "a4_tpch_q21",
-    "a4_tpch_q22",
-    "ice45_mor_batch_read",
-    "ice51_table_stats",
-    "ice53_stream_dedup_ingest",
-    "ice55_versioned_view",
-    "x2_jaccard_pairs",
-    "x28_sequence_pack",
-    "x29_vocab_stats",
-    "x42_training_pipeline",
-    "x43_pii_scan",
-    "x44_pii_redact",
-    "x48_semantic_dedup",  # ALSO r12-changed: self-pair filter, bucket cap
-    "x49_pq_adc_search",
-    "x50_matryoshka_rerank",
-    "x51_audio_chunk_energy",
-    "x53_mixture_resample",
-    "x54_simhash_neardup",
-    "x55_semantic_dedup_clusters",
-    "x57_temperature_sample",
-    "x58_rrf_fusion",
-    "x59_adaptive_quality_filter",
-    # code changing this round -- re-evidence (new first)
-    "ice65_row_lineage",  # NEW in r12: v3 row lineage end-to-end
-    "ice63_dv_v3_export",  # v3 commits now assign first_row_id
-    "ice49_spec_primary",  # spec-primary commit/summary changes
-    "ice50_foreign_adopt",  # read_spec_manifest decodes first_row_id
-    "ice43_iceberg_export",  # export prefers table-assigned row ids
-    "ice47_iceberg_read",
-    "ice60_auto_distributed_scan",  # ENTRY_SCHEMA grew first-row-id
-    "ice52_table_dedup",  # mining width now scoped to a cloned session
-    "ice5_merge",  # COW merge lineage carry
-    "ice9_compact_expire",  # compact materializes lineage columns
-    "ice17_zorder_compact",
-    "ice24_rewrite_manifests",  # rewrites keep explicit row ids
+    # r13-changed / new first (never- or stale-evidenced on new code)
+    "ice66_v3_dv_dml",  # NEW: v3 DML deletion vectors end-to-end
+    "ice67_sql_row_lineage",  # NEW: lineage metadata columns via IceSQL
+    "ice65_row_lineage",  # grew a DV-delete survival row
+    "ice63_dv_v3_export",  # DV writer now shared write_dv_puffins
+    "ice54_deletion_vectors",  # consolidation refactored onto it
+    "ice52_table_dedup",  # dedupe MERGE tombstones -> DVs on v3
+    # r8-evidenced cohort (oldest in the CORRECTNESS union)
+    "a0_gold_daily",
+    "a10_conditional_agg",
+    "a11_salted_agg",
+    "a13_skyline",
+    "a17_exact_median",
+    "a18_gapfill_lerp",
+    "a19_copurchase",
+    "a1_groupby_count",
+    "a20_share_of_total",
+    "a3_approx_distinct",
+    "a4_tpch_q1",
+    "a4_tpch_q18",
+    "a4_tpch_q19",
+    "a4_tpch_q5",
+    "a4_tpch_q9",
+    "a5_correlated_subquery",
+    "a5_scalar_subquery",
+    "a6_cube",
+    "a6_grouping_sets",
+    "a6_rollup",
+    "a7_stat_aggs",
+    "a8_pivot",
+    "a9_listagg",
+    "ice32_rest_catalog",
+    "ice33_orc_ingest",
+    "ice40_stream_source",
+    "ice56_partition_stats",
+    "ice58_materialized_view",
+    "j9_null_safe_join",
+    "o1_global_sort",
+    "o2_top_n",
+    "o3_union_all",
+    "w1_rank_family",
+    "w1_topk_per_group",
+    "w2_lag_gap",
+    "w3_running_sum",
+    "x45_domain_cap",
+    "x46_line_dedup_ratio",
+    "x47_substring_dedup",
+    "x56_containment_dedup",
+    # r9 heads (next-oldest) fill the remaining sample budget
+    "a12_funnel",
+    "a15_sessionize_gap",
+    "f10_date_spine",
+    "f1_date_trunc",
 ]
 
 

@@ -187,6 +187,71 @@ def run_table_rung(spark, corpus_dir: str, tbl_root: str, control: bool = False)
     return out
 
 
+def run_v3_rung(spark, corpus_dir: str, tbl_root: str) -> dict:
+    """r13 (VERDICT r12 task 7): dedupe_table END-TO-END — a REAL
+    MERGE-on-read commit, not dry_run — against a spec-primary
+    ``format.spec-version=3`` table.  On v3 the losers' tombstones must
+    land as DELETION VECTORS (the public v3 spec forbids adding
+    position-delete parquet), so this rung measures the full mine →
+    cluster → MERGE WHEN MATCHED DELETE → distributed DV build →
+    Puffin commit path at ladder scale, then pins that the spec tree
+    still serves the deduped rows to the independent ``read_iceberg``
+    reader row-count-exactly."""
+    import glob as _glob
+
+    from icepack.dedup import dedupe_table
+    from icepack.iceberg_import import read_iceberg
+    from icepack.table import IceTable
+
+    os.makedirs(tbl_root, exist_ok=True)
+    # fresh table per invocation: the rung COMMITS deletes, so reusing
+    # an already-deduped tree would measure a no-op second pass
+    loc = os.path.join(tbl_root, f"documents_v3_{int(time.time())}")
+    df = load(spark, corpus_dir, "documents")
+    t = IceTable.create(
+        spark, loc, df.schema,
+        properties={
+            "format.spec-primary": "true",
+            "format.spec-version": "3",
+            "write.merge.mode": "merge-on-read",
+            "dedup.shuffle.max-partitions": "4096",
+        },
+    )
+    src = os.path.join(corpus_dir, "documents.parquet")
+    files = (
+        sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        if os.path.isdir(src)
+        else [src]
+    )
+    t.add_files(files)
+    before = t.toDF().count()
+    t0 = time.time()
+    r = dedupe_table(t, method="exact")
+    wall = round(time.time() - t0, 3)
+    native = t.toDF().count()
+    live = t.live_files(content="all")
+    if [f for f in live if f.content == "position-deletes"]:
+        raise RuntimeError("v3 dedupe committed position-delete parquet")
+    dvs = [f for f in live if f.content == "deletion-vectors"]
+    if r["dropped"] and not dvs:
+        raise RuntimeError("v3 dedupe dropped rows without deletion vectors")
+    if before - r["dropped"] != native:
+        raise RuntimeError(
+            f"dedupe arithmetic off: {before} - {r['dropped']} != {native}"
+        )
+    ext = read_iceberg(spark, os.path.join(loc, "metadata")).count()
+    if ext != native:
+        raise RuntimeError(f"read_iceberg rows {ext} != native {native}")
+    return {
+        "rows_before": before,
+        "dropped": r["dropped"],
+        "rows_after": native,
+        "exact_commit_sec": wall,
+        "dv_entries": len(dvs),
+        "read_iceberg_rows": ext,
+    }
+
+
 def run_rung(spark, qs, sf_dir: str) -> dict:
     out = {}
     for name in QUERIES:
@@ -204,11 +269,26 @@ def main() -> None:
     args = sys.argv[1:]
     unique = "--unique" in args
     table_mode = "--table" in args
+    v3_mode = "--v3" in args  # r13: real MERGE->DV commit on a v3 table
     control = "--control" in args  # pin mining shuffle at 32 (pre-r11)
     reps = [int(a) for a in args if not a.startswith("--")] or [30, 100]
     spark = get_session("icepack-dedup-ladder")
     kind = "unique" if unique else "dup"
     results = {}
+    if v3_mode:
+        for k in [0] + reps:
+            sf = 0.1 * k if k else 0.1
+            out = BASE
+            if k:
+                out = f"/tmp/icepack-dedup-{kind}-sf{sf:g}"
+                os.makedirs(out, exist_ok=True)
+                (build_unique if unique else build)(spark, out, k)
+            r = run_v3_rung(
+                spark, out, f"/tmp/icepack-dedup-v3-{kind}-sf{sf:g}"
+            )
+            print(json.dumps({"sf": sf, "v3_dedupe": r, "corpus": kind if k else "base"}))
+        spark.stop()
+        return
     if table_mode:
         names = TABLE_METHODS
         base = run_table_rung(spark, BASE, f"/tmp/icepack-dedup-tbl-base", control)
