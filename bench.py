@@ -382,8 +382,11 @@ def _latest_prev_bench() -> tuple[int, dict] | None:
 def _bench_partitioned_write(spark, sf_dir: str) -> tuple[float, dict]:
     """Time one partitioned DSv2 batch write of the events table onto a
     ``day(ts), bucket(8, user_id)`` spec (create-on-first-write via
-    ``.option("partition-by", ...)``), returning (best of 2 WARM reps
-    — 3 runs, first discarded as class-loading/codegen warmup,
+    ``.option("partition-by", ...)``), returning (best of 3 WARM reps
+    — 4 runs, first discarded as class-loading/codegen warmup; r12
+    verdict item 2: w0 was the one query whose round-over-round ratio
+    exceeded its own same-HEAD spread, so it gets one more warm rep
+    than the interleaved batch queries,
     {rows, rows_per_sec, n_files, n_partitions, files-per-partition
     spread}).  The tuple materialization runs task-side in the numpy
     lanes (transforms.batch_values); this leg is the scale evidence
@@ -400,11 +403,11 @@ def _bench_partitioned_write(spark, sf_dir: str) -> tuple[float, dict]:
     rows = ev.count()
     samples = []
     stats = {}
-    # 3 reps, first DISCARDED as warmup (r9 verdict item 7: the first
+    # 4 reps, first DISCARDED as warmup (r9 verdict item 7: the first
     # DSv2 write pays one-time class-loading/codegen — r9 measured
     # samples [15.9, 1.0], a 16× cold-start skewing a min-of-2's
     # spread; the kept samples must all be warm)
-    for rep in range(3):
+    for rep in range(4):
         base = tempfile.mkdtemp(prefix="bench-dsv2-")
         try:
             loc = os.path.join(base, "tbl")

@@ -1100,9 +1100,24 @@ def verify_table(
     for dpath, ref in anchored_refs:
         if ref not in live_data_paths:
             findings.append(_dangling_anchor_finding(dpath, ref))
+    by_ref: dict = {}
+    for _dpath, ref in anchored_refs:
+        by_ref[ref] = by_ref.get(ref, 0) + 1
+    findings.extend(
+        _multi_dv_finding(ref, n) for ref, n in sorted(by_ref.items()) if n > 1
+    )
     if check_buckets:
         findings.extend(verify_decimal_buckets(table))
     return findings
+
+
+def _multi_dv_finding(ref: str, n: int) -> str:
+    return (
+        f"data file {ref!r} has {n} live deletion vectors — the v3 "
+        "one-DV-per-file rule (and this engine's own invariant at any "
+        "version) allows exactly one; concurrent-writer residue or "
+        "manual surgery.  Run write_deletion_vectors() to consolidate"
+    )
 
 
 def _dangling_anchor_finding(dpath: str, ref) -> str:
@@ -1286,6 +1301,13 @@ def _verify_manifests_distributed(
             data, anchors["b"] == data["p"], "left_anti"
         ).collect()
         findings.extend(_dangling_anchor_finding(r["a"], r["b"]) for r in dangling)
+        multi = (
+            anchors.groupBy("b")
+            .agg(F.count("*").alias("n"))
+            .filter("n > 1")
+            .collect()
+        )
+        findings.extend(_multi_dv_finding(r["b"], int(r["n"])) for r in multi)
         return findings
     finally:
         res.unpersist()

@@ -684,6 +684,42 @@ class IceTable:
                 raise CommitConflict(
                     "files to replace no longer live (concurrent delete/compact)"
                 )
+            new_dv_refs = {
+                e.referenced_data_file
+                for e in new_entries
+                if e.content == "deletion-vectors"
+            }
+            if new_dv_refs:
+                # v3 one-DV-per-file under CONCURRENCY: two DML commits
+                # that each computed a DV for the same data file from
+                # the same base would BOTH land as plain appends (no
+                # shared replaced path), leaving two live DVs for one
+                # file — a tree the public v3 spec forbids and a strict
+                # external reader may reject or half-apply.  Validate
+                # against the (possibly rebased) base: any live DV for
+                # one of our referenced files that we are NOT replacing
+                # is a concurrent writer — conflict out (the caller
+                # re-runs its DELETE from fresh state, which then
+                # merges both bitmaps).  Cost: O(delete manifests),
+                # decoded only on DV commits; all-clean manifests skip
+                # via their summary counts.
+                for m in descs:
+                    if m.get("delete-content-files") == 0 or m.get("content") == 0:
+                        continue
+                    for e in self._read_mentries(m["manifest-path"]):
+                        if (
+                            e.status != "deleted"
+                            and e.content == "deletion-vectors"
+                            and e.referenced_data_file in new_dv_refs
+                            and e.path not in replaced_paths
+                        ):
+                            raise CommitConflict(
+                                "concurrent deletion-vector commit for "
+                                f"data file {e.referenced_data_file!r} "
+                                "(v3 allows one DV per file) — re-run "
+                                "the DELETE/UPDATE/MERGE from the "
+                                "current snapshot"
+                            )
             for e in new_entries:
                 e.sequence_number = seq
             if new_entries:

@@ -109,11 +109,11 @@ class TxnTable(IceTable):
             return [], _scan_report([], [])
         return super().plan_files(predicate, snap)
 
-    def toDF(self, predicate=None, snapshot=None):
+    def toDF(self, predicate=None, snapshot=None, row_lineage: bool = False):
         snap = snapshot or self._txn_head()
         if snap is None:
             return self.spark.createDataFrame([], self.meta.schema.to_struct())
-        return super().toDF(predicate, snap)
+        return super().toDF(predicate, snap, row_lineage=row_lineage)
 
     # -- write seam: every commit lands on the staged branch ----------------
 

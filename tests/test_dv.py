@@ -457,3 +457,71 @@ def test_dedupe_table_v3_merge_writes_dvs(spark, tmp_path):
 
     ext = read_iceberg(spark, os.path.join(loc, "metadata"))
     assert sorted((r.doc_id, r.text) for r in ext.collect()) == got
+
+
+def test_v3_concurrent_dv_commits_conflict(spark, tmp_path):
+    """v3 one-DV-per-file under CONCURRENCY: two handles that each
+    compute a DV for the same data file from the same base must not
+    both land (the tree would carry two live DVs for one file, which
+    the public v3 spec forbids) — the second commit raises
+    CommitConflict, and re-running it from fresh state merges both
+    bitmaps into ONE DV."""
+    from icepack.table import CommitConflict
+
+    loc = str(tmp_path / "cc3")
+    df = spark.range(100).selectExpr("id", "CAST(id % 5 AS LONG) k")
+    t = IceTable.create(
+        spark, loc, df.schema,
+        properties={
+            "format.spec-primary": "true",
+            "format.spec-version": "3",
+            "write.delete.mode": "merge-on-read",
+            "write.delete.mor.strategy": "position",
+        },
+    )
+    t.append(df.coalesce(1))  # one data file: guaranteed contention
+    a = IceTable.load(spark, loc)
+    b = IceTable.load(spark, loc)
+    a.delete(col("k") == 1)
+    with pytest.raises(CommitConflict, match="one DV per file"):
+        b.delete(col("k") == 2)
+    # the documented remedy: reload and re-run — merges both bitmaps
+    b.refresh()
+    b.delete(col("k") == 2)
+    dvs = [
+        f for f in b.live_files(content="all") if f.content == "deletion-vectors"
+    ]
+    assert len(dvs) == 1 and dvs[0].record_count == 40
+    assert sorted(r.id for r in b.toDF().collect()) == [
+        i for i in range(100) if i % 5 not in (1, 2)
+    ]
+
+
+def test_fsck_flags_multiple_dvs_per_file(spark, tmp_path):
+    """fsck (verify_table) surfaces a one-DV-per-file violation — the
+    state a concurrent-writer bug or manual surgery would leave, which
+    commit-time validation now prevents our own DML from creating."""
+    t, _df = _mor_table(spark, tmp_path, n=100)
+    t.delete(col("id") < 5)
+    M.write_deletion_vectors(t)
+    assert M.verify_table(t) == []  # healthy: no false positive
+    # surgery: duplicate the DV entry line in its (JSONL) manifest
+    snap = t.meta.current_snapshot
+    import json as _json
+
+    for m in t._read_mlist(snap.manifest_list):
+        mp = os.path.join(t._mdir, m["manifest-path"])
+        lines = open(mp).read().splitlines()
+        dv_lines = [
+            ln for ln in lines if '"deletion-vectors"' in ln
+        ]
+        if not dv_lines:
+            continue
+        with open(mp, "a") as fh:
+            fh.write(dv_lines[0] + "\n")
+        break
+    else:
+        raise AssertionError("no DV manifest found")
+    t.refresh()
+    findings = M.verify_table(t)
+    assert any("live deletion vectors" in f for f in findings)
