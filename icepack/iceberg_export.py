@@ -798,6 +798,76 @@ def _export_v3_ids_assigned(table, snaps) -> bool:
     return True
 
 
+def _preassign_native_v3_bases(table, snap, store_pkl) -> dict | None:
+    """Per-manifest first-row-id bases for a NATIVE fv3 single-snapshot
+    export whose table never assigned ids at commit: one executor task
+    per manifest counts the rows needing ids (live + deleted data
+    entries without an explicit ``first_row_id`` — exactly the slots
+    the v3 inheritance rule consumes), the driver prefix-sums the
+    O(manifests) counts in manifest-list order.  Returns
+    ``{manifest-path: base}``, or None when any entry already carries
+    an explicit id (cross-manifest stability then needs the driver
+    memo — rare on native trees, which cannot materialize lineage)."""
+    import pickle as _pickle
+
+    names = []
+    for m in table._read_mlist(snap.manifest_list):
+        dc = m.get("delete-content-files", 0)
+        if dc and dc == m.get("live-files", -1):
+            continue
+        names.append(m["manifest-path"])
+    if not names:
+        return {}
+    meta_json = table.meta.to_json()
+    mdir = table._mdir
+
+    def _count(batches):
+        import pandas as pd
+
+        from icepack.manifest import read_manifest
+        from icepack.metadata import TableMetadata
+        from icepack.specio import read_spec_manifest
+
+        st = _pickle.loads(store_pkl)
+        meta = TableMetadata.from_json(meta_json)
+        for pdf in batches:
+            out = []
+            for name in pdf["name"]:
+                entries = (
+                    read_spec_manifest(mdir, name, st, meta)
+                    if name.endswith(".avro")
+                    else read_manifest(mdir, name, store=st)
+                )
+                rows = 0
+                explicit = 0
+                for e in entries:
+                    if e.content != "data":
+                        continue
+                    if e.first_row_id is None:
+                        rows += e.record_count
+                    else:
+                        explicit += 1
+                out.append((name, rows, explicit))
+            yield pd.DataFrame(out, columns=["name", "rows", "explicit"])
+
+    sdf = table.spark.createDataFrame([(n,) for n in names], "name string")
+    if len(names) > 1:
+        sdf = sdf.repartition(min(len(names), 64))
+    got = {
+        r["name"]: (int(r["rows"]), int(r["explicit"]))
+        for r in sdf.mapInPandas(_count, "name string, rows long, explicit long")
+        .collect()
+    }
+    if any(explicit for _r, explicit in got.values()):
+        return None
+    bases = {}
+    nxt = 0
+    for name in names:  # manifest-list order: deterministic assignment
+        bases[name] = nxt
+        nxt += got[name][0]
+    return bases
+
+
 def _export_data_manifests_distributed(
     table, snaps, dest: str, fv: int, codec: str,
     schemas_json: list, specs_json: list,
@@ -820,8 +890,10 @@ def _export_data_manifests_distributed(
 
     Returns {snapshot_id: [mlist_rec, ...]} or None when the export
     should stay on the driver walk (below ``export.auto.entry-threshold``,
-    ``read.plan-mode=driver``, a non-picklable store, or an fv3 export
-    whose per-file ids cannot be resolved task-locally)."""
+    ``read.plan-mode=driver``, a non-picklable store, or an fv3
+    HISTORY export of a table without commit-time id assignments —
+    single-snapshot native fv3 exports pre-assign per-manifest bases
+    distributed, see :func:`_preassign_native_v3_bases`)."""
     import pickle
 
     from .scanplan import _pickled_store
@@ -831,24 +903,41 @@ def _export_data_manifests_distributed(
         est, "export.auto.entry-threshold", EXPORT_ENTRY_THRESHOLD
     ):
         return None
-    if fv >= 3 and not _export_v3_ids_assigned(table, snaps):
-        return None
     store_pkl = _pickled_store(table.store)
     if store_pkl is None:
         return None
+    bases = None
+    if fv >= 3 and not _export_v3_ids_assigned(table, snaps):
+        # r13 (closes the documented native-fv3 driver fallback for the
+        # common case): a table that never assigned row ids at commit
+        # can still export distributed when ONE snapshot ships — the
+        # export invents ids, so a per-manifest BASE (distributed
+        # row-count pre-pass + O(manifests) driver prefix sum) feeds
+        # the same field-520 inheritance the encode tasks already run.
+        # History exports keep the driver walk: a file moved between
+        # manifests by DML/compaction must keep ONE id across every
+        # exported snapshot, which needs the per-path memo.
+        if len(snaps) != 1:
+            return None
+        bases = _preassign_native_v3_bases(table, snaps[0], store_pkl)
+        if bases is None:
+            return None
     rows = []
     for snap in snaps:
         for m in table._read_mlist(snap.manifest_list):
             dc = m.get("delete-content-files", 0)
             if dc and dc == m.get("live-files", -1):
                 continue  # delete manifests: the delete lane owns them
+            frid = m.get("first-row-id")
+            if bases is not None:
+                frid = bases.get(m["manifest-path"], frid)
             rows.append(
                 (
                     snap.snapshot_id,
                     snap.sequence_number,
                     snap.schema_id,
                     m["manifest-path"],
-                    m.get("first-row-id"),
+                    frid,
                 )
             )
     if not rows:

@@ -1754,11 +1754,47 @@ def test_export_distributed_v3_spec_primary_ids(spark, tmp_path):
     ext = sorted(r.id for r in read_iceberg(spark, os.path.dirname(mp)).collect())
     assert ext == list(range(100, 800))
 
-    # native fv3: no assignments -> the distributed lane declines
+    # native fv3, SINGLE snapshot (r13): the lane pre-assigns
+    # per-manifest bases distributed (row-count pre-pass + driver
+    # prefix sum) — the exported ids are IDENTICAL to the sequential
+    # driver assignment, and the external lineage read serves them
     tn = IceTable.create(spark, str(tmp_path / "nat"), df.schema)
-    tn.append(df)
+    tn.append(df.filter("id < 400"))
+    tn.append(df.filter("id >= 400"))
+    mp_drv = ie.export_iceberg(tn, dest=str(tmp_path / "nd"), format_version=3)
     tn.set_properties(**{"export.auto.entry-threshold": "1"})
-    snaps = [tn.meta.current_snapshot]
+    mp_dist = ie.export_iceberg(tn, dest=str(tmp_path / "nx"), format_version=3)
+
+    def _ids(dstdir):
+        out = {}
+        for p in g.glob(os.path.join(dstdir, "manifest-*.avro")):
+            _s, recs, meta = read_container_with_meta(open(p, "rb").read())
+            if meta.get("content", b"data").decode() != "data":
+                continue
+            for r in recs:
+                out[r["data_file"]["file_path"]] = r["data_file"]["first_row_id"]
+        return out
+
+    drv_ids, dist_ids = _ids(str(tmp_path / "nd")), _ids(str(tmp_path / "nx"))
+    assert drv_ids and drv_ids == dist_ids
+    lin_drv = {
+        r.id: r._row_id
+        for r in read_iceberg(
+            spark, os.path.dirname(mp_drv), row_lineage=True
+        ).collect()
+    }
+    lin_dist = {
+        r.id: r._row_id
+        for r in read_iceberg(
+            spark, os.path.dirname(mp_dist), row_lineage=True
+        ).collect()
+    }
+    assert lin_drv == lin_dist and len(set(lin_dist.values())) == 800
+
+    # HISTORY export without commit-time assignments still declines
+    # (per-path id stability across snapshots needs the driver memo)
+    snaps = sorted(tn.meta.snapshots, key=lambda x: x.sequence_number)
+    assert len(snaps) > 1
     assert ie._export_data_manifests_distributed(
         tn, snaps, str(tmp_path / "x"), 3, "null", [], []
     ) is None
