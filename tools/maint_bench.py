@@ -128,6 +128,29 @@ def main() -> None:
                     for r in recs
                 )
         res["export_rows"] = exp_rows
+        # fv3 export (r13): the driver lane walks live_files and
+        # memo-assigns row ids sequentially; the distributed lane
+        # pre-assigns per-manifest bases (row-count pre-pass + driver
+        # prefix sum) and encodes in executors — the assigned ids must
+        # be BYTE-IDENTICAL across lanes
+        exp3_dest = os.path.join(base, "export3")
+        t0 = time.time()
+        export_iceberg(t, dest=exp3_dest, format_version=3)
+        res["export_v3_sec"] = round(time.time() - t0, 2)
+        ids3 = {}
+        for fn in os.listdir(exp3_dest):
+            if fn.startswith("manifest-") and fn.endswith(".avro"):
+                _s, recs, _m = read_container_with_meta(
+                    open(os.path.join(exp3_dest, fn), "rb").read()
+                )
+                if _m.get("content", b"data").decode() != "data":
+                    continue
+                for r in recs:
+                    ids3[r["data_file"]["file_path"]] = r["data_file"][
+                        "first_row_id"
+                    ]
+        res["export_v3_files"] = len(ids3)
+        out[f"_ids3_{mode}"] = ids3
         t0 = time.time()
         rewrite_manifests(t)
         res["rewrite_sec"] = round(time.time() - t0, 2)
@@ -149,6 +172,11 @@ def main() -> None:
     assert check["driver"][0] == check["distributed"][0], check
     assert check["driver"][3] == check["distributed"][3], check
     assert check["driver"][4] == check["distributed"][4], check
+    ids_d = out.pop("_ids3_driver")
+    ids_x = out.pop("_ids3_distributed")
+    assert len(ids_d) == len(ids_x) and sorted(ids_d.values()) == sorted(
+        ids_x.values()
+    ), "fv3 export row-id assignment diverged across lanes"
     print(json.dumps(out))
     spark.stop()
 
