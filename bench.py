@@ -244,31 +244,21 @@ def main() -> None:
             if common
             else None
         )
-        # the machine factor is only meaningful between IDENTICAL canary
-        # workloads whose spreads say the gauge held — across a gauge
-        # change (r10→r11 resize) or when either round's canary spread
-        # exceeds 10%, the adjusted ratio is WITHHELD and the raw ratio
-        # stands alone (r10: a noisy gauge silently flipped the sign of
-        # the adjustment; null is more actionable than wrong)
-        same_gauge = prev_parsed.get("canary_id") == CANARY_ID
-        prev_spread = prev_parsed.get("canary_spread_pct")
-        gauge_ok = (
-            same_gauge
-            and canary_spread_pct is not None
-            and canary_spread_pct <= 10.0
-            and prev_spread is not None
-            and prev_spread <= 10.0
-        )
-        cr = round(canary_min / pc, 4) if (pc and gauge_ok) else None
+        # r13 (VERDICT r12 task 5): the cross-round canary RATIO is
+        # RETIRED — three rounds running its spread (26%, 42%, 15.7%
+        # even as median-of-3) exceeded the 10% usability bar and the
+        # multi-run same-HEAD band (BENCH_DETAIL `same_head_runs_r*`)
+        # did the drift arbitration instead.  The band is now the SOLE
+        # round-over-round gauge: a common_subset_ratio inside the
+        # newest band's spread_pct is machine drift, not code.  The
+        # canary itself still runs and its raw samples are recorded in
+        # BENCH_DETAIL as a load diagnostic, but no derived ratio is
+        # published for anyone to misread as signal.
         vs_prev = {
             "prev_round": prev_n,
             "canary_prev": pc,
-            "canary_ratio": cr,  # >1 = this machine/run is slower
             "common_queries": len(common),
             "common_subset_ratio": ratio,
-            "common_subset_ratio_machine_adjusted": (
-                round(ratio / cr, 4) if (ratio and cr) else None
-            ),
             "stream_rows_per_sec_prev": prev_parsed.get("stream_rows_per_sec"),
         }
     # sf1 ladder rows (tools/scale_ladder.py 10× rung, re-measured each
@@ -341,13 +331,11 @@ def main() -> None:
         "canary_id": CANARY_ID,
         "canary_spread_pct": canary_spread_pct,
         "stream_rows_per_sec": st_rows_per_sec,
-        "canary_ratio_vs_prev": (vs_prev or {}).get("canary_ratio"),
-        # raw and machine-adjusted SIDE BY SIDE (r10 verdict: the
-        # adjusted number contradicted its own raw data unnoticed)
         "common_ratio_raw": (vs_prev or {}).get("common_subset_ratio"),
-        "common_ratio_machine_adj": (vs_prev or {}).get(
-            "common_subset_ratio_machine_adjusted"
-        ),
+        # drift gauge: BENCH_DETAIL `same_head_runs_r{N}` (multi-run
+        # same-HEAD band) — the retired canary ratio published null
+        # three rounds running (r12 verdict item 5)
+        "drift_gauge": "same_head_runs",
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(compact)
