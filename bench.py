@@ -125,8 +125,7 @@ def main() -> None:
     # is now the MEDIAN of 3 back-to-back runs, so a one-off straggler
     # (GC pause, competing process) cannot inflate the spread that
     # decides whether the gauge is served at all.  The gauge id changes
-    # with the estimator so cross-round ratios only compare like with
-    # like (same_gauge check below).
+    # with the estimator so artifacts never mix estimators.
     CANARY_ID = "range20e9-p512-mod97-med3"
     CANARY_ROWS = 20_000_000_000
 
@@ -227,9 +226,9 @@ def main() -> None:
 
     # Cross-round attribution IN the artifact (r8 verdict item 8): the
     # newest BENCH_r{N}.json's compact record carries last round's
-    # canary and per-query minima; publishing canary_ratio (machine
-    # factor) and the canary-adjusted common-subset ratio makes
-    # "machine vs code" one number instead of a hand argument.
+    # per-query minima; "machine vs code" is adjudicated by the
+    # same-HEAD band in BENCH_DETAIL (see the retired-canary note
+    # below).
     prev = _latest_prev_bench()
     vs_prev = None
     if prev is not None and prev[1].get("sf") != sf:
