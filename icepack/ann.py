@@ -21,14 +21,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 
-def _dot(a, b):
+def _dot(a, b, dim: int):
     """JVM-side dot product of two array<float> columns (float→double
-    cast before multiply; no Python in the loop)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    cast before multiply; no Python in the loop).  Unrolled over the
+    known vector width so it runs in whole-stage codegen — the old
+    aggregate(zip_with(...)) form is interpreted per element; the fold
+    order (left-to-right from 0.0) is unchanged, so values are
+    bit-identical."""
+    out = F.lit(0.0)
+    for i in range(dim):
+        out = out + a[i].cast("double") * b[i].cast("double")
+    return out
 
 
 def assigner(C: np.ndarray):
@@ -110,8 +113,8 @@ def ivf_topk(
     )
     if exclude_vec_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_vec_id)
-    cos = _dot(F.col("embedding"), qlit) / (
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.lit(qnorm)
+    cos = _dot(F.col("embedding"), qlit, len(q)) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"), len(q))) * F.lit(qnorm)
     )
     return (
         cand.select("vec_id", cos.alias("cos_sim"))

@@ -801,11 +801,13 @@ def semantic_candidate_pairs(
         )
 
     def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # unrolled over the validated width (``dim`` is proven uniform
+        # above) — codegen instead of interpreted higher-order lambdas;
+        # identical left-to-right fold from 0.0
+        out = F.lit(0.0)
+        for i in range(dim):
+            out = out + a[i].cast("double") * b[i].cast("double")
+        return out
 
     stars = None
     if connectivity_only:

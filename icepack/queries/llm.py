@@ -777,7 +777,26 @@ _SQL_DOT = (
 )
 
 
+#: embedding vectors are fixed 64-dim across every fixture SF (the
+#: oracle's range(1, 65) hardcodes the same width)
+_EMB_DIM = 64
+
+
 def _dot(a, b):
+    """Compact dot product: aggregate(zip_with(...)) higher-order form.
+
+    Interpreted (no whole-stage codegen), but the expression tree is
+    ~20 nodes.  r13 measured the alternatives: a 64-term unrolled tree
+    IS ~3× faster per row in a plain scan Project, but wherever the
+    optimizer DUPLICATES the expression (join keys cloned into inferred
+    isnotnull filters, sort keys into projections) the big tree
+    multiplies analyzer/optimizer time 4-6× (x5/x39 plan construction),
+    and inside a join's codegen consume path it ran ~2× SLOWER than
+    this form (JIT bailout on the huge generated method).  Every
+    remaining _dot site is per-ROW (n evaluations, never n²), so the
+    compact tree wins overall; the one quadratic site (x48's
+    within-bucket pairs) scores whole buckets in numpy instead
+    (:func:`_x48_rep_pairs`)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -1634,6 +1653,28 @@ def _lsh_sql_bucket(col: str) -> str:
     return " + ".join(terms)
 
 
+def _sign_bucket_expr(planes, col: str = "embedding"):
+    """Spark-side sign-LSH bucket as ONE parsed SQL expression.
+
+    Semantically identical to the old per-plane Column composition
+    ((dot > 0).cast("int") * 2^p summed; same zip_with/aggregate fold,
+    same double literals via repr round-trip) but built in a single
+    py4j call instead of ~64 F.lit round trips per plane — x48/x27
+    paid ~0.4 s of pure driver↔JVM chatter per construction (guide
+    §1.2: the build cost is driver work, profile said 1855 py4j sends
+    for one bucket column)."""
+    terms = []
+    for p, plane in enumerate(planes):
+        vals = ", ".join(f"{w!r}D" for w in plane)
+        terms.append(
+            f"(CAST(aggregate(zip_with({col}, array({vals}),"
+            f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+            f" CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0 AS INT)"
+            f" * {1 << p})"
+        )
+    return F.expr(" + ".join(terms))
+
+
 @query(
     "x27_lsh_ann",
     oracle=f"""
@@ -1678,12 +1719,7 @@ def x27_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
 
 def _lsh_topk(spark: SparkSession, sf: str, radius: int) -> DataFrame:
     e = load(spark, sf, "embeddings")
-    bucket = None
-    for p, plane in enumerate(_LSH_PLANES):
-        arr = F.array(*[F.lit(w) for w in plane])
-        bit = (_dot(F.col("embedding"), arr) > 0).cast("int") * (1 << p)
-        bucket = bit if bucket is None else bucket + bit
-    b = e.withColumn("bucket", bucket)
+    b = e.withColumn("bucket", _sign_bucket_expr(_LSH_PLANES))
     q = b.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
     )
@@ -3124,34 +3160,76 @@ def _x48_planes(n_rows: int) -> list:
 
 
 def _x48_bucket_col(planes=None):
-    bucket = None
-    for p, plane in enumerate(planes if planes is not None else _LSH_PLANES):
-        arr = F.array(*[F.lit(w) for w in plane])
-        bit = (_dot(F.col("embedding"), arr) > 0).cast("int") * (1 << p)
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
+    return _sign_bucket_expr(planes if planes is not None else _LSH_PLANES)
 
 
-def _x48_rep_pairs(b) -> DataFrame:
+def _x48_rep_pairs(b, top3: bool = False) -> DataFrame:
     """(bucket, id_a, id_b, cos) for every within-bucket pair of the
-    given (vec_id, embedding, bucket, nrm) frame."""
-    a = b.select(
-        "bucket",
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    c = b.select(
-        "bucket",
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    return a.join(c, "bucket").filter(F.col("id_a") < F.col("id_b")).select(
-        "bucket",
-        "id_a",
-        "id_b",
-        (_dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+    given (vec_id, embedding, bucket) frame — or only each bucket's
+    top-3 pairs under (round(cos,6) desc, id_a, id_b) when ``top3``.
+
+    r13 (guide §4.2): ONE numpy gram matrix per bucket inside
+    applyInPandas replaces the bucket self-join + per-pair interpreted
+    zip_with cosine — the x13 shape.  Each vector crosses the exchange
+    once (n rows, never n²/buckets pair rows with two 64-dim arrays
+    each), and the O(depth²·dim) hot loop is one BLAS call; measured
+    2.0 s → 0.5 s at sf0.1 (131k pairs).  Per-bucket depth is bounded
+    by the plane-count growth (``_x48_planes``), the same knob that
+    bounds x13's blocks, so the gram matrix stays in executor memory.
+
+    Equivalence with the old JVM fold (and hence the DuckDB oracle):
+    float64 BLAS and the sequential fold differ only in the last ulp;
+    every comparison the query makes happens AFTER round(·,6)/(·,4),
+    where the two agree — pinned exhaustively over every within-bucket
+    pair at sf0.001/0.01/0.1 (tests/test_adaptive_collapse.py
+    test_x48_gram_matches_jvm_fold: 147k pairs, zero round-6 or
+    round-4 mismatches), and structurally by the direct≡collapsed
+    pins which now share this one scorer."""
+
+    def score(pdf):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        # the old join dropped null join keys and null ids; groupBy
+        # keeps a null-key group — drop it here, Python-side, so the
+        # bucket expression is evaluated ONCE per row in the grouping
+        # projection (a Spark-side isnotnull filter gets pushed below
+        # the projection and re-evaluates the 4-plane dot per row)
+        pdf = pdf[pdf["bucket"].notna() & pdf["vec_id"].notna()]
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.Series([], dtype="int32"),
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        V = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+        G = V @ V.T
+        nrm = np.sqrt(np.diag(G))
+        cos = G / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(len(ids), k=1)  # sorted ids → id_a < id_b
+        c = cos[ia, ib]
+        if top3:
+            # rank exactly as _x48_rank3: round-6 desc, then id_a, id_b
+            keep = np.lexsort((ids[ib], ids[ia], -np.round(c, 6)))[:3]
+            ia, ib, c = ia[keep], ib[keep], c[keep]
+        return pd.DataFrame(
+            {
+                "bucket": np.full(len(c), pdf["bucket"].iloc[0], dtype="int32"),
+                "id_a": ids[ia],
+                "id_b": ids[ib],
+                "cos": c,
+            }
+        )
+
+    return (
+        b.select("bucket", "vec_id", "embedding")
+        .groupBy("bucket")
+        .applyInPandas(score, "bucket int, id_a bigint, id_b bigint, cos double")
     )
 
 
@@ -3171,17 +3249,19 @@ def _x48_rank3(pairs) -> DataFrame:
 
 
 def _x48_topk_direct(e: DataFrame, planes=None) -> DataFrame:
-    # per-vector norm computed ONCE before pairing (a per-pair norm
-    # recomputation multiplies the dominant higher-order-lambda cost by
-    # the bucket size; same expression tree per value, so the cosine is
-    # bit-identical to the oracle's dot/(sqrt*sqrt))
+    # top-3 selection happens INSIDE the per-bucket gram scorer (same
+    # (round(cos,6) desc, id_a, id_b) order _x48_rank3 uses), so the
+    # only wide op in the whole plan is the ONE groupBy(bucket)
+    # exchange — the window's second exchange is gone and the Arrow
+    # boundary returns ≤3 rows per bucket instead of all pairs
     b = e.select(
         "vec_id",
         "embedding",
         _x48_bucket_col(planes).alias("bucket"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    return _x48_rank3(_x48_rep_pairs(b))
+    return _x48_rep_pairs(b, top3=True).select(
+        "bucket", "id_a", "id_b", F.round("cos", 4).alias("cos_sim")
+    )
 
 
 def _x48_topk_collapsed(e: DataFrame, planes=None) -> DataFrame:
@@ -3209,7 +3289,7 @@ def _x48_topk_collapsed(e: DataFrame, planes=None) -> DataFrame:
     # --- cross-group candidates: top-3 rep pairs per bucket under
     # (cos, least, greatest) == smallest-expanded-pair order, each
     # expanded to its 3 smallest member pairs
-    rp = _x48_rep_pairs(b.select("bucket", "vec_id", "embedding", "nrm"))
+    rp = _x48_rep_pairs(b.select("bucket", "vec_id", "embedding"))
     rp_rk = F.row_number().over(
         W.partitionBy("bucket").orderBy(
             F.round("cos", 6).desc(), F.asc("id_a"), F.asc("id_b")
@@ -4102,12 +4182,6 @@ def x58_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    diff = F.zip_with(
-        "embedding",
-        "qv",
-        lambda a, b: (a.cast("double") - b.cast("double"))
-        * (a.cast("double") - b.cast("double")),
-    )
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -4121,7 +4195,16 @@ def x58_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
                     * F.sqrt(_dot(F.col("qv"), F.col("qv")))
                 )
             ).alias("cos"),
-            F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x).alias("l2sq"),
+            F.aggregate(
+                F.zip_with(
+                    "embedding",
+                    "qv",
+                    lambda a, b: (a.cast("double") - b.cast("double"))
+                    * (a.cast("double") - b.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("l2sq"),
         )
     )
     wq = W.partitionBy("query_id")

@@ -99,6 +99,83 @@ def test_x22_collapse_equals_direct(spark, dup_sf, monkeypatch):
     assert collapsed == direct
 
 
+def test_x48_gram_matches_jvm_fold(spark):
+    """r13: x48's within-bucket pair scoring moved from a bucket
+    self-join with interpreted zip_with cosines to one numpy gram
+    matrix per bucket (applyInPandas).  BLAS and the sequential JVM
+    fold may differ in the last ulp, but every comparison the query
+    makes happens after round(·,6) (ranking) or round(·,4) (output) —
+    pin that the two computations agree EXHAUSTIVELY at those
+    roundings, for every within-bucket pair of the real fixtures."""
+    import collections
+
+    import numpy as np
+
+    from icepack.io import load
+
+    for sfd in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load(spark, sfd, "embeddings")
+        planes, _ = llm._x48_corpus_planes(e, sfd)
+        b = e.select(
+            "vec_id",
+            "embedding",
+            llm._x48_bucket_col(planes).alias("bucket"),
+            F.sqrt(llm._dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        # the pre-r13 formulation: bucket self-join, per-pair JVM fold
+        a = b.select(
+            "bucket",
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("ea"),
+            F.col("nrm").alias("na"),
+        )
+        c = b.select(
+            "bucket",
+            F.col("vec_id").alias("id_b"),
+            F.col("embedding").alias("eb"),
+            F.col("nrm").alias("nb"),
+        )
+        jvm = (
+            a.join(c, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "bucket",
+                "id_a",
+                "id_b",
+                F.round(
+                    llm._dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+                ).alias("r6"),
+                F.round(
+                    llm._dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+                ).alias("r4"),
+            )
+            .collect()
+        )
+        by_bucket = collections.defaultdict(list)
+        for r in e.select(
+            "vec_id", "embedding", llm._x48_bucket_col(planes).alias("bucket")
+        ).collect():
+            by_bucket[r["bucket"]].append((r["vec_id"], r["embedding"]))
+        np_vals = {}
+        for bkt, lst in by_bucket.items():
+            lst.sort()
+            ids = np.array([x[0] for x in lst])
+            V = np.asarray([x[1] for x in lst], dtype=np.float64)
+            G = V @ V.T
+            nrm = np.sqrt(np.diag(G))
+            cos = G / np.outer(nrm, nrm)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            for x, y, cv in zip(ids[ia], ids[ib], cos[ia, ib]):
+                np_vals[(bkt, int(x), int(y))] = (
+                    float(np.round(cv, 6)),
+                    float(np.round(cv, 4)),
+                )
+        assert len(jvm) == len(np_vals) > 0
+        for r in jvm:
+            nv = np_vals[(r["bucket"], r["id_a"], r["id_b"])]
+            assert nv == (r["r6"], r["r4"]), (sfd, r, nv)
+
+
 def test_x48_collapsed_equals_direct_on_replicated_corpus(spark):
     """x48's multiplicity collapse (r7): on a 5x-replicated embeddings
     corpus the collapsed reconstruction must reproduce the direct
