@@ -270,7 +270,9 @@ def _write_dv_entries(table, keys: DataFrame, hit: list) -> tuple[list[DataFile]
                 f"DV tombstone spelling {s!r} resolves to no planned data file"
             )
         pairs.append((s, raw))
-    spell_map = table.spark.createDataFrame(pairs, "file_path string, _raw string")
+    from .session import local_df
+
+    spell_map = local_df(table.spark, pairs, "file_path string, _raw string")
     keys = keys.join(F.broadcast(spell_map), "file_path").select(
         F.col("_raw").alias("file_path"), "pos"
     )
@@ -290,7 +292,8 @@ def _write_dv_entries(table, keys: DataFrame, hit: list) -> tuple[list[DataFile]
     # applies both structures idempotently either way.
     pos_files = [d for d in deletes if d.content == "position-deletes"]
     if pos_files:
-        canon_touch = table.spark.createDataFrame(
+        canon_touch = local_df(
+            table.spark,
             [(c, raw) for c, raw in by_canon.items() if raw in touched],
             "_cn string, _raw string",
         )

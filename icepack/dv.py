@@ -33,20 +33,59 @@ POS_FIELD_ID = 2147483545
 #: Puffin blob type from the Iceberg v3 spec.
 DV_BLOB_TYPE = "deletion-vector-v1"
 
+#: Total serialized DV bytes under which :func:`dv_positions_df`
+#: decodes on the DRIVER instead of planting a Python stage.  The DV
+#: anti-join BROADCASTS the decoded positions anyway (they reach the
+#: driver as a built hash relation regardless), so the gate only moves
+#: a ~ms roaring decode across the boundary — and removes the ~0.5 s
+#: fixed JVM↔Python stage latency the executor lane pays per scan
+#: (guide §4: the boundary costs, not the bytes).  Past the gate —
+#: where a broadcast would also stop being the right join — the
+#: executor lane is unchanged.
+import os as _os
+
+DV_DRIVER_DECODE_MAX_BYTES = int(
+    _os.environ.get("ICEPACK_DV_DRIVER_DECODE_MAX_BYTES", str(8 * 1024 * 1024))
+)
+
 
 def dv_positions_df(spark: SparkSession, entries) -> DataFrame:
     """Decode deletion-vector manifest entries → ``(file_path, pos)``.
 
     ``entries`` are ``DataFile`` rows with content ``deletion-vectors``
     (identity = (path, content_offset)).  Decoding happens in
-    executors; ``file_path`` is the entry's ``referenced_data_file``
+    executors — or on the driver below
+    ``DV_DRIVER_DECODE_MAX_BYTES`` total blob bytes (see above);
+    ``file_path`` is the entry's ``referenced_data_file``
     (the raw manifest spelling of the target data file)."""
     refs = [
         (e.path, int(e.content_offset), int(e.content_size), e.referenced_data_file)
         for e in entries
     ]
-    sdf = spark.createDataFrame(
-        refs, "puffin string, offset long, length long, file_path string"
+    from .session import local_df
+
+    if sum(r[2] for r in refs) <= DV_DRIVER_DECODE_MAX_BYTES:
+        import pandas as pd
+
+        from .roaring import read_dv_blob
+
+        frames = []
+        for puffin, off, ln, fp in refs:
+            with open(puffin, "rb") as fh:
+                fh.seek(off)
+                data = fh.read(ln)
+            pos = read_dv_blob(data)
+            frames.append(
+                pd.DataFrame({"file_path": fp, "pos": pos.astype("int64")})
+            )
+        if not frames:
+            return spark.createDataFrame([], "file_path string, pos long")
+        return spark.createDataFrame(
+            pd.concat(frames, ignore_index=True), "file_path string, pos long"
+        )
+
+    sdf = local_df(
+        spark, refs, "puffin string, offset long, length long, file_path string"
     )
     if len(refs) > 1:
         sdf = sdf.repartition(min(len(refs), 32))

@@ -850,7 +850,9 @@ def _preassign_native_v3_bases(table, snap, store_pkl) -> dict | None:
                 out.append((name, rows, explicit))
             yield pd.DataFrame(out, columns=["name", "rows", "explicit"])
 
-    sdf = table.spark.createDataFrame([(n,) for n in names], "name string")
+    from .session import local_df
+
+    sdf = local_df(table.spark, [(n,) for n in names], "name string")
     if len(names) > 1:
         sdf = sdf.repartition(min(len(names), 64))
     got = {
@@ -1076,8 +1078,10 @@ def _export_data_manifests_distributed(
                     )
             yield pd.DataFrame({"out": pd.Series(out, dtype="object")})
 
-    df = table.spark.createDataFrame(
-        rows, "sid long, seq long, schema_id int, name string, frid long"
+    from .session import local_df
+
+    df = local_df(
+        table.spark, rows, "sid long, seq long, schema_id int, name string, frid long"
     ).repartition(min(len(rows), 64))
     by_snap: dict[int, list[dict]] = {}
     for r in df.mapInPandas(_encode, "out string").collect():
@@ -1173,7 +1177,10 @@ def _prefill_delete_cache_distributed(
         (ckey[0], content, ckey[1], size, schema_id, eq_s, ref, oname)
         for (ckey, content, size, schema_id, eq_s, ref, oname) in jobs
     ]
-    df = table.spark.createDataFrame(
+    from .session import local_df
+
+    df = local_df(
+        table.spark,
         rows,
         "path string, content string, off long, size long,"
         " schema_id int, eq string, ref string, oname string",

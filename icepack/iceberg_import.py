@@ -479,16 +479,15 @@ def read_iceberg(
         return df
     # per-file sequence for the masks.  Spark reports
     # _metadata.file_path as a percent-ENCODED URI; manifests may store
-    # raw paths OR any URI spelling — BOTH sides pass through
+    # raw paths OR any URI spelling — BOTH sides pass through the one
     # canonical_file_path (same lesson as the DML hit-scan: never
-    # string-match a URI against a raw path), Spark-side via an
-    # Arrow-batched pandas UDF so the two canonicalizations are the
-    # SAME Python function and cannot drift.
-    import pandas as pd  # noqa: F401  (pandas_udf requires it importable)
-
-    @F.pandas_udf("string")
-    def _canon(s):
-        return s.map(canonical_file_path)
+    # string-match a URI against a raw path).  r13: the data side's
+    # spellings canonicalize via a DISTINCT-collect (O(files) strings,
+    # column-pruned) + broadcast substitution map rather than a per-row
+    # pandas UDF — the ArrowEvalPython stage sat on the scan hot path
+    # of every foreign read, and both sides now run the SAME driver
+    # Python function, so they still cannot drift.
+    from .session import local_df
 
     rows, seen = [], {}
     for f in data:
@@ -501,9 +500,13 @@ def read_iceberg(
             )
         seen[c] = f["file_path"]
         rows.append((c, f["_seq"], f.get("first_row_id")))
-    seqdf = spark.createDataFrame(rows, "_f string, _dataseq long, _frid long")
+    seqdf = local_df(spark, rows, "_f string, _dataseq long, _frid long")
+    sps = [r[0] for r in df.select("_furi").distinct().collect()]
+    smap = local_df(
+        spark, [(s, canonical_file_path(s)) for s in sps], "_furi string, _f string"
+    )
     df = (
-        df.withColumn("_f", _canon(F.col("_furi")))
+        df.join(F.broadcast(smap), "_furi", "inner")
         .drop("_furi")
         .join(F.broadcast(seqdf), "_f", "inner")
     )
@@ -527,16 +530,24 @@ def read_iceberg(
                 # bitmap (public Iceberg v3 spec framing) into the same
                 # (file, pos) mask shape.
                 ref, positions = _read_foreign_dv(rec)
-                dels = spark.createDataFrame(
-                    [(ref, int(p)) for p in positions], "df_ string, dp_ long"
+                dels = local_df(
+                    spark, [(ref, int(p)) for p in positions], "df_ string, dp_ long"
                 ).withColumn("sq_", F.lit(rec["_seq"]))
             else:
+                raw_dels = spark.read.parquet(rec["file_path"]).select(
+                    "file_path", "pos"
+                )
+                dsp = [
+                    r[0] for r in raw_dels.select("file_path").distinct().collect()
+                ]
+                dmap = local_df(
+                    spark,
+                    [(s, canonical_file_path(s)) for s in dsp],
+                    "file_path string, df_ string",
+                )
                 dels = (
-                    spark.read.parquet(rec["file_path"])
-                    .select(
-                        _canon(F.col("file_path")).alias("df_"),
-                        F.col("pos").alias("dp_"),
-                    )
+                    raw_dels.join(F.broadcast(dmap), "file_path")
+                    .select("df_", F.col("pos").alias("dp_"))
                     .withColumn("sq_", F.lit(rec["_seq"]))
                 )
             df = df.join(

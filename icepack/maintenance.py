@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from .manifest import manifest_summary
 from .metadata import Snapshot, TableMetadata
+from .session import local_df
 from .table import _LAST_UPDATED_COL, _ROW_ID_COL, lineage_preserving
 
 _LINEAGE_COLS = [_ROW_ID_COL, _LAST_UPDATED_COL]
@@ -221,7 +222,8 @@ def rewrite_position_deletes(table) -> Snapshot | None:
     spark = table.spark
     from .iceberg_import import canonical_file_path
 
-    live_data = spark.createDataFrame(
+    live_data = local_df(
+        spark,
         [(canonical_file_path(f.path),) for f in live if f.content == "data"],
         "_norm string",
     )
@@ -320,12 +322,6 @@ def write_deletion_vectors(
             )
     spark = table.spark
 
-    import pandas as pd  # noqa: F401
-
-    @F.pandas_udf("string")
-    def _canon(s):
-        return s.map(canonical_file_path)
-
     # (canonical → raw-manifest) spelling map of the LIVE data files:
     # tombstones may carry percent-encoded URIs while the DV entry must
     # reference the raw manifest spelling the read path compares against.
@@ -337,11 +333,17 @@ def write_deletion_vectors(
     # million-row Python list (or a million driver createDataFrame
     # rows) just to consolidate its tombstones.
     snap = table.meta.current_snapshot
-    live_map_hint = F.broadcast  # small tables: skip the AQE round-trip
+    live_by_norm: dict[str, str] | None = None
     if snap is not None and table._use_distributed_planner(snap):
         import json as _json
 
+        import pandas as pd  # noqa: F401
+
         from .scanplan import _entries_df
+
+        @F.pandas_udf("string")
+        def _canon(s):
+            return s.map(canonical_file_path)
 
         live_df = _entries_df(table, snap).filter(F.col("status") != "deleted")
         del_entries = [
@@ -357,19 +359,13 @@ def write_deletion_vectors(
         live_map = live_df.filter(F.col("content") == "data").select(
             _canon(F.col("path")).alias("_norm"), F.col("path").alias("_raw")
         )
-        live_map_hint = lambda df: df  # noqa: E731 — O(files) rows: AQE decides
     else:
         live = table.live_files(content="all")
         pos = [f for f in live if f.content == "position-deletes"]
         dvs = [f for f in live if f.content == "deletion-vectors"]
-        live_map = spark.createDataFrame(
-            [
-                (canonical_file_path(f.path), f.path)
-                for f in live
-                if f.content == "data"
-            ],
-            "_norm string, _raw string",
-        )
+        live_by_norm = {
+            canonical_file_path(f.path): f.path for f in live if f.content == "data"
+        }
     n_puffins = len({f.path for f in dvs})
     if not pos and n_puffins <= 1:
         return None  # already consolidated (or nothing to do)
@@ -383,11 +379,31 @@ def write_deletion_vectors(
     keys = parts[0]
     for p in parts[1:]:
         keys = keys.unionByName(p)
-    keys = (
-        keys.withColumn("_norm", _canon("file_path"))
-        .join(live_map_hint(live_map), "_norm")  # drops dangling tombstones
-        .select(F.col("_raw").alias("file_path"), "pos")
-    )
+    if live_by_norm is None:
+        # distributed: per-row Arrow canon + executor-built map join
+        keys = (
+            keys.withColumn("_norm", _canon("file_path"))
+            .join(live_map, "_norm")  # drops dangling tombstones
+            .select(F.col("_raw").alias("file_path"), "pos")
+        )
+    else:
+        # small-table lane (r13): the tombstones' DISTINCT spellings are
+        # O(files-with-deletes) — collect them (one column-pruned JVM
+        # job, the dml._write_dv_entries discipline), canonicalize in
+        # plain driver Python, and substitute through a broadcast
+        # LocalTableScan map.  This removes the per-row canon
+        # ArrowEvalPython stage from the consolidation entirely —
+        # measured ~0.5 s of fixed Python-boundary latency at any size.
+        spellings = [r[0] for r in keys.select("file_path").distinct().collect()]
+        pairs = []
+        for s in spellings:
+            raw = live_by_norm.get(canonical_file_path(s))
+            if raw is not None:  # dangling tombstones drop, as before
+                pairs.append((s, raw))
+        keys = keys.join(
+            F.broadcast(local_df(spark, pairs, "file_path string, _raw string")),
+            "file_path",
+        ).select(F.col("_raw").alias("file_path"), "pos")
     blobs = build_dv_blobs(keys).collect()
     if not blobs:
         # every tombstone was dangling: retire the delete files outright
@@ -752,9 +768,7 @@ def remove_orphan_files(table, older_than_ms: int | None = None, dry_run: bool =
         # listing job at warehouse scale.
         from .scanplan import entries_df_for_manifests
 
-        cand_df = table.spark.createDataFrame(
-            [(p,) for p in candidates], "path string"
-        )
+        cand_df = local_df(table.spark, [(p,) for p in candidates], "path string")
         ref_df = (
             entries_df_for_manifests(table, sorted(all_mans))
             .select("path")
@@ -918,8 +932,8 @@ def _run_data_checks(table, checks: list[tuple]) -> list[str]:
             ]
             yield pd.DataFrame({"finding": pd.Series(out, dtype="object")})
 
-    df = table.spark.createDataFrame(
-        checks, "kind string, path string, want long, off long, size long"
+    df = local_df(
+        table.spark, checks, "kind string, path string, want long, off long, size long"
     )
     n_parts = max(1, min(len(checks) // 256, 256))
     return [
@@ -983,7 +997,8 @@ def verify_decimal_buckets(table) -> list[str]:
                 F.col("_file"), bcol.alias("_b")
             )
             sps = [r[0] for r in df.select("_file").distinct().collect()]
-            em = table.spark.createDataFrame(
+            em = local_df(
+                table.spark,
                 [(s, expected.get(canonical_file_path(s))) for s in sps]
                 or [(None, None)],
                 "_sp string, _exp int",
@@ -1288,7 +1303,7 @@ def _verify_manifests_distributed(
             yield pd.DataFrame(out, columns=["kind", "a", "b"])
 
     res = (
-        table.spark.createDataFrame(rows, "name string, stored string")
+        local_df(table.spark, rows, "name string, stored string")
         .repartition(min(len(rows), 64))
         .mapInPandas(_walk, "kind string, a string, b string")
         .persist()

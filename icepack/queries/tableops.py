@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..expr import col
 from ..io import load
+from ..session import local_df
 from ..table import IceTable
 from . import query
 
@@ -179,7 +180,7 @@ def ice8_metadata_tables(spark: SparkSession, sf: str) -> DataFrame:
     files = t.files().count()
     mans = t.manifests().count()
     cur = t.history().filter("is_current").count()
-    return spark.createDataFrame(
+    return local_df(spark, 
         [(snaps, files, mans, cur)],
         "n_snapshots long, n_files long, n_manifests long, n_current long",
     )
@@ -1921,7 +1922,7 @@ def ice51_table_stats(spark: SparkSession, sf: str) -> DataFrame:
         if st["snapshot_id"] != t.meta.current_snapshot_id:
             raise RuntimeError(f"straddling bracket must recompute {c}")
         rows.append((c, 2, st["rows"], ratio >= 1.5))
-    return spark.createDataFrame(
+    return local_df(spark, 
         rows, "col_name string, phase int, n_rows bigint, duplicated boolean"
     )
 

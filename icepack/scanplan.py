@@ -458,8 +458,10 @@ def manifest_lines_df(table, names: list[str]) -> DataFrame | None:
                     )
             yield pd.DataFrame({"value": out})
 
+    from .session import local_df
+
     return (
-        table.spark.createDataFrame([(n,) for n in names], "name string")
+        local_df(table.spark, [(n,) for n in names], "name string")
         .repartition(min(len(names), 64))
         .mapInPandas(_read_lines, "value string")
     )
@@ -527,8 +529,10 @@ def entries_df_for_manifests(
                         out.extend(json.dumps(e.to_json()) for e in es)
                     yield pd.DataFrame({"line": out})
 
-            names_df = table.spark.createDataFrame(
-                [(n,) for n in names], "name string"
+            from .session import local_df
+
+            names_df = local_df(
+                table.spark, [(n,) for n in names], "name string"
             ).repartition(min(len(names), 64))
             lines_df = names_df.mapInPandas(_decode, "line string")
             return lines_df.select(
@@ -575,8 +579,10 @@ def entries_df_for_manifests(
                 ]
                 yield pd.DataFrame({"line": out})
 
-        names_df = table.spark.createDataFrame(
-            [(n,) for n in names], "name string"
+        from .session import local_df
+
+        names_df = local_df(
+            table.spark, [(n,) for n in names], "name string"
         ).repartition(min(len(names), 64))
         lines_df = names_df.mapInPandas(_read_lines, "line string")
         return lines_df.select(
@@ -669,14 +675,14 @@ def replaced_hit_manifests(table, descs: list, replaced_paths) -> set | None:
                             pts.append(json.loads(ln).get("path"))
             yield pd.DataFrame({"mf": mfs, "path": pts})
 
+    from .session import local_df
+
     spark = table.spark
-    names_df = spark.createDataFrame(
-        [(n,) for n in names], "name string"
+    names_df = local_df(
+        spark, [(n,) for n in names], "name string"
     ).repartition(min(len(names), 64))
     entries = names_df.mapInPandas(_emit, "mf string, path string")
-    rp = spark.createDataFrame(
-        [(p,) for p in replaced_paths], "rp string"
-    )
+    rp = local_df(spark, [(p,) for p in replaced_paths], "rp string")
     hits = (
         entries.join(rp, entries["path"] == rp["rp"], "inner")
         .select("mf")

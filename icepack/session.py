@@ -126,6 +126,31 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def local_df(spark: SparkSession, rows, schema):
+    """Driver-local rows → DataFrame backed by a JVM LocalTableScan.
+
+    ``spark.createDataFrame(list)`` parallelizes PICKLED Python rows
+    and plans a ``Scan ExistingRDD`` whose every execution round-trips
+    through a Python worker — measured ~0.5 s of fixed latency PER JOB
+    on this box even for one row (guide §4: the JVM↔Python boundary is
+    the cost, not the data).  Routing the same rows through an
+    Arrow-backed pandas frame plants a ``LocalTableScan``: pure JVM at
+    execution time; the driver pays one Arrow encode at construction
+    (schema names bind positionally).  Use for every
+    metadata-cardinality rowset on a query path — spelling maps, DV
+    refs, manifest name lists.  Falls back to the plain path if
+    pandas/Arrow is unavailable, which only costs speed."""
+    rows = list(rows)
+    if rows:
+        try:
+            import pandas as pd
+
+            return spark.createDataFrame(pd.DataFrame(rows), schema)
+        except Exception:  # pragma: no cover — pandas/Arrow unavailable
+            pass
+    return spark.createDataFrame(rows, schema)
+
+
 def get_session(app: str = "icepack", cpus: int | None = None) -> SparkSession:
     """Build the local test/bench session.
 

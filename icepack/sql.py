@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import maintenance
+from .session import local_df
 from .catalog import Catalog
 from .expr import AlwaysTrue, Expr, col as ecol
 from .metadata import Snapshot
@@ -1022,11 +1023,11 @@ class IceSQL:
         if re.match(r"(?i)CREATE(\s+OR\s+REPLACE)?\s+CATALOG\s+INTEGRATION", s):
             return self._create_catalog_integration(s)
         if re.match(r"(?i)SHOW\s+EXTERNAL\s+VOLUMES", s):
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(v,) for v in self.catalog.list_external_volumes()], "name string"
             )
         if re.match(r"(?i)SHOW\s+CATALOG\s+INTEGRATIONS", s):
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(v,) for v in self.catalog.list_catalog_integrations()], "name string"
             )
         if re.match(r"(?i)SHOW\s+TASKS", s):
@@ -1045,7 +1046,7 @@ class IceSQL:
                         t.get("last_error"),
                     )
                 )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows,
                 "name string, state string, schedule string, after string,"
                 " last_run_ms long, next_run_ms long, last_error string",
@@ -1057,10 +1058,10 @@ class IceSQL:
                 for i, loc in enumerate(v["storage_locations"])
                 for k, val in loc.items()
             ]
-            return self.spark.createDataFrame(rows, "property string, value string")
+            return local_df(self.spark, rows, "property string, value string")
         if re.match(r"(?i)DESCRIBE\s+CATALOG\s+INTEGRATION", s):
             v = self.catalog.get_catalog_integration(s.split()[-1])
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(k, str(val)) for k, val in v.items()], "property string, value string"
             )
         if u.startswith("INSERT"):
@@ -1094,7 +1095,7 @@ class IceSQL:
             # docs/03:168: column structure (vs DESCRIBE ICEBERG TABLE's
             # properties view)
             t = self._table(self._resolve_name(s.split()[-1]))
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [
                     (f.name, f.type, "Y" if not f.required else "N")
                     for f in t.meta.schema.fields
@@ -1104,7 +1105,7 @@ class IceSQL:
         if re.match(r"(?i)DESCRIBE\s+ICEBERG\s+TABLE", s):
             name = s.split()[-1]
             d = self._table(self._resolve_name(name)).describe()
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(k, str(v)) for k, v in d.items()], "property string, value string"
             )
         if re.match(r"(?i)SHOW\s+ICEBERG\s+TABLES", s):
@@ -1116,7 +1117,7 @@ class IceSQL:
                     re.IGNORECASE,
                 )
                 names = [n for n in names if pat.match(n) or pat.match(n.split(".")[-1])]
-            return self.spark.createDataFrame([(t,) for t in names], "name string")
+            return local_df(self.spark, [(t,) for t in names], "name string")
         if re.match(r"(?i)SHOW\s+PARAMETERS", s):
             return self._show_parameters(s)
         if re.match(
@@ -1128,7 +1129,7 @@ class IceSQL:
             if not self._is_materialized(name):
                 raise ValueError(f"{name} is not a materialized view")
             doc = self._refresh_mv(name)
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(doc["storage"], doc["refreshed-at-ms"])],
                 "storage string, refreshed_at_ms long",
             )
@@ -1136,7 +1137,7 @@ class IceSQL:
             name = s.split()[-1]
             if not self._is_materialized(name):
                 raise ValueError(f"{name} is not a materialized view")
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 self._mv_freshness(name),
                 "base_location string, pinned_snapshot long,"
                 " current_snapshot long, fresh boolean",
@@ -1610,7 +1611,7 @@ class IceSQL:
                 from .stats import write_partition_stats
 
                 path = write_partition_stats(t)
-                return self.spark.createDataFrame(
+                return local_df(self.spark, 
                     [(path,)], "statistics_path string"
                 )
             if not cm:
@@ -1619,7 +1620,7 @@ class IceSQL:
             rows = [
                 (c, round(t.duplication_ratio(c, refresh=True), 4)) for c in cols
             ]
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 rows, "column string, duplication_ratio double"
             )
         if u.startswith("OPTIMIZE"):
@@ -1628,7 +1629,7 @@ class IceSQL:
             import json as _json
 
             rep = maintenance.optimize(t, dry_run="DRY RUN" in u)
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(_json.dumps(rep["actions"]), _json.dumps(rep["health_after"]))],
                 "actions string, health_after string",
             )
@@ -1817,7 +1818,7 @@ class IceSQL:
         )
         if im:
             d = self._table(self._resolve_name(im.group(1))).describe()
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(k, str(v)) for k, v in d.items()], "property string, value string"
             )
 
@@ -1835,7 +1836,7 @@ class IceSQL:
             t = self._table(self._resolve_name(cm.group(1)))
             cols = [c.strip() for c in (cm.group(2) or "").split(",") if c.strip()]
             info = clustering_information(t, cols or None)
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [(_json.dumps(info),)], "clustering_information string"
             )
 
@@ -1889,7 +1890,7 @@ class IceSQL:
         the session's statements with Iceberg pruning metrics — the
         monitoring loop the docs drive off partitions_scanned vs
         partitions_total."""
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             self._history,
             "query_id string, query_text string, query_type string,"
             " start_time timestamp, partitions_scanned long,"
@@ -1915,7 +1916,7 @@ class IceSQL:
             )
         for alias, t in self._linked.items():
             rows.append((alias.upper(), alias, "ICEBERG", 2, t.location))
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "table_name string, qualified_name string, table_format string,"
             " format_version int, location string",
@@ -2203,7 +2204,7 @@ class IceSQL:
                 "^" + like.replace("%", ".*").replace("_", ".") + "$", re.IGNORECASE
             )
             params = {k: v for k, v in params.items() if pat.match(k)}
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             sorted(params.items()), "key string, value string"
         )
 

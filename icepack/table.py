@@ -72,7 +72,7 @@ from .metadata import (
     TableMetadata,
     type_to_str,
 )
-from .session import ensure_confs
+from .session import ensure_confs, local_df
 from .storage import MetadataStore, store_for
 
 _PART_PREFIX = "_p_"
@@ -1262,7 +1262,7 @@ class IceTable:
         caller coalesces with the inherited assignment)."""
         current = self.meta.schema
         if not files:
-            df = self.spark.createDataFrame([], current.to_struct())
+            df = local_df(self.spark, [], current.to_struct())
             if with_pos:
                 df = df.withColumn("_file", F.lit(None).cast("string")).withColumn(
                     "_pos", F.lit(None).cast("long")
@@ -1545,7 +1545,7 @@ class IceTable:
                     "before scanning with row_lineage=True"
                 )
         if snap is None:
-            return self.spark.createDataFrame([], current.to_struct())
+            return local_df(self.spark, [], current.to_struct())
         if self._use_distributed_planner(snap):
             # warehouse-scale planning (scanplan.py): pruning evaluated
             # in Spark over the manifests; driver holds O(selected)
@@ -1605,7 +1605,7 @@ class IceTable:
                 continue
             frid, seq = by_canon.get(canonical_file_path(s), (None, None))
             rows.append((s, frid, seq))
-        mp = self.spark.createDataFrame(
+        mp = local_df(self.spark, 
             rows or [(None, None, None)], "_sp string, _frid long, _fseq long"
         )
         return (
@@ -1715,7 +1715,8 @@ class IceTable:
                     sps = [
                         r[0] for r in df.select("_file").distinct().collect()
                     ]
-                    spell_map = self.spark.createDataFrame(
+                    spell_map = local_df(
+                        self.spark,
                         [(s, canonical_file_path(s)) for s in sps],
                         "_sp string, _cn string",
                     )
@@ -1731,13 +1732,14 @@ class IceTable:
                 from .dv import dv_positions_df
                 from .iceberg_import import canonical_file_path
 
-                refs = self.spark.createDataFrame(
-                    [
+                refs = local_df(
+                    self.spark,
+                    {
                         (d.referenced_data_file, canonical_file_path(d.referenced_data_file))
                         for d in dvg
-                    ],
+                    },
                     "file_path string, _cn string",
-                ).distinct()
+                )
                 dd = (
                     dv_positions_df(self.spark, dvg)
                     .join(F.broadcast(refs), "file_path")
@@ -1984,7 +1986,7 @@ class IceTable:
     def refs(self) -> DataFrame:
         """Metadata relation of named refs (name, type, snapshot_id)."""
         rows = [(n, r["type"], r["snapshot-id"]) for n, r in sorted(self.meta.refs.items())]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows if rows else [], "name string, type string, snapshot_id long"
         )
 
@@ -2112,7 +2114,7 @@ class IceTable:
             )
             for s in self.meta.snapshots
         ]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "snapshot_id long, parent_id long, committed_at_ms long, operation string,"
             " manifest_list string, sequence_number long, summary string",
@@ -2136,7 +2138,7 @@ class IceTable:
             )
             for f in self.live_files(snapshot)
         ]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "file_path string, partition string, record_count long, file_size_bytes long,"
             " schema_id int, spec_id int, sequence_number long, first_row_id long",
@@ -2162,7 +2164,7 @@ class IceTable:
                         json.dumps(m.get("partition-summaries", {})),
                     )
                 )
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "manifest_path string, added_files int, existing_files int,"
             " deleted_files int, live_files int, live_bytes long,"
@@ -2183,7 +2185,7 @@ class IceTable:
             a[1] += f.record_count
             a[2] += f.file_size_bytes
         rows = [(k, *v) for k, v in sorted(agg.items())]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "partition string, file_count long, record_count long, total_bytes long",
         )
@@ -2218,7 +2220,7 @@ class IceTable:
         back to computing from manifest entries with identical output."""
         snap = snapshot or self.meta.current_snapshot
         if snap is None:
-            return self.spark.createDataFrame([], self._PSTAT_DDL)
+            return local_df(self.spark, [], self._PSTAT_DDL)
         entry = next(
             (
                 e
@@ -2250,7 +2252,7 @@ class IceTable:
                         r["total_record_count"],
                     )
                 )
-            return self.spark.createDataFrame(rows, self._PSTAT_DDL)
+            return local_df(self.spark, rows, self._PSTAT_DDL)
         agg: dict = {}
         for f in self.live_files(snap, content="all"):
             key = (self._pstat_partition_key(f.partition), f.spec_id)
@@ -2278,7 +2280,7 @@ class IceTable:
             (k[0], k[1], a[0], a[1], a[2], a[3], a[4], a[5], a[6], a[7])
             for k, a in sorted(agg.items())
         ]
-        return self.spark.createDataFrame(rows, self._PSTAT_DDL)
+        return local_df(self.spark, rows, self._PSTAT_DDL)
 
     def count(self, predicate: Expr | None = None) -> int:
         """SELECT COUNT(*) answered from manifest metadata when
@@ -2430,7 +2432,7 @@ class IceTable:
              s.snapshot_id in anc)
             for s in sorted(self.meta.snapshots, key=lambda s: s.timestamp_ms)
         ]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "committed_at_ms long, snapshot_id long, parent_id long,"
             " is_current boolean, is_current_ancestor boolean",
@@ -2452,7 +2454,7 @@ class IceTable:
             )
             for r in self._scan_log
         ]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "seq int, predicate string, snapshot_id long,"
             " partitions_scanned int, partitions_total int,"

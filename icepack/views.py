@@ -44,6 +44,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .metadata import IceSchema
+from .session import local_df
 from .storage import LOCAL, MetadataStore
 
 
@@ -184,7 +185,7 @@ class IceView:
             )
             for v in self.meta["versions"]
         ]
-        return self.spark.createDataFrame(
+        return local_df(self.spark, 
             rows,
             "version_id int, timestamp_ms long, schema_id int,"
             " sql string, is_current boolean",
