@@ -174,7 +174,15 @@ class IceTable:
         meta: TableMetadata,
         store: MetadataStore | None = None,
     ):
-        self.spark = ensure_confs(spark)
+        # spark=None is a METADATA-ONLY handle: the Python Data Source
+        # plan/commit runner processes have no JVM gateway, and
+        # SparkSession.builder.getOrCreate() there LAUNCHES A FRESH
+        # LOCAL SPARK per call (measured r13: +4 JVMs and ~26 s per
+        # streaming AvailableNow run).  Every metadata op (refresh,
+        # live_files, _commit_snapshot below its distributed-hit-search
+        # threshold) is pure store I/O; anything that would need a
+        # session checks ``self.spark is not None`` first.
+        self.spark = ensure_confs(spark) if spark is not None else None
         #: metadata I/O seam (storage.py) — local FS by default; an
         #: object-store adapter swaps in here without touching the
         #: table logic (docs/01:101-124)
@@ -590,7 +598,7 @@ class IceTable:
                     )
                     for m in descs
                 )
-                if est > thr:
+                if est > thr and self.spark is not None:
                     from .scanplan import replaced_hit_manifests
 
                     hit_names = replaced_hit_manifests(
@@ -1397,6 +1405,8 @@ class IceTable:
         summed live-file count crosses the (property-overridable)
         thresholds, so a many-manifest table never silently planful
         walks millions of entries in driver Python."""
+        if self.spark is None:
+            return False  # metadata-only handle (datasource runners)
         mode = str(self.meta.properties.get("read.plan-mode", "auto")).lower()
         if mode == "distributed":
             return True
@@ -1445,6 +1455,8 @@ class IceTable:
         paid ~3.5 s of Spark overhead at 128k entries for nothing.
         ``read.plan-mode`` pins still rule; ``prop`` overrides the
         measured default per table."""
+        if self.spark is None:
+            return False  # metadata-only handle (datasource runners)
         mode = str(self.meta.properties.get("read.plan-mode", "auto")).lower()
         if mode == "distributed":
             return True
@@ -1478,6 +1490,8 @@ class IceTable:
         ``distributed`` forces Spark, ``auto`` compares the count
         against the property-overridable manifest threshold (ADVICE
         r10: the raw class constant ignored both)."""
+        if self.spark is None:
+            return False  # metadata-only handle (datasource runners)
         mode = str(self.meta.properties.get("read.plan-mode", "auto")).lower()
         if mode == "distributed":
             return True

@@ -362,3 +362,60 @@ def test_replace_commit_decodes_only_hit_manifests(spark, tmp_path, monkeypatch)
     v2 = t.live_files()[0]
     t._commit_snapshot("delete", [], replaced_paths={v2.path})
     assert t.toDF().count() == 32 - victim.record_count - v2.record_count
+
+
+def test_metadata_only_handle_without_spark(spark, tmp_path):
+    """r13: the Python Data Source plan/commit runner processes load
+    tables with spark=None (building a session there launched a fresh
+    local JVM per streaming run — measured +4 JVMs / ~26 s).  Every
+    metadata operation those runners perform must work on a
+    session-less handle, and the distributed-planner gates must all
+    answer False rather than touching the missing session."""
+    from icepack.io import load as load_fixture
+    from tests.conftest import SF_DIR
+
+    df = load_fixture(spark, SF_DIR, "orders").limit(64)
+    loc = str(tmp_path / "nospark")
+    t = IceTable.create(spark, loc, df.schema)
+    t.append(df)
+
+    h = IceTable.load(None, loc)
+    assert h.spark is None
+    assert h.meta.current_snapshot is not None
+    files = h.live_files(content="all")
+    assert files and all(f.content == "data" for f in files)
+    snap = h.meta.current_snapshot
+    assert h._use_distributed_planner(snap) is False
+    assert h._distributed_by_entries(10**9, "x", 1) is False
+    assert h._distributed_maintenance(10**9) is False
+    # a metadata-only commit (what the sink commit runner does)
+    before = len(h.meta.snapshots)
+    h._commit_snapshot("append", [])
+    assert len(h.meta.snapshots) == before + 1
+
+
+def test_type_from_str_pure_python_parser():
+    """r13: schema resolution must not need a SparkContext — the
+    simpleString spellings type_to_str emits (bigint, decimal(p,s),
+    nested array/map/struct) parse in pure Python, byte-identical to
+    Spark's own parser (the runner processes have no JVM; the old
+    fallback silently booted one per 'bigint' column)."""
+    from pyspark.sql import types as T
+
+    from icepack.metadata import type_from_str, type_to_str
+
+    cases = [
+        "bigint",
+        "smallint",
+        "tinyint",
+        "decimal(12,2)",
+        "array<float>",
+        "array<array<int>>",
+        "map<string,bigint>",
+        "struct<a:int,b:array<double>,c:struct<x:string,y:decimal(10,0)>>",
+        "map<struct<k:int>,array<string>>",
+    ]
+    for c in cases:
+        t = type_from_str(c)
+        assert t == T._parse_datatype_string(c), c
+        assert type_from_str(type_to_str(t)) == t, c
