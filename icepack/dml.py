@@ -292,25 +292,26 @@ def _write_dv_entries(table, keys: DataFrame, hit: list) -> tuple[list[DataFile]
     # applies both structures idempotently either way.
     pos_files = [d for d in deletes if d.content == "position-deletes"]
     if pos_files:
-        canon_touch = local_df(
-            table.spark,
-            [(c, raw) for c, raw in by_canon.items() if raw in touched],
-            "_cn string, _raw string",
-        )
-
-        @F.pandas_udf("string")
-        def _canon(s):
-            import pandas as pd  # noqa: F401
-
-            from icepack.iceberg_import import canonical_file_path as cfp
-
-            return s.map(cfp)
-
+        # distinct-spelling substitution, not a per-row canon UDF (r13:
+        # each pandas-UDF stage costs ~0.5 s fixed JVM↔Python latency;
+        # tombstone spellings are O(files-with-deletes))
+        pos_keys = table.spark.read.parquet(
+            *[d.path for d in pos_files]
+        ).select("file_path", "pos")
+        psp = [r[0] for r in pos_keys.select("file_path").distinct().collect()]
+        touch_by_cn = {c: raw for c, raw in by_canon.items() if raw in touched}
+        prows = []
+        for s in psp:
+            raw = touch_by_cn.get(canonical_file_path(s))
+            if raw is not None:  # non-touched files' tombstones drop, as before
+                prows.append((s, raw))
         keys = keys.unionByName(
-            table.spark.read.parquet(*[d.path for d in pos_files])
-            .select(_canon("file_path").alias("_cn"), "pos")
-            .join(F.broadcast(canon_touch), "_cn")
-            .select(F.col("_raw").alias("file_path"), "pos")
+            pos_keys.join(
+                F.broadcast(
+                    local_df(table.spark, prows, "file_path string, _raw string")
+                ),
+                "file_path",
+            ).select(F.col("_raw").alias("file_path"), "pos")
         )
     replaced = {d.path for d in merged}
     carried = [
@@ -405,12 +406,20 @@ def _write_delete_entries(table, keys: DataFrame, content: str, eq_cols=()) -> l
         == "true"
     ):
         from .iceberg_import import canonical_file_path
+        from .session import local_df
 
-        @F.pandas_udf("string")
-        def _canon_paths(s):
-            return s.map(canonical_file_path)
-
-        keys = keys.withColumn("file_path", _canon_paths("file_path"))
+        # rewrite through a distinct-spelling substitution map instead
+        # of a per-row canon UDF (r13: a pandas-UDF stage costs ~0.5 s
+        # fixed JVM↔Python latency; spellings are O(files))
+        sps = [r[0] for r in keys.select("file_path").distinct().collect()]
+        cmap = local_df(
+            table.spark,
+            [(s, canonical_file_path(s)) for s in sps],
+            "file_path string, _cfp string",
+        )
+        keys = keys.join(F.broadcast(cmap), "file_path").select(
+            F.col("_cfp").alias("file_path"), "pos"
+        )
     ddir = os.path.join(table.location, "data", f"deletes-{uuid.uuid4().hex}")
     keys.coalesce(1).write.parquet(ddir)
     entries = []

@@ -222,23 +222,9 @@ def rewrite_position_deletes(table) -> Snapshot | None:
     spark = table.spark
     from .iceberg_import import canonical_file_path
 
-    live_data = local_df(
-        spark,
-        [(canonical_file_path(f.path),) for f in live if f.content == "data"],
-        "_norm string",
-    )
-    # tombstones carry _metadata.file_path URIs — PERCENT-ENCODED
-    # ('file:/a/sp%20ace/...'), so a scheme-strip regexp is not enough:
-    # a spaced path would never match its manifest spelling and every
-    # live tombstone would be judged dangling (deleted rows resurrect).
-    # Canonicalize BOTH sides through the one canonicalizer every other
-    # path join uses (Arrow-batched, never per-row Python).
-    import pandas as pd  # noqa: F401
-
-    @F.pandas_udf("string")
-    def _canon(s):
-        return s.map(canonical_file_path)
-
+    live_norms = {
+        canonical_file_path(f.path) for f in live if f.content == "data"
+    }
     parts = []
     if pos:
         parts.append(
@@ -267,11 +253,22 @@ def rewrite_position_deletes(table) -> Snapshot | None:
     keys = parts[0]
     for p in parts[1:]:
         keys = keys.unionByName(p)
-    keys = (
-        keys.distinct()
-        .withColumn("_norm", _canon("file_path"))
-        .join(live_data, "_norm", "left_semi")
-        .drop("_norm")
+    keys = keys.distinct()
+    # tombstones carry _metadata.file_path URIs — PERCENT-ENCODED
+    # ('file:/a/sp%20ace/...'), so a scheme-strip regexp is not enough:
+    # a spaced path would never match its manifest spelling and every
+    # live tombstone would be judged dangling (deleted rows resurrect).
+    # Both sides go through the one canonicalizer every other path join
+    # uses — as a DISTINCT-spelling semi-join (O(files-with-deletes)
+    # strings collect, driver canon, broadcast LocalTableScan), not a
+    # per-row pandas UDF (r13: each such stage costs ~0.5 s fixed
+    # JVM↔Python latency).
+    sps = [r[0] for r in keys.select("file_path").distinct().collect()]
+    keep = [(s,) for s in sps if canonical_file_path(s) in live_norms]
+    keys = keys.join(
+        F.broadcast(local_df(spark, keep, "file_path string")),
+        "file_path",
+        "left_semi",
     )
     entries = _write_delete_entries(table, keys, "position-deletes")
     return table._commit_snapshot(

@@ -1711,7 +1711,7 @@ class IceTable:
             # JVM distinct), map the bounded DELETE side onto those
             # spellings, and anti-join on PLAIN string equality so the
             # data rows never leave the JVM.
-            spell_map = None
+            spell_pairs: list | None = None
 
             def _spellings():
                 # Bounded metadata collect: one column-pruned distinct
@@ -1722,19 +1722,15 @@ class IceTable:
                 # tried first and REJECTED: Catalyst's projection
                 # collapse pushed the UDF below the aggregation,
                 # putting an ArrowEvalPython stage back over every row.
-                nonlocal spell_map
-                if spell_map is None:
+                nonlocal spell_pairs
+                if spell_pairs is None:
                     from .iceberg_import import canonical_file_path
 
                     sps = [
                         r[0] for r in df.select("_file").distinct().collect()
                     ]
-                    spell_map = local_df(
-                        self.spark,
-                        [(s, canonical_file_path(s)) for s in sps],
-                        "_sp string, _cn string",
-                    )
-                return spell_map
+                    spell_pairs = [(s, canonical_file_path(s)) for s in sps]
+                return spell_pairs
 
             if dvg:
                 # one anti-join applies every DV of the group: the
@@ -1757,7 +1753,14 @@ class IceTable:
                 dd = (
                     dv_positions_df(self.spark, dvg)
                     .join(F.broadcast(refs), "file_path")
-                    .join(F.broadcast(_spellings()), "_cn")
+                    .join(
+                        F.broadcast(
+                            local_df(
+                                self.spark, _spellings(), "_sp string, _cn string"
+                            )
+                        ),
+                        "_cn",
+                    )
                     .select(F.col("_sp").alias("_delsp"), "pos")
                 )
                 df = df.join(
@@ -1785,31 +1788,34 @@ class IceTable:
                     # file_path as a ``file:/abs/path`` URI, and a
                     # verbatim compare would never match, silently
                     # resurrecting deleted rows on adopted tables — so
-                    # the delete side's DISTINCT paths canonicalize
-                    # (bounded Python) and map onto the scan's actual
-                    # ``_file`` spellings; the data side stays JVM.
+                    # the delete side's DISTINCT paths (bounded: delete
+                    # files are small by design) collect, canonicalize
+                    # in plain driver Python, and substitute through a
+                    # broadcast LocalTableScan map onto the scan's
+                    # actual ``_file`` spellings — no pandas-UDF stage
+                    # in the broadcast build (r13: each such stage
+                    # costs ~0.5 s of fixed JVM↔Python latency), and
+                    # the data side stays JVM.
                     from .iceberg_import import canonical_file_path
 
-                    import pandas as pd  # noqa: F401
-
-                    @F.pandas_udf("string")
-                    def _canon(s):
-                        return s.map(canonical_file_path)
-
-                    dmap = (
-                        dels.select("file_path")
-                        .distinct()
-                        .withColumn("_cn", _canon("file_path"))
-                        .join(F.broadcast(_spellings()), "_cn")
-                        .select(F.col("file_path").alias("_dfp"), "_sp")
-                    )
-                    dels = (
-                        dels.join(
-                            F.broadcast(dmap),
-                            dels["file_path"] == F.col("_dfp"),
-                        )
-                        .select(F.col("_sp").alias("file_path"), "pos")
-                    )
+                    by_cn = {cn: sp for sp, cn in _spellings()}
+                    dsp = [
+                        r[0]
+                        for r in dels.select("file_path").distinct().collect()
+                    ]
+                    rows = []
+                    for s in dsp:
+                        sp = by_cn.get(canonical_file_path(s))
+                        if sp is not None:  # unmatched deletes drop, as before
+                            rows.append((s, sp))
+                    dels = dels.join(
+                        F.broadcast(
+                            local_df(
+                                self.spark, rows, "file_path string, _sp string"
+                            )
+                        ),
+                        "file_path",
+                    ).select(F.col("_sp").alias("file_path"), "pos")
                 df = df.join(
                     F.broadcast(dels),
                     (df["_file"] == dels["file_path"])
