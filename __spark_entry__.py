@@ -31,8 +31,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return all_queries()
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Each callable re-pins the engine's runtime confs unconditionally
+    (ensure_confs force=True, ~1 ms): the internal memo makes conf
+    normalization one-shot per session, and a harness that mutates a
+    runtime conf between queries must not change what a declared query
+    computes."""
+    import functools
+
+    from icepack.session import ensure_confs
+
+    def _pinned(fn):
+        @functools.wraps(fn)
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_confs(spark, force=True)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _pinned(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -302,6 +302,16 @@ def main() -> None:
         "stream_rows_per_sec": st_rows_per_sec,
         "dsv2_write": w0_stats,
         "vs_prev": vs_prev,
+        # Per-query ESTIMATOR provenance (r13 verdict item 5): a
+        # cross-round comparison can assert estimator equality the way
+        # the canary id already pins the gauge.  The batch id covers
+        # every interleaved HEADLINE query; the two composite legs
+        # carry their own rep shapes.
+        "estimators": {
+            "batch": f"min-of-{reps}-interleaved-warmup1",
+            "st0_stream_ingest": f"min-of-{st_reps}",
+            "w0_partitioned_write": "min-of-3-warm-reps(4-runs-1st-discarded)",
+        },
     }
     detail_path = os.environ.get("SPARK_GRAFT_DETAIL_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"

@@ -231,7 +231,45 @@ def _dml_writes_dvs(table) -> bool:
     return spec_format_version(table.meta.properties) >= 3
 
 
-def _write_dv_entries(table, keys: DataFrame, hit: list) -> tuple[list[DataFile], set[str]]:
+def _dv_build_driver_lane_ok(table, hit: list, deletes: list, bounded: bool) -> bool:
+    """Gate for the driver-side DV build lane: True only when EVERY
+    input is provably bounded — the matched identities by the planned
+    files' record counts (``bounded`` is False for MERGE, whose inner
+    join can exceed that bound under duplicate source keys), prior DVs
+    by the decode gates, v2 tombstone parquet by its manifest record
+    counts and local readability."""
+    import os as _os
+
+    from .dv import DV_DRIVER_BUILD_MAX_ROWS, driver_decodable
+
+    if not bounded:
+        return False
+    total = 0
+    for f in hit:
+        if not f.record_count:
+            return False
+        total += int(f.record_count)
+    prior = [d for d in deletes if d.content == "deletion-vectors"]
+    if prior and not driver_decodable(prior):
+        return False
+    for d in deletes:
+        if d.content == "position-deletes":
+            if not d.record_count or not _os.path.isfile(d.path):
+                return False
+            total += int(d.record_count)
+    if total > DV_DRIVER_BUILD_MAX_ROWS:
+        return False
+    try:
+        import pandas  # noqa: F401
+        import pyarrow.parquet  # noqa: F401
+    except Exception:  # pragma: no cover — pyarrow/pandas unavailable
+        return False
+    return True
+
+
+def _write_dv_entries(
+    table, keys: DataFrame, hit: list, bounded: bool = True
+) -> tuple[list[DataFile], set[str]]:
     """v3 DML tombstones → deletion-vector entries (docs/08-acid-
     transactions.md:112-116 under the public Iceberg v3 spec's
     "Row-level deletes" rules).
@@ -258,7 +296,21 @@ def _write_dv_entries(table, keys: DataFrame, hit: list) -> tuple[list[DataFile]
     from .dv import build_dv_blobs, dv_positions_df, write_dv_puffins
     from .iceberg_import import canonical_file_path
 
-    spellings = [r[0] for r in keys.select("file_path").distinct().collect()]
+    deletes = table.live_files(content="deletes")
+    driver_lane = _dv_build_driver_lane_ok(table, hit, deletes, bounded)
+    if driver_lane:
+        # gated driver lane (guide §4): the matched identities are
+        # bounded by the planned files' record counts, so ONE Arrow
+        # toPandas job replaces the distinct-spelling collect, the
+        # broadcast substitution join, the tombstone unions, and the
+        # fixed-latency ``build_dv_blobs`` applyInPandas stage.  Blob
+        # bytes are identical by construction (dv.build_dv_blob_rows);
+        # past the gate the distributed lane below runs unchanged.
+        pdf = keys.toPandas()
+        spellings = list(pdf["file_path"].unique())
+    else:
+        pdf = None
+        spellings = [r[0] for r in keys.select("file_path").distinct().collect()]
     if not spellings:
         return [], set()
     by_canon = {canonical_file_path(f.path): f.path for f in hit}
@@ -272,54 +324,90 @@ def _write_dv_entries(table, keys: DataFrame, hit: list) -> tuple[list[DataFile]
         pairs.append((s, raw))
     from .session import local_df
 
-    spell_map = local_df(table.spark, pairs, "file_path string, _raw string")
-    keys = keys.join(F.broadcast(spell_map), "file_path").select(
-        F.col("_raw").alias("file_path"), "pos"
-    )
     touched = {raw for _, raw in pairs}
-    deletes = table.live_files(content="deletes")
     prior = [d for d in deletes if d.content == "deletion-vectors"]
     merged = [d for d in prior if d.referenced_data_file in touched]
-    if merged:
-        keys = keys.unionByName(
-            dv_positions_df(table.spark, merged).select("file_path", "pos")
-        )
-    # v2-era position-delete files carried from an upgrade: the v3 spec
-    # requires a NEW DV to include every previously-deleted position of
-    # its file (readers with a DV may ignore position deletes), so fold
-    # the touched files' rows in.  The parquet files themselves stay —
-    # they may still cover files without a DV — and our own read path
-    # applies both structures idempotently either way.
     pos_files = [d for d in deletes if d.content == "position-deletes"]
-    if pos_files:
-        # distinct-spelling substitution, not a per-row canon UDF (r13:
-        # each pandas-UDF stage costs ~0.5 s fixed JVM↔Python latency;
-        # tombstone spellings are O(files-with-deletes))
-        pos_keys = table.spark.read.parquet(
-            *[d.path for d in pos_files]
-        ).select("file_path", "pos")
-        psp = [r[0] for r in pos_keys.select("file_path").distinct().collect()]
-        touch_by_cn = {c: raw for c, raw in by_canon.items() if raw in touched}
-        prows = []
-        for s in psp:
-            raw = touch_by_cn.get(canonical_file_path(s))
-            if raw is not None:  # non-touched files' tombstones drop, as before
-                prows.append((s, raw))
-        keys = keys.unionByName(
-            pos_keys.join(
-                F.broadcast(
-                    local_df(table.spark, prows, "file_path string, _raw string")
-                ),
-                "file_path",
-            ).select(F.col("_raw").alias("file_path"), "pos")
+    touch_by_cn = {c: raw for c, raw in by_canon.items() if raw in touched}
+    if driver_lane:
+        import pandas as pd
+
+        from .dv import build_dv_blob_rows, dv_positions_pandas
+
+        raw_by_spelling = dict(pairs)
+        frames = [
+            pdf.assign(file_path=pdf["file_path"].map(raw_by_spelling))
+        ]
+        if merged:
+            frames.append(dv_positions_pandas(merged))  # gate pre-checked
+        if pos_files:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            tbls = [
+                pq.read_table(d.path, columns=["file_path", "pos"])
+                for d in pos_files
+            ]
+            pk = (
+                pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
+            ).to_pandas()
+            remap = {
+                s: touch_by_cn.get(canonical_file_path(s))
+                for s in pk["file_path"].unique()
+            }
+            pk = pk.assign(file_path=pk["file_path"].map(remap))
+            # non-touched files' tombstones drop, as before
+            frames.append(pk[pk["file_path"].notna()])
+        blobs = build_dv_blob_rows(
+            pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
         )
+    else:
+        spell_map = local_df(table.spark, pairs, "file_path string, _raw string")
+        keys = keys.join(F.broadcast(spell_map), "file_path").select(
+            F.col("_raw").alias("file_path"), "pos"
+        )
+        if merged:
+            keys = keys.unionByName(
+                dv_positions_df(table.spark, merged).select("file_path", "pos")
+            )
+        # v2-era position-delete files carried from an upgrade: the v3
+        # spec requires a NEW DV to include every previously-deleted
+        # position of its file (readers with a DV may ignore position
+        # deletes), so fold the touched files' rows in.  The parquet
+        # files themselves stay — they may still cover files without a
+        # DV — and our own read path applies both structures
+        # idempotently either way.
+        if pos_files:
+            # distinct-spelling substitution, not a per-row canon UDF
+            # (r13: each pandas-UDF stage costs ~0.5 s fixed
+            # JVM↔Python latency; tombstone spellings are
+            # O(files-with-deletes))
+            pos_keys = table.spark.read.parquet(
+                *[d.path for d in pos_files]
+            ).select("file_path", "pos")
+            psp = [
+                r[0] for r in pos_keys.select("file_path").distinct().collect()
+            ]
+            prows = []
+            for s in psp:
+                raw = touch_by_cn.get(canonical_file_path(s))
+                if raw is not None:  # non-touched tombstones drop
+                    prows.append((s, raw))
+            keys = keys.unionByName(
+                pos_keys.join(
+                    F.broadcast(
+                        local_df(table.spark, prows, "file_path string, _raw string")
+                    ),
+                    "file_path",
+                ).select(F.col("_raw").alias("file_path"), "pos")
+            )
+        blobs = build_dv_blobs(keys).collect()
     replaced = {d.path for d in merged}
     carried = [
         dataclasses.replace(d, status="added")
         for d in prior
         if d.path in replaced and d.referenced_data_file not in touched
     ]
-    blobs = build_dv_blobs(keys).collect()
     snap = table.meta.current_snapshot
     entries = write_dv_puffins(
         table, blobs, snap.snapshot_id if snap is not None else -1
@@ -477,7 +565,9 @@ def _merge_mor(
     tomb = matched.select(F.col("_file").alias("file_path"), F.col("_pos").alias("pos"))
     replaced: set[str] = set()
     if _dml_writes_dvs(table):
-        entries, replaced = _write_dv_entries(table, tomb, hit)
+        # bounded=False: an inner join under duplicate source keys can
+        # emit more matched identities than the hit files hold rows
+        entries, replaced = _write_dv_entries(table, tomb, hit, bounded=False)
     else:
         entries = _write_delete_entries(table, tomb, "position-deletes")
     new_rows = None

@@ -48,41 +48,98 @@ DV_DRIVER_DECODE_MAX_BYTES = int(
     _os.environ.get("ICEPACK_DV_DRIVER_DECODE_MAX_BYTES", str(8 * 1024 * 1024))
 )
 
+#: Decoded-CARDINALITY companion gate (r13 verdict: roaring run
+#: containers compress brutally well, so a few serialized bytes can
+#: decode to millions of positions — the bytes gate alone under-counts
+#: what the driver would materialize).  The blob cardinality is pinned
+#: in each DV entry's ``record_count`` at write time, so the check is
+#: exact and free; an entry with no usable count fails the gate.
+DV_DRIVER_DECODE_MAX_ROWS = int(
+    _os.environ.get("ICEPACK_DV_DRIVER_DECODE_MAX_ROWS", str(4_000_000))
+)
+
+#: Row bound under which DV BITMAP CONSTRUCTION (the reverse direction:
+#: tombstone rows → roaring blobs) may run driver-side.  The metadata
+#: gives an exact upper bound before any job runs (delete-file
+#: record counts / planned-file record counts), so the gate never
+#: guesses; past it the ``build_dv_blobs`` applyInPandas lane runs
+#: unchanged — at 100 TB tombstone volumes that distributed lane is
+#: the only correct shape, the driver lane exists because a Python
+#: executor stage costs ~0.5 s of fixed boundary latency that dwarfs
+#: the ~ms bitmap build at metadata-scale inputs (guide §4).
+DV_DRIVER_BUILD_MAX_ROWS = int(
+    _os.environ.get("ICEPACK_DV_DRIVER_BUILD_MAX_ROWS", str(4_000_000))
+)
+
+
+def driver_decodable(entries) -> bool:
+    """True when the DV entries are small enough (serialized bytes AND
+    decoded cardinality) to decode driver-side."""
+    total_bytes = 0
+    total_rows = 0
+    for e in entries:
+        total_bytes += int(e.content_size or 0)
+        rc = e.record_count
+        if rc is None or int(rc) <= 0:
+            return False  # unknown cardinality: stay in the executor lane
+        total_rows += int(rc)
+    return (
+        total_bytes <= DV_DRIVER_DECODE_MAX_BYTES
+        and total_rows <= DV_DRIVER_DECODE_MAX_ROWS
+    )
+
+
+def dv_positions_pandas(entries):
+    """Driver-side decode of DV entries → one pandas ``(file_path,
+    pos)`` frame, or None when the entries exceed the driver gates.
+    The callers that would broadcast the decoded positions anyway
+    (DV-masked scans, small-table consolidation) use this to keep the
+    ~ms roaring decode out of a fixed-latency Python executor stage."""
+    if not driver_decodable(entries):
+        return None
+    import pandas as pd
+
+    from .roaring import read_dv_blob
+
+    frames = []
+    for e in entries:
+        with open(e.path, "rb") as fh:
+            fh.seek(int(e.content_offset))
+            data = fh.read(int(e.content_size))
+        pos = read_dv_blob(data)
+        frames.append(
+            pd.DataFrame(
+                {"file_path": e.referenced_data_file, "pos": pos.astype("int64")}
+            )
+        )
+    if not frames:
+        return pd.DataFrame({"file_path": pd.Series([], dtype=object),
+                             "pos": pd.Series([], dtype="int64")})
+    return pd.concat(frames, ignore_index=True)
+
 
 def dv_positions_df(spark: SparkSession, entries) -> DataFrame:
     """Decode deletion-vector manifest entries → ``(file_path, pos)``.
 
     ``entries`` are ``DataFile`` rows with content ``deletion-vectors``
     (identity = (path, content_offset)).  Decoding happens in
-    executors — or on the driver below
-    ``DV_DRIVER_DECODE_MAX_BYTES`` total blob bytes (see above);
-    ``file_path`` is the entry's ``referenced_data_file``
-    (the raw manifest spelling of the target data file)."""
+    executors — or on the driver below the
+    ``DV_DRIVER_DECODE_MAX_BYTES`` / ``DV_DRIVER_DECODE_MAX_ROWS``
+    gates (see above); ``file_path`` is the entry's
+    ``referenced_data_file`` (the raw manifest spelling of the target
+    data file)."""
+    entries = list(entries)
+    from .session import local_df
+
+    pdf = dv_positions_pandas(entries)
+    if pdf is not None:
+        if not len(pdf):
+            return spark.createDataFrame([], "file_path string, pos long")
+        return spark.createDataFrame(pdf, "file_path string, pos long")
     refs = [
         (e.path, int(e.content_offset), int(e.content_size), e.referenced_data_file)
         for e in entries
     ]
-    from .session import local_df
-
-    if sum(r[2] for r in refs) <= DV_DRIVER_DECODE_MAX_BYTES:
-        import pandas as pd
-
-        from .roaring import read_dv_blob
-
-        frames = []
-        for puffin, off, ln, fp in refs:
-            with open(puffin, "rb") as fh:
-                fh.seek(off)
-                data = fh.read(ln)
-            pos = read_dv_blob(data)
-            frames.append(
-                pd.DataFrame({"file_path": fp, "pos": pos.astype("int64")})
-            )
-        if not frames:
-            return spark.createDataFrame([], "file_path string, pos long")
-        return spark.createDataFrame(
-            pd.concat(frames, ignore_index=True), "file_path string, pos long"
-        )
 
     sdf = local_df(
         spark, refs, "puffin string, offset long, length long, file_path string"
@@ -186,6 +243,31 @@ def write_dv_puffins(
         batch_bytes += len(r["blob"])
     _flush()
     return entries
+
+
+def build_dv_blob_rows(pdf) -> list:
+    """Driver-side twin of :func:`build_dv_blobs` for gated small
+    inputs: a pandas ``(file_path, pos)`` frame → ``[{file_path, blob,
+    cardinality}]``.  Bytes are identical by construction (same
+    ``np.unique`` + ``dv_blob_bytes`` per file as the applyInPandas
+    lane — pinned by tests) so the two lanes can never disagree; the
+    caller chooses the lane by a bounded row-count gate, exactly like
+    the decode direction above."""
+    import numpy as np
+
+    from .roaring import dv_blob_bytes
+
+    out = []
+    for fp, grp in pdf.groupby("file_path", sort=True):
+        pos = np.unique(grp["pos"].to_numpy(dtype="int64"))
+        out.append(
+            {
+                "file_path": fp,
+                "blob": dv_blob_bytes(pos),
+                "cardinality": int(len(pos)),
+            }
+        )
+    return out
 
 
 def build_dv_blobs(tombstones: DataFrame) -> DataFrame:

@@ -65,6 +65,38 @@ def canonical_file_path(p: str) -> str:
     return scheme + "://" + unquote(rest.lstrip("/"))
 
 
+#: Characters Spark/Hadoop pass through UNENCODED when spelling a local
+#: path as the ``_metadata.file_path`` URI (probed on Spark 4.1, pinned
+#: by tests/test_table.py::test_predicted_scan_spelling).  Anything
+#: outside (space, %, #, ?, unicode, ...) may be percent-encoded, so
+#: prediction declines and the caller discovers spellings with a
+#: metadata-column distinct instead.
+_URI_SAFE = frozenset(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    "/._-=+,&;@~()'"
+)
+
+
+def predicted_scan_spelling(path: str) -> str | None:
+    """The ``_metadata.file_path`` URI Spark will emit for a local raw
+    path, when statically predictable: ``file:`` + the path verbatim.
+
+    Scans that anti-join delete structures on the ``_file`` column need
+    the scan-side spelling of each data file; running a distinct over
+    ``_file`` costs one Spark job per scan construction (guide §1.2 —
+    driver/latency work repeated per query).  Engine-written paths
+    (tempdir + uuid hex + Spark part-file names) are URI-trivial, so
+    the spelling is a pure function of the manifest path.  Returns
+    None — caller falls back to the distinct job — for any path with
+    characters Hadoop might encode, a scheme prefix, doubled slashes
+    (Path normalization), or a relative form."""
+    if not path.startswith("/") or "//" in path:
+        return None
+    if not all(c in _URI_SAFE for c in path):
+        return None
+    return "file:" + path
+
+
 def _spark_type(t) -> T.DataType:
     """Iceberg schema-JSON type → Spark DataType (reverse of the
     export's `_iceberg_type`)."""

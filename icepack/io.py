@@ -31,24 +31,40 @@ TABLES = (
 )
 
 
-#: (path -> inferred StructType) METADATA memo.  Guide §1.2/§6: the
-#: fixtures are immutable parquet, yet every ``spark.read.parquet``
-#: re-runs footer schema inference on the driver — measured 78 ms per
-#: warm call vs 11 ms with an explicit schema.  A real warehouse never
-#: pays this per query either (the catalog serves the schema); caching
-#: the SCHEMA only (never rows, never results) mirrors that.  Fresh
-#: processes re-infer once per path.
-_SCHEMA_MEMO: dict[str, StructType] = {}
+#: ((path, mtime_ns, size) -> inferred StructType) METADATA memo.
+#: Guide §1.2/§6: the fixtures are immutable parquet, yet every
+#: ``spark.read.parquet`` re-runs footer schema inference on the
+#: driver — measured 78 ms per warm call vs 11 ms with an explicit
+#: schema.  A real warehouse never pays this per query either (the
+#: catalog serves the schema); caching the SCHEMA only (never rows,
+#: never results) mirrors that.  Fresh processes re-infer once per
+#: path.  The key carries the file's (mtime_ns, size) identity (r13
+#: verdict item 1): a fixture-shaped path REWRITTEN in-process (test
+#: harnesses) re-infers instead of serving a stale schema — one
+#: ``os.stat`` is ~1000× cheaper than footer inference.
+_SCHEMA_MEMO: dict[tuple[str, int, int], StructType] = {}
+
+
+def _memo_key(path: str) -> tuple[str, int, int] | None:
+    import os
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None  # directory-style/remote layouts: no memo, just read
+    return (path, st.st_mtime_ns, st.st_size)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing event timestamps."""
     ensure_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
-    schema = _SCHEMA_MEMO.get(path)
+    key = _memo_key(path)
+    schema = _SCHEMA_MEMO.get(key) if key else None
     if schema is None:
         df = spark.read.parquet(path)
-        _SCHEMA_MEMO[path] = df.schema
+        if key:
+            _SCHEMA_MEMO[key] = df.schema
     else:
         df = spark.read.schema(schema).parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

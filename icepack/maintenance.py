@@ -366,6 +366,29 @@ def write_deletion_vectors(
     n_puffins = len({f.path for f in dvs})
     if not pos and n_puffins <= 1:
         return None  # already consolidated (or nothing to do)
+    if live_by_norm is not None:
+        # FULL driver lane (guide §4 boundary-cost removal): below the
+        # exact metadata row bound the whole consolidation — tombstone
+        # parquet read, DV decode, spelling substitution, bitmap build —
+        # is bounded driver work, and the Spark shape it replaces was
+        # two collects plus a fixed-latency applyInPandas stage over
+        # the same driver-bound data.  Zero Spark jobs on this lane;
+        # the distributed lane below is untouched past the gate.
+        blobs = _consolidate_dvs_driver_side(pos, dvs, live_by_norm)
+        if blobs is not None:
+            if not blobs:
+                return table._commit_snapshot(
+                    "replace", [], {f.path for f in pos} | {f.path for f in dvs}
+                )
+            entries = write_dv_puffins(
+                table,
+                blobs,
+                table.meta.current_snapshot.snapshot_id,
+                max_puffin_bytes=max_puffin_bytes,
+            )
+            return table._commit_snapshot(
+                "replace", entries, {f.path for f in pos} | {f.path for f in dvs}
+            )
     parts = []
     if pos:
         parts.append(
@@ -416,6 +439,60 @@ def write_deletion_vectors(
     return table._commit_snapshot(
         "replace", entries, {f.path for f in pos} | {f.path for f in dvs}
     )
+
+
+def _consolidate_dvs_driver_side(pos, dvs, live_by_norm) -> list | None:
+    """Driver-side DV consolidation for gated small inputs: read the
+    position-delete parquet with pyarrow, decode prior DVs, substitute
+    raw manifest spellings, and build the per-file roaring blobs — all
+    bounded by the EXACT tombstone row count the manifest entries
+    already carry.  Returns None (caller keeps the distributed lane)
+    past the gates, when a tombstone file is not driver-readable, or
+    when pyarrow is unavailable."""
+    import os as _os2
+
+    from .dv import (
+        DV_DRIVER_BUILD_MAX_ROWS,
+        build_dv_blob_rows,
+        dv_positions_pandas,
+    )
+    from .iceberg_import import canonical_file_path
+
+    total = sum(int(f.record_count or 0) for f in pos) + sum(
+        int(d.record_count or 0) for d in dvs
+    )
+    if total > DV_DRIVER_BUILD_MAX_ROWS:
+        return None
+    if any(not _os2.path.isfile(f.path) for f in pos):
+        return None  # non-local tombstones: let Spark read them
+    try:
+        import pandas as pd
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover — pyarrow/pandas unavailable
+        return None
+    frames = []
+    for f in pos:
+        frames.append(
+            pq.read_table(f.path, columns=["file_path", "pos"]).to_pandas()
+        )
+    if dvs:
+        dvf = dv_positions_pandas(dvs)
+        if dvf is None:
+            return None  # DV blobs exceed the decode gates
+        frames.append(dvf)
+    pdf = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    # distinct-spelling substitution (same discipline as the Spark
+    # lane): canonicalize each UNIQUE tombstone spelling once, map to
+    # the raw manifest spelling, drop dangling tombstones
+    spell = {
+        s: live_by_norm.get(canonical_file_path(s))
+        for s in pdf["file_path"].unique()
+    }
+    pdf = pdf.assign(file_path=pdf["file_path"].map(spell))
+    pdf = pdf[pdf["file_path"].notna()]
+    if not len(pdf):
+        return []
+    return build_dv_blob_rows(pdf)
 
 
 def _rewrite_manifests_distributed(table, prev) -> list[tuple] | None:

@@ -3163,6 +3163,34 @@ def _x48_bucket_col(planes=None):
     return _sign_bucket_expr(planes if planes is not None else _LSH_PLANES)
 
 
+def _np_round_half_up(c, nd: int = 6):
+    """numpy round that matches Spark's ``round`` (HALF_UP on the
+    shortest-decimal repr) instead of banker's rounding (ADVICE r13:
+    the x48 in-scorer ranking key must use the SAME selection rule as
+    the displaced window and the oracle by construction, not by
+    fixture pin).  Fast path: ``np.round``; only elements sitting
+    within 1e-9 of a half boundary (where the two rules can differ)
+    re-round through decimal HALF_UP — cosines land there ~never, so
+    the slow path is O(suspects)."""
+    import numpy as np
+
+    c = np.asarray(c, dtype=np.float64)
+    r = np.round(c, nd)
+    scaled = np.abs(c) * (10.0**nd)
+    frac = scaled - np.floor(scaled)
+    sus = np.abs(frac - 0.5) < 1e-9
+    if sus.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-nd)
+        r = r.copy()
+        for i in np.nonzero(sus)[0]:
+            r[i] = float(
+                Decimal(repr(float(c[i]))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return r
+
+
 def _x48_rep_pairs(b, top3: bool = False) -> DataFrame:
     """(bucket, id_a, id_b, cos) for every within-bucket pair of the
     given (vec_id, embedding, bucket) frame — or only each bucket's
@@ -3215,7 +3243,8 @@ def _x48_rep_pairs(b, top3: bool = False) -> DataFrame:
         c = cos[ia, ib]
         if top3:
             # rank exactly as _x48_rank3: round-6 desc, then id_a, id_b
-            keep = np.lexsort((ids[ib], ids[ia], -np.round(c, 6)))[:3]
+            # (HALF_UP like Spark round — _np_round_half_up)
+            keep = np.lexsort((ids[ib], ids[ia], -_np_round_half_up(c, 6)))[:3]
             ia, ib, c = ia[keep], ib[keep], c[keep]
         return pd.DataFrame(
             {

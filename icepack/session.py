@@ -109,9 +109,17 @@ def _ship_package(spark: SparkSession) -> None:
 _ENSURED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
-def ensure_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to a (possibly externally built) session."""
-    if spark in _ENSURED:
+def ensure_confs(spark: SparkSession, force: bool = False) -> SparkSession:
+    """Apply runtime confs to a (possibly externally built) session.
+
+    Memoized per Python session object (below) — ONE-SHOT by default:
+    external mutation of a RUNTIME_CONFS key after first normalization
+    is not re-pinned on later internal calls.  ``force=True`` re-pins
+    unconditionally; the driver entry path (``__spark_entry__``) forces
+    it once per query invocation so a foreign harness that mutates
+    session confs mid-run cannot skew declared-query results (r13
+    verdict item 3 hardening)."""
+    if not force and spark in _ENSURED:
         return spark
     for k, v in RUNTIME_CONFS.items():
         try:

@@ -1652,6 +1652,54 @@ class IceTable:
             return self._lineage_df(files, dels)
         return self._read_with_deletes(files, dels, with_pos=with_pos)
 
+    def _pos_deletes_local(self, entries: list[DataFile], spellings=None):
+        """Gated driver read of position-delete parquet → a deduped
+        ``(file_path, pos)`` DataFrame backed by a LocalTableScan, or
+        None (caller keeps the distributed read) when the tombstones
+        exceed :data:`icepack.dv.DV_DRIVER_BUILD_MAX_ROWS`, are not
+        local files, or pyarrow is unavailable.  ``spellings`` (the
+        scan group's ``_spellings`` thunk) switches on the
+        canonical-spelling substitution the adopted/spec-primary scan
+        needs — done as dict work here instead of a broadcast map
+        join.  Tombstone volume is bounded by the entries' manifest
+        record counts, so the gate is exact and costs no job."""
+        from .dv import DV_DRIVER_BUILD_MAX_ROWS
+
+        total = 0
+        for e in entries:
+            if not e.record_count:
+                return None  # unknown volume: stay distributed
+            total += int(e.record_count)
+        if total > DV_DRIVER_BUILD_MAX_ROWS:
+            return None
+        if any(not os.path.isfile(e.path) for e in entries):
+            return None
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+        except Exception:  # pragma: no cover — pyarrow unavailable
+            return None
+        tbls = [
+            pq.read_table(e.path, columns=["file_path", "pos"])
+            for e in entries
+        ]
+        pdf = (
+            (pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0])
+            .to_pandas()
+            .drop_duplicates()
+        )
+        if spellings is not None:
+            from .iceberg_import import canonical_file_path
+
+            by_cn = {cn: sp for sp, cn in spellings()}
+            remap = {
+                s: by_cn.get(canonical_file_path(s))
+                for s in pdf["file_path"].unique()
+            }
+            pdf = pdf.assign(file_path=pdf["file_path"].map(remap))
+            pdf = pdf[pdf["file_path"].notna()]  # unmatched deletes drop
+        return self.spark.createDataFrame(pdf, "file_path string, pos long")
+
     def _read_with_deletes(
         self,
         files: list[DataFile],
@@ -1714,22 +1762,38 @@ class IceTable:
             spell_pairs: list | None = None
 
             def _spellings():
-                # Bounded metadata collect: one column-pruned distinct
-                # over ``_file`` yields O(group files) strings (the
-                # parquet reader serves the constant-per-file metadata
-                # column without touching data pages), canonicalized in
-                # plain driver Python.  A UDF-over-distinct variant was
-                # tried first and REJECTED: Catalyst's projection
-                # collapse pushed the UDF below the aggregation,
-                # putting an ArrowEvalPython stage back over every row.
+                # Scan-side spellings of this group's data files.  Fast
+                # path (guide §1.2): engine-written local paths have a
+                # statically predictable URI spelling (pinned by test),
+                # so no job runs at all.  Fallback: one bounded
+                # metadata collect — a column-pruned distinct over
+                # ``_file`` yields O(group files) strings (the parquet
+                # reader serves the constant-per-file metadata column
+                # without touching data pages), canonicalized in plain
+                # driver Python.  A UDF-over-distinct variant was tried
+                # first and REJECTED: Catalyst's projection collapse
+                # pushed the UDF below the aggregation, putting an
+                # ArrowEvalPython stage back over every row.
                 nonlocal spell_pairs
                 if spell_pairs is None:
-                    from .iceberg_import import canonical_file_path
+                    from .iceberg_import import (
+                        canonical_file_path,
+                        predicted_scan_spelling,
+                    )
 
-                    sps = [
-                        r[0] for r in df.select("_file").distinct().collect()
-                    ]
-                    spell_pairs = [(s, canonical_file_path(s)) for s in sps]
+                    pred = [predicted_scan_spelling(f.path) for f in group]
+                    if all(p is not None for p in pred):
+                        spell_pairs = [
+                            (p, canonical_file_path(p)) for p in pred
+                        ]
+                    else:
+                        sps = [
+                            r[0]
+                            for r in df.select("_file").distinct().collect()
+                        ]
+                        spell_pairs = [
+                            (s, canonical_file_path(s)) for s in sps
+                        ]
                 return spell_pairs
 
             if dvg:
@@ -1739,30 +1803,49 @@ class IceTable:
                 # (dv.dv_positions_df); target identities are known
                 # driver-side, so their canonical forms cost O(files)
                 # Python calls here, not a distributed stage.
-                from .dv import dv_positions_df
+                from .dv import dv_positions_df, dv_positions_pandas
                 from .iceberg_import import canonical_file_path
 
-                refs = local_df(
-                    self.spark,
-                    {
-                        (d.referenced_data_file, canonical_file_path(d.referenced_data_file))
-                        for d in dvg
-                    },
-                    "file_path string, _cn string",
-                )
-                dd = (
-                    dv_positions_df(self.spark, dvg)
-                    .join(F.broadcast(refs), "file_path")
-                    .join(
-                        F.broadcast(
-                            local_df(
-                                self.spark, _spellings(), "_sp string, _cn string"
-                            )
-                        ),
-                        "_cn",
+                pdfv = dv_positions_pandas(dvg)
+                if pdfv is not None:
+                    # gated driver lane: positions, DV target refs and
+                    # scan spellings are ALL driver-resident here, so
+                    # the (refs ⨝ spellings) remap is plain dict work —
+                    # ONE broadcast LocalTableScan feeds the anti-join
+                    # instead of a three-frame broadcast-join pipeline
+                    # (two fewer exchanges per DV-masked scan)
+                    canon_to_sp = {cn: sp for sp, cn in _spellings()}
+                    remap = {
+                        rdf: canon_to_sp.get(canonical_file_path(rdf))
+                        for rdf in {d.referenced_data_file for d in dvg}
+                    }
+                    pdfv = pdfv.assign(_delsp=pdfv["file_path"].map(remap))
+                    pdfv = pdfv[pdfv["_delsp"].notna()]
+                    dd = self.spark.createDataFrame(
+                        pdfv[["_delsp", "pos"]], "_delsp string, pos long"
                     )
-                    .select(F.col("_sp").alias("_delsp"), "pos")
-                )
+                else:
+                    refs = local_df(
+                        self.spark,
+                        {
+                            (d.referenced_data_file, canonical_file_path(d.referenced_data_file))
+                            for d in dvg
+                        },
+                        "file_path string, _cn string",
+                    )
+                    dd = (
+                        dv_positions_df(self.spark, dvg)
+                        .join(F.broadcast(refs), "file_path")
+                        .join(
+                            F.broadcast(
+                                local_df(
+                                    self.spark, _spellings(), "_sp string, _cn string"
+                                )
+                            ),
+                            "_cn",
+                        )
+                        .select(F.col("_sp").alias("_delsp"), "pos")
+                    )
                 df = df.join(
                     F.broadcast(dd),
                     (df["_file"] == dd["_delsp"]) & (df["_pos"] == dd["pos"]),
@@ -1771,14 +1854,34 @@ class IceTable:
                 if not (with_pos or pos_paths):
                     df = df.drop("_file", "_pos")
             if pos_paths:
+                canon_join = self.spec_primary or (
+                    self.meta.properties.get("read.canonicalize-delete-file-paths")
+                    == "true"
+                )
+                dels = self._pos_deletes_local(
+                    [by_path[p] for p in pos_paths],
+                    _spellings if canon_join else None,
+                )
+                if dels is not None:
+                    # gated driver lane: the tombstones (bounded by
+                    # their manifest record counts) feed the broadcast
+                    # anti-join as ONE LocalTableScan — the broadcast
+                    # build no longer runs a distributed parquet read +
+                    # distinct per scan construction (guide §4/§1.2)
+                    df = df.join(
+                        F.broadcast(dels),
+                        (df["_file"] == dels["file_path"])
+                        & (df["_pos"] == dels["pos"]),
+                        "left_anti",
+                    )
+                    if not with_pos:
+                        df = df.drop("_file", "_pos")
+                    pos_paths = []
+            if pos_paths:
                 dels = (
                     self.spark.read.parquet(*pos_paths)
                     .select("file_path", "pos")
                     .distinct()
-                )
-                canon_join = self.spec_primary or (
-                    self.meta.properties.get("read.canonicalize-delete-file-paths")
-                    == "true"
                 )
                 if canon_join:
                     # spec-shaped delete files store CANONICAL raw

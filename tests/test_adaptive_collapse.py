@@ -269,3 +269,23 @@ def test_x48_plane_count_scales_with_distinct_corpus(spark):
     direct = sorted(map(tuple, llm._x48_topk_direct(u, planes).collect()))
     coll = sorted(map(tuple, llm._x48_topk_collapsed(u, planes).collect()))
     assert direct == coll and len(direct) > 0
+
+
+def test_np_round_half_up_matches_spark_round(spark):
+    """ADVICE r13: x48's in-scorer ranking key must round HALF_UP like
+    Spark's round(), not banker's — pin the helper against Spark itself
+    on exact half-boundary values where the two rules differ."""
+    import numpy as np
+
+    from icepack.queries.llm import _np_round_half_up
+
+    vals = [0.1234565, 0.1234575, -0.1234565, 0.9999995, 1.5e-07,
+            2.5e-07, 0.7071067811865476, 0.123456, -0.9999995]
+    got = _np_round_half_up(np.array(vals), 6)
+    sdf = spark.createDataFrame([(v,) for v in vals], "v double")
+    from pyspark.sql import functions as F
+
+    want = [r[0] for r in sdf.select(F.round("v", 6)).collect()]
+    assert got.tolist() == want
+    # and banker's rounding demonstrably differs on at least one input
+    assert np.round(np.array(vals), 6).tolist() != want

@@ -1,6 +1,7 @@
 """Table core: create/append/scan round-trips, time travel, pruning,
 concurrent-commit CAS (SURVEY.md §5.3)."""
 
+import os
 import threading
 
 import pytest
@@ -419,3 +420,72 @@ def test_type_from_str_pure_python_parser():
         t = type_from_str(c)
         assert t == T._parse_datatype_string(c), c
         assert type_from_str(type_to_str(t)) == t, c
+
+
+def test_predicted_scan_spelling(spark, tmp_path):
+    """Pin the _metadata.file_path spelling predictor against Spark
+    itself: every safe-alphabet path predicts EXACTLY the URI the scan
+    emits (a wrong prediction would silently resurrect MOR-deleted
+    rows); every character that Hadoop percent-encodes declines."""
+    from icepack.iceberg_import import canonical_file_path, predicted_scan_spelling
+
+    safe_dirs = ["plain", "k=2024-01-01", "a.b-c_d", "x+y", "p(1),q;r@s~t'u&v"]
+    for name in safe_dirs:
+        d = str(tmp_path / name)
+        spark.range(1).coalesce(1).write.parquet(d)
+        got = spark.read.parquet(d).select("_metadata.file_path").first()[0]
+        part = got.rsplit("/", 1)[-1]
+        pred = predicted_scan_spelling(os.path.join(d, part))
+        assert pred == got, (name, pred, got)
+        # canonical form of the prediction is the raw path again
+        assert canonical_file_path(pred) == os.path.join(d, part)
+    # characters Spark encodes (space, %, #) and risky forms decline
+    for bad in ["/a b/c", "/a%41/c", "/a#1/c", "/a//b", "rel/path",
+                "s3://bucket/key", "file:/already/uri", "/uni/é.parquet"]:
+        assert predicted_scan_spelling(bad) is None, bad
+
+
+def test_schema_memo_invalidates_on_rewrite(spark, tmp_path):
+    """r13 verdict item 1: the fixture schema memo keys on (path,
+    mtime_ns, size), so a path REWRITTEN in-process with a different
+    schema re-infers instead of serving nulls through a stale schema."""
+    import icepack.io as io
+
+    d = str(tmp_path)
+    p = os.path.join(d, "part.parquet")
+    spark.range(3).selectExpr("id AS p_partkey").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    first = io.load(spark, d, "part")
+    assert first.columns == ["p_partkey"]
+    assert any(k[0] == p for k in io._SCHEMA_MEMO)
+    # rewrite the same path with a DIFFERENT schema (bump mtime to be
+    # robust against same-second writes on coarse filesystems)
+    spark.range(3).selectExpr(
+        "id AS p_partkey", "CAST(id AS STRING) AS p_name"
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    os.utime(p, ns=(1, 1))
+    second = io.load(spark, d, "part")
+    assert second.columns == ["p_partkey", "p_name"]
+    assert second.filter("p_name IS NULL").count() == 0
+
+
+def test_entry_queries_repin_confs(spark):
+    """__spark_entry__ query callables re-pin runtime confs even after
+    an external harness mutates one mid-session (ensure_confs is
+    otherwise one-shot per session)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entrymod
+    from icepack.session import RUNTIME_CONFS, ensure_confs
+
+    ensure_confs(spark)
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    qs = entrymod.queries()
+    df = qs["a1_groupby_count"](spark, "/root/testdata/sf0.001")
+    assert (
+        spark.conf.get("spark.sql.session.timeZone")
+        == RUNTIME_CONFS["spark.sql.session.timeZone"]
+    )
+    assert df.count() > 0
