@@ -651,6 +651,44 @@ class _WroteFiles(WriterCommitMessage):
         return zip(self.paths, self.parts or [{}] * len(self.paths))
 
 
+def _harvested_entries(messages, spec_id: int, schema_id: int) -> list:
+    """Commit-side manifest entries from the tasks' write reports.
+    Footer-stat harvest is a pure metadata read per file — thread-pooled
+    exactly like ``IceTable._collect_entries`` (I/O bound; the commit
+    runner previously read hundreds of footers SERIALLY, the dominant
+    cost of a many-partition DSv2 commit).  Zero-row task files are
+    removed, as before."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .manifest import DataFile, harvest_stats
+
+    pairs = [
+        pp for m in messages if m is not None for pp in m.path_parts()
+    ]
+    if not pairs:
+        return []
+    with ThreadPoolExecutor(max_workers=min(16, len(pairs))) as pool:
+        harvested = list(pool.map(harvest_stats, (p for p, _ in pairs)))
+    entries = []
+    for (p, part), (nrows, size, stats) in zip(pairs, harvested):
+        if nrows == 0:
+            _rm_quiet(p)
+            continue
+        entries.append(
+            DataFile(
+                path=p,
+                status="added",
+                partition=part,
+                spec_id=spec_id,
+                schema_id=schema_id,
+                record_count=nrows,
+                file_size_bytes=size,
+                stats=stats,
+            )
+        )
+    return entries
+
+
 def _part_desc(t) -> list:
     """Plan-time partition description shipped to write tasks:
     [(manifest field name, transform string, source column, source
@@ -917,7 +955,6 @@ class _BatchWriter(DataSourceArrowWriter):
         _ensure_importable()
         from pyspark.sql import SparkSession
 
-        from .manifest import DataFile, harvest_stats
         from .table import IceTable
 
         spark = SparkSession.getActiveSession()  # None in plan/commit runner
@@ -950,26 +987,7 @@ class _BatchWriter(DataSourceArrowWriter):
             )
         schema_id = _resolve_written_schema_id(t, messages, self._location)
         spec_id = self._spec_id if self._parts else t.meta.spec.spec_id
-        entries = []
-        for p, part in (
-            pp for m in messages if m is not None for pp in m.path_parts()
-        ):
-            nrows, size, stats = harvest_stats(p)
-            if nrows == 0:
-                _rm_quiet(p)
-                continue
-            entries.append(
-                DataFile(
-                    path=p,
-                    status="added",
-                    partition=part,
-                    spec_id=spec_id,
-                    schema_id=schema_id,
-                    record_count=nrows,
-                    file_size_bytes=size,
-                    stats=stats,
-                )
-            )
+        entries = _harvested_entries(messages, spec_id, schema_id)
         if self._overwrite:
             if self._branch:
                 raise ValueError(
@@ -1085,7 +1103,6 @@ class _StreamWriter(DataSourceStreamArrowWriter):
         _ensure_importable()  # sink-commit worker: see register()
         from pyspark.sql import SparkSession
 
-        from .manifest import DataFile, harvest_stats
         from .table import IceTable
 
         spark = SparkSession.getActiveSession()  # None in plan/commit runner
@@ -1122,26 +1139,7 @@ class _StreamWriter(DataSourceStreamArrowWriter):
                 return
         schema_id = self._resolve_schema_id(t, messages)
         spec_id = self._spec_id if self._parts else t.meta.spec.spec_id
-        entries = []
-        for p, part in (
-            pp for m in messages if m is not None for pp in m.path_parts()
-        ):
-            nrows, size, stats = harvest_stats(p)
-            if nrows == 0:
-                _rm_quiet(p)
-                continue
-            entries.append(
-                DataFile(
-                    path=p,
-                    status="added",
-                    partition=part,
-                    spec_id=spec_id,
-                    schema_id=schema_id,
-                    record_count=nrows,
-                    file_size_bytes=size,
-                    stats=stats,
-                )
-            )
+        entries = _harvested_entries(messages, spec_id, schema_id)
         t._commit_snapshot(
             "append", entries, extra_summary={"streaming-batch-id": marker}
         )

@@ -21,7 +21,7 @@ from icepack.queries import all_queries  # noqa: E402
 from icepack.session import get_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
 
 HEADLINE = [
     "a0_gold_daily", "a4_tpch_q1", "a4_tpch_q5", "j1_inner_join",
