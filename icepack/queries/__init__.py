@@ -56,69 +56,74 @@ def load_all_modules() -> None:
 #: iteration order never depends on untracked files in the environment
 #: (same input -> same order, everywhere).
 #:
-#: Round-13 snapshot (VERDICT r12 task 6): the r12 driver run covered
-#: the r7-stale cohort; the union of CORRECTNESS_r01..r12 now bottoms
-#: out at a 40-query r8 cohort (a0/a1x analytics, the w/o/f families,
-#: a4_tpch_q1/5/9/18/19, ice32/33/40/56/58, x45-x47/x56).  First come
-#: the queries whose CODE changed this round (v3 DML deletion vectors:
-#: ice66 new, ice63/ice54 share the rewritten DV writer, ice65 grew a
-#: DV survival row, ice52's MERGE tombstones become DVs on v3; ice67
-#: new SQL row-lineage surface), then the full r8 cohort — after the
-#: r13 run no query's newest driver evidence should be older than r9.
+#: Round-14 snapshot: the r13 run re-evidenced the r8 cohort, so the
+#: CORRECTNESS_r01..r13 union now bottoms out at an r9 cohort (the
+#: f/o/p/w scalar families, ice1/2/7/31/34-42/48/57/59, x60).  First
+#: come the queries whose CODE changed this optimization round (the
+#: DV/tombstone driver-vs-executor lane split, the scan spelling
+#: predictor, the DSv2 commit harvest pool, x48's HALF_UP ranking
+#: key), then that oldest cohort — after the r14 run no query's
+#: newest driver evidence should be older than r10.
 PRIORITY: list[str] = [
-    # r13-changed / new first (never- or stale-evidenced on new code)
-    "ice66_v3_dv_dml",  # NEW: v3 DML deletion vectors end-to-end
-    "ice67_sql_row_lineage",  # NEW: lineage metadata columns via IceSQL
-    "ice65_row_lineage",  # grew a DV-delete survival row
-    "ice63_dv_v3_export",  # DV writer now shared write_dv_puffins
-    "ice54_deletion_vectors",  # consolidation refactored onto it
-    "ice52_table_dedup",  # dedupe MERGE tombstones -> DVs on v3
-    # r8-evidenced cohort (oldest in the CORRECTNESS union)
-    "a0_gold_daily",
-    "a10_conditional_agg",
-    "a11_salted_agg",
-    "a13_skyline",
-    "a17_exact_median",
-    "a18_gapfill_lerp",
-    "a19_copurchase",
-    "a1_groupby_count",
-    "a20_share_of_total",
-    "a3_approx_distinct",
-    "a4_tpch_q1",
-    "a4_tpch_q18",
-    "a4_tpch_q19",
-    "a4_tpch_q5",
-    "a4_tpch_q9",
-    "a5_correlated_subquery",
-    "a5_scalar_subquery",
-    "a6_cube",
-    "a6_grouping_sets",
-    "a6_rollup",
-    "a7_stat_aggs",
-    "a8_pivot",
-    "a9_listagg",
-    "ice32_rest_catalog",
-    "ice33_orc_ingest",
+    # r14-changed first (optimization round: DV/tombstone driver lanes,
+    # scan spelling predictor, DSv2 commit harvest pool, x48 HALF_UP
+    # ranking key) — every one needs fresh hash evidence on new code
+    "ice54_deletion_vectors",
+    "ice10_mor_delete",
+    "ice15_mor_position_delete",
+    "ice16_mor_update",
+    "ice45_mor_batch_read",
+    "ice66_v3_dv_dml",
+    "ice63_dv_v3_export",
+    "ice65_row_lineage",
+    "ice67_sql_row_lineage",
+    "ice52_table_dedup",
+    "ice49_spec_primary",
+    "ice50_foreign_adopt",
+    "ice5_merge",
+    "ice31_mor_pipeline",
+    "ice57_batch_writer",
     "ice40_stream_source",
-    "ice56_partition_stats",
-    "ice58_materialized_view",
-    "j9_null_safe_join",
-    "o1_global_sort",
-    "o2_top_n",
-    "o3_union_all",
-    "w1_rank_family",
-    "w1_topk_per_group",
-    "w2_lag_gap",
-    "w3_running_sum",
-    "x45_domain_cap",
-    "x46_line_dedup_ratio",
-    "x47_substring_dedup",
+    "ice53_stream_dedup_ingest",
+    "x48_semantic_dedup",
+    "x55_semantic_dedup_clusters",
     "x56_containment_dedup",
-    # r9 heads (next-oldest) fill the remaining sample budget
-    "a12_funnel",
-    "a15_sessionize_gap",
-    "f10_date_spine",
-    "f1_date_trunc",
+    # oldest-evidence cohort (newest driver check r9, from the
+    # CORRECTNESS_r01..r13 union) fills the remaining sample budget
+    "f11_calendar",
+    "f2_date_parts",
+    "f3_date_arith",
+    "f4_casts",
+    "f5_strings",
+    "f8_explode_words",
+    "f9_math",
+    "ice1_create_append_read",
+    "ice2_time_travel",
+    "ice34_scheduled_compaction",
+    "ice35_multi_stmt_txn",
+    "ice36_glue_catalog",
+    "ice38_sql_pruned_select",
+    "ice41_time_travel_prune",
+    "ice42_fsck",
+    "ice48_spec_read_prune",
+    "ice59_partitioned_adopt",
+    "ice7_hidden_partition_prune",
+    "j8_salted_join",
+    "o4_except",
+    "o4_intersect",
+    "o6_unpivot",
+    "o7_nulls_ordering",
+    "o8_histogram",
+    "p1_pruned_scan",
+    "p3_time_range",
+    "w3_range_frame",
+    "w4_ntile",
+    "w5_value_windows",
+    "x60_bm25_topk",
+    "a3_approx_percentile",
+    "ice37_memory_store",
+    "ice39_distributed_plan",
+    "ice44_result_cache",
 ]
 
 

@@ -1700,6 +1700,53 @@ class IceTable:
             pdf = pdf[pdf["file_path"].notna()]  # unmatched deletes drop
         return self.spark.createDataFrame(pdf, "file_path string, pos long")
 
+    def _eq_deletes_local(self, dentries: list, eq_map: tuple):
+        """Gated driver read of equality-delete parquet → the deduped
+        ``_del_*`` key frame as a LocalTableScan, or None (caller keeps
+        the distributed read).  Same discipline as
+        :meth:`_pos_deletes_local`; value types are pinned EXACTLY by
+        declaring the delete schema version's spark types on the Arrow
+        table (a merged-read upcast across mixed schema versions can't
+        be replicated here, so mixed groups fall back)."""
+        from .dv import DV_DRIVER_BUILD_MAX_ROWS
+
+        total = 0
+        for d, _s in dentries:
+            if not d.record_count or not os.path.isfile(d.path):
+                return None
+            total += int(d.record_count)
+        if total > DV_DRIVER_BUILD_MAX_ROWS:
+            return None
+        old_types = None
+        for _d, dschema in dentries:
+            types = tuple(
+                dschema.field_by_name(old).spark_type() for old, _cur in eq_map
+            )
+            if old_types is None:
+                old_types = types
+            elif types != old_types:
+                return None  # mixed-version value types: let Spark merge
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            olds = [old for old, _cur in eq_map]
+            tbls = [pq.read_table(d.path, columns=olds) for d, _s in dentries]
+            tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
+            tbl = tbl.group_by(tbl.schema.names).aggregate([])  # DISTINCT
+            schema = T.StructType(
+                [
+                    T.StructField(f"_del_{cur}", t)
+                    for (_old, cur), t in zip(eq_map, old_types)
+                ]
+            )
+            return self.spark.createDataFrame(
+                tbl.rename_columns([f"_del_{cur}" for _old, cur in eq_map]),
+                schema=schema,
+            )
+        except Exception:  # pragma: no cover — exotic types/pyarrow gaps
+            return None
+
     def _read_with_deletes(
         self,
         files: list[DataFile],
@@ -1953,18 +2000,20 @@ class IceTable:
                                 "deletes before dropping the column"
                             )
                         resolved.append((c, f_cur.name))
-                    by_cols.setdefault(tuple(resolved), []).append(d.path)
-            for eq_map, paths in sorted(by_cols.items()):
-                dels = (
-                    self.spark.read.parquet(*paths)
-                    .select(
-                        *[
-                            F.col(old).alias(f"_del_{cur}")
-                            for old, cur in eq_map
-                        ]
+                    by_cols.setdefault(tuple(resolved), []).append((d, dschema))
+            for eq_map, dentries in sorted(by_cols.items()):
+                dels = self._eq_deletes_local(dentries, eq_map)
+                if dels is None:
+                    dels = (
+                        self.spark.read.parquet(*[d.path for d, _ in dentries])
+                        .select(
+                            *[
+                                F.col(old).alias(f"_del_{cur}")
+                                for old, cur in eq_map
+                            ]
+                        )
+                        .distinct()
                     )
-                    .distinct()
-                )
                 # Iceberg equality-delete semantics: field-by-field
                 # equality with null == null (spec "Equality Delete
                 # Files"), so the anti-join must be NULL-SAFE — a plain
