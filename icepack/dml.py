@@ -344,8 +344,9 @@ def _write_dv_entries(
             import pyarrow as pa
             import pyarrow.parquet as pq
 
+            want = pa.schema([("file_path", pa.string()), ("pos", pa.int64())])
             tbls = [
-                pq.read_table(d.path, columns=["file_path", "pos"])
+                pq.read_table(d.path, columns=["file_path", "pos"]).cast(want)
                 for d in pos_files
             ]
             pk = (

@@ -1679,8 +1679,12 @@ class IceTable:
             import pyarrow.parquet as pq
         except Exception:  # pragma: no cover — pyarrow unavailable
             return None
+        # cast to one canonical schema first: files written by different
+        # engines disagree on nullability (and string width), which
+        # concat_tables treats as different schemas
+        want = pa.schema([("file_path", pa.string()), ("pos", pa.int64())])
         tbls = [
-            pq.read_table(e.path, columns=["file_path", "pos"])
+            pq.read_table(e.path, columns=["file_path", "pos"]).cast(want)
             for e in entries
         ]
         pdf = (
@@ -1730,8 +1734,22 @@ class IceTable:
             import pyarrow as pa
             import pyarrow.parquet as pq
 
+            from pyspark.sql.pandas.types import to_arrow_type
+
             olds = [old for old, _cur in eq_map]
-            tbls = [pq.read_table(d.path, columns=olds) for d, _s in dentries]
+            # one canonical arrow schema (the delete schema version's
+            # types, nullable): engines disagree on nullability, which
+            # concat_tables treats as different schemas
+            want = pa.schema(
+                [
+                    (old, to_arrow_type(t))
+                    for (old, _cur), t in zip(eq_map, old_types)
+                ]
+            )
+            tbls = [
+                pq.read_table(d.path, columns=olds).cast(want)
+                for d, _s in dentries
+            ]
             tbl = pa.concat_tables(tbls) if len(tbls) > 1 else tbls[0]
             tbl = tbl.group_by(tbl.schema.names).aggregate([])  # DISTINCT
             schema = T.StructType(
